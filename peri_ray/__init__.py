@@ -1,0 +1,44 @@
+"""peri_ray — a Ray-Data-native schema + constraint validation engine.
+
+Re-expresses the semantics of zoedsoupe/peri (an Elixir single-record
+schema validator, reference at /root/reference) as compiled vectorized
+Arrow predicates evaluated in ``ray.data.Dataset.map_batches``, extended
+with the table-level operators mandated by BASELINE.json's north rule:
+column statistics (count/null/min/max/KLL/HLL), uniqueness, referential
+and distribution-drift checks, per-partition verdicts with checkpoint /
+resume, plus large-scale training-data operators (dedup, similarity
+search, text analysis).
+
+Not a port: the reference's per-record recursive interpreter becomes a
+compile-once rule plan whose kernels run over whole Arrow columns.
+"""
+
+from peri_ray.errors import InvalidSchemaError, summarize
+from peri_ray.spec import validate_spec, conforms_spec, vec
+from peri_ray.compile import compile_spec, Plan
+from peri_ray.validate import (
+    validate_batch,
+    validate_dataset,
+    violations_dataset,
+    validated_dataset,
+    conforms,
+)
+from peri_ray.registry import defschema, get_schema, schema_registry
+
+__all__ = [
+    "InvalidSchemaError",
+    "summarize",
+    "validate_spec",
+    "conforms_spec",
+    "vec",
+    "compile_spec",
+    "Plan",
+    "validate_batch",
+    "validate_dataset",
+    "violations_dataset",
+    "validated_dataset",
+    "conforms",
+    "defschema",
+    "get_schema",
+    "schema_registry",
+]

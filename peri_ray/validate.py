@@ -1,0 +1,143 @@
+"""Dataset-level validation API — ``Peri.validate/3`` and
+``Peri.conforms?/3`` lifted to ``ray.data.Dataset`` scale
+(reference ``lib/peri.ex:572-604,443-450``).
+
+Design (SURVEY §3.5): validation is ONE stateless ``map_batches`` stage
+over zero-copy Arrow batches.  Each output row carries its input columns
+(strict-projected or permissive), a ``valid`` bool, and a
+``violations`` list<struct> column.  The two logical sinks (validated
+rows, violations rows) are *views* over that single stage:
+
+- ``validated(ds)``   → drop the violations column
+- ``violations(ds)``  → flatten the list column into the violations table
+
+At 100 TB you consume the combined stream once (write partitioned
+parquet), then derive the violations view by re-reading ONLY the
+``record_id``+``violations`` columns (parquet column pruning makes the
+second pass cheap) — never by running the kernels twice.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from peri_ray.compile import VIOLATION_SCHEMA, Plan, compile_spec
+
+__all__ = [
+    "compile_spec",
+    "Plan",
+    "validate_batch",
+    "validate_dataset",
+    "violations_dataset",
+    "validated_dataset",
+    "conforms",
+    "VIOLATION_SCHEMA",
+]
+
+
+def validate_batch(plan: Plan, table: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Single-batch entry (test/conformance surface)."""
+    return plan.run_batch(table)
+
+
+class _ValidateFn:
+    """map_batches callable: validates a batch and embeds violations as a
+    list<struct> column aligned to rows.  Plain function semantics (no
+    per-actor state needed — the plan is immutable and ships in the task
+    closure)."""
+
+    def __init__(self, plan: Plan):
+        self.plan = plan
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        out, viols = self.plan.run_batch(table)
+        n = out.num_rows
+        # group violation rows by their source row to build the aligned
+        # list column; violations carry record_id already
+        ids = self.plan._record_ids(table)
+        id_to_row: dict[str, int] = {}
+        id_list = ids.to_pylist()
+        for i, rid in enumerate(id_list):
+            id_to_row.setdefault(rid, i)
+        per_row: list[list[dict]] = [[] for _ in range(n)]
+        for row in viols.to_pylist():
+            i = id_to_row.get(row["record_id"])
+            if i is not None:
+                per_row[i].append({k: v for k, v in row.items() if k != "record_id"})
+        viol_type = pa.list_(
+            pa.struct(
+                [
+                    ("rule_id", pa.string()),
+                    ("path", pa.string()),
+                    ("message", pa.string()),
+                    ("actual", pa.string()),
+                    ("expected", pa.string()),
+                ]
+            )
+        )
+        out = out.append_column("record_id", ids)
+        out = out.append_column("violations", pa.array(per_row, type=viol_type))
+        return out
+
+
+def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,
+                     registry: dict | None = None, batch_size: int | None = 8192):
+    """``ds.map_batches(validator)`` over Arrow batches.  Returns the
+    combined dataset (input columns + valid + record_id + violations)."""
+    plan = compile_spec(spec, mode=mode, id_column=id_column, registry=registry)
+    return ds.map_batches(
+        _ValidateFn(plan), batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def violations_dataset(combined):
+    """Flatten the embedded violations column into the violations table
+    ``(record_id, rule_id, path, message, actual, expected)``."""
+
+    def _flatten(table: pa.Table) -> pa.Table:
+        ids = table.column("record_id").combine_chunks()
+        viols = table.column("violations").combine_chunks()
+        lens = np.asarray(
+            [len(v) if v is not None else 0 for v in viols.to_pylist()], dtype=np.int64
+        )
+        parent = np.repeat(np.arange(table.num_rows), lens)
+        rows = [v for lst in viols.to_pylist() if lst for v in lst]
+        if not rows:
+            return VIOLATION_SCHEMA.empty_table()
+        rec = ids.take(pa.array(parent))
+        cols = {
+            "record_id": rec,
+            "rule_id": pa.array([r["rule_id"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "message": pa.array([r["message"] for r in rows], pa.string()),
+            "actual": pa.array([r["actual"] for r in rows], pa.string()),
+            "expected": pa.array([r["expected"] for r in rows], pa.string()),
+        }
+        return pa.table(cols)
+
+    return combined.map_batches(_flatten, batch_format="pyarrow")
+
+
+def validated_dataset(combined):
+    cols = [c for c in combined.schema().names if c != "violations"]
+    return combined.select_columns(cols)
+
+
+def conforms(ds, spec: dict, mode: str = "strict", registry: dict | None = None) -> bool:
+    """Dataset-level ``Peri.conforms?`` (lib/peri.ex:443-450): True iff
+    every row validates.  Aggregates the valid mask without materializing
+    rows on the driver."""
+    combined = validate_dataset(ds, spec, mode=mode, registry=registry)
+    import ray.data  # noqa: F401  (Dataset already imported by caller)
+
+    def _count_invalid(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bad = pc.sum(pc.invert(table.column("valid"))).as_py() or 0
+        return pa.table({"invalid": pa.array([bad], pa.int64())})
+
+    total = combined.map_batches(_count_invalid, batch_format="pyarrow").sum("invalid")
+    return (total or 0) == 0

@@ -1,0 +1,530 @@
+"""Conformance suite for the batch validator — mirrors the reference's
+test strategy (SURVEY §5): each case asserts exact validated values and
+exact violation (rule_id, path, message) rows, per FIXTURES F1–F7.
+
+Reference citations point into /root/reference (zoedsoupe/peri) for the
+behavior each case pins down.  Batch-level tests need no Ray session:
+row-independence means one batch is representative (proven separately in
+test_ray_dataset.py by validating the same rows batched with unrelated
+ones).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from peri_ray import compile_spec, InvalidSchemaError, validate_spec, vec
+
+
+def run(spec, data, **kw):
+    plan = compile_spec(spec, **kw)
+    return plan.run_batch(pa.table(data))
+
+
+def viol_tuples(viols):
+    return [(r["rule_id"], r["path"], r["message"]) for r in viols.to_pylist()]
+
+
+# ---------------------------------------------------------------------------
+# F1 — simple flat schema (test/peri_test.exs:6-10,49-88)
+# ---------------------------------------------------------------------------
+
+
+class TestSimple:
+    SPEC = {"name": "string", "age": "integer", "email": ("required", "string")}
+
+    def test_valid(self):
+        out, viols = run(self.SPEC, {"name": ["John"], "age": [30], "email": ["j@x.io"]})
+        assert out.column("valid").to_pylist() == [True]
+        assert viols.num_rows == 0
+
+    def test_missing_required(self):
+        # test/peri_test.exs:61-66: missing :email
+        out, viols = run(self.SPEC, {"name": ["John"], "age": [30], "email": pa.array([None], pa.string())})
+        assert out.column("valid").to_pylist() == [False]
+        assert viol_tuples(viols) == [
+            ("required", "email", "is required, expected type of :string")
+        ]
+
+    def test_missing_column_entirely(self):
+        out, viols = run(self.SPEC, {"name": ["John"], "age": [30]})
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.to_pylist()[0]["rule_id"] == "required"
+
+    def test_wrong_type(self):
+        # age as string: every non-null value fails the :integer check
+        out, viols = run(self.SPEC, {"name": ["J"], "age": ["thirty"], "email": ["e@x"]})
+        assert out.column("valid").to_pylist() == [False]
+        assert viol_tuples(viols) == [
+            ("type.integer", "age", 'expected type of :integer received "thirty" value')
+        ]
+
+    def test_float_fails_integer(self):
+        # numeric strictness (lib/peri.ex:779-780, test/peri_test.exs:2360-2386)
+        out, viols = run(self.SPEC, {"name": ["J"], "age": [5.1], "email": ["e@x"]})
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.to_pylist()[0]["rule_id"] == "type.integer"
+
+    def test_int_fails_float(self):
+        out, viols = run({"score": "float"}, {"score": [5]})
+        assert out.column("valid").to_pylist() == [False]
+
+    def test_nil_passes_optional(self):
+        # optional-by-default (lib/peri.ex:1056)
+        out, viols = run(self.SPEC, {"name": [None], "age": [None], "email": ["e@x"]})
+        assert out.column("valid").to_pylist() == [True]
+        assert viols.num_rows == 0
+
+    def test_strict_mode_drops_extra(self):
+        # filter_data strict (lib/peri.ex:630-664; test/peri_test.exs:1076-1155)
+        out, _ = run(self.SPEC, {"name": ["J"], "age": [1], "email": ["e"], "extra": [9]})
+        assert "extra" not in out.column_names
+
+    def test_permissive_mode_keeps_extra(self):
+        # test/permissive_mode_test.exs:20-66
+        out, _ = run(
+            self.SPEC,
+            {"name": ["J"], "age": [1], "email": ["e"], "extra": [9]},
+            mode="permissive",
+        )
+        assert out.column("extra").to_pylist() == [9]
+
+    def test_empty_values_pass_required(self):
+        # empty strings are not nil (lib/peri.ex:836-838)
+        out, viols = run(self.SPEC, {"name": [""], "age": [0], "email": [""]})
+        assert out.column("valid").to_pylist() == [True]
+
+
+# ---------------------------------------------------------------------------
+# F2 — nested schemas (test/peri_test.exs:18-26,110-283; regression #40)
+# ---------------------------------------------------------------------------
+
+
+class TestNested:
+    SPEC = {
+        "user": {
+            "name": "string",
+            "profile": {
+                "age": ("required", "integer"),
+                "email": ("required", "string"),
+            },
+        }
+    }
+
+    def _user(self, name, age, email):
+        return {"name": name, "profile": {"age": age, "email": email}}
+
+    def test_valid_nested(self):
+        out, viols = run(self.SPEC, {"user": pa.array([self._user("J", 3, "e@x")])})
+        assert out.column("valid").to_pylist() == [True]
+        assert viols.num_rows == 0
+
+    def test_nested_error_path(self):
+        out, viols = run(self.SPEC, {"user": pa.array([self._user("J", 3, None)])})
+        assert viol_tuples(viols) == [
+            ("required", "user.profile.email", "is required, expected type of :string")
+        ]
+
+    def test_absent_optional_parent_ok(self):
+        # nil nested schema without defaults -> ok (lib/peri.ex:1048-1056)
+        out, viols = run(self.SPEC, {"user": pa.array([None], pa.struct(
+            [("name", pa.string()), ("profile", pa.struct([("age", pa.int64()), ("email", pa.string())]))]
+        ))})
+        assert out.column("valid").to_pylist() == [True]
+
+    def test_required_nested_summary(self):
+        # {:required, %{...}} missing -> summarize rendering %{name, email}
+        # (lib/peri/error.ex:306-320; test/peri_test.exs:2844-2853)
+        spec = {"owner": ("required", {"name": "string", "email": "string"})}
+        out, viols = run(spec, {"owner": pa.array([None], pa.struct([("name", pa.string()), ("email", pa.string())]))})
+        assert viols.to_pylist()[0]["message"] == "is required, expected type of %{name, email}"
+
+    def test_summary_truncation(self):
+        spec = {"o": ("required", {"a": "string", "b": "string", "c": "string", "d": "string"})}
+        out, viols = run(spec, {"o": pa.array([None], pa.struct([("a", pa.string())]))})
+        assert viols.to_pylist()[0]["message"] == "is required, expected type of %{a, b, c, +1 more}"
+
+    def test_sibling_errors_accumulate(self):
+        # traverse_schema reduces over every key (lib/peri.ex:686-707)
+        spec = {"a": ("required", "string"), "b": ("required", "integer")}
+        out, viols = run(spec, {"a": pa.array([None], pa.string()), "b": pa.array([None], pa.int64())})
+        assert len(viols) == 2
+
+
+# ---------------------------------------------------------------------------
+# F3 — constraint matrix (test/peri_test.exs:2256-2386; list_constraints)
+# ---------------------------------------------------------------------------
+
+
+class TestConstraints:
+    def test_string_regex(self):
+        out, viols = run({"u": ("string", ("regex", "^[a-zA-Z0-9_]+$"))}, {"u": ["ok_1", "no way"]})
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.to_pylist()[0]["message"] == "should match the ~r/^[a-zA-Z0-9_]+$/ pattern"
+
+    def test_string_eq_min_max(self):
+        out, viols = run({"s": ("string", ("eq", "Elixir"))}, {"s": ["Elixir", "Erlang"]})
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.to_pylist()[0]["message"] == 'should be equal to literal Elixir'
+        out, viols = run({"s": ("string", ("min", 5))}, {"s": ["abcde", "abc"]})
+        assert viols.to_pylist()[0]["message"] == "should have the minimum length of 5"
+        out, viols = run({"s": ("string", ("max", 3))}, {"s": ["ab", "abcd"]})
+        assert viols.to_pylist()[0]["message"] == "should have the maximum length of 3"
+
+    def test_numeric_comparisons(self):
+        cases = [
+            (("eq", 42), [42, 41], "should be equal to 42"),
+            (("neq", 42), [41, 42], "should be not equal to 42"),
+            (("gt", 10), [11, 10], "should be greater then 10"),
+            (("gte", 10), [10, 9], "should be greater then or equal to 10"),
+            (("lt", 10), [9, 10], "should be less then 10"),
+            (("lte", 10), [10, 11], "should be less then or equal to 10"),
+        ]
+        for constraint, vals, msg in cases:
+            out, viols = run({"n": ("integer", constraint)}, {"n": vals})
+            assert out.column("valid").to_pylist() == [True, False], constraint
+            assert viols.to_pylist()[0]["message"] == msg
+
+    def test_range(self):
+        out, viols = run({"n": ("integer", ("range", (5, 15)))}, {"n": [5, 15, 4, 16]})
+        assert out.column("valid").to_pylist() == [True, True, False, False]
+        assert viols.to_pylist()[0]["message"] == "should be in the range of 5..15 (inclusive)"
+
+    def test_multiple_of_int(self):
+        out, viols = run({"n": ("integer", ("multiple_of", 5))}, {"n": [10, 11]})
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.to_pylist()[0]["message"] == "should be a multiple of 5"
+
+    def test_multiple_of_float_tolerance(self):
+        # 1e-9 tolerance (lib/peri.ex:1432-1438)
+        out, _ = run({"x": ("float", ("multiple_of", 0.25))}, {"x": [0.75, 0.8]})
+        assert out.column("valid").to_pylist() == [True, False]
+
+    def test_multi_option_all_failures_collected(self):
+        # lib/peri.ex:848-861: every failing option reported
+        spec = {"pw": ("string", [("min", 8), ("regex", "[0-9]")])}
+        out, viols = run(spec, {"pw": ["abc"]})
+        assert out.column("valid").to_pylist() == [False]
+        assert sorted(r["rule_id"] for r in viols.to_pylist()) == ["string.min", "string.regex"]
+
+    def test_nil_passes_constraints(self):
+        out, viols = run({"n": ("integer", ("gt", 10))}, {"n": pa.array([None], pa.int64())})
+        assert out.column("valid").to_pylist() == [True]
+
+    def test_list_constraints(self):
+        spec = {"tags": ("list", "string", {"min": 1, "max": 3, "unique": True})}
+        out, viols = run(spec, {"tags": pa.array([[], ["a", "a"], ["a", "b", "c", "d"], ["x"]])})
+        assert out.column("valid").to_pylist() == [False, False, False, True]
+        msgs = {r["message"] for r in viols.to_pylist()}
+        assert msgs == {
+            "should have at least 1 items",
+            "should have unique items",
+            "should have at most 3 items",
+        }
+
+    def test_list_element_halts_at_first(self):
+        # halt-on-first-bad-element (lib/peri.ex:1194-1216)
+        spec = {"ns": ("list", ("integer", ("gt", 0)))}
+        out, viols = run(spec, {"ns": pa.array([[1, -2, -3], [1, 2]])})
+        assert out.column("valid").to_pylist() == [False, True]
+        rows = viols.to_pylist()
+        assert len(rows) == 1  # only the first failing element reported
+        assert rows[0]["path"] == "ns.1"
+
+
+# ---------------------------------------------------------------------------
+# F4 — choice types (test/peri_test.exs:380-489,599-677,2741-2827; multi_test)
+# ---------------------------------------------------------------------------
+
+
+class TestChoice:
+    def test_enum(self):
+        out, viols = run({"r": ("enum", ["admin", "user"])}, {"r": ["admin", "root", None]})
+        assert out.column("valid").to_pylist() == [True, False, True]  # nil passes enum
+        assert viols.to_pylist()[0]["message"] == 'expected one of ["admin", "user"] received "root"'
+
+    def test_enum_int(self):
+        out, _ = run({"b": ("enum", [1, 2, 3])}, {"b": [2, 9]})
+        assert out.column("valid").to_pylist() == [True, False]
+
+    def test_enum_with_type_precheck(self):
+        # {:enum, choices, type: :integer} (lib/peri.ex:1184-1192)
+        out, viols = run({"b": ("enum", [1, 2], {"type": "integer"})}, {"b": ["x"]})
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.to_pylist()[0]["rule_id"] == "type.integer"
+
+    def test_literal_nil_fails(self):
+        # literal precedes the nil catch-all (lib/peri.ex:801 vs 1056)
+        out, viols = run({"s": ("literal", "active")}, {"s": pa.array([None], pa.string())})
+        assert out.column("valid").to_pylist() == [False]
+
+    def test_either_first_match(self):
+        out, viols = run({"v": ("either", ("integer", "string"))}, {"v": ["hello"]})
+        assert out.column("valid").to_pylist() == [True]
+        out, viols = run({"v": ("either", ("integer", "boolean"))}, {"v": ["hello"]})
+        assert out.column("valid").to_pylist() == [False]
+        assert (
+            viols.to_pylist()[0]["message"]
+            == 'expected either :integer or :boolean, got: "hello"'
+        )
+
+    def test_oneof(self):
+        out, viols = run({"v": ("oneof", ["integer", "string", "boolean"])}, {"v": [3.3]})
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.to_pylist()[0]["message"] == "expected one of :integer or :string or :boolean, got: 3.3"
+
+    def test_oneof_with_constraints(self):
+        out, _ = run({"v": ("oneof", [("integer", ("gt", 10)), ("integer", ("lt", 0))])}, {"v": [11, -1, 5]})
+        assert out.column("valid").to_pylist() == [True, True, False]
+
+    def test_multi_dispatch(self):
+        # test/multi_test.exs:15-67
+        spec = {
+            "payload": (
+                "multi",
+                "kind",
+                {
+                    "circle": {"radius": ("required", "float")},
+                    "rect": {"w": ("required", "float"), "h": ("required", "float")},
+                },
+            )
+        }
+        data = {
+            "kind": ["circle", "rect", "blob"],
+            "payload": pa.array(
+                [
+                    {"radius": 1.0, "w": None, "h": None},
+                    {"radius": None, "w": 2.0, "h": 3.0},
+                    {"radius": None, "w": None, "h": None},
+                ]
+            ),
+        }
+        out, viols = run(spec, data)
+        assert out.column("valid").to_pylist() == [True, True, False]
+        assert (
+            viols.to_pylist()[0]["message"]
+            == 'no :multi branch matches dispatch :kind="blob"; expected one of :circle, :rect'
+        )
+
+
+# ---------------------------------------------------------------------------
+# F5 — defaults & transforms (test/peri_test.exs:1666-1778,1852-2159)
+# ---------------------------------------------------------------------------
+
+
+class TestDefaultsTransforms:
+    def test_default_fills_nil_only(self):
+        out, _ = run({"name": ("string", ("default", "Anonymous"))}, {"name": [None, "Zed"]})
+        assert out.column("name").to_pylist() == ["Anonymous", "Zed"]
+
+    def test_default_missing_column(self):
+        out, _ = run({"age": ("integer", ("default", 0))}, {"x": [1, 2]}, mode="permissive")
+        assert out.column("age").to_pylist() == [0, 0]
+
+    def test_callable_default(self):
+        out, _ = run({"n": ("integer", ("default", lambda: 7))}, {"n": [None]})
+        assert out.column("n").to_pylist() == [7]
+
+    def test_default_then_constraint(self):
+        # default fills BEFORE checks (lib/peri.ex:970-991)
+        out, _ = run({"n": (("integer", ("gte", 5)), ("default", 9))}, {"n": [None, 4]})
+        assert out.column("valid").to_pylist() == [True, False]
+
+    def test_required_default_is_spec_error(self):
+        # lib/peri.ex:829-834,1780-1783
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"e": ("required", ("string", ("default", "x")))})
+
+    def test_builtin_transform(self):
+        out, _ = run({"u": ("string", ("transform", "upcase"))}, {"u": ["ab", None]})
+        assert out.column("u").to_pylist() == ["AB", None]
+
+    def test_python_scalar_transform(self):
+        out, _ = run({"n": ("integer", ("transform", lambda v: v * 2))}, {"n": [3, None]})
+        assert out.column("n").to_pylist() == [6, None]
+
+    def test_vectorized_transform(self):
+        import pyarrow.compute as pc
+
+        out, _ = run(
+            {"n": ("integer", ("transform", vec(lambda a: pc.multiply(a, 2))))},
+            {"n": [3, 4]},
+        )
+        assert out.column("n").to_pylist() == [6, 8]
+
+    def test_transform_skips_invalid(self):
+        # transforms run after type check on validated values (lib/peri.ex:1058-1108)
+        out, _ = run({"n": ("integer", ("transform", lambda v: v * 2))}, {"n": ["x"]})
+        assert out.column("n").to_pylist() == ["x"]
+
+    def test_two_arity_transform_sees_root(self):
+        out, _ = run(
+            {"a": "integer", "b": ("integer", ("transform", lambda v, root: v + root["a"]))},
+            {"a": [10], "b": [1]},
+        )
+        assert out.column("b").to_pylist() == [11]
+
+    def test_nested_defaults_materialize_when_key_present(self):
+        # schema_has_defaults? + field_presence? (lib/peri.ex:1048-1054;
+        # test/peri_test.exs:1687-1761): null parent with defaults -> filled
+        spec = {"profile": {"theme": ("string", ("default", "dark"))}}
+        data = {"profile": pa.array([None], pa.struct([("theme", pa.string())]))}
+        out, _ = run(spec, data)
+        assert out.column("profile").to_pylist() == [{"theme": "dark"}]
+
+
+# ---------------------------------------------------------------------------
+# F6 — cond / dependent / custom (test/peri_test.exs:2388-2627)
+# ---------------------------------------------------------------------------
+
+
+class TestDynamic:
+    def test_cond_column_name(self):
+        spec = {
+            "provide_details": "boolean",
+            "details": ("cond", "provide_details", ("required", "string"), "any"),
+        }
+        data = {"provide_details": [True, False, True], "details": ["d", None, None]}
+        out, viols = run(spec, data)
+        assert out.column("valid").to_pylist() == [True, True, False]
+        assert viols.to_pylist()[0]["path"] == "details"
+
+    def test_cond_callable(self):
+        spec = {
+            "t": "string",
+            "v": ("cond", lambda row: row["t"] == "num", ("required", "integer"), "any"),
+        }
+        out, _ = run(spec, {"t": ["num", "txt"], "v": pa.array([None, None], pa.int64())})
+        assert out.column("valid").to_pylist() == [False, True]
+
+    def test_dependent_pairwise_eq(self):
+        # password confirmation (test/peri_test.exs:2487-2527)
+        spec = {
+            "password": "string",
+            "password_confirmation": (
+                "dependent",
+                "password",
+                ("eq", "confirmation should be equal to password"),
+                "string",
+            ),
+        }
+        out, viols = run(
+            spec,
+            {"password": ["abc", "abc"], "password_confirmation": ["abc", "xyz"]},
+        )
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.to_pylist()[0]["message"] == "confirmation should be equal to password"
+
+    def test_dependent_pairwise_callable(self):
+        def check(val, other):
+            if other is not None and val is None:
+                return ("%{f} is required when other is set", {"f": "this"})
+            return None
+
+        spec = {"a": "string", "b": ("dependent", "a", check, "string")}
+        out, viols = run(spec, {"a": ["x", None], "b": [None, None]})
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.to_pylist()[0]["message"] == "this is required when other is set"
+
+    def test_dependent_schema_returning(self):
+        # {:dependent, cb} returning a type per row (lib/peri.ex:1001-1037)
+        def decide(row):
+            return ("required", "integer") if row["kind"] == "n" else ("required", "string")
+
+        spec = {"kind": "string", "v": ("dependent", decide)}
+        out, _ = run(spec, {"kind": ["n", "s"], "v": pa.array(["3", "ok"])})
+        # string col: integer branch fails for row 0
+        assert out.column("valid").to_pylist() == [False, True]
+
+    def test_custom_scalar(self):
+        def odd(v):
+            return None if v % 2 == 1 else ("must be odd", {})
+
+        out, viols = run({"n": ("custom", odd)}, {"n": [3, 4, None]})
+        assert out.column("valid").to_pylist() == [True, False, True]  # nil skips custom
+        assert viols.to_pylist()[0]["message"] == "must be odd"
+
+    def test_custom_vectorized(self):
+        import pyarrow.compute as pc
+
+        cb = vec(lambda arr: (pc.equal(pc.bit_wise_and(arr, 1), 1), "must be odd", {}))
+        out, viols = run({"n": ("custom", cb)}, {"n": [3, 4]})
+        assert out.column("valid").to_pylist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# spec legality (≅ Peri.validate_schema, test/peri_test.exs:1452-1665)
+# ---------------------------------------------------------------------------
+
+
+class TestSpecLegality:
+    def test_unknown_type(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": "stringg"})
+
+    def test_empty_enum(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": ("enum", [])})
+
+    def test_multiple_of_zero(self):
+        # lib/peri.ex:1764
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": ("integer", ("multiple_of", 0))})
+
+    def test_bad_list_constraint(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": ("list", "string", {"frobnicate": 1})})
+
+    def test_constraint_on_wrong_type(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": ("boolean", ("gt", 1))})
+
+    def test_valid_specs_pass(self):
+        validate_spec(
+            {
+                "a": "string",
+                "b": ("required", ("integer", ("gte", 0))),
+                "c": {"d": ("enum", ["x"])},
+                "e": ("list", ("string", ("min", 1)), {"max": 5}),
+            }
+        )
+
+    def test_multi_requires_map_branches(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"x": ("multi", "f", [])})
+
+
+# ---------------------------------------------------------------------------
+# registry / refs (test/ref_test.exs)
+# ---------------------------------------------------------------------------
+
+
+class TestRefs:
+    def test_ref_resolution(self):
+        from peri_ray import defschema
+
+        defschema("address", {"street": ("required", "string")})
+        spec = {"addr": ("ref", "address")}
+        plan = compile_spec(spec, registry={"address": {"street": ("required", "string")}})
+        t = pa.table({"addr": pa.array([{"street": None}, {"street": "s"}])})
+        out, viols = plan.run_batch(t)
+        assert out.column("valid").to_pylist() == [False, True]
+
+
+# ---------------------------------------------------------------------------
+# row-independence / batching invariance
+# ---------------------------------------------------------------------------
+
+
+class TestBatchingInvariance:
+    def test_same_outcome_alone_or_batched(self):
+        spec = {"n": ("required", ("integer", ("range", (0, 10)))), "s": ("string", ("min", 2))}
+        alone_out, alone_v = run(spec, {"n": [99], "s": ["a"]})
+        batched_out, batched_v = run(
+            spec, {"n": [5, 99, 3], "s": ["ab", "a", "xy"]}
+        )
+        assert alone_out.column("valid").to_pylist() == [False]
+        assert batched_out.column("valid").to_pylist() == [True, False, True]
+        assert sorted(r["rule_id"] for r in alone_v.to_pylist()) == sorted(
+            r["rule_id"] for r in batched_v.to_pylist()
+        )
