@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY §2 (+ the [NORTH] table checks and training-data operators);
+``oracle_sql()`` gives DuckDB twins for every SQL-expressible query.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` anywhere in the library or these
+callables.
 """
 
 from __future__ import annotations
@@ -18,27 +14,186 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_LANGS_SQL = "('en','de','fr','es','pt')"
+_EVENTS_SQL = "('click','view','signup','purchase')"
+_DOC_VALID = (
+    "(doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 1 "
+    f"AND (lang IS NULL OR lang IN {_LANGS_SQL}) "
+    "AND (n_chars IS NULL OR n_chars >= 0))"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from peri_ray.pipelines.queries import flagship_documents
+
+    return flagship_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from peri_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core validation (SURVEY §2.1-2.4)
+        "validate_documents_violations": q.validate_documents_violations,
+        "conforms_documents": q.conforms_documents,
+        "filter_valid_documents": q.filter_valid_documents,
+        "strict_projection_documents": q.strict_projection_documents,
+        "transform_upcase_lang": q.transform_upcase_lang,
+        "default_fill_quality": q.default_fill_quality,
+        "events_enum_violations": q.events_enum_violations,
+        "events_value_range_violations": q.events_value_range_violations,
+        "lineitem_constraint_counts": q.lineitem_constraint_counts,
+        "dependent_flag_mismatch_count": q.dependent_flag_mismatch_count,
+        "multi_dispatch_events": q.multi_dispatch_events,
+        "cond_purchase_value": q.cond_purchase_value,
+        # [NORTH] table-level checks (SURVEY §2.7)
+        "referential_docs_lang": q.referential_docs_lang,
+        "referential_orders_customer": q.referential_orders_customer,
+        "duplicate_user_ids": q.duplicate_user_ids,
+        "duplicate_doc_ids": q.duplicate_doc_ids,
+        "lang_histogram": q.lang_histogram,
+        "event_type_histogram": q.event_type_histogram,
+        "exact_stats_lineitem": q.exact_stats_lineitem,
+        "psi_event_type": q.psi_event_type,
+        # training-data operators
+        "dedup_exact_docs": q.dedup_exact_docs,
+        "top_sources_by_chars": q.top_sources_by_chars,
+        "token_counts": q.token_counts,
+        "embedding_dims": q.embedding_dims,
+        # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
+        "quality_scores": q.quality_scores,
+        "lang_id_guess": q.lang_id_guess,
+        "simhash_fingerprints": q.simhash_fps,
+        "minhash_near_dup_pairs": q.minhash_near_dup_pairs,
+        "ann_topk": q.ann_topk,
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        "column_sketches_lineitem": q.column_sketches_lineitem,
+        "flagship_documents": q.flagship_documents,
+        "multimodal_decode": q.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_documents_violations": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS record_id, 'enum' AS rule_id, 'lang' AS path
+              FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'required', 'text' FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'string.min', 'text'
+              FROM documents WHERE text IS NOT NULL AND length(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'integer.gte', 'n_chars'
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+        """,
+        "conforms_documents": f"SELECT doc_id, {_DOC_VALID} AS valid FROM documents",
+        "filter_valid_documents": f"SELECT doc_id, lang, n_chars FROM documents WHERE {_DOC_VALID}",
+        "strict_projection_documents": "SELECT doc_id, lang FROM documents",
+        "transform_upcase_lang": "SELECT doc_id, UPPER(lang) AS lang_up FROM documents",
+        "default_fill_quality": "SELECT doc_id, CAST(0 AS BIGINT) AS quality FROM documents",
+        "events_enum_violations": (
+            "SELECT event_id, event_type FROM events "
+            f"WHERE event_type IS NOT NULL AND event_type NOT IN {_EVENTS_SQL}"
+        ),
+        "events_value_range_violations": (
+            "SELECT event_id, value FROM events "
+            "WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)"
+        ),
+        "lineitem_constraint_counts": """
+            WITH c AS (
+              SELECT 'float.gt' AS rule_id, 'l_quantity' AS path, count(*) AS cnt
+                FROM lineitem WHERE l_quantity IS NOT NULL AND NOT (l_quantity > 0)
+              UNION ALL
+              SELECT 'float.range', 'l_discount', count(*)
+                FROM lineitem WHERE l_discount IS NOT NULL
+                 AND NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+              UNION ALL
+              SELECT 'float.gte', 'l_extendedprice', count(*)
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                 AND NOT (l_extendedprice >= 1000.0)
+            ) SELECT * FROM c WHERE cnt > 0
+        """,
+        "dependent_flag_mismatch_count": (
+            "SELECT count(*) AS cnt FROM lineitem "
+            "WHERE l_returnflag IS DISTINCT FROM l_linestatus"
+        ),
+        "multi_dispatch_events": """
+            SELECT CAST(event_id AS VARCHAR) AS record_id, 'float.gte' AS rule_id
+              FROM events WHERE event_type = 'purchase'
+               AND value IS NOT NULL AND NOT (value >= 10.0)
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'float.lte'
+              FROM events WHERE event_type = 'click'
+               AND value IS NOT NULL AND NOT (value <= 100.0)
+        """,
+        "cond_purchase_value": """
+            SELECT CAST(event_id AS VARCHAR) AS record_id, 'float.gte' AS rule_id
+              FROM events WHERE event_type = 'purchase'
+               AND value IS NOT NULL AND NOT (value >= 10.0)
+        """,
+        "referential_docs_lang": (
+            f"SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}"
+        ),
+        "referential_orders_customer": (
+            "SELECT o_orderkey FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL"
+        ),
+        "duplicate_user_ids": (
+            "SELECT user_id, count(*) AS cnt FROM events "
+            "GROUP BY user_id HAVING count(*) > 1"
+        ),
+        "duplicate_doc_ids": (
+            "SELECT doc_id, count(*) AS cnt FROM documents "
+            "GROUP BY doc_id HAVING count(*) > 1"
+        ),
+        "lang_histogram": (
+            "SELECT lang, count(*) AS cnt FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ),
+        "event_type_histogram": (
+            "SELECT event_type, count(*) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "exact_stats_lineitem": """
+            SELECT 'l_quantity' AS "column", count(l_quantity) AS cnt,
+                   count(*) - count(l_quantity) AS null_count,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                   ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_v
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+                   CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+                   ROUND(CAST(sum(l_discount) AS DOUBLE), 2)
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(l_extendedprice),
+                   count(*) - count(l_extendedprice),
+                   CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+                   ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2)
+              FROM lineitem
+        """,
+        "psi_event_type": """
+            WITH obs AS (
+              SELECT event_type,
+                     count(*)::DOUBLE / (SELECT count(event_type) FROM events) AS p
+                FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+            )
+            SELECT ROUND(SUM((p - 0.2) * ln(p / 0.2)), 6) AS psi FROM obs
+        """,
+        "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "top_sources_by_chars": (
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "GROUP BY source ORDER BY sum_chars DESC, source LIMIT 5"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "embedding_dims": (
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
+        ),
+    }

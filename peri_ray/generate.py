@@ -1,0 +1,139 @@
+"""Deterministic synthetic-data generation — the engine twin of
+``Peri.generate/1`` / ``Peri.Generatable`` (reference
+``lib/peri/generatable.ex:75-320``), specialized to the flagship
+``web_pages`` table (FIXTURES F0, from BASELINE.json input_hint):
+
+    web_pages(url: string, warc_ts: timestamp[us], html: binary,
+              text: large_string, lang: string)
+
+Properties (seeded, reproducible):
+- hosts are Zipf-skewed (exercises salted uniqueness / skew handling);
+- ~0.1% exact duplicate urls injected;
+- ~0.05% null warc_ts;
+- ``text`` is a deterministic extract of ``html`` (the per-row invariant:
+  validation must keep text byte-identical per url);
+- ``lang`` drawn from a reference histogram with ~1% out-of-set values
+  (referential violations); a "drifted" variant shifts en→0.40 for
+  PSI/KL tests.
+
+Generation is itself a Ray Data pipeline: ``rd.range(n)`` →
+``map_batches`` with a per-batch RNG seeded by (seed, first index), so
+the table streams at any scale without driver materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LANG_REFERENCE_HIST = {"en": 0.62, "de": 0.09, "fr": 0.07, "es": 0.06, "pt": 0.04, "it": 0.04,
+                       "nl": 0.03, "pl": 0.03, "ru": 0.02}
+LANG_DRIFTED_HIST = {"en": 0.40, "de": 0.13, "fr": 0.11, "es": 0.10, "pt": 0.06, "it": 0.06,
+                     "nl": 0.05, "pl": 0.05, "ru": 0.04}
+OUT_OF_SET_LANGS = ["zz", "xx", "q1"]
+
+_WORDS = (
+    "the of and to in is was he for it with as his on be at by had not are but from or "
+    "have an they which one you were her all she there would their we him been has when "
+    "who will more no if out so said what up its about into than them can only other new "
+    "some could time these two may then do first any my now such like our over man me"
+).split()
+
+
+class _GenBatch:
+    """map_batches fn over rd.range blocks: index → row, seeded per batch."""
+
+    def __init__(self, seed: int, drifted: bool, n_hosts: int = 1000):
+        self.seed = seed
+        self.hist = LANG_DRIFTED_HIST if drifted else LANG_REFERENCE_HIST
+        self.n_hosts = n_hosts
+        # Zipf-ish host weights, fixed across batches
+        ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+        w = 1.0 / ranks
+        self.host_p = w / w.sum()
+        langs = list(self.hist.keys()) + OUT_OF_SET_LANGS
+        probs = np.array(list(self.hist.values()), np.float64)
+        probs = probs * (0.99 / probs.sum())
+        oos = np.full(len(OUT_OF_SET_LANGS), 0.01 / len(OUT_OF_SET_LANGS))
+        self.langs = np.array(langs)
+        self.lang_p = np.concatenate([probs, oos])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        rng = np.random.default_rng(self.seed * 1_000_003 + int(ids[0]))
+        n = len(ids)
+
+        hosts = rng.choice(self.n_hosts, size=n, p=self.host_p)
+        paths = rng.integers(0, 1 << 40, size=n)
+        urls = np.array(
+            [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, paths)],
+            dtype=object,
+        )
+        # ~0.1% exact duplicate urls: copy a neighbor's url
+        dup = rng.random(n) < 0.001
+        dup_idx = np.flatnonzero(dup)
+        if dup_idx.size:
+            urls[dup_idx] = urls[(dup_idx - 1) % n]
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        offs = rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n)
+        ts = base + offs.astype("timedelta64[us]")
+        ts_null = rng.random(n) < 0.0005
+
+        n_words = rng.integers(20, 400, size=n)
+        word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+        texts = []
+        pos = 0
+        for k in n_words:
+            texts.append(" ".join(_WORDS[j] for j in word_idx[pos:pos + k]))
+            pos += k
+        htmls = [
+            f"<html><head><title>d{i}</title></head><body><p>{t}</p></body></html>".encode()
+            for i, t in zip(ids, texts)
+        ]
+
+        langs = rng.choice(self.langs, size=n, p=self.lang_p)
+
+        ts_arr = pa.array(ts, type=pa.timestamp("us"))
+        if ts_null.any():
+            ts_arr = pa.array(
+                [None if m else v for v, m in zip(ts.tolist(), ts_null)],
+                type=pa.timestamp("us"),
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "warc_ts": ts_arr,
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(langs.tolist(), pa.string()),
+            }
+        )
+
+
+def web_pages_dataset(n_rows: int, seed: int = 42, drifted: bool = False,
+                      override_num_blocks: int | None = None):
+    """Streaming seeded web_pages table as a ray.data.Dataset."""
+    import ray.data as rd
+
+    ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
+    return ds.map_batches(_GenBatch(seed, drifted), batch_format="pyarrow",
+                          batch_size=4096)
+
+
+def extract_text(html: bytes) -> str:
+    """The deterministic "extraction" the fake html wraps — used by tests
+    to assert the byte-identical-text-per-url invariant."""
+    s = html.decode()
+    start = s.index("<p>") + 3
+    end = s.index("</p>")
+    return s[start:end]
+
+
+WEB_PAGES_SPEC = {
+    "url": ("required", ("string", [("regex", "^https?://"), ("max", 2048)])),
+    "warc_ts": ("required", "datetime"),
+    "html": ("required", "binary"),
+    "text": ("required", ("string", ("min", 1))),
+    "lang": ("enum", list(LANG_REFERENCE_HIST.keys())),
+}

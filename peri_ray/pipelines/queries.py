@@ -1,0 +1,460 @@
+"""Driver-contract query battery: one entry per operator family from
+SURVEY §2, each with a DuckDB-oracle twin (see ``__ray_entry__.py``).
+
+Every callable takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+Column names match the oracle SQL exactly (the driver hashes values
+after sorting columns by name).  Floats that undergo arithmetic are
+rounded identically on both sides; pass-through floats are hashed raw
+(same parquet bits on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from peri_ray import compile_spec, vec
+from peri_ray.validate import validate_dataset, violations_dataset
+from peri_ray.stages.checks import (
+    drift_check,
+    duplicate_keys,
+    histogram,
+    psi,
+    referential_violations,
+)
+from peri_ray.stages.stats import column_stats, exact_stats_table
+from peri_ray.stages.dedup import exact_dedup_keepers
+from peri_ray.stages.text import token_count_batch
+
+LANGS = ["en", "de", "fr", "es", "pt"]
+EVENT_TYPES = ["click", "view", "signup", "purchase"]
+
+DOCS_SPEC = {
+    "doc_id": ("required", "integer"),
+    "text": ("required", ("string", ("min", 1))),
+    "lang": ("enum", LANGS),
+    "n_chars": ("integer", ("gte", 0)),
+}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a small/empty-prone result with an explicit schema
+    (an empty Dataset otherwise surfaces as a schema-less DataFrame)."""
+    tables = [pa.Table.from_pylist(rows, schema=schema)
+              for rows in [ds.take_all()]]
+    t = tables[0]
+    return t.cast(schema) if t.schema != schema else t
+
+
+# ---------------------------------------------------------------------------
+# validation core over documents
+# ---------------------------------------------------------------------------
+
+
+def validate_documents_violations(sf_dir: str):
+    """Violation rows for the documents spec.  Oracle: UNION ALL of
+    negated-rule SELECTs (reference semantics: Peri.validate error list,
+    lib/peri.ex:572-604)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    combined = validate_dataset(ds, DOCS_SPEC, id_column="doc_id")
+    return violations_dataset(combined).select_columns(["record_id", "rule_id", "path"])
+
+
+def conforms_documents(sf_dir: str):
+    """(doc_id, valid) — Peri.conforms? per row (lib/peri.ex:443-450)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    combined = validate_dataset(ds, DOCS_SPEC, id_column="doc_id")
+    return combined.select_columns(["doc_id", "valid"])
+
+
+def filter_valid_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    combined = validate_dataset(ds, DOCS_SPEC, id_column="doc_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("valid")).select(["doc_id", "lang", "n_chars"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def strict_projection_documents(sf_dir: str):
+    """Strict-mode key filtering (filter_data, lib/peri.ex:630-664): the
+    output carries only schema-declared columns."""
+    ds = _read(sf_dir, "documents")
+    combined = validate_dataset(
+        ds, {"doc_id": ("required", "integer"), "lang": "string"}, id_column="doc_id"
+    )
+    return combined.select_columns(["doc_id", "lang"])
+
+
+def transform_upcase_lang(sf_dir: str):
+    """{t, {:transform, f}} (lib/peri.ex:1058-1108) as a column rewrite."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    spec = {"doc_id": ("required", "integer"), "lang": ("string", ("transform", "upcase"))}
+    combined = validate_dataset(ds, spec, id_column="doc_id")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "lang_up": t.column("lang")})
+
+    return combined.map_batches(_sel, batch_format="pyarrow")
+
+
+def default_fill_quality(sf_dir: str):
+    """{t, {:default, v}} fills a missing column (lib/peri.ex:970-991)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    spec = {"doc_id": ("required", "integer"), "quality": ("integer", ("default", 0))}
+    combined = validate_dataset(ds, spec, id_column="doc_id")
+    return combined.select_columns(["doc_id", "quality"])
+
+
+# ---------------------------------------------------------------------------
+# constraint kernels over events / lineitem
+# ---------------------------------------------------------------------------
+
+
+def events_enum_violations(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    spec = {"event_id": ("required", "integer"), "event_type": ("enum", EVENT_TYPES)}
+    combined = validate_dataset(ds, spec, id_column="event_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["event_id", "event_type"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def events_value_range_violations(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    spec = {"event_id": ("required", "integer"), "value": ("float", ("range", (0.0, 100.0)))}
+    combined = validate_dataset(ds, spec, id_column="event_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["event_id", "value"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def lineitem_constraint_counts(sf_dir: str):
+    """Per-rule violation counts over numeric constraints (SURVEY §2.3)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount", "l_extendedprice"])
+    spec = {
+        "l_quantity": ("float", ("gt", 0.0)),
+        "l_discount": ("float", ("range", (0.0, 0.1))),
+        "l_extendedprice": ("float", ("gte", 1000.0)),
+    }
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="l_orderkey")
+    viols = violations_dataset(combined)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select(["rule_id", "path"]).group_by(["rule_id", "path"]).aggregate([("path", "count")])
+        return g.rename_columns(["rule_id", "path", "cnt"])
+
+    totals = viols.map_batches(_partial, batch_format="pyarrow").groupby(["rule_id", "path"]).sum("cnt")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["rule_id", "path", "cnt"])
+
+    return totals.map_batches(_rename, batch_format="pyarrow")
+
+
+def dependent_flag_mismatch_count(sf_dir: str):
+    """{:dependent, field, cb, t} pairwise equality (lib/peri.ex:1039-46).
+    Count of lineitem rows where l_returnflag differs from l_linestatus."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_linestatus"])
+    spec = {
+        "l_returnflag": (
+            "dependent", "l_linestatus", ("eq", "flag should equal status"), "string",
+        ),
+    }
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="l_orderkey")
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.invert(t.column("valid"))).as_py() or 0
+        return pa.table({"cnt": pa.array([bad], pa.int64())})
+
+    total = combined.map_batches(_cnt, batch_format="pyarrow").sum("cnt")
+    return pa.table({"cnt": pa.array([int(total or 0)], pa.int64())})
+
+
+def multi_dispatch_events(sf_dir: str):
+    """{:multi, field, branches} (lib/peri.ex:1521-1556): per-event-type
+    value rules; violations as (record_id, rule_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    spec = {
+        "value": (
+            "multi",
+            "event_type",
+            {
+                "purchase": ("float", ("gte", 10.0)),
+                "click": ("float", ("lte", 100.0)),
+                "view": "float",
+                "signup": "float",
+                "error": "float",
+            },
+        )
+    }
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="event_id")
+    return violations_dataset(combined).select_columns(["record_id", "rule_id"])
+
+
+def cond_purchase_value(sf_dir: str):
+    """{:cond, cb, t, f} (lib/peri.ex:993-999) with a vectorized
+    condition: purchases need value >= 10."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    cond = vec(lambda table: pc.equal(table.column("event_type").combine_chunks(), "purchase"))
+    spec = {"value": ("cond", cond, ("float", ("gte", 10.0)), "float")}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="event_id")
+    return violations_dataset(combined).select_columns(["record_id", "rule_id"])
+
+
+# ---------------------------------------------------------------------------
+# [NORTH] table-level checks
+# ---------------------------------------------------------------------------
+
+
+def referential_docs_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return referential_violations(ds, "lang", LANGS, columns=["doc_id"]).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
+def referential_orders_customer(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    bad = referential_violations(orders, "o_custkey", cust, columns=["o_orderkey"]).select_columns(
+        ["o_orderkey"]
+    )
+    return _collect(bad, pa.schema([("o_orderkey", pa.int64())]))
+
+
+def duplicate_user_ids(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    return duplicate_keys(ds, "user_id")
+
+
+def duplicate_doc_ids(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(duplicate_keys(ds, "doc_id"),
+                    pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())]))
+
+
+def lang_histogram(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    hist = histogram(ds, "lang")
+    langs = sorted(hist)
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "cnt": pa.array([hist[l] for l in langs], pa.int64())})
+
+
+def event_type_histogram(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    hist = histogram(ds, "event_type")
+    ks = sorted(hist)
+    return pa.table({"event_type": pa.array(ks, pa.string()),
+                     "cnt": pa.array([hist[k] for k in ks], pa.int64())})
+
+
+def exact_stats_lineitem(sf_dir: str):
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    ds = _read(sf_dir, "lineitem", cols)
+    t = exact_stats_table(ds, cols)
+    # round the arithmetic aggregates identically to the oracle's ROUND
+    return pa.table(
+        {
+            "column": t.column("column"),
+            "cnt": t.column("cnt"),
+            "null_count": t.column("null_count"),
+            "min_v": t.column("min_v"),
+            "max_v": t.column("max_v"),
+            "sum_v": pc.round(t.column("sum_v"), 2),
+        }
+    )
+
+
+def psi_event_type(sf_dir: str):
+    """Drift score vs a uniform reference histogram (PSI)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    obs = histogram(ds, "event_type")
+    ref = {k: 0.2 for k in ["click", "view", "signup", "purchase", "error"]}
+    score = psi(obs, ref)
+    return pa.table({"psi": pa.array([round(score, 6)], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keepers = exact_dedup_keepers(ds, "text", "doc_id")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("keep_id")})
+
+    return keepers.map_batches(_sel, batch_format="pyarrow")
+
+
+def top_sources_by_chars(sf_dir: str):
+    """Top-5 sources by total n_chars: pre-aggregated groupby then a tiny
+    sort+limit (SURVEY §2.7 top-k)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum")])
+        return g.rename_columns(["source", "sum_chars"])
+
+    totals = ds.map_batches(_partial, batch_format="pyarrow").groupby("source").sum("sum_chars")
+    rows = totals.take_all()
+    rows.sort(key=lambda r: (-r["sum(sum_chars)"], r["source"]))
+    top = rows[:5]
+    return pa.table({"source": pa.array([r["source"] for r in top], pa.string()),
+                     "sum_chars": pa.array([int(r["sum(sum_chars)"]) for r in top], pa.int64())})
+
+
+def token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_dims(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _dims(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "n_dims": pc.list_value_length(t.column("embedding")).cast(pa.int64())})
+
+    return ds.map_batches(_dims, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+def quality_scores(sf_dir: str):
+    from peri_ray.stages.text import add_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality_scores(ds, concurrency=2).select_columns(
+        ["doc_id", "stop_ratio", "quality_score"]
+    )
+
+
+def lang_id_guess(sf_dir: str):
+    from peri_ray.stages.text import add_lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(ds, concurrency=2).select_columns(["doc_id", "lang_guess"])
+
+
+def simhash_fps(sf_dir: str):
+    from peri_ray.stages.dedup import simhash_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_fingerprints(ds)
+
+
+def minhash_near_dup_pairs(sf_dir: str):
+    from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
+    return verify_candidates(ds, cands, threshold=0.8)
+
+
+def ann_topk(sf_dir: str):
+    from peri_ray.stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], np.float32) for r in q_rows])
+    results = brute_force_topk(ds, queries, k=10)
+    qi, vid, rank = [], [], []
+    for i, res in enumerate(results):
+        for j, (v, s) in enumerate(res):
+            qi.append(q_rows[i]["vec_id"])
+            vid.append(v)
+            rank.append(j)
+    return pa.table({"query_id": pa.array(qi, pa.int64()),
+                     "neighbor_id": pa.array(vid, pa.int64()),
+                     "rank": pa.array(rank, pa.int32())})
+
+
+def embedding_near_dup_pairs(sf_dir: str):
+    from peri_ray.stages.similarity import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _collect(
+        embedding_near_dups(ds, threshold=0.95),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("max(cosine)", pa.float64())]),
+    )
+
+
+def column_sketches_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    stats = column_stats(ds, ["l_quantity", "l_extendedprice"])
+    rows = []
+    for col, s in stats.items():
+        rows.append({
+            "column": col, "cnt": s["count"], "ndv": round(s.get("ndv", 0.0), 1),
+            "q50": round(s["quantiles"]["0.5"], 3), "q90": round(s["quantiles"]["0.9"], 3),
+        })
+    return pa.table({
+        "column": pa.array([r["column"] for r in rows], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+        "ndv": pa.array([r["ndv"] for r in rows], pa.float64()),
+        "q50": pa.array([r["q50"] for r in rows], pa.float64()),
+        "q90": pa.array([r["q90"] for r in rows], pa.float64()),
+    })
+
+
+def flagship_documents(sf_dir: str):
+    """Flagship verdict over the documents table (webtext stand-in)."""
+    import pandas as pd
+
+    from peri_ray.pipelines.flagship import run_flagship
+
+    ds = _read(sf_dir, "documents")
+    verdict = run_flagship(
+        ds,
+        spec=DOCS_SPEC,
+        id_column="doc_id",
+        lang_reference={"en": 0.45, "de": 0.14, "fr": 0.14, "es": 0.14, "zh": 0.13},
+        drift_threshold=0.25,
+    )
+    return pd.DataFrame(
+        [{
+            "rows": verdict["rows"],
+            "valid_rows": verdict["valid_rows"],
+            "invalid_rows": verdict["invalid_rows"],
+            "passed": verdict["passed"],
+            "n_checks": len(verdict["checks"]),
+        }]
+    )
+
+
+def multimodal_decode(sf_dir: str):
+    """Multimodal plumbing over documents' text bytes as fake payloads."""
+    from peri_ray.stages.multimodal import decode_images, media_table_from_binary
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).take(64)
+    table = media_table_from_binary(
+        [r["doc_id"] for r in docs], [r["text"].encode() for r in docs]
+    )
+    ds = rd.from_arrow(table)
+    out = decode_images(ds, decoder="fake", concurrency=2, batch_size=16)
+    return out.select_columns(["media_id", "width", "height"])

@@ -1,0 +1,216 @@
+"""[NORTH] Table-level checks: uniqueness, referential integrity,
+distribution drift.  These extend the reference's per-record rules to
+dataset-level rules with the same violations-row contract (SURVEY §2.7).
+
+Scale notes (the part that matters at 100 TB):
+
+- ``uniqueness``: two-phase aggregation.  Phase 1 pre-aggregates counts
+  per key INSIDE each ``map_batches`` task (collapsing within-batch
+  duplicates before anything moves), so the shuffle carries one row per
+  (key, batch) instead of one per input row.  Phase 2 is a
+  ``groupby(key).sum`` over those partials.  Skewed keys (one host
+  dominating ``url``) are already collapsed per batch by phase 1; the
+  optional ``salt`` adds an intermediate ``(key, salt)`` reduction for
+  adversarial skew where a single key floods even the partial rows.
+- ``referential``: broadcast anti-semijoin.  The dimension side is
+  ``ray.put`` once and read per task (never re-shipped per batch);
+  membership is a vectorized ``pc.is_in``.  A shuffle join is never
+  needed while the dim fits a worker heap (langs, country codes, enum
+  dims — the reference-check shape).
+- ``drift``: histogram via the same two-phase counts, then PSI/KL in
+  the driver over the tiny (category → count) result.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+
+
+class _KeyCountPartial:
+    """Batch → (key, cnt) partial counts [+ optional salt column]."""
+
+    def __init__(self, key: str, salt: int | None = None):
+        self.key = key
+        self.salt = salt
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        grouped = table.select([self.key]).group_by(self.key).aggregate([(self.key, "count")])
+        out = pa.table(
+            {
+                self.key: grouped.column(self.key),
+                "cnt": grouped.column(f"{self.key}_count").cast(pa.int64()),
+            }
+        )
+        if self.salt:
+            from peri_ray.state.sketches import hash_strings
+
+            keys = out.column(self.key).combine_chunks()
+            if not pa.types.is_string(keys.type):
+                keys = keys.cast(pa.string())
+            salts = (hash_strings(keys) % np.uint64(self.salt)).astype(np.int64)
+            out = out.append_column("salt", pa.array(salts))
+        return out
+
+
+def duplicate_keys(ds, key: str, salt: int | None = None, batch_size: int | None = 65536):
+    """Keys appearing more than once: ``(key, cnt)`` with cnt > 1.
+    Exact, oracle = ``GROUP BY key HAVING count(*) > 1``."""
+    partials = ds.map_batches(_KeyCountPartial(key, salt), batch_format="pyarrow",
+                              batch_size=batch_size)
+    if salt:
+        # extra reduction on (key, salt) caps per-key partial-row volume
+        mid = partials.groupby([key, "salt"]).sum("cnt")
+        mid = mid.map_batches(
+            lambda t: t.select([key, "sum(cnt)"]).rename_columns([key, "cnt"]),
+            batch_format="pyarrow",
+        )
+        partials = mid
+    totals = partials.groupby(key).sum("cnt")
+
+    def _dups(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([key, "cnt"])
+        return t.filter(pc.greater(t.column("cnt"), 1))
+
+    return totals.map_batches(_dups, batch_format="pyarrow")
+
+
+def uniqueness_check(ds, key: str, salt: int | None = None) -> dict[str, Any]:
+    """Verdict form: rule ``unique(key)`` passes iff no duplicate keys."""
+    dups = duplicate_keys(ds, key, salt=salt)
+    n_dup_keys = dups.count()
+    extra = dups.sum("cnt") - n_dup_keys if n_dup_keys else 0
+    return {
+        "rule_id": f"unique:{key}",
+        "passed": n_dup_keys == 0,
+        "duplicate_keys": n_dup_keys,
+        "duplicate_rows": int(extra),
+    }
+
+
+# ---------------------------------------------------------------------------
+# referential
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_values(dim) -> "ray.ObjectRef":
+    import ray
+
+    if hasattr(dim, "take_all"):  # a Dataset of one key column
+        name = dim.schema().names[0]
+        values = [r[name] for r in dim.take_all()]
+    else:
+        values = list(dim)
+    return ray.put(pa.array(sorted(set(v for v in values if v is not None))))
+
+
+class _AntiSemiJoin:
+    """Actor-pool stage: resolves the broadcast dim ONCE per actor in
+    ``__init__`` (ray_guide: broadcast small side, no shuffle)."""
+
+    def __init__(self, column: str, dim_ref):
+        import ray
+
+        self.column = column
+        self.values = ray.get(dim_ref)
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        col = table.column(self.column).combine_chunks()
+        member = pc.is_in(col, value_set=self.values)
+        missing = pc.and_(pc.invert(member), pc.is_valid(col))
+        return table.filter(missing)
+
+
+def referential_violations(ds, column: str, dim, columns: list[str] | None = None,
+                           concurrency: int | None = None, batch_size: int | None = 65536):
+    """Rows of ``ds`` whose ``column`` value is absent from the dimension
+    side (FK violation).  ``dim`` is a small Dataset / iterable of valid
+    keys, broadcast via ``ray.put``.  Oracle =
+    ``LEFT JOIN dim ON .. WHERE dim.key IS NULL`` (nulls pass — FK
+    semantics match the reference's optional-by-default)."""
+    ref = _broadcast_values(dim)
+    if columns:
+        ds = ds.select_columns(sorted(set(columns + [column])))
+    if concurrency:
+        # actor pool: dim resolved once per actor in __init__
+        return ds.map_batches(
+            _AntiSemiJoin,
+            fn_constructor_args=(column, ref),
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    # task path: the instance (holding the resolved array) is serialized
+    # once into the object store and referenced by every task — still a
+    # broadcast, never re-shipped per batch
+    return ds.map_batches(_AntiSemiJoin(column, ref), batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def referential_check(ds, column: str, dim) -> dict[str, Any]:
+    bad = referential_violations(ds, column, dim, columns=[column])
+    n = bad.count()
+    return {"rule_id": f"ref:{column}", "passed": n == 0, "violating_rows": n}
+
+
+# ---------------------------------------------------------------------------
+# drift (PSI / KL vs a reference histogram)
+# ---------------------------------------------------------------------------
+
+
+def histogram(ds, column: str, batch_size: int | None = 65536) -> dict[str, int]:
+    """Two-phase categorical histogram: per-batch ``group_by`` partials,
+    then a small ``groupby().sum`` shuffle over (category, cnt) rows."""
+    partials = ds.map_batches(_KeyCountPartial(column), batch_format="pyarrow",
+                              batch_size=batch_size)
+    totals = partials.groupby(column).sum("cnt").take_all()
+    return {r[column]: int(r["sum(cnt)"]) for r in totals if r[column] is not None}
+
+
+def psi(observed: dict[str, float], reference: dict[str, float], eps: float = 1e-6) -> float:
+    """Population Stability Index over normalized histograms."""
+    cats = set(observed) | set(reference)
+    tot_o = sum(observed.values()) or 1.0
+    tot_r = sum(reference.values()) or 1.0
+    score = 0.0
+    for c in cats:
+        p = max(observed.get(c, 0) / tot_o, eps)
+        q = max(reference.get(c, 0) / tot_r, eps)
+        score += (p - q) * math.log(p / q)
+    return score
+
+
+def kl_divergence(observed: dict[str, float], reference: dict[str, float], eps: float = 1e-6) -> float:
+    cats = set(observed) | set(reference)
+    tot_o = sum(observed.values()) or 1.0
+    tot_r = sum(reference.values()) or 1.0
+    score = 0.0
+    for c in cats:
+        p = max(observed.get(c, 0) / tot_o, eps)
+        q = max(reference.get(c, 0) / tot_r, eps)
+        score += p * math.log(p / q)
+    return score
+
+
+def drift_check(ds, column: str, reference: dict[str, float],
+                method: str = "psi", threshold: float = 0.2) -> dict[str, Any]:
+    """Distribution-drift rule: PSI (industry threshold ~0.2) or KL of
+    the column's histogram vs a reference histogram."""
+    obs = histogram(ds, column)
+    score = psi(obs, reference) if method == "psi" else kl_divergence(obs, reference)
+    return {
+        "rule_id": f"drift:{column}:{method}",
+        "passed": score <= threshold,
+        "score": score,
+        "threshold": threshold,
+        "observed": obs,
+    }

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/resize/feature kernels are STUBBED (image/audio libraries are
+not in this container): ``decoder="fake"`` produces deterministic
+decoded shapes/features so the Ray-side plumbing — schema, batch size,
+actor-pool signature, output layout — is real and tested;
+``decoder="real"`` raises ``NotImplementedError`` at the exact seam
+where PIL/ffmpeg would slot in.
+
+Scale notes: binary payloads dominate memory, so these stages default to
+small ``batch_size`` and actor pools (model state loads once per actor),
+and metadata-only projections never carry the payload column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def media_table_from_binary(ids, payloads, kind: str = "image",
+                            mime: str = "application/octet-stream") -> pa.Table:
+    n = len(ids)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array([mime] * n, pa.string()),
+            "width": pa.array([-1] * n, pa.int32()),
+            "height": pa.array([-1] * n, pa.int32()),
+            "duration_ms": pa.array([-1] * n, pa.int32()),
+        }
+    )
+
+
+class ImageDecoder:
+    """Actor-pool stage: payload → decoded dims + a small feature vector.
+
+    ``decoder="fake"`` derives deterministic pseudo-dimensions and a
+    16-dim byte-histogram feature from the payload bytes (real Arrow
+    plumbing, fake pixels).  ``decoder="real"`` is the seam for PIL."""
+
+    def __init__(self, decoder: str = "fake", feature_dim: int = 16):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.decoder = decoder
+        self.feature_dim = feature_dim
+
+    def _decode_real(self, payload: bytes):
+        raise NotImplementedError(
+            "real image decode requires PIL/imageio (not in this container); "
+            "wire PIL.Image.open(io.BytesIO(payload)) here"
+        )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        payloads = table.column("payload").combine_chunks()
+        n = table.num_rows
+        widths = np.empty(n, np.int32)
+        heights = np.empty(n, np.int32)
+        feats = np.zeros((n, self.feature_dim), np.float32)
+        for i, p in enumerate(payloads.to_pylist()):
+            if p is None:
+                widths[i] = heights[i] = -1
+                continue
+            if self.decoder == "real":
+                self._decode_real(p)
+            buf = np.frombuffer(p, np.uint8)
+            widths[i] = 16 + int(buf[:4].sum()) % 1024 if len(buf) >= 4 else 16
+            heights[i] = 16 + int(buf[4:8].sum()) % 1024 if len(buf) >= 8 else 16
+            hist, _ = np.histogram(buf, bins=self.feature_dim, range=(0, 256))
+            s = hist.sum()
+            feats[i] = hist / s if s else 0
+        out = table.drop_columns(["width", "height"]) if "width" in table.column_names else table
+        out = out.append_column("width", pa.array(widths))
+        out = out.append_column("height", pa.array(heights))
+        return out.append_column(
+            "features", pa.array(list(feats), pa.list_(pa.float32(), self.feature_dim))
+        )
+
+
+def decode_images(ds, decoder: str = "fake", concurrency: int = 4,
+                  batch_size: int = 256):
+    """Small batches (payload-heavy rows), actor pool (decoder state once
+    per actor)."""
+    return ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs=dict(decoder=decoder),
+        concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing: emits (media_id, frame_idx) rows at
+    a fixed stride over the (fake-)declared duration — flat_map-shaped via
+    map_batches returning more rows than input."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        ids, frames = [], []
+        for r in table.select(["media_id", "duration_ms", "payload"]).to_pylist():
+            dur = r["duration_ms"]
+            if dur is None or dur < 0:
+                dur = (len(r["payload"]) if r["payload"] else 0) % 10_000
+            for f in range(0, max(1, dur), self.every_ms):
+                ids.append(r["media_id"])
+                frames.append(f)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_ms": pa.array(frames, pa.int32())})
+
+
+def sample_frames(ds, every_ms: int = 1000, batch_size: int = 64):
+    return ds.map_batches(FrameSampler(every_ms), batch_format="pyarrow",
+                          batch_size=batch_size)

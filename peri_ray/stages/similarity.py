@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: baseline — numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per task), partial
+  top-k per batch, merged on the driver.  Exact; scales linearly.
+- ``lsh_bucketed_topk``: scale path — random-hyperplane LSH buckets
+  (SimHash for vectors); candidates searched only within matching
+  buckets, cutting the scanned fraction; recall controlled by number of
+  tables/planes.
+- ``embedding_near_dups``: cosine-threshold near-duplicate pairs via
+  the same LSH bucketing (embedding-cosine near-dup for dedup suites).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKPartial:
+    """Batch → per-query local top-k (query_idx, id, score) rows.
+    The query matrix is broadcast: resolved once per task from the
+    object store, never per batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        self.q = _normalize(ray.get(queries_ref))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(table.column(self.vec_col)))
+        ids = table.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = self.q @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        qi, vid, sc = [], [], []
+        for qidx in range(sims.shape[0]):
+            sel = top[qidx]
+            qi.extend([qidx] * len(sel))
+            vid.extend(ids[sel].tolist())
+            sc.extend(sims[qidx, sel].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(qi, pa.int32()),
+                "id": pa.array(vid, pa.int64()),
+                "score": pa.array(sc, pa.float32()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     batch_size: int | None = 4096) -> list[list[tuple[int, float]]]:
+    """Exact cosine top-k of each query row against the dataset.
+    Returns, per query, a list of (id, score) sorted by score desc, id
+    asc (deterministic tiebreak)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, np.float32))
+    partials = ds.map_batches(
+        _TopKPartial(qref, k, id_col, vec_col), batch_format="pyarrow",
+        batch_size=batch_size,
+    ).take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heaps.setdefault(r["query_idx"], []).append((r["score"], -r["id"]))
+    out = []
+    for qidx in range(len(queries)):
+        best = heapq.nlargest(k, heaps.get(qidx, []))
+        out.append([(-negid, float(s)) for s, negid in best])
+    return out
+
+
+class _LSHBucketer:
+    """Random-hyperplane signature per vector (stateful: planes built
+    once per actor)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(table.column(self.vec_col)))
+        bits = (m @ self.planes) > 0
+        bucket = np.zeros(len(m), np.int64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return table.append_column("bucket", pa.array(bucket))
+
+
+def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 5):
+    """Approximate top-k: only vectors whose LSH bucket matches a query's
+    bucket are scored.  Recall < 1 by design; n_planes trades recall for
+    scanned fraction."""
+    q = np.asarray(queries, np.float32)
+    dim = q.shape[1]
+    bucketer = _LSHBucketer(dim, n_planes, seed, id_col, vec_col)
+    qb = bucketer(pa.table({id_col: pa.array(np.arange(len(q)), pa.int64()),
+                            vec_col: pa.array(list(q))}))
+    qbuckets = set(qb.column("bucket").to_pylist())
+    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+    def _filter(t: pa.Table) -> pa.Table:
+        mask = pa.array([b in qbuckets for b in t.column("bucket").to_pylist()])
+        return t.filter(mask)
+
+    candidates = bucketed.map_batches(_filter, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, id_col, vec_col)
+
+
+def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 5):
+    """Cosine-threshold near-duplicate pairs: LSH-bucket, then exact
+    cosine within buckets (groupby → map_groups; only same-bucket pairs
+    are scored)."""
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    bucketed = ds.map_batches(_LSHBucketer(dim, n_planes, seed, id_col, vec_col),
+                              batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(group.column(vec_col)))
+        ids = np.asarray(group.column(id_col).to_pylist())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        order = np.argsort(ids)
+        a = np.minimum(ids[ia[mask]], ids[ib[mask]])
+        b = np.maximum(ids[ia[mask]], ids[ib[mask]])
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
+                         "cosine": pa.array(sims[ia[mask], ib[mask]], pa.float64())})
+
+    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).max("cosine")

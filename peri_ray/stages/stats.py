@@ -1,0 +1,169 @@
+"""[NORTH] Streaming per-column statistics in a single pass.
+
+Pattern (SURVEY §2.7, ray_guide "Aggregation at scale"): each
+``map_batches`` task computes a small *partial* per batch — exact
+count/null/min/max plus serialized mergeable sketches (KLL quantiles,
+HLL distinct) — and a tiny final stage merges the partials.  No shuffle:
+partials are one row per (batch, column), reduced on the driver (their
+total size is O(#batches × #columns × sketch_size), KBs even at 100 TB
+block counts, and the merge is associative so it could be treed through
+``map_batches`` again if driver fan-in ever mattered).
+
+The exact parts (count/null_count/min/max/sum) are SQL-checkable against
+DuckDB; sketch outputs are approximate by construction (driver records a
+rows-only check for them).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from peri_ray.state.sketches import HLL, KLL, hash_strings, splitmix64
+
+
+class _StatsPartial:
+    """map_batches fn: one partial-stats row per column per batch."""
+
+    def __init__(self, columns: list[str], with_sketches: bool = True, kll_k: int = 200):
+        self.columns = columns
+        self.with_sketches = with_sketches
+        self.kll_k = kll_k
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        rows = {
+            "column": [], "count": [], "null_count": [],
+            "min_num": [], "max_num": [], "sum_num": [],
+            "min_str": [], "max_str": [], "sketch": [],
+        }
+        for name in self.columns:
+            col = table.column(name).combine_chunks()
+            n = len(col)
+            nulls = col.null_count
+            rows["column"].append(name)
+            rows["count"].append(n)
+            rows["null_count"].append(nulls)
+            is_num = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+            is_temporal = pa.types.is_timestamp(col.type) or pa.types.is_date(col.type)
+            mn = mx = sm = None
+            mns = mxs = None
+            sketch_blob = None
+            if n > nulls:
+                if is_num:
+                    mm = pc.min_max(col).as_py()
+                    mn, mx = float(mm["min"]), float(mm["max"])
+                    sm = float(pc.sum(col).as_py())
+                elif is_temporal or pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    mm = pc.min_max(col).as_py()
+                    mns, mxs = str(mm["min"]), str(mm["max"])
+                if self.with_sketches:
+                    kll = None
+                    hll = HLL()
+                    if is_num:
+                        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                        kll = KLL(self.kll_k)
+                        kll.update_many(vals)
+                        hll.add_hashes(splitmix64(vals.view(np.uint64)))
+                    elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                        hll.add_hashes(hash_strings(col.drop_null()))
+                    else:
+                        hll.add_hashes(hash_strings(pa.array([str(v) for v in col.drop_null().to_pylist()])))
+                    sketch_blob = pickle.dumps((kll, hll))
+            rows["min_num"].append(mn)
+            rows["max_num"].append(mx)
+            rows["sum_num"].append(sm)
+            rows["min_str"].append(mns)
+            rows["max_str"].append(mxs)
+            rows["sketch"].append(sketch_blob)
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "count": pa.array(rows["count"], pa.int64()),
+                "null_count": pa.array(rows["null_count"], pa.int64()),
+                "min_num": pa.array(rows["min_num"], pa.float64()),
+                "max_num": pa.array(rows["max_num"], pa.float64()),
+                "sum_num": pa.array(rows["sum_num"], pa.float64()),
+                "min_str": pa.array(rows["min_str"], pa.string()),
+                "max_str": pa.array(rows["max_str"], pa.string()),
+                "sketch": pa.array(rows["sketch"], pa.binary()),
+            }
+        )
+
+
+def column_stats(
+    ds,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    with_sketches: bool = True,
+    batch_size: int | None = 65536,
+) -> dict[str, dict[str, Any]]:
+    """Single streaming pass over ``ds``; returns
+    ``{column: {count, null_count, min, max, sum, ndv, quantiles}}``.
+
+    Exact: count/null_count/min/max/sum (merged from per-batch Arrow
+    aggregates).  Approximate: ndv (HLL), quantiles (KLL)."""
+    if columns is None:
+        columns = ds.schema().names
+    partials = ds.map_batches(
+        _StatsPartial(columns, with_sketches), batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # small: one row per column per batch
+
+    out: dict[str, dict[str, Any]] = {}
+    merged_sketch: dict[str, tuple[KLL | None, HLL | None]] = {}
+    for row in partials:
+        name = row["column"]
+        s = out.setdefault(
+            name,
+            {"count": 0, "null_count": 0, "min": None, "max": None, "sum": None},
+        )
+        s["count"] += row["count"]
+        s["null_count"] += row["null_count"]
+        for src_min, src_max in (("min_num", "max_num"), ("min_str", "max_str")):
+            mn, mx = row[src_min], row[src_max]
+            if mn is not None:
+                s["min"] = mn if s["min"] is None else min(s["min"], mn)
+            if mx is not None:
+                s["max"] = mx if s["max"] is None else max(s["max"], mx)
+        if row["sum_num"] is not None:
+            s["sum"] = (s["sum"] or 0.0) + row["sum_num"]
+        if row["sketch"]:
+            kll, hll = pickle.loads(row["sketch"])
+            prev = merged_sketch.get(name)
+            if prev is None:
+                merged_sketch[name] = (kll, hll)
+            else:
+                pk, ph = prev
+                if kll is not None and pk is not None:
+                    pk.merge(kll)
+                elif kll is not None:
+                    pk = kll
+                if hll is not None and ph is not None:
+                    ph.merge(hll)
+                merged_sketch[name] = (pk, ph)
+    for name, (kll, hll) in merged_sketch.items():
+        if hll is not None:
+            out[name]["ndv"] = hll.estimate()
+        if kll is not None:
+            out[name]["quantiles"] = dict(zip(map(str, quantiles), kll.quantiles(quantiles)))
+    return out
+
+
+def exact_stats_table(ds, columns: list[str], batch_size: int | None = 65536) -> pa.Table:
+    """Oracle-checkable exact stats as one row per column:
+    (column, count, null_count, min_num, max_num, sum_num) — numeric
+    columns only, matching ``SELECT count(col), min(col), ...``."""
+    stats = column_stats(ds, columns, with_sketches=False, batch_size=batch_size)
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "cnt": pa.array([stats[c]["count"] - stats[c]["null_count"] for c in columns], pa.int64()),
+            "null_count": pa.array([stats[c]["null_count"] for c in columns], pa.int64()),
+            "min_v": pa.array([stats[c]["min"] for c in columns], pa.float64()),
+            "max_v": pa.array([stats[c]["max"] for c in columns], pa.float64()),
+            "sum_v": pa.array([stats[c]["sum"] for c in columns], pa.float64()),
+        }
+    )

@@ -1,0 +1,129 @@
+"""[NORTH] Per-partition checkpoint manifests + resume logic.
+
+"Resumable from checkpoint" for a batch pipeline (ray_guide "Sources &
+sinks"; SURVEY §4.2): output is laid out one directory per input
+fragment, each written atomically (temp dir + rename), with a small JSON
+manifest recording lineage — the input fragment, the rule-plan hash, row
+counts, per-rule outcomes and output paths.  A rerun lists manifests,
+skips fragments whose manifest matches ``(fragment, plan_hash)``, and
+re-runs only the rest.  Kernels are pure/deterministic, so re-running a
+fragment is idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Any, Callable
+
+
+def plan_hash(spec: Any) -> str:
+    """Stable hash of a rule-spec (callables hash by qualname so edits to
+    unrelated code don't invalidate checkpoints, but swapping a callback
+    does change the plan identity)."""
+
+    def norm(x):
+        if callable(x):
+            return f"<fn:{getattr(x, '__module__', '?')}.{getattr(x, '__qualname__', repr(x))}>"
+        if isinstance(x, dict):
+            return {str(k): norm(v) for k, v in sorted(x.items(), key=lambda kv: str(kv[0]))}
+        if isinstance(x, (list, tuple)):
+            return [norm(v) for v in x]
+        return x
+
+    blob = json.dumps(norm(spec), sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class CheckpointDir:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- manifests ---------------------------------------------------------
+    def _manifest_path(self, fragment_id: str) -> str:
+        safe = fragment_id.replace("/", "_").replace(":", "_")
+        return os.path.join(self.root, "manifests", f"{safe}.json")
+
+    def completed(self, fragment_id: str, phash: str) -> bool:
+        p = self._manifest_path(fragment_id)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            return m.get("plan_hash") == phash and m.get("status") == "done"
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def write_manifest(self, fragment_id: str, phash: str, payload: dict[str, Any]) -> None:
+        """Atomic: write temp file then rename (a crashed run never leaves
+        a half-manifest that a resume would trust)."""
+        p = self._manifest_path(fragment_id)
+        record = {
+            "fragment": fragment_id,
+            "plan_hash": phash,
+            "status": "done",
+            "written_at": time.time(),
+            **payload,
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p))
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, p)
+
+    def read_manifests(self) -> list[dict[str, Any]]:
+        out = []
+        mdir = os.path.join(self.root, "manifests")
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # -- atomic data dirs --------------------------------------------------
+    def fragment_dir(self, fragment_id: str) -> str:
+        safe = fragment_id.replace("/", "_").replace(":", "_")
+        return os.path.join(self.root, "data", safe)
+
+    def write_fragment(self, fragment_id: str, write_fn: Callable[[str], Any]) -> str:
+        """Run ``write_fn(tmp_dir)`` then atomically rename into place."""
+        final = self.fragment_dir(fragment_id)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        write_fn(tmp)
+        os.replace(tmp, final)
+        return final
+
+
+def run_partitioned(
+    fragments: list[str],
+    ckpt: CheckpointDir,
+    phash: str,
+    process: Callable[[str, str], dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Resume loop: for each input fragment, skip if its manifest matches
+    the plan hash, else process(fragment, out_dir) and record the
+    manifest.  Returns all manifests (completed + fresh)."""
+    results = []
+    for frag in fragments:
+        if ckpt.completed(frag, phash):
+            continue
+        holder: dict[str, Any] = {}
+
+        def _write(tmp_dir, _frag=frag):
+            holder.update(process(_frag, tmp_dir))
+
+        ckpt.write_fragment(frag, _write)
+        ckpt.write_manifest(frag, phash, holder)
+        results.append(holder)
+    return ckpt.read_manifests()

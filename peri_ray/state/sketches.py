@@ -1,0 +1,200 @@
+"""Mergeable sketches for single-pass distributed column statistics.
+
+- ``KLL``: the KLL quantile sketch (Karnin, Lang, Liberty, FOCS 2016;
+  "KLL±" VLDB 2021 — PAPERS.md).  Mergeable: per-batch partials combine
+  associatively, so Ray Data can build one per batch in ``map_batches``
+  and reduce them in a tiny final stage (SURVEY §2.7).
+- ``HLL``: HyperLogLog (Flajolet et al. 2007) with linear-counting
+  small-range correction.  Registers merge with elementwise max.
+
+Both are pure-Python/numpy, deterministic (seeded), and pickle-friendly
+(they travel through the object store as one binary cell per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# -- 64-bit mixing (splitmix64, public domain construction) -----------------
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 values."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+        return x ^ (x >> np.uint64(31))
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string/binary sequence.
+    Uses polars' vectorized hash when available (fast path), else a
+    python fallback over blake2b."""
+    try:
+        import polars as pl
+
+        s = pl.Series(values if not hasattr(values, "to_pylist") else values.to_pylist())
+        return s.hash(seed=seed).to_numpy().astype(np.uint64)
+    except Exception:
+        import hashlib
+
+        out = np.empty(len(values), np.uint64)
+        it = values.to_pylist() if hasattr(values, "to_pylist") else values
+        for i, v in enumerate(it):
+            if v is None:
+                out[i] = 0
+            else:
+                b = v if isinstance(v, bytes) else str(v).encode()
+                h = hashlib.blake2b(b, digest_size=8, salt=seed.to_bytes(8, "little"))
+                out[i] = np.frombuffer(h.digest(), np.uint64)[0]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+
+class KLL:
+    """KLL sketch over float64 values.  ``k`` controls accuracy
+    (~1.65/sqrt(k) rank error at k=200 ⇒ ~1% — plenty for drift/verdict
+    thresholds).  Deterministic via a per-instance seeded RNG so reruns
+    reproduce checkpointed stats."""
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 42):
+        self.k = k
+        self.compactors: list[list[float]] = [[]]
+        self.n = 0
+        self._rng = np.random.default_rng(seed)
+        self._min = np.inf
+        self._max = -np.inf
+
+    # -- capacity of a level (deeper levels shrink geometrically) ----------
+    def _capacity(self, level: int) -> int:
+        height = len(self.compactors)
+        return max(2, int(np.ceil(self.k * (self.C ** (height - level - 1)))))
+
+    def update_many(self, values: np.ndarray) -> None:
+        vals = values[~np.isnan(values)] if values.dtype.kind == "f" else values
+        if len(vals) == 0:
+            return
+        self.n += len(vals)
+        self._min = min(self._min, float(vals.min()))
+        self._max = max(self._max, float(vals.max()))
+        self.compactors[0].extend(vals.tolist())
+        self._compress()
+
+    def _size(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def _compress(self) -> None:
+        while self._size() > sum(self._capacity(i) for i in range(len(self.compactors))):
+            for level, c in enumerate(self.compactors):
+                if len(c) > self._capacity(level):
+                    if level + 1 == len(self.compactors):
+                        self.compactors.append([])
+                    c.sort()
+                    offset = int(self._rng.integers(0, 2))
+                    self.compactors[level + 1].extend(c[offset::2])
+                    self.compactors[level] = []
+                    break
+            else:
+                break
+
+    def merge(self, other: "KLL") -> "KLL":
+        self.n += other.n
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append([])
+        for level, c in enumerate(other.compactors):
+            self.compactors[level].extend(c)
+        self._compress()
+        return self
+
+    def _weighted(self):
+        items, weights = [], []
+        for level, c in enumerate(self.compactors):
+            items.extend(c)
+            weights.extend([1 << level] * len(c))
+        if not items:
+            return np.empty(0), np.empty(0)
+        items = np.asarray(items, np.float64)
+        weights = np.asarray(weights, np.float64)
+        order = np.argsort(items, kind="stable")
+        return items[order], weights[order]
+
+    def quantile(self, q: float) -> float:
+        items, weights = self._weighted()
+        if len(items) == 0:
+            return float("nan")
+        if q <= 0:
+            return self._min
+        if q >= 1:
+            return self._max
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target))
+        return float(items[min(idx, len(items) - 1)])
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def rank(self, value: float) -> float:
+        """Approximate fraction of values <= value."""
+        items, weights = self._weighted()
+        if len(items) == 0:
+            return float("nan")
+        idx = np.searchsorted(items, value, side="right")
+        total = weights.sum()
+        return float(weights[:idx].sum() / total) if total else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (p=12 → ~1.6% standard error)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) & _MASK
+        # rho = position of leftmost 1-bit in the remaining 64-p bits
+        nbits = 64 - self.p
+        rho = np.full(len(h), nbits + 1, np.uint8)
+        found = np.zeros(len(h), bool)
+        for bit in range(nbits):
+            mask = (~found) & (((rest >> np.uint64(63 - bit)) & np.uint64(1)) == 1)
+            rho[mask] = bit + 1
+            found |= mask
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)

@@ -52,35 +52,40 @@ class _ValidateFn:
     def __init__(self, plan: Plan):
         self.plan = plan
 
+    _VIOL_TYPE = pa.list_(
+        pa.struct(
+            [
+                ("rule_id", pa.string()),
+                ("path", pa.string()),
+                ("message", pa.string()),
+                ("actual", pa.string()),
+                ("expected", pa.string()),
+            ]
+        )
+    )
+
     def __call__(self, table: pa.Table) -> pa.Table:
         out, viols = self.plan.run_batch(table)
         n = out.num_rows
-        # group violation rows by their source row to build the aligned
-        # list column; violations carry record_id already
         ids = self.plan._record_ids(table)
+        out = out.append_column("record_id", ids)
+        if viols.num_rows == 0:
+            # fast path: all-empty list column, no python row work
+            offsets = pa.array(np.zeros(n + 1, np.int32))
+            empty = pa.ListArray.from_arrays(
+                offsets, pa.array([], type=self._VIOL_TYPE.value_type)
+            )
+            return out.append_column("violations", empty)
+        # sparse path: group violation rows by source row (error path only)
         id_to_row: dict[str, int] = {}
-        id_list = ids.to_pylist()
-        for i, rid in enumerate(id_list):
+        for i, rid in enumerate(ids.to_pylist()):
             id_to_row.setdefault(rid, i)
         per_row: list[list[dict]] = [[] for _ in range(n)]
         for row in viols.to_pylist():
             i = id_to_row.get(row["record_id"])
             if i is not None:
                 per_row[i].append({k: v for k, v in row.items() if k != "record_id"})
-        viol_type = pa.list_(
-            pa.struct(
-                [
-                    ("rule_id", pa.string()),
-                    ("path", pa.string()),
-                    ("message", pa.string()),
-                    ("actual", pa.string()),
-                    ("expected", pa.string()),
-                ]
-            )
-        )
-        out = out.append_column("record_id", ids)
-        out = out.append_column("violations", pa.array(per_row, type=viol_type))
-        return out
+        return out.append_column("violations", pa.array(per_row, type=self._VIOL_TYPE))
 
 
 def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,
@@ -97,25 +102,23 @@ def violations_dataset(combined):
     """Flatten the embedded violations column into the violations table
     ``(record_id, rule_id, path, message, actual, expected)``."""
 
+    import pyarrow.compute as pc
+
     def _flatten(table: pa.Table) -> pa.Table:
-        ids = table.column("record_id").combine_chunks()
         viols = table.column("violations").combine_chunks()
-        lens = np.asarray(
-            [len(v) if v is not None else 0 for v in viols.to_pylist()], dtype=np.int64
-        )
-        parent = np.repeat(np.arange(table.num_rows), lens)
-        rows = [v for lst in viols.to_pylist() if lst for v in lst]
-        if not rows:
+        lens = pc.list_value_length(viols).fill_null(0)
+        total = pc.sum(lens).as_py() or 0
+        if total == 0:
             return VIOLATION_SCHEMA.empty_table()
-        rec = ids.take(pa.array(parent))
-        cols = {
-            "record_id": rec,
-            "rule_id": pa.array([r["rule_id"] for r in rows], pa.string()),
-            "path": pa.array([r["path"] for r in rows], pa.string()),
-            "message": pa.array([r["message"] for r in rows], pa.string()),
-            "actual": pa.array([r["actual"] for r in rows], pa.string()),
-            "expected": pa.array([r["expected"] for r in rows], pa.string()),
-        }
+        ids = table.column("record_id").combine_chunks()
+        parent = np.repeat(
+            np.arange(table.num_rows),
+            lens.to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        flat = pc.list_flatten(viols)  # struct array, vectorized unnest
+        cols = {"record_id": ids.take(pa.array(parent))}
+        for fname in ("rule_id", "path", "message", "actual", "expected"):
+            cols[fname] = pc.struct_field(flat, fname)
         return pa.table(cols)
 
     return combined.map_batches(_flatten, batch_format="pyarrow")
