@@ -13,6 +13,22 @@ Not a port: the reference's per-record recursive interpreter becomes a
 compile-once rule plan whose kernels run over whole Arrow columns.
 """
 
+import os as _os
+
+# Keep per-process hidden parallelism in check: Ray schedules by
+# num_cpus *tokens*, so untracked thread pools (pyarrow IO: 8 threads,
+# polars: all cores) oversubscribe the host and wreck scaling
+# measurements.  Compute threads are already capped by OMP_NUM_THREADS=1
+# in Ray workers.
+if _os.environ.get("PERI_RAY_CAP_THREADS", "1") == "1":
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    try:
+        import pyarrow as _pa
+
+        _pa.set_io_thread_count(int(_os.environ.get("PERI_RAY_IO_THREADS", "2")))
+    except Exception:
+        pass
+
 from peri_ray.errors import InvalidSchemaError, summarize
 from peri_ray.spec import validate_spec, conforms_spec, vec
 from peri_ray.compile import compile_spec, Plan

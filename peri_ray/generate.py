@@ -57,6 +57,16 @@ class _GenBatch:
         oos = np.full(len(OUT_OF_SET_LANGS), 0.01 / len(OUT_OF_SET_LANGS))
         self.langs = np.array(langs)
         self.lang_p = np.concatenate([probs, oos])
+        # a fixed seeded "word soup"; texts are word-aligned slices of it
+        # (one slice per row instead of a per-row join — the generator has
+        # to keep up with the vectorized validator it feeds)
+        soup_rng = np.random.default_rng(seed)
+        soup_words = soup_rng.integers(0, len(_WORDS), size=200_000)
+        self.soup = " ".join(_WORDS[j] for j in soup_words)
+        # word-boundary offsets for clean slicing
+        self.boundaries = np.flatnonzero(
+            np.frombuffer(self.soup.encode(), np.uint8) == ord(" ")
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
@@ -69,28 +79,34 @@ class _GenBatch:
             [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, paths)],
             dtype=object,
         )
-        # ~0.1% exact duplicate urls: copy a neighbor's url
-        dup = rng.random(n) < 0.001
-        dup_idx = np.flatnonzero(dup)
-        if dup_idx.size:
-            urls[dup_idx] = urls[(dup_idx - 1) % n]
-
         base = np.datetime64("2026-01-01T00:00:00", "us")
         offs = rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n)
         ts = base + offs.astype("timedelta64[us]")
         ts_null = rng.random(n) < 0.0005
 
-        n_words = rng.integers(20, 400, size=n)
-        word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
-        texts = []
-        pos = 0
-        for k in n_words:
-            texts.append(" ".join(_WORDS[j] for j in word_idx[pos:pos + k]))
-            pos += k
-        htmls = [
-            f"<html><head><title>d{i}</title></head><body><p>{t}</p></body></html>".encode()
-            for i, t in zip(ids, texts)
-        ]
+        # texts = word-aligned slices of the fixed soup (vectorized offsets)
+        nb = len(self.boundaries)
+        start_b = rng.integers(0, nb - 500, size=n)
+        length_b = rng.integers(20, 400, size=n)
+        end_b = np.minimum(start_b + length_b, nb - 1)
+        starts = self.boundaries[start_b] + 1
+        ends = self.boundaries[end_b]
+        soup = self.soup
+        texts = [soup[s:e] for s, e in zip(starts, ends)]
+        pre = "<html><head><title>d"
+        mid = "</title></head><body><p>"
+        post = "</p></body></html>"
+        htmls = [(pre + str(i) + mid + t + post).encode() for i, t in zip(ids, texts)]
+
+        # ~0.1% exact duplicate PAGES: copy a neighbor's url+html+text so
+        # the per-url text invariant stays well-defined and exact-dedup
+        # stages have true duplicates to find
+        dup_idx = np.flatnonzero(rng.random(n) < 0.001)
+        for j in dup_idx:
+            k = (j - 1) % n
+            urls[j] = urls[k]
+            texts[j] = texts[k]
+            htmls[j] = htmls[k]
 
         langs = rng.choice(self.langs, size=n, p=self.lang_p)
 

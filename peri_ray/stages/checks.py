@@ -62,33 +62,58 @@ class _KeyCountPartial:
         return out
 
 
-def duplicate_keys(ds, key: str, salt: int | None = None, batch_size: int | None = 65536):
+class _AddBucket:
+    """Partials → + ``bucket = hash(key) % n_buckets``.  The follow-up
+    shuffle then groups on a small-int key (one cheap sort) instead of a
+    high-cardinality string key; per-bucket aggregation stays a
+    vectorized Arrow ``group_by`` inside ``map_groups``.  ``n_buckets``
+    is the shuffle-partition count — size it to the cluster, not the
+    key cardinality."""
+
+    def __init__(self, key: str, n_buckets: int):
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from peri_ray.state.sketches import hash_strings, splitmix64
+
+        col = t.column(self.key).combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
+            h = hash_strings(col)
+        else:
+            h = splitmix64(col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False).view(np.uint64))
+        bucket = (h % np.uint64(self.n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+
+def duplicate_keys(ds, key: str, n_buckets: int = 64, batch_size: int | None = 65536):
     """Keys appearing more than once: ``(key, cnt)`` with cnt > 1.
-    Exact, oracle = ``GROUP BY key HAVING count(*) > 1``."""
-    partials = ds.map_batches(_KeyCountPartial(key, salt), batch_format="pyarrow",
+    Exact; oracle = ``GROUP BY key HAVING count(*) > 1``.
+
+    Two-phase + hash-bucketed: per-batch ``group_by`` collapses
+    within-batch duplicates (no raw rows shuffle), then the shuffle keys
+    on ``bucket`` (small int) and each bucket re-aggregates with a
+    vectorized Arrow group_by.  Equivalent to a salted aggregation with
+    the salt being the key hash itself — skewed keys can't flood a
+    partition beyond their post-preagg row count (≤ #batches)."""
+    partials = ds.map_batches(_KeyCountPartial(key), batch_format="pyarrow",
                               batch_size=batch_size)
-    if salt:
-        # extra reduction on (key, salt) caps per-key partial-row volume
-        mid = partials.groupby([key, "salt"]).sum("cnt")
-        mid = mid.map_batches(
-            lambda t: t.select([key, "sum(cnt)"]).rename_columns([key, "cnt"]),
-            batch_format="pyarrow",
-        )
-        partials = mid
-    totals = partials.groupby(key).sum("cnt")
+    bucketed = partials.map_batches(_AddBucket(key, n_buckets), batch_format="pyarrow")
 
-    def _dups(t: pa.Table) -> pa.Table:
-        t = t.rename_columns([key, "cnt"])
-        return t.filter(pc.greater(t.column("cnt"), 1))
+    def _agg_bucket(group: pa.Table) -> pa.Table:
+        g = group.select([key, "cnt"]).group_by(key).aggregate([("cnt", "sum")])
+        g = g.rename_columns([key, "cnt"])
+        return g.filter(pc.greater(g.column("cnt"), 1))
 
-    return totals.map_batches(_dups, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_agg_bucket, batch_format="pyarrow")
 
 
-def uniqueness_check(ds, key: str, salt: int | None = None) -> dict[str, Any]:
-    """Verdict form: rule ``unique(key)`` passes iff no duplicate keys."""
-    dups = duplicate_keys(ds, key, salt=salt)
+def uniqueness_check(ds, key: str, n_buckets: int = 64) -> dict[str, Any]:
+    """Verdict form: rule ``unique(key)`` passes iff no duplicate keys.
+    Single execution: the (small) duplicate set is materialized once."""
+    dups = duplicate_keys(ds, key, n_buckets=n_buckets).materialize()
     n_dup_keys = dups.count()
-    extra = dups.sum("cnt") - n_dup_keys if n_dup_keys else 0
+    extra = (dups.sum("cnt") - n_dup_keys) if n_dup_keys else 0
     return {
         "rule_id": f"unique:{key}",
         "passed": n_dup_keys == 0,

@@ -50,24 +50,28 @@ class _HashMinPartial:
         return g.rename_columns(["content_hash", "keep_id", "cnt"])
 
 
-def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 64):
     """One surviving id per distinct content: (content_hash, keep_id).
-    Oracle: ``SELECT min(id) FROM t GROUP BY text``."""
+    Oracle: ``SELECT min(id) FROM t GROUP BY text``.
+
+    Hash-bucketed two-phase (see checks._AddBucket): the shuffle keys on
+    a small-int bucket of the content hash; per-bucket merge is a
+    vectorized Arrow group_by.  Only (hash, id, cnt) partials move —
+    never the text."""
+    from peri_ray.stages.checks import _AddBucket
+
     partials = ds.map_batches(_HashMinPartial(text_col, id_col), batch_format="pyarrow")
-    merged = partials.groupby("content_hash").aggregate(
-        *_min_sum_aggs()
-    )
+    bucketed = partials.map_batches(_AddBucket("content_hash", n_buckets),
+                                    batch_format="pyarrow")
 
-    def _rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["content_hash", "keep_id", "cnt"])
+    def _agg(group: pa.Table) -> pa.Table:
+        g = group.select(["content_hash", "keep_id", "cnt"]).group_by("content_hash").aggregate(
+            [("keep_id", "min"), ("cnt", "sum")]
+        )
+        return g.rename_columns(["content_hash", "keep_id", "cnt"])
 
-    return merged.map_batches(_rename, batch_format="pyarrow")
-
-
-def _min_sum_aggs():
-    from ray.data.aggregate import Min, Sum
-
-    return [Min("keep_id"), Sum("cnt")]
+    return bucketed.groupby("bucket").map_groups(_agg, batch_format="pyarrow")
 
 
 def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -1,0 +1,407 @@
+"""Tests for the [NORTH] table-level operators, training-data stages,
+tooling parity (walker / JSON Schema), checkpoint/resume, and the
+per-row invariant (byte-identical text per url, BASELINE.json
+input_hint)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# stats + sketches
+# ---------------------------------------------------------------------------
+
+
+class TestStats:
+    def test_exact_stats_match_arrow(self):
+        from peri_ray.stages.stats import column_stats
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity"])
+        st = column_stats(ds, ["l_quantity"], with_sketches=False)["l_quantity"]
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity"])
+        col = t.column("l_quantity")
+        assert st["count"] == len(col)
+        assert st["null_count"] == col.null_count
+        assert st["min"] == pc.min(col).as_py()
+        assert st["max"] == pc.max(col).as_py()
+        assert abs(st["sum"] - pc.sum(col).as_py()) < 1e-6
+
+    def test_sketches_accuracy(self):
+        from peri_ray.stages.stats import column_stats
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity", "l_orderkey"])
+        st = column_stats(ds, ["l_quantity", "l_orderkey"])
+        # l_quantity uniform 1..50 → q50 ≈ 25, ndv ≈ 50
+        assert 20 <= st["l_quantity"]["quantiles"]["0.5"] <= 30
+        assert 40 <= st["l_quantity"]["ndv"] <= 60
+
+    def test_kll_merge_associative(self):
+        from peri_ray.state.sketches import KLL
+
+        rng = np.random.default_rng(1)
+        data = rng.normal(0, 1, 30_000)
+        whole = KLL()
+        whole.update_many(data)
+        parts = [KLL(seed=i) for i in range(3)]
+        for i, p in enumerate(parts):
+            p.update_many(data[i * 10_000:(i + 1) * 10_000])
+        merged = parts[0].merge(parts[1]).merge(parts[2])
+        for q in (0.1, 0.5, 0.9):
+            assert abs(merged.quantile(q) - np.quantile(data, q)) < 0.1
+
+    def test_hll_estimate(self):
+        from peri_ray.state.sketches import HLL, hash_strings
+
+        h = HLL()
+        h.add_hashes(hash_strings([f"v{i}" for i in range(20_000)]))
+        assert abs(h.estimate() - 20_000) / 20_000 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# checks
+# ---------------------------------------------------------------------------
+
+
+class TestChecks:
+    def test_duplicate_keys_exact(self):
+        from peri_ray.stages.checks import duplicate_keys
+
+        ds = rd.from_items([{"k": "a"}, {"k": "b"}, {"k": "a"}, {"k": "c"}, {"k": "a"}])
+        dups = {r["k"]: r["cnt"] for r in duplicate_keys(ds, "k").take_all()}
+        assert dups == {"a": 3}
+
+    def test_uniqueness_check_pass(self):
+        from peri_ray.stages.checks import uniqueness_check
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        out = uniqueness_check(ds, "doc_id")
+        assert out["passed"] and out["duplicate_keys"] == 0
+
+    def test_referential_broadcast(self):
+        from peri_ray.stages.checks import referential_check
+
+        orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+        cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+        assert referential_check(orders, "o_custkey", cust)["passed"]
+        # and a failing case
+        bad = referential_check(orders, "o_custkey", [1, 2, 3])
+        assert not bad["passed"] and bad["violating_rows"] > 0
+
+    def test_drift_psi(self):
+        from peri_ray.stages.checks import psi, kl_divergence
+
+        same = {"a": 50, "b": 50}
+        assert psi(same, {"a": 0.5, "b": 0.5}) < 1e-9
+        shifted = {"a": 90, "b": 10}
+        assert psi(shifted, {"a": 0.5, "b": 0.5}) > 0.2
+        assert kl_divergence(shifted, {"a": 0.5, "b": 0.5}) > 0.1
+
+    def test_drift_detects_drifted_generator(self):
+        from peri_ray.generate import web_pages_dataset, LANG_REFERENCE_HIST
+        from peri_ray.stages.checks import drift_check
+
+        ok = web_pages_dataset(5000, seed=3).select_columns(["lang"])
+        assert drift_check(ok, "lang", LANG_REFERENCE_HIST, threshold=0.25)["passed"]
+        drifted = web_pages_dataset(5000, seed=3, drifted=True).select_columns(["lang"])
+        assert not drift_check(drifted, "lang", LANG_REFERENCE_HIST, threshold=0.25)["passed"]
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text
+# ---------------------------------------------------------------------------
+
+
+class TestDedup:
+    def test_exact_dedup(self):
+        from peri_ray.stages.dedup import exact_dedup_keepers, exact_duplicate_ids
+
+        rows = [
+            {"doc_id": 1, "text": "hello world"},
+            {"doc_id": 2, "text": "unique one"},
+            {"doc_id": 3, "text": "hello world"},
+            {"doc_id": 4, "text": "hello world"},
+        ]
+        ds = rd.from_items(rows)
+        keep = sorted(r["keep_id"] for r in exact_dedup_keepers(ds).take_all())
+        assert keep == [1, 2]
+        victims = sorted(r["doc_id"] for r in exact_duplicate_ids(ds).take_all())
+        assert victims == [3, 4]
+
+    def test_minhash_finds_near_dups(self):
+        from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy", 1)},  # near-dup
+            {"doc_id": 3, "text": "completely different content about physics and math"},
+        ]
+        ds = rd.from_items(rows)
+        cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
+        verified = verify_candidates(ds, cands, threshold=0.7)
+        pairs = {(r["id_a"], r["id_b"]) for r in verified.take_all()}
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+
+    def test_simhash_near_dups(self):
+        from peri_ray.stages.dedup import simhash_near_dups
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base[:-4] + "cat "},
+            {"doc_id": 3, "text": "totally unrelated words here about chemistry"},
+        ]
+        pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(rd.from_items(rows)).take_all()}
+        assert (1, 2) in pairs
+
+
+class TestSimilarity:
+    def test_brute_force_topk_exact(self):
+        from peri_ray.stages.similarity import brute_force_topk
+
+        rng = np.random.default_rng(0)
+        vecs = rng.normal(size=(200, 16)).astype(np.float32)
+        ds = rd.from_items([
+            {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)
+        ])
+        res = brute_force_topk(ds, vecs[:2], k=5)
+        # the query vector itself must be its own top-1
+        assert res[0][0][0] == 0
+        assert res[1][0][0] == 1
+        # verify against numpy full ranking
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = m[:2] @ m.T
+        for qi in range(2):
+            expect = set(np.argsort(-sims[qi])[:5].tolist())
+            got = {v for v, _ in res[qi]}
+            assert got == expect
+
+    def test_embedding_near_dups(self):
+        from peri_ray.stages.similarity import embedding_near_dups
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=16).astype(np.float32)
+        rows = [
+            {"vec_id": 1, "embedding": a.tolist()},
+            {"vec_id": 2, "embedding": (a + 0.01 * rng.normal(size=16).astype(np.float32)).tolist()},
+            {"vec_id": 3, "embedding": rng.normal(size=16).astype(np.float32).tolist()},
+        ]
+        pairs = embedding_near_dups(rd.from_items(rows), threshold=0.99).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+class TestText:
+    def test_token_count_matches_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.text import token_count_batch
+
+        t = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "  hello ", "one"]})
+        out = token_count_batch(t)
+        got = dict(zip(out.column("doc_id").to_pylist(), out.column("n_tokens").to_pylist()))
+        want = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+                "FROM t GROUP BY ALL"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_quality_and_langid_run(self):
+        from peri_ray.stages.text import QualityScorer, LangId
+
+        t = pa.table({"text": ["the cat and the dog sat on the mat", "der und die das ich nicht"]})
+        q = QualityScorer()(t)
+        assert q.column("stop_ratio").to_pylist()[0] > 0.3
+        l = LangId()(t)
+        assert l.column("lang_guess").to_pylist() == ["en", "de"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self):
+        from peri_ray.stages.multimodal import decode_images, media_table_from_binary
+
+        t = media_table_from_binary([1, 2], [b"payload-one", b"payload-two-longer"])
+        ds = rd.from_arrow(t)
+        out = decode_images(ds, decoder="fake", concurrency=1, batch_size=2).take_all()
+        assert len(out) == 2
+        assert all(r["width"] > 0 and len(r["features"]) == 16 for r in out)
+
+    def test_real_decoder_raises(self):
+        from peri_ray.stages.multimodal import ImageDecoder, media_table_from_binary
+
+        dec = ImageDecoder(decoder="real")
+        t = media_table_from_binary([1], [b"x"])
+        with pytest.raises(NotImplementedError):
+            dec(t)
+
+    def test_frame_sampler(self):
+        from peri_ray.stages.multimodal import FrameSampler, media_table_from_binary
+
+        t = media_table_from_binary([7], [b"x" * 3500], kind="video")
+        out = FrameSampler(every_ms=1000)(t)
+        assert out.column("media_id").to_pylist() == [7, 7, 7, 7]
+        assert out.column("frame_ms").to_pylist() == [0, 1000, 2000, 3000]
+
+
+# ---------------------------------------------------------------------------
+# walker + JSON Schema
+# ---------------------------------------------------------------------------
+
+
+class TestWalker:
+    SPEC = {
+        "a": ("required", "string"),
+        "nested": {"b": ("required", ("integer", ("gte", 0)))},
+        "c": "float",
+    }
+
+    def test_identity(self):
+        from peri_ray.walker import walk
+
+        assert walk(self.SPEC, lambda x: x) == self.SPEC
+
+    def test_make_all_optional(self):
+        from peri_ray.walker import make_all_optional
+
+        out = make_all_optional(self.SPEC)
+        assert out["a"] == "string"
+        assert out["nested"]["b"] == ("integer", ("gte", 0))
+
+    def test_drop_and_rename(self):
+        from peri_ray.walker import drop_fields, rename_fields
+
+        assert "c" not in drop_fields(self.SPEC, {"c"})
+        renamed = rename_fields(self.SPEC, {"a": "alpha"})
+        assert "alpha" in renamed and "a" not in renamed
+
+
+class TestJsonSchema:
+    def test_roundtrip(self):
+        from peri_ray.jsonschema import to_json_schema, from_json_schema
+
+        spec = {
+            "name": ("required", ("string", ("min", 2))),
+            "age": ("integer", ("range", (0, 150))),
+            "role": ("enum", ["admin", "user"]),
+            "tags": ("list", "string", {"max": 5}),
+            "score": ("float", ("gt", 0.0)),
+        }
+        js = to_json_schema(spec)
+        assert js["properties"]["name"]["minLength"] == 2
+        assert js["required"] == ["name"]
+        assert js["properties"]["age"]["minimum"] == 0
+        back = from_json_schema(js)
+        assert back["name"] == ("required", ("string", ("min", 2)))
+        assert back["role"] == ("enum", ["admin", "user"])
+        assert back["tags"] == ("list", "string", {"max": 5})
+
+    def test_decoded_spec_validates_data(self):
+        from peri_ray import compile_spec
+        from peri_ray.jsonschema import from_json_schema
+
+        js = {
+            "type": "object",
+            "properties": {"n": {"type": "integer", "minimum": 5}},
+            "required": ["n"],
+        }
+        plan = compile_spec(from_json_schema(js))
+        out, viols = plan.run_batch(pa.table({"n": [7, 3, None]}))
+        assert out.column("valid").to_pylist() == [True, False, False]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume + flagship invariants
+# ---------------------------------------------------------------------------
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed(self, tmp_path):
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash, run_partitioned
+
+        ckpt = CheckpointDir(str(tmp_path / "ck"))
+        phash = plan_hash({"a": "string"})
+        calls = []
+
+        def process(frag, out_dir):
+            calls.append(frag)
+            with open(os.path.join(out_dir, "out.txt"), "w") as f:
+                f.write(frag)
+            return {"rows": 1}
+
+        run_partitioned(["f1", "f2"], ckpt, phash, process)
+        assert calls == ["f1", "f2"]
+        run_partitioned(["f1", "f2", "f3"], ckpt, phash, process)
+        assert calls == ["f1", "f2", "f3"]  # only f3 re-ran
+        # plan change invalidates
+        run_partitioned(["f1"], ckpt, plan_hash({"a": "integer"}), process)
+        assert calls.count("f1") == 2
+
+    def test_partitioned_flagship_resume(self, tmp_path):
+        from peri_ray.pipelines.flagship import partitioned_flagship
+
+        ck = str(tmp_path / "fck")
+        m1 = partitioned_flagship(
+            [f"{SF}/documents.parquet"], ck,
+            spec={"doc_id": ("required", "integer"), "text": ("required", "string")},
+            id_column="doc_id",
+        )
+        assert len(m1) == 1 and m1[0]["rows"] == 500 and m1[0]["valid_rows"] == 500
+        # rerun: manifest present → no reprocessing, same manifests returned
+        m2 = partitioned_flagship(
+            [f"{SF}/documents.parquet"], ck,
+            spec={"doc_id": ("required", "integer"), "text": ("required", "string")},
+            id_column="doc_id",
+        )
+        assert m2 == m1
+
+
+class TestFlagshipInvariant:
+    def test_text_byte_identical_per_url(self):
+        """input_hint per-row invariant: validation never mutates `text`
+        (no default/transform on it) — byte-identical per url."""
+        from peri_ray.generate import web_pages_dataset, WEB_PAGES_SPEC, extract_text
+        from peri_ray.validate import validate_dataset, validated_dataset
+
+        ds = web_pages_dataset(2000, seed=9).materialize()
+        before = {r["url"]: r["text"] for r in ds.take_all()}
+        combined = validate_dataset(ds, WEB_PAGES_SPEC, id_column="url")
+        after = validated_dataset(combined).take_all()
+        assert len(after) == 2000
+        for r in after:
+            assert before[r["url"]] == r["text"]
+            assert extract_text(r["html"]) == r["text"]
+
+    def test_flagship_verdict_shape(self):
+        from peri_ray.generate import web_pages_dataset
+        from peri_ray.pipelines.flagship import run_flagship
+
+        v = run_flagship(web_pages_dataset(3000, seed=5))
+        assert v["rows"] == 3000
+        assert v["valid_rows"] + v["invalid_rows"] == 3000
+        rule_ids = {c["rule_id"] for c in v["checks"]}
+        assert rule_ids == {"unique:url", "ref:lang", "drift:lang:psi"}
