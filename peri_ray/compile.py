@@ -481,7 +481,51 @@ class Compiled:
         return self._sub(t[1]).validate(arr, active, ctx)
 
     def _t_schema(self, arr, active, ctx, t):
+        if len(t) == 3 and isinstance(t[2], tuple) and t[2][0] == "additional_keys":
+            return self._schema_additional(arr, active, ctx, t[1], t[2][1])
         return self._sub(t[1]).validate(arr, active, ctx)
+
+    def _schema_additional(self, arr, active, ctx, schema: dict, extra_t):
+        """``{:schema, s, {:additional_keys, t}}`` (lib/peri.ex:1272-1296):
+        declared struct fields validate by their own rules; every
+        non-declared field validates against ``extra_t`` and is KEPT in
+        the output (unlike plain strict filtering)."""
+        n = len(active)
+        ok = np.ones(n, bool)
+        if pa.types.is_null(arr.type):
+            return FieldResult(arr, ok)
+        if not pa.types.is_struct(arr.type):
+            bad = active & ~_null_np(arr)
+            ok[bad] = False
+            return FieldResult(
+                arr, ok,
+                [_const_violation("type", {"expected": summarize(schema)}, "type.map",
+                                  self.path, arr, bad, summarize(schema))],
+            )
+        nulls = _null_np(arr)
+        applies = active & ~nulls
+        declared = self._nested(arr, applies, ctx, schema, presence=True)
+        ok &= declared.ok
+        violations = list(declared.violations)
+        names = [f.name for f in declared.values.type]
+        children = [pc.struct_field(declared.values, nm) for nm in names]
+        for f in arr.type:
+            if f.name in schema:
+                continue
+            child_path = f"{self.path}.{f.name}" if self.path else f.name
+            res = self._sub(extra_t, child_path).validate(
+                pc.struct_field(arr, f.name), applies, ctx
+            )
+            bad = applies & ~res.ok
+            ok[bad] = False
+            violations.extend(res.violations)
+            names.append(f.name)
+            children.append(res.values)
+        children = [
+            c if not pa.types.is_null(c.type) else pa.nulls(n, pa.string()) for c in children
+        ]
+        rebuilt = pa.StructArray.from_arrays(children, names, mask=pa.array(nulls))
+        return FieldResult(rebuilt, ok, violations)
 
     def _t_ref(self, arr, active, ctx, t):
         # registry lookup with depth cap (lib/peri.ex:1481-1519)

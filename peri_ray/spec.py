@@ -235,6 +235,19 @@ def _check_type(t: Any, path: str, errors: list[str]) -> None:
             errors.append(f"{path}: expected meta opts to be a dict, got {render(t[2])}")
     elif tag == "schema":
         _check_type(t[1], path, errors)
+        if len(t) == 3:
+            # {:schema, s, {:additional_keys, t}} (lib/peri.ex:1272-1296)
+            # or {:schema, s, name: _} (lib/peri.ex:1883-1897)
+            if isinstance(t[2], tuple) and len(t[2]) == 2 and t[2][0] == "additional_keys":
+                if not isinstance(t[1], dict):
+                    errors.append(f"{path}: additional_keys requires a map schema")
+                _check_type(t[2][1], path, errors)
+            elif isinstance(t[2], dict) and set(t[2]) <= {"name"}:
+                pass
+            else:
+                errors.append(f"{path}: invalid schema opts: {render(t[2])}")
+        elif len(t) > 3:
+            errors.append(f"{path}: invalid schema definition: {render(t)}")
     elif tag == "ref":
         if not isinstance(t[1], str):
             errors.append(f"{path}: expected ref name to be a string")

@@ -528,3 +528,39 @@ class TestBatchingInvariance:
         assert sorted(r["rule_id"] for r in alone_v.to_pylist()) == sorted(
             r["rule_id"] for r in batched_v.to_pylist()
         )
+
+
+class TestAdditionalKeys:
+    """{:schema, s, {:additional_keys, t}} — declared fields validate by
+    their own rules; undeclared struct fields validate against t and are
+    kept in the output (lib/peri.ex:1272-1296)."""
+
+    SPEC = {"cfg": ("schema", {"port": "integer"}, ("additional_keys", "string"))}
+
+    def test_extra_keys_validated_and_kept(self):
+        data = {"cfg": [{"port": 80, "host": "a.io"}, {"port": 81, "host": "b.io"}]}
+        out, viols = run(self.SPEC, data)
+        assert out.column("valid").to_pylist() == [True, True]
+        assert viols.num_rows == 0
+        cfg = out.column("cfg").to_pylist()
+        assert cfg[0] == {"port": 80, "host": "a.io"}  # extra key preserved
+
+    def test_extra_key_violation(self):
+        data = {"cfg": [{"port": 80, "host": 7}]}
+        out, viols = run(self.SPEC, data)
+        assert out.column("valid").to_pylist() == [False]
+        vt = viol_tuples(viols)
+        assert vt == [("type.string", "cfg.host", "expected type of :string received 7 value")]
+
+    def test_declared_key_still_checked(self):
+        data = {"cfg": [{"port": "eighty", "host": "x"}]}
+        out, viols = run(self.SPEC, data)
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.to_pylist()[0]["path"] == "cfg.port"
+
+    def test_schema_name_opt_accepted(self):
+        validate_spec({"cfg": ("schema", {"port": "integer"}, {"name": "config"})})
+
+    def test_bad_opts_rejected(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"cfg": ("schema", {"p": "integer"}, ("additional_keys",))})
