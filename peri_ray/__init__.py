@@ -40,8 +40,11 @@ from peri_ray.validate import (
     conforms,
 )
 from peri_ray.registry import defschema, get_schema, schema_registry
+from peri_ray.specgen import generate_table, generate_dataset
 
 __all__ = [
+    "generate_table",
+    "generate_dataset",
     "InvalidSchemaError",
     "summarize",
     "validate_spec",

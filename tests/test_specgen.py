@@ -1,0 +1,129 @@
+"""Property-style tests for the spec-driven generator (SURVEY §5.2-4):
+generated data must validate clean against its own spec (the reference's
+generate→validate round-trip, test/gen_overrides_test.exs:126-137), and
+single-field mutations must produce exactly the matching violation.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from peri_ray import compile_spec
+from peri_ray.specgen import generate_table, generate_dataset, _sample_regex
+
+SPECS = {
+    "simple": {
+        "name": ("required", "string"),
+        "age": ("required", ("integer", ("gte", 18))),
+        "email": ("string", ("regex", "^[a-z]+@[a-z]+\\.(com|io)$")),
+    },
+    "constrained": {
+        "qty": ("float", ("range", (0.0, 100.0))),
+        "code": ("integer", [("gte", 0), ("lte", 9999), ("multiple_of", 5)]),
+        "tag": ("enum", ["a", "b", "c"]),
+        "exact": ("literal", 42),
+    },
+    "nested": {
+        "user": {
+            "name": ("required", ("string", ("min", 3))),
+            "score": ("float", ("gt", 0.0)),
+        },
+        "tags": ("list", "string", {"min": 1, "max": 3}),
+        "pair": ("tuple", ["string", "integer"]),
+    },
+    "choice": {
+        "v": ("either", ("integer", "string")),
+        "w": ("oneof", ["boolean", ("integer", ("gt", 100))]),
+    },
+    "temporal": {
+        "d": "date",
+        "ts": ("required", "datetime"),
+        "dur": "duration",
+    },
+}
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("name", list(SPECS))
+    def test_generated_data_validates_clean(self, name):
+        spec = SPECS[name]
+        table = generate_table(spec, 500, seed=7)
+        assert table.num_rows == 500
+        out, viols = compile_spec(spec).run_batch(table)
+        assert viols.num_rows == 0, viols.to_pylist()[:3]
+        assert all(out.column("valid").to_pylist())
+
+    def test_deterministic(self):
+        a = generate_table(SPECS["simple"], 100, seed=3)
+        b = generate_table(SPECS["simple"], 100, seed=3)
+        assert a.equals(b)
+        c = generate_table(SPECS["simple"], 100, seed=4)
+        assert not a.equals(c)
+
+    def test_gen_override_field(self):
+        spec = {"id": ("required", "string")}
+        t = generate_table(spec, 10, seed=0,
+                           overrides={"id": lambda rng, n: [f"id-{i}" for i in range(n)]})
+        assert t.column("id").to_pylist()[0] == "id-0"
+
+    def test_gen_override_in_opts(self):
+        spec = {"lvl": ("enum", [1, 2, 3], {"gen": lambda rng, n: [2] * n})}
+        t = generate_table(spec, 5, seed=0)
+        assert t.column("lvl").to_pylist() == [2] * 5
+
+    def test_custom_requires_override(self):
+        spec = {"x": ("custom", lambda v: True)}
+        with pytest.raises(ValueError, match="gen override"):
+            generate_table(spec, 5)
+
+    def test_streaming_dataset(self, ray_session):
+        ds = generate_dataset(SPECS["constrained"], 2000, seed=1,
+                              override_num_blocks=4)
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        assert t.num_rows == 2000
+        out, viols = compile_spec(SPECS["constrained"]).run_batch(t.combine_chunks())
+        assert viols.num_rows == 0
+
+
+class TestRegexSampler:
+    @pytest.mark.parametrize("rx", [
+        "^https?://", "^[a-z]{3,5}$", "^v[0-9]+\\.[0-9]+$", "cat|dog",
+        "^[A-Z][a-z]+( [A-Z][a-z]+)?$",
+    ])
+    def test_samples_match(self, rx):
+        import re
+
+        rng = np.random.default_rng(0)
+        for s in _sample_regex(rx, rng, 20):
+            assert re.search(rx, s), (rx, s)
+
+
+class TestMutationProperty:
+    """Mutate one field per rule → the engine emits exactly that
+    violation on exactly the mutated rows (SURVEY §5.2-4)."""
+
+    SPEC = {
+        "name": ("required", ("string", ("min", 2))),
+        "age": ("integer", ("gte", 18)),
+        "tag": ("enum", ["a", "b"]),
+    }
+
+    def _mutate(self, table, col, values):
+        idx = table.column_names.index(col)
+        return table.set_column(idx, col, pa.array(values))
+
+    def test_mutations(self):
+        plan = compile_spec(self.SPEC)
+        base = generate_table(self.SPEC, 50, seed=11)
+        cases = [
+            ("name", [None] * 50, "required"),
+            ("name", ["x"] * 50, "string.min"),
+            ("age", [17] * 50, "integer.gte"),
+            ("tag", ["zz"] * 50, "enum"),
+        ]
+        for col, vals, rule in cases:
+            out, viols = plan.run_batch(self._mutate(base, col, vals))
+            rules = set(v["rule_id"] for v in viols.to_pylist())
+            assert rules == {rule}, (col, rule, rules)
+            assert viols.num_rows == 50
+            assert not any(out.column("valid").to_pylist())
