@@ -47,6 +47,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dependent_flag_mismatch_count": q.dependent_flag_mismatch_count,
         "multi_dispatch_events": q.multi_dispatch_events,
         "cond_purchase_value": q.cond_purchase_value,
+        # extended constraint/FK battery
+        "referential_lineitem_orders": q.referential_lineitem_orders,
+        "nation_region_fk": q.nation_region_fk,
+        "customer_name_regex_violations": q.customer_name_regex_violations,
+        "part_size_conformity": q.part_size_conformity,
+        "orders_status_enum_histogram": q.orders_status_enum_histogram,
+        "seeded_sample_documents": q.seeded_sample_documents,
         # [NORTH] table-level checks (SURVEY §2.7)
         "referential_docs_lang": q.referential_docs_lang,
         "referential_orders_customer": q.referential_orders_customer,
@@ -133,6 +140,30 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase'
                AND value IS NOT NULL AND NOT (value >= 10.0)
         """,
+        "referential_lineitem_orders": (
+            "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l "
+            "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL"
+        ),
+        "nation_region_fk": (
+            "SELECT n.n_nationkey, n.n_regionkey FROM nation n "
+            "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE n.n_regionkey IS NOT NULL AND r.r_regionkey IS NULL"
+        ),
+        "customer_name_regex_violations": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')"
+        ),
+        "part_size_conformity": (
+            "SELECT CAST(sum(CASE WHEN p_size IS NULL OR (p_size >= 1 AND p_size <= 50) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
+            "CAST(sum(CASE WHEN p_size IS NOT NULL AND (p_size < 1 OR p_size > 50) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid FROM part"
+        ),
+        "orders_status_enum_histogram": (
+            "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+            "WHERE o_orderstatus IN ('O','F','P') GROUP BY o_orderstatus"
+        ),
         "referential_docs_lang": (
             f"SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}"
         ),

@@ -29,7 +29,12 @@ if _os.environ.get("PERI_RAY_CAP_THREADS", "1") == "1":
     except Exception:
         pass
 
-from peri_ray.errors import InvalidSchemaError, summarize
+from peri_ray.errors import (
+    InvalidSchemaError,
+    summarize,
+    traverse_violations,
+    violation_to_map,
+)
 from peri_ray.spec import validate_spec, conforms_spec, vec
 from peri_ray.compile import compile_spec, Plan
 from peri_ray.validate import (
@@ -45,6 +50,8 @@ from peri_ray.specgen import generate_table, generate_dataset
 __all__ = [
     "generate_table",
     "generate_dataset",
+    "traverse_violations",
+    "violation_to_map",
     "InvalidSchemaError",
     "summarize",
     "validate_spec",

@@ -192,3 +192,44 @@ class InvalidSchemaError(Exception):
     def __init__(self, errors: list[str]):
         self.errors = errors
         super().__init__("Invalid schema:\n" + "\n".join(f"  {e}" for e in errors))
+
+
+# ---------------------------------------------------------------------------
+# Violations post-processing (``Peri.Error.traverse_errors/2`` and
+# ``error_to_map/1``, lib/peri/error.ex:212-223,383-429)
+# ---------------------------------------------------------------------------
+
+
+def traverse_violations(violations, fn):
+    """Post-walk over the violations table/Dataset rewriting ``message``
+    per row — the i18n hook (``traverse_errors``, lib/peri/error.ex:212-223).
+    ``fn`` receives the violation row as a dict and returns the new
+    message string.  Runs inside ``map_batches`` when given a Dataset, so
+    re-templating streams at any scale."""
+    import pyarrow as pa
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        msgs = [fn(r) for r in t.to_pylist()]
+        idx = t.column_names.index("message")
+        return t.set_column(idx, "message", pa.array(msgs, pa.string()))
+
+    if isinstance(t := violations, pa.Table):
+        return _rewrite(t)
+    return violations.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def violation_to_map(row: dict) -> dict:
+    """``Peri.Error.error_to_map/1`` parity (lib/peri/error.ex:383-429):
+    one violation row as a plain JSON-able dict with a list-shaped path,
+    the leaf key, and a content map of expected/actual."""
+    parts = row["path"].split(".") if row.get("path") else []
+    return {
+        "path": parts,
+        "key": parts[-1] if parts else None,
+        "message": row.get("message"),
+        "content": {
+            "rule": row.get("rule_id"),
+            "actual": row.get("actual"),
+            "expected": row.get("expected"),
+        },
+    }

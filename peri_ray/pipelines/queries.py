@@ -458,3 +458,90 @@ def multimodal_decode(sf_dir: str):
     ds = rd.from_arrow(table)
     out = decode_images(ds, decoder="fake", concurrency=2, batch_size=16)
     return out.select_columns(["media_id", "width", "height"])
+
+
+# ---------------------------------------------------------------------------
+# extended FK / constraint battery (round-1 widening)
+# ---------------------------------------------------------------------------
+
+
+def referential_lineitem_orders(sf_dir: str):
+    """FK lineitem.l_orderkey → orders.o_orderkey.  Broadcast dim here
+    (orders keys fit one object); at 100 TB switch the same call to the
+    hash-partitioned groupby path (concurrency=None → task pool reuses
+    the broadcast ref, never re-ships per batch)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    bad = referential_violations(li, "l_orderkey", orders, columns=["l_linenumber"])
+    return _collect(bad.select_columns(["l_orderkey", "l_linenumber"]),
+                    pa.schema([("l_orderkey", pa.int64()), ("l_linenumber", pa.int32())]))
+
+
+def nation_region_fk(sf_dir: str):
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey"])
+    bad = referential_violations(nation, "n_regionkey", region, columns=["n_nationkey"])
+    return _collect(bad.select_columns(["n_nationkey", "n_regionkey"]),
+                    pa.schema([("n_nationkey", pa.int32()), ("n_regionkey", pa.int32())]))
+
+
+def customer_name_regex_violations(sf_dir: str):
+    """{:string, {:regex, r}} kernel over a real table
+    (pc.match_substring_regex, SURVEY §2.3)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    spec = {"c_custkey": ("required", "integer"),
+            "c_name": ("string", ("regex", "^Customer#[0-9]{9}$"))}
+    combined = validate_dataset(ds, spec, id_column="c_custkey")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["c_custkey", "c_name"])
+
+    bad = combined.map_batches(_f, batch_format="pyarrow")
+    return _collect(bad, pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]))
+
+
+def part_size_conformity(sf_dir: str):
+    """Integer range kernel → one-row conformity summary."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    spec = {"p_partkey": ("required", "integer"),
+            "p_size": ("integer", ("range", (1, 50)))}
+    combined = validate_dataset(ds, spec, id_column="p_partkey")
+
+    def _counts(t: pa.Table) -> pa.Table:
+        ok = pc.sum(t.column("valid")).as_py() or 0
+        return pa.table({"ok": pa.array([ok], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = combined.map_batches(_counts, batch_format="pyarrow")
+    n_ok, n = int(parts.sum("ok") or 0), int(parts.sum("n") or 0)
+    return pa.table({"n_valid": pa.array([n_ok], pa.int64()),
+                     "n_invalid": pa.array([n - n_ok], pa.int64())})
+
+
+def orders_status_enum_histogram(sf_dir: str):
+    """Enum check + histogram in one pass: counts per o_orderstatus
+    restricted to the legal set (combined kernel + groupby-count)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    spec = {"o_orderkey": ("required", "integer"),
+            "o_orderstatus": ("enum", ["O", "F", "P"])}
+    combined = validate_dataset(ds, spec, id_column="o_orderkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("valid"))
+        g = t.select(["o_orderstatus"]).group_by("o_orderstatus").aggregate(
+            [("o_orderstatus", "count")]
+        )
+        return g.rename_columns(["o_orderstatus", "cnt"])
+
+    part = combined.map_batches(_partial, batch_format="pyarrow")
+    tot = part.groupby("o_orderstatus").sum("cnt")
+    return tot.map_batches(lambda t: t.rename_columns(["o_orderstatus", "cnt"]),
+                           batch_format="pyarrow")
+
+
+def seeded_sample_documents(sf_dir: str):
+    """Seeded conformance sampling (SURVEY §2.7: ds.random_sample).
+    Rows-only: the oracle cannot reproduce Ray's sampler; the driver
+    checks shape/rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.random_sample(0.05, seed=1234)

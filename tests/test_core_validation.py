@@ -564,3 +564,34 @@ class TestAdditionalKeys:
     def test_bad_opts_rejected(self):
         with pytest.raises(InvalidSchemaError):
             validate_spec({"cfg": ("schema", {"p": "integer"}, ("additional_keys",))})
+
+
+class TestErrorTraversal:
+    """traverse_errors / error_to_map parity (lib/peri/error.ex:212-223,
+    383-429) over the violations table."""
+
+    def test_traverse_violations_table(self):
+        from peri_ray import traverse_violations
+
+        _, viols = run(
+            {"age": ("integer", ("gte", 18))}, {"age": [17, 30, 2]}
+        )
+        out = traverse_violations(viols, lambda r: f"[i18n] {r['message']}")
+        msgs = out.column("message").to_pylist()
+        assert len(msgs) == 2
+        assert all(m.startswith("[i18n] should be greater then or equal") for m in msgs)
+        # non-message columns untouched
+        assert out.column("rule_id").to_pylist() == ["integer.gte"] * 2
+
+    def test_violation_to_map(self):
+        from peri_ray import violation_to_map
+
+        _, viols = run(
+            {"user": {"email": ("required", "string")}},
+            {"user": [{"email": None}]},
+        )
+        m = violation_to_map(viols.to_pylist()[0])
+        assert m["path"] == ["user", "email"]
+        assert m["key"] == "email"
+        assert m["content"]["rule"] == "required"
+        assert "is required" in m["message"]
