@@ -54,6 +54,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_conformity": q.part_size_conformity,
         "orders_status_enum_histogram": q.orders_status_enum_histogram,
         "seeded_sample_documents": q.seeded_sample_documents,
+        "orders_key_multiple_of": q.orders_key_multiple_of,
+        "orders_date_violations": q.orders_date_violations,
+        "supplier_acctbal_violations": q.supplier_acctbal_violations,
+        "supplier_nation_fk": q.supplier_nation_fk,
+        "events_value_either_bounds": q.events_value_either_bounds,
+        "embedding_len_conformity": q.embedding_len_conformity,
+        "doc_text_min_violations": q.doc_text_min_violations,
         # [NORTH] table-level checks (SURVEY §2.7)
         "referential_docs_lang": q.referential_docs_lang,
         "referential_orders_customer": q.referential_orders_customer,
@@ -78,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_sketches_lineitem": q.column_sketches_lineitem,
         "flagship_documents": q.flagship_documents,
         "multimodal_decode": q.multimodal_decode,
+        "lsh_ann_topk": q.lsh_ann_topk,
+        "simhash_near_dup_pairs": q.simhash_near_dup_pairs,
+        "doc_fingerprints": q.doc_fingerprints,
+        "bpe_token_counts": q.bpe_token_counts,
+        "frame_samples": q.frame_samples,
+        "drift_lang_documents": q.drift_lang_documents,
     }
 
 
@@ -163,6 +176,37 @@ def oracle_sql() -> dict[str, str]:
         "orders_status_enum_histogram": (
             "SELECT o_orderstatus, count(*) AS cnt FROM orders "
             "WHERE o_orderstatus IN ('O','F','P') GROUP BY o_orderstatus"
+        ),
+        "orders_key_multiple_of": (
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey IS NOT NULL AND o_orderkey % 5 <> 0"
+        ),
+        "orders_date_violations": (
+            "SELECT o_orderkey FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_orderdate < TIMESTAMP '1995-07-01'"
+        ),
+        "supplier_acctbal_violations": (
+            "SELECT s_suppkey, s_acctbal FROM supplier "
+            "WHERE s_acctbal IS NOT NULL AND s_acctbal < 0.0"
+        ),
+        "supplier_nation_fk": (
+            "SELECT s.s_suppkey, s.s_nationkey FROM supplier s "
+            "LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE s.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL"
+        ),
+        "events_value_either_bounds": (
+            "SELECT event_id, value FROM events WHERE value IS NOT NULL "
+            "AND NOT (value <= 10.0 OR value >= 90.0)"
+        ),
+        "embedding_len_conformity": (
+            "SELECT CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 64 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
+            "CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid FROM embeddings"
+        ),
+        "doc_text_min_violations": (
+            "SELECT doc_id FROM documents "
+            "WHERE text IS NOT NULL AND length(text) < 100"
         ),
         "referential_docs_lang": (
             f"SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}"

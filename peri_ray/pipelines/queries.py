@@ -545,3 +545,177 @@ def seeded_sample_documents(sf_dir: str):
     checks shape/rows."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return ds.random_sample(0.05, seed=1234)
+
+
+# ---------------------------------------------------------------------------
+# temporal / either / list-constraint kernels with oracles
+# ---------------------------------------------------------------------------
+
+
+def orders_key_multiple_of(sf_dir: str):
+    """{:multiple_of, n} kernel (lib/peri.ex:961-968,1432-1438) over a
+    real int column: order keys not divisible by 5."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    spec = {"o_orderkey": ("integer", ("multiple_of", 5))}
+    combined = validate_dataset(ds, spec, id_column=None)
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["o_orderkey"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def orders_date_violations(sf_dir: str):
+    """[NORTH] temporal comparison constraint (Peri only type-checks
+    temporal values, lib/peri.ex:788-792): orders before the 1995-07-01
+    watermark."""
+    import datetime
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    spec = {"o_orderdate": ("datetime", ("gte", datetime.datetime(1995, 7, 1)))}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column=None)
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["o_orderkey"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def supplier_acctbal_violations(sf_dir: str):
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    spec = {"s_acctbal": ("float", ("gte", 0.0))}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column=None)
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["s_suppkey", "s_acctbal"])
+
+    bad = combined.map_batches(_f, batch_format="pyarrow")
+    return _collect(bad, pa.schema([("s_suppkey", pa.int64()), ("s_acctbal", pa.float64())]))
+
+
+def supplier_nation_fk(sf_dir: str):
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey"])
+    bad = referential_violations(supp, "s_nationkey", nation, columns=["s_suppkey"])
+    return _collect(bad.select_columns(["s_suppkey", "s_nationkey"]),
+                    pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int32())]))
+
+
+def events_value_either_bounds(sf_dir: str):
+    """{:either, {a, b}} first-match (lib/peri.ex:1124-1136): value must
+    be <= 10 OR >= 90; rows in the open middle violate both branches."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    spec = {"value": ("either", (("float", ("lte", 10.0)), ("float", ("gte", 90.0))))}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="event_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["event_id", "value"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def embedding_len_conformity(sf_dir: str):
+    """{:list, t, opts} min/max length kernels (lib/peri.ex:1218-1225)
+    → one-row conformity summary over the embeddings table."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    spec = {"embedding": ("list", "float", {"min": 64, "max": 64})}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="vec_id")
+
+    def _counts(t: pa.Table) -> pa.Table:
+        ok = pc.sum(t.column("valid")).as_py() or 0
+        return pa.table({"ok": pa.array([ok], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = combined.map_batches(_counts, batch_format="pyarrow")
+    n_ok, n = int(parts.sum("ok") or 0), int(parts.sum("n") or 0)
+    return pa.table({"n_valid": pa.array([n_ok], pa.int64()),
+                     "n_invalid": pa.array([n - n_ok], pa.int64())})
+
+
+def doc_text_min_violations(sf_dir: str):
+    """{:string, {:min, n}} codepoint-length kernel (lib/peri.ex:879-893)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    spec = {"text": ("string", ("min", 100))}
+    combined = validate_dataset(ds, spec, mode="permissive", id_column="doc_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["doc_id"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# remaining training-data operators (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def lsh_ann_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k — the scale path for ANN (only
+    bucket-matching vectors are scored; brute-force is the baseline)."""
+    from peri_ray.stages.similarity import lsh_bucketed_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], np.float32) for r in q_rows])
+    results = lsh_bucketed_topk(ds, queries, k=10, n_planes=6)
+    qi, vid, rank = [], [], []
+    for i, res in enumerate(results):
+        for j, (v, s) in enumerate(res):
+            qi.append(q_rows[i]["vec_id"])
+            vid.append(v)
+            rank.append(j)
+    return pa.table({"query_id": pa.array(qi, pa.int64()),
+                     "neighbor_id": pa.array(vid, pa.int64()),
+                     "rank": pa.array(rank, pa.int32())})
+
+
+def simhash_near_dup_pairs(sf_dir: str):
+    from peri_ray.stages.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_near_dups(ds, bands=4)
+    return _collect(pairs, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+
+def doc_fingerprints(sf_dir: str):
+    """64-bit content fingerprint per document (exact-dedup key)."""
+    from peri_ray.stages.text import add_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprints(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def bpe_token_counts(sf_dir: str):
+    from peri_ray.stages.text import bpe_ish_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: bpe_ish_count_batch(t).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def frame_samples(sf_dir: str):
+    """Video frame-sampling plumbing (multimodal stub, real Ray wiring)."""
+    from peri_ray.stages.multimodal import media_table_from_binary, sample_frames
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).take(32)
+    table = media_table_from_binary(
+        [r["doc_id"] for r in docs], [r["text"].encode() for r in docs],
+        kind="video",
+    )
+    ds = rd.from_arrow(table)
+    return sample_frames(ds, every_ms=500)
+
+
+def drift_lang_documents(sf_dir: str):
+    """Drift verdict (PSI) of the lang histogram vs the generator's
+    reference distribution — pass/fail + score as a one-row table."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    ref = {"en": 0.45, "de": 0.14, "fr": 0.14, "es": 0.14, "pt": 0.13}
+    v = drift_check(ds, "lang", ref, threshold=0.25)
+    return pa.table({"rule_id": pa.array([v["rule_id"]], pa.string()),
+                     "passed": pa.array([v["passed"]], pa.bool_()),
+                     "score": pa.array([round(v["score"], 6)], pa.float64())})

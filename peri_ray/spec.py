@@ -66,6 +66,11 @@ PRIMITIVES = {
 STRING_CONSTRAINTS = {"regex", "eq", "min", "max"}
 NUMERIC_CONSTRAINTS = {"eq", "neq", "gt", "gte", "lt", "lte", "range", "multiple_of"}
 LIST_CONSTRAINTS = {"min", "max", "unique"}
+# [NORTH] extension beyond the reference (Peri only type-checks temporal
+# values, lib/peri.ex:788-792): ordered comparisons on date/time columns,
+# needed for warc_ts bounds checks on the web_pages table.
+TEMPORAL_TYPES = {"date", "time", "datetime", "naive_datetime", "duration"}
+TEMPORAL_CONSTRAINTS = {"eq", "neq", "gt", "gte", "lt", "lte", "range"}
 
 # Tags that construct a composite type (vs ``(type, constraint)`` pairs).
 TYPE_TAGS = {
@@ -268,6 +273,8 @@ def _check_type(t: Any, path: str, errors: list[str]) -> None:
                 if inner == "string"
                 else NUMERIC_CONSTRAINTS
                 if inner in ("integer", "float")
+                else TEMPORAL_CONSTRAINTS
+                if inner in TEMPORAL_TYPES
                 else set()
             )
             if not allowed:

@@ -262,7 +262,9 @@ class SimHasher:
             if len(sh) == 0:
                 continue
             bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = bits.sum(axis=0) * 2 - len(sh)  # +1 for set bits, -1 unset
+            # int64 cast before the subtraction: uint64 arithmetic would
+            # wrap below zero and turn every non-tied vote positive
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
             fp = np.uint64(0)
             for bit in np.flatnonzero(votes > 0):
                 fp |= np.uint64(1) << np.uint64(bit)

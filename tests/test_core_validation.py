@@ -595,3 +595,36 @@ class TestErrorTraversal:
         assert m["key"] == "email"
         assert m["content"]["rule"] == "required"
         assert "is required" in m["message"]
+
+
+class TestTemporalConstraints:
+    """[NORTH] extension: ordered comparisons on temporal columns (the
+    reference only type-checks temporal values, lib/peri.ex:788-792)."""
+
+    def test_datetime_gte(self):
+        import datetime
+
+        out, viols = run(
+            {"ts": ("datetime", ("gte", datetime.datetime(1995, 1, 1)))},
+            {"ts": pa.array([datetime.datetime(1994, 6, 1),
+                             datetime.datetime(1996, 1, 1), None],
+                            pa.timestamp("us"))},
+        )
+        assert out.column("valid").to_pylist() == [False, True, True]
+        assert viols.column("rule_id").to_pylist() == ["datetime.gte"]
+
+    def test_date_range(self):
+        import datetime
+
+        out, viols = run(
+            {"d": ("date", ("range", (datetime.date(2000, 1, 1),
+                                      datetime.date(2001, 1, 1))))},
+            {"d": pa.array([datetime.date(1999, 1, 1),
+                            datetime.date(2000, 6, 1)], pa.date32())},
+        )
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.column("rule_id").to_pylist() == ["date.range"]
+
+    def test_multiple_of_rejected_on_temporal(self):
+        with pytest.raises(InvalidSchemaError):
+            validate_spec({"d": ("datetime", ("multiple_of", 5))})

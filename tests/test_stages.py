@@ -163,14 +163,43 @@ class TestDedup:
     def test_simhash_near_dups(self):
         from peri_ray.stages.dedup import simhash_near_dups
 
-        base = "the quick brown fox jumps over the lazy dog " * 10
+        rng = np.random.default_rng(3)
+        words = [f"w{rng.integers(0, 100000)}" for _ in range(300)]
+        base = " ".join(words)
+        near = " ".join(words[:-1] + ["changed"])  # one token edit → tiny hamming
+        far = " ".join(f"v{rng.integers(0, 100000)}" for _ in range(300))
         rows = [
             {"doc_id": 1, "text": base},
-            {"doc_id": 2, "text": base[:-4] + "cat "},
-            {"doc_id": 3, "text": "totally unrelated words here about chemistry"},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
         ]
         pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(rd.from_items(rows)).take_all()}
         assert (1, 2) in pairs
+        # unrelated docs must NOT pair (regression: uint64 vote wraparound
+        # collapsed every odd-shingle-count doc onto the all-ones hash)
+        assert all(3 not in p for p in pairs)
+
+    def test_simhash_fingerprints_distinct_for_unrelated(self):
+        from peri_ray.stages.dedup import simhash_fingerprints
+
+        rows = [
+            {"doc_id": i, "text": f"document {i} about {t} with unique trailing token zz{i}"}
+            for i, t in enumerate(
+                ["astronomy stars galaxies", "cooking pasta sauces",
+                 "football leagues scores", "quantum chromodynamics lattice",
+                 "gardening soil compost", "violin concerto baroque",
+                 "databases indexing btrees"]
+            )
+        ]
+        fps = [r["simhash"] for r in simhash_fingerprints(rd.from_items(rows)).take_all()]
+        assert len(set(fps)) == len(fps)
+        # pairwise hamming must be substantial for unrelated texts
+        import numpy as np
+
+        h = np.asarray(fps, np.int64).view(np.uint64)
+        for i in range(len(h)):
+            for j in range(i + 1, len(h)):
+                assert bin(int(h[i] ^ h[j])).count("1") >= 8
 
 
 class TestSimilarity:
