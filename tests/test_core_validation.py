@@ -628,3 +628,96 @@ class TestTemporalConstraints:
     def test_multiple_of_rejected_on_temporal(self):
         with pytest.raises(InvalidSchemaError):
             validate_spec({"d": ("datetime", ("multiple_of", 5))})
+
+
+class TestMapTupleMeta:
+    """{:map, v} / {:map, k, v} (lib/peri.ex:1227-1261), {:tuple, [t...]}
+    (lib/peri.ex:1164-1172,1325-1349) and {:meta, t, opts} passthrough."""
+
+    def test_map_value_type(self):
+        arr = pa.array(
+            [[("a", 1), ("b", 2)], [("c", 3)], None],
+            pa.map_(pa.string(), pa.int64()),
+        )
+        out, viols = run({"m": ("map", "integer")}, {"m": arr})
+        assert out.column("valid").to_pylist() == [True, True, True]
+
+    def test_map_bad_value(self):
+        arr = pa.array(
+            [[("a", "x")], [("b", "y")]],
+            pa.map_(pa.string(), pa.string()),
+        )
+        out, viols = run({"m": ("map", "integer")}, {"m": arr})
+        assert out.column("valid").to_pylist() == [False, False]
+        assert all(r == "type.integer" for r in viols.column("rule_id").to_pylist())
+
+    def test_map_key_and_value(self):
+        arr = pa.array(
+            [[("a", 1)], [("b", 2)]],
+            pa.map_(pa.string(), pa.int64()),
+        )
+        out, _ = run({"m": ("map", "string", "integer")}, {"m": arr})
+        assert out.column("valid").to_pylist() == [True, True]
+
+    def test_tuple_per_index(self):
+        arr = pa.array(
+            [{"f0": 1.5, "f1": 2.5}, {"f0": 0.5, "f1": None}],
+            pa.struct([("f0", pa.float64()), ("f1", pa.float64())]),
+        )
+        out, viols = run(
+            {"coords": ("tuple", ["float", ("float", ("gt", 1.0))])},
+            {"coords": arr},
+        )
+        assert out.column("valid").to_pylist() == [True, True]
+        out2, viols2 = run(
+            {"coords": ("tuple", [("float", ("gt", 1.0)), "float"])},
+            {"coords": arr},
+        )
+        assert out2.column("valid").to_pylist() == [True, False]
+        # per-index error path coords.0 (lib/peri.ex:1335-1340)
+        assert viols2.column("path").to_pylist() == ["coords.0"]
+
+    def test_tuple_arity_mismatch(self):
+        arr = pa.array([{"f0": 1}], pa.struct([("f0", pa.int64())]))
+        out, viols = run({"t": ("tuple", ["integer", "integer"])}, {"t": arr})
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.column("rule_id").to_pylist() == ["tuple.size"]
+
+    def test_meta_transparent(self):
+        out, viols = run(
+            {"age": ("meta", ("integer", ("gte", 18)), {"description": "years"})},
+            {"age": [17, 21]},
+        )
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.column("rule_id").to_pylist() == ["integer.gte"]
+
+
+class TestMultiUnknownTag:
+    def test_unknown_tag_lists_known(self):
+        out, viols = run(
+            {"v": ("multi", "kind", {"a": "integer", "b": "string"})},
+            {"kind": ["a", "zzz"], "v": pa.array([1, 2], pa.int64())},
+            mode="permissive",
+        )
+        assert out.column("valid").to_pylist() == [True, False]
+        (msg,) = viols.column("message").to_pylist()
+        assert ":a" in msg and ":b" in msg and "zzz" in msg
+
+
+class TestSummarize:
+    """summarize/1 truncated rendering (lib/peri/error.ex:306-320) —
+    asserted because messages embed it verbatim (test/peri_test.exs:2844-53)."""
+
+    def test_truncation(self):
+        from peri_ray import summarize
+
+        s = summarize({k: "string" for k in ["a", "b", "c", "d", "e"]}, max_keys=3)
+        assert s == "%{a, b, c, +2 more}"
+
+    def test_required_missing_message_embeds_summary(self):
+        out, viols = run(
+            {"user": ("required", {"name": "string", "email": "string"})},
+            {"user": pa.array([None], pa.struct([("name", pa.string()), ("email", pa.string())]))},
+        )
+        (msg,) = viols.column("message").to_pylist()
+        assert "%{name, email}" in msg
