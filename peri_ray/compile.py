@@ -372,8 +372,12 @@ class Compiled:
         if not rows.any():
             return arr
         if isinstance(mapper, str):
-            out = _BUILTIN_TRANSFORMS[mapper](arr)
-            return pc.if_else(pa.array(rows), out, arr)
+            if mapper in _BUILTIN_TRANSFORMS:
+                out = _BUILTIN_TRANSFORMS[mapper](arr)
+                return pc.if_else(pa.array(rows), out, arr)
+            from peri_ray.functions import resolve_function
+
+            mapper = resolve_function(mapper)
         if S.is_vectorized(mapper):
             out = mapper(arr)
             if not isinstance(out, (pa.Array, pa.ChunkedArray)):
@@ -927,6 +931,10 @@ class Compiled:
     # -- custom (lib/peri.ex:1110-1122); nil skips (clause order) ----------
     def _t_custom(self, arr, active, ctx, t):
         cb = t[1]
+        if isinstance(cb, str):  # MFA-style name → registered callable
+            from peri_ray.functions import resolve_function
+
+            cb = resolve_function(cb)
         n = len(active)
         ok = np.ones(n, bool)
         violations: list[Violation] = []

@@ -150,18 +150,9 @@ def lineitem_constraint_counts(sf_dir: str):
         "l_extendedprice": ("float", ("gte", 1000.0)),
     }
     combined = validate_dataset(ds, spec, mode="permissive", id_column="l_orderkey")
-    viols = violations_dataset(combined)
+    from peri_ray.validate import violation_rule_counts
 
-    def _partial(t: pa.Table) -> pa.Table:
-        g = t.select(["rule_id", "path"]).group_by(["rule_id", "path"]).aggregate([("path", "count")])
-        return g.rename_columns(["rule_id", "path", "cnt"])
-
-    totals = viols.map_batches(_partial, batch_format="pyarrow").groupby(["rule_id", "path"]).sum("cnt")
-
-    def _rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["rule_id", "path", "cnt"])
-
-    return totals.map_batches(_rename, batch_format="pyarrow")
+    return violation_rule_counts(combined)
 
 
 def dependent_flag_mismatch_count(sf_dir: str):

@@ -1,0 +1,70 @@
+"""Sources & sinks — the engine's I/O surface.
+
+The reference has no data I/O at all (records arrive as in-memory
+terms; only *schemas* serialize, via JSON Schema —
+``lib/peri/json_schema/``), so this surface comes from Ray Data
+directly (SURVEY §2.6).  Everything here is a thin, opinionated wrapper
+that bakes in the scale rules:
+
+- **prune at the read**: always pass ``columns=`` so only needed
+  columns leave storage;
+- **resumable output**: partitioned parquet (violations by ``rule_id``,
+  validated rows by input shard), never one giant file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+__all__ = [
+    "read_table",
+    "read_json_table",
+    "read_csv_table",
+    "write_validated",
+    "write_violations",
+]
+
+
+def read_table(path: str, columns: list[str] | None = None, **kw):
+    """Parquet source with column pruning (``ray.data.read_parquet``).
+    ``path`` may be a file, a directory of shards, or a glob list."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_json_table(path: str, columns: list[str] | None = None, **kw):
+    """JSONL source; column pruning applied post-read (JSON has no
+    row-group projection)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_csv_table(path: str, columns: list[str] | None = None, **kw):
+    import ray.data as rd
+
+    ds = rd.read_csv(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_validated(combined, out_dir: str, drop: tuple[str, ...] = ("violations",)):
+    """Validated-rows sink: parquet shards under ``out_dir`` (one file
+    per block — a failed run resumes by diffing written shards via
+    ``peri_ray.state.checkpoint``)."""
+    cols = [c for c in combined.schema().names if c not in drop]
+    combined.select_columns(cols).write_parquet(out_dir)
+    return out_dir
+
+
+def write_violations(combined, out_dir: str):
+    """Violations sink, hash-partitioned by ``rule_id`` so per-rule
+    consumers read only their partition (SURVEY §2.6)."""
+    from peri_ray.validate import violations_dataset
+
+    viols = violations_dataset(combined)
+    viols.write_parquet(out_dir, partition_cols=["rule_id"])
+    return out_dir

@@ -230,6 +230,8 @@ def _check_type(t: Any, path: str, errors: list[str]) -> None:
             _check_type(t[3], path, errors)
         else:
             errors.append(f"{path}: invalid dependent form")
+    elif tag == "custom" and isinstance(t[1], str):
+        pass  # registered-function name, resolved at validation time
     elif tag == "custom":
         if not callable(t[1]):
             errors.append(f"{path}: custom validator must be callable")

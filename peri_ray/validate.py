@@ -32,6 +32,7 @@ __all__ = [
     "validate_batch",
     "validate_dataset",
     "violations_dataset",
+    "violation_rule_counts",
     "validated_dataset",
     "conforms",
     "VIOLATION_SCHEMA",
@@ -122,6 +123,37 @@ def violations_dataset(combined):
         return pa.table(cols)
 
     return combined.map_batches(_flatten, batch_format="pyarrow")
+
+
+def violation_rule_counts(combined) -> pa.Table:
+    """Per-(rule_id, path) violation counts as a small Arrow table.
+
+    Scale shape: one ≤n_rules-row partial per block (counted inside
+    ``map_batches`` from the embedded violations column), then a driver
+    merge of the tiny partials — the canonical tree-reduce.  No
+    all-to-all shuffle: a ``groupby`` exchange would move every block
+    for a result bounded by (blocks × rules) rows."""
+
+    import pyarrow.compute as pc
+
+    empty = pa.schema([("rule_id", pa.string()), ("path", pa.string()),
+                       ("cnt", pa.int64())])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t.column("violations").combine_chunks())
+        if len(flat) == 0:
+            return empty.empty_table()
+        tb = pa.table({"rule_id": pc.struct_field(flat, "rule_id"),
+                       "path": pc.struct_field(flat, "path")})
+        g = tb.group_by(["rule_id", "path"]).aggregate([("path", "count")])
+        return g.rename_columns(["rule_id", "path", "cnt"])
+
+    parts = combined.map_batches(_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return empty.empty_table()
+    merged = pa.Table.from_pylist(parts, schema=empty)
+    out = merged.group_by(["rule_id", "path"]).aggregate([("cnt", "sum")])
+    return out.rename_columns(["rule_id", "path", "cnt"])
 
 
 def validated_dataset(combined):

@@ -434,3 +434,78 @@ class TestFlagshipInvariant:
         assert v["valid_rows"] + v["invalid_rows"] == 3000
         rule_ids = {c["rule_id"] for c in v["checks"]}
         assert rule_ids == {"unique:url", "ref:lang", "drift:lang:psi"}
+
+
+class TestFunctionRegistry:
+    """MFA-style named callbacks (SURVEY §2.8): specs reference
+    registered functions by name, staying serializable."""
+
+    def test_custom_by_name(self):
+        from peri_ray.functions import register_function
+        from peri_ray import compile_spec
+
+        register_function("is_odd", lambda v: v % 2 == 1 or ("must be odd", {}))
+        plan = compile_spec({"n": ("custom", "is_odd")})
+        out, viols = plan.run_batch(pa.table({"n": [3, 4]}))
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.column("message").to_pylist() == ["must be odd"]
+
+    def test_transform_by_name(self):
+        from peri_ray.functions import register_function, vec
+        from peri_ray import compile_spec
+        import pyarrow.compute as pc
+
+        register_function("reverse_domain",
+                          vec(lambda arr: pc.utf8_reverse(arr)))
+        plan = compile_spec({"s": ("string", ("transform", "reverse_domain"))})
+        out, _ = plan.run_batch(pa.table({"s": ["abc"]}))
+        assert out.column("s").to_pylist() == ["cba"]
+
+    def test_unregistered_name_raises(self):
+        from peri_ray import compile_spec
+
+        plan = compile_spec({"n": ("custom", "nope_missing")})
+        with pytest.raises(KeyError):
+            plan.run_batch(pa.table({"n": [1]}))
+
+
+class TestSources:
+    def test_json_csv_roundtrip(self, tmp_path, ray_session):
+        import json
+
+        from peri_ray.sources import read_csv_table, read_json_table
+
+        rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+        jp = tmp_path / "t.jsonl"
+        jp.write_text("\n".join(json.dumps(r) for r in rows))
+        ds = read_json_table(str(jp), columns=["a"])
+        assert sorted(r["a"] for r in ds.take_all()) == [1, 2]
+        assert ds.schema().names == ["a"]
+
+        cp = tmp_path / "t.csv"
+        cp.write_text("a,b\n1,x\n2,y\n")
+        ds2 = read_csv_table(str(cp), columns=["b"])
+        assert sorted(r["b"] for r in ds2.take_all()) == ["x", "y"]
+
+    def test_partitioned_violation_sink(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from peri_ray.sources import write_violations
+        from peri_ray.validate import validate_dataset
+
+        ds = rd.from_items(
+            [{"doc_id": 1, "n": -5, "s": "ok"},
+             {"doc_id": 2, "n": 3, "s": ""}]
+        )
+        combined = validate_dataset(
+            ds,
+            {"n": ("integer", ("gte", 0)), "s": ("string", ("min", 1))},
+            mode="permissive", id_column="doc_id",
+        )
+        out = write_violations(combined, str(tmp_path / "viols"))
+        # hive-partitioned by rule_id → per-rule directories
+        parts = sorted(p.name for p in (tmp_path / "viols").iterdir())
+        assert any("integer.gte" in p for p in parts)
+        assert any("string.min" in p for p in parts)
+        back = rd.read_parquet(out).take_all()
+        assert len(back) == 2
