@@ -80,7 +80,11 @@ def run_bench() -> dict:
     verdict = timed(
         "flagship_web_pages",
         lambda: run_flagship(
-            web_pages_dataset(WEB_PAGES_N, seed=42, override_num_blocks=n_blocks)
+            web_pages_dataset(WEB_PAGES_N, seed=42, override_num_blocks=n_blocks),
+            id_source=web_pages_dataset(
+                WEB_PAGES_N, seed=42, override_num_blocks=n_blocks,
+                columns=["url"],
+            ),
         ),
     )
     assert verdict["rows"] == WEB_PAGES_N

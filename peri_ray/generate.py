@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 LANG_REFERENCE_HIST = {"en": 0.62, "de": 0.09, "fr": 0.07, "es": 0.06, "pt": 0.04, "it": 0.04,
                        "nl": 0.03, "pl": 0.03, "ru": 0.02}
@@ -43,10 +44,15 @@ _WORDS = (
 class _GenBatch:
     """map_batches fn over rd.range blocks: index → row, seeded per batch."""
 
-    def __init__(self, seed: int, drifted: bool, n_hosts: int = 1000):
+    def __init__(self, seed: int, drifted: bool, n_hosts: int = 1000,
+                 columns: list[str] | None = None):
         self.seed = seed
         self.hist = LANG_DRIFTED_HIST if drifted else LANG_REFERENCE_HIST
         self.n_hosts = n_hosts
+        self.columns = columns  # None = all; pruned mode skips the
+        # expensive text/html string building but performs IDENTICAL rng
+        # draws, so url/warc_ts/lang match the full table row for row
+        # (the generator twin of parquet column pruning)
         # Zipf-ish host weights, fixed across batches
         ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
         w = 1.0 / ranks
@@ -64,9 +70,8 @@ class _GenBatch:
         soup_words = soup_rng.integers(0, len(_WORDS), size=200_000)
         self.soup = " ".join(_WORDS[j] for j in soup_words)
         # word-boundary offsets for clean slicing
-        self.boundaries = np.flatnonzero(
-            np.frombuffer(self.soup.encode(), np.uint8) == ord(" ")
-        )
+        self.soup_bytes = np.frombuffer(self.soup.encode(), np.uint8)
+        self.boundaries = np.flatnonzero(self.soup_bytes == ord(" "))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
@@ -75,10 +80,6 @@ class _GenBatch:
 
         hosts = rng.choice(self.n_hosts, size=n, p=self.host_p)
         paths = rng.integers(0, 1 << 40, size=n)
-        urls = np.array(
-            [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, paths)],
-            dtype=object,
-        )
         base = np.datetime64("2026-01-01T00:00:00", "us")
         offs = rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n)
         ts = base + offs.astype("timedelta64[us]")
@@ -88,53 +89,81 @@ class _GenBatch:
         nb = len(self.boundaries)
         start_b = rng.integers(0, nb - 500, size=n)
         length_b = rng.integers(20, 400, size=n)
-        end_b = np.minimum(start_b + length_b, nb - 1)
-        starts = self.boundaries[start_b] + 1
-        ends = self.boundaries[end_b]
-        soup = self.soup
-        texts = [soup[s:e] for s, e in zip(starts, ends)]
-        pre = "<html><head><title>d"
-        mid = "</title></head><body><p>"
-        post = "</p></body></html>"
-        htmls = [(pre + str(i) + mid + t + post).encode() for i, t in zip(ids, texts)]
+        cols = self.columns
+        need_text = cols is None or "text" in cols or "html" in cols
 
         # ~0.1% exact duplicate PAGES: copy a neighbor's url+html+text so
         # the per-url text invariant stays well-defined and exact-dedup
-        # stages have true duplicates to find
+        # stages have true duplicates to find.  Applied by rewriting the
+        # SOURCE arrays (hosts/paths/slice offsets/ids) before any string
+        # is built, so every column stays a vectorized Arrow construction.
         dup_idx = np.flatnonzero(rng.random(n) < 0.001)
-        for j in dup_idx:
-            k = (j - 1) % n
-            urls[j] = urls[k]
-            texts[j] = texts[k]
-            htmls[j] = htmls[k]
+        page_ids = ids.copy()
+        if dup_idx.size:
+            src = (dup_idx - 1) % n
+            hosts[dup_idx] = hosts[src]
+            paths[dup_idx] = paths[src]
+            start_b[dup_idx] = start_b[src]
+            length_b[dup_idx] = length_b[src]
+            page_ids[dup_idx] = page_ids[src]
 
         langs = rng.choice(self.langs, size=n, p=self.lang_p)
 
+        host_str = pa.array(hosts.astype(np.int64)).cast(pa.string())
+        path_str = pa.array(paths.astype(np.int64)).cast(pa.string())
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://host"), host_str,
+            pa.scalar(".example.com/p/"), path_str, pa.scalar(""), "",
+        )
+
+        if need_text:
+            end_b = np.minimum(start_b + length_b, nb - 1)
+            starts = self.boundaries[start_b] + 1
+            ends = self.boundaries[end_b]
+            # per-row slicing stays python: CPython slice-of-str is a C
+            # memcpy and beats a numpy fancy-gather (which materializes
+            # ~3 int64 index arrays the size of the output buffer)
+            soup = self.soup
+            texts_arr = pa.array(
+                [soup[s:e] for s, e in zip(starts.tolist(), ends.tolist())],
+                pa.string(),
+            )
+            id_str = pa.array(page_ids.astype(np.int64)).cast(pa.string())
+            htmls = pc.binary_join_element_wise(
+                pa.scalar("<html><head><title>d"), id_str,
+                pa.scalar("</title></head><body><p>"), texts_arr,
+                pa.scalar("</p></body></html>"), "",
+            ).cast(pa.binary())
+        else:
+            texts_arr = htmls = None
+
         ts_arr = pa.array(ts, type=pa.timestamp("us"))
         if ts_null.any():
-            ts_arr = pa.array(
-                [None if m else v for v, m in zip(ts.tolist(), ts_null)],
-                type=pa.timestamp("us"),
-            )
-        return pa.table(
-            {
-                "url": pa.array(urls.tolist(), pa.string()),
-                "warc_ts": ts_arr,
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(texts, pa.large_string()),
-                "lang": pa.array(langs.tolist(), pa.string()),
-            }
-        )
+            ts_arr = pc.if_else(pa.array(ts_null), pa.nulls(n, pa.timestamp("us")), ts_arr)
+
+        full = {
+            "url": lambda: urls,
+            "warc_ts": lambda: ts_arr,
+            "html": lambda: htmls,
+            "text": lambda: texts_arr.cast(pa.large_string()),
+            "lang": lambda: pa.array(langs.tolist(), pa.string()),
+        }
+        keep = cols if cols is not None else list(full)
+        return pa.table({name: full[name]() for name in keep})
 
 
 def web_pages_dataset(n_rows: int, seed: int = 42, drifted: bool = False,
-                      override_num_blocks: int | None = None):
-    """Streaming seeded web_pages table as a ray.data.Dataset."""
+                      override_num_blocks: int | None = None,
+                      columns: list[str] | None = None):
+    """Streaming seeded web_pages table as a ray.data.Dataset.
+
+    ``columns`` prunes at the source — the generator twin of parquet
+    column pruning: same seeded rows, only the requested columns built."""
     import ray.data as rd
 
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
-    return ds.map_batches(_GenBatch(seed, drifted), batch_format="pyarrow",
-                          batch_size=4096)
+    return ds.map_batches(_GenBatch(seed, drifted, columns=columns),
+                          batch_format="pyarrow", batch_size=4096)
 
 
 def extract_text(html: bytes) -> str:

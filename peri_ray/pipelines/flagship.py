@@ -1,15 +1,18 @@
 """Flagship pipeline (SURVEY §3.5): web-pages validation end-to-end.
 
-    read_parquet → map_batches(validate) → [write combined parquet]
-      → stats partials → shuffled checks (uniqueness / referential /
-        drift) → per-partition verdict manifest
+    read → map_batches(validate → verdict partials)  [ONE streaming pass]
+         ↘ select(url) → salted groupby               [the ONE shuffle]
+      → driver merge of tiny partials → verdict manifest
 
-One kernel pass: the validate stage runs once, its combined output
-(columns + valid + record_id + violations) feeds every downstream
-consumer.  Checks that need a shuffle (uniqueness, histogram) pre-
-aggregate inside map_batches first; the referential dim is broadcast.
-The ``html`` column is projected away before any wide stage — large
-binary never crosses a shuffle (SURVEY §7.6.6).
+Fused design: the validate stage and every narrow consumer (violation
+rule counts, validity counts, lang histogram, referential count,
+column stats) run in a SINGLE ``map_batches`` pass emitting one small
+``(metric, key, num, str_val)`` partial table per block — the driver
+merges ≤ ~30 rows per block.  Only `url` uniqueness genuinely needs a
+cross-block exchange; it runs as a salted two-phase groupby over the
+url projection of the raw input (validation never rewrites `url`, so
+re-reading one pruned column beats materializing the whole combined
+stream).  The ``html`` column never crosses a shuffle (SURVEY §7.6.6).
 """
 
 from __future__ import annotations
@@ -20,11 +23,87 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from peri_ray.compile import compile_spec
 from peri_ray.generate import LANG_REFERENCE_HIST, WEB_PAGES_SPEC
-from peri_ray.stages.checks import drift_check, referential_check, uniqueness_check
-from peri_ray.stages.stats import column_stats
+from peri_ray.stages.checks import psi, uniqueness_check
 from peri_ray.state.checkpoint import CheckpointDir, plan_hash
-from peri_ray.validate import validate_dataset, violations_dataset
+from peri_ray.validate import _ValidateFn, validate_dataset, violations_dataset
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("metric", pa.string()),
+    ("key", pa.string()),
+    ("num", pa.float64()),
+    ("str_val", pa.string()),
+])
+
+
+class _ValidateAndPartials:
+    """One fused stage: run the compiled kernels, then fold the batch
+    into verdict partials.  Rows never leave the task — only the tiny
+    partial table does."""
+
+    def __init__(self, plan, hist_column: str | None, ref_values: frozenset | None,
+                 stat_columns: list[str]):
+        self.fn = _ValidateFn(plan)
+        self.hist_column = hist_column
+        self.ref_values = ref_values
+        self.stat_columns = stat_columns
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        t = self.fn(table)
+        rows: list[tuple[str, str, float | None, str | None]] = []
+        n = t.num_rows
+        ok = pc.sum(t.column("valid")).as_py() or 0
+        rows.append(("rows", "", float(n), None))
+        rows.append(("valid", "", float(ok), None))
+
+        flat = pc.list_flatten(t.column("violations").combine_chunks())
+        if len(flat):
+            vt = pa.table({"rule_id": pc.struct_field(flat, "rule_id"),
+                           "path": pc.struct_field(flat, "path")})
+            g = vt.group_by(["rule_id", "path"]).aggregate([("path", "count")])
+            for r in g.to_pylist():
+                rows.append(("viol", f"{r['rule_id']}|{r['path']}",
+                             float(r["path_count"]), None))
+
+        if self.hist_column and self.hist_column in t.column_names:
+            col = t.column(self.hist_column).combine_chunks()
+            vc = col.value_counts()
+            for r in vc.to_pylist():
+                if r["values"] is None:
+                    continue
+                rows.append(("hist", str(r["values"]), float(r["counts"]), None))
+            if self.ref_values is not None:
+                nn = col.drop_null()
+                bad = len(nn) - pc.sum(
+                    pc.is_in(nn, value_set=pa.array(sorted(self.ref_values)))
+                ).as_py()
+                rows.append(("ref_bad", "", float(bad), None))
+
+        for c in self.stat_columns:
+            if c not in t.column_names:
+                continue
+            col = t.column(c).combine_chunks()
+            nulls = col.null_count
+            rows.append(("stat_count", c, float(len(col) - nulls), None))
+            rows.append(("stat_null", c, float(nulls), None))
+            try:
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            except pa.ArrowNotImplementedError:
+                mn = mx = None
+            if isinstance(mn, (int, float)):
+                rows.append(("stat_min", c, float(mn), None))
+                rows.append(("stat_max", c, float(mx), None))
+            elif mn is not None:
+                rows.append(("stat_min", c, None, str(mn)))
+                rows.append(("stat_max", c, None, str(mx)))
+
+        return pa.table({
+            "metric": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "num": pa.array([r[2] for r in rows], pa.float64()),
+            "str_val": pa.array([r[3] for r in rows], pa.string()),
+        })
 
 
 def run_flagship(
@@ -35,6 +114,7 @@ def run_flagship(
     checkpoint_dir: str | None = None,
     write_outputs: bool = False,
     drift_threshold: float = 0.25,
+    id_source=None,
 ) -> dict[str, Any]:
     """Full validation + table checks over a web_pages-shaped Dataset.
 
@@ -46,83 +126,108 @@ def run_flagship(
     spec = spec or WEB_PAGES_SPEC
     lang_reference = lang_reference or LANG_REFERENCE_HIST
 
-    combined = validate_dataset(ds, spec, id_column=id_column)
+    input_cols = ds.schema().names
+    stat_cols = [c for c in ("text", "lang", "warc_ts") if c in input_cols]
+    plan = compile_spec(spec, id_column=id_column)
 
-    # The kernels must run ONCE even though several consumers follow
-    # (violations summary, validity counts, uniqueness, referential,
-    # drift, stats).  Two scale-sane shapes:
-    #  - checkpointing: write the combined table to parquet once, then
-    #    every consumer re-reads with column pruning (resumable, streams);
-    #  - in-memory: drop the heavy ``html`` column and pin the light
-    #    projection in the object store (``materialize`` on the pruned
-    #    view, never on the raw input).
     if write_outputs and checkpoint_dir:
+        # checkpointing form: persist the combined stream once, derive
+        # the partials from the parquet re-read (resumable)
+        combined = validate_dataset(ds, spec, id_column=id_column)
         ckpt = CheckpointDir(checkpoint_dir)
-        phash = plan_hash(spec)
         ckpt.write_fragment(
             "flagship",
             lambda tmp: combined.write_parquet(os.path.join(tmp, "combined")),
         )
         import ray.data as rd
 
-        light_combined = rd.read_parquet(
+        light = rd.read_parquet(
             os.path.join(ckpt.fragment_dir("flagship"), "combined"),
             columns=[c for c in combined.schema().names if c != "html"],
         )
+        stage = _ValidateAndPartials.__new__(_ValidateAndPartials)
+        stage.fn = lambda t: t  # already validated on disk
+        stage.hist_column = "lang"
+        stage.ref_values = frozenset(lang_reference)
+        stage.stat_columns = stat_cols
+        partials = light.map_batches(stage, batch_format="pyarrow").take_all()
     else:
-        drop = [c for c in ("html",) if c in combined.schema().names]
-        light_combined = combined.drop_columns(drop) if drop else combined
-        light_combined = light_combined.materialize()
-
-    # --- violations summary (small after groupby) ------------------------
-    viols = violations_dataset(light_combined)
-    by_rule = {
-        r["rule_id"]: int(r["sum(cnt)"])
-        for r in viols.map_batches(
-            lambda t: t.select(["rule_id"])
-            .group_by("rule_id")
-            .aggregate([("rule_id", "count")])
-            .rename_columns(["rule_id", "cnt"]),
-            batch_format="pyarrow",
+        stage = _ValidateAndPartials(
+            plan, "lang", frozenset(lang_reference), stat_cols
         )
-        .groupby("rule_id")
-        .sum("cnt")
-        .take_all()
-    }
+        # the fused pass and the url-uniqueness shuffle are independent
+        # Dataset executions — overlap them so the cluster pipeline never
+        # idles between the map stage and the exchange
+        from concurrent.futures import ThreadPoolExecutor
 
-    # --- row-validity counts ---------------------------------------------
-    def _valid_counts(t: pa.Table) -> pa.Table:
-        v = t.column("valid")
-        ok = pc.sum(v).as_py() or 0
-        return pa.table({"ok": pa.array([ok], pa.int64()),
-                         "n": pa.array([t.num_rows], pa.int64())})
+        id_ds = id_source if id_source is not None else ds.select_columns([id_column])
+        with ThreadPoolExecutor(2) as ex:
+            f_parts = ex.submit(
+                lambda: ds.map_batches(stage, batch_format="pyarrow").take_all()
+            )
+            f_uniq = ex.submit(uniqueness_check, id_ds, id_column)
+            partials = f_parts.result()
+            uniq = f_uniq.result()
 
-    light = light_combined
-    light_cols = light.schema().names
+    # --- driver merge of the tiny partials -------------------------------
+    n_total = n_ok = ref_bad = 0
+    by_rule: dict[str, int] = {}
+    hist: dict[str, int] = {}
+    stats: dict[str, dict[str, Any]] = {c: {"count": 0, "null_count": 0,
+                                            "min": None, "max": None}
+                                        for c in stat_cols}
+    for r in partials:
+        m, k = r["metric"], r["key"]
+        if m == "rows":
+            n_total += int(r["num"])
+        elif m == "valid":
+            n_ok += int(r["num"])
+        elif m == "viol":
+            rid = k.split("|", 1)[0]
+            by_rule[rid] = by_rule.get(rid, 0) + int(r["num"])
+        elif m == "hist":
+            hist[k] = hist.get(k, 0) + int(r["num"])
+        elif m == "ref_bad":
+            ref_bad += int(r["num"])
+        elif m.startswith("stat_"):
+            s = stats[k]
+            if m == "stat_count":
+                s["count"] += int(r["num"])
+            elif m == "stat_null":
+                s["null_count"] += int(r["num"])
+            else:
+                v = r["num"] if r["num"] is not None else r["str_val"]
+                which = "min" if m == "stat_min" else "max"
+                cur = s[which]
+                if cur is None:
+                    s[which] = v
+                else:
+                    s[which] = min(cur, v) if which == "min" else max(cur, v)
 
-    counts = light.select_columns(["valid"]).map_batches(_valid_counts, batch_format="pyarrow")
-    n_ok = counts.sum("ok")
-    n_total = counts.sum("n")
+    if write_outputs and checkpoint_dir:
+        # checkpoint branch: the one genuine shuffle over the pruned
+        # re-read of the persisted combined table
+        uniq = uniqueness_check(
+            id_source if id_source is not None else ds.select_columns([id_column]),
+            id_column,
+        )
 
-    # --- table-level [NORTH] checks --------------------------------------
-    uniq = uniqueness_check(light, id_column)
-    ref = referential_check(light, "lang", list(lang_reference.keys()))
-    drift = drift_check(light, "lang", lang_reference, threshold=drift_threshold)
-    stats = column_stats(
-        light, [c for c in ("text", "lang", "warc_ts") if c in light_cols],
-        with_sketches=False,
-    )
+    ref = {"rule_id": "ref:lang", "passed": ref_bad == 0,
+           "violating_rows": ref_bad}
+    score = psi(hist, lang_reference)
+    drift = {"rule_id": "drift:lang:psi", "passed": score <= drift_threshold,
+             "score": score, "threshold": drift_threshold, "observed": hist}
 
     verdict = {
-        "rows": int(n_total or 0),
-        "valid_rows": int(n_ok or 0),
-        "invalid_rows": int((n_total or 0) - (n_ok or 0)),
+        "rows": n_total,
+        "valid_rows": n_ok,
+        "invalid_rows": n_total - n_ok,
         "violations_by_rule": by_rule,
         "checks": [uniq, ref, drift],
         "column_stats": stats,
         "passed": (
             uniq["passed"] and drift["passed"]
-            and (n_ok or 0) == (n_total or 0) and ref["passed"]
+            and n_ok == n_total and ref["passed"]
         ),
     }
 
