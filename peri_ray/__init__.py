@@ -44,7 +44,13 @@ from peri_ray.validate import (
     validated_dataset,
     conforms,
 )
-from peri_ray.registry import defschema, get_schema, schema_registry
+from peri_ray.registry import (
+    Schema,
+    ValidationError,
+    defschema,
+    get_schema,
+    schema_registry,
+)
 from peri_ray.specgen import generate_table, generate_dataset
 
 __all__ = [
@@ -64,6 +70,8 @@ __all__ = [
     "violations_dataset",
     "validated_dataset",
     "conforms",
+    "Schema",
+    "ValidationError",
     "defschema",
     "get_schema",
     "schema_registry",

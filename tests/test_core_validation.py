@@ -721,3 +721,46 @@ class TestSummarize:
         )
         (msg,) = viols.column("message").to_pylist()
         assert "%{name, email}" in msg
+
+
+class TestSchemaHandle:
+    """defschema's generated surface (lib/peri.ex:339-388): name/1,
+    name!/1, conforms, format bridges — as a Schema handle."""
+
+    def test_call_validates_batch(self):
+        from peri_ray import defschema
+
+        user = defschema("user_t1", {"name": ("required", "string"),
+                                     "age": ("integer", ("gte", 0))})
+        out, viols = user(pa.table({"name": ["a", None], "age": [3, -1]}))
+        assert out.column("valid").to_pylist() == [True, False]
+        assert sorted(viols.column("rule_id").to_pylist()) == ["integer.gte", "required"]
+
+    def test_bang_raises_with_violations(self):
+        from peri_ray import defschema, ValidationError
+
+        s = defschema("pos_t1", {"n": ("integer", ("gt", 0))})
+        ok = s.validate_bang(pa.table({"n": [1, 2]}))
+        assert ok.column("n").to_pylist() == [1, 2]
+        with pytest.raises(ValidationError) as ei:
+            s.validate_bang(pa.table({"n": [1, -2]}))
+        assert "should be greater then 0" in str(ei.value)
+
+    def test_conforms_and_bridges(self):
+        from peri_ray import defschema
+
+        s = defschema("doc_t1", {"lang": ("enum", ["en", "de"])})
+        assert s.conforms(pa.table({"lang": ["en"]}))
+        assert not s.conforms(pa.table({"lang": ["xx"]}))
+        js = s.to_json_schema()
+        assert js["properties"]["lang"]["enum"] == ["en", "de"]
+        t = s.generate(50, seed=1)
+        assert s.conforms(t)
+
+    def test_walk_returns_new_schema(self):
+        from peri_ray import defschema
+
+        s = defschema("w_t1", {"a": ("required", "integer")})
+        relaxed = s.walk(lambda t: t[1] if isinstance(t, tuple) and t[0] == "required" else t)
+        assert relaxed.spec == {"a": "integer"}
+        assert relaxed.conforms(pa.table({"a": pa.array([None], pa.int64())}))
