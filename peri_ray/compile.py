@@ -132,19 +132,52 @@ class FieldResult:
 
 class Ctx:
     """Per-batch validation context — the engine twin of ``Peri.Parser``
-    (``lib/peri/parser.ex:15-112``): root batch for 2-arity callbacks,
-    current struct scope, ref-depth bookkeeping lives in the compiler."""
+    (``lib/peri/parser.ex:15-112``): root batch for callbacks (1-arity
+    sees root, 2-arity sees (current, root), lib/peri.ex:1571-1580),
+    list-element scope via :meth:`for_list_elements` (the
+    ``Parser.for_list_element`` twin, lib/peri/parser.ex:97-106).
+
+    Inside a flattened list/map scope the root is the parent batch
+    GATHERED per element (built lazily, only when a callback or a
+    root-field lookup actually needs it), so every index stays aligned
+    with the flat array."""
 
     def __init__(self, table: pa.Table):
-        self.root = table
+        self._table: pa.Table | None = table
+        self._base: "Ctx" | None = None
+        self._parent_of = None
+        self._elements: pa.Array | None = None
         self.n = table.num_rows
         self._root_rows: list[dict] | None = None
-        self.current_rows: list[dict] | None = None  # list-element scope
+        self._cur_rows: list | None = None
+
+    @property
+    def root(self) -> pa.Table:
+        if self._table is None:
+            self._table = self._base.root.take(pa.array(self._parent_of))
+        return self._table
 
     def root_rows(self) -> list[dict]:
         if self._root_rows is None:
             self._root_rows = self.root.to_pylist()
         return self._root_rows
+
+    def current_rows(self) -> list | None:
+        """List-element scope values (current_data); None at top level."""
+        if self._cur_rows is None and self._elements is not None:
+            self._cur_rows = self._elements.to_pylist()
+        return self._cur_rows
+
+    def for_list_elements(self, parent_of: np.ndarray, elements: pa.Array) -> "Ctx":
+        child = Ctx.__new__(Ctx)
+        child._table = None
+        child._base = self
+        child._parent_of = parent_of
+        child._elements = elements
+        child.n = len(parent_of)
+        child._root_rows = None
+        child._cur_rows = None
+        return child
 
 
 def _sparse_messages(template_key: str, ctx_const: dict, arr: pa.Array, idx: np.ndarray):
@@ -650,7 +683,8 @@ class Compiled:
         if n:
             np.cumsum(lens[:-1], out=starts[1:])
         flat_active = applies[parent_of] if len(flat) else np.empty(0, bool)
-        res = self._sub(elem_t).validate(flat, flat_active, ctx)
+        elem_ctx = ctx.for_list_elements(parent_of, flat)
+        res = self._sub(elem_t).validate(flat, flat_active, elem_ctx)
         elem_bad = flat_active & ~res.ok
         if elem_bad.any():
             bad_parents, first_pos = np.unique(parent_of[elem_bad], return_index=True)
@@ -833,7 +867,8 @@ class Compiled:
         arity = _callback_arity(condition)
         for i in np.flatnonzero(active):
             if arity >= 2:
-                cur = ctx.current_rows[i] if ctx.current_rows else rows[i]
+                curs = ctx.current_rows()
+                cur = curs[i] if curs is not None else rows[i]
                 out[i] = bool(condition(cur, rows[i]))
             else:
                 out[i] = bool(condition(rows[i]))
@@ -905,7 +940,8 @@ class Compiled:
         arity = _callback_arity(callback)
         for i in np.flatnonzero(active):
             if arity >= 2:
-                cur = ctx.current_rows[i] if ctx.current_rows else rows[i]
+                curs = ctx.current_rows()
+                cur = curs[i] if curs is not None else rows[i]
                 t = callback(cur, rows[i])
             else:
                 t = callback(rows[i])
@@ -993,7 +1029,9 @@ class Compiled:
         subs = [("items", t[-1])] if len(t) == 2 else [("keys", t[1]), ("items", t[2])]
         for which, sub_t in subs:
             flat = getattr(arr, which)
-            res = self._sub(sub_t).validate(flat, flat_active, ctx)
+            res = self._sub(sub_t).validate(
+                flat, flat_active, ctx.for_list_elements(parent_of, flat)
+            )
             bad = flat_active & ~res.ok
             if bad.any():
                 bad_parents = np.unique(parent_of[bad])

@@ -764,3 +764,53 @@ class TestSchemaHandle:
         relaxed = s.walk(lambda t: t[1] if isinstance(t, tuple) and t[0] == "required" else t)
         assert relaxed.spec == {"a": "integer"}
         assert relaxed.conforms(pa.table({"a": pa.array([None], pa.int64())}))
+
+
+class TestListElementCallbacks:
+    """2-arity/root-access callbacks inside list elements — the engine
+    twin of Parser.for_list_element scoping (lib/peri/parser.ex:97-106;
+    test/nested_list_callback_test.exs).  Regression: the flattened
+    element scope must gather root rows per element, not reuse the
+    parent batch's indices."""
+
+    def test_cond_root_access_multi_element(self):
+        spec = {
+            "strict_mode": "boolean",
+            "items": ("list", {"v": ("cond",
+                                     lambda row: row.get("strict_mode"),
+                                     ("integer", ("gte", 10)), "integer")}),
+        }
+        out, viols = run(spec, {
+            "strict_mode": [True, False],
+            "items": [[{"v": 5}, {"v": 20}, {"v": 6}], [{"v": 5}]],
+        }, mode="permissive")
+        assert out.column("valid").to_pylist() == [False, True]
+        # halt-on-first: only the FIRST failing element reported
+        assert viols.column("path").to_pylist() == ["items.0"]
+
+    def test_dependent_resolves_other_from_root(self):
+        # {:dependent, field, cb, t}: dependent_val comes from ROOT
+        # (lib/peri.ex:1039-1046), aligned per element
+        spec = {
+            "expected_tag": "string",
+            "tags": ("list", ("dependent", "expected_tag",
+                              ("eq", "tag must match expected"), "string")),
+        }
+        out, viols = run(spec, {
+            "expected_tag": ["x", "y"],
+            "tags": [["x", "x", "z"], ["y"]],
+        }, mode="permissive")
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.column("path").to_pylist() == ["tags.2"]
+
+    def test_two_arity_cond_sees_element_and_root(self):
+        spec = {
+            "limit": "integer",
+            "ns": ("list", ("cond",
+                            lambda cur, root: cur is not None and cur > root["limit"],
+                            ("integer", ("lte", 0)), "integer")),
+        }
+        out, viols = run(spec, {"limit": [10, 10], "ns": [[5, 50], [1, 2]]},
+                         mode="permissive")
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.column("path").to_pylist() == ["ns.1"]
