@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q.bpe_token_counts,
         "frame_samples": q.frame_samples,
         "drift_lang_documents": q.drift_lang_documents,
+        "winnow_shared_passages": q.winnow_shared_passages,
+        "ivf_ann_topk": q.ivf_ann_topk,
     }
 
 

@@ -710,3 +710,36 @@ def drift_lang_documents(sf_dir: str):
     return pa.table({"rule_id": pa.array([v["rule_id"]], pa.string()),
                      "passed": pa.array([v["passed"]], pa.bool_()),
                      "score": pa.array([round(v["score"], 6)], pa.float64())})
+
+
+def winnow_shared_passages(sf_dir: str):
+    """Winnowing fingerprints → doc pairs sharing copied passages
+    (rolling k-gram hash + window minima; SIGMOD'03 winnowing)."""
+    from peri_ray.stages.text import shared_passage_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # k spans ~5 words: with the synthetic tables' small vocabulary,
+    # shorter grams collide across every doc; ≥24-char grams isolate
+    # genuinely copied passages (24 stable pairs at sf0.01)
+    pairs = shared_passage_pairs(ds, k=32, window=32, min_shared=2)
+    return _collect(pairs, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+
+def ivf_ann_topk(sf_dir: str):
+    """IVF-Flat approximate top-k over embeddings (coarse quantizer
+    trained on a sample, nprobe cells scanned)."""
+    from peri_ray.stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], np.float32) for r in q_rows])
+    results = ivf_topk(ds, queries, k=10, n_cells=8, nprobe=3)
+    qi, vid, rank = [], [], []
+    for i, res in enumerate(results):
+        for j, (v, s) in enumerate(res):
+            qi.append(q_rows[i]["vec_id"])
+            vid.append(v)
+            rank.append(j)
+    return pa.table({"query_id": pa.array(qi, pa.int64()),
+                     "neighbor_id": pa.array(vid, pa.int64()),
+                     "rank": pa.array(rank, pa.int32())})

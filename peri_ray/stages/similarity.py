@@ -157,3 +157,78 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
 
     pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).max("cosine")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(X: np.ndarray, n_cells: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Small k-means on a driver-side training sample (spherical:
+    vectors are normalized, distance = 1 - cosine)."""
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+class _IVFAssign:
+    """Stateful stage: centroids built once per actor from the broadcast
+    training sample (ray.put handle — shipped once, not per batch)."""
+
+    def __init__(self, centroids_ref, id_col: str, vec_col: str):
+        import ray
+
+        self.cent = ray.get(centroids_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(table.column(self.vec_col)))
+        cell = (m @ self.cent.T).argmax(axis=1).astype(np.int32)
+        return table.append_column("cell", pa.array(cell))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, train_sample: int = 4096, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF approximate top-k: train a coarse quantizer on a sample,
+    assign every vector to its nearest centroid cell, then score only
+    vectors in each query's ``nprobe`` closest cells.  Scanned fraction
+    ≈ nprobe/n_cells; recall grows with nprobe (IVF-Flat semantics).
+
+    Scale path: centroids broadcast once via ray.put; assignment is a
+    stateless vectorized stage; candidate filtering happens inside
+    map_batches so only the scanned fraction reaches the scorer."""
+    import ray
+
+    q = _normalize(np.asarray(queries, np.float32))
+    sample = ds.take(train_sample)
+    X = _normalize(np.stack([np.asarray(r[vec_col], np.float32) for r in sample]))
+    cent = _kmeans(X, n_cells, seed=seed)
+    cent_ref = ray.put(cent)
+
+    probe_cells = set(
+        np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].ravel().tolist()
+    )
+    assigned = ds.map_batches(
+        _IVFAssign, fn_constructor_kwargs=dict(
+            centroids_ref=cent_ref, id_col=id_col, vec_col=vec_col),
+        concurrency=4, batch_format="pyarrow",
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        mask = pa.array([c in probe_cells for c in t.column("cell").to_pylist()])
+        return t.filter(mask).drop_columns(["cell"])
+
+    candidates = assigned.map_batches(_filter, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, id_col, vec_col)

@@ -177,3 +177,97 @@ def fingerprint_batch(table: pa.Table, text_col: str = "text",
 def add_fingerprints(ds, text_col: str = "text", batch_size: int | None = 8192):
     return ds.map_batches(lambda t: fingerprint_batch(t, text_col),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+def winnow_batch(table: pa.Table, k: int = 8, window: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling k-gram hashes → per-window minimum selection.
+    Output is flat (id, fingerprint, pos) rows — two docs sharing any
+    selected fingerprint share a k-gram region, so a groupby on
+    ``fingerprint`` finds copied passages at any scale.
+
+    Vectorized: the rolling hash over each text is a numpy polynomial
+    rolling hash; window minima via a stride-tricks sliding window."""
+    txt = table.column(text_col).combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    ids_out: list[int] = []
+    fps_out: list[int] = []
+    pos_out: list[int] = []
+    B = np.uint64(1000003)
+    Bk = B ** np.uint64(k - 1)
+    ids = table.column(id_col).to_pylist()
+    for did, t in zip(ids, txt.to_pylist()):
+        if not t or len(t) < k:
+            continue
+        b = np.frombuffer(t.encode("utf-8", "ignore"), np.uint8).astype(np.uint64)
+        n = len(b) - k + 1
+        if n <= 0:
+            continue
+        # rolling hash h[i+1] = (h[i] - b[i]*B^(k-1)) * B + b[i+k]
+        with np.errstate(over="ignore"):
+            hashes = np.zeros(n, np.uint64)
+            first = np.uint64(0)
+            for j in range(k):
+                first = first * B + b[j]
+            hashes[0] = first
+            if n > 1:
+                drop = b[: n - 1] * Bk
+                add = b[k:]
+                cur = first
+                for i in range(1, n):  # small texts; O(len) scalar loop
+                    cur = (cur - drop[i - 1]) * B + add[i - 1]
+                    hashes[i] = cur
+        if n <= window:
+            sel = np.array([int(np.argmin(hashes))])
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            mins = sw.argmin(axis=1) + np.arange(len(sw))
+            sel = np.unique(mins)
+        ids_out.extend([did] * len(sel))
+        fps_out.extend(hashes[sel].astype(np.int64).tolist())
+        pos_out.extend(sel.tolist())
+    return pa.table({
+        id_col: pa.array(ids_out, pa.int64()),
+        "fingerprint": pa.array(fps_out, pa.int64()),
+        "pos": pa.array(pos_out, pa.int32()),
+    })
+
+
+def winnow_fingerprints(ds, k: int = 8, window: int = 16,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        batch_size: int | None = 2048):
+    """flat_map-shaped: more output rows than input (one per selected
+    k-gram).  Shared-passage detection = groupby("fingerprint")."""
+    return ds.map_batches(lambda t: winnow_batch(t, k, window, text_col, id_col),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+def shared_passage_pairs(ds, k: int = 8, window: int = 16, min_shared: int = 2,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Doc pairs sharing ≥ min_shared winnowing fingerprints (copied
+    passages).  Shuffle keys on the fingerprint hash; only (fingerprint,
+    id) pairs move."""
+    import itertools
+
+    fps = winnow_fingerprints(ds, k, window, text_col, id_col)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        docs = sorted(set(group.column(id_col).to_pylist()))
+        a, b = [], []
+        for xa, xb in itertools.combinations(docs, 2):
+            a.append(xa)
+            b.append(xb)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    pairs = fps.groupby("fingerprint").map_groups(_pairs, batch_format="pyarrow")
+    counted = pairs.groupby(["id_a", "id_b"]).count()
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("count()"), min_shared)).select(
+            ["id_a", "id_b"]
+        )
+
+    return counted.map_batches(_filter, batch_format="pyarrow")

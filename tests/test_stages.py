@@ -509,3 +509,58 @@ class TestSources:
         assert any("string.min" in p for p in parts)
         back = rd.read_parquet(out).take_all()
         assert len(back) == 2
+
+
+class TestWinnowing:
+    def test_shared_passages_detected(self):
+        from peri_ray.stages.text import shared_passage_pairs
+
+        base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+        rows = [
+            {"doc_id": 1, "text": base + " ending one"},
+            {"doc_id": 2, "text": "entirely different words about mathematics and physics theory"},
+            {"doc_id": 3, "text": "prefix text then " + base},
+        ]
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in shared_passage_pairs(rd.from_items(rows), min_shared=3).take_all()}
+        assert (1, 3) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_winnow_self_coverage(self):
+        from peri_ray.stages.text import winnow_batch
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": ["some reasonably long text " * 8]})
+        out = winnow_batch(t)
+        # winnowing guarantees ≥1 selection per window span
+        assert out.num_rows >= 5
+        assert set(out.column_names) == {"doc_id", "fingerprint", "pos"}
+
+
+class TestIVF:
+    def test_ivf_matches_brute_force_with_full_probe(self):
+        from peri_ray.stages.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(4)
+        vecs = rng.normal(size=(300, 16)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+        ds = rd.from_items(rows)
+        q = vecs[:2]
+        exact = brute_force_topk(rd.from_items(rows), q, k=5)
+        # nprobe == n_cells → scans everything → must equal brute force
+        approx = ivf_topk(ds, q, k=5, n_cells=4, nprobe=4, train_sample=300)
+        for e, a in zip(exact, approx):
+            assert [i for i, _ in e] == [i for i, _ in a]
+
+    def test_ivf_partial_probe_recalls_self(self):
+        from peri_ray.stages.similarity import ivf_topk
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(400, 16)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(400)]
+        ds = rd.from_items(rows)
+        q = vecs[10:12]
+        res = ivf_topk(ds, q, k=3, n_cells=8, nprobe=2, train_sample=400)
+        # the query vector itself lives in its own top cell → rank-0 hit
+        assert res[0][0][0] == 10
+        assert res[1][0][0] == 11
