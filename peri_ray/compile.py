@@ -196,6 +196,27 @@ def _sparse_messages(template_key: str, ctx_const: dict, arr: pa.Array, idx: np.
     return msgs, actuals
 
 
+def _apply_error_override(violations: list["Violation"], override) -> list["Violation"]:
+    """Per-rule ``error:`` message override (``tag_error_override``,
+    lib/peri.ex:1458-1479; ``apply_override``, lib/peri/error.ex:182-195):
+    a static string replaces every message; a callable receives the
+    violation fields as a dict and returns the new message (non-string
+    returns keep the original)."""
+    if override is None:
+        return violations
+    for v in violations:
+        if callable(override):
+            new = []
+            for m, a in zip(v.messages, v.actuals):
+                r = override({"message": m, "path": v.path, "rule_id": v.rule_id,
+                              "actual": a, "expected": v.expected})
+                new.append(r if isinstance(r, str) else m)
+            v.messages = new
+        else:
+            v.messages = [str(override)] * len(v.messages)
+    return violations
+
+
 def _const_violation(
     template_key: str,
     ctx_const: dict,
@@ -377,6 +398,7 @@ class Compiled:
         applies = active & base.ok & ~nulls  # nil passes constraints (clause order, lib/peri.ex:1056)
         ok = base.ok.copy()
         violations = list(base.violations)
+        override = next((cv for cn, cv in constraints if cn == "error"), None)
         if applies.any() and not pa.types.is_null(arr2.type):
             for cname, cval in constraints:
                 if cname == "error":
@@ -388,12 +410,12 @@ class Compiled:
                 bad = applies & ~mask
                 if bad.any():
                     ok[bad] = False
-                    violations.append(
+                    violations.extend(_apply_error_override([
                         _const_violation(
                             tkey, mctx, f"{inner}.{cname}", self.path, arr2, bad,
                             expected=f"{cname} {render(cval)}",
                         )
-                    )
+                    ], override))
         return FieldResult(arr2, ok, violations)
 
     def _apply_transform(self, arr: pa.Array, mapper: Any, rows: np.ndarray, ctx: Ctx) -> pa.Array:
@@ -506,11 +528,11 @@ class Compiled:
         if bad.any():
             ok[bad] = False
             rendered = render(choices)
-            violations.append(
+            violations.extend(_apply_error_override([
                 _const_violation(
                     "enum", {"choices": rendered}, "enum", self.path, arr, bad, expected=rendered
                 )
-            )
+            ], opts.get("error")))
         return FieldResult(arr, ok, violations)
 
     # -- meta passthrough (lib/peri.ex:1788-1802) --------------------------
@@ -666,12 +688,12 @@ class Compiled:
             bad = applies & ~mask
             if bad.any():
                 ok[bad] = False
-                violations.append(
+                violations.extend(_apply_error_override([
                     _const_violation(
                         tkey, mctx, f"list.{cname}", self.path, arr, bad,
                         expected=expand(TEMPLATES[tkey], mctx),
                     )
-                )
+                ], opts.get("error")))
 
         # element validation on flattened values; failures map back to the
         # parent row, keeping only the FIRST failing element per row

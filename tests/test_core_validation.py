@@ -814,3 +814,46 @@ class TestListElementCallbacks:
                          mode="permissive")
         assert out.column("valid").to_pylist() == [False, True]
         assert viols.column("path").to_pylist() == ["ns.1"]
+
+
+class TestErrorOverrides:
+    """Per-rule error: message overrides (tag_error_override,
+    lib/peri.ex:1458-1479; apply_override lib/peri/error.ex:182-195;
+    test/custom_errors_test.exs)."""
+
+    def test_static_override_on_constraint(self):
+        out, viols = run(
+            {"age": ("integer", [("gte", 18), ("error", "too young!")])},
+            {"age": [17, 30]},
+        )
+        assert out.column("valid").to_pylist() == [False, True]
+        assert viols.column("message").to_pylist() == ["too young!"]
+
+    def test_callable_override_sees_error_fields(self):
+        cb = lambda err: f"bad {err['path']}: got {err['actual']}"
+        out, viols = run(
+            {"n": ("integer", [("lt", 10), ("error", cb)])},
+            {"n": [50]},
+        )
+        assert viols.column("message").to_pylist() == ["bad n: got 50"]
+
+    def test_enum_opts_override(self):
+        out, viols = run(
+            {"color": ("enum", ["red", "blue"], {"error": "pick red or blue"})},
+            {"color": ["green"]},
+        )
+        assert viols.column("message").to_pylist() == ["pick red or blue"]
+
+    def test_list_opts_override(self):
+        out, viols = run(
+            {"tags": ("list", "string", {"min": 2, "error": "need two tags"})},
+            {"tags": [["only-one"]]},
+        )
+        assert viols.column("message").to_pylist() == ["need two tags"]
+
+    def test_override_keeps_rule_id(self):
+        _, viols = run(
+            {"age": ("integer", [("gte", 18), ("error", "too young!")])},
+            {"age": [17]},
+        )
+        assert viols.column("rule_id").to_pylist() == ["integer.gte"]
