@@ -564,3 +564,59 @@ class TestIVF:
         # the query vector itself lives in its own top cell → rank-0 hit
         assert res[0][0][0] == 10
         assert res[1][0][0] == 11
+
+
+class TestCrashResume:
+    def test_kill_mid_run_then_resume_identical(self, tmp_path):
+        """SURVEY §5.2.5: kill after K partitions, rerun, verify the final
+        manifests equal a clean run's (idempotent fragments + atomic
+        manifest writes)."""
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash, run_partitioned
+
+        phash = plan_hash({"a": "string"})
+
+        def make_process(crash_on=None):
+            def process(frag, out_dir):
+                if frag == crash_on:
+                    raise RuntimeError("simulated worker loss")
+                with open(os.path.join(out_dir, "out.txt"), "w") as f:
+                    f.write(frag)
+                return {"rows": len(frag)}
+            return process
+
+        frags = ["f1", "f2", "f3"]
+        # crashed run: dies on f2 after f1 completed
+        ck1 = CheckpointDir(str(tmp_path / "crashed"))
+        with pytest.raises(RuntimeError):
+            run_partitioned(frags, ck1, phash, make_process(crash_on="f2"))
+        done = {m["fragment"] for m in ck1.read_manifests()}
+        assert done == {"f1"}
+        # no half-written f2 data dir survives the crash
+        assert not os.path.exists(ck1.fragment_dir("f2"))
+        # resume with a healthy process
+        resumed = run_partitioned(frags, ck1, phash, make_process())
+        # clean run for comparison
+        ck2 = CheckpointDir(str(tmp_path / "clean"))
+        clean = run_partitioned(frags, ck2, phash, make_process())
+        strip = lambda ms: sorted(
+            {k: v for k, v in m.items() if k != "written_at"}.items() for m in ms
+        )
+        assert strip(resumed) == strip(clean)
+
+
+class TestSkewedKeys:
+    def test_duplicate_detection_exact_under_zipf_skew(self):
+        """Salted/bucketed two-phase aggregation must stay EXACT when one
+        key dominates (SURVEY §7.6.7)."""
+        import collections
+
+        from peri_ray.stages.checks import duplicate_keys
+
+        rng = np.random.default_rng(11)
+        # zipf-ish: key 0 takes ~40% of rows
+        keys = [f"host{int(k)}" for k in
+                np.minimum(rng.zipf(1.3, size=20_000) - 1, 50)]
+        truth = {k: c for k, c in collections.Counter(keys).items() if c > 1}
+        ds = rd.from_items([{"k": k} for k in keys])
+        got = {r["k"]: r["cnt"] for r in duplicate_keys(ds, "k", n_buckets=16).take_all()}
+        assert got == truth
