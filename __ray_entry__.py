@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # [NORTH] table-level checks (SURVEY §2.7)
         "referential_docs_lang": q.referential_docs_lang,
         "referential_orders_customer": q.referential_orders_customer,
+        "referential_orders_customer_shuffled": q.referential_orders_customer_shuffled,
         "duplicate_user_ids": q.duplicate_user_ids,
         "duplicate_doc_ids": q.duplicate_doc_ids,
         "lang_histogram": q.lang_histogram,
@@ -212,6 +213,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "referential_docs_lang": (
             f"SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}"
+        ),
+        "referential_orders_customer_shuffled": (
+            "SELECT o.o_orderkey FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL"
         ),
         "referential_orders_customer": (
             "SELECT o_orderkey FROM orders o LEFT JOIN customer c "

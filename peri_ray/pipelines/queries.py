@@ -743,3 +743,17 @@ def ivf_ann_topk(sf_dir: str):
     return pa.table({"query_id": pa.array(qi, pa.int64()),
                      "neighbor_id": pa.array(vid, pa.int64()),
                      "rank": pa.array(rank, pa.int32())})
+
+
+def referential_orders_customer_shuffled(sf_dir: str):
+    """Hash-partitioned FK anti-join — the large-dim scale path (dim too
+    big to broadcast; both sides bucket on the key hash).  Same oracle as
+    the broadcast variant."""
+    from peri_ray.stages.checks import referential_violations_shuffled
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    bad = referential_violations_shuffled(orders, "o_custkey", cust,
+                                          columns=["o_orderkey"])
+    return _collect(bad.select_columns(["o_orderkey"]),
+                    pa.schema([("o_orderkey", pa.int64())]))

@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from peri_ray.state.sketches import hash_strings
+
 
 # ---------------------------------------------------------------------------
 # uniqueness
@@ -239,3 +241,59 @@ def drift_check(ds, column: str, reference: dict[str, float],
         "threshold": threshold,
         "observed": obs,
     }
+
+
+def referential_violations_shuffled(ds, column: str, dim, n_buckets: int = 64,
+                                    columns: list[str] | None = None):
+    """FK anti-join for dims too big to broadcast (SURVEY §2.7): both
+    sides hash-bucket on the key, one groupby co-locates each bucket,
+    and a vectorized per-bucket ``is_in`` finds fact keys absent from
+    the dim partition.  Only (key, side) pairs plus the requested fact
+    columns cross the exchange.
+
+    Same result contract as :func:`referential_violations` (null keys
+    pass); use the broadcast path whenever the dim fits one object."""
+    import ray.data as rd  # noqa: F401  (Dataset API already loaded)
+
+    fact_cols = sorted(set((columns or []) + [column]))
+    dim_key = dim.schema().names[0] if hasattr(dim, "schema") else None
+    if dim_key is None:
+        raise TypeError("shuffled referential needs the dim as a Dataset")
+    fact_schema = ds.schema()
+    fact_types = {
+        name: t for name, t in zip(fact_schema.names, fact_schema.types)
+    }
+
+    def _tag_fact(t: pa.Table) -> pa.Table:
+        t = t.select(fact_cols)
+        key_str = t.column(column).cast(pa.string())
+        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
+        return (t.append_column("__key", key_str)
+                 .append_column("__bucket", pa.array(bucket))
+                 .append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))))
+
+    def _tag_dim(t: pa.Table) -> pa.Table:
+        # dim rows ship only the canonical key; fact columns ride as
+        # typed nulls so the union schema matches the fact side exactly
+        key_str = t.column(dim_key).cast(pa.string())
+        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {c: pa.nulls(t.num_rows, fact_types[c]) for c in fact_cols}
+        out = pa.table(cols)
+        return (out.append_column("__key", key_str)
+                   .append_column("__bucket", pa.array(bucket))
+                   .append_column("__side", pa.array(np.ones(t.num_rows, np.int8))))
+
+    fact = ds.map_batches(_tag_fact, batch_format="pyarrow")
+    dims = dim.map_batches(_tag_dim, batch_format="pyarrow")
+    both = fact.union(dims)
+
+    def _anti(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        dim_keys = group.filter(pc.equal(side, 1)).column("__key").unique()
+        facts = group.filter(pc.equal(side, 0))
+        keys = facts.column("__key")
+        missing = pc.and_(pc.invert(pc.is_in(keys, value_set=dim_keys)),
+                          pc.is_valid(keys))
+        return facts.filter(missing).select(fact_cols)
+
+    return both.groupby("__bucket").map_groups(_anti, batch_format="pyarrow")

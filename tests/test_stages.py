@@ -620,3 +620,28 @@ class TestSkewedKeys:
         ds = rd.from_items([{"k": k} for k in keys])
         got = {r["k"]: r["cnt"] for r in duplicate_keys(ds, "k", n_buckets=16).take_all()}
         assert got == truth
+
+
+class TestShuffledReferential:
+    def test_matches_broadcast_path(self):
+        from peri_ray.stages.checks import (
+            referential_violations,
+            referential_violations_shuffled,
+        )
+
+        orders = rd.read_parquet(f"{SF}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        nation = rd.read_parquet(f"{SF}/nation.parquet", columns=["n_nationkey"])
+        b = sorted(r["o_orderkey"] for r in referential_violations(
+            orders, "o_custkey", nation, columns=["o_orderkey"]).take_all())
+        s = sorted(r["o_orderkey"] for r in referential_violations_shuffled(
+            orders, "o_custkey", nation, columns=["o_orderkey"]).take_all())
+        assert b == s and len(b) > 0
+
+    def test_null_keys_pass(self):
+        from peri_ray.stages.checks import referential_violations_shuffled
+
+        fact = rd.from_items([{"k": None, "x": 1}, {"k": "a", "x": 2}, {"k": "z", "x": 3}])
+        dim = rd.from_items([{"key": "a"}, {"key": "b"}])
+        bad = referential_violations_shuffled(fact, "k", dim, columns=["x"]).take_all()
+        assert [(r["k"], r["x"]) for r in bad] == [("z", 3)]
