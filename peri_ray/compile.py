@@ -620,8 +620,12 @@ class Compiled:
                 continue
             newly = remaining & res.ok
             if newly.any():
-                # first-match wins, incl. branch transforms (lib/peri.ex:1124-1136)
-                if res.values is not values:
+                # first-match wins, incl. branch transforms (lib/peri.ex:1124-1136).
+                # Branch value rewrites merge back only when the branch kept
+                # the column's physical type — a nested-schema branch's
+                # strict struct rebuild may differ (per-row schemas don't
+                # exist in a columnar world; cf. _t_multi's merge rule).
+                if res.values is not values and res.values.type == values.type:
                     values = pc.if_else(pa.array(newly), res.values, values)
                 matched |= newly
         bad = applies & ~matched

@@ -152,10 +152,15 @@ class Generator:
         self.spec = spec
         self.registry = registry or {}
         self.overrides = overrides or {}
+        self._branch_choice: dict[str, int] = {}
 
     # -- public -----------------------------------------------------------
     def table(self, n: int, seed: int = 0, validate: bool = True) -> pa.Table:
         rng = np.random.default_rng(seed)
+        # branch choices (either/oneof/multi) pin per path for the whole
+        # build: the resample loop must regenerate rows with the SAME
+        # arrow type, or concat fails on e.g. struct<f0> vs struct<f1>
+        self._branch_choice: dict[str, int] = {}
         cols = {k: self._gen(t, rng, n, path=k) for k, t in self.spec.items()}
         table = pa.table(cols)
         if not validate:
@@ -220,11 +225,15 @@ class Generator:
             return self._gen_map(t, rng, n, path)
         if tag in ("either", "oneof"):
             branches = list(t[1]) if tag == "oneof" else [t[1][0], t[1][1]]
-            pick = branches[int(rng.integers(0, len(branches)))]
+            roll = int(rng.integers(0, len(branches)))
+            key = f"{path}#{tag}:{len(branches)}"
+            pick = branches[self._branch_choice.setdefault(key, roll)]
             return self._gen(pick, rng, n, path)
         if tag == "multi":
             branches = t[2]
-            tagval = list(branches.keys())[int(rng.integers(0, len(branches)))]
+            roll = int(rng.integers(0, len(branches)))
+            key = f"{path}#multi:{len(branches)}"
+            tagval = list(branches.keys())[self._branch_choice.setdefault(key, roll)]
             return self._gen(branches[tagval], rng, n, path)
         if tag == "ref":
             return self._gen(self.registry[t[1]], rng, n, path)

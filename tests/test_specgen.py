@@ -127,3 +127,61 @@ class TestMutationProperty:
             assert rules == {rule}, (col, rule, rules)
             assert viols.num_rows == 50
             assert not any(out.column("valid").to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: ANY legal spec must round-trip generate → validate clean
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_names = st.sampled_from([f"f{i}" for i in range(8)])
+
+
+def _leaf_types():
+    prim = st.sampled_from(["string", "integer", "float", "boolean",
+                            "date", "datetime", "any"])
+    int_c = st.builds(
+        lambda lo, span: ("integer", ("range", (lo, lo + span))),
+        st.integers(-1000, 1000), st.integers(0, 500),
+    )
+    flt_c = st.builds(
+        lambda lo, span: ("float", ("range", (float(lo), float(lo + span)))),
+        st.integers(-100, 100), st.integers(1, 50),
+    )
+    str_c = st.builds(
+        lambda lo, span: ("string", [("min", lo), ("max", lo + span)]),
+        st.integers(0, 10), st.integers(1, 10),
+    )
+    enum = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1,
+                    max_size=3, unique=True).map(lambda vs: ("enum", vs))
+    lit = st.sampled_from([("literal", 42), ("literal", "on")])
+    return st.one_of(prim, int_c, flt_c, str_c, enum, lit)
+
+
+def _extend(children):
+    required = children.map(lambda t: ("required", t))
+    lst = children.map(lambda t: ("list", t))
+    nested = st.dictionaries(_names, children, min_size=1, max_size=2)
+    either = st.tuples(children, children).map(lambda p: ("either", p))
+    oneof = st.lists(children, min_size=1, max_size=3).map(
+        lambda ts: ("oneof", ts))
+    return st.one_of(required, lst, nested, either, oneof)
+
+
+_type_expr = st.recursive(_leaf_types(), _extend, max_leaves=5)
+_spec = st.dictionaries(_names, _type_expr, min_size=1, max_size=3)
+
+
+class TestHypothesisRoundTrip:
+    @given(spec=_spec, seed=st.integers(0, 1_000_000))
+    @settings(max_examples=60, deadline=None)
+    def test_generated_validates_clean(self, spec, seed):
+        from peri_ray import validate_spec
+
+        validate_spec(spec)  # grammar must only yield legal specs
+        table = generate_table(spec, 25, seed=seed)
+        assert table.num_rows == 25
+        out, viols = compile_spec(spec).run_batch(table)
+        assert viols.num_rows == 0, (spec, viols.to_pylist()[:3])
+        assert all(out.column("valid").to_pylist())
