@@ -159,14 +159,33 @@ def _leaf_types():
     return st.one_of(prim, int_c, flt_c, str_c, enum, lit)
 
 
+def _has_default(t):
+    return (isinstance(t, tuple) and len(t) == 2 and isinstance(t[1], tuple)
+            and len(t[1]) and t[1][0] == "default")
+
+
 def _extend(children):
-    required = children.map(lambda t: ("required", t))
+    # required+default is a spec ERROR by design (lib/peri.ex:829-834)
+    required = children.filter(lambda t: not _has_default(t)).map(
+        lambda t: ("required", t))
     lst = children.map(lambda t: ("list", t))
+    lst_opts = st.builds(
+        lambda t, lo, span: ("list", t, {"min": lo, "max": lo + span}),
+        children, st.integers(0, 3), st.integers(0, 3),
+    )
     nested = st.dictionaries(_names, children, min_size=1, max_size=2)
     either = st.tuples(children, children).map(lambda p: ("either", p))
     oneof = st.lists(children, min_size=1, max_size=3).map(
         lambda ts: ("oneof", ts))
-    return st.one_of(required, lst, nested, either, oneof)
+    tup = st.lists(children, min_size=1, max_size=3).map(
+        lambda ts: ("tuple", ts))
+    mp = children.map(lambda t: ("map", t))
+    dflt_int = st.integers(-5, 5).map(
+        lambda v: ("integer", ("default", v)))
+    dflt_str = st.sampled_from(["dv", "zz"]).map(
+        lambda v: ("string", ("default", v)))
+    return st.one_of(required, lst, lst_opts, nested, either, oneof,
+                     tup, mp, dflt_int, dflt_str)
 
 
 _type_expr = st.recursive(_leaf_types(), _extend, max_leaves=5)
