@@ -1188,7 +1188,7 @@ class Plan:
         }
 
     # -- batch entry -------------------------------------------------------
-    def run_batch(self, table: pa.Table) -> tuple[pa.Table, pa.Table]:
+    def run_batch(self, table: pa.Table, with_rows: bool = False) -> tuple[pa.Table, pa.Table]:
         table = table.combine_chunks()
         ctx = Ctx(table)
         n = table.num_rows
@@ -1234,7 +1234,7 @@ class Plan:
         out = pa.table(dict(zip(names, arrays)))
         out = out.append_column("valid", pa.array(valid))
 
-        violations = self._violations_table(table, all_viols)
+        violations = self._violations_table(table, all_viols, with_rows=with_rows)
         return out, violations
 
     def _record_ids(self, table: pa.Table) -> pa.Array:
@@ -1245,11 +1245,14 @@ class Plan:
             return col.fill_null("") if col.null_count else col
         return pa.array([str(i) for i in range(table.num_rows)])
 
-    def _violations_table(self, table: pa.Table, viols: list[Violation]) -> pa.Table:
+    def _violations_table(self, table: pa.Table, viols: list[Violation],
+                          with_rows: bool = False) -> pa.Table:
         if not viols:
-            return VIOLATION_SCHEMA.empty_table()
+            t = VIOLATION_SCHEMA.empty_table()
+            return t.append_column("__row", pa.array([], pa.int32())) if with_rows else t
         ids = self._record_ids(table)
         rec, rid, pth, msg, act, exp = [], [], [], [], [], []
+        rows: list[np.ndarray] = []
         for v in viols:
             taken = ids.take(pa.array(v.indices)).to_pylist()
             rec.extend(taken)
@@ -1258,7 +1261,8 @@ class Plan:
             msg.extend(v.messages)
             act.extend(v.actuals)
             exp.extend([v.expected] * len(taken))
-        return pa.table(
+            rows.append(v.indices)
+        out = pa.table(
             {
                 "record_id": pa.array(rec, pa.string()),
                 "rule_id": pa.array(rid, pa.string()),
@@ -1268,6 +1272,11 @@ class Plan:
                 "expected": pa.array(exp, pa.string()),
             }
         )
+        if with_rows:
+            out = out.append_column(
+                "__row", pa.array(np.concatenate(rows).astype(np.int32))
+            )
+        return out
 
 
 def compile_spec(spec: dict, mode: str = "strict", id_column: str | None = None,

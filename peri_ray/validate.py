@@ -66,7 +66,7 @@ class _ValidateFn:
     )
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        out, viols = self.plan.run_batch(table)
+        out, viols = self.plan.run_batch(table, with_rows=True)
         n = out.num_rows
         ids = self.plan._record_ids(table)
         out = out.append_column("record_id", ids)
@@ -77,16 +77,22 @@ class _ValidateFn:
                 offsets, pa.array([], type=self._VIOL_TYPE.value_type)
             )
             return out.append_column("violations", empty)
-        # sparse path: group violation rows by source row (error path only)
-        id_to_row: dict[str, int] = {}
-        for i, rid in enumerate(ids.to_pylist()):
-            id_to_row.setdefault(rid, i)
-        per_row: list[list[dict]] = [[] for _ in range(n)]
-        for row in viols.to_pylist():
-            i = id_to_row.get(row["record_id"])
-            if i is not None:
-                per_row[i].append({k: v for k, v in row.items() if k != "record_id"})
-        return out.append_column("violations", pa.array(per_row, type=self._VIOL_TYPE))
+        # sparse path, fully vectorized: stable-sort violation rows by
+        # their source row index, then a bincount gives the list offsets
+        rows_np = viols.column("__row").to_numpy(zero_copy_only=False)
+        order = np.argsort(rows_np, kind="stable")
+        sorted_viols = viols.take(pa.array(order))
+        fields = [f.name for f in self._VIOL_TYPE.value_type]
+        struct = pa.StructArray.from_arrays(
+            [sorted_viols.column(f).combine_chunks() for f in fields], fields
+        )
+        counts = np.bincount(rows_np, minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), struct
+        )
+        return out.append_column("violations", lists)
 
 
 def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,
