@@ -90,6 +90,30 @@ def run_bench() -> dict:
     assert verdict["rows"] == WEB_PAGES_N
 
     # representative operator pipelines over the sf tables
+    # error-path throughput: a spec every other row violates (the
+    # reference's invalid-record benchmark shape; BASELINE.md notes the
+    # error path must not collapse throughput)
+    def _error_heavy():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from peri_ray.validate import validate_dataset
+
+        ds = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity"])
+        combined = validate_dataset(
+            ds, {"l_quantity": ("float", ("multiple_of", 2.0))},
+            mode="permissive", id_column="l_orderkey",
+        )
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            nv = len(pc.list_flatten(t.column("violations")))
+            return pa.table({"nv": pa.array([nv], pa.int64())})
+
+        return int(combined.map_batches(_cnt, batch_format="pyarrow").sum("nv"))
+
+    timed("validate_error_heavy", _error_heavy)
     timed("validate_lineitem_constraints", lambda: q.lineitem_constraint_counts(SF_DIR).to_pandas())
     timed("validate_documents", lambda: q.validate_documents_violations(SF_DIR).to_pandas())
     timed("multi_dispatch_events", lambda: q.multi_dispatch_events(SF_DIR).to_pandas())

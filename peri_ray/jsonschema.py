@@ -201,6 +201,33 @@ def _decode_type(js: dict) -> Any:
             constraints.append(("max", js["maxLength"]))
         if constraints and base == "string":
             return ("string", constraints if len(constraints) > 1 else constraints[0])
+        if base != "string":
+            # temporal bounds round-trip ([NORTH] temporal constraints):
+            # the encoder writes minimum/maximum as ISO-ish strings
+            import datetime as _dt
+
+            def _parse(v):
+                if base == "date":
+                    return _dt.date.fromisoformat(str(v))
+                if base == "time":
+                    return _dt.time.fromisoformat(str(v))
+                if base == "duration":
+                    return v
+                return _dt.datetime.fromisoformat(str(v))
+
+            tconstraints = []
+            if "minimum" in js and "maximum" in js:
+                tconstraints.append(("range", (_parse(js["minimum"]), _parse(js["maximum"]))))
+            elif "minimum" in js:
+                tconstraints.append(("gte", _parse(js["minimum"])))
+            elif "maximum" in js:
+                tconstraints.append(("lte", _parse(js["maximum"])))
+            if "exclusiveMinimum" in js:
+                tconstraints.append(("gt", _parse(js["exclusiveMinimum"])))
+            if "exclusiveMaximum" in js:
+                tconstraints.append(("lt", _parse(js["exclusiveMaximum"])))
+            if tconstraints:
+                return (base, tconstraints if len(tconstraints) > 1 else tconstraints[0])
         return base
     if t in ("integer", "number"):
         base = "integer" if t == "integer" else "float"

@@ -645,3 +645,17 @@ class TestShuffledReferential:
         dim = rd.from_items([{"key": "a"}, {"key": "b"}])
         bad = referential_violations_shuffled(fact, "k", dim, columns=["x"]).take_all()
         assert [(r["k"], r["x"]) for r in bad] == [("z", 3)]
+
+
+class TestJsonSchemaTemporal:
+    def test_temporal_bounds_roundtrip(self):
+        import datetime
+
+        from peri_ray.jsonschema import from_json_schema, to_json_schema
+
+        spec = {
+            "ts": ("datetime", ("gte", datetime.datetime(1995, 1, 1))),
+            "d": ("date", ("range", (datetime.date(2000, 1, 1),
+                                     datetime.date(2001, 1, 1)))),
+        }
+        assert from_json_schema(to_json_schema(spec)) == spec
