@@ -76,16 +76,26 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Ids that would be REMOVED by exact dedup (duplicates beyond the
-    first per content)."""
+    first per content).  The keeper-id set is broadcast ONCE via
+    ray.put (read per task, never re-shipped per batch); membership is
+    a vectorized ``pc.is_in``."""
+    import ray
+
     keepers = exact_dedup_keepers(ds, text_col, id_col)
-    keep = {r["keep_id"] for r in keepers.take_all()}  # small: one per distinct doc
+    keep_ref = ray.put(pa.array(
+        sorted(r["keep_id"] for r in keepers.take_all())
+    ))
 
-    def _victims(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col)
-        mask = pa.array([v not in keep for v in ids.to_pylist()])
-        return t.filter(mask).select([id_col])
+    class _Victims:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
 
-    return ds.map_batches(_victims, batch_format="pyarrow")
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks()
+            mask = pc.invert(pc.is_in(ids, value_set=self.keep))
+            return t.filter(mask).select([id_col])
+
+    return ds.map_batches(_Victims(keep_ref), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
