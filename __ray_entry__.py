@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_either_bounds": q.events_value_either_bounds,
         "embedding_len_conformity": q.embedding_len_conformity,
         "doc_text_min_violations": q.doc_text_min_violations,
+        "props_k_range_violations": q.props_k_range_violations,
         # [NORTH] table-level checks (SURVEY §2.7)
         "referential_docs_lang": q.referential_docs_lang,
         "referential_orders_customer": q.referential_orders_customer,
@@ -206,6 +207,10 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
             "CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid FROM embeddings"
+        ),
+        "props_k_range_violations": (
+            "SELECT event_id FROM events WHERE props IS NOT NULL AND "
+            "NOT (CAST(json_extract(props, '$.k') AS INT) BETWEEN 0 AND 50)"
         ),
         "doc_text_min_violations": (
             "SELECT doc_id FROM documents "

@@ -757,3 +757,20 @@ def referential_orders_customer_shuffled(sf_dir: str):
                                           columns=["o_orderkey"])
     return _collect(bad.select_columns(["o_orderkey"]),
                     pa.schema([("o_orderkey", pa.int64())]))
+
+
+def props_k_range_violations(sf_dir: str):
+    """Semi-structured path: JSON-string props → struct → nested-schema
+    kernels ({:map} dynamic payloads in the reference; SURVEY §1.1).
+    Violations where props.k falls outside [0, 50]."""
+    from peri_ray.sources import parse_json_column
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    parsed = parse_json_column(ds, "props")
+    spec = {"props_parsed": {"k": ("required", ("integer", ("range", (0, 50))))}}
+    combined = validate_dataset(parsed, spec, mode="permissive", id_column="event_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("valid"))).select(["event_id"])
+
+    return combined.map_batches(_f, batch_format="pyarrow")

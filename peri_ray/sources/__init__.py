@@ -68,3 +68,28 @@ def write_violations(combined, out_dir: str):
     viols = violations_dataset(combined)
     viols.write_parquet(out_dir, partition_cols=["rule_id"])
     return out_dir
+
+
+def parse_json_column(ds, column: str, drop_source: bool = False,
+                      batch_size: int | None = 8192):
+    """Decode a JSON-encoded string column into a struct column named
+    ``<column>_parsed`` (semi-structured ingestion: the reference
+    validates dynamic maps; the engine's equivalent is
+    JSON-string → struct → nested-schema kernels).
+
+    Per-row ``json.loads`` is unavoidable for opaque JSON (no vectorized
+    parser in this environment); it runs inside ``map_batches`` so the
+    decode distributes across the cluster, and everything downstream is
+    back on vectorized Arrow."""
+    import json
+
+    def _parse(t: pa.Table) -> pa.Table:
+        raw = t.column(column).to_pylist()
+        parsed = [json.loads(v) if v is not None else None for v in raw]
+        arr = pa.array(parsed)
+        out = t.append_column(f"{column}_parsed", arr)
+        return out.drop_columns([column]) if drop_source else out
+
+    import ray.data as rd  # noqa: F401
+
+    return ds.map_batches(_parse, batch_format="pyarrow", batch_size=batch_size)

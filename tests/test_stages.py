@@ -659,3 +659,24 @@ class TestJsonSchemaTemporal:
                                      datetime.date(2001, 1, 1)))),
         }
         assert from_json_schema(to_json_schema(spec)) == spec
+
+
+class TestJsonColumn:
+    def test_parse_and_validate_nested(self, ray_session):
+        from peri_ray.sources import parse_json_column
+        from peri_ray.validate import validate_dataset
+
+        ds = rd.from_items([
+            {"id": 1, "props": '{"k": 10}'},
+            {"id": 2, "props": '{"k": 99}'},
+            {"id": 3, "props": None},
+        ])
+        parsed = parse_json_column(ds, "props", drop_source=True)
+        combined = validate_dataset(
+            parsed,
+            {"props_parsed": {"k": ("required", ("integer", ("range", (0, 50))))}},
+            mode="permissive", id_column="id",
+        )
+        rows = sorted(combined.take_all(), key=lambda r: r["id"])
+        # null parent passes (optional-by-default); k=99 violates range
+        assert [r["valid"] for r in rows] == [True, False, True]
