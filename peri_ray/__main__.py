@@ -16,34 +16,49 @@ import sys
 
 
 def _ensure_ray():
+    """Returns (ray, owned): shut down only a session this CLI opened —
+    never one a surrounding driver owns (driver contract)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    return ray
+    if ray.is_initialized():
+        return ray, False
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray, True
 
 
 def cmd_validate(args) -> int:
-    ray = _ensure_ray()
+    ray, owned = _ensure_ray()
     import ray.data as rd
 
     from peri_ray.jsonschema import from_json_schema
-    from peri_ray.sources import write_validated, write_violations
-    from peri_ray.validate import validate_dataset
+    from peri_ray.validate import validate_dataset, violations_dataset
 
     with open(args.schema) as f:
         spec = from_json_schema(json.load(f))
     ds = rd.read_parquet(args.input)
     combined = validate_dataset(ds, spec, mode=args.mode, id_column=args.id_column)
-    write_validated(combined, f"{args.out}/validated")
-    write_violations(combined, f"{args.out}/violations")
+    # ONE kernel pass: persist the combined stream, then derive both
+    # sinks from cheap pruned re-reads of the written parquet
+    combined_dir = f"{args.out}/combined"
+    combined.write_parquet(combined_dir)
+    names = rd.read_parquet(combined_dir).schema().names
+    validated_cols = [c for c in names if c != "violations"]
+    rd.read_parquet(combined_dir, columns=validated_cols).write_parquet(
+        f"{args.out}/validated"
+    )
+    viols = violations_dataset(
+        rd.read_parquet(combined_dir, columns=["record_id", "violations"])
+    )
+    if viols.count():
+        viols.write_parquet(f"{args.out}/violations", partition_cols=["rule_id"])
     print(json.dumps({"out": args.out}))
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0
 
 
 def cmd_flagship(args) -> int:
-    ray = _ensure_ray()
+    ray, owned = _ensure_ray()
     import ray.data as rd
 
     from peri_ray.pipelines.flagship import run_flagship
@@ -54,10 +69,12 @@ def cmd_flagship(args) -> int:
         checkpoint_dir=args.checkpoint,
         write_outputs=bool(args.checkpoint),
         id_column=args.id_column,
+        id_source=rd.read_parquet(args.input, columns=[args.id_column]),
     )
     print(json.dumps({k: v for k, v in verdict.items() if k != "column_stats"},
                      default=str))
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0 if verdict["passed"] or args.allow_fail else 1
 
 

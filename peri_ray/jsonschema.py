@@ -108,7 +108,18 @@ def _encode_type(t: Any, defs: dict) -> dict:
             if isinstance(attachment, tuple) and attachment[0] == "transform":
                 return out
             constraints = attachment if isinstance(attachment, list) else [attachment]
+
+            def _jsonable(v):
+                # temporal bounds serialize as ISO strings so the emitted
+                # schema survives json.dumps (decoder: fromisoformat)
+                import datetime as _dt
+
+                if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+                    return v.isoformat()
+                return v
+
             for cname, cval in constraints:
+                cval = _jsonable(cval)
                 if inner == "string":
                     out.update(
                         {"regex": {"pattern": cval}, "eq": {"const": cval},
@@ -122,7 +133,7 @@ def _encode_type(t: Any, defs: dict) -> dict:
                          "multiple_of": {"multipleOf": cval}}.get(cname, {})
                     )
                 if cname == "range":
-                    out["minimum"], out["maximum"] = cval
+                    out["minimum"], out["maximum"] = (_jsonable(cval[0]), _jsonable(cval[1]))
             return out
     raise ValueError(f"cannot encode {t!r}")
 
@@ -160,7 +171,7 @@ def to_json_schema(spec: dict) -> dict:
 def _decode_type(js: dict) -> Any:
     if "$ref" in js:
         return ("ref", js["$ref"].rsplit("/", 1)[-1])
-    if "const" in js:
+    if "const" in js and js.get("format") not in ("date", "time", "date-time"):
         return ("literal", js["const"])
     if "enum" in js:
         return ("enum", list(js["enum"]))
@@ -226,6 +237,10 @@ def _decode_type(js: dict) -> Any:
                 tconstraints.append(("gt", _parse(js["exclusiveMinimum"])))
             if "exclusiveMaximum" in js:
                 tconstraints.append(("lt", _parse(js["exclusiveMaximum"])))
+            if "const" in js:
+                tconstraints.append(("eq", _parse(js["const"])))
+            if isinstance(js.get("not"), dict) and "const" in js["not"]:
+                tconstraints.append(("neq", _parse(js["not"]["const"])))
             if tconstraints:
                 return (base, tconstraints if len(tconstraints) > 1 else tconstraints[0])
         return base

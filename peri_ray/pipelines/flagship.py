@@ -29,6 +29,21 @@ from peri_ray.stages.checks import psi, uniqueness_check
 from peri_ray.state.checkpoint import CheckpointDir, plan_hash
 from peri_ray.validate import _ValidateFn, validate_dataset, violations_dataset
 
+def _spec_has_transform(texpr) -> bool:
+    """True if the type expression carries any transform attachment —
+    its validated values may differ from the input column."""
+    if isinstance(texpr, tuple):
+        if (len(texpr) == 2 and isinstance(texpr[1], tuple) and texpr[1]
+                and texpr[1][0] == "transform"):
+            return True
+        return any(_spec_has_transform(x) for x in texpr)
+    if isinstance(texpr, dict):
+        return any(_spec_has_transform(v) for v in texpr.values())
+    if isinstance(texpr, list):
+        return any(_spec_has_transform(v) for v in texpr)
+    return False
+
+
 _PARTIAL_SCHEMA = pa.schema([
     ("metric", pa.string()),
     ("key", pa.string()),
@@ -44,7 +59,9 @@ class _ValidateAndPartials:
 
     def __init__(self, plan, hist_column: str | None, ref_values: frozenset | None,
                  stat_columns: list[str]):
-        self.fn = _ValidateFn(plan)
+        # plan=None → passthrough (input already validated, e.g. a
+        # checkpointed combined table re-read from parquet)
+        self.fn = _ValidateFn(plan) if plan is not None else (lambda t: t)
         self.hist_column = hist_column
         self.ref_values = ref_values
         self.stat_columns = stat_columns
@@ -145,11 +162,7 @@ def run_flagship(
             os.path.join(ckpt.fragment_dir("flagship"), "combined"),
             columns=[c for c in combined.schema().names if c != "html"],
         )
-        stage = _ValidateAndPartials.__new__(_ValidateAndPartials)
-        stage.fn = lambda t: t  # already validated on disk
-        stage.hist_column = "lang"
-        stage.ref_values = frozenset(lang_reference)
-        stage.stat_columns = stat_cols
+        stage = _ValidateAndPartials(None, "lang", frozenset(lang_reference), stat_cols)
         partials = light.map_batches(stage, batch_format="pyarrow").take_all()
     else:
         stage = _ValidateAndPartials(
@@ -160,7 +173,17 @@ def run_flagship(
         # idles between the map stage and the exchange
         from concurrent.futures import ThreadPoolExecutor
 
-        id_ds = id_source if id_source is not None else ds.select_columns([id_column])
+        if id_column in spec and _spec_has_transform(spec[id_column]):
+            # the spec rewrites the id (e.g. url normalization):
+            # uniqueness must see POST-transform values, so the pruned
+            # raw-input shortcut is not sound here
+            id_ds = validate_dataset(ds, spec, id_column=id_column).select_columns(
+                [id_column]
+            )
+        elif id_source is not None:
+            id_ds = id_source
+        else:
+            id_ds = ds.select_columns([id_column])
         with ThreadPoolExecutor(2) as ex:
             f_parts = ex.submit(
                 lambda: ds.map_batches(stage, batch_format="pyarrow").take_all()
@@ -205,10 +228,17 @@ def run_flagship(
                     s[which] = min(cur, v) if which == "min" else max(cur, v)
 
     if write_outputs and checkpoint_dir:
-        # checkpoint branch: the one genuine shuffle over the pruned
-        # re-read of the persisted combined table
+        # checkpoint branch: the one genuine shuffle over the PRUNED
+        # re-read of the persisted combined table (a cheap single-column
+        # parquet scan carrying post-transform id values)
+        import ray.data as rd
+
         uniq = uniqueness_check(
-            id_source if id_source is not None else ds.select_columns([id_column]),
+            rd.read_parquet(
+                os.path.join(CheckpointDir(checkpoint_dir).fragment_dir("flagship"),
+                             "combined"),
+                columns=[id_column],
+            ),
             id_column,
         )
 

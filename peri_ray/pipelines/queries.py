@@ -518,7 +518,11 @@ def orders_status_enum_histogram(sf_dir: str):
     combined = validate_dataset(ds, spec, id_column="o_orderkey")
 
     def _partial(t: pa.Table) -> pa.Table:
-        t = t.filter(t.column("valid"))
+        # null status passes the enum kernel (nil-passes clause order)
+        # but the histogram counts only actual statuses — match the
+        # oracle's IN-filter semantics explicitly
+        t = t.filter(pc.and_(t.column("valid"),
+                             pc.is_valid(t.column("o_orderstatus"))))
         g = t.select(["o_orderstatus"]).group_by("o_orderstatus").aggregate(
             [("o_orderstatus", "count")]
         )

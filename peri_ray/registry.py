@@ -40,7 +40,8 @@ class ValidationError(Exception):
     def __init__(self, violations):
         self.violations = violations
         msgs = [
-            f"{r['path']}: {r['message']}" for r in violations.to_pylist()[:10]
+            f"{r['path']}: {r['message']}"
+            for r in violations.slice(0, 10).to_pylist()
         ]
         extra = violations.num_rows - len(msgs)
         if extra > 0:

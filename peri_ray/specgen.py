@@ -157,10 +157,12 @@ class Generator:
     # -- public -----------------------------------------------------------
     def table(self, n: int, seed: int = 0, validate: bool = True) -> pa.Table:
         rng = np.random.default_rng(seed)
-        # branch choices (either/oneof/multi) pin per path for the whole
-        # build: the resample loop must regenerate rows with the SAME
-        # arrow type, or concat fails on e.g. struct<f0> vs struct<f1>
-        self._branch_choice: dict[str, int] = {}
+        # branch choices (either/oneof/multi) pin per path for the LIFETIME
+        # of this Generator, not per table() call: the resample loop must
+        # regenerate rows with the SAME arrow type (concat fails on e.g.
+        # struct<f0> vs struct<f1>), and generate_dataset's per-block
+        # table() calls must all produce one schema or the Dataset's
+        # blocks cannot unify
         cols = {k: self._gen(t, rng, n, path=k) for k, t in self.spec.items()}
         table = pa.table(cols)
         if not validate:
@@ -397,6 +399,10 @@ def generate_dataset(spec: dict, n: int, seed: int = 0, registry: dict | None = 
     import ray.data as rd
 
     gen = Generator(spec, registry, overrides)
+    # pre-pin branch choices on the driver so every pickled task copy
+    # carries the same either/oneof/multi decisions → one schema across
+    # all blocks
+    gen.table(1, seed=seed, validate=False)
 
     def _batch(b: pa.Table) -> pa.Table:
         ids = b.column("id").to_numpy()

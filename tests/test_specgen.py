@@ -204,3 +204,34 @@ class TestHypothesisRoundTrip:
         out, viols = compile_spec(spec).run_batch(table)
         assert viols.num_rows == 0, (spec, viols.to_pylist()[:3])
         assert all(out.column("valid").to_pylist())
+
+
+class TestStreamingSchemaStability:
+    def test_choice_branches_stable_across_blocks(self, ray_session):
+        """Regression: generate_dataset must produce ONE schema across
+        blocks even for either/oneof specs (per-block table() calls used
+        to re-roll the branch choice)."""
+        spec = {"v": ("either", ("integer", "string")),
+                "s": ("oneof", [{"f0": "string"}, {"f1": "integer"}])}
+        ds = generate_dataset(spec, 4000, seed=5, override_num_blocks=8)
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
+                             promote_options="none")
+        assert t.num_rows == 4000
+
+
+class TestJsonSerializableSchema:
+    def test_temporal_schema_json_dumps(self):
+        """Regression: temporal bounds must serialize to real JSON."""
+        import datetime
+        import json
+
+        from peri_ray.jsonschema import from_json_schema, to_json_schema
+
+        spec = {
+            "ts": ("datetime", ("gte", datetime.datetime(1995, 1, 1))),
+            "d": ("date", ("range", (datetime.date(2000, 1, 1),
+                                     datetime.date(2001, 1, 1)))),
+            "e": ("datetime", ("eq", datetime.datetime(1999, 9, 9))),
+        }
+        blob = json.dumps(to_json_schema(spec))          # must not raise
+        assert from_json_schema(json.loads(blob)) == spec

@@ -680,3 +680,22 @@ class TestJsonColumn:
         rows = sorted(combined.take_all(), key=lambda r: r["id"])
         # null parent passes (optional-by-default); k=99 violates range
         assert [r["valid"] for r in rows] == [True, False, True]
+
+
+class TestTransformAwareUniqueness:
+    def test_duplicates_found_post_transform(self, ray_session):
+        """Regression: a spec transform on the id column (url
+        normalization) must make uniqueness see POST-transform values."""
+        from peri_ray.pipelines.flagship import run_flagship
+
+        ds = rd.from_items([
+            {"url": "a ", "lang": "en", "text": "x"},
+            {"url": "a", "lang": "en", "text": "x"},
+            {"url": "b", "lang": "en", "text": "y"},
+        ])
+        spec = {"url": ("required", ("string", ("transform", "trim"))),
+                "lang": ("enum", ["en"]), "text": "string"}
+        v = run_flagship(ds, spec=spec, id_column="url",
+                         lang_reference={"en": 1.0}, drift_threshold=10.0)
+        uniq = next(c for c in v["checks"] if c["rule_id"] == "unique:url")
+        assert not uniq["passed"] and uniq["duplicate_keys"] == 1
