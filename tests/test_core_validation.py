@@ -857,3 +857,17 @@ class TestErrorOverrides:
             {"age": [17]},
         )
         assert viols.column("rule_id").to_pylist() == ["integer.gte"]
+
+
+class TestMultiOptionCollection:
+    def test_all_failing_options_collected(self):
+        """Multi-option constraint lists collect EVERY failing option
+        (lib/peri.ex:848-861), unlike list elements which halt."""
+        out, viols = run(
+            {"s": ("string", [("min", 10), ("regex", "^[0-9]+$")])},
+            {"s": ["abc"]},
+        )
+        assert out.column("valid").to_pylist() == [False]
+        assert sorted(viols.column("rule_id").to_pylist()) == [
+            "string.min", "string.regex"
+        ]
