@@ -235,3 +235,40 @@ class TestJsonSerializableSchema:
         }
         blob = json.dumps(to_json_schema(spec))          # must not raise
         assert from_json_schema(json.loads(blob)) == spec
+
+
+class TestDatasetBatchEquivalence:
+    """Row-independence property on RANDOM specs: validating through a
+    multi-block Ray Dataset must agree row-for-row with a single
+    run_batch over the same table (the distribution layer cannot change
+    semantics)."""
+
+    @given(spec=_spec, seed=st.integers(0, 10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_dataset_equals_batch(self, ray_session, spec, seed):
+        import ray.data as rd
+
+        from peri_ray.validate import validate_dataset
+
+        table = generate_table(spec, 40, seed=seed)
+        # corrupt a slice so both valid and invalid rows exist: null out
+        # the first column's tail
+        col0 = table.column_names[0]
+        vals = table.column(col0).to_pylist()
+        try:
+            corrupted = table.set_column(
+                table.column_names.index(col0), col0,
+                pa.array(vals[:20] + [None] * 20, table.column(col0).type),
+            )
+        except pa.ArrowInvalid:
+            corrupted = table
+        out_batch, _ = compile_spec(spec).run_batch(corrupted)
+        ds = rd.from_arrow(corrupted).repartition(4)
+        combined = validate_dataset(ds, spec, id_column=None)
+        # iterate as Arrow (to_pandas would trip Ray's tensor-extension
+        # cast on fixed-shape list columns); order across blocks is not
+        # guaranteed, so compare the valid multiset
+        got_valid = []
+        for b in combined.iter_batches(batch_format="pyarrow"):
+            got_valid.extend(b.column("valid").to_pylist())
+        assert sorted(got_valid) == sorted(out_batch.column("valid").to_pylist())
