@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": q.frame_samples,
         "drift_lang_documents": q.drift_lang_documents,
         "winnow_shared_passages": q.winnow_shared_passages,
+        "multimodal_resize": q.multimodal_resize,
+        "audio_features": q.audio_features,
+        "quantized_embedding_norms": q.quantized_embedding_norms,
         "ivf_ann_topk": q.ivf_ann_topk,
     }
 

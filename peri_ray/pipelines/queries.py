@@ -778,3 +778,59 @@ def props_k_range_violations(sf_dir: str):
         return t.filter(pc.invert(t.column("valid"))).select(["event_id"])
 
     return combined.map_batches(_f, batch_format="pyarrow")
+
+
+def multimodal_resize(sf_dir: str):
+    """Decode → aspect-preserving resize plumbing (metadata math real,
+    pixel resample is the PIL seam)."""
+    from peri_ray.stages.multimodal import (
+        decode_images,
+        media_table_from_binary,
+        resize_images,
+    )
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).take(64)
+    table = media_table_from_binary(
+        [r["doc_id"] for r in docs], [r["text"].encode() for r in docs]
+    )
+    decoded = decode_images(rd.from_arrow(table), decoder="fake",
+                            concurrency=2, batch_size=16)
+    out = resize_images(decoded, max_side=128, concurrency=2)
+    return out.select_columns(["media_id", "resized_w", "resized_h"])
+
+
+def audio_features(sf_dir: str):
+    from peri_ray.stages.multimodal import (
+        extract_audio_features,
+        media_table_from_binary,
+    )
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).take(64)
+    table = media_table_from_binary(
+        [r["doc_id"] for r in docs], [r["text"].encode() for r in docs],
+        kind="audio",
+    )
+    out = extract_audio_features(rd.from_arrow(table), n_frames=8, concurrency=2)
+    return out.select_columns(["media_id", "audio_ms"])
+
+
+def quantized_embedding_norms(sf_dir: str):
+    """int8 quantize → dequantize → L2 norm per vector (compression
+    path for 100 TB embedding storage; error bounded by max_abs/254)."""
+    from peri_ray.stages.similarity import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = quantize_embeddings(ds)
+
+    def _norms(t: pa.Table) -> pa.Table:
+        from peri_ray.stages.similarity import dequantize_matrix
+
+        m = dequantize_matrix(t)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "l2": pa.array(np.linalg.norm(m, axis=1).astype(np.float64))})
+
+    return q.map_batches(_norms, batch_format="pyarrow")

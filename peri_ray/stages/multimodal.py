@@ -126,3 +126,87 @@ class FrameSampler:
 def sample_frames(ds, every_ms: int = 1000, batch_size: int = 64):
     return ds.map_batches(FrameSampler(every_ms), batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+class ImageResizer:
+    """Resize plumbing: computes target dims (aspect-preserving fit into
+    ``max_side``) from decoded width/height — the metadata math is real;
+    the pixel resample is the PIL seam (same stub pattern as decode)."""
+
+    def __init__(self, max_side: int = 256, resample: str = "fake"):
+        if resample not in ("fake", "real"):
+            raise ValueError(resample)
+        self.max_side = max_side
+        self.resample = resample
+
+    def _resample_real(self, payload: bytes, w: int, h: int):
+        raise NotImplementedError(
+            "real resample requires PIL (not in this container); wire "
+            "PIL.Image.resize here"
+        )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        w = table.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = table.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        valid = (w > 0) & (h > 0)
+        out_w = np.where(valid, np.maximum(1, np.round(w * scale)), -1).astype(np.int32)
+        out_h = np.where(valid, np.maximum(1, np.round(h * scale)), -1).astype(np.int32)
+        out = table.append_column("resized_w", pa.array(out_w))
+        return out.append_column("resized_h", pa.array(out_h))
+
+
+def resize_images(ds, max_side: int = 256, concurrency: int = 4,
+                  batch_size: int = 256):
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs=dict(max_side=max_side),
+        concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+class AudioFeaturizer:
+    """Audio feature-extract plumbing: deterministic fake features
+    (frame-energy over byte windows standing in for RMS/MFCC; real
+    decode is the soundfile/librosa seam)."""
+
+    def __init__(self, n_frames: int = 8, featurizer: str = "fake"):
+        if featurizer not in ("fake", "real"):
+            raise ValueError(featurizer)
+        self.n_frames = n_frames
+        self.featurizer = featurizer
+
+    def _features_real(self, payload: bytes):
+        raise NotImplementedError(
+            "real audio features require librosa/soundfile (not in this "
+            "container); wire librosa.feature.rms / mfcc here"
+        )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        feats = np.zeros((n, self.n_frames), np.float32)
+        dur = np.full(n, -1, np.int32)
+        for i, p in enumerate(table.column("payload").to_pylist()):
+            if p is None:
+                continue
+            if self.featurizer == "real":
+                self._features_real(p)
+            buf = np.frombuffer(p, np.uint8).astype(np.float32)
+            if not len(buf):
+                continue
+            frames = np.array_split(buf, self.n_frames)
+            feats[i] = [float(np.sqrt(np.mean(f ** 2))) if len(f) else 0.0
+                        for f in frames]
+            dur[i] = len(buf)  # fake: 1 byte ≈ 1 ms
+        out = table.append_column(
+            "audio_features",
+            pa.array(list(feats), pa.list_(pa.float32(), self.n_frames)),
+        )
+        return out.append_column("audio_ms", pa.array(dur))
+
+
+def extract_audio_features(ds, n_frames: int = 8, concurrency: int = 4,
+                           batch_size: int = 256):
+    return ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs=dict(n_frames=n_frames),
+        concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
+    )

@@ -232,3 +232,37 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
 
     candidates = assigned.map_batches(_filter, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — embedding storage compression for the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        batch_size: int | None = 4096):
+    """Symmetric per-vector int8 quantization: 4× smaller than float32
+    (16× vs float64) with bounded error — the storage/shuffle format for
+    embedding columns at scale.  Emits ``<vec_col>_q8`` (list<int8>) and
+    ``<vec_col>_scale`` (float32: max-abs / 127 per vector)."""
+
+    def _quant(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        scale = np.abs(m).max(axis=1) / 127.0
+        scale_safe = np.where(scale > 0, scale, 1.0)
+        q = np.clip(np.round(m / scale_safe[:, None]), -127, 127).astype(np.int8)
+        dim = m.shape[1]
+        out = t.append_column(
+            f"{vec_col}_q8", pa.array(list(q), pa.list_(pa.int8(), dim))
+        )
+        return out.append_column(f"{vec_col}_scale",
+                                 pa.array(scale.astype(np.float32)))
+
+    return ds.map_batches(_quant, batch_format="pyarrow", batch_size=batch_size)
+
+
+def dequantize_matrix(table: pa.Table, vec_col: str = "embedding") -> np.ndarray:
+    """int8 + scale → float32 matrix (exact inverse transform)."""
+    q = _as_matrix(table.column(f"{vec_col}_q8")).astype(np.float32)
+    scale = table.column(f"{vec_col}_scale").to_numpy(zero_copy_only=False)
+    return q * scale[:, None]

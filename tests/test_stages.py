@@ -699,3 +699,57 @@ class TestTransformAwareUniqueness:
                          lang_reference={"en": 1.0}, drift_threshold=10.0)
         uniq = next(c for c in v["checks"] if c["rule_id"] == "unique:url")
         assert not uniq["passed"] and uniq["duplicate_keys"] == 1
+
+
+class TestMultimodalExtended:
+    def test_resize_aspect_preserving(self, ray_session):
+        from peri_ray.stages.multimodal import (
+            decode_images,
+            media_table_from_binary,
+            resize_images,
+        )
+
+        t = media_table_from_binary([1, 2], [b"abcdefgh" * 10, b"zz" * 50])
+        ds = rd.from_arrow(t)
+        decoded = decode_images(ds, decoder="fake", concurrency=2, batch_size=8)
+        resized = resize_images(decoded, max_side=64, concurrency=2).take_all()
+        for r in resized:
+            assert 1 <= r["resized_w"] <= 64 and 1 <= r["resized_h"] <= 64
+            # aspect ratio preserved within rounding
+            assert abs(r["resized_w"] / r["resized_h"]
+                       - r["width"] / r["height"]) < 0.2
+
+    def test_audio_features_shape(self, ray_session):
+        from peri_ray.stages.multimodal import (
+            extract_audio_features,
+            media_table_from_binary,
+        )
+
+        t = media_table_from_binary([1, 2], [bytes(range(200)), b"\x00" * 64],
+                                    kind="audio")
+        out = extract_audio_features(rd.from_arrow(t), n_frames=4,
+                                     concurrency=2).take_all()
+        assert all(len(r["audio_features"]) == 4 for r in out)
+        assert out[0]["audio_ms"] == 200
+        # silence has zero energy
+        assert all(v == 0.0 for v in out[1]["audio_features"])
+
+
+class TestQuantization:
+    def test_int8_roundtrip_error_bounded(self, ray_session):
+        from peri_ray.stages.similarity import dequantize_matrix, quantize_embeddings
+
+        rng = np.random.default_rng(8)
+        vecs = rng.normal(0, 3, size=(100, 32)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+        q = quantize_embeddings(rd.from_items(rows))
+        t = pa.concat_tables(list(q.iter_batches(batch_format="pyarrow")))
+        back = dequantize_matrix(t.combine_chunks())
+        orig = np.stack([np.asarray(r, np.float32) for r in t.column("embedding").to_pylist()])
+        # per-element error ≤ scale/2 = max_abs/254
+        max_abs = np.abs(orig).max(axis=1)
+        assert np.all(np.abs(back - orig) <= (max_abs[:, None] / 254) + 1e-6)
+        # cosine similarity preserved to ~1e-3
+        def _n(m): return m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = (_n(back) * _n(orig)).sum(axis=1)
+        assert cos.min() > 0.999
