@@ -871,3 +871,12 @@ class TestMultiOptionCollection:
         assert sorted(viols.column("rule_id").to_pylist()) == [
             "string.min", "string.regex"
         ]
+
+
+class TestConformsSpec:
+    def test_boolean_twin(self):
+        from peri_ray import conforms_spec
+
+        assert conforms_spec({"a": ("integer", ("gte", 0))})
+        assert not conforms_spec({"a": ("integer", ("frobnicate", 1))})
+        assert not conforms_spec({"a": ("required", ("integer", ("default", 1)))})
