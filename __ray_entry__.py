@@ -212,8 +212,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid FROM embeddings"
         ),
         "props_k_range_violations": (
-            "SELECT event_id FROM events WHERE props IS NOT NULL AND "
-            "NOT (CAST(json_extract(props, '$.k') AS INT) BETWEEN 0 AND 50)"
+            # missing or non-integer k is a violation in the engine
+            # (required + integer type); TRY_CAST NULL captures both
+            "SELECT event_id FROM events WHERE props IS NOT NULL AND ("
+            "TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NULL OR "
+            "NOT (TRY_CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50))"
         ),
         "doc_text_min_violations": (
             "SELECT doc_id FROM documents "

@@ -87,7 +87,9 @@ def main(argv=None) -> int:
     v.add_argument("--schema", required=True)
     v.add_argument("--out", required=True)
     v.add_argument("--mode", default="strict", choices=["strict", "permissive"])
-    v.add_argument("--id-column", default=None)
+    # required: without a real id the violations parquet would carry
+    # per-batch row indices that repeat across blocks (unjoinable)
+    v.add_argument("--id-column", required=True)
     v.set_defaults(fn=cmd_validate)
 
     f = sub.add_parser("flagship", help="full verdict pipeline over web_pages parquet")

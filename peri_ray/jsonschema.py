@@ -53,7 +53,16 @@ def _encode_type(t: Any, defs: dict) -> dict:
         if tag == "schema":
             return _encode_type(t[1], defs)
         if tag == "literal":
-            return {"const": t[1]}
+            import datetime as _dt
+
+            v = t[1]
+            if isinstance(v, _dt.datetime):
+                return {"const": v.isoformat(), "format": "date-time"}
+            if isinstance(v, _dt.date):
+                return {"const": v.isoformat(), "format": "date"}
+            if isinstance(v, _dt.time):
+                return {"const": v.isoformat(), "format": "time"}
+            return {"const": v}
         if tag == "enum":
             return {"enum": list(t[1])}
         if tag == "list":
@@ -173,6 +182,13 @@ def _decode_type(js: dict) -> Any:
         return ("ref", js["$ref"].rsplit("/", 1)[-1])
     if "const" in js and js.get("format") not in ("date", "time", "date-time"):
         return ("literal", js["const"])
+    if "const" in js and "type" not in js:
+        # temporal literal: {"const": iso, "format": ...} with no type
+        import datetime as _dt
+
+        parser = {"date": _dt.date.fromisoformat, "time": _dt.time.fromisoformat,
+                  "date-time": _dt.datetime.fromisoformat}[js["format"]]
+        return ("literal", parser(str(js["const"])))
     if "enum" in js:
         return ("enum", list(js["enum"]))
     if "anyOf" in js:
@@ -260,6 +276,8 @@ def _decode_type(js: dict) -> Any:
             constraints.append(("lt", js["exclusiveMaximum"]))
         if "multipleOf" in js:
             constraints.append(("multiple_of", js["multipleOf"]))
+        if isinstance(js.get("not"), dict) and "const" in js["not"]:
+            constraints.append(("neq", js["not"]["const"]))
         if constraints:
             return (base, constraints if len(constraints) > 1 else constraints[0])
         return base

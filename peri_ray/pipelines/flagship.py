@@ -176,10 +176,16 @@ def run_flagship(
         if id_column in spec and _spec_has_transform(spec[id_column]):
             # the spec rewrites the id (e.g. url normalization):
             # uniqueness must see POST-transform values, so the pruned
-            # raw-input shortcut is not sound here
-            id_ds = validate_dataset(ds, spec, id_column=id_column).select_columns(
-                [id_column]
+            # raw-input shortcut is not sound here.  Re-running the
+            # kernels for this pass is the cost of correctness, but over
+            # a PRUNED input (spec-declared columns only — html never
+            # re-materializes unless the spec touches it).
+            pruned = ds.select_columns(
+                [c for c in input_cols if c in spec]
             )
+            id_ds = validate_dataset(
+                pruned, spec, mode="permissive", id_column=id_column
+            ).select_columns([id_column])
         elif id_source is not None:
             id_ds = id_source
         else:
@@ -230,17 +236,21 @@ def run_flagship(
     if write_outputs and checkpoint_dir:
         # checkpoint branch: the one genuine shuffle over the PRUNED
         # re-read of the persisted combined table (a cheap single-column
-        # parquet scan carrying post-transform id values)
+        # parquet scan carrying post-transform id values).  Strict mode
+        # projects undeclared columns away, so an id outside the spec is
+        # read back through record_id (same values, string-typed).
         import ray.data as rd
 
+        key = id_column if id_column in spec else "record_id"
         uniq = uniqueness_check(
             rd.read_parquet(
                 os.path.join(CheckpointDir(checkpoint_dir).fragment_dir("flagship"),
                              "combined"),
-                columns=[id_column],
+                columns=[key],
             ),
-            id_column,
+            key,
         )
+        uniq["rule_id"] = f"unique:{id_column}"
 
     ref = {"rule_id": "ref:lang", "passed": ref_bad == 0,
            "violating_rows": ref_bad}

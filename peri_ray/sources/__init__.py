@@ -71,11 +71,18 @@ def write_violations(combined, out_dir: str):
 
 
 def parse_json_column(ds, column: str, drop_source: bool = False,
-                      batch_size: int | None = 8192):
+                      batch_size: int | None = 8192,
+                      value_type: "pa.DataType | None" = None,
+                      infer_sample: int = 256):
     """Decode a JSON-encoded string column into a struct column named
     ``<column>_parsed`` (semi-structured ingestion: the reference
     validates dynamic maps; the engine's equivalent is
     JSON-string → struct → nested-schema kernels).
+
+    The output type is FIXED across blocks: pass ``value_type``
+    explicitly, or it is inferred ONCE on the driver from a sample —
+    per-batch inference would let all-null or missing-key batches
+    diverge into incompatible schemas that fail to unify downstream.
 
     Per-row ``json.loads`` is unavoidable for opaque JSON (no vectorized
     parser in this environment); it runs inside ``map_batches`` so the
@@ -83,10 +90,20 @@ def parse_json_column(ds, column: str, drop_source: bool = False,
     back on vectorized Arrow."""
     import json
 
+    if value_type is None:
+        sample = [r[column] for r in ds.limit(infer_sample).take_all()]
+        parsed = [json.loads(v) for v in sample if v is not None]
+        if not parsed:
+            raise ValueError(
+                f"cannot infer JSON value type for {column!r} (sample all "
+                f"null); pass value_type= explicitly"
+            )
+        value_type = pa.array(parsed).type
+
     def _parse(t: pa.Table) -> pa.Table:
         raw = t.column(column).to_pylist()
-        parsed = [json.loads(v) if v is not None else None for v in raw]
-        arr = pa.array(parsed)
+        rows = [json.loads(v) if v is not None else None for v in raw]
+        arr = pa.array(rows, type=value_type)
         out = t.append_column(f"{column}_parsed", arr)
         return out.drop_columns([column]) if drop_source else out
 

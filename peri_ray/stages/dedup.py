@@ -86,16 +86,28 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
         sorted(r["keep_id"] for r in keepers.take_all())
     ))
 
-    class _Victims:
-        def __init__(self, ref):
-            self.keep = ray.get(ref)
+    # class + fn_constructor_args so ray.get resolves the broadcast ONCE
+    # PER WORKER (constructing the instance on the driver would capture
+    # the materialized array in the task closure and defeat the put)
+    return ds.map_batches(
+        _VictimFilter,
+        fn_constructor_args=(keep_ref, id_col),
+        concurrency=4,
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).combine_chunks()
-            mask = pc.invert(pc.is_in(ids, value_set=self.keep))
-            return t.filter(mask).select([id_col])
 
-    return ds.map_batches(_Victims(keep_ref), batch_format="pyarrow")
+class _VictimFilter:
+    def __init__(self, keep_ref, id_col: str):
+        import ray
+
+        self.keep = ray.get(keep_ref)
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).combine_chunks()
+        mask = pc.invert(pc.is_in(ids, value_set=self.keep))
+        return t.filter(mask).select([self.id_col])
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,8 @@ class ImageResizer:
         )
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        if self.resample == "real":
+            self._resample_real(b"", 0, 0)  # PIL seam — raises like decode
         w = table.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
         h = table.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
@@ -156,10 +158,11 @@ class ImageResizer:
         return out.append_column("resized_h", pa.array(out_h))
 
 
-def resize_images(ds, max_side: int = 256, concurrency: int = 4,
-                  batch_size: int = 256):
+def resize_images(ds, max_side: int = 256, resample: str = "fake",
+                  concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(
-        ImageResizer, fn_constructor_kwargs=dict(max_side=max_side),
+        ImageResizer,
+        fn_constructor_kwargs=dict(max_side=max_side, resample=resample),
         concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
     )
 

@@ -753,3 +753,50 @@ class TestQuantization:
         def _n(m): return m / np.linalg.norm(m, axis=1, keepdims=True)
         cos = (_n(back) * _n(orig)).sum(axis=1)
         assert cos.min() > 0.999
+
+
+class TestJsonColumnSchemaStability:
+    def test_fixed_type_across_blocks(self, ray_session):
+        """Regression: all-null or missing-key blocks must not diverge
+        the parsed struct type (inferred once on the driver)."""
+        from peri_ray.sources import parse_json_column
+
+        rows = ([{"id": i, "props": '{"k": 1}'} for i in range(20)]
+                + [{"id": 100 + i, "props": None} for i in range(20)]
+                + [{"id": 200 + i, "props": "{}"} for i in range(20)])
+        ds = rd.from_items(rows).repartition(6)
+        parsed = parse_json_column(ds, "props", drop_source=True)
+        t = pa.concat_tables(list(parsed.iter_batches(batch_format="pyarrow")),
+                             promote_options="none")
+        assert t.num_rows == 60
+
+    def test_all_null_requires_explicit_type(self, ray_session):
+        from peri_ray.sources import parse_json_column
+
+        ds = rd.from_items([{"id": 1, "props": None}])
+        with pytest.raises(ValueError, match="value_type"):
+            parse_json_column(ds, "props")
+        out = parse_json_column(
+            ds, "props", value_type=pa.struct([("k", pa.int64())])
+        ).take_all()
+        assert out[0]["props_parsed"] is None
+
+
+class TestJsonSchemaRoundTripMore:
+    def test_numeric_neq_roundtrip(self):
+        import json
+
+        from peri_ray.jsonschema import from_json_schema, to_json_schema
+
+        spec = {"n": ("integer", ("neq", 5))}
+        assert from_json_schema(json.loads(json.dumps(to_json_schema(spec)))) == spec
+
+    def test_temporal_literal_roundtrip(self):
+        import datetime
+        import json
+
+        from peri_ray.jsonschema import from_json_schema, to_json_schema
+
+        spec = {"ts": ("literal", datetime.datetime(2000, 1, 1))}
+        blob = json.dumps(to_json_schema(spec))  # must not raise
+        assert from_json_schema(json.loads(blob)) == spec
