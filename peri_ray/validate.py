@@ -96,13 +96,36 @@ class _ValidateFn:
 
 
 def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,
-                     registry: dict | None = None, batch_size: int | None = 8192):
+                     registry: dict | None = None, batch_size: int | None = 8192,
+                     concurrency: int | tuple | None = None):
     """``ds.map_batches(validator)`` over Arrow batches.  Returns the
-    combined dataset (input columns + valid + record_id + violations)."""
+    combined dataset (input columns + valid + record_id + violations).
+
+    Default is a stateless task pool (the immutable plan ships once in
+    the task closure).  Pass ``concurrency`` for an actor pool: the plan
+    compiles once per ACTOR in ``__init__`` — worth it when the spec is
+    large (hundreds of rules / big enum sets / many regexes) and
+    per-task deserialization would show up in ``ds.stats()``."""
+    if concurrency is not None:
+        return ds.map_batches(
+            _ValidateActor,
+            fn_constructor_args=(spec, mode, id_column, registry),
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     plan = compile_spec(spec, mode=mode, id_column=id_column, registry=registry)
     return ds.map_batches(
         _ValidateFn(plan), batch_format="pyarrow", batch_size=batch_size
     )
+
+
+class _ValidateActor(_ValidateFn):
+    """Actor-pool variant: compile the plan once per actor."""
+
+    def __init__(self, spec, mode, id_column, registry):
+        super().__init__(compile_spec(spec, mode=mode, id_column=id_column,
+                                      registry=registry))
 
 
 def violations_dataset(combined):

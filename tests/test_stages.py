@@ -800,3 +800,18 @@ class TestJsonSchemaRoundTripMore:
         spec = {"ts": ("literal", datetime.datetime(2000, 1, 1))}
         blob = json.dumps(to_json_schema(spec))  # must not raise
         assert from_json_schema(json.loads(blob)) == spec
+
+
+class TestActorPoolValidation:
+    def test_actor_pool_matches_task_pool(self, ray_session):
+        from peri_ray.validate import validate_dataset
+
+        rows = [{"id": i, "v": i - 5} for i in range(200)]
+        spec = {"v": ("integer", ("gte", 0))}
+        a = validate_dataset(rd.from_items(rows), spec, mode="permissive",
+                             id_column="id", concurrency=2)
+        b = validate_dataset(rd.from_items(rows), spec, mode="permissive",
+                             id_column="id")
+        va = sorted((r["id"], r["valid"]) for r in a.take_all())
+        vb = sorted((r["id"], r["valid"]) for r in b.take_all())
+        assert va == vb
