@@ -86,27 +86,26 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
         sorted(r["keep_id"] for r in keepers.take_all())
     ))
 
-    # class + fn_constructor_args so ray.get resolves the broadcast ONCE
-    # PER WORKER (constructing the instance on the driver would capture
-    # the materialized array in the task closure and defeat the put)
-    return ds.map_batches(
-        _VictimFilter,
-        fn_constructor_args=(keep_ref, id_col),
-        concurrency=4,
-        batch_format="pyarrow",
-    )
+    # only the object REF pickles into the task closure; ray.get
+    # resolves lazily per task (zero-copy plasma read) so the broadcast
+    # is never re-shipped and no actor pool pins CPUs
+    return ds.map_batches(_VictimFilter(keep_ref, id_col),
+                          batch_format="pyarrow")
 
 
 class _VictimFilter:
     def __init__(self, keep_ref, id_col: str):
-        import ray
-
-        self.keep = ray.get(keep_ref)
+        self.ref = keep_ref
         self.id_col = id_col
+        self._keep = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self._keep is None:
+            import ray
+
+            self._keep = ray.get(self.ref)
         ids = t.column(self.id_col).combine_chunks()
-        mask = pc.invert(pc.is_in(ids, value_set=self.keep))
+        mask = pc.invert(pc.is_in(ids, value_set=self._keep))
         return t.filter(mask).select([self.id_col])
 
 
