@@ -815,3 +815,45 @@ class TestActorPoolValidation:
         va = sorted((r["id"], r["valid"]) for r in a.take_all())
         vb = sorted((r["id"], r["valid"]) for r in b.take_all())
         assert va == vb
+
+
+class TestPartitionedFlagshipMultiFragment:
+    def test_three_fragments_with_resume(self, tmp_path, ray_session):
+        """Per-fragment lineage over a sharded input: three parquet
+        shards, first run completes two then 'crashes'; resume finishes
+        the third; manifests carry per-fragment rows/valid counts."""
+        import pyarrow.parquet as pq
+
+        from peri_ray.generate import _GenBatch
+        from peri_ray.pipelines.flagship import partitioned_flagship
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash
+
+        spec = {"url": ("required", "string"), "lang": "string"}
+        shards = []
+        for i in range(3):
+            t = _GenBatch(7 + i, False)(
+                pa.table({"id": pa.array(range(i * 500, i * 500 + 500), pa.int64())})
+            ).select(["url", "lang", "text"])
+            p = tmp_path / f"shard{i}.parquet"
+            pq.write_table(t, p)
+            shards.append(str(p))
+
+        ck = str(tmp_path / "ck")
+        # first run over only two shards (simulates dying before the third)
+        m1 = partitioned_flagship(shards[:2], ck, spec=spec, id_column="url")
+        assert len(m1) == 2 and all(m["rows"] == 500 for m in m1)
+        done_before = {m["fragment"] for m in m1}
+
+        # resume over all three: only the missing shard processes
+        m2 = partitioned_flagship(shards, ck, spec=spec, id_column="url")
+        assert len(m2) == 3
+        assert {m["fragment"] for m in m2} >= done_before
+        # completed fragments kept their original manifests (not re-run)
+        by_frag1 = {m["fragment"]: m["written_at"] for m in m1}
+        by_frag2 = {m["fragment"]: m["written_at"] for m in m2}
+        for f in done_before:
+            assert by_frag2[f] == by_frag1[f]
+        # outputs on disk per fragment
+        ckpt = CheckpointDir(ck)
+        for m in m2:
+            assert os.path.isdir(ckpt.fragment_dir(m["fragment"]))
