@@ -107,6 +107,10 @@ def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None
     large (hundreds of rules / big enum sets / many regexes) and
     per-task deserialization would show up in ``ds.stats()``."""
     if concurrency is not None:
+        # validate the spec EAGERLY on the driver (same contract as the
+        # task path) — a bad spec must raise here, not inside a remote
+        # actor constructor at execution time
+        compile_spec(spec, mode=mode, id_column=id_column, registry=registry)
         return ds.map_batches(
             _ValidateActor,
             fn_constructor_args=(spec, mode, id_column, registry),

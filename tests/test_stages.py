@@ -826,7 +826,7 @@ class TestPartitionedFlagshipMultiFragment:
 
         from peri_ray.generate import _GenBatch
         from peri_ray.pipelines.flagship import partitioned_flagship
-        from peri_ray.state.checkpoint import CheckpointDir, plan_hash
+        from peri_ray.state.checkpoint import CheckpointDir
 
         spec = {"url": ("required", "string"), "lang": "string"}
         shards = []
@@ -857,3 +857,14 @@ class TestPartitionedFlagshipMultiFragment:
         ckpt = CheckpointDir(ck)
         for m in m2:
             assert os.path.isdir(ckpt.fragment_dir(m["fragment"]))
+
+
+class TestActorPoolEagerSpecErrors:
+    def test_bad_spec_raises_on_driver(self, ray_session):
+        from peri_ray import InvalidSchemaError
+        from peri_ray.validate import validate_dataset
+
+        ds = rd.from_items([{"v": 1}])
+        with pytest.raises(InvalidSchemaError):
+            validate_dataset(ds, {"v": ("integer", ("frobnicate", 1))},
+                             concurrency=2)
