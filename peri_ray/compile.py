@@ -236,19 +236,46 @@ def _const_violation(
 # ---------------------------------------------------------------------------
 
 
-def _string_constraint(arr: pa.Array, name: str, val: Any):
-    """Returns (ok_mask_over_nonnull, template_key, ctx).  String length is
-    codepoints (``pc.utf8_length``) vs the reference's graphemes
-    (``String.length``, ``lib/peri.ex:879-893``) — ASCII-equivalent;
-    regex is RE2 vs PCRE (documented deviation, SURVEY §2.3)."""
+_GRAPHEME_RX = None
+
+
+def _grapheme_lengths(arr: pa.Array) -> np.ndarray:
+    """Exact grapheme-cluster counts (``String.length`` parity,
+    lib/peri.ex:879-893) via the ``regex`` module's ``\\X``.  Scalar per
+    row — opt in with ``compile_spec(string_length="graphemes")`` only
+    where combining characters / emoji matter; the default codepoint
+    path stays fully vectorized."""
+    global _GRAPHEME_RX
+    if _GRAPHEME_RX is None:
+        import regex as _rx
+
+        _GRAPHEME_RX = _rx.compile(r"\X")
+    return np.array(
+        [len(_GRAPHEME_RX.findall(v)) if v is not None else 0
+         for v in arr.to_pylist()],
+        np.int64,
+    )
+
+
+def _string_constraint(arr: pa.Array, name: str, val: Any,
+                       string_length: str = "codepoints"):
+    """Returns (ok_mask_over_nonnull, template_key, ctx).  String length
+    defaults to codepoints (``pc.utf8_length``, vectorized); pass
+    ``string_length="graphemes"`` for exact reference parity
+    (``String.length``, ``lib/peri.ex:879-893``).  Regex is RE2 vs PCRE
+    (documented deviation, SURVEY §2.3)."""
     if name == "regex":
         return _np_bool(pc.match_substring_regex(arr, val), False), "string.regex", {"regex": f"~r/{val}/"}
     if name == "eq":
         return _np_bool(pc.equal(arr, val), False), "string.eq", {"literal": val}
-    if name == "min":
-        return _np_bool(pc.greater_equal(pc.utf8_length(arr), val), False), "string.min", {"length": val}
-    if name == "max":
-        return _np_bool(pc.less_equal(pc.utf8_length(arr), val), False), "string.max", {"length": val}
+    if name in ("min", "max"):
+        if string_length == "graphemes":
+            lens = _grapheme_lengths(arr)
+            ok = lens >= val if name == "min" else lens <= val
+        else:
+            cmp = pc.greater_equal if name == "min" else pc.less_equal
+            ok = _np_bool(cmp(pc.utf8_length(arr), val), False)
+        return ok, f"string.{name}", {"length": val}
     raise ValueError(name)
 
 
@@ -315,7 +342,8 @@ class Compiled:
     a whole column.  Mirrors the clause dispatch of ``validate_field/4``
     but resolved once at compile time instead of per value."""
 
-    def __init__(self, texpr: Any, path: str, registry: dict | None, depth: int = 0):
+    def __init__(self, texpr: Any, path: str, registry: dict | None, depth: int = 0,
+                 string_length: str = "codepoints"):
         if depth > 64:
             # parity with @ref_depth_limit (lib/peri/parser.ex:112)
             raise RecursionError(f"{path}: ref recursion deeper than 64")
@@ -323,9 +351,11 @@ class Compiled:
         self.path = path
         self.registry = registry or {}
         self.depth = depth
+        self.string_length = string_length
 
     def _sub(self, texpr: Any, path: str | None = None) -> "Compiled":
-        return Compiled(texpr, path if path is not None else self.path, self.registry, self.depth + 1)
+        return Compiled(texpr, path if path is not None else self.path,
+                        self.registry, self.depth + 1, self.string_length)
 
     # -- entry ------------------------------------------------------------
     def validate(self, arr: pa.Array, active: np.ndarray, ctx: Ctx) -> FieldResult:
@@ -404,7 +434,8 @@ class Compiled:
                 if cname == "error":
                     continue
                 if inner == "string":
-                    mask, tkey, mctx = _string_constraint(arr2, cname, cval)
+                    mask, tkey, mctx = _string_constraint(arr2, cname, cval,
+                                                          self.string_length)
                 else:
                     mask, tkey, mctx = _numeric_constraint(arr2, cname, cval)
                 bad = applies & ~mask
@@ -1175,16 +1206,19 @@ class Plan:
     ``test/permissive_mode_test.exs``)."""
 
     def __init__(self, spec: dict, mode: str = "strict", id_column: str | None = None,
-                 registry: dict | None = None):
+                 registry: dict | None = None, string_length: str = "codepoints"):
         if mode not in ("strict", "permissive"):
             raise ValueError(f"Invalid mode: {mode}. Must be 'strict' or 'permissive'")
+        if string_length not in ("codepoints", "graphemes"):
+            raise ValueError(f"Invalid string_length: {string_length}")
         S.validate_spec(spec)
         self.spec = spec
         self.mode = mode
         self.id_column = id_column
         self.registry = registry or {}
         self.fields = {
-            key: Compiled(t, key, self.registry) for key, t in spec.items()
+            key: Compiled(t, key, self.registry, string_length=string_length)
+            for key, t in spec.items()
         }
 
     # -- batch entry -------------------------------------------------------
@@ -1280,5 +1314,7 @@ class Plan:
 
 
 def compile_spec(spec: dict, mode: str = "strict", id_column: str | None = None,
-                 registry: dict | None = None) -> Plan:
-    return Plan(spec, mode=mode, id_column=id_column, registry=registry)
+                 registry: dict | None = None,
+                 string_length: str = "codepoints") -> Plan:
+    return Plan(spec, mode=mode, id_column=id_column, registry=registry,
+                string_length=string_length)

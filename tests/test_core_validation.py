@@ -908,3 +908,36 @@ class TestDictionaryColumns:
         )
         assert out.column("valid").to_pylist() == [True, False]
         assert viols.column("rule_id").to_pylist() == ["integer.lt"]
+
+
+class TestGraphemeLength:
+    """Exact String.length parity (lib/peri.ex:879-893): Peri counts
+    grapheme clusters.  Opt in with string_length="graphemes"; the
+    default codepoint path stays vectorized."""
+
+    def test_combining_and_zwj(self):
+        s_combining = "é"           # é as e + combining acute
+        s_family = "\U0001F468‍\U0001F469‍\U0001F467"  # ZWJ family
+        t = pa.table({"s": [s_combining, s_family, "ab"]})
+        # codepoints: every value exceeds max 1
+        out_cp, _ = compile_spec({"s": ("string", ("max", 1))}).run_batch(t)
+        assert out_cp.column("valid").to_pylist() == [False, False, False]
+        # graphemes: é and the family are single clusters
+        out_gr, _ = compile_spec(
+            {"s": ("string", ("max", 1))}, string_length="graphemes"
+        ).run_batch(t)
+        assert out_gr.column("valid").to_pylist() == [True, True, False]
+
+    def test_min_graphemes(self):
+        t = pa.table({"s": ["éé", "x"]})
+        out, viols = compile_spec(
+            {"s": ("string", ("min", 2))}, string_length="graphemes"
+        ).run_batch(t)
+        assert out.column("valid").to_pylist() == [True, False]
+        assert viols.column("message").to_pylist() == [
+            "should have the minimum length of 2"
+        ]
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(ValueError, match="string_length"):
+            compile_spec({"s": "string"}, string_length="bytes")
