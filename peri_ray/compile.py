@@ -257,14 +257,36 @@ def _grapheme_lengths(arr: pa.Array) -> np.ndarray:
     )
 
 
+_PCRE_CACHE: dict[str, Any] = {}
+
+
+def _pcre_match_mask(arr: pa.Array, pattern: str) -> np.ndarray:
+    """PCRE-compatible regex path (the ``regex`` module: lookarounds,
+    backrefs — what the reference's Elixir ~r// supports and RE2
+    doesn't).  Scalar per row; compiled pattern cached per process."""
+    import regex as _rx
+
+    rx = _PCRE_CACHE.get(pattern)
+    if rx is None:
+        rx = _PCRE_CACHE[pattern] = _rx.compile(pattern)
+    return np.array(
+        [bool(rx.search(v)) if v is not None else False
+         for v in arr.to_pylist()],
+        bool,
+    )
+
+
 def _string_constraint(arr: pa.Array, name: str, val: Any,
-                       string_length: str = "codepoints"):
+                       string_length: str = "codepoints",
+                       regex_engine: str = "re2"):
     """Returns (ok_mask_over_nonnull, template_key, ctx).  String length
     defaults to codepoints (``pc.utf8_length``, vectorized); pass
     ``string_length="graphemes"`` for exact reference parity
     (``String.length``, ``lib/peri.ex:879-893``).  Regex is RE2 vs PCRE
     (documented deviation, SURVEY §2.3)."""
     if name == "regex":
+        if regex_engine == "pcre":
+            return _pcre_match_mask(arr, val), "string.regex", {"regex": f"~r/{val}/"}
         return _np_bool(pc.match_substring_regex(arr, val), False), "string.regex", {"regex": f"~r/{val}/"}
     if name == "eq":
         return _np_bool(pc.equal(arr, val), False), "string.eq", {"literal": val}
@@ -343,7 +365,7 @@ class Compiled:
     but resolved once at compile time instead of per value."""
 
     def __init__(self, texpr: Any, path: str, registry: dict | None, depth: int = 0,
-                 string_length: str = "codepoints"):
+                 string_length: str = "codepoints", regex_engine: str = "re2"):
         if depth > 64:
             # parity with @ref_depth_limit (lib/peri/parser.ex:112)
             raise RecursionError(f"{path}: ref recursion deeper than 64")
@@ -352,10 +374,12 @@ class Compiled:
         self.registry = registry or {}
         self.depth = depth
         self.string_length = string_length
+        self.regex_engine = regex_engine
 
     def _sub(self, texpr: Any, path: str | None = None) -> "Compiled":
         return Compiled(texpr, path if path is not None else self.path,
-                        self.registry, self.depth + 1, self.string_length)
+                        self.registry, self.depth + 1, self.string_length,
+                        self.regex_engine)
 
     # -- entry ------------------------------------------------------------
     def validate(self, arr: pa.Array, active: np.ndarray, ctx: Ctx) -> FieldResult:
@@ -435,7 +459,8 @@ class Compiled:
                     continue
                 if inner == "string":
                     mask, tkey, mctx = _string_constraint(arr2, cname, cval,
-                                                          self.string_length)
+                                                          self.string_length,
+                                                          self.regex_engine)
                 else:
                     mask, tkey, mctx = _numeric_constraint(arr2, cname, cval)
                 bad = applies & ~mask
@@ -1206,18 +1231,22 @@ class Plan:
     ``test/permissive_mode_test.exs``)."""
 
     def __init__(self, spec: dict, mode: str = "strict", id_column: str | None = None,
-                 registry: dict | None = None, string_length: str = "codepoints"):
+                 registry: dict | None = None, string_length: str = "codepoints",
+                 regex_engine: str = "re2"):
         if mode not in ("strict", "permissive"):
             raise ValueError(f"Invalid mode: {mode}. Must be 'strict' or 'permissive'")
         if string_length not in ("codepoints", "graphemes"):
             raise ValueError(f"Invalid string_length: {string_length}")
+        if regex_engine not in ("re2", "pcre"):
+            raise ValueError(f"Invalid regex_engine: {regex_engine}")
         S.validate_spec(spec)
         self.spec = spec
         self.mode = mode
         self.id_column = id_column
         self.registry = registry or {}
         self.fields = {
-            key: Compiled(t, key, self.registry, string_length=string_length)
+            key: Compiled(t, key, self.registry, string_length=string_length,
+                          regex_engine=regex_engine)
             for key, t in spec.items()
         }
 
@@ -1315,6 +1344,7 @@ class Plan:
 
 def compile_spec(spec: dict, mode: str = "strict", id_column: str | None = None,
                  registry: dict | None = None,
-                 string_length: str = "codepoints") -> Plan:
+                 string_length: str = "codepoints",
+                 regex_engine: str = "re2") -> Plan:
     return Plan(spec, mode=mode, id_column=id_column, registry=registry,
-                string_length=string_length)
+                string_length=string_length, regex_engine=regex_engine)

@@ -941,3 +941,24 @@ class TestGraphemeLength:
     def test_invalid_mode_rejected(self):
         with pytest.raises(ValueError, match="string_length"):
             compile_spec({"s": "string"}, string_length="bytes")
+
+
+class TestPcreRegexEngine:
+    """Opt-in PCRE-compatible regex (the reference's ~r// supports
+    lookarounds/backrefs; RE2, the vectorized default, does not)."""
+
+    def test_lookahead_pattern(self):
+        pat = r"^(?=.*[0-9])(?=.*[a-z]).+$"  # needs a digit AND a letter
+        t = pa.table({"p": ["abc1", "abcdef", "123", None]})
+        out, viols = compile_spec(
+            {"p": ("string", ("regex", pat))}, regex_engine="pcre"
+        ).run_batch(t)
+        assert out.column("valid").to_pylist() == [True, False, False, True]
+        assert all("~r/" in m for m in viols.column("message").to_pylist())
+        # the vectorized RE2 default cannot compile lookaheads
+        with pytest.raises(Exception):
+            compile_spec({"p": ("string", ("regex", pat))}).run_batch(t)
+
+    def test_invalid_engine_rejected(self):
+        with pytest.raises(ValueError, match="regex_engine"):
+            compile_spec({"p": "string"}, regex_engine="pcre2")
