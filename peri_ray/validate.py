@@ -97,7 +97,9 @@ class _ValidateFn:
 
 def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,
                      registry: dict | None = None, batch_size: int | None = 8192,
-                     concurrency: int | tuple | None = None):
+                     concurrency: int | tuple | None = None,
+                     string_length: str = "codepoints",
+                     regex_engine: str = "re2"):
     """``ds.map_batches(validator)`` over Arrow batches.  Returns the
     combined dataset (input columns + valid + record_id + violations).
 
@@ -106,19 +108,22 @@ def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None
     compiles once per ACTOR in ``__init__`` — worth it when the spec is
     large (hundreds of rules / big enum sets / many regexes) and
     per-task deserialization would show up in ``ds.stats()``."""
+    opts = dict(mode=mode, id_column=id_column, registry=registry,
+                string_length=string_length, regex_engine=regex_engine)
     if concurrency is not None:
         # validate the spec EAGERLY on the driver (same contract as the
         # task path) — a bad spec must raise here, not inside a remote
         # actor constructor at execution time
-        compile_spec(spec, mode=mode, id_column=id_column, registry=registry)
+        compile_spec(spec, **opts)
         return ds.map_batches(
             _ValidateActor,
-            fn_constructor_args=(spec, mode, id_column, registry),
+            fn_constructor_args=(spec,),
+            fn_constructor_kwargs=opts,
             concurrency=concurrency,
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-    plan = compile_spec(spec, mode=mode, id_column=id_column, registry=registry)
+    plan = compile_spec(spec, **opts)
     return ds.map_batches(
         _ValidateFn(plan), batch_format="pyarrow", batch_size=batch_size
     )
@@ -127,9 +132,8 @@ def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None
 class _ValidateActor(_ValidateFn):
     """Actor-pool variant: compile the plan once per actor."""
 
-    def __init__(self, spec, mode, id_column, registry):
-        super().__init__(compile_spec(spec, mode=mode, id_column=id_column,
-                                      registry=registry))
+    def __init__(self, spec, **opts):
+        super().__init__(compile_spec(spec, **opts))
 
 
 def violations_dataset(combined):
