@@ -272,3 +272,18 @@ class TestDatasetBatchEquivalence:
         for b in combined.iter_batches(batch_format="pyarrow"):
             got_valid.extend(b.column("valid").to_pylist())
         assert sorted(got_valid) == sorted(out_batch.column("valid").to_pylist())
+
+
+class TestModeEquivalenceOnAscii:
+    """On ASCII corpora the grapheme and PCRE opt-ins must agree row
+    for row with the vectorized defaults, for ANY random spec (the
+    opt-ins change unicode semantics, not logic)."""
+
+    @given(spec=_spec, seed=st.integers(0, 10_000))
+    @settings(max_examples=25, deadline=None)
+    def test_optins_equal_defaults(self, spec, seed):
+        table = generate_table(spec, 30, seed=seed)
+        a, _ = compile_spec(spec).run_batch(table)
+        b, _ = compile_spec(spec, string_length="graphemes",
+                            regex_engine="pcre").run_batch(table)
+        assert a.column("valid").to_pylist() == b.column("valid").to_pylist()
