@@ -287,3 +287,31 @@ class TestModeEquivalenceOnAscii:
         b, _ = compile_spec(spec, string_length="graphemes",
                             regex_engine="pcre").run_batch(table)
         assert a.column("valid").to_pylist() == b.column("valid").to_pylist()
+
+
+class TestViolationConsistency:
+    """Structural invariant on RANDOM specs + corrupted data: the valid
+    mask and the violations table must correspond exactly — every
+    invalid row owns ≥1 violation and every violation points at an
+    invalid row (record_id = row index when id_column is None)."""
+
+    @given(spec=_spec, seed=st.integers(0, 10_000))
+    @settings(max_examples=40, deadline=None)
+    def test_mask_matches_violation_rows(self, spec, seed):
+        table = generate_table(spec, 30, seed=seed)
+        # corrupt: null out the tail of the first column (trips required
+        # inside nested/required specs; harmless for optional ones)
+        col0 = table.column_names[0]
+        vals = table.column(col0).to_pylist()
+        try:
+            table = table.set_column(
+                table.column_names.index(col0), col0,
+                pa.array(vals[:15] + [None] * 15, table.column(col0).type),
+            )
+        except pa.ArrowInvalid:
+            pass
+        out, viols = compile_spec(spec).run_batch(table)
+        valid = out.column("valid").to_pylist()
+        bad_rows = {str(i) for i, v in enumerate(valid) if not v}
+        viol_rows = set(viols.column("record_id").to_pylist())
+        assert viol_rows == bad_rows, (spec, bad_rows ^ viol_rows)
