@@ -315,3 +315,49 @@ class TestViolationConsistency:
         bad_rows = {str(i) for i, v in enumerate(valid) if not v}
         viol_rows = set(viols.column("record_id").to_pylist())
         assert viol_rows == bad_rows, (spec, bad_rows ^ viol_rows)
+
+
+class TestRandomMutationProperty:
+    """Constraint-aware mutation on RANDOM parameters: for a leaf spec
+    drawn with random bounds, injecting a value just outside the bound
+    must fire exactly that rule on exactly the mutated rows."""
+
+    @given(lo=st.integers(-1000, 1000), span=st.integers(0, 500),
+           seed=st.integers(0, 10_000))
+    @settings(max_examples=30, deadline=None)
+    def test_int_range_bounds(self, lo, span, seed):
+        spec = {"v": ("integer", ("range", (lo, lo + span)))}
+        base = generate_table(spec, 20, seed=seed)
+        for bad in (lo - 1, lo + span + 1):
+            t = base.set_column(0, "v", pa.array([bad] * 20, pa.int64()))
+            out, viols = compile_spec(spec).run_batch(t)
+            assert not any(out.column("valid").to_pylist())
+            assert set(viols.column("rule_id").to_pylist()) == {"integer.range"}
+            assert viols.num_rows == 20
+
+    @given(lo=st.integers(1, 10), span=st.integers(0, 10),
+           seed=st.integers(0, 10_000))
+    @settings(max_examples=20, deadline=None)
+    def test_string_length_bounds(self, lo, span, seed):
+        hi = lo + span
+        spec = {"s": ("string", [("min", lo), ("max", hi)])}
+        base = generate_table(spec, 10, seed=seed)
+        too_short = "x" * (lo - 1)
+        too_long = "x" * (hi + 1)
+        for bad, rule in ((too_short, "string.min"), (too_long, "string.max")):
+            t = base.set_column(0, "s", pa.array([bad] * 10, pa.string()))
+            out, viols = compile_spec(spec).run_batch(t)
+            assert not any(out.column("valid").to_pylist())
+            assert set(viols.column("rule_id").to_pylist()) == {rule}
+
+    @given(choices=st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                            min_size=1, max_size=3, unique=True),
+           seed=st.integers(0, 10_000))
+    @settings(max_examples=20, deadline=None)
+    def test_enum_out_of_set(self, choices, seed):
+        spec = {"e": ("enum", choices)}
+        base = generate_table(spec, 10, seed=seed)
+        t = base.set_column(0, "e", pa.array(["__nope__"] * 10, pa.string()))
+        out, viols = compile_spec(spec).run_batch(t)
+        assert not any(out.column("valid").to_pylist())
+        assert set(viols.column("rule_id").to_pylist()) == {"enum"}
