@@ -278,7 +278,8 @@ def _pcre_match_mask(arr: pa.Array, pattern: str) -> np.ndarray:
 
 def _string_constraint(arr: pa.Array, name: str, val: Any,
                        string_length: str = "codepoints",
-                       regex_engine: str = "re2"):
+                       regex_engine: str = "re2",
+                       grapheme_lens: np.ndarray | None = None):
     """Returns (ok_mask_over_nonnull, template_key, ctx).  String length
     defaults to codepoints (``pc.utf8_length``, vectorized); pass
     ``string_length="graphemes"`` for exact reference parity
@@ -292,8 +293,9 @@ def _string_constraint(arr: pa.Array, name: str, val: Any,
         return _np_bool(pc.equal(arr, val), False), "string.eq", {"literal": val}
     if name in ("min", "max"):
         if string_length == "graphemes":
-            lens = _grapheme_lengths(arr)
-            ok = lens >= val if name == "min" else lens <= val
+            if grapheme_lens is None:
+                grapheme_lens = _grapheme_lengths(arr)
+            ok = grapheme_lens >= val if name == "min" else grapheme_lens <= val
         else:
             cmp = pc.greater_equal if name == "min" else pc.less_equal
             ok = _np_bool(cmp(pc.utf8_length(arr), val), False)
@@ -454,13 +456,20 @@ class Compiled:
         violations = list(base.violations)
         override = next((cv for cn, cv in constraints if cn == "error"), None)
         if applies.any() and not pa.types.is_null(arr2.type):
+            # grapheme lengths scanned ONCE per column even when both min
+            # and max constraints are present
+            g_lens = None
+            if (inner == "string" and self.string_length == "graphemes"
+                    and any(cn in ("min", "max") for cn, _ in constraints)):
+                g_lens = _grapheme_lengths(arr2)
             for cname, cval in constraints:
                 if cname == "error":
                     continue
                 if inner == "string":
                     mask, tkey, mctx = _string_constraint(arr2, cname, cval,
                                                           self.string_length,
-                                                          self.regex_engine)
+                                                          self.regex_engine,
+                                                          g_lens)
                 else:
                     mask, tkey, mctx = _numeric_constraint(arr2, cname, cval)
                 bad = applies & ~mask
@@ -1163,7 +1172,7 @@ class Compiled:
                 child = pc.struct_field(arr, key)
             else:
                 child = pa.nulls(n, pa.null())
-            res = Compiled(sub_t, child_path, self.registry, self.depth + 1).validate(
+            res = self._sub(sub_t, child_path).validate(
                 child, applies, ctx
             )
             bad = applies & ~res.ok
@@ -1239,6 +1248,10 @@ class Plan:
             raise ValueError(f"Invalid string_length: {string_length}")
         if regex_engine not in ("re2", "pcre"):
             raise ValueError(f"Invalid regex_engine: {regex_engine}")
+        if string_length == "graphemes" or regex_engine == "pcre":
+            # fail on the DRIVER if the regex module is absent — not
+            # inside a remote task mid-pipeline
+            import regex  # noqa: F401
         S.validate_spec(spec)
         self.spec = spec
         self.mode = mode

@@ -962,3 +962,34 @@ class TestPcreRegexEngine:
     def test_invalid_engine_rejected(self):
         with pytest.raises(ValueError, match="regex_engine"):
             compile_spec({"p": "string"}, regex_engine="pcre2")
+
+
+class TestOptInPropagation:
+    """Regression: the grapheme/PCRE opt-ins must reach fields nested
+    inside dict schemas, lists and choice branches (the nested
+    dispatcher used to rebuild Compiled without them)."""
+
+    def test_grapheme_inside_nested_schema(self):
+        t = pa.table({"u": pa.array([{"name": "é"}],
+                                    pa.struct([("name", pa.string())]))})
+        out, _ = compile_spec(
+            {"u": {"name": ("string", ("max", 1))}}, string_length="graphemes"
+        ).run_batch(t)
+        assert out.column("valid").to_pylist() == [True]
+
+    def test_pcre_inside_nested_schema(self):
+        pat = r"^(?=.*[0-9]).+$"
+        t = pa.table({"u": pa.array([{"p": "a1"}, {"p": "ab"}],
+                                    pa.struct([("p", pa.string())]))})
+        out, _ = compile_spec(
+            {"u": {"p": ("string", ("regex", pat))}}, regex_engine="pcre"
+        ).run_batch(t)
+        assert out.column("valid").to_pylist() == [True, False]
+
+    def test_grapheme_inside_list(self):
+        t = pa.table({"xs": [["é", "ab"]]})
+        out, viols = compile_spec(
+            {"xs": ("list", ("string", ("max", 1)))}, string_length="graphemes"
+        ).run_batch(t)
+        assert out.column("valid").to_pylist() == [False]
+        assert viols.column("path").to_pylist() == ["xs.1"]
