@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_event_type": q.psi_event_type,
         # training-data operators
         "dedup_exact_docs": q.dedup_exact_docs,
+        "exact_dedup_victims": q.exact_dedup_victims,
+        "ann_topk_exact": q.ann_topk_exact,
+        "bpe_token_counts": q.bpe_token_counts,
+        "quantized_embedding_norms": q.quantized_embedding_norms,
+        "drift_lang_documents": q.drift_lang_documents,
         "top_sources_by_chars": q.top_sources_by_chars,
         "token_counts": q.token_counts,
         "embedding_dims": q.embedding_dims,
@@ -90,13 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q.lsh_ann_topk,
         "simhash_near_dup_pairs": q.simhash_near_dup_pairs,
         "doc_fingerprints": q.doc_fingerprints,
-        "bpe_token_counts": q.bpe_token_counts,
         "frame_samples": q.frame_samples,
-        "drift_lang_documents": q.drift_lang_documents,
         "winnow_shared_passages": q.winnow_shared_passages,
         "multimodal_resize": q.multimodal_resize,
         "audio_features": q.audio_features,
-        "quantized_embedding_norms": q.quantized_embedding_norms,
         "ivf_ann_topk": q.ivf_ann_topk,
     }
 
@@ -279,6 +281,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(SUM((p - 0.2) * ln(p / 0.2)), 6) AS psi FROM obs
         """,
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "exact_dedup_victims": (
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text)"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(text, '[^\\w]+')) "
+            "+ length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        "drift_lang_documents": """
+            WITH obs AS (
+              SELECT lang,
+                     count(*)::DOUBLE / (SELECT count(lang) FROM documents) AS p
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ), ref(lang, q) AS (
+              VALUES ('en', 0.45), ('de', 0.14), ('fr', 0.14),
+                     ('es', 0.14), ('pt', 0.13)
+            ), terms AS (
+              -- union of observed and reference categories: a reference
+              -- lang with zero observations still contributes (eps - q)
+              SELECT GREATEST(COALESCE(obs.p, 0), 0.000001) AS p,
+                     GREATEST(COALESCE(ref.q, 0), 0.000001) AS q
+                FROM obs FULL OUTER JOIN ref ON obs.lang = ref.lang
+            )
+            SELECT 'drift:lang:psi' AS rule_id,
+                   (SUM((p - q) * ln(p / q)) <= 0.25) AS passed,
+                   ROUND(SUM((p - q) * ln(p / q)), 6) AS score
+              FROM terms
+        """,
+        "quantized_embedding_norms": """
+            SELECT vec_id,
+                   CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+                        x -> POWER(ROUND(CAST(x AS DOUBLE) / s) * s, 2))))
+                        * 1000) AS BIGINT) AS l2_milli
+              FROM (
+                SELECT vec_id, embedding,
+                       CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS s
+                  FROM (SELECT vec_id, embedding,
+                               list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+                          FROM embeddings)
+              )
+        """,
+        "ann_topk_exact": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
+        """,
         "top_sources_by_chars": (
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "GROUP BY source ORDER BY sum_chars DESC, source LIMIT 5"

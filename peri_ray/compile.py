@@ -853,13 +853,28 @@ class Compiled:
             )
             return FieldResult(arr, ok, violations)
         children = []
+        changed = False
         for i, sub_t in enumerate(types):
             child = pc.struct_field(arr, i)
             res = self._sub(sub_t, f"{self.path}.{i}").validate(child, applies, ctx)
             elem_bad = applies & ~res.ok
             ok[elem_bad] = False
             violations.extend(res.violations)
+            changed = changed or res.values is not child
             children.append(res.values)
+        if changed:
+            # element transforms/defaults rebuild the tuple from validated
+            # values (validate_tuple_elements, lib/peri.ex:1325-1349)
+            names = [f.name for f in arr.type]
+            children = [
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                for c in children
+            ]
+            children = [
+                c if not pa.types.is_null(c.type) else pa.nulls(n, pa.string())
+                for c in children
+            ]
+            arr = pa.StructArray.from_arrays(children, names, mask=pa.array(nulls))
         return FieldResult(arr, ok, violations)
 
     # -- multi: tagged-union dispatch (lib/peri.ex:1521-1556) --------------
@@ -933,9 +948,12 @@ class Compiled:
         ok[active & mask & ~res_t.ok] = False
         ok[active & ~mask & ~res_f.ok] = False
         values = arr
-        if res_t.values is not arr:
+        # same merge rule as _choice/_t_multi: branch value rewrites merge
+        # back only when the branch kept the column's physical type (a
+        # nested-schema branch's strict struct rebuild may differ)
+        if res_t.values is not arr and res_t.values.type == arr.type:
             values = pc.if_else(pa.array(mask), res_t.values, values)
-        if res_f.values is not arr:
+        if res_f.values is not arr and res_f.values.type == arr.type:
             values = pc.if_else(pa.array(~mask), res_f.values, values)
         return FieldResult(values, ok, res_t.violations + res_f.violations)
 
@@ -1051,7 +1069,8 @@ class Compiled:
             res = self._sub(t).validate(values, mask, ctx)
             ok[mask & ~res.ok] = False
             violations.extend(res.violations)
-            if res.values is not values:
+            # guard like _choice/_t_multi: only merge type-preserving rewrites
+            if res.values is not values and res.values.type == values.type:
                 values = pc.if_else(pa.array(mask), res.values, values)
         return FieldResult(values, ok, violations)
 

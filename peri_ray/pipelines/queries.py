@@ -294,6 +294,17 @@ def dedup_exact_docs(sf_dir: str):
     return keepers.map_batches(_sel, batch_format="pyarrow")
 
 
+def exact_dedup_victims(sf_dir: str):
+    """Ids removed by exact dedup (everything but the min-id keeper per
+    distinct text) — single bucketed (content_hash, id) exchange, no
+    driver-side keeper materialization (VERDICT r1 item 1)."""
+    from peri_ray.stages.dedup import exact_duplicate_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    victims = exact_duplicate_ids(ds, "text", "doc_id")
+    return _collect(victims, pa.schema([("doc_id", pa.int64())]))
+
+
 def top_sources_by_chars(sf_dir: str):
     """Top-5 sources by total n_chars: pre-aggregated groupby then a tiny
     sort+limit (SURVEY §2.7 top-k)."""
@@ -385,6 +396,25 @@ def ann_topk(sf_dir: str):
     return pa.table({"query_id": pa.array(qi, pa.int64()),
                      "neighbor_id": pa.array(vid, pa.int64()),
                      "rank": pa.array(rank, pa.int32())})
+
+
+def ann_topk_exact(sf_dir: str):
+    """Brute-force cosine top-10 for the 3 lowest vec_ids, computed in
+    float64 so the DuckDB ``list_cosine_similarity`` oracle agrees on
+    the neighbor sets (scores themselves never cross the compare)."""
+    from peri_ray.stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], np.float64) for r in q_rows])
+    results = brute_force_topk(ds, queries, k=10, dtype=np.float64)
+    qi, vid = [], []
+    for i, res in enumerate(results):
+        for v, _s in res:
+            qi.append(q_rows[i]["vec_id"])
+            vid.append(v)
+    return pa.table({"query_id": pa.array(qi, pa.int64()),
+                     "neighbor_id": pa.array(vid, pa.int64())})
 
 
 def embedding_near_dup_pairs(sf_dir: str):
@@ -824,17 +854,23 @@ def audio_features(sf_dir: str):
 
 def quantized_embedding_norms(sf_dir: str):
     """int8 quantize → dequantize → L2 norm per vector (compression
-    path for 100 TB embedding storage; error bounded by max_abs/254)."""
+    path for 100 TB embedding storage; error bounded by max_abs/254).
+
+    Computed in float64 end-to-end and emitted as integer milli-units
+    so the DuckDB oracle (same double-precision arithmetic) hashes
+    identically — floats that underwent arithmetic never cross the
+    compare raw."""
     from peri_ray.stages.similarity import quantize_embeddings
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = quantize_embeddings(ds)
+    q = quantize_embeddings(ds, dtype=np.float64)
 
     def _norms(t: pa.Table) -> pa.Table:
         from peri_ray.stages.similarity import dequantize_matrix
 
-        m = dequantize_matrix(t)
+        m = dequantize_matrix(t, dtype=np.float64)
+        milli = np.rint(np.linalg.norm(m, axis=1) * 1000.0).astype(np.int64)
         return pa.table({"vec_id": t.column("vec_id"),
-                         "l2": pa.array(np.linalg.norm(m, axis=1).astype(np.float64))})
+                         "l2_milli": pa.array(milli)})
 
     return q.map_batches(_norms, batch_format="pyarrow")

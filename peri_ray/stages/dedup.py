@@ -18,12 +18,58 @@ Scale shapes:
 from __future__ import annotations
 
 import itertools
+import logging
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from peri_ray.state.sketches import hash_strings, splitmix64
+
+_U64_MASK = (1 << 64) - 1
+
+logger = logging.getLogger("peri_ray.dedup")
+
+#: LSH buckets larger than this (boilerplate, empty docs, giant
+#: exact-dup clusters) would emit O(n²) candidate pairs; oversized
+#: buckets downgrade to star pairs anchored at the min id, which keeps
+#: duplicate-cluster connectivity (transitively) with O(n) output.
+BUCKET_PAIR_CAP = 256
+
+
+def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
+                 context: str = "lsh") -> tuple[list, list]:
+    """Candidate pairs within one LSH bucket, bounded.
+
+    ``ids`` must be sorted.  Under the cap: all pairs.  Over the cap:
+    (min_id, other) star pairs — O(n) instead of O(n²) — and the
+    downgrade is logged (no silent caps)."""
+    a: list = []
+    b: list = []
+    if len(ids) <= cap:
+        for x, y in itertools.combinations(ids, 2):
+            a.append(x)
+            b.append(y)
+    else:
+        logger.warning(
+            "%s bucket with %d members exceeds pair cap %d; "
+            "emitting %d star pairs instead of %d all-pairs",
+            context, len(ids), cap, len(ids) - 1,
+            len(ids) * (len(ids) - 1) // 2,
+        )
+        anchor = ids[0]
+        for y in ids[1:]:
+            a.append(anchor)
+            b.append(y)
+    return a, b
+
+
+def hamming64(fa: int, fb: int) -> int:
+    """Popcount of the 64-bit XOR of two fingerprints.  The XOR is
+    masked to unsigned 64-bit first: fingerprints travel as signed
+    int64, and ``bin()`` of a negative Python int renders
+    sign-magnitude, corrupting the count whenever bit 63 differs."""
+    return bin((int(fa) ^ int(fb)) & _U64_MASK).count("1")
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -74,39 +120,52 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id",
     return bucketed.groupby("bucket").map_groups(_agg, batch_format="pyarrow")
 
 
-def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Ids that would be REMOVED by exact dedup (duplicates beyond the
-    first per content).  The keeper-id set is broadcast ONCE via
-    ray.put (read per task, never re-shipped per batch); membership is
-    a vectorized ``pc.is_in``."""
-    import ray
+class _HashIdPairs:
+    """Batch → (content_hash, id) rows: the only bytes that ever cross
+    the dedup exchange (never the text)."""
 
-    keepers = exact_dedup_keepers(ds, text_col, id_col)
-    keep_ref = ray.put(pa.array(
-        sorted(r["keep_id"] for r in keepers.take_all())
-    ))
-
-    # only the object REF pickles into the task closure; ray.get
-    # resolves lazily per task (zero-copy plasma read) so the broadcast
-    # is never re-shipped and no actor pool pins CPUs
-    return ds.map_batches(_VictimFilter(keep_ref, id_col),
-                          batch_format="pyarrow")
-
-
-class _VictimFilter:
-    def __init__(self, keep_ref, id_col: str):
-        self.ref = keep_ref
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
         self.id_col = id_col
-        self._keep = None
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self._keep is None:
-            import ray
+    def __call__(self, table: pa.Table) -> pa.Table:
+        h = hash_strings(table.column(self.text_col).combine_chunks(), seed=1)
+        return pa.table(
+            {
+                "content_hash": pa.array(h.astype(np.int64)),
+                self.id_col: table.column(self.id_col),
+            }
+        )
 
-            self._keep = ray.get(self.ref)
-        ids = t.column(self.id_col).combine_chunks()
-        mask = pc.invert(pc.is_in(ids, value_set=self._keep))
-        return t.filter(mask).select([self.id_col])
+
+def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 64):
+    """Ids that would be REMOVED by exact dedup (duplicates beyond the
+    min-id keeper per content).
+
+    Scale shape: a single hash-bucketed exchange of (content_hash, id)
+    pairs — per-bucket, the min id per hash is computed with a
+    vectorized Arrow group_by and anti-joined back, so every id except
+    the keeper survives.  Nothing is materialized on the driver (the
+    previous take_all()+broadcast keeper set was O(distinct docs) driver
+    memory; at 10^12 docs that is the corpus cardinality)."""
+    from peri_ray.stages.checks import _AddBucket
+
+    pairs = ds.map_batches(_HashIdPairs(text_col, id_col), batch_format="pyarrow")
+    bucketed = pairs.map_batches(_AddBucket("content_hash", n_buckets),
+                                 batch_format="pyarrow")
+    id_col_ = id_col
+
+    def _victims(group: pa.Table) -> pa.Table:
+        g = group.select(["content_hash", id_col_])
+        mins = (g.group_by("content_hash")
+                 .aggregate([(id_col_, "min")])
+                 .rename_columns(["content_hash", "__keep"]))
+        joined = g.join(mins, keys="content_hash", join_type="inner")
+        keep = pc.not_equal(joined.column(id_col_), joined.column("__keep"))
+        return joined.filter(keep).select([id_col_])
+
+    return bucketed.groupby("bucket").map_groups(_victims, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -207,10 +266,7 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def _pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column(id_col).to_pylist()))
-        a, b = [], []
-        for x, y in itertools.combinations(ids, 2):
-            a.append(x)
-            b.append(y)
+        a, b = bucket_pairs(ids, context="minhash-lsh")
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
@@ -228,37 +284,103 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.8, k: int = 5):
-    """Jaccard-verify LSH candidates.  The texts of candidate ids (a
-    small set by construction) are broadcast; verification is a
-    map_batches over the pairs."""
-    import ray
+                      threshold: float = 0.8, k: int = 5, n_buckets: int = 64):
+    """Jaccard-verify LSH candidates via two bucketed exchanges — no
+    driver-side materialization (the previous take_all()+broadcast dict
+    was O(candidate texts) driver memory, unbounded at corpus scale).
 
-    cand_rows = pairs.take_all()
-    if not cand_rows:
-        return pairs.filter(lambda r: False)
-    ids = {r["id_a"] for r in cand_rows} | {r["id_b"] for r in cand_rows}
+    Shape: (1) explode pairs into per-doc halves (doc_id, id_a, id_b),
+    union with the pruned (doc_id, text) column, hash-bucket on doc_id
+    and attach each half's text with a per-bucket vectorized Arrow join
+    (texts in a bucket with no candidate halves are dropped there —
+    text for non-candidates crosses at most the first exchange);
+    (2) re-bucket the text-carrying halves on (id_a, id_b), pivot the
+    two halves per pair and score n-gram Jaccard per candidate."""
+    half_a = pairs.map_batches(
+        lambda t: pa.table({
+            "__doc": t.column("id_a"),
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "__txt": pa.nulls(t.num_rows, pa.string()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+        }),
+        batch_format="pyarrow")
+    half_b = pairs.map_batches(
+        lambda t: pa.table({
+            "__doc": t.column("id_b"),
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "__txt": pa.nulls(t.num_rows, pa.string()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+        }),
+        batch_format="pyarrow")
 
     def _texts(t: pa.Table) -> pa.Table:
-        mask = pa.array([v in ids for v in t.column(id_col).to_pylist()])
-        return t.filter(mask).select([id_col, text_col])
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = t.num_rows
+        return pa.table({
+            "__doc": t.column(id_col).combine_chunks().cast(pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "__txt": txt,
+            "__side": pa.array(np.ones(n, np.int8)),
+        })
 
-    texts = {r[id_col]: r[text_col] for r in ds.map_batches(_texts, batch_format="pyarrow").take_all()}
-    ref = ray.put(texts)
+    texts = ds.map_batches(_texts, batch_format="pyarrow")
 
-    def _verify(t: pa.Table) -> pa.Table:
-        import ray as _ray
+    def _bucket_doc(t: pa.Table) -> pa.Table:
+        key = t.column("__doc").combine_chunks().cast(pa.string())
+        bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket))
 
-        lookup = _ray.get(ref)
-        keep, jac = [], []
-        for r in t.to_pylist():
-            j = ngram_jaccard(lookup.get(r["id_a"], ""), lookup.get(r["id_b"], ""), k)
-            keep.append(j >= threshold)
-            jac.append(j)
-        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pa.array(keep))
+    both = half_a.union(half_b).union(texts).map_batches(
+        _bucket_doc, batch_format="pyarrow")
 
-    return pairs.map_batches(_verify, batch_format="pyarrow")
+    def _attach(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        halves = group.filter(pc.equal(side, 0)).select(["__doc", "id_a", "id_b"])
+        if halves.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "__txt": pa.array([], pa.string())})
+        lookup = (group.filter(pc.equal(side, 1))
+                       .select(["__doc", "__txt"])
+                       .group_by("__doc").aggregate([("__txt", "min")])
+                       .rename_columns(["__doc", "__txt"]))
+        joined = halves.join(lookup, keys="__doc", join_type="left outer")
+        return joined.select(["id_a", "id_b", "__txt"])
+
+    attached = both.groupby("__bucket").map_groups(_attach, batch_format="pyarrow")
+
+    def _bucket_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()), ":")
+        bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket))
+
+    rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow")
+
+    def _score(group: pa.Table) -> pa.Table:
+        by_pair: dict[tuple[int, int], list[str]] = {}
+        for r in group.to_pylist():
+            by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r["__txt"] or "")
+        ida, idb, jac = [], [], []
+        for (xa, xb), txts in by_pair.items():
+            ta = txts[0] if txts else ""
+            tb = txts[1] if len(txts) > 1 else ""
+            j = ngram_jaccard(ta, tb, k)
+            if j >= threshold:
+                ida.append(xa)
+                idb.append(xb)
+                jac.append(j)
+        return pa.table({"id_a": pa.array(ida, pa.int64()),
+                         "id_b": pa.array(idb, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return rebucketed.groupby("__bucket").map_groups(_score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -336,9 +458,18 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
     def _pairs(group: pa.Table) -> pa.Table:
         rows = sorted({(r[id_col], r["simhash"]) for r in group.to_pylist()})
         a, b = [], []
-        for (xa, fa), (xb, fb) in itertools.combinations(rows, 2):
-            ham = bin(int(fa) ^ int(fb)).count("1")
-            if ham < bands:
+        if len(rows) <= BUCKET_PAIR_CAP:
+            cand = itertools.combinations(rows, 2)
+        else:
+            # oversized block bucket (mass-duplicated fingerprint region):
+            # compare against the min-id anchor only — O(n) — and log
+            logger.warning(
+                "simhash bucket with %d members exceeds pair cap %d; "
+                "comparing to min-id anchor only", len(rows), BUCKET_PAIR_CAP,
+            )
+            cand = ((rows[0], r) for r in rows[1:])
+        for (xa, fa), (xb, fb) in cand:
+            if hamming64(fa, fb) < bands:
                 a.append(xa)
                 b.append(xb)
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})

@@ -19,12 +19,12 @@ import numpy as np
 import pyarrow as pa
 
 
-def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+def _as_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
-    return flat.reshape(n, -1).astype(np.float32)
+    return flat.reshape(n, -1).astype(dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -38,16 +38,18 @@ class _TopKPartial:
     The query matrix is broadcast: resolved once per task from the
     object store, never per batch."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 dtype=np.float32):
         import ray
 
-        self.q = _normalize(ray.get(queries_ref))
+        self.dtype = dtype
+        self.q = _normalize(ray.get(queries_ref).astype(dtype))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        m = _normalize(_as_matrix(table.column(self.vec_col)))
+        m = _normalize(_as_matrix(table.column(self.vec_col), self.dtype))
         ids = table.column(self.id_col).to_numpy(zero_copy_only=False)
         sims = self.q @ m.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
@@ -62,22 +64,25 @@ class _TopKPartial:
             {
                 "query_idx": pa.array(qi, pa.int32()),
                 "id": pa.array(vid, pa.int64()),
-                "score": pa.array(sc, pa.float32()),
+                "score": pa.array(sc, pa.float64() if self.dtype == np.float64
+                                  else pa.float32()),
             }
         )
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     batch_size: int | None = 4096) -> list[list[tuple[int, float]]]:
+                     batch_size: int | None = 4096,
+                     dtype=np.float32) -> list[list[tuple[int, float]]]:
     """Exact cosine top-k of each query row against the dataset.
     Returns, per query, a list of (id, score) sorted by score desc, id
-    asc (deterministic tiebreak)."""
+    asc (deterministic tiebreak).  ``dtype=np.float64`` computes in
+    double precision (oracle-comparable against SQL cosine)."""
     import ray
 
-    qref = ray.put(np.asarray(queries, np.float32))
+    qref = ray.put(np.asarray(queries, dtype))
     partials = ds.map_batches(
-        _TopKPartial(qref, k, id_col, vec_col), batch_format="pyarrow",
+        _TopKPartial(qref, k, id_col, vec_col, dtype), batch_format="pyarrow",
         batch_size=batch_size,
     ).take_all()
     heaps: dict[int, list] = {}
@@ -121,11 +126,13 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     bucketer = _LSHBucketer(dim, n_planes, seed, id_col, vec_col)
     qb = bucketer(pa.table({id_col: pa.array(np.arange(len(q)), pa.int64()),
                             vec_col: pa.array(list(q))}))
-    qbuckets = set(qb.column("bucket").to_pylist())
+    qbuckets = pa.array(sorted(set(qb.column("bucket").to_pylist())), pa.int64())
     bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
 
     def _filter(t: pa.Table) -> pa.Table:
-        mask = pa.array([b in qbuckets for b in t.column("bucket").to_pylist()])
+        import pyarrow.compute as _pc
+
+        mask = _pc.is_in(t.column("bucket").combine_chunks(), value_set=qbuckets)
         return t.filter(mask)
 
     candidates = bucketed.map_batches(_filter, batch_format="pyarrow")
@@ -240,14 +247,18 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
 
 
 def quantize_embeddings(ds, vec_col: str = "embedding",
-                        batch_size: int | None = 4096):
+                        batch_size: int | None = 4096,
+                        dtype=np.float32):
     """Symmetric per-vector int8 quantization: 4× smaller than float32
     (16× vs float64) with bounded error — the storage/shuffle format for
     embedding columns at scale.  Emits ``<vec_col>_q8`` (list<int8>) and
-    ``<vec_col>_scale`` (float32: max-abs / 127 per vector)."""
+    ``<vec_col>_scale`` (max-abs / 127 per vector; stored at ``dtype``
+    — f32 for the compact storage path, f64 when the arithmetic must be
+    reproducible against a double-precision SQL oracle)."""
+    scale_pa = pa.float64() if dtype == np.float64 else pa.float32()
 
     def _quant(t: pa.Table) -> pa.Table:
-        m = _as_matrix(t.column(vec_col))
+        m = _as_matrix(t.column(vec_col), dtype)
         scale = np.abs(m).max(axis=1) / 127.0
         scale_safe = np.where(scale > 0, scale, 1.0)
         q = np.clip(np.round(m / scale_safe[:, None]), -127, 127).astype(np.int8)
@@ -256,13 +267,15 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
             f"{vec_col}_q8", pa.array(list(q), pa.list_(pa.int8(), dim))
         )
         return out.append_column(f"{vec_col}_scale",
-                                 pa.array(scale.astype(np.float32)))
+                                 pa.array(scale.astype(dtype), scale_pa))
 
     return ds.map_batches(_quant, batch_format="pyarrow", batch_size=batch_size)
 
 
-def dequantize_matrix(table: pa.Table, vec_col: str = "embedding") -> np.ndarray:
-    """int8 + scale → float32 matrix (exact inverse transform)."""
-    q = _as_matrix(table.column(f"{vec_col}_q8")).astype(np.float32)
-    scale = table.column(f"{vec_col}_scale").to_numpy(zero_copy_only=False)
+def dequantize_matrix(table: pa.Table, vec_col: str = "embedding",
+                      dtype=np.float32) -> np.ndarray:
+    """int8 + scale → float matrix (exact inverse transform)."""
+    q = _as_matrix(table.column(f"{vec_col}_q8"), dtype)
+    scale = table.column(f"{vec_col}_scale").to_numpy(
+        zero_copy_only=False).astype(dtype)
     return q * scale[:, None]

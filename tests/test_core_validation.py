@@ -397,6 +397,39 @@ class TestDynamic:
         out, _ = run(spec, {"t": ["num", "txt"], "v": pa.array([None, None], pa.int64())})
         assert out.column("valid").to_pylist() == [False, True]
 
+    def test_cond_nested_map_branch_type_divergence(self):
+        # regression (ADVICE r2): a cond branch that is a nested map
+        # schema rebuilds the struct strictly (dropping extra keys), so
+        # its physical type diverges from the input column; the merge
+        # must keep the original column instead of raising ArrowTypeError
+        spec = {
+            "flag": "boolean",
+            "obj": ("cond", "flag", {"a": "string"}, "any"),
+        }
+        data = pa.table({
+            "flag": [True, False],
+            "obj": pa.array([{"a": "x", "extra": 1}, {"a": "y", "extra": 2}]),
+        })
+        plan = compile_spec(spec)
+        out, viols = plan.run_batch(data)
+        assert out.column("valid").to_pylist() == [True, True]
+        assert viols.num_rows == 0
+
+    def test_dependent_schema_nested_map_branch(self):
+        # regression (ADVICE r2): same unguarded merge in _dependent_schema
+        spec = {
+            "kind": "string",
+            "obj": ("dependent", lambda row: {"a": ("required", "string")}
+                    if row["kind"] == "strict" else "any"),
+        }
+        data = pa.table({
+            "kind": ["strict", "loose"],
+            "obj": pa.array([{"a": "x", "extra": 1}, {"a": None, "extra": 2}]),
+        })
+        out, viols = compile_spec(spec).run_batch(data)
+        assert out.column("valid").to_pylist() == [True, True]
+        assert viols.num_rows == 0
+
     def test_dependent_pairwise_eq(self):
         # password confirmation (test/peri_test.exs:2487-2527)
         spec = {
@@ -676,6 +709,34 @@ class TestMapTupleMeta:
         assert out2.column("valid").to_pylist() == [True, False]
         # per-index error path coords.0 (lib/peri.ex:1335-1340)
         assert viols2.column("path").to_pylist() == ["coords.0"]
+
+    def test_tuple_element_transform_rebuilds(self):
+        # regression (ADVICE r2): tuple-element transforms were validated
+        # but the original struct was returned, silently dropping the
+        # rewrite (reference rebuilds: lib/peri.ex:1325-1349)
+        arr = pa.array(
+            [{"f0": "ab", "f1": 3}, {"f0": "cd", "f1": 4}, None],
+            pa.struct([("f0", pa.string()), ("f1", pa.int64())]),
+        )
+        out, viols = run(
+            {"t": ("tuple", [("string", ("transform", "upcase")), "integer"])},
+            {"t": arr},
+        )
+        assert viols.num_rows == 0
+        assert out.column("t").to_pylist() == [
+            {"f0": "AB", "f1": 3}, {"f0": "CD", "f1": 4}, None,
+        ]
+
+    def test_tuple_element_default_fills(self):
+        arr = pa.array(
+            [{"f0": 1, "f1": None}],
+            pa.struct([("f0", pa.int64()), ("f1", pa.int64())]),
+        )
+        out, _ = run(
+            {"t": ("tuple", ["integer", ("integer", ("default", 9))])},
+            {"t": arr},
+        )
+        assert out.column("t").to_pylist() == [{"f0": 1, "f1": 9}]
 
     def test_tuple_arity_mismatch(self):
         arr = pa.array([{"f0": 1}], pa.struct([("f0", pa.int64())]))

@@ -179,6 +179,58 @@ class TestDedup:
         # collapsed every odd-shingle-count doc onto the all-ones hash)
         assert all(3 not in p for p in pairs)
 
+    def test_hot_bucket_capped_star_pairs(self):
+        # VERDICT r1 item 2: 1K copies of one text must not emit O(n²)
+        # pairs — oversized LSH buckets downgrade to star pairs anchored
+        # at the min id, preserving cluster connectivity transitively
+        from peri_ray.stages.dedup import (
+            minhash_lsh_candidates, simhash_near_dups, verify_candidates,
+        )
+
+        boiler = "cookie policy please accept our terms and conditions " * 20
+        rows = [{"doc_id": i, "text": boiler} for i in range(1000)]
+        rows.append({"doc_id": 5000, "text": "completely unrelated physics content"})
+        ds = rd.from_items(rows, parallelism=4)
+
+        cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
+        cand_rows = cands.take_all()
+        # star pairs per band bucket, deduped → ≤ n-1 pairs, not ~500K
+        assert 0 < len(cand_rows) <= 999
+        assert all(r["id_a"] == 0 for r in cand_rows)
+
+        verified = verify_candidates(ds, cands, threshold=0.8)
+        vrows = verified.take_all()
+        assert len(vrows) == len(cand_rows)
+        assert all(r["jaccard"] == 1.0 for r in vrows)
+
+        spairs = simhash_near_dups(ds).take_all()
+        assert 0 < len(spairs) <= 999
+        assert all(5000 not in (r["id_a"], r["id_b"]) for r in spairs)
+
+    def test_verify_candidates_no_candidates(self):
+        from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 2, "text": "one two three four five six seven eight nine"},
+        ]
+        ds = rd.from_items(rows)
+        cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
+        assert verify_candidates(ds, cands, threshold=0.8).count() == 0
+
+    def test_hamming64_sign_bit(self):
+        # regression (ADVICE r2): signed-int64 fingerprints whose bit 63
+        # differs must popcount correctly — bin() of a negative XOR
+        # renders sign-magnitude and grossly miscounts
+        from peri_ray.stages.dedup import hamming64
+
+        fa = int(np.uint64(0x8000_0000_0000_0001).astype(np.int64))  # negative
+        fb = 0x0000_0000_0000_0001
+        assert hamming64(fa, fb) == 1
+        fa2 = int(np.uint64(0xFFFF_FFFF_FFFF_0000).astype(np.int64))
+        assert hamming64(fa2, 0) == 48
+        assert hamming64(5, 5) == 0
+
     def test_simhash_fingerprints_distinct_for_unrelated(self):
         from peri_ray.stages.dedup import simhash_fingerprints
 
@@ -263,6 +315,45 @@ class TestText:
         assert q.column("stop_ratio").to_pylist()[0] > 0.3
         l = LangId()(t)
         assert l.column("lang_guess").to_pylist() == ["en", "de"]
+
+    def test_quality_scorer_matches_scalar_reference(self):
+        # the vectorized scorer (VERDICT r1 item 6) must produce the
+        # exact signals the original per-row regex implementation did
+        import re
+
+        from peri_ray.stages.text import QualityScorer, _STOPWORDS
+
+        texts = [
+            "the cat and the dog sat on the mat",
+            "",
+            None,
+            "'quoted' words don't break tokenizing!!!",
+            "    ",
+            "x",
+            "a b c d e f g the the the of of in",
+            "punctuation!!! ??? ;;; ,,, ... --- ###",
+            "MiXeD CaSe Words And THE Of IN",
+            "numbers 123 456 mixed with words 789",
+        ]
+        word_re = re.compile(r"[a-zA-Z']+")
+        punct_re = re.compile(r"[^\w\s]")
+        exp_stop, exp_mwl, exp_punct = [], [], []
+        for t in texts:
+            sr = mwl = pr = 0.0
+            if t:
+                words = word_re.findall(t.lower())
+                if words:
+                    sr = sum(w in _STOPWORDS for w in words) / len(words)
+                    mwl = float(np.mean([len(w) for w in words]))
+                pr = len(punct_re.findall(t)) / max(1, len(t))
+            exp_stop.append(sr)
+            exp_mwl.append(mwl)
+            exp_punct.append(pr)
+
+        out = QualityScorer()(pa.table({"text": pa.array(texts, pa.string())}))
+        np.testing.assert_allclose(out.column("stop_ratio").to_pylist(), exp_stop, atol=1e-12)
+        np.testing.assert_allclose(out.column("mean_word_len").to_pylist(), exp_mwl, atol=1e-12)
+        np.testing.assert_allclose(out.column("punct_ratio").to_pylist(), exp_punct, atol=1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -525,6 +616,73 @@ class TestWinnowing:
                  for r in shared_passage_pairs(rd.from_items(rows), min_shared=3).take_all()}
         assert (1, 3) in pairs
         assert all(2 not in p for p in pairs)
+
+    def test_rolling_hash_matches_sequential_recurrence(self):
+        # the vectorized prefix-product hash must equal the classic
+        # (h·B − drop·B^(k-1)·B + add) recurrence bit-for-bit
+        from peri_ray.stages.text import _rolling_hashes, _WINNOW_B
+
+        rng = np.random.default_rng(11)
+        for k in (3, 8, 32):
+            for n_bytes in (k, k + 1, 2 * k + 1, 300):
+                b = rng.integers(0, 256, n_bytes).astype(np.uint64)
+                got = _rolling_hashes(b, k)
+                B = np.uint64(_WINNOW_B)
+                Bk = B ** np.uint64(k - 1)
+                n = n_bytes - k + 1
+                with np.errstate(over="ignore"):
+                    exp = np.zeros(n, np.uint64)
+                    cur = np.uint64(0)
+                    for j in range(k):
+                        cur = cur * B + b[j]
+                    exp[0] = cur
+                    for i in range(1, n):
+                        cur = (cur - b[i - 1] * Bk) * B + b[i + k - 1]
+                        exp[i] = cur
+                assert (got == exp).all(), (k, n_bytes)
+
+    def test_winnow_batch_matches_per_doc_reference(self):
+        # the whole-batch concatenated implementation must reproduce the
+        # original per-doc loop exactly (ids, fingerprints, positions)
+        from peri_ray.stages.text import winnow_batch, _rolling_hashes
+
+        def reference(table, k, window):
+            ids = table.column("doc_id").to_pylist()
+            rows = []
+            for did, t in zip(ids, table.column("text").to_pylist()):
+                if not t:
+                    continue
+                b = np.frombuffer(t.encode("utf-8", "ignore"), np.uint8).astype(np.uint64)
+                n = len(b) - k + 1
+                if n <= 0:
+                    continue
+                hashes = _rolling_hashes(b, k)
+                if n <= window:
+                    sel = np.array([int(np.argmin(hashes))])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                    mins = sw.argmin(axis=1) + np.arange(len(sw))
+                    sel = np.unique(mins)
+                rows += [(did, int(np.int64(hashes[s])), int(s)) for s in sel]
+            return sorted(rows)
+
+        rng = np.random.default_rng(42)
+        vocab = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "ümlaut"]
+        texts = []
+        for i in range(60):
+            n_words = int(rng.integers(0, 40))
+            texts.append(" ".join(rng.choice(vocab, n_words)) if n_words else "")
+        texts[3] = None
+        texts[7] = "ab"      # shorter than k
+        texts[11] = "abcdefgh"  # exactly k bytes for k=8
+        t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        for k, window in ((8, 16), (5, 4), (8, 64)):
+            out = winnow_batch(t, k=k, window=window)
+            got = sorted(zip(out.column("doc_id").to_pylist(),
+                             out.column("fingerprint").to_pylist(),
+                             out.column("pos").to_pylist()))
+            assert got == reference(t, k, window), (k, window)
 
     def test_winnow_self_coverage(self):
         from peri_ray.stages.text import winnow_batch
