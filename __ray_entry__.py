@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q.lsh_ann_topk,
         "simhash_near_dup_pairs": q.simhash_near_dup_pairs,
         "doc_fingerprints": q.doc_fingerprints,
+        "near_dedup_victims": q.near_dedup_victims,
         "frame_samples": q.frame_samples,
         "winnow_shared_passages": q.winnow_shared_passages,
         "multimodal_resize": q.multimodal_resize,

@@ -124,6 +124,11 @@ def run_bench() -> dict:
     timed("token_counts", lambda: q.token_counts(SF_DIR).to_pandas())
     timed("column_sketches_lineitem", lambda: q.column_sketches_lineitem(SF_DIR))
     timed("ann_topk", lambda: q.ann_topk(SF_DIR))
+    timed("minhash_near_dup_pairs", lambda: q.minhash_near_dup_pairs(SF_DIR).to_pandas())
+    timed("simhash_near_dup_pairs", lambda: q.simhash_near_dup_pairs(SF_DIR))
+    timed("quality_scores", lambda: q.quality_scores(SF_DIR).to_pandas())
+    timed("winnow_shared_passages", lambda: q.winnow_shared_passages(SF_DIR))
+    timed("exact_dedup_victims", lambda: q.exact_dedup_victims(SF_DIR))
 
     headline = timings["flagship_web_pages"]
     result = {

@@ -349,7 +349,7 @@ def quality_scores(sf_dir: str):
     from peri_ray.stages.text import add_quality_scores
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_quality_scores(ds, concurrency=2).select_columns(
+    return add_quality_scores(ds).select_columns(
         ["doc_id", "stop_ratio", "quality_score"]
     )
 
@@ -378,6 +378,18 @@ def minhash_near_dup_pairs(sf_dir: str):
     # 3.5× faster at sf0.1 with identical verified pairs.
     cands = minhash_lsh_candidates(ds, bands=8, num_perm=64)
     return verify_candidates(ds, cands, threshold=0.8)
+
+
+def near_dedup_victims(sf_dir: str):
+    """Fuzzy-dedup decision: MinHash-LSH candidates → Jaccard verify →
+    connected components → drop everything but the min-id keeper per
+    near-dup cluster.  Rows-only (transitive closure over LSH-derived
+    pairs has no SQL twin against the raw tables)."""
+    from peri_ray.stages.dedup import near_dedup_victims as ndv
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    victims = ndv(ds, threshold=0.8, bands=8, num_perm=64)
+    return _collect(victims, pa.schema([("doc_id", pa.int64())]))
 
 
 def ann_topk(sf_dir: str):

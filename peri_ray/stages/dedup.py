@@ -305,9 +305,15 @@ def _explode_bands(table: pa.Table, id_col: str, bands: int) -> pa.Table:
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16, k: int = 5,
-                           concurrency: int | None = None):
+                           concurrency: int | None = None,
+                           dedupe: bool = True):
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
-    (band, band_hash) bucket.  Returns (id_a, id_b) with id_a < id_b."""
+    (band, band_hash) bucket.  Returns (id_a, id_b) with id_a < id_b.
+
+    ``dedupe=False`` skips the final all-to-all pair-dedupe groupby —
+    pass it when the candidates feed :func:`verify_candidates`, whose
+    score stage already collapses a pair found in multiple bands (one
+    less full shuffle in the fuzzy-dedup pipeline)."""
     kwargs = {}
     if concurrency:
         kwargs = dict(concurrency=concurrency)
@@ -326,6 +332,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
+    if not dedupe:
+        return pairs
     # dedup pairs found in multiple bands
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
@@ -351,7 +359,13 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     (texts in a bucket with no candidate halves are dropped there —
     text for non-candidates crosses at most the first exchange);
     (2) re-bucket the text-carrying halves on (id_a, id_b), pivot the
-    two halves per pair and score n-gram Jaccard per candidate."""
+    two halves per pair and score n-gram Jaccard per candidate.
+
+    ``pairs`` is materialized up front: both halves consume it, and an
+    unmaterialized candidate lineage would re-run the entire LSH
+    pipeline (signatures + two shuffles) once per consumer.  Candidate
+    pairs are tiny relative to the corpus by LSH construction."""
+    pairs = pairs.materialize()
     half_a = pairs.map_batches(
         lambda t: pa.table({
             "__doc": t.column("id_a"),
@@ -437,6 +451,161 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
                          "jaccard": pa.array(jac, pa.float64())})
 
     return rebucketed.groupby("__bucket").map_groups(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution: pairs → connected components → victims
+# ---------------------------------------------------------------------------
+
+
+def _driver_components(pairs):
+    """Union-find on the driver for edge lists that fit comfortably in
+    driver memory (the overwhelmingly common case: verified near-dup
+    pairs are O(duplicate clusters), not O(corpus)).  Path-compressed;
+    labels are the min id per component."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs.take_all()
+    for r in rows:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for r in rows for v in (r["id_a"], r["id_b"])}
+    out = pa.table({
+        "doc_id": pa.array(sorted(nodes), pa.int64()),
+        "label": pa.array([find(x) for x in sorted(nodes)], pa.int64()),
+    })
+    return rd.from_arrow(out)
+
+
+def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
+                         driver_threshold: int = 2_000_000):
+    """Connected components over an (id_a, id_b) edge Dataset via
+    iterative min-label propagation — the step that turns near-dup PAIR
+    lists into dedup DECISIONS (keep one doc per cluster).
+
+    Returns a Dataset of (doc_id, label) for every node that appears in
+    at least one edge; label = the cluster's minimum id.
+
+    Hybrid, like broadcast-vs-shuffled referential: an edge list under
+    ``driver_threshold`` rows (≤ ~32 MB) resolves with driver-side
+    union-find — each distributed iteration costs two bucketed
+    exchanges, a terrible trade for small graphs.  Above it, the
+    exchange path: each iteration shuffles only the edge + label tables
+    (bounded by candidate-pair count, not corpus size), converging in
+    O(cluster diameter) iterations; the star pairs emitted for capped
+    hot buckets keep real diameters tiny.  Early exit when the
+    monotonically-decreasing label sum stops changing."""
+    import ray.data as rd  # noqa: F401
+
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_threshold:
+        return _driver_components(pairs)
+
+    # directed edges both ways + self-loops seed the label table
+    def _directed(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks().cast(pa.int64())
+        b = t.column("id_b").combine_chunks().cast(pa.int64())
+        src = pa.concat_arrays([a, b, a, b])
+        dst = pa.concat_arrays([b, a, a, b])
+        return pa.table({"src": src, "dst": dst})
+
+    # materialize: edges feed every iteration and labels' own lineage —
+    # without pinning, each iteration re-executes the whole upstream
+    # candidate/verify pipeline
+    edges = pairs.map_batches(_directed, batch_format="pyarrow").materialize()
+
+    def _bucket(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            key = t.column(col).combine_chunks().cast(pa.string())
+            bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("__bucket", pa.array(bucket))
+        return _f
+
+    # labels[x] starts at min neighbor (incl. self) — i.e. iteration 1
+    def _min_dst(group: pa.Table) -> pa.Table:
+        g = (group.select(["src", "dst"]).group_by("src")
+             .aggregate([("dst", "min")]))
+        return g.rename_columns(["doc_id", "label"])
+
+    labels = (edges.map_batches(_bucket("src"), batch_format="pyarrow")
+              .groupby("__bucket").map_groups(_min_dst, batch_format="pyarrow")
+              .materialize())
+
+    prev_sum = None
+    for _ in range(max_iters):
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        # message pass: join labels onto edge dst, then min per src
+        lab_tagged = labels.map_batches(
+            lambda t: pa.table({
+                "dst": t.column("doc_id"),
+                "src": pa.nulls(t.num_rows, pa.int64()),
+                "lab": t.column("label"),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }), batch_format="pyarrow")
+        edge_tagged = edges.map_batches(
+            lambda t: pa.table({
+                "dst": t.column("dst"),
+                "src": t.column("src"),
+                "lab": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }), batch_format="pyarrow")
+
+        def _join_dst(group: pa.Table) -> pa.Table:
+            side = group.column("__side")
+            lab = (group.filter(pc.equal(side, 1))
+                   .select(["dst", "lab"])
+                   .group_by("dst").aggregate([("lab", "min")])
+                   .rename_columns(["dst", "lab"]))
+            es = group.filter(pc.equal(side, 0)).select(["src", "dst"])
+            joined = es.join(lab, keys="dst", join_type="inner")
+            return joined.select(["src", "lab"])
+
+        msgs = (edge_tagged.union(lab_tagged)
+                .map_batches(_bucket("dst"), batch_format="pyarrow")
+                .groupby("__bucket").map_groups(_join_dst, batch_format="pyarrow"))
+
+        def _min_lab(group: pa.Table) -> pa.Table:
+            g = (group.select(["src", "lab"]).group_by("src")
+                 .aggregate([("lab", "min")]))
+            return g.rename_columns(["doc_id", "label"])
+
+        labels = (msgs.map_batches(_bucket("src"), batch_format="pyarrow")
+                  .groupby("__bucket").map_groups(_min_lab, batch_format="pyarrow")
+                  .materialize())
+    return labels
+
+
+def near_dedup_victims(ds, text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.8, num_perm: int = 64,
+                       bands: int = 16, k: int = 5):
+    """End-to-end fuzzy dedup decision: MinHash-LSH candidates →
+    exact Jaccard verification → connected components → every cluster
+    member except the min-id keeper."""
+    cands = minhash_lsh_candidates(ds, text_col, id_col,
+                                   num_perm=num_perm, bands=bands, k=k)
+    verified = verify_candidates(ds, cands, text_col, id_col,
+                                 threshold=threshold, k=k)
+    labels = connected_components(verified)
+
+    def _victims(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("doc_id"), t.column("label"))
+        return t.filter(keep).select(["doc_id"])
+
+    return labels.map_batches(_victims, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -122,9 +122,17 @@ class QualityScorer:
         )
 
 
-def add_quality_scores(ds, concurrency: int = 4, batch_size: int = 4096):
-    return ds.map_batches(QualityScorer, concurrency=concurrency,
-                          batch_format="pyarrow", batch_size=batch_size)
+def add_quality_scores(ds, concurrency: int | None = None,
+                       batch_size: int = 4096):
+    """Quality signals per row.  Default is a task pool (the vectorized
+    scorer holds only a tiny stopword set — actor spin-up would dominate
+    small inputs); pass ``concurrency`` to pin an actor pool when the
+    input is large enough to amortize it."""
+    if concurrency:
+        return ds.map_batches(QualityScorer, concurrency=concurrency,
+                              batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(QualityScorer(), batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -218,6 +218,43 @@ class TestDedup:
         cands = minhash_lsh_candidates(ds, bands=16, num_perm=64)
         assert verify_candidates(ds, cands, threshold=0.8).count() == 0
 
+    def test_connected_components_chain_and_star(self):
+        from peri_ray.stages.dedup import connected_components
+
+        # chain 1-2-3-4 plus star 10-(11,12), singleton edge 20-21
+        pairs = rd.from_items([
+            {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 10, "id_b": 11}, {"id_a": 10, "id_b": 12},
+            {"id_a": 20, "id_b": 21},
+        ])
+        want = {1: 1, 2: 1, 3: 1, 4: 1,
+                10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        # driver union-find fast path
+        labels = {r["doc_id"]: r["label"]
+                  for r in connected_components(pairs).take_all()}
+        assert labels == want
+        # distributed label-propagation path (forced)
+        labels = {r["doc_id"]: r["label"]
+                  for r in connected_components(
+                      pairs, driver_threshold=0).take_all()}
+        assert labels == want
+
+    def test_near_dedup_victims_end_to_end(self):
+        from peri_ray.stages.dedup import near_dedup_victims
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy", 1)},
+            {"doc_id": 3, "text": base.replace("quick", "rapid", 1)},
+            {"doc_id": 4, "text": "completely different content about physics"},
+        ]
+        victims = sorted(r["doc_id"] for r in near_dedup_victims(
+            rd.from_items(rows), threshold=0.7).take_all())
+        # 1,2,3 form one near-dup cluster (transitively) → keep 1
+        assert victims == [2, 3]
+
     def test_hamming64_sign_bit(self):
         # regression (ADVICE r2): signed-int64 fingerprints whose bit 63
         # differs must popcount correctly — bin() of a negative XOR
