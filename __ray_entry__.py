@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "dedup_exact_docs": q.dedup_exact_docs,
         "exact_dedup_victims": q.exact_dedup_victims,
+        "windowed_event_counts": q.windowed_event_counts,
+        "session_stats": q.session_stats,
+        "asof_event_orders": q.asof_event_orders,
         "ann_topk_exact": q.ann_topk_exact,
         "bpe_token_counts": q.bpe_token_counts,
         "quantized_embedding_norms": q.quantized_embedding_norms,
@@ -325,6 +328,35 @@ def oracle_sql() -> dict[str, str]:
                           FROM embeddings)
               )
         """,
+        "windowed_event_counts": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "AS window_start, event_type, count(*) AS cnt "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "session_stats": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+                FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+              FROM numbered GROUP BY user_id, session_id
+        """,
+        "asof_event_orders": (
+            "SELECT e.event_id, o.o_orderdate AS asof_orderdate "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
         "ann_topk_exact": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

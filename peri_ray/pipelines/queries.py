@@ -380,6 +380,39 @@ def minhash_near_dup_pairs(sf_dir: str):
     return verify_candidates(ds, cands, threshold=0.8)
 
 
+def windowed_event_counts(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over events (custom operator:
+    windowed aggregate; oracle = epoch-floor GROUP BY)."""
+    from peri_ray.stages.temporal import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return tumbling_window_counts(ds, "ts", "event_type", window_s=3600)
+
+
+def session_stats(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user (custom operator:
+    sessionized window; oracle = lag + cumulative-sum window SQL)."""
+    from peri_ray.stages.temporal import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "ts", "user_id", gap_s=1800)
+
+
+def asof_event_orders(sf_dir: str):
+    """As-of join: each event matched to the latest order date of the
+    same customer at-or-before the event time (custom operator: as-of
+    join; oracle = DuckDB ASOF LEFT JOIN).  Emits the matched date (not
+    an arbitrary order id) so ties on (custkey, date) stay
+    deterministic."""
+    from peri_ray.stages.temporal import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return asof_join(events, orders, "user_id", "o_custkey", "ts",
+                     "o_orderdate", left_cols=["event_id"],
+                     out_col="asof_orderdate")
+
+
 def near_dedup_victims(sf_dir: str):
     """Fuzzy-dedup decision: MinHash-LSH candidates → Jaccard verify →
     connected components → drop everything but the min-id keeper per

@@ -1,0 +1,234 @@
+"""Temporal operators the Dataset API lacks as primitives — windowed
+aggregation, gap sessionization, as-of join — built as compositions of
+``map_batches`` partials + bucketed ``groupby``/``map_groups`` per the
+custom-operator rule (SURVEY §7; prompt: "windowed aggregate, as-of
+join" as first-class custom operators).
+
+Partitioning assumptions, stated explicitly:
+
+- ``tumbling_window_counts``: two-phase — per-batch partials collapse
+  each block to its distinct (window, key) rows before ONE small
+  groupby; assumes windows × keys ≪ rows (true for dashboards/drift
+  inputs; for high-cardinality keys the same shuffle is the cost any
+  engine pays).
+- ``sessionize``: assumes one user's events fit one group (the
+  ``groupby(user)`` exchange co-locates them); per-group work is
+  vectorized numpy over sorted timestamps.
+- ``asof_join``: both sides hash-bucket on the join key (the
+  referential-check exchange shape); per bucket, rights sort once per
+  key and every left row binary-searches its floor match.  Assumes a
+  key's rows fit one bucket group — salt the key upstream if one key
+  dominates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from peri_ray.state.sketches import hash_strings
+
+
+def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregate
+# ---------------------------------------------------------------------------
+
+
+class _WindowCountPartial:
+    """Batch → (window_start, key, cnt) partials: each block collapses
+    to its distinct (window, key) pairs before the exchange."""
+
+    def __init__(self, ts_col: str, key_col: str, window_s: int):
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.window_us = window_s * 1_000_000
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        us = _epoch_us(t.column(self.ts_col))
+        # window index × window seconds = window start in epoch seconds
+        win = (us // self.window_us) * np.int64(self.window_us // 1_000_000)
+        part = pa.table({
+            "window_start": pa.array(win, pa.int64()),
+            self.key_col: t.column(self.key_col),
+            # count via a constant: Arrow's "count" skips nulls, which
+            # would zero out a null-key group (SQL count(*) does not)
+            "__one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = part.group_by(["window_start", self.key_col]).aggregate(
+            [("__one", "sum")])
+        return g.rename_columns(["window_start", self.key_col, "cnt"])
+
+
+def tumbling_window_counts(ds, ts_col: str = "ts", key_col: str = "event_type",
+                           window_s: int = 3600,
+                           batch_size: int | None = 65536):
+    """Events per (tumbling window, key).  ``window_start`` is epoch
+    seconds floored to the window.  Two-phase: vectorized per-batch
+    partials, then one small groupby-sum over (windows × keys) rows."""
+    partials = ds.map_batches(_WindowCountPartial(ts_col, key_col, window_s),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = partials.groupby(["window_start", key_col]).sum("cnt")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["window_start", key_col, "cnt"])
+
+    return totals.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(ds, ts_col: str = "ts", user_col: str = "user_id",
+               gap_s: int = 1800):
+    """Gap-based sessions per user: a new session starts when the gap
+    to the previous event exceeds ``gap_s``.  Returns one row per
+    (user, session): session_id (1-based in time order), n_events,
+    session start/end timestamps.
+
+    Shape: ``groupby(user)`` co-locates each user's events (ONE
+    exchange); inside the group everything is numpy over the sorted
+    timestamp vector.  Session identity depends only on timestamp
+    VALUES, so equal-timestamp orderings cannot change the result."""
+    gap_us = gap_s * 1_000_000
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = group.column(user_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # sort by (user, ts): a group may hold several users when the
+        # groupby packs small keys together
+        order = np.lexsort((us, users))
+        us, users = us[order], users[order]
+        brk = np.ones(len(us), bool)
+        if len(us) > 1:
+            brk[1:] = (users[1:] != users[:-1]) | ((us[1:] - us[:-1]) > gap_us)
+        sess = np.cumsum(brk)
+        # session ids restart per user (1-based)
+        first_of_user = np.ones(len(us), bool)
+        if len(us) > 1:
+            first_of_user[1:] = users[1:] != users[:-1]
+        user_base = np.maximum.accumulate(np.where(first_of_user, sess - 1, 0))
+        sid = sess - user_base
+        # aggregate per (user, sess)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(us))
+        return pa.table({
+            user_col: pa.array(users[starts], pa.int64()),
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "session_start": pa.array(us[starts], pa.int64()).cast(
+                pa.timestamp("us")),
+            "session_end": pa.array(us[ends - 1], pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+
+    return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
+        _sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(left, right, left_key: str, right_key: str,
+              left_ts: str, right_ts: str,
+              left_cols: list[str] | None = None,
+              out_col: str = "asof_ts", n_buckets: int = 64):
+    """For every left row, the greatest ``right_ts`` ≤ ``left_ts``
+    among right rows sharing the join key (DuckDB/kdb ASOF LEFT JOIN
+    semantics); null when no prior right row exists.
+
+    Emits the matched RIGHT TIMESTAMP (not an arbitrary right row id),
+    so the result is deterministic even when several right rows tie on
+    (key, ts).
+
+    Shape: both sides hash-bucket on the key and meet in one groupby —
+    only the key, the two timestamp columns and ``left_cols`` cross the
+    exchange.  Per bucket: rights sort once, then each left key-segment
+    resolves with one vectorized ``searchsorted``."""
+    left_cols = left_cols or []
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in left_cols}
+        cols["__key"] = t.column(left_key).combine_chunks().cast(pa.int64())
+        cols["__ts"] = pa.array(_epoch_us(t.column(left_ts)), pa.int64())
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        out = pa.table(cols)
+        key_str = out.column("__key").combine_chunks().cast(pa.string())
+        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
+        return out.append_column("__bucket", pa.array(bucket))
+
+    left_types = {c: left.schema().types[left.schema().names.index(c)]
+                  for c in left_cols}
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, left_types[c]) for c in left_cols}
+        cols["__key"] = t.column(right_key).combine_chunks().cast(pa.int64())
+        cols["__ts"] = pa.array(_epoch_us(t.column(right_ts)), pa.int64())
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        out = pa.table(cols)
+        key_str = out.column("__key").combine_chunks().cast(pa.string())
+        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
+        return out.append_column("__bucket", pa.array(bucket))
+
+    both = (left.map_batches(_tag_left, batch_format="pyarrow")
+            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    def _asof(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = group.column("__key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("__ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_r = side == 1
+        rk, rts = keys[is_r], ts[is_r]
+        r_order = np.lexsort((rts, rk))
+        rk, rts = rk[r_order], rts[r_order]
+        li = np.flatnonzero(~is_r)
+        lk, lts = keys[li], ts[li]
+        matched = np.full(len(li), np.iinfo(np.int64).min, np.int64)
+        if len(rk) and len(li):
+            # segment bounds of each left key in the sorted right table
+            lo = np.searchsorted(rk, lk, side="left")
+            hi = np.searchsorted(rk, lk, side="right")
+            # per distinct left key: one vectorized searchsorted over
+            # that key's right slice (loop count = keys in bucket)
+            order = np.argsort(lk, kind="stable")
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], lk[order][1:] != lk[order][:-1])))
+            seg_ends = np.append(seg_starts[1:], len(order))
+            for s, e in zip(seg_starts, seg_ends):
+                rows = order[s:e]
+                a, b = lo[rows[0]], hi[rows[0]]
+                if a == b:
+                    continue
+                pos = np.searchsorted(rts[a:b], lts[rows], side="right")
+                hit = pos > 0
+                matched[rows[hit]] = rts[a:b][pos[hit] - 1]
+        out_cols = {c: group.column(c).combine_chunks().take(
+            pa.array(li, pa.int64())) for c in left_cols}
+        ok = matched != np.iinfo(np.int64).min
+        ts_arr = pa.array(
+            np.where(ok, matched, 0), pa.int64()
+        ).cast(pa.timestamp("us"))
+        if not ok.all():
+            ts_arr = pc.if_else(pa.array(ok), ts_arr,
+                                pa.nulls(len(ok), pa.timestamp("us")))
+        out_cols[out_col] = ts_arr
+        return pa.table(out_cols)
+
+    return both.groupby("__bucket").map_groups(_asof, batch_format="pyarrow")

@@ -639,6 +639,73 @@ class TestSources:
         assert len(back) == 2
 
 
+class TestTemporal:
+    def test_tumbling_window_counts(self):
+        from peri_ray.stages.temporal import tumbling_window_counts
+
+        base = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned
+        rows = [
+            {"ts": (base + s) * 1_000_000, "event_type": et}
+            for s, et in [(0, "a"), (10, "a"), (3599, "b"),
+                          (3600, "a"), (7200, None), (7260, None)]
+        ]
+        t = pa.table({
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        })
+        out = tumbling_window_counts(rd.from_arrow(t), "ts", "event_type", 3600)
+        got = {(r["window_start"], r["event_type"]): r["cnt"]
+               for r in out.take_all()}
+        assert got == {(base, "a"): 2, (base, "b"): 1,
+                       (base + 3600, "a"): 1, (base + 7200, None): 2}
+
+    def test_sessionize_gaps_and_multiuser(self):
+        from peri_ray.stages.temporal import sessionize
+
+        M = 1_000_000
+        rows = [  # user 1: two sessions (gap 31 min); user 2: one
+            (1, 0), (1, 60 * M), (1, (60 + 31 * 60) * M),
+            (2, 0), (2, 1800 * M),  # exactly the gap → same session
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([1_700_000_000 * M + r[1] for r in rows],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        out = sessionize(rd.from_arrow(t), "ts", "user_id", gap_s=1800)
+        got = sorted((r["user_id"], r["session_id"], r["n_events"])
+                     for r in out.take_all())
+        assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 2)]
+
+    def test_asof_join_matches_floor(self):
+        from peri_ray.stages.temporal import asof_join
+
+        M = 1_000_000
+        T0 = 1_700_000_000 * M
+        left = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([T0 + 50, T0 + 150, T0 - 10, T0],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([7, 7, 8], pa.int64()),
+            "rts": pa.array([T0, T0 + 100, T0],
+                            pa.int64()).cast(pa.timestamp("us")),
+        })
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        "k", "k", "ts", "rts", left_cols=["event_id"])
+        got = {r["event_id"]: r["asof_ts"] for r in out.take_all()}
+        import datetime
+
+        def us(v):
+            return None if v is None else int(v.timestamp() * M) if isinstance(v, datetime.datetime) else v
+        assert us(got[1]) == T0          # floor match
+        assert us(got[2]) == T0 + 100    # latest ≤ ts
+        assert got[3] is None            # before any right row
+        assert got[4] is None            # key with no right rows
+
+
 class TestWinnowing:
     def test_shared_passages_detected(self):
         from peri_ray.stages.text import shared_passage_pairs
