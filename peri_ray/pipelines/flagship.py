@@ -319,8 +319,17 @@ def partitioned_flagship(
 
         ds = read_table(path)
         combined = validate_dataset(ds, spec, id_column=id_column)
+        sch = combined.schema()
+        if sch is None:
+            # 0-row fragment: map_batches never ran, schema unknowable —
+            # record an empty manifest (nothing to write, nothing to skip)
+            out_dir = ckpt.write_fragment(frag, lambda tmp: None)
+            ckpt.write_manifest(frag, phash, {
+                "rows": 0, "valid_rows": 0, "outputs": {"dir": out_dir},
+            })
+            return
         drop = [c for c in ("violations", *drop_output_columns)
-                if c in combined.schema().names]
+                if c in sch.names]
 
         def _write(tmp, _c=combined, _drop=drop):
             _c.drop_columns(_drop).write_parquet(os.path.join(tmp, "validated"))
@@ -335,6 +344,8 @@ def partitioned_flagship(
             }),
             batch_format="pyarrow",
         ).sum(["ok", "n"])
+        # Dataset.sum returns None when the written fragment is empty
+        counts = counts or {"sum(ok)": 0, "sum(n)": 0}
         ckpt.write_manifest(frag, phash, {
             "rows": int(counts["sum(n)"]), "valid_rows": int(counts["sum(ok)"]),
             "outputs": {"dir": out_dir},

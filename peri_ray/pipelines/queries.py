@@ -450,7 +450,10 @@ def ann_topk_exact(sf_dir: str):
     from peri_ray.stages.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    # the 3 LOWEST vec_ids, matching the oracle's ORDER BY vec_id LIMIT 3
+    # (take(3) reads whatever block lands first — block order is not
+    # guaranteed at high parallelism)
+    q_rows = ds.sort("vec_id").take(3)
     queries = np.stack([np.asarray(r["embedding"], np.float64) for r in q_rows])
     results = brute_force_topk(ds, queries, k=10, dtype=np.float64)
     qi, vid = [], []

@@ -64,6 +64,25 @@ class _KeyCountPartial:
         return out
 
 
+def bucket_of(col: "pa.ChunkedArray | pa.Array", n_buckets: int) -> pa.Array:
+    """``hash(key) % n_buckets`` as an int32 array — THE shuffle
+    partitioning primitive every bucketed exchange in the engine shares
+    (strings/binary hash directly; other types via int64 + splitmix64).
+    Keep ONE implementation: stages that bucket the same key with
+    different hash recipes would co-locate nothing."""
+    from peri_ray.state.sketches import hash_strings, splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)):
+        h = hash_strings(col)
+    else:
+        h = splitmix64(col.cast(pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False).view(np.uint64))
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+
+
 class _AddBucket:
     """Partials → + ``bucket = hash(key) % n_buckets``.  The follow-up
     shuffle then groups on a small-int key (one cheap sort) instead of a
@@ -77,15 +96,7 @@ class _AddBucket:
         self.n_buckets = n_buckets
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from peri_ray.state.sketches import hash_strings, splitmix64
-
-        col = t.column(self.key).combine_chunks()
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
-            h = hash_strings(col)
-        else:
-            h = splitmix64(col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False).view(np.uint64))
-        bucket = (h % np.uint64(self.n_buckets)).astype(np.int32)
-        return t.append_column("bucket", pa.array(bucket))
+        return t.append_column("bucket", bucket_of(t.column(self.key), self.n_buckets))
 
 
 def duplicate_keys(ds, key: str, n_buckets: int = 64, batch_size: int | None = 65536):

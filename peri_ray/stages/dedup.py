@@ -43,7 +43,14 @@ def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
 
     ``ids`` must be sorted.  Under the cap: all pairs.  Over the cap:
     (min_id, other) star pairs — O(n) instead of O(n²) — and the
-    downgrade is logged (no silent caps)."""
+    downgrade is logged (no silent caps).
+
+    Caveat (deliberate recall trade, visible via the log line): star
+    connectivity holds in the CANDIDATE graph; downstream Jaccard
+    verification can sever an anchor edge, so members of a
+    heterogeneous over-cap bucket (two content families co-bucketed by
+    a band-hash collision) whose family lacks the anchor may lose
+    their mutual pairs unless another band co-buckets them alone."""
     a: list = []
     b: list = []
     if len(ids) <= cap:
@@ -365,25 +372,23 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     unmaterialized candidate lineage would re-run the entire LSH
     pipeline (signatures + two shuffles) once per consumer.  Candidate
     pairs are tiny relative to the corpus by LSH construction."""
+    from peri_ray.stages.checks import bucket_of
+
     pairs = pairs.materialize()
-    half_a = pairs.map_batches(
-        lambda t: pa.table({
-            "__doc": t.column("id_a"),
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "__txt": pa.nulls(t.num_rows, pa.string()),
-            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-        }),
-        batch_format="pyarrow")
-    half_b = pairs.map_batches(
-        lambda t: pa.table({
-            "__doc": t.column("id_b"),
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "__txt": pa.nulls(t.num_rows, pa.string()),
-            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-        }),
-        batch_format="pyarrow")
+
+    def _half(slot: int):
+        doc_col = "id_a" if slot == 0 else "id_b"
+
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "__doc": t.column(doc_col),
+                "id_a": t.column("id_a"),
+                "id_b": t.column("id_b"),
+                "__slot": pa.array(np.full(t.num_rows, slot, np.int8)),
+                "__txt": pa.nulls(t.num_rows, pa.string()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+        return _f
 
     def _texts(t: pa.Table) -> pa.Table:
         txt = t.column(text_col).combine_chunks()
@@ -394,6 +399,7 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             "__doc": t.column(id_col).combine_chunks().cast(pa.int64()),
             "id_a": pa.nulls(n, pa.int64()),
             "id_b": pa.nulls(n, pa.int64()),
+            "__slot": pa.nulls(n, pa.int8()),
             "__txt": txt,
             "__side": pa.array(np.ones(n, np.int8)),
         })
@@ -401,26 +407,28 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     texts = ds.map_batches(_texts, batch_format="pyarrow")
 
     def _bucket_doc(t: pa.Table) -> pa.Table:
-        key = t.column("__doc").combine_chunks().cast(pa.string())
-        bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(bucket))
+        return t.append_column("__bucket", bucket_of(t.column("__doc"), n_buckets))
 
-    both = half_a.union(half_b).union(texts).map_batches(
-        _bucket_doc, batch_format="pyarrow")
+    both = (pairs.map_batches(_half(0), batch_format="pyarrow")
+            .union(pairs.map_batches(_half(1), batch_format="pyarrow"))
+            .union(texts)
+            .map_batches(_bucket_doc, batch_format="pyarrow"))
 
     def _attach(group: pa.Table) -> pa.Table:
         side = group.column("__side")
-        halves = group.filter(pc.equal(side, 0)).select(["__doc", "id_a", "id_b"])
+        halves = group.filter(pc.equal(side, 0)).select(
+            ["__doc", "id_a", "id_b", "__slot"])
         if halves.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
+                             "__slot": pa.array([], pa.int8()),
                              "__txt": pa.array([], pa.string())})
         lookup = (group.filter(pc.equal(side, 1))
                        .select(["__doc", "__txt"])
                        .group_by("__doc").aggregate([("__txt", "min")])
                        .rename_columns(["__doc", "__txt"]))
         joined = halves.join(lookup, keys="__doc", join_type="left outer")
-        return joined.select(["id_a", "id_b", "__txt"])
+        return joined.select(["id_a", "id_b", "__slot", "__txt"])
 
     attached = both.groupby("__bucket").map_groups(_attach, batch_format="pyarrow")
 
@@ -428,20 +436,22 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
         key = pc.binary_join_element_wise(
             t.column("id_a").cast(pa.string()),
             t.column("id_b").cast(pa.string()), ":")
-        bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(bucket))
+        return t.append_column("__bucket", bucket_of(key, n_buckets))
 
     rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow")
 
     def _score(group: pa.Table) -> pa.Table:
-        by_pair: dict[tuple[int, int], list[str]] = {}
+        # slot-keyed pivot: the a-half and b-half of a pair are
+        # distinguished explicitly, so duplicate candidate rows (a pair
+        # found in several bands when dedupe=False fed us) collapse
+        # instead of pairing a text with itself
+        by_pair: dict[tuple[int, int], dict[int, str]] = {}
         for r in group.to_pylist():
-            by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r["__txt"] or "")
+            by_pair.setdefault((r["id_a"], r["id_b"]), {})[r["__slot"]] = \
+                r["__txt"] or ""
         ida, idb, jac = [], [], []
         for (xa, xb), txts in by_pair.items():
-            ta = txts[0] if txts else ""
-            tb = txts[1] if len(txts) > 1 else ""
-            j = ngram_jaccard(ta, tb, k)
+            j = ngram_jaccard(txts.get(0, ""), txts.get(1, ""), k)
             if j >= threshold:
                 ida.append(xa)
                 idb.append(xb)
@@ -525,11 +535,11 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
     # candidate/verify pipeline
     edges = pairs.map_batches(_directed, batch_format="pyarrow").materialize()
 
+    from peri_ray.stages.checks import bucket_of
+
     def _bucket(col: str):
         def _f(t: pa.Table) -> pa.Table:
-            key = t.column(col).combine_chunks().cast(pa.string())
-            bucket = (hash_strings(key) % np.uint64(n_buckets)).astype(np.int64)
-            return t.append_column("__bucket", pa.array(bucket))
+            return t.append_column("__bucket", bucket_of(t.column(col), n_buckets))
         return _f
 
     # labels[x] starts at min neighbor (incl. self) — i.e. iteration 1
@@ -543,9 +553,11 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
               .materialize())
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         cur_sum = labels.sum("label")
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         # message pass: join labels onto edge dst, then min per src
@@ -586,6 +598,15 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
         labels = (msgs.map_batches(_bucket("src"), batch_format="pyarrow")
                   .groupby("__bucket").map_groups(_min_lab, batch_format="pyarrow")
                   .materialize())
+    if not converged:
+        # no silent caps: a cluster with diameter > max_iters would keep
+        # several self-labeled "keepers"; make the truncation visible
+        logger.warning(
+            "connected_components: label propagation did NOT converge "
+            "within max_iters=%d — labels may split long-chain clusters; "
+            "raise max_iters or pre-contract with the driver path",
+            max_iters,
+        )
     return labels
 
 
@@ -596,7 +617,8 @@ def near_dedup_victims(ds, text_col: str = "text", id_col: str = "doc_id",
     exact Jaccard verification → connected components → every cluster
     member except the min-id keeper."""
     cands = minhash_lsh_candidates(ds, text_col, id_col,
-                                   num_perm=num_perm, bands=bands, k=k)
+                                   num_perm=num_perm, bands=bands, k=k,
+                                   dedupe=False)
     verified = verify_candidates(ds, cands, text_col, id_col,
                                  threshold=threshold, k=k)
     labels = connected_components(verified)

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from peri_ray.state.sketches import hash_strings
+from peri_ray.stages.checks import bucket_of
 
 
 def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -167,9 +167,8 @@ def asof_join(left, right, left_key: str, right_key: str,
         cols["__ts"] = pa.array(_epoch_us(t.column(left_ts)), pa.int64())
         cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
         out = pa.table(cols)
-        key_str = out.column("__key").combine_chunks().cast(pa.string())
-        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
-        return out.append_column("__bucket", pa.array(bucket))
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
 
     left_types = {c: left.schema().types[left.schema().names.index(c)]
                   for c in left_cols}
@@ -180,9 +179,8 @@ def asof_join(left, right, left_key: str, right_key: str,
         cols["__ts"] = pa.array(_epoch_us(t.column(right_ts)), pa.int64())
         cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
         out = pa.table(cols)
-        key_str = out.column("__key").combine_chunks().cast(pa.string())
-        bucket = (hash_strings(key_str) % np.uint64(n_buckets)).astype(np.int64)
-        return out.append_column("__bucket", pa.array(bucket))
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
 
     both = (left.map_batches(_tag_left, batch_format="pyarrow")
             .union(right.map_batches(_tag_right, batch_format="pyarrow")))

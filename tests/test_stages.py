@@ -207,6 +207,30 @@ class TestDedup:
         assert 0 < len(spairs) <= 999
         assert all(5000 not in (r["id_a"], r["id_b"]) for r in spairs)
 
+    def test_verify_dedupe_false_matches_deduped(self):
+        # regression (round-2 review): with dedupe=False a pair occurs
+        # once per matching band; the slot-keyed pivot must not pair a
+        # text with itself (which verified below-threshold pairs at 1.0)
+        from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        mid = base.replace("lazy dog", "sly cat").replace("quick", "slow")
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy", 1)},
+            {"doc_id": 3, "text": mid},  # similar enough to collide in bands
+            {"doc_id": 4, "text": "unrelated text about particle physics"},
+        ]
+        ds = rd.from_items(rows)
+        got = {}
+        for dedupe in (True, False):
+            c = minhash_lsh_candidates(ds, bands=16, num_perm=64, dedupe=dedupe)
+            v = verify_candidates(ds, c, threshold=0.9)
+            got[dedupe] = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                           for r in v.take_all()}
+        assert got[True] == got[False]
+        assert all(j < 1.0 or a == 1 and b == 2 for a, b, j in got[True])
+
     def test_verify_candidates_no_candidates(self):
         from peri_ray.stages.dedup import minhash_lsh_candidates, verify_candidates
 
@@ -517,6 +541,24 @@ class TestCheckpointResume:
         # plan change invalidates
         run_partitioned(["f1"], ckpt, plan_hash({"a": "integer"}), process)
         assert calls.count("f1") == 2
+
+    def test_partitioned_flagship_empty_fragment(self, tmp_path):
+        # regression (round-2 review): a 0-row fragment must write a
+        # rows=0 manifest, not crash on Dataset.sum() returning None
+        import pyarrow.parquet as pq
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        p = str(tmp_path / "empty.parquet")
+        pq.write_table(empty, p)
+        from peri_ray.pipelines.flagship import partitioned_flagship
+
+        m = partitioned_flagship(
+            [p], str(tmp_path / "ck"),
+            spec={"doc_id": ("required", "integer"), "text": "string"},
+            id_column="doc_id",
+        )
+        assert len(m) == 1 and m[0]["rows"] == 0 and m[0]["valid_rows"] == 0
 
     def test_partitioned_flagship_resume(self, tmp_path):
         from peri_ray.pipelines.flagship import partitioned_flagship
