@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_counts": q.windowed_event_counts,
         "session_stats": q.session_stats,
         "asof_event_orders": q.asof_event_orders,
+        "windowed_drift_event_type": q.windowed_drift_event_type,
+        "range_count_event_orders": q.range_count_event_orders,
         "ann_topk_exact": q.ann_topk_exact,
         "bpe_token_counts": q.bpe_token_counts,
         "quantized_embedding_norms": q.quantized_embedding_norms,
@@ -356,6 +358,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, o.o_orderdate AS asof_orderdate "
             "FROM events e ASOF LEFT JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "windowed_drift_event_type": """
+            WITH wins AS (
+              SELECT DISTINCT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                     AS window_start FROM events
+            ), obs AS (
+              SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w,
+                     event_type, count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT w, sum(c) AS t FROM obs GROUP BY w
+            ), ref(event_type, q) AS (
+              VALUES ('click', 0.2), ('error', 0.2), ('purchase', 0.2),
+                     ('signup', 0.2), ('view', 0.2)
+            ), terms AS (
+              SELECT wins.window_start AS w,
+                     GREATEST(COALESCE(obs.c / tot.t, 0), 0.000001) AS p,
+                     ref.q AS q
+                FROM wins CROSS JOIN ref
+                LEFT JOIN obs ON obs.w = wins.window_start
+                             AND obs.event_type = ref.event_type
+                LEFT JOIN tot ON tot.w = wins.window_start
+            )
+            SELECT w AS window_start,
+                   ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+                   (SUM((p - q) * ln(p / q)) <= 0.25) AS passed
+              FROM terms GROUP BY w
+        """,
+        "range_count_event_orders": (
+            "SELECT e.event_id, count(o.o_custkey) AS n_orders_7d "
+            "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey "
+            "AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts "
+            "GROUP BY e.event_id"
         ),
         "ann_topk_exact": """
             WITH q AS (

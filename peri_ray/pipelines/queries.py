@@ -413,6 +413,32 @@ def asof_event_orders(sf_dir: str):
                      out_col="asof_orderdate")
 
 
+def windowed_drift_event_type(sf_dir: str):
+    """Per-day PSI of the event_type histogram vs a uniform reference
+    (time-resolved drift: a bad ingestion day hides inside a month-level
+    histogram).  Oracle = windows × reference grid LEFT JOIN obs."""
+    from peri_ray.stages.temporal import windowed_drift
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    ref = {t: 0.2 for t in ("click", "error", "purchase", "signup", "view")}
+    return windowed_drift(ds, "ts", "event_type", ref, window_s=86400,
+                          threshold=0.25)
+
+
+def range_count_event_orders(sf_dir: str):
+    """Range join: per event, how many orders the same customer placed
+    in the 7 days up to the event (inclusive).  Oracle = inequality
+    LEFT JOIN + GROUP BY."""
+    from peri_ray.stages.temporal import range_join_count
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return range_join_count(events, orders, "user_id", "o_custkey",
+                            "ts", "o_orderdate",
+                            lo_offset_s=-7 * 86400, hi_offset_s=0,
+                            left_cols=["event_id"], out_col="n_orders_7d")
+
+
 def near_dedup_victims(sf_dir: str):
     """Fuzzy-dedup decision: MinHash-LSH candidates → Jaccard verify →
     connected components → drop everything but the min-id keeper per

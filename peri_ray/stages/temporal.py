@@ -139,6 +139,128 @@ def sessionize(ds, ts_col: str = "ts", user_col: str = "user_id",
 
 
 # ---------------------------------------------------------------------------
+# windowed drift (tumbling-window PSI vs a reference histogram)
+# ---------------------------------------------------------------------------
+
+
+def windowed_drift(ds, ts_col: str, key_col: str,
+                   reference: dict[str, float], window_s: int = 86400,
+                   threshold: float = 0.25, eps: float = 1e-6):
+    """Distribution drift scored PER TUMBLING WINDOW: PSI of each
+    window's key histogram against ``reference`` — the time-resolved
+    form of the global drift check (a day of bad ingestion hides inside
+    a month-level histogram).
+
+    Shape: the tumbling-window partials collapse each block first, one
+    small groupby co-locates each window's (key, cnt) rows, and the PSI
+    fold is a few-row computation per window group; the tiny reference
+    dict travels in the task closure."""
+    import math
+
+    counts = tumbling_window_counts(ds, ts_col, key_col, window_s)
+
+    def _psi(group: pa.Table) -> pa.Table:
+        obs = {r[key_col]: r["cnt"] for r in group.to_pylist()}
+        w = group.column("window_start")[0].as_py()
+        tot = sum(obs.values()) or 1.0
+        score = 0.0
+        for c in set(obs) | set(reference):
+            p = max(obs.get(c, 0) / tot, eps)
+            q = max(reference.get(c, 0.0), eps)
+            score += (p - q) * math.log(p / q)
+        return pa.table({
+            "window_start": pa.array([w], pa.int64()),
+            "psi": pa.array([round(score, 6)], pa.float64()),
+            "passed": pa.array([score <= threshold], pa.bool_()),
+        })
+
+    return counts.groupby("window_start").map_groups(_psi, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# range join (interval count per left row)
+# ---------------------------------------------------------------------------
+
+
+def range_join_count(left, right, left_key: str, right_key: str,
+                     left_ts: str, right_ts: str,
+                     lo_offset_s: float, hi_offset_s: float,
+                     left_cols: list[str] | None = None,
+                     out_col: str = "n_in_range", n_buckets: int = 64):
+    """For every left row, the COUNT of right rows sharing the join key
+    with ``right_ts`` in [left_ts + lo_offset, left_ts + hi_offset]
+    (inclusive) — the interval/range join as a custom operator.
+
+    Same exchange shape as :func:`asof_join`: both sides hash-bucket on
+    the key; per bucket the right side sorts once per key and every
+    left key-segment resolves with two vectorized ``searchsorted``."""
+    left_cols = left_cols or []
+    lo_us = int(lo_offset_s * 1_000_000)
+    hi_us = int(hi_offset_s * 1_000_000)
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in left_cols}
+        cols["__key"] = t.column(left_key).combine_chunks().cast(pa.int64())
+        cols["__ts"] = pa.array(_epoch_us(t.column(left_ts)), pa.int64())
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        out = pa.table(cols)
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
+
+    left_types = {c: left.schema().types[left.schema().names.index(c)]
+                  for c in left_cols}
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, left_types[c]) for c in left_cols}
+        cols["__key"] = t.column(right_key).combine_chunks().cast(pa.int64())
+        cols["__ts"] = pa.array(_epoch_us(t.column(right_ts)), pa.int64())
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        out = pa.table(cols)
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
+
+    both = (left.map_batches(_tag_left, batch_format="pyarrow")
+            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    def _count(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = group.column("__key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("__ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_r = side == 1
+        rk, rts = keys[is_r], ts[is_r]
+        r_order = np.lexsort((rts, rk))
+        rk, rts = rk[r_order], rts[r_order]
+        li = np.flatnonzero(~is_r)
+        lk, lts = keys[li], ts[li]
+        n_in = np.zeros(len(li), np.int64)
+        if len(rk) and len(li):
+            lo = np.searchsorted(rk, lk, side="left")
+            hi = np.searchsorted(rk, lk, side="right")
+            order = np.argsort(lk, kind="stable")
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], lk[order][1:] != lk[order][:-1])))
+            seg_ends = np.append(seg_starts[1:], len(order))
+            for s, e in zip(seg_starts, seg_ends):
+                rows = order[s:e]
+                a, b = lo[rows[0]], hi[rows[0]]
+                if a == b:
+                    continue
+                seg = rts[a:b]
+                upper = np.searchsorted(seg, lts[rows] + hi_us, side="right")
+                lower = np.searchsorted(seg, lts[rows] + lo_us, side="left")
+                n_in[rows] = upper - lower
+        out_cols = {c: group.column(c).combine_chunks().take(
+            pa.array(li, pa.int64())) for c in left_cols}
+        out_cols[out_col] = pa.array(n_in)
+        return pa.table(out_cols)
+
+    return both.groupby("__bucket").map_groups(_count, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
 

@@ -719,6 +719,56 @@ class TestTemporal:
                      for r in out.take_all())
         assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 2)]
 
+    def test_windowed_drift_flags_only_bad_window(self):
+        from peri_ray.stages.temporal import windowed_drift
+
+        M = 1_000_000
+        day = 86400
+        base = (1_700_000_000 // day) * day
+        rows = []
+        # day 0: balanced a/b; day 1: all a (drifted)
+        for i in range(50):
+            rows.append((base + i, "a" if i % 2 else "b"))
+        for i in range(50):
+            rows.append((base + day + i, "a"))
+        t = pa.table({
+            "ts": pa.array([r[0] * M for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "k": pa.array([r[1] for r in rows], pa.string()),
+        })
+        out = windowed_drift(rd.from_arrow(t), "ts", "k",
+                             {"a": 0.5, "b": 0.5}, window_s=day,
+                             threshold=0.25)
+        got = {r["window_start"]: (r["psi"], r["passed"]) for r in out.take_all()}
+        assert got[base][1] is True and got[base][0] < 0.01
+        assert got[base + day][1] is False and got[base + day][0] > 0.25
+
+    def test_range_join_count_inclusive_bounds(self):
+        from peri_ray.stages.temporal import range_join_count
+
+        M = 1_000_000
+        T0 = 1_700_000_000 * M
+        left = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([7, 7, 9], pa.int64()),
+            "ts": pa.array([T0 + 100, T0, T0], pa.int64()).cast(pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([7, 7, 7], pa.int64()),
+            "rts": pa.array([T0, T0 + 50, T0 + 100],
+                            pa.int64()).cast(pa.timestamp("us")),
+        })
+        out = range_join_count(rd.from_arrow(left), rd.from_arrow(right),
+                               "k", "k", "ts", "rts",
+                               lo_offset_s=-0.0001, hi_offset_s=0,
+                               left_cols=["event_id"])
+        got = {r["event_id"]: r["n_in_range"] for r in out.take_all()}
+        # event 1 at T0+100 with lo=-100us: rts in [T0, T0+100] → all 3
+        assert got[1] == 3
+        # event 2 at T0: rts in [T0-100us, T0] → only rts=T0
+        assert got[2] == 1
+        # key 9 has no right rows
+        assert got[3] == 0
+
     def test_asof_join_matches_floor(self):
         from peri_ray.stages.temporal import asof_join
 
