@@ -798,6 +798,100 @@ class TestTemporal:
         assert got[4] is None            # key with no right rows
 
 
+class TestTemporalFuzz:
+    """Property fuzz: each temporal operator must agree with a
+    brute-force per-row Python reference on random event streams
+    (random keys, clustered + uniform timestamps, duplicates, ties)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _events = st.lists(
+        st.tuples(st.integers(0, 5),                      # key
+                  st.integers(0, 10_000)),                # seconds offset
+        min_size=1, max_size=120,
+    )
+    _rights = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+        min_size=0, max_size=80,
+    )
+
+    @given(ev=_events)
+    @settings(max_examples=20, deadline=None)
+    def test_sessionize_fuzz(self, ev):
+        from peri_ray.stages.temporal import sessionize
+
+        M = 1_000_000
+        T0 = 1_700_000_000 * M
+        gap_s = 600
+        t = pa.table({
+            "user_id": pa.array([k for k, _ in ev], pa.int64()),
+            "ts": pa.array([T0 + s * M for _, s in ev],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        got = sorted((r["user_id"], r["session_id"], r["n_events"])
+                     for r in sessionize(rd.from_arrow(t), "ts", "user_id",
+                                         gap_s=gap_s).take_all())
+        # brute-force reference
+        want = []
+        by_user: dict[int, list[int]] = {}
+        for k, s in ev:
+            by_user.setdefault(k, []).append(T0 + s * M)
+        for k, tss in by_user.items():
+            tss.sort()
+            sid, n = 1, 1
+            for prev, cur in zip(tss, tss[1:]):
+                if cur - prev > gap_s * M:
+                    want.append((k, sid, n))
+                    sid += 1
+                    n = 1
+                else:
+                    n += 1
+            want.append((k, sid, n))
+        assert got == sorted(want)
+
+    @given(ev=_events, rts=_rights)
+    @settings(max_examples=20, deadline=None)
+    def test_asof_and_range_fuzz(self, ev, rts):
+        from peri_ray.stages.temporal import asof_join, range_join_count
+
+        M = 1_000_000
+        T0 = 1_700_000_000 * M
+        left = pa.table({
+            "event_id": pa.array(range(len(ev)), pa.int64()),
+            "k": pa.array([k for k, _ in ev], pa.int64()),
+            "ts": pa.array([T0 + s * M for _, s in ev],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([k for k, _ in rts], pa.int64()),
+            "rts": pa.array([T0 + s * M for _, s in rts],
+                            pa.int64()).cast(pa.timestamp("us")),
+        })
+        lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+
+        got_asof = {r["event_id"]: r["asof_ts"]
+                    for r in asof_join(lds, rds, "k", "k", "ts", "rts",
+                                       left_cols=["event_id"]).take_all()}
+        lo_s, hi_s = -3600, 0
+        got_rng = {r["event_id"]: r["n_in_range"]
+                   for r in range_join_count(lds, rds, "k", "k", "ts", "rts",
+                                             lo_s, hi_s,
+                                             left_cols=["event_id"]).take_all()}
+        assert set(got_asof) == set(range(len(ev)))
+        for i, (k, s) in enumerate(ev):
+            lts = T0 + s * M
+            cand = [T0 + rs * M for rk, rs in rts if rk == k]
+            prior = [c for c in cand if c <= lts]
+            want_asof = max(prior) if prior else None
+            va = got_asof[i]
+            va_us = None if va is None else (
+                va if isinstance(va, int) else int(va.timestamp() * M))
+            assert va_us == want_asof, (i, k, s)
+            want_n = sum(1 for c in cand
+                         if lts + lo_s * M <= c <= lts + hi_s * M)
+            assert got_rng[i] == want_n, (i, k, s)
+
+
 class TestWinnowing:
     def test_shared_passages_detected(self):
         from peri_ray.stages.text import shared_passage_pairs
