@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embedding_norms": q.quantized_embedding_norms,
         "drift_lang_documents": q.drift_lang_documents,
         "top_sources_by_chars": q.top_sources_by_chars,
+        "top_docs_per_source": q.top_docs_per_source,
         "token_counts": q.token_counts,
         "embedding_dims": q.embedding_dims,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -411,6 +412,12 @@ def oracle_sql() -> dict[str, str]:
         "top_sources_by_chars": (
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "GROUP BY source ORDER BY sum_chars DESC, source LIMIT 5"
+        ),
+        "top_docs_per_source": (
+            "SELECT source, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "

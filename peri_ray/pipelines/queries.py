@@ -305,6 +305,17 @@ def exact_dedup_victims(sf_dir: str):
     return _collect(victims, pa.schema([("doc_id", pa.int64())]))
 
 
+def top_docs_per_source(sf_dir: str):
+    """Top-3 documents per source by n_chars (group-wise top-k; oracle
+    = row_number() OVER (PARTITION BY ...) <= 3, ties by doc_id)."""
+    from peri_ray.stages.stats import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    top = top_k_per_group(ds, "source", "n_chars", k=3, descending=True,
+                          tiebreak="doc_id")
+    return top.select_columns(["source", "doc_id", "n_chars"])
+
+
 def top_sources_by_chars(sf_dir: str):
     """Top-5 sources by total n_chars: pre-aggregated groupby then a tiny
     sort+limit (SURVEY §2.7 top-k)."""

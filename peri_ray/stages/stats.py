@@ -167,3 +167,70 @@ def exact_stats_table(ds, columns: list[str], batch_size: int | None = 65536) ->
             "sum_v": pa.array([stats[c]["sum"] for c in columns], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# group-wise top-k (top-N rows per key — "best docs per domain")
+# ---------------------------------------------------------------------------
+
+
+class _TopKPerGroupPartial:
+    """Batch → at most k rows per key: sort the batch by
+    (key, order desc|asc, tiebreak asc) and keep each key-run's first k
+    (vectorized run-position mask).  The exchange then carries ≤
+    k × keys × blocks rows instead of the full table."""
+
+    def __init__(self, key: str, order_col: str, k: int, descending: bool,
+                 tiebreak: str):
+        self.key = key
+        self.order_col = order_col
+        self.k = k
+        self.descending = descending
+        self.tiebreak = tiebreak
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        direction = "descending" if self.descending else "ascending"
+        s = t.sort_by([(self.key, "ascending"), (self.order_col, direction),
+                       (self.tiebreak, "ascending")])
+        keys = s.column(self.key).combine_chunks()
+        n = len(keys)
+        if n == 0:
+            return s
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            # nulls compare as null → treat consecutive nulls as same key
+            nulls = pc.is_null(keys).to_numpy(zero_copy_only=False)
+            same[1:] |= nulls[1:] & nulls[:-1]
+        run_start = np.flatnonzero(~same)
+        start_of = np.repeat(run_start, np.diff(np.append(run_start, n)))
+        pos = np.arange(n) - start_of
+        return s.filter(pa.array(pos < self.k))
+
+
+def top_k_per_group(ds, key: str, order_col: str, k: int,
+                    descending: bool = True, tiebreak: str | None = None,
+                    n_buckets: int = 64, batch_size: int | None = 65536):
+    """Top-k rows per key by ``order_col`` with a deterministic
+    ``tiebreak`` column (ties broken ascending) — the SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` as a
+    distributed operator.
+
+    Two-phase: per-batch partials keep ≤ k rows per key per block, a
+    hash-bucketed exchange co-locates each key, and the identical
+    sort+mask pass runs once per bucket.  Exact, because a row in any
+    key's global top-k is in that key's top-k of its own block."""
+    from peri_ray.stages.checks import _AddBucket
+
+    tiebreak = tiebreak or order_col
+    partial = _TopKPerGroupPartial(key, order_col, k, descending, tiebreak)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    bucketed = partials.map_batches(_AddBucket(key, n_buckets),
+                                    batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        return partial(group.drop_columns(["bucket"]))
+
+    return bucketed.groupby("bucket").map_groups(_merge, batch_format="pyarrow")

@@ -681,6 +681,46 @@ class TestSources:
         assert len(back) == 2
 
 
+class TestTopKPerGroup:
+    def test_matches_row_number_reference(self):
+        import duckdb
+
+        from peri_ray.stages.stats import top_k_per_group
+
+        rng = np.random.default_rng(7)
+        n = 2000
+        t = pa.table({
+            "source": pa.array([f"s{int(v)}" for v in rng.integers(0, 12, n)]),
+            "doc_id": pa.array(range(n), pa.int64()),
+            # few distinct values → heavy ties exercise the tiebreak
+            "n_chars": pa.array(rng.integers(0, 9, n), pa.int64()),
+        })
+        ds = rd.from_arrow(t).repartition(8)  # multi-block: partials merge
+        got = sorted(
+            (r["source"], r["doc_id"], r["n_chars"])
+            for r in top_k_per_group(ds, "source", "n_chars", k=3,
+                                     tiebreak="doc_id").take_all())
+        want = sorted(duckdb.sql(
+            "SELECT source, doc_id, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) rn FROM t) WHERE rn <= 3"
+        ).fetchall())
+        assert got == want
+
+    def test_ascending_and_small_groups(self):
+        from peri_ray.stages.stats import top_k_per_group
+
+        t = pa.table({
+            "k": pa.array(["a", "a", "b"]),
+            "v": pa.array([5, 1, 9], pa.int64()),
+            "id": pa.array([1, 2, 3], pa.int64()),
+        })
+        got = sorted((r["k"], r["v"]) for r in top_k_per_group(
+            rd.from_arrow(t), "k", "v", k=1, descending=False,
+            tiebreak="id").take_all())
+        assert got == [("a", 1), ("b", 9)]
+
+
 class TestTemporal:
     def test_tumbling_window_counts(self):
         from peri_ray.stages.temporal import tumbling_window_counts
