@@ -84,6 +84,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q.bpe_token_counts,
         "quantized_embedding_norms": q.quantized_embedding_norms,
         "drift_lang_documents": q.drift_lang_documents,
+        "enrich_orders_customer": q.enrich_orders_customer,
+        "enrich_events_customer": q.enrich_events_customer,
+        "join_lineitem_orders": q.join_lineitem_orders,
+        "customers_with_orders": q.customers_with_orders,
+        "embedding_centroids_by_label": q.embedding_centroids_by_label,
+        "sliding_event_counts": q.sliding_event_counts,
+        "stratified_sample_counts": q.stratified_sample_counts,
         "top_sources_by_chars": q.top_sources_by_chars,
         "top_docs_per_source": q.top_docs_per_source,
         "token_counts": q.token_counts,
@@ -409,6 +416,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
         """,
+        "enrich_orders_customer": (
+            "SELECT o_orderkey, c_name, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "enrich_events_customer": (
+            "SELECT event_id, c_mktsegment FROM events "
+            "LEFT JOIN customer ON user_id = c_custkey"
+        ),
+        "join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "embedding_centroids_by_label": """
+            WITH ex AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+               WHERE label IS NOT NULL AND len(embedding) = 64
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            )
+            SELECT label, dim, ROUND(avg(val), 6) AS c
+              FROM ex GROUP BY label, dim
+        """,
+        "sliding_event_counts": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 - off AS BIGINT) "
+            "AS window_start, event_type, count(*) AS cnt "
+            "FROM events CROSS JOIN (VALUES (0), (3600)) AS t(off) "
+            "GROUP BY 1, 2"
+        ),
+        "stratified_sample_counts": (
+            "SELECT lang, CAST(LEAST(count(*), 20) AS BIGINT) AS n_sampled "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang"
+        ),
         "top_sources_by_chars": (
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "GROUP BY source ORDER BY sum_chars DESC, source LIMIT 5"

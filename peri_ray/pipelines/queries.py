@@ -387,7 +387,10 @@ def minhash_near_dup_pairs(sf_dir: str):
     # 0.8 verify cut.  16×4 (threshold ≈ 0.5) floods candidates on this
     # corpus, whose baseline pairwise jaccard is ~0.2 (small vocab):
     # 3.5× faster at sf0.1 with identical verified pairs.
-    cands = minhash_lsh_candidates(ds, bands=8, num_perm=64)
+    # dedupe=False: verify's score stage collapses a pair found in
+    # multiple bands, so the standalone pair-dedupe groupby (a 4th
+    # all-to-all exchange) is redundant work
+    cands = minhash_lsh_candidates(ds, bands=8, num_perm=64, dedupe=False)
     return verify_candidates(ds, cands, threshold=0.8)
 
 
@@ -959,3 +962,114 @@ def quantized_embedding_norms(sf_dir: str):
                          "l2_milli": pa.array(milli)})
 
     return q.map_batches(_norms, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# general joins (broadcast enrichment + hash-partitioned large×large)
+# ---------------------------------------------------------------------------
+
+
+def enrich_orders_customer(sf_dir: str):
+    """Broadcast inner enrichment join: attach customer name + segment
+    to every order.  The dim (customer) is ray.put once and resolved
+    per task; the fact side streams with zero shuffle."""
+    from peri_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = broadcast_join(orders, customer, "o_custkey", "c_custkey",
+                         ["c_custkey", "c_name", "c_mktsegment"], how="inner")
+    return out.select_columns(["o_orderkey", "c_name", "c_mktsegment"])
+
+
+def enrich_events_customer(sf_dir: str):
+    """Broadcast LEFT enrichment join: events keep their row when the
+    user has no customer record (typed-null segment)."""
+    from peri_ray.stages.joins import broadcast_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = broadcast_join(events, customer, "user_id", "c_custkey",
+                         ["c_custkey", "c_mktsegment"], how="left")
+    return out.select_columns(["event_id", "c_mktsegment"])
+
+
+def join_lineitem_orders(sf_dir: str):
+    """Hash-partitioned inner join, large×large: both sides bucket on
+    the order key, vectorized Arrow join per bucket; only the projected
+    columns cross the exchange."""
+    from peri_ray.stages.joins import hash_join
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return hash_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                     ["l_linenumber"], ["o_orderstatus"], how="inner")
+
+
+def customers_with_orders(sf_dir: str):
+    """Hash-partitioned SEMI join: customers having at least one order
+    (EXISTS), keys only across the exchange."""
+    from peri_ray.stages.joins import hash_join
+
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return hash_join(customer, orders, "c_custkey", "o_custkey",
+                     [], [], how="semi")
+
+
+# ---------------------------------------------------------------------------
+# vector groupby aggregate + sliding windows + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids_by_label(sf_dir: str):
+    """Distributed GROUP BY over a vector column: per-label embedding
+    centroid (class prototype / IVF seed / per-domain drift monitor).
+    Per-batch (labels × dim) float64 partial sums via np.add.at, driver
+    merge bounded by blocks × labels — the vectors never shuffle.
+    Malformed vectors (wrong dim / element nulls / null label) are
+    skipped and counted, mirrored by the oracle's WHERE."""
+    from peri_ray.stages.similarity import grouped_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    t = grouped_centroids(ds, dim=64)
+    labels = t.column("label").to_numpy(zero_copy_only=False)
+    cent = np.asarray(
+        [row for row in t.column("centroid").to_pylist()], np.float64)
+    n, d = cent.shape if len(labels) else (0, 64)
+    return pa.table({
+        "label": pa.array(np.repeat(labels, d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+        "c": pa.array(np.round(cent.reshape(-1), 6), pa.float64()),
+    })
+
+
+def sliding_event_counts(sf_dir: str):
+    """Sliding-window aggregate: 2-hour windows every hour; each event
+    counts toward both covering windows (overlap handled inside the
+    block, partials collapse before the one small shuffle)."""
+    from peri_ray.stages.temporal import sliding_window_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return sliding_window_counts(ds, "ts", "event_type",
+                                 window_s=7200, slide_s=3600)
+
+
+def stratified_sample_counts(sf_dir: str):
+    """Deterministic k-per-stratum sampling (seeded hash order + group
+    top-k): the oracle checks the exact per-stratum guarantee
+    min(count, k) — reproducible across cluster sizes, unlike
+    random_sample."""
+    from peri_ray.stages.stats import stratified_sample
+
+    def _nonnull(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("lang")))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        _nonnull, batch_format="pyarrow")
+    sampled = stratified_sample(ds, key="lang", k=20, id_col="doc_id")
+    counts = _collect(sampled, pa.schema([("doc_id", pa.int64()),
+                                          ("lang", pa.string())]))
+    g = (counts.group_by("lang").aggregate([("doc_id", "count")])
+         .rename_columns(["lang", "n_sampled"]))
+    return g.set_column(1, "n_sampled", g.column("n_sampled").cast(pa.int64()))

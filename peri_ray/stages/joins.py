@@ -1,0 +1,202 @@
+"""General-purpose distributed joins (enrichment, semi, anti).
+
+The referential checks in :mod:`peri_ray.stages.checks` answer only
+"does the key exist?"; training-data pipelines also need the *enriched
+rows* (attach customer segment to orders, document metadata to
+near-dup pairs, ...).  Two physical strategies, chosen by the caller
+exactly like broadcast-vs-shuffled referential:
+
+- :func:`broadcast_join` — the dim side fits one object-store object:
+  resolve it ONCE per actor/task (`ray.put` + ``__init__``), attach dim
+  columns per batch with a vectorized ``pc.index_in`` + ``take``.  The
+  fact side streams; no shuffle at all.
+- :func:`hash_join` — both sides large: hash-bucket both on the key
+  (the engine-wide :func:`~peri_ray.stages.checks.bucket_of` primitive,
+  so co-partitioned stages can share the exchange), one groupby
+  co-locates each bucket, and a vectorized per-bucket Arrow
+  ``Table.join`` emits the matches.  Only the projected columns cross
+  the exchange.
+
+Reference parity: Peri has no join (single-record validation,
+``lib/peri.ex``); these are [NORTH]-mandated table-level operators
+(BASELINE.json: referential checks as hash-partitioned shuffles) made
+user-facing, generalized from anti-only to inner/left/semi/anti.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from peri_ray.stages.checks import bucket_of
+
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _dim_table(dim, dim_key: str, dim_cols: list[str]) -> pa.Table:
+    """Materialize the small dim side as one deduplicated Arrow table.
+
+    Duplicate dim keys would silently fan out fact rows; a *dimension*
+    is keyed by contract, so keep the first row per key (deterministic:
+    min over the first dim column ordering after sort by key)."""
+    cols = [dim_key] + [c for c in dim_cols if c != dim_key]
+    if hasattr(dim, "to_arrow_refs"):  # a Dataset
+        import ray
+
+        parts = [ray.get(r) for r in dim.select_columns(cols).to_arrow_refs()]
+        t = pa.concat_tables([p for p in parts if p.num_rows] or
+                             [pa.table({c: [] for c in cols})])
+    else:
+        t = pa.table(dim).select(cols)
+    t = t.sort_by([(c, "ascending") for c in cols])
+    keys = t.column(dim_key).combine_chunks()
+    if t.num_rows:
+        first = np.flatnonzero(
+            np.r_[True, keys[1:].to_numpy(zero_copy_only=False)
+                  != keys[:-1].to_numpy(zero_copy_only=False)])
+        if len(first) != t.num_rows:
+            t = t.take(pa.array(first))
+    return t.combine_chunks()
+
+
+class _BroadcastJoiner:
+    """Actor-pool/task stage: dim table resolved once in ``__init__``
+    (broadcast via ``ray.put`` — never re-shipped per batch)."""
+
+    def __init__(self, fact_key: str, dim_key: str, dim_ref, how: str):
+        import ray
+
+        self.fact_key = fact_key
+        self.how = how
+        dim: pa.Table = ray.get(dim_ref)
+        self.dim_keys = dim.column(0).combine_chunks()
+        self.dim_key = dim_key
+        self.dim_values = dim.remove_column(0)
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        col = table.column(self.fact_key).combine_chunks()
+        if col.type != self.dim_keys.type:
+            col = col.cast(self.dim_keys.type)
+        idx = pc.index_in(col, value_set=self.dim_keys)
+        if self.how == "semi":
+            return table.filter(pc.is_valid(idx))
+        if self.how == "anti":
+            return table.filter(pc.and_(pc.invert(pc.is_valid(idx)),
+                                        pc.is_valid(col)))
+        out = table
+        for name in self.dim_values.column_names:
+            # take with null indices yields typed nulls — exactly the
+            # left-join contract for unmatched fact rows
+            out = out.append_column(
+                name, self.dim_values.column(name).combine_chunks().take(idx))
+        if self.how == "inner":
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+
+def broadcast_join(fact, dim, fact_key: str, dim_key: str,
+                   dim_cols: list[str], how: str = "inner",
+                   fact_cols: list[str] | None = None,
+                   concurrency: int | None = None,
+                   batch_size: int | None = 65536):
+    """Enrich the streaming ``fact`` side with columns from a small
+    ``dim`` side (inner/left), or filter by key presence (semi/anti).
+
+    ``dim`` is materialized on the driver, deduplicated by key, and
+    broadcast once via ``ray.put``; each batch attaches dim columns with
+    ``pc.index_in`` + ``take`` (vectorized, no shuffle).  Use
+    :func:`hash_join` when the dim side does not fit one object."""
+    import ray
+
+    if how not in _ARROW_JOIN_TYPE:
+        raise ValueError(f"how must be one of {sorted(_ARROW_JOIN_TYPE)}")
+    ref = ray.put(_dim_table(dim, dim_key, dim_cols))
+    if fact_cols:
+        fact = fact.select_columns(sorted(set(fact_cols + [fact_key])))
+    if concurrency:
+        return fact.map_batches(
+            _BroadcastJoiner,
+            fn_constructor_args=(fact_key, dim_key, ref, how),
+            concurrency=concurrency, batch_format="pyarrow",
+            batch_size=batch_size)
+    return fact.map_batches(_BroadcastJoiner(fact_key, dim_key, ref, how),
+                            batch_format="pyarrow", batch_size=batch_size)
+
+
+def hash_join(left, right, left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              how: str = "inner", n_buckets: int = 64):
+    """Large×large equi-join: both sides hash-bucket on the key (shared
+    :func:`bucket_of` recipe), one groupby co-locates each bucket, and a
+    vectorized Arrow ``Table.join`` runs per bucket.  Only the projected
+    columns + the key cross the exchange.
+
+    Output columns: ``left_key`` + ``left_cols`` + ``right_cols`` for
+    inner/left; ``left_key`` + ``left_cols`` for semi/anti.  Skewed keys
+    concentrate in single buckets — raise ``n_buckets`` (the shuffle
+    partition count) for hot-key relief; a key hot enough to overflow
+    one worker's memory needs the broadcast path or salting upstream."""
+    if how not in _ARROW_JOIN_TYPE:
+        raise ValueError(f"how must be one of {sorted(_ARROW_JOIN_TYPE)}")
+    left_cols = [c for c in left_cols if c != left_key]
+    right_cols = [c for c in right_cols if c != right_key]
+
+    l_schema = left.schema()
+    key_type = dict(zip(l_schema.names, l_schema.types))[left_key]
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_schema = right.schema()
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    want_right = how in ("inner", "left")
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        key = t.column(left_key).combine_chunks()
+        cols = {"__key": key}
+        for c in left_cols:
+            cols[c] = t.column(c)
+        for c in right_cols if want_right else []:
+            cols[c] = pa.nulls(t.num_rows, r_types[c])
+        out = pa.table(cols)
+        return (out.append_column("__bucket", bucket_of(key, n_buckets))
+                   .append_column("__side",
+                                  pa.array(np.zeros(t.num_rows, np.int8))))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        key = t.column(right_key).combine_chunks().cast(key_type)
+        cols = {"__key": key}
+        for c in left_cols:
+            cols[c] = pa.nulls(t.num_rows, l_types[c])
+        for c in right_cols if want_right else []:
+            cols[c] = t.column(c)
+        out = pa.table(cols)
+        return (out.append_column("__bucket", bucket_of(key, n_buckets))
+                   .append_column("__side",
+                                  pa.array(np.ones(t.num_rows, np.int8))))
+
+    both = (left.map_batches(_tag_left, batch_format="pyarrow")
+            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    out_cols = [left_key] + left_cols + (right_cols if want_right else [])
+    jt = _ARROW_JOIN_TYPE[how]
+
+    def _join(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        l = (group.filter(pc.equal(side, 0))
+             .select(["__key"] + left_cols)
+             .rename_columns([left_key] + left_cols))
+        r = (group.filter(pc.equal(side, 1))
+             .select(["__key"] + right_cols)
+             .rename_columns([left_key] + right_cols))
+        joined = l.join(r, keys=left_key, join_type=jt)
+        if how == "anti":
+            # null keys pass (same contract as the broadcast path and
+            # the referential checks: FK on an absent value is vacuous)
+            joined = joined.filter(pc.is_valid(joined.column(left_key)))
+        return joined.select(out_cols)
+
+    return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")

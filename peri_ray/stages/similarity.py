@@ -279,3 +279,104 @@ def dequantize_matrix(table: pa.Table, vec_col: str = "embedding",
     scale = table.column(f"{vec_col}_scale").to_numpy(
         zero_copy_only=False).astype(dtype)
     return q * scale[:, None]
+
+
+class _CentroidPartial:
+    """Batch → (label, cnt, sum_vector) partials: the distributed
+    GROUP BY over a vector column.  Rows whose vector is missing, has
+    the wrong dimension, or contains element nulls are skipped (the
+    count of skipped rows rides along under label-null so no silent
+    drop); float64 accumulation regardless of storage dtype."""
+
+    def __init__(self, vec_col: str, label_col: str, dim: int):
+        self.vec_col = vec_col
+        self.label_col = label_col
+        self.dim = dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vec = t.column(self.vec_col).combine_chunks()
+        lab = t.column(self.label_col).combine_chunks()
+        ok = pc.and_(pc.equal(pc.list_value_length(vec).fill_null(-1),
+                              self.dim),
+                     pc.is_valid(lab))
+        n_skipped = t.num_rows - int(pc.sum(ok.cast(pa.int64())).as_py() or 0)
+        vec = vec.filter(ok)
+        lab = lab.filter(ok)
+        flat = vec.flatten()
+        if flat.null_count:  # element nulls: drop those rows too
+            offs = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            null_pos = np.flatnonzero(
+                ~np.asarray(pc.is_valid(flat), dtype=bool))
+            bad_rows = np.unique(
+                np.searchsorted(offs, null_pos + offs[0], side="right") - 1)
+            keep_mask = np.ones(len(vec), bool)
+            keep_mask[bad_rows] = False
+            keep = pa.array(keep_mask)
+            vec = vec.filter(keep)
+            lab = lab.filter(keep)
+            n_skipped += int(len(bad_rows))
+        n = len(vec)
+        labels = lab.to_numpy(zero_copy_only=False)
+        sums_rows: list[np.ndarray] = []
+        out_labels: list = []
+        counts: list[int] = []
+        if n:
+            mat = vec.flatten().to_numpy(zero_copy_only=False) \
+                     .reshape(n, self.dim).astype(np.float64)
+            uniq, inv = np.unique(labels, return_inverse=True)
+            sums = np.zeros((len(uniq), self.dim), np.float64)
+            np.add.at(sums, inv, mat)
+            cnts = np.bincount(inv, minlength=len(uniq))
+            out_labels = list(uniq)
+            counts = [int(c) for c in cnts]
+            sums_rows = list(sums)
+        if n_skipped:
+            out_labels.append(None)
+            counts.append(n_skipped)
+            sums_rows.append(np.zeros(self.dim, np.float64))
+        return pa.table({
+            "label": pa.array(out_labels, pa.int64()),
+            "cnt": pa.array(counts, pa.int64()),
+            "vec_sum": pa.array([list(s) for s in sums_rows],
+                                pa.list_(pa.float64(), self.dim)),
+        })
+
+
+def grouped_centroids(ds, vec_col: str = "embedding",
+                      label_col: str = "label", dim: int = 64,
+                      batch_size: int | None = 65536) -> pa.Table:
+    """Per-label mean vector (embedding centroid per class/domain — the
+    seed for IVF cells, per-source drift monitors, class prototypes).
+
+    Shape: per-batch vectorized partials (labels × dim sums via
+    ``np.add.at``) → driver merge bounded by blocks × labels — no
+    shuffle, the vector column never leaves its block.  Returns a
+    pyarrow Table (label, cnt, centroid list<double>[dim]) sorted by
+    label, plus a label-null row counting skipped (malformed) vectors.
+    """
+    partials = ds.map_batches(
+        _CentroidPartial(vec_col, label_col, dim),
+        batch_format="pyarrow", batch_size=batch_size)
+    acc: dict = {}
+    skipped = 0
+    for row in partials.iter_rows():
+        if row["label"] is None:
+            skipped += row["cnt"]
+            continue
+        cur = acc.get(row["label"])
+        s = np.asarray(row["vec_sum"], np.float64)
+        if cur is None:
+            acc[row["label"]] = [int(row["cnt"]), s]
+        else:
+            cur[0] += int(row["cnt"])
+            cur[1] = cur[1] + s
+    labels = sorted(acc)
+    return pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "cnt": pa.array([acc[l][0] for l in labels], pa.int64()),
+        "centroid": pa.array([list(acc[l][1] / acc[l][0]) for l in labels],
+                             pa.list_(pa.float64(), dim)),
+        "skipped": pa.array([skipped] * len(labels), pa.int64()),
+    })

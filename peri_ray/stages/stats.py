@@ -234,3 +234,31 @@ def top_k_per_group(ds, key: str, order_col: str, k: int,
         return partial(group.drop_columns(["bucket"]))
 
     return bucketed.groupby("bucket").map_groups(_merge, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key: str, k: int, id_col: str, seed: int = 1234,
+                      n_buckets: int = 64, batch_size: int | None = 65536):
+    """Deterministic k-per-stratum sample: order each stratum by a
+    seeded hash of the row id and keep the k smallest — i.e.
+    :func:`top_k_per_group` over a pseudo-random order column, so the
+    selection is reproducible across runs/cluster sizes (unlike
+    ``random_sample``, whose draw depends on block layout) and exact:
+    every stratum yields ``min(count, k)`` rows.
+
+    The per-batch partial keeps ≤ k rows per stratum per block, so the
+    exchange carries k × strata × blocks rows — the input table never
+    shuffles."""
+    from peri_ray.state.sketches import splitmix64
+
+    def _h(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.view(np.uint64) + np.uint64(seed))
+        return t.append_column("__h", pa.array(h.astype(np.int64)))
+
+    withh = ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
+    sampled = top_k_per_group(withh, key, "__h", k, descending=False,
+                              tiebreak=id_col, n_buckets=n_buckets,
+                              batch_size=batch_size)
+    return sampled.drop_columns(["__h"])

@@ -1356,3 +1356,198 @@ class TestActorPoolEagerSpecErrors:
         with pytest.raises(InvalidSchemaError):
             validate_dataset(ds, {"v": ("integer", ("frobnicate", 1))},
                              concurrency=2)
+
+
+class TestJoins:
+    def _fact(self):
+        return rd.from_arrow(pa.table({
+            "fk": pa.array([1, 2, 2, 3, None, 9], pa.int64()),
+            "payload": ["a", "b", "c", "d", "e", "f"],
+        })).repartition(3)
+
+    def _dim(self):
+        return rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "name": ["one", "two", "three", "four"],
+        }))
+
+    def test_broadcast_inner(self):
+        from peri_ray.stages.joins import broadcast_join
+
+        out = broadcast_join(self._fact(), self._dim(), "fk", "k",
+                             ["k", "name"]).take_all()
+        got = sorted((r["payload"], r["name"]) for r in out)
+        assert got == [("a", "one"), ("b", "two"), ("c", "two"), ("d", "three")]
+
+    def test_broadcast_left_keeps_unmatched_with_nulls(self):
+        from peri_ray.stages.joins import broadcast_join
+
+        out = broadcast_join(self._fact(), self._dim(), "fk", "k",
+                             ["k", "name"], how="left").take_all()
+        by_payload = {r["payload"]: r["name"] for r in out}
+        assert len(out) == 6
+        assert by_payload["e"] is None and by_payload["f"] is None
+        assert by_payload["c"] == "two"
+
+    def test_broadcast_semi_anti(self):
+        from peri_ray.stages.joins import broadcast_join
+
+        semi = broadcast_join(self._fact(), self._dim(), "fk", "k",
+                              ["k"], how="semi").take_all()
+        assert sorted(r["payload"] for r in semi) == ["a", "b", "c", "d"]
+        anti = broadcast_join(self._fact(), self._dim(), "fk", "k",
+                              ["k"], how="anti").take_all()
+        # null fk passes (FK semantics), 9 is the only true orphan
+        assert sorted(r["payload"] for r in anti) == ["f"]
+
+    def test_broadcast_dim_dedupe_is_deterministic(self):
+        from peri_ray.stages.joins import broadcast_join
+
+        dup_dim = rd.from_arrow(pa.table({
+            "k": pa.array([2, 2, 1], pa.int64()),
+            "name": ["zz", "aa", "one"],
+        }))
+        out = broadcast_join(self._fact(), dup_dim, "fk", "k",
+                             ["k", "name"]).take_all()
+        # first row per key after sort: (2, "aa") wins over (2, "zz")
+        assert {r["name"] for r in out if r["fk"] == 2} == {"aa"}
+
+    def test_hash_join_matches_broadcast(self):
+        from peri_ray.stages.joins import broadcast_join, hash_join
+
+        fact, dim = self._fact(), self._dim()
+        h = hash_join(fact, dim, "fk", "k", ["payload"], ["name"],
+                      how="inner", n_buckets=4).take_all()
+        b = broadcast_join(self._fact(), self._dim(), "fk", "k",
+                           ["k", "name"]).take_all()
+        assert sorted((r["payload"], r["name"]) for r in h) == \
+            sorted((r["payload"], r["name"]) for r in b)
+
+    def test_hash_join_left_and_semi_and_anti(self):
+        from peri_ray.stages.joins import hash_join
+
+        left = hash_join(self._fact(), self._dim(), "fk", "k",
+                         ["payload"], ["name"], how="left",
+                         n_buckets=4).take_all()
+        assert len(left) == 6
+        assert {r["payload"]: r["name"] for r in left}["f"] is None
+        semi = hash_join(self._fact(), self._dim(), "fk", "k",
+                         ["payload"], [], how="semi", n_buckets=4).take_all()
+        assert sorted(r["payload"] for r in semi) == ["a", "b", "c", "d"]
+        anti = hash_join(self._fact(), self._dim(), "fk", "k",
+                         ["payload"], [], how="anti", n_buckets=4).take_all()
+        assert sorted(r["payload"] for r in anti) == ["f"]
+
+    def test_hash_join_many_to_many(self):
+        from peri_ray.stages.joins import hash_join
+
+        left = rd.from_arrow(pa.table({"k": pa.array([7, 7], pa.int64()),
+                                       "l": ["x", "y"]}))
+        right = rd.from_arrow(pa.table({"k": pa.array([7, 7, 7], pa.int64()),
+                                        "r": ["p", "q", "s"]}))
+        out = hash_join(left, right, "k", "k", ["l"], ["r"],
+                        how="inner", n_buckets=2).take_all()
+        assert len(out) == 6  # full m×n fan-out per key
+
+
+class TestGroupedCentroids:
+    def test_centroids_and_malformed_skip(self):
+        from peri_ray.stages.similarity import grouped_centroids
+
+        t = pa.table({
+            "label": pa.array([0, 0, 1, None, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 3.0], [3.0, 5.0], [2.0, 2.0], [9.0, 9.0], [1.0]],
+                pa.list_(pa.float32())),
+        })
+        out = grouped_centroids(rd.from_arrow(t).repartition(2),
+                                dim=2, label_col="label")
+        rows = {r["label"]: r for r in out.to_pylist()}
+        assert rows[0]["cnt"] == 2 and rows[0]["centroid"] == [2.0, 4.0]
+        assert rows[1]["cnt"] == 1 and rows[1]["centroid"] == [2.0, 2.0]
+        # null label + wrong-dim vector both skipped and counted
+        assert rows[0]["skipped"] == 2
+
+    def test_element_null_rows_skipped(self):
+        from peri_ray.stages.similarity import grouped_centroids
+
+        t = pa.table({
+            "label": pa.array([5, 5], pa.int64()),
+            "embedding": pa.array([[1.0, None], [4.0, 6.0]],
+                                  pa.list_(pa.float64())),
+        })
+        out = grouped_centroids(rd.from_arrow(t), dim=2).to_pylist()
+        assert out[0]["cnt"] == 1 and out[0]["centroid"] == [4.0, 6.0]
+        assert out[0]["skipped"] == 1
+
+
+class TestSlidingWindows:
+    def test_overlap_counts(self):
+        from peri_ray.stages.temporal import sliding_window_counts
+
+        # events at 00:30 and 01:30; 2h windows sliding hourly
+        ts = pa.array([1800 * 1_000_000, 5400 * 1_000_000],
+                      pa.timestamp("us"))
+        t = pa.table({"ts": ts, "k": ["a", "a"]})
+        out = sliding_window_counts(rd.from_arrow(t), "ts", "k",
+                                    window_s=7200, slide_s=3600).take_all()
+        got = {r["window_start"]: r["cnt"] for r in out}
+        # window [-3600,3600) sees t=1800; [0,7200) sees both; [3600,10800) sees 5400
+        assert got == {-3600: 1, 0: 2, 3600: 1}
+
+    def test_equals_tumbling_when_no_overlap(self):
+        from peri_ray.stages.temporal import (sliding_window_counts,
+                                              tumbling_window_counts)
+
+        rng = np.random.default_rng(3)
+        ts = pa.array((rng.integers(0, 86400, 500) * 1_000_000).astype("int64"),
+                      pa.timestamp("us"))
+        t = pa.table({"ts": ts, "k": rng.choice(["x", "y"], 500)})
+        ds = rd.from_arrow(t).repartition(4)
+        slide = sorted((r["window_start"], r["k"], r["cnt"]) for r in
+                       sliding_window_counts(ds, "ts", "k", 3600, 3600).take_all())
+        tumb = sorted((r["window_start"], r["k"], r["cnt"]) for r in
+                      tumbling_window_counts(ds, "ts", "k", 3600).take_all())
+        assert slide == tumb
+
+    def test_window_must_divide(self):
+        from peri_ray.stages.temporal import sliding_window_counts
+
+        with pytest.raises(ValueError):
+            sliding_window_counts(rd.from_arrow(pa.table({"ts": [], "k": []})),
+                                  "ts", "k", window_s=5000, slide_s=3600)
+
+
+class TestStratifiedSample:
+    def test_exact_per_stratum_counts_and_determinism(self):
+        from peri_ray.stages.stats import stratified_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "lang": pa.array(["en"] * 60 + ["de"] * 35 + ["pt"] * 5),
+        })
+        a = stratified_sample(rd.from_arrow(t).repartition(5),
+                              "lang", k=10, id_col="doc_id").take_all()
+        b = stratified_sample(rd.from_arrow(t).repartition(2),
+                              "lang", k=10, id_col="doc_id").take_all()
+        by_lang: dict = {}
+        for r in a:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert {k: len(v) for k, v in by_lang.items()} == \
+            {"en": 10, "de": 10, "pt": 5}
+        # identical selection regardless of block layout
+        assert sorted((r["lang"], r["doc_id"]) for r in a) == \
+            sorted((r["lang"], r["doc_id"]) for r in b)
+
+    def test_seed_changes_selection(self):
+        from peri_ray.stages.stats import stratified_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(50), pa.int64()),
+            "lang": pa.array(["en"] * 50),
+        })
+        a = {r["doc_id"] for r in stratified_sample(
+            rd.from_arrow(t), "lang", 10, "doc_id", seed=1).take_all()}
+        b = {r["doc_id"] for r in stratified_sample(
+            rd.from_arrow(t), "lang", 10, "doc_id", seed=2).take_all()}
+        assert a != b
