@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids_by_label": q.embedding_centroids_by_label,
         "sliding_event_counts": q.sliding_event_counts,
         "stratified_sample_counts": q.stratified_sample_counts,
+        "term_doc_frequency": q.term_doc_frequency,
+        "grouped_stats_lineitem": q.grouped_stats_lineitem,
         "top_sources_by_chars": q.top_sources_by_chars,
         "top_docs_per_source": q.top_docs_per_source,
         "token_counts": q.token_counts,
@@ -454,6 +456,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(LEAST(count(*), 20) AS BIGINT) AS n_sampled "
             "FROM documents WHERE lang IS NOT NULL GROUP BY lang"
         ),
+        "term_doc_frequency": (
+            "SELECT word AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
+            "GROUP BY word"
+        ),
+        "grouped_stats_lineitem": """
+            SELECT l_returnflag AS key, 'l_quantity' AS "column",
+                   count(l_quantity) AS cnt,
+                   count(*) - count(l_quantity) AS null_count,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                   ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_v
+              FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 'l_extendedprice',
+                   count(l_extendedprice),
+                   count(*) - count(l_extendedprice),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   CAST(max(l_extendedprice) AS DOUBLE),
+                   ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2)
+              FROM lineitem GROUP BY l_returnflag
+        """,
         "top_sources_by_chars": (
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "GROUP BY source ORDER BY sum_chars DESC, source LIMIT 5"

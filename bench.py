@@ -129,6 +129,10 @@ def run_bench() -> dict:
     timed("quality_scores", lambda: q.quality_scores(SF_DIR).to_pandas())
     timed("winnow_shared_passages", lambda: q.winnow_shared_passages(SF_DIR))
     timed("exact_dedup_victims", lambda: q.exact_dedup_victims(SF_DIR))
+    timed("join_lineitem_orders", lambda: q.join_lineitem_orders(SF_DIR).to_pandas())
+    timed("enrich_orders_customer", lambda: q.enrich_orders_customer(SF_DIR).to_pandas())
+    timed("embedding_centroids_by_label", lambda: q.embedding_centroids_by_label(SF_DIR))
+    timed("sliding_event_counts", lambda: q.sliding_event_counts(SF_DIR).to_pandas())
 
     headline = timings["flagship_web_pages"]
     result = {

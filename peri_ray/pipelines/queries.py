@@ -1073,3 +1073,28 @@ def stratified_sample_counts(sf_dir: str):
     g = (counts.group_by("lang").aggregate([("doc_id", "count")])
          .rename_columns(["lang", "n_sampled"]))
     return g.set_column(1, "n_sampled", g.column("n_sampled").cast(pa.int64()))
+
+
+def term_doc_frequency(sf_dir: str):
+    """Corpus-wide document frequency per whitespace token (stopword /
+    boilerplate discovery, IDF weighting).  Two-phase: per-block
+    distinct-term partials, one (term, df) groupby-sum — the text never
+    crosses the exchange.  Tokenizer matches token_counts' SQL twin
+    (trim + \\s+ split)."""
+    from peri_ray.stages.text import term_document_frequency
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return term_document_frequency(ds)
+
+
+def grouped_stats_lineitem(sf_dir: str):
+    """GROUP BY + algebraic stat combiners: per-returnflag count /
+    nulls / min / max / sum over two measures, per-batch partials +
+    driver merge (no shuffle)."""
+    from peri_ray.stages.stats import grouped_stats
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    t = grouped_stats(ds, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    return t.set_column(
+        6, "sum_v", pc.round(t.column("sum_v"), ndigits=2))

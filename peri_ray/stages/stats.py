@@ -262,3 +262,84 @@ def stratified_sample(ds, key: str, k: int, id_col: str, seed: int = 1234,
                               tiebreak=id_col, n_buckets=n_buckets,
                               batch_size=batch_size)
     return sampled.drop_columns(["__h"])
+
+
+class _GroupedStatsPartial:
+    """Batch → one (key, column, cnt, null_count, min, max, sum) row per
+    (group, column): ONE vectorized Arrow group_by per batch carrying
+    all columns' aggregates, melted to long form over the tiny result."""
+
+    def __init__(self, key: str, columns: tuple[str, ...]):
+        self.key = key
+        self.columns = tuple(columns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        aggs = [("__one", "sum")]
+        for c in self.columns:
+            aggs += [(c, "count"), (c, "min"), (c, "max"), (c, "sum")]
+        g = (t.select([self.key, *self.columns])
+             .append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+             .group_by(self.key).aggregate(aggs))
+        keys = g.column(self.key).to_pylist()
+        total = g.column("__one_sum").to_pylist()
+        out = {"key": [], "column": [], "cnt": [], "null_count": [],
+               "min_v": [], "max_v": [], "sum_v": []}
+        for c in self.columns:
+            cnt = g.column(f"{c}_count").to_pylist()
+            mn = g.column(f"{c}_min").to_pylist()
+            mx = g.column(f"{c}_max").to_pylist()
+            sm = g.column(f"{c}_sum").to_pylist()
+            out["key"] += keys
+            out["column"] += [c] * len(keys)
+            out["cnt"] += [int(x) for x in cnt]
+            out["null_count"] += [int(tt) - int(x) for tt, x in zip(total, cnt)]
+            out["min_v"] += [None if v is None else float(v) for v in mn]
+            out["max_v"] += [None if v is None else float(v) for v in mx]
+            out["sum_v"] += [None if v is None else float(v) for v in sm]
+        return pa.table({
+            "key": pa.array(out["key"]),
+            "column": pa.array(out["column"], pa.string()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+            "null_count": pa.array(out["null_count"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.float64()),
+            "max_v": pa.array(out["max_v"], pa.float64()),
+            "sum_v": pa.array(out["sum_v"], pa.float64()),
+        })
+
+
+def grouped_stats(ds, key: str, columns: list[str],
+                  batch_size: int | None = 65536) -> pa.Table:
+    """Per-group column statistics (count / nulls / min / max / sum) —
+    GROUP BY with algebraic combiners.  Per-batch partials bounded by
+    groups × columns per block, merged on the driver (the measured ~1 s
+    fixed groupby-shuffle floor loses to a driver merge for
+    small-cardinality keys; swap the merge for ``groupby(key, column)``
+    when group cardinality approaches block counts).  Returns a long
+    pyarrow Table (key, column, cnt, null_count, min_v, max_v, sum_v)."""
+    partials = ds.map_batches(_GroupedStatsPartial(key, tuple(columns)),
+                              batch_format="pyarrow", batch_size=batch_size)
+    acc: dict = {}
+    for r in partials.iter_rows():
+        k = (r["key"], r["column"])
+        cur = acc.get(k)
+        if cur is None:
+            acc[k] = [r["cnt"], r["null_count"], r["min_v"], r["max_v"],
+                      r["sum_v"]]
+        else:
+            cur[0] += r["cnt"]
+            cur[1] += r["null_count"]
+            for i, (f, v) in enumerate(((min, r["min_v"]), (max, r["max_v"]))):
+                if v is not None:
+                    cur[2 + i] = v if cur[2 + i] is None else f(cur[2 + i], v)
+            if r["sum_v"] is not None:
+                cur[4] = (cur[4] or 0.0) + r["sum_v"]
+    ks = sorted(acc, key=lambda k: (str(k[0]), k[1]))
+    return pa.table({
+        "key": pa.array([k[0] for k in ks]),
+        "column": pa.array([k[1] for k in ks], pa.string()),
+        "cnt": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "null_count": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "min_v": pa.array([acc[k][2] for k in ks], pa.float64()),
+        "max_v": pa.array([acc[k][3] for k in ks], pa.float64()),
+        "sum_v": pa.array([acc[k][4] for k in ks], pa.float64()),
+    })

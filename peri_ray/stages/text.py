@@ -409,3 +409,58 @@ def shared_passage_pairs(ds, k: int = 8, window: int = 16, min_shared: int = 2,
         )
 
     return counted.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# term document frequency (boilerplate/stopword discovery at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+class _TermDFPartial:
+    """Batch → (term, df) partials: trim + \\s+ split (the same
+    tokenizer as :func:`token_count_batch`, so the SQL twin is
+    regexp_split_to_array), per-doc term dedupe, per-batch group_by —
+    each block collapses to its distinct terms before the exchange."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        txt = txt.drop_null()
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        flat = parts.flatten()
+        doc = np.repeat(
+            np.arange(len(parts), dtype=np.int64),
+            pc.list_value_length(parts).to_numpy(zero_copy_only=False))
+        pairs = pa.table({"doc": pa.array(doc), "term": flat})
+        # one row per (doc, term): count distinct docs per term via a
+        # vectorized two-level group_by
+        uniq = pairs.group_by(["term", "doc"]).aggregate([])
+        g = uniq.group_by("term").aggregate([("doc", "count")])
+        return g.rename_columns(["term", "df"])
+
+
+def term_document_frequency(ds, text_col: str = "text",
+                            batch_size: int | None = 8192,
+                            min_df: int = 1):
+    """Document frequency per whitespace token across the corpus —
+    the scan behind stopword lists, boilerplate detection and IDF
+    weighting.  Two-phase: per-batch partials (≤ vocab rows per block),
+    one ``groupby(term).sum`` exchange over (term, df) rows; the text
+    never shuffles.  ``min_df`` prunes the long hapax tail after the
+    merge (at web scale most terms appear once; filtering post-merge
+    keeps exactness)."""
+    partials = ds.map_batches(_TermDFPartial(text_col),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = partials.groupby("term").sum("df")
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["term", "df"])
+        if min_df > 1:
+            t = t.filter(pc.greater_equal(t.column("df"), min_df))
+        return t.set_column(1, "df", t.column("df").cast(pa.int64()))
+
+    return totals.map_batches(_final, batch_format="pyarrow")

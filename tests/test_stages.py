@@ -1551,3 +1551,60 @@ class TestStratifiedSample:
         b = {r["doc_id"] for r in stratified_sample(
             rd.from_arrow(t), "lang", 10, "doc_id", seed=2).take_all()}
         assert a != b
+
+
+class TestTermDF:
+    def test_df_counts_distinct_docs(self):
+        from peri_ray.stages.text import term_document_frequency
+
+        t = pa.table({"text": ["a b a", "b c", None, "  a  "]})
+        out = term_document_frequency(rd.from_arrow(t).repartition(2)).take_all()
+        got = {r["term"]: r["df"] for r in out}
+        assert got == {"a": 2, "b": 2, "c": 1}
+
+    def test_min_df_prunes_tail(self):
+        from peri_ray.stages.text import term_document_frequency
+
+        t = pa.table({"text": ["x y", "x z", "x"]})
+        out = term_document_frequency(rd.from_arrow(t), min_df=2).take_all()
+        assert {r["term"]: r["df"] for r in out} == {"x": 3}
+
+    def test_matches_duckdb_on_real_docs(self):
+        import duckdb
+
+        from peri_ray.stages.text import term_document_frequency
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        got = {r["term"]: r["df"]
+               for r in term_document_frequency(ds).take_all()}
+        want = {r[0]: r[1] for r in duckdb.sql(
+            "SELECT word, count(DISTINCT doc_id) FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            f"FROM '{SF}/documents.parquet' WHERE text IS NOT NULL) "
+            "GROUP BY word").fetchall()}
+        assert got == want
+
+
+class TestGroupedStats:
+    def test_merge_across_blocks_with_nulls(self):
+        from peri_ray.stages.stats import grouped_stats
+
+        t = pa.table({
+            "g": ["a", "a", "b", "b", "a"],
+            "v": pa.array([1.0, None, 5.0, 3.0, 10.0], pa.float64()),
+        })
+        out = grouped_stats(rd.from_arrow(t).repartition(3), "g", ["v"])
+        rows = {r["key"]: r for r in out.to_pylist()}
+        assert rows["a"]["cnt"] == 2 and rows["a"]["null_count"] == 1
+        assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 10.0
+        assert rows["a"]["sum_v"] == 11.0
+        assert rows["b"]["min_v"] == 3.0 and rows["b"]["sum_v"] == 8.0
+
+    def test_all_null_group(self):
+        from peri_ray.stages.stats import grouped_stats
+
+        t = pa.table({"g": ["z", "z"],
+                      "v": pa.array([None, None], pa.float64())})
+        out = grouped_stats(rd.from_arrow(t), "g", ["v"]).to_pylist()
+        assert out[0]["cnt"] == 0 and out[0]["null_count"] == 2
+        assert out[0]["min_v"] is None and out[0]["sum_v"] is None
