@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": q.sliding_event_counts,
         "stratified_sample_counts": q.stratified_sample_counts,
         "term_doc_frequency": q.term_doc_frequency,
+        "value_histogram_events": q.value_histogram_events,
+        "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
         "top_sources_by_chars": q.top_sources_by_chars,
         "top_docs_per_source": q.top_docs_per_source,
@@ -456,6 +458,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(LEAST(count(*), 20) AS BIGINT) AS n_sampled "
             "FROM documents WHERE lang IS NOT NULL GROUP BY lang"
         ),
+        "value_histogram_events": (
+            "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+            "count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1"
+        ),
+        "value_outliers_events": """
+            WITH s AS (
+              SELECT avg(value) AS m, stddev_pop(value) AS sd
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_id, value FROM events, s
+             WHERE value IS NOT NULL AND abs(value - m) / sd > 3.0
+        """,
         "term_doc_frequency": (
             "SELECT word AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
             "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), "

@@ -1098,3 +1098,21 @@ def grouped_stats_lineitem(sf_dir: str):
     t = grouped_stats(ds, "l_returnflag", ["l_quantity", "l_extendedprice"])
     return t.set_column(
         6, "sum_v", pc.round(t.column("sum_v"), ndigits=2))
+
+
+def value_histogram_events(sf_dir: str):
+    """Fixed-width numeric histogram (bin=10) over events.value —
+    distribution profiling; per-batch bincount partials, driver merge."""
+    from peri_ray.stages.stats import numeric_histogram
+
+    ds = _read(sf_dir, "events", ["value"])
+    return numeric_histogram(ds, "value", bin_width=10.0)
+
+
+def value_outliers_events(sf_dir: str):
+    """Two-pass z-score outlier flagging: global mean/std from streamed
+    moment partials, broadcast into a vectorized filter pass."""
+    from peri_ray.stages.stats import zscore_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return zscore_outliers(ds, "value", "event_id", threshold=3.0)

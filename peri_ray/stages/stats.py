@@ -343,3 +343,65 @@ def grouped_stats(ds, key: str, columns: list[str],
         "max_v": pa.array([acc[k][3] for k in ks], pa.float64()),
         "sum_v": pa.array([acc[k][4] for k in ks], pa.float64()),
     })
+
+
+def numeric_histogram(ds, column: str, bin_width: float,
+                      batch_size: int | None = 65536) -> pa.Table:
+    """Fixed-width binned histogram over a numeric column
+    (``bin = floor(value / bin_width)``, nulls skipped) — the numeric
+    sibling of the categorical histogram and the cheap whole-corpus
+    distribution profile.  Per-batch ``np.unique`` bincount partials,
+    driver merge bounded by blocks × occupied bins; no shuffle."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks().drop_null()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        uniq, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict[int, int] = {}
+    for r in partials.iter_rows():
+        acc[r["bin"]] = acc.get(r["bin"], 0) + r["cnt"]
+    bins = sorted(acc)
+    return pa.table({"bin": pa.array(bins, pa.int64()),
+                     "cnt": pa.array([acc[b] for b in bins], pa.int64())})
+
+
+def zscore_outliers(ds, column: str, id_col: str, threshold: float = 3.0,
+                    batch_size: int | None = 65536):
+    """Rows whose ``column`` deviates more than ``threshold`` population
+    standard deviations from the corpus mean — the classic two-pass
+    distributed pattern: (1) per-batch (cnt, sum, sum²) partials reduce
+    to global mean/std on the driver; (2) the two scalars broadcast
+    into a vectorized filter pass.  The input streams twice, shuffles
+    never.  Returns a Dataset of (id_col, column) outlier rows."""
+
+    def _moments(t: pa.Table) -> pa.Table:
+        v = (t.column(column).combine_chunks().drop_null()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([float(v.sum())], pa.float64()),
+                         "s2": pa.array([float((v * v).sum())], pa.float64())})
+
+    tot = (ds.map_batches(_moments, batch_format="pyarrow",
+                          batch_size=batch_size).sum(["n", "s", "s2"]))
+    n, s, s2 = tot["sum(n)"], tot["sum(s)"], tot["sum(s2)"]
+    if not n:
+        return ds.limit(0).map_batches(
+            lambda t: t.select([id_col, column]), batch_format="pyarrow")
+    mean = s / n
+    var = max(s2 / n - mean * mean, 0.0)
+    sd = var ** 0.5 or 1.0
+
+    def _flag(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks()
+        z = pc.divide(pc.abs(pc.subtract(col.cast(pa.float64()), mean)), sd)
+        keep = pc.and_(pc.greater(z, threshold), pc.is_valid(col))
+        return t.filter(keep).select([id_col, column])
+
+    return ds.map_batches(_flag, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1608,3 +1608,34 @@ class TestGroupedStats:
         out = grouped_stats(rd.from_arrow(t), "g", ["v"]).to_pylist()
         assert out[0]["cnt"] == 0 and out[0]["null_count"] == 2
         assert out[0]["min_v"] is None and out[0]["sum_v"] is None
+
+
+class TestNumericHistogram:
+    def test_bins_merge_across_blocks(self):
+        from peri_ray.stages.stats import numeric_histogram
+
+        t = pa.table({"v": pa.array([-5.0, 1.0, 9.9, 10.0, 25.0, None],
+                                    pa.float64())})
+        out = numeric_histogram(rd.from_arrow(t).repartition(3), "v", 10.0)
+        got = {r["bin"]: r["cnt"] for r in out.to_pylist()}
+        assert got == {-1: 1, 0: 2, 1: 1, 2: 1}
+
+
+class TestZscoreOutliers:
+    def test_flags_extreme_rows_only(self):
+        from peri_ray.stages.stats import zscore_outliers
+
+        vals = [10.0] * 50 + [1000.0]
+        t = pa.table({"id": pa.array(range(51), pa.int64()),
+                      "v": pa.array(vals, pa.float64())})
+        out = zscore_outliers(rd.from_arrow(t).repartition(4), "v", "id",
+                              threshold=3.0).take_all()
+        assert [r["id"] for r in out] == [50]
+
+    def test_null_and_empty(self):
+        from peri_ray.stages.stats import zscore_outliers
+
+        t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([None, None], pa.float64())})
+        out = zscore_outliers(rd.from_arrow(t), "v", "id").take_all()
+        assert out == []
