@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q.top_docs_per_source,
         "token_counts": q.token_counts,
         "embedding_dims": q.embedding_dims,
+        "jaccard_join_pairs": q.jaccard_join_pairs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
@@ -507,6 +508,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "jaccard_join_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM toks)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+              FROM inter JOIN sz na ON inter.id_a = na.doc_id
+                         JOIN sz nb ON inter.id_b = nb.doc_id
+             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.6
+        """,
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),

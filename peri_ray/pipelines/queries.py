@@ -1087,6 +1087,23 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def jaccard_join_pairs(sf_dir: str):
+    """EXACT word-bigram Jaccard self-join at threshold 0.6 — the
+    n-gram-Jaccard dedup family member with a completeness guarantee
+    (AllPairs prefix filtering; see dedup.jaccard_similarity_join).
+    The oracle is the literal all-pairs SQL: every pair the prefix
+    filter would miss shows up as a hash mismatch, so recall itself is
+    oracle-checked, not just precision."""
+    from peri_ray.stages.dedup import jaccard_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_similarity_join(ds, threshold=0.6)
+    t = _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                   ("id_b", pa.int64()),
+                                   ("jaccard", pa.float64())]))
+    return t.set_column(2, "jaccard", pc.round(t.column("jaccard"), ndigits=6))
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

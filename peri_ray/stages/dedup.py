@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import logging
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -27,6 +28,9 @@ import pyarrow.compute as pc
 from peri_ray.state.sketches import hash_strings, splitmix64
 
 _U64_MASK = (1 << 64) - 1
+#: trim + \s+ split — the shared tokenizer contract with
+#: text.token_count_batch and the DuckDB regexp_split_to_array twin
+_WS_RE = re.compile(r"\s+")
 
 logger = logging.getLogger("peri_ray.dedup")
 
@@ -355,7 +359,8 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.8, k: int = 5, n_buckets: int = 64):
+                      threshold: float = 0.8, k: int = 5, n_buckets: int = 64,
+                      metric=None):
     """Jaccard-verify LSH candidates via two bucketed exchanges — no
     driver-side materialization (the previous take_all()+broadcast dict
     was O(candidate texts) driver memory, unbounded at corpus scale).
@@ -371,7 +376,10 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     ``pairs`` is materialized up front: both halves consume it, and an
     unmaterialized candidate lineage would re-run the entire LSH
     pipeline (signatures + two shuffles) once per consumer.  Candidate
-    pairs are tiny relative to the corpus by LSH construction."""
+    pairs are tiny relative to the corpus by LSH construction.
+
+    ``metric`` overrides the similarity function (``(a, b) -> float``
+    over the two raw texts); default is char-``k``-gram Jaccard."""
     from peri_ray.stages.checks import bucket_of
 
     pairs = pairs.materialize()
@@ -450,8 +458,10 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             by_pair.setdefault((r["id_a"], r["id_b"]), {})[r["__slot"]] = \
                 r["__txt"] or ""
         ida, idb, jac = [], [], []
+        score = metric if metric is not None else (
+            lambda a, b: ngram_jaccard(a, b, k))
         for (xa, xb), txts in by_pair.items():
-            j = ngram_jaccard(txts.get(0, ""), txts.get(1, ""), k)
+            j = score(txts.get(0, ""), txts.get(1, ""))
             if j >= threshold:
                 ida.append(xa)
                 idb.append(xb)
@@ -733,3 +743,184 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
 
     pairs = exploded.groupby(["block", "block_val"]).map_groups(_pairs, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (AllPairs prefix filtering over word bigrams)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_rows(txt: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(doc_index, bigram) rows of DISTINCT word bigrams per document,
+    fully vectorized: one regex split, one element-wise join of the
+    flattened token array against itself shifted by one (doc-boundary
+    crossings masked), one Arrow group_by for the per-doc dedupe.
+
+    Tokenizer is trim + ``\\s+`` split — byte-identical to
+    token_count_batch / term_document_frequency, so the DuckDB twin
+    (``regexp_split_to_array(trim(text), '\\s+')`` + adjacent-index
+    pairing) sees the same shingle sets."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    empty = (np.empty(0, np.int64), pa.array([], pa.string()))
+    if len(txt) == 0:
+        return empty
+    parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    if len(flat) < 2:
+        return empty
+    big = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    doc_of = np.repeat(np.arange(len(parts), dtype=np.int64), lens)
+    keep = doc_of[:-1] == doc_of[1:]
+    big = big.filter(pa.array(keep))
+    doc_idx = doc_of[:-1][keep]
+    if len(doc_idx) == 0:
+        return empty
+    t = (pa.table({"doc": pa.array(doc_idx), "s": big})
+         .group_by(["doc", "s"]).aggregate([]))
+    return (t.column("doc").to_numpy(zero_copy_only=False),
+            t.column("s").combine_chunks())
+
+
+class _BigramDFPartial:
+    """Batch -> (term, df) partials over word bigrams (same two-phase
+    shape as text._TermDFPartial: each block collapses to its distinct
+    bigrams before the exchange; output rows per block are bounded by
+    the bigram vocabulary)."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        doc, s = _bigram_rows(txt)
+        g = (pa.table({"s": s, "doc": pa.array(doc)})
+             .group_by("s").aggregate([("doc", "count")]))
+        return g.rename_columns(["term", "df"])
+
+
+class _PrefixEmit:
+    """Per doc: distinct bigrams ranked rare-first by the broadcast DF
+    order; emit the (n - ceil(t*n) + 1)-rarest as (term_rank, doc_id,
+    size) rows.  Null texts and docs with < 1 bigram emit nothing (the
+    SQL twin excludes them identically).  Vectorized: one lexsort per
+    batch, per-doc prefix selection via cumulative positions."""
+
+    def __init__(self, text_col: str, id_col: str, threshold: float, rank_ref):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.t = threshold
+        self.rank = ray.get(rank_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        ids = t.column(self.id_col).combine_chunks().cast(pa.int64())
+        valid = pc.is_valid(txt)
+        txt = txt.filter(valid)
+        ids = ids.filter(valid)
+        schema = pa.schema([("term_rank", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("size", pa.int64())])
+        doc, s = _bigram_rows(txt)
+        if len(doc) == 0:
+            return schema.empty_table()
+        rank = self.rank
+        r = np.fromiter((rank[x] for x in s.to_pylist()), np.int64, len(s))
+        order = np.lexsort((r, doc))
+        doc_s, r_s = doc[order], r[order]
+        uniq, starts, counts = np.unique(doc_s, return_index=True,
+                                         return_counts=True)
+        pos = np.arange(len(doc_s), dtype=np.int64) - np.repeat(starts, counts)
+        n = np.repeat(counts, counts)
+        prefix_len = n - np.ceil(self.t * n).astype(np.int64) + 1
+        keep = pos < prefix_len
+        id_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table({"term_rank": pa.array(r_s[keep]),
+                         "doc_id": pa.array(id_np[doc_s[keep]]),
+                         "size": pa.array(n[keep])})
+
+
+def token_bigram_jaccard(a: str, b: str) -> float:
+    """Exact Jaccard over distinct word-bigram sets (trim + ``\\s+``
+    tokenizer, matching the SQL twin token for token)."""
+    ta = _WS_RE.split(a.strip())
+    tb = _WS_RE.split(b.strip())
+    sa = {x + " " + y for x, y in zip(ta, ta[1:])}
+    sb = {x + " " + y for x, y in zip(tb, tb[1:])}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
+                            threshold: float = 0.6, n_buckets: int = 64,
+                            batch_size: int | None = 8192):
+    """EXACT all-pairs self-join on word-bigram Jaccard >= ``threshold``
+    — the n-gram-Jaccard dedup family member with a provable
+    completeness guarantee (no LSH recall loss), AllPairs / prefix
+    filtering (Bayardo et al., WWW'07) in the symmetric MapReduce
+    formulation (Vernica et al., SIGMOD'10):
+
+    1. bigram document frequencies: vocab-bounded per-block partials +
+       one small ``groupby(term).sum`` — collected on the driver and
+       broadcast ONCE via ``ray.put``.  The rank table is O(token
+       vocabulary squared); the ORDER only affects candidate count,
+       never correctness, so a sampled/truncated DF table is a valid
+       fallback when the bigram vocabulary itself is too large to hold.
+    2. every doc emits its (n - ceil(t*n) + 1) globally-RAREST bigrams;
+       any pair with J >= t shares an emitted bigram on both sides.
+    3. ``groupby(term_rank)`` posting lists -> candidate pairs, with the
+       size filter min >= t*max applied in-list (vectorized triu); pair
+       dedupe by one groupby.  Only (rank, id, size) ints cross these
+       exchanges — never text.
+    4. exact Jaccard verification through the two-exchange bucketed
+       text join (:func:`verify_candidates`) — candidates are never
+       trusted, so even a prefix-filter bug surfaces as missing pairs
+       against the oracle, not as wrong similarity values.
+
+    Skew note: a low-entropy corpus (tiny vocabulary) degrades prefix
+    pruning toward all-pairs — inherent to exact similarity joins; the
+    threshold and the in-list size filter are the remaining bounds, and
+    posting-list sizes are observable via ``ds.stats()`` on stage 3.
+    """
+    import ray
+
+    df_partials = ds.map_batches(_BigramDFPartial(text_col),
+                                 batch_format="pyarrow", batch_size=batch_size)
+    rows = df_partials.groupby("term").sum("df").take_all()
+    ordered = sorted(rows, key=lambda r: (r["sum(df)"], r["term"]))
+    rank_ref = ray.put({r["term"]: i for i, r in enumerate(ordered)})
+
+    prefix = ds.map_batches(
+        _PrefixEmit(text_col, id_col, threshold, rank_ref),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def _cands(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("size").to_numpy(zero_copy_only=False)
+        out = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+        if len(ids) < 2:
+            return out.empty_table()
+        order = np.argsort(ids)
+        ids, sz = ids[order], sz[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        na, nb = sz[iu], sz[ju]
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        return pa.table({"id_a": pa.array(ids[iu][keep]),
+                         "id_b": pa.array(ids[ju][keep])})
+
+    cands = (prefix.groupby("term_rank")
+             .map_groups(_cands, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"]).count()
+             .select_columns(["id_a", "id_b"]))
+    return verify_candidates(ds, cands, text_col, id_col,
+                             threshold=threshold, n_buckets=n_buckets,
+                             metric=token_bigram_jaccard)

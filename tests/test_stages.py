@@ -1639,3 +1639,92 @@ class TestZscoreOutliers:
                       "v": pa.array([None, None], pa.float64())})
         out = zscore_outliers(rd.from_arrow(t), "v", "id").take_all()
         assert out == []
+
+
+class TestJaccardSimilarityJoin:
+    """Exact AllPairs prefix-filtered set-similarity join
+    (dedup.jaccard_similarity_join): recall AND precision vs brute
+    force, plus degenerate inputs."""
+
+    @staticmethod
+    def _brute(docs, threshold):
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def bg(s):
+            tk = ws.split(s.strip())
+            return {x + " " + y for x, y in zip(tk, tk[1:])}
+
+        sets = [(i, bg(x)) for i, x in docs if x is not None]
+        sets = [(i, s) for i, s in sets if s]
+        out = []
+        for a in range(len(sets)):
+            ia, sa = sets[a]
+            for b in range(a + 1, len(sets)):
+                ib, sb = sets[b]
+                j = len(sa & sb) / len(sa | sb)
+                if j >= threshold:
+                    out.append((min(ia, ib), max(ia, ib), round(j, 6)))
+        return sorted(out)
+
+    @staticmethod
+    def _run(docs, threshold):
+        from peri_ray.stages.dedup import jaccard_similarity_join
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }))
+        got = jaccard_similarity_join(ds, threshold=threshold)
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                      for r in got.take_all())
+
+    def test_random_corpus_matches_brute_force(self):
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for i in range(60):
+            n = int(rng.integers(5, 30))
+            docs.append((i, " ".join(rng.choice(vocab, n))))
+        # planted near-dups: copies with small edits
+        for j, (src, mut) in enumerate([(3, 0), (10, 1), (10, 2), (25, 3)]):
+            tk = docs[src][1].split()
+            for _ in range(mut):
+                tk[int(rng.integers(0, len(tk)))] = str(rng.choice(vocab))
+            docs.append((100 + j, " ".join(tk)))
+        got = self._run(docs, 0.5)
+        want = self._brute(docs, 0.5)
+        assert got == want
+        assert len(want) >= 4  # the planted dups actually show up
+
+    def test_degenerate_docs(self):
+        docs = [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "alpha beta gamma alpha beta"),   # exact dup -> J=1.0
+            (3, "single"),                        # no bigrams
+            (4, ""),                              # empty
+            (5, "   "),                           # whitespace only
+            (6, None),                            # null text
+            (7, "alpha beta"),                    # one bigram
+            (8, "alpha  beta"),                   # multi-space same bigram
+        ]
+        got = self._run(docs, 0.5)
+        want = self._brute(docs, 0.5)
+        assert got == want
+        assert (1, 2, 1.0) in got
+        assert (7, 8, 1.0) in got  # \s+ collapses runs, both sides agree
+
+    def test_high_threshold_prefix_still_complete(self):
+        # t=0.9: prefix length ~ n/10 — the sharpest recall stress
+        rng = np.random.default_rng(11)
+        vocab = [f"t{i}" for i in range(8)]
+        base = " ".join(rng.choice(vocab, 40))
+        docs = [(0, base)]
+        tk = base.split()
+        tk[5] = "t0"
+        docs.append((1, " ".join(tk)))          # near-identical
+        docs.append((2, " ".join(reversed(tk))))  # same tokens, new bigrams
+        for i in range(3, 20):
+            docs.append((i, " ".join(rng.choice(vocab, 30))))
+        assert self._run(docs, 0.9) == self._brute(docs, 0.9)
