@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.token_counts,
         "embedding_dims": q.embedding_dims,
         "jaccard_join_pairs": q.jaccard_join_pairs,
+        "event_interarrival": q.event_interarrival,
+        "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
+        "rollup_orders": q.rollup_orders,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
@@ -534,4 +537,33 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "event_interarrival": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS d
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT user_id, count(d) AS n_gaps,
+                   CAST(sum(d) AS BIGINT) AS sum_gap_us,
+                   CAST(max(d) AS BIGINT) AS max_gap_us
+              FROM g GROUP BY user_id HAVING count(d) > 0
+        """,
+        "exact_quantiles_lineitem": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc({c}, {q}) AS DOUBLE) AS value FROM lineitem"
+            for c in ("l_quantity", "l_linenumber")
+            for q in (0.25, 0.5, 0.9, 0.99)
+        ),
+        "rollup_orders": """
+            SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                        ELSE COALESCE(o_orderstatus, 'NULL') END AS status,
+                   CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
+                        ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
+                   count(o_totalprice) AS cnt,
+                   ROUND(sum(o_totalprice), 2) AS sum_price
+              FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
+                           o_totalprice FROM orders)
+             GROUP BY ROLLUP(o_orderstatus, yr)
+        """,
     }

@@ -1104,6 +1104,46 @@ def jaccard_join_pairs(sf_dir: str):
     return t.set_column(2, "jaccard", pc.round(t.column("jaccard"), ndigits=6))
 
 
+def event_interarrival(sf_dir: str):
+    """Per-user consecutive-event gap stats — the lag()/lead() window
+    family; one groupby(user) exchange, exact integer microseconds."""
+    from peri_ray.stages.temporal import interarrival_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return interarrival_stats(ds)
+
+
+def exact_quantiles_lineitem(sf_dir: str):
+    """EXACT percentile_disc over low-cardinality measures via
+    value-count partials + driver merge (no shuffle, no sketch error)."""
+    from peri_ray.stages.stats import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_linenumber"])
+    return exact_quantiles(ds, ["l_quantity", "l_linenumber"])
+
+
+def rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(status, year): three aggregation levels from one
+    input pass (finest-level partials, coarser levels derived)."""
+    from peri_ray.stages.stats import rollup_counts
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def _yr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "yr": pc.year(t.column("o_orderdate").combine_chunks()),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    t = rollup_counts(ds.map_batches(_yr, batch_format="pyarrow"),
+                      "o_orderstatus", "yr", "o_totalprice")
+    t = t.rename_columns(["status", "year", "cnt", "sum_price"])
+    return t.set_column(3, "sum_price",
+                        pc.round(t.column("sum_price"), ndigits=2))
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -405,3 +405,137 @@ def zscore_outliers(ds, column: str, id_col: str, threshold: float = 3.0,
 
     return ds.map_batches(_flag, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles for low-cardinality columns (value-count partials)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(ds, columns: list[str], qs=(0.25, 0.5, 0.9, 0.99),
+                    batch_size: int | None = 65536,
+                    max_distinct: int = 100_000) -> pa.Table:
+    """EXACT percentile_disc per column — the exactness complement to
+    the KLL sketch: per-batch ``value_counts`` partials (bounded by the
+    per-block distinct count) merge on the driver into one value→count
+    map; quantile q = the value at cumulative rank ceil(n*q) (SQL
+    percentile_disc / DuckDB quantile_disc semantics).
+
+    Designed for LOW-CARDINALITY numerics (enum-like measures,
+    quantized scores, small-domain ints): driver memory is
+    O(distinct values), NOT O(rows).  Raises when distinct exceeds
+    ``max_distinct`` — use stats.column_stats' KLL sketch for
+    continuous columns instead (no silent fallback)."""
+    cols = list(columns)
+
+    def _part(t: pa.Table) -> pa.Table:
+        names, vals, cnts = [], [], []
+        for c in cols:
+            vc = pc.value_counts(t.column(c).combine_chunks().drop_null())
+            v = vc.field("values").cast(pa.float64())
+            n = vc.field("counts").cast(pa.int64())
+            names.extend([c] * len(v))
+            vals.append(v)
+            cnts.append(n)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "value": pa.concat_arrays(vals) if vals else pa.array([], pa.float64()),
+            "cnt": pa.concat_arrays(cnts) if cnts else pa.array([], pa.int64()),
+        })
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merged = (pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([("column", pa.string()), ("value", pa.float64()),
+                          ("cnt", pa.int64())]))
+        .group_by(["column", "value"]).aggregate([("cnt", "sum")]))
+    out_c, out_q, out_v = [], [], []
+    for c in cols:
+        sub = merged.filter(pc.equal(merged.column("column"), c))
+        if sub.num_rows > max_distinct:
+            raise ValueError(
+                f"exact_quantiles: column {c!r} has {sub.num_rows} distinct "
+                f"values (> max_distinct={max_distinct}); use the KLL sketch")
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        n = sub.column("cnt_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+        for q in qs:
+            if total == 0:
+                continue
+            rank = max(1, int(np.ceil(total * q)))
+            idx = int(np.searchsorted(cum, rank))
+            out_c.append(c)
+            out_q.append(float(q))
+            out_v.append(float(v[idx]))
+    return pa.table({"column": pa.array(out_c, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# rollup aggregation (multi-level grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def rollup_counts(ds, key1: str, key2: str, value_col: str,
+                  batch_size: int | None = 65536) -> pa.Table:
+    """GROUP BY ROLLUP(key1, key2) over count + sum(value): the
+    (k1, k2), (k1, ALL) and (ALL, ALL) levels in ONE input pass.
+
+    Shape: per-batch partials at the FINEST level only (bounded by the
+    key-combination count per block); the driver merges them and
+    derives the coarser levels from the merged finest table — exactly
+    consistent across levels by construction, no second scan, no
+    shuffle.  Keys are rendered as strings with 'ALL' markers (nulls
+    render as 'NULL', disambiguated from the rollup marker the way
+    SQL's GROUPING() is)."""
+
+    def _key_str(col: pa.ChunkedArray) -> pa.Array:
+        s = col.combine_chunks().cast(pa.string())
+        return pc.coalesce(s, pa.scalar("NULL", pa.string()))
+
+    def _part(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "k1": _key_str(t.column(key1)),
+            "k2": _key_str(t.column(key2)),
+            "v": t.column(value_col).combine_chunks().cast(pa.float64()),
+        })
+        g = tt.group_by(["k1", "k2"]).aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(["k1", "k2", "cnt", "sum_v"])
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    finest = (pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([("k1", pa.string()), ("k2", pa.string()),
+                          ("cnt", pa.int64()), ("sum_v", pa.float64())]))
+        .group_by(["k1", "k2"]).aggregate([("cnt", "sum"), ("sum_v", "sum")])
+        .rename_columns(["k1", "k2", "cnt", "sum_v"]))
+
+    def _level(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = (t.group_by(keys).aggregate([("cnt", "sum"), ("sum_v", "sum")])
+                 .rename_columns(keys + ["cnt", "sum_v"]))
+        else:
+            g = pa.table({
+                "cnt": pa.array([pc.sum(t.column("cnt")).as_py() or 0], pa.int64()),
+                "sum_v": pa.array([pc.sum(t.column("sum_v")).as_py() or 0.0],
+                                  pa.float64()),
+            })
+        n = g.num_rows
+        all_col = pa.array(["ALL"] * n, pa.string())
+        if "k1" not in keys:
+            g = g.add_column(0, "k1", all_col)
+        if "k2" not in keys:
+            g = g.add_column(1, "k2", all_col)
+        return g.select(["k1", "k2", "cnt", "sum_v"])
+
+    return pa.concat_tables([
+        _level(finest, ["k1", "k2"]),
+        _level(finest, ["k1"]),
+        _level(finest, []),
+    ])

@@ -415,3 +415,60 @@ def sliding_window_counts(ds, ts_col: str = "ts", key_col: str = "event_type",
         return t.rename_columns(["window_start", key_col, "cnt"])
 
     return totals.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-key interarrival gaps (lag/lead window family)
+# ---------------------------------------------------------------------------
+
+
+def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
+    """Per-user event-gap statistics — the lag()/lead() window-function
+    family as a distributed operator: for each user, the count, sum and
+    max of the time deltas between consecutive events (time order).
+
+    Returns (user, n_gaps, sum_gap_us, max_gap_us); users with fewer
+    than two events emit nothing.  All values are exact BIGINT
+    microseconds (no float drift vs the SQL lag() twin).
+
+    Shape: one ``groupby(user)`` exchange co-locates each user's
+    (user, ts) pairs — the same shape as sessionize; inside the group
+    one lexsort + vectorized diffs.  The gap multiset depends only on
+    timestamp VALUES, so equal-timestamp orderings cannot change the
+    result (ties contribute zero-gaps regardless of order)."""
+
+    def _gaps(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.is_valid(group.column(ts_col)))
+        ts = g.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = g.column(user_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        schema = pa.schema([(user_col, pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("sum_gap_us", pa.int64()),
+                            ("max_gap_us", pa.int64())])
+        if len(us) == 0:
+            return schema.empty_table()
+        order = np.lexsort((us, users))
+        us, users = us[order], users[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1])))
+        ends = np.append(starts[1:], len(us))
+        d = np.diff(us)
+        out_u, out_n, out_s, out_m = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            out_u.append(int(users[s]))
+            out_n.append(int(e - s - 1))
+            out_s.append(int(us[e - 1] - us[s]))  # telescoping: exact
+            out_m.append(int(d[s:e - 1].max()))
+        return pa.table({user_col: pa.array(out_u, pa.int64()),
+                         "n_gaps": pa.array(out_n, pa.int64()),
+                         "sum_gap_us": pa.array(out_s, pa.int64()),
+                         "max_gap_us": pa.array(out_m, pa.int64())})
+
+    return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
+        _gaps, batch_format="pyarrow")

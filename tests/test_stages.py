@@ -1728,3 +1728,105 @@ class TestJaccardSimilarityJoin:
         for i in range(3, 20):
             docs.append((i, " ".join(rng.choice(vocab, 30))))
         assert self._run(docs, 0.9) == self._brute(docs, 0.9)
+
+
+class TestInterarrival:
+    def test_gaps_vs_brute(self):
+        from peri_ray.stages.temporal import interarrival_stats
+
+        rng = np.random.default_rng(3)
+        users = rng.integers(0, 8, 200)
+        ts = rng.integers(0, 10**9, 200) * 1_000_000
+        # ties: duplicate some timestamps within a user
+        ts[10] = ts[11] = ts[12]
+        users[10] = users[11] = users[12] = 5
+        t = pa.table({"user_id": pa.array(users, pa.int64()),
+                      "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+        got = {r["user_id"]: (r["n_gaps"], r["sum_gap_us"], r["max_gap_us"])
+               for r in interarrival_stats(rd.from_arrow(t)).take_all()}
+        want = {}
+        for u in set(users.tolist()):
+            v = np.sort(ts[users == u])
+            if len(v) < 2:
+                continue
+            d = np.diff(v)
+            want[u] = (len(d), int(d.sum()), int(d.max()))
+        assert got == want
+
+    def test_single_event_and_null_ts(self):
+        from peri_ray.stages.temporal import interarrival_stats
+
+        t = pa.table({
+            "user_id": pa.array([1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([100, 200, None, 300, 300], pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+        got = {r["user_id"]: (r["n_gaps"], r["sum_gap_us"], r["max_gap_us"])
+               for r in interarrival_stats(rd.from_arrow(t)).take_all()}
+        # user 1: one event -> none; user 2: one non-null -> none;
+        # user 3: tie -> one zero gap
+        assert got == {3: (1, 0, 0)}
+
+
+class TestExactQuantiles:
+    def test_matches_percentile_disc(self):
+        import duckdb
+
+        from peri_ray.stages.stats import exact_quantiles
+
+        rng = np.random.default_rng(5)
+        v = rng.integers(0, 40, 5000).astype(np.float64)
+        v[::97] = np.nan  # nulls must be excluded
+        col = pa.array([None if np.isnan(x) else float(x) for x in v],
+                       pa.float64())
+        ds = rd.from_arrow(pa.table({"x": col}))
+        got = exact_quantiles(ds, ["x"], qs=(0.1, 0.5, 0.9))
+        want = duckdb.sql(
+            "SELECT quantile_disc(x, 0.1), quantile_disc(x, 0.5), "
+            "quantile_disc(x, 0.9) FROM (SELECT unnest(?) AS x)",
+            params=[col.to_pylist()]).fetchone()
+        assert got.column("value").to_pylist() == [float(w) for w in want]
+
+    def test_distinct_cap_raises(self):
+        from peri_ray.stages.stats import exact_quantiles
+
+        ds = rd.from_arrow(pa.table(
+            {"x": pa.array(np.arange(100, dtype=np.float64))}))
+        with pytest.raises(ValueError, match="distinct"):
+            exact_quantiles(ds, ["x"], max_distinct=10)
+
+
+class TestRollup:
+    def test_levels_consistent_and_match_duckdb(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from peri_ray.stages.stats import rollup_counts
+
+        rng = np.random.default_rng(9)
+        k1 = rng.choice(["a", "b", None], 300, p=[0.45, 0.45, 0.1])
+        k2 = rng.integers(0, 4, 300)
+        val = rng.normal(100, 10, 300).round(3)
+        t = pa.table({"k1": pa.array(k1.tolist(), pa.string()),
+                      "k2": pa.array(k2, pa.int64()),
+                      "v": pa.array(val, pa.float64())})
+        got = rollup_counts(rd.from_arrow(t), "k1", "k2", "v")
+        got = got.set_column(3, "sum_v", pc.round(got.column("sum_v"), ndigits=6))
+        gdf = got.to_pandas().sort_values(["k1", "k2"], ignore_index=True)
+        want = duckdb.sql("""
+            SELECT CASE WHEN GROUPING(k1)=1 THEN 'ALL'
+                        ELSE COALESCE(k1,'NULL') END AS k1,
+                   CASE WHEN GROUPING(k2)=1 THEN 'ALL'
+                        ELSE CAST(k2 AS VARCHAR) END AS k2,
+                   count(v) AS cnt, ROUND(sum(v), 6) AS sum_v
+              FROM t GROUP BY ROLLUP(k1, k2)
+        """).df().sort_values(["k1", "k2"], ignore_index=True)
+        assert gdf["k1"].tolist() == want["k1"].tolist()
+        assert gdf["k2"].tolist() == want["k2"].tolist()
+        assert gdf["cnt"].tolist() == want["cnt"].tolist()
+        assert np.allclose(gdf["sum_v"], want["sum_v"], atol=1e-6)
+        # internal consistency: level sums reconcile
+        fine = gdf[(gdf.k1 != "ALL") & (gdf.k2 != "ALL")]
+        mid = gdf[(gdf.k1 != "ALL") & (gdf.k2 == "ALL")]
+        top = gdf[(gdf.k1 == "ALL")]
+        assert fine.cnt.sum() == mid.cnt.sum() == top.cnt.sum()
