@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dims": q.embedding_dims,
         "jaccard_join_pairs": q.jaccard_join_pairs,
         "event_interarrival": q.event_interarrival,
+        "tfidf_top_docs": q.tfidf_top_docs,
+        "pivot_orders_status": q.pivot_orders_status,
         "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
         "rollup_orders": q.rollup_orders,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -537,6 +539,34 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "tfidf_top_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+            s AS (
+              SELECT tf.doc_id, tf.term,
+                     ROUND(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score
+                FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+            )
+            SELECT doc_id, term, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+             WHERE rn <= 3
+        """,
+        "pivot_orders_status": """
+            SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                   count(*) FILTER (o_orderstatus = 'F') AS cnt_F,
+                   count(*) FILTER (o_orderstatus = 'O') AS cnt_O,
+                   count(*) FILTER (o_orderstatus = 'P') AS cnt_P,
+                   count(*) FILTER (o_orderstatus NOT IN ('F','O','P')
+                                    OR o_orderstatus IS NULL) AS cnt_other
+              FROM orders GROUP BY 1
+        """,
         "event_interarrival": """
             WITH g AS (
               SELECT user_id,

@@ -1144,6 +1144,33 @@ def rollup_orders(sf_dir: str):
                         pc.round(t.column("sum_price"), ndigits=2))
 
 
+def tfidf_top_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document — shuffle-free scoring after a
+    broadcast DF pass; ranking on the rounded score for cross-engine
+    determinism (see text._TfidfTopK)."""
+    from peri_ray.stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+def pivot_orders_status(sf_dir: str):
+    """Year x order-status pivot (wide counts) — FILTER(WHERE ...)
+    aggregate shape with an explicit, deterministic column set."""
+    from peri_ray.stages.stats import pivot_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderdate"])
+
+    def _yr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "yr": pc.year(t.column("o_orderdate").combine_chunks()),
+            "o_orderstatus": t.column("o_orderstatus"),
+        })
+
+    return pivot_counts(ds.map_batches(_yr, batch_format="pyarrow"),
+                        "yr", "o_orderstatus", ["F", "O", "P"])
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -539,3 +539,57 @@ def rollup_counts(ds, key1: str, key2: str, value_col: str,
         _level(finest, ["k1"]),
         _level(finest, []),
     ])
+
+
+# ---------------------------------------------------------------------------
+# pivot (categorical column -> wide counts)
+# ---------------------------------------------------------------------------
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
+                 batch_size: int | None = 65536) -> pa.Table:
+    """Wide pivot: one row per ``row_key``, one count column per value
+    of ``col_key`` (``cnt_<value>``) — the FILTER(WHERE ...) aggregate
+    shape.  ``col_values`` is explicit so the output schema is fixed
+    and deterministic regardless of which blocks see which categories
+    (a discovered schema would vary across runs and break downstream
+    consumers); values outside the list are counted in ``cnt_other``.
+
+    Shape: per-batch (row, col) count partials — bounded by
+    |rows|x|cols| per block — merged on the driver and pivoted there
+    (the wide result is small by construction)."""
+    vals = list(col_values)
+
+    def _part(t: pa.Table) -> pa.Table:
+        null = pa.scalar("NULL", pa.string())
+        tt = pa.table({
+            "r": pc.coalesce(
+                t.column(row_key).combine_chunks().cast(pa.string()), null),
+            "c": pc.coalesce(
+                t.column(col_key).combine_chunks().cast(pa.string()), null),
+        })
+        g = tt.group_by(["r", "c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["r", "c", "cnt"])
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merged = (pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([("r", pa.string()), ("c", pa.string()),
+                          ("cnt", pa.int64())]))
+        .group_by(["r", "c"]).aggregate([("cnt", "sum")])
+        .rename_columns(["r", "c", "cnt"]))
+    r = merged.column("r").to_numpy(zero_copy_only=False)
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    n = merged.column("cnt").to_numpy(zero_copy_only=False)
+    rows = sorted(set(r.tolist()))
+    row_idx = {x: i for i, x in enumerate(rows)}
+    col_idx = {x: i for i, x in enumerate(vals)}
+    wide = np.zeros((len(rows), len(vals) + 1), np.int64)
+    for ri, ci, cnt in zip(r, c, n):
+        wide[row_idx[ri], col_idx.get(ci, len(vals))] += cnt
+    out = {row_key: pa.array(rows, pa.string())}
+    for j, v in enumerate(vals):
+        out[f"cnt_{v}"] = pa.array(wide[:, j])
+    out["cnt_other"] = pa.array(wide[:, len(vals)])
+    return pa.table(out)

@@ -464,3 +464,98 @@ def term_document_frequency(ds, text_col: str = "text",
         return t.set_column(1, "df", t.column("df").cast(pa.int64()))
 
     return totals.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+class _TfidfTopK:
+    """Per-batch TF-IDF scoring + per-doc top-k — NO shuffle: the DF
+    table is broadcast once (vocab-bounded, same assumption as
+    term_document_frequency's driver merge), term frequencies are local
+    to the doc, so the whole scoring pass is embarrassingly parallel.
+
+    Ranking is by ROUND(score, 6) DESC then term ASC: rounding before
+    ranking makes the order stable against last-ulp ln() differences
+    between engines (two mathematically-equal scores computed as
+    2*ln(10) vs ln(100) can differ by one ulp)."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, df_ref):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.df, self.n_docs = ray.get(df_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        ids = t.column(self.id_col).combine_chunks().cast(pa.int64())
+        valid = pc.is_valid(txt)
+        txt, ids = txt.filter(valid), ids.filter(valid)
+        schema = pa.schema([(self.id_col, pa.int64()),
+                            ("term", pa.string()),
+                            ("score", pa.float64())])
+        if len(txt) == 0:
+            return schema.empty_table()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(parts), dtype=np.int64), lens)
+        tf = (pa.table({"doc": pa.array(doc), "term": pc.list_flatten(parts)})
+              .group_by(["doc", "term"]).aggregate([([], "count_all")])
+              .rename_columns(["doc", "term", "tf"]))
+        terms = tf.column("term").to_pylist()
+        df_map, n = self.df, self.n_docs
+        # same double op order as the SQL twin: tf * ln(n * 1.0 / df)
+        idf = np.array([np.log(n * 1.0 / df_map[x]) for x in terms])
+        score = np.round(
+            tf.column("tf").to_numpy(zero_copy_only=False) * idf, 6)
+        scored = pa.table({
+            "doc": tf.column("doc"),
+            "term": tf.column("term"),
+            "score": pa.array(score, pa.float64()),
+        })
+        order = pc.sort_indices(scored, sort_keys=[
+            ("doc", "ascending"), ("score", "descending"),
+            ("term", "ascending")])
+        scored = scored.take(order)
+        d = scored.column("doc").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        counts = np.diff(np.append(starts, len(d)))
+        pos = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+        keep = pos < self.k
+        id_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(id_np[d[keep]]),
+            "term": scored.column("term").filter(pa.array(keep)),
+            "score": scored.column("score").filter(pa.array(keep)),
+        })
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, batch_size: int | None = 8192):
+    """Top-k terms per document by TF-IDF (tf * ln(N/df)) — document
+    keyword extraction at corpus scale.  Two passes: (1) the
+    term_document_frequency exchange (term, df) + a doc count, both
+    collected driver-side (vocab-bounded / scalar) and broadcast via
+    ``ray.put`` ONCE; (2) a single shuffle-free map_batches that
+    scores and top-k's inside each block."""
+    import ray
+
+    df_rows = term_document_frequency(ds, text_col,
+                                      batch_size=batch_size).take_all()
+    n_docs = ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.is_valid(t.column(text_col)).cast(pa.int64()))
+                 .as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", batch_size=batch_size).sum("n")
+    df_ref = ray.put(({r["term"]: r["df"] for r in df_rows}, int(n_docs)))
+    return ds.map_batches(
+        _TfidfTopK(text_col, id_col, k, df_ref),
+        batch_format="pyarrow", batch_size=batch_size)

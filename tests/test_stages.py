@@ -1830,3 +1830,53 @@ class TestRollup:
         mid = gdf[(gdf.k1 != "ALL") & (gdf.k2 == "ALL")]
         top = gdf[(gdf.k1 == "ALL")]
         assert fine.cnt.sum() == mid.cnt.sum() == top.cnt.sum()
+
+
+class TestTfidfTopTerms:
+    def test_matches_brute_force(self):
+        import math
+
+        from peri_ray.stages.text import tfidf_top_terms
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(15)]
+        docs = [(i, " ".join(rng.choice(vocab, int(rng.integers(4, 25)))))
+                for i in range(40)]
+        docs.append((40, None))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+        got = sorted((r["doc_id"], r["term"], r["score"])
+                     for r in tfidf_top_terms(ds, k=2).take_all())
+        # brute force
+        toks = {i: t.split() for i, t in docs if t is not None}
+        n = len(toks)
+        df = {}
+        for tk in toks.values():
+            for w in set(tk):
+                df[w] = df.get(w, 0) + 1
+        want = []
+        for i, tk in toks.items():
+            tf = {}
+            for w in tk:
+                tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((round(c * math.log(n * 1.0 / df[w]), 6), w)
+                 for w, c in tf.items()),
+                key=lambda x: (-x[0], x[1]))
+            want.extend((i, w, s) for s, w in scored[:2])
+        assert got == sorted(want)
+
+
+class TestPivotCounts:
+    def test_wide_counts_with_other_and_nulls(self):
+        from peri_ray.stages.stats import pivot_counts
+
+        t = pa.table({
+            "r": pa.array(["x", "x", "y", "y", "y", None], pa.string()),
+            "c": pa.array(["a", "b", "a", "z", None, "a"], pa.string()),
+        })
+        got = pivot_counts(rd.from_arrow(t), "r", "c", ["a", "b"])
+        rows = {r["r"]: (r["cnt_a"], r["cnt_b"], r["cnt_other"])
+                for r in got.to_pylist()}
+        assert rows == {"x": (1, 1, 0), "y": (1, 0, 2), "NULL": (1, 0, 0)}
