@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_pairs": q.jaccard_join_pairs,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
+        "distinct_users_by_type": q.distinct_users_by_type,
+        "funnel_click_purchase": q.funnel_click_purchase,
         "pivot_orders_status": q.pivot_orders_status,
         "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
         "rollup_orders": q.rollup_orders,
@@ -539,6 +541,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS ndv FROM events GROUP BY event_type"
+        ),
+        "funnel_click_purchase": """
+            WITH f AS (
+              SELECT user_id,
+                     min(ts) FILTER (event_type = 'click') AS t1,
+                     min(ts) FILTER (event_type = 'view') AS t2,
+                     min(ts) FILTER (event_type = 'purchase') AS t3
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users
+              FROM f WHERE t1 IS NOT NULL
+            UNION ALL
+            SELECT 2, count(*) FROM f
+             WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2
+            UNION ALL
+            SELECT 3, count(*) FROM f
+             WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2
+               AND t3 IS NOT NULL AND t2 < t3
+        """,
         "tfidf_top_docs": """
             WITH tok AS (
               SELECT doc_id,

@@ -1171,6 +1171,25 @@ def pivot_orders_status(sf_dir: str):
                         "yr", "o_orderstatus", ["F", "O", "P"])
 
 
+def distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — one hash-bucketed
+    exchange of within-block-deduped pairs (see
+    stats.grouped_distinct_count)."""
+    from peri_ray.stages.stats import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct_count(ds, "event_type", "user_id")
+
+
+def funnel_click_purchase(sf_dir: str):
+    """Ordered click -> view -> purchase funnel over first-occurrence
+    timestamps (strict ordering; ties do not advance)."""
+    from peri_ray.stages.temporal import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["click", "view", "purchase"])
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

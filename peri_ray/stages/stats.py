@@ -593,3 +593,56 @@ def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
         out[f"cnt_{v}"] = pa.array(wide[:, j])
     out["cnt_other"] = pa.array(wide[:, len(vals)])
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# exact per-group distinct counts (COUNT(DISTINCT v) GROUP BY k)
+# ---------------------------------------------------------------------------
+
+
+def grouped_distinct_count(ds, key: str, val: str, n_buckets: int = 64,
+                           batch_size: int | None = 65536) -> pa.Table:
+    """Exact NDV per group — the COUNT(DISTINCT) complement to the HLL
+    sketch.  Three-phase, one exchange:
+
+    1. per-batch distinct (key, val) pairs (within-block dedupe before
+       anything moves);
+    2. ONE hash-bucketed exchange keyed on hash(key || val) — both
+       occurrences of a pair land in the same bucket, so a per-bucket
+       dedupe is globally exact; each bucket emits (key, partial_count);
+    3. driver merge of the partials — bounded by buckets x distinct
+       keys, never by distinct values.
+
+    Nulls in ``val`` are not counted (COUNT(DISTINCT) semantics); null
+    keys group under the null key like SQL GROUP BY."""
+    from peri_ray.stages.checks import bucket_of
+
+    SEP = "\x1f"
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "k": t.column(key).combine_chunks().cast(pa.string()),
+            "v": t.column(val).combine_chunks().cast(pa.string()),
+        }).filter(pc.is_valid(t.column(val).combine_chunks()))
+        d = tt.group_by(["k", "v"]).aggregate([])
+        pair_key = pc.binary_join_element_wise(
+            pc.coalesce(d.column("k"), pa.scalar("\x00", pa.string())),
+            d.column("v"), SEP)
+        return d.append_column("bucket", bucket_of(pair_key, n_buckets))
+
+    partials = ds.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _bucket_ndv(group: pa.Table) -> pa.Table:
+        d = group.select(["k", "v"]).group_by(["k", "v"]).aggregate([])
+        g = d.group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    per_bucket = partials.groupby("bucket").map_groups(
+        _bucket_ndv, batch_format="pyarrow")
+    merged = (pa.Table.from_pylist(
+        per_bucket.take_all(),
+        schema=pa.schema([("k", pa.string()), ("n", pa.int64())]))
+        .group_by("k").aggregate([("n", "sum")]))
+    return merged.rename_columns([key, "ndv"]).set_column(
+        1, "ndv", merged.column("n_sum").cast(pa.int64()))

@@ -472,3 +472,70 @@ def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
 
     return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
         _gaps, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ordered-step funnel (behavioral analytics)
+# ---------------------------------------------------------------------------
+
+
+def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Classic ordered funnel: for each step i, how many users
+    performed step 1, then step 2, ... then step i with STRICTLY
+    increasing first-occurrence timestamps.  Returns (step 1-based,
+    n_users) with len(steps) rows.
+
+    Shape: one ``groupby(user)`` exchange of pre-filtered (user, ts,
+    type) rows (only the funnel's event types cross); per group the
+    first-occurrence vector per user is computed with one lexsort,
+    and each group emits per-step partial counts merged by one tiny
+    groupby.  Tie semantics: equal timestamps do NOT advance the
+    funnel (strict <), matching the SQL twin."""
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def _prefilter(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "u": t.column(user_col).combine_chunks().cast(pa.int64()),
+            "ts": t.column(ts_col).combine_chunks().cast(pa.int64()),
+            "st": t.column(type_col).combine_chunks().cast(pa.string()),
+        })
+        keep = pc.and_(
+            pc.is_in(tt.column("st"), value_set=pa.array(steps)),
+            pc.and_(pc.is_valid(tt.column("u")), pc.is_valid(tt.column("ts"))))
+        return tt.filter(keep)
+
+    def _per_user(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        st = np.array([step_idx[x] for x in group.column("st").to_pylist()],
+                      np.int64)
+        order = np.lexsort((ts, st, u))
+        u, ts, st = u[order], ts[order], st[order]
+        # first occurrence per (user, step): first row of each run
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (st[1:] != st[:-1])))
+        u, ts, st = u[first], ts[first], st[first]
+        counts = np.zeros(n_steps, np.int64)
+        ustarts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        uends = np.append(ustarts[1:], len(u))
+        for s, e in zip(ustarts, uends):
+            have = {int(st[i]): int(ts[i]) for i in range(s, e)}
+            prev = None
+            for i in range(n_steps):
+                if i not in have or (prev is not None and have[i] <= prev):
+                    break
+                prev = have[i]
+                counts[i] += 1
+        return pa.table({"step": pa.array(np.arange(1, n_steps + 1)),
+                         "n_users": pa.array(counts)})
+
+    partials = (ds.map_batches(_prefilter, batch_format="pyarrow")
+                .groupby("u").map_groups(_per_user, batch_format="pyarrow"))
+    totals = partials.groupby("step").sum("n_users")
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["step", "n_users"])
+        return t.set_column(1, "n_users", t.column("n_users").cast(pa.int64()))
+
+    return totals.map_batches(_final, batch_format="pyarrow")

@@ -1880,3 +1880,57 @@ class TestPivotCounts:
         rows = {r["r"]: (r["cnt_a"], r["cnt_b"], r["cnt_other"])
                 for r in got.to_pylist()}
         assert rows == {"x": (1, 1, 0), "y": (1, 0, 2), "NULL": (1, 0, 0)}
+
+
+class TestGroupedDistinctCount:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.stats import grouped_distinct_count
+
+        rng = np.random.default_rng(17)
+        t = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], 2000).tolist(),
+                          pa.string()),
+            "v": pa.array([None if x == 0 else int(x)
+                           for x in rng.integers(0, 50, 2000)], pa.int64()),
+        })
+        got = sorted((r["k"], r["ndv"]) for r in
+                     grouped_distinct_count(rd.from_arrow(t), "k", "v")
+                     .to_pylist())
+        want = sorted(duckdb.sql(
+            "SELECT k, count(DISTINCT v) FROM t GROUP BY k").fetchall())
+        assert got == [(k, int(n)) for k, n in want]
+
+
+class TestFunnel:
+    def test_funnel_semantics(self):
+        from peri_ray.stages.temporal import funnel_counts
+
+        rows = [
+            # user 1: full ordered funnel
+            (1, 10, "click"), (1, 20, "view"), (1, 30, "purchase"),
+            # user 2: click then purchase, no view -> stops at 1
+            (2, 10, "click"), (2, 30, "purchase"),
+            # user 3: view before click -> stops at 1 (first click later ok?)
+            (3, 10, "view"), (3, 20, "click"),
+            # user 4: tie between click and view -> strict < fails at 2
+            (4, 10, "click"), (4, 10, "view"),
+            # user 5: no funnel events at all
+            (5, 10, "signup"),
+            # user 6: click->view->purchase with earlier repeats
+            (6, 5, "click"), (6, 7, "view"), (6, 6, "click"), (6, 9, "purchase"),
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                           pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = {r["step"]: r["n_users"] for r in funnel_counts(
+            rd.from_arrow(t), ["click", "view", "purchase"]).take_all()}
+        # step1: users 1,2,3,4,6 clicked = 5
+        # step2: first view strictly after first click: 1, 6 -> 2
+        #   (3: view precedes click; 4: tie)
+        # step3: purchase strictly after: 1, 6 -> 2
+        assert got == {1: 5, 2: 2, 3: 2}
