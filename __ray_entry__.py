@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
+        "running_totals_events": q.running_totals_events,
+        "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
         "pivot_orders_status": q.pivot_orders_status,
         "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
@@ -541,6 +543,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "running_totals_events": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS run_sum_micro
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name
+        """,
         "distinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS ndv FROM events GROUP BY event_type"

@@ -1190,6 +1190,53 @@ def funnel_click_purchase(sf_dir: str):
     return funnel_counts(ds, ["click", "view", "purchase"])
 
 
+def running_totals_events(sf_dir: str):
+    """Per-user running sum over (ts, event_id) order — cumulative
+    window family; exact BIGINT micro-units so every intermediate
+    total hash-matches the SQL window (see temporal.running_totals)."""
+    from peri_ray.stages.temporal import running_totals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return running_totals(ds)
+
+
+def revenue_by_nation(sf_dir: str):
+    """Multi-way join showcase (TPC-H Q5 shape): lineitem x orders is
+    the one large-large hash join; customer and nation attach by
+    broadcast (dims deduped + ray.put once); revenue collapses to
+    per-batch partials per nation before a tiny driver merge."""
+    from peri_ray.stages.joins import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    o_n = broadcast_join(orders, cust, "o_custkey", "c_custkey",
+                         ["c_nationkey"])
+    o_n = broadcast_join(o_n, nation, "c_nationkey", "n_nationkey",
+                         ["n_name"])
+    j = hash_join(li, o_n, "l_orderkey", "o_orderkey",
+                  ["l_extendedprice", "l_discount"], ["n_name"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice").combine_chunks(),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount").combine_chunks()))
+        g = (pa.table({"n_name": t.column("n_name"), "rev": rev})
+             .group_by("n_name").aggregate([("rev", "sum")]))
+        return g.rename_columns(["n_name", "rev"])
+
+    merged = (pa.Table.from_pylist(
+        j.map_batches(_part, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("n_name", pa.string()), ("rev", pa.float64())]))
+        .group_by("n_name").aggregate([("rev", "sum")]))
+    return pa.table({
+        "n_name": merged.column("n_name"),
+        "revenue": pc.round(merged.column("rev_sum"), ndigits=2),
+    })
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

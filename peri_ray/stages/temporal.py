@@ -539,3 +539,62 @@ def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
         return t.set_column(1, "n_users", t.column("n_users").cast(pa.int64()))
 
     return totals.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# running totals (SUM() OVER (PARTITION BY k ORDER BY ts, id))
+# ---------------------------------------------------------------------------
+
+
+def running_totals(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value"):
+    """Per-key running sum in event-time order — the cumulative-window
+    family.  One row per input row: (id, user, run_sum_micro).
+
+    Order is (ts, id): the id tiebreak makes the running frame — and
+    therefore every intermediate total — deterministic under equal
+    timestamps, so the SQL twin's ``ORDER BY ts, id`` window agrees
+    row for row.  Values are fixed-pointed to BIGINT micro-units
+    BEFORE accumulation: float running sums are association-order
+    dependent (a prefix-difference trick or a segment-tree window
+    diverges from left-to-right adds in the last ulps), and 10^4 rows
+    of near-boundary roundings WILL eventually flip a hash compare —
+    integers make every intermediate total exact on both engines.
+    Rows with null value or null ts are excluded on both sides.
+
+    Shape: one ``groupby(user)`` exchange; per group one lexsort +
+    one ``np.cumsum`` with vectorized per-segment rebasing (exact on
+    integers)."""
+
+    def _cum(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.is_valid(group.column(value_col)),
+            pc.is_valid(group.column(ts_col))))
+        u = g.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = g.column(value_col).combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        if len(u) == 0:
+            return pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                              ("run_sum_micro", pa.int64())]).empty_table()
+        # half-away-from-zero, matching SQL round() (np.round is
+        # half-to-even and would disagree on exact .5 boundaries)
+        s = v * 1e6
+        micro = np.where(s >= 0, np.floor(s + 0.5),
+                         np.ceil(s - 0.5)).astype(np.int64)
+        order = np.lexsort((ids, ts, u))
+        u, ids, micro = u[order], ids[order], micro[order]
+        run = np.cumsum(micro)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        base = np.repeat(np.concatenate(([0], run[starts[1:] - 1])),
+                         np.diff(np.append(starts, len(u))))
+        return pa.table({id_col: pa.array(ids),
+                         user_col: pa.array(u),
+                         "run_sum_micro": pa.array(run - base)})
+
+    return ds.select_columns([user_col, ts_col, id_col, value_col]).groupby(
+        user_col).map_groups(_cum, batch_format="pyarrow")

@@ -1934,3 +1934,34 @@ class TestFunnel:
         #   (3: view precedes click; 4: tie)
         # step3: purchase strictly after: 1, 6 -> 2
         assert got == {1: 5, 2: 2, 3: 2}
+
+
+class TestRunningTotals:
+    def test_matches_brute_force_with_ties(self):
+        from peri_ray.stages.temporal import running_totals
+
+        rng = np.random.default_rng(21)
+        n = 400
+        users = rng.integers(0, 6, n)
+        ts = rng.integers(0, 50, n) * 1_000_000  # many ties
+        ids = rng.permutation(n)
+        vals = np.round(rng.normal(10, 5, n), 3)
+        vals[::53] = np.nan
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_id": pa.array(ids, pa.int64()),
+            "value": pa.array([None if np.isnan(x) else float(x)
+                               for x in vals], pa.float64()),
+        })
+        got = {r["event_id"]: (r["user_id"], r["run_sum_micro"])
+               for r in running_totals(rd.from_arrow(t)).take_all()}
+        want = {}
+        for u in set(users.tolist()):
+            m = (users == u) & ~np.isnan(vals)
+            order = np.lexsort((ids[m], ts[m]))
+            micro = np.floor(vals[m][order] * 1e6 + 0.5).astype(np.int64)
+            run = np.cumsum(micro)
+            for eid, rs in zip(ids[m][order], run):
+                want[int(eid)] = (int(u), int(rs))
+        assert got == want
