@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
         "running_totals_events": q.running_totals_events,
+        "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
+        "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
         "pivot_orders_status": q.pivot_orders_status,
@@ -543,6 +545,20 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "grouped_quantiles_lineitem": """
+            SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS value
+              FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE)
+              FROM lineitem GROUP BY l_returnflag
+        """,
+        "clicked_no_purchase": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
         "running_totals_events": """
             SELECT event_id, user_id,
                    sum(CAST(round(value * 1000000) AS BIGINT)) OVER (

@@ -1237,6 +1237,41 @@ def revenue_by_nation(sf_dir: str):
     })
 
 
+def grouped_quantiles_lineitem(sf_dir: str):
+    """Exact per-group percentile_disc (median + p90 of l_quantity per
+    returnflag) — GROUP BY + quantile with no sort shuffle."""
+    from peri_ray.stages.stats import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_exact_quantiles(ds, "l_returnflag", "l_quantity")
+
+
+def clicked_no_purchase(sf_dir: str):
+    """Set-difference composition: users who clicked but never
+    purchased — two distinct-user aggregations anti-joined through the
+    existing hash-partitioned join (EXCEPT shape)."""
+    from peri_ray.stages.joins import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _typed(want: str):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type").combine_chunks(), want)
+            g = (t.filter(keep).select(["user_id"])
+                 .group_by("user_id").aggregate([]))
+            return g
+        return _f
+
+    clickers = ds.map_batches(_typed("click"), batch_format="pyarrow")
+    buyers = ds.map_batches(_typed("purchase"), batch_format="pyarrow")
+    out = hash_join(clickers, buyers, "user_id", "user_id", [], [],
+                    how="anti")
+    # per-block distinct partials are not globally distinct: collapse
+    # the survivors (small by construction) once more
+    t = _collect(out, pa.schema([("user_id", pa.int64())]))
+    return t.group_by("user_id").aggregate([])
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -646,3 +646,56 @@ def grouped_distinct_count(ds, key: str, val: str, n_buckets: int = 64,
         .group_by("k").aggregate([("n", "sum")]))
     return merged.rename_columns([key, "ndv"]).set_column(
         1, "ndv", merged.column("n_sum").cast(pa.int64()))
+
+
+def grouped_exact_quantiles(ds, key: str, column: str,
+                            qs=(0.5, 0.9), batch_size: int | None = 65536,
+                            max_distinct: int = 100_000) -> pa.Table:
+    """EXACT percentile_disc per group — GROUP BY + quantile without a
+    sort shuffle: per-batch (key, value, cnt) value-count partials
+    (bounded by per-block keys x distinct values), driver merge, then
+    per-group cumulative-rank lookup at ceil(n*q).
+
+    Same low-cardinality contract as :func:`exact_quantiles` (raises
+    past ``max_distinct`` total merged rows); null values excluded,
+    null keys group like SQL GROUP BY."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "k": t.column(key).combine_chunks().cast(pa.string()),
+            "value": t.column(column).combine_chunks().cast(pa.float64()),
+        }).filter(pc.is_valid(t.column(column).combine_chunks()))
+        g = tt.group_by(["k", "value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "value", "cnt"])
+
+    merged = (pa.Table.from_pylist(
+        ds.map_batches(_part, batch_format="pyarrow",
+                       batch_size=batch_size).take_all(),
+        schema=pa.schema([("k", pa.string()), ("value", pa.float64()),
+                          ("cnt", pa.int64())]))
+        .group_by(["k", "value"]).aggregate([("cnt", "sum")]))
+    if merged.num_rows > max_distinct:
+        raise ValueError(
+            f"grouped_exact_quantiles: {merged.num_rows} distinct "
+            f"(key, value) rows (> max_distinct={max_distinct}); "
+            "use the KLL sketch")
+    k = merged.column("k").to_numpy(zero_copy_only=False)
+    v = merged.column("value").to_numpy(zero_copy_only=False)
+    n = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, k))
+    k, v, n = k[order], v[order], n[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], k[1:] != k[:-1]))) if len(k) else np.array([], np.int64)
+    ends = np.append(starts[1:], len(k))
+    out_k, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, int(np.ceil(total * q)))
+            out_k.append(k[s])
+            out_q.append(float(q))
+            out_v.append(float(v[s + int(np.searchsorted(cum, rank))]))
+    return pa.table({key: pa.array(out_k, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -1965,3 +1965,53 @@ class TestRunningTotals:
             for eid, rs in zip(ids[m][order], run):
                 want[int(eid)] = (int(u), int(rs))
         assert got == want
+
+
+class TestGroupedExactQuantiles:
+    def test_matches_duckdb_per_group(self):
+        import duckdb
+
+        from peri_ray.stages.stats import grouped_exact_quantiles
+
+        rng = np.random.default_rng(23)
+        t = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], 3000).tolist(),
+                          pa.string()),
+            "v": pa.array([None if x == 99 else float(x)
+                           for x in rng.integers(0, 30, 3000)], pa.float64()),
+        })
+        got = sorted((r["k"], r["q"], r["value"]) for r in
+                     grouped_exact_quantiles(rd.from_arrow(t), "k", "v",
+                                             qs=(0.5, 0.9)).to_pylist())
+        want = sorted(duckdb.sql("""
+            SELECT k, 0.5 AS q, CAST(quantile_disc(v, 0.5) AS DOUBLE)
+              FROM t GROUP BY k
+            UNION ALL
+            SELECT k, 0.9, CAST(quantile_disc(v, 0.9) AS DOUBLE)
+              FROM t GROUP BY k""").fetchall())
+        assert got == [(k, float(q), float(v)) for k, q, v in want]
+
+
+class TestSetDifferenceComposition:
+    def test_anti_join_distinct_users(self):
+        from peri_ray.pipelines import queries as q
+
+        # build a miniature events table where the difference is nonzero
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        rows = [
+            (1, "click"), (1, "purchase"),
+            (2, "click"), (2, "click"),     # clicker, never purchased
+            (3, "purchase"),
+            (4, "click"), (4, "view"),      # clicker, never purchased
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+        })
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, f"{d}/events.parquet")
+            out = q.clicked_no_purchase(d)
+        assert sorted(out.column("user_id").to_pylist()) == [2, 4]
