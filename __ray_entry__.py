@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q.distinct_users_by_type,
         "running_totals_events": q.running_totals_events,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
+        "heavy_hitter_terms_docs": q.heavy_hitter_terms_docs,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -545,6 +546,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "heavy_hitter_terms_docs": """
+            SELECT word AS term, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS word
+                      FROM documents WHERE text IS NOT NULL)
+             GROUP BY word HAVING count(*) >= 800
+        """,
         "grouped_quantiles_lineitem": """
             SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
                    CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS value

@@ -1272,6 +1272,16 @@ def clicked_no_purchase(sf_dir: str):
     return t.group_by("user_id").aggregate([])
 
 
+def heavy_hitter_terms_docs(sf_dir: str):
+    """Exact over-threshold terms via Misra-Gries candidates + exact
+    recount — bounded memory in both passes, unlike a full-vocabulary
+    groupby (see text.heavy_hitter_terms)."""
+    from peri_ray.stages.text import heavy_hitter_terms
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitter_terms(ds, threshold=800)
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -559,3 +559,108 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         _TfidfTopK(text_col, id_col, k, df_ref),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy-hitter terms (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+class _MGPartial:
+    """Batch -> one serialized MisraGries summary over whitespace
+    tokens (value-counted per batch first, so sketch updates are per
+    DISTINCT term)."""
+
+    def __init__(self, text_col: str, k: int):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pickle
+
+        from peri_ray.state.sketches import MisraGries
+
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        vc = pc.value_counts(pc.list_flatten(parts))
+        mg = MisraGries(self.k)
+        mg.add_counts(vc.field("values").to_pylist(),
+                      vc.field("counts").to_numpy(zero_copy_only=False))
+        return pa.table({"mg": pa.array([pickle.dumps(mg)], pa.binary())})
+
+
+class _ExactRecount:
+    """Second pass: exact occurrence counts restricted to the
+    broadcast candidate set (``pc.is_in`` filter — per-batch output is
+    bounded by |candidates|)."""
+
+    def __init__(self, text_col: str, cand_ref):
+        import ray
+
+        self.text_col = text_col
+        self.cands = ray.get(cand_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        flat = pc.list_flatten(parts)
+        flat = flat.filter(pc.is_in(flat, value_set=self.cands))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+
+def heavy_hitter_terms(ds, threshold: int, text_col: str = "text",
+                       k: int = 4096, batch_size: int | None = 8192):
+    """EXACT terms with total occurrence count >= ``threshold`` — in
+    two streaming passes with BOUNDED memory everywhere, unlike a full
+    term groupby whose vocabulary is unbounded at web scale:
+
+    1. per-batch Misra-Gries summaries (k counters each) merge on the
+       driver; the merged sketch's error bound makes
+       ``candidates(threshold)`` a guaranteed SUPERSET of the true
+       heavy hitters (no false negatives by the MG invariant);
+    2. the candidate list (<= k terms) broadcasts via ``ray.put``; an
+       exact recount pass filters to candidates before counting, so
+       per-batch partials are bounded by |candidates|; the driver sum
+       applies the threshold exactly (false positives die here).
+
+    Returns (term, n) with exact counts.  Choose ``k`` >= a few x
+    (corpus_tokens / threshold): the guarantee is only valid while the
+    merged sketch's error stays BELOW the threshold (a term whose whole
+    count was absorbed by decrements cannot be named as a candidate),
+    so an undersized ``k`` raises rather than silently losing true
+    hitters."""
+    import pickle
+
+    import ray
+
+    from peri_ray.state.sketches import MisraGries
+
+    rows = ds.map_batches(_MGPartial(text_col, k), batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    merged = MisraGries(k)
+    for r in rows:
+        merged.merge(pickle.loads(r["mg"]))
+    if merged.err >= threshold:
+        raise ValueError(
+            f"heavy_hitter_terms: merged sketch error {merged.err} >= "
+            f"threshold {threshold}; the candidate superset guarantee is "
+            f"void — raise k (currently {k})")
+    cand_ref = ray.put(pa.array(sorted(merged.candidates(threshold)),
+                                pa.string()))
+
+    parts = ds.map_batches(_ExactRecount(text_col, cand_ref),
+                           batch_format="pyarrow", batch_size=batch_size)
+    totals = parts.groupby("term").sum("n")
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["term", "n"])
+        t = t.filter(pc.greater_equal(t.column("n"), threshold))
+        return t.set_column(1, "n", t.column("n").cast(pa.int64()))
+
+    return totals.map_batches(_final, batch_format="pyarrow")

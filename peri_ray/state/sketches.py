@@ -198,3 +198,66 @@ class HLL:
             if zeros:
                 est = m * np.log(m / zeros)  # linear counting
         return float(est)
+
+
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitters summary over string items.
+
+    Holds at most ``k`` counters.  Guarantees after any sequence of
+    updates/merges: for every item (tracked or dropped),
+    ``count(item) >= est(item) >= count(item) - err`` where ``err`` is
+    the tracked total decrement and a dropped item has est 0.  Hence
+    ``candidates(threshold)`` is a guaranteed SUPERSET of the true
+    over-threshold items ONLY when ``threshold > err`` — an item whose
+    entire count was absorbed by decrements cannot be named at all.
+    Callers must check ``err`` against their threshold
+    (stages.text.heavy_hitter_terms raises when the bound is void).
+
+    Merge (Agarwal et al., "Mergeable Summaries"): sum counters
+    pairwise, then subtract the (k+1)-th largest count from all and
+    drop non-positives; errors add."""
+
+    __slots__ = ("k", "counters", "err")
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.counters: dict[str, int] = {}
+        self.err = 0
+
+    def add_counts(self, items, counts) -> None:
+        """Bulk update with pre-aggregated (item, count) pairs (the
+        per-batch path: callers value_count first, so each distinct
+        item costs one dict op, not one per occurrence)."""
+        c = self.counters
+        for it, n in zip(items, counts):
+            n = int(n)
+            if it in c:
+                c[it] += n
+            else:
+                c[it] = n
+        self._shrink()
+
+    def _shrink(self) -> None:
+        c = self.counters
+        if len(c) <= self.k:
+            return
+        # subtract the (k+1)-th largest count from everyone; drop <= 0.
+        # One such step restores the invariant after bulk inserts and
+        # adds exactly that median-ish value to the error bound.
+        vals = sorted(c.values(), reverse=True)
+        cut = vals[self.k]
+        self.counters = {it: n - cut for it, n in c.items() if n > cut}
+        self.err += cut
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = self.counters
+        for it, n in other.counters.items():
+            c[it] = c.get(it, 0) + n
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def candidates(self, threshold: int) -> list[str]:
+        """Every item whose TRUE count could reach ``threshold``."""
+        return [it for it, n in self.counters.items()
+                if n + self.err >= threshold]

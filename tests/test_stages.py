@@ -2015,3 +2015,68 @@ class TestSetDifferenceComposition:
             pq.write_table(t, f"{d}/events.parquet")
             out = q.clicked_no_purchase(d)
         assert sorted(out.column("user_id").to_pylist()) == [2, 4]
+
+
+class TestMisraGries:
+    def test_superset_guarantee_under_merge(self):
+        from peri_ray.state.sketches import MisraGries
+
+        rng = np.random.default_rng(29)
+        # zipf-ish stream split across 10 partial sketches with tiny k
+        items = [f"t{i}" for i in
+                 (rng.zipf(1.3, 20000) % 40)]
+        true = {}
+        for it in items:
+            true[it] = true.get(it, 0) + 1
+        parts = []
+        for chunk in np.array_split(np.array(items), 10):
+            mg = MisraGries(8)
+            vals, cnts = np.unique(chunk, return_counts=True)
+            mg.add_counts(vals.tolist(), cnts)
+            parts.append(mg)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        assert merged.err > 0  # decrements actually happened (k << vocab)
+        # superset guarantee holds for every threshold ABOVE the error
+        for threshold in (merged.err + 1, merged.err * 2, 10**6):
+            cands = set(merged.candidates(threshold))
+            hot = {it for it, n in true.items() if n >= threshold}
+            assert hot <= cands  # never a false negative past err
+        # estimates never exceed true counts, undercount bounded by err
+        for it, est in merged.counters.items():
+            assert est <= true[it] <= est + merged.err
+
+
+class TestHeavyHitterTerms:
+    def test_exact_even_with_tiny_k(self):
+        from peri_ray.stages.text import heavy_hitter_terms
+
+        rng = np.random.default_rng(31)
+        vocab = [f"w{i}" for i in range(25)]
+        weights = np.linspace(5, 0.2, 25)
+        weights /= weights.sum()
+        docs = [" ".join(rng.choice(vocab, 30, p=weights))
+                for _ in range(200)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+        true = {}
+        for d in docs:
+            for w in d.split():
+                true[w] = true.get(w, 0) + 1
+        threshold = 300
+        want = sorted((w, n) for w, n in true.items() if n >= threshold)
+        # adequate k: candidates form a verified superset, result exact
+        got = sorted((r["term"], r["n"]) for r in heavy_hitter_terms(
+            ds, threshold=threshold, k=64, batch_size=32).take_all())
+        assert got == want
+        assert len(want) >= 3
+
+    def test_undersized_k_raises_instead_of_losing_hitters(self):
+        from peri_ray.stages.text import heavy_hitter_terms
+
+        rng = np.random.default_rng(33)
+        vocab = [f"w{i}" for i in range(200)]
+        docs = [" ".join(rng.choice(vocab, 50)) for _ in range(100)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+        with pytest.raises(ValueError, match="superset guarantee"):
+            heavy_hitter_terms(ds, threshold=3, k=4, batch_size=16).take_all()
