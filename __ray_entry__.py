@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": q.running_totals_events,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         "heavy_hitter_terms_docs": q.heavy_hitter_terms_docs,
+        "top_terms_per_lang": q.top_terms_per_lang,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -546,6 +547,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "top_terms_per_lang": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+            ),
+            c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2)
+            SELECT lang, term, n FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c)
+             WHERE rn <= 3
+        """,
         "heavy_hitter_terms_docs": """
             SELECT word AS term, count(*) AS n
               FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))

@@ -1282,6 +1282,43 @@ def heavy_hitter_terms_docs(sf_dir: str):
     return heavy_hitter_terms(ds, threshold=800)
 
 
+def top_terms_per_lang(sf_dir: str):
+    """Composition showcase: per-language top-3 terms by occurrence —
+    token explode -> one (lang, term) groupby-sum of per-block partials
+    -> the existing group-wise top-k merge.  Ties break on term asc to
+    match the row_number twin."""
+    from peri_ray.stages.stats import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("text").combine_chunks()),
+                       pc.is_valid(t.column("lang").combine_chunks()))
+        tt = t.filter(keep)
+        txt = tt.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        lang = tt.column("lang").combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(parts), dtype=np.int64),
+                               pc.list_value_length(parts).to_numpy(
+                                   zero_copy_only=False))))
+        g = (pa.table({"lang": lang, "term": pc.list_flatten(parts)})
+             .group_by(["lang", "term"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["lang", "term", "n"])
+
+    counts = (ds.map_batches(_pairs, batch_format="pyarrow")
+              .groupby(["lang", "term"]).sum("n"))
+
+    def _shape(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["lang", "term", "n"])
+        return t.set_column(2, "n", t.column("n").cast(pa.int64()))
+
+    shaped = counts.map_batches(_shape, batch_format="pyarrow")
+    return top_k_per_group(shaped, key="lang", order_col="n", k=3,
+                           descending=True, tiebreak="term")
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -2080,3 +2080,20 @@ class TestHeavyHitterTerms:
         ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
         with pytest.raises(ValueError, match="superset guarantee"):
             heavy_hitter_terms(ds, threshold=3, k=4, batch_size=16).take_all()
+
+
+class TestJaccardJoinThresholdSweep:
+    def test_thresholds_match_brute_force(self):
+        rng = np.random.default_rng(37)
+        vocab = [f"v{i}" for i in range(10)]
+        docs = [(i, " ".join(rng.choice(vocab, int(rng.integers(3, 20)))))
+                for i in range(45)]
+        # planted duplicate cluster
+        tk = docs[7][1].split()
+        docs.append((90, " ".join(tk)))
+        tk[0] = "v0"
+        docs.append((91, " ".join(tk)))
+        run = TestJaccardSimilarityJoin._run
+        brute = TestJaccardSimilarityJoin._brute
+        for t in (0.3, 0.55, 0.75, 0.95):
+            assert run(docs, t) == brute(docs, t), f"threshold {t}"
