@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         "heavy_hitter_terms_docs": q.heavy_hitter_terms_docs,
         "top_terms_per_lang": q.top_terms_per_lang,
+        "lineitems_of_big_orders": q.lineitems_of_big_orders,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -547,6 +548,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "lineitems_of_big_orders": """
+            SELECT l_orderkey, l_quantity FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_totalprice > 450000)
+        """,
         "top_terms_per_lang": """
             WITH tok AS (
               SELECT lang,

@@ -1319,6 +1319,27 @@ def top_terms_per_lang(sf_dir: str):
                            descending=True, tiebreak="term")
 
 
+def lineitems_of_big_orders(sf_dir: str):
+    """Bloom-pruned semi join with a selective dim (orders filtered to
+    the price tail): fact rows the Bloom proves partner-less never
+    enter the exchange; survivors verify through the exact hash semi
+    join, so the answer is exact at any false-positive rate."""
+    from peri_ray.stages.joins import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("o_totalprice").combine_chunks(),
+                                   450000.0)).select(["o_orderkey"])
+
+    big = orders.map_batches(_big, batch_format="pyarrow")
+    out = bloom_semi_join(li, big, "l_orderkey", "o_orderkey",
+                          ["l_quantity"])
+    return _collect(out, pa.schema([("l_orderkey", pa.int64()),
+                                    ("l_quantity", pa.float64())]))
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

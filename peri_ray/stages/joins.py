@@ -200,3 +200,87 @@ def hash_join(left, right, left_key: str, right_key: str,
         return joined.select(out_cols)
 
     return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi join (selective dim, exchange-volume reduction)
+# ---------------------------------------------------------------------------
+
+
+class _BloomPartial:
+    """Dim batch -> one serialized Bloom over the key hashes."""
+
+    def __init__(self, key: str, m_bits: int, k_hashes: int):
+        self.key = key
+        self.m_bits = m_bits
+        self.k_hashes = k_hashes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pickle
+
+        from peri_ray.state.sketches import Bloom, hash_strings
+
+        keys = t.column(self.key).combine_chunks().cast(pa.string()).drop_null()
+        b = Bloom(self.m_bits, self.k_hashes)
+        if len(keys):
+            b.add_hashes(hash_strings(keys))
+        return pa.table({"bloom": pa.array([pickle.dumps(b)], pa.binary())})
+
+
+class _BloomPrune:
+    """Fact batch -> rows whose key the broadcast Bloom says MAY be in
+    the dim.  Absence is exact (no false negatives), so dropped rows
+    are guaranteed non-matching; survivors still need verification."""
+
+    def __init__(self, key: str, bloom_ref):
+        import ray
+
+        self.key = key
+        self.bloom = ray.get(bloom_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from peri_ray.state.sketches import hash_strings
+
+        keys = t.column(self.key).combine_chunks().cast(pa.string())
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        mask = np.zeros(t.num_rows, bool)
+        if valid.any():
+            mask[valid] = self.bloom.contains_hashes(
+                hash_strings(keys.drop_null()))
+        return t.filter(pa.array(mask))
+
+
+def bloom_semi_join(fact, dim, fact_key: str, dim_key: str,
+                    fact_cols: list[str], m_bits: int = 1 << 22,
+                    k_hashes: int = 4, n_buckets: int = 64):
+    """Semi join tuned for a SELECTIVE dim (most fact rows have no
+    partner — filtered dimensions, incremental deltas): a Bloom filter
+    of the dim keys broadcasts in O(m_bits) regardless of dim
+    cardinality, and fact rows the Bloom proves absent never enter the
+    exchange.  Survivors (true matches + the Bloom's false positives)
+    go through the exact hash-partitioned semi join, so the RESULT is
+    exact at any false-positive rate — the Bloom only changes how many
+    bytes shuffle, never the answer.
+
+    Driver/broadcast memory is fixed by ``m_bits`` (default 4 Mbit =
+    512 KB), unlike broadcast_join's O(dim) — this is the middle path
+    between broadcast (dim fits in one object) and a full two-sided
+    exchange (no pruning at all)."""
+    import pickle
+
+    import ray
+
+    from peri_ray.state.sketches import Bloom
+
+    rows = dim.select_columns([dim_key]).map_batches(
+        _BloomPartial(dim_key, m_bits, k_hashes),
+        batch_format="pyarrow").take_all()
+    merged = Bloom(m_bits, k_hashes)
+    for r in rows:
+        merged.merge(pickle.loads(r["bloom"]))
+    bloom_ref = ray.put(merged)
+
+    pruned = fact.map_batches(_BloomPrune(fact_key, bloom_ref),
+                              batch_format="pyarrow")
+    return hash_join(pruned, dim, fact_key, dim_key, fact_cols, [],
+                     how="semi", n_buckets=n_buckets)

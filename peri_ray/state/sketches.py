@@ -261,3 +261,53 @@ class MisraGries:
         """Every item whose TRUE count could reach ``threshold``."""
         return [it for it, n in self.counters.items()
                 if n + self.err >= threshold]
+
+
+class Bloom:
+    """Fixed-size Bloom filter over pre-hashed uint64 keys, mergeable
+    by bitwise OR (per-block partials -> one driver OR -> broadcast).
+
+    No false negatives ever: a key that was added always tests
+    present, so "absent" is a PROOF of non-membership — the property
+    bloom-pruned joins rely on.  False-positive rate ~=
+    (1 - e^(-k*n/m))^k; callers that need exactness must verify the
+    "present" set (stages.joins.bloom_semi_join does).
+
+    Vectorized: the k derived hashes come from splitmix64 re-seeding,
+    bit scatter/gather via uint64 word ops (``np.bitwise_or.at``)."""
+
+    __slots__ = ("m", "k", "words")
+
+    def __init__(self, m_bits: int = 1 << 22, k: int = 4):
+        if m_bits % 64:
+            raise ValueError("m_bits must be a multiple of 64")
+        self.m = m_bits
+        self.k = k
+        self.words = np.zeros(m_bits // 64, np.uint64)
+
+    def _positions(self, hashes: np.ndarray, i: int) -> np.ndarray:
+        seed = np.uint64(0x9E3779B97F4A7C15 * (i + 1) & ((1 << 64) - 1))
+        return splitmix64(hashes ^ seed) % np.uint64(self.m)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = hashes.astype(np.uint64, copy=False)
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        out = np.ones(len(h), bool)
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            bit = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError("Bloom parameters must match to merge")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self

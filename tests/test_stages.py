@@ -2097,3 +2097,58 @@ class TestJaccardJoinThresholdSweep:
         brute = TestJaccardSimilarityJoin._brute
         for t in (0.3, 0.55, 0.75, 0.95):
             assert run(docs, t) == brute(docs, t), f"threshold {t}"
+
+
+class TestBloom:
+    def test_no_false_negatives_and_merge(self):
+        from peri_ray.state.sketches import Bloom, hash_strings
+
+        rng = np.random.default_rng(41)
+        added = [f"k{i}" for i in rng.integers(0, 10**6, 500)]
+        others = [f"x{i}" for i in range(2000)]
+        parts = []
+        for chunk in np.array_split(np.array(added), 4):
+            b = Bloom(1 << 14, 4)
+            b.add_hashes(hash_strings(pa.array(chunk.tolist())))
+            parts.append(b)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        assert merged.contains_hashes(
+            hash_strings(pa.array(added))).all()  # never a false negative
+        fp = merged.contains_hashes(hash_strings(pa.array(others))).mean()
+        assert fp < 0.1  # sized for ~sub-percent; loose bound for safety
+
+    def test_tiny_filter_saturates_but_stays_correct(self):
+        from peri_ray.state.sketches import Bloom, hash_strings
+
+        b = Bloom(64, 2)
+        keys = pa.array([f"k{i}" for i in range(500)])
+        b.add_hashes(hash_strings(keys))
+        assert b.contains_hashes(hash_strings(keys)).all()
+
+
+class TestBloomSemiJoin:
+    def test_exact_at_any_fp_rate(self):
+        from peri_ray.stages.joins import bloom_semi_join
+
+        rng = np.random.default_rng(43)
+        fact = pa.table({
+            "fk": pa.array(rng.integers(0, 1000, 5000), pa.int64()),
+            "v": pa.array(rng.normal(size=5000)),
+        })
+        dim_keys = sorted(rng.choice(1000, 40, replace=False).tolist())
+        dim = pa.table({"k": pa.array(dim_keys, pa.int64())})
+        want = fact.filter(
+            __import__("pyarrow.compute", fromlist=["is_in"]).is_in(
+                fact.column("fk"), value_set=pa.array(dim_keys, pa.int64())))
+        # saturated 64-bit bloom (every probe a false positive) AND a
+        # well-sized one must both give the exact semi join
+        for m_bits in (64, 1 << 16):
+            got = bloom_semi_join(rd.from_arrow(fact), rd.from_arrow(dim),
+                                  "fk", "k", ["v"], m_bits=m_bits,
+                                  k_hashes=2)
+            g = sorted((r["fk"], round(r["v"], 9)) for r in got.take_all())
+            w = sorted((a.as_py(), round(b.as_py(), 9))
+                       for a, b in zip(want.column("fk"), want.column("v")))
+            assert g == w, f"m_bits={m_bits}"
