@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms_docs": q.heavy_hitter_terms_docs,
         "top_terms_per_lang": q.top_terms_per_lang,
         "lineitems_of_big_orders": q.lineitems_of_big_orders,
+        "ntile_events_by_user": q.ntile_events_by_user,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -548,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "ntile_events_by_user": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY user_id ORDER BY value, event_id
+                   ) AS BIGINT) AS tile
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        """,
         "lineitems_of_big_orders": """
             SELECT l_orderkey, l_quantity FROM lineitem
              WHERE l_orderkey IN (SELECT o_orderkey FROM orders

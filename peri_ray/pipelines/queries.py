@@ -1340,6 +1340,15 @@ def lineitems_of_big_orders(sf_dir: str):
                                     ("l_quantity", pa.float64())]))
 
 
+def ntile_events_by_user(sf_dir: str):
+    """NTILE(4) per user over (value, event_id) order — position-based
+    quartile assignment with SQL's exact uneven-bucket rule."""
+    from peri_ray.stages.stats import ntile_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "event_id"])
+    return ntile_per_group(ds, "user_id", "value", "event_id", n_tiles=4)
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

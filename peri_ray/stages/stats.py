@@ -699,3 +699,51 @@ def grouped_exact_quantiles(ds, key: str, column: str,
     return pa.table({key: pa.array(out_k, pa.string()),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def ntile_per_group(ds, key: str, order_col: str, id_col: str,
+                    n_tiles: int = 4):
+    """SQL NTILE(n) OVER (PARTITION BY key ORDER BY order_col, id):
+    one row per input row with its 1-based tile.  The id tiebreak makes
+    tile assignment deterministic under equal order values (NTILE is
+    position-based, so an unordered tie would be engine-dependent).
+
+    SQL semantics exactly: with c rows and n tiles, the first c % n
+    tiles get ceil(c/n) rows, the rest floor(c/n).  One
+    ``groupby(key)`` exchange; per group one lexsort + closed-form
+    position->tile arithmetic (no loops)."""
+
+    def _tile(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.is_valid(group.column(order_col)),
+            pc.is_valid(group.column(key))))
+        k = g.column(key).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = g.column(order_col).combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(k) == 0:
+            return pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                              ("tile", pa.int64())]).empty_table()
+        order = np.lexsort((ids, v, k))
+        k, ids = k[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        counts = np.diff(np.append(starts, len(k)))
+        c = np.repeat(counts, counts)
+        pos = np.arange(len(k), dtype=np.int64) - np.repeat(starts, counts)
+        small = c // n_tiles
+        extra = c % n_tiles
+        boundary = extra * (small + 1)
+        in_big = pos < boundary
+        # small can be 0 when c < n_tiles: every row its own tile and
+        # pos < boundary always holds there, so the small branch never
+        # divides by zero on real rows
+        tile = np.where(in_big, pos // np.maximum(small + 1, 1),
+                        extra + (pos - boundary) // np.maximum(small, 1))
+        return pa.table({id_col: pa.array(ids),
+                         key: pa.array(k),
+                         "tile": pa.array(tile + 1)})
+
+    return ds.select_columns([key, order_col, id_col]).groupby(key).map_groups(
+        _tile, batch_format="pyarrow")

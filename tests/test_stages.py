@@ -2152,3 +2152,41 @@ class TestBloomSemiJoin:
             w = sorted((a.as_py(), round(b.as_py(), 9))
                        for a, b in zip(want.column("fk"), want.column("v")))
             assert g == w, f"m_bits={m_bits}"
+
+
+class TestNtile:
+    def test_uneven_buckets_match_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.stats import ntile_per_group
+
+        rng = np.random.default_rng(47)
+        n = 700
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 9, n), pa.int64()),  # sizes < and > 4
+            "v": pa.array(rng.integers(0, 10, n).astype(np.float64)),  # ties
+            "id": pa.array(rng.permutation(n), pa.int64()),
+        })
+        got = sorted((r["id"], r["k"], r["tile"]) for r in ntile_per_group(
+            rd.from_arrow(t), "k", "v", "id", n_tiles=4).take_all())
+        want = sorted(duckdb.sql(
+            "SELECT id, k, ntile(4) OVER (PARTITION BY k ORDER BY v, id) "
+            "FROM t").fetchall())
+        assert got == [(a, b, int(c)) for a, b, c in want]
+
+    def test_groups_smaller_than_tiles(self):
+        import duckdb
+
+        from peri_ray.stages.stats import ntile_per_group
+
+        t = pa.table({
+            "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+            "v": pa.array([5.0, 1.0, 9.0, 2.0, 2.0, 1.0]),
+            "id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        })
+        got = sorted((r["id"], r["tile"]) for r in ntile_per_group(
+            rd.from_arrow(t), "k", "v", "id", n_tiles=4).take_all())
+        want = sorted(duckdb.sql(
+            "SELECT id, ntile(4) OVER (PARTITION BY k ORDER BY v, id) "
+            "FROM t").fetchall())
+        assert got == [(a, int(b)) for a, b in want]
