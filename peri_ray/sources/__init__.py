@@ -161,3 +161,27 @@ def parse_json_column(ds, column: str, drop_source: bool = False,
     import ray.data as rd  # noqa: F401
 
     return ds.map_batches(_parse, batch_format="pyarrow", batch_size=batch_size)
+
+
+def write_jsonl(ds, out_dir: str):
+    """JSONL sink (one .json lines file per block — same resumable
+    sharding contract as the parquet sinks).  For interchange with
+    text-pipeline tooling; parquet remains the scale format (columnar
+    pruning, statistics, compression)."""
+    ds.write_json(out_dir)
+    return out_dir
+
+
+def write_csv(ds, out_dir: str):
+    """CSV sink, one shard per block.  Flat columns only — nested
+    struct/list columns belong in parquet or JSONL.  CSV has no null
+    literal: null strings round-trip as empty strings."""
+    import pyarrow as pa_
+
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if pa_.types.is_nested(typ):
+            raise ValueError(
+                f"write_csv: column {name!r} has nested type {typ}; "
+                "use write_jsonl or parquet")
+    ds.write_csv(out_dir)
+    return out_dir

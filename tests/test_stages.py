@@ -2190,3 +2190,30 @@ class TestNtile:
             "SELECT id, ntile(4) OVER (PARTITION BY k ORDER BY v, id) "
             "FROM t").fetchall())
         assert got == [(a, int(b)) for a, b in want]
+
+
+class TestTextSinks:
+    def test_jsonl_and_csv_round_trip(self, tmp_path):
+        from peri_ray.sources import read_csv_table, read_json_table, write_csv, write_jsonl
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "name": pa.array(["a", "b", None], pa.string()),
+        })
+        ds = rd.from_arrow(t)
+        jd = str(tmp_path / "j")
+        cd = str(tmp_path / "c")
+        write_jsonl(ds, jd)
+        write_csv(ds, cd)
+        back_j = sorted((r["id"], r["name"]) for r in read_json_table(jd).take_all())
+        back_c = sorted((r["id"], r["name"]) for r in read_csv_table(cd).take_all())
+        assert back_j == [(1, "a"), (2, "b"), (3, None)]
+        # CSV has no null literal: a null string round-trips as ""
+        assert back_c == [(1, "a"), (2, "b"), (3, "")]
+
+    def test_csv_rejects_nested(self, tmp_path):
+        from peri_ray.sources import write_csv
+
+        t = pa.table({"v": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+        with pytest.raises(ValueError, match="nested"):
+            write_csv(rd.from_arrow(t), str(tmp_path / "x"))
