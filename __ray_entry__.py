@@ -544,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
               FROM inter JOIN sz na ON inter.id_a = na.doc_id
                          JOIN sz nb ON inter.id_b = nb.doc_id
-             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.6
+             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         """,
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"

@@ -1097,7 +1097,7 @@ def jaccard_join_pairs(sf_dir: str):
     from peri_ray.stages.dedup import jaccard_similarity_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = jaccard_similarity_join(ds, threshold=0.6)
+    pairs = jaccard_similarity_join(ds, threshold=0.8)
     t = _collect(pairs, pa.schema([("id_a", pa.int64()),
                                    ("id_b", pa.int64()),
                                    ("jaccard", pa.float64())]))

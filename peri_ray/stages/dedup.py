@@ -75,6 +75,34 @@ def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
     return a, b
 
 
+def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
+    """Distinct (id_a, id_b) rows via ONE hash-bucketed exchange with a
+    vectorized per-bucket Arrow ``group_by`` — NOT Ray's
+    ``groupby([id_a, id_b]).count()``: that path pays per-GROUP
+    overhead, and candidate-pair tables have nearly as many groups as
+    rows (measured 64 s for 660 K distinct pairs vs ~1 s this way).
+
+    ``with_counts`` adds a ``cnt`` column (multiplicity per pair, e.g.
+    shared-fingerprint counts for winnowing)."""
+    from peri_ray.stages.checks import bucket_of
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()), ":")
+        return t.append_column("__bucket", bucket_of(key, n_buckets))
+
+    def _distinct(group: pa.Table) -> pa.Table:
+        g = group.select(["id_a", "id_b"]).group_by(["id_a", "id_b"])
+        if with_counts:
+            return g.aggregate([([], "count_all")]).rename_columns(
+                ["id_a", "id_b", "cnt"])
+        return g.aggregate([])
+
+    return (pairs.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(_distinct, batch_format="pyarrow"))
+
+
 def hamming64(fa: int, fb: int) -> int:
     """Popcount of the 64-bit XOR of two fingerprints.  The XOR is
     masked to unsigned 64-bit first: fingerprints travel as signed
@@ -345,8 +373,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
     if not dedupe:
         return pairs
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    # dedup pairs found in multiple bands (bucketed, see dedupe_pairs)
+    return dedupe_pairs(pairs)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -742,7 +770,7 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
     pairs = exploded.groupby(["block", "block_val"]).map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    return dedupe_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -828,7 +856,8 @@ class _PrefixEmit:
         ids = ids.filter(valid)
         schema = pa.schema([("term_rank", pa.int64()),
                             ("doc_id", pa.int64()),
-                            ("size", pa.int64())])
+                            ("size", pa.int64()),
+                            ("pos", pa.int64())])
         doc, s = _bigram_rows(txt)
         if len(doc) == 0:
             return schema.empty_table()
@@ -845,7 +874,8 @@ class _PrefixEmit:
         id_np = ids.to_numpy(zero_copy_only=False)
         return pa.table({"term_rank": pa.array(r_s[keep]),
                          "doc_id": pa.array(id_np[doc_s[keep]]),
-                         "size": pa.array(n[keep])})
+                         "size": pa.array(n[keep]),
+                         "pos": pa.array(pos[keep])})
 
 
 def token_bigram_jaccard(a: str, b: str) -> float:
@@ -906,21 +936,29 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     def _cands(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         sz = group.column("size").to_numpy(zero_copy_only=False)
+        ps = group.column("pos").to_numpy(zero_copy_only=False)
         out = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
         if len(ids) < 2:
             return out.empty_table()
         order = np.argsort(ids)
-        ids, sz = ids[order], sz[order]
+        ids, sz, ps = ids[order], sz[order], ps[order]
         iu, ju = np.triu_indices(len(ids), k=1)
         na, nb = sz[iu], sz[ju]
+        # length filter: J >= t forces min >= t * max
         keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        # PPJoin positional filter: overlap is capped by what remains
+        # AFTER this shared token in each doc's rank-sorted set
+        # (1 for the token itself + the shorter remaining suffix), and
+        # J >= t needs overlap >= ceil(t/(1+t) * (na+nb))
+        ub = 1 + np.minimum(na - 1 - ps[iu], nb - 1 - ps[ju])
+        need = np.ceil((threshold / (1.0 + threshold)) * (na + nb))
+        keep &= ub >= need
         return pa.table({"id_a": pa.array(ids[iu][keep]),
                          "id_b": pa.array(ids[ju][keep])})
 
-    cands = (prefix.groupby("term_rank")
-             .map_groups(_cands, batch_format="pyarrow")
-             .groupby(["id_a", "id_b"]).count()
-             .select_columns(["id_a", "id_b"]))
+    cands = dedupe_pairs(
+        prefix.groupby("term_rank").map_groups(_cands, batch_format="pyarrow"),
+        n_buckets=n_buckets)
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,
                              metric=token_bigram_jaccard)

@@ -401,10 +401,12 @@ def shared_passage_pairs(ds, k: int = 8, window: int = 16, min_shared: int = 2,
                          "id_b": pa.array(b, pa.int64())})
 
     pairs = fps.groupby("fingerprint").map_groups(_pairs, batch_format="pyarrow")
-    counted = pairs.groupby(["id_a", "id_b"]).count()
+    from peri_ray.stages.dedup import dedupe_pairs
+
+    counted = dedupe_pairs(pairs, with_counts=True)
 
     def _filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("count()"), min_shared)).select(
+        return t.filter(pc.greater_equal(t.column("cnt"), min_shared)).select(
             ["id_a", "id_b"]
         )
 
