@@ -133,6 +133,14 @@ def run_bench() -> dict:
     timed("enrich_orders_customer", lambda: q.enrich_orders_customer(SF_DIR).to_pandas())
     timed("embedding_centroids_by_label", lambda: q.embedding_centroids_by_label(SF_DIR))
     timed("sliding_event_counts", lambda: q.sliding_event_counts(SF_DIR).to_pandas())
+    timed("jaccard_join_pairs", lambda: q.jaccard_join_pairs(SF_DIR))
+    timed("revenue_by_nation", lambda: q.revenue_by_nation(SF_DIR))
+    timed("tfidf_top_docs", lambda: q.tfidf_top_docs(SF_DIR))
+    timed("heavy_hitter_terms", lambda: q.heavy_hitter_terms_docs(SF_DIR).to_pandas())
+    timed("running_totals_events", lambda: q.running_totals_events(SF_DIR).to_pandas())
+    timed("funnel_click_purchase", lambda: q.funnel_click_purchase(SF_DIR).to_pandas())
+    timed("ntile_events_by_user", lambda: q.ntile_events_by_user(SF_DIR).to_pandas())
+    timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
 
     headline = timings["flagship_web_pages"]
     result = {
