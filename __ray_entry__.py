@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": q.top_terms_per_lang,
         "lineitems_of_big_orders": q.lineitems_of_big_orders,
         "ntile_events_by_user": q.ntile_events_by_user,
+        "activity_full_outer": q.activity_full_outer,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -549,6 +550,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "activity_full_outer": """
+            WITH ev AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(ev.user_id, c.c_custkey) AS user_id,
+                   ev.n_events, c.c_acctbal
+              FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
+        """,
         "ntile_events_by_user": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (

@@ -1349,6 +1349,36 @@ def ntile_events_by_user(sf_dir: str):
     return ntile_per_group(ds, "user_id", "value", "event_id", n_tiles=4)
 
 
+def activity_full_outer(sf_dir: str):
+    """FULL OUTER join: per-user event counts against the customer
+    dim — unmatched sides survive with typed nulls (customers who
+    never fired an event, users outside the customer table)."""
+    from peri_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t.column("user_id").combine_chunks()})
+             .group_by("user_id").aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "n"])
+
+    counts = ev.map_batches(_cnt, batch_format="pyarrow").groupby(
+        "user_id").sum("n")
+
+    def _shape(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["user_id", "n_events"])
+        return t.set_column(1, "n_events",
+                            t.column("n_events").cast(pa.int64()))
+
+    left = counts.map_batches(_shape, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = hash_join(left, cust, "user_id", "c_custkey",
+                    ["n_events"], ["c_acctbal"], how="full")
+    return _collect(out, pa.schema([("user_id", pa.int64()),
+                                    ("n_events", pa.int64()),
+                                    ("c_acctbal", pa.float64())]))
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

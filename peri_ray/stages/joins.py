@@ -20,7 +20,9 @@ exactly like broadcast-vs-shuffled referential:
 Reference parity: Peri has no join (single-record validation,
 ``lib/peri.ex``); these are [NORTH]-mandated table-level operators
 (BASELINE.json: referential checks as hash-partitioned shuffles) made
-user-facing, generalized from anti-only to inner/left/semi/anti.
+user-facing, generalized from anti-only to inner/left/full/semi/anti
+(``full`` is hash-path only: the broadcast path streams the fact side
+and cannot emit unmatched dim rows without a second pass).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from peri_ray.stages.checks import bucket_of
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }
@@ -116,6 +119,10 @@ def broadcast_join(fact, dim, fact_key: str, dim_key: str,
 
     if how not in _ARROW_JOIN_TYPE:
         raise ValueError(f"how must be one of {sorted(_ARROW_JOIN_TYPE)}")
+    if how == "full":
+        raise ValueError(
+            "broadcast_join cannot emit unmatched dim rows (the fact side "
+            "streams); use hash_join(how='full')")
     ref = ray.put(_dim_table(dim, dim_key, dim_cols))
     if fact_cols:
         fact = fact.select_columns(sorted(set(fact_cols + [fact_key])))
@@ -152,7 +159,7 @@ def hash_join(left, right, left_key: str, right_key: str,
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     r_schema = right.schema()
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-    want_right = how in ("inner", "left")
+    want_right = how in ("inner", "left", "full")
 
     def _tag_left(t: pa.Table) -> pa.Table:
         key = t.column(left_key).combine_chunks()

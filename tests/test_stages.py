@@ -2217,3 +2217,24 @@ class TestTextSinks:
         t = pa.table({"v": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
         with pytest.raises(ValueError, match="nested"):
             write_csv(rd.from_arrow(t), str(tmp_path / "x"))
+
+
+class TestFullOuterJoin:
+    def test_unmatched_both_sides(self):
+        from peri_ray.stages.joins import broadcast_join, hash_join
+
+        left = pa.table({"k": pa.array([1, 2, 3, None], pa.int64()),
+                         "lv": pa.array([10, 20, 30, 40], pa.int64())})
+        right = pa.table({"rk": pa.array([2, 3, 5], pa.int64()),
+                          "rv": pa.array(["b", "c", "e"], pa.string())})
+        got = sorted(
+            ((r["k"], r["lv"], r["rv"]) for r in hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+                ["lv"], ["rv"], how="full").take_all()),
+            key=lambda x: (x[0] is None, x))
+        # matched 2,3; left-only 1 and null-key; right-only 5
+        assert got == [(1, 10, None), (2, 20, "b"), (3, 30, "c"),
+                       (5, None, "e"), (None, 40, None)]
+        with pytest.raises(ValueError, match="hash_join"):
+            broadcast_join(rd.from_arrow(left), rd.from_arrow(right),
+                           "k", "rk", ["rv"], how="full")
