@@ -103,6 +103,54 @@ def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
             .groupby("__bucket").map_groups(_distinct, batch_format="pyarrow"))
 
 
+def per_group_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
+                          min_run: int = 2):
+    """Apply ``fn(run_table) -> table`` once per distinct key combo —
+    the ``groupby(keys).map_groups(fn)`` contract — but through ONE
+    hash-bucketed exchange: each bucket sorts by the keys and slices
+    into runs, so per-GROUP cost is a numpy boundary scan + a table
+    slice instead of a Ray aggregate group (which measured ~0.1 ms of
+    fixed overhead per group — 64 s at 660 K groups).  Use whenever the
+    key cardinality is of the order of the row count (LSH buckets,
+    posting lists, fingerprints).
+
+    ``min_run`` skips runs with fewer members (default 2: every
+    caller here generates PAIRS, and most runs are singletons — at
+    300 K distinct fingerprints the per-run ``fn`` table construction
+    alone measured ~6 s; skipping singletons removes ~90% of calls).
+    Pass ``min_run=1`` for fns whose single-member output is not
+    empty."""
+    from peri_ray.stages.checks import bucket_of
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        key = t.column(key_cols[0]).combine_chunks().cast(pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, t.column(c).combine_chunks().cast(pa.string()), "\x1f")
+        return t.append_column("__bucket", bucket_of(key, n_buckets))
+
+    def _runs(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(c, "ascending") for c in key_cols])
+        n = g.num_rows
+        if n == 0:
+            return fn(g)
+        same = np.ones(n, bool)
+        same[0] = False
+        for c in key_cols:
+            arr = g.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            same[1:] &= arr[1:] == arr[:-1]
+        starts = np.flatnonzero(~same)
+        lens = np.diff(np.append(starts, n))
+        outs = [fn(g.slice(s, ln))
+                for s, ln in zip(starts, lens) if ln >= min_run]
+        if not outs:
+            return fn(g.slice(0, 0))  # schema-carrying empty result
+        return pa.concat_tables(outs)
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(_runs, batch_format="pyarrow"))
+
+
 def hamming64(fa: int, fb: int) -> int:
     """Popcount of the 64-bit XOR of two fingerprints.  The XOR is
     masked to unsigned 64-bit first: fingerprints travel as signed
@@ -370,7 +418,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         a, b = bucket_pairs(ids, context="minhash-lsh")
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
+    # band buckets have ~row-count cardinality: run-sliced, not Ray groups
+    pairs = per_group_via_buckets(exploded, ["band", "band_hash"], _pairs)
     if not dedupe:
         return pairs
     # dedup pairs found in multiple bands (bucketed, see dedupe_pairs)
@@ -769,7 +818,7 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                 b.append(xb)
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    pairs = exploded.groupby(["block", "block_val"]).map_groups(_pairs, batch_format="pyarrow")
+    pairs = per_group_via_buckets(exploded, ["block", "block_val"], _pairs)
     return dedupe_pairs(pairs)
 
 
@@ -840,6 +889,11 @@ class _PrefixEmit:
     SQL twin excludes them identically).  Vectorized: one lexsort per
     batch, per-doc prefix selection via cumulative positions."""
 
+    #: hash-ranks for bigrams outside the broadcast table sit BELOW
+    #: every table rank (the table holds the most COMMON bigrams, and
+    #: the order is rare-first)
+    RANK_BASE = 1 << 62
+
     def __init__(self, text_col: str, id_col: str, threshold: float, rank_ref):
         import ray
 
@@ -862,7 +916,24 @@ class _PrefixEmit:
         if len(doc) == 0:
             return schema.empty_table()
         rank = self.rank
-        r = np.fromiter((rank[x] for x in s.to_pylist()), np.int64, len(s))
+        terms = s.to_pylist()
+        r = np.empty(len(terms), np.int64)
+        miss = []
+        for i, x in enumerate(terms):
+            v = rank.get(x)
+            if v is None:
+                miss.append(i)
+            else:
+                r[i] = v
+        if miss:
+            # rarer than everything in the truncated table: a
+            # hash-derived rank below RANK_BASE.  Collisions conflate
+            # two bigrams' posting lists (~2^-61 per pair) — extra
+            # CANDIDATES only; the exact verify pass keeps the result
+            # independent of rank-order quality.
+            hs = hash_strings(pa.array([terms[i] for i in miss]), seed=7)
+            r[np.asarray(miss, np.int64)] = (
+                hs % np.uint64(self.RANK_BASE - 1)).astype(np.int64)
         order = np.lexsort((r, doc))
         doc_s, r_s = doc[order], r[order]
         uniq, starts, counts = np.unique(doc_s, return_index=True,
@@ -892,7 +963,8 @@ def token_bigram_jaccard(a: str, b: str) -> float:
 
 def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.6, n_buckets: int = 64,
-                            batch_size: int | None = 8192):
+                            batch_size: int | None = 8192,
+                            max_rank_terms: int | None = 1_000_000):
     """EXACT all-pairs self-join on word-bigram Jaccard >= ``threshold``
     — the n-gram-Jaccard dedup family member with a provable
     completeness guarantee (no LSH recall loss), AllPairs / prefix
@@ -925,9 +997,17 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
 
     df_partials = ds.map_batches(_BigramDFPartial(text_col),
                                  batch_format="pyarrow", batch_size=batch_size)
-    rows = df_partials.groupby("term").sum("df").take_all()
+    totals = df_partials.groupby("term").sum("df")
+    if max_rank_terms is not None:
+        # scale fallback: keep only the most COMMON bigrams on the
+        # driver (they are the ordering signal that keeps hot terms out
+        # of prefixes); the rare tail rank-orders by hash below them.
+        # Order quality affects candidate COUNT only, never the result.
+        totals = totals.sort("sum(df)", descending=True).limit(max_rank_terms)
+    rows = totals.take_all()
     ordered = sorted(rows, key=lambda r: (r["sum(df)"], r["term"]))
-    rank_ref = ray.put({r["term"]: i for i, r in enumerate(ordered)})
+    base = _PrefixEmit.RANK_BASE
+    rank_ref = ray.put({r["term"]: base + i for i, r in enumerate(ordered)})
 
     prefix = ds.map_batches(
         _PrefixEmit(text_col, id_col, threshold, rank_ref),
@@ -957,7 +1037,8 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(ids[ju][keep])})
 
     cands = dedupe_pairs(
-        prefix.groupby("term_rank").map_groups(_cands, batch_format="pyarrow"),
+        per_group_via_buckets(prefix, ["term_rank"], _cands,
+                              n_buckets=n_buckets),
         n_buckets=n_buckets)
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,

@@ -17,6 +17,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
@@ -151,6 +152,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
                               batch_format="pyarrow")
 
     def _pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("cosine", pa.float64())]).empty_table()
         m = _normalize(_as_matrix(group.column(vec_col)))
         ids = np.asarray(group.column(id_col).to_pylist())
         sims = m @ m.T
@@ -162,8 +166,26 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
                          "cosine": pa.array(sims[ia[mask], ib[mask]], pa.float64())})
 
-    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).max("cosine")
+    # both the LSH buckets and the distinct pairs have ~row-count
+    # cardinality: run-sliced exchanges, not Ray per-group aggregates
+    from peri_ray.stages.checks import bucket_of
+    from peri_ray.stages.dedup import per_group_via_buckets
+
+    pairs = per_group_via_buckets(bucketed, ["bucket"], _pairs)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()), ":")
+        return t.append_column("__pb", bucket_of(key, 64))
+
+    def _max(group: pa.Table) -> pa.Table:
+        g = (group.select(["id_a", "id_b", "cosine"])
+             .group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]))
+        return g.rename_columns(["id_a", "id_b", "max(cosine)"])
+
+    return (pairs.map_batches(_tag, batch_format="pyarrow")
+            .groupby("__pb").map_groups(_max, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

@@ -400,9 +400,9 @@ def shared_passage_pairs(ds, k: int = 8, window: int = 16, min_shared: int = 2,
         return pa.table({"id_a": pa.array(a, pa.int64()),
                          "id_b": pa.array(b, pa.int64())})
 
-    pairs = fps.groupby("fingerprint").map_groups(_pairs, batch_format="pyarrow")
-    from peri_ray.stages.dedup import dedupe_pairs
+    from peri_ray.stages.dedup import dedupe_pairs, per_group_via_buckets
 
+    pairs = per_group_via_buckets(fps, ["fingerprint"], _pairs)
     counted = dedupe_pairs(pairs, with_counts=True)
 
     def _filter(t: pa.Table) -> pa.Table:

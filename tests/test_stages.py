@@ -2238,3 +2238,22 @@ class TestFullOuterJoin:
         with pytest.raises(ValueError, match="hash_join"):
             broadcast_join(rd.from_arrow(left), rd.from_arrow(right),
                            "k", "rk", ["rv"], how="full")
+
+
+class TestJaccardTruncatedRankTable:
+    def test_tiny_rank_table_still_exact(self):
+        from peri_ray.stages.dedup import jaccard_similarity_join
+
+        rng = np.random.default_rng(53)
+        vocab = [f"u{i}" for i in range(14)]
+        docs = [(i, " ".join(rng.choice(vocab, int(rng.integers(6, 25)))))
+                for i in range(50)]
+        docs.append((100, docs[4][1]))  # exact dup
+        brute = TestJaccardSimilarityJoin._brute(docs, 0.6)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+        got = jaccard_similarity_join(ds, threshold=0.6, max_rank_terms=3)
+        rows = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                      for r in got.take_all())
+        assert rows == brute
