@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitems_of_big_orders": q.lineitems_of_big_orders,
         "ntile_events_by_user": q.ntile_events_by_user,
         "activity_full_outer": q.activity_full_outer,
+        "rank_events_by_user": q.rank_events_by_user,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -550,6 +551,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "rank_events_by_user": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER (
+                     PARTITION BY user_id ORDER BY value
+                   ) AS BIGINT) AS rnk
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        """,
         "activity_full_outer": """
             WITH ev AS (
               SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

@@ -1379,6 +1379,15 @@ def activity_full_outer(sf_dir: str):
                                     ("c_acctbal", pa.float64())]))
 
 
+def rank_events_by_user(sf_dir: str):
+    """rank() per user over value — ties share a rank (gaps after),
+    deterministic without an id tiebreak."""
+    from peri_ray.stages.stats import rank_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "event_id"])
+    return rank_per_group(ds, "user_id", "value", "event_id")
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -747,3 +747,58 @@ def ntile_per_group(ds, key: str, order_col: str, id_col: str,
 
     return ds.select_columns([key, order_col, id_col]).groupby(key).map_groups(
         _tile, batch_format="pyarrow")
+
+
+def rank_per_group(ds, key: str, order_col: str, id_col: str,
+                   method: str = "rank", descending: bool = False):
+    """SQL rank() / dense_rank() OVER (PARTITION BY key ORDER BY
+    order_col): one row per input row with its rank.  Unlike
+    row_number, ties SHARE a rank, so the result is deterministic
+    without an id tiebreak — ``id_col`` is only carried through for
+    row identity.
+
+    ``method``: "rank" (gaps after ties) or "dense_rank" (no gaps).
+    One ``groupby(key)`` exchange; per group one lexsort + vectorized
+    first-of-tie-run positions."""
+    if method not in ("rank", "dense_rank"):
+        raise ValueError("method must be 'rank' or 'dense_rank'")
+
+    def _rank(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.is_valid(group.column(order_col)),
+            pc.is_valid(group.column(key))))
+        k = g.column(key).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = g.column(order_col).combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(k) == 0:
+            return pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                              ("rnk", pa.int64())]).empty_table()
+        vv = -v if descending else v
+        order = np.lexsort((vv, k))
+        k, v_s, ids = k[order], vv[order], ids[order]
+        gstart = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(gstart)
+        counts = np.diff(np.append(starts, len(k)))
+        new_val = gstart | np.concatenate(([False], v_s[1:] != v_s[:-1]))
+        if method == "rank":
+            # rank = (absolute tie-run start) - (group start) + 1;
+            # computed from absolute indices so nothing carries across
+            # group boundaries
+            run_starts = np.flatnonzero(new_val)
+            run_lens = np.diff(np.append(run_starts, len(k)))
+            rnk = (np.repeat(run_starts, run_lens)
+                   - np.repeat(starts, counts) + 1)
+        else:
+            # dense rank = number of distinct values seen so far in group
+            cum_new = np.cumsum(new_val)
+            base = np.repeat(cum_new[starts] - 1, counts)
+            rnk = cum_new - base
+        return pa.table({id_col: pa.array(ids),
+                         key: pa.array(k),
+                         "rnk": pa.array(rnk.astype(np.int64))})
+
+    return ds.select_columns([key, order_col, id_col]).groupby(key).map_groups(
+        _rank, batch_format="pyarrow")

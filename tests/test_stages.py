@@ -2257,3 +2257,37 @@ class TestJaccardTruncatedRankTable:
         rows = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
                       for r in got.take_all())
         assert rows == brute
+
+
+class TestRankPerGroup:
+    def test_rank_and_dense_rank_match_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.stats import rank_per_group
+
+        rng = np.random.default_rng(59)
+        n = 500
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 8, n).astype(np.float64)),  # ties
+            "id": pa.array(rng.permutation(n), pa.int64()),
+        })
+        for method, sqlfn in (("rank", "rank()"), ("dense_rank", "dense_rank()")):
+            got = sorted((r["id"], r["rnk"]) for r in rank_per_group(
+                rd.from_arrow(t), "k", "v", "id", method=method).take_all())
+            want = sorted(duckdb.sql(
+                f"SELECT id, {sqlfn} OVER (PARTITION BY k ORDER BY v) "
+                "FROM t").fetchall())
+            assert got == [(a, int(b)) for a, b in want], method
+
+    def test_descending(self):
+        from peri_ray.stages.stats import rank_per_group
+
+        t = pa.table({
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "v": pa.array([5.0, 9.0, 9.0]),
+            "id": pa.array([1, 2, 3], pa.int64()),
+        })
+        got = {r["id"]: r["rnk"] for r in rank_per_group(
+            rd.from_arrow(t), "k", "v", "id", descending=True).take_all()}
+        assert got == {2: 1, 3: 1, 1: 3}
