@@ -900,7 +900,10 @@ class _PrefixEmit:
         self.text_col = text_col
         self.id_col = id_col
         self.t = threshold
-        self.rank = ray.get(rank_ref)
+        # (sorted term-hash uint64, rank int64) parallel arrays — the
+        # lookup is one vectorized hash + searchsorted per batch, not a
+        # python dict get per (doc, bigram) row
+        self.hashes, self.ranks = ray.get(rank_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         txt = t.column(self.text_col).combine_chunks()
@@ -915,25 +918,18 @@ class _PrefixEmit:
         doc, s = _bigram_rows(txt)
         if len(doc) == 0:
             return schema.empty_table()
-        rank = self.rank
-        terms = s.to_pylist()
-        r = np.empty(len(terms), np.int64)
-        miss = []
-        for i, x in enumerate(terms):
-            v = rank.get(x)
-            if v is None:
-                miss.append(i)
-            else:
-                r[i] = v
-        if miss:
-            # rarer than everything in the truncated table: a
-            # hash-derived rank below RANK_BASE.  Collisions conflate
-            # two bigrams' posting lists (~2^-61 per pair) — extra
-            # CANDIDATES only; the exact verify pass keeps the result
-            # independent of rank-order quality.
-            hs = hash_strings(pa.array([terms[i] for i in miss]), seed=7)
-            r[np.asarray(miss, np.int64)] = (
-                hs % np.uint64(self.RANK_BASE - 1)).astype(np.int64)
+        h = hash_strings(s, seed=7)
+        idx = np.searchsorted(self.hashes, h)
+        idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
+        hit = (self.hashes[idx_c] == h) if len(self.hashes) else \
+            np.zeros(len(h), bool)
+        # misses (rarer than everything in the truncated table) get a
+        # hash-derived rank below RANK_BASE.  Hash collisions conflate
+        # two bigrams' posting lists (~2^-61 per pair) — extra
+        # CANDIDATES only; the exact verify pass keeps the result
+        # independent of rank-order quality.
+        r = np.where(hit, self.ranks[idx_c] if len(self.ranks) else 0,
+                     (h % np.uint64(self.RANK_BASE - 1)).astype(np.int64))
         order = np.lexsort((r, doc))
         doc_s, r_s = doc[order], r[order]
         uniq, starts, counts = np.unique(doc_s, return_index=True,
@@ -995,9 +991,24 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
+    from peri_ray.stages.checks import bucket_of
+
     df_partials = ds.map_batches(_BigramDFPartial(text_col),
                                  batch_format="pyarrow", batch_size=batch_size)
-    totals = df_partials.groupby("term").sum("df")
+
+    # distinct-term cardinality ~ corpus vocabulary: the (term, df) sum
+    # must NOT run as a Ray per-group aggregate (5.9 M groups measured
+    # ~2 min; this bucketed shape is seconds)
+    def _tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", bucket_of(t.column("term"), 64))
+
+    def _sum(group: pa.Table) -> pa.Table:
+        g = (group.select(["term", "df"])
+             .group_by("term").aggregate([("df", "sum")]))
+        return g.rename_columns(["term", "sum(df)"])
+
+    totals = (df_partials.map_batches(_tag, batch_format="pyarrow")
+              .groupby("__bucket").map_groups(_sum, batch_format="pyarrow"))
     if max_rank_terms is not None:
         # scale fallback: keep only the most COMMON bigrams on the
         # driver (they are the ordering signal that keeps hot terms out
@@ -1007,7 +1018,10 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     rows = totals.take_all()
     ordered = sorted(rows, key=lambda r: (r["sum(df)"], r["term"]))
     base = _PrefixEmit.RANK_BASE
-    rank_ref = ray.put({r["term"]: base + i for i, r in enumerate(ordered)})
+    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
+    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
+    order = np.argsort(th)
+    rank_ref = ray.put((th[order], ranks[order]))
 
     prefix = ds.map_batches(
         _PrefixEmit(text_col, id_col, threshold, rank_ref),
