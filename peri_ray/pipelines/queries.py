@@ -1307,11 +1307,13 @@ def top_terms_per_lang(sf_dir: str):
              .group_by(["lang", "term"]).aggregate([([], "count_all")]))
         return g.rename_columns(["lang", "term", "n"])
 
-    counts = (ds.map_batches(_pairs, batch_format="pyarrow")
-              .groupby(["lang", "term"]).sum("n"))
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    # (lang, term) cardinality ~ vocabulary x languages: bucketed sum
+    counts = grouped_sum_via_buckets(
+        ds.map_batches(_pairs, batch_format="pyarrow"), ["lang", "term"], "n")
 
     def _shape(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["lang", "term", "n"])
         return t.set_column(2, "n", t.column("n").cast(pa.int64()))
 
     shaped = counts.map_batches(_shape, batch_format="pyarrow")

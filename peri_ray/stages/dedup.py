@@ -103,6 +103,49 @@ def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
             .groupby("__bucket").map_groups(_distinct, batch_format="pyarrow"))
 
 
+def map_groups_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64):
+    """Replace ``groupby(keys).map_groups(fn)`` with ONE hash-bucketed
+    exchange when ``fn`` already handles SEVERAL key groups per call
+    (every per-user window operator here lexsorts by key internally —
+    Ray's small-key packing forced that long ago).  At web scale the
+    key cardinality (users, sessions) is unbounded, and Ray's
+    per-group aggregate overhead with millions of groups dominates the
+    actual work; a fixed ``n_buckets`` exchange costs the same
+    regardless of key cardinality.  Correct for any fn whose output
+    depends only on the co-location of equal keys."""
+    from peri_ray.stages.checks import bucket_of
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        key = t.column(key_cols[0]).combine_chunks()
+        if len(key_cols) > 1:
+            key = key.cast(pa.string())
+            for c in key_cols[1:]:
+                key = pc.binary_join_element_wise(
+                    key, t.column(c).combine_chunks().cast(pa.string()),
+                    "\x1f")
+        return t.append_column("__bucket", bucket_of(key, n_buckets))
+
+    def _drop(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(["__bucket"]))
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(_drop, batch_format="pyarrow"))
+
+
+def grouped_sum_via_buckets(ds, key_cols: list[str], val_col: str,
+                            n_buckets: int = 64):
+    """``groupby(keys).sum(val)`` via the bucketed exchange, for keys
+    whose cardinality is of the order of the row count (terms, urls).
+    Output keeps the input column names (no ``sum(x)`` renaming)."""
+
+    def _sum(group: pa.Table) -> pa.Table:
+        g = (group.select(key_cols + [val_col])
+             .group_by(key_cols).aggregate([(val_col, "sum")]))
+        return g.rename_columns(key_cols + [val_col])
+
+    return map_groups_via_buckets(ds, key_cols, _sum, n_buckets)
+
+
 def per_group_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
                           min_run: int = 2):
     """Apply ``fn(run_table) -> table`` once per distinct key combo —

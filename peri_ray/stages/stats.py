@@ -745,8 +745,10 @@ def ntile_per_group(ds, key: str, order_col: str, id_col: str,
                          key: pa.array(k),
                          "tile": pa.array(tile + 1)})
 
-    return ds.select_columns([key, order_col, id_col]).groupby(key).map_groups(
-        _tile, batch_format="pyarrow")
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([key, order_col, id_col]), [key], _tile)
 
 
 def rank_per_group(ds, key: str, order_col: str, id_col: str,
@@ -800,5 +802,7 @@ def rank_per_group(ds, key: str, order_col: str, id_col: str,
                          key: pa.array(k),
                          "rnk": pa.array(rnk.astype(np.int64))})
 
-    return ds.select_columns([key, order_col, id_col]).groupby(key).map_groups(
-        _rank, batch_format="pyarrow")
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([key, order_col, id_col]), [key], _rank)

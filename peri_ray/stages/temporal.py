@@ -134,8 +134,10 @@ def sessionize(ds, ts_col: str = "ts", user_col: str = "user_id",
                 pa.timestamp("us")),
         })
 
-    return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
-        _sessions, batch_format="pyarrow")
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col]), [user_col], _sessions)
 
 
 # ---------------------------------------------------------------------------
@@ -470,8 +472,10 @@ def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
                          "sum_gap_us": pa.array(out_s, pa.int64()),
                          "max_gap_us": pa.array(out_m, pa.int64())})
 
-    return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
-        _gaps, batch_format="pyarrow")
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col]), [user_col], _gaps)
 
 
 # ---------------------------------------------------------------------------
@@ -530,8 +534,10 @@ def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
         return pa.table({"step": pa.array(np.arange(1, n_steps + 1)),
                          "n_users": pa.array(counts)})
 
-    partials = (ds.map_batches(_prefilter, batch_format="pyarrow")
-                .groupby("u").map_groups(_per_user, batch_format="pyarrow"))
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    partials = map_groups_via_buckets(
+        ds.map_batches(_prefilter, batch_format="pyarrow"), ["u"], _per_user)
     totals = partials.groupby("step").sum("n_users")
 
     def _final(t: pa.Table) -> pa.Table:
@@ -596,5 +602,8 @@ def running_totals(ds, user_col: str = "user_id", ts_col: str = "ts",
                          user_col: pa.array(u),
                          "run_sum_micro": pa.array(run - base)})
 
-    return ds.select_columns([user_col, ts_col, id_col, value_col]).groupby(
-        user_col).map_groups(_cum, batch_format="pyarrow")
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col, id_col, value_col]),
+        [user_col], _cum)

@@ -455,12 +455,15 @@ def term_document_frequency(ds, text_col: str = "text",
     never shuffles.  ``min_df`` prunes the long hapax tail after the
     merge (at web scale most terms appear once; filtering post-merge
     keeps exactness)."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
     partials = ds.map_batches(_TermDFPartial(text_col),
                               batch_format="pyarrow", batch_size=batch_size)
-    totals = partials.groupby("term").sum("df")
+    # term cardinality ~ corpus vocabulary: bucketed sum, never a Ray
+    # per-group aggregate (see dedup.map_groups_via_buckets)
+    totals = grouped_sum_via_buckets(partials, ["term"], "df")
 
     def _final(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["term", "df"])
         if min_df > 1:
             t = t.filter(pc.greater_equal(t.column("df"), min_df))
         return t.set_column(1, "df", t.column("df").cast(pa.int64()))
