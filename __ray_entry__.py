@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events_by_user": q.ntile_events_by_user,
         "activity_full_outer": q.activity_full_outer,
         "rank_events_by_user": q.rank_events_by_user,
+        "chi2_lang_source": q.chi2_lang_source,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -551,6 +552,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "chi2_lang_source": """
+            WITH c AS (
+              SELECT lang AS a, source AS b, count(*) AS o FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+            ),
+            rt AS (SELECT a, sum(o) AS rt FROM c GROUP BY a),
+            ct AS (SELECT b, sum(o) AS ct FROM c GROUP BY b),
+            n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c)
+            SELECT ROUND(sum(power(COALESCE(c.o, 0) - rt.rt * ct.ct / n.n, 2)
+                         / (rt.rt * ct.ct / n.n)), 6) AS chi2,
+                   CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+                   * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+                   CAST(any_value(n.n) AS BIGINT) AS n
+              FROM rt CROSS JOIN ct CROSS JOIN n
+              LEFT JOIN c ON c.a = rt.a AND c.b = ct.b
+        """,
         "rank_events_by_user": """
             SELECT event_id, user_id,
                    CAST(rank() OVER (

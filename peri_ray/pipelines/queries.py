@@ -1390,6 +1390,18 @@ def rank_events_by_user(sf_dir: str):
     return rank_per_group(ds, "user_id", "value", "event_id")
 
 
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square independence between lang and source —
+    zero cells included (a sparse GROUP BY would skip them)."""
+    from peri_ray.stages.checks import chi_square_independence
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    r = chi_square_independence(ds, "lang", "source")
+    return pa.table({"chi2": pa.array([round(r["chi2"], 6)], pa.float64()),
+                     "dof": pa.array([r["dof"]], pa.int64()),
+                     "n": pa.array([r["n"]], pa.int64())})
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

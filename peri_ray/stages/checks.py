@@ -308,3 +308,46 @@ def referential_violations_shuffled(ds, column: str, dim, n_buckets: int = 64,
         return facts.filter(missing).select(fact_cols)
 
     return both.groupby("__bucket").map_groups(_anti, batch_format="pyarrow")
+
+
+def chi_square_independence(ds, col_a: str, col_b: str,
+                            batch_size: int | None = 65536) -> dict[str, Any]:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift family's "are these two fields entangled?"
+    check (e.g. does document language depend on crawl source?).
+
+    Shape: per-batch (a, b, cnt) contingency partials — bounded by the
+    category-pair count per block — merged on the driver into the
+    dense R x C table (zero cells INCLUDED: the statistic needs every
+    expected cell, which a sparse SQL GROUP BY would silently skip).
+    Returns {chi2, dof, n}; rows with a null on either side are
+    excluded (no category)."""
+    import pyarrow as pa_
+
+    def _part(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).combine_chunks().cast(pa.string())
+        b = t.column(col_b).combine_chunks().cast(pa.string())
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        tt = pa.table({"a": a, "b": b}).filter(keep)
+        g = tt.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "cnt"])
+
+    rows = ds.map_batches(_part, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    cells: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (r["a"], r["b"])
+        cells[k] = cells.get(k, 0) + r["cnt"]
+    ra = sorted({k[0] for k in cells})
+    cb = sorted({k[1] for k in cells})
+    if len(ra) < 2 or len(cb) < 2:
+        return {"chi2": 0.0, "dof": 0, "n": sum(cells.values())}
+    obs = np.zeros((len(ra), len(cb)), np.float64)
+    ia = {v: i for i, v in enumerate(ra)}
+    ib = {v: i for i, v in enumerate(cb)}
+    for (a, b), cnt in cells.items():
+        obs[ia[a], ib[b]] = cnt
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    return {"chi2": chi2, "dof": (len(ra) - 1) * (len(cb) - 1), "n": int(n)}

@@ -2291,3 +2291,34 @@ class TestRankPerGroup:
         got = {r["id"]: r["rnk"] for r in rank_per_group(
             rd.from_arrow(t), "k", "v", "id", descending=True).take_all()}
         assert got == {2: 1, 3: 1, 1: 3}
+
+
+class TestChiSquare:
+    def test_matches_scipy_free_reference(self):
+        from peri_ray.stages.checks import chi_square_independence
+
+        rng = np.random.default_rng(61)
+        # dependent columns: b correlates with a
+        a = rng.choice(["x", "y", "z"], 2000)
+        b = np.where(rng.random(2000) < 0.7, a, rng.choice(["x", "y", "z"], 2000))
+        t = pa.table({"a": pa.array(a.tolist(), pa.string()),
+                      "b": pa.array(b.tolist(), pa.string())})
+        r = chi_square_independence(rd.from_arrow(t), "a", "b")
+        # brute-force chi2
+        cats_a, cats_b = sorted(set(a)), sorted(set(b))
+        obs = np.zeros((3, 3))
+        for x, y in zip(a, b):
+            obs[cats_a.index(x), cats_b.index(y)] += 1
+        exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+        want = ((obs - exp) ** 2 / exp).sum()
+        assert abs(r["chi2"] - want) < 1e-9
+        assert r["dof"] == 4 and r["n"] == 2000
+        assert r["chi2"] > 100  # strongly dependent
+
+    def test_degenerate_single_category(self):
+        from peri_ray.stages.checks import chi_square_independence
+
+        t = pa.table({"a": pa.array(["x"] * 10, pa.string()),
+                      "b": pa.array(["p", "q"] * 5, pa.string())})
+        r = chi_square_independence(rd.from_arrow(t), "a", "b")
+        assert r == {"chi2": 0.0, "dof": 0, "n": 10}
