@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_full_outer": q.activity_full_outer,
         "rank_events_by_user": q.rank_events_by_user,
         "chi2_lang_source": q.chi2_lang_source,
+        "event_sequences": q.event_sequences,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -552,6 +553,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+              FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               AND event_type IS NOT NULL
+             GROUP BY user_id
+        """,
         "chi2_lang_source": """
             WITH c AS (
               SELECT lang AS a, source AS b, count(*) AS o FROM documents

@@ -1402,6 +1402,15 @@ def chi2_lang_source(sf_dir: str):
                      "n": pa.array([r["n"]], pa.int64())})
 
 
+def event_sequences(sf_dir: str):
+    """Ordered per-user event-type sequences (string_agg ORDER BY ts,
+    event_id) — session path assembly."""
+    from peri_ray.stages.stats import collect_sorted
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return collect_sorted(ds, "user_id", "event_type", "ts", "event_id")
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

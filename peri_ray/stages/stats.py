@@ -806,3 +806,42 @@ def rank_per_group(ds, key: str, order_col: str, id_col: str,
 
     return map_groups_via_buckets(
         ds.select_columns([key, order_col, id_col]), [key], _rank)
+
+
+def collect_sorted(ds, key: str, value_col: str, ts_col: str, id_col: str,
+                   sep: str = ","):
+    """SQL ``string_agg(value, sep ORDER BY ts, id)`` per key — ordered
+    event-sequence assembly (session traces, path analysis).  The id
+    tiebreak makes the concatenation deterministic under equal
+    timestamps.  One fixed-bucket exchange (key cardinality unbounded
+    at scale); per group one lexsort + per-segment joins."""
+
+    def _agg(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.is_valid(group.column(value_col)),
+            pc.and_(pc.is_valid(group.column(ts_col)),
+                    pc.is_valid(group.column(key)))))
+        k = g.column(key).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vals = g.column(value_col).combine_chunks().cast(pa.string())
+        if len(k) == 0:
+            return pa.schema([(key, pa.int64()),
+                              ("seq", pa.string())]).empty_table()
+        order = np.lexsort((ids, ts, k))
+        k, v = k[order], np.asarray(vals.to_pylist(), object)[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.append(starts[1:], len(k))
+        return pa.table({
+            key: pa.array(k[starts]),
+            "seq": pa.array([sep.join(v[s:e]) for s, e in zip(starts, ends)],
+                            pa.string()),
+        })
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([key, value_col, ts_col, id_col]), [key], _agg)

@@ -2322,3 +2322,24 @@ class TestChiSquare:
                       "b": pa.array(["p", "q"] * 5, pa.string())})
         r = chi_square_independence(rd.from_arrow(t), "a", "b")
         assert r == {"chi2": 0.0, "dof": 0, "n": 10}
+
+
+class TestCollectSorted:
+    def test_order_and_ties(self):
+        from peri_ray.stages.stats import collect_sorted
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["b", "a", "c", "x", "y", None],
+                                   pa.string()),
+            "ts": pa.array([20, 10, 10, 5, 5, 1], pa.int64()).cast(
+                pa.timestamp("us")),
+            "event_id": pa.array([100, 101, 99, 7, 6, 1], pa.int64()),
+        })
+        got = {r["user_id"]: r["seq"] for r in collect_sorted(
+            rd.from_arrow(t), "user_id", "event_type", "ts",
+            "event_id").take_all()}
+        # user 1: ts=10 tie broken by id (99 -> c, 101 -> a), then b
+        # user 2: ts tie broken by id (6 -> y, 7 -> x)
+        # user 3: only a null value -> excluded entirely
+        assert got == {1: "c,a,b", 2: "y,x"}
