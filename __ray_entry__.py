@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_by_user": q.rank_events_by_user,
         "chi2_lang_source": q.chi2_lang_source,
         "event_sequences": q.event_sequences,
+        "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -553,6 +554,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "duplicate_user_event_pairs": """
+            SELECT user_id, event_type, count(*) AS cnt FROM events
+             GROUP BY user_id, event_type HAVING count(*) > 1
+        """,
         "event_sequences": """
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

@@ -1411,6 +1411,19 @@ def event_sequences(sf_dir: str):
     return collect_sorted(ds, "user_id", "event_type", "ts", "event_id")
 
 
+def duplicate_user_event_pairs(sf_dir: str):
+    """Composite-key uniqueness over (user_id, event_type): every pair
+    a user repeats, with its multiplicity."""
+    from peri_ray.stages.checks import duplicate_composite_keys
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    t = _collect(duplicate_composite_keys(ds, ["user_id", "event_type"]),
+                 pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("cnt", pa.int64())]))
+    return t
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

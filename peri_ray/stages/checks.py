@@ -351,3 +351,33 @@ def chi_square_independence(ds, col_a: str, col_b: str,
     exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
     chi2 = float(((obs - exp) ** 2 / exp).sum())
     return {"chi2": chi2, "dof": (len(ra) - 1) * (len(cb) - 1), "n": int(n)}
+
+
+def duplicate_composite_keys(ds, keys: list[str], n_buckets: int = 64,
+                             batch_size: int | None = 65536):
+    """Composite-key uniqueness: (k1, ..., kn, cnt) rows with cnt > 1 —
+    multi-column primary keys (e.g. (orderkey, linenumber)).  Same
+    two-phase hash-bucketed shape as :func:`duplicate_keys`; the bucket
+    keys on the joined key string so all parts of one composite land
+    together."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        g = (t.select(keys).group_by(keys).aggregate([([], "count_all")])
+             .rename_columns(keys + ["cnt"]))
+        key = g.column(keys[0]).combine_chunks().cast(pa.string())
+        for c in keys[1:]:
+            key = pc.binary_join_element_wise(
+                pc.coalesce(key, pa.scalar("\x00", pa.string())),
+                pc.coalesce(g.column(c).combine_chunks().cast(pa.string()),
+                            pa.scalar("\x00", pa.string())), "\x1f")
+        return g.append_column("bucket", bucket_of(key, n_buckets))
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _agg(group: pa.Table) -> pa.Table:
+        g = (group.select(keys + ["cnt"]).group_by(keys)
+             .aggregate([("cnt", "sum")]).rename_columns(keys + ["cnt"]))
+        return g.filter(pc.greater(g.column("cnt"), 1))
+
+    return partials.groupby("bucket").map_groups(_agg, batch_format="pyarrow")

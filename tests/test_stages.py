@@ -2343,3 +2343,19 @@ class TestCollectSorted:
         # user 2: ts tie broken by id (6 -> y, 7 -> x)
         # user 3: only a null value -> excluded entirely
         assert got == {1: "c,a,b", 2: "y,x"}
+
+
+class TestCompositeKeyUniqueness:
+    def test_duplicates_and_nulls(self):
+        from peri_ray.stages.checks import duplicate_composite_keys
+
+        t = pa.table({
+            "a": pa.array([1, 1, 1, 2, None, None], pa.int64()),
+            "b": pa.array(["x", "x", "y", "x", "z", "z"], pa.string()),
+        })
+        got = sorted(
+            ((r["a"], r["b"], r["cnt"]) for r in duplicate_composite_keys(
+                rd.from_arrow(t), ["a", "b"]).take_all()),
+            key=lambda x: (x[0] is None, x))
+        # (1,x) twice; (null,z) twice (SQL GROUP BY groups nulls)
+        assert got == [(1, "x", 2), (None, "z", 2)]
