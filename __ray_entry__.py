@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source": q.chi2_lang_source,
         "event_sequences": q.event_sequences,
         "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
+        "cumulative_users": q.cumulative_users,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -554,6 +555,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "cumulative_users": """
+            WITH f AS (
+              SELECT user_id, min(ts) AS first FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id
+            ),
+            d AS (
+              SELECT CAST(floor(epoch_us(first) / 86400000000)
+                          * 86400 AS BIGINT) AS day, count(*) AS c
+                FROM f GROUP BY 1
+            )
+            SELECT day, CAST(sum(c) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users FROM d
+        """,
         "duplicate_user_event_pairs": """
             SELECT user_id, event_type, count(*) AS cnt FROM events
              GROUP BY user_id, event_type HAVING count(*) > 1

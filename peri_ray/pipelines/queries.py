@@ -1424,6 +1424,16 @@ def duplicate_user_event_pairs(sf_dir: str):
     return t
 
 
+def cumulative_users(sf_dir: str):
+    """Cumulative unique users per day via the first-seen reduction
+    (COUNT(DISTINCT) OVER a running frame is not distributable as
+    such; each user counts once, at min(ts))."""
+    from peri_ray.stages.temporal import cumulative_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cumulative_distinct(ds)
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

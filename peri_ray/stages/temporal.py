@@ -607,3 +607,59 @@ def running_totals(ds, user_col: str = "user_id", ts_col: str = "ts",
     return map_groups_via_buckets(
         ds.select_columns([user_col, ts_col, id_col, value_col]),
         [user_col], _cum)
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_distinct(ds, user_col: str = "user_id", ts_col: str = "ts",
+                        window_s: int = 86400):
+    """Cumulative distinct-entity count per time window — "unique users
+    to date".  COUNT(DISTINCT) OVER a running frame is not
+    distributable directly; the standard reduction is FIRST-SEEN: each
+    entity contributes exactly once, at its minimum timestamp, so the
+    cumulative distinct count is the running sum of first-seen counts
+    per window.
+
+    Shape: per-batch (user, min_ts) partials collapse each block; one
+    bucketed min-merge per user (fixed bucket count — user cardinality
+    unbounded); per-window counts then cumsum on the driver (bounded by
+    windows, not users)."""
+    win_us = window_s * 1_000_000
+
+    def _part(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "u": t.column(user_col).combine_chunks().cast(pa.int64()),
+            "ts": t.column(ts_col).combine_chunks().cast(pa.int64()),
+        }).filter(pc.and_(pc.is_valid(t.column(user_col).combine_chunks()),
+                          pc.is_valid(t.column(ts_col).combine_chunks())))
+        g = tt.group_by("u").aggregate([("ts", "min")])
+        return g.rename_columns(["u", "first_us"])
+
+    def _min_per_user(group: pa.Table) -> pa.Table:
+        g = (group.select(["u", "first_us"]).group_by("u")
+             .aggregate([("first_us", "min")]))
+        return g.rename_columns(["u", "first_us"])
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    firsts = map_groups_via_buckets(
+        ds.map_batches(_part, batch_format="pyarrow"), ["u"], _min_per_user)
+
+    def _day_counts(t: pa.Table) -> pa.Table:
+        us = t.column("first_us").to_numpy(zero_copy_only=False)
+        day = (us // win_us) * (win_us // 1_000_000)
+        vals, cnts = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals, pa.int64()),
+                         "c": pa.array(cnts, pa.int64())})
+
+    rows = firsts.map_batches(_day_counts, batch_format="pyarrow").take_all()
+    per_day: dict[int, int] = {}
+    for r in rows:
+        per_day[r["day"]] = per_day.get(r["day"], 0) + r["c"]
+    days = sorted(per_day)
+    cum = np.cumsum([per_day[d] for d in days])
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "cum_users": pa.array(cum, pa.int64())})

@@ -2359,3 +2359,23 @@ class TestCompositeKeyUniqueness:
             key=lambda x: (x[0] is None, x))
         # (1,x) twice; (null,z) twice (SQL GROUP BY groups nulls)
         assert got == [(1, "x", 2), (None, "z", 2)]
+
+
+class TestCumulativeDistinct:
+    def test_first_seen_reduction(self):
+        from peri_ray.stages.temporal import cumulative_distinct
+
+        day = 86_400_000_000
+        rows = [
+            (1, 0), (1, day * 3),          # user 1 first on day 0
+            (2, day), (2, day),            # user 2 first on day 1
+            (3, day), (4, day * 3),        # two more
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+        got = [(r["day"], r["cum_users"]) for r in cumulative_distinct(
+            rd.from_arrow(t)).to_pylist()]
+        assert got == [(0, 1), (86400, 3), (86400 * 3, 4)]
