@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sequences": q.event_sequences,
         "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
         "cumulative_users": q.cumulative_users,
+        "retention_matrix": q.retention_matrix,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -555,6 +556,25 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "retention_matrix": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(min(ts)) / 86400000000)
+                          * 86400 AS BIGINT) AS cohort
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id
+            ),
+            a AS (
+              SELECT DISTINCT e.user_id,
+                     CAST(floor(epoch_us(e.ts) / 86400000000)
+                          * 86400 AS BIGINT) AS day
+                FROM events e WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT f.cohort, a.day - f.cohort AS off,
+                   count(*) AS n_users
+              FROM a JOIN f ON a.user_id = f.user_id
+             GROUP BY 1, 2
+        """,
         "cumulative_users": """
             WITH f AS (
               SELECT user_id, min(ts) AS first FROM events

@@ -1434,6 +1434,15 @@ def cumulative_users(sf_dir: str):
     return cumulative_distinct(ds)
 
 
+def retention_matrix(sf_dir: str):
+    """Cohort retention: users by first-seen day, counted at each
+    later activity-day offset (seconds units on both axes)."""
+    from peri_ray.stages.temporal import retention_cohorts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -2379,3 +2379,23 @@ class TestCumulativeDistinct:
         got = [(r["day"], r["cum_users"]) for r in cumulative_distinct(
             rd.from_arrow(t)).to_pylist()]
         assert got == [(0, 1), (86400, 3), (86400 * 3, 4)]
+
+
+class TestRetentionCohorts:
+    def test_cross_block_activity_dedupes(self):
+        from peri_ray.stages.temporal import retention_cohorts
+
+        day = 86_400_000_000
+        # user 1: cohort day0, active day0 + day2 (twice, across blocks)
+        # user 2: cohort day2, active day2 only
+        rows = [(1, 0), (1, day * 2), (1, day * 2 + 5), (2, day * 2)]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+        ds = rd.from_arrow(t).repartition(4)  # force cross-block repeats
+        got = sorted((r["cohort"], r["off"], r["n_users"])
+                     for r in retention_cohorts(ds).take_all())
+        d = 86400
+        assert got == [(0, 0, 1), (0, 2 * d, 1), (2 * d, 0, 1)]
