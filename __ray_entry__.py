@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
         "cumulative_users": q.cumulative_users,
         "retention_matrix": q.retention_matrix,
+        "exact_quantiles_events_value": q.exact_quantiles_events_value,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -555,6 +556,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
+        ),
+        "exact_quantiles_events_value": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(value, {q}) AS value FROM events"
+            for q in (0.5, 0.9, 0.99)
         ),
         "retention_matrix": """
             WITH f AS (

@@ -1443,6 +1443,16 @@ def retention_matrix(sf_dir: str):
     return retention_cohorts(ds)
 
 
+def exact_quantiles_events_value(sf_dir: str):
+    """Exact percentile_disc on a CONTINUOUS column (distinct ~ rows)
+    via KLL-guided distributed selection — sketch brackets the rank,
+    one exact pass selects inside the bracket."""
+    from peri_ray.stages.stats import exact_quantile_continuous
+
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_quantile_continuous(ds, "value", qs=(0.5, 0.9, 0.99))
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

@@ -845,3 +845,92 @@ def collect_sorted(ds, key: str, value_col: str, ts_col: str, id_col: str,
 
     return map_groups_via_buckets(
         ds.select_columns([key, value_col, ts_col, id_col]), [key], _agg)
+
+
+def exact_quantile_continuous(ds, column: str, qs=(0.5,),
+                              kll_k: int = 800,
+                              batch_size: int | None = 65536,
+                              max_collect: int = 2_000_000) -> pa.Table:
+    """EXACT percentile_disc for CONTINUOUS columns — the case the
+    value-count path refuses (distinct ~ rows).  Distributed selection
+    in two passes:
+
+    1. a KLL sketch pass brackets each target rank: [v_lo, v_hi] such
+       that the true q-quantile lies inside (sketch rank error pads the
+       bracket);
+    2. one exact pass counts values strictly below v_lo and collects
+       the values inside the bracket (expected ~2 * rank_error * n of
+       them — kll_k=800 keeps that ~0.4% of n); the answer is the
+       (rank - below)-th order statistic of the collected values.
+
+    Raises if a bracket would collect more than ``max_collect`` values
+    (sketch failed its error bound or qs too dense) — never silently
+    approximates."""
+    from peri_ray.state.sketches import KLL
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        import pickle
+
+        v = (t.column(column).combine_chunks().drop_null()
+             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        k = KLL(kll_k)
+        k.update_many(v)
+        return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
+
+    import pickle
+
+    merged = KLL(kll_k)
+    for r in ds.map_batches(_sketch, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        merged.merge(pickle.loads(r["s"]))
+    n = merged.n
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    eps = 3.0 / np.sqrt(kll_k)  # conservative KLL rank-error bound
+    brackets = []
+    for q in qs:
+        lo = merged.quantile(max(0.0, q - eps))
+        hi = merged.quantile(min(1.0, q + eps))
+        brackets.append((float(lo), float(hi)))
+
+    los = np.array([b[0] for b in brackets])
+    his = np.array([b[1] for b in brackets])
+
+    def _pass2(t: pa.Table) -> pa.Table:
+        v = (t.column(column).combine_chunks().drop_null()
+             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        below = np.array([(v < lo).sum() for lo in los], np.int64)
+        collected = [v[(v >= lo) & (v <= hi)] for lo, hi in brackets]
+        return pa.table({
+            "bi": pa.array(np.arange(len(brackets), dtype=np.int64)),
+            "below": pa.array(below),
+            "vals": pa.array([c.tolist() for c in collected],
+                             pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(_pass2, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    below_tot = np.zeros(len(brackets), np.int64)
+    vals: list[list[float]] = [[] for _ in brackets]
+    for r in rows:
+        below_tot[r["bi"]] += r["below"]
+        vals[r["bi"]].extend(r["vals"])
+        if len(vals[r["bi"]]) > max_collect:
+            raise ValueError(
+                f"exact_quantile_continuous: bracket {r['bi']} collected "
+                f"> {max_collect} values; raise kll_k")
+    out_q, out_v = [], []
+    for i, q in enumerate(qs):
+        rank = max(1, int(np.ceil(n * q)))  # percentile_disc rank
+        idx = rank - int(below_tot[i]) - 1
+        arr = np.sort(np.asarray(vals[i]))
+        if idx < 0 or idx >= len(arr):
+            raise ValueError(
+                f"exact_quantile_continuous: rank {rank} fell outside the "
+                f"bracket for q={q} (below={below_tot[i]}, "
+                f"collected={len(arr)}); raise kll_k")
+        out_q.append(float(q))
+        out_v.append(float(arr[idx]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

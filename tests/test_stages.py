@@ -2399,3 +2399,29 @@ class TestRetentionCohorts:
                      for r in retention_cohorts(ds).take_all())
         d = 86400
         assert got == [(0, 0, 1), (0, 2 * d, 1), (2 * d, 0, 1)]
+
+
+class TestExactQuantileContinuous:
+    def test_continuous_matches_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.stats import exact_quantile_continuous
+
+        rng = np.random.default_rng(67)
+        v = rng.normal(50, 20, 20000)  # all-distinct continuous values
+        t = pa.table({"x": pa.array(v, pa.float64())})
+        ds = rd.from_arrow(t).repartition(8)
+        got = exact_quantile_continuous(ds, "x", qs=(0.01, 0.5, 0.999),
+                                        batch_size=2048)
+        want = duckdb.sql(
+            "SELECT quantile_disc(x, 0.01), quantile_disc(x, 0.5), "
+            "quantile_disc(x, 0.999) FROM t").fetchone()
+        assert got.column("value").to_pylist() == list(want)
+
+    def test_nulls_and_tiny_input(self):
+        from peri_ray.stages.stats import exact_quantile_continuous
+
+        t = pa.table({"x": pa.array([None, 3.0, 1.0, None, 2.0],
+                                    pa.float64())})
+        got = exact_quantile_continuous(rd.from_arrow(t), "x", qs=(0.5,))
+        assert got.column("value").to_pylist() == [2.0]
