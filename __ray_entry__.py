@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": q.cumulative_users,
         "retention_matrix": q.retention_matrix,
         "exact_quantiles_events_value": q.exact_quantiles_events_value,
+        "mad_outliers_events": q.mad_outliers_events,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -557,6 +558,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "mad_outliers_events": """
+            WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
+            d AS (SELECT quantile_disc(abs(value - m.med), 0.5) AS mad
+                    FROM events, m WHERE value IS NOT NULL)
+            SELECT event_id, value FROM events, m, d
+             WHERE value IS NOT NULL AND abs(value - med) > 5.0 * mad
+        """,
         "exact_quantiles_events_value": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(value, {q}) AS value FROM events"

@@ -1453,6 +1453,15 @@ def exact_quantiles_events_value(sf_dir: str):
     return exact_quantile_continuous(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def mad_outliers_events(sf_dir: str):
+    """Median-absolute-deviation outliers on events.value — robust
+    where mean/std are dragged by the very outliers under test."""
+    from peri_ray.stages.stats import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return mad_outliers(ds, "value", "event_id", k=5.0)
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

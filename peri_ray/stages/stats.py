@@ -934,3 +934,38 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
         out_v.append(float(arr[idx]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def mad_outliers(ds, column: str, id_col: str, k: float = 3.0,
+                 kll_k: int = 800, batch_size: int | None = 65536):
+    """Robust outlier flagging by median absolute deviation — the
+    z-score check's heavy-tail-safe complement (mean/std are themselves
+    dragged by the outliers they hunt; median/MAD are not).
+
+    Three streaming passes, all exact: (1) median via KLL-guided
+    selection; (2) MAD = median of |v - med| the same way over a
+    derived column; (3) broadcast (med, MAD) into a vectorized filter.
+    """
+
+    med_t = exact_quantile_continuous(ds, column, qs=(0.5,), kll_k=kll_k,
+                                      batch_size=batch_size)
+    med = med_t.column("value")[0].as_py()
+
+    def _dev(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        return pa.table({column: pc.abs(pc.subtract(v, pa.scalar(med)))})
+
+    dev = ds.map_batches(_dev, batch_format="pyarrow", batch_size=batch_size)
+    mad = exact_quantile_continuous(dev, column, qs=(0.5,), kll_k=kll_k,
+                                    batch_size=batch_size).column(
+        "value")[0].as_py()
+
+    def _flag(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        keep = pc.and_(pc.is_valid(v),
+                       pc.greater(pc.abs(pc.subtract(v, pa.scalar(med))),
+                                  pa.scalar(k * mad)))
+        return t.filter(keep).select([id_col, column])
+
+    return ds.map_batches(_flag, batch_format="pyarrow",
+                          batch_size=batch_size)

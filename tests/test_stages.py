@@ -2425,3 +2425,21 @@ class TestExactQuantileContinuous:
                                     pa.float64())})
         got = exact_quantile_continuous(rd.from_arrow(t), "x", qs=(0.5,))
         assert got.column("value").to_pylist() == [2.0]
+
+
+class TestMadOutliers:
+    def test_robust_to_heavy_tail(self):
+        from peri_ray.stages.stats import mad_outliers
+
+        rng = np.random.default_rng(71)
+        v = rng.normal(0, 1, 5000)
+        v[:20] = 1000.0  # extreme cluster that would wreck mean/std
+        t = pa.table({"id": pa.array(np.arange(len(v)), pa.int64()),
+                      "v": pa.array(v, pa.float64())})
+        out = mad_outliers(rd.from_arrow(t), "v", "id", k=10.0).take_all()
+        ids = {r["id"] for r in out}
+        assert set(range(20)) <= ids          # the planted cluster flagged
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        want = {i for i, x in enumerate(v) if abs(x - med) > 10.0 * mad}
+        assert ids == want                     # exact agreement w/ numpy
