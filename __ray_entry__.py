@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_matrix": q.retention_matrix,
         "exact_quantiles_events_value": q.exact_quantiles_events_value,
         "mad_outliers_events": q.mad_outliers_events,
+        "cume_dist_events": q.cume_dist_events,
+        "benford_first_digit": q.benford_first_digit,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
         "funnel_click_purchase": q.funnel_click_purchase,
@@ -558,6 +560,32 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "cume_dist_events": """
+            SELECT event_id, user_id,
+                   cume_dist() OVER (
+                     PARTITION BY user_id ORDER BY value) AS rnk
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        """,
+        "benford_first_digit": """
+            WITH d AS (
+              SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                                         '([1-9])', 1) AS BIGINT) AS digit
+                FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+            ),
+            c AS (SELECT digit, count(*) AS cnt FROM d
+                   WHERE digit IS NOT NULL GROUP BY digit),
+            n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+            g AS (
+              SELECT gs.d AS digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+                     log10(1 + 1.0 / gs.d) * n.n AS expd
+                FROM generate_series(1, 9) gs(d)
+                LEFT JOIN c ON c.digit = gs.d CROSS JOIN n
+            ),
+            x AS (SELECT ROUND(sum(power(cnt - expd, 2) / expd), 6) AS chi2
+                    FROM g)
+            SELECT g.digit, g.cnt, x.chi2 FROM g, x
+        """,
         "mad_outliers_events": """
             WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
             d AS (SELECT quantile_disc(abs(value - m.med), 0.5) AS mad

@@ -1462,6 +1462,26 @@ def mad_outliers_events(sf_dir: str):
     return mad_outliers(ds, "value", "event_id", k=5.0)
 
 
+def cume_dist_events(sf_dir: str):
+    """cume_dist() per user over value — exact float parity with the
+    SQL window (same division, same tie semantics)."""
+    from peri_ray.stages.stats import rank_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "value", "event_id"])
+    return rank_per_group(ds, "user_id", "value", "event_id",
+                          method="cume_dist")
+
+
+def benford_first_digit(sf_dir: str):
+    """First-significant-digit histogram of order totals with the
+    Benford expectation chi-square — a books-cooked signal for numeric
+    columns spanning magnitudes."""
+    from peri_ray.stages.checks import benford_check
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_check(ds, "o_totalprice")
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

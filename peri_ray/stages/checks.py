@@ -381,3 +381,42 @@ def duplicate_composite_keys(ds, keys: list[str], n_buckets: int = 64,
         return g.filter(pc.greater(g.column("cnt"), 1))
 
     return partials.groupby("bucket").map_groups(_agg, batch_format="pyarrow")
+
+
+def benford_check(ds, column: str, batch_size: int | None = 65536) -> pa.Table:
+    """Benford's-law first-significant-digit profile: (digit, cnt,
+    expected) for digits 1-9 plus the chi-square distance from the
+    log10(1 + 1/d) expectation — a classic fabricated-numbers signal
+    for positive columns spanning several magnitudes.
+
+    The digit is extracted TEXTUALLY (first nonzero digit of the
+    decimal rendering) so the SQL twin — regexp on CAST(col AS VARCHAR)
+    — sees identical digits, float formatting included.  Per-batch
+    9-bin partials, driver merge."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks()
+        col = col.filter(pc.and_(pc.is_valid(col),
+                                 pc.greater(col, pa.scalar(0).cast(col.type))))
+        s = pc.cast(col, pa.string())
+        first = pc.extract_regex(s, r"(?P<d>[1-9])")
+        d = pc.struct_field(first, "d")
+        vc = pc.value_counts(d.drop_null())
+        return pa.table({"digit": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    rows = ds.map_batches(_part, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    counts = {str(i): 0 for i in range(1, 10)}
+    for r in rows:
+        counts[r["digit"]] = counts.get(r["digit"], 0) + r["cnt"]
+    n = sum(counts.values())
+    digits = [str(i) for i in range(1, 10)]
+    obs = np.array([counts[d] for d in digits], np.float64)
+    exp = np.array([np.log10(1 + 1 / int(d)) for d in digits]) * n
+    chi2 = float(((obs - exp) ** 2 / exp).sum()) if n else 0.0
+    return pa.table({
+        "digit": pa.array([int(d) for d in digits], pa.int64()),
+        "cnt": pa.array(obs.astype(np.int64)),
+        "chi2": pa.array([round(chi2, 6)] * 9, pa.float64()),
+    })

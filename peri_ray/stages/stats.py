@@ -759,11 +759,15 @@ def rank_per_group(ds, key: str, order_col: str, id_col: str,
     without an id tiebreak — ``id_col`` is only carried through for
     row identity.
 
-    ``method``: "rank" (gaps after ties) or "dense_rank" (no gaps).
-    One ``groupby(key)`` exchange; per group one lexsort + vectorized
+    ``method``: "rank" (gaps after ties), "dense_rank" (no gaps),
+    "percent_rank" ((rank-1)/(n-1), DOUBLE) or "cume_dist"
+    (rows-at-or-below / n, DOUBLE) — the float variants use the exact
+    division the SQL window functions use, so values hash-match.
+    One fixed-bucket exchange; per group one lexsort + vectorized
     first-of-tie-run positions."""
-    if method not in ("rank", "dense_rank"):
-        raise ValueError("method must be 'rank' or 'dense_rank'")
+    if method not in ("rank", "dense_rank", "percent_rank", "cume_dist"):
+        raise ValueError(
+            "method must be rank | dense_rank | percent_rank | cume_dist")
 
     def _rank(group: pa.Table) -> pa.Table:
         g = group.filter(pc.and_(
@@ -775,9 +779,12 @@ def rank_per_group(ds, key: str, order_col: str, id_col: str,
             zero_copy_only=False)
         ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
+        is_float = method in ("percent_rank", "cume_dist")
         if len(k) == 0:
-            return pa.schema([(id_col, pa.int64()), (key, pa.int64()),
-                              ("rnk", pa.int64())]).empty_table()
+            return pa.schema([
+                (id_col, pa.int64()), (key, pa.int64()),
+                ("rnk", pa.float64() if is_float else pa.int64()),
+            ]).empty_table()
         vv = -v if descending else v
         order = np.lexsort((vv, k))
         k, v_s, ids = k[order], vv[order], ids[order]
@@ -785,22 +792,33 @@ def rank_per_group(ds, key: str, order_col: str, id_col: str,
         starts = np.flatnonzero(gstart)
         counts = np.diff(np.append(starts, len(k)))
         new_val = gstart | np.concatenate(([False], v_s[1:] != v_s[:-1]))
-        if method == "rank":
-            # rank = (absolute tie-run start) - (group start) + 1;
-            # computed from absolute indices so nothing carries across
-            # group boundaries
-            run_starts = np.flatnonzero(new_val)
-            run_lens = np.diff(np.append(run_starts, len(k)))
-            rnk = (np.repeat(run_starts, run_lens)
-                   - np.repeat(starts, counts) + 1)
-        else:
+        n_in_g = np.repeat(counts, counts)
+        if method == "dense_rank":
             # dense rank = number of distinct values seen so far in group
             cum_new = np.cumsum(new_val)
             base = np.repeat(cum_new[starts] - 1, counts)
             rnk = cum_new - base
+        else:
+            # tie-run geometry shared by rank / percent_rank / cume_dist;
+            # absolute indices so nothing carries across group boundaries
+            run_starts = np.flatnonzero(new_val)
+            run_lens = np.diff(np.append(run_starts, len(k)))
+            rank1 = (np.repeat(run_starts, run_lens)
+                     - np.repeat(starts, counts) + 1)
+            if method == "rank":
+                rnk = rank1
+            elif method == "percent_rank":
+                rnk = np.where(n_in_g > 1,
+                               (rank1 - 1) / np.maximum(n_in_g - 1, 1), 0.0)
+            else:  # cume_dist: rows with value <= current, over n
+                run_end = np.repeat(run_starts + run_lens, run_lens)
+                at_or_below = run_end - np.repeat(starts, counts)
+                rnk = at_or_below / n_in_g
+        out_rnk = (pa.array(rnk.astype(np.float64))
+                   if is_float else pa.array(rnk.astype(np.int64)))
         return pa.table({id_col: pa.array(ids),
                          key: pa.array(k),
-                         "rnk": pa.array(rnk.astype(np.int64))})
+                         "rnk": out_rnk})
 
     from peri_ray.stages.dedup import map_groups_via_buckets
 

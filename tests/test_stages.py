@@ -2443,3 +2443,50 @@ class TestMadOutliers:
         mad = np.median(np.abs(v - med))
         want = {i for i, x in enumerate(v) if abs(x - med) > 10.0 * mad}
         assert ids == want                     # exact agreement w/ numpy
+
+
+class TestPercentRankCumeDist:
+    def test_match_duckdb(self):
+        import duckdb
+
+        from peri_ray.stages.stats import rank_per_group
+
+        rng = np.random.default_rng(73)
+        n = 400
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 9, n).astype(np.float64)),
+            "id": pa.array(rng.permutation(n), pa.int64()),
+        })
+        # include a singleton group (percent_rank defined as 0)
+        t = pa.concat_tables([t, pa.table({
+            "k": pa.array([99], pa.int64()),
+            "v": pa.array([5.0]), "id": pa.array([9999], pa.int64())})])
+        for method, sqlfn in (("percent_rank", "percent_rank()"),
+                              ("cume_dist", "cume_dist()")):
+            got = sorted((r["id"], r["rnk"]) for r in rank_per_group(
+                rd.from_arrow(t), "k", "v", "id", method=method).take_all())
+            want = sorted(duckdb.sql(
+                f"SELECT id, {sqlfn} OVER (PARTITION BY k ORDER BY v) "
+                "FROM t").fetchall())
+            assert got == [(a, float(b)) for a, b in want], method
+
+
+class TestBenford:
+    def test_benford_compliant_vs_uniform(self):
+        from peri_ray.stages.checks import benford_check
+
+        rng = np.random.default_rng(79)
+        # log-uniform data follows Benford; uniform data does not
+        benford = np.exp(rng.uniform(np.log(1), np.log(10**6), 20000))
+        uniform = rng.uniform(100, 999, 20000)
+        chi_b = benford_check(rd.from_arrow(
+            pa.table({"v": pa.array(benford)})), "v").column("chi2")[0].as_py()
+        chi_u = benford_check(rd.from_arrow(
+            pa.table({"v": pa.array(uniform)})), "v").column("chi2")[0].as_py()
+        assert chi_b < 50          # close to expectation
+        assert chi_u > 1000        # grossly off
+        t = benford_check(rd.from_arrow(
+            pa.table({"v": pa.array(benford)})), "v")
+        assert t.column("digit").to_pylist() == list(range(1, 10))
+        assert sum(t.column("cnt").to_pylist()) == 20000
