@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_events_value": q.exact_quantiles_events_value,
         "mad_outliers_events": q.mad_outliers_events,
         "cume_dist_events": q.cume_dist_events,
+        "curation_report": q.curation_report,
         "benford_first_digit": q.benford_first_digit,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
@@ -560,6 +561,26 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings"
         ),
+        "curation_report": f"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     NOT {_DOC_VALID} AS inv,
+                     {_DOC_VALID} AND lang IS NULL AS no_lang,
+                     {_DOC_VALID} AND lang IS NOT NULL
+                       AND (n_chars IS NULL OR n_chars < 100) AS short
+                FROM documents
+            ),
+            e AS (SELECT doc_id, text FROM f
+                   WHERE NOT inv AND NOT no_lang AND NOT short),
+            k AS (SELECT min(doc_id) AS keep FROM e GROUP BY text)
+            SELECT (SELECT count(*) FROM f) AS input_rows,
+                   (SELECT count(*) FROM f WHERE inv) AS invalid,
+                   (SELECT count(*) FROM f WHERE no_lang) AS no_lang,
+                   (SELECT count(*) FROM f WHERE short) AS too_short,
+                   (SELECT count(*) FROM e) - (SELECT count(*) FROM k)
+                     AS exact_dups,
+                   (SELECT count(*) FROM k) AS curated_rows
+        """,
         "cume_dist_events": """
             SELECT event_id, user_id,
                    cume_dist() OVER (

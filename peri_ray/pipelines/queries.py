@@ -1482,6 +1482,17 @@ def benford_first_digit(sf_dir: str):
     return benford_check(ds, "o_totalprice")
 
 
+def curation_report(sf_dir: str):
+    """End-to-end corpus curation with first-failing-gate attribution:
+    schema-invalid -> missing lang -> too short -> exact dup; counts
+    are mutually exclusive and sum to input_rows (oracle-checked)."""
+    from peri_ray.pipelines.curation import run_curation
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    _, rep = run_curation(ds, DOCS_SPEC)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in rep.items()})
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +

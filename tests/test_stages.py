@@ -2490,3 +2490,40 @@ class TestBenford:
             pa.table({"v": pa.array(benford)})), "v")
         assert t.column("digit").to_pylist() == list(range(1, 10))
         assert sum(t.column("cnt").to_pylist()) == 20000
+
+
+class TestCurationPipeline:
+    def test_gate_attribution_and_dedup(self):
+        from peri_ray.pipelines.curation import run_curation
+
+        spec = {
+            "doc_id": ("required", "integer"),
+            "text": ("required", ("string", ("min", 1))),
+            "lang": ("enum", ["en", "de"]),
+            "n_chars": ("integer", ("gte", 0)),
+        }
+        long = "x" * 150
+        rows = [
+            (1, long, "en", 150),          # curated (keeper of dup pair)
+            (2, long, "en", 150),          # exact dup victim
+            (3, long + "y", "de", 151),    # curated
+            (4, "", "en", 0),              # invalid (min 1)
+            (5, long, "xx", 150),          # invalid (enum)
+            (6, long, None, 150),          # no lang
+            (7, "short", "en", 5),         # too short
+            (8, long, "en", None),         # too short (null n_chars)
+        ]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        curated, rep = run_curation(rd.from_arrow(t), spec)
+        assert rep == {"input_rows": 8, "invalid": 2, "no_lang": 1,
+                       "too_short": 2, "exact_dups": 1, "curated_rows": 2}
+        ids = sorted(r["doc_id"] for r in curated.take_all())
+        assert ids == [1, 3]
+        total = sum(v for k, v in rep.items()
+                    if k not in ("input_rows", "curated_rows"))
+        assert total + rep["curated_rows"] == rep["input_rows"]
