@@ -141,6 +141,10 @@ def run_bench() -> dict:
     timed("funnel_click_purchase", lambda: q.funnel_click_purchase(SF_DIR).to_pandas())
     timed("ntile_events_by_user", lambda: q.ntile_events_by_user(SF_DIR).to_pandas())
     timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
+    timed("curation_report", lambda: q.curation_report(SF_DIR))
+    timed("retention_matrix", lambda: q.retention_matrix(SF_DIR).to_pandas())
+    timed("exact_quantiles_continuous",
+          lambda: q.exact_quantiles_events_value(SF_DIR))
 
     headline = timings["flagship_web_pages"]
     result = {

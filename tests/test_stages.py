@@ -2396,7 +2396,7 @@ class TestRetentionCohorts:
         })
         ds = rd.from_arrow(t).repartition(4)  # force cross-block repeats
         got = sorted((r["cohort"], r["off"], r["n_users"])
-                     for r in retention_cohorts(ds).take_all())
+                     for r in retention_cohorts(ds).to_pylist())
         d = 86400
         assert got == [(0, 0, 1), (0, 2 * d, 1), (2 * d, 0, 1)]
 
