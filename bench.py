@@ -142,6 +142,39 @@ def run_bench() -> dict:
     timed("ntile_events_by_user", lambda: q.ntile_events_by_user(SF_DIR).to_pandas())
     timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
     timed("curation_report", lambda: q.curation_report(SF_DIR))
+
+    # second headline: the corpus-curation pipeline over the same 400 K
+    # synthetic web_pages corpus the validation flagship uses
+    def _curation_web():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from peri_ray.generate import web_pages_dataset
+        from peri_ray.pipelines.curation import run_curation
+
+        ds = web_pages_dataset(WEB_PAGES_N, seed=43,
+                               override_num_blocks=n_blocks,
+                               columns=["url", "text", "lang"])
+
+        def _nchars(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "n_chars",
+                pc.utf8_length(t.column("text").combine_chunks())
+                .cast(pa.int64()))
+
+        spec = {
+            "url": ("required", ("string", ("regex", "^https?://"))),
+            "text": ("required", ("string", ("min", 1))),
+            "lang": ("enum", ["en", "de", "fr", "es", "pt"]),
+            "n_chars": ("integer", ("gte", 0)),
+        }
+        _, rep = run_curation(
+            ds.map_batches(_nchars, batch_format="pyarrow"),
+            spec, id_col="url", min_chars=40)
+        assert rep["input_rows"] == WEB_PAGES_N
+        return rep
+
+    timed("curation_web_pages_400k", _curation_web)
     timed("retention_matrix", lambda: q.retention_matrix(SF_DIR).to_pandas())
     timed("exact_quantiles_continuous",
           lambda: q.exact_quantiles_events_value(SF_DIR))
