@@ -811,7 +811,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id,
                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts) AS d
-                FROM events WHERE ts IS NOT NULL
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
             )
             SELECT user_id, count(d) AS n_gaps,
                    CAST(sum(d) AS BIGINT) AS sum_gap_us,

@@ -1088,7 +1088,7 @@ def term_doc_frequency(sf_dir: str):
 
 
 def jaccard_join_pairs(sf_dir: str):
-    """EXACT word-bigram Jaccard self-join at threshold 0.6 — the
+    """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee
     (AllPairs prefix filtering; see dedup.jaccard_similarity_join).
     The oracle is the literal all-pairs SQL: every pair the prefix

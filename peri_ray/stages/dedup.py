@@ -29,8 +29,13 @@ from peri_ray.state.sketches import hash_strings, splitmix64
 
 _U64_MASK = (1 << 64) - 1
 #: trim + \s+ split — the shared tokenizer contract with
-#: text.token_count_batch and the DuckDB regexp_split_to_array twin
-_WS_RE = re.compile(r"\s+")
+#: text.token_count_batch and the DuckDB regexp_split_to_array twin.
+#: The class spells out RE2's \s ([\t\n\f\r ]) explicitly: Python
+#: re's \s matches Unicode whitespace (e.g. NBSP) that Arrow/DuckDB
+#: would keep inside a token, and a verify metric tokenizing
+#: differently from candidate generation both misses pairs and
+#: reports scores the SQL twin disagrees with.
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
 
 logger = logging.getLogger("peri_ray.dedup")
 
@@ -1034,32 +1039,20 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    from peri_ray.stages.checks import bucket_of
-
     df_partials = ds.map_batches(_BigramDFPartial(text_col),
                                  batch_format="pyarrow", batch_size=batch_size)
-
     # distinct-term cardinality ~ corpus vocabulary: the (term, df) sum
     # must NOT run as a Ray per-group aggregate (5.9 M groups measured
-    # ~2 min; this bucketed shape is seconds)
-    def _tag(t: pa.Table) -> pa.Table:
-        return t.append_column("__bucket", bucket_of(t.column("term"), 64))
-
-    def _sum(group: pa.Table) -> pa.Table:
-        g = (group.select(["term", "df"])
-             .group_by("term").aggregate([("df", "sum")]))
-        return g.rename_columns(["term", "sum(df)"])
-
-    totals = (df_partials.map_batches(_tag, batch_format="pyarrow")
-              .groupby("__bucket").map_groups(_sum, batch_format="pyarrow"))
+    # ~2 min; the shared bucketed shape is seconds)
+    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
     if max_rank_terms is not None:
         # scale fallback: keep only the most COMMON bigrams on the
         # driver (they are the ordering signal that keeps hot terms out
         # of prefixes); the rare tail rank-orders by hash below them.
         # Order quality affects candidate COUNT only, never the result.
-        totals = totals.sort("sum(df)", descending=True).limit(max_rank_terms)
+        totals = totals.sort("df", descending=True).limit(max_rank_terms)
     rows = totals.take_all()
-    ordered = sorted(rows, key=lambda r: (r["sum(df)"], r["term"]))
+    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
     base = _PrefixEmit.RANK_BASE
     th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
     ranks = np.arange(base, base + len(ordered), dtype=np.int64)
@@ -1081,14 +1074,19 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
         ids, sz, ps = ids[order], sz[order], ps[order]
         iu, ju = np.triu_indices(len(ids), k=1)
         na, nb = sz[iu], sz[ju]
+        # Both bounds must NEVER be tightened by float rounding: e.g.
+        # t=0.8, max=35 gives t*max = 28.000000000000004 in float64 and
+        # would drop a pair whose Jaccard is exactly 0.8 (min=28).  The
+        # 1e-6 slack can only ADMIT extra candidates (verified exactly
+        # downstream), never lose a qualifying pair.
         # length filter: J >= t forces min >= t * max
-        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-6
         # PPJoin positional filter: overlap is capped by what remains
         # AFTER this shared token in each doc's rank-sorted set
         # (1 for the token itself + the shorter remaining suffix), and
         # J >= t needs overlap >= ceil(t/(1+t) * (na+nb))
         ub = 1 + np.minimum(na - 1 - ps[iu], nb - 1 - ps[ju])
-        need = np.ceil((threshold / (1.0 + threshold)) * (na + nb))
+        need = np.ceil((threshold / (1.0 + threshold)) * (na + nb) - 1e-6)
         keep &= ub >= need
         return pa.table({"id_a": pa.array(ids[iu][keep]),
                          "id_b": pa.array(ids[ju][keep])})

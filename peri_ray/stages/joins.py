@@ -279,6 +279,9 @@ def bloom_semi_join(fact, dim, fact_key: str, dim_key: str,
 
     from peri_ray.state.sketches import Bloom
 
+    # two consumers (Bloom build + the exact join's right side): pin
+    # the dim lineage or each re-executes its upstream pipeline
+    dim = dim.materialize()
     rows = dim.select_columns([dim_key]).map_batches(
         _BloomPartial(dim_key, m_bits, k_hashes),
         batch_format="pyarrow").take_all()

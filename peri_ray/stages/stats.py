@@ -679,13 +679,21 @@ def grouped_exact_quantiles(ds, key: str, column: str,
             f"grouped_exact_quantiles: {merged.num_rows} distinct "
             f"(key, value) rows (> max_distinct={max_distinct}); "
             "use the KLL sketch")
-    k = merged.column("k").to_numpy(zero_copy_only=False)
+    # dictionary-encode the key so a NULL key sorts as its own group
+    # (np.lexsort on an object array with None raises TypeError; SQL
+    # GROUP BY keeps the null group, and so do we)
+    enc = pc.dictionary_encode(merged.column("k").combine_chunks())
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    dictionary = enc.dictionary.to_pylist()
     v = merged.column("value").to_numpy(zero_copy_only=False)
     n = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, k))
-    k, v, n = k[order], v[order], n[order]
+    order = np.lexsort((v, codes))
+    k_codes, v, n = codes[order], v[order], n[order]
+    k = np.array([None if c < 0 else dictionary[c] for c in k_codes],
+                 object)
     starts = np.flatnonzero(np.concatenate(
-        ([True], k[1:] != k[:-1]))) if len(k) else np.array([], np.int64)
+        ([True], k_codes[1:] != k_codes[:-1]))) if len(k) else \
+        np.array([], np.int64)
     ends = np.append(starts[1:], len(k))
     out_k, out_q, out_v = [], [], []
     for s, e in zip(starts, ends):
@@ -877,9 +885,11 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
        that the true q-quantile lies inside (sketch rank error pads the
        bracket);
     2. one exact pass counts values strictly below v_lo and collects
-       the values inside the bracket (expected ~2 * rank_error * n of
-       them — kll_k=800 keeps that ~0.4% of n); the answer is the
-       (rank - below)-th order statistic of the collected values.
+       the values inside the bracket (~2 * eps * n of them; eps = 8/k
+       pads the measured KLL rank error >10x, ~2% of n at the default
+       k — raise ``kll_k`` to shrink the bracket for huge inputs); the
+       answer is the (rank - below)-th order statistic of the
+       collected values.
 
     Raises if a bracket would collect more than ``max_collect`` values
     (sketch failed its error bound or qs too dense) — never silently
@@ -905,7 +915,11 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
-    eps = 3.0 / np.sqrt(kll_k)  # conservative KLL rank-error bound
+    # KLL rank error scales ~1/k (measured: max 0.0006 at k=800 over
+    # 500K-row trials); 8/k pads that by >10x while keeping the
+    # bracket ~2*eps = 2% of n at the default k — and raising k
+    # SHRINKS the bracket, so the raise-path guidance converges
+    eps = max(8.0 / kll_k, 1e-4)
     brackets = []
     for q in qs:
         lo = merged.quantile(max(0.0, q - eps))

@@ -440,7 +440,11 @@ def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
     result (ties contribute zero-gaps regardless of order)."""
 
     def _gaps(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.is_valid(group.column(ts_col)))
+        # explicit null-user drop (a null int64 would otherwise turn
+        # into NaN via to_numpy and silently split into size-1 runs);
+        # the SQL twin filters user_id IS NOT NULL identically
+        g = group.filter(pc.and_(pc.is_valid(group.column(ts_col)),
+                                 pc.is_valid(group.column(user_col))))
         ts = g.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()

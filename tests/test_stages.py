@@ -2527,3 +2527,43 @@ class TestCurationPipeline:
         total = sum(v for k, v in rep.items()
                     if k not in ("input_rows", "curated_rows"))
         assert total + rep["curated_rows"] == rep["input_rows"]
+
+
+class TestJaccardExactThresholdBoundary:
+    def test_pair_at_exactly_threshold_survives(self):
+        # A subset pair with J = 28/35 = 0.8 EXACTLY: float t*max
+        # computes 28.000000000000004 and un-slacked bounds drop it
+        from peri_ray.stages.dedup import jaccard_similarity_join
+
+        a_tokens = [f"w{i:02d}" for i in range(29)]   # 28 bigrams
+        b_tokens = a_tokens + [f"x{i}" for i in range(7)]  # 35 bigrams
+        docs = [(1, " ".join(a_tokens)), (2, " ".join(b_tokens))]
+        # background docs so the DF table isn't degenerate
+        rng = np.random.default_rng(83)
+        for i in range(3, 20):
+            docs.append((i, " ".join(rng.choice(a_tokens[:10], 8))))
+        got = TestJaccardSimilarityJoin._run(docs, 0.8)
+        want = TestJaccardSimilarityJoin._brute(docs, 0.8)
+        assert (1, 2, 0.8) in want      # the fixture really is boundary
+        assert got == want
+
+
+class TestGroupedQuantilesNullKey:
+    def test_null_key_groups_like_sql(self):
+        import duckdb
+
+        from peri_ray.stages.stats import grouped_exact_quantiles
+
+        t = pa.table({
+            "k": pa.array(["a", "a", None, None, "b"], pa.string()),
+            "v": pa.array([1.0, 3.0, 5.0, 7.0, 9.0], pa.float64()),
+        })
+        got = sorted(((r["k"], r["q"], r["value"]) for r in
+                      grouped_exact_quantiles(rd.from_arrow(t), "k", "v",
+                                              qs=(0.5,)).to_pylist()),
+                     key=lambda x: (x[0] is None, x))
+        want = sorted(duckdb.sql(
+            "SELECT k, 0.5, CAST(quantile_disc(v, 0.5) AS DOUBLE) "
+            "FROM t GROUP BY k").fetchall(),
+            key=lambda x: (x[0] is None, x))
+        assert got == [(k, float(q), float(v)) for k, q, v in want]
