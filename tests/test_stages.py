@@ -2567,3 +2567,62 @@ class TestGroupedQuantilesNullKey:
             "FROM t GROUP BY k").fetchall(),
             key=lambda x: (x[0] is None, x))
         assert got == [(k, float(q), float(v)) for k, q, v in want]
+
+
+class TestCurationFuzz:
+    def test_random_corpora_match_brute_force(self):
+        from peri_ray.pipelines.curation import run_curation
+
+        spec = {
+            "doc_id": ("required", "integer"),
+            "text": ("required", ("string", ("min", 1))),
+            "lang": ("enum", ["en", "de"]),
+            "n_chars": ("integer", ("gte", 0)),
+        }
+        rng = np.random.default_rng(89)
+        for trial in range(4):
+            n = int(rng.integers(40, 120))
+            texts = []
+            pool = ["x" * 150, "y" * 200, "short", ""]
+            for _ in range(n):
+                r = rng.random()
+                texts.append(None if r < 0.05 else
+                             pool[int(rng.integers(0, len(pool)))])
+            langs = [None if rng.random() < 0.15 else
+                     (["en", "de", "zz"][int(rng.integers(0, 3))])
+                     for _ in range(n)]
+            chars = [None if rng.random() < 0.1 else
+                     (len(t) if t else 0) for t in texts]
+            t = pa.table({
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(chars, pa.int64()),
+            })
+            curated, rep = run_curation(rd.from_arrow(t).repartition(4), spec)
+            # brute force, same gate order
+            inv = no_lang = short = 0
+            eligible = []
+            for i in range(n):
+                tx, lg, nc = texts[i], langs[i], chars[i]
+                valid = (tx is not None and len(tx) >= 1
+                         and (lg is None or lg in ("en", "de"))
+                         and (nc is None or nc >= 0))
+                if not valid:
+                    inv += 1
+                elif lg is None:
+                    no_lang += 1
+                elif nc is None or nc < 100:
+                    short += 1
+                else:
+                    eligible.append((i, tx))
+            keep = {}
+            for i, tx in eligible:
+                keep.setdefault(tx, i)
+            dups = len(eligible) - len(keep)
+            assert rep == {"input_rows": n, "invalid": inv,
+                           "no_lang": no_lang, "too_short": short,
+                           "exact_dups": dups,
+                           "curated_rows": len(keep)}, f"trial {trial}"
+            got_ids = sorted(r["doc_id"] for r in curated.take_all())
+            assert got_ids == sorted(keep.values()), f"trial {trial}"
