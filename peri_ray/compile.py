@@ -437,7 +437,19 @@ class Compiled:
                     probe = pa.array([default])
                     arr = pa.array([default] * len(active), type=probe.type)
                 else:
-                    arr = arr.fill_null(default)
+                    try:
+                        arr = arr.fill_null(default)
+                    except (pa.ArrowTypeError, pa.ArrowInvalid):
+                        # default physically incompatible with the column
+                        # (an integer default on a oneof branch over a
+                        # string-typed column): keep nulls.  Validity is
+                        # unchanged — nil passes the branch's type the
+                        # same way the filled default would, and required
+                        # checks nulls BEFORE defaults fill
+                        # (lib/peri.ex:825 clause order) — only the
+                        # output value deviates, the documented
+                        # branch-physical-type deviation class.
+                        pass
             return self._sub(inner).validate(arr, active, ctx)
 
         if isinstance(attachment, tuple) and attachment[0] == "transform":

@@ -311,7 +311,11 @@ def partitioned_flagship(
     phash = plan_hash(spec)
 
     def _one(path: str) -> None:
-        frag = os.path.basename(path)
+        # the FULL path is the fragment identity (CheckpointDir
+        # sanitizes separators) — a basename key would collide for
+        # date-partitioned layouts like 2024-01/part.parquet vs
+        # 2024-02/part.parquet and silently skip the second file
+        frag = os.path.normpath(path).lstrip(os.sep)
         if ckpt.completed(frag, phash):
             return
 

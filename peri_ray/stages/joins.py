@@ -53,8 +53,18 @@ def _dim_table(dim, dim_key: str, dim_cols: list[str]) -> pa.Table:
         import ray
 
         parts = [ray.get(r) for r in dim.select_columns(cols).to_arrow_refs()]
-        t = pa.concat_tables([p for p in parts if p.num_rows] or
-                             [pa.table({c: [] for c in cols})])
+        # the empty fallback must carry the REAL schema: inferring from
+        # empty python lists yields null-typed columns, and the joiner's
+        # key cast (string -> null) then raises on an empty dim instead
+        # of producing the correct degenerate join
+        if any(p.num_rows for p in parts):
+            t = pa.concat_tables([p for p in parts if p.num_rows])
+        elif parts:
+            t = parts[0]  # empty but schema-bearing
+        else:
+            sch = dim.schema()
+            types = dict(zip(sch.names, sch.types))
+            t = pa.schema([(c, types[c]) for c in cols]).empty_table()
     else:
         t = pa.table(dim).select(cols)
     t = t.sort_by([(c, "ascending") for c in cols])

@@ -160,7 +160,6 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         mask = sims[ia, ib] >= threshold
-        order = np.argsort(ids)
         a = np.minimum(ids[ia[mask]], ids[ib[mask]])
         b = np.maximum(ids[ia[mask]], ids[ib[mask]])
         return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),

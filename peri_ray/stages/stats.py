@@ -389,6 +389,9 @@ def zscore_outliers(ds, column: str, id_col: str, threshold: float = 3.0,
 
     tot = (ds.map_batches(_moments, batch_format="pyarrow",
                           batch_size=batch_size).sum(["n", "s", "s2"]))
+    # Dataset.sum returns None (not a dict) when every block is empty
+    if tot is None:
+        tot = {"sum(n)": 0, "sum(s)": 0.0, "sum(s2)": 0.0}
     n, s, s2 = tot["sum(n)"], tot["sum(s)"], tot["sum(s2)"]
     if not n:
         return ds.limit(0).map_batches(

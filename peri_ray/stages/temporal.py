@@ -31,9 +31,19 @@ from peri_ray.stages.checks import bucket_of
 
 
 def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Callers must have dropped nulls: a null timestamp surfaces as
+    NaN in the float64 to_numpy result and any int64 rebuild raises."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _drop_null_ts(t: pa.Table, ts_col: str) -> pa.Table:
+    """Rows with a null event time carry no position on the time axis:
+    window partials, as-of probes and range counts all exclude them
+    (documented; emitting SQL's null-match rows instead would need a
+    separate null-pass lane)."""
+    return t.filter(pc.is_valid(t.column(ts_col).combine_chunks()))
 
 
 # ---------------------------------------------------------------------------
@@ -51,6 +61,7 @@ class _WindowCountPartial:
         self.window_us = window_s * 1_000_000
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, self.ts_col)
         us = _epoch_us(t.column(self.ts_col))
         # window index × window seconds = window start in epoch seconds
         win = (us // self.window_us) * np.int64(self.window_us // 1_000_000)
@@ -101,6 +112,12 @@ def sessionize(ds, ts_col: str = "ts", user_col: str = "user_id",
     gap_us = gap_s * 1_000_000
 
     def _sessions(group: pa.Table) -> pa.Table:
+        # null user/ts guard (same hazard interarrival documents: a
+        # null int64 becomes NaN via to_numpy and the int64 rebuild of
+        # the output raises ArrowInvalid, killing the whole job)
+        group = group.filter(pc.and_(
+            pc.is_valid(group.column(ts_col)),
+            pc.is_valid(group.column(user_col))))
         ts = group.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -160,6 +177,11 @@ def windowed_drift(ds, ts_col: str, key_col: str,
     import math
 
     counts = tumbling_window_counts(ds, ts_col, key_col, window_s)
+    # normalize like checks.psi does — a count-style reference would
+    # otherwise silently produce garbage scores (q in the log-ratio
+    # must be a probability)
+    ref_tot = sum(reference.values()) or 1.0
+    reference = {k: v / ref_tot for k, v in reference.items()}
 
     def _psi(group: pa.Table) -> pa.Table:
         obs = {r[key_col]: r["cnt"] for r in group.to_pylist()}
@@ -201,6 +223,8 @@ def range_join_count(left, right, left_key: str, right_key: str,
     hi_us = int(hi_offset_s * 1_000_000)
 
     def _tag_left(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, left_ts)
+        t = t.filter(pc.is_valid(t.column(left_key).combine_chunks()))
         cols = {c: t.column(c) for c in left_cols}
         cols["__key"] = t.column(left_key).combine_chunks().cast(pa.int64())
         cols["__ts"] = pa.array(_epoch_us(t.column(left_ts)), pa.int64())
@@ -213,6 +237,8 @@ def range_join_count(left, right, left_key: str, right_key: str,
                   for c in left_cols}
 
     def _tag_right(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, right_ts)
+        t = t.filter(pc.is_valid(t.column(right_key).combine_chunks()))
         cols = {c: pa.nulls(t.num_rows, left_types[c]) for c in left_cols}
         cols["__key"] = t.column(right_key).combine_chunks().cast(pa.int64())
         cols["__ts"] = pa.array(_epoch_us(t.column(right_ts)), pa.int64())
@@ -286,6 +312,8 @@ def asof_join(left, right, left_key: str, right_key: str,
     left_cols = left_cols or []
 
     def _tag_left(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, left_ts)
+        t = t.filter(pc.is_valid(t.column(left_key).combine_chunks()))
         cols = {c: t.column(c) for c in left_cols}
         cols["__key"] = t.column(left_key).combine_chunks().cast(pa.int64())
         cols["__ts"] = pa.array(_epoch_us(t.column(left_ts)), pa.int64())
@@ -298,6 +326,8 @@ def asof_join(left, right, left_key: str, right_key: str,
                   for c in left_cols}
 
     def _tag_right(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, right_ts)
+        t = t.filter(pc.is_valid(t.column(right_key).combine_chunks()))
         cols = {c: pa.nulls(t.num_rows, left_types[c]) for c in left_cols}
         cols["__key"] = t.column(right_key).combine_chunks().cast(pa.int64())
         cols["__ts"] = pa.array(_epoch_us(t.column(right_ts)), pa.int64())
@@ -379,6 +409,7 @@ class _SlidingCountPartial:
         self.n_hops = window_s // slide_s
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, self.ts_col)
         us = _epoch_us(t.column(self.ts_col))
         n = t.num_rows
         # latest window containing the event starts at floor(ts/slide);

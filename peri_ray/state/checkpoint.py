@@ -91,8 +91,21 @@ class CheckpointDir:
         safe = fragment_id.replace("/", "_").replace(":", "_")
         return os.path.join(self.root, "data", safe)
 
+    def invalidate(self, fragment_id: str) -> None:
+        """Remove the fragment's manifest.  MUST run before its data dir
+        is touched: a stale 'done' manifest outliving a destroyed data
+        dir would make a later resume skip a fragment whose output no
+        longer exists."""
+        p = self._manifest_path(fragment_id)
+        if os.path.exists(p):
+            os.remove(p)
+
     def write_fragment(self, fragment_id: str, write_fn: Callable[[str], Any]) -> str:
-        """Run ``write_fn(tmp_dir)`` then atomically rename into place."""
+        """Run ``write_fn(tmp_dir)`` then atomically rename into place.
+        The manifest is invalidated FIRST — if the rewrite fails after
+        the old data dir is removed, the fragment reads as incomplete
+        (and simply reprocesses), never as done-but-dataless."""
+        self.invalidate(fragment_id)
         final = self.fragment_dir(fragment_id)
         if os.path.exists(final):
             shutil.rmtree(final)

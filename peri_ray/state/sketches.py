@@ -30,28 +30,41 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+# The hash IMPLEMENTATION is resolved once at import: every bucketed
+# exchange in the engine assumes equal keys hash equally on every task
+# (bucket_of's single-recipe mandate).  A per-call try/except fallback
+# could silently switch one task to a different hash function on a
+# transient import failure — equal keys would then co-locate nothing,
+# with no error anywhere.  Workers run the same image, so import-time
+# resolution is consistent cluster-wide; a transient failure AFTER a
+# successful import raises instead of degrading.
+try:
+    import polars as _pl
+except Exception:  # polars genuinely absent from the environment
+    _pl = None
+
+
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a string/binary sequence.
-    Uses polars' vectorized hash when available (fast path), else a
-    python fallback over blake2b."""
-    try:
-        import polars as pl
-
-        s = pl.Series(values if not hasattr(values, "to_pylist") else values.to_pylist())
+    Polars' vectorized hash when the module imported (fast path), else
+    a blake2b fallback — chosen ONCE at import, never per call."""
+    if _pl is not None:
+        s = _pl.Series(values if not hasattr(values, "to_pylist")
+                       else values.to_pylist())
         return s.hash(seed=seed).to_numpy().astype(np.uint64)
-    except Exception:
-        import hashlib
+    import hashlib
 
-        out = np.empty(len(values), np.uint64)
-        it = values.to_pylist() if hasattr(values, "to_pylist") else values
-        for i, v in enumerate(it):
-            if v is None:
-                out[i] = 0
-            else:
-                b = v if isinstance(v, bytes) else str(v).encode()
-                h = hashlib.blake2b(b, digest_size=8, salt=seed.to_bytes(8, "little"))
-                out[i] = np.frombuffer(h.digest(), np.uint64)[0]
-        return out
+    out = np.empty(len(values), np.uint64)
+    it = values.to_pylist() if hasattr(values, "to_pylist") else values
+    for i, v in enumerate(it):
+        if v is None:
+            out[i] = 0
+        else:
+            b = v if isinstance(v, bytes) else str(v).encode()
+            h = hashlib.blake2b(b, digest_size=8,
+                                salt=seed.to_bytes(8, "little"))
+            out[i] = np.frombuffer(h.digest(), np.uint64)[0]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -330,6 +330,21 @@ class TestDefaultsTransforms:
         out, _ = run({"n": (("integer", ("gte", 5)), ("default", 9))}, {"n": [None, 4]})
         assert out.column("valid").to_pylist() == [True, False]
 
+    def test_incompatible_branch_default_keeps_nulls(self):
+        # hypothesis-found crash: an integer default on a oneof branch
+        # over a string-typed column cannot physically fill — validity
+        # must match the reference (required checks nulls BEFORE any
+        # default fills, lib/peri.ex:825) and the engine must not raise
+        spec = {"f0": ("required", ("oneof", [("integer", ("default", 0)), "string"]))}
+        out, viols = run(spec, {"f0": ["a", None, "b"]})
+        assert out.column("valid").to_pylist() == [True, False, True]
+        assert viols.to_pylist()[0]["rule_id"] == "required"
+        # optional variant: nil passes the branch; value deviation
+        # (null kept instead of 0) is the documented physical-type class
+        out2, _ = run({"f0": ("oneof", [("integer", ("default", 0)), "string"])},
+                      {"f0": ["a", None]})
+        assert out2.column("valid").to_pylist() == [True, True]
+
     def test_required_default_is_spec_error(self):
         # lib/peri.ex:829-834,1780-1783
         with pytest.raises(InvalidSchemaError):
