@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": q.sliding_event_counts,
         "stratified_sample_counts": q.stratified_sample_counts,
         "term_doc_frequency": q.term_doc_frequency,
+        "repetition_signals": q.repetition_signals,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -535,6 +536,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            wc AS (
+              SELECT doc_id, count(*) AS total_w, count(DISTINCT w) AS dist_w
+                FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY doc_id
+            ),
+            bc AS (
+              SELECT doc_id, count(*) AS total_b, count(DISTINCT b) AS dist_b
+                FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                        FROM (SELECT doc_id, tk,
+                                     unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                                FROM toks))
+               GROUP BY doc_id
+            )
+            SELECT wc.doc_id, CAST(total_w AS BIGINT) AS n_words,
+                   ROUND(1 - dist_w * 1.0 / total_w, 6) AS dup_word_ratio,
+                   COALESCE(ROUND(1 - dist_b * 1.0 / total_b, 6), 0.0)
+                     AS dup_bigram_ratio
+              FROM wc LEFT JOIN bc USING (doc_id)
+        """,
         "jaccard_join_pairs": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

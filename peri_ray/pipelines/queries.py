@@ -1087,6 +1087,23 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def repetition_signals(sf_dir: str):
+    """Gopher-style per-doc repetition gate signals: duplicate word /
+    adjacent-bigram fractions.  Pure per-batch map (no shuffle at any
+    scale); exact distinct counts so the SQL count(DISTINCT) twin is
+    bit-exact."""
+    from peri_ray.stages.text import repetition_signal_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _b(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text").combine_chunks()))
+        return repetition_signal_batch(t).select(
+            ["doc_id", "n_words", "dup_word_ratio", "dup_bigram_ratio"])
+
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

@@ -54,6 +54,85 @@ def bpe_ish_count_batch(table: pa.Table, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style duplicate n-gram fractions)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signal_batch(table: pa.Table, text_col: str = "text",
+                            round_to: int = 6) -> pa.Table:
+    """Per-document repetition signals a web-corpus quality gate keys on
+    (Gopher Table A1 family): fraction of word occurrences that repeat
+    an earlier word, and the same for adjacent word bigrams.
+
+    Fully vectorized and EXACT: distinct counts come from lexsort
+    boundary detection over dictionary-encoded word ids — no hashing —
+    so the DuckDB ``count(DISTINCT ...)`` oracle matches bit-for-bit.
+    Ratios are rounded to ``round_to`` decimals on both sides (division
+    then subtraction is IEEE-deterministic, but rounding keeps the
+    contract obvious)."""
+    txt = table.column(text_col).combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    n = len(txt)
+    valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+    parts = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"[\t\n\f\r ]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    wid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # distinct words per doc: sort (doc, wid), count group boundaries
+    order = np.lexsort((wid, doc))
+    d_s, w_s = doc[order], wid[order]
+    new = np.ones(len(order), bool)
+    if len(order) > 1:
+        new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+    distinct_w = np.bincount(d_s[new], minlength=n)
+
+    # adjacent bigrams within a doc
+    if len(doc) > 1:
+        adj = doc[1:] == doc[:-1]
+        bd, b1, b2 = doc[:-1][adj], wid[:-1][adj], wid[1:][adj]
+    else:
+        bd = b1 = b2 = np.empty(0, np.int64)
+    total_b = np.bincount(bd, minlength=n)
+    order2 = np.lexsort((b2, b1, bd))
+    d2, x1, x2 = bd[order2], b1[order2], b2[order2]
+    new2 = np.ones(len(order2), bool)
+    if len(order2) > 1:
+        new2[1:] = (d2[1:] != d2[:-1]) | (x1[1:] != x1[:-1]) | (x2[1:] != x2[:-1])
+    distinct_b = np.bincount(d2[new2], minlength=n)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_w = np.where(counts > 0, 1.0 - distinct_w / counts, 0.0)
+        dup_b = np.where(total_b > 0, 1.0 - distinct_b / total_b, 0.0)
+    dup_w = np.round(dup_w, round_to)
+    dup_b = np.round(dup_b, round_to)
+    out = table.append_column("n_words", pa.array(
+        np.where(valid, counts, 0), pa.int64()))
+    out = out.append_column("dup_word_ratio", pa.array(
+        np.where(valid, dup_w, 0.0), pa.float64()))
+    return out.append_column("dup_bigram_ratio", pa.array(
+        np.where(valid, dup_b, 0.0), pa.float64()))
+
+
+def add_repetition_signals(ds, text_col: str = "text",
+                           batch_size: int | None = 4096):
+    """Streaming per-batch map — repetition is a per-doc property, so no
+    shuffle at any scale."""
+    return ds.map_batches(
+        lambda t: repetition_signal_batch(t, text_col),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality scoring (stateful actor: compiled regex + stopword set)
 # ---------------------------------------------------------------------------
 

@@ -2626,3 +2626,42 @@ class TestCurationFuzz:
                            "curated_rows": len(keep)}, f"trial {trial}"
             got_ids = sorted(r["doc_id"] for r in curated.take_all())
             assert got_ids == sorted(keep.values()), f"trial {trial}"
+
+
+class TestRepetitionSignals:
+    def test_ratios_match_brute_force(self):
+        import duckdb
+
+        from peri_ray.stages.text import repetition_signal_batch
+
+        texts = ["a b a b a", "x y z", "w", "", None,
+                 "q q q q", "one two one two three"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        out = repetition_signal_batch(t)
+        for r in out.to_pylist():
+            tx = r["text"]
+            if tx is None:
+                assert r["n_words"] == 0 and r["dup_word_ratio"] == 0.0
+                continue
+            words = tx.strip().split() or [""]
+            bigr = list(zip(words, words[1:]))
+            assert r["n_words"] == len(words)
+            assert r["dup_word_ratio"] == round(1 - len(set(words)) / len(words), 6)
+            want_b = round(1 - len(set(bigr)) / len(bigr), 6) if bigr else 0.0
+            assert r["dup_bigram_ratio"] == want_b
+
+    def test_sql_twin_exact(self):
+        import duckdb
+
+        from peri_ray.stages.text import repetition_signal_batch
+
+        t = pa.table({"doc_id": [1, 2], "text": ["a a b b a", "p q p q"]})
+        out = repetition_signal_batch(t)
+        want = duckdb.sql(
+            "SELECT doc_id, ROUND(1 - count(DISTINCT w) * 1.0 / count(*), 6) "
+            "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM t) GROUP BY doc_id ORDER BY doc_id"
+        ).fetchall()
+        got = {r["doc_id"]: r["dup_word_ratio"] for r in out.to_pylist()}
+        for doc_id, ratio in want:
+            assert got[doc_id] == ratio
