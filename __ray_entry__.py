@@ -15,6 +15,12 @@ from collections.abc import Callable
 from typing import Any
 
 _LANGS_SQL = "('en','de','fr','es','pt')"
+
+# PII patterns: imported lazily in oracle_sql to keep module import light
+def _pii_patterns():
+    from peri_ray.stages.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return EMAIL_RE, IPV4_RE, PHONE_RE
 _EVENTS_SQL = "('click','view','signup','purchase')"
 _DOC_VALID = (
     "(doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 1 "
@@ -93,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_counts": q.stratified_sample_counts,
         "term_doc_frequency": q.term_doc_frequency,
         "repetition_signals": q.repetition_signals,
+        "pii_scan_documents": q.pii_scan_documents,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -151,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _EMAIL_RE, _IPV4_RE, _PHONE_RE = _pii_patterns()
     return {
         "validate_documents_violations": f"""
             SELECT CAST(doc_id AS VARCHAR) AS record_id, 'enum' AS rule_id, 'lang' AS path
@@ -536,6 +544,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "pii_scan_documents": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.1 call +1 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS contact
+                FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT), 0) AS n_email,
+                   COALESCE(CAST(len(regexp_extract_all(contact, '{_IPV4_RE}')) AS BIGINT), 0) AS n_ipv4,
+                   COALESCE(CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT), 0) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(contact,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}', '<IP>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+              FROM c
+        """,
         "repetition_signals": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -1104,6 +1104,33 @@ def repetition_signals(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def pii_scan_documents(sf_dir: str):
+    """PII scan + redaction over a deterministically derived contact
+    string (the synthetic corpus carries no literal PII, so the query
+    plants one email / IPv4 / phone per doc from doc_id — the SQL twin
+    derives the identical string, making match counts AND redacted
+    output real cross-engine evidence, not a trivially-zero pass)."""
+    from peri_ray.stages.pii import pii_redact_batch, pii_scan_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _b(t: pa.Table) -> pa.Table:
+        id_np = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").combine_chunks().cast(pa.string())
+        octet = pa.array(id_np % 256, pa.int64()).cast(pa.string())
+        ext = pc.utf8_lpad(pa.array(id_np % 10000, pa.int64()).cast(pa.string()),
+                           4, "0")
+        contact = pc.binary_join_element_wise(
+            t.column("text").combine_chunks(), " reach user", ids,
+            "@example.com from 10.0.", octet, ".1 call +1 555-", ext, "")
+        t2 = pa.table({"doc_id": t.column("doc_id"), "contact": contact})
+        t2 = pii_scan_batch(t2, "contact")
+        t2 = pii_redact_batch(t2, "contact", out_col="redacted")
+        return t2.select(["doc_id", "n_email", "n_ipv4", "n_phone", "redacted"])
+
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

@@ -2665,3 +2665,43 @@ class TestRepetitionSignals:
         got = {r["doc_id"]: r["dup_word_ratio"] for r in out.to_pylist()}
         for doc_id, ratio in want:
             assert got[doc_id] == ratio
+
+
+class TestPII:
+    def test_scan_counts(self):
+        from peri_ray.stages.pii import pii_scan_batch
+
+        t = pa.table({"text": [
+            "mail bob.smith+x@corp.example.org or alice@ex.io now",
+            "server at 192.168.0.1 and 10.0.0.255",
+            "call +1 555-0142 or +49 123-4567",
+            "nothing here",
+            None,
+        ]})
+        out = pii_scan_batch(t)
+        assert out.column("n_email").to_pylist() == [2, 0, 0, 0, 0]
+        assert out.column("n_ipv4").to_pylist() == [0, 2, 0, 0, 0]
+        assert out.column("n_phone").to_pylist() == [0, 0, 2, 0, 0]
+
+    def test_redact_order_and_nulls(self):
+        from peri_ray.stages.pii import pii_redact_batch
+
+        t = pa.table({"text": [
+            "bob@ex.io at 10.0.0.1 dial +1 555-0100",
+            None,
+        ]})
+        out = pii_redact_batch(t)
+        assert out.column("text").to_pylist() == [
+            "<EMAIL> at <IP> dial <PHONE>", None]
+
+    def test_matches_duckdb_regex(self):
+        import duckdb
+
+        from peri_ray.stages.pii import EMAIL_RE, pii_scan_batch
+
+        t = pa.table({"text": ["a@b.co c@d.org", "x@y", "no"]})
+        got = pii_scan_batch(t).column("n_email").to_pylist()
+        want = [r[0] for r in duckdb.sql(
+            f"SELECT len(regexp_extract_all(text, '{EMAIL_RE}')) FROM t"
+        ).fetchall()]
+        assert got == want
