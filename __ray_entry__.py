@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_frequency": q.term_doc_frequency,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
+        "normalized_documents": q.normalized_documents,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -544,6 +545,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "normalized_documents": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(regexp_replace(
+                     nfc_normalize(chr(9) || ' ' || upper(replace(text, ' ', '  ')) || ' ' || chr(10)),
+                     '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                     '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ')) AS normalized
+              FROM documents
+        """,
         "pii_scan_documents": f"""
             WITH c AS (
               SELECT doc_id,

@@ -1131,6 +1131,27 @@ def pii_scan_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def normalized_documents(sf_dir: str):
+    """Normalization round-trip: deterministically roughen the text
+    (tabs, doubled spaces, uppercase, trailing newline) then run the
+    normalize stage; the SQL twin derives and normalizes identically,
+    so every kernel in the chain (NFC, control strip, ws collapse,
+    trim, lower) is cross-engine checked."""
+    from peri_ray.stages.text import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _b(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        messy = pc.binary_join_element_wise(
+            "\t ", pc.utf8_upper(pc.replace_substring(txt, " ", "  ")), " \n", "")
+        t2 = pa.table({"doc_id": t.column("doc_id"), "messy": messy})
+        t2 = normalize_text_batch(t2, "messy", out_col="normalized", casefold=True)
+        return t2.select(["doc_id", "normalized"])
+
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

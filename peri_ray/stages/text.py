@@ -133,6 +133,62 @@ def add_repetition_signals(ds, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# text normalization (Unicode NFC + control strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_batch(table: pa.Table, text_col: str = "text",
+                         out_col: str | None = None,
+                         casefold: bool = False) -> pa.Table:
+    """Canonical text cleanup for dedup/tokenization: Unicode NFC,
+    control characters stripped, runs of whitespace collapsed to one
+    space, ends trimmed; optional lowercasing.  All Arrow kernels —
+    the DuckDB twin (nfc_normalize / regexp_replace / trim / lower)
+    applies the identical step order, which is part of the contract:
+    collapsing BEFORE trimming ensures interior tabs and the trailing
+    run reduce the same way in both engines."""
+    txt = table.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    # NFC: Arrow 16's utf8_normalize does NOT compose (its "NFC" output
+    # stays decomposed, unlike Python/DuckDB) — measured, not assumed.
+    # Hybrid: ASCII rows are NFC by definition and skip straight through
+    # (zero copies); only rows with non-ASCII bytes take the exact
+    # Python unicodedata pass.  At web scale this is per-row work only
+    # on the non-ASCII subset, the same trade as grapheme-length mode.
+    ascii_mask = pc.fill_null(pc.string_is_ascii(txt), True).to_numpy(
+        zero_copy_only=False).astype(bool)
+    need = ~ascii_mask
+    if need.any():
+        import unicodedata
+
+        vals = txt.to_pylist()
+        for i in np.flatnonzero(need):
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        txt = pa.array(vals, pa.string())
+    # RE2 both sides; \x escapes and classes behave identically
+    out = pc.replace_substring_regex(txt, r"[\x00-\x1f\x7f]", " ")
+    out = pc.replace_substring_regex(out, r"[\t\n\f\r ]+", " ")
+    out = pc.utf8_trim(out, " ")
+    if casefold:
+        out = pc.utf8_lower(out)
+    out_col = out_col or text_col
+    if out_col in table.column_names:
+        return table.set_column(table.column_names.index(out_col), out_col, out)
+    return table.append_column(out_col, out)
+
+
+def add_normalized_text(ds, text_col: str = "text", casefold: bool = False,
+                        batch_size: int | None = 4096):
+    return ds.map_batches(
+        lambda t: normalize_text_batch(t, text_col, casefold=casefold),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality scoring (stateful actor: compiled regex + stopword set)
 # ---------------------------------------------------------------------------
 

@@ -2705,3 +2705,36 @@ class TestPII:
             f"SELECT len(regexp_extract_all(text, '{EMAIL_RE}')) FROM t"
         ).fetchall()]
         assert got == want
+
+
+class TestNormalizeText:
+    def test_unicode_nfc_and_whitespace(self):
+        from peri_ray.stages.text import normalize_text_batch
+
+        decomposed = "école"          # e + combining acute
+        t = pa.table({"text": [
+            "  hello \t\t world \n",
+            decomposed,
+            "a\x00b\x1fc",
+            None,
+            "",
+        ]})
+        out = normalize_text_batch(t)
+        got = out.column("text").to_pylist()
+        assert got[0] == "hello world"
+        assert got[1] == "école"       # composed é, NFC
+        assert got[2] == "a b c"
+        assert got[3] is None
+        assert got[4] == ""
+
+    def test_casefold_and_duckdb_parity(self):
+        import duckdb
+
+        from peri_ray.stages.text import normalize_text_batch
+
+        t = pa.table({"text": ["  MiXeD \t CaSe  ", "Straße"]})
+        got = normalize_text_batch(t, casefold=True).column("text").to_pylist()
+        want = [r[0] for r in duckdb.sql(
+            "SELECT lower(trim(regexp_replace(nfc_normalize(text), "
+            "'[\\t\\n\\f\\r ]+', ' ', 'g'), ' ')) FROM t").fetchall()]
+        assert got == want
