@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
+        "line_dedup_documents": q.line_dedup_documents,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -545,6 +546,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "line_dedup_documents": """
+            WITH ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM documents WHERE text IS NOT NULL
+            ),
+            lines AS (
+              SELECT doc_id, i, parts[i] AS ln
+                FROM (SELECT doc_id, parts,
+                             unnest(range(1, CAST(len(parts) + 1 AS BIGINT))) AS i
+                        FROM ls)
+            ),
+            kept AS (
+              SELECT doc_id, i, ln
+                FROM (SELECT doc_id, i, ln, row_number() OVER (
+                        PARTITION BY ln ORDER BY doc_id, i) AS rn FROM lines)
+               WHERE rn = 1
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS txt
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE COALESCE(a.txt, '') END AS text
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "normalized_documents": """
             SELECT doc_id,
                    lower(trim(regexp_replace(regexp_replace(

@@ -1152,6 +1152,17 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def line_dedup_documents(sf_dir: str):
+    """RefinedWeb/CCNet-style line-level exact dedup: every line keeps
+    only its global first occurrence (min (doc_id, idx)); docs rebuilt
+    from surviving lines.  Two bucketed exchanges, text column never
+    materialized on the driver."""
+    from peri_ray.stages.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds)
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

@@ -304,6 +304,138 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# line/passage-level exact dedup (RefinedWeb/CCNet-style: remove every
+# line that already appeared at an earlier (doc_id, line_idx) anywhere
+# in the corpus, then rebuild documents from their surviving lines)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_victims(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 64):
+    """(doc_id, idx) of every line occurrence that is NOT the global
+    first occurrence of its text (first = lexicographic min
+    (doc_id, idx); idx is 1-based within the doc).
+
+    Scale shape: explode to (ln, doc_id, idx) rows, then ONE
+    hash-bucketed exchange keyed on the line text via
+    ``per_group_via_buckets`` (line strings are the exchange key —
+    hash-first-then-verify measured slower here, see CLAUDE.md; a
+    line is far smaller than a document, and the html/text column
+    itself never moves)."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        valid = pc.is_valid(txt)
+        t2 = pa.table({text_col: txt, id_col: t.column(id_col)}).filter(valid)
+        txt2 = t2.column(text_col)
+        if isinstance(txt2, pa.ChunkedArray):
+            txt2 = txt2.combine_chunks()
+        parts = pc.split_pattern(txt2, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t2.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        rep = np.repeat(ids, counts)
+        # 1-based within-doc index: arange minus each doc's start offset
+        total = int(counts.sum())
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.arange(total, dtype=np.int64) - starts + 1
+        return pa.table({"ln": parts.flatten(),
+                         id_col: pa.array(rep, pa.int64()),
+                         "idx": pa.array(idx, pa.int64())})
+
+    lines = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _victims(run: pa.Table) -> pa.Table:
+        d = run.column(id_col).to_numpy(zero_copy_only=False)
+        i = run.column("idx").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64())})
+        keep = np.lexsort((i, d))[0]
+        mask = np.ones(len(d), bool)
+        mask[keep] = False
+        return pa.table({id_col: pa.array(d[mask], pa.int64()),
+                         "idx": pa.array(i[mask], pa.int64())})
+
+    return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets)
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               n_buckets: int = 64):
+    """Rebuild every document with its duplicated lines removed
+    (global first occurrence survives).  Output: (id_col, text_col)
+    for EVERY input doc — null text stays null, a doc whose every line
+    was removed becomes the empty string.
+
+    Second exchange: victims and originals co-bucket on doc_id; per
+    bucket the rebuild is fully vectorized (one split, one boolean
+    mask over the flattened lines, one ``pc.binary_join``)."""
+    victims = duplicate_line_victims(ds, text_col, id_col, n_buckets)
+
+    def _tag_victims(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col),
+                         "idx": t.column("idx"),
+                         text_col: pa.nulls(t.num_rows, pa.string())})
+
+    def _tag_docs(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        return pa.table({id_col: t.column(id_col),
+                         "idx": pa.array(np.zeros(t.num_rows, np.int64)),
+                         text_col: txt})
+
+    union = (ds.map_batches(_tag_docs, batch_format="pyarrow")
+             .union(victims.map_batches(_tag_victims, batch_format="pyarrow")))
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group.column("idx"), 0)
+        docs = group.filter(is_doc).sort_by([(id_col, "ascending")])
+        vic = group.filter(pc.invert(is_doc))
+        txt = docs.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        null_mask = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        doc_ids = docs.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern(pc.fill_null(txt, ""), "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(doc_ids)
+        local = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.arange(int(counts.sum()), dtype=np.int64) - starts + 1
+        # encode (local doc, idx) into one int64: idx ≤ max lines/doc
+        # in this bucket, local < bucket doc count — no overflow
+        base = int(counts.max()) + 2 if n_docs else 2
+        line_keys = local * base + idx
+        v_ids = vic.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        v_idx = vic.column("idx").combine_chunks().to_numpy(zero_copy_only=False)
+        v_local = np.searchsorted(doc_ids, v_ids)
+        # victims whose doc is outside this bucket slice cannot happen
+        # (same bucket key); victims with idx beyond base cannot happen
+        # (idx came from the same split)
+        v_keys = v_local * base + v_idx
+        keep = ~np.isin(line_keys, v_keys)
+        new_counts = np.bincount(local[keep], minlength=n_docs) if len(local) else np.zeros(n_docs, np.int64)
+        # int64 offsets / large_list: a bucket of a 100 TB corpus can
+        # hold > 2^31 line occurrences
+        offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+        flat = parts.flatten().filter(pa.array(keep)) if len(keep) else parts.flatten()
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+        joined = pc.binary_join(la, "\n")
+        out_txt = pc.if_else(pa.array(null_mask), pa.nulls(n_docs, pa.string()), joined)
+        return pa.table({id_col: pa.array(doc_ids, pa.int64()), text_col: out_txt})
+
+    return map_groups_via_buckets(union, [id_col], _rebuild, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -2738,3 +2738,54 @@ class TestNormalizeText:
             "SELECT lower(trim(regexp_replace(nfc_normalize(text), "
             "'[\\t\\n\\f\\r ]+', ' ', 'g'), ' ')) FROM t").fetchall()]
         assert got == want
+
+
+class TestLineDedup:
+    def test_semantics(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import line_dedup
+
+        docs = [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),
+            (3, "alpha\nbeta"),
+            (4, None),
+            (5, "epsilon\nepsilon"),
+            (6, ""),
+            (7, ""),
+        ]
+        ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                     "text": [t for _, t in docs]}))
+        out = {r["doc_id"]: r["text"] for r in line_dedup(ds).take_all()}
+        assert out == {1: "alpha\nbeta\ngamma", 2: "delta", 3: "",
+                       4: None, 5: "epsilon", 6: "", 7: ""}
+
+    def test_fuzz_vs_brute_force(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import line_dedup
+
+        rng = random.Random(7)
+        vocab = ["aa", "bb", "cc", "dd", ""]
+        for trial in range(3):
+            docs = []
+            for i in range(40):
+                n = rng.randint(1, 5)
+                docs.append((i, "\n".join(rng.choice(vocab) for _ in range(n))))
+            # brute force: global first occurrence by (doc, idx)
+            seen = set()
+            want = {}
+            for i, tx in docs:
+                kept = []
+                for ln in tx.split("\n"):
+                    if ln not in seen:
+                        seen.add(ln)
+                        kept.append(ln)
+                want[i] = "\n".join(kept)
+            ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                         "text": [t for _, t in docs]}))
+            got = {r["doc_id"]: r["text"] for r in line_dedup(ds, n_buckets=8).take_all()}
+            assert got == want, f"trial {trial}"
