@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
         "line_dedup_documents": q.line_dedup_documents,
+        "contamination_report": q.contamination_report,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -546,6 +547,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "contamination_report": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4] AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) - 3 AS BIGINT))) AS i
+                        FROM toks)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT doc_id, count(*) AS c
+                FROM grams JOIN bench USING (g)
+               WHERE doc_id % 97 <> 0
+               GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.c, 0) AS BIGINT) AS n_shared_grams,
+                   COALESCE(h.c, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+             WHERE d.doc_id % 97 <> 0
+        """,
         "line_dedup_documents": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS parts

@@ -1163,6 +1163,28 @@ def line_dedup_documents(sf_dir: str):
     return line_dedup(ds)
 
 
+def contamination_report(sf_dir: str):
+    """Benchmark decontamination: every 97th doc plays the held-out
+    eval set; training docs are flagged when they share any distinct
+    word 5-gram with it.  Benchmark grams broadcast once (ray.put),
+    corpus probed in one streaming pass — no shuffle."""
+    from peri_ray.stages.dedup import contamination_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def _is_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 != 0))
+
+    bench = docs.map_batches(_is_bench, batch_format="pyarrow")
+    train = docs.map_batches(_is_train, batch_format="pyarrow")
+    return contamination_counts(train, bench, n=5)
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

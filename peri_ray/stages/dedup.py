@@ -1230,3 +1230,95 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,
                              metric=token_bigram_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word n-gram overlap vs a broadcast set)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_hashes(texts: pa.Array, n: int):
+    """Order-sensitive 64-bit hashes of every word n-gram, flattened,
+    with the owning row index.  One vectorized pass over the batch:
+    words hash once (polars/blake2b), n-gram combination is ``n`` fused
+    numpy passes over the flattened word-hash array, windows straddling
+    a document boundary are masked out.  Gram identity is the 64-bit
+    hash — the same equality contract exact dedup uses for
+    content_hash (collisions ~ |grams|^2 / 2^64)."""
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+    parts = pc.split_pattern_regex(trimmed, r"[\t\n\f\r ]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = parts.flatten()
+    wh = hash_strings(flat, seed=11)
+    total = len(wh)
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if total < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    m = total - n + 1
+    acc = np.zeros(m, np.uint64)
+    for k in range(n):
+        acc = splitmix64(acc ^ (wh[k:m + k] + np.uint64(0x9E3779B97F4A7C15)))
+    valid = doc[:m] == doc[n - 1:]
+    return acc[valid], doc[:m][valid]
+
+
+def contamination_counts(ds, bench_ds, n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id", batch_size: int | None = 4096):
+    """Per-training-doc count of DISTINCT word ``n``-grams shared with
+    the benchmark set, plus a ``contaminated`` flag — the standard
+    pre-training decontamination gate (GPT-3 appendix C / PaLM style).
+
+    Scale shape: the benchmark side is tiny by definition (eval sets,
+    not corpora) — its distinct gram hashes are reduced per batch
+    (np.unique partials), unioned once on the driver, and broadcast
+    via ``ray.put``; training batches then do one sorted-array
+    ``searchsorted`` membership probe per gram.  No shuffle anywhere;
+    the corpus is touched in a single streaming pass."""
+    import ray
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        g, _ = _word_ngram_hashes(txt, n)
+        return pa.table({"g": pa.array(np.unique(g).astype(np.int64))})
+
+    parts = [b.column("g").to_numpy(zero_copy_only=False)
+             for b in bench_ds.map_batches(_bench_grams, batch_format="pyarrow",
+                                           batch_size=batch_size)
+             .iter_batches(batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    bench_ref = ray.put(bench)
+
+    class _Probe:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            txt = t.column(text_col)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            g, doc = _word_ngram_hashes(txt, n)
+            gi = g.astype(np.int64)
+            n_rows = t.num_rows
+            # distinct grams per doc: lexsort boundaries (exact)
+            order = np.lexsort((gi, doc))
+            d_s, g_s = doc[order], gi[order]
+            new = np.ones(len(order), bool)
+            if len(order) > 1:
+                new[1:] = (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])
+            d_u, g_u = d_s[new], g_s[new]
+            pos = np.searchsorted(self.bench, g_u)
+            pos = np.clip(pos, 0, max(len(self.bench) - 1, 0))
+            hit = (self.bench[pos] == g_u) if len(self.bench) else np.zeros(len(g_u), bool)
+            cnt = np.bincount(d_u[hit], minlength=n_rows).astype(np.int64)
+            return pa.table({
+                id_col: t.column(id_col),
+                "n_shared_grams": pa.array(cnt, pa.int64()),
+                "contaminated": pa.array(cnt > 0),
+            })
+
+    return ds.map_batches(_Probe, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 8))

@@ -2789,3 +2789,55 @@ class TestLineDedup:
                                          "text": [t for _, t in docs]}))
             got = {r["doc_id"]: r["text"] for r in line_dedup(ds, n_buckets=8).take_all()}
             assert got == want, f"trial {trial}"
+
+
+class TestContamination:
+    def test_known_overlap(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import contamination_counts
+
+        bench = rd.from_arrow(pa.table({
+            "doc_id": [100],
+            "text": ["the quick brown fox jumps over the lazy dog"]}))
+        train = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "quick brown fox jumps over cliffs",   # 1 shared 5-gram
+                "the quick brown fox jumps over the lazy dog",  # full copy
+                "completely different words here entirely now",
+                None,
+            ]}))
+        out = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+               for r in contamination_counts(train, bench, n=5).take_all()}
+        # doc2: 5 distinct 5-grams in a 9-word doc
+        assert out[1] == (1, True)
+        assert out[2] == (5, True)
+        assert out[3] == (0, False)
+        assert out[4] == (0, False)
+
+    def test_fuzz_vs_brute_force(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import contamination_counts
+
+        rng = random.Random(3)
+        vocab = [f"w{i}" for i in range(12)]
+
+        def grams(tx, n=3):
+            ws = tx.split()
+            return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+        bdocs = [" ".join(rng.choice(vocab) for _ in range(8)) for _ in range(5)]
+        tdocs = [" ".join(rng.choice(vocab) for _ in range(10)) for _ in range(30)]
+        bg = set().union(*[grams(b) for b in bdocs])
+        want = {i: len(grams(t) & bg) for i, t in enumerate(tdocs)}
+        bench = rd.from_arrow(pa.table({"doc_id": list(range(100, 105)),
+                                        "text": bdocs}))
+        train = rd.from_arrow(pa.table({"doc_id": list(range(30)),
+                                        "text": tdocs}))
+        got = {r["doc_id"]: r["n_shared_grams"]
+               for r in contamination_counts(train, bench, n=3).take_all()}
+        assert got == want
