@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_documents": q.normalized_documents,
         "line_dedup_documents": q.line_dedup_documents,
         "contamination_report": q.contamination_report,
+        "mixed_sample_documents": q.mixed_sample_documents,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -547,6 +548,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "mixed_sample_documents": """
+            SELECT doc_id, source FROM documents
+             WHERE (doc_id % 1000003) * 2654435761 % 1000000 <
+                   CAST(floor(((CAST(substring(source, 4) AS BIGINT) % 4) + 1)
+                              / 8.0 * 1000000) AS BIGINT)
+        """,
         "contamination_report": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

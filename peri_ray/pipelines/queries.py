@@ -1185,6 +1185,19 @@ def contamination_report(sf_dir: str):
     return contamination_counts(train, bench, n=5)
 
 
+def mixed_sample_documents(sf_dir: str):
+    """Deterministic corpus-mixing sample: per-source keep rates
+    (k%4+1)/8 — exact binary fractions so the floored integer
+    threshold is identical in both engines — decided by an integer
+    hash of doc_id.  One streaming pass, no shuffle, reproducible
+    across block layouts and cluster sizes."""
+    from peri_ray.stages.stats import hash_weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    rates = {f"src{i}": (i % 4 + 1) / 8 for i in range(20)}
+    return hash_weighted_sample(ds, rates, key_col="source", id_col="doc_id")
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

@@ -264,6 +264,59 @@ def stratified_sample(ds, key: str, k: int, id_col: str, seed: int = 1234,
     return sampled.drop_columns(["__h"])
 
 
+#: modulus pair for hash_weighted_sample: ids fold modulo the prime
+#: first so the Knuth multiply stays inside int64 in BOTH engines
+#: (10^12-scale ids × 2654435761 would overflow DuckDB's BIGINT).
+_HWS_PRIME = 1_000_003
+_HWS_MULT = 2_654_435_761
+_HWS_MOD = 1_000_000
+
+
+def hash_weighted_sample(ds, rates: dict, key_col: str, id_col: str,
+                         batch_size: int | None = 65536):
+    """Corpus-mixing sampler: keep each row with its group's rate,
+    decided by a DETERMINISTIC integer hash of the id — reproducible
+    across runs, block layouts and cluster sizes, and exactly
+    SQL-expressible (``(id % 1000003) * 2654435761 % 1000000 <
+    floor(rate * 1e6)``, all BIGINT).  This is the per-source
+    temperature-mixing primitive (Pile/ROOTS style): compute rates
+    from source counts upstream (see :func:`temperature_rates`), then
+    one streaming pass — no shuffle, groups not materialized.
+
+    Rows whose group is absent from ``rates`` are dropped (rate 0);
+    thresholds are pre-floored to integers so float representation can
+    never flip a boundary row between engines."""
+    thresholds = {k: int(np.floor(v * _HWS_MOD)) for k, v in rates.items()}
+
+    def _b(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        h = (ids % _HWS_PRIME) * _HWS_MULT % _HWS_MOD
+        keys = t.column(key_col).combine_chunks()
+        thr = np.full(t.num_rows, -1, np.int64)
+        for kv, tv in thresholds.items():
+            m = pc.fill_null(pc.equal(keys, kv), False).to_numpy(
+                zero_copy_only=False).astype(bool)
+            thr[m] = tv
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(_b, batch_format="pyarrow", batch_size=batch_size)
+
+
+def temperature_rates(counts: dict, alpha: float = 0.7,
+                      target_total: int | None = None) -> dict:
+    """Temperature-smoothed mixing rates: sampling probability per
+    group ∝ count^alpha (alpha<1 upweights small sources), scaled so
+    the expected total is ``target_total`` (default: input total),
+    capped at 1.0.  Pure driver-side arithmetic over the (small)
+    per-source count dict."""
+    tot = sum(counts.values())
+    target = tot if target_total is None else target_total
+    pow_sum = sum(c ** alpha for c in counts.values())
+    return {k: min(1.0, (c ** alpha / pow_sum) * target / c)
+            for k, c in counts.items() if c > 0}
+
+
 class _GroupedStatsPartial:
     """Batch → one (key, column, cnt, null_count, min, max, sum) row per
     (group, column): ONE vectorized Arrow group_by per batch carrying

@@ -2841,3 +2841,49 @@ class TestContamination:
         got = {r["doc_id"]: r["n_shared_grams"]
                for r in contamination_counts(train, bench, n=3).take_all()}
         assert got == want
+
+
+class TestHashWeightedSample:
+    def test_rates_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import hash_weighted_sample
+
+        n = 20000
+        t = pa.table({"doc_id": list(range(n)),
+                      "src": ["a" if i % 2 else "b" for i in range(n)]})
+        rates = {"a": 0.25, "b": 0.75}
+        ds = rd.from_arrow(t)
+        got1 = sorted(r["doc_id"] for r in
+                      hash_weighted_sample(ds, rates, "src", "doc_id").take_all())
+        # determinism across a different block layout
+        ds2 = rd.from_arrow(t).repartition(7)
+        got2 = sorted(r["doc_id"] for r in
+                      hash_weighted_sample(ds2, rates, "src", "doc_id").take_all())
+        assert got1 == got2
+        a = sum(1 for i in got1 if i % 2)
+        b = len(got1) - a
+        assert abs(a / (n / 2) - 0.25) < 0.02
+        assert abs(b / (n / 2) - 0.75) < 0.02
+
+    def test_missing_group_dropped(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import hash_weighted_sample
+
+        t = pa.table({"doc_id": [1, 2, 3], "src": ["a", "zzz", None]})
+        out = hash_weighted_sample(rd.from_arrow(t), {"a": 1.0}, "src", "doc_id")
+        assert [r["doc_id"] for r in out.take_all()] == [1]
+
+    def test_temperature_rates(self):
+        from peri_ray.stages.stats import temperature_rates
+
+        counts = {"big": 1_000_000, "small": 1_000}
+        r = temperature_rates(counts, alpha=0.5)
+        # alpha<1 upweights the small source
+        assert r["small"] > r["big"]
+        # expected kept total ~ input total
+        exp = sum(r[k] * counts[k] for k in counts)
+        assert abs(exp - sum(counts.values())) / sum(counts.values()) < 0.05
+        # alpha=1 keeps everything (rates cap at 1)
+        assert temperature_rates(counts, alpha=1.0) == {"big": 1.0, "small": 1.0}
