@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": q.line_dedup_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
+        "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
         "grouped_stats_lineitem": q.grouped_stats_lineitem,
@@ -548,6 +549,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "corr_lineitem": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr
+              FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             GROUP BY l_returnflag
+        """,
         "mixed_sample_documents": """
             SELECT doc_id, source FROM documents
              WHERE (doc_id % 1000003) * 2654435761 % 1000000 <

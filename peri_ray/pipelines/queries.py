@@ -1198,6 +1198,16 @@ def mixed_sample_documents(sf_dir: str):
     return hash_weighted_sample(ds, rates, key_col="source", id_col="doc_id")
 
 
+def corr_lineitem(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extendedprice
+    (algebraic combiners, driver merge — no shuffle)."""
+    from peri_ray.stages.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

@@ -317,6 +317,57 @@ def temperature_rates(counts: dict, alpha: float = 0.7,
             for k, c in counts.items() if c > 0}
 
 
+def grouped_corr(ds, key: str, x: str, y: str,
+                 batch_size: int | None = 65536, round_to: int = 6) -> pa.Table:
+    """Per-group Pearson correlation via algebraic combiners
+    (n, Σx, Σy, Σx², Σy², Σxy per batch per group; tiny driver merge —
+    the same partials-beat-shuffle trade as :func:`grouped_stats`).
+    Rows with a null in either column are excluded, matching SQL
+    ``corr``; degenerate groups (n<2 or zero variance) yield null.
+    The result rounds to ``round_to`` decimals: the naive-sum formula
+    and DuckDB's stable one-pass differ in the last ulps."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xv = t.column(x).combine_chunks().cast(pa.float64())
+        yv = t.column(y).combine_chunks().cast(pa.float64())
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        sub = pa.table({key: t.column(key), "x": xv, "y": yv}).filter(ok)
+        xa = sub.column("x").to_numpy(zero_copy_only=False)
+        ya = sub.column("y").to_numpy(zero_copy_only=False)
+        aug = pa.table({
+            key: sub.column(key),
+            "n": pa.array(np.ones(len(xa), np.int64)),
+            "sx": sub.column("x"), "sy": sub.column("y"),
+            "sxx": pa.array(xa * xa), "syy": pa.array(ya * ya),
+            "sxy": pa.array(xa * ya),
+        })
+        g = aug.group_by(key).aggregate([(c, "sum") for c in
+                                         ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        return g.rename_columns([key, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict = {}
+    for r in partials.iter_rows():
+        cur = acc.setdefault(r[key], np.zeros(6))
+        cur += [r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]]
+    keys = sorted(acc, key=str)
+    corrs = []
+    for k in keys:
+        n, sx, sy, sxx, syy, sxy = acc[k]
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            corrs.append(None)
+        else:
+            corrs.append(round((n * sxy - sx * sy) / np.sqrt(vx * vy), round_to))
+    return pa.table({
+        key: pa.array(keys),
+        "n": pa.array([int(acc[k][0]) for k in keys], pa.int64()),
+        "corr": pa.array(corrs, pa.float64()),
+    })
+
+
 class _GroupedStatsPartial:
     """Batch → one (key, column, cnt, null_count, min, max, sum) row per
     (group, column): ONE vectorized Arrow group_by per batch carrying

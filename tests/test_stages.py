@@ -2887,3 +2887,37 @@ class TestHashWeightedSample:
         assert abs(exp - sum(counts.values())) / sum(counts.values()) < 0.05
         # alpha=1 keeps everything (rates cap at 1)
         assert temperature_rates(counts, alpha=1.0) == {"big": 1.0, "small": 1.0}
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_and_degenerates(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_corr
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(10, 3, 500)
+        y = 2 * x + rng.normal(0, 1, 500)
+        t = pa.table({
+            "k": ["a"] * 500 + ["const", "const", "single"],
+            "x": np.concatenate([x, [1.0, 1.0], [3.0]]),
+            "y": np.concatenate([y, [2.0, 5.0], [4.0]]),
+        })
+        out = {r["k"]: (r["n"], r["corr"])
+               for r in grouped_corr(rd.from_arrow(t).repartition(4),
+                                     "k", "x", "y").to_pylist()}
+        want = round(float(np.corrcoef(x, y)[0, 1]), 6)
+        assert out["a"][0] == 500 and abs(out["a"][1] - want) <= 1e-6
+        assert out["const"] == (2, None)   # zero variance in x
+        assert out["single"] == (1, None)  # n < 2
+
+    def test_null_rows_excluded(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_corr
+
+        t = pa.table({"k": ["g"] * 4,
+                      "x": [1.0, 2.0, None, 3.0],
+                      "y": [2.0, 4.0, 9.0, None]})
+        out = grouped_corr(rd.from_arrow(t), "k", "x", "y").to_pylist()
+        assert out == [{"k": "g", "n": 2, "corr": 1.0}]
