@@ -142,6 +142,11 @@ def run_bench() -> dict:
     timed("ntile_events_by_user", lambda: q.ntile_events_by_user(SF_DIR).to_pandas())
     timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
     timed("curation_report", lambda: q.curation_report(SF_DIR))
+    timed("line_dedup_documents", lambda: q.line_dedup_documents(SF_DIR).to_pandas())
+    timed("contamination_report", lambda: q.contamination_report(SF_DIR).to_pandas())
+    timed("repetition_signals", lambda: q.repetition_signals(SF_DIR).to_pandas())
+    timed("pii_scan_documents", lambda: q.pii_scan_documents(SF_DIR).to_pandas())
+    timed("mixed_sample_documents", lambda: q.mixed_sample_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
