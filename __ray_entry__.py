@@ -140,9 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders_status": q.pivot_orders_status,
         "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
         "rollup_orders": q.rollup_orders,
-        # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
+        # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "simhash_fingerprints": q.simhash_fps,
         "minhash_near_dup_pairs": q.minhash_near_dup_pairs,
         "ann_topk": q.ann_topk,
@@ -164,6 +164,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     _EMAIL_RE, _IPV4_RE, _PHONE_RE = _pii_patterns()
+
+    # SQL twins generated from the engine's own lexicons so they can
+    # never drift: stopword membership for quality_scores, trigram
+    # profiles (+ argmax tie order) for lang_id_guess.
+    from peri_ray.stages.text import _LANG_PROFILES, _STOPWORDS
+
+    _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    _langs = list(_LANG_PROFILES)
+    _score_cols = ", ".join(
+        "(" + " + ".join(
+            f"(length(text) - length(replace(text, '{g}', ''))) // 3"
+            for g in _LANG_PROFILES[lang]) + f") AS s_{lang}"
+        for lang in _langs)
+    _grt = "greatest(" + ", ".join(f"s_{l}" for l in _langs) + ")"
+    _case = " ".join(
+        "WHEN " + " AND ".join(f"s_{l} >= s_{m}" for m in _langs[i + 1:])
+        + f" THEN '{l}'"
+        for i, l in enumerate(_langs[:-1]))
     return {
         "validate_documents_violations": f"""
             SELECT CAST(doc_id AS VARCHAR) AS record_id, 'enum' AS rule_id, 'lang' AS path
@@ -666,6 +684,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ROUND(1 - dist_b * 1.0 / total_b, 6), 0.0)
                      AS dup_bigram_ratio
               FROM wc LEFT JOIN bc USING (doc_id)
+        """,
+        "quality_scores": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                       '[^a-z'']+'),
+                                 x -> x <> '') AS ws,
+                     CAST(length(regexp_replace(coalesce(text, ''),
+                                                '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars
+                FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS DOUBLE) AS n_words,
+                     CAST(len(list_filter(ws, x -> list_contains([{_STOP_SQL}], x)))
+                          AS DOUBLE) AS n_stop,
+                     CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                          AS DOUBLE) AS len_sum,
+                     n_punct, n_chars
+                FROM toks
+            ), r AS (
+              SELECT doc_id, n_words, n_stop,
+                     CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS sr,
+                     CASE WHEN n_words > 0 THEN len_sum / n_words ELSE 0.0 END AS mw,
+                     n_punct / greatest(1.0, n_chars) AS pr
+                FROM sig
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_stop AS BIGINT) AS n_stop,
+                   ROUND(sr, 6) AS stop_ratio,
+                   ROUND(mw, 6) AS mean_word_len,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(least(greatest(sr / 0.4, 0), 1) * 0.5
+                         + least(greatest(1 - abs(mw - 4.5) / 4.5, 0), 1) * 0.3
+                         + least(greatest(1 - pr / 0.2, 0), 1) * 0.2, 6)
+                     AS quality_score
+              FROM r
+        """,
+        "lang_id_guess": f"""
+            WITH s AS (SELECT doc_id, text, {_score_cols} FROM documents)
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'und'
+                        WHEN {_grt} <= 0 THEN 'und'
+                        {_case}
+                        ELSE '{_langs[-1]}' END AS lang_guess
+              FROM s
         """,
         "jaccard_join_pairs": """
             WITH toks AS (

@@ -357,12 +357,28 @@ def embedding_dims(sf_dir: str):
 
 
 def quality_scores(sf_dir: str):
+    """C4/Gopher quality signals, oracle-checked: the token/stopword
+    counts are exact integers; the ratios and the composite score are
+    rounded to 6 decimals on both sides (pure IEEE arithmetic in
+    identical order, so the pre-round doubles agree — rounding only
+    pins the hash)."""
     from peri_ray.stages.text import add_quality_scores
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_quality_scores(ds).select_columns(
-        ["doc_id", "stop_ratio", "quality_score"]
-    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t.column("doc_id"),
+                "n_words": t.column("n_words"),
+                "n_stop": t.column("n_stop")}
+        for c in ("stop_ratio", "mean_word_len", "punct_ratio", "quality_score"):
+            # half_towards_infinity = SQL ROUND; the dyadic ratios here
+            # (e.g. 1/32-based scores) hit exact .xxxxxx5 ties where
+            # half-to-even would disagree with DuckDB
+            cols[c] = pc.round(t.column(c), ndigits=6,
+                               round_mode="half_towards_infinity")
+        return pa.table(cols)
+
+    return add_quality_scores(ds).map_batches(_round, batch_format="pyarrow")
 
 
 def lang_id_guess(sf_dir: str):

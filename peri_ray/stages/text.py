@@ -250,7 +250,9 @@ class QualityScorer:
             + np.clip(1 - punct_ratio / 0.2, 0, 1) * 0.2
         )
         return (
-            table.append_column("stop_ratio", pa.array(stop_ratio))
+            table.append_column("n_words", pa.array(n_words.astype(np.int64)))
+            .append_column("n_stop", pa.array(n_stop.astype(np.int64)))
+            .append_column("stop_ratio", pa.array(stop_ratio))
             .append_column("mean_word_len", pa.array(mean_word_len))
             .append_column("punct_ratio", pa.array(punct_ratio))
             .append_column("quality_score", pa.array(score))
