@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
         "line_dedup_documents": q.line_dedup_documents,
+        "boilerplate_removed_documents": q.boilerplate_removed_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -632,6 +633,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "boilerplate_removed_documents": """
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE text || chr(10)
+                               || '(c) 2026 example.com | privacy | terms'
+                               || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+                     END AS text
+                FROM documents
+            ),
+            ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM src WHERE text IS NOT NULL
+            ),
+            lines AS (
+              SELECT doc_id, i, parts[i] AS ln
+                FROM (SELECT doc_id, parts,
+                             unnest(range(1, CAST(len(parts) + 1 AS BIGINT))) AS i
+                        FROM ls)
+            ),
+            df AS (
+              SELECT ln, count(DISTINCT doc_id) AS df FROM lines GROUP BY ln
+            ),
+            kept AS (
+              SELECT l.doc_id, l.i, l.ln FROM lines l JOIN df USING (ln)
+               WHERE df.df < 5
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS txt
+                FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CASE WHEN s.text IS NULL THEN NULL
+                        ELSE COALESCE(a.txt, '') END AS text
+              FROM src s LEFT JOIN agg a USING (doc_id)
         """,
         "normalized_documents": """
             SELECT doc_id,

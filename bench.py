@@ -143,6 +143,7 @@ def run_bench() -> dict:
     timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
     timed("curation_report", lambda: q.curation_report(SF_DIR))
     timed("line_dedup_documents", lambda: q.line_dedup_documents(SF_DIR).to_pandas())
+    timed("boilerplate_removal", lambda: q.boilerplate_removed_documents(SF_DIR).to_pandas())
     timed("contamination_report", lambda: q.contamination_report(SF_DIR).to_pandas())
     timed("repetition_signals", lambda: q.repetition_signals(SF_DIR).to_pandas())
     timed("pii_scan_documents", lambda: q.pii_scan_documents(SF_DIR).to_pandas())

@@ -1168,6 +1168,40 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+_BOILER_FOOTER = "(c) 2026 example.com | privacy | terms"
+
+
+def boilerplate_removed_documents(sf_dir: str):
+    """C4-style boilerplate line removal, oracle-checked end to end.
+
+    The sf documents are single-line word streams (no shared lines),
+    so the query first appends two lines to every doc in-pipeline — a
+    corpus-wide footer (df = corpus size → boilerplate) and a
+    doc-unique marker (df = 1 → content).  The SQL twin builds the
+    same input, so the oracle hash genuinely exercises the explode →
+    line-DF → victim → rebuild path: the footer must vanish from
+    every doc, everything else must survive byte-identically."""
+    from peri_ray.stages.dedup import remove_boilerplate_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _with_footer(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        ids = t.column("doc_id")
+        marker = pc.binary_join_element_wise(
+            pa.array(["doc "] * t.num_rows), pc.cast(ids, pa.string()), "")
+        out = pc.binary_join_element_wise(
+            txt, pa.array([_BOILER_FOOTER] * t.num_rows), marker, "\n")
+        return pa.table({"doc_id": ids, "text": out})
+
+    marked = ds.map_batches(_with_footer, batch_format="pyarrow")
+    return remove_boilerplate_lines(marked, min_df=5)
+
+
 def line_dedup_documents(sf_dir: str):
     """RefinedWeb/CCNet-style line-level exact dedup: every line keeps
     only its global first occurrence (min (doc_id, idx)); docs rebuilt

@@ -310,18 +310,10 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def duplicate_line_victims(ds, text_col: str = "text",
-                           id_col: str = "doc_id", n_buckets: int = 64):
-    """(doc_id, idx) of every line occurrence that is NOT the global
-    first occurrence of its text (first = lexicographic min
-    (doc_id, idx); idx is 1-based within the doc).
-
-    Scale shape: explode to (ln, doc_id, idx) rows, then ONE
-    hash-bucketed exchange keyed on the line text via
-    ``per_group_via_buckets`` (line strings are the exchange key —
-    hash-first-then-verify measured slower here, see CLAUDE.md; a
-    line is far smaller than a document, and the html/text column
-    itself never moves)."""
+def explode_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Explode documents to (ln, doc_id, idx) line-occurrence rows
+    (idx 1-based within the doc; null-text docs contribute nothing).
+    Shared front end of line-level dedup and boilerplate removal."""
 
     def _explode(t: pa.Table) -> pa.Table:
         txt = t.column(text_col)
@@ -346,7 +338,22 @@ def duplicate_line_victims(ds, text_col: str = "text",
                          id_col: pa.array(rep, pa.int64()),
                          "idx": pa.array(idx, pa.int64())})
 
-    lines = ds.map_batches(_explode, batch_format="pyarrow")
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def duplicate_line_victims(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 64):
+    """(doc_id, idx) of every line occurrence that is NOT the global
+    first occurrence of its text (first = lexicographic min
+    (doc_id, idx); idx is 1-based within the doc).
+
+    Scale shape: explode to (ln, doc_id, idx) rows, then ONE
+    hash-bucketed exchange keyed on the line text via
+    ``per_group_via_buckets`` (line strings are the exchange key —
+    hash-first-then-verify measured slower here, see CLAUDE.md; a
+    line is far smaller than a document, and the html/text column
+    itself never moves)."""
+    lines = explode_lines(ds, text_col, id_col)
 
     def _victims(run: pa.Table) -> pa.Table:
         d = run.column(id_col).to_numpy(zero_copy_only=False)
@@ -363,17 +370,16 @@ def duplicate_line_victims(ds, text_col: str = "text",
     return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets)
 
 
-def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-               n_buckets: int = 64):
-    """Rebuild every document with its duplicated lines removed
-    (global first occurrence survives).  Output: (id_col, text_col)
-    for EVERY input doc — null text stays null, a doc whose every line
-    was removed becomes the empty string.
+def rebuild_minus_line_victims(ds, victims, text_col: str = "text",
+                               id_col: str = "doc_id", n_buckets: int = 64):
+    """Rebuild every document with the (doc_id, idx) line occurrences
+    in ``victims`` removed.  Output: (id_col, text_col) for EVERY
+    input doc — null text stays null, a doc whose every line was
+    removed becomes the empty string.
 
-    Second exchange: victims and originals co-bucket on doc_id; per
-    bucket the rebuild is fully vectorized (one split, one boolean
-    mask over the flattened lines, one ``pc.binary_join``)."""
-    victims = duplicate_line_victims(ds, text_col, id_col, n_buckets)
+    Victims and originals co-bucket on doc_id; per bucket the rebuild
+    is fully vectorized (one split, one boolean mask over the
+    flattened lines, one ``pc.binary_join``)."""
 
     def _tag_victims(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t.column(id_col),
@@ -433,6 +439,48 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: pa.array(doc_ids, pa.int64()), text_col: out_txt})
 
     return map_groups_via_buckets(union, [id_col], _rebuild, n_buckets=n_buckets)
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               n_buckets: int = 64):
+    """Line-level exact dedup: the global first occurrence of each
+    line survives, every later occurrence is removed (RefinedWeb /
+    CCNet shape).  Two bucketed exchanges, no driver state."""
+    victims = duplicate_line_victims(ds, text_col, id_col, n_buckets)
+    return rebuild_minus_line_victims(ds, victims, text_col, id_col, n_buckets)
+
+
+def boilerplate_line_victims(ds, min_df: int, text_col: str = "text",
+                             id_col: str = "doc_id", n_buckets: int = 64):
+    """(doc_id, idx) of EVERY occurrence of a line whose document
+    frequency (count of distinct docs containing it) reaches
+    ``min_df`` — the C4-style boilerplate signal (nav bars, cookie
+    banners, footers repeat across a site's pages).
+
+    Same single bucketed exchange as exact line dedup: each group run
+    holds all occurrences of one line, so df is one ``np.unique`` —
+    the line→df table never exists as a broadcast."""
+    lines = explode_lines(ds, text_col, id_col)
+
+    def _victims(run: pa.Table) -> pa.Table:
+        d = run.column(id_col).to_numpy(zero_copy_only=False)
+        i = run.column("idx").to_numpy(zero_copy_only=False)
+        if len(np.unique(d)) >= min_df:
+            return pa.table({id_col: pa.array(d, pa.int64()),
+                             "idx": pa.array(i, pa.int64())})
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64())})
+
+    return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets)
+
+
+def remove_boilerplate_lines(ds, min_df: int, text_col: str = "text",
+                             id_col: str = "doc_id", n_buckets: int = 64):
+    """Rebuild every document with its boilerplate lines (df ≥
+    ``min_df``) removed from ALL docs — unlike line dedup, no first
+    occurrence survives."""
+    victims = boilerplate_line_victims(ds, min_df, text_col, id_col, n_buckets)
+    return rebuild_minus_line_victims(ds, victims, text_col, id_col, n_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -2791,6 +2791,60 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestBoilerplateRemoval:
+    def test_semantics(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import remove_boilerplate_lines
+
+        docs = [
+            (1, "content one\nfooter\nnav"),
+            (2, "content two\nfooter\nnav"),
+            (3, "content three\nfooter"),
+            (4, None),
+            (5, "footer\nfooter"),  # df counts DISTINCT docs: df=4 total
+            (6, ""),
+        ]
+        ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                     "text": [t for _, t in docs]}))
+        out = {r["doc_id"]: r["text"]
+               for r in remove_boilerplate_lines(ds, min_df=3).take_all()}
+        # footer df=4 (docs 1,2,3,5) → removed everywhere; nav df=2 stays
+        assert out == {1: "content one\nnav", 2: "content two\nnav",
+                       3: "content three", 4: None, 5: "", 6: ""}
+
+    def test_fuzz_vs_brute_force(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import remove_boilerplate_lines
+
+        rng = random.Random(11)
+        vocab = ["aa", "bb", "cc", "dd", "ee", ""]
+        for trial, min_df in [(0, 2), (1, 3), (2, 5)]:
+            docs = []
+            for i in range(40):
+                n = rng.randint(1, 5)
+                docs.append((i, "\n".join(rng.choice(vocab) for _ in range(n))))
+            from collections import defaultdict
+            in_docs = defaultdict(set)
+            for i, tx in docs:
+                for ln in tx.split("\n"):
+                    in_docs[ln].add(i)
+            want = {}
+            for i, tx in docs:
+                kept = [ln for ln in tx.split("\n")
+                        if len(in_docs[ln]) < min_df]
+                want[i] = "\n".join(kept)
+            ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                         "text": [t for _, t in docs]}))
+            got = {r["doc_id"]: r["text"]
+                   for r in remove_boilerplate_lines(
+                       ds, min_df=min_df, n_buckets=8).take_all()}
+            assert got == want, f"trial {trial}"
+
+
 class TestContamination:
     def test_known_overlap(self, ray_session):
         import ray.data as rd
