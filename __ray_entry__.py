@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_documents": q.normalized_documents,
         "line_dedup_documents": q.line_dedup_documents,
         "boilerplate_removed_documents": q.boilerplate_removed_documents,
+        "unigram_nll_documents": q.unigram_nll_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -633,6 +634,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "unigram_nll_documents": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS total FROM toks),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     sum(-ln(tc.n * 1.0 / tot.total)) AS s
+                FROM toks t JOIN tc USING (w) CROSS JOIN tot
+               GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   ROUND(p.s / p.n_tokens, 6) AS nll
+              FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "boilerplate_removed_documents": """
             WITH src AS (

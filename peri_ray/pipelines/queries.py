@@ -1168,6 +1168,24 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def unigram_nll_documents(sf_dir: str):
+    """Mean negative log-likelihood per doc under a corpus-trained
+    unigram LM (the perplexity-style quality filter).  Rounded to 6
+    decimals on both sides — the log values are transcendental so
+    cross-engine ROUND ties cannot occur."""
+    from peri_ray.stages.text import unigram_nll_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("nll"), "nll",
+            pc.round(t.column("nll"), ndigits=6,
+                     round_mode="half_towards_infinity"))
+
+    return unigram_nll_scores(ds).map_batches(_round, batch_format="pyarrow")
+
+
 _BOILER_FOOTER = "(c) 2026 example.com | privacy | terms"
 
 

@@ -609,6 +609,116 @@ def term_document_frequency(ds, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# unigram LM negative-log-likelihood scoring (the CCNet/KenLM-style
+# perplexity filter, with a unigram model so the score is exact and
+# SQL-checkable; a real KenLM would slot into the same two-pass shape)
+# ---------------------------------------------------------------------------
+
+
+class _TermCountPartial:
+    """Batch → (term, n) occurrence-count partials (each block
+    collapses to its distinct terms before the exchange; tokenizer
+    shared with token_count_batch so the SQL twin is exact)."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        vc = pc.value_counts(pc.list_flatten(parts))
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+
+class _UnigramScorer:
+    """Shuffle-free scoring pass: the (term → log p) model is broadcast
+    once per actor via ``ray.put``; per-doc mean NLL is one
+    ``pc.index_in`` lookup + one ``np.bincount`` over the flattened
+    tokens."""
+
+    def __init__(self, text_col: str, id_col: str, model_ref, oov_logp: float):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        terms, logp = ray.get(model_ref)
+        self.terms = terms
+        self.logp = logp
+        self.oov_logp = oov_logp
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = len(txt)
+        null_mask = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        idx = pc.fill_null(pc.index_in(parts.flatten(), value_set=self.terms), -1)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = idx_np < 0
+        tok_logp = np.where(oov, self.oov_logp, self.logp[np.where(oov, 0, idx_np)])
+        s = np.bincount(parent, weights=-tok_logp, minlength=n)
+        nll = s / np.maximum(counts, 1)
+        nll_col = pc.if_else(pa.array(null_mask),
+                             pa.nulls(n, pa.float64()),
+                             pa.array(nll, pa.float64()))
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_tokens": pa.array(np.where(null_mask, 0, counts), pa.int64()),
+            "nll": nll_col,
+        })
+
+
+def unigram_nll_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                       batch_size: int | None = 8192,
+                       max_vocab: int | None = None,
+                       oov_count: int = 1):
+    """Per-document mean negative log-likelihood under a corpus-trained
+    unigram LM — the data-quality perplexity filter, exact.
+
+    Two passes, Ray-Data-first: (1) term occurrence totals via
+    per-block ``value_counts`` partials and one bucketed (term, n)
+    sum — the text never shuffles; the merged vocabulary is collected
+    driver-side (vocab-bounded, the same assumption as
+    :func:`tfidf_top_terms`) and the (term → log p) model is broadcast
+    ONCE with ``ray.put``; (2) a shuffle-free scoring map.  With
+    ``max_vocab`` set, only the top-V terms (by count desc, term asc)
+    keep their true probability and the tail scores as OOV with
+    ``oov_count`` pseudo-occurrences — the production knob that bounds
+    the broadcast at web scale."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    partials = ds.map_batches(_TermCountPartial(text_col),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = grouped_sum_via_buckets(partials, ["term"], "n")
+    rows = totals.take_all()
+    terms = [r["term"] for r in rows]
+    cnts = np.array([r["n"] for r in rows], np.float64)
+    total = float(cnts.sum())
+    if max_vocab is not None and len(terms) > max_vocab:
+        order = sorted(range(len(terms)), key=lambda i: (-cnts[i], terms[i]))
+        keep = order[:max_vocab]
+        terms = [terms[i] for i in keep]
+        cnts = cnts[keep]
+    logp = np.log(cnts / total) if total > 0 else cnts
+    oov_logp = float(np.log(oov_count / total)) if total > 0 else 0.0
+    model_ref = ray.put((pa.array(terms, pa.string()), logp))
+    return ds.map_batches(
+        _UnigramScorer(text_col, id_col, model_ref, oov_logp),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
 

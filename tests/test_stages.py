@@ -2791,6 +2791,49 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestUnigramNLL:
+    def test_vs_brute_force(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from peri_ray.stages.text import unigram_nll_scores
+
+        texts = ["a a b", "b c", None, "", "c c c a"]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(5)), "text": texts}))
+        got = {r["doc_id"]: (r["n_tokens"], r["nll"])
+               for r in unigram_nll_scores(ds).take_all()}
+        # corpus tokens: a:3 b:2 c:4 '':1  total=10
+        freq = {"a": 3, "b": 2, "c": 4, "": 1}
+        total = 10
+        for i, tx in enumerate(texts):
+            if tx is None:
+                assert got[i] == (0, None)
+                continue
+            toks = tx.strip().split(" ") if tx.strip() else [""]
+            want = sum(-math.log(freq[w] / total) for w in toks) / len(toks)
+            assert got[i][0] == len(toks)
+            assert abs(got[i][1] - want) < 1e-12, i
+
+    def test_max_vocab_oov(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from peri_ray.stages.text import unigram_nll_scores
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0, 1],
+                                     "text": ["a a a b b", "c"]}))
+        got = {r["doc_id"]: r["nll"]
+               for r in unigram_nll_scores(ds, max_vocab=2).take_all()}
+        # vocab keeps a(3), b(2); c is OOV with 1 pseudo-count of 6
+        total = 6
+        w0 = (3 * -math.log(3 / total) + 2 * -math.log(2 / total)) / 5
+        w1 = -math.log(1 / total)
+        assert abs(got[0] - w0) < 1e-12
+        assert abs(got[1] - w1) < 1e-12
+
+
 class TestBoilerplateRemoval:
     def test_semantics(self, ray_session):
         import ray.data as rd
