@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": q.line_dedup_documents,
         "boilerplate_removed_documents": q.boilerplate_removed_documents,
         "unigram_nll_documents": q.unigram_nll_documents,
+        "cosine_join_pairs": q.cosine_join_pairs,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -634,6 +635,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "cosine_join_pairs": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
         """,
         "unigram_nll_documents": """
             WITH toks AS (

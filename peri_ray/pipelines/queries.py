@@ -1168,6 +1168,16 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def cosine_join_pairs(sf_dir: str):
+    """Exact cosine-threshold similarity self-join over the embeddings
+    table (block-pair matmul; recall itself is hash-checked against
+    the literal all-pairs SQL, as with jaccard_join_pairs)."""
+    from peri_ray.stages.similarity import cosine_similarity_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_similarity_join(ds, threshold=0.4, block_rows=128)
+
+
 def unigram_nll_documents(sf_dir: str):
     """Mean negative log-likelihood per doc under a corpus-trained
     unigram LM (the perplexity-style quality filter).  Rounded to 6

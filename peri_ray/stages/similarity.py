@@ -267,6 +267,116 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
 # ---------------------------------------------------------------------------
 
 
+class _BlockPairJoin:
+    """Actor-pool stage over (i, j) block-index pairs: fetches the two
+    normalized blocks from the object store (cached per actor — each
+    block is read at most once per actor, not per pair), one matmul
+    per pair, threshold filter on the ROUNDED score (cross-engine ulp
+    stability), emits (id_a, id_b, cos) with id_a < id_b."""
+
+    def __init__(self, block_refs, id_col: str, threshold: float, round_to: int):
+        self.block_refs = block_refs
+        self.id_col = id_col
+        self.threshold = threshold
+        self.round_to = round_to
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(i)
+        if got is None:
+            import ray
+
+            tbl = ray.get(self.block_refs[i])
+            got = (_as_matrix(tbl.column("row"), np.float64),
+                   tbl.column(self.id_col).to_numpy(
+                       zero_copy_only=False).astype(np.int64))
+            self._cache[i] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
+            xi, ida = self._block(i)
+            xj, idb = self._block(j)
+            s = np.round(xi @ xj.T, self.round_to)
+            if i == j:
+                # upper triangle only: each unordered pair once
+                s = np.triu(s, k=1)
+            r, c = np.nonzero(s >= self.threshold)
+            if len(r) == 0:
+                continue
+            a, b = ida[r], idb[c]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(s[r, c])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "cos": pa.array(np.concatenate(out_c), pa.float64())})
+
+
+def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
+                           id_col: str = "vec_id", block_rows: int = 8192,
+                           round_to: int = 6):
+    """EXACT cosine-threshold self-join: all pairs (id_a < id_b) with
+    ``round(cos, round_to) >= threshold``.
+
+    Shape: one normalize pass stages (ids, unit rows) as float64 numpy
+    blocks in the object store; a Dataset of (i, j) block-index pairs
+    (i ≤ j, upper triangle) fans the O(B²) matmuls across an actor
+    pool — each task fetches exactly its two blocks (zero-copy reads,
+    cached per actor), the embedding matrix is never broadcast whole
+    and never crosses a shuffle.  Work is inherently all-pairs
+    (n²·d/2 flops): this is the exact verifier / small-collection
+    path; ``embedding_near_dups`` (LSH) and ``ivf_topk`` are the
+    sub-quadratic approximate routes at corpus scale.
+
+    Rounding before the threshold compare keeps membership identical
+    across engines (matmul vs sequential-sum dots differ in last
+    ulps; cosine values are transcendental so exact round-boundary
+    ties cannot occur)."""
+    import ray
+
+    def _prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
+        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+
+    n = ds.count()
+    n_blocks = max(1, -(-n // block_rows))
+    prep = (ds.map_batches(_prep, batch_format="pyarrow")
+            .repartition(n_blocks).materialize())
+    block_refs = []
+    for bundle in prep.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows:
+                block_refs.append(block_ref)
+    pairs = [{"i": i, "j": j} for i in range(len(block_refs))
+             for j in range(i, len(block_refs))]
+    if not pairs:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
+    pairs_ds = ray.data.from_items(pairs)
+    out = pairs_ds.map_batches(
+        _BlockPairJoin,
+        fn_constructor_args=(block_refs, id_col, threshold, round_to),
+        concurrency=(1, max(1, min(8, len(pairs)))), batch_size=4,
+        batch_format="pyarrow",
+        # ctor args hold block ObjectRefs; restarts could not resolve
+        # them if the staged blocks were lost, so pin restarts off
+        # (silences Ray's core_worker warning about exactly that)
+        max_restarts=0)
+    # materialize before the staged blocks go out of scope: the output
+    # is bounded by the matching pairs, not the corpus
+    return out.materialize()
+
+
 def quantize_embeddings(ds, vec_col: str = "embedding",
                         batch_size: int | None = 4096,
                         dtype=np.float32):

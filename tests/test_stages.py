@@ -1223,6 +1223,36 @@ class TestMultimodalExtended:
         assert all(v == 0.0 for v in out[1]["audio_features"])
 
 
+class TestCosineSimilarityJoin:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.similarity import cosine_similarity_join
+
+        rng = np.random.default_rng(5)
+        n, d = 90, 16
+        m = rng.normal(size=(n, d))
+        # plant some near-duplicates so the join is non-trivial
+        m[7] = m[3] + rng.normal(scale=0.05, size=d)
+        m[51] = m[20] + rng.normal(scale=0.05, size=d)
+        ids = np.arange(100, 100 + n)
+        tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(list(m.astype(np.float32)),
+                                              pa.list_(pa.float32()))})
+        ds = rd.from_arrow(tbl)
+        for threshold, block_rows in [(0.5, 16), (0.9, 7), (0.2, 200)]:
+            got = {(r["id_a"], r["id_b"])
+                   for r in cosine_similarity_join(
+                       ds, threshold, block_rows=block_rows).take_all()}
+            x = m.astype(np.float32).astype(np.float64)
+            xh = x / np.linalg.norm(x, axis=1, keepdims=True)
+            s = np.round(xh @ xh.T, 6)
+            want = {(int(ids[i]), int(ids[j]))
+                    for i in range(n) for j in range(i + 1, n)
+                    if s[i, j] >= threshold}
+            assert got == want, (threshold, block_rows)
+
+
 class TestQuantization:
     def test_int8_roundtrip_error_bounded(self, ray_session):
         from peri_ray.stages.similarity import dequantize_matrix, quantize_embeddings
