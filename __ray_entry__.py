@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
+        "kmeans_clusters": q.kmeans_clusters,
         "simhash_fingerprints": q.simhash_fps,
         "minhash_near_dup_pairs": q.minhash_near_dup_pairs,
         "ann_topk": q.ann_topk,

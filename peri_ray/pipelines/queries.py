@@ -1168,6 +1168,18 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (iterative:
+    driver-held k×d state re-broadcast per round, one streaming pass
+    per iteration).  Rows-only driver check — the fixpoint is not
+    SQL-expressible; exactness vs a numpy reference is unit-tested."""
+    from peri_ray.stages.similarity import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _cents, _inertia = kmeans_fit(ds, k=8, iters=5)
+    return assigned
+
+
 def cosine_join_pairs(sf_dir: str):
     """Exact cosine-threshold similarity self-join over the embeddings
     table (block-pair matmul; recall itself is hash-checked against

@@ -267,6 +267,125 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
 # ---------------------------------------------------------------------------
 
 
+class _KMeansPartial:
+    """One Lloyd half-step per batch: assign rows to the nearest
+    broadcast centroid, emit per-cluster (cnt, vec_sum, sse) partials
+    — output is ≤ k rows per block, so the driver merge is bounded by
+    blocks × k regardless of corpus size."""
+
+    def __init__(self, vec_col: str, cent_ref):
+        import ray
+
+        self.vec_col = vec_col
+        self.c = ray.get(cent_ref)  # (k, d) float64
+        self.c_sq = (self.c * self.c).sum(axis=1)
+
+    def _assign(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        x = _as_matrix(t.column(self.vec_col), np.float64)
+        # ||x-c||² = ||x||² - 2·x·cᵀ + ||c||²; argmin drops the x term
+        d2 = self.c_sq[None, :] - 2.0 * (x @ self.c.T)
+        lab = d2.argmin(axis=1)
+        sse = (x * x).sum(axis=1) + d2[np.arange(len(x)), lab]
+        return lab, sse
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lab, sse = self._assign(t)
+        x = _as_matrix(t.column(self.vec_col), np.float64)
+        k, d = self.c.shape
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, lab, x)
+        cnts = np.bincount(lab, minlength=k)
+        sse_sums = np.bincount(lab, weights=sse, minlength=k)
+        present = cnts > 0
+        return pa.table({
+            "cluster": pa.array(np.flatnonzero(present), pa.int64()),
+            "cnt": pa.array(cnts[present], pa.int64()),
+            "sse": pa.array(sse_sums[present], pa.float64()),
+            "vec_sum": pa.array([list(s) for s in sums[present]],
+                                pa.list_(pa.float64(), d)),
+        })
+
+
+class _KMeansAssign(_KMeansPartial):
+    """Final labelling pass: (id, cluster) per row."""
+
+    def __init__(self, vec_col: str, id_col: str, cent_ref):
+        super().__init__(vec_col, cent_ref)
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lab, _ = self._assign(t)
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "cluster": pa.array(lab, pa.int64())})
+
+
+class _MinIdSeeds:
+    """Per-batch partial for deterministic seeding: keep the k rows
+    with the smallest ids (merged on the driver — bounded by
+    blocks × k, stable under any block layout)."""
+
+    def __init__(self, vec_col: str, id_col: str, k: int):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[: self.k]
+        sub = t.take(pa.array(np.sort(take)))
+        vec = sub.column(self.vec_col).combine_chunks()
+        if pa.types.is_large_list(vec.type):
+            vec = vec.cast(pa.list_(vec.type.value_type))
+        return pa.table({self.id_col: sub.column(self.id_col), self.vec_col: vec})
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id", batch_size: int | None = 4096):
+    """Distributed Lloyd k-means over an embedding column — the
+    iterative-algorithm shape on Ray Data: centroid state (k × d)
+    lives on the driver between iterations and is re-broadcast with
+    ``ray.put`` each round; every iteration is ONE streaming
+    ``map_batches`` pass emitting ≤ k partial rows per block (no
+    shuffle, no full materialization — the same partials-then-tiny-
+    driver-merge trade as grouped_centroids).
+
+    Deterministic: seeds are the k smallest-id rows (computed via
+    bounded per-block partials, stable under any block layout), and
+    Lloyd updates are float64.  Returns ``(assignments_dataset,
+    centroids, inertia)`` where assignments is (id_col, cluster).
+    Empty clusters keep their previous centroid."""
+    import ray
+
+    seed_rows = ds.map_batches(_MinIdSeeds(vec_col, id_col, k),
+                               batch_format="pyarrow",
+                               batch_size=batch_size).take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    cents = np.array([r[vec_col] for r in seed_rows[:k]], np.float64)
+    if len(cents) == 0:
+        raise ValueError("kmeans_fit: empty input")
+    inertia = float("nan")
+    for _ in range(iters):
+        cref = ray.put(cents)
+        parts = ds.map_batches(_KMeansPartial(vec_col, cref),
+                               batch_format="pyarrow", batch_size=batch_size)
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), np.int64)
+        sse = 0.0
+        for row in parts.take_all():
+            c = row["cluster"]
+            cnts[c] += row["cnt"]
+            sse += row["sse"]
+            sums[c] += np.asarray(row["vec_sum"], np.float64)
+        nonempty = cnts > 0
+        cents = np.where(nonempty[:, None], sums / np.maximum(cnts, 1)[:, None],
+                         cents)
+        inertia = sse
+    cref = ray.put(cents)
+    assigned = ds.map_batches(_KMeansAssign(vec_col, id_col, cref),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return assigned, cents, inertia
+
+
 class _BlockPairJoin:
     """Actor-pool stage over (i, j) block-index pairs: fetches the two
     normalized blocks from the object store (cached per actor — each

@@ -1253,6 +1253,41 @@ class TestCosineSimilarityJoin:
             assert got == want, (threshold, block_rows)
 
 
+class TestKMeans:
+    def test_vs_numpy_reference(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.similarity import kmeans_fit
+
+        rng = np.random.default_rng(3)
+        k, iters, d = 4, 6, 8
+        centers = rng.normal(scale=4.0, size=(k, d))
+        x = np.concatenate([c + rng.normal(size=(30, d)) for c in centers])
+        ids = np.arange(len(x), dtype=np.int64)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(x.astype(np.float32)),
+                                  pa.list_(pa.float32()))})).repartition(7)
+        assigned, cents, inertia = kmeans_fit(ds, k=k, iters=iters,
+                                              batch_size=32)
+        got = {r["vec_id"]: r["cluster"] for r in assigned.take_all()}
+
+        # numpy reference: same seeding (k smallest ids), same updates
+        xx = x.astype(np.float32).astype(np.float64)
+        c = xx[:k].copy()
+        for _ in range(iters):
+            d2 = ((xx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            for ci in range(k):
+                if (lab == ci).any():
+                    c[ci] = xx[lab == ci].mean(axis=0)
+        lab = (((xx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)).argmin(axis=1)
+        want = {int(i): int(l) for i, l in zip(ids, lab)}
+        assert got == want
+        assert np.allclose(cents, c, atol=1e-8)
+        assert inertia > 0
+
+
 class TestQuantization:
     def test_int8_roundtrip_error_bounded(self, ray_session):
         from peri_ray.stages.similarity import dequantize_matrix, quantize_embeddings
