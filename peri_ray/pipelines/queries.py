@@ -1187,7 +1187,7 @@ def cosine_join_pairs(sf_dir: str):
     from peri_ray.stages.similarity import cosine_similarity_join
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return cosine_similarity_join(ds, threshold=0.4, block_rows=128)
+    return cosine_similarity_join(ds, threshold=0.4)
 
 
 def unigram_nll_documents(sf_dir: str):
