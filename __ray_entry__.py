@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders_status": q.pivot_orders_status,
         "exact_quantiles_lineitem": q.exact_quantiles_lineitem,
         "rollup_orders": q.rollup_orders,
+        "cube_orders": q.cube_orders,
+        "clicked_and_viewed": q.clicked_and_viewed,
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -1104,5 +1106,21 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
                            o_totalprice FROM orders)
              GROUP BY ROLLUP(o_orderstatus, yr)
+        """,
+        "cube_orders": """
+            SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                        ELSE COALESCE(o_orderstatus, 'NULL') END AS status,
+                   CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
+                        ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
+                   count(o_totalprice) AS cnt,
+                   ROUND(sum(o_totalprice), 2) AS sum_price
+              FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
+                           o_totalprice FROM orders)
+             GROUP BY CUBE(o_orderstatus, yr)
+        """,
+        "clicked_and_viewed": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
         """,
     }

@@ -1355,6 +1355,53 @@ def rollup_orders(sf_dir: str):
                         pc.round(t.column("sum_price"), ndigits=2))
 
 
+def cube_orders(sf_dir: str):
+    """GROUP BY CUBE(status, year): four aggregation levels from one
+    input pass (adds the (ALL, year) margin to the rollup)."""
+    from peri_ray.stages.stats import cube_counts
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def _yr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "yr": pc.year(t.column("o_orderdate").combine_chunks()),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    t = cube_counts(ds.map_batches(_yr, batch_format="pyarrow"),
+                    "o_orderstatus", "yr", "o_totalprice")
+    t = t.rename_columns(["status", "year", "cnt", "sum_price"])
+    return t.set_column(3, "sum_price",
+                        pc.round(t.column("sum_price"), ndigits=2))
+
+
+def clicked_and_viewed(sf_dir: str):
+    """Set intersection (INTERSECT shape): users who clicked AND
+    viewed — two distinct-user aggregations through the
+    hash-partitioned semi join."""
+    from peri_ray.stages.joins import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _typed(want: str):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type").combine_chunks(), want)
+            return (t.filter(keep).select(["user_id"])
+                    .group_by("user_id").aggregate([]))
+        return _f
+
+    clickers = ds.map_batches(_typed("click"), batch_format="pyarrow")
+    viewers = ds.map_batches(_typed("view"), batch_format="pyarrow")
+    out = hash_join(clickers, viewers, "user_id", "user_id", [], [],
+                    how="semi")
+    # per-block distinct partials are not globally distinct: collapse
+    # the survivors (small by construction) once more
+    t = _collect(out, pa.schema([("user_id", pa.int64())]))
+    return t.group_by("user_id").aggregate([])
+
+
 def tfidf_top_docs(sf_dir: str):
     """Top-3 TF-IDF terms per document — shuffle-free scoring after a
     broadcast DF pass; ranking on the rounded score for cross-engine

@@ -589,7 +589,8 @@ def exact_quantiles(ds, columns: list[str], qs=(0.25, 0.5, 0.9, 0.99),
 
 
 def rollup_counts(ds, key1: str, key2: str, value_col: str,
-                  batch_size: int | None = 65536) -> pa.Table:
+                  batch_size: int | None = 65536,
+                  cube: bool = False) -> pa.Table:
     """GROUP BY ROLLUP(key1, key2) over count + sum(value): the
     (k1, k2), (k1, ALL) and (ALL, ALL) levels in ONE input pass.
 
@@ -641,11 +642,20 @@ def rollup_counts(ds, key1: str, key2: str, value_col: str,
             g = g.add_column(1, "k2", all_col)
         return g.select(["k1", "k2", "cnt", "sum_v"])
 
-    return pa.concat_tables([
-        _level(finest, ["k1", "k2"]),
-        _level(finest, ["k1"]),
-        _level(finest, []),
-    ])
+    levels = [_level(finest, ["k1", "k2"]), _level(finest, ["k1"])]
+    if cube:
+        levels.append(_level(finest, ["k2"]))
+    levels.append(_level(finest, []))
+    return pa.concat_tables(levels)
+
+
+def cube_counts(ds, key1: str, key2: str, value_col: str,
+                batch_size: int | None = 65536) -> pa.Table:
+    """GROUP BY CUBE(key1, key2): all four aggregation levels from the
+    same single pass — rollup plus the (ALL, k2) margin, all derived
+    from the one merged finest-level table."""
+    return rollup_counts(ds, key1, key2, value_col, batch_size=batch_size,
+                         cube=True)
 
 
 # ---------------------------------------------------------------------------
