@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removed_documents": q.boilerplate_removed_documents,
         "unigram_nll_documents": q.unigram_nll_documents,
         "cosine_join_pairs": q.cosine_join_pairs,
+        "inferred_spec_documents": q.inferred_spec_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -638,6 +639,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "inferred_spec_documents": """
+            SELECT 'doc_id' AS field, 'integer' AS type,
+                   count(*) = count(doc_id) AS required,
+                   CAST(NULL AS VARCHAR) AS enum_vals FROM documents
+            UNION ALL
+            SELECT 'text', 'string', count(*) = count(text),
+                   CASE WHEN count(DISTINCT text) BETWEEN 1 AND 16
+                        THEN array_to_string(list_sort(list(DISTINCT text)), ',')
+                   END FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*) = count(lang),
+                   CASE WHEN count(DISTINCT lang) BETWEEN 1 AND 16
+                        THEN array_to_string(list_sort(list(DISTINCT lang)), ',')
+                   END FROM documents
+            UNION ALL
+            SELECT 'source', 'string', count(*) = count(source),
+                   CASE WHEN count(DISTINCT source) BETWEEN 1 AND 16
+                        THEN array_to_string(list_sort(list(DISTINCT source)), ',')
+                   END FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'integer', count(*) = count(n_chars),
+                   CAST(NULL AS VARCHAR) FROM documents
         """,
         "cosine_join_pairs": """
             WITH e AS (

@@ -1168,6 +1168,18 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def inferred_spec_documents(sf_dir: str):
+    """Spec inference (the reverse of validation): profile the
+    documents table in one streaming pass and emit the inferred Peri
+    spec as (field, type, required, enum_vals) rows — types from the
+    Arrow schema, required from null counts, enums from capped
+    distinct-string partials."""
+    from peri_ray.infer import infer_spec, spec_as_table
+
+    ds = _read(sf_dir, "documents")
+    return spec_as_table(infer_spec(ds, enum_threshold=16))
+
+
 def kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (iterative:
     driver-held k×d state re-broadcast per round, one streaming pass
