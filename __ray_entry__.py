@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll_documents": q.unigram_nll_documents,
         "cosine_join_pairs": q.cosine_join_pairs,
         "inferred_spec_documents": q.inferred_spec_documents,
+        "packing_manifest_documents": q.packing_manifest_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -639,6 +640,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "packing_manifest_documents": """
+            WITH tk AS (
+              SELECT doc_id, doc_id % 16 AS b,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+              SELECT b, doc_id, n,
+                     sum(n) OVER (PARTITION BY b ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS e
+                FROM tk
+            ),
+            spans AS (
+              SELECT b, CAST((e - n) // 512 AS BIGINT) AS f,
+                     CAST((e - 1) // 512 AS BIGINT) AS l FROM pos
+            ),
+            tot AS (SELECT b, CAST(max(e) AS BIGINT) AS total
+                      FROM pos GROUP BY b),
+            seqs AS (
+              SELECT b, total,
+                     unnest(range(0, CAST((total + 511) // 512 AS BIGINT)))
+                       AS seq_idx
+                FROM tot
+            ),
+            cover AS (
+              SELECT b, unnest(range(f, l + 1)) AS seq_idx FROM spans
+            ),
+            docs_per AS (
+              SELECT b, seq_idx, count(*) AS n_docs
+                FROM cover GROUP BY b, seq_idx
+            )
+            SELECT s.b, s.seq_idx,
+                   CASE WHEN s.seq_idx < (s.total + 511) // 512 - 1 THEN 512
+                        ELSE s.total - ((s.total + 511) // 512 - 1) * 512
+                   END AS n_tokens,
+                   d.n_docs
+              FROM seqs s JOIN docs_per d USING (b, seq_idx)
         """,
         "inferred_spec_documents": """
             SELECT 'doc_id' AS field, 'integer' AS type,

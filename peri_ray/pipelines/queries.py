@@ -1168,6 +1168,16 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def packing_manifest_documents(sf_dir: str):
+    """Training-prep sequence packing plan: docs routed to id%16
+    streams, concat-and-chunked into 512-token windows; one manifest
+    row per sequence (bucket, seq_idx, n_tokens, n_docs)."""
+    from peri_ray.stages.text import pack_sequence_manifest
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequence_manifest(ds, seq_len=512, n_buckets=16)
+
+
 def inferred_spec_documents(sf_dir: str):
     """Spec inference (the reverse of validation): profile the
     documents table in one streaming pass and emit the inferred Peri

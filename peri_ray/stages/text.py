@@ -609,6 +609,94 @@ def term_document_frequency(ds, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# sequence-packing manifest (training-prep: GPT-style concat-and-chunk
+# of documents into fixed-length token windows)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequence_manifest(ds, seq_len: int, n_buckets: int = 64,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           batch_size: int | None = 8192):
+    """Plan the packing of documents into fixed ``seq_len`` token
+    sequences: docs are routed to ``id % n_buckets`` streams, each
+    stream concatenates its docs in id order and chunks into windows
+    (the standard pretraining concat-and-chunk).  Output is the
+    manifest a writer would execute — one row per sequence:
+    (bucket, seq_idx, n_tokens, n_docs) where n_docs counts the
+    documents overlapping that window.
+
+    Deterministic under any block layout (bucket route + id order are
+    data-derived); per-batch token counts explode nothing, and the one
+    exchange ships only (id, bucket, n_tokens) triples.  Token PAYLOAD
+    packing would follow the same partitioning, writing one shard per
+    bucket — the manifest is the coordination-free plan for it."""
+    from peri_ray.stages.dedup import per_group_via_buckets
+
+    def _counts(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        valid = pc.is_valid(txt)
+        sub = pa.table({id_col: t.column(id_col), text_col: txt}).filter(valid)
+        txt2 = sub.column(text_col)
+        if isinstance(txt2, pa.ChunkedArray):
+            txt2 = txt2.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt2), r"\s+")
+        ids = sub.column(id_col).combine_chunks().cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids,
+            # id mod routing (not the exchange hash): SQL-mirrorable and
+            # skew-free for dense ids; the exchange re-hashes b anyway
+            "b": pa.array(ids_np % n_buckets, pa.int64()),
+            "n_tokens": pc.list_value_length(parts).cast(pa.int64()),
+        })
+
+    counts = ds.map_batches(_counts, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+    def _pack(run: pa.Table) -> pa.Table:
+        ids = run.column(id_col).to_numpy(zero_copy_only=False)
+        n = run.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(run.column("b")[0].as_py())
+        order = np.argsort(ids, kind="stable")
+        n = n[order]
+        ends = np.cumsum(n)
+        starts = ends - n
+        total = int(ends[-1]) if len(ends) else 0
+        if total == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "seq_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        n_seq = -(-total // seq_len)
+        seq_tok = np.full(n_seq, seq_len, np.int64)
+        seq_tok[-1] = total - (n_seq - 1) * seq_len
+        first = starts // seq_len
+        last = (ends - 1) // seq_len  # n >= 1 per tokenizer ('' is 1 token)
+        span = last - first + 1
+        touched = np.repeat(first, span) + _ranges(span)
+        n_docs = np.bincount(touched, minlength=n_seq)
+        return pa.table({
+            "b": pa.array(np.full(n_seq, b, np.int64)),
+            "seq_idx": pa.array(np.arange(n_seq, dtype=np.int64)),
+            "n_tokens": pa.array(seq_tok),
+            "n_docs": pa.array(n_docs.astype(np.int64)),
+        })
+
+    return per_group_via_buckets(counts, ["b"], _pack)
+
+
+def _ranges(sizes: np.ndarray) -> np.ndarray:
+    """[0..sizes[0]-1, 0..sizes[1]-1, ...] concatenated (vectorized)."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.cumsum(sizes) - sizes
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+
+
+# ---------------------------------------------------------------------------
 # unigram LM negative-log-likelihood scoring (the CCNet/KenLM-style
 # perplexity filter, with a unigram model so the score is exact and
 # SQL-checkable; a real KenLM would slot into the same two-pass shape)

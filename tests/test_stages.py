@@ -2856,6 +2856,51 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestPackingManifest:
+    def test_fuzz_vs_brute_force(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from peri_ray.stages.text import pack_sequence_manifest
+
+        rng = random.Random(9)
+        for trial, (seq_len, n_buckets, blocks) in enumerate(
+                [(16, 4, 3), (7, 2, 5), (64, 8, 1)]):
+            docs = []
+            for i in range(60):
+                nt = rng.randint(1, 30)
+                docs.append((i * 3 + 1, " ".join("w" for _ in range(nt))))
+            docs.append((500, None))
+            ds = rd.from_arrow(pa.table({
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs]})).repartition(blocks)
+            got = {(r["b"], r["seq_idx"]): (r["n_tokens"], r["n_docs"])
+                   for r in pack_sequence_manifest(
+                       ds, seq_len, n_buckets=n_buckets).take_all()}
+            # brute force
+            want = {}
+            from collections import defaultdict
+            streams = defaultdict(list)
+            for d, tx in docs:
+                if tx is None:
+                    continue
+                streams[d % n_buckets].append((d, len(tx.split())))
+            for b, lst in streams.items():
+                lst.sort()
+                pos = 0
+                docs_in = defaultdict(set)
+                for d, n in lst:
+                    for s in range(pos // seq_len, (pos + n - 1) // seq_len + 1):
+                        docs_in[s].add(d)
+                    pos += n
+                n_seq = -(-pos // seq_len)
+                for s in range(n_seq):
+                    nt = seq_len if s < n_seq - 1 else pos - (n_seq - 1) * seq_len
+                    want[(b, s)] = (nt, len(docs_in[s]))
+            assert got == want, trial
+
+
 class TestUnigramNLL:
     def test_vs_brute_force(self, ray_session):
         import math
