@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_join_pairs": q.cosine_join_pairs,
         "inferred_spec_documents": q.inferred_spec_documents,
         "packing_manifest_documents": q.packing_manifest_documents,
+        "crawl_diff_documents": q.crawl_diff_documents,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -640,6 +641,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "crawl_diff_documents": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page'
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            j AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     a.doc_id IS NOT NULL AS in_a,
+                     b.doc_id IS NOT NULL AS in_b,
+                     a.text AS ta, b.text AS tb
+                FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN NOT in_a THEN 'added'
+                        WHEN NOT in_b THEN 'removed'
+                        ELSE 'changed' END AS status
+              FROM j
+             WHERE NOT in_a OR NOT in_b OR (ta IS DISTINCT FROM tb)
         """,
         "packing_manifest_documents": """
             WITH tk AS (

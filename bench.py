@@ -149,6 +149,7 @@ def run_bench() -> dict:
     timed("kmeans_clusters", lambda: q.kmeans_clusters(SF_DIR).to_pandas())
     timed("inferred_spec", lambda: q.inferred_spec_documents(SF_DIR))
     timed("packing_manifest", lambda: q.packing_manifest_documents(SF_DIR).to_pandas())
+    timed("crawl_diff", lambda: q.crawl_diff_documents(SF_DIR).to_pandas())
     timed("contamination_report", lambda: q.contamination_report(SF_DIR).to_pandas())
     timed("repetition_signals", lambda: q.repetition_signals(SF_DIR).to_pandas())
     timed("pii_scan_documents", lambda: q.pii_scan_documents(SF_DIR).to_pandas())

@@ -1168,6 +1168,39 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def crawl_diff_documents(sf_dir: str):
+    """Snapshot diff (recrawl vs previous crawl): the 'recrawl' side is
+    derived in-pipeline — drop id%7 rows, update text on id%5, add
+    id%11 rows under new keys — and both engines diff against the
+    original, so added/removed/changed attribution is hash-checked."""
+    from peri_ray.stages.joins import dataset_diff
+
+    a = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _recrawl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        txt = t.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        idn = ids.to_numpy(zero_copy_only=False)
+        upd = pa.array(idn % 5 == 0)
+        new_txt = pc.if_else(
+            upd,
+            pc.binary_join_element_wise(
+                txt, pa.array(["updated"] * t.num_rows), " "),
+            txt)
+        base = (pa.table({"doc_id": ids, "text": new_txt})
+                .filter(pa.array(idn % 7 != 0)))
+        add_ids = idn[idn % 11 == 0] + 1000000
+        adds = pa.table({"doc_id": pa.array(add_ids, pa.int64()),
+                         "text": pa.array(["new page"] * len(add_ids))})
+        return pa.concat_tables([base, adds])
+
+    b = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl, batch_format="pyarrow")
+    return dataset_diff(a, b, "doc_id", ["text"])
+
+
 def packing_manifest_documents(sf_dir: str):
     """Training-prep sequence packing plan: docs routed to id%16
     streams, concat-and-chunked into 512-token windows; one manifest

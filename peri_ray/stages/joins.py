@@ -224,6 +224,68 @@ def hash_join(left, right, left_key: str, right_key: str,
 # ---------------------------------------------------------------------------
 
 
+def dataset_diff(a, b, key: str, compare_cols: list[str],
+                 n_buckets: int = 64):
+    """Snapshot diff between two keyed datasets (recrawl vs previous
+    crawl, table version vs version): emits (key, status) with status
+    ``added`` (key only in b), ``removed`` (only in a) or ``changed``
+    (in both, any compared column differs, null-safe); unchanged rows
+    emit nothing.  Keys are assumed unique per side.
+
+    Shape: ONE co-bucketed exchange of key + compared columns (the
+    shared :func:`bucket_of` recipe), per-bucket full-outer Arrow join
+    + vectorized column compare — output is bounded by the differing
+    rows."""
+    schema_a = a.schema()
+    a_types = dict(zip(schema_a.names, schema_a.types))
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            key_col = t.column(key).combine_chunks()
+            cols = {"__key": key_col}
+            for c in compare_cols:
+                col = t.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[c] = col.cast(a_types[c])
+            out = pa.table(cols)
+            return (out.append_column("__bucket", bucket_of(key_col, n_buckets))
+                    .append_column("__side",
+                                   pa.array(np.full(t.num_rows, side, np.int8))))
+        return _f
+
+    both = (a.map_batches(_tag(0), batch_format="pyarrow")
+            .union(b.map_batches(_tag(1), batch_format="pyarrow")))
+
+    def _diff(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        l = group.filter(pc.equal(side, 0)).select(["__key"] + compare_cols)
+        l = l.append_column("__in_a", pa.array(np.ones(l.num_rows, bool)))
+        r = group.filter(pc.equal(side, 1)).select(["__key"] + compare_cols)
+        r = r.append_column("__in_b", pa.array(np.ones(r.num_rows, bool)))
+        j = l.join(r, keys="__key", join_type="full outer", right_suffix="__r")
+        in_a = pc.fill_null(j.column("__in_a"), False)
+        in_b = pc.fill_null(j.column("__in_b"), False)
+        changed = pa.array(np.zeros(j.num_rows, bool))
+        for c in compare_cols:
+            x, y = j.column(c), j.column(f"{c}__r")
+            same = pc.or_(pc.fill_null(pc.equal(x, y), False),
+                          pc.and_(pc.is_null(x), pc.is_null(y)))
+            changed = pc.or_(changed, pc.invert(same))
+        status = pc.if_else(
+            pc.invert(in_a), pa.scalar("added"),
+            pc.if_else(pc.invert(in_b), pa.scalar("removed"),
+                       pc.if_else(changed, pa.scalar("changed"),
+                                  pa.nulls(j.num_rows, pa.string()))))
+        if isinstance(status, pa.ChunkedArray):
+            status = status.combine_chunks()
+        keep = pc.is_valid(status)
+        return pa.table({key: j.column("__key").filter(keep),
+                         "status": status.filter(keep)})
+
+    return both.groupby("__bucket").map_groups(_diff, batch_format="pyarrow")
+
+
 class _BloomPartial:
     """Dim batch -> one serialized Bloom over the key hashes."""
 

@@ -1423,6 +1423,29 @@ class TestActorPoolEagerSpecErrors:
                              concurrency=2)
 
 
+class TestDatasetDiff:
+    def test_semantics(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.joins import dataset_diff
+
+        a = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": ["same", "old", None, "x", None],
+            "w": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        })).repartition(3)
+        b = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 5, 9], pa.int64()),
+            "v": ["same", "new", None, None, "born"],
+            "w": pa.array([10, 20, 31, 50, 90], pa.int64()),
+        })).repartition(2)
+        got = {r["k"]: r["status"]
+               for r in dataset_diff(a, b, "k", ["v", "w"]).take_all()}
+        # k=1 identical → absent; k=3 null v both but w differs → changed;
+        # k=5 null v both, w same → absent
+        assert got == {2: "changed", 3: "changed", 4: "removed", 9: "added"}
+
+
 class TestJoins:
     def _fact(self):
         return rd.from_arrow(pa.table({
