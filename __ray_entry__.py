@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inferred_spec_documents": q.inferred_spec_documents,
         "packing_manifest_documents": q.packing_manifest_documents,
         "crawl_diff_documents": q.crawl_diff_documents,
+        "unpivot_lineitem": q.unpivot_lineitem,
+        "column_profile_events": q.column_profile_events,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -641,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+        """,
+        "column_profile_events": """
+            SELECT 'user_id' AS path, count(*) AS n,
+                   count(*) - count(user_id) AS nulls,
+                   CAST(min(user_id) AS DOUBLE) AS vmin,
+                   CAST(max(user_id) AS DOUBLE) AS vmax FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+              FROM events
         """,
         "crawl_diff_documents": """
             WITH b AS (

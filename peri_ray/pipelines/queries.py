@@ -1168,6 +1168,35 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def unpivot_lineitem(sf_dir: str):
+    """Melt lineitem measures to long (key, name, value) rows — the
+    inverse of pivot, a pure streaming reshape."""
+    from peri_ray.stages.stats import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def column_profile_events(sf_dir: str):
+    """Per-column data-quality profile (count, nulls, min, max) of the
+    events numeric columns via the one-pass spec-inference profiler."""
+    from peri_ray.infer import profile_columns
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    prof = profile_columns(ds)
+    rows = sorted(prof.items())
+    return pa.table({
+        "path": pa.array([p for p, _ in rows], pa.string()),
+        "n": pa.array([m["n"] for _, m in rows], pa.int64()),
+        "nulls": pa.array([m["nulls"] for _, m in rows], pa.int64()),
+        "vmin": pa.array([m["vmin"] for _, m in rows], pa.float64()),
+        "vmax": pa.array([m["vmax"] for _, m in rows], pa.float64()),
+    })
+
+
 def crawl_diff_documents(sf_dir: str):
     """Snapshot diff (recrawl vs previous crawl): the 'recrawl' side is
     derived in-pipeline — drop id%7 rows, update text on id%5, add

@@ -663,6 +663,32 @@ def cube_counts(ds, key1: str, key2: str, value_col: str,
 # ---------------------------------------------------------------------------
 
 
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value",
+            value_type: pa.DataType = pa.float64(),
+            batch_size: int | None = 65536):
+    """Melt wide columns to (id_cols..., name, value) long rows — the
+    inverse of pivot.  Pure per-batch reshape (each input row emits
+    len(value_cols) rows inside its own block), streaming, no
+    shuffle."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols[name_col] = pa.array([c] * n, pa.string())
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[value_col] = col.cast(value_type)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
                  batch_size: int | None = 65536) -> pa.Table:
     """Wide pivot: one row per ``row_key``, one count column per value
