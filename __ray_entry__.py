@@ -1213,7 +1213,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
                         ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
                    count(o_totalprice) AS cnt,
-                   ROUND(sum(o_totalprice), 2) AS sum_price
+                   CAST(ROUND(sum(o_totalprice) * 100, 0) AS BIGINT)
+                     AS sum_price_cents
               FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
                            o_totalprice FROM orders)
              GROUP BY ROLLUP(o_orderstatus, yr)
@@ -1224,7 +1225,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
                         ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
                    count(o_totalprice) AS cnt,
-                   ROUND(sum(o_totalprice), 2) AS sum_price
+                   CAST(ROUND(sum(o_totalprice) * 100, 0) AS BIGINT)
+                     AS sum_price_cents
               FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
                            o_totalprice FROM orders)
              GROUP BY CUBE(o_orderstatus, yr)

@@ -1434,9 +1434,13 @@ def rollup_orders(sf_dir: str):
 
     t = rollup_counts(ds.map_batches(_yr, batch_format="pyarrow"),
                       "o_orderstatus", "yr", "o_totalprice")
-    t = t.rename_columns(["status", "year", "cnt", "sum_price"])
-    return t.set_column(3, "sum_price",
-                        pc.round(t.column("sum_price"), ndigits=2))
+    t = t.rename_columns(["status", "year", "cnt", "sum_price_cents"])
+    # integer cents, not ROUND(x, 2): money sums sit ~1e-8 off integer
+    # cents, and Arrow's and DuckDB's 2-digit rounding land on
+    # DIFFERENT doubles there (seen at sf0.001) — int64 compares exact
+    return t.set_column(3, "sum_price_cents",
+                        pc.round(pc.multiply(t.column("sum_price_cents"),
+                                             100.0)).cast(pa.int64()))
 
 
 def cube_orders(sf_dir: str):
@@ -1456,9 +1460,13 @@ def cube_orders(sf_dir: str):
 
     t = cube_counts(ds.map_batches(_yr, batch_format="pyarrow"),
                     "o_orderstatus", "yr", "o_totalprice")
-    t = t.rename_columns(["status", "year", "cnt", "sum_price"])
-    return t.set_column(3, "sum_price",
-                        pc.round(t.column("sum_price"), ndigits=2))
+    t = t.rename_columns(["status", "year", "cnt", "sum_price_cents"])
+    # integer cents, not ROUND(x, 2): money sums sit ~1e-8 off integer
+    # cents, and Arrow's and DuckDB's 2-digit rounding land on
+    # DIFFERENT doubles there (seen at sf0.001) — int64 compares exact
+    return t.set_column(3, "sum_price_cents",
+                        pc.round(pc.multiply(t.column("sum_price_cents"),
+                                             100.0)).cast(pa.int64()))
 
 
 def clicked_and_viewed(sf_dir: str):
