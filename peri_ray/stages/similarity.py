@@ -280,17 +280,16 @@ class _KMeansPartial:
         self.c = ray.get(cent_ref)  # (k, d) float64
         self.c_sq = (self.c * self.c).sum(axis=1)
 
-    def _assign(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    def _assign(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         x = _as_matrix(t.column(self.vec_col), np.float64)
         # ||x-c||² = ||x||² - 2·x·cᵀ + ||c||²; argmin drops the x term
         d2 = self.c_sq[None, :] - 2.0 * (x @ self.c.T)
         lab = d2.argmin(axis=1)
         sse = (x * x).sum(axis=1) + d2[np.arange(len(x)), lab]
-        return lab, sse
+        return lab, sse, x
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lab, sse = self._assign(t)
-        x = _as_matrix(t.column(self.vec_col), np.float64)
+        lab, sse, x = self._assign(t)
         k, d = self.c.shape
         sums = np.zeros((k, d), np.float64)
         np.add.at(sums, lab, x)
@@ -314,7 +313,7 @@ class _KMeansAssign(_KMeansPartial):
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lab, _ = self._assign(t)
+        lab, _, _ = self._assign(t)
         return pa.table({self.id_col: t.column(self.id_col),
                          "cluster": pa.array(lab, pa.int64())})
 

@@ -80,6 +80,14 @@ class TestInferSpec:
         validate_spec(spec)  # inferred specs must be legal specs
         assert conforms(_ds(tbl), spec) is True
 
+    def test_all_null_string_column(self, ray_session):
+        from peri_ray.infer import infer_spec
+
+        tbl = pa.table({"id": pa.array(range(10), pa.int64()),
+                        "s": pa.array([None] * 10, pa.string())})
+        spec = infer_spec(_ds(tbl))
+        assert spec["s"] == "string"  # no enum from zero observed values
+
     def test_spec_as_table_rendering(self, ray_session):
         from peri_ray.infer import infer_spec, spec_as_table
 

@@ -1424,6 +1424,22 @@ class TestActorPoolEagerSpecErrors:
 
 
 class TestDatasetDiff:
+    def test_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.joins import dataset_diff
+
+        full = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                       "v": ["a", "b"]}))
+        empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                        "v": pa.array([], pa.string())}))
+        assert {r["k"]: r["status"]
+                for r in dataset_diff(full, empty, "k", ["v"]).take_all()} \
+            == {1: "removed", 2: "removed"}
+        assert {r["k"]: r["status"]
+                for r in dataset_diff(empty, full, "k", ["v"]).take_all()} \
+            == {1: "added", 2: "added"}
+
     def test_semantics(self, ray_session):
         import ray.data as rd
 
@@ -2880,6 +2896,16 @@ class TestLineDedup:
 
 
 class TestPackingManifest:
+    def test_all_null_texts(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.text import pack_sequence_manifest
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([None, None], pa.string())}))
+        assert pack_sequence_manifest(ds, 16, n_buckets=4).take_all() == []
+
     def test_fuzz_vs_brute_force(self, ray_session):
         import random
 
