@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_manifest_documents": q.packing_manifest_documents,
         "crawl_diff_documents": q.crawl_diff_documents,
         "unpivot_lineitem": q.unpivot_lineitem,
+        "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
@@ -643,6 +644,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE COALESCE(a.txt, '') END AS text
               FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "coerced_orders_strings": """
+            WITH s AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey AS VARCHAR)
+                       || CASE WHEN o_orderkey % 13 = 0 THEN 'x' ELSE '' END
+                       AS s_key,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'v' ELSE '' END
+                       || CAST(o_custkey AS VARCHAR) || '.'
+                       || CAST(o_orderkey % 100 AS VARCHAR) AS s_val
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN regexp_matches(s_key, '^[+-]?[0-9]{1,18}$')
+                        THEN CAST(s_key AS BIGINT) END AS s_key,
+                   CASE WHEN regexp_matches(s_val,
+                                            '^[+-]?[0-9]{1,15}(\\.[0-9]+)?$')
+                        THEN CAST(s_val AS DOUBLE) END AS s_val
+              FROM s
         """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,

@@ -1168,6 +1168,35 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(_b, batch_format="pyarrow")
 
 
+def coerced_orders_strings(sf_dir: str):
+    """Typed ingestion: string columns (built in-pipeline from orders,
+    with deliberate corruptions) coerced back to BIGINT/DOUBLE under
+    the explicit lexical grammars — unparseable cells null.  The SQL
+    twin builds the same strings and applies the same regex + CAST, so
+    the parse results are hash-checked cell for cell."""
+    from peri_ray.sources import coerce_string_columns
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").combine_chunks()
+        c = t.column("o_custkey").combine_chunks()
+        kn = k.to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        ks = pc.binary_join_element_wise(
+            pc.cast(k, pa.string()),
+            pc.if_else(pa.array(kn % 13 == 0), pa.scalar("x"), pa.scalar("")),
+            "")
+        vs = pc.binary_join_element_wise(
+            pc.if_else(pa.array(kn % 7 == 0), pa.scalar("v"), pa.scalar("")),
+            pc.cast(c, pa.string()), ".",
+            pc.cast(pa.array(kn % 100, pa.int64()), pa.string()), "")
+        return pa.table({"o_orderkey": k, "s_key": ks, "s_val": vs})
+
+    strs = ds.map_batches(_mk, batch_format="pyarrow")
+    return coerce_string_columns(strs, {"s_key": "integer", "s_val": "float"})
+
+
 def unpivot_lineitem(sf_dir: str):
     """Melt lineitem measures to long (key, name, value) rows — the
     inverse of pivot, a pure streaming reshape."""

@@ -185,3 +185,54 @@ def write_csv(ds, out_dir: str):
                 "use write_jsonl or parquet")
     ds.write_csv(out_dir)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# typed ingestion: strict string → typed coercion (CSV/JSONL columns
+# arrive as strings; unparseable cells become null, never errors)
+# ---------------------------------------------------------------------------
+
+_COERCE_RES = {
+    # bounded digit counts keep every accepted literal exactly in
+    # range, so Arrow's whole-array cast can never raise — the grammar
+    # IS the contract (spelled out, unlike TRY_CAST's engine-specific
+    # trimming), and the SQL twin applies the same regex before CAST
+    "integer": r"^[+-]?[0-9]{1,18}$",
+    "float": r"^[+-]?[0-9]{1,15}(\.[0-9]+)?$",
+    "boolean": r"^(true|false)$",
+}
+_COERCE_TYPES = {"integer": "int64", "float": "float64", "boolean": "bool"}
+
+
+def coerce_string_columns(ds, rules: dict[str, str],
+                          batch_size: int | None = 65536):
+    """Coerce string columns to typed columns under explicit lexical
+    grammars (``integer`` / ``float`` / ``boolean``): cells that don't
+    match the grammar become null.  Streaming per-batch map — regex
+    match + masked vectorized cast, no Python loop, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for kind in rules.values():
+        if kind not in _COERCE_RES:
+            raise ValueError(f"unsupported coercion target: {kind!r}")
+
+    def _f(t: pa.Table) -> pa.Table:
+        for col, kind in rules.items():
+            s = t.column(col)
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            if pa.types.is_large_string(s.type):
+                s = s.cast(pa.string())
+            ok = pc.match_substring_regex(s, _COERCE_RES[kind])
+            clean = pc.if_else(pc.fill_null(ok, False), s,
+                               pa.nulls(len(s), pa.string()))
+            if kind in ("integer", "float"):
+                # Arrow's numeric parser rejects an explicit leading
+                # '+' that both the grammar and SQL CAST accept
+                clean = pc.replace_substring_regex(clean, r"^\+", "")
+            out = pc.cast(clean, _COERCE_TYPES[kind])
+            t = t.set_column(t.schema.get_field_index(col), col, out)
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

@@ -1423,6 +1423,35 @@ class TestActorPoolEagerSpecErrors:
                              concurrency=2)
 
 
+class TestCoerceStrings:
+    def test_grammar_edges(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.sources import coerce_string_columns
+
+        ints = ["123", "+5", "-0", "1e5", " 42", "42 ", "",
+                "12345678901234567890123", None, "007"]
+        floats = ["3.14", ".5", "10.", "-2.0", "1e3", "15", None, "1.2.3"]
+        bools = ["true", "false", "True", "1", "", None, "truex", "false"]
+        n = max(len(ints), len(floats), len(bools))
+        ints += [None] * (n - len(ints))
+        floats += [None] * (n - len(floats))
+        bools += [None] * (n - len(bools))
+        ds = rd.from_arrow(pa.table({"i": pa.array(ints, pa.string()),
+                                     "f": pa.array(floats, pa.string()),
+                                     "b": pa.array(bools, pa.string())}))
+        out = coerce_string_columns(
+            ds, {"i": "integer", "f": "float", "b": "boolean"}).take_all()
+        got_i = [r["i"] for r in out]
+        got_f = [r["f"] for r in out]
+        got_b = [r["b"] for r in out]
+        assert got_i == [123, 5, 0, None, None, None, None, None, None, 7]
+        assert got_f == [3.14, None, None, -2.0, None, 15.0, None, None,
+                         None, None]
+        assert got_b == [True, False, None, None, None, None, None, False,
+                         None, None]
+
+
 class TestDatasetDiff:
     def test_empty_sides(self, ray_session):
         import ray.data as rd
