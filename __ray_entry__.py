@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inferred_spec_documents": q.inferred_spec_documents,
         "packing_manifest_documents": q.packing_manifest_documents,
         "crawl_diff_documents": q.crawl_diff_documents,
+        "incremental_dedup_recrawl": q.incremental_dedup_recrawl,
         "unpivot_lineitem": q.unpivot_lineitem,
         "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
@@ -683,6 +684,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', count(*), count(*) - count(value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
               FROM events
+        """,
+        "incremental_dedup_recrawl": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page'
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id,
+                   COALESCE(text IN (SELECT text FROM documents
+                                      WHERE text IS NOT NULL), FALSE)
+                     AS duplicate
+              FROM b
         """,
         "crawl_diff_documents": """
             WITH b AS (

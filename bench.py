@@ -151,6 +151,7 @@ def run_bench() -> dict:
     timed("packing_manifest", lambda: q.packing_manifest_documents(SF_DIR).to_pandas())
     timed("crawl_diff", lambda: q.crawl_diff_documents(SF_DIR).to_pandas())
     timed("coerce_strings", lambda: q.coerced_orders_strings(SF_DIR).to_pandas())
+    timed("incremental_dedup", lambda: q.incremental_dedup_recrawl(SF_DIR).to_pandas())
     timed("contamination_report", lambda: q.contamination_report(SF_DIR).to_pandas())
     timed("repetition_signals", lambda: q.repetition_signals(SF_DIR).to_pandas())
     timed("pii_scan_documents", lambda: q.pii_scan_documents(SF_DIR).to_pandas())

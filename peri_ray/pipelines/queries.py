@@ -1226,6 +1226,46 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def _recrawl_batch(t: pa.Table) -> pa.Table:
+    """Deterministic 'recrawl' of documents for the snapshot-diff /
+    incremental-dedup oracles: drop id%7 rows, append ' updated' to
+    text on id%5, add id%11 rows under new keys (mirrored verbatim in
+    the SQL twins)."""
+    ids = t.column("doc_id").combine_chunks()
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    idn = ids.to_numpy(zero_copy_only=False)
+    upd = pa.array(idn % 5 == 0)
+    new_txt = pc.if_else(
+        upd,
+        pc.binary_join_element_wise(
+            txt, pa.array(["updated"] * t.num_rows), " "),
+        txt)
+    base = (pa.table({"doc_id": ids, "text": new_txt})
+            .filter(pa.array(idn % 7 != 0)))
+    add_ids = idn[idn % 11 == 0] + 1000000
+    adds = pa.table({"doc_id": pa.array(add_ids, pa.int64()),
+                     "text": pa.array(["new page"] * len(add_ids))})
+    return pa.concat_tables([base, adds])
+
+
+def incremental_dedup_recrawl(sf_dir: str):
+    """Incremental crawl dedup through the sharded mutable hash index
+    (the raw-actor escape hatch): build the index from the base
+    corpus, probe the recrawl — rows whose text is already indexed are
+    flagged.  Deterministic (build fully precedes probe), so the
+    membership answers hash-check against SQL IN."""
+    from peri_ray.state.index import TextHashIndex
+
+    idx = TextHashIndex(n_shards=4)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx.add_dataset(base)
+    recrawl = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl_batch, batch_format="pyarrow")
+    return idx.mark_duplicates(recrawl)
+
+
 def crawl_diff_documents(sf_dir: str):
     """Snapshot diff (recrawl vs previous crawl): the 'recrawl' side is
     derived in-pipeline — drop id%7 rows, update text on id%5, add
@@ -1234,28 +1274,8 @@ def crawl_diff_documents(sf_dir: str):
     from peri_ray.stages.joins import dataset_diff
 
     a = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _recrawl(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").combine_chunks()
-        txt = t.column("text").combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        idn = ids.to_numpy(zero_copy_only=False)
-        upd = pa.array(idn % 5 == 0)
-        new_txt = pc.if_else(
-            upd,
-            pc.binary_join_element_wise(
-                txt, pa.array(["updated"] * t.num_rows), " "),
-            txt)
-        base = (pa.table({"doc_id": ids, "text": new_txt})
-                .filter(pa.array(idn % 7 != 0)))
-        add_ids = idn[idn % 11 == 0] + 1000000
-        adds = pa.table({"doc_id": pa.array(add_ids, pa.int64()),
-                         "text": pa.array(["new page"] * len(add_ids))})
-        return pa.concat_tables([base, adds])
-
     b = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _recrawl, batch_format="pyarrow")
+        _recrawl_batch, batch_format="pyarrow")
     return dataset_diff(a, b, "doc_id", ["text"])
 
 

@@ -1423,6 +1423,42 @@ class TestActorPoolEagerSpecErrors:
                              concurrency=2)
 
 
+class TestTextHashIndex:
+    def test_build_then_probe(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.state.index import TextHashIndex
+
+        idx = TextHashIndex(n_shards=3)
+        base = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["alpha", "beta", None, "gamma"]})).repartition(2)
+        assert idx.add_dataset(base) == 4
+        assert idx.size() == 3  # null never indexed
+        probe = rd.from_arrow(pa.table({
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": ["beta", "delta", None, "alpha"]}))
+        got = {r["doc_id"]: r["duplicate"]
+               for r in idx.mark_duplicates(probe).take_all()}
+        assert got == {10: True, 11: False, 12: False, 13: True}
+        # probe is read-only
+        assert idx.size() == 3
+
+    def test_concurrent_ingest_exactly_one_winner(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.state.index import TextHashIndex
+
+        idx = TextHashIndex(n_shards=2)
+        # 300 rows, 30 distinct texts, many blocks ingesting concurrently
+        texts = [f"t{i % 30}" for i in range(300)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": texts})).repartition(12)
+        idx.add_dataset(ds)
+        assert idx.size() == 30
+
+
 class TestCoerceStrings:
     def test_grammar_edges(self, ray_session):
         import ray.data as rd
