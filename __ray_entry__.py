@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_manifest_documents": q.packing_manifest_documents,
         "crawl_diff_documents": q.crawl_diff_documents,
         "incremental_dedup_recrawl": q.incremental_dedup_recrawl,
+        "daily_event_shares": q.daily_event_shares,
         "unpivot_lineitem": q.unpivot_lineitem,
         "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
@@ -684,6 +685,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', count(*), count(*) - count(value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
               FROM events
+        """,
+        "daily_event_shares": """
+            WITH d AS (
+              SELECT CAST(ts AS DATE) AS day, event_type FROM events
+            ),
+            c AS (
+              SELECT day, event_type, count(*) AS cnt
+                FROM d GROUP BY day, event_type
+            )
+            SELECT day, event_type, cnt,
+                   ROUND(cnt * 1.0 / sum(cnt) OVER (PARTITION BY day), 6)
+                     AS share
+              FROM c
         """,
         "incremental_dedup_recrawl": """
             WITH b AS (

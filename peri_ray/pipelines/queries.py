@@ -1226,6 +1226,36 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def daily_event_shares(sf_dir: str):
+    """Per-(day, event_type) counts and within-day share — the
+    ratio_to_report window shape: per-batch (day, type) count partials
+    (bounded by days × types per block), one tiny driver merge, share
+    derived from the merged totals.  Null days/types group naturally
+    on both sides; shares round half-away (dyadic ratios can tie)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _p(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("ts").combine_chunks(), pa.date32())
+        g = (pa.table({"day": day, "event_type": t.column("event_type")})
+             .group_by(["day", "event_type"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "event_type", "cnt"])
+
+    merged = (pa.Table.from_pylist(
+        ds.map_batches(_p, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("day", pa.date32()), ("event_type", pa.string()),
+                          ("cnt", pa.int64())]))
+        .group_by(["day", "event_type"]).aggregate([("cnt", "sum")])
+        .rename_columns(["day", "event_type", "cnt"]))
+    day_tot = (merged.group_by("day").aggregate([("cnt", "sum")])
+               .rename_columns(["day", "tot"]))
+    j = merged.join(day_tot, keys="day")
+    share = pc.round(pc.divide(pc.cast(j.column("cnt"), pa.float64()),
+                               pc.cast(j.column("tot"), pa.float64())),
+                     ndigits=6, round_mode="half_towards_infinity")
+    return pa.table({"day": j.column("day"), "event_type": j.column("event_type"),
+                     "cnt": j.column("cnt"), "share": share})
+
+
 def _recrawl_batch(t: pa.Table) -> pa.Table:
     """Deterministic 'recrawl' of documents for the snapshot-diff /
     incremental-dedup oracles: drop id%7 rows, append ' updated' to
