@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": q.line_dedup_documents,
         "boilerplate_removed_documents": q.boilerplate_removed_documents,
         "unigram_nll_documents": q.unigram_nll_documents,
+        "bigram_nll_documents": q.bigram_nll_documents,
         "cosine_join_pairs": q.cosine_join_pairs,
         "inferred_spec_documents": q.inferred_spec_documents,
         "packing_manifest_documents": q.packing_manifest_documents,
@@ -815,6 +816,25 @@ def oracle_sql() -> dict[str, str]:
              WHERE ROUND(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
                             * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        """,
+        "bigram_nll_documents": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            bgs AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM toks)
+            ),
+            model AS (SELECT bg, count(*) AS n FROM bgs GROUP BY bg),
+            tot AS (SELECT count(*) AS total FROM bgs)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   ROUND(sum(-ln(m.n * 1.0 / tot.total)) / count(*), 6)
+                     AS nll2
+              FROM bgs b JOIN model m USING (bg) CROSS JOIN tot
+             GROUP BY b.doc_id
         """,
         "unigram_nll_documents": """
             WITH toks AS (

@@ -145,6 +145,7 @@ def run_bench() -> dict:
     timed("line_dedup_documents", lambda: q.line_dedup_documents(SF_DIR).to_pandas())
     timed("boilerplate_removal", lambda: q.boilerplate_removed_documents(SF_DIR).to_pandas())
     timed("unigram_nll", lambda: q.unigram_nll_documents(SF_DIR).to_pandas())
+    timed("bigram_nll", lambda: q.bigram_nll_documents(SF_DIR).to_pandas())
     timed("cosine_join_pairs", lambda: q.cosine_join_pairs(SF_DIR).to_pandas())
     timed("kmeans_clusters", lambda: q.kmeans_clusters(SF_DIR).to_pandas())
     timed("inferred_spec", lambda: q.inferred_spec_documents(SF_DIR))

@@ -1371,6 +1371,22 @@ def unigram_nll_documents(sf_dir: str):
     return unigram_nll_scores(ds).map_batches(_round, batch_format="pyarrow")
 
 
+def bigram_nll_documents(sf_dir: str):
+    """Bigram-LM mean NLL per doc — the no-broadcast scoring path
+    (model joined, not shipped); rounded to 6 on both sides."""
+    from peri_ray.stages.text import bigram_nll_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("nll2"), "nll2",
+            pc.round(t.column("nll2"), ndigits=6,
+                     round_mode="half_towards_infinity"))
+
+    return bigram_nll_scores(ds).map_batches(_round, batch_format="pyarrow")
+
+
 _BOILER_FOOTER = "(c) 2026 example.com | privacy | terms"
 
 

@@ -806,6 +806,81 @@ def unigram_nll_scores(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow", batch_size=batch_size)
 
 
+def bigram_nll_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 64, batch_size: int | None = 8192):
+    """Mean NLL per document under a corpus-trained BIGRAM LM — the
+    scale path where the model table is too big to broadcast: bigram
+    counts stay a Dataset, and scoring attaches counts to each token
+    pair through the hash-partitioned join instead of a ``ray.put``
+    (contrast :func:`unigram_nll_scores`, whose unigram vocabulary
+    fits one broadcast object).
+
+    Three exchanges, all keyed on bounded-size strings/ids: (bigram,
+    n) model sum, token-pair ↔ model join, per-doc aggregate.  Docs
+    with fewer than 2 tokens emit nothing (no bigrams)."""
+    import numpy as _np
+
+    from peri_ray.stages.dedup import (grouped_sum_via_buckets,
+                                       per_group_via_buckets)
+    from peri_ray.stages.joins import hash_join
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        valid = pc.is_valid(txt)
+        sub = pa.table({id_col: t.column(id_col), text_col: txt}).filter(valid)
+        txt2 = sub.column(text_col)
+        if isinstance(txt2, pa.ChunkedArray):
+            txt2 = txt2.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt2), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(_np.int64)
+        ids = sub.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        doc = _np.repeat(_np.arange(len(counts)), counts)
+        flat = parts.flatten()
+        if len(doc) > 1:
+            adj = doc[1:] == doc[:-1]
+            li = _np.flatnonzero(adj)
+        else:
+            li = _np.empty(0, _np.int64)
+        left = flat.take(pa.array(li, pa.int64()))
+        right = flat.take(pa.array(li + 1, pa.int64()))
+        # words contain no whitespace, so ' ' joins losslessly (and
+        # matches the SQL twin's w1 || ' ' || w2)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        return pa.table({id_col: pa.array(ids[doc[li]], pa.int64()),
+                         "bg": bg})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+    def _vc(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("bg").combine_chunks())
+        return pa.table({"bg": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    model = grouped_sum_via_buckets(
+        pairs.map_batches(_vc, batch_format="pyarrow"), ["bg"], "n"
+    ).materialize()
+    total = float(model.sum("n") or 0)
+    scored = hash_join(pairs, model, "bg", "bg", [id_col], ["n"],
+                       how="inner", n_buckets=n_buckets)
+
+    def _doc(run: pa.Table) -> pa.Table:
+        n = run.column("n").to_numpy(zero_copy_only=False).astype(_np.float64)
+        did = run.column(id_col)[0].as_py()
+        s = float((-_np.log(n / total)).sum())
+        return pa.table({id_col: pa.array([did], pa.int64()),
+                         "n_bigrams": pa.array([len(n)], pa.int64()),
+                         "nll2": pa.array([s / len(n)], pa.float64())})
+
+    return per_group_via_buckets(scored, [id_col], _doc, n_buckets=n_buckets,
+                                 min_run=1)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------

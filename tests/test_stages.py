@@ -2960,6 +2960,43 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestBigramNLL:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data as rd
+
+        from peri_ray.stages.text import bigram_nll_scores
+
+        texts = ["a b a b c", "b c d", None, "x", "a b"]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(5)),
+                                     "text": texts})).repartition(3)
+        got = {r["doc_id"]: (r["n_bigrams"], r["nll2"])
+               for r in bigram_nll_scores(ds).take_all()}
+        model = Counter()
+        for tx in texts:
+            if tx is None:
+                continue
+            w = tx.split()
+            model.update(zip(w, w[1:]))
+        total = sum(model.values())
+        want = {}
+        for i, tx in enumerate(texts):
+            if tx is None:
+                continue
+            w = tx.split()
+            bgs = list(zip(w, w[1:]))
+            if not bgs:
+                continue  # <2 tokens -> no row
+            s = sum(-math.log(model[b] / total) for b in bgs)
+            want[i] = (len(bgs), s / len(bgs))
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert abs(got[i][1] - want[i][1]) < 1e-12
+
+
 class TestPackingManifest:
     def test_all_null_texts(self, ray_session):
         import ray.data as rd
