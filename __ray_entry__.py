@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff_documents": q.crawl_diff_documents,
         "incremental_dedup_recrawl": q.incremental_dedup_recrawl,
         "daily_event_shares": q.daily_event_shares,
+        "variance_lineitem": q.variance_lineitem,
         "unpivot_lineitem": q.unpivot_lineitem,
         "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
@@ -686,6 +687,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', count(*), count(*) - count(value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
               FROM events
+        """,
+        "variance_lineitem": """
+            SELECT l_returnflag, count(l_quantity) AS n,
+                   ROUND(var_samp(l_quantity), 6) AS var_samp,
+                   ROUND(stddev_samp(l_quantity), 6) AS stddev_samp
+              FROM lineitem GROUP BY l_returnflag
         """,
         "daily_event_shares": """
             WITH d AS (

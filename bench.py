@@ -157,6 +157,8 @@ def run_bench() -> dict:
     timed("repetition_signals", lambda: q.repetition_signals(SF_DIR).to_pandas())
     timed("pii_scan_documents", lambda: q.pii_scan_documents(SF_DIR).to_pandas())
     timed("mixed_sample_documents", lambda: q.mixed_sample_documents(SF_DIR).to_pandas())
+    timed("daily_event_shares", lambda: q.daily_event_shares(SF_DIR))
+    timed("variance_lineitem", lambda: q.variance_lineitem(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -1226,6 +1226,15 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def variance_lineitem(sf_dir: str):
+    """Per-group sample variance/stddev of l_quantity (algebraic
+    combiners, same shape as grouped_corr)."""
+    from peri_ray.stages.stats import grouped_variance
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_variance(ds, "l_returnflag", "l_quantity")
+
+
 def daily_event_shares(sf_dir: str):
     """Per-(day, event_type) counts and within-day share — the
     ratio_to_report window shape: per-batch (day, type) count partials

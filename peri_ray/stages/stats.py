@@ -368,6 +368,58 @@ def grouped_corr(ds, key: str, x: str, y: str,
     })
 
 
+def grouped_variance(ds, key: str, col: str,
+                     batch_size: int | None = 65536,
+                     round_to: int = 6) -> pa.Table:
+    """Per-group sample variance + stddev via the same algebraic
+    combiners as :func:`grouped_corr` (n, Σx, Σx²).  Nulls excluded;
+    groups with n < 2 yield null.  Rounded on both sides: the naive
+    formula and SQL's stable var_samp differ in the last ulps (keep
+    ``col`` small-magnitude — large-magnitude sums reintroduce the
+    rounded-float compare hazard recorded in CLAUDE.md)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xv = t.column(col).combine_chunks().cast(pa.float64())
+        sub = pa.table({key: t.column(key), "x": xv}).filter(pc.is_valid(xv))
+        xa = sub.column("x").to_numpy(zero_copy_only=False)
+        aug = pa.table({
+            key: sub.column(key),
+            "n": pa.array(np.ones(len(xa), np.int64)),
+            "sx": sub.column("x"),
+            "sxx": pa.array(xa * xa),
+        })
+        g = aug.group_by(key).aggregate([(c, "sum") for c in ("n", "sx", "sxx")])
+        return g.rename_columns([key, "n", "sx", "sxx"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict = {}
+    for r in partials.iter_rows():
+        cur = acc.setdefault(r[key], np.zeros(3))
+        cur += [r["n"], r["sx"], r["sxx"]]
+    keys = sorted(acc, key=str)
+    var_v, std_v = [], []
+    for k in keys:
+        n, sx, sxx = acc[k]
+        if n < 2:
+            var_v.append(None)
+            std_v.append(None)
+        else:
+            v = (sxx - sx * sx / n) / (n - 1)
+            v = max(v, 0.0)  # naive formula can go -1e-12 on constants
+            # half-away like SQL ROUND (python round is half-to-even
+            # and rational variances CAN tie at the round_to+1 digit)
+            scale = 10.0 ** round_to
+            var_v.append(np.floor(v * scale + 0.5) / scale)
+            std_v.append(np.floor(float(np.sqrt(v)) * scale + 0.5) / scale)
+    return pa.table({
+        key: pa.array(keys),
+        "n": pa.array([int(acc[k][0]) for k in keys], pa.int64()),
+        "var_samp": pa.array(var_v, pa.float64()),
+        "stddev_samp": pa.array(std_v, pa.float64()),
+    })
+
+
 class _GroupedStatsPartial:
     """Batch → one (key, column, cnt, null_count, min, max, sum) row per
     (group, column): ONE vectorized Arrow group_by per batch carrying

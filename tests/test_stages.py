@@ -2960,6 +2960,43 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestGroupedVariance:
+    def test_vs_numpy(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_variance
+
+        rng = np.random.default_rng(4)
+        keys = [["a", "b", "c"][i % 3] for i in range(300)]
+        vals = rng.normal(scale=3.0, size=300)
+        vals[5] = np.nan  # nulls excluded
+        tbl = pa.table({"k": keys,
+                        "v": pa.array([None if np.isnan(v) else float(v)
+                                       for v in vals], pa.float64())})
+        out = {r["k"]: (r["n"], r["var_samp"], r["stddev_samp"])
+               for r in grouped_variance(
+                   rd.from_arrow(tbl).repartition(5), "k", "v").to_pylist()}
+        for k in ("a", "b", "c"):
+            sub = np.array([v for kk, v in zip(keys, vals)
+                            if kk == k and not np.isnan(v)])
+            n, var, std = out[k]
+            assert n == len(sub)
+            assert abs(var - round(sub.var(ddof=1), 6)) <= 1e-6
+            assert abs(std - round(sub.std(ddof=1), 6)) <= 1e-6
+
+    def test_degenerate(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_variance
+
+        tbl = pa.table({"k": ["a", "b", "b"],
+                        "v": pa.array([1.0, 2.0, 2.0], pa.float64())})
+        out = {r["k"]: (r["var_samp"], r["stddev_samp"])
+               for r in grouped_variance(rd.from_arrow(tbl), "k", "v").to_pylist()}
+        assert out["a"] == (None, None)  # n < 2
+        assert out["b"] == (0.0, 0.0)  # constant
+
+
 class TestBigramNLL:
     def test_vs_brute_force(self, ray_session):
         import math
