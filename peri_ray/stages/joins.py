@@ -163,6 +163,11 @@ def hash_join(left, right, left_key: str, right_key: str,
         raise ValueError(f"how must be one of {sorted(_ARROW_JOIN_TYPE)}")
     left_cols = [c for c in left_cols if c != left_key]
     right_cols = [c for c in right_cols if c != right_key]
+    if how in ("semi", "anti"):
+        # documented contract: semi/anti emit left columns only — a
+        # non-empty right_cols previously KeyError'd in the per-bucket
+        # join because the tag stage (correctly) never shipped them
+        right_cols = []
 
     l_schema = left.schema()
     key_type = dict(zip(l_schema.names, l_schema.types))[left_key]
@@ -222,6 +227,26 @@ def hash_join(left, right, left_key: str, right_key: str,
 # ---------------------------------------------------------------------------
 # Bloom-pruned semi join (selective dim, exchange-volume reduction)
 # ---------------------------------------------------------------------------
+
+
+def join_auto(fact, dim, fact_key: str, dim_key: str,
+              fact_cols: list[str], dim_cols: list[str],
+              how: str = "inner", broadcast_max_rows: int = 2_000_000,
+              n_buckets: int = 64):
+    """Strategy-picking join: count the dim side (metadata-cheap) and
+    take the broadcast path when it fits one object-store object,
+    else the hash-partitioned exchange — the two-strategy choice every
+    caller was making by hand, automated on the measured row count.
+    ``full`` always routes to the hash path (broadcast streams the
+    fact side and cannot emit unmatched dim rows).  The two paths
+    emit the same columns but may order them differently — select
+    downstream if order matters."""
+    n_dim = dim.count()
+    if how != "full" and n_dim <= broadcast_max_rows:
+        return broadcast_join(fact, dim, fact_key, dim_key, dim_cols,
+                              how=how, fact_cols=fact_cols)
+    return hash_join(fact, dim, fact_key, dim_key,
+                     fact_cols, dim_cols, how=how, n_buckets=n_buckets)
 
 
 def dataset_diff(a, b, key: str, compare_cols: list[str],

@@ -1488,6 +1488,30 @@ class TestCoerceStrings:
                          None, None]
 
 
+class TestJoinAuto:
+    def test_strategies_agree(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.joins import join_auto
+
+        fact = rd.from_arrow(pa.table({
+            "fk": pa.array([1, 2, 2, 3, 9, None], pa.int64()),
+            "x": pa.array([10, 20, 21, 30, 90, 0], pa.int64())}))
+        dim = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "label": ["a", "b", "c", "d"]}))
+
+        for how in ("inner", "left", "semi", "anti"):
+            small = join_auto(fact, dim, "fk", "k", ["x"], ["label"], how=how)
+            forced = join_auto(fact, dim, "fk", "k", ["x"], ["label"],
+                               how=how, broadcast_max_rows=0)
+            a = sorted(((r["fk"], r["x"], r.get("label"))
+                        for r in small.take_all()), key=str)
+            b = sorted(((r["fk"], r["x"], r.get("label"))
+                        for r in forced.take_all()), key=str)
+            assert a == b, how
+
+
 class TestDatasetDiff:
     def test_empty_sides(self, ray_session):
         import ray.data as rd
