@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_recrawl": q.incremental_dedup_recrawl,
         "daily_event_shares": q.daily_event_shares,
         "variance_lineitem": q.variance_lineitem,
+        "resampled_event_counts": q.resampled_event_counts,
         "unpivot_lineitem": q.unpivot_lineitem,
         "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
@@ -687,6 +688,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', count(*), count(*) - count(value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
               FROM events
+        """,
+        "resampled_event_counts": """
+            WITH src AS (
+              SELECT event_type, date_trunc('hour', ts) AS h FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ),
+            c AS (SELECT event_type, h, count(*) AS cnt
+                    FROM src GROUP BY event_type, h),
+            grid AS (
+              SELECT t.event_type, g.h
+                FROM (SELECT DISTINCT event_type FROM src) t
+                CROSS JOIN (SELECT unnest(generate_series(
+                              (SELECT min(h) FROM src),
+                              (SELECT max(h) FROM src),
+                              INTERVAL 1 HOUR)) AS h) g
+            )
+            SELECT grid.event_type, grid.h, COALESCE(c.cnt, 0) AS cnt
+              FROM grid LEFT JOIN c USING (event_type, h)
         """,
         "variance_lineitem": """
             SELECT l_returnflag, count(l_quantity) AS n,

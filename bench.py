@@ -159,6 +159,7 @@ def run_bench() -> dict:
     timed("mixed_sample_documents", lambda: q.mixed_sample_documents(SF_DIR).to_pandas())
     timed("daily_event_shares", lambda: q.daily_event_shares(SF_DIR))
     timed("variance_lineitem", lambda: q.variance_lineitem(SF_DIR))
+    timed("resampled_counts", lambda: q.resampled_event_counts(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -1226,6 +1226,52 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def resampled_event_counts(sf_dir: str):
+    """Hourly event counts per type with zero-filled gaps (time-series
+    resampling): per-batch (type, hour) count partials, driver merge,
+    then the dense grid [min hour, max hour] × types with COALESCE-0 —
+    grid size is bounded by types × hours, never by rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _p(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        ok = pc.and_(pc.is_valid(ts), pc.is_valid(et))
+        sub = pa.table({"h": pc.floor_temporal(ts, unit="hour"),
+                        "event_type": et}).filter(ok)
+        g = sub.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "cnt"])
+
+    rows = ds.map_batches(_p, batch_format="pyarrow").take_all()
+    from collections import defaultdict
+
+    counts: dict = defaultdict(int)
+    for r in rows:
+        counts[(r["event_type"], r["h"])] += r["cnt"]
+    if not counts:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "h": pa.array([], pa.timestamp("us")),
+                         "cnt": pa.array([], pa.int64())})
+    import datetime as _dt
+
+    hours = [h for _, h in counts]
+    lo, hi = min(hours), max(hours)
+    types = sorted({k for k, _ in counts})
+    grid_t, grid_h, grid_c = [], [], []
+    cur = lo
+    while cur <= hi:
+        for k in types:
+            grid_t.append(k)
+            grid_h.append(cur)
+            grid_c.append(counts.get((k, cur), 0))
+        cur = cur + _dt.timedelta(hours=1)
+    return pa.table({"event_type": pa.array(grid_t, pa.string()),
+                     "h": pa.array(grid_h, pa.timestamp("us")),
+                     "cnt": pa.array(grid_c, pa.int64())})
+
+
 def variance_lineitem(sf_dir: str):
     """Per-group sample variance/stddev of l_quantity (algebraic
     combiners, same shape as grouped_corr)."""
