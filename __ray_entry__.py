@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_shares": q.daily_event_shares,
         "variance_lineitem": q.variance_lineitem,
         "resampled_event_counts": q.resampled_event_counts,
+        "entropy_events": q.entropy_events,
         "unpivot_lineitem": q.unpivot_lineitem,
         "coerced_orders_strings": q.coerced_orders_strings,
         "column_profile_events": q.column_profile_events,
@@ -688,6 +689,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', count(*), count(*) - count(value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
               FROM events
+        """,
+        "entropy_events": """
+            WITH c1 AS (SELECT event_type AS v, count(*) AS n
+                          FROM events GROUP BY 1),
+            c2 AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS n
+                     FROM events GROUP BY 1)
+            SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS ndv,
+                   ROUND(-sum((n * 1.0 / t.tot) * ln(n * 1.0 / t.tot)), 6)
+                     AS entropy
+              FROM c1 CROSS JOIN (SELECT sum(n) AS tot FROM c1) t
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   ROUND(-sum((n * 1.0 / t.tot) * ln(n * 1.0 / t.tot)), 6)
+              FROM c2 CROSS JOIN (SELECT sum(n) AS tot FROM c2) t
         """,
         "resampled_event_counts": """
             WITH src AS (

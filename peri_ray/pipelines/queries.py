@@ -1226,6 +1226,51 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def entropy_events(sf_dir: str):
+    """Shannon entropy (nats) of categorical columns — distribution
+    profiling next to PSI/chi²: per-batch value-count partials, tiny
+    driver merge, -Σ p·ln p over the merged counts.  Nulls are their
+    own category (matching SQL GROUP BY); rounded to 6 (log values
+    cannot tie)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _p(t: pa.Table) -> pa.Table:
+        outs = []
+        for col in ("event_type", "user_id"):
+            c = t.column(col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            vc = pc.value_counts(pc.cast(c, pa.string()))
+            outs.append(pa.table({
+                "column": pa.array([col] * len(vc), pa.string()),
+                "v": pc.fill_null(vc.field("values"), "\x00null"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    from collections import defaultdict
+
+    merged: dict = defaultdict(int)
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        merged[(r["column"], r["v"])] += r["n"]
+    cols: dict = defaultdict(dict)
+    for (col, v), n in merged.items():
+        cols[col][v] = n
+    names, ent, ndv = [], [], []
+    for col in sorted(cols):
+        cnts = list(cols[col].values())
+        tot = float(sum(cnts))
+        h = -sum((n / tot) * math.log(n / tot) for n in sorted(cnts))
+        names.append(col)
+        ent.append(round(h, 6))
+        ndv.append(len(cnts))
+    return pa.table({"column": pa.array(names, pa.string()),
+                     "ndv": pa.array(ndv, pa.int64()),
+                     "entropy": pa.array(ent, pa.float64())})
+
+
 def resampled_event_counts(sf_dir: str):
     """Hourly event counts per type with zero-filled gaps (time-series
     resampling): per-batch (type, hour) count partials, driver merge,
