@@ -1529,6 +1529,43 @@ class TestDatasetDiff:
                 for r in dataset_diff(empty, full, "k", ["v"]).take_all()} \
             == {1: "added", 2: "added"}
 
+    def test_fuzz_vs_brute_force(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from peri_ray.stages.joins import dataset_diff
+
+        rng = random.Random(21)
+        for trial in range(3):
+            keys_a = rng.sample(range(200), 80)
+            keys_b = rng.sample(range(200), 80)
+            va = {k: (rng.choice(["x", "y", None]), rng.randint(0, 3))
+                  for k in keys_a}
+            vb = {k: (rng.choice(["x", "y", None]), rng.randint(0, 3))
+                  for k in keys_b}
+            a = rd.from_arrow(pa.table({
+                "k": pa.array(keys_a, pa.int64()),
+                "s": pa.array([va[k][0] for k in keys_a], pa.string()),
+                "i": pa.array([va[k][1] for k in keys_a], pa.int64()),
+            })).repartition(4)
+            b = rd.from_arrow(pa.table({
+                "k": pa.array(keys_b, pa.int64()),
+                "s": pa.array([vb[k][0] for k in keys_b], pa.string()),
+                "i": pa.array([vb[k][1] for k in keys_b], pa.int64()),
+            })).repartition(3)
+            want = {}
+            for k in set(keys_a) | set(keys_b):
+                if k not in vb:
+                    want[k] = "removed"
+                elif k not in va:
+                    want[k] = "added"
+                elif va[k] != vb[k]:
+                    want[k] = "changed"
+            got = {r["k"]: r["status"]
+                   for r in dataset_diff(a, b, "k", ["s", "i"]).take_all()}
+            assert got == want, trial
+
     def test_semantics(self, ray_session):
         import ray.data as rd
 
