@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_guess": q.lang_id_guess,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
+        "grouped_kll_chars": q.grouped_kll_chars,
         "simhash_fingerprints": q.simhash_fps,
         "minhash_near_dup_pairs": q.minhash_near_dup_pairs,
         "ann_topk": q.ann_topk,

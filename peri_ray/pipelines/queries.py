@@ -1226,6 +1226,17 @@ def column_profile_events(sf_dir: str):
     })
 
 
+def grouped_kll_chars(sf_dir: str):
+    """Approximate per-source n_chars quantiles via per-group KLL
+    sketches through the bucket exchange — the high-cardinality-group
+    scale path (rows-only: sketch estimates have no SQL twin; accuracy
+    unit-tested against numpy)."""
+    from peri_ray.stages.stats import grouped_kll_quantiles
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return grouped_kll_quantiles(ds, "source", "n_chars", qs=(0.5, 0.9))
+
+
 def entropy_events(sf_dir: str):
     """Shannon entropy (nats) of categorical columns — distribution
     profiling next to PSI/chi²: per-batch value-count partials, tiny

@@ -368,6 +368,66 @@ def grouped_corr(ds, key: str, x: str, y: str,
     })
 
 
+def grouped_kll_quantiles(ds, key: str, col: str,
+                          qs: tuple[float, ...] = (0.5, 0.9),
+                          k: int = 200, n_buckets: int = 64,
+                          batch_size: int | None = 65536):
+    """Approximate per-group quantiles via per-(block, key) KLL
+    partials merged through the bucketed exchange — the scale path
+    when the GROUP count is of the order of the row count (per-host
+    length profiles at web scale), where exact per-group selection
+    and driver merges both stop fitting.  Exchange ships one ~k-float
+    sketch per (block, key); rank error ~1.65/√k.
+
+    Output: (key, n, q_<q>… ) one row per group."""
+    import pickle
+
+    from peri_ray.stages.dedup import per_group_via_buckets
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xv = t.column(col).combine_chunks().cast(pa.float64())
+        sub = pa.table({key: t.column(key), "x": xv}).filter(pc.is_valid(xv))
+        kcol = sub.column(key).combine_chunks()
+        xa = sub.column("x").to_numpy(zero_copy_only=False)
+        enc = kcol.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys_out, blobs = [], []
+        from peri_ray.state.sketches import KLL
+
+        order = np.argsort(idx, kind="stable")
+        sorted_idx = idx[order]
+        bounds = np.flatnonzero(np.diff(sorted_idx)) + 1
+        for run in np.split(order, bounds):
+            if len(run) == 0:
+                continue
+            sk = KLL(k=k)
+            sk.update_many(xa[run])
+            keys_out.append(enc.dictionary[int(idx[run[0]])].as_py())
+            blobs.append(pickle.dumps(sk))
+        return pa.table({key: pa.array(keys_out),
+                         "sk": pa.array(blobs, pa.binary())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _merge(run: pa.Table) -> pa.Table:
+        merged = None
+        for blob in run.column("sk").to_pylist():
+            sk = pickle.loads(blob)
+            merged = sk if merged is None else merged.merge(sk)
+        vals = merged.quantiles(qs)
+        cols = {key: pa.array([run.column(key)[0].as_py()]),
+                "n": pa.array([merged.n], pa.int64())}
+        for q, v in zip(qs, vals):
+            cols[f"q_{str(q).replace('.', '_')}"] = pa.array([v], pa.float64())
+        return pa.table(cols)
+
+    return per_group_via_buckets(partials, [key], _merge, n_buckets=n_buckets,
+                                 min_run=1)
+
+
 def grouped_variance(ds, key: str, col: str,
                      batch_size: int | None = 65536,
                      round_to: int = 6) -> pa.Table:

@@ -3021,6 +3021,30 @@ class TestLineDedup:
             assert got == want, f"trial {trial}"
 
 
+class TestGroupedKLL:
+    def test_accuracy_per_group(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_kll_quantiles
+
+        rng = np.random.default_rng(8)
+        keys, vals = [], []
+        dists = {"a": (0.0, 1.0), "b": (10.0, 2.0), "c": (-5.0, 0.5)}
+        for k, (mu, sd) in dists.items():
+            keys += [k] * 4000
+            vals += list(rng.normal(mu, sd, 4000))
+        tbl = pa.table({"k": keys, "v": pa.array(vals, pa.float64())})
+        out = {r["k"]: r for r in grouped_kll_quantiles(
+            rd.from_arrow(tbl).repartition(6), "k", "v",
+            qs=(0.5, 0.9)).take_all()}
+        for k, (mu, sd) in dists.items():
+            sub = np.array(vals[:0])
+            sub = np.array([v for kk, v in zip(keys, vals) if kk == k])
+            assert out[k]["n"] == 4000
+            assert abs(out[k]["q_0_5"] - np.quantile(sub, 0.5)) < 0.3 * sd
+            assert abs(out[k]["q_0_9"] - np.quantile(sub, 0.9)) < 0.3 * sd
+
+
 class TestGroupedVariance:
     def test_vs_numpy(self, ray_session):
         import ray.data as rd
