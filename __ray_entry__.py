@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitems_of_big_orders": q.lineitems_of_big_orders,
         "ntile_events_by_user": q.ntile_events_by_user,
         "activity_full_outer": q.activity_full_outer,
+        "activity_right_outer": q.activity_right_outer,
         "rank_events_by_user": q.rank_events_by_user,
         "chi2_lang_source": q.chi2_lang_source,
         "event_sequences": q.event_sequences,
@@ -1181,6 +1182,13 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY value
                    ) AS BIGINT) AS rnk
               FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        """,
+        "activity_right_outer": """
+            WITH ev AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+            )
+            SELECT c.c_custkey AS user_id, ev.n_events, c.c_acctbal
+              FROM ev RIGHT JOIN customer c ON ev.user_id = c.c_custkey
         """,
         "activity_full_outer": """
             WITH ev AS (

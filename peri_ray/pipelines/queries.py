@@ -1937,6 +1937,36 @@ def activity_full_outer(sf_dir: str):
                                     ("c_acctbal", pa.float64())]))
 
 
+def activity_right_outer(sf_dir: str):
+    """RIGHT OUTER join: every customer survives, event counts null
+    for customers who never fired an event (completes the join
+    matrix: inner/left/right/full/semi/anti)."""
+    from peri_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t.column("user_id").combine_chunks()})
+             .group_by("user_id").aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "n"])
+
+    counts = ev.map_batches(_cnt, batch_format="pyarrow").groupby(
+        "user_id").sum("n")
+
+    def _shape(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["user_id", "n_events"])
+        return t.set_column(1, "n_events",
+                            t.column("n_events").cast(pa.int64()))
+
+    left = counts.map_batches(_shape, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = hash_join(left, cust, "user_id", "c_custkey",
+                    ["n_events"], ["c_acctbal"], how="right")
+    return _collect(out, pa.schema([("user_id", pa.int64()),
+                                    ("n_events", pa.int64()),
+                                    ("c_acctbal", pa.float64())]))
+
+
 def rank_events_by_user(sf_dir: str):
     """rank() per user over value — ties share a rank (gaps after),
     deterministic without an id tiebreak."""

@@ -36,6 +36,7 @@ from peri_ray.stages.checks import bucket_of
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "right": "right outer",
     "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
@@ -129,10 +130,10 @@ def broadcast_join(fact, dim, fact_key: str, dim_key: str,
 
     if how not in _ARROW_JOIN_TYPE:
         raise ValueError(f"how must be one of {sorted(_ARROW_JOIN_TYPE)}")
-    if how == "full":
+    if how in ("full", "right"):
         raise ValueError(
             "broadcast_join cannot emit unmatched dim rows (the fact side "
-            "streams); use hash_join(how='full')")
+            f"streams); use hash_join(how={how!r})")
     ref = ray.put(_dim_table(dim, dim_key, dim_cols))
     if fact_cols:
         fact = fact.select_columns(sorted(set(fact_cols + [fact_key])))
@@ -155,7 +156,7 @@ def hash_join(left, right, left_key: str, right_key: str,
     columns + the key cross the exchange.
 
     Output columns: ``left_key`` + ``left_cols`` + ``right_cols`` for
-    inner/left; ``left_key`` + ``left_cols`` for semi/anti.  Skewed keys
+    inner/left/right/full; ``left_key`` + ``left_cols`` for semi/anti.  Skewed keys
     concentrate in single buckets — raise ``n_buckets`` (the shuffle
     partition count) for hot-key relief; a key hot enough to overflow
     one worker's memory needs the broadcast path or salting upstream."""
@@ -174,7 +175,7 @@ def hash_join(left, right, left_key: str, right_key: str,
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     r_schema = right.schema()
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-    want_right = how in ("inner", "left", "full")
+    want_right = how in ("inner", "left", "right", "full")
 
     def _tag_left(t: pa.Table) -> pa.Table:
         key = t.column(left_key).combine_chunks()
@@ -237,12 +238,12 @@ def join_auto(fact, dim, fact_key: str, dim_key: str,
     take the broadcast path when it fits one object-store object,
     else the hash-partitioned exchange — the two-strategy choice every
     caller was making by hand, automated on the measured row count.
-    ``full`` always routes to the hash path (broadcast streams the
-    fact side and cannot emit unmatched dim rows).  The two paths
+    ``full``/``right`` always route to the hash path (broadcast
+    streams the fact side and cannot emit unmatched dim rows).  The two paths
     emit the same columns but may order them differently — select
     downstream if order matters."""
     n_dim = dim.count()
-    if how != "full" and n_dim <= broadcast_max_rows:
+    if how not in ("full", "right") and n_dim <= broadcast_max_rows:
         return broadcast_join(fact, dim, fact_key, dim_key, dim_cols,
                               how=how, fact_cols=fact_cols)
     return hash_join(fact, dim, fact_key, dim_key,

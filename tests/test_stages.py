@@ -1489,6 +1489,26 @@ class TestCoerceStrings:
 
 
 class TestJoinAuto:
+    def test_right_outer(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from peri_ray.stages.joins import broadcast_join, hash_join
+
+        fact = rd.from_arrow(pa.table({
+            "fk": pa.array([1, 2, 2], pa.int64()),
+            "x": pa.array([10, 20, 21], pa.int64())}))
+        dim = rd.from_arrow(pa.table({
+            "k": pa.array([2, 3], pa.int64()),
+            "label": ["b", "c"]}))
+        got = sorted(((r["fk"], r["x"], r["label"]) for r in hash_join(
+            fact, dim, "fk", "k", ["x"], ["label"], how="right").take_all()),
+            key=str)
+        assert got == sorted([(2, 20, "b"), (2, 21, "b"), (3, None, "c")],
+                             key=str)
+        with pytest.raises(ValueError):
+            broadcast_join(fact, dim, "fk", "k", ["label"], how="right")
+
     def test_strategies_agree(self, ray_session):
         import ray.data as rd
 
