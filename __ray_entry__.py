@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": q.cumulative_users,
         "retention_matrix": q.retention_matrix,
         "exact_quantiles_events_value": q.exact_quantiles_events_value,
+        "winsorized_events": q.winsorized_events,
         "mad_outliers_events": q.mad_outliers_events,
         "cume_dist_events": q.cume_dist_events,
         "curation_report": q.curation_report,
@@ -1116,6 +1117,16 @@ def oracle_sql() -> dict[str, str]:
             f"quantile_disc(value, {q}) AS value FROM events"
             for q in (0.5, 0.9, 0.99)
         ),
+        "winsorized_events": """
+            WITH b AS (
+              SELECT quantile_disc(value, 0.01) AS lo,
+                     quantile_disc(value, 0.99) AS hi FROM events
+            )
+            SELECT event_id,
+                   least(greatest(CAST(value AS DOUBLE), b.lo), b.hi)
+                     AS value_w
+              FROM events CROSS JOIN b
+        """,
         "retention_matrix": """
             WITH f AS (
               SELECT user_id,

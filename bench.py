@@ -162,6 +162,7 @@ def run_bench() -> dict:
     timed("resampled_counts", lambda: q.resampled_event_counts(SF_DIR))
     timed("entropy_events", lambda: q.entropy_events(SF_DIR))
     timed("grouped_kll", lambda: q.grouped_kll_chars(SF_DIR).to_pandas())
+    timed("winsorized_events", lambda: q.winsorized_events(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -2039,6 +2039,30 @@ def exact_quantiles_events_value(sf_dir: str):
     return exact_quantile_continuous(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def winsorized_events(sf_dir: str):
+    """Winsorize value at exact [p01, p99]: the clip bounds come from
+    KLL-guided exact selection (actual data values, so both engines
+    clip at the identical doubles — no rounding needed), then one
+    broadcast-scalar vectorized clip pass."""
+    from peri_ray.stages.stats import exact_quantile_continuous
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    qt = exact_quantile_continuous(ds, "value", qs=(0.01, 0.99))
+    vals = {round(q, 4): v for q, v in zip(qt.column("q").to_pylist(),
+                                           qt.column("value").to_pylist())}
+    lo, hi = vals[0.01], vals[0.99]
+
+    def _clip(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().cast(pa.float64())
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value_w": pc.min_element_wise(
+                pc.max_element_wise(v, lo), hi),
+        })
+
+    return ds.map_batches(_clip, batch_format="pyarrow")
+
+
 def mad_outliers_events(sf_dir: str):
     """Median-absolute-deviation outliers on events.value — robust
     where mean/std are dragged by the very outliers under test."""
