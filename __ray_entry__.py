@@ -1123,8 +1123,9 @@ def oracle_sql() -> dict[str, str]:
                      quantile_disc(value, 0.99) AS hi FROM events
             )
             SELECT event_id,
-                   least(greatest(CAST(value AS DOUBLE), b.lo), b.hi)
-                     AS value_w
+                   CASE WHEN value IS NULL THEN NULL
+                        ELSE least(greatest(CAST(value AS DOUBLE), b.lo),
+                                   b.hi) END AS value_w
               FROM events CROSS JOIN b
         """,
         "retention_matrix": """
@@ -1364,8 +1365,10 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY CUBE(o_orderstatus, yr)
         """,
         "clicked_and_viewed": """
-            SELECT user_id FROM events WHERE event_type = 'click'
+            SELECT user_id FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL
             INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'view'
+            SELECT user_id FROM events
+             WHERE event_type = 'view' AND user_id IS NOT NULL
         """,
     }

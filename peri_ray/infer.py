@@ -71,8 +71,9 @@ class _ProfilePartial:
         nulls = col.null_count
         distinct = None
         vmin = vmax = None
+        imin = imax = None
         if pa.types.is_struct(dt):
-            rows.append((path, n, nulls, None, None, None))
+            rows.append((path, n, nulls, None, None, None, None, None))
             for i, f in enumerate(dt):
                 child = col.field(i)
                 if nulls:
@@ -89,9 +90,17 @@ class _ProfilePartial:
                 distinct = sorted(uniq.slice(0, self.cap).to_pylist())
         elif (pa.types.is_integer(dt) or pa.types.is_floating(dt)) and n > nulls:
             mm = pc.min_max(col)
-            vmin = float(mm["min"].as_py())
-            vmax = float(mm["max"].as_py())
-        rows.append((path, n, nulls, distinct, vmin, vmax))
+            if pa.types.is_integer(dt):
+                # keep integer bounds exact: a float64 round trip loses
+                # precision past 2^53 and the inferred range could then
+                # reject the very value it was profiled from
+                imin = int(mm["min"].as_py())
+                imax = int(mm["max"].as_py())
+                vmin, vmax = float(imin), float(imax)
+            else:
+                vmin = float(mm["min"].as_py())
+                vmax = float(mm["max"].as_py())
+        rows.append((path, n, nulls, distinct, vmin, vmax, imin, imax))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows: list = []
@@ -105,6 +114,8 @@ class _ProfilePartial:
                                  pa.list_(pa.string())),
             "vmin": pa.array([r[4] for r in rows], pa.float64()),
             "vmax": pa.array([r[5] for r in rows], pa.float64()),
+            "imin": pa.array([r[6] for r in rows], pa.int64()),
+            "imax": pa.array([r[7] for r in rows], pa.int64()),
         })
 
 
@@ -119,7 +130,7 @@ def profile_columns(ds, enum_threshold: int = 16,
     for r in parts.take_all():
         m = merged.setdefault(r["path"], {
             "n": 0, "nulls": 0, "distinct": set(), "over": False,
-            "vmin": None, "vmax": None})
+            "vmin": None, "vmax": None, "imin": None, "imax": None})
         m["n"] += r["n"]
         m["nulls"] += r["nulls"]
         d = r["distinct"]
@@ -130,6 +141,9 @@ def profile_columns(ds, enum_threshold: int = 16,
         if r["vmin"] is not None:
             m["vmin"] = r["vmin"] if m["vmin"] is None else min(m["vmin"], r["vmin"])
             m["vmax"] = r["vmax"] if m["vmax"] is None else max(m["vmax"], r["vmax"])
+        if r["imin"] is not None:
+            m["imin"] = r["imin"] if m["imin"] is None else min(m["imin"], r["imin"])
+            m["imax"] = r["imax"] if m["imax"] is None else max(m["imax"], r["imax"])
     out: dict[str, dict] = {}
     for path, m in merged.items():
         out[path] = {
@@ -137,6 +151,7 @@ def profile_columns(ds, enum_threshold: int = 16,
             "distinct": (sorted(m["distinct"])
                          if m["distinct"] and not m["over"] else None),
             "vmin": m["vmin"], "vmax": m["vmax"],
+            "imin": m["imin"], "imax": m["imax"],
         }
     return out
 
@@ -162,11 +177,10 @@ def infer_spec(ds, enum_threshold: int = 16, with_ranges: bool = False,
         p = prof.get(path, {})
         if base == "string" and p.get("distinct"):
             return ("enum", p["distinct"])
-        if with_ranges and p.get("vmin") is not None and base in ("integer", "float"):
-            lo, hi = p["vmin"], p["vmax"]
-            if base == "integer":
-                lo, hi = int(lo), int(hi)
-            return (base, ("range", (lo, hi)))
+        if with_ranges and base == "integer" and p.get("imin") is not None:
+            return (base, ("range", (p["imin"], p["imax"])))
+        if with_ranges and base == "float" and p.get("vmin") is not None:
+            return (base, ("range", (p["vmin"], p["vmax"])))
         return base
 
     def _field(dt: pa.DataType, path: str) -> Any:

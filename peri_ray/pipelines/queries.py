@@ -1351,20 +1351,26 @@ def daily_event_shares(sf_dir: str):
              .group_by(["day", "event_type"]).aggregate([([], "count_all")]))
         return g.rename_columns(["day", "event_type", "cnt"])
 
-    merged = (pa.Table.from_pylist(
-        ds.map_batches(_p, batch_format="pyarrow").take_all(),
-        schema=pa.schema([("day", pa.date32()), ("event_type", pa.string()),
-                          ("cnt", pa.int64())]))
-        .group_by(["day", "event_type"]).aggregate([("cnt", "sum")])
-        .rename_columns(["day", "event_type", "cnt"]))
-    day_tot = (merged.group_by("day").aggregate([("cnt", "sum")])
-               .rename_columns(["day", "tot"]))
-    j = merged.join(day_tot, keys="day")
-    share = pc.round(pc.divide(pc.cast(j.column("cnt"), pa.float64()),
-                               pc.cast(j.column("tot"), pa.float64())),
-                     ndigits=6, round_mode="half_towards_infinity")
-    return pa.table({"day": j.column("day"), "event_type": j.column("event_type"),
-                     "cnt": j.column("cnt"), "share": share})
+    from collections import defaultdict
+
+    cells: dict = defaultdict(int)
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        cells[(r["day"], r["event_type"])] += r["cnt"]
+    # null-safe day totals: an Arrow join on 'day' would NOT match the
+    # null-day partition, while SQL's PARTITION BY day does
+    day_tot: dict = defaultdict(int)
+    for (day, _), n in cells.items():
+        day_tot[day] += n
+    days, types, cnts, shares = [], [], [], []
+    for (day, et), n in sorted(cells.items(), key=str):
+        days.append(day)
+        types.append(et)
+        cnts.append(n)
+        shares.append(float(np.floor(n / day_tot[day] * 1e6 + 0.5) / 1e6))
+    return pa.table({"day": pa.array(days, pa.date32()),
+                     "event_type": pa.array(types, pa.string()),
+                     "cnt": pa.array(cnts, pa.int64()),
+                     "share": pa.array(shares, pa.float64())})
 
 
 def _recrawl_batch(t: pa.Table) -> pa.Table:
@@ -1676,16 +1682,21 @@ def cube_orders(sf_dir: str):
 
 
 def clicked_and_viewed(sf_dir: str):
-    """Set intersection (INTERSECT shape): users who clicked AND
-    viewed — two distinct-user aggregations through the
-    hash-partitioned semi join."""
+    """Set intersection (INTERSECT shape) over NON-NULL keys: users
+    who clicked AND viewed, via two distinct-user aggregations through
+    the hash-partitioned semi join.  SQL INTERSECT would additionally
+    match NULL with NULL; equi-join key semantics don't, so the
+    contract (and the SQL twin) exclude null keys explicitly."""
     from peri_ray.stages.joins import hash_join
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def _typed(want: str):
         def _f(t: pa.Table) -> pa.Table:
-            keep = pc.equal(t.column("event_type").combine_chunks(), want)
+            uid = t.column("user_id").combine_chunks()
+            keep = pc.and_(
+                pc.equal(t.column("event_type").combine_chunks(), want),
+                pc.is_valid(uid))
             return (t.filter(keep).select(["user_id"])
                     .group_by("user_id").aggregate([]))
         return _f
@@ -2054,10 +2065,14 @@ def winsorized_events(sf_dir: str):
 
     def _clip(t: pa.Table) -> pa.Table:
         v = t.column("value").combine_chunks().cast(pa.float64())
+        # skip_nulls=False: a null value stays null — the default would
+        # fabricate p01 for missing data (and DuckDB least/greatest
+        # skip nulls the same wrong way, so the twin needs the CASE)
         return pa.table({
             "event_id": t.column("event_id"),
             "value_w": pc.min_element_wise(
-                pc.max_element_wise(v, lo), hi),
+                pc.max_element_wise(v, lo, skip_nulls=False), hi,
+                skip_nulls=False),
         })
 
     return ds.map_batches(_clip, batch_format="pyarrow")

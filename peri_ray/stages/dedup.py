@@ -471,7 +471,12 @@ def boilerplate_line_victims(ds, min_df: int, text_col: str = "text",
         return pa.table({id_col: pa.array([], pa.int64()),
                          "idx": pa.array([], pa.int64())})
 
-    return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets)
+    # min_df <= 1 means even single-occurrence lines are victims, so
+    # singleton runs must be evaluated (the default min_run=2 would
+    # silently keep them); for min_df >= 2 singletons can never reach
+    # the threshold and the skip is a pure win
+    return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets,
+                                 min_run=1 if min_df <= 1 else 2)
 
 
 def remove_boilerplate_lines(ds, min_df: int, text_col: str = "text",

@@ -242,6 +242,9 @@ def join_auto(fact, dim, fact_key: str, dim_key: str,
     streams the fact side and cannot emit unmatched dim rows).  The two paths
     emit the same columns but may order them differently — select
     downstream if order matters."""
+    # count() and the chosen join are two consumers of the dim lineage:
+    # materialize once or any derived dim pipeline executes twice
+    dim = dim.materialize()
     n_dim = dim.count()
     if how not in ("full", "right") and n_dim <= broadcast_max_rows:
         return broadcast_join(fact, dim, fact_key, dim_key, dim_cols,

@@ -420,8 +420,11 @@ class _BlockPairJoin:
             xj, idb = self._block(j)
             s = np.round(xi @ xj.T, self.round_to)
             if i == j:
-                # upper triangle only: each unordered pair once
-                s = np.triu(s, k=1)
+                # upper triangle only: each unordered pair once.  Mask
+                # with -inf, not np.triu's zero-fill — a threshold <= 0
+                # would otherwise emit self-pairs and fabricated
+                # zero-cos duplicates
+                s[np.tril_indices(s.shape[0], k=0, m=s.shape[1])] = -np.inf
             r, c = np.nonzero(s >= self.threshold)
             if len(r) == 0:
                 continue

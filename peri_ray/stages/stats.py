@@ -392,7 +392,13 @@ def grouped_kll_quantiles(ds, key: str, col: str,
         enc = kcol.dictionary_encode()
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null keys form their own group: null dictionary indices come
+        # back as NaN from to_numpy — map them to -1, not INT64_MIN
+        raw = enc.indices.to_numpy(zero_copy_only=False)
+        if raw.dtype.kind == "f":
+            idx = np.where(np.isnan(raw), -1, raw).astype(np.int64)
+        else:
+            idx = raw.astype(np.int64)
         keys_out, blobs = [], []
         from peri_ray.state.sketches import KLL
 
@@ -404,9 +410,10 @@ def grouped_kll_quantiles(ds, key: str, col: str,
                 continue
             sk = KLL(k=k)
             sk.update_many(xa[run])
-            keys_out.append(enc.dictionary[int(idx[run[0]])].as_py())
+            di = int(idx[run[0]])
+            keys_out.append(None if di < 0 else enc.dictionary[di].as_py())
             blobs.append(pickle.dumps(sk))
-        return pa.table({key: pa.array(keys_out),
+        return pa.table({key: pa.array(keys_out, type=enc.dictionary.type),
                          "sk": pa.array(blobs, pa.binary())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow",

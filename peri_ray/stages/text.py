@@ -658,17 +658,17 @@ def pack_sequence_manifest(ds, seq_len: int, n_buckets: int = 64,
     def _pack(run: pa.Table) -> pa.Table:
         ids = run.column(id_col).to_numpy(zero_copy_only=False)
         n = run.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = int(run.column("b")[0].as_py())
         order = np.argsort(ids, kind="stable")
         n = n[order]
         ends = np.cumsum(n)
         starts = ends - n
         total = int(ends[-1]) if len(ends) else 0
-        if total == 0:
+        if total == 0:  # empty schema-carrying run (also guards [0])
             return pa.table({"b": pa.array([], pa.int64()),
                              "seq_idx": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64()),
                              "n_docs": pa.array([], pa.int64())})
+        b = int(run.column("b")[0].as_py())
         n_seq = -(-total // seq_len)
         seq_tok = np.full(n_seq, seq_len, np.int64)
         seq_tok[-1] = total - (n_seq - 1) * seq_len
@@ -684,7 +684,9 @@ def pack_sequence_manifest(ds, seq_len: int, n_buckets: int = 64,
             "n_docs": pa.array(n_docs.astype(np.int64)),
         })
 
-    return per_group_via_buckets(counts, ["b"], _pack)
+    # min_run=1: a bucket holding a single document still packs (the
+    # default run skip is for pair-generating fns)
+    return per_group_via_buckets(counts, ["b"], _pack, min_run=1)
 
 
 def _ranges(sizes: np.ndarray) -> np.ndarray:
@@ -854,8 +856,11 @@ def bigram_nll_scores(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids[doc[li]], pa.int64()),
                          "bg": bg})
 
+    # two consumers (model build + scoring join): materialize so the
+    # tokenize/explode pass runs once — pairs spill to the object
+    # store rather than re-reading and re-splitting every document
     pairs = ds.map_batches(_pairs, batch_format="pyarrow",
-                           batch_size=batch_size)
+                           batch_size=batch_size).materialize()
 
     def _vc(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t.column("bg").combine_chunks())

@@ -1240,7 +1240,10 @@ class TestCosineSimilarityJoin:
                         "embedding": pa.array(list(m.astype(np.float32)),
                                               pa.list_(pa.float32()))})
         ds = rd.from_arrow(tbl)
-        for threshold, block_rows in [(0.5, 16), (0.9, 7), (0.2, 200)]:
+        # threshold 0.0 included: review regression — np.triu zero-fill
+        # used to emit self-pairs and fabricated zero-cos duplicates
+        for threshold, block_rows in [(0.5, 16), (0.9, 7), (0.2, 200),
+                                      (0.0, 33)]:
             got = {(r["id_a"], r["id_b"])
                    for r in cosine_similarity_join(
                        ds, threshold, block_rows=block_rows).take_all()}
@@ -3065,6 +3068,20 @@ class TestGroupedKLL:
             assert abs(out[k]["q_0_9"] - np.quantile(sub, 0.9)) < 0.3 * sd
 
 
+    def test_null_group_key(self, ray_session):
+        # review regression: null dictionary indices became INT64_MIN
+        import ray.data as rd
+
+        from peri_ray.stages.stats import grouped_kll_quantiles
+
+        tbl = pa.table({"k": ["a", None, "a", None, "b"] * 20,
+                        "v": pa.array([float(i) for i in range(100)])})
+        out = {r["k"]: r["n"] for r in grouped_kll_quantiles(
+            rd.from_arrow(tbl).repartition(3), "k", "v",
+            qs=(0.5,)).take_all()}
+        assert out == {"a": 40, None: 40, "b": 20}
+
+
 class TestGroupedVariance:
     def test_vs_numpy(self, ray_session):
         import ray.data as rd
@@ -3140,6 +3157,21 @@ class TestBigramNLL:
 
 
 class TestPackingManifest:
+    def test_singleton_buckets(self, ray_session):
+        # review regression: one doc per bucket used to be dropped
+        # (min_run=2) and all-singleton shuffle groups crashed _pack
+        import ray.data as rd
+
+        from peri_ray.stages.text import pack_sequence_manifest
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["a b c", "d e", "f", "g h i j"]}))
+        got = {(r["b"], r["seq_idx"]): (r["n_tokens"], r["n_docs"])
+               for r in pack_sequence_manifest(ds, 2, n_buckets=4).take_all()}
+        assert got == {(0, 0): (2, 1), (0, 1): (1, 1), (1, 0): (2, 1),
+                       (2, 0): (1, 1), (3, 0): (2, 1), (3, 1): (2, 1)}
+
     def test_all_null_texts(self, ray_session):
         import ray.data as rd
 
@@ -3258,6 +3290,19 @@ class TestBoilerplateRemoval:
         # footer df=4 (docs 1,2,3,5) → removed everywhere; nav df=2 stays
         assert out == {1: "content one\nnav", 2: "content two\nnav",
                        3: "content three", 4: None, 5: "", 6: ""}
+
+    def test_min_df_one_removes_everything(self, ray_session):
+        # review regression: singleton lines skipped the victim fn
+        import ray.data as rd
+
+        from peri_ray.stages.dedup import remove_boilerplate_lines
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["only once\nshared", "shared"]}))
+        out = {r["doc_id"]: r["text"]
+               for r in remove_boilerplate_lines(ds, min_df=1).take_all()}
+        assert out == {1: "", 2: ""}
 
     def test_fuzz_vs_brute_force(self, ray_session):
         import random
