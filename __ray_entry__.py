@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile_events": q.column_profile_events,
         "contamination_report": q.contamination_report,
         "mixed_sample_documents": q.mixed_sample_documents,
+        "hash_split_documents": q.hash_split_documents,
+        "moving_window_events": q.moving_window_events,
         "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
@@ -601,6 +603,33 @@ def oracle_sql() -> dict[str, str]:
              WHERE (doc_id % 1000003) * 2654435761 % 1000000 <
                    CAST(floor(((CAST(substring(source, 4) AS BIGINT) % 4) + 1)
                               / 8.0 * 1000000) AS BIGINT)
+        """,
+        "moving_window_events": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS win_sum_micro,
+                   count(*) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS win_n
+              FROM events
+             WHERE value IS NOT NULL AND ts IS NOT NULL
+               AND user_id IS NOT NULL
+        """,
+        "hash_split_documents": """
+            WITH b AS (
+              SELECT CASE WHEN hb < 80 THEN 'train'
+                          WHEN hb < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                     n_chars
+                FROM (SELECT ((doc_id % 1000003) * 2654435761 % 1000000) % 100
+                             AS hb, n_chars FROM documents)
+            )
+            SELECT split, count(*) AS n_rows,
+                   CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_val
+              FROM b GROUP BY split
         """,
         "contamination_report": """
             WITH toks AS (

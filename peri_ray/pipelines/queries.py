@@ -1584,6 +1584,27 @@ def mixed_sample_documents(sf_dir: str):
     return hash_weighted_sample(ds, rates, key_col="source", id_col="doc_id")
 
 
+def moving_window_events(sf_dir: str):
+    """Per-user 3-row moving sum of event value in (ts, event_id)
+    order — the bounded-frame window family; integer micro-units so
+    every intermediate hash-matches SQL (temporal.moving_window_sums)."""
+    from peri_ray.stages.temporal import moving_window_sums
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return moving_window_sums(ds, window=3)
+
+
+def hash_split_documents(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test partition of the corpus
+    by integer Knuth hash of doc_id — disjoint, exhaustive,
+    reproducible across block layouts; summary is all-integer so the
+    SQL twin hash-matches (see stats.hash_split_summary)."""
+    from peri_ray.stages.stats import hash_split_summary
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return hash_split_summary(ds, id_col="doc_id", val_col="n_chars")
+
+
 def corr_lineitem(sf_dir: str):
     """Per-returnflag Pearson correlation of quantity vs extendedprice
     (algebraic combiners, driver merge — no shuffle)."""

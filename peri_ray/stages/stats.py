@@ -303,6 +303,57 @@ def hash_weighted_sample(ds, rates: dict, key_col: str, id_col: str,
     return ds.map_batches(_b, batch_format="pyarrow", batch_size=batch_size)
 
 
+_SPLIT_NAMES = ("train", "val", "test")
+
+
+def hash_split_summary(ds, id_col: str, val_col: str | None = None,
+                       bounds: tuple[int, int] = (80, 90),
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Deterministic train/val/test PARTITION of a corpus: each row
+    lands in exactly one split by the same integer Knuth hash as
+    :func:`hash_weighted_sample` (``(id % 1000003) * 2654435761 %
+    1000000 % 100`` compared to the two percentile ``bounds``) —
+    reproducible across runs, block layouts and cluster sizes, and
+    disjoint + exhaustive by construction (the mixing sampler is
+    keep-rate per group; this is the partition variant every training
+    run needs before it touches the data).  One streaming pass of
+    per-batch (split, n, sum) partials; driver merge bounded by
+    3 × blocks; all-integer so the SQL twin hash-matches exactly.
+    Returns (split, n_rows, sum_val) for non-empty splits only."""
+    lo, hi = bounds
+
+    def _part(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        b = (ids % _HWS_PRIME) * _HWS_MULT % _HWS_MOD % 100
+        split = np.where(b < lo, 0, np.where(b < hi, 1, 2))
+        n = np.bincount(split, minlength=3).astype(np.int64)
+        if val_col is not None:
+            vals = (pc.fill_null(t.column(val_col).combine_chunks()
+                                 .cast(pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            s = np.array([int(vals[split == i].sum()) for i in range(3)],
+                         np.int64)
+        else:
+            s = n
+        return pa.table({"split_id": pa.array([0, 1, 2], pa.int64()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    n_acc = np.zeros(3, np.int64)
+    s_acc = np.zeros(3, np.int64)
+    for r in partials.iter_rows():
+        n_acc[r["split_id"]] += r["n"]
+        s_acc[r["split_id"]] += r["s"]
+    keep = [i for i in range(3) if n_acc[i] > 0]
+    return pa.table({
+        "split": pa.array([_SPLIT_NAMES[i] for i in keep], pa.string()),
+        "n_rows": pa.array([int(n_acc[i]) for i in keep], pa.int64()),
+        "sum_val": pa.array([int(s_acc[i]) for i in keep], pa.int64()),
+    })
+
+
 def temperature_rates(counts: dict, alpha: float = 0.7,
                       target_total: int | None = None) -> dict:
     """Temperature-smoothed mixing rates: sampling probability per

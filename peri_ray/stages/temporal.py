@@ -644,6 +644,71 @@ def running_totals(ds, user_col: str = "user_id", ts_col: str = "ts",
         [user_col], _cum)
 
 
+def moving_window_sums(ds, window: int = 3, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value"):
+    """Per-key moving-window aggregate in event-time order — the
+    bounded-frame window family (``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW``), complementing :func:`running_totals` (unbounded
+    frame) and interarrival (lag).  One row per input row:
+    (id, user, win_sum_micro, win_n).
+
+    Same exactness contract as running_totals: values fix-point to
+    BIGINT micro-units BEFORE accumulation (float window sums are
+    association-order dependent), order is (ts, id) so equal
+    timestamps cannot flip the frame, and rows with null user/ts/value
+    are excluded on both sides.  The frame sum is two cumsum lookups
+    (run[i] - run[i-window]) with per-user rebasing — O(n) per bucket
+    regardless of window size.
+
+    Shape: one ``groupby(user)`` bucketed exchange (fixed fan-out at
+    any user cardinality); per bucket one lexsort + one cumsum."""
+    w = int(window)
+
+    def _win(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.and_(pc.is_valid(group.column(value_col)),
+                    pc.is_valid(group.column(ts_col))),
+            pc.is_valid(group.column(user_col))))
+        u = g.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = g.column(value_col).combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                            ("win_sum_micro", pa.int64()),
+                            ("win_n", pa.int64())])
+        if len(u) == 0:
+            return schema.empty_table()
+        s = v * 1e6
+        micro = np.where(s >= 0, np.floor(s + 0.5),
+                         np.ceil(s - 0.5)).astype(np.int64)
+        order = np.lexsort((ids, ts, u))
+        u, ids, micro = u[order], ids[order], micro[order]
+        run = np.cumsum(micro)
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg_lens = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, seg_lens)
+        pos = np.arange(n) - seg_start
+        base = np.where(starts > 0, run[starts - 1], 0)
+        run_rel = run - np.repeat(base, seg_lens)
+        prev = np.where(pos >= w, run_rel[np.maximum(np.arange(n) - w, 0)], 0)
+        return pa.table({id_col: pa.array(ids), user_col: pa.array(u),
+                         "win_sum_micro": pa.array(run_rel - prev),
+                         "win_n": pa.array(np.minimum(pos + 1, w)
+                                           .astype(np.int64))})
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col, id_col, value_col]),
+        [user_col], _win)
+
+
 # ---------------------------------------------------------------------------
 # cumulative distinct users (growth accounting)
 # ---------------------------------------------------------------------------

@@ -3466,3 +3466,79 @@ class TestGroupedCorr:
                       "y": [2.0, 4.0, 9.0, None]})
         out = grouped_corr(rd.from_arrow(t), "k", "x", "y").to_pylist()
         assert out == [{"k": "g", "n": 2, "corr": 1.0}]
+
+
+class TestHashSplit:
+    def test_partition_is_exhaustive_and_layout_stable(self):
+        from peri_ray.stages.stats import hash_split_summary
+
+        t = pa.table({
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "n_chars": pa.array([i % 7 for i in range(2000)], pa.int64()),
+        })
+        a = hash_split_summary(rd.from_arrow(t).repartition(7),
+                               "doc_id", "n_chars")
+        b = hash_split_summary(rd.from_arrow(t).repartition(2),
+                               "doc_id", "n_chars")
+        assert a.to_pylist() == b.to_pylist()
+        rows = {r["split"]: r for r in a.to_pylist()}
+        assert sum(r["n_rows"] for r in rows.values()) == 2000
+        assert sum(r["sum_val"] for r in rows.values()) == \
+            sum(i % 7 for i in range(2000))
+        # ~80/10/10 with integer-hash jitter
+        assert rows["train"]["n_rows"] > rows["val"]["n_rows"]
+        assert rows["train"]["n_rows"] > rows["test"]["n_rows"]
+
+    def test_nulls_count_as_zero_and_rows_still_counted(self):
+        from peri_ray.stages.stats import hash_split_summary
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "n_chars": pa.array([10, None, 5], pa.int64())})
+        out = hash_split_summary(rd.from_arrow(t), "doc_id", "n_chars")
+        rows = out.to_pylist()
+        assert sum(r["n_rows"] for r in rows) == 3
+        assert sum(r["sum_val"] for r in rows) == 15
+
+
+class TestMovingWindow:
+    def test_matches_brute_force(self):
+        from peri_ray.stages.temporal import moving_window_sums
+
+        rng = np.random.default_rng(7)
+        n = 400
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, n), pa.timestamp("us")),
+            "value": pa.array(rng.normal(0, 5, n)),
+        })
+        out = {r["event_id"]: (r["win_sum_micro"], r["win_n"])
+               for r in moving_window_sums(
+                   rd.from_arrow(t).repartition(5), window=3).take_all()}
+        # brute force per user
+        rows = sorted(zip(t.column("user_id").to_pylist(),
+                          t.column("ts").to_pylist(),
+                          t.column("event_id").to_pylist(),
+                          t.column("value").to_pylist()))
+        import collections
+        hist: dict = collections.defaultdict(list)
+        for u, ts, i, v in rows:
+            micro = int(np.floor(v * 1e6 + 0.5)) if v >= 0 \
+                else int(np.ceil(v * 1e6 - 0.5))
+            hist[u].append((i, micro))
+            frame = hist[u][-3:]
+            assert out[i] == (sum(m for _, m in frame), len(frame))
+        assert len(out) == n
+
+    def test_nulls_excluded_and_window_one(self):
+        from peri_ray.stages.temporal import moving_window_sums
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, None, 1, 1], pa.int64()),
+            "ts": pa.array([10, 20, None, 40], pa.timestamp("us")),
+            "value": pa.array([1.5, 2.0, 3.0, None]),
+        })
+        out = moving_window_sums(rd.from_arrow(t), window=1).take_all()
+        assert [(r["event_id"], r["win_sum_micro"], r["win_n"])
+                for r in out] == [(1, 1500000, 1)]
