@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixed_sample_documents": q.mixed_sample_documents,
         "hash_split_documents": q.hash_split_documents,
         "moving_window_events": q.moving_window_events,
+        "minmax_normalized_events": q.minmax_normalized_events,
         "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
@@ -603,6 +604,15 @@ def oracle_sql() -> dict[str, str]:
              WHERE (doc_id % 1000003) * 2654435761 % 1000000 <
                    CAST(floor(((CAST(substring(source, 4) AS BIGINT) % 4) + 1)
                               / 8.0 * 1000000) AS BIGINT)
+        """,
+        "minmax_normalized_events": """
+            SELECT event_id,
+                   CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                        END AS norm_value
+              FROM (SELECT event_id, value,
+                           min(value) OVER (PARTITION BY event_type) AS mn,
+                           max(value) OVER (PARTITION BY event_type) AS mx
+                      FROM events)
         """,
         "moving_window_events": """
             SELECT event_id, user_id,

@@ -1594,6 +1594,18 @@ def moving_window_events(sf_dir: str):
     return moving_window_sums(ds, window=3)
 
 
+def minmax_normalized_events(sf_dir: str):
+    """Per-event-type min-max scaled value — two-pass broadcast
+    normalization, no shuffle (stats.minmax_normalize); raw doubles
+    hash-match because both engines evaluate the identical
+    (v - min) / (max - min) expression."""
+    from peri_ray.stages.stats import minmax_normalize
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return minmax_normalize(ds, key_col="event_type", value_col="value",
+                            id_col="event_id")
+
+
 def hash_split_documents(sf_dir: str):
     """Deterministic 80/10/10 train/val/test partition of the corpus
     by integer Knuth hash of doc_id — disjoint, exhaustive,

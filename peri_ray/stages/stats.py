@@ -354,6 +354,63 @@ def hash_split_summary(ds, id_col: str, val_col: str | None = None,
     })
 
 
+def minmax_normalize(ds, key_col: str, value_col: str, id_col: str,
+                     batch_size: int | None = 65536):
+    """Per-group min-max feature scaling — the classic two-pass
+    distributed normalization: (1) per-batch (key, min, max) partials
+    merge on the driver (bounded by groups × blocks, the same
+    partials-beat-shuffle trade as :func:`grouped_stats`); (2) the
+    tiny per-group bounds broadcast into a vectorized second pass.
+    The input streams twice; nothing shuffles.
+
+    ``norm = (value - min) / (max - min)`` evaluated as the identical
+    IEEE double expression the SQL window twin computes, so raw
+    outputs hash-match; null when value is null or the group is
+    constant (span 0).  A null group key is its own group, matching
+    SQL PARTITION BY null semantics.  Returns (id_col, norm_value)."""
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        g = (t.select([key_col, value_col]).group_by([key_col])
+             .aggregate([(value_col, "min"), (value_col, "max")]))
+        return g.rename_columns([key_col, "mn", "mx"])
+
+    partials = ds.map_batches(_bounds, batch_format="pyarrow",
+                              batch_size=batch_size)
+    bounds: dict = {}
+    for r in partials.iter_rows():
+        if r["mn"] is None:
+            continue
+        cur = bounds.get(r[key_col])
+        if cur is None:
+            bounds[r[key_col]] = [r["mn"], r["mx"]]
+        else:
+            cur[0] = min(cur[0], r["mn"])
+            cur[1] = max(cur[1], r["mx"])
+
+    def _apply(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).combine_chunks()
+        v = (t.column(value_col).combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        valid = pc.is_valid(t.column(value_col).combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(bool)
+        out = np.full(t.num_rows, np.nan)
+        for k, (mn, mx) in bounds.items():
+            if mx <= mn:
+                continue  # constant group -> null, like the SQL CASE
+            m = (pc.is_null(keys).to_numpy(zero_copy_only=False).astype(bool)
+                 if k is None else
+                 pc.fill_null(pc.equal(keys, k), False).to_numpy(
+                     zero_copy_only=False).astype(bool))
+            m &= valid
+            out[m] = (v[m] - mn) / (mx - mn)
+        return pa.table({id_col: t.column(id_col),
+                         "norm_value": pa.array(out, pa.float64(),
+                                                from_pandas=True)})
+
+    return ds.map_batches(_apply, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def temperature_rates(counts: dict, alpha: float = 0.7,
                       target_total: int | None = None) -> dict:
     """Temperature-smoothed mixing rates: sampling probability per

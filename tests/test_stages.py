@@ -3542,3 +3542,22 @@ class TestMovingWindow:
         out = moving_window_sums(rd.from_arrow(t), window=1).take_all()
         assert [(r["event_id"], r["win_sum_micro"], r["win_n"])
                 for r in out] == [(1, 1500000, 1)]
+
+
+class TestMinMaxNormalize:
+    def test_matches_brute_force_with_nulls_and_constant_group(self):
+        from peri_ray.stages.stats import minmax_normalize
+
+        t = pa.table({
+            "id": pa.array(range(8), pa.int64()),
+            "k": pa.array(["a", "a", "a", "b", "b", "c", None, None]),
+            "v": pa.array([1.0, 3.0, None, 5.0, 5.0, 2.0, 0.0, 4.0]),
+        })
+        out = {r["id"]: r["norm_value"]
+               for r in minmax_normalize(rd.from_arrow(t).repartition(3),
+                                         "k", "v", "id").take_all()}
+        assert out[0] == 0.0 and out[1] == 1.0
+        assert out[2] is None          # null value
+        assert out[3] is None and out[4] is None  # constant group
+        assert out[5] is None          # singleton group (span 0)
+        assert out[6] == 0.0 and out[7] == 1.0    # null key is a group
