@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": q.hash_split_documents,
         "moving_window_events": q.moving_window_events,
         "minmax_normalized_events": q.minmax_normalized_events,
+        "source_gini_documents": q.source_gini_documents,
         "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
@@ -604,6 +605,22 @@ def oracle_sql() -> dict[str, str]:
              WHERE (doc_id % 1000003) * 2654435761 % 1000000 <
                    CAST(floor(((CAST(substring(source, 4) AS BIGINT) % 4) + 1)
                               / 8.0 * 1000000) AS BIGINT)
+        """,
+        "source_gini_documents": """
+            WITH c AS (
+              SELECT source, count(*) AS cnt FROM documents
+               WHERE source IS NOT NULL GROUP BY source
+            ),
+            r AS (
+              SELECT cnt,
+                     row_number() OVER (ORDER BY cnt, source) AS i
+                FROM c
+            )
+            SELECT CAST(2 * sum(i * cnt) - (count(*) + 1) * sum(cnt)
+                        AS DOUBLE)
+                   / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
+                   count(*) AS n_groups
+              FROM r
         """,
         "minmax_normalized_events": """
             SELECT event_id,

@@ -1606,6 +1606,16 @@ def minmax_normalized_events(sf_dir: str):
                             id_col="event_id")
 
 
+def source_gini_documents(sf_dir: str):
+    """Gini coefficient of docs-per-source — corpus concentration
+    monitoring (stats.gini_concentration); integer arithmetic until one
+    final division so the double hash-matches SQL."""
+    from peri_ray.stages.stats import gini_concentration
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return gini_concentration(ds, "source")
+
+
 def hash_split_documents(sf_dir: str):
     """Deterministic 80/10/10 train/val/test partition of the corpus
     by integer Knuth hash of doc_id — disjoint, exhaustive,

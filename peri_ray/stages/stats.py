@@ -411,6 +411,33 @@ def minmax_normalize(ds, key_col: str, value_col: str, id_col: str,
                           batch_size=batch_size)
 
 
+def gini_concentration(ds, key_col: str,
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Gini coefficient of the per-group row-count distribution — the
+    standard skew/concentration score for "is one source dominating
+    the corpus?" monitoring (0 = uniform, →1 = one group holds all
+    rows).  Counts come from the two-phase categorical histogram
+    (per-batch partials, tiny merge); the coefficient is pure driver
+    arithmetic over the small per-group dict:
+    ``(2·Σ i·c_i − (n+1)·Σc) / (n·Σc)`` with counts ascending, ties
+    broken by key so both engines rank identically.  All-integer until
+    the single final division, so the SQL twin lands on the same
+    double.  Returns one row (gini, n_groups)."""
+    from peri_ray.stages.checks import histogram
+
+    counts = histogram(ds, key_col, batch_size=batch_size)
+    items = sorted(counts.items(), key=lambda kv: (kv[1], str(kv[0])))
+    n = len(items)
+    tot = sum(c for _, c in items)
+    if n == 0 or tot == 0:
+        gini = None
+    else:
+        s_ic = sum((i + 1) * c for i, (_, c) in enumerate(items))
+        gini = (2 * s_ic - (n + 1) * tot) / (n * tot)
+    return pa.table({"gini": pa.array([gini], pa.float64()),
+                     "n_groups": pa.array([n], pa.int64())})
+
+
 def temperature_rates(counts: dict, alpha: float = 0.7,
                       target_total: int | None = None) -> dict:
     """Temperature-smoothed mixing rates: sampling probability per

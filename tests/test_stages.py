@@ -3561,3 +3561,26 @@ class TestMinMaxNormalize:
         assert out[3] is None and out[4] is None  # constant group
         assert out[5] is None          # singleton group (span 0)
         assert out[6] == 0.0 and out[7] == 1.0    # null key is a group
+
+
+class TestGini:
+    def test_uniform_and_concentrated(self):
+        from peri_ray.stages.stats import gini_concentration
+
+        uniform = pa.table({"k": ["a"] * 10 + ["b"] * 10 + ["c"] * 10})
+        g = gini_concentration(rd.from_arrow(uniform), "k").to_pylist()[0]
+        assert g == {"gini": 0.0, "n_groups": 3}
+
+        skew = pa.table({"k": ["a"] * 98 + ["b", "c"]})
+        g2 = gini_concentration(rd.from_arrow(skew), "k").to_pylist()[0]
+        # brute force: counts [1, 1, 98] ascending
+        n, tot = 3, 100
+        expect = (2 * (1 * 1 + 2 * 1 + 3 * 98) - (n + 1) * tot) / (n * tot)
+        assert g2["gini"] == expect and g2["gini"] > 0.6
+
+    def test_empty_input_yields_null(self):
+        from peri_ray.stages.stats import gini_concentration
+
+        t = pa.table({"k": pa.array([], pa.string())})
+        g = gini_concentration(rd.from_arrow(t), "k").to_pylist()[0]
+        assert g == {"gini": None, "n_groups": 0}
