@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_window_events": q.moving_window_events,
         "minmax_normalized_events": q.minmax_normalized_events,
         "source_gini_documents": q.source_gini_documents,
+        "expectations_documents": q.expectations_documents,
         "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
@@ -621,6 +622,45 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "expectations_documents": """
+            SELECT 'row_count_between' AS check_id,
+                   count(*) AS observed,
+                   count(*) BETWEEN 1 AND 1000000000000 AS passed
+              FROM documents
+            UNION ALL
+            SELECT 'null_fraction_at_most:lang',
+                   count(*) - count(lang),
+                   (count(*) - count(lang)) * 1000000
+                     <= CAST(floor(0.05 * 1000000) AS BIGINT) * count(*)
+              FROM documents
+            UNION ALL
+            SELECT 'min_gte:n_chars',
+                   count(*) FILTER (n_chars < 0),
+                   count(*) FILTER (n_chars < 0) = 0
+              FROM documents
+            UNION ALL
+            SELECT 'max_lte:n_chars',
+                   count(*) FILTER (n_chars > 100000),
+                   count(*) FILTER (n_chars > 100000) = 0
+              FROM documents
+            UNION ALL
+            SELECT 'values_between:n_chars',
+                   count(*) FILTER (n_chars < 1 OR n_chars > 50000),
+                   count(*) FILTER (n_chars < 1 OR n_chars > 50000) = 0
+              FROM documents
+            UNION ALL
+            SELECT 'values_in_set:lang',
+                   count(*) FILTER (lang IS NOT NULL AND
+                       lang NOT IN ('en', 'de', 'fr', 'es', 'pt')),
+                   count(*) FILTER (lang IS NOT NULL AND
+                       lang NOT IN ('en', 'de', 'fr', 'es', 'pt')) = 0
+              FROM documents
+            UNION ALL
+            SELECT 'unique:doc_id',
+                   count(doc_id) - count(DISTINCT doc_id),
+                   count(doc_id) = count(DISTINCT doc_id)
+              FROM documents
         """,
         "minmax_normalized_events": """
             SELECT event_id,

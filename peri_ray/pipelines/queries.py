@@ -1616,6 +1616,25 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def expectations_documents(sf_dir: str):
+    """Great-Expectations-style corpus contract: volume, completeness,
+    range, enum-membership and uniqueness assertions evaluated in ONE
+    fused counting pass (+ the shared two-phase exchange for unique);
+    every observable is an integer so the verdict hash-matches SQL."""
+    from peri_ray.stages.expect import expectation_suite
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return expectation_suite(ds, [
+        ("row_count_between", 1, 10**12),
+        ("null_fraction_at_most", "lang", 0.05),
+        ("min_gte", "n_chars", 0),
+        ("max_lte", "n_chars", 100_000),
+        ("values_between", "n_chars", 1, 50_000),
+        ("values_in_set", "lang", LANGS),
+        ("unique", "doc_id"),
+    ])
+
+
 def hash_split_documents(sf_dir: str):
     """Deterministic 80/10/10 train/val/test partition of the corpus
     by integer Knuth hash of doc_id — disjoint, exhaustive,

@@ -1,0 +1,125 @@
+"""Declarative table-level expectation suite — Great-Expectations-style
+data-quality assertions evaluated in ONE fused streaming pass.
+
+Each expectation reduces to an integer counter so the verdict is exact
+and the SQL twin hash-matches (no float observables; fraction bounds
+are pre-floored to integer micro-thresholds, the same trick as
+``stats.hash_weighted_sample``).  All counting expectations share one
+``map_batches`` pass with per-batch partial counters merged on the
+driver (bounded by expectations × blocks); only ``unique`` needs an
+exchange, and it reuses the two-phase bucketed
+:func:`peri_ray.stages.checks.duplicate_keys`.
+
+Expectation forms (tuples):
+
+- ``("row_count_between", lo, hi)`` — observed = row count
+- ``("null_fraction_at_most", col, frac)`` — observed = null count;
+  passes iff ``nulls * 1e6 <= floor(frac * 1e6) * rows``
+- ``("min_gte", col, bound)`` — observed = #values below bound
+- ``("max_lte", col, bound)`` — observed = #values above bound
+- ``("values_between", col, lo, hi)`` — observed = #values outside
+- ``("values_in_set", col, values)`` — observed = #non-null values
+  outside the set
+- ``("unique", col)`` — observed = #rows beyond the first per key
+  (non-null keys), i.e. ``count(col) - count(DISTINCT col)``
+
+This is the [NORTH] verdict surface generalized: where the Peri spec
+validates per-record structure, the suite asserts corpus-level
+contracts (volume, completeness, ranges, uniqueness) before a corpus
+is allowed into training.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_FRAC_DEN = 1_000_000
+
+
+def _check_id(exp: tuple) -> str:
+    kind = exp[0]
+    if kind == "row_count_between":
+        return kind
+    return f"{kind}:{exp[1]}"
+
+
+class _CountPartial:
+    """Per-batch counters for every counting expectation (one pass)."""
+
+    def __init__(self, exps: tuple):
+        self.exps = exps
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = [t.num_rows]
+        for exp in self.exps:
+            kind = exp[0]
+            if kind == "row_count_between":
+                out.append(t.num_rows)
+                continue
+            col = t.column(exp[1]).combine_chunks()
+            if kind == "null_fraction_at_most":
+                out.append(col.null_count)
+            elif kind == "min_gte":
+                out.append(int(pc.sum(pc.less(col, exp[2])).as_py() or 0))
+            elif kind == "max_lte":
+                out.append(int(pc.sum(pc.greater(col, exp[2])).as_py() or 0))
+            elif kind == "values_between":
+                bad = pc.or_(pc.less(col, exp[2]), pc.greater(col, exp[3]))
+                out.append(int(pc.sum(bad).as_py() or 0))
+            elif kind == "values_in_set":
+                bad = pc.invert(pc.is_in(col, value_set=pa.array(exp[2])))
+                bad = pc.and_(bad, pc.is_valid(col))
+                out.append(int(pc.sum(bad).as_py() or 0))
+            else:  # pragma: no cover - guarded by expectation_suite
+                raise ValueError(f"unknown expectation {kind}")
+        return pa.table({"i": pa.array(range(len(out)), pa.int64()),
+                         "c": pa.array(out, pa.int64())})
+
+
+def expectation_suite(ds, expectations: list[tuple],
+                      batch_size: int | None = 65536,
+                      n_buckets: int = 64) -> pa.Table:
+    """Evaluate ``expectations`` against a Dataset; returns the verdict
+    table (check_id, observed, passed) in input order.  See module
+    docstring for forms and exactness contract."""
+    counting = [e for e in expectations if e[0] != "unique"]
+    uniques = [e for e in expectations if e[0] == "unique"]
+
+    acc = np.zeros(len(counting) + 1, np.int64)
+    if counting or uniques:
+        partials = ds.map_batches(_CountPartial(tuple(counting)),
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size)
+        if counting:
+            for r in partials.iter_rows():
+                acc[r["i"]] += r["c"]
+
+    results: dict[str, tuple[int, bool]] = {}
+    n_rows = int(acc[0])
+    for i, exp in enumerate(counting):
+        obs = int(acc[i + 1])
+        kind = exp[0]
+        if kind == "row_count_between":
+            ok = exp[1] <= obs <= exp[2]
+        elif kind == "null_fraction_at_most":
+            ok = obs * _FRAC_DEN <= int(np.floor(exp[2] * _FRAC_DEN)) * n_rows
+        else:
+            ok = obs == 0
+        results[_check_id(exp)] = (obs, ok)
+
+    from peri_ray.stages.checks import duplicate_keys
+
+    for exp in uniques:
+        dups = duplicate_keys(ds, exp[1], n_buckets=n_buckets).materialize()
+        n_dup_keys = dups.count()
+        extra = int((dups.sum("cnt") - n_dup_keys) if n_dup_keys else 0)
+        results[_check_id(exp)] = (extra, extra == 0)
+
+    ids = [_check_id(e) for e in expectations]
+    return pa.table({
+        "check_id": pa.array(ids, pa.string()),
+        "observed": pa.array([results[i][0] for i in ids], pa.int64()),
+        "passed": pa.array([results[i][1] for i in ids], pa.bool_()),
+    })

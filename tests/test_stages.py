@@ -3584,3 +3584,67 @@ class TestGini:
         t = pa.table({"k": pa.array([], pa.string())})
         g = gini_concentration(rd.from_arrow(t), "k").to_pylist()[0]
         assert g == {"gini": None, "n_groups": 0}
+
+
+class TestExpectationSuite:
+    def _table(self):
+        return pa.table({
+            "id": pa.array([1, 2, 3, 4, 5, 5, None], pa.int64()),
+            "lang": pa.array(["en", "de", None, "xx", "en", "en", "fr"]),
+            "n": pa.array([10, -3, 5, None, 200, 7, 1], pa.int64()),
+        })
+
+    def test_all_forms(self):
+        from peri_ray.stages.expect import expectation_suite
+
+        ds = rd.from_arrow(self._table()).repartition(3)
+        out = expectation_suite(ds, [
+            ("row_count_between", 1, 100),
+            ("null_fraction_at_most", "lang", 0.2),
+            ("min_gte", "n", 0),
+            ("max_lte", "n", 100),
+            ("values_between", "n", 0, 100),
+            ("values_in_set", "lang", ["en", "de", "fr"]),
+            ("unique", "id"),
+        ]).to_pylist()
+        by = {r["check_id"]: r for r in out}
+        # verdicts in input order
+        assert [r["check_id"] for r in out] == [
+            "row_count_between", "null_fraction_at_most:lang",
+            "min_gte:n", "max_lte:n", "values_between:n",
+            "values_in_set:lang", "unique:id"]
+        assert by["row_count_between"] == {
+            "check_id": "row_count_between", "observed": 7, "passed": True}
+        # 1 null of 7 rows > 0.2 floor-micro threshold
+        assert by["null_fraction_at_most:lang"]["observed"] == 1
+        assert by["null_fraction_at_most:lang"]["passed"] is True  # 1/7 ≈ 0.143
+        assert by["min_gte:n"] == {
+            "check_id": "min_gte:n", "observed": 1, "passed": False}
+        assert by["max_lte:n"] == {
+            "check_id": "max_lte:n", "observed": 1, "passed": False}
+        assert by["values_between:n"]["observed"] == 2   # -3 and 200; null skipped
+        assert by["values_in_set:lang"]["observed"] == 1  # "xx"; null skipped
+        assert by["unique:id"] == {
+            "check_id": "unique:id", "observed": 1, "passed": False}
+
+    def test_fraction_boundary_is_floor_micro_exact(self):
+        from peri_ray.stages.expect import expectation_suite
+
+        # 1 null of 8 rows = 0.125 exactly; threshold 0.125 passes,
+        # anything below fails (floor to integer micro-units, no float ==)
+        t = pa.table({"x": pa.array([None] + [1] * 7, pa.int64())})
+        ds = rd.from_arrow(t)
+        ok = expectation_suite(ds, [("null_fraction_at_most", "x", 0.125)])
+        assert ok.to_pylist()[0]["passed"] is True
+        bad = expectation_suite(ds, [("null_fraction_at_most", "x", 0.124999)])
+        assert bad.to_pylist()[0]["passed"] is False
+
+    def test_unique_only_and_empty_suite(self):
+        from peri_ray.stages.expect import expectation_suite
+
+        t = pa.table({"k": pa.array([1, 1, 1, 2, None, None], pa.int64())})
+        out = expectation_suite(rd.from_arrow(t).repartition(2),
+                                [("unique", "k")]).to_pylist()
+        # three 1s -> 2 extra; nulls never count
+        assert out == [{"check_id": "unique:k", "observed": 2,
+                        "passed": False}]
