@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_normalized_events": q.minmax_normalized_events,
         "source_gini_documents": q.source_gini_documents,
         "expectations_documents": q.expectations_documents,
+        "latest_event_per_user": q.latest_event_per_user,
+        "mode_event_type_per_user": q.mode_event_type_per_user,
+        "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
         "value_histogram_events": q.value_histogram_events,
         "value_outliers_events": q.value_outliers_events,
@@ -622,6 +625,37 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_id, event_type FROM (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id) AS rn
+                FROM events)
+             WHERE rn = 1
+        """,
+        "mode_event_type_per_user": """
+            SELECT user_id, event_type AS mode, cnt AS n FROM (
+              SELECT user_id, event_type, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type) AS rn
+                FROM events
+               WHERE event_type IS NOT NULL
+               GROUP BY user_id, event_type)
+             WHERE rn = 1
+        """,
+        "repaired_lang_documents": """
+            WITH m AS (
+              SELECT lang FROM documents
+               WHERE lang IN ('en', 'de', 'fr', 'es', 'pt')
+               GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+            )
+            SELECT doc_id,
+                   CASE WHEN lang IS NOT NULL AND
+                             lang NOT IN ('en', 'de', 'fr', 'es', 'pt')
+                        THEN (SELECT lang FROM m) ELSE lang END AS lang
+              FROM documents
         """,
         "expectations_documents": """
             SELECT 'row_count_between' AS check_id,

@@ -1616,6 +1616,37 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def latest_event_per_user(sf_dir: str):
+    """Keep-newest-per-key — THE recrawl shape (newest capture per
+    url): ``top_k_per_group`` with k=1, ts descending, event_id
+    ascending tie-break.  Per-block partials mean only one candidate
+    row per (key, block) crosses the exchange."""
+    from peri_ray.stages.stats import top_k_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return top_k_per_group(ds, key="user_id", order_col="ts", k=1,
+                           descending=True, tiebreak="event_id")
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Most frequent event_type per user (deterministic ties) — the
+    categorical argmax every per-entity profile needs."""
+    from peri_ray.stages.stats import mode_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return mode_per_group(ds, key="user_id", val="event_type")
+
+
+def repaired_lang_documents(sf_dir: str):
+    """Constraint-driven repair: enum-violating lang values replaced by
+    the most frequent VALID lang (two-pass broadcast, zero shuffle);
+    nulls untouched."""
+    from peri_ray.stages.checks import repair_enum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return repair_enum(ds, "lang", LANGS)
+
+
 def expectations_documents(sf_dir: str):
     """Great-Expectations-style corpus contract: volume, completeness,
     range, enum-membership and uniqueness assertions evaluated in ONE

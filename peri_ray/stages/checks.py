@@ -214,6 +214,37 @@ def histogram(ds, column: str, batch_size: int | None = 65536) -> dict[str, int]
     return {r[column]: int(r["sum(cnt)"]) for r in totals if r[column] is not None}
 
 
+def repair_enum(ds, column: str, allowed: list[str],
+                batch_size: int | None = 65536):
+    """Constraint-driven repair: replace every NON-NULL value of
+    ``column`` outside ``allowed`` with the most frequent allowed value
+    (ties → smallest value, so the SQL twin's ``ORDER BY count(*)
+    DESC, val LIMIT 1`` picks identically).  Nulls pass through —
+    required/default handling is the spec's job, not the repairer's.
+
+    Two passes, zero shuffle: the categorical histogram reduces to a
+    driver dict bounded by enum cardinality, the winner broadcasts in
+    the closure, and the fix is one vectorized ``if_else`` per batch."""
+    counts = histogram(ds, column, batch_size=batch_size)
+    valid = {v: c for v, c in counts.items() if v in set(allowed)}
+    if not valid:
+        raise ValueError(
+            f"repair_enum: no occurrences of any allowed value in {column!r}")
+    mode = sorted(valid.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    allowed_arr = pa.array(list(allowed), pa.string())
+
+    def _fix(t: pa.Table) -> pa.Table:
+        c = t.column(column).combine_chunks()
+        if pa.types.is_large_string(c.type):
+            c = c.cast(pa.string())
+        keep = pc.or_kleene(pc.is_null(c), pc.is_in(c, value_set=allowed_arr))
+        fixed = pc.if_else(keep, c, pa.scalar(mode, pa.string()))
+        i = t.schema.get_field_index(column)
+        return t.set_column(i, column, fixed)
+
+    return ds.map_batches(_fix, batch_format="pyarrow", batch_size=batch_size)
+
+
 def psi(observed: dict[str, float], reference: dict[str, float], eps: float = 1e-6) -> float:
     """Population Stability Index over normalized histograms."""
     cats = set(observed) | set(reference)

@@ -438,6 +438,67 @@ def gini_concentration(ds, key_col: str,
                      "n_groups": pa.array([n], pa.int64())})
 
 
+class _ModeCountPartial:
+    """Batch → (key, val, cnt) partials: within-batch occurrences
+    collapse to per-pair counts before the exchange (null values are
+    excluded — SQL's mode() semantics; null KEYS stay a group)."""
+
+    def __init__(self, key: str, val: str):
+        self.key = key
+        self.val = val
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sel = t.select([self.key, self.val])
+        sel = sel.filter(pc.is_valid(sel.column(self.val)))
+        g = (sel.group_by([self.key, self.val])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([self.key, self.val, "cnt"])
+
+
+def mode_per_group(ds, key: str, val: str, n_buckets: int = 64,
+                   batch_size: int | None = 65536):
+    """Most frequent ``val`` per ``key`` — deterministic ties (highest
+    count, then smallest value) so the SQL twin (``row_number() OVER
+    (ORDER BY cnt DESC, val)``) ranks identically.  Returns
+    (key, mode, n) with n = the winning count.
+
+    Two-phase: per-batch (key, val, cnt) partials collapse duplicates
+    before ONE hash-bucketed exchange on ``key``; per bucket the counts
+    re-sum with a vectorized Arrow group_by and the winner per key is a
+    sort + run-boundary mask (no per-group Ray aggregate — key
+    cardinality is unbounded at corpus scale)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    partials = ds.map_batches(_ModeCountPartial(key, val),
+                              batch_format="pyarrow", batch_size=batch_size)
+
+    def _argmax(group: pa.Table) -> pa.Table:
+        g = (group.select([key, val, "cnt"]).group_by([key, val])
+             .aggregate([("cnt", "sum")])
+             .rename_columns([key, val, "cnt"]))
+        g = g.sort_by([(key, "ascending"), ("cnt", "descending"),
+                       (val, "ascending")])
+        keys = g.column(key).combine_chunks()
+        n = len(keys)
+        if n == 0:
+            return pa.table({key: keys, "mode": g.column(val),
+                             "n": g.column("cnt")})
+        # first row of each key run wins (count desc, value asc order)
+        prev_eq = pc.equal(keys.slice(0, n - 1), keys.slice(1)).fill_null(
+            False).to_numpy(zero_copy_only=False)
+        null_run = (pc.is_null(keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+            & pc.is_null(keys.slice(1)).to_numpy(zero_copy_only=False))
+        first = np.ones(n, bool)
+        first[1:] = ~(prev_eq | null_run)
+        out = g.filter(pa.array(first))
+        return pa.table({key: out.column(key), "mode": out.column(val),
+                         "n": out.column("cnt")})
+
+    return map_groups_via_buckets(partials, [key], _argmax,
+                                  n_buckets=n_buckets)
+
+
 def temperature_rates(counts: dict, alpha: float = 0.7,
                       target_total: int | None = None) -> dict:
     """Temperature-smoothed mixing rates: sampling probability per

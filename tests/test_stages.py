@@ -3648,3 +3648,65 @@ class TestExpectationSuite:
         # three 1s -> 2 extra; nulls never count
         assert out == [{"check_id": "unique:k", "observed": 2,
                         "passed": False}]
+
+
+class TestModePerGroup:
+    def test_ties_and_nulls(self):
+        from peri_ray.stages.stats import mode_per_group
+
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2, 2, 2, 3, None, None], pa.int64()),
+            "v": pa.array(["b", "a", "b", "x", "y", "x", "y",
+                           None, "z", "z"]),
+        })
+        out = {r["k"]: (r["mode"], r["n"])
+               for r in mode_per_group(rd.from_arrow(t).repartition(3),
+                                       "k", "v").take_all()}
+        assert out[1] == ("b", 2)
+        assert out[2] == ("x", 2)      # tie x/y at 2 -> smaller value
+        assert 3 not in out            # all-null values: no mode row
+        assert out[None] == ("z", 2)   # null key is a group
+
+    def test_partials_merge_across_blocks(self):
+        from peri_ray.stages.stats import mode_per_group
+
+        # "a" wins only after merging counts split across blocks
+        t = pa.table({"k": ["g"] * 6,
+                      "v": ["a", "b", "b", "a", "a", "c"]})
+        out = mode_per_group(rd.from_arrow(t).repartition(6),
+                             "k", "v").take_all()
+        assert out == [{"k": "g", "mode": "a", "n": 3}]
+
+
+class TestRepairEnum:
+    def test_invalid_replaced_nulls_kept(self):
+        from peri_ray.stages.checks import repair_enum
+
+        t = pa.table({
+            "id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(["en", "en", "de", "zz", None, "xx",
+                              "de", "de"]),
+        })
+        out = {r["id"]: r["lang"]
+               for r in repair_enum(rd.from_arrow(t).repartition(2),
+                                    "lang", ["en", "de", "fr"]).take_all()}
+        # mode of valid = de (3 > 2)
+        assert out[3] == "de" and out[5] == "de"
+        assert out[4] is None
+        assert out[0] == "en" and out[2] == "de"
+
+    def test_mode_tie_breaks_to_smallest(self):
+        from peri_ray.stages.checks import repair_enum
+
+        t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                      "lang": pa.array(["fr", "de", "??"])})
+        out = repair_enum(rd.from_arrow(t), "lang",
+                          ["de", "fr"]).take_all()
+        assert {r["id"]: r["lang"] for r in out}[2] == "de"
+
+    def test_no_valid_values_raises(self):
+        from peri_ray.stages.checks import repair_enum
+
+        t = pa.table({"lang": pa.array(["xx", "yy"])})
+        with pytest.raises(ValueError):
+            repair_enum(rd.from_arrow(t), "lang", ["en"])
