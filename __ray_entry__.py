@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gini_documents": q.source_gini_documents,
         "expectations_documents": q.expectations_documents,
         "latest_event_per_user": q.latest_event_per_user,
+        "percentile_cont_events": q.percentile_cont_events,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -625,6 +626,19 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "percentile_cont_events": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_cont(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5)
+              FROM events
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75)
+              FROM events
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9)
+              FROM events
         """,
         "latest_event_per_user": """
             SELECT user_id, ts, event_id, event_type FROM (

@@ -1616,6 +1616,18 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def percentile_cont_events(sf_dir: str):
+    """Interpolated percentile_cont on a continuous column via
+    KLL-guided exact selection of both bracketing order statistics;
+    interpolation mirrors DuckDB's multiply-by-weights formula so the
+    doubles hash-match."""
+    from peri_ray.stages.stats import percentile_cont_continuous
+
+    ds = _read(sf_dir, "events", ["value"])
+    return percentile_cont_continuous(ds, "value",
+                                      qs=(0.25, 0.5, 0.75, 0.9))
+
+
 def latest_event_per_user(sf_dir: str):
     """Keep-newest-per-key — THE recrawl shape (newest capture per
     url): ``top_k_per_group`` with k=1, ts descending, event_id

@@ -1426,6 +1426,91 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
                      "value": pa.array(out_v, pa.float64())})
 
 
+def percentile_cont_continuous(ds, column: str, qs=(0.5,),
+                               kll_k: int = 800,
+                               batch_size: int | None = 65536,
+                               max_collect: int = 2_000_000) -> pa.Table:
+    """Interpolated percentile_cont for continuous columns — the same
+    KLL-guided two-pass selection as :func:`exact_quantile_continuous`,
+    but selecting BOTH bracketing order statistics of the fractional
+    rank ``RN = (n-1)·q`` and interpolating with SQL's exact formula
+    ``v[⌊RN⌋]·(⌈RN⌉−RN) + v[⌈RN⌉]·(RN−⌊RN⌋)`` (the multiply-by-weights
+    form DuckDB's quantile_cont evaluates, NOT the algebraically-equal
+    ``lo + (hi−lo)·frac`` — the two round differently in the last ulp
+    and the verdict is hash-compared)."""
+    import math
+
+    from peri_ray.state.sketches import KLL
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        import pickle
+
+        v = (t.column(column).combine_chunks().drop_null()
+             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        k = KLL(kll_k)
+        k.update_many(v)
+        return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
+
+    import pickle
+
+    merged = KLL(kll_k)
+    for r in ds.map_batches(_sketch, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        merged.merge(pickle.loads(r["s"]))
+    n = merged.n
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    eps = max(8.0 / kll_k, 1e-4)
+    brackets = [(float(merged.quantile(max(0.0, q - eps))),
+                 float(merged.quantile(min(1.0, q + eps)))) for q in qs]
+    los = np.array([b[0] for b in brackets])
+
+    def _pass2(t: pa.Table) -> pa.Table:
+        v = (t.column(column).combine_chunks().drop_null()
+             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        below = np.array([(v < lo).sum() for lo in los], np.int64)
+        collected = [v[(v >= lo) & (v <= hi)] for lo, hi in brackets]
+        return pa.table({
+            "bi": pa.array(np.arange(len(brackets), dtype=np.int64)),
+            "below": pa.array(below),
+            "vals": pa.array([c.tolist() for c in collected],
+                             pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(_pass2, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    below_tot = np.zeros(len(brackets), np.int64)
+    vals: list[list[float]] = [[] for _ in brackets]
+    for r in rows:
+        below_tot[r["bi"]] += r["below"]
+        vals[r["bi"]].extend(r["vals"])
+        if len(vals[r["bi"]]) > max_collect:
+            raise ValueError(
+                f"percentile_cont_continuous: bracket {r['bi']} collected "
+                f"> {max_collect} values; raise kll_k")
+    out_q, out_v = [], []
+    for i, q in enumerate(qs):
+        rn = (n - 1) * float(q)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        arr = np.sort(np.asarray(vals[i]))
+        below = int(below_tot[i])
+        idx_lo, idx_hi = frn - below, crn - below
+        if idx_lo < 0 or idx_hi >= len(arr):
+            raise ValueError(
+                f"percentile_cont_continuous: ranks ({frn}, {crn}) fell "
+                f"outside the bracket for q={q} (below={below}, "
+                f"collected={len(arr)}); raise kll_k")
+        if crn == frn:
+            v = float(arr[idx_lo])
+        else:
+            v = float(arr[idx_lo]) * (crn - rn) + float(arr[idx_hi]) * (rn - frn)
+        out_q.append(float(q))
+        out_v.append(v)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
 def mad_outliers(ds, column: str, id_col: str, k: float = 3.0,
                  kll_k: int = 800, batch_size: int | None = 65536):
     """Robust outlier flagging by median absolute deviation — the

@@ -3710,3 +3710,43 @@ class TestRepairEnum:
         t = pa.table({"lang": pa.array(["xx", "yy"])})
         with pytest.raises(ValueError):
             repair_enum(rd.from_arrow(t), "lang", ["en"])
+
+
+class TestPercentileCont:
+    def test_matches_numpy_interpolation(self):
+        from peri_ray.stages.stats import percentile_cont_continuous
+
+        rng = np.random.default_rng(7)
+        v = rng.normal(50, 12, 10_001)
+        t = pa.table({"value": pa.array(v, pa.float64())})
+        out = percentile_cont_continuous(
+            rd.from_arrow(t).repartition(8), "value",
+            qs=(0.25, 0.5, 0.75)).to_pylist()
+        got = {r["q"]: r["value"] for r in out}
+        s = np.sort(v)
+        import math
+        for q in (0.25, 0.5, 0.75):
+            rn = (len(s) - 1) * q
+            frn, crn = math.floor(rn), math.ceil(rn)
+            want = (s[frn] if frn == crn
+                    else s[frn] * (crn - rn) + s[crn] * (rn - frn))
+            assert got[q] == want
+
+    def test_even_count_median_interpolates(self):
+        from peri_ray.stages.stats import percentile_cont_continuous
+
+        t = pa.table({"value": pa.array([1.0, 2.0, 10.0, 100.0])})
+        out = percentile_cont_continuous(rd.from_arrow(t), "value",
+                                         qs=(0.5,)).to_pylist()
+        assert out[0]["value"] == 2.0 * 0.5 + 10.0 * 0.5
+
+    def test_nulls_skipped_and_empty(self):
+        from peri_ray.stages.stats import percentile_cont_continuous
+
+        t = pa.table({"value": pa.array([None, 5.0, None], pa.float64())})
+        out = percentile_cont_continuous(rd.from_arrow(t), "value",
+                                         qs=(0.5,)).to_pylist()
+        assert out == [{"q": 0.5, "value": 5.0}]
+        empty = pa.table({"value": pa.array([], pa.float64())})
+        assert percentile_cont_continuous(
+            rd.from_arrow(empty), "value").num_rows == 0
