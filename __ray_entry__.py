@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_documents": q.expectations_documents,
         "latest_event_per_user": q.latest_event_per_user,
         "percentile_cont_events": q.percentile_cont_events,
+        "salted_join_events_customer": q.salted_join_events_customer,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -626,6 +627,11 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "salted_join_events_customer": """
+            SELECT e.user_id, e.event_id, c.c_mktsegment
+              FROM events e LEFT JOIN customer c
+                ON e.user_id = c.c_custkey
         """,
         "percentile_cont_events": """
             SELECT CAST(0.25 AS DOUBLE) AS q,

@@ -1616,6 +1616,21 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def salted_join_events_customer(sf_dir: str):
+    """Skew-salted hash join (the north rule's "explicit salting for
+    skewed hosts"): hot user_ids detected via bounded Misra-Gries,
+    their fact rows spread over 4 salts, matching customer rows
+    replicated per salt — output identical to the plain hash join."""
+    from peri_ray.stages.joins import salted_hash_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # low threshold so the salted path actually engages at every sf
+    return salted_hash_join(events, customer, "user_id", "c_custkey",
+                            ["event_id"], ["c_mktsegment"], how="left",
+                            replication=4, hot_threshold=20)
+
+
 def percentile_cont_events(sf_dir: str):
     """Interpolated percentile_cont on a continuous column via
     KLL-guided exact selection of both bracketing order statistics;

@@ -230,6 +230,155 @@ def hash_join(left, right, left_key: str, right_key: str,
 # ---------------------------------------------------------------------------
 
 
+def detect_hot_keys(ds, key: str, hot_threshold: int, mg_k: int = 1024,
+                    batch_size: int | None = 65536) -> list[str]:
+    """Keys (as strings) whose global count MAY reach ``hot_threshold``
+    — a guaranteed SUPERSET via per-batch Misra-Gries summaries merged
+    on the driver (bounded: ≤ mg_k counters per block and at the end).
+    Supersets are the right direction for skew handling: salting a
+    cold key is harmless, missing a hot one recreates the hotspot.
+    Raises when the merged error bound voids the superset guarantee
+    (raise ``mg_k``) — never a silent miss."""
+    import pickle
+
+    from peri_ray.state.sketches import MisraGries
+
+    def _part(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            t.column(key).combine_chunks().cast(pa.string()).drop_null())
+        mg = MisraGries(mg_k)
+        mg.add_counts(vc.field("values").to_pylist(),
+                      vc.field("counts").to_pylist())
+        return pa.table({"s": pa.array([pickle.dumps(mg)], pa.binary())})
+
+    merged = MisraGries(mg_k)
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        merged.merge(pickle.loads(r["s"]))
+    if merged.err >= hot_threshold:
+        raise ValueError(
+            f"detect_hot_keys: Misra-Gries error bound {merged.err} >= "
+            f"hot_threshold {hot_threshold}; raise mg_k (currently {mg_k})")
+    return merged.candidates(hot_threshold)
+
+
+def salted_hash_join(left, right, left_key: str, right_key: str,
+                     left_cols: list[str], right_cols: list[str],
+                     how: str = "inner", n_buckets: int = 64,
+                     replication: int = 8,
+                     hot_keys: list[str] | None = None,
+                     hot_threshold: int | None = None, mg_k: int = 1024):
+    """:func:`hash_join` with EXPLICIT hot-key salting — the skew cure
+    the north rule names for Zipf-distributed hosts.  A hot key floods
+    one bucket of the plain exchange (one worker serializes the whole
+    host while the rest idle); here each hot fact row takes a salt in
+    ``[0, replication)`` and the matching right-side rows REPLICATE
+    once per salt, so a hot key's work spreads over ``replication``
+    buckets.  Cold keys salt to 0 — same cost as the plain join.
+
+    Correct for inner/left/semi/anti: every fact row lives in exactly
+    ONE (key, salt) partition, so no match duplicates and no missed
+    matches; right/full would emit one row per salt for unmatched
+    replicated dim rows and are rejected.  The per-bucket join keys on
+    (key, salt) — two hot keys colliding into one bucket cannot
+    cross-match each other's salts.
+
+    ``hot_keys`` (strings) may be given directly (e.g. from a previous
+    run's profile); otherwise :func:`detect_hot_keys` finds a bounded
+    superset with ``hot_threshold`` (default: a fair bucket share,
+    fact_rows / n_buckets — detection then costs one extra streaming
+    pass over the fact side, which `.materialize()`s to avoid
+    re-executing its lineage)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            "salted_hash_join supports inner/left/semi/anti only "
+            "(right/full would duplicate unmatched replicated dim rows)")
+    if replication < 2:
+        raise ValueError("replication must be >= 2")
+    left_cols = [c for c in left_cols if c != left_key]
+    right_cols = ([] if how in ("semi", "anti")
+                  else [c for c in right_cols if c != right_key])
+
+    if hot_keys is None:
+        left = left.materialize()
+        if hot_threshold is None:
+            hot_threshold = max(2, left.count() // n_buckets)
+        hot_keys = detect_hot_keys(left, left_key, hot_threshold, mg_k=mg_k)
+    hot_arr = pa.array(sorted(hot_keys), pa.string())
+
+    l_schema = left.schema()
+    key_type = dict(zip(l_schema.names, l_schema.types))[left_key]
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_schema = right.schema()
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    want_right = how in ("inner", "left")
+    R = replication
+
+    def _bucketed(key: pa.Array, salt: np.ndarray) -> pa.Array:
+        ks = pc.binary_join_element_wise(
+            pc.cast(key, pa.string()),
+            pa.array(salt.astype("U"), pa.string()), "\x1f")
+        return bucket_of(ks, n_buckets)
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        key = t.column(left_key).combine_chunks()
+        hot = pc.is_in(pc.cast(key, pa.string()), value_set=hot_arr
+                       ).to_numpy(zero_copy_only=False)
+        salt = np.where(hot, np.arange(t.num_rows, dtype=np.int64) % R, 0)
+        cols = {"__key": key, "__salt": pa.array(salt)}
+        for c in left_cols:
+            cols[c] = t.column(c)
+        for c in (right_cols if want_right else []):
+            cols[c] = pa.nulls(t.num_rows, r_types[c])
+        out = pa.table(cols)
+        return (out.append_column("__bucket", _bucketed(key, salt))
+                   .append_column("__side",
+                                  pa.array(np.zeros(t.num_rows, np.int8))))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        key = t.column(right_key).combine_chunks().cast(key_type)
+        hot = pc.is_in(pc.cast(key, pa.string()), value_set=hot_arr
+                       ).to_numpy(zero_copy_only=False)
+        # replicate hot rows once per salt, cold rows once with salt 0
+        idx = np.concatenate([np.flatnonzero(~hot)]
+                             + [np.flatnonzero(hot)] * R)
+        salt = np.concatenate(
+            [np.zeros((~hot).sum(), np.int64)]
+            + [np.full(int(hot.sum()), s, np.int64) for s in range(R)])
+        taken = t.take(pa.array(idx))
+        key_r = taken.column(right_key).combine_chunks().cast(key_type)
+        cols = {"__key": key_r, "__salt": pa.array(salt)}
+        for c in left_cols:
+            cols[c] = pa.nulls(taken.num_rows, l_types[c])
+        for c in (right_cols if want_right else []):
+            cols[c] = taken.column(c)
+        out = pa.table(cols)
+        return (out.append_column("__bucket", _bucketed(key_r, salt))
+                   .append_column("__side",
+                                  pa.array(np.ones(taken.num_rows, np.int8))))
+
+    both = (left.map_batches(_tag_left, batch_format="pyarrow")
+            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    out_cols = [left_key] + left_cols + (right_cols if want_right else [])
+    jt = _ARROW_JOIN_TYPE[how]
+
+    def _join(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        l = (group.filter(pc.equal(side, 0))
+             .select(["__key", "__salt"] + left_cols)
+             .rename_columns([left_key, "__salt"] + left_cols))
+        r = (group.filter(pc.equal(side, 1))
+             .select(["__key", "__salt"] + right_cols)
+             .rename_columns([left_key, "__salt"] + right_cols))
+        joined = l.join(r, keys=[left_key, "__salt"], join_type=jt)
+        if how == "anti":
+            joined = joined.filter(pc.is_valid(joined.column(left_key)))
+        return joined.select(out_cols)
+
+    return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")
+
+
 def join_auto(fact, dim, fact_key: str, dim_key: str,
               fact_cols: list[str], dim_cols: list[str],
               how: str = "inner", broadcast_max_rows: int = 2_000_000,

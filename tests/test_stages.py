@@ -3750,3 +3750,69 @@ class TestPercentileCont:
         empty = pa.table({"value": pa.array([], pa.float64())})
         assert percentile_cont_continuous(
             rd.from_arrow(empty), "value").num_rows == 0
+
+
+class TestSaltedHashJoin:
+    def _fixture(self):
+        rng = np.random.default_rng(3)
+        # Zipf-ish: key 7 owns half the fact side
+        keys = np.where(rng.random(4000) < 0.5, 7,
+                        rng.integers(0, 200, 4000))
+        fact = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "x": pa.array(np.arange(4000), pa.int64()),
+        })
+        dim = pa.table({
+            "dk": pa.array(np.arange(0, 150), pa.int64()),  # 150..199 unmatched
+            "seg": pa.array([f"s{i % 5}" for i in range(150)]),
+        })
+        return fact, dim
+
+    def _sorted(self, ds):
+        rows = [tuple(sorted(r.items())) for r in ds.take_all()]
+        return sorted(rows)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_equals_plain_hash_join(self, how):
+        from peri_ray.stages.joins import hash_join, salted_hash_join
+
+        fact_t, dim_t = self._fixture()
+        fact, dim = rd.from_arrow(fact_t).repartition(5), rd.from_arrow(dim_t)
+        plain = hash_join(fact, dim, "k", "dk", ["x"], ["seg"], how=how)
+        salted = salted_hash_join(fact, dim, "k", "dk", ["x"], ["seg"],
+                                  how=how, replication=4,
+                                  hot_threshold=500)
+        assert self._sorted(salted) == self._sorted(plain)
+
+    def test_explicit_hot_keys_and_rejections(self):
+        from peri_ray.stages.joins import hash_join, salted_hash_join
+
+        fact_t, dim_t = self._fixture()
+        fact, dim = rd.from_arrow(fact_t).repartition(5), rd.from_arrow(dim_t)
+        salted = salted_hash_join(fact, dim, "k", "dk", ["x"], ["seg"],
+                                  how="inner", replication=8,
+                                  hot_keys=["7"])
+        plain = hash_join(fact, dim, "k", "dk", ["x"], ["seg"], how="inner")
+        assert self._sorted(salted) == self._sorted(plain)
+        with pytest.raises(ValueError):
+            salted_hash_join(fact, dim, "k", "dk", ["x"], ["seg"],
+                             how="full")
+        with pytest.raises(ValueError):
+            salted_hash_join(fact, dim, "k", "dk", ["x"], ["seg"],
+                             replication=1)
+
+    def test_detect_hot_keys_superset_and_bound(self):
+        from peri_ray.stages.joins import detect_hot_keys
+
+        t = pa.table({"k": pa.array([1] * 900 + list(range(2, 102)),
+                                    pa.int64())})
+        ds = rd.from_arrow(t).repartition(4)
+        hot = detect_hot_keys(ds, "k", hot_threshold=500, mg_k=64)
+        assert "1" in hot
+        # 500 keys × count 2 with a tiny summary: the shrink cut is 2,
+        # so err reaches the threshold and the superset guarantee is
+        # void -> must raise, never silently miss
+        u = pa.table({"k": pa.array(sorted(range(500)) * 2, pa.int64())})
+        with pytest.raises(ValueError):
+            detect_hot_keys(rd.from_arrow(u), "k",
+                            hot_threshold=2, mg_k=4)
