@@ -94,23 +94,81 @@ class _StatsPartial:
         )
 
 
+class _StatsCombine:
+    """Streaming combine level between the per-batch partials and the
+    driver: merges every partial ROW sharing a column within its input
+    batch into one row (counts/sums add, min/max fold, sketches merge —
+    all associative+commutative, so any grouping is exact for the exact
+    fields and a valid mergeable-summary order for KLL/HLL).  With a
+    combine batch of B partial rows the driver fan-in drops from
+    O(blocks × cols) to O(blocks × cols / (B/cols)) — the tree-reduce
+    step for corpus-scale block counts, with no shuffle (partials
+    stream through one more task pool)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        acc: dict[str, dict] = {}
+        for row in t.to_pylist():
+            name = row["column"]
+            s = acc.get(name)
+            if s is None:
+                acc[name] = s = dict(row)
+                s["_sk"] = (pickle.loads(row["sketch"])
+                            if row["sketch"] else None)
+                continue
+            s["count"] += row["count"]
+            s["null_count"] += row["null_count"]
+            for f, fold in (("min_num", min), ("max_num", max),
+                            ("min_str", min), ("max_str", max)):
+                v = row[f]
+                if v is not None:
+                    s[f] = v if s[f] is None else fold(s[f], v)
+            if row["sum_num"] is not None:
+                s["sum_num"] = (s["sum_num"] or 0.0) + row["sum_num"]
+            if row["sketch"]:
+                kll, hll = pickle.loads(row["sketch"])
+                if s["_sk"] is None:
+                    s["_sk"] = (kll, hll)
+                else:
+                    pk, ph = s["_sk"]
+                    if kll is not None:
+                        pk = kll if pk is None else pk.merge(kll)
+                    if hll is not None:
+                        ph = hll if ph is None else ph.merge(hll)
+                    s["_sk"] = (pk, ph)
+        for s in acc.values():
+            s["sketch"] = (pickle.dumps(s["_sk"])
+                           if s["_sk"] is not None else None)
+            del s["_sk"]
+        return pa.Table.from_pylist(list(acc.values()), schema=t.schema)
+
+
 def column_stats(
     ds,
     columns: list[str] | None = None,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
     with_sketches: bool = True,
     batch_size: int | None = 65536,
+    combine_batch: int | None = 4096,
 ) -> dict[str, dict[str, Any]]:
     """Single streaming pass over ``ds``; returns
     ``{column: {count, null_count, min, max, sum, ndv, quantiles}}``.
 
     Exact: count/null_count/min/max/sum (merged from per-batch Arrow
-    aggregates).  Approximate: ndv (HLL), quantiles (KLL)."""
+    aggregates).  Approximate: ndv (HLL), quantiles (KLL).  A streaming
+    combine level (``combine_batch`` partial rows per merge task, pass
+    None to disable) bounds the driver fan-in at corpus-scale block
+    counts."""
     if columns is None:
         columns = ds.schema().names
-    partials = ds.map_batches(
+    partial_ds = ds.map_batches(
         _StatsPartial(columns, with_sketches), batch_format="pyarrow", batch_size=batch_size
-    ).take_all()  # small: one row per column per batch
+    )
+    if combine_batch:
+        partial_ds = partial_ds.map_batches(
+            _StatsCombine(), batch_format="pyarrow", batch_size=combine_batch)
+    partials = partial_ds.take_all()  # small: one row per column per task
 
     out: dict[str, dict[str, Any]] = {}
     merged_sketch: dict[str, tuple[KLL | None, HLL | None]] = {}

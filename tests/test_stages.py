@@ -3816,3 +3816,23 @@ class TestSaltedHashJoin:
         with pytest.raises(ValueError):
             detect_hot_keys(rd.from_arrow(u), "k",
                             hot_threshold=2, mg_k=4)
+
+
+class TestStatsCombineLevel:
+    def test_combine_level_identical_exact_fields(self):
+        from peri_ray.stages.stats import column_stats
+
+        rng = np.random.default_rng(5)
+        t = pa.table({
+            "a": pa.array(rng.integers(0, 1000, 5000), pa.int64()),
+            "b": pa.array([f"v{i % 97}" for i in range(5000)]),
+        })
+        ds = rd.from_arrow(t).repartition(16)
+        flat = column_stats(ds, ["a", "b"], combine_batch=None)
+        tree = column_stats(ds, ["a", "b"], combine_batch=3)
+        for c in ("a", "b"):
+            for f in ("count", "null_count", "min", "max", "sum"):
+                assert flat[c].get(f) == tree[c].get(f), (c, f)
+        # sketches stay valid mergeable summaries: ndv within HLL error
+        assert abs(tree["b"]["ndv"] - 97) / 97 < 0.15
+        assert abs(tree["a"]["quantiles"]["0.5"] - 500) < 60
