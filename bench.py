@@ -163,6 +163,13 @@ def run_bench() -> dict:
     timed("entropy_events", lambda: q.entropy_events(SF_DIR))
     timed("grouped_kll", lambda: q.grouped_kll_chars(SF_DIR).to_pandas())
     timed("winsorized_events", lambda: q.winsorized_events(SF_DIR).to_pandas())
+    timed("expectations_documents",
+          lambda: q.expectations_documents(SF_DIR))
+    timed("salted_join", lambda: q.salted_join_events_customer(SF_DIR).to_pandas())
+    timed("latest_event_per_user", lambda: q.latest_event_per_user(SF_DIR).to_pandas())
+    timed("mode_event_type_per_user", lambda: q.mode_event_type_per_user(SF_DIR).to_pandas())
+    timed("percentile_cont_events", lambda: q.percentile_cont_events(SF_DIR))
+    timed("source_gini", lambda: q.source_gini_documents(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

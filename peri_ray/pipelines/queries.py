@@ -1625,10 +1625,11 @@ def salted_join_events_customer(sf_dir: str):
 
     events = _read(sf_dir, "events", ["event_id", "user_id"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    # low threshold so the salted path actually engages at every sf
+    # fair-share threshold (rows / n_buckets) scales with the input;
+    # the skew unit tests prove engagement on genuinely hot keys
     return salted_hash_join(events, customer, "user_id", "c_custkey",
                             ["event_id"], ["c_mktsegment"], how="left",
-                            replication=4, hot_threshold=20)
+                            replication=4, mg_k=4096)
 
 
 def percentile_cont_events(sf_dir: str):
