@@ -236,3 +236,115 @@ def coerce_string_columns(ds, rules: dict[str, str],
         return t
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
+                            kll_k: int = 800,
+                            batch_size: int | None = 65536) -> dict:
+    """Range-partitioned parquet sink: one directory per contiguous
+    ``key`` range, ranges balanced to ±KLL-sketch error — the layout a
+    100 TB output needs so downstream key-range scans (time slices, id
+    shards) read ONE directory instead of every shard, and so a
+    re-run can skip finished ranges.
+
+    Pass 1 sketches the key (numeric/temporal) to pick ``n_ranges - 1``
+    split points at the equi-depth quantiles; pass 2 assigns
+    ``range_id = searchsorted(splits, key)`` per batch (vectorized) and
+    writes via ``partition_cols`` — null keys land in range 0.  The
+    split points persist in ``_ranges.json`` beside the data so
+    :func:`read_key_range` can prune directories without listing file
+    footers.  Returns the manifest dict."""
+    import json
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from peri_ray.state.sketches import KLL
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        v = (t.column(key).combine_chunks().drop_null()
+             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        k = KLL(kll_k)
+        k.update_many(v)
+        return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
+
+    merged = KLL(kll_k)
+    for r in ds.map_batches(_sketch, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        merged.merge(pickle.loads(r["s"]))
+    if merged.n == 0:
+        raise ValueError(f"write_range_partitioned: column {key!r} has no "
+                         "non-null values to range-partition on")
+    splits = sorted({float(merged.quantile(i / n_ranges))
+                     for i in range(1, n_ranges)})
+
+    sp = np.asarray(splits, np.float64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        v = (t.column(key).combine_chunks().cast(pa.float64())
+             .fill_null(float("-inf")).to_numpy(zero_copy_only=False))
+        rid = np.searchsorted(sp, v, side="right").astype(np.int64)
+        return t.append_column("range_id", pa.array(rid))
+
+    (ds.map_batches(_assign, batch_format="pyarrow", batch_size=batch_size)
+       .write_parquet(out_dir, partition_cols=["range_id"]))
+    manifest = {"key": key, "splits": splits, "n_ranges": len(splits) + 1}
+    # sibling path, NOT inside the layout: a stray non-parquet file in
+    # the root breaks Ray's partition discovery on whole-dir reads
+    with open(out_dir.rstrip("/") + ".ranges.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_key_range(out_dir: str, lo: float | None, hi: float | None,
+                   columns: list[str] | None = None, **kw):
+    """Pruned read of a :func:`write_range_partitioned` layout: only
+    the directories whose range intersects ``[lo, hi]`` are opened
+    (None = unbounded on that side), then an exact in-range filter runs
+    per batch — directory pruning for I/O, the filter for exactness.
+    Null keys (stored in range 0) never satisfy a bounded filter."""
+    import json
+    import os
+
+    import pyarrow.compute as pc_
+    import ray.data as rd_
+
+    with open(out_dir.rstrip("/") + ".ranges.json") as f:
+        manifest = json.load(f)
+    splits = manifest["splits"]
+    key = manifest["key"]
+    n = manifest["n_ranges"]
+    # range i covers [splits[i-1], splits[i]) (searchsorted side="right"),
+    # open-ended at 0 / n-1
+    dirs = []
+    for i in range(n):
+        r_lo = None if i == 0 else splits[i - 1]
+        r_hi = None if i == n - 1 else splits[i]
+        if lo is not None and r_hi is not None and r_hi <= lo:
+            continue
+        if hi is not None and r_lo is not None and r_lo > hi:
+            continue
+        d = os.path.join(out_dir, f"range_id={i}")
+        if os.path.isdir(d):
+            dirs.append(d)
+    if not dirs:
+        raise ValueError(f"read_key_range: no ranges intersect [{lo}, {hi}]")
+    # read_parquet accepts ONE directory or a list of FILES — a list of
+    # directories is opened file-wise and fails; expand explicitly
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = rd_.read_parquet(files, columns=columns, **kw)
+
+    def _exact(t):
+        c = t.column(key)
+        mask = None
+        if lo is not None:
+            mask = pc_.greater_equal(c, lo)
+        if hi is not None:
+            m2 = pc_.less_equal(c, hi)
+            mask = m2 if mask is None else pc_.and_(mask, m2)
+        return t if mask is None else t.filter(pc_.fill_null(mask, False))
+
+    return ds.map_batches(_exact, batch_format="pyarrow")

@@ -3836,3 +3836,54 @@ class TestStatsCombineLevel:
         # sketches stay valid mergeable summaries: ndv within HLL error
         assert abs(tree["b"]["ndv"] - 97) / 97 < 0.15
         assert abs(tree["a"]["quantiles"]["0.5"] - 500) < 60
+
+
+class TestRangePartitionedSink:
+    def test_roundtrip_balance_and_pruned_read(self, tmp_path):
+        from peri_ray.sources import read_key_range, write_range_partitioned
+
+        rng = np.random.default_rng(11)
+        vals = rng.uniform(0, 1000, 20_000)
+        vals[:50] = np.nan  # null keys
+        t = pa.table({
+            "k": pa.array([None if np.isnan(v) else float(v) for v in vals],
+                          pa.float64()),
+            "i": pa.array(np.arange(20_000), pa.int64()),
+        })
+        out = str(tmp_path / "ranged")
+        man = write_range_partitioned(rd.from_arrow(t).repartition(8),
+                                      "k", out, n_ranges=8)
+        assert man["n_ranges"] == 8 and len(man["splits"]) == 7
+
+        # round-trip: every row lands somewhere exactly once
+        back = rd.read_parquet(out)
+        assert back.count() == 20_000
+        assert sorted(r["i"] for r in back.select_columns(["i"]).take_all()) \
+            == list(range(20_000))
+
+        # balance: each range within 3x KLL error of the fair share
+        import collections
+        sizes = collections.Counter(
+            r["range_id"] for r in back.select_columns(["range_id"]).take_all())
+        fair = 20_000 / 8
+        assert all(abs(c - fair) < fair * 0.5 for c in sizes.values()), sizes
+
+        # pruned read: exact [lo, hi] semantics, boundaries included
+        lo, hi = man["splits"][1], man["splits"][4]
+        got = read_key_range(out, lo, hi).take_all()
+        want = [r for r in t.to_pylist()
+                if r["k"] is not None and lo <= r["k"] <= hi]
+        assert sorted(r["i"] for r in got) == sorted(r["i"] for r in want)
+        # nulls excluded from bounded reads, present in full read-back
+        full = read_key_range(out, None, None).take_all()
+        assert len(full) == 20_000
+        assert sum(1 for r in full if r["k"] is None) == 50
+
+    def test_all_null_key_raises(self, tmp_path):
+        from peri_ray.sources import write_range_partitioned
+
+        t = pa.table({"k": pa.array([None, None], pa.float64()),
+                      "i": pa.array([0, 1], pa.int64())})
+        with pytest.raises(ValueError):
+            write_range_partitioned(rd.from_arrow(t), "k",
+                                    str(tmp_path / "x"))
