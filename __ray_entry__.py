@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.latest_event_per_user,
         "percentile_cont_events": q.percentile_cont_events,
         "salted_join_events_customer": q.salted_join_events_customer,
+        "approx_distinct_users_by_type": q.approx_distinct_users_by_type,
+        "changeset_orders_violations": q.changeset_orders_violations,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -627,6 +629,18 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "changeset_orders_violations": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS record_id,
+                   'cast:s_key' AS rule_id, 's_key' AS path
+              FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'cast:s_val', 's_val'
+              FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'float.gte', 's_val'
+              FROM orders
+             WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
         """,
         "salted_join_events_customer": """
             SELECT e.user_id, e.event_id, c.c_mktsegment

@@ -1616,6 +1616,55 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def changeset_orders_violations(sf_dir: str):
+    """Ecto-changeset-shaped ingestion (reference lib/peri/ecto.ex):
+    string attrs (built in-pipeline with deliberate corruptions) cast
+    under explicit grammars — unparseable non-null cell → 'cast:<col>'
+    violation with Ecto's "is invalid" message, superseding spec checks
+    on the same field — then the casted table validates against the
+    spec.  Returns the flattened combined violations."""
+    from peri_ray.changeset import cast_and_validate
+    from peri_ray.validate import violations_dataset
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").combine_chunks()
+        c = t.column("o_custkey").combine_chunks()
+        kn = k.to_numpy(zero_copy_only=False)
+        ks = pc.binary_join_element_wise(
+            pc.cast(k, pa.string()),
+            pc.if_else(pa.array(kn % 13 == 0), pa.scalar("x"), pa.scalar("")),
+            "")
+        vs = pc.binary_join_element_wise(
+            pc.if_else(pa.array(kn % 7 == 0), pa.scalar("v"), pa.scalar("")),
+            pc.if_else(pa.array(kn % 11 == 0), pa.scalar("-"), pa.scalar("")),
+            pc.cast(c, pa.string()), ".",
+            pc.cast(pa.array(kn % 100, pa.int64()), pa.string()), "")
+        return pa.table({"o_orderkey": k, "s_key": ks, "s_val": vs})
+
+    strs = ds.map_batches(_mk, batch_format="pyarrow")
+    combined = cast_and_validate(
+        strs, {"s_key": "integer", "s_val": "float"},
+        spec={"o_orderkey": ("required", "integer"),
+              "s_key": ("required", "integer"),
+              "s_val": ("float", ("gte", 0.0))},
+        id_column="o_orderkey")
+    return violations_dataset(combined).select_columns(
+        ["record_id", "rule_id", "path"])
+
+
+def approx_distinct_users_by_type(sf_dir: str):
+    """Per-group approximate NDV via HLL partials (rows-only: an
+    estimate; the exact twin is `distinct_users_by_type`) — the
+    bounded-memory path when a hot group's distinct count is itself
+    corpus-scale."""
+    from peri_ray.stages.stats import grouped_hll_ndv
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_hll_ndv(ds, key="event_type", col="user_id")
+
+
 def salted_join_events_customer(sf_dir: str):
     """Skew-salted hash join (the north rule's "explicit salting for
     skewed hosts"): hot user_ids detected via bounded Misra-Gries,

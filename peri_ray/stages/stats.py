@@ -689,6 +689,73 @@ def grouped_kll_quantiles(ds, key: str, col: str,
                                  min_run=1)
 
 
+def grouped_hll_ndv(ds, key: str, col: str, p: int = 12,
+                    n_buckets: int = 64,
+                    batch_size: int | None = 65536):
+    """Approximate COUNT(DISTINCT col) per key via per-(block, key) HLL
+    partials merged through the bucketed exchange — the bounded-memory
+    complement to the exact pair-exchange
+    (``grouped_distinct_count``): exact ships one row per DISTINCT
+    (key, value) pair; this ships one 2^p-byte register array per
+    (block, key) regardless of how many distinct values a hot group
+    holds (per-host url diversity at web scale).  ~1.6% standard error
+    at the default p=12.
+
+    Output: (key, ndv) with ndv the rounded HLL estimate."""
+    import pickle
+
+    from peri_ray.stages.dedup import per_group_via_buckets
+    from peri_ray.state.sketches import HLL, hash_strings, splitmix64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vcol = t.column(col).combine_chunks()
+        sub = pa.table({key: t.column(key), "v": vcol}).filter(
+            pc.is_valid(vcol))
+        vals = sub.column("v").combine_chunks()
+        if (pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+                or pa.types.is_binary(vals.type)):
+            hashes = hash_strings(vals)
+        else:
+            hashes = splitmix64(vals.cast(pa.int64()).to_numpy(
+                zero_copy_only=False).view(np.uint64))
+        kcol = sub.column(key).combine_chunks()
+        enc = kcol.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        raw = enc.indices.to_numpy(zero_copy_only=False)
+        idx = (np.where(np.isnan(raw), -1, raw).astype(np.int64)
+               if raw.dtype.kind == "f" else raw.astype(np.int64))
+        keys_out, blobs = [], []
+        order = np.argsort(idx, kind="stable")
+        sorted_idx = idx[order]
+        bounds = np.flatnonzero(np.diff(sorted_idx)) + 1
+        for run in np.split(order, bounds):
+            if len(run) == 0:
+                continue
+            h = HLL(p)
+            h.add_hashes(hashes[run])
+            di = int(idx[run[0]])
+            keys_out.append(None if di < 0 else enc.dictionary[di].as_py())
+            blobs.append(pickle.dumps(h))
+        return pa.table({key: pa.array(keys_out, type=enc.dictionary.type),
+                         "sk": pa.array(blobs, pa.binary())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _merge(run: pa.Table) -> pa.Table:
+        merged = None
+        for blob in run.column("sk").to_pylist():
+            h = pickle.loads(blob)
+            merged = h if merged is None else merged.merge(h)
+        return pa.table({key: pa.array([run.column(key)[0].as_py()]),
+                         "ndv": pa.array([int(round(merged.estimate()))],
+                                         pa.int64())})
+
+    return per_group_via_buckets(partials, [key], _merge, n_buckets=n_buckets,
+                                 min_run=1)
+
+
 def grouped_variance(ds, key: str, col: str,
                      batch_size: int | None = 65536,
                      round_to: int = 6) -> pa.Table:

@@ -44,6 +44,51 @@ def validate_batch(plan: Plan, table: pa.Table) -> tuple[pa.Table, pa.Table]:
     return plan.run_batch(table)
 
 
+#: list<struct> layout of the embedded per-row violations column
+VIOL_LIST_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("rule_id", pa.string()),
+            ("path", pa.string()),
+            ("message", pa.string()),
+            ("actual", pa.string()),
+            ("expected", pa.string()),
+        ]
+    )
+)
+
+
+def embed_violations(out: pa.Table, viols: pa.Table) -> pa.Table:
+    """Attach a sparse violations row table (``__row`` + struct fields)
+    to ``out`` as the aligned list<struct> ``violations`` column —
+    fully vectorized (stable argsort + bincount offsets), shared by the
+    validation map stage and the changeset cast layer."""
+    n = out.num_rows
+    if viols.num_rows == 0:
+        # fast path: all-empty list column, no python row work
+        offsets = pa.array(np.zeros(n + 1, np.int32))
+        empty = pa.ListArray.from_arrays(
+            offsets, pa.array([], type=VIOL_LIST_TYPE.value_type)
+        )
+        return out.append_column("violations", empty)
+    # sparse path: stable-sort violation rows by their source row
+    # index, then a bincount gives the list offsets
+    rows_np = viols.column("__row").to_numpy(zero_copy_only=False)
+    order = np.argsort(rows_np, kind="stable")
+    sorted_viols = viols.take(pa.array(order))
+    fields = [f.name for f in VIOL_LIST_TYPE.value_type]
+    struct = pa.StructArray.from_arrays(
+        [sorted_viols.column(f).combine_chunks() for f in fields], fields
+    )
+    counts = np.bincount(rows_np, minlength=n)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), struct
+    )
+    return out.append_column("violations", lists)
+
+
 class _ValidateFn:
     """map_batches callable: validates a batch and embeds violations as a
     list<struct> column aligned to rows.  Plain function semantics (no
@@ -53,46 +98,11 @@ class _ValidateFn:
     def __init__(self, plan: Plan):
         self.plan = plan
 
-    _VIOL_TYPE = pa.list_(
-        pa.struct(
-            [
-                ("rule_id", pa.string()),
-                ("path", pa.string()),
-                ("message", pa.string()),
-                ("actual", pa.string()),
-                ("expected", pa.string()),
-            ]
-        )
-    )
-
     def __call__(self, table: pa.Table) -> pa.Table:
         out, viols = self.plan.run_batch(table, with_rows=True)
-        n = out.num_rows
         ids = self.plan._record_ids(table)
         out = out.append_column("record_id", ids)
-        if viols.num_rows == 0:
-            # fast path: all-empty list column, no python row work
-            offsets = pa.array(np.zeros(n + 1, np.int32))
-            empty = pa.ListArray.from_arrays(
-                offsets, pa.array([], type=self._VIOL_TYPE.value_type)
-            )
-            return out.append_column("violations", empty)
-        # sparse path, fully vectorized: stable-sort violation rows by
-        # their source row index, then a bincount gives the list offsets
-        rows_np = viols.column("__row").to_numpy(zero_copy_only=False)
-        order = np.argsort(rows_np, kind="stable")
-        sorted_viols = viols.take(pa.array(order))
-        fields = [f.name for f in self._VIOL_TYPE.value_type]
-        struct = pa.StructArray.from_arrays(
-            [sorted_viols.column(f).combine_chunks() for f in fields], fields
-        )
-        counts = np.bincount(rows_np, minlength=n)
-        offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32)), struct
-        )
-        return out.append_column("violations", lists)
+        return embed_violations(out, viols)
 
 
 def validate_dataset(ds, spec: dict, mode: str = "strict", id_column: str | None = None,

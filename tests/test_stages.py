@@ -3887,3 +3887,80 @@ class TestRangePartitionedSink:
         with pytest.raises(ValueError):
             write_range_partitioned(rd.from_arrow(t), "k",
                                     str(tmp_path / "x"))
+
+
+class TestGroupedHLL:
+    def test_estimates_within_error(self):
+        from peri_ray.stages.stats import grouped_hll_ndv
+
+        rng = np.random.default_rng(13)
+        # group a: 1000 distinct; group b: 50 distinct; null key group: 10
+        keys = ["a"] * 5000 + ["b"] * 2000 + [None] * 100
+        vals = (list(rng.integers(0, 1000, 5000))
+                + list(rng.integers(10_000, 10_050, 2000))
+                + list(rng.integers(20_000, 20_010, 100)))
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+        out = {r["k"]: r["ndv"]
+               for r in grouped_hll_ndv(rd.from_arrow(t).repartition(7),
+                                        "k", "v").take_all()}
+        true = {"a": len(set(vals[:5000])), "b": len(set(vals[5000:7000])),
+                None: len(set(vals[7000:]))}
+        for k, exact in true.items():
+            assert abs(out[k] - exact) / exact < 0.1, (k, out[k], exact)
+
+    def test_string_values_and_null_values_skipped(self):
+        from peri_ray.stages.stats import grouped_hll_ndv
+
+        t = pa.table({"k": ["g"] * 6,
+                      "v": pa.array(["x", "y", None, "x", "z", None])})
+        out = grouped_hll_ndv(rd.from_arrow(t), "k", "v").take_all()
+        assert out == [{"k": "g", "ndv": 3}]
+
+
+class TestChangesetCastValidate:
+    def test_cast_errors_and_spec_violations_combine(self):
+        from peri_ray.changeset import cast_and_validate
+
+        t = pa.table({
+            "k": pa.array(["1", "2x", None, "4", "5"]),
+            "v": pa.array(["1.5", "2.0", "3.0", "-9.5", "oops"]),
+        })
+        spec = {"k": ("required", "integer"),
+                "v": ("float", ("gte", 0.0))}
+        out = cast_and_validate(rd.from_arrow(t).repartition(2), spec=spec,
+                                cast_rules={"k": "integer", "v": "float"},
+                                id_column="k").take_all()
+        by = {r["record_id"]: r for r in out}
+        # row "1": clean
+        assert by["1"]["valid"] is True and by["1"]["violations"] == []
+        assert by["1"]["k"] == 1 and by["1"]["v"] == 1.5
+        # row "2x": cast error on k -> ONLY "is invalid" (the required
+        # check on the nulled cell is superseded, Ecto parity)
+        r2 = [r for r in out if r["k"] is None and r["v"] == 2.0][0]
+        msgs = {(v["rule_id"], v["message"]) for v in r2["violations"]}
+        assert msgs == {("cast:k", "is invalid")}
+        assert r2["valid"] is False
+        # row None k: null is NOT a cast error, but required fires
+        r3 = [r for r in out if r["v"] == 3.0][0]
+        assert all(not v["rule_id"].startswith("cast") for v in r3["violations"])
+        assert r3["valid"] is False
+        # row "4": casts fine, spec gte violation
+        assert by["4"]["valid"] is False
+        assert by["4"]["violations"][0]["rule_id"] != "cast:v"
+        # row "5": v cast error -> nulled; gte on null passes, but the
+        # cast error still invalidates the row
+        assert by["5"]["valid"] is False
+        assert {v["rule_id"] for v in by["5"]["violations"]} == {"cast:v"}
+        actual = by["5"]["violations"][0]["actual"]
+        assert actual == "oops" and by["5"]["violations"][0]["expected"] == "float"
+
+    def test_typed_output_schema(self):
+        from peri_ray.changeset import cast_and_validate
+
+        t = pa.table({"k": pa.array(["7"]), "v": pa.array(["1.25"])})
+        ds = cast_and_validate(rd.from_arrow(t),
+                               spec={"k": "integer", "v": "float"},
+                               cast_rules={"k": "integer", "v": "float"})
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert types["k"] == pa.int64() and types["v"] == pa.float64()
