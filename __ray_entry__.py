@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join_events_customer": q.salted_join_events_customer,
         "approx_distinct_users_by_type": q.approx_distinct_users_by_type,
         "changeset_orders_violations": q.changeset_orders_violations,
+        "locf_filled_events": q.locf_filled_events,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -629,6 +630,14 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "locf_filled_events": """
+            SELECT event_id,
+                   last_value(CASE WHEN event_type = 'click' THEN NULL
+                                   ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS value
+              FROM events
         """,
         "changeset_orders_violations": """
             SELECT CAST(o_orderkey AS VARCHAR) AS record_id,

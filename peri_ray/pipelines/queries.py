@@ -1616,6 +1616,31 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def locf_filled_events(sf_dir: str):
+    """LOCF gap imputation: values nulled in-pipeline (click events)
+    then forward-filled per user in (ts, event_id) order — SQL
+    last_value IGNORE NULLS twin."""
+    from peri_ray.stages.temporal import locf_fill
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def _gap(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks()
+        is_click = pc.equal(t.column("event_type").combine_chunks(),
+                            pa.scalar("click"))
+        gapped = pc.if_else(pc.fill_null(is_click, False),
+                            pa.nulls(t.num_rows, v.type), v)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "value": gapped})
+
+    gapped = ds.map_batches(_gap, batch_format="pyarrow")
+    return locf_fill(gapped, "user_id", ["ts", "event_id"], "value",
+                     "event_id")
+
+
 def changeset_orders_violations(sf_dir: str):
     """Ecto-changeset-shaped ingestion (reference lib/peri/ecto.ex):
     string attrs (built in-pipeline with deliberate corruptions) cast

@@ -837,3 +837,54 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
         "off": pa.array([k[1] for k in keys], pa.int64()),
         "n_users": pa.array([merged[k] for k in keys], pa.int64()),
     })
+
+
+def locf_fill(ds, key_col: str, order_cols: list[str], col: str,
+              id_col: str, n_buckets: int = 64):
+    """Last-observation-carried-forward per key: each null ``col`` takes
+    the most recent non-null value of its key's history in
+    ``order_cols`` order (SQL ``last_value(col IGNORE NULLS) OVER
+    (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``) — the
+    standard gap-imputation window for sensor/metric streams.
+
+    ONE hash-bucketed exchange on the key (``map_groups_via_buckets``);
+    per bucket a single lexsort orders every key run and the fill is a
+    vectorized ``maximum.accumulate`` over observation positions,
+    fenced at run starts so values never leak across keys.  Leading
+    nulls (no prior observation) stay null.
+
+    Output: (id_col, col) — pruned so only the fixed columns cross the
+    exchange."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _fill(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key_col, "ascending")]
+                          + [(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: g.column(id_col),
+                             col: g.column(col)})
+        keys = g.column(key_col).combine_chunks()
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(keys).to_numpy(zero_copy_only=False)
+            same[1:] |= nulls[1:] & nulls[:-1]
+        run_start = np.flatnonzero(~same)
+        start_of = np.repeat(run_start, np.diff(np.append(run_start, n)))
+        v = g.column(col).combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        last_obs = np.maximum.accumulate(np.where(valid, pos, -1))
+        ok = last_obs >= start_of
+        src = np.where(ok, last_obs, 0)
+        filled = v.take(pa.array(src))
+        out = pc.if_else(pa.array(ok), filled, pa.nulls(n, v.type))
+        return pa.table({id_col: g.column(id_col), col: out})
+
+    need = list(dict.fromkeys([key_col, *order_cols, id_col, col]))
+    pruned = ds.map_batches(lambda t: t.select(need),
+                            batch_format="pyarrow")
+    return map_groups_via_buckets(pruned, [key_col], _fill,
+                                  n_buckets=n_buckets)

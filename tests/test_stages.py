@@ -3964,3 +3964,55 @@ class TestChangesetCastValidate:
         sch = ds.schema()
         types = dict(zip(sch.names, sch.types))
         assert types["k"] == pa.int64() and types["v"] == pa.float64()
+
+
+class TestLocfFill:
+    def test_fill_fenced_at_key_runs(self):
+        from peri_ray.stages.temporal import locf_fill
+
+        t = pa.table({
+            "u": pa.array([1, 1, 1, 1, 2, 2, None, None], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 1, 2, 1, 2], pa.int64()),
+            "id": pa.array(list(range(8)), pa.int64()),
+            "v": pa.array([10.0, None, None, 40.0, None, 5.0, None, 7.0],
+                          pa.float64()),
+        })
+        out = {r["id"]: r["v"]
+               for r in locf_fill(rd.from_arrow(t).repartition(3), "u",
+                                  ["ts"], "v", "id").take_all()}
+        assert out[0] == 10.0 and out[1] == 10.0 and out[2] == 10.0
+        assert out[3] == 40.0
+        assert out[4] is None        # leading null: no prior obs for key 2
+        assert out[5] == 5.0
+        assert out[6] is None and out[7] == 7.0  # null key is its own run
+
+    def test_matches_brute_force(self):
+        from peri_ray.stages.temporal import locf_fill
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        u = rng.integers(0, 40, n)
+        ts = rng.permutation(n)
+        v = rng.uniform(0, 1, n)
+        mask = rng.random(n) < 0.4
+        vv = [None if m else float(x) for m, x in zip(mask, v)]
+        t = pa.table({"u": pa.array(u, pa.int64()),
+                      "ts": pa.array(ts, pa.int64()),
+                      "id": pa.array(np.arange(n), pa.int64()),
+                      "v": pa.array(vv, pa.float64())})
+        got = {r["id"]: r["v"]
+               for r in locf_fill(rd.from_arrow(t).repartition(6), "u",
+                                  ["ts"], "v", "id").take_all()}
+        # brute force per key
+        import collections
+        byk = collections.defaultdict(list)
+        for i in range(n):
+            byk[int(u[i])].append(i)
+        want = {}
+        for k, idxs in byk.items():
+            last = None
+            for i in sorted(idxs, key=lambda i: int(ts[i])):
+                if vv[i] is not None:
+                    last = vv[i]
+                want[i] = last
+        assert got == want
