@@ -80,6 +80,17 @@ def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
     return a, b
 
 
+#: rows per bundled block on the map side of every bucket exchange:
+#: map_batches COMBINES smaller upstream blocks into batches of this
+#: many rows, so the shuffle's task count tracks DATA VOLUME instead of
+#: upstream block count (Ray's CPU-targeted splitting leaves a small
+#: table as ~2×CPU 30-row blocks, and each shuffle task pays a ~40 ms
+#: floor — measured 12-17 s → ~5 s on the fused minhash verify at
+#: sf0.1).  At corpus scale rows/65536 still dwarfs the CPU count, so
+#: reduce-side parallelism is unaffected where it matters.
+EXCHANGE_COALESCE_ROWS = 65536
+
+
 def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
     """Distinct (id_a, id_b) rows via ONE hash-bucketed exchange with a
     vectorized per-bucket Arrow ``group_by`` — NOT Ray's
@@ -104,7 +115,8 @@ def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
                 ["id_a", "id_b", "cnt"])
         return g.aggregate([])
 
-    return (pairs.map_batches(_bucket, batch_format="pyarrow")
+    return (pairs.map_batches(_bucket, batch_format="pyarrow",
+                         batch_size=EXCHANGE_COALESCE_ROWS)
             .groupby("__bucket").map_groups(_distinct, batch_format="pyarrow"))
 
 
@@ -133,7 +145,8 @@ def map_groups_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64):
     def _drop(group: pa.Table) -> pa.Table:
         return fn(group.drop_columns(["__bucket"]))
 
-    return (ds.map_batches(_bucket, batch_format="pyarrow")
+    return (ds.map_batches(_bucket, batch_format="pyarrow",
+                         batch_size=EXCHANGE_COALESCE_ROWS)
             .groupby("__bucket").map_groups(_drop, batch_format="pyarrow"))
 
 
@@ -195,7 +208,8 @@ def per_group_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
             return fn(g.slice(0, 0))  # schema-carrying empty result
         return pa.concat_tables(outs)
 
-    return (ds.map_batches(_bucket, batch_format="pyarrow")
+    return (ds.map_batches(_bucket, batch_format="pyarrow",
+                         batch_size=EXCHANGE_COALESCE_ROWS)
             .groupby("__bucket").map_groups(_runs, batch_format="pyarrow"))
 
 
@@ -730,7 +744,8 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     both = (pairs.map_batches(_half(0), batch_format="pyarrow")
             .union(pairs.map_batches(_half(1), batch_format="pyarrow"))
             .union(texts)
-            .map_batches(_bucket_doc, batch_format="pyarrow"))
+            .map_batches(_bucket_doc, batch_format="pyarrow",
+                         batch_size=EXCHANGE_COALESCE_ROWS))
 
     def _attach(group: pa.Table) -> pa.Table:
         side = group.column("__side")
@@ -756,7 +771,8 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             t.column("id_b").cast(pa.string()), ":")
         return t.append_column("__bucket", bucket_of(key, n_buckets))
 
-    rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow")
+    rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow",
+                                  batch_size=EXCHANGE_COALESCE_ROWS)
 
     def _score(group: pa.Table) -> pa.Table:
         # slot-keyed pivot: the a-half and b-half of a pair are
@@ -868,7 +884,8 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
              .aggregate([("dst", "min")]))
         return g.rename_columns(["doc_id", "label"])
 
-    labels = (edges.map_batches(_bucket("src"), batch_format="pyarrow")
+    labels = (edges.map_batches(_bucket("src"), batch_format="pyarrow",
+                             batch_size=EXCHANGE_COALESCE_ROWS)
               .groupby("__bucket").map_groups(_min_dst, batch_format="pyarrow")
               .materialize())
 
@@ -907,7 +924,8 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
             return joined.select(["src", "lab"])
 
         msgs = (edge_tagged.union(lab_tagged)
-                .map_batches(_bucket("dst"), batch_format="pyarrow")
+                .map_batches(_bucket("dst"), batch_format="pyarrow",
+                              batch_size=EXCHANGE_COALESCE_ROWS)
                 .groupby("__bucket").map_groups(_join_dst, batch_format="pyarrow"))
 
         def _min_lab(group: pa.Table) -> pa.Table:
@@ -915,7 +933,8 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
                  .aggregate([("lab", "min")]))
             return g.rename_columns(["doc_id", "label"])
 
-        labels = (msgs.map_batches(_bucket("src"), batch_format="pyarrow")
+        labels = (msgs.map_batches(_bucket("src"), batch_format="pyarrow",
+                            batch_size=EXCHANGE_COALESCE_ROWS)
                   .groupby("__bucket").map_groups(_min_lab, batch_format="pyarrow")
                   .materialize())
     if not converged:
