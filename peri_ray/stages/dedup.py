@@ -17,6 +17,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import functools
 import itertools
 import logging
 import re
@@ -88,10 +89,11 @@ def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
 #: floor — measured 12-17 s → ~5 s on the fused minhash verify at
 #: sf0.1).  At corpus scale rows/65536 still dwarfs the CPU count, so
 #: reduce-side parallelism is unaffected where it matters.
-EXCHANGE_COALESCE_ROWS = 65536
+EXCHANGE_COALESCE_ROWS = 8192
 
 
-def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
+def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False,
+                 coalesce_rows: int | None = EXCHANGE_COALESCE_ROWS):
     """Distinct (id_a, id_b) rows via ONE hash-bucketed exchange with a
     vectorized per-bucket Arrow ``group_by`` — NOT Ray's
     ``groupby([id_a, id_b]).count()``: that path pays per-GROUP
@@ -116,11 +118,12 @@ def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False):
         return g.aggregate([])
 
     return (pairs.map_batches(_bucket, batch_format="pyarrow",
-                         batch_size=EXCHANGE_COALESCE_ROWS)
+                         batch_size=coalesce_rows)
             .groupby("__bucket").map_groups(_distinct, batch_format="pyarrow"))
 
 
-def map_groups_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64):
+def map_groups_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
+                           coalesce_rows: int | None = EXCHANGE_COALESCE_ROWS):
     """Replace ``groupby(keys).map_groups(fn)`` with ONE hash-bucketed
     exchange when ``fn`` already handles SEVERAL key groups per call
     (every per-user window operator here lexsorts by key internally —
@@ -146,12 +149,13 @@ def map_groups_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64):
         return fn(group.drop_columns(["__bucket"]))
 
     return (ds.map_batches(_bucket, batch_format="pyarrow",
-                         batch_size=EXCHANGE_COALESCE_ROWS)
+                         batch_size=coalesce_rows)
             .groupby("__bucket").map_groups(_drop, batch_format="pyarrow"))
 
 
 def grouped_sum_via_buckets(ds, key_cols: list[str], val_col: str,
-                            n_buckets: int = 64):
+                            n_buckets: int = 64,
+                            coalesce_rows: int | None = EXCHANGE_COALESCE_ROWS):
     """``groupby(keys).sum(val)`` via the bucketed exchange, for keys
     whose cardinality is of the order of the row count (terms, urls).
     Output keeps the input column names (no ``sum(x)`` renaming)."""
@@ -161,11 +165,13 @@ def grouped_sum_via_buckets(ds, key_cols: list[str], val_col: str,
              .group_by(key_cols).aggregate([(val_col, "sum")]))
         return g.rename_columns(key_cols + [val_col])
 
-    return map_groups_via_buckets(ds, key_cols, _sum, n_buckets)
+    return map_groups_via_buckets(ds, key_cols, _sum, n_buckets,
+                                  coalesce_rows=coalesce_rows)
 
 
 def per_group_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
-                          min_run: int = 2):
+                          min_run: int = 2,
+                          coalesce_rows: int | None = EXCHANGE_COALESCE_ROWS):
     """Apply ``fn(run_table) -> table`` once per distinct key combo —
     the ``groupby(keys).map_groups(fn)`` contract — but through ONE
     hash-bucketed exchange: each bucket sorts by the keys and slices
@@ -209,7 +215,7 @@ def per_group_via_buckets(ds, key_cols: list[str], fn, n_buckets: int = 64,
         return pa.concat_tables(outs)
 
     return (ds.map_batches(_bucket, batch_format="pyarrow",
-                         batch_size=EXCHANGE_COALESCE_ROWS)
+                         batch_size=coalesce_rows)
             .groupby("__bucket").map_groups(_runs, batch_format="pyarrow"))
 
 
@@ -684,7 +690,7 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, k: int = 5, n_buckets: int = 64,
-                      metric=None):
+                      metric=None, coalesce_rows: int | None = 1024):
     """Jaccard-verify LSH candidates via two bucketed exchanges — no
     driver-side materialization (the previous take_all()+broadcast dict
     was O(candidate texts) driver memory, unbounded at corpus scale).
@@ -745,7 +751,7 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             .union(pairs.map_batches(_half(1), batch_format="pyarrow"))
             .union(texts)
             .map_batches(_bucket_doc, batch_format="pyarrow",
-                         batch_size=EXCHANGE_COALESCE_ROWS))
+                         batch_size=coalesce_rows))
 
     def _attach(group: pa.Table) -> pa.Table:
         side = group.column("__side")
@@ -772,7 +778,7 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
         return t.append_column("__bucket", bucket_of(key, n_buckets))
 
     rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow",
-                                  batch_size=EXCHANGE_COALESCE_ROWS)
+                                  batch_size=coalesce_rows)
 
     def _score(group: pa.Table) -> pa.Table:
         # slot-keyed pivot: the a-half and b-half of a pair are
@@ -1197,13 +1203,21 @@ class _PrefixEmit:
                          "pos": pa.array(pos[keep])})
 
 
+@functools.lru_cache(maxsize=8192)
+def _bigram_set(text: str) -> frozenset:
+    """Distinct word bigrams of one text, memoized per worker: a doc in
+    a dense duplicate cluster is scored against MANY partners, and
+    re-tokenizing it per pair made the verify metric the pipeline's
+    hottest loop."""
+    t = _WS_RE.split(text.strip())
+    return frozenset(x + " " + y for x, y in zip(t, t[1:]))
+
+
 def token_bigram_jaccard(a: str, b: str) -> float:
     """Exact Jaccard over distinct word-bigram sets (trim + ``\\s+``
     tokenizer, matching the SQL twin token for token)."""
-    ta = _WS_RE.split(a.strip())
-    tb = _WS_RE.split(b.strip())
-    sa = {x + " " + y for x, y in zip(ta, ta[1:])}
-    sb = {x + " " + y for x, y in zip(tb, tb[1:])}
+    sa = _bigram_set(a)
+    sb = _bigram_set(b)
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
@@ -1295,13 +1309,18 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(ids[iu][keep]),
                          "id_b": pa.array(ids[ju][keep])})
 
+    # candidate generation is the HEAVY reduce (O(posting²) per rank):
+    # keep many small map blocks so the exchange fans it wide — the
+    # default coalesce would serialize it onto a handful of tasks
     cands = dedupe_pairs(
         per_group_via_buckets(prefix, ["term_rank"], _cands,
-                              n_buckets=n_buckets),
+                              n_buckets=n_buckets, coalesce_rows=1024),
         n_buckets=n_buckets)
+    # fine-grained bundling: the bigram-set metric is the pipeline's
+    # heavy stage, and score-task count tracks the bundled block count
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,
-                             metric=token_bigram_jaccard)
+                             metric=token_bigram_jaccard, coalesce_rows=256)
 
 
 # ---------------------------------------------------------------------------
