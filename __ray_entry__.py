@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": q.approx_distinct_users_by_type,
         "changeset_orders_violations": q.changeset_orders_violations,
         "locf_filled_events": q.locf_filled_events,
+        "lagged_value_events": q.lagged_value_events,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -630,6 +631,12 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "lagged_value_events": """
+            SELECT event_id,
+                   lag(value, 3) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS lag_value
+              FROM events
         """,
         "locf_filled_events": """
             SELECT event_id,

@@ -1616,6 +1616,16 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def lagged_value_events(sf_dir: str):
+    """Per-user lag(value, 3) in (ts, event_id) order — the general
+    offset window the interarrival (lag-1) operator specializes."""
+    from peri_ray.stages.temporal import lag_column
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return lag_column(ds, "user_id", ["ts", "event_id"], "value",
+                      "event_id", offset=3)
+
+
 def locf_filled_events(sf_dir: str):
     """LOCF gap imputation: values nulled in-pipeline (click events)
     then forward-filled per user in (ts, event_id) order — SQL

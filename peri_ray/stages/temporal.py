@@ -888,3 +888,49 @@ def locf_fill(ds, key_col: str, order_cols: list[str], col: str,
                             batch_format="pyarrow")
     return map_groups_via_buckets(pruned, [key_col], _fill,
                                   n_buckets=n_buckets)
+
+
+def lag_column(ds, key_col: str, order_cols: list[str], col: str,
+               id_col: str, offset: int = 1, n_buckets: int = 64):
+    """Per-key lag/lead: the value of ``col`` ``offset`` rows earlier
+    (negative = later) in ``order_cols`` order within each key — SQL
+    ``lag(col, offset) OVER (PARTITION BY key ORDER BY ...)``.  Rows
+    whose shifted position falls outside their key run yield null.
+
+    Same single bucket exchange + per-bucket lexsort as
+    :func:`locf_fill`; the shift is one vectorized index add fenced by
+    run bounds.  Output: (id_col, f"lag_{col}")."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    out_name = f"lag_{col}"
+
+    def _shift(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key_col, "ascending")]
+                          + [(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        v = g.column(col).combine_chunks()
+        if n == 0:
+            return pa.table({id_col: g.column(id_col), out_name: v})
+        keys = g.column(key_col).combine_chunks()
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(keys).to_numpy(zero_copy_only=False)
+            same[1:] |= nulls[1:] & nulls[:-1]
+        run_start = np.flatnonzero(~same)
+        lens = np.diff(np.append(run_start, n))
+        start_of = np.repeat(run_start, lens)
+        end_of = np.repeat(run_start + lens, lens)
+        pos = np.arange(n, dtype=np.int64)
+        src = pos - offset
+        ok = (src >= start_of) & (src < end_of)
+        taken = v.take(pa.array(np.where(ok, src, 0)))
+        out = pc.if_else(pa.array(ok), taken, pa.nulls(n, v.type))
+        return pa.table({id_col: g.column(id_col), out_name: out})
+
+    need = list(dict.fromkeys([key_col, *order_cols, id_col, col]))
+    pruned = ds.map_batches(lambda t: t.select(need),
+                            batch_format="pyarrow")
+    return map_groups_via_buckets(pruned, [key_col], _shift,
+                                  n_buckets=n_buckets)

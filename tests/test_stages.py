@@ -4016,3 +4016,27 @@ class TestLocfFill:
                     last = vv[i]
                 want[i] = last
         assert got == want
+
+
+class TestLagColumn:
+    def test_lag_and_lead_fenced(self):
+        from peri_ray.stages.temporal import lag_column
+
+        t = pa.table({
+            "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "id": pa.array(list(range(5)), pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 1.0, 2.0], pa.float64()),
+        })
+        lag1 = {r["id"]: r["lag_v"]
+                for r in lag_column(rd.from_arrow(t).repartition(2), "u",
+                                    ["ts"], "v", "id", offset=1).take_all()}
+        assert lag1 == {0: None, 1: 10.0, 2: 20.0, 3: None, 4: 1.0}
+        lead1 = {r["id"]: r["lag_v"]
+                 for r in lag_column(rd.from_arrow(t), "u", ["ts"], "v",
+                                     "id", offset=-1).take_all()}
+        assert lead1 == {0: 20.0, 1: 30.0, 2: None, 3: 2.0, 4: None}
+        lag3 = {r["id"]: r["lag_v"]
+                for r in lag_column(rd.from_arrow(t), "u", ["ts"], "v",
+                                    "id", offset=3).take_all()}
+        assert all(v is None for v in lag3.values())
