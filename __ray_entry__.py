@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changeset_orders_violations": q.changeset_orders_violations,
         "locf_filled_events": q.locf_filled_events,
         "lagged_value_events": q.lagged_value_events,
+        "fuzzy_name_pairs": q.fuzzy_name_pairs,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -631,6 +632,15 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "fuzzy_name_pairs": """
+            WITH s AS (
+              SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 10 = 0
+            )
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+             WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "lagged_value_events": """
             SELECT event_id,

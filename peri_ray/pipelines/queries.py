@@ -1616,6 +1616,24 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def fuzzy_name_pairs(sf_dir: str):
+    """Bounded edit-distance self-join (FastSS deletion neighborhoods)
+    on a deterministic customer-name sample — the oracle is the
+    literal all-pairs levenshtein SQL, so candidate COMPLETENESS is
+    hash-checked, not just precision."""
+    from peri_ray.stages.dedup import edit_distance_join
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("c_custkey").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 10 == 0))
+
+    sampled = ds.map_batches(_sample, batch_format="pyarrow")
+    return edit_distance_join(sampled, "c_name", "c_custkey", max_dist=1)
+
+
 def lagged_value_events(sf_dir: str):
     """Per-user lag(value, 3) in (ts, event_id) order — the general
     offset window the interarrival (lag-1) operator specializes."""

@@ -1413,3 +1413,147 @@ def contamination_counts(ds, bench_ds, n: int = 5, text_col: str = "text",
 
     return ds.map_batches(_Probe, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# bounded edit-distance self-join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: True iff distance(a, b) <= k.  O(len × k)
+    via the |i-j| <= k diagonal band with early abort."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    INF = k + 1
+    prev = list(range(min(k, lb) + 1)) + [INF] * max(0, lb - k)
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [INF] * (lb + 1)
+        if i - k <= 0:
+            cur[lo - 1] = i
+        best = INF
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if cur[j] < best:
+                best = cur[j]
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _deletion_step(variants: pa.Array, ids: pa.Array,
+                   max_len: int) -> tuple[pa.Array, pa.Array]:
+    """One deletion depth, vectorized over the COLUMN: for every
+    position i, emit variant = s[:i] + s[i+1:] for rows with len > i —
+    the loop runs over string positions (≤ max_len), never rows."""
+    lens = pc.utf8_length(variants)
+    outs_v, outs_i = [], []
+    top = int(pc.max(lens).as_py() or 0)
+    for i in range(min(top, max_len)):
+        mask = pc.greater(lens, i)
+        sub_v = variants.filter(mask)
+        sub_i = ids.filter(mask)
+        head = pc.utf8_slice_codeunits(sub_v, 0, i)
+        tail = pc.utf8_slice_codeunits(sub_v, i + 1, 2**30)
+        outs_v.append(pc.binary_join_element_wise(head, tail, ""))
+        outs_i.append(sub_i if isinstance(sub_i, pa.Array)
+                      else sub_i.combine_chunks())
+    if not outs_v:
+        return pa.array([], pa.string()), pa.array([], ids.type)
+    outs_v = [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+              for v in outs_v]
+    return pa.concat_arrays(outs_v), pa.concat_arrays(outs_i)
+
+
+def edit_distance_join(ds, col: str, id_col: str, max_dist: int = 1,
+                       n_buckets: int = 64, max_len: int = 64,
+                       max_run: int = 4096,
+                       batch_size: int | None = 8192):
+    """Self-join on fuzzy string KEYS: (id_a, id_b) pairs whose ``col``
+    values are within Levenshtein distance ``max_dist`` — entity
+    resolution over names/urls/skus (FastSS, Bocek et al. 2007:
+    ed(x, y) <= d implies the depth-d deletion neighborhoods of x and y
+    intersect, so shared-variant buckets are a complete candidate set;
+    exact banded DP verifies).
+
+    Shape: per batch, each string emits its <= C(len, d) deletion
+    variants (vectorized over positions, not rows) and the DISTINCT
+    (variant, id, string) rows cross ONE hash-bucketed exchange; per
+    variant run all pairs verify in place (strings are short keys, they
+    travel with the variant), then :func:`dedupe_pairs` collapses pairs
+    found via several shared variants.
+
+    Strings longer than ``max_len`` raise (the variant count and the
+    exchange volume are len^d; fuzzy-joining long TEXT wants MinHash,
+    not edit distance), as does a variant run over ``max_run`` ids — a
+    degenerate key (one constant string) would emit O(n²) pairs, and
+    losing pairs silently would break the oracle's completeness
+    guarantee."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def _variants(t: pa.Table) -> pa.Table:
+        s = t.column(col).combine_chunks()
+        if pa.types.is_large_string(s.type):
+            s = s.cast(pa.string())
+        ok = pc.is_valid(s)
+        sub = pa.table({"s": s, "i": t.column(id_col)}).filter(ok)
+        s = sub.column("s").combine_chunks()
+        ids = sub.column("i").combine_chunks()
+        too_long = pc.any(pc.greater(pc.utf8_length(s), max_len)).as_py()
+        if too_long:
+            raise ValueError(
+                f"edit_distance_join: {col!r} has values longer than "
+                f"max_len={max_len}; fuzzy-join long text with MinHash")
+        all_v = [s]
+        all_i = [ids]
+        cur_v, cur_i = s, ids
+        for _ in range(max_dist):
+            cur_v, cur_i = _deletion_step(cur_v, cur_i, max_len)
+            all_v.append(cur_v)
+            all_i.append(cur_i)
+        vt = pa.table({
+            "variant": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in all_v]),
+            id_col: pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in all_i]),
+        })
+        vt = vt.group_by(["variant", id_col]).aggregate([])
+        # re-attach the original string (verify needs it in the run)
+        lookup = pa.table({id_col: ids, "orig": s})
+        return vt.join(lookup, keys=id_col, join_type="inner")
+
+    variants = ds.map_batches(_variants, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _pairs(run: pa.Table) -> pa.Table:
+        rows = sorted({(i, o) for i, o in
+                       zip(run.column(id_col).to_pylist(),
+                           run.column("orig").to_pylist())})
+        if len(rows) > max_run:
+            raise ValueError(
+                f"edit_distance_join: variant bucket with {len(rows)} ids "
+                f"exceeds max_run={max_run} (degenerate key values); "
+                "dedupe exact duplicates first")
+        a, b = [], []
+        for (ia, oa), (ib, ob) in itertools.combinations(rows, 2):
+            if _lev_le(oa, ob, max_dist):
+                a.append(ia)
+                b.append(ib)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    pairs = per_group_via_buckets(variants, ["variant"], _pairs,
+                                  n_buckets=n_buckets)
+    return dedupe_pairs(pairs, n_buckets=n_buckets)

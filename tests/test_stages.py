@@ -4040,3 +4040,56 @@ class TestLagColumn:
                 for r in lag_column(rd.from_arrow(t), "u", ["ts"], "v",
                                     "id", offset=3).take_all()}
         assert all(v is None for v in lag3.values())
+
+
+class TestEditDistanceJoin:
+    def test_matches_brute_force_d1(self):
+        from peri_ray.stages.dedup import edit_distance_join
+
+        names = ["kitten", "sitten", "sittin", "kittens", "apple",
+                 "appl", "xyz", "kitte", "aple", "mitten"]
+        t = pa.table({"id": pa.array(range(len(names)), pa.int64()),
+                      "name": pa.array(names)})
+        got = {(r["id_a"], r["id_b"])
+               for r in edit_distance_join(
+                   rd.from_arrow(t).repartition(3), "name", "id",
+                   max_dist=1).take_all()}
+        import itertools as it
+        def lev(a, b):
+            import numpy as _np
+            d = _np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                           prev + (ca != cb))
+            return d[len(b)]
+        want = {(i, j) for i, j in it.combinations(range(len(names)), 2)
+                if lev(names[i], names[j]) <= 1}
+        assert got == want and len(want) >= 4
+
+    def test_d2_and_guards(self):
+        from peri_ray.stages.dedup import edit_distance_join
+
+        names = ["abcdef", "abXdYf", "abcdxy", "zzzzzz"]
+        t = pa.table({"id": pa.array(range(4), pa.int64()),
+                      "name": pa.array(names)})
+        got = {(r["id_a"], r["id_b"])
+               for r in edit_distance_join(rd.from_arrow(t), "name", "id",
+                                           max_dist=2).take_all()}
+        assert (0, 1) in got and (0, 2) in got and (3, 0) not in got
+
+        long = pa.table({"id": pa.array([0], pa.int64()),
+                         "name": pa.array(["x" * 100])})
+        import ray.exceptions
+        with pytest.raises(Exception):
+            edit_distance_join(rd.from_arrow(long), "name", "id",
+                               max_len=64).take_all()
+
+    def test_nulls_skipped(self):
+        from peri_ray.stages.dedup import edit_distance_join
+
+        t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                      "name": pa.array(["abc", None, "abd"])})
+        got = edit_distance_join(rd.from_arrow(t), "name", "id").take_all()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 2)}
