@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_filled_events": q.locf_filled_events,
         "lagged_value_events": q.lagged_value_events,
         "fuzzy_name_pairs": q.fuzzy_name_pairs,
+        "knn_graph_embeddings": q.knn_graph_embeddings,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -632,6 +633,26 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "knn_graph_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            p AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cos FROM (
+              SELECT p.*, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+                FROM p)
+             WHERE rn <= 5
         """,
         "fuzzy_name_pairs": """
             WITH s AS (

@@ -1616,6 +1616,25 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def knn_graph_embeddings(sf_dir: str):
+    """Exact kNN graph (top-5 cosine neighbors per vector) over a
+    deterministic embedding sample — block-pair matmuls + per-block
+    partial top-k, exact merge via top_k_per_group; the oracle ranks
+    the literal all-pairs cosines, so the graph is hash-checked edge
+    for edge."""
+    from peri_ray.stages.similarity import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("vec_id").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 10 == 0))
+
+    sampled = ds.map_batches(_sample, batch_format="pyarrow")
+    return knn_graph(sampled, k=5)
+
+
 def fuzzy_name_pairs(sf_dir: str):
     """Bounded edit-distance self-join (FastSS deletion neighborhoods)
     on a deterministic customer-name sample — the oracle is the

@@ -641,3 +641,123 @@ def grouped_centroids(ds, vec_col: str = "embedding",
                              pa.list_(pa.float64(), dim)),
         "skipped": pa.array([skipped] * len(labels), pa.int64()),
     })
+
+
+class _BlockPairTopK:
+    """Actor-pool stage over (i, j) block pairs for the kNN graph: one
+    matmul per pair, then each side's rows keep their k best partners
+    from the other block by (rounded cos DESC, neighbor id ASC) — the
+    same total order the final exact merge uses, so a block-local
+    top-k can never drop a global top-k member.  Blocks cache per
+    actor exactly like :class:`_BlockPairJoin`."""
+
+    def __init__(self, block_refs, id_col: str, k: int, round_to: int):
+        self.block_refs = block_refs
+        self.id_col = id_col
+        self.k = k
+        self.round_to = round_to
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(i)
+        if got is None:
+            import ray
+
+            tbl = ray.get(self.block_refs[i])
+            m = _as_matrix(tbl.column("row"), np.float64)
+            ids = tbl.column(self.id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # column order = neighbor id ASCENDING once per block, so a
+            # stable descending-cos argsort breaks ties by id for free
+            order = np.argsort(ids, kind="stable")
+            got = (m[order], ids[order])
+            self._cache[i] = got
+        return got
+
+    def _side(self, qid: np.ndarray, s: np.ndarray,
+              nid: np.ndarray, outs: list) -> None:
+        k = min(self.k, s.shape[1])
+        if k == 0 or s.shape[0] == 0:
+            return
+        top = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(qid, k)
+        cols = nid[top.reshape(-1)]
+        sims = np.take_along_axis(s, top, axis=1).reshape(-1)
+        keep = np.isfinite(sims)
+        outs.append((rows[keep], cols[keep], sims[keep]))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        outs: list = []
+        for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
+            xi, ida = self._block(i)
+            xj, idb = self._block(j)
+            s = np.round(xi @ xj.T, self.round_to)
+            if i == j:
+                np.fill_diagonal(s, -np.inf)  # a vector is not its own
+                self._side(ida, s, idb, outs)
+            else:
+                self._side(ida, s, idb, outs)
+                self._side(idb, s.T.copy(), ida, outs)
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+            "cos": pa.array(np.concatenate([o[2] for o in outs]), pa.float64()),
+        })
+
+
+def knn_graph(ds, k: int, vec_col: str = "embedding",
+              id_col: str = "vec_id", block_rows: int | None = None,
+              max_block_rows: int = 65536, round_to: int = 6):
+    """EXACT k-nearest-neighbor graph over an embedding column: for
+    every vector, its ``k`` most cosine-similar OTHER vectors, ranked
+    by (rounded cos DESC, neighbor id ASC) — the edge list near-dup
+    clustering, retrieval eval and graph-based curation start from.
+
+    Same physical shape as :func:`cosine_similarity_join` (staged
+    normalized blocks, O(B²) pair tasks over an actor pool, blocks
+    cached per actor); each pair task emits ≤ 2·rows·k candidate
+    edges and the exact global merge is ``top_k_per_group`` (≤ k rows
+    per query per block crossing that exchange).  Inherently all-pairs
+    compute — the IVF/LSH routes stay the sub-quadratic approximations
+    at corpus scale."""
+    import ray
+
+    from peri_ray.stages.stats import top_k_per_group
+
+    def _prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
+        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+
+    n = ds.count()
+    if block_rows is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(-(-n // max_block_rows),
+                       int(np.ceil(np.sqrt(2.0 * cpus))), 2)
+    else:
+        n_blocks = max(1, -(-n // block_rows))
+    prep = (ds.map_batches(_prep, batch_format="pyarrow")
+            .repartition(n_blocks).materialize())
+    block_refs = []
+    for bundle in prep.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows:
+                block_refs.append(block_ref)
+    pairs = [{"i": i, "j": j} for i in range(len(block_refs))
+             for j in range(i, len(block_refs))]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if not pairs:
+        return ray.data.from_arrow(empty)
+    cands = ray.data.from_items(pairs).map_batches(
+        _BlockPairTopK,
+        fn_constructor_args=(block_refs, id_col, k, round_to),
+        concurrency=(1, max(1, min(8, len(pairs)))), batch_size=4,
+        batch_format="pyarrow", max_restarts=0).materialize()
+    return top_k_per_group(cands, key="query_id", order_col="cos", k=k,
+                           descending=True, tiebreak="neighbor_id")

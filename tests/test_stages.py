@@ -4093,3 +4093,34 @@ class TestEditDistanceJoin:
                       "name": pa.array(["abc", None, "abd"])})
         got = edit_distance_join(rd.from_arrow(t), "name", "id").take_all()
         assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 2)}
+
+
+class TestKnnGraph:
+    def test_matches_brute_force(self):
+        from peri_ray.stages.similarity import knn_graph
+
+        rng = np.random.default_rng(23)
+        n, d, k = 120, 16, 5
+        m = rng.normal(size=(n, d))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n) * 7, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float64())),
+        })
+        out = knn_graph(rd.from_arrow(t).repartition(4), k=k,
+                        block_rows=30).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["cos"], r["neighbor_id"]))
+        # brute force with the same (rounded cos desc, id asc) order
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(norm @ norm.T, 6)
+        np.fill_diagonal(s, -np.inf)
+        ids = np.arange(n) * 7
+        for qi in range(n):
+            order = sorted(range(n), key=lambda j: (-s[qi, j], ids[j]))[:k]
+            want = [(s[qi, j], ids[j]) for j in order]
+            have = sorted(got[ids[qi]], key=lambda x: (-x[0], x[1]))
+            assert have == want, (qi, have[:2], want[:2])
+        assert all(len(v) == k for v in got.values())
