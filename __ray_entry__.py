@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lagged_value_events": q.lagged_value_events,
         "fuzzy_name_pairs": q.fuzzy_name_pairs,
         "knn_graph_embeddings": q.knn_graph_embeddings,
+        "fd_user_event_type": q.fd_user_event_type,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -633,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "fd_user_event_type": """
+            SELECT user_id, count(DISTINCT event_type) AS n_dep
+              FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY user_id
+            HAVING count(DISTINCT event_type) > 1
         """,
         "knn_graph_embeddings": """
             WITH e AS (

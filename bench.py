@@ -170,6 +170,12 @@ def run_bench() -> dict:
     timed("mode_event_type_per_user", lambda: q.mode_event_type_per_user(SF_DIR).to_pandas())
     timed("percentile_cont_events", lambda: q.percentile_cont_events(SF_DIR))
     timed("source_gini", lambda: q.source_gini_documents(SF_DIR))
+    timed("fuzzy_name_pairs", lambda: q.fuzzy_name_pairs(SF_DIR).to_pandas())
+    timed("knn_graph", lambda: q.knn_graph_embeddings(SF_DIR).to_pandas())
+    timed("locf_fill", lambda: q.locf_filled_events(SF_DIR).to_pandas())
+    timed("changeset_cast_validate",
+          lambda: q.changeset_orders_violations(SF_DIR).to_pandas())
+    timed("fd_check", lambda: q.fd_user_event_type(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

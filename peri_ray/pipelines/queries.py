@@ -1616,6 +1616,15 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def fd_user_event_type(sf_dir: str):
+    """Functional-dependency profile user_id → event_type: users whose
+    events span >1 distinct type (two-phase distinct-pair exchange)."""
+    from peri_ray.stages.checks import fd_violations
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return fd_violations(ds, "user_id", "event_type")
+
+
 def knn_graph_embeddings(sf_dir: str):
     """Exact kNN graph (top-5 cosine neighbors per vector) over a
     deterministic embedding sample — block-pair matmuls + per-block

@@ -214,6 +214,41 @@ def histogram(ds, column: str, batch_size: int | None = 65536) -> dict[str, int]
     return {r[column]: int(r["sum(cnt)"]) for r in totals if r[column] is not None}
 
 
+def fd_violations(ds, determinant: str, dependent: str,
+                  n_buckets: int = 64, batch_size: int | None = 65536):
+    """Functional-dependency check ``determinant → dependent``: keys
+    holding MORE than one distinct dependent value, with that distinct
+    count — the profiling primitive behind "does url determine lang?"
+    / "is source→domain stable?" contracts.
+
+    Two-phase like every uniqueness check: each block collapses to its
+    DISTINCT (det, dep) pairs before the exchange (nulls in either
+    column excluded — SQL's count(DISTINCT ...) semantics), then one
+    hash-bucketed exchange on the determinant re-collapses pair
+    duplicates across blocks and counts per key.  Returns
+    (determinant, n_dep) rows with n_dep > 1."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        sub = t.select([determinant, dependent])
+        sub = sub.filter(pc.and_(pc.is_valid(sub.column(determinant)),
+                                 pc.is_valid(sub.column(dependent))))
+        return sub.group_by([determinant, dependent]).aggregate([])
+
+    partials = ds.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _count(group: pa.Table) -> pa.Table:
+        g = (group.select([determinant, dependent])
+             .group_by([determinant, dependent]).aggregate([])
+             .group_by(determinant).aggregate([([], "count_all")])
+             .rename_columns([determinant, "n_dep"]))
+        return g.filter(pc.greater(g.column("n_dep"), 1))
+
+    return map_groups_via_buckets(partials, [determinant], _count,
+                                  n_buckets=n_buckets)
+
+
 def repair_enum(ds, column: str, allowed: list[str],
                 batch_size: int | None = 65536):
     """Constraint-driven repair: replace every NON-NULL value of

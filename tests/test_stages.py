@@ -4124,3 +4124,28 @@ class TestKnnGraph:
             have = sorted(got[ids[qi]], key=lambda x: (-x[0], x[1]))
             assert have == want, (qi, have[:2], want[:2])
         assert all(len(v) == k for v in got.values())
+
+
+class TestFdViolations:
+    def test_detects_multi_valued_keys(self):
+        from peri_ray.stages.checks import fd_violations
+
+        t = pa.table({
+            "a": pa.array(["x", "x", "x", "y", "y", "z", None, "w"]),
+            "b": pa.array(["1", "2", "1", "7", "7", None, "5", "9"]),
+        })
+        out = {r["a"]: r["n_dep"]
+               for r in fd_violations(rd.from_arrow(t).repartition(3),
+                                      "a", "b").take_all()}
+        # x -> {1,2} violates; y -> {7} holds; z has only null dep;
+        # null key excluded; w single
+        assert out == {"x": 2}
+
+    def test_cross_block_pairs_merge(self):
+        from peri_ray.stages.checks import fd_violations
+
+        # same (a,b) pair split across blocks must NOT count twice
+        t = pa.table({"a": ["k"] * 6, "b": ["1", "1", "1", "2", "2", "2"]})
+        out = fd_violations(rd.from_arrow(t).repartition(6),
+                            "a", "b").take_all()
+        assert out == [{"a": "k", "n_dep": 2}]
