@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q.fuzzy_name_pairs,
         "knn_graph_embeddings": q.knn_graph_embeddings,
         "fd_user_event_type": q.fd_user_event_type,
+        "budget_subset_documents": q.budget_subset_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -634,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "budget_subset_documents": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS c
+                FROM documents WHERE n_chars IS NOT NULL)
+             WHERE c <= 100000
         """,
         "fd_user_event_type": """
             SELECT user_id, count(DISTINCT event_type) AS n_dep

@@ -1616,6 +1616,16 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def budget_subset_documents(sf_dir: str):
+    """Greedy char-budget subset (largest docs first, ids break ties)
+    WITHOUT a global sort: value-count cutoff + bounded tie selection
+    (stats.budget_subset_ids); twin = SQL window cumsum prefix."""
+    from peri_ray.stages.stats import budget_subset_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return budget_subset_ids(ds, "n_chars", "doc_id", budget=100_000)
+
+
 def fd_user_event_type(sf_dir: str):
     """Functional-dependency profile user_id → event_type: users whose
     events span >1 distinct type (two-phase distinct-pair exchange)."""

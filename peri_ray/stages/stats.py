@@ -1669,3 +1669,96 @@ def mad_outliers(ds, column: str, id_col: str, k: float = 3.0,
 
     return ds.map_batches(_flag, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def budget_subset_ids(ds, weight_col: str, id_col: str, budget: int,
+                      batch_size: int | None = 65536,
+                      max_distinct: int = 100_000,
+                      max_ties: int = 5_000_000):
+    """Greedy budget selection WITHOUT a global sort: the ids of the
+    rows a cumulative scan in (weight DESC, id ASC) order would keep
+    while the running weight total stays ≤ ``budget`` — "take the
+    largest/highest-quality docs until the token budget is full".
+
+    A global ``ds.sort`` + running sum is the naive all-to-all route;
+    instead (1) one pass reduces to per-WEIGHT-VALUE (count, Σweight)
+    partials — bounded by the distinct-weight cardinality, the same
+    contract as :func:`exact_quantiles` (raises above ``max_distinct``,
+    never degrades silently); (2) the driver scans the ≤max_distinct
+    values descending to find the cutoff value and how many of its
+    ties fit; (3) the boundary ties resolve with a distributed
+    smallest-m-ids selection (per-block partial top-m, m ≤ the tie
+    count that fits); (4) one vectorized filter pass emits the ids.
+    Integer weights only — float cumsums are association-order
+    dependent across engines."""
+    cols = [id_col, weight_col]
+
+    def _vc(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).combine_chunks().drop_null()
+        vc = pc.value_counts(w)
+        v = vc.field("values").cast(pa.int64())
+        n = vc.field("counts").cast(pa.int64())
+        return pa.table({"v": v, "n": n})
+
+    merged = (pa.Table.from_pylist(
+        ds.map_batches(_vc, batch_format="pyarrow",
+                       batch_size=batch_size).take_all(),
+        schema=pa.schema([("v", pa.int64()), ("n", pa.int64())]))
+        .group_by("v").aggregate([("n", "sum")]))
+    if merged.num_rows > max_distinct:
+        raise ValueError(
+            f"budget_subset_ids: {merged.num_rows} distinct weights "
+            f"(> max_distinct={max_distinct}); bucket the weight first")
+    v = merged.column("v").to_numpy(zero_copy_only=False)
+    n = merged.column("n_sum").to_numpy(zero_copy_only=False)
+    if len(v) and int(v.min()) < 0:
+        raise ValueError("budget_subset_ids: negative weights are not a "
+                         "greedy order (shift them non-negative first)")
+    order = np.argsort(-v)
+    v, n = v[order], n[order]
+    totals = v * n
+    cum = np.cumsum(totals)
+    # values fully inside the budget
+    full = int(np.searchsorted(cum, budget, side="right"))
+    spent = int(cum[full - 1]) if full else 0
+    cutoff = None
+    m_ties = 0
+    if full < len(v):
+        if int(v[full]) == 0:
+            # zero-weight rows cost nothing: the cumulative scan keeps
+            # them all once the positive weights fit
+            full = len(v)
+        else:
+            cutoff = int(v[full])
+            m_ties = int((budget - spent) // cutoff)
+    lo_value = int(v[full - 1]) if full else None
+
+    def _filter_full(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).combine_chunks()
+        keep = pc.greater_equal(w, lo_value) if lo_value is not None else \
+            pa.array(np.zeros(t.num_rows, bool))
+        return t.filter(pc.fill_null(keep, False)).select([id_col])
+
+    kept = ds.map_batches(_filter_full, batch_format="pyarrow",
+                          batch_size=batch_size)
+    if cutoff is None or m_ties == 0:
+        return kept
+    if m_ties > max_ties:
+        raise ValueError(
+            f"budget_subset_ids: {m_ties} boundary ties exceed "
+            f"max_ties={max_ties}; raise max_ties knowingly")
+
+    def _ties(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).combine_chunks()
+        sub = t.filter(pc.fill_null(pc.equal(w, cutoff), False))
+        ids = sub.column(id_col).combine_chunks()
+        if len(ids) > m_ties:  # per-block partial: smallest m ids
+            idx = pc.array_sort_indices(ids)
+            ids = ids.take(idx.slice(0, m_ties))
+        return pa.table({id_col: ids})
+
+    tie_ids = (ds.map_batches(_ties, batch_format="pyarrow",
+                              batch_size=batch_size)
+               .sort(id_col).limit(m_ties)
+               .select_columns([id_col]))
+    return kept.union(tie_ids)

@@ -4149,3 +4149,45 @@ class TestFdViolations:
         out = fd_violations(rd.from_arrow(t).repartition(6),
                             "a", "b").take_all()
         assert out == [{"a": "k", "n_dep": 2}]
+
+
+class TestBudgetSubset:
+    def _brute(self, ids, w, budget):
+        # prefix-scan semantics (SQL: WHERE running_sum <= budget):
+        # the first overflowing row STOPS the scan
+        order = sorted(range(len(ids)), key=lambda i: (-w[i], ids[i]))
+        keep, c = [], 0
+        for i in order:
+            if c + w[i] > budget:
+                break
+            c += w[i]
+            keep.append(ids[i])
+        return sorted(keep)
+
+    def test_matches_cumulative_scan(self):
+        from peri_ray.stages.stats import budget_subset_ids
+
+        rng = np.random.default_rng(29)
+        n = 2000
+        ids = rng.permutation(n) * 3
+        w = rng.integers(1, 40, n)
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        for budget in (0, 17, 5000, 20_000, 10**9):
+            got = sorted(r["id"] for r in budget_subset_ids(
+                rd.from_arrow(t).repartition(5), "w", "id",
+                budget).take_all())
+            assert got == self._brute(list(ids), list(w), budget), budget
+
+    def test_zero_weights_kept_and_negative_raise(self):
+        from peri_ray.stages.stats import budget_subset_ids
+
+        t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "w": pa.array([5, 0, 0, 5], pa.int64())})
+        got = sorted(r["id"] for r in budget_subset_ids(
+            rd.from_arrow(t), "w", "id", 10).take_all())
+        assert got == [1, 2, 3, 4]
+        bad = pa.table({"id": pa.array([1], pa.int64()),
+                        "w": pa.array([-2], pa.int64())})
+        with pytest.raises(ValueError):
+            budget_subset_ids(rd.from_arrow(bad), "w", "id", 10)
