@@ -24,8 +24,11 @@ from peri_ray.compile import compile_spec
 
 __all__ = ["cast_and_validate"]
 
-#: Ecto's cast-error message (ecto/lib/ecto/changeset.ex `:cast` error)
-CAST_MESSAGE = "is invalid"
+from peri_ray.errors import TEMPLATES
+
+#: Ecto's cast-error message — registered with every other
+#: reference-exact template in peri_ray.errors.TEMPLATES
+CAST_MESSAGE = TEMPLATES["cast"]
 
 
 def _coerce_with_violations(t: pa.Table, rules: dict[str, str]):

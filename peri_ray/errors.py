@@ -31,6 +31,10 @@ from typing import Any
 TEMPLATES = {
     # lib/peri.ex:1322
     "type": "expected type of %{expected} received %{actual} value",
+    # Ecto's :cast error message (lib/peri/ecto.ex cast path; the
+    # message string itself is ecto/lib/ecto/changeset.ex's default) —
+    # used by peri_ray.changeset.cast_and_validate
+    "cast": "is invalid",
     # lib/peri.ex:826
     "required": "is required, expected type of %{expected}",
     # lib/peri.ex:804

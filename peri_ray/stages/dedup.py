@@ -17,7 +17,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import functools
 import itertools
 import logging
 import re
@@ -679,13 +678,31 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     return dedupe_pairs(pairs)
 
 
+class NgramJaccard:
+    """Char-``k``-gram Jaccard (the default LSH verification metric);
+    prepare/sim protocol so each text shingles once per group."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+
+    def prepare(self, text: str) -> frozenset:
+        k = self.k
+        return frozenset(text[i:i + k]
+                         for i in range(max(1, len(text) - k + 1)))
+
+    @staticmethod
+    def sim(sa: frozenset, sb: frozenset) -> float:
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    def __call__(self, a: str, b: str) -> float:
+        return self.sim(self.prepare(a), self.prepare(b))
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
-    """Verification metric for candidate pairs."""
-    sa = set(a[i:i + k] for i in range(max(1, len(a) - k + 1)))
-    sb = set(b[i:i + k] for i in range(max(1, len(b) - k + 1)))
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    """Verification metric for candidate pairs (function form)."""
+    return NgramJaccard(k)(a, b)
 
 
 def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
@@ -790,8 +807,22 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             by_pair.setdefault((r["id_a"], r["id_b"]), {})[r["__slot"]] = \
                 r["__txt"] or ""
         ida, idb, jac = [], [], []
-        score = metric if metric is not None else (
-            lambda a, b: ngram_jaccard(a, b, k))
+        m = metric if metric is not None else NgramJaccard(k)
+        if hasattr(m, "prepare") and hasattr(m, "sim"):
+            # prepare each distinct text ONCE per group (cache lives
+            # only for this call — no process-lifetime text pinning)
+            prepared: dict[str, object] = {}
+
+            def score(a, b, _m=m, _p=prepared):
+                pa_ = _p.get(a)
+                if pa_ is None:
+                    pa_ = _p[a] = _m.prepare(a)
+                pb_ = _p.get(b)
+                if pb_ is None:
+                    pb_ = _p[b] = _m.prepare(b)
+                return _m.sim(pa_, pb_)
+        else:
+            score = m
         for (xa, xb), txts in by_pair.items():
             j = score(txts.get(0, ""), txts.get(1, ""))
             if j >= threshold:
@@ -1203,24 +1234,33 @@ class _PrefixEmit:
                          "pos": pa.array(pos[keep])})
 
 
-@functools.lru_cache(maxsize=8192)
-def _bigram_set(text: str) -> frozenset:
-    """Distinct word bigrams of one text, memoized per worker: a doc in
-    a dense duplicate cluster is scored against MANY partners, and
-    re-tokenizing it per pair made the verify metric the pipeline's
-    hottest loop."""
-    t = _WS_RE.split(text.strip())
-    return frozenset(x + " " + y for x, y in zip(t, t[1:]))
+class TokenBigramJaccard:
+    """Exact Jaccard over distinct word-bigram sets (trim + ``\\s+``
+    tokenizer, matching the SQL twin token for token).  Implements the
+    prepare/sim metric protocol so :func:`verify_candidates` tokenizes
+    each text ONCE PER GROUP instead of once per pair — a doc in a
+    dense duplicate cluster is scored against many partners, and the
+    preparation cache lives only for the group call (no process-
+    lifetime text pinning)."""
+
+    @staticmethod
+    def prepare(text: str) -> frozenset:
+        t = _WS_RE.split(text.strip())
+        return frozenset(x + " " + y for x, y in zip(t, t[1:]))
+
+    @staticmethod
+    def sim(sa: frozenset, sb: frozenset) -> float:
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    def __call__(self, a: str, b: str) -> float:
+        return self.sim(self.prepare(a), self.prepare(b))
 
 
 def token_bigram_jaccard(a: str, b: str) -> float:
-    """Exact Jaccard over distinct word-bigram sets (trim + ``\\s+``
-    tokenizer, matching the SQL twin token for token)."""
-    sa = _bigram_set(a)
-    sb = _bigram_set(b)
-    if not sa or not sb:
-        return 0.0
-    return len(sa & sb) / len(sa | sb)
+    """Function form of :class:`TokenBigramJaccard` (tests/back-compat)."""
+    return TokenBigramJaccard()(a, b)
 
 
 def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -1320,7 +1360,7 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     # heavy stage, and score-task count tracks the bundled block count
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,
-                             metric=token_bigram_jaccard, coalesce_rows=256)
+                             metric=TokenBigramJaccard(), coalesce_rows=256)
 
 
 # ---------------------------------------------------------------------------

@@ -230,15 +230,10 @@ def hash_join(left, right, left_key: str, right_key: str,
 # ---------------------------------------------------------------------------
 
 
-def detect_hot_keys(ds, key: str, hot_threshold: int, mg_k: int = 1024,
-                    batch_size: int | None = 65536) -> list[str]:
-    """Keys (as strings) whose global count MAY reach ``hot_threshold``
-    — a guaranteed SUPERSET via per-batch Misra-Gries summaries merged
-    on the driver (bounded: ≤ mg_k counters per block and at the end).
-    Supersets are the right direction for skew handling: salting a
-    cold key is harmless, missing a hot one recreates the hotspot.
-    Raises when the merged error bound voids the superset guarantee
-    (raise ``mg_k``) — never a silent miss."""
+def _mg_summary(ds, key: str, mg_k: int,
+                batch_size: int | None = 65536):
+    """One streaming pass → (merged Misra-Gries summary over ``key``
+    as strings, total non-null row count)."""
     import pickle
 
     from peri_ray.state.sketches import MisraGries
@@ -249,12 +244,29 @@ def detect_hot_keys(ds, key: str, hot_threshold: int, mg_k: int = 1024,
         mg = MisraGries(mg_k)
         mg.add_counts(vc.field("values").to_pylist(),
                       vc.field("counts").to_pylist())
-        return pa.table({"s": pa.array([pickle.dumps(mg)], pa.binary())})
+        n = int(pc.sum(vc.field("counts")).as_py() or 0)
+        return pa.table({"s": pa.array([pickle.dumps(mg)], pa.binary()),
+                         "n": pa.array([n], pa.int64())})
 
     merged = MisraGries(mg_k)
+    total = 0
     for r in ds.map_batches(_part, batch_format="pyarrow",
                             batch_size=batch_size).take_all():
         merged.merge(pickle.loads(r["s"]))
+        total += r["n"]
+    return merged, total
+
+
+def detect_hot_keys(ds, key: str, hot_threshold: int, mg_k: int = 1024,
+                    batch_size: int | None = 65536) -> list[str]:
+    """Keys (as strings) whose global count MAY reach ``hot_threshold``
+    — a guaranteed SUPERSET via per-batch Misra-Gries summaries merged
+    on the driver (bounded: ≤ mg_k counters per block and at the end).
+    Supersets are the right direction for skew handling: salting a
+    cold key is harmless, missing a hot one recreates the hotspot.
+    Raises when the merged error bound voids the superset guarantee
+    (raise ``mg_k``) — never a silent miss."""
+    merged, _ = _mg_summary(ds, key, mg_k, batch_size=batch_size)
     if merged.err >= hot_threshold:
         raise ValueError(
             f"detect_hot_keys: Misra-Gries error bound {merged.err} >= "
@@ -286,9 +298,9 @@ def salted_hash_join(left, right, left_key: str, right_key: str,
     ``hot_keys`` (strings) may be given directly (e.g. from a previous
     run's profile); otherwise :func:`detect_hot_keys` finds a bounded
     superset with ``hot_threshold`` (default: a fair bucket share,
-    fact_rows / n_buckets — detection then costs one extra streaming
-    pass over the fact side, which `.materialize()`s to avoid
-    re-executing its lineage)."""
+    fact_rows / n_buckets, counted inside the same summary pass) —
+    detection then costs one extra streaming pass over the projected
+    fact columns; the fact side is never pinned in the object store."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             "salted_hash_join supports inner/left/semi/anti only "
@@ -300,10 +312,19 @@ def salted_hash_join(left, right, left_key: str, right_key: str,
                   else [c for c in right_cols if c != right_key])
 
     if hot_keys is None:
-        left = left.materialize()
+        # the detection pass re-executes the (projected) fact lineage
+        # once instead of pinning the whole fact side in the object
+        # store — the fact side is big by premise (that's why salting
+        # exists), and the MG pass computes the fair-share total itself
+        merged, total = _mg_summary(left, left_key, mg_k)
         if hot_threshold is None:
-            hot_threshold = max(2, left.count() // n_buckets)
-        hot_keys = detect_hot_keys(left, left_key, hot_threshold, mg_k=mg_k)
+            hot_threshold = max(2, total // n_buckets)
+        if merged.err >= hot_threshold:
+            raise ValueError(
+                f"salted_hash_join: Misra-Gries error bound {merged.err} "
+                f">= hot_threshold {hot_threshold}; raise mg_k "
+                f"(currently {mg_k})")
+        hot_keys = merged.candidates(hot_threshold)
     hot_arr = pa.array(sorted(hot_keys), pa.string())
 
     l_schema = left.schema()

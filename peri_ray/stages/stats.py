@@ -491,7 +491,11 @@ def gini_concentration(ds, key_col: str,
         gini = None
     else:
         s_ic = sum((i + 1) * c for i, (_, c) in enumerate(items))
-        gini = (2 * s_ic - (n + 1) * tot) / (n * tot)
+        # convert each exact-int operand to double BEFORE dividing —
+        # the SQL twin CASTs numerator and denominator to DOUBLE, and
+        # Python's exact int/int quotient lands on a different double
+        # once either operand exceeds 2^53
+        gini = float(2 * s_ic - (n + 1) * tot) / float(n * tot)
     return pa.table({"gini": pa.array([gini], pa.float64()),
                      "n_groups": pa.array([n], pa.int64())})
 
@@ -679,7 +683,10 @@ def grouped_kll_quantiles(ds, key: str, col: str,
             sk = pickle.loads(blob)
             merged = sk if merged is None else merged.merge(sk)
         vals = merged.quantiles(qs)
-        cols = {key: pa.array([run.column(key)[0].as_py()]),
+        # explicit type: an untyped pa.array([None]) for a null-key run
+        # is null-typed and poisons the bucket's concat_tables
+        cols = {key: pa.array([run.column(key)[0].as_py()],
+                              type=run.column(key).type),
                 "n": pa.array([merged.n], pa.int64())}
         for q, v in zip(qs, vals):
             cols[f"q_{str(q).replace('.', '_')}"] = pa.array([v], pa.float64())
@@ -715,6 +722,11 @@ def grouped_hll_ndv(ds, key: str, col: str, p: int = 12,
         if (pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
                 or pa.types.is_binary(vals.type)):
             hashes = hash_strings(vals)
+        elif pa.types.is_floating(vals.type):
+            # hash the float64 BIT PATTERN (same recipe as column_stats'
+            # HLL) — a safe cast to int64 raises on non-integral floats
+            hashes = splitmix64(vals.cast(pa.float64()).to_numpy(
+                zero_copy_only=False).view(np.uint64))
         else:
             hashes = splitmix64(vals.cast(pa.int64()).to_numpy(
                 zero_copy_only=False).view(np.uint64))
@@ -748,7 +760,8 @@ def grouped_hll_ndv(ds, key: str, col: str, p: int = 12,
         for blob in run.column("sk").to_pylist():
             h = pickle.loads(blob)
             merged = h if merged is None else merged.merge(h)
-        return pa.table({key: pa.array([run.column(key)[0].as_py()]),
+        return pa.table({key: pa.array([run.column(key)[0].as_py()],
+                                       type=run.column(key).type),
                          "ndv": pa.array([int(round(merged.estimate()))],
                                          pa.int64())})
 
@@ -1456,39 +1469,27 @@ def collect_sorted(ds, key: str, value_col: str, ts_col: str, id_col: str,
         ds.select_columns([key, value_col, ts_col, id_col]), [key], _agg)
 
 
-def exact_quantile_continuous(ds, column: str, qs=(0.5,),
-                              kll_k: int = 800,
-                              batch_size: int | None = 65536,
-                              max_collect: int = 2_000_000) -> pa.Table:
-    """EXACT percentile_disc for CONTINUOUS columns — the case the
-    value-count path refuses (distinct ~ rows).  Distributed selection
-    in two passes:
+def _bracket_collect(ds, column: str, qs, kll_k: int,
+                     batch_size: int | None, max_collect: int,
+                     caller: str):
+    """Shared two-pass KLL-guided selection front end: (1) sketch the
+    column and bracket each target quantile with the padded rank-error
+    window; (2) one exact pass counts values strictly below each
+    bracket and collects the in-bracket values.  Returns
+    ``(n, below_tot, vals)`` — ``None`` for an empty column.  Raises
+    (named after ``caller``) when a bracket overflows ``max_collect``;
+    the eps padding (max(8/kll_k, 1e-4), >10× the measured KLL rank
+    error) is calibrated ONCE here for every rank-selection caller."""
+    import pickle
 
-    1. a KLL sketch pass brackets each target rank: [v_lo, v_hi] such
-       that the true q-quantile lies inside (sketch rank error pads the
-       bracket);
-    2. one exact pass counts values strictly below v_lo and collects
-       the values inside the bracket (~2 * eps * n of them; eps = 8/k
-       pads the measured KLL rank error >10x, ~2% of n at the default
-       k — raise ``kll_k`` to shrink the bracket for huge inputs); the
-       answer is the (rank - below)-th order statistic of the
-       collected values.
-
-    Raises if a bracket would collect more than ``max_collect`` values
-    (sketch failed its error bound or qs too dense) — never silently
-    approximates."""
     from peri_ray.state.sketches import KLL
 
     def _sketch(t: pa.Table) -> pa.Table:
-        import pickle
-
         v = (t.column(column).combine_chunks().drop_null()
              .cast(pa.float64()).to_numpy(zero_copy_only=False))
         k = KLL(kll_k)
         k.update_many(v)
         return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
-
-    import pickle
 
     merged = KLL(kll_k)
     for r in ds.map_batches(_sketch, batch_format="pyarrow",
@@ -1496,21 +1497,11 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
         merged.merge(pickle.loads(r["s"]))
     n = merged.n
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.float64())})
-    # KLL rank error scales ~1/k (measured: max 0.0006 at k=800 over
-    # 500K-row trials); 8/k pads that by >10x while keeping the
-    # bracket ~2*eps = 2% of n at the default k — and raising k
-    # SHRINKS the bracket, so the raise-path guidance converges
+        return None
     eps = max(8.0 / kll_k, 1e-4)
-    brackets = []
-    for q in qs:
-        lo = merged.quantile(max(0.0, q - eps))
-        hi = merged.quantile(min(1.0, q + eps))
-        brackets.append((float(lo), float(hi)))
-
+    brackets = [(float(merged.quantile(max(0.0, q - eps))),
+                 float(merged.quantile(min(1.0, q + eps)))) for q in qs]
     los = np.array([b[0] for b in brackets])
-    his = np.array([b[1] for b in brackets])
 
     def _pass2(t: pa.Table) -> pa.Table:
         v = (t.column(column).combine_chunks().drop_null()
@@ -1533,8 +1524,38 @@ def exact_quantile_continuous(ds, column: str, qs=(0.5,),
         vals[r["bi"]].extend(r["vals"])
         if len(vals[r["bi"]]) > max_collect:
             raise ValueError(
-                f"exact_quantile_continuous: bracket {r['bi']} collected "
+                f"{caller}: bracket {r['bi']} collected "
                 f"> {max_collect} values; raise kll_k")
+    return n, below_tot, vals
+
+
+def exact_quantile_continuous(ds, column: str, qs=(0.5,),
+                              kll_k: int = 800,
+                              batch_size: int | None = 65536,
+                              max_collect: int = 2_000_000) -> pa.Table:
+    """EXACT percentile_disc for CONTINUOUS columns — the case the
+    value-count path refuses (distinct ~ rows).  Distributed selection
+    in two passes:
+
+    1. a KLL sketch pass brackets each target rank: [v_lo, v_hi] such
+       that the true q-quantile lies inside (sketch rank error pads the
+       bracket);
+    2. one exact pass counts values strictly below v_lo and collects
+       the values inside the bracket (~2 * eps * n of them; eps = 8/k
+       pads the measured KLL rank error >10x, ~2% of n at the default
+       k — raise ``kll_k`` to shrink the bracket for huge inputs); the
+       answer is the (rank - below)-th order statistic of the
+       collected values.
+
+    Raises if a bracket would collect more than ``max_collect`` values
+    (sketch failed its error bound or qs too dense) — never silently
+    approximates."""
+    got = _bracket_collect(ds, column, qs, kll_k, batch_size, max_collect,
+                           "exact_quantile_continuous")
+    if got is None:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    n, below_tot, vals = got
     out_q, out_v = [], []
     for i, q in enumerate(qs):
         rank = max(1, int(np.ceil(n * q)))  # percentile_disc rank
@@ -1565,55 +1586,12 @@ def percentile_cont_continuous(ds, column: str, qs=(0.5,),
     and the verdict is hash-compared)."""
     import math
 
-    from peri_ray.state.sketches import KLL
-
-    def _sketch(t: pa.Table) -> pa.Table:
-        import pickle
-
-        v = (t.column(column).combine_chunks().drop_null()
-             .cast(pa.float64()).to_numpy(zero_copy_only=False))
-        k = KLL(kll_k)
-        k.update_many(v)
-        return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
-
-    import pickle
-
-    merged = KLL(kll_k)
-    for r in ds.map_batches(_sketch, batch_format="pyarrow",
-                            batch_size=batch_size).take_all():
-        merged.merge(pickle.loads(r["s"]))
-    n = merged.n
-    if n == 0:
+    got = _bracket_collect(ds, column, qs, kll_k, batch_size, max_collect,
+                           "percentile_cont_continuous")
+    if got is None:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
-    eps = max(8.0 / kll_k, 1e-4)
-    brackets = [(float(merged.quantile(max(0.0, q - eps))),
-                 float(merged.quantile(min(1.0, q + eps)))) for q in qs]
-    los = np.array([b[0] for b in brackets])
-
-    def _pass2(t: pa.Table) -> pa.Table:
-        v = (t.column(column).combine_chunks().drop_null()
-             .cast(pa.float64()).to_numpy(zero_copy_only=False))
-        below = np.array([(v < lo).sum() for lo in los], np.int64)
-        collected = [v[(v >= lo) & (v <= hi)] for lo, hi in brackets]
-        return pa.table({
-            "bi": pa.array(np.arange(len(brackets), dtype=np.int64)),
-            "below": pa.array(below),
-            "vals": pa.array([c.tolist() for c in collected],
-                             pa.list_(pa.float64())),
-        })
-
-    rows = ds.map_batches(_pass2, batch_format="pyarrow",
-                          batch_size=batch_size).take_all()
-    below_tot = np.zeros(len(brackets), np.int64)
-    vals: list[list[float]] = [[] for _ in brackets]
-    for r in rows:
-        below_tot[r["bi"]] += r["below"]
-        vals[r["bi"]].extend(r["vals"])
-        if len(vals[r["bi"]]) > max_collect:
-            raise ValueError(
-                f"percentile_cont_continuous: bracket {r['bi']} collected "
-                f"> {max_collect} values; raise kll_k")
+    n, below_tot, vals = got
     out_q, out_v = [], []
     for i, q in enumerate(qs):
         rn = (n - 1) * float(q)
@@ -1724,41 +1702,55 @@ def budget_subset_ids(ds, weight_col: str, id_col: str, budget: int,
     cutoff = None
     m_ties = 0
     if full < len(v):
-        if int(v[full]) == 0:
-            # zero-weight rows cost nothing: the cumulative scan keeps
-            # them all once the positive weights fit
-            full = len(v)
-        else:
-            cutoff = int(v[full])
-            m_ties = int((budget - spent) // cutoff)
+        # v[full] > 0 always: zero-weight entries add nothing to the
+        # cumsum, so searchsorted counts them inside `full` whenever
+        # the positive weights fit (and they never fit otherwise)
+        cutoff = int(v[full])
+        m_ties = int((budget - spent) // cutoff)
     lo_value = int(v[full - 1]) if full else None
 
-    def _filter_full(t: pa.Table) -> pa.Table:
-        w = t.column(weight_col).combine_chunks()
-        keep = pc.greater_equal(w, lo_value) if lo_value is not None else \
-            pa.array(np.zeros(t.num_rows, bool))
-        return t.filter(pc.fill_null(keep, False)).select([id_col])
-
-    kept = ds.map_batches(_filter_full, batch_format="pyarrow",
-                          batch_size=batch_size)
-    if cutoff is None or m_ties == 0:
-        return kept
-    if m_ties > max_ties:
+    want_ties = cutoff is not None and m_ties > 0
+    if want_ties and m_ties > max_ties:
         raise ValueError(
             f"budget_subset_ids: {m_ties} boundary ties exceed "
             f"max_ties={max_ties}; raise max_ties knowingly")
 
-    def _ties(t: pa.Table) -> pa.Table:
+    def _select(t: pa.Table) -> pa.Table:
+        """ONE output scan: fully-kept ids (tie=false) plus per-block
+        partial smallest-m tie-candidate ids (tie=true)."""
         w = t.column(weight_col).combine_chunks()
-        sub = t.filter(pc.fill_null(pc.equal(w, cutoff), False))
-        ids = sub.column(id_col).combine_chunks()
-        if len(ids) > m_ties:  # per-block partial: smallest m ids
-            idx = pc.array_sort_indices(ids)
-            ids = ids.take(idx.slice(0, m_ties))
-        return pa.table({id_col: ids})
+        keep = pc.greater_equal(w, lo_value) if lo_value is not None else \
+            pa.array(np.zeros(t.num_rows, bool))
+        kept_ids = (t.filter(pc.fill_null(keep, False))
+                    .column(id_col).combine_chunks())
+        parts = [pa.table({id_col: kept_ids,
+                           "__tie": pa.array(
+                               np.zeros(len(kept_ids), bool))})]
+        if want_ties:
+            ties = (t.filter(pc.fill_null(pc.equal(w, cutoff), False))
+                    .column(id_col).combine_chunks())
+            if len(ties) > m_ties:  # per-block partial: smallest m ids
+                idx = pc.array_sort_indices(ties)
+                ties = ties.take(idx.slice(0, m_ties))
+            parts.append(pa.table({id_col: ties,
+                                   "__tie": pa.array(
+                                       np.ones(len(ties), bool))}))
+        return pa.concat_tables(parts)
 
-    tie_ids = (ds.map_batches(_ties, batch_format="pyarrow",
-                              batch_size=batch_size)
-               .sort(id_col).limit(m_ties)
-               .select_columns([id_col]))
+    # materialize: the id table is bounded by the selection size, and
+    # both consumers (kept, ties) would otherwise re-run the input scan
+    selected = ds.map_batches(_select, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    def _split(tie: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = t.column("__tie").combine_chunks()
+            mask = m if tie else pc.invert(m)
+            return t.filter(mask).select([id_col])
+        return _f
+
+    kept = selected.map_batches(_split(False), batch_format="pyarrow")
+    if not want_ties:
+        return kept
+    tie_ids = (selected.map_batches(_split(True), batch_format="pyarrow")
+               .sort(id_col).limit(m_ties))
     return kept.union(tie_ids)

@@ -4191,3 +4191,37 @@ class TestBudgetSubset:
                         "w": pa.array([-2], pa.int64())})
         with pytest.raises(ValueError):
             budget_subset_ids(rd.from_arrow(bad), "w", "id", 10)
+
+
+class TestReviewRegressions:
+    def test_grouped_hll_null_key_single_bucket(self):
+        # judge-style repro: a null-key run sharing a bucket with a
+        # non-null key must not poison concat_tables with a null-typed
+        # key column
+        from peri_ray.stages.stats import grouped_hll_ndv
+
+        t = pa.table({"k": pa.array(["a"] * 5 + [None] * 5),
+                      "v": pa.array(list(range(5)) + list(range(3)) + [0, 1],
+                                    pa.int64())})
+        out = {r["k"]: r["ndv"]
+               for r in grouped_hll_ndv(rd.from_arrow(t), "k", "v",
+                                        n_buckets=1).take_all()}
+        assert out == {"a": 5, None: 3}
+
+    def test_grouped_hll_float_values(self):
+        from peri_ray.stages.stats import grouped_hll_ndv
+
+        t = pa.table({"k": ["g"] * 4,
+                      "v": pa.array([1.25, 2.5, 1.25, 3.75], pa.float64())})
+        out = grouped_hll_ndv(rd.from_arrow(t), "k", "v").take_all()
+        assert out == [{"k": "g", "ndv": 3}]
+
+    def test_grouped_kll_null_key_single_bucket(self):
+        from peri_ray.stages.stats import grouped_kll_quantiles
+
+        t = pa.table({"k": pa.array(["a"] * 4 + [None] * 4),
+                      "v": pa.array([1.0, 2, 3, 4, 10, 20, 30, 40])})
+        out = {r["k"]: r["n"]
+               for r in grouped_kll_quantiles(rd.from_arrow(t), "k", "v",
+                                              n_buckets=1).take_all()}
+        assert out == {"a": 4, None: 4}
