@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_embeddings": q.knn_graph_embeddings,
         "fd_user_event_type": q.fd_user_event_type,
         "budget_subset_documents": q.budget_subset_documents,
+        "unnest_embeddings": q.unnest_embeddings,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,
@@ -635,6 +636,13 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini,
                    count(*) AS n_groups
               FROM r
+        """,
+        "unnest_embeddings": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS value
+              FROM embeddings
+             WHERE vec_id % 25 = 0 AND embedding IS NOT NULL
         """,
         "budget_subset_documents": """
             SELECT doc_id FROM (

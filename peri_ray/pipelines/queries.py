@@ -1616,6 +1616,29 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def unnest_embeddings(sf_dir: str):
+    """List-column explode (unnest WITH ORDINALITY) on a deterministic
+    embedding sample — streaming reshape, values cast to double (exact
+    f32→f64)."""
+    from peri_ray.stages.stats import unnest_list
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("vec_id").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 25 == 0))
+
+    exploded = unnest_list(ds.map_batches(_sample, batch_format="pyarrow"),
+                           "embedding", ["vec_id"])
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("value"), "value",
+                            t.column("value").cast(pa.float64()))
+
+    return exploded.map_batches(_cast, batch_format="pyarrow")
+
+
 def budget_subset_documents(sf_dir: str):
     """Greedy char-budget subset (largest docs first, ids break ties)
     WITHOUT a global sort: value-count cutoff + bounded tie selection

@@ -1116,6 +1116,42 @@ def cube_counts(ds, key1: str, key2: str, value_col: str,
 # ---------------------------------------------------------------------------
 
 
+def unnest_list(ds, list_col: str, id_cols: list[str],
+                value_name: str = "value", idx_name: str = "idx",
+                batch_size: int | None = 8192):
+    """Explode a list column to (id_cols…, idx, value) rows — SQL
+    ``unnest(...) WITH ORDINALITY`` (idx 1-based).  Pure streaming
+    per-batch reshape, fully vectorized: one ``list_flatten`` +
+    ``np.repeat`` of the id columns; null lists contribute no rows,
+    null ELEMENTS survive as null values."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        sub = t.filter(valid)
+        col = sub.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.arange(total, dtype=np.int64) - starts + 1
+        out = {}
+        for c in id_cols:
+            ids = sub.column(c).combine_chunks()
+            out[c] = ids.take(pa.array(
+                np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
+        out[idx_name] = pa.array(idx)
+        out[value_name] = pc.list_flatten(col)
+        return pa.table(out)
+
+    return ds.map_batches(_explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def unpivot(ds, id_cols: list[str], value_cols: list[str],
             name_col: str = "name", value_col: str = "value",
             value_type: pa.DataType = pa.float64(),

@@ -4225,3 +4225,19 @@ class TestReviewRegressions:
                for r in grouped_kll_quantiles(rd.from_arrow(t), "k", "v",
                                               n_buckets=1).take_all()}
         assert out == {"a": 4, None: 4}
+
+
+class TestUnnestList:
+    def test_explode_semantics(self):
+        from peri_ray.stages.stats import unnest_list
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "xs": pa.array([[10, None, 30], None, []],
+                           pa.list_(pa.int64())),
+        })
+        out = unnest_list(rd.from_arrow(t).repartition(2), "xs",
+                          ["id"]).take_all()
+        rows = sorted((r["id"], r["idx"], r["value"]) for r in out)
+        # null list -> no rows; empty list -> no rows; null element kept
+        assert rows == [(1, 1, 10), (1, 2, None), (1, 3, 30)]
