@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_user_event_type": q.fd_user_event_type,
         "budget_subset_documents": q.budget_subset_documents,
         "unnest_embeddings": q.unnest_embeddings,
+        "ann_recall_report": q.ann_recall_report,
+        "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
         "corr_lineitem": q.corr_lineitem,

@@ -1616,6 +1616,50 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def compression_ratio_documents(sf_dir: str):
+    """zlib-ratio low-information signal per doc (rows-only: no
+    deflate in SQL)."""
+    from peri_ray.stages.text import add_compression_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_compression_ratio(ds).select_columns(["doc_id", "zlib_ratio"])
+
+
+def ann_recall_report(sf_dir: str):
+    """Retrieval-quality self-evaluation: recall@10 of the approximate
+    ANN routes (LSH-bucketed, IVF-Flat) against the exact brute-force
+    neighbors, per query + macro average — the measurement that decides
+    whether an approximate index is good enough to replace the exact
+    scan at corpus scale.  Rows-only (the approximate side is not
+    SQL-expressible); deterministic queries (3 lowest vec_ids)."""
+    from peri_ray.stages.similarity import (brute_force_topk, ivf_topk,
+                                            lsh_bucketed_topk)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = ds.sort("vec_id").take(3)
+    queries = np.stack([np.asarray(r["embedding"], np.float32)
+                        for r in q_rows])
+    exact = brute_force_topk(ds, queries, k=10)
+    methods = {
+        "lsh": lsh_bucketed_topk(ds, queries, k=10, n_planes=6),
+        "ivf": ivf_topk(ds, queries, k=10, n_cells=8, nprobe=3),
+    }
+    meth, qids, recalls = [], [], []
+    for name, results in methods.items():
+        for i, res in enumerate(results):
+            truth = {v for v, _ in exact[i]}
+            got = {v for v, _ in res}
+            meth.append(name)
+            qids.append(int(q_rows[i]["vec_id"]))
+            recalls.append(len(truth & got) / max(1, len(truth)))
+        meth.append(name)
+        qids.append(-1)  # macro average marker
+        recalls.append(float(np.mean(recalls[-3:])))
+    return pa.table({"method": pa.array(meth, pa.string()),
+                     "query_id": pa.array(qids, pa.int64()),
+                     "recall_at_10": pa.array(recalls, pa.float64())})
+
+
 def unnest_embeddings(sf_dir: str):
     """List-column explode (unnest WITH ORDINALITY) on a deterministic
     embedding sample — streaming reshape, values cast to double (exact

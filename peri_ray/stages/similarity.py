@@ -118,16 +118,32 @@ class _LSHBucketer:
 
 def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      seed: int = 5):
-    """Approximate top-k: only vectors whose LSH bucket matches a query's
-    bucket are scored.  Recall < 1 by design; n_planes trades recall for
-    scanned fraction."""
+                      seed: int = 5, n_probe_bits: int = 1):
+    """Approximate top-k: only vectors whose LSH bucket lies within
+    Hamming distance ``n_probe_bits`` of a query's bucket are scored
+    (multi-probe LSH, Lv et al. VLDB'07: a true neighbor on the wrong
+    side of ONE hyperplane lands in an adjacent bucket, and probing
+    those costs (n_planes choose ≤b) extra buckets instead of more
+    tables).  Recall < 1 by design; (n_planes, n_probe_bits) trades
+    recall against the scanned fraction — measure with
+    ``ann_recall_report`` before trusting a configuration."""
+    import itertools as _it
+
     q = np.asarray(queries, np.float32)
     dim = q.shape[1]
     bucketer = _LSHBucketer(dim, n_planes, seed, id_col, vec_col)
     qb = bucketer(pa.table({id_col: pa.array(np.arange(len(q)), pa.int64()),
                             vec_col: pa.array(list(q))}))
-    qbuckets = pa.array(sorted(set(qb.column("bucket").to_pylist())), pa.int64())
+    base = set(qb.column("bucket").to_pylist())
+    probed = set(base)
+    for b in base:
+        for r in range(1, n_probe_bits + 1):
+            for bits in _it.combinations(range(n_planes), r):
+                flip = b
+                for bit in bits:
+                    flip ^= (1 << bit)
+                probed.add(flip)
+    qbuckets = pa.array(sorted(probed), pa.int64())
     bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
 
     def _filter(t: pa.Table) -> pa.Table:

@@ -1084,3 +1084,34 @@ def heavy_hitter_terms(ds, threshold: int, text_col: str = "text",
         return t.set_column(1, "n", t.column("n").cast(pa.int64()))
 
     return totals.map_batches(_final, batch_format="pyarrow")
+
+
+def compression_ratio_batch(table: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Append ``zlib_ratio`` = deflate(text) bytes / raw utf-8 bytes —
+    the classic low-information detector (boilerplate, keyword stuffing
+    and generated spam compress far below prose; Gopher filters on it).
+    Deterministic (fixed level), C-speed per row; null/empty text →
+    null ratio."""
+    import zlib
+
+    txt = table.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    out = []
+    for v in txt.to_pylist():
+        if not v:
+            out.append(None)
+            continue
+        raw = v.encode("utf-8", "ignore")
+        out.append(len(zlib.compress(raw, level)) / len(raw))
+    return table.append_column("zlib_ratio", pa.array(out, pa.float64()))
+
+
+def add_compression_ratio(ds, text_col: str = "text", level: int = 6,
+                          batch_size: int | None = 4096):
+    """Dataset form of :func:`compression_ratio_batch` (streaming,
+    stateless — zlib needs no per-actor setup)."""
+    return ds.map_batches(
+        lambda t: compression_ratio_batch(t, text_col, level),
+        batch_format="pyarrow", batch_size=batch_size)

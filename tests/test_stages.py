@@ -4241,3 +4241,19 @@ class TestUnnestList:
         rows = sorted((r["id"], r["idx"], r["value"]) for r in out)
         # null list -> no rows; empty list -> no rows; null element kept
         assert rows == [(1, 1, 10), (1, 2, None), (1, 3, 30)]
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_below_random(self):
+        from peri_ray.stages.text import add_compression_ratio
+
+        rng = np.random.default_rng(31)
+        rand = "".join(chr(97 + c) for c in rng.integers(0, 26, 4000))
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(["spam " * 800, rand, None, ""])})
+        out = {r["doc_id"]: r["zlib_ratio"]
+               for r in add_compression_ratio(
+                   rd.from_arrow(t)).take_all()}
+        assert out[1] < 0.05          # pure repetition
+        assert out[2] > 0.5           # random letters barely compress
+        assert out[3] is None and out[4] is None
