@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_subset_documents": q.budget_subset_documents,
         "unnest_embeddings": q.unnest_embeddings,
         "ann_recall_report": q.ann_recall_report,
+        "asof_forward_event_orders": q.asof_forward_event_orders,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -472,6 +473,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, o.o_orderdate AS asof_orderdate "
             "FROM events e ASOF LEFT JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "asof_forward_event_orders": (
+            "SELECT e.event_id, o.o_orderdate AS next_orderdate "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate"
         ),
         "windowed_drift_event_type": """
             WITH wins AS (

@@ -1616,6 +1616,19 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def asof_forward_event_orders(sf_dir: str):
+    """Forward as-of: each event matched to the EARLIEST order date of
+    the same customer at-or-after the event time (the "next scheduled
+    thing" probe; oracle = DuckDB ASOF LEFT JOIN with <=)."""
+    from peri_ray.stages.temporal import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return asof_join(events, orders, "user_id", "o_custkey", "ts",
+                     "o_orderdate", left_cols=["event_id"],
+                     out_col="next_orderdate", direction="forward")
+
+
 def compression_ratio_documents(sf_dir: str):
     """zlib-ratio low-information signal per doc (rows-only: no
     deflate in SQL)."""

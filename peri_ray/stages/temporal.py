@@ -296,10 +296,14 @@ def range_join_count(left, right, left_key: str, right_key: str,
 def asof_join(left, right, left_key: str, right_key: str,
               left_ts: str, right_ts: str,
               left_cols: list[str] | None = None,
-              out_col: str = "asof_ts", n_buckets: int = 64):
+              out_col: str = "asof_ts", n_buckets: int = 64,
+              direction: str = "backward"):
     """For every left row, the greatest ``right_ts`` ≤ ``left_ts``
     among right rows sharing the join key (DuckDB/kdb ASOF LEFT JOIN
     semantics); null when no prior right row exists.
+    ``direction="forward"`` flips the floor to a ceiling: the SMALLEST
+    ``right_ts`` ≥ ``left_ts`` (the "next scheduled event" probe;
+    DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``).
 
     Emits the matched RIGHT TIMESTAMP (not an arbitrary right row id),
     so the result is deterministic even when several right rows tie on
@@ -309,6 +313,9 @@ def asof_join(left, right, left_key: str, right_key: str,
     only the key, the two timestamp columns and ``left_cols`` cross the
     exchange.  Per bucket: rights sort once, then each left key-segment
     resolves with one vectorized ``searchsorted``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    forward = direction == "forward"
     left_cols = left_cols or []
 
     def _tag_left(t: pa.Table) -> pa.Table:
@@ -368,9 +375,14 @@ def asof_join(left, right, left_key: str, right_key: str,
                 a, b = lo[rows[0]], hi[rows[0]]
                 if a == b:
                     continue
-                pos = np.searchsorted(rts[a:b], lts[rows], side="right")
-                hit = pos > 0
-                matched[rows[hit]] = rts[a:b][pos[hit] - 1]
+                if forward:
+                    pos = np.searchsorted(rts[a:b], lts[rows], side="left")
+                    hit = pos < (b - a)
+                    matched[rows[hit]] = rts[a:b][pos[hit]]
+                else:
+                    pos = np.searchsorted(rts[a:b], lts[rows], side="right")
+                    hit = pos > 0
+                    matched[rows[hit]] = rts[a:b][pos[hit] - 1]
         out_cols = {c: group.column(c).combine_chunks().take(
             pa.array(li, pa.int64())) for c in left_cols}
         ok = matched != np.iinfo(np.int64).min

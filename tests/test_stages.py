@@ -4257,3 +4257,40 @@ class TestCompressionRatio:
         assert out[1] < 0.05          # pure repetition
         assert out[2] > 0.5           # random letters barely compress
         assert out[3] is None and out[4] is None
+
+
+class TestAsofForward:
+    def test_forward_vs_backward(self):
+        from peri_ray.stages.temporal import asof_join
+
+        def _ts(vals):
+            return pa.array(np.array(vals, "datetime64[us]"))
+
+        left = pa.table({
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "lts": _ts(["2024-01-01T00:00:05", "2024-01-01T00:00:10",
+                        "2024-01-01T00:00:20", "2024-01-01T00:00:05"]),
+            "lid": pa.array([0, 1, 2, 3], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "rts": _ts(["2024-01-01T00:00:08", "2024-01-01T00:00:15"]),
+        })
+        fwd = {r["lid"]: r["asof_ts"]
+               for r in asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  "k", "k", "lts", "rts", ["lid"],
+                                  direction="forward").take_all()}
+        import datetime as dt
+        t08 = dt.datetime(2024, 1, 1, 0, 0, 8)
+        t15 = dt.datetime(2024, 1, 1, 0, 0, 15)
+        assert fwd[0] == t08            # next right at/after 00:05
+        assert fwd[1] == t15
+        assert fwd[2] is None           # nothing after 00:20
+        assert fwd[3] is None           # key 2 has no rights
+        bwd = {r["lid"]: r["asof_ts"]
+               for r in asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  "k", "k", "lts", "rts", ["lid"]).take_all()}
+        assert bwd[0] is None and bwd[1] == t08 and bwd[2] == t15
+        with pytest.raises(ValueError):
+            asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      "k", "k", "lts", "rts", direction="sideways")
