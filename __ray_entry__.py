@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": q.unnest_embeddings,
         "ann_recall_report": q.ann_recall_report,
         "asof_forward_event_orders": q.asof_forward_event_orders,
+        "dedup_best_capture_docs": q.dedup_best_capture_docs,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -479,6 +480,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate"
         ),
+        "dedup_best_capture_docs": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                       PARTITION BY text
+                       ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+             WHERE rn = 1
+        """,
         "windowed_drift_event_type": """
             WITH wins AS (
               SELECT DISTINCT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)

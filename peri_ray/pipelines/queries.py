@@ -1616,6 +1616,31 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def dedup_best_capture_docs(sf_dir: str):
+    """Exact dedup keeping the BEST row per content (highest n_chars,
+    tie → min doc_id) instead of the min id — the recrawl policy "keep
+    the richest capture".  Pure composition: content-hash column +
+    ``top_k_per_group(k=1)``; only (hash, n_chars, doc_id) rows cross
+    the exchange."""
+    from peri_ray.stages.stats import top_k_per_group
+    from peri_ray.state.sketches import hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _h(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("text").combine_chunks(), seed=1)
+        return pa.table({
+            "content_hash": pa.array(h.astype(np.int64)),
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+        })
+
+    hashed = ds.map_batches(_h, batch_format="pyarrow")
+    best = top_k_per_group(hashed, key="content_hash", order_col="n_chars",
+                           k=1, descending=True, tiebreak="doc_id")
+    return best.select_columns(["doc_id"])
+
+
 def asof_forward_event_orders(sf_dir: str):
     """Forward as-of: each event matched to the EARLIEST order date of
     the same customer at-or-after the event time (the "next scheduled
