@@ -4294,3 +4294,35 @@ class TestAsofForward:
         with pytest.raises(ValueError):
             asof_join(rd.from_arrow(left), rd.from_arrow(right),
                       "k", "k", "lts", "rts", direction="sideways")
+
+
+class TestLagColumnFuzz:
+    def test_matches_brute_force_random(self):
+        from peri_ray.stages.temporal import lag_column
+
+        rng = np.random.default_rng(41)
+        n = 2500
+        u = rng.integers(0, 30, n)
+        ts = rng.permutation(n)
+        v = np.where(rng.random(n) < 0.2, np.nan, rng.uniform(0, 1, n))
+        vv = [None if np.isnan(x) else float(x) for x in v]
+        t = pa.table({"u": pa.array(u, pa.int64()),
+                      "ts": pa.array(ts, pa.int64()),
+                      "id": pa.array(np.arange(n), pa.int64()),
+                      "v": pa.array(vv, pa.float64())})
+        for off in (1, 2, -3):
+            got = {r["id"]: r["lag_v"]
+                   for r in lag_column(rd.from_arrow(t).repartition(5),
+                                       "u", ["ts"], "v", "id",
+                                       offset=off).take_all()}
+            import collections
+            byk = collections.defaultdict(list)
+            for i in range(n):
+                byk[int(u[i])].append(i)
+            want = {}
+            for k, idxs in byk.items():
+                seq = sorted(idxs, key=lambda i: int(ts[i]))
+                for pos, i in enumerate(seq):
+                    src = pos - off
+                    want[i] = vv[seq[src]] if 0 <= src < len(seq) else None
+            assert got == want, off
