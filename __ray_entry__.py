@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_report": q.ann_recall_report,
         "asof_forward_event_orders": q.asof_forward_event_orders,
         "dedup_best_capture_docs": q.dedup_best_capture_docs,
+        "violation_report_documents": q.violation_report_documents,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -226,8 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN " + " AND ".join(f"s_{l} >= s_{m}" for m in _langs[i + 1:])
         + f" THEN '{l}'"
         for i, l in enumerate(_langs[:-1]))
-    return {
-        "validate_documents_violations": f"""
+    _doc_viols_sql = f"""
             SELECT CAST(doc_id AS VARCHAR) AS record_id, 'enum' AS rule_id, 'lang' AS path
               FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}
             UNION ALL
@@ -238,6 +238,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 'integer.gte', 'n_chars'
               FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+    """
+    return {
+        "validate_documents_violations": _doc_viols_sql,
+        "violation_report_documents": f"""
+            WITH v AS ({_doc_viols_sql}),
+            r AS (
+              SELECT rule_id, record_id,
+                     row_number() OVER (PARTITION BY rule_id
+                                        ORDER BY record_id) AS rn
+                FROM v
+            )
+            SELECT c.rule_id, c.n,
+                   (SELECT string_agg(record_id, ',' ORDER BY record_id)
+                      FROM r
+                     WHERE r.rule_id = c.rule_id AND rn <= 3) AS examples
+              FROM (SELECT rule_id, count(*) AS n FROM v
+                     GROUP BY rule_id) c
         """,
         "conforms_documents": f"SELECT doc_id, {_DOC_VALID} AS valid FROM documents",
         "filter_valid_documents": f"SELECT doc_id, lang, n_chars FROM documents WHERE {_DOC_VALID}",

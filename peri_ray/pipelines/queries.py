@@ -1616,6 +1616,50 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def violation_report_documents(sf_dir: str):
+    """Per-rule violation report: count + the 3 lexicographically
+    smallest offending record_ids as deterministic examples — the
+    human-facing summary every DQ dashboard wants.  Per-batch partials
+    (≤ rules × (count + 3 ids) per block) merge on the driver: bounded
+    by the SPEC size, never the violation volume."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    combined = validate_dataset(ds, DOCS_SPEC, id_column="doc_id")
+    vio = violations_dataset(combined)
+
+    def _part(t: pa.Table) -> pa.Table:
+        g = (t.select(["rule_id", "record_id"])
+             .sort_by([("rule_id", "ascending"),
+                       ("record_id", "ascending")]))
+        rules = g.column("rule_id").to_pylist()
+        recs = g.column("record_id").to_pylist()
+        out_r, out_n, out_e = [], [], []
+        i = 0
+        while i < len(rules):
+            j = i
+            while j < len(rules) and rules[j] == rules[i]:
+                j += 1
+            out_r.append(rules[i])
+            out_n.append(j - i)
+            out_e.append(recs[i:i + 3])
+            i = j
+        return pa.table({"rule_id": pa.array(out_r, pa.string()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "ex": pa.array(out_e, pa.list_(pa.string()))})
+
+    acc: dict[str, tuple[int, list]] = {}
+    for r in vio.map_batches(_part, batch_format="pyarrow").take_all():
+        n, ex = acc.get(r["rule_id"], (0, []))
+        acc[r["rule_id"]] = (n + r["n"],
+                             sorted(ex + list(r["ex"]))[:3])
+    rules = sorted(acc)
+    return pa.table({
+        "rule_id": pa.array(rules, pa.string()),
+        "n": pa.array([acc[r][0] for r in rules], pa.int64()),
+        "examples": pa.array([",".join(acc[r][1]) for r in rules],
+                             pa.string()),
+    })
+
+
 def dedup_best_capture_docs(sf_dir: str):
     """Exact dedup keeping the BEST row per content (highest n_chars,
     tie → min doc_id) instead of the min id — the recrawl policy "keep
