@@ -1627,24 +1627,34 @@ def violation_report_documents(sf_dir: str):
     vio = violations_dataset(combined)
 
     def _part(t: pa.Table) -> pa.Table:
+        # vectorized first-3-per-rule (same run-mask shape as
+        # stats._TopKPerGroupPartial): rules per batch is spec-bounded,
+        # rows are not — no per-row Python loop.  Arrow sorts nulls
+        # last, so the first 3 of a run are non-null whenever possible;
+        # the residual Nones (runs with <3 non-null ids) are filtered
+        # (SQL's string_agg skips nulls identically).
         g = (t.select(["rule_id", "record_id"])
              .sort_by([("rule_id", "ascending"),
                        ("record_id", "ascending")]))
-        rules = g.column("rule_id").to_pylist()
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"rule_id": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "ex": pa.array([], pa.list_(pa.string()))})
+        rules = g.column("rule_id").combine_chunks()
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(rules.slice(1), rules.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(~same)
+        lens = np.diff(np.append(starts, n))
         recs = g.column("record_id").to_pylist()
-        out_r, out_n, out_e = [], [], []
-        i = 0
-        while i < len(rules):
-            j = i
-            while j < len(rules) and rules[j] == rules[i]:
-                j += 1
-            out_r.append(rules[i])
-            out_n.append(j - i)
-            out_e.append(recs[i:i + 3])
-            i = j
-        return pa.table({"rule_id": pa.array(out_r, pa.string()),
-                         "n": pa.array(out_n, pa.int64()),
-                         "ex": pa.array(out_e, pa.list_(pa.string()))})
+        out_e = [[x for x in recs[s:s + min(3, ln)] if x is not None]
+                 for s, ln in zip(starts, lens)]
+        return pa.table({
+            "rule_id": rules.take(pa.array(starts, pa.int64())),
+            "n": pa.array(lens, pa.int64()),
+            "ex": pa.array(out_e, pa.list_(pa.string()))})
 
     acc: dict[str, tuple[int, list]] = {}
     for r in vio.map_batches(_part, batch_format="pyarrow").take_all():
@@ -1661,11 +1671,14 @@ def violation_report_documents(sf_dir: str):
 
 
 def dedup_best_capture_docs(sf_dir: str):
-    """Exact dedup keeping the BEST row per content (highest n_chars,
-    tie → min doc_id) instead of the min id — the recrawl policy "keep
-    the richest capture".  Pure composition: content-hash column +
-    ``top_k_per_group(k=1)``; only (hash, n_chars, doc_id) rows cross
-    the exchange."""
+    """Dedup keeping the BEST row per content (highest n_chars, tie →
+    min doc_id) instead of the min id — the recrawl policy "keep the
+    richest capture".  Groups on the engine-wide 64-bit content hash
+    (same trade as `dedup_exact_docs`: collision odds ~n²/2⁶⁵, and
+    CLAUDE.md records that a verify pass measured slower than the
+    exchange-byte savings here).  Pure composition: content-hash
+    column + ``top_k_per_group(k=1)``; only (hash, n_chars, doc_id)
+    rows cross the exchange."""
     from peri_ray.stages.stats import top_k_per_group
     from peri_ray.state.sketches import hash_strings
 
@@ -1728,15 +1741,17 @@ def ann_recall_report(sf_dir: str):
     }
     meth, qids, recalls = [], [], []
     for name, results in methods.items():
+        per_method = []
         for i, res in enumerate(results):
             truth = {v for v, _ in exact[i]}
             got = {v for v, _ in res}
             meth.append(name)
             qids.append(int(q_rows[i]["vec_id"]))
-            recalls.append(len(truth & got) / max(1, len(truth)))
+            per_method.append(len(truth & got) / max(1, len(truth)))
+        recalls.extend(per_method)
         meth.append(name)
         qids.append(-1)  # macro average marker
-        recalls.append(float(np.mean(recalls[-3:])))
+        recalls.append(float(np.mean(per_method)))
     return pa.table({"method": pa.array(meth, pa.string()),
                      "query_id": pa.array(qids, pa.int64()),
                      "recall_at_10": pa.array(recalls, pa.float64())})

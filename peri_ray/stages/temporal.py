@@ -303,7 +303,9 @@ def asof_join(left, right, left_key: str, right_key: str,
     semantics); null when no prior right row exists.
     ``direction="forward"`` flips the floor to a ceiling: the SMALLEST
     ``right_ts`` ≥ ``left_ts`` (the "next scheduled event" probe;
-    DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``).
+    DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``).  Left rows with a null
+    key or timestamp are LEFT-JOIN kept (null match) — they bypass the
+    exchange entirely instead of shipping unmatched rows through it.
 
     Emits the matched RIGHT TIMESTAMP (not an arbitrary right row id),
     so the result is deterministic even when several right rows tie on
@@ -395,7 +397,20 @@ def asof_join(left, right, left_key: str, right_key: str,
         out_cols[out_col] = ts_arr
         return pa.table(out_cols)
 
-    return both.groupby("__bucket").map_groups(_asof, batch_format="pyarrow")
+    joined = both.groupby("__bucket").map_groups(_asof,
+                                                 batch_format="pyarrow")
+
+    def _null_left(t: pa.Table) -> pa.Table:
+        bad = pc.or_kleene(
+            pc.is_null(t.column(left_ts).combine_chunks()),
+            pc.is_null(t.column(left_key).combine_chunks()))
+        sub = t.filter(pc.fill_null(bad, True))
+        cols = {c: sub.column(c) for c in left_cols}
+        cols[out_col] = pa.nulls(sub.num_rows, pa.timestamp("us"))
+        return pa.table(cols)
+
+    unmatched = left.map_batches(_null_left, batch_format="pyarrow")
+    return joined.union(unmatched)
 
 
 # ---------------------------------------------------------------------------

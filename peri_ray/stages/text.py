@@ -1104,6 +1104,9 @@ def compression_ratio_batch(table: pa.Table, text_col: str = "text",
             out.append(None)
             continue
         raw = v.encode("utf-8", "ignore")
+        if not raw:  # truthy text of only unencodable code points
+            out.append(None)
+            continue
         out.append(len(zlib.compress(raw, level)) / len(raw))
     return table.append_column("zlib_ratio", pa.array(out, pa.float64()))
 

@@ -4326,3 +4326,29 @@ class TestLagColumnFuzz:
                     src = pos - off
                     want[i] = vv[seq[src]] if 0 <= src < len(seq) else None
             assert got == want, off
+
+
+class TestAsofNullLeftRows:
+    def test_null_key_or_ts_left_rows_kept(self):
+        from peri_ray.stages.temporal import asof_join
+
+        def _ts(vals):
+            return pa.array(np.array(vals, "datetime64[us]"))
+
+        left = pa.table({
+            "k": pa.array([1, None, 1], pa.int64()),
+            "lts": pa.array([np.datetime64("2024-01-01T00:00:10", "us"),
+                             np.datetime64("2024-01-01T00:00:10", "us"),
+                             None], pa.timestamp("us")),
+            "lid": pa.array([0, 1, 2], pa.int64()),
+        })
+        right = pa.table({"k": pa.array([1], pa.int64()),
+                          "rts": _ts(["2024-01-01T00:00:08"])})
+        out = {r["lid"]: r["asof_ts"]
+               for r in asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  "k", "k", "lts", "rts",
+                                  ["lid"]).take_all()}
+        import datetime as dt
+        assert out[0] == dt.datetime(2024, 1, 1, 0, 0, 8)
+        assert out[1] is None and out[2] is None  # LEFT JOIN kept
+        assert len(out) == 3
