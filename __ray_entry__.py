@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward_event_orders": q.asof_forward_event_orders,
         "dedup_best_capture_docs": q.dedup_best_capture_docs,
         "violation_report_documents": q.violation_report_documents,
+        "equi_depth_bins_documents": q.equi_depth_bins_documents,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -241,6 +242,21 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "validate_documents_violations": _doc_viols_sql,
+        "equi_depth_bins_documents": """
+            WITH s AS (
+              SELECT quantile_disc(n_chars, 0.25) AS q1,
+                     quantile_disc(n_chars, 0.5) AS q2,
+                     quantile_disc(n_chars, 0.75) AS q3
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN n_chars IS NULL THEN NULL
+                             WHEN n_chars <= q1 THEN 0
+                             WHEN n_chars <= q2 THEN 1
+                             WHEN n_chars <= q3 THEN 2
+                             ELSE 3 END AS BIGINT) AS bin
+              FROM documents, s
+        """,
         "violation_report_documents": f"""
             WITH v AS ({_doc_viols_sql}),
             r AS (

@@ -176,6 +176,16 @@ def run_bench() -> dict:
     timed("changeset_cast_validate",
           lambda: q.changeset_orders_violations(SF_DIR).to_pandas())
     timed("fd_check", lambda: q.fd_user_event_type(SF_DIR).to_pandas())
+    timed("violation_report", lambda: q.violation_report_documents(SF_DIR))
+    timed("dedup_best_capture",
+          lambda: q.dedup_best_capture_docs(SF_DIR).to_pandas())
+    timed("budget_subset", lambda: q.budget_subset_documents(SF_DIR).to_pandas())
+    timed("equi_depth_bins",
+          lambda: q.equi_depth_bins_documents(SF_DIR).to_pandas())
+    timed("asof_forward", lambda: q.asof_forward_event_orders(SF_DIR).to_pandas())
+    timed("unnest_embeddings", lambda: q.unnest_embeddings(SF_DIR).to_pandas())
+    timed("compression_ratio",
+          lambda: q.compression_ratio_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -1616,6 +1616,29 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def equi_depth_bins_documents(sf_dir: str):
+    """Equi-depth bucketization: bin = #exact-percentile_disc splits
+    (p25/p50/p75) strictly below the value — quartile binning as a
+    two-pass broadcast (value-count quantiles → vectorized
+    searchsorted), no sort, no shuffle.  Nulls stay null."""
+    from peri_ray.stages.stats import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    qt = exact_quantiles(ds, ["n_chars"], qs=(0.25, 0.5, 0.75))
+    splits = np.sort(qt.column("value").to_numpy(zero_copy_only=False))
+
+    def _bin(t: pa.Table) -> pa.Table:
+        v = (t.column("n_chars").combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        bins = np.searchsorted(splits, v, side="left").astype(np.int64)
+        arr = pa.array(bins)
+        arr = pc.if_else(pc.is_valid(t.column("n_chars").combine_chunks()),
+                         arr, pa.nulls(t.num_rows, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"), "bin": arr})
+
+    return ds.map_batches(_bin, batch_format="pyarrow")
+
+
 def violation_report_documents(sf_dir: str):
     """Per-rule violation report: count + the 3 lexicographically
     smallest offending record_ids as deterministic examples — the
