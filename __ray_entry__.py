@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_capture_docs": q.dedup_best_capture_docs,
         "violation_report_documents": q.violation_report_documents,
         "equi_depth_bins_documents": q.equi_depth_bins_documents,
+        "daily_distinct_users": q.daily_distinct_users,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -242,6 +243,12 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "validate_documents_violations": _doc_viols_sql,
+        "daily_distinct_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+              FROM events WHERE ts IS NOT NULL
+             GROUP BY 1
+        """,
         "equi_depth_bins_documents": """
             WITH s AS (
               SELECT quantile_disc(n_chars, 0.25) AS q1,

@@ -1616,6 +1616,23 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def daily_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day — the windowed-NDV audit
+    (unique visitors per day) through the same one-exchange
+    distinct-pair machinery, keyed on the derived day column."""
+    from peri_ray.stages.stats import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        day = pc.strftime(ts, format="%Y-%m-%d")
+        return pa.table({"day": day, "user_id": t.column("user_id")})
+
+    return grouped_distinct_count(ds.map_batches(_day, batch_format="pyarrow"),
+                                  "day", "user_id")
+
+
 def equi_depth_bins_documents(sf_dir: str):
     """Equi-depth bucketization: bin = #exact-percentile_disc splits
     (p25/p50/p75) strictly below the value — quartile binning as a
