@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violation_report_documents": q.violation_report_documents,
         "equi_depth_bins_documents": q.equi_depth_bins_documents,
         "daily_distinct_users": q.daily_distinct_users,
+        "pmi_bigrams_documents": q.pmi_bigrams_documents,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -243,6 +244,31 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "validate_documents_violations": _doc_viols_sql,
+        "pmi_bigrams_documents": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            uni AS (SELECT unnest(tk) AS t FROM toks),
+            ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            utot AS (SELECT count(*) AS n FROM uni),
+            bgs AS (
+              SELECT tk[i] || ' ' || tk[i+1] AS bg
+                FROM (SELECT tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM toks)
+            ),
+            bcnt AS (SELECT bg, count(*) AS n FROM bgs GROUP BY bg),
+            btot AS (SELECT count(*) AS total FROM bgs)
+            SELECT b.bg AS bigram, b.n,
+                   ROUND(ln((b.n * 1.0 / btot.total)
+                            / ((ua.c * 1.0 / utot.n)
+                               * (ub.c * 1.0 / utot.n))), 6) AS pmi
+              FROM bcnt b CROSS JOIN btot CROSS JOIN utot
+              JOIN ucnt ua ON ua.t = split_part(b.bg, ' ', 1)
+              JOIN ucnt ub ON ub.t = split_part(b.bg, ' ', 2)
+             WHERE b.n >= 5
+        """,
         "daily_distinct_users": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS ndv

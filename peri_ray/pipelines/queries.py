@@ -1616,6 +1616,16 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def pmi_bigrams_documents(sf_dir: str):
+    """PMI collocations over word bigrams (min_count 5) — unigram
+    model broadcast once, bigram counts stay distributed; ln values
+    rounded on both sides (transcendental: no round-boundary ties)."""
+    from peri_ray.stages.text import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_collocations(ds, min_count=5)
+
+
 def daily_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per day — the windowed-NDV audit
     (unique visitors per day) through the same one-exchange

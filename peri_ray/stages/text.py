@@ -1118,3 +1118,101 @@ def add_compression_ratio(ds, text_col: str = "text", level: int = 6,
     return ds.map_batches(
         lambda t: compression_ratio_batch(t, text_col, level),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
+                     max_vocab: int = 2_000_000, n_buckets: int = 64,
+                     round_to: int = 6,
+                     batch_size: int | None = 8192):
+    """Pointwise mutual information per word bigram —
+    ``ln((c_ab/N_bg) / ((c_a/N_u)·(c_b/N_u)))`` for bigrams with
+    ``c_ab ≥ min_count`` — the collocation detector ("new york",
+    "click here") behind phrase mining and boilerplate discovery.
+
+    Tokenizer is the engine-wide trim + ``\\s+`` split, so the SQL twin
+    is token-identical.  Shapes: unigram counts reduce through the
+    bucketed exchange and broadcast ONCE (vocabulary-bounded;
+    ``max_vocab`` raises rather than degrade — same contract as
+    unigram NLL); bigram counts reduce through their own exchange and
+    stay distributed (observed-bigram cardinality can exceed any
+    broadcast budget) — each bigram row carries its own c_ab, so the
+    PMI map needs only the two unigram lookups and two scalars.
+    Rounded to ``round_to``: ln values are transcendental, so exact
+    round-boundary ties cannot occur (CLAUDE.md)."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _toks(t: pa.Table):
+        txt = t.column(text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        return pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+
+    def _uni_part(t: pa.Table) -> pa.Table:
+        parts = _toks(t)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        vc = pc.value_counts(pc.list_flatten(parts))
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def _bg_part(t: pa.Table) -> pa.Table:
+        parts = _toks(t)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        if len(flat) < 2:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        doc_of = np.repeat(np.arange(len(parts), dtype=np.int64), lens)
+        keep = doc_of[:-1] == doc_of[1:]
+        vc = pc.value_counts(bg.filter(pa.array(keep)))
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    uni = grouped_sum_via_buckets(
+        ds.map_batches(_uni_part, batch_format="pyarrow",
+                       batch_size=batch_size), ["term"], "n",
+        n_buckets=n_buckets).materialize()
+    if uni.count() > max_vocab:
+        raise ValueError(
+            f"pmi_collocations: vocabulary {uni.count()} exceeds "
+            f"max_vocab={max_vocab}; raise it knowingly")
+    uni_counts: dict[str, int] = {}
+    n_u = 0
+    for r in uni.iter_rows():
+        uni_counts[r["term"]] = int(r["n"])
+        n_u += int(r["n"])
+    uni_ref = ray.put(uni_counts)
+
+    bg = grouped_sum_via_buckets(
+        ds.map_batches(_bg_part, batch_format="pyarrow",
+                       batch_size=batch_size), ["term"], "n",
+        n_buckets=n_buckets).materialize()
+    n_bg = int(bg.sum("n") or 0)
+    if n_bg == 0 or n_u == 0:
+        return ray.data.from_arrow(pa.table({
+            "bigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        counts = ray.get(uni_ref)
+        sub = t.filter(pc.greater_equal(t.column("n"), min_count))
+        bgs = sub.column("term").to_pylist()
+        cab = sub.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.array([counts[b.split(" ", 1)[0]] for b in bgs], np.float64)
+        cb = np.array([counts[b.split(" ", 1)[1]] for b in bgs], np.float64)
+        # operation order mirrors the SQL twin exactly
+        pmi = np.log((cab * 1.0 / n_bg)
+                     / ((ca * 1.0 / n_u) * (cb * 1.0 / n_u)))
+        return pa.table({"bigram": pa.array(bgs, pa.string()),
+                         "n": sub.column("n"),
+                         "pmi": pa.array(np.round(pmi, round_to))})
+
+    return bg.map_batches(_pmi, batch_format="pyarrow")

@@ -4352,3 +4352,36 @@ class TestAsofNullLeftRows:
         assert out[0] == dt.datetime(2024, 1, 1, 0, 0, 8)
         assert out[1] is None and out[2] is None  # LEFT JOIN kept
         assert len(out) == 3
+
+
+class TestPmiCollocations:
+    def test_matches_brute_force(self):
+        from peri_ray.stages.text import pmi_collocations
+        import math
+
+        texts = ["a b a b c", "a b x", "c c c", None, ""]
+        t = pa.table({"text": pa.array(texts)})
+        out = {r["bigram"]: (r["n"], r["pmi"])
+               for r in pmi_collocations(rd.from_arrow(t).repartition(2),
+                                         min_count=2).take_all()}
+        # brute force
+        toks = [s.strip().split() if s is not None else None for s in texts]
+        toks = [x if x != [] else [""] for x in toks if x is not None]
+        uni = {}
+        for tk in toks:
+            for w in tk:
+                uni[w] = uni.get(w, 0) + 1
+        n_u = sum(uni.values())
+        bgs = {}
+        for tk in toks:
+            for x, y in zip(tk, tk[1:]):
+                bgs[x + " " + y] = bgs.get(x + " " + y, 0) + 1
+        n_bg = sum(bgs.values())
+        want = {}
+        for b, c in bgs.items():
+            if c >= 2:
+                x, y = b.split(" ", 1)
+                want[b] = (c, round(math.log(
+                    (c * 1.0 / n_bg)
+                    / ((uni[x] * 1.0 / n_u) * (uni[y] * 1.0 / n_u))), 6))
+        assert out == want and "a b" in out
