@@ -186,6 +186,9 @@ def run_bench() -> dict:
     timed("unnest_embeddings", lambda: q.unnest_embeddings(SF_DIR).to_pandas())
     timed("compression_ratio",
           lambda: q.compression_ratio_documents(SF_DIR).to_pandas())
+    timed("pmi_bigrams", lambda: q.pmi_bigrams_documents(SF_DIR).to_pandas())
+    timed("daily_distinct_users",
+          lambda: q.daily_distinct_users(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
