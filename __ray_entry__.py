@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_depth_bins_documents": q.equi_depth_bins_documents,
         "daily_distinct_users": q.daily_distinct_users,
         "pmi_bigrams_documents": q.pmi_bigrams_documents,
+        "standardized_embeddings": q.standardized_embeddings,
         "compression_ratio_documents": q.compression_ratio_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
         "repaired_lang_documents": q.repaired_lang_documents,
@@ -244,6 +245,20 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "validate_documents_violations": _doc_viols_sql,
+        "standardized_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            st AS (SELECT idx, avg(v) AS m, stddev_pop(v) AS sd
+                     FROM e GROUP BY idx)
+            SELECT e.vec_id, e.idx,
+                   CASE WHEN st.sd = 0 THEN NULL
+                        ELSE ROUND((e.v - st.m) / st.sd, 6) END AS z
+              FROM e JOIN st USING (idx)
+        """,
         "pmi_bigrams_documents": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -1616,6 +1616,23 @@ def source_gini_documents(sf_dir: str):
     return gini_concentration(ds, "source")
 
 
+def standardized_embeddings(sf_dir: str):
+    """Per-dimension z-score whitening of a deterministic embedding
+    sample (two passes: d-bounded moment partials → broadcast map);
+    rounded so the cross-engine sum-order ulps wash out."""
+    from peri_ray.stages.similarity import standardize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("vec_id").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 25 == 0))
+
+    return standardize_embeddings(
+        ds.map_batches(_sample, batch_format="pyarrow"))
+
+
 def pmi_bigrams_documents(sf_dir: str):
     """PMI collocations over word bigrams (min_count 5) — unigram
     model broadcast once, bigram counts stay distributed; ln values

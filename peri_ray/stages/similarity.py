@@ -777,3 +777,67 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
         batch_format="pyarrow", max_restarts=0).materialize()
     return top_k_per_group(cands, key="query_id", order_col="cos", k=k,
                            descending=True, tiebreak="neighbor_id")
+
+
+def standardize_embeddings(ds, vec_col: str = "embedding",
+                           id_col: str = "vec_id", round_to: int = 6,
+                           batch_size: int | None = 4096):
+    """Per-DIMENSION z-score standardization of an embedding column
+    (feature whitening before k-means / linear probes): two passes —
+    per-batch (n, Σx, Σx²) partials per dimension reduce on the driver
+    (d-bounded), then one broadcast vectorized map emits
+    ``round((x − mean) / std, round_to)`` per element as
+    (id, idx, z) rows (idx 1-based; a constant dimension with std 0
+    yields null z).  Population std (÷ n), matching SQL's
+    ``stddev_pop``; rounding keeps the hash-compare inside the
+    cross-engine ulp noise of the two sum orders."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col), np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "s2": pa.array([(m * m).sum(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    n_tot = 0
+    s = s2 = None
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        n_tot += r["n"]
+        rs = np.asarray(r["s"], np.float64)
+        rs2 = np.asarray(r["s2"], np.float64)
+        s = rs if s is None else s + rs
+        s2 = rs2 if s2 is None else s2 + rs2
+    if n_tot == 0:
+        import ray.data as rd_
+
+        return rd_.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "idx": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64())}))
+    mean = s / n_tot
+    var = s2 / n_tot - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+
+    def _z(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col), np.float64)
+        ids = t.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n, d = m.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((m - mean[None, :]) / std[None, :], round_to)
+        flat = z.reshape(-1)
+        bad = np.tile(std == 0.0, n)
+        arr = pa.array(flat)
+        arr = pc.if_else(pa.array(~bad), arr,
+                         pa.nulls(len(flat), pa.float64()))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "idx": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "z": arr,
+        })
+
+    return ds.map_batches(_z, batch_format="pyarrow", batch_size=batch_size)

@@ -4385,3 +4385,29 @@ class TestPmiCollocations:
                     (c * 1.0 / n_bg)
                     / ((uni[x] * 1.0 / n_u) * (uni[y] * 1.0 / n_u))), 6))
         assert out == want and "a b" in out
+
+
+class TestStandardizeEmbeddings:
+    def test_zscores_and_constant_dim(self):
+        from peri_ray.stages.similarity import standardize_embeddings
+
+        rng = np.random.default_rng(43)
+        m = rng.normal(3, 2, (50, 4))
+        m[:, 2] = 7.0  # constant dimension -> null z
+        t = pa.table({
+            "vec_id": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float64())),
+        })
+        out = standardize_embeddings(
+            rd.from_arrow(t).repartition(4)).take_all()
+        assert len(out) == 200
+        mean = m.mean(axis=0)
+        std = m.std(axis=0)
+        for r in out[:40] + out[-40:]:
+            i, d = r["vec_id"], r["idx"] - 1
+            if d == 2:
+                assert r["z"] is None
+            else:
+                want = round((m[i, d] - mean[d]) / std[d], 6)
+                assert abs(r["z"] - want) <= 1e-6
