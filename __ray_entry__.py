@@ -461,18 +461,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(l_quantity) AS null_count,
                    CAST(min(l_quantity) AS DOUBLE) AS min_v,
                    CAST(max(l_quantity) AS DOUBLE) AS max_v,
-                   ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_v
+                   CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
               FROM lineitem
             UNION ALL
             SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
                    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
-                   ROUND(CAST(sum(l_discount) AS DOUBLE), 2)
+                   CAST(sum(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
               FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(l_extendedprice),
                    count(*) - count(l_extendedprice),
                    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
-                   ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2)
+                   CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
               FROM lineitem
         """,
         "psi_event_type": """

@@ -256,18 +256,11 @@ def event_type_histogram(sf_dir: str):
 def exact_stats_lineitem(sf_dir: str):
     cols = ["l_quantity", "l_discount", "l_extendedprice"]
     ds = _read(sf_dir, "lineitem", cols)
-    t = exact_stats_table(ds, cols)
-    # round the arithmetic aggregates identically to the oracle's ROUND
-    return pa.table(
-        {
-            "column": t.column("column"),
-            "cnt": t.column("cnt"),
-            "null_count": t.column("null_count"),
-            "min_v": t.column("min_v"),
-            "max_v": t.column("max_v"),
-            "sum_v": pc.round(t.column("sum_v"), 2),
-        }
-    )
+    # sums compared as integer cents: float sums are association-order
+    # sensitive and ROUND(sum,2) doubles can land on different
+    # neighboring representations engine-vs-oracle (CLAUDE.md pitfall)
+    t = exact_stats_table(ds, cols, cents_sums=True)
+    return t.drop_columns(["sum_v"])
 
 
 def psi_event_type(sf_dir: str):
@@ -1652,6 +1645,9 @@ def daily_distinct_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def _day(t: pa.Table) -> pa.Table:
+        # drop null timestamps to match the oracle's WHERE ts IS NOT
+        # NULL (strftime would otherwise keep a null-day group)
+        t = t.filter(pc.is_valid(t.column("ts").combine_chunks()))
         ts = t.column("ts").combine_chunks()
         day = pc.strftime(ts, format="%Y-%m-%d")
         return pa.table({"day": day, "user_id": t.column("user_id")})

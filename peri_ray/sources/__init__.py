@@ -238,6 +238,20 @@ def coerce_string_columns(ds, rules: dict[str, str],
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _epoch_numeric(arr):
+    """Float64 view of a range-partition key: temporal types go through
+    int64 first (Arrow's temporal→float64 cast raises; the int64 cast
+    yields the epoch value in the column's native unit — µs for
+    timestamp[us], days for date32)."""
+    import pyarrow as pa
+
+    t = arr.type
+    if (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t) or pa.types.is_duration(t)):
+        arr = arr.cast(pa.int64())
+    return arr.cast(pa.float64())
+
+
 def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
                             kll_k: int = 800,
                             batch_size: int | None = 65536) -> dict:
@@ -253,7 +267,11 @@ def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
     writes via ``partition_cols`` — null keys land in range 0.  The
     split points persist in ``_ranges.json`` beside the data so
     :func:`read_key_range` can prune directories without listing file
-    footers.  Returns the manifest dict."""
+    footers.  Temporal keys (timestamp/date/time/duration) are
+    epoch-converted (int64 in the column's native unit, e.g. µs for
+    ``timestamp[us]``, days for ``date32``) before sketching/assignment
+    — splits and :func:`read_key_range` bounds are in those units.
+    Returns the manifest dict."""
     import json
     import pickle
 
@@ -264,8 +282,8 @@ def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
     from peri_ray.state.sketches import KLL
 
     def _sketch(t: pa.Table) -> pa.Table:
-        v = (t.column(key).combine_chunks().drop_null()
-             .cast(pa.float64()).to_numpy(zero_copy_only=False))
+        v = (_epoch_numeric(t.column(key).combine_chunks().drop_null())
+             .to_numpy(zero_copy_only=False))
         k = KLL(kll_k)
         k.update_many(v)
         return pa.table({"s": pa.array([pickle.dumps(k)], pa.binary())})
@@ -283,7 +301,7 @@ def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
     sp = np.asarray(splits, np.float64)
 
     def _assign(t: pa.Table) -> pa.Table:
-        v = (t.column(key).combine_chunks().cast(pa.float64())
+        v = (_epoch_numeric(t.column(key).combine_chunks())
              .fill_null(float("-inf")).to_numpy(zero_copy_only=False))
         rid = np.searchsorted(sp, v, side="right").astype(np.int64)
         return t.append_column("range_id", pa.array(rid))
@@ -304,7 +322,9 @@ def read_key_range(out_dir: str, lo: float | None, hi: float | None,
     the directories whose range intersects ``[lo, hi]`` are opened
     (None = unbounded on that side), then an exact in-range filter runs
     per batch — directory pruning for I/O, the filter for exactness.
-    Null keys (stored in range 0) never satisfy a bounded filter."""
+    Null keys (stored in range 0) never satisfy a bounded filter.
+    For temporal keys, ``lo``/``hi`` are epoch values in the column's
+    native unit (matching the persisted splits)."""
     import json
     import os
 
@@ -338,7 +358,7 @@ def read_key_range(out_dir: str, lo: float | None, hi: float | None,
     ds = rd_.read_parquet(files, columns=columns, **kw)
 
     def _exact(t):
-        c = t.column(key)
+        c = _epoch_numeric(t.column(key).combine_chunks())
         mask = None
         if lo is not None:
             mask = pc_.greater_equal(c, lo)

@@ -1089,23 +1089,34 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
     exploded = fps.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(group: pa.Table) -> pa.Table:
-        rows = sorted({(r[id_col], r["simhash"]) for r in group.to_pylist()})
-        a, b = [], []
-        if len(rows) <= BUCKET_PAIR_CAP:
-            cand = itertools.combinations(rows, 2)
+        # distinct (id, fp) members, id-sorted (fp is deterministic per
+        # doc, so ids are unique after the group_by)
+        t = (group.select([id_col, "simhash"])
+                  .group_by([id_col, "simhash"]).aggregate([]))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, fps = ids[order], fps[order]
+        n = len(ids)
+        if n <= BUCKET_PAIR_CAP:
+            ia, ib = np.triu_indices(n, k=1)
         else:
             # oversized block bucket (mass-duplicated fingerprint region):
             # compare against the min-id anchor only — O(n) — and log
             logger.warning(
                 "simhash bucket with %d members exceeds pair cap %d; "
-                "comparing to min-id anchor only", len(rows), BUCKET_PAIR_CAP,
+                "comparing to min-id anchor only", n, BUCKET_PAIR_CAP,
             )
-            cand = ((rows[0], r) for r in rows[1:])
-        for (xa, fa), (xb, fb) in cand:
-            if hamming64(fa, fb) < bands:
-                a.append(xa)
-                b.append(xb)
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+            ia = np.zeros(n - 1, np.intp)
+            ib = np.arange(1, n, dtype=np.intp)
+        # vectorized Hamming over the whole bucket: XOR then popcount
+        # via unpackbits on the uint8 view (no np.bitwise_count on
+        # numpy 1.26) — replaces the per-pair Python hamming64 loop
+        x = (fps[ia] ^ fps[ib]).view(np.uint8).reshape(-1, 8)
+        d = np.unpackbits(x, axis=1).sum(axis=1, dtype=np.int32)
+        m = d < bands
+        return pa.table({"id_a": pa.array(ids[ia[m]], pa.int64()),
+                         "id_b": pa.array(ids[ib[m]], pa.int64())})
 
     pairs = per_group_via_buckets(exploded, ["block", "block_val"], _pairs)
     return dedupe_pairs(pairs)

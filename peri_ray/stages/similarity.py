@@ -261,8 +261,11 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     cent = _kmeans(X, n_cells, seed=seed)
     cent_ref = ray.put(cent)
 
-    probe_cells = set(
-        np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].ravel().tolist()
+    probe_cells = pa.array(
+        sorted(set(
+            np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].ravel().tolist()
+        )),
+        pa.int32(),
     )
     assigned = ds.map_batches(
         _IVFAssign, fn_constructor_kwargs=dict(
@@ -271,7 +274,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     )
 
     def _filter(t: pa.Table) -> pa.Table:
-        mask = pa.array([c in probe_cells for c in t.column("cell").to_pylist()])
+        mask = pc.is_in(t.column("cell"), value_set=probe_cells)
         return t.filter(mask).drop_columns(["cell"])
 
     candidates = assigned.map_batches(_filter, batch_format="pyarrow")

@@ -27,17 +27,25 @@ from peri_ray.state.sketches import HLL, KLL, hash_strings, splitmix64
 
 
 class _StatsPartial:
-    """map_batches fn: one partial-stats row per column per batch."""
+    """map_batches fn: one partial-stats row per column per batch.
 
-    def __init__(self, columns: list[str], with_sketches: bool = True, kll_k: int = 200):
+    ``cents_sums`` additionally accumulates each numeric column as an
+    int64 sum of ROUND(value*100) half-away-from-zero (SQL ROUND):
+    integer partials add exactly in any order, so a hash-compared twin
+    stays stable at any block count — the float ``sum_num`` is
+    association-order sensitive (see _StatsCombine)."""
+
+    def __init__(self, columns: list[str], with_sketches: bool = True, kll_k: int = 200,
+                 cents_sums: bool = False):
         self.columns = columns
         self.with_sketches = with_sketches
         self.kll_k = kll_k
+        self.cents_sums = cents_sums
 
     def __call__(self, table: pa.Table) -> pa.Table:
         rows = {
             "column": [], "count": [], "null_count": [],
-            "min_num": [], "max_num": [], "sum_num": [],
+            "min_num": [], "max_num": [], "sum_num": [], "sum_cents": [],
             "min_str": [], "max_str": [], "sketch": [],
         }
         for name in self.columns:
@@ -49,7 +57,7 @@ class _StatsPartial:
             rows["null_count"].append(nulls)
             is_num = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
             is_temporal = pa.types.is_timestamp(col.type) or pa.types.is_date(col.type)
-            mn = mx = sm = None
+            mn = mx = sm = cents = None
             mns = mxs = None
             sketch_blob = None
             if n > nulls:
@@ -57,6 +65,11 @@ class _StatsPartial:
                     mm = pc.min_max(col).as_py()
                     mn, mx = float(mm["min"]), float(mm["max"])
                     sm = float(pc.sum(col).as_py())
+                    if self.cents_sums:
+                        cents = int(pc.sum(pc.cast(pc.round(
+                            pc.multiply(col, pa.scalar(100.0)), 0,
+                            round_mode="half_towards_infinity"),
+                            pa.int64())).as_py())
                 elif is_temporal or pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                     mm = pc.min_max(col).as_py()
                     mns, mxs = str(mm["min"]), str(mm["max"])
@@ -76,6 +89,7 @@ class _StatsPartial:
             rows["min_num"].append(mn)
             rows["max_num"].append(mx)
             rows["sum_num"].append(sm)
+            rows["sum_cents"].append(cents)
             rows["min_str"].append(mns)
             rows["max_str"].append(mxs)
             rows["sketch"].append(sketch_blob)
@@ -87,6 +101,7 @@ class _StatsPartial:
                 "min_num": pa.array(rows["min_num"], pa.float64()),
                 "max_num": pa.array(rows["max_num"], pa.float64()),
                 "sum_num": pa.array(rows["sum_num"], pa.float64()),
+                "sum_cents": pa.array(rows["sum_cents"], pa.int64()),
                 "min_str": pa.array(rows["min_str"], pa.string()),
                 "max_str": pa.array(rows["max_str"], pa.string()),
                 "sketch": pa.array(rows["sketch"], pa.binary()),
@@ -125,7 +140,12 @@ class _StatsCombine:
                 if v is not None:
                     s[f] = v if s[f] is None else fold(s[f], v)
             if row["sum_num"] is not None:
+                # float add: the result depends on how partials were
+                # grouped into combine batches — exact consumers must
+                # use sum_cents (integer adds are order-independent)
                 s["sum_num"] = (s["sum_num"] or 0.0) + row["sum_num"]
+            if row.get("sum_cents") is not None:
+                s["sum_cents"] = (s.get("sum_cents") or 0) + row["sum_cents"]
             if row["sketch"]:
                 kll, hll = pickle.loads(row["sketch"])
                 if s["_sk"] is None:
@@ -151,6 +171,7 @@ def column_stats(
     with_sketches: bool = True,
     batch_size: int | None = 65536,
     combine_batch: int | None = 4096,
+    cents_sums: bool = False,
 ) -> dict[str, dict[str, Any]]:
     """Single streaming pass over ``ds``; returns
     ``{column: {count, null_count, min, max, sum, ndv, quantiles}}``.
@@ -163,7 +184,8 @@ def column_stats(
     if columns is None:
         columns = ds.schema().names
     partial_ds = ds.map_batches(
-        _StatsPartial(columns, with_sketches), batch_format="pyarrow", batch_size=batch_size
+        _StatsPartial(columns, with_sketches, cents_sums=cents_sums),
+        batch_format="pyarrow", batch_size=batch_size
     )
     if combine_batch:
         partial_ds = partial_ds.map_batches(
@@ -188,6 +210,8 @@ def column_stats(
                 s["max"] = mx if s["max"] is None else max(s["max"], mx)
         if row["sum_num"] is not None:
             s["sum"] = (s["sum"] or 0.0) + row["sum_num"]
+        if row.get("sum_cents") is not None:
+            s["sum_cents"] = (s.get("sum_cents") or 0) + row["sum_cents"]
         if row["sketch"]:
             kll, hll = pickle.loads(row["sketch"])
             prev = merged_sketch.get(name)
@@ -210,21 +234,30 @@ def column_stats(
     return out
 
 
-def exact_stats_table(ds, columns: list[str], batch_size: int | None = 65536) -> pa.Table:
+def exact_stats_table(ds, columns: list[str], batch_size: int | None = 65536,
+                      cents_sums: bool = False) -> pa.Table:
     """Oracle-checkable exact stats as one row per column:
     (column, count, null_count, min_num, max_num, sum_num) — numeric
-    columns only, matching ``SELECT count(col), min(col), ...``."""
-    stats = column_stats(ds, columns, with_sketches=False, batch_size=batch_size)
-    return pa.table(
-        {
-            "column": pa.array(columns, pa.string()),
-            "cnt": pa.array([stats[c]["count"] - stats[c]["null_count"] for c in columns], pa.int64()),
-            "null_count": pa.array([stats[c]["null_count"] for c in columns], pa.int64()),
-            "min_v": pa.array([stats[c]["min"] for c in columns], pa.float64()),
-            "max_v": pa.array([stats[c]["max"] for c in columns], pa.float64()),
-            "sum_v": pa.array([stats[c]["sum"] for c in columns], pa.float64()),
-        }
-    )
+    columns only, matching ``SELECT count(col), min(col), ...``.
+
+    With ``cents_sums`` an int64 ``sum_cents`` column is appended —
+    SUM(CAST(ROUND(col*100) AS BIGINT)) — the order-independent form a
+    hash-compared oracle must use (the float ``sum_v`` drifts with
+    partial-combine layout at large block counts)."""
+    stats = column_stats(ds, columns, with_sketches=False,
+                         batch_size=batch_size, cents_sums=cents_sums)
+    cols = {
+        "column": pa.array(columns, pa.string()),
+        "cnt": pa.array([stats[c]["count"] - stats[c]["null_count"] for c in columns], pa.int64()),
+        "null_count": pa.array([stats[c]["null_count"] for c in columns], pa.int64()),
+        "min_v": pa.array([stats[c]["min"] for c in columns], pa.float64()),
+        "max_v": pa.array([stats[c]["max"] for c in columns], pa.float64()),
+        "sum_v": pa.array([stats[c]["sum"] for c in columns], pa.float64()),
+    }
+    if cents_sums:
+        cols["sum_cents"] = pa.array(
+            [stats[c].get("sum_cents") for c in columns], pa.int64())
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -451,16 +484,25 @@ def minmax_normalize(ds, key_col: str, value_col: str, id_col: str,
              .to_numpy(zero_copy_only=False))
         valid = pc.is_valid(t.column(value_col).combine_chunks()).to_numpy(
             zero_copy_only=False).astype(bool)
-        out = np.full(t.num_rows, np.nan)
-        for k, (mn, mx) in bounds.items():
-            if mx <= mn:
-                continue  # constant group -> null, like the SQL CASE
-            m = (pc.is_null(keys).to_numpy(zero_copy_only=False).astype(bool)
-                 if k is None else
-                 pc.fill_null(pc.equal(keys, k), False).to_numpy(
-                     zero_copy_only=False).astype(bool))
-            m &= valid
-            out[m] = (v[m] - mn) / (mx - mn)
+        # one dictionary-encode per batch, then a gather: O(rows +
+        # distinct-keys-in-batch), independent of GLOBAL group count —
+        # the former per-group full-column equality scan was
+        # O(groups × rows) and degraded on high-cardinality keys
+        enc = keys.dictionary_encode()
+        dict_keys = enc.dictionary.to_pylist()
+        mn_arr = np.full(len(dict_keys) + 1, np.nan)
+        mx_arr = np.full(len(dict_keys) + 1, np.nan)
+        for j, k in enumerate(dict_keys + [None]):  # last slot: null key
+            b = bounds.get(k)
+            if b is not None and b[1] > b[0]:  # constant group -> null
+                mn_arr[j], mx_arr[j] = b
+        idx = pc.fill_null(enc.indices, len(dict_keys)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # identical IEEE expression to the SQL window twin; NaN bounds
+        # (missing/constant group) and invalid values propagate to null
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (v - mn_arr[idx]) / (mx_arr[idx] - mn_arr[idx])
+        out[~valid] = np.nan
         return pa.table({id_col: t.column(id_col),
                          "norm_value": pa.array(out, pa.float64(),
                                                 from_pandas=True)})

@@ -2881,6 +2881,89 @@ class TestCurationFuzz:
             assert got_ids == sorted(keep.values()), f"trial {trial}"
 
 
+class TestPartitionedCuration:
+    SPEC = {
+        "doc_id": ("required", "integer"),
+        "text": ("required", ("string", ("min", 1))),
+        "lang": ("enum", ["en", "de"]),
+        "n_chars": ("integer", ("gte", 0)),
+    }
+
+    @staticmethod
+    def _fragments(tmp_path):
+        import pyarrow.parquet as pq
+
+        long = "x" * 150
+        # duplicates deliberately CROSS fragments (dedup must be global)
+        frags = [
+            [(1, long, "en", 150), (2, long + "a", "en", 151),
+             (3, "", "en", 0)],
+            [(4, long, "de", 150), (5, long + "b", None, 151),
+             (6, "tiny", "en", 4)],
+            [(7, long + "a", "de", 151), (8, long + "c", "en", 151)],
+        ]
+        paths = []
+        for i, rows in enumerate(frags):
+            t = pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+            })
+            p = str(tmp_path / f"frag{i}.parquet")
+            pq.write_table(t, p)
+            paths.append(p)
+        return paths
+
+    def test_matches_streaming_and_resumes(self, tmp_path):
+        from peri_ray.pipelines.curation import (partitioned_curation,
+                                                 run_curation)
+        from peri_ray.sources import read_table
+
+        paths = self._fragments(tmp_path)
+        ck = str(tmp_path / "ckpt")
+        res = partitioned_curation(paths, ck, self.SPEC)
+        # parity with the streaming form over the concatenated corpus
+        union = read_table(paths[0]).union(read_table(paths[1]),
+                                           read_table(paths[2]))
+        _, want = run_curation(union, self.SPEC)
+        assert res["report"] == want
+        # dups 1/4 (same text) and 2/7 (same text) cross fragments:
+        # victims are global, keepers are min-id
+        curated_dirs = [os.path.join(d, "curated")
+                        for d in res["output_dirs"]]
+        curated_ids = sorted(
+            r["doc_id"]
+            for d in curated_dirs if os.path.isdir(d)
+            for r in rd.read_parquet(d).take_all())
+        assert curated_ids == [1, 2, 8]
+        assert len(res["phase1"]) == 3 and len(res["phase2"]) == 3
+
+        # full rerun: every fragment skipped (manifests unchanged)
+        before = {m["fragment"]: m["written_at"]
+                  for m in res["phase1"] + res["phase2"]}
+        res2 = partitioned_curation(paths, ck, self.SPEC)
+        after = {m["fragment"]: m["written_at"]
+                 for m in res2["phase1"] + res2["phase2"]}
+        assert after == before
+        assert res2["report"] == want
+
+        # mid-phase-2 kill: drop one curated manifest; resume re-runs
+        # ONLY that fragment and the report is identical
+        from peri_ray.state.checkpoint import CheckpointDir
+
+        ckpt = CheckpointDir(ck)
+        victim_frag = res["phase2"][1]["fragment"]
+        ckpt.invalidate(victim_frag)
+        res3 = partitioned_curation(paths, ck, self.SPEC)
+        assert res3["report"] == want
+        changed = {f for f, ts in
+                   {m["fragment"]: m["written_at"]
+                    for m in res3["phase1"] + res3["phase2"]}.items()
+                   if ts != before[f]}
+        assert changed == {victim_frag}
+
+
 class TestRepetitionSignals:
     def test_ratios_match_brute_force(self):
         import duckdb
@@ -3887,6 +3970,35 @@ class TestRangePartitionedSink:
         with pytest.raises(ValueError):
             write_range_partitioned(rd.from_arrow(t), "k",
                                     str(tmp_path / "x"))
+
+    def test_temporal_key_roundtrip(self, tmp_path):
+        # timestamp keys: splits/bounds are epoch values in the
+        # column's native unit (µs for timestamp[us])
+        import datetime as dt
+
+        from peri_ray.sources import read_key_range, write_range_partitioned
+
+        base = dt.datetime(2024, 1, 1)
+        stamps = [base + dt.timedelta(hours=int(h)) for h in range(2000)]
+        stamps[7] = None
+        t = pa.table({
+            "ts": pa.array(stamps, pa.timestamp("us")),
+            "i": pa.array(np.arange(2000), pa.int64()),
+        })
+        out = str(tmp_path / "ts_ranged")
+        man = write_range_partitioned(rd.from_arrow(t).repartition(4),
+                                      "ts", out, n_ranges=4)
+        assert len(man["splits"]) == 3
+        full = read_key_range(out, None, None).take_all()
+        assert len(full) == 2000
+
+        lo_dt, hi_dt = stamps[100], stamps[500]
+        lo = lo_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+        hi = hi_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+        got = sorted(r["i"] for r in read_key_range(out, lo, hi).take_all())
+        want = sorted(i for i, s in enumerate(stamps)
+                      if s is not None and lo_dt <= s <= hi_dt)
+        assert got == want
 
 
 class TestGroupedHLL:
