@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": q.simhash_near_dup_pairs,
         "doc_fingerprints": q.doc_fingerprints,
         "near_dedup_victims": q.near_dedup_victims,
+        "near_dedup_victims_distributed": q.near_dedup_victims_distributed,
         "frame_samples": q.frame_samples,
         "winnow_shared_passages": q.winnow_shared_passages,
         "multimodal_resize": q.multimodal_resize,
@@ -1414,6 +1415,83 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_dups,
                    (SELECT count(*) FROM k) AS curated_rows
         """,
+        # --- near-dup family completeness twins: brute-force cross
+        # joins, feasible at the driver's 500-doc oracle scale.  The
+        # engine side is MinHash-LSH + exact verify; equality against
+        # the brute-force truth is exactly the completeness claim
+        # (seeded signatures are deterministic, so the match is stable
+        # for a given sf input).  Shingles: char 5-grams, one whole-text
+        # shingle for len<5, mirroring dedup.NgramJaccard byte-for-byte.
+        "minhash_near_dup_pairs": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 5))) AS g
+                  FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE)
+                     AS jaccard
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.id_a
+              JOIN sz sb ON sb.doc_id = i.id_b
+             WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE)
+                   >= 0.8
+        """,
+        # victims = every node of the J>=0.8 pair graph except the
+        # min-id member of its connected component (transitive closure
+        # via recursive CTE — tiny at oracle scale)
+        "near_dedup_victims": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 5))) AS g
+                  FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN sz sa ON sa.doc_id = a.doc_id
+                JOIN sz sb ON sb.doc_id = b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+              HAVING CAST(count(*) AS DOUBLE) /
+                     CAST(min(sa.n) + min(sb.n) - count(*) AS DOUBLE) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+               WHERE e.b <> r.a
+            )
+            SELECT a AS doc_id FROM reach GROUP BY a
+             HAVING min(b) < a
+        """,
+        # brute-force cosine cross join; 0.95 sits far above this
+        # table's max off-diagonal cosine (~0.51), so the threshold is
+        # decisive for both float32 (engine) and float64 (SQL) math
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.embedding, b.embedding)
+                     AS "max(cosine)"
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
         "cume_dist_events": """
             SELECT event_id, user_id,
                    cume_dist() OVER (
@@ -1707,3 +1785,16 @@ def oracle_sql() -> dict[str, str]:
              WHERE event_type = 'view' AND user_id IS NOT NULL
         """,
     }
+
+
+_BASE_ORACLE_SQL = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811 — wraps the literal dict
+    """Literal twins plus derived ones that share another query's SQL
+    verbatim (assigned, not copied, so they can never drift)."""
+    d = _BASE_ORACLE_SQL()
+    # the distributed label-propagation path must produce exactly the
+    # union-find answer — same recursive-CTE closure oracle
+    d["near_dedup_victims_distributed"] = d["near_dedup_victims"]
+    return d

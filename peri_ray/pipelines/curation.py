@@ -41,17 +41,24 @@ from peri_ray.validate import validate_dataset
 _GATES = ("__invalid", "__no_lang", "__short", "__eligible")
 
 
-def _annotate_fn(id_col: str, text_col: str, lang_col: str, len_col: str,
-                 min_chars: int, with_hash: bool = False):
+def _annotate_fn(id_col: str, text_col: str, lang_col: str,
+                 len_col: str | None, min_chars: int,
+                 with_hash: bool = False):
     """Fused gate-flag kernel over the validated stream.  With
     ``with_hash`` the content hash is computed in the same pass (the
     partitioned form persists it so the global dedup exchange later
-    reads two int columns, never the text)."""
+    reads two int columns, never the text).  ``len_col=None`` derives
+    the length gate from ``utf8_length(text)`` in the same pass —
+    inputs without a precomputed length column (e.g. web_pages) need
+    no extra column on disk."""
 
     def _annotate(t: pa.Table) -> pa.Table:
         valid = t.column("valid").combine_chunks()
         lang_ok = pc.is_valid(t.column(lang_col).combine_chunks())
-        n = t.column(len_col).combine_chunks()
+        if len_col is None:
+            n = pc.utf8_length(t.column(text_col).combine_chunks())
+        else:
+            n = t.column(len_col).combine_chunks()
         # and_kleene: plain and_ would propagate the null comparison of
         # a null length and silently drop the row from EVERY gate
         long_enough = pc.and_kleene(
@@ -80,7 +87,7 @@ def _annotate_fn(id_col: str, text_col: str, lang_col: str, len_col: str,
 
 def run_curation(ds, spec: dict, *, id_col: str = "doc_id",
                  text_col: str = "text", lang_col: str = "lang",
-                 len_col: str = "n_chars", min_chars: int = 100,
+                 len_col: str | None = "n_chars", min_chars: int = 100,
                  batch_size: int | None = 65536):
     """Returns ``(curated_ds, report)``.
 
@@ -160,10 +167,11 @@ def partitioned_curation(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
-    len_col: str = "n_chars",
+    len_col: str | None = "n_chars",
     min_chars: int = 100,
     batch_size: int | None = 65536,
     max_concurrent: int = 1,
+    read_columns: list[str] | None = None,
 ) -> dict[str, Any]:
     """Checkpoint/resume curation over one fragment per input file.
 
@@ -207,7 +215,7 @@ def partitioned_curation(
         frag = _frag(path, "annot")
         if ckpt.completed(frag, phash):
             return
-        ds = read_table(path)
+        ds = read_table(path, columns=read_columns)
         ann = validate_dataset(ds, spec, id_column=id_col,
                                batch_size=batch_size).map_batches(
             annotate, batch_format="pyarrow", batch_size=batch_size)

@@ -474,6 +474,20 @@ def near_dedup_victims(sf_dir: str):
     return _collect(victims, pa.schema([("doc_id", pa.int64())]))
 
 
+def near_dedup_victims_distributed(sf_dir: str):
+    """Same fuzzy-dedup decision with ``driver_threshold=0``: forces
+    the distributed min-label-propagation connected components (the
+    >2M-edge scale path) instead of driver union-find, so the driver
+    gate exercises BOTH hybrids.  Oracle: identical recursive-CTE
+    closure — the two paths must agree exactly."""
+    from peri_ray.stages.dedup import near_dedup_victims as ndv
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    victims = ndv(ds, threshold=0.8, bands=8, num_perm=64,
+                  driver_threshold=0)
+    return _collect(victims, pa.schema([("doc_id", pa.int64())]))
+
+
 def ann_topk(sf_dir: str):
     from peri_ray.stages.similarity import brute_force_topk
 

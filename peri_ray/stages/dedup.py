@@ -988,16 +988,20 @@ def connected_components(pairs, n_buckets: int = 64, max_iters: int = 16,
 
 def near_dedup_victims(ds, text_col: str = "text", id_col: str = "doc_id",
                        threshold: float = 0.8, num_perm: int = 64,
-                       bands: int = 16, k: int = 5):
+                       bands: int = 16, k: int = 5,
+                       driver_threshold: int = 2_000_000):
     """End-to-end fuzzy dedup decision: MinHash-LSH candidates →
     exact Jaccard verification → connected components → every cluster
-    member except the min-id keeper."""
+    member except the min-id keeper.  ``driver_threshold`` passes
+    through to :func:`connected_components` (0 forces the distributed
+    label-propagation path regardless of edge count)."""
     cands = minhash_lsh_candidates(ds, text_col, id_col,
                                    num_perm=num_perm, bands=bands, k=k,
                                    dedupe=False)
     verified = verify_candidates(ds, cands, text_col, id_col,
                                  threshold=threshold, k=k)
-    labels = connected_components(verified)
+    labels = connected_components(verified,
+                                  driver_threshold=driver_threshold)
 
     def _victims(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t.column("doc_id"), t.column("label"))

@@ -29,6 +29,13 @@ import pyarrow.compute as pc
 
 from peri_ray.stages.checks import bucket_of
 
+# Bundle the exchange map side: Ray's CPU-targeted splitting leaves
+# small inputs as ~2xCPU tiny blocks and every tag task pays a ~40 ms
+# floor; the asof/range reduce is cheap (vectorized searchsorted per
+# bucket), so a COARSE bundle is right here (contrast dedup's fine
+# bundles for heavy-reduce exchanges).
+EXCHANGE_COALESCE_ROWS = 65536
+
 
 def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Callers must have dropped nulls: a null timestamp surfaces as
@@ -247,8 +254,10 @@ def range_join_count(left, right, left_key: str, right_key: str,
         return out.append_column("__bucket",
                                  bucket_of(out.column("__key"), n_buckets))
 
-    both = (left.map_batches(_tag_left, batch_format="pyarrow")
-            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+    both = (left.map_batches(_tag_left, batch_format="pyarrow",
+                             batch_size=EXCHANGE_COALESCE_ROWS)
+            .union(right.map_batches(_tag_right, batch_format="pyarrow",
+                                     batch_size=EXCHANGE_COALESCE_ROWS)))
 
     def _count(group: pa.Table) -> pa.Table:
         side = group.column("__side").combine_chunks().to_numpy(
@@ -345,8 +354,10 @@ def asof_join(left, right, left_key: str, right_key: str,
         return out.append_column("__bucket",
                                  bucket_of(out.column("__key"), n_buckets))
 
-    both = (left.map_batches(_tag_left, batch_format="pyarrow")
-            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+    both = (left.map_batches(_tag_left, batch_format="pyarrow",
+                             batch_size=EXCHANGE_COALESCE_ROWS)
+            .union(right.map_batches(_tag_right, batch_format="pyarrow",
+                                     batch_size=EXCHANGE_COALESCE_ROWS)))
 
     def _asof(group: pa.Table) -> pa.Table:
         side = group.column("__side").combine_chunks().to_numpy(
@@ -409,7 +420,8 @@ def asof_join(left, right, left_key: str, right_key: str,
         cols[out_col] = pa.nulls(sub.num_rows, pa.timestamp("us"))
         return pa.table(cols)
 
-    unmatched = left.map_batches(_null_left, batch_format="pyarrow")
+    unmatched = left.map_batches(_null_left, batch_format="pyarrow",
+                                 batch_size=EXCHANGE_COALESCE_ROWS)
     return joined.union(unmatched)
 
 

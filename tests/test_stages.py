@@ -179,6 +179,23 @@ class TestDedup:
         # collapsed every odd-shingle-count doc onto the all-ones hash)
         assert all(3 not in p for p in pairs)
 
+    def test_vectorized_hamming_matches_scalar(self):
+        # the in-bucket verify's XOR+unpackbits popcount must agree
+        # with the scalar hamming64 reference bit-for-bit, including
+        # sign-bit (bit 63) differences
+        from peri_ray.stages.dedup import hamming64
+
+        rng = np.random.default_rng(17)
+        fa = rng.integers(0, 1 << 63, size=200, dtype=np.int64)
+        fb = rng.integers(0, 1 << 63, size=200, dtype=np.int64)
+        fa[:20] = -fa[:20]  # exercise negative int64 fingerprints
+        x = (fa.view(np.uint64) ^ fb.view(np.uint64)).view(
+            np.uint8).reshape(-1, 8)
+        vec = np.unpackbits(x, axis=1).sum(axis=1, dtype=np.int32)
+        ref = np.array([hamming64(int(a), int(b))
+                        for a, b in zip(fa, fb)], np.int32)
+        assert (vec == ref).all()
+
     def test_hot_bucket_capped_star_pairs(self):
         # VERDICT r1 item 2: 1K copies of one text must not emit O(n²)
         # pairs — oversized LSH buckets downgrade to star pairs anchored
@@ -1836,6 +1853,26 @@ class TestTermDF:
             f"FROM '{SF}/documents.parquet' WHERE text IS NOT NULL) "
             "GROUP BY word").fetchall()}
         assert got == want
+
+
+class TestCentsSums:
+    def test_layout_independent_and_sql_round(self):
+        # sum_cents must be identical at any block layout (integer
+        # adds) and use SQL ROUND ties (half away from zero)
+        import duckdb
+
+        from peri_ray.stages.stats import exact_stats_table
+
+        vals = [0.005, 0.015, -0.005, 1.13, 2.87, 0.125, 1e8 + 0.005,
+                None] + [round(0.01 * i, 2) for i in range(500)]
+        t = pa.table({"v": pa.array(vals, pa.float64())})
+        want = duckdb.sql(
+            "SELECT CAST(sum(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) "
+            "FROM t").fetchone()[0]
+        for parts in (1, 4, 13):
+            out = exact_stats_table(rd.from_arrow(t).repartition(parts),
+                                    ["v"], cents_sums=True)
+            assert out.column("sum_cents").to_pylist() == [want], parts
 
 
 class TestGroupedStats:
