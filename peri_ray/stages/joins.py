@@ -33,6 +33,13 @@ import pyarrow.compute as pc
 
 from peri_ray.stages.checks import bucket_of
 
+
+# Bundle exchange tag maps (the tiny-block floor fix, see CLAUDE.md):
+# MEDIUM bundle — the per-bucket reduce is a vectorized Arrow join,
+# heavier than asof's searchsorted (which takes 65536) but far lighter
+# than pair-verify (256..1024).
+JOIN_COALESCE_ROWS = 16384
+
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
@@ -201,8 +208,10 @@ def hash_join(left, right, left_key: str, right_key: str,
                    .append_column("__side",
                                   pa.array(np.ones(t.num_rows, np.int8))))
 
-    both = (left.map_batches(_tag_left, batch_format="pyarrow")
-            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+    both = (left.map_batches(_tag_left, batch_format="pyarrow",
+                             batch_size=JOIN_COALESCE_ROWS)
+            .union(right.map_batches(_tag_right, batch_format="pyarrow",
+                                     batch_size=JOIN_COALESCE_ROWS)))
 
     out_cols = [left_key] + left_cols + (right_cols if want_right else [])
     jt = _ARROW_JOIN_TYPE[how]
@@ -378,8 +387,10 @@ def salted_hash_join(left, right, left_key: str, right_key: str,
                    .append_column("__side",
                                   pa.array(np.ones(taken.num_rows, np.int8))))
 
-    both = (left.map_batches(_tag_left, batch_format="pyarrow")
-            .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+    both = (left.map_batches(_tag_left, batch_format="pyarrow",
+                             batch_size=JOIN_COALESCE_ROWS)
+            .union(right.map_batches(_tag_right, batch_format="pyarrow",
+                                     batch_size=JOIN_COALESCE_ROWS)))
 
     out_cols = [left_key] + left_cols + (right_cols if want_right else [])
     jt = _ARROW_JOIN_TYPE[how]
@@ -453,8 +464,10 @@ def dataset_diff(a, b, key: str, compare_cols: list[str],
                                    pa.array(np.full(t.num_rows, side, np.int8))))
         return _f
 
-    both = (a.map_batches(_tag(0), batch_format="pyarrow")
-            .union(b.map_batches(_tag(1), batch_format="pyarrow")))
+    both = (a.map_batches(_tag(0), batch_format="pyarrow",
+                          batch_size=JOIN_COALESCE_ROWS)
+            .union(b.map_batches(_tag(1), batch_format="pyarrow",
+                                 batch_size=JOIN_COALESCE_ROWS)))
 
     def _diff(group: pa.Table) -> pa.Table:
         side = group.column("__side")
