@@ -726,90 +726,148 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     pairs are tiny relative to the corpus by LSH construction.
 
     ``metric`` overrides the similarity function (``(a, b) -> float``
-    over the two raw texts); default is char-``k``-gram Jaccard."""
+    over the two raw texts); default is char-``k``-gram Jaccard.  A
+    metric exposing ``prepare_arrow``/``sim_prepared`` ships its
+    prepared per-doc representation (binary) through the exchange
+    instead of raw text — tokenization runs once per doc in the texts
+    map, and the per-pair score is a vectorized array op.
+
+    Replication bound (Vernica et al., SIGMOD'10): a doc's text/rep is
+    replicated once per PAIR-BUCKET that holds one of its pairs —
+    ≤ ``n_buckets`` copies per doc — NOT once per pair.  The round-2
+    shape copied the rep per pair-half (dense clusters: a doc in 267
+    pairs shipped 267 copies); dense-candidate workloads (the exact
+    similarity join's 667 K candidates at sf0.1) are bounded by
+    corpus × n_buckets instead of candidate count."""
     from peri_ray.stages.checks import bucket_of
 
     pairs = pairs.materialize()
+    m = metric if metric is not None else NgramJaccard(k)
+    prepared_mode = (hasattr(m, "prepare_arrow")
+                     and hasattr(m, "sim_prepared"))
+    txt_type = pa.binary() if prepared_mode else pa.string()
+    empty_rep = b"" if prepared_mode else ""
 
-    def _half(slot: int):
-        doc_col = "id_a" if slot == 0 else "id_b"
+    # tag each pair with its pair-bucket; pinned — feeds the needs map
+    # AND the score exchange (pairs itself is already materialized, so
+    # this is one cheap map over ints)
+    def _pb(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("id_a").cast(pa.string()),
+            t.column("id_b").cast(pa.string()), ":")
+        return pa.table({"id_a": t.column("id_a"),
+                         "id_b": t.column("id_b"),
+                         "__pb": bucket_of(key, n_buckets)})
 
-        def _f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "__doc": t.column(doc_col),
-                "id_a": t.column("id_a"),
-                "id_b": t.column("id_b"),
-                "__slot": pa.array(np.full(t.num_rows, slot, np.int8)),
-                "__txt": pa.nulls(t.num_rows, pa.string()),
-                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-            })
-        return _f
+    tagged = pairs.map_batches(_pb, batch_format="pyarrow",
+                               batch_size=coalesce_rows).materialize()
+
+    # --- exchange 1 (by doc): distinct (doc, pair-bucket) needs meet
+    # the corpus reps; output one rep row per (doc, bucket) -----------
+    def _needs(t: pa.Table) -> pa.Table:
+        doc = pa.concat_arrays([
+            t.column("id_a").combine_chunks().cast(pa.int64()),
+            t.column("id_b").combine_chunks().cast(pa.int64())])
+        pb = t.column("__pb").combine_chunks()
+        out = pa.table({"__doc": doc,
+                        "__pb": pa.concat_arrays([pb, pb])})
+        # batch-local dedupe; _attach's group_by finishes the job
+        out = out.group_by(["__doc", "__pb"]).aggregate([])
+        return pa.table({
+            "__doc": out.column("__doc"),
+            "__pb": out.column("__pb"),
+            "__txt": pa.nulls(out.num_rows, txt_type),
+            "__side": pa.array(np.zeros(out.num_rows, np.int8)),
+        })
 
     def _texts(t: pa.Table) -> pa.Table:
         txt = t.column(text_col).combine_chunks()
         if pa.types.is_large_string(txt.type):
             txt = txt.cast(pa.string())
+        if prepared_mode:
+            txt = m.prepare_arrow(txt)
         n = t.num_rows
         return pa.table({
             "__doc": t.column(id_col).combine_chunks().cast(pa.int64()),
-            "id_a": pa.nulls(n, pa.int64()),
-            "id_b": pa.nulls(n, pa.int64()),
-            "__slot": pa.nulls(n, pa.int8()),
+            "__pb": pa.nulls(n, pa.int32()),
             "__txt": txt,
             "__side": pa.array(np.ones(n, np.int8)),
         })
 
-    texts = ds.map_batches(_texts, batch_format="pyarrow")
-
     def _bucket_doc(t: pa.Table) -> pa.Table:
-        return t.append_column("__bucket", bucket_of(t.column("__doc"), n_buckets))
+        return t.append_column("__bucket",
+                               bucket_of(t.column("__doc"), n_buckets))
 
-    both = (pairs.map_batches(_half(0), batch_format="pyarrow")
-            .union(pairs.map_batches(_half(1), batch_format="pyarrow"))
-            .union(texts)
+    both = (tagged.map_batches(_needs, batch_format="pyarrow",
+                               batch_size=coalesce_rows)
+            .union(ds.map_batches(_texts, batch_format="pyarrow"))
             .map_batches(_bucket_doc, batch_format="pyarrow",
                          batch_size=coalesce_rows))
 
     def _attach(group: pa.Table) -> pa.Table:
         side = group.column("__side")
-        halves = group.filter(pc.equal(side, 0)).select(
-            ["__doc", "id_a", "id_b", "__slot"])
-        if halves.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "__slot": pa.array([], pa.int8()),
-                             "__txt": pa.array([], pa.string())})
+        needs = (group.filter(pc.equal(side, 0))
+                      .select(["__doc", "__pb"])
+                      .group_by(["__doc", "__pb"]).aggregate([]))
+        if needs.num_rows == 0:
+            return pa.table({"__pb": pa.array([], pa.int32()),
+                             "__doc": pa.array([], pa.int64()),
+                             "__txt": pa.array([], txt_type)})
         lookup = (group.filter(pc.equal(side, 1))
                        .select(["__doc", "__txt"])
                        .group_by("__doc").aggregate([("__txt", "min")])
                        .rename_columns(["__doc", "__txt"]))
-        joined = halves.join(lookup, keys="__doc", join_type="left outer")
-        return joined.select(["id_a", "id_b", "__slot", "__txt"])
+        joined = needs.join(lookup, keys="__doc", join_type="left outer")
+        return joined.select(["__pb", "__doc", "__txt"])
 
-    attached = both.groupby("__bucket").map_groups(_attach, batch_format="pyarrow")
+    reps = both.groupby("__bucket").map_groups(_attach,
+                                               batch_format="pyarrow")
 
-    def _bucket_pair(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            t.column("id_a").cast(pa.string()),
-            t.column("id_b").cast(pa.string()), ":")
-        return t.append_column("__bucket", bucket_of(key, n_buckets))
+    # --- exchange 2 (by pair-bucket): pairs + the reps they need -----
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "id_a": t.column("id_a").combine_chunks().cast(pa.int64()),
+            "id_b": t.column("id_b").combine_chunks().cast(pa.int64()),
+            "__doc": pa.nulls(n, pa.int64()),
+            "__txt": pa.nulls(n, txt_type),
+            "__side": pa.array(np.zeros(n, np.int8)),
+            "__pb": t.column("__pb"),
+        })
 
-    rebucketed = attached.map_batches(_bucket_pair, batch_format="pyarrow",
-                                  batch_size=coalesce_rows)
+    def _rep_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "__doc": t.column("__doc"),
+            "__txt": t.column("__txt"),
+            "__side": pa.array(np.ones(n, np.int8)),
+            "__pb": t.column("__pb"),
+        })
+
+    # fine map bundles: the score reduce is the heavy stage and its
+    # task count follows the bundled block count (CLAUDE.md rule)
+    scored_in = (tagged.map_batches(_pair_rows, batch_format="pyarrow",
+                                    batch_size=coalesce_rows)
+                 .union(reps.map_batches(_rep_rows, batch_format="pyarrow",
+                                         batch_size=coalesce_rows)))
 
     def _score(group: pa.Table) -> pa.Table:
-        # slot-keyed pivot: the a-half and b-half of a pair are
-        # distinguished explicitly, so duplicate candidate rows (a pair
-        # found in several bands when dedupe=False fed us) collapse
-        # instead of pairing a text with itself
-        by_pair: dict[tuple[int, int], dict[int, str]] = {}
-        for r in group.to_pylist():
-            by_pair.setdefault((r["id_a"], r["id_b"]), {})[r["__slot"]] = \
-                r["__txt"] or ""
-        ida, idb, jac = [], [], []
-        m = metric if metric is not None else NgramJaccard(k)
-        if hasattr(m, "prepare") and hasattr(m, "sim"):
-            # prepare each distinct text ONCE per group (cache lives
+        side = group.column("__side")
+        rep_t = group.filter(pc.equal(side, 1))
+        rep: dict[int, object] = dict(zip(
+            rep_t.column("__doc").to_pylist(),
+            rep_t.column("__txt").to_pylist()))
+        # distinct pairs: dedupe=False candidate feeds repeat a pair
+        # once per band — collapse before scoring
+        prs = (group.filter(pc.equal(side, 0))
+                    .select(["id_a", "id_b"])
+                    .group_by(["id_a", "id_b"]).aggregate([]))
+        if prepared_mode:
+            score = m.sim_prepared
+        elif hasattr(m, "prepare") and hasattr(m, "sim"):
+            # prepare each distinct rep ONCE per group (cache lives
             # only for this call — no process-lifetime text pinning)
             prepared: dict[str, object] = {}
 
@@ -823,8 +881,10 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
                 return _m.sim(pa_, pb_)
         else:
             score = m
-        for (xa, xb), txts in by_pair.items():
-            j = score(txts.get(0, ""), txts.get(1, ""))
+        ida, idb, jac = [], [], []
+        for xa, xb in zip(prs.column("id_a").to_pylist(),
+                          prs.column("id_b").to_pylist()):
+            j = score(rep.get(xa) or empty_rep, rep.get(xb) or empty_rep)
             if j >= threshold:
                 ida.append(xa)
                 idb.append(xb)
@@ -833,7 +893,8 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(idb, pa.int64()),
                          "jaccard": pa.array(jac, pa.float64())})
 
-    return rebucketed.groupby("__bucket").map_groups(_score, batch_format="pyarrow")
+    return scored_in.groupby("__pb").map_groups(_score,
+                                                batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1272,6 +1333,42 @@ class TokenBigramJaccard:
     def __call__(self, a: str, b: str) -> float:
         return self.sim(self.prepare(a), self.prepare(b))
 
+    # -- exchange-prepared protocol (verify_candidates fast path) ------
+    # Tokenize ONCE per doc in the texts map and ship sorted distinct
+    # bigram HASHES (uint64 LE bytes) through the exchange instead of
+    # raw text: the per-pair score becomes a C-speed sorted-array
+    # intersection, and a doc scored in many tasks never re-tokenizes.
+    # Hash equality as set equality is the repo-wide standard (the
+    # oracle-checked exact dedup keys on the same 64-bit hash_strings).
+
+    @staticmethod
+    def prepare_arrow(txt: pa.Array) -> pa.Array:
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n = len(txt)
+        doc_idx, big = _bigram_rows(txt)  # DISTINCT (doc, bigram) rows
+        if len(doc_idx) == 0:
+            return pa.array([b""] * n, pa.binary())
+        h = hash_strings(big)
+        order = np.lexsort((h, doc_idx))
+        doc_s, h_s = doc_idx[order], h[order]
+        counts = np.bincount(doc_s, minlength=n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return pa.array([h_s[offs[i]:offs[i + 1]].tobytes()
+                         for i in range(n)], pa.binary())
+
+    @staticmethod
+    def sim_prepared(a: bytes | None, b: bytes | None) -> float:
+        xa = np.frombuffer(a or b"", np.uint64)
+        xb = np.frombuffer(b or b"", np.uint64)
+        if xa.size == 0 or xb.size == 0:
+            return 0.0
+        inter = np.intersect1d(xa, xb, assume_unique=True).size
+        # same exact int/int division as sim(): |∩| / |∪|
+        return inter / (xa.size + xb.size - inter)
+
 
 def token_bigram_jaccard(a: str, b: str) -> float:
     """Function form of :class:`TokenBigramJaccard` (tests/back-compat)."""
@@ -1371,11 +1468,14 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
         per_group_via_buckets(prefix, ["term_rank"], _cands,
                               n_buckets=n_buckets, coalesce_rows=1024),
         n_buckets=n_buckets)
-    # fine-grained bundling: the bigram-set metric is the pipeline's
-    # heavy stage, and score-task count tracks the bundled block count
+    # medium bundling: with the prepared-rep verify (reps replicate per
+    # pair-bucket, scores are C-speed array intersections) the reduce
+    # is light — finer bundles just flood the sort with tiny blocks
+    # (measured: 256→9.9 s, 16384→~3.8 s on 667 K candidates)
     return verify_candidates(ds, cands, text_col, id_col,
                              threshold=threshold, n_buckets=n_buckets,
-                             metric=TokenBigramJaccard(), coalesce_rows=256)
+                             metric=TokenBigramJaccard(),
+                             coalesce_rows=16384)
 
 
 # ---------------------------------------------------------------------------
