@@ -156,16 +156,63 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     return brute_force_topk(candidates, q, k, id_col, vec_col)
 
 
+class _MultiLSHBucketer:
+    """Banded random-hyperplane LSH: each vector enters ``n_tables``
+    independent buckets (one per table of ``n_planes`` planes) —
+    OR-construction, so a true near-dup pair is missed only if EVERY
+    table separates it: recall 1-(1-p^planes)^tables vs the single
+    table's p^planes (p = 1 - θ/π).  Output explodes ×n_tables rows
+    of (id, vec, table, bucket)."""
+
+    def __init__(self, dim: int, n_planes: int, n_tables: int, seed: int,
+                 id_col: str, vec_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(
+            size=(n_tables, dim, n_planes)).astype(np.float32)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(table.column(self.vec_col)))
+        n_tables = self.planes.shape[0]
+        n = len(m)
+        weights = (1 << np.arange(self.planes.shape[2], dtype=np.int64))
+        out_tbl, out_bkt = [], []
+        for ti in range(n_tables):
+            bits = (m @ self.planes[ti]) > 0
+            out_tbl.append(np.full(n, ti, np.int32))
+            out_bkt.append(bits.astype(np.int64) @ weights)
+        idx = np.tile(np.arange(n, dtype=np.int64), n_tables)
+        taken = table.take(pa.array(idx))
+        return pa.table({
+            self.id_col: taken.column(self.id_col),
+            self.vec_col: taken.column(self.vec_col),
+            "table": pa.array(np.concatenate(out_tbl)),
+            "bucket": pa.array(np.concatenate(out_bkt)),
+        })
+
+
 def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        seed: int = 5):
+                        seed: int = 5, n_tables: int = 1):
     """Cosine-threshold near-duplicate pairs: LSH-bucket, then exact
     cosine within buckets (groupby → map_groups; only same-bucket pairs
-    are scored)."""
+    are scored).  ``n_tables > 1`` switches to the banded
+    OR-construction (recall 1-(1-p^n_planes)^n_tables; pairs found in
+    several tables collapse in the final max-per-pair exchange)."""
     first = ds.take(1)
     dim = len(first[0][vec_col])
-    bucketed = ds.map_batches(_LSHBucketer(dim, n_planes, seed, id_col, vec_col),
-                              batch_format="pyarrow")
+    if n_tables > 1:
+        bucketed = ds.map_batches(
+            _MultiLSHBucketer(dim, n_planes, n_tables, seed, id_col,
+                              vec_col),
+            batch_format="pyarrow")
+        group_cols = ["table", "bucket"]
+    else:
+        bucketed = ds.map_batches(
+            _LSHBucketer(dim, n_planes, seed, id_col, vec_col),
+            batch_format="pyarrow")
+        group_cols = ["bucket"]
 
     def _pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -186,7 +233,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 10,
     from peri_ray.stages.checks import bucket_of
     from peri_ray.stages.dedup import per_group_via_buckets
 
-    pairs = per_group_via_buckets(bucketed, ["bucket"], _pairs)
+    pairs = per_group_via_buckets(bucketed, group_cols, _pairs)
 
     def _tag(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(

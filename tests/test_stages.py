@@ -366,6 +366,42 @@ class TestSimilarity:
         pairs = embedding_near_dups(rd.from_items(rows), threshold=0.99).take_all()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
+    def test_multi_table_lsh_recall_beats_single(self):
+        # banded OR-construction: recall 1-(1-p^planes)^tables.  Plant
+        # 60 moderately-perturbed near-dup pairs (cosine ~0.96: far
+        # enough from 1.0 that single-table 10-plane LSH misses many)
+        # and require the 4-table variant to find strictly more, with
+        # every found pair exact-verified >= threshold.
+        from peri_ray.stages.similarity import embedding_near_dups
+
+        rng = np.random.default_rng(7)
+        rows, truth = [], set()
+        vid = 0
+        for _ in range(60):
+            a = rng.normal(size=32)
+            a /= np.linalg.norm(a)
+            b = a + 0.30 * rng.normal(size=32) / np.sqrt(32)
+            b /= np.linalg.norm(b)
+            # truth = pairs comfortably ABOVE the 0.93 cut (margin vs
+            # the engine's float32 boundary arithmetic)
+            if float(a @ b) >= 0.945:
+                truth.add((vid, vid + 1))
+            rows.append({"vec_id": vid, "embedding": a.astype(np.float32).tolist()})
+            rows.append({"vec_id": vid + 1, "embedding": b.astype(np.float32).tolist()})
+            vid += 2
+        for _ in range(100):  # background noise vectors
+            v = rng.normal(size=32)
+            rows.append({"vec_id": vid, "embedding": (v / np.linalg.norm(v)).astype(np.float32).tolist()})
+            vid += 1
+        ds = rd.from_items(rows)
+        single = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+            ds, threshold=0.93, n_planes=10).take_all()}
+        multi = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+            ds, threshold=0.93, n_planes=10, n_tables=6).take_all()}
+        assert len(truth) >= 20, "fixture degenerate"
+        assert len(multi & truth) > len(single & truth)
+        assert len(multi & truth) >= 0.8 * len(truth)
+
 
 class TestText:
     def test_token_count_matches_duckdb(self):
