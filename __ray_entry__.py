@@ -1482,13 +1482,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id FROM reach GROUP BY a
              HAVING min(b) < a
         """,
-        # brute-force cosine cross join; 0.95 sits far above this
+        # brute-force cosine cross join, PAIR IDS only (engine scores
+        # float32, SQL float64 — comparing the cosine value itself
+        # would be a latent low-bit mismatch); 0.95 sits far above this
         # table's max off-diagonal cosine (~0.51), so the threshold is
-        # decisive for both float32 (engine) and float64 (SQL) math
+        # decisive for both precisions
         "embedding_near_dup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   list_cosine_similarity(a.embedding, b.embedding)
-                     AS "max(cosine)"
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,

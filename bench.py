@@ -553,9 +553,9 @@ def _curation_inputs() -> list[str]:
         ds = web_pages_dataset(CUR_ROWS_PER_FRAG, seed=2000 + i,
                                override_num_blocks=16, columns=CUR_COLS)
 
-        def _plant(t: pa.Table, _off=i * CUR_ROWS_PER_FRAG) -> pa.Table:
-            # derive a stable row ordinal from the url's path hash —
-            # content-seeded, so the planted set is deterministic
+        def _plant(t: pa.Table) -> pa.Table:
+            # content-seeded (url hash), so the planted set is
+            # deterministic regardless of fragment or block layout
             from peri_ray.stages.dedup import hash_strings
 
             h = hash_strings(t.column("url").combine_chunks()

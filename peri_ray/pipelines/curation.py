@@ -41,6 +41,14 @@ from peri_ray.validate import validate_dataset
 _GATES = ("__invalid", "__no_lang", "__short", "__eligible")
 
 
+def _gate_counts(t: pa.Table) -> pa.Table:
+    """One 4-int row of per-batch gate-count partials (shared by the
+    streaming and partitioned forms — edits stay in lockstep)."""
+    return pa.table({c: pa.array(
+        [int(pc.sum(t.column(c).cast(pa.int64())).as_py() or 0)],
+        pa.int64()) for c in _GATES})
+
+
 def _annotate_fn(id_col: str, text_col: str, lang_col: str,
                  len_col: str | None, min_chars: int,
                  with_hash: bool = False):
@@ -114,13 +122,8 @@ def run_curation(ds, spec: dict, *, id_col: str = "doc_id",
 
     # --- gate counts: per-batch partials + driver merge (flagship
     # pattern) — one 4-int row per batch is all that leaves the cluster
-    def _counts(t: pa.Table) -> pa.Table:
-        return pa.table({c: pa.array(
-            [int(pc.sum(t.column(c).cast(pa.int64())).as_py() or 0)],
-            pa.int64()) for c in _GATES})
-
     sums = {c: 0 for c in _GATES}
-    for r in annotated().map_batches(_counts, batch_format="pyarrow",
+    for r in annotated().map_batches(_gate_counts, batch_format="pyarrow",
                                      batch_size=batch_size).take_all():
         for c in sums:
             sums[c] += r[c]
@@ -198,7 +201,6 @@ def partitioned_curation(
 
     from peri_ray.sources import read_table
     from peri_ray.state.checkpoint import CheckpointDir, plan_hash
-    from peri_ray.stages.dedup import exact_duplicate_ids
     from peri_ray.stages.joins import hash_join
 
     ckpt = CheckpointDir(checkpoint_dir)
@@ -225,16 +227,11 @@ def partitioned_curation(
 
         out_dir = ckpt.write_fragment(frag, _write)
 
-        def _counts(t: pa.Table) -> pa.Table:
-            return pa.table({c: pa.array(
-                [int(pc.sum(t.column(c).cast(pa.int64())).as_py() or 0)],
-                pa.int64()) for c in _GATES})
-
         sums = {c: 0 for c in _GATES}
         adir = os.path.join(out_dir, "annotated")
         if os.path.isdir(adir):
             flags = rd.read_parquet(adir, columns=list(_GATES))
-            for r in flags.map_batches(_counts, batch_format="pyarrow",
+            for r in flags.map_batches(_gate_counts, batch_format="pyarrow",
                                        batch_size=batch_size).take_all():
                 for c in sums:
                     sums[c] += r[c]
@@ -287,7 +284,7 @@ def partitioned_curation(
         pairs = rd.read_parquet(
             ann_files, columns=["content_hash", id_col, "__eligible"],
         ).map_batches(_elig_filter(["content_hash", id_col]),
-                      batch_format="pyarrow")
+                      batch_format="pyarrow", batch_size=65536)
         victims = _victims_from_pairs(pairs, id_col).materialize()
 
     def _phase2(path: str) -> None:
@@ -305,7 +302,7 @@ def partitioned_curation(
         elig = rd.read_parquet(
             src, columns=[id_col, text_col, lang_col, "__eligible"],
         ).map_batches(_elig_filter([id_col, text_col, lang_col]),
-                      batch_format="pyarrow")
+                      batch_format="pyarrow", batch_size=65536)
         cur = hash_join(elig, victims, id_col, id_col,
                         [text_col, lang_col], [], how="anti")
 
@@ -351,8 +348,10 @@ def _victims_from_pairs(pairs, id_col: str, n_buckets: int = 64):
     and never touches text)."""
     from peri_ray.stages.checks import _AddBucket
 
+    # bundle the exchange map side (tiny-block floor; CLAUDE.md rule —
+    # reduce here is one vectorized group_by per bucket, so coarse)
     bucketed = pairs.map_batches(_AddBucket("content_hash", n_buckets),
-                                 batch_format="pyarrow")
+                                 batch_format="pyarrow", batch_size=65536)
 
     def _victims(group: pa.Table) -> pa.Table:
         g = group.select(["content_hash", id_col])

@@ -529,13 +529,19 @@ def ann_topk_exact(sf_dir: str):
 
 
 def embedding_near_dup_pairs(sf_dir: str):
+    """Cosine >= 0.95 near-dup pairs.  Ids only: the engine scores in
+    float32, the oracle in float64 — hash-comparing the cosine itself
+    would be a latent always-fail the moment the table gains a real
+    pair (low-bit double difference), while the pair SET is decisive
+    at any threshold not within float32 error of a pair's cosine."""
     from peri_ray.stages.similarity import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return _collect(
+    t = _collect(
         embedding_near_dups(ds, threshold=0.95),
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("max(cosine)", pa.float64())]),
     )
+    return t.drop_columns(["max(cosine)"])
 
 
 def column_sketches_lineitem(sf_dir: str):

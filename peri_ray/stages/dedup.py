@@ -720,7 +720,8 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     (2) re-bucket the text-carrying halves on (id_a, id_b), pivot the
     two halves per pair and score n-gram Jaccard per candidate.
 
-    ``pairs`` is materialized up front: both halves consume it, and an
+    The bucket-tagged pair table (``tagged``) is materialized up
+    front: the needs map and the score exchange both consume it, and an
     unmaterialized candidate lineage would re-run the entire LSH
     pipeline (signatures + two shuffles) once per consumer.  Candidate
     pairs are tiny relative to the corpus by LSH construction.
@@ -741,7 +742,6 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     corpus × n_buckets instead of candidate count."""
     from peri_ray.stages.checks import bucket_of
 
-    pairs = pairs.materialize()
     m = metric if metric is not None else NgramJaccard(k)
     prepared_mode = (hasattr(m, "prepare_arrow")
                      and hasattr(m, "sim_prepared"))
@@ -749,8 +749,9 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     empty_rep = b"" if prepared_mode else ""
 
     # tag each pair with its pair-bucket; pinned — feeds the needs map
-    # AND the score exchange (pairs itself is already materialized, so
-    # this is one cheap map over ints)
+    # AND the score exchange (tagged is the ONLY pin: pairs has no
+    # other consumer, so materializing it too would just duplicate the
+    # candidate set in the object store)
     def _pb(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
             t.column("id_a").cast(pa.string()),

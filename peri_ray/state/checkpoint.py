@@ -46,9 +46,18 @@ class CheckpointDir:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     # -- manifests ---------------------------------------------------------
+    @staticmethod
+    def _safe(fragment_id: str) -> str:
+        """Filesystem-safe name that stays INJECTIVE: '/' and ':' both
+        mapped to '_' alone collides 'a/b' with 'a_b' (distinct inputs
+        would silently share a manifest and one would be skipped as
+        done) — an 8-hex digest of the raw id disambiguates."""
+        tag = hashlib.sha256(fragment_id.encode()).hexdigest()[:8]
+        return fragment_id.replace("/", "_").replace(":", "_") + "-" + tag
+
     def _manifest_path(self, fragment_id: str) -> str:
-        safe = fragment_id.replace("/", "_").replace(":", "_")
-        return os.path.join(self.root, "manifests", f"{safe}.json")
+        return os.path.join(self.root, "manifests",
+                            f"{self._safe(fragment_id)}.json")
 
     def completed(self, fragment_id: str, phash: str) -> bool:
         p = self._manifest_path(fragment_id)
@@ -88,8 +97,7 @@ class CheckpointDir:
 
     # -- atomic data dirs --------------------------------------------------
     def fragment_dir(self, fragment_id: str) -> str:
-        safe = fragment_id.replace("/", "_").replace(":", "_")
-        return os.path.join(self.root, "data", safe)
+        return os.path.join(self.root, "data", self._safe(fragment_id))
 
     def invalidate(self, fragment_id: str) -> None:
         """Remove the fragment's manifest.  MUST run before its data dir
