@@ -712,13 +712,13 @@ def verify_candidates(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     driver-side materialization (the previous take_all()+broadcast dict
     was O(candidate texts) driver memory, unbounded at corpus scale).
 
-    Shape: (1) explode pairs into per-doc halves (doc_id, id_a, id_b),
-    union with the pruned (doc_id, text) column, hash-bucket on doc_id
-    and attach each half's text with a per-bucket vectorized Arrow join
-    (texts in a bucket with no candidate halves are dropped there —
-    text for non-candidates crosses at most the first exchange);
-    (2) re-bucket the text-carrying halves on (id_a, id_b), pivot the
-    two halves per pair and score n-gram Jaccard per candidate.
+    Shape: (1) distinct (doc, pair-bucket) NEEDS derived from the
+    candidate pairs meet the pruned (doc, text/rep) column in a
+    doc-keyed exchange; each bucket's vectorized Arrow join emits one
+    rep row per (doc, pair-bucket) — docs with no candidate pair are
+    dropped there; (2) the pair rows and the rep rows they need meet
+    in a pair-bucket exchange, where each group scores its pairs
+    against a doc→rep dict built from ≤ docs-in-bucket rep rows.
 
     The bucket-tagged pair table (``tagged``) is materialized up
     front: the needs map and the score exchange both consume it, and an
