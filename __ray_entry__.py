@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_subset_documents": q.budget_subset_documents,
         "unnest_embeddings": q.unnest_embeddings,
         "ann_recall_report": q.ann_recall_report,
+        "near_dup_recall_report": q.near_dup_recall_report,
         "asof_forward_event_orders": q.asof_forward_event_orders,
         "dedup_best_capture_docs": q.dedup_best_capture_docs,
         "violation_report_documents": q.violation_report_documents,

@@ -1483,6 +1483,40 @@ def cosine_join_pairs(sf_dir: str):
     return cosine_similarity_join(ds, threshold=0.4)
 
 
+def near_dup_recall_report(sf_dir: str):
+    """Self-evaluation of the approximate embedding near-dup routes
+    against the EXACT cosine join at the same threshold (0.4 — this
+    table's pair-bearing range; max off-diagonal cosine ≈ 0.51):
+    single-table LSH vs the banded OR-construction.  The banded
+    variant trades a bounded scanned-fraction increase (tables ×
+    1/2^planes) for recall 1-(1-p^planes)^tables — the measurement
+    that decides whether the approximate route can replace the exact
+    O(n²) join at corpus scale.  Rows-only (approx side has no SQL)."""
+    from peri_ray.stages.similarity import (cosine_similarity_join,
+                                            embedding_near_dups)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = cosine_similarity_join(ds, threshold=0.4)
+    truth = {(r["id_a"], r["id_b"]) for r in exact.take_all()}
+
+    rows = []
+    for method, kw in (
+        ("lsh_single_10p", dict(n_planes=10)),
+        ("lsh_banded_3p_x8", dict(n_planes=3, n_tables=8)),
+    ):
+        got = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+            ds, threshold=0.4, **kw).take_all()}
+        found = len(got & truth)
+        rows.append((method, len(truth), found,
+                     round(found / len(truth), 4) if truth else None))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "true_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "found_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "recall": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def unigram_nll_documents(sf_dir: str):
     """Mean negative log-likelihood per doc under a corpus-trained
     unigram LM (the perplexity-style quality filter).  Rounded to 6
