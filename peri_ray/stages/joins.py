@@ -566,9 +566,12 @@ def bloom_semi_join(fact, dim, fact_key: str, dim_key: str,
     # two consumers (Bloom build + the exact join's right side): pin
     # the dim lineage or each re-executes its upstream pipeline
     dim = dim.materialize()
+    # coarse bundle: each partial is a full m_bits bitmap regardless of
+    # input rows, so per-tiny-block partials just multiply the 512 KB
+    # blobs the driver must fetch and OR together
     rows = dim.select_columns([dim_key]).map_batches(
         _BloomPartial(dim_key, m_bits, k_hashes),
-        batch_format="pyarrow").take_all()
+        batch_format="pyarrow", batch_size=262144).take_all()
     merged = Bloom(m_bits, k_hashes)
     for r in rows:
         merged.merge(pickle.loads(r["bloom"]))

@@ -595,6 +595,26 @@ class TestCheckpointResume:
         run_partitioned(["f1"], ckpt, plan_hash({"a": "integer"}), process)
         assert calls.count("f1") == 2
 
+    def test_sanitization_collisions_stay_distinct(self, tmp_path):
+        # regression (round-3 review): '/'->'_' alone mapped 'a/b' and
+        # 'a_b' to one manifest/data path — the second fragment read as
+        # already-done and was silently skipped
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash, run_partitioned
+
+        ckpt = CheckpointDir(str(tmp_path / "ck"))
+        phash = plan_hash({"x": 1})
+        calls = []
+
+        def process(frag, out_dir):
+            calls.append(frag)
+            return {"rows": 1}
+
+        frags = ["data/a/b.parquet", "data/a_b.parquet", "p:q", "p_q"]
+        run_partitioned(frags, ckpt, phash, process)
+        assert calls == frags
+        assert len({m["fragment"] for m in ckpt.read_manifests()}) == 4
+        assert len({ckpt.fragment_dir(f) for f in frags}) == 4
+
     def test_partitioned_flagship_empty_fragment(self, tmp_path):
         # regression (round-2 review): a 0-row fragment must write a
         # rows=0 manifest, not crash on Dataset.sum() returning None
@@ -3035,6 +3055,47 @@ class TestPartitionedCuration:
                     for m in res3["phase1"] + res3["phase2"]}.items()
                    if ts != before[f]}
         assert changed == {victim_frag}
+
+    def test_random_corpora_match_streaming(self, tmp_path):
+        # fuzz: random corpus, random fragmentation — the partitioned
+        # report must equal the streaming run_curation report exactly
+        import pyarrow.parquet as pq
+
+        from peri_ray.pipelines.curation import (partitioned_curation,
+                                                 run_curation)
+        from peri_ray.sources import read_table
+
+        rng = np.random.default_rng(101)
+        for trial in range(2):
+            n = int(rng.integers(60, 140))
+            pool = ["x" * 150, "y" * 200, "z" * 180, "short", ""]
+            t = pa.table({
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(
+                    [None if rng.random() < 0.05 else
+                     pool[int(rng.integers(0, len(pool)))]
+                     for _ in range(n)], pa.string()),
+                "lang": pa.array(
+                    [None if rng.random() < 0.15 else
+                     ["en", "de", "zz"][int(rng.integers(0, 3))]
+                     for _ in range(n)], pa.string()),
+                "n_chars": pa.array(
+                    [int(rng.integers(0, 250)) for _ in range(n)],
+                    pa.int64()),
+            })
+            k = int(rng.integers(2, 5))
+            cuts = sorted(rng.choice(range(1, n), size=k - 1,
+                                     replace=False).tolist()) + [n]
+            paths, lo = [], 0
+            for fi, hi in enumerate(cuts):
+                p = str(tmp_path / f"t{trial}_f{fi}.parquet")
+                pq.write_table(t.slice(lo, hi - lo), p)
+                paths.append(p)
+                lo = hi
+            _, want = run_curation(rd.from_arrow(t), self.SPEC)
+            res = partitioned_curation(
+                paths, str(tmp_path / f"ck{trial}"), self.SPEC)
+            assert res["report"] == want, f"trial {trial}"
 
 
 class TestRepetitionSignals:
