@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": q.mad_outliers_events,
         "cume_dist_events": q.cume_dist_events,
         "curation_report": q.curation_report,
+        "curation_report_partitioned": q.curation_report_partitioned,
         "benford_first_digit": q.benford_first_digit,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
@@ -1798,4 +1799,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811 — wraps the literal dict
     # the distributed label-propagation path must produce exactly the
     # union-find answer — same recursive-CTE closure oracle
     d["near_dedup_victims_distributed"] = d["near_dedup_victims"]
+    # the resumable partitioned curation must produce exactly the
+    # streaming pipeline's report — same gate-attribution oracle
+    d["curation_report_partitioned"] = d["curation_report"]
     return d

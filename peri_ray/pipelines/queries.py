@@ -2660,6 +2660,26 @@ def curation_report(sf_dir: str):
     return pa.table({k: pa.array([v], pa.int64()) for k, v in rep.items()})
 
 
+def curation_report_partitioned(sf_dir: str):
+    """Same curation report through the RESUMABLE partitioned form
+    (per-fragment annotated parquet + manifests, global victims
+    exchange, per-fragment anti-joined output) — driver-gates the
+    checkpoint path against the identical SQL twin the streaming form
+    uses.  Checkpoint dir is a throwaway temp (one fragment at oracle
+    scale)."""
+    import os
+    import tempfile
+
+    from peri_ray.pipelines.curation import partitioned_curation
+
+    with tempfile.TemporaryDirectory() as td:
+        res = partitioned_curation(
+            [os.path.join(sf_dir, "documents.parquet")], td, DOCS_SPEC,
+            read_columns=["doc_id", "text", "lang", "n_chars"])
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in res["report"].items()})
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +
