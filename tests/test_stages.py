@@ -2875,6 +2875,54 @@ class TestCurationPipeline:
         assert total + rep["curated_rows"] == rep["input_rows"]
 
 
+class TestVerifyCandidatesProperties:
+    def test_random_candidates_match_direct_scoring(self):
+        # the reworked (per-pair-bucket replication) verify must agree
+        # with direct scoring on random corpora + random candidate
+        # sets including duplicate pairs, ids absent from the corpus,
+        # and null texts — for BOTH the plain metric and the
+        # exchange-prepared TokenBigramJaccard path
+        from peri_ray.stages.dedup import (NgramJaccard,
+                                           TokenBigramJaccard,
+                                           verify_candidates)
+
+        rng = np.random.default_rng(23)
+        words = [f"w{i}" for i in range(40)]
+        for trial in range(3):
+            n = int(rng.integers(20, 60))
+            texts = [None if rng.random() < 0.1 else
+                     " ".join(rng.choice(words,
+                                         size=int(rng.integers(2, 30))))
+                     for _ in range(n)]
+            docs = pa.table({
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            })
+            m_pairs = int(rng.integers(5, 40))
+            ida = rng.integers(0, n + 5, size=m_pairs)   # +5: unknown ids
+            idb = rng.integers(0, n + 5, size=m_pairs)
+            keep = ida != idb
+            ida, idb = ida[keep], idb[keep]
+            # inject duplicates (multi-band candidate feeds)
+            ida = np.concatenate([ida, ida[:3]])
+            idb = np.concatenate([idb, idb[:3]])
+            cands = pa.table({"id_a": pa.array(ida, pa.int64()),
+                              "id_b": pa.array(idb, pa.int64())})
+            lookup = {i: (t or "") for i, t in enumerate(texts)}
+            for metric in (NgramJaccard(5), TokenBigramJaccard()):
+                got = {(r["id_a"], r["id_b"]): r["jaccard"]
+                       for r in verify_candidates(
+                           rd.from_arrow(docs), rd.from_arrow(cands),
+                           threshold=0.3, metric=metric).take_all()}
+                want = {}
+                for a, b in {(int(x), int(y))
+                             for x, y in zip(ida, idb)}:
+                    j = metric(lookup.get(a, ""), lookup.get(b, ""))
+                    if j >= 0.3:
+                        want[(a, b)] = j
+                assert got == want, (trial, type(metric).__name__)
+
+
 class TestJaccardExactThresholdBoundary:
     def test_pair_at_exactly_threshold_survives(self):
         # A subset pair with J = 28/35 = 0.8 EXACTLY: float t*max
