@@ -1464,7 +1464,13 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # candidate generation is the HEAVY reduce (O(posting²) per rank):
     # keep many small map blocks so the exchange fans it wide — the
-    # default coalesce would serialize it onto a handful of tasks
+    # default coalesce would serialize it onto a handful of tasks.
+    # Dedupe BEFORE verify: verify's per-bucket group_by would collapse
+    # duplicates too (property-tested), but a pair can recur once per
+    # shared prefix token (up to prefix-length ×), and deduping early
+    # keeps verify's two exchanges sized by DISTINCT candidates;
+    # measured a wash at sf0.1 (667 K vs 784 K), kept for the skewed
+    # high-duplication case
     cands = dedupe_pairs(
         per_group_via_buckets(prefix, ["term_rank"], _cands,
                               n_buckets=n_buckets, coalesce_rows=1024),
