@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_events": q.cume_dist_events,
         "curation_report": q.curation_report,
         "curation_report_partitioned": q.curation_report_partitioned,
+        "training_prep_report": q.training_prep_report,
         "benford_first_digit": q.benford_first_digit,
         "clicked_no_purchase": q.clicked_no_purchase,
         "revenue_by_nation": q.revenue_by_nation,
@@ -1493,6 +1494,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # composed end-to-end prep: curation CTE -> shingle-Jaccard
+        # recursive closure -> token budget -> Knuth-hash split (chains
+        # the curation_report / near_dedup_victims / token_counts /
+        # hash_split_documents twins; brute-force shingle join is the
+        # 500-doc driver-gate design point, as documented above)
+        "training_prep_report": f"""
+            WITH RECURSIVE f AS (
+              SELECT doc_id, text,
+                     NOT {_DOC_VALID} AS inv,
+                     {_DOC_VALID} AND lang IS NULL AS no_lang,
+                     {_DOC_VALID} AND lang IS NOT NULL
+                       AND (n_chars IS NULL OR n_chars < 100) AS short
+                FROM documents
+            ),
+            e AS (SELECT doc_id, text FROM f
+                   WHERE NOT inv AND NOT no_lang AND NOT short),
+            cur AS (
+              SELECT e.doc_id, e.text FROM e
+                JOIN (SELECT min(doc_id) AS keep FROM e GROUP BY text) k
+                  ON e.doc_id = k.keep
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 5))) AS g
+                  FROM cur)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN sz sa ON sa.doc_id = a.doc_id
+                JOIN sz sb ON sb.doc_id = b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+              HAVING CAST(count(*) AS DOUBLE) /
+                     CAST(min(sa.n) + min(sb.n) - count(*) AS DOUBLE) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+               WHERE e2.b <> r.a
+            ),
+            victims AS (SELECT a AS doc_id FROM reach GROUP BY a
+                         HAVING min(b) < a),
+            fin AS (SELECT doc_id, text FROM cur
+                     WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
+            splits AS (
+              SELECT CASE WHEN hb < 80 THEN 'train'
+                          WHEN hb < 90 THEN 'val'
+                          ELSE 'test' END AS split
+                FROM (SELECT ((doc_id % 1000003) * 2654435761 % 1000000)
+                             % 100 AS hb FROM fin)
+            )
+            SELECT
+              (SELECT count(*) FROM f) AS input_rows,
+              (SELECT count(*) FROM f WHERE inv) AS invalid,
+              (SELECT count(*) FROM f WHERE no_lang) AS no_lang,
+              (SELECT count(*) FROM f WHERE short) AS too_short,
+              (SELECT count(*) FROM e) - (SELECT count(*) FROM cur)
+                AS exact_dups,
+              (SELECT count(*) FROM cur) AS curated_rows,
+              (SELECT count(*) FROM victims) AS near_dup_victims,
+              (SELECT count(*) FROM cur) - (SELECT count(*) FROM victims)
+                AS final_rows,
+              (SELECT CAST(COALESCE(sum(len(regexp_split_to_array(
+                       trim(text), '\\s+'))), 0) AS BIGINT) FROM fin)
+                AS total_tokens,
+              (SELECT count(*) FROM splits WHERE split = 'train')
+                AS train_rows,
+              (SELECT count(*) FROM splits WHERE split = 'val') AS val_rows,
+              (SELECT count(*) FROM splits WHERE split = 'test') AS test_rows
         """,
         "cume_dist_events": """
             SELECT event_id, user_id,

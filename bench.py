@@ -142,6 +142,8 @@ def run_bench() -> dict:
     timed("ntile_events_by_user", lambda: q.ntile_events_by_user(SF_DIR).to_pandas())
     timed("bloom_semi_join", lambda: q.lineitems_of_big_orders(SF_DIR))
     timed("curation_report", lambda: q.curation_report(SF_DIR))
+    timed("training_prep_report",
+          lambda: q.training_prep_report(SF_DIR).to_pandas())
     timed("line_dedup_documents", lambda: q.line_dedup_documents(SF_DIR).to_pandas())
     timed("boilerplate_removal", lambda: q.boilerplate_removed_documents(SF_DIR).to_pandas())
     timed("unigram_nll", lambda: q.unigram_nll_documents(SF_DIR).to_pandas())

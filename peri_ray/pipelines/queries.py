@@ -2680,6 +2680,67 @@ def curation_report_partitioned(sf_dir: str):
                      for k, v in res["report"].items()})
 
 
+def training_prep_report(sf_dir: str):
+    """The composed end-to-end training-data preparation pipeline:
+    validate → gate-attributed curation with exact dedup → MinHash
+    near-dedup among the curated survivors → whitespace token budget →
+    deterministic 80/10/10 hash split of the final corpus.  One row,
+    every number SQL-expressible (the oracle twin chains the curation
+    CTE, the shingle-Jaccard recursive-CTE closure, the token-count
+    expression and the Knuth-hash split).
+
+    Shape: the curated corpus is produced through the RESUMABLE
+    partitioned form (annotated + curated parquet under a checkpoint
+    dir — the production persist point), so every downstream consumer
+    streams from parquet re-reads; nothing corpus-sized pins in the
+    object store."""
+    import os
+    import tempfile
+
+    from peri_ray.pipelines.curation import partitioned_curation
+    from peri_ray.stages.dedup import near_dedup_victims as ndv
+    from peri_ray.stages.joins import hash_join
+    from peri_ray.stages.stats import hash_split_summary
+    import ray.data as rd
+
+    with tempfile.TemporaryDirectory() as td:
+        res = partitioned_curation(
+            [os.path.join(sf_dir, "documents.parquet")], td, DOCS_SPEC,
+            read_columns=["doc_id", "text", "lang", "n_chars"])
+        rep = res["report"]
+        cur_dirs = [os.path.join(d, "curated") for d in res["output_dirs"]]
+        cur_files = [os.path.join(d, f) for d in cur_dirs
+                     if os.path.isdir(d)
+                     for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+        def curated():
+            return rd.read_parquet(cur_files, columns=["doc_id", "text"])
+
+        victims = ndv(curated(), threshold=0.8, bands=8,
+                      num_perm=64).materialize()  # small: dup ids only
+        n_near = victims.count()
+
+        def final():
+            return hash_join(curated(), victims, "doc_id", "doc_id",
+                             ["text"], [], how="anti")
+
+        tok = final().map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(token_count_batch(t).column("n_tokens"))
+                     .as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("n")
+        split = hash_split_summary(final(), id_col="doc_id")
+        counts = {r["split"]: int(r["n_rows"]) for r in split.to_pylist()}
+
+    row = dict(rep)
+    row["near_dup_victims"] = int(n_near)
+    row["final_rows"] = int(rep["curated_rows"]) - int(n_near)
+    row["total_tokens"] = int(tok or 0)
+    for s in ("train", "val", "test"):
+        row[f"{s}_rows"] = counts.get(s, 0)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in row.items()})
+
+
 def grouped_stats_lineitem(sf_dir: str):
     """GROUP BY + algebraic stat combiners: per-returnflag count /
     nulls / min / max / sum over two measures, per-batch partials +
