@@ -52,6 +52,15 @@ class _TopKPartial:
     def __call__(self, table: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(table.column(self.vec_col), self.dtype))
         ids = table.column(self.id_col).to_numpy(zero_copy_only=False)
+        # dedupe ids WITHIN the batch before the per-batch top-k:
+        # duplicated candidate rows (banded multi-table LSH) would
+        # otherwise fill the k slots with copies of one id and drop
+        # distinct candidates before the driver merge ever sees them
+        if len(ids) and len(np.unique(ids)) != len(ids):
+            _, first = np.unique(ids, return_index=True)
+            first.sort()
+            ids = ids[first]
+            m = m[first]
         sims = self.q @ m.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
@@ -86,12 +95,19 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         _TopKPartial(qref, k, id_col, vec_col, dtype), batch_format="pyarrow",
         batch_size=batch_size,
     ).take_all()
-    heaps: dict[int, list] = {}
+    # dedupe by (query, id) at the merge: candidate feeds may ship the
+    # same vector several times (banded multi-table LSH), and a heap of
+    # raw partials would return one id twice inside a top-k
+    seen: dict[int, dict[int, float]] = {}
     for r in partials:
-        heaps.setdefault(r["query_idx"], []).append((r["score"], -r["id"]))
+        d = seen.setdefault(r["query_idx"], {})
+        iid, s = r["id"], r["score"]
+        if iid not in d or s > d[iid]:
+            d[iid] = s
     out = []
     for qidx in range(len(queries)):
-        best = heapq.nlargest(k, heaps.get(qidx, []))
+        best = heapq.nlargest(
+            k, [(s, -iid) for iid, s in seen.get(qidx, {}).items()])
         out.append([(-negid, float(s)) for s, negid in best])
     return out
 
@@ -118,39 +134,70 @@ class _LSHBucketer:
 
 def lsh_bucketed_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      seed: int = 5, n_probe_bits: int = 1):
+                      seed: int = 5, n_probe_bits: int = 1,
+                      n_tables: int = 1):
     """Approximate top-k: only vectors whose LSH bucket lies within
     Hamming distance ``n_probe_bits`` of a query's bucket are scored
     (multi-probe LSH, Lv et al. VLDB'07: a true neighbor on the wrong
     side of ONE hyperplane lands in an adjacent bucket, and probing
     those costs (n_planes choose ≤b) extra buckets instead of more
-    tables).  Recall < 1 by design; (n_planes, n_probe_bits) trades
-    recall against the scanned fraction — measure with
-    ``ann_recall_report`` before trusting a configuration."""
+    tables).  ``n_tables > 1`` adds the orthogonal OR-construction:
+    each vector enters one bucket per independent table and a
+    candidate needs to match the query in ANY table (probing applies
+    per table); duplicates collapse in the top-k merge.  Recall < 1 by
+    design; (n_planes, n_probe_bits, n_tables) trades recall against
+    the scanned fraction — measure with ``ann_recall_report`` before
+    trusting a configuration."""
     import itertools as _it
+
+    import pyarrow.compute as _pc
 
     q = np.asarray(queries, np.float32)
     dim = q.shape[1]
-    bucketer = _LSHBucketer(dim, n_planes, seed, id_col, vec_col)
-    qb = bucketer(pa.table({id_col: pa.array(np.arange(len(q)), pa.int64()),
-                            vec_col: pa.array(list(q))}))
-    base = set(qb.column("bucket").to_pylist())
-    probed = set(base)
-    for b in base:
-        for r in range(1, n_probe_bits + 1):
-            for bits in _it.combinations(range(n_planes), r):
-                flip = b
-                for bit in bits:
-                    flip ^= (1 << bit)
-                probed.add(flip)
-    qbuckets = pa.array(sorted(probed), pa.int64())
-    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
 
-    def _filter(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
+    def _probe(buckets: set[int]) -> set[int]:
+        probed = set(buckets)
+        for b in buckets:
+            for r in range(1, n_probe_bits + 1):
+                for bits in _it.combinations(range(n_planes), r):
+                    flip = b
+                    for bit in bits:
+                        flip ^= (1 << bit)
+                    probed.add(flip)
+        return probed
 
-        mask = _pc.is_in(t.column("bucket").combine_chunks(), value_set=qbuckets)
-        return t.filter(mask)
+    qtbl = pa.table({id_col: pa.array(np.arange(len(q)), pa.int64()),
+                     vec_col: pa.array(list(q))})
+    if n_tables > 1:
+        bucketer = _MultiLSHBucketer(dim, n_planes, n_tables, seed,
+                                     id_col, vec_col)
+        qb = bucketer(qtbl)
+        qt = qb.column("table").to_numpy(zero_copy_only=False)
+        qbk = qb.column("bucket").to_numpy(zero_copy_only=False)
+        keys: set[int] = set()
+        for ti in range(n_tables):
+            per = _probe({int(b) for b in qbk[qt == ti]})
+            keys |= {(ti << n_planes) | b for b in per}
+        qkeys = pa.array(sorted(keys), pa.int64())
+        bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+        def _filter(t: pa.Table) -> pa.Table:
+            key = _pc.bit_wise_or(
+                _pc.shift_left(t.column("table").combine_chunks()
+                               .cast(pa.int64()), n_planes),
+                t.column("bucket").combine_chunks())
+            return t.filter(_pc.is_in(key, value_set=qkeys))
+    else:
+        bucketer = _LSHBucketer(dim, n_planes, seed, id_col, vec_col)
+        qb = bucketer(qtbl)
+        probed = _probe(set(qb.column("bucket").to_pylist()))
+        qbuckets = pa.array(sorted(probed), pa.int64())
+        bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+        def _filter(t: pa.Table) -> pa.Table:
+            mask = _pc.is_in(t.column("bucket").combine_chunks(),
+                             value_set=qbuckets)
+            return t.filter(mask)
 
     candidates = bucketed.map_batches(_filter, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, id_col, vec_col)

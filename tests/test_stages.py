@@ -366,6 +366,34 @@ class TestSimilarity:
         pairs = embedding_near_dups(rd.from_items(rows), threshold=0.99).take_all()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
+    def test_banded_topk_dedupes_and_finds_close_neighbors(self):
+        # a candidate entering several tables must appear ONCE in the
+        # top-k (merge dedupe), and near-identical neighbors (the
+        # regime banded tables serve) must be found
+        from peri_ray.stages.similarity import lsh_bucketed_topk
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(2, 24)).astype(np.float32)
+        rows = []
+        vid = 0
+        for qi in range(2):
+            for _ in range(5):  # 5 close neighbors per query
+                v = base[qi] + 0.05 * rng.normal(size=24).astype(np.float32)
+                rows.append({"vec_id": vid, "embedding": v.tolist()})
+                vid += 1
+        for _ in range(200):
+            rows.append({"vec_id": vid,
+                         "embedding": rng.normal(size=24).astype(
+                             np.float32).tolist()})
+            vid += 1
+        res = lsh_bucketed_topk(rd.from_items(rows), base, k=5,
+                                n_planes=8, n_tables=6, n_probe_bits=0)
+        for qi in range(2):
+            ids = [v for v, _ in res[qi]]
+            assert len(ids) == len(set(ids))  # dedupe across tables
+            want = set(range(qi * 5, qi * 5 + 5))
+            assert len(set(ids) & want) >= 4  # close neighbors found
+
     def test_multi_table_lsh_recall_beats_single(self):
         # banded OR-construction: recall 1-(1-p^planes)^tables.  Plant
         # 60 moderately-perturbed near-dup pairs (cosine ~0.96: far
