@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": q.sliding_event_counts,
         "stratified_sample_counts": q.stratified_sample_counts,
         "term_doc_frequency": q.term_doc_frequency,
+        "dup_ngram_coverage_docs": q.dup_ngram_coverage_docs,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -679,6 +680,29 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "dup_ngram_coverage_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 3),
+                              i -> array_to_string(ws[i:i+4], ' '))) AS gram
+                  FROM toks WHERE len(ws) >= 5
+              )
+            ),
+            df AS (SELECT gram, count(DISTINCT doc_id) AS d
+                     FROM grams GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS total_grams,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS shared_grams,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_coverage
+              FROM grams g JOIN df USING (gram) GROUP BY g.doc_id
+        """,
         "grouped_stats_lineitem": """
             SELECT l_returnflag AS key, 'l_quantity' AS "column",
                    count(l_quantity) AS cnt,

@@ -1116,6 +1116,18 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def dup_ngram_coverage_docs(sf_dir: str):
+    """Per-doc duplicate 5-gram coverage (Lee et al. 2022 / Gopher's
+    "fraction of doc duplicated elsewhere" gate signal): distinct
+    (doc, gram) pairs → gram-keyed df exchange → per-doc fractions.
+    Exact, so the SQL twin (unnest 5-grams, df join) is bit-identical
+    including the float division."""
+    from peri_ray.stages.text import duplicate_ngram_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_ngram_coverage(ds, n=5)
+
+
 def repetition_signals(sf_dir: str):
     """Gopher-style per-doc repetition gate signals: duplicate word /
     adjacent-bigram fractions.  Pure per-batch map (no shuffle at any

@@ -609,6 +609,120 @@ def term_document_frequency(ds, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# duplicate n-gram coverage (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" — the per-doc "what fraction of
+# this document is duplicated elsewhere in the corpus" signal used by
+# Gopher / RefinedWeb quality gates)
+# ---------------------------------------------------------------------------
+
+
+class _NgramPairsPartial:
+    """Batch → DISTINCT (doc, gram) rows for word n-grams.  Tokenizer
+    is trim + ``\\s+`` split (identical to :class:`_TermDFPartial`, so
+    the SQL twin is ``regexp_split_to_array(trim(text), '\\s+')``);
+    gram construction is fully vectorized: one ``Array.take`` per gram
+    position + one ``binary_join_element_wise``."""
+
+    def __init__(self, n: int, text_col: str, id_col: str):
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(self.text_col).combine_chunks()))
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        ids = t.column(self.id_col).combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = self.n
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({self.id_col: pa.array([], ids.type),
+                             "gram": pa.array([], pa.string())})
+        doc_idx = np.repeat(np.arange(len(lens)), counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                              counts)
+        starts = within + np.repeat(offs[:-1], counts)
+        gram = pc.binary_join_element_wise(
+            *[flat.take(pa.array(starts + k)) for k in range(n)], " ")
+        pairs = pa.table({self.id_col: ids.take(pa.array(doc_idx)),
+                          "gram": gram})
+        # a doc lives in exactly one batch, so per-batch distinct is
+        # globally distinct per (doc, gram)
+        return pairs.group_by([self.id_col, "gram"]).aggregate([])
+
+
+def duplicate_ngram_coverage(ds, n: int = 5, text_col: str = "text",
+                             id_col: str = "doc_id", n_buckets: int = 64,
+                             batch_size: int | None = 8192):
+    """Per-document duplicate-n-gram coverage: for each doc, the
+    fraction of its DISTINCT word ``n``-grams that also occur in at
+    least one OTHER document.  Output: (doc_id, total_grams,
+    shared_grams, dup_coverage) for every doc with ≥1 gram.
+
+    Shape: per-batch distinct (doc, gram) pairs → ONE gram-keyed
+    bucketed exchange (df per gram + per-doc partial counts, all Arrow
+    group_by inside the bucket) → ONE doc-keyed bucketed exchange for
+    the final per-doc sums.  Both key cardinalities are of row-count
+    order, so this never touches Ray's per-group aggregate
+    (dedup.map_groups_via_buckets).  The gram exchange ships gram
+    STRINGS — the inherent cost of an exact df (hashing would make the
+    twin inexact on collision; the string-key exchange also measured
+    faster than hash-first here, see CLAUDE.md).  At 10^12 docs this
+    is the same exchange volume class as term_document_frequency."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    pairs = ds.map_batches(_NgramPairsPartial(n, text_col, id_col),
+                           batch_format="pyarrow", batch_size=batch_size)
+
+    def _df_flags(g: pa.Table) -> pa.Table:
+        # g: distinct (doc, gram) rows, grams co-located by hash bucket
+        out_schema = pa.schema([(id_col, pa.int64()),
+                                ("total_grams", pa.int64()),
+                                ("shared_grams", pa.int64())])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.group_by("gram").aggregate([(id_col, "count")])
+        shared = df.filter(
+            pc.greater_equal(df.column(f"{id_col}_count"), 2)).column("gram")
+        flag = pc.is_in(g.column("gram").combine_chunks(),
+                        value_set=shared.combine_chunks()).cast(pa.int64())
+        per_doc = (pa.table({id_col: g.column(id_col), "shared": flag})
+                   .group_by(id_col)
+                   .aggregate([("shared", "sum"), ([], "count_all")]))
+        return pa.table({
+            id_col: per_doc.column(id_col).cast(pa.int64()),
+            "total_grams": per_doc.column("count_all").cast(pa.int64()),
+            "shared_grams": per_doc.column("shared_sum").cast(pa.int64()),
+        })
+
+    partials = map_groups_via_buckets(pairs, ["gram"], _df_flags, n_buckets)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        m = g.group_by(id_col).aggregate(
+            [("total_grams", "sum"), ("shared_grams", "sum")])
+        tot = m.column("total_grams_sum").cast(pa.int64())
+        sh = m.column("shared_grams_sum").cast(pa.int64())
+        # exact-int → float64 division on BOTH sides of the twin
+        # (DuckDB: shared::DOUBLE / total::DOUBLE) — identical doubles
+        cov = pc.divide(sh.cast(pa.float64()), tot.cast(pa.float64()))
+        return pa.table({id_col: m.column(id_col), "total_grams": tot,
+                         "shared_grams": sh, "dup_coverage": cov})
+
+    return map_groups_via_buckets(partials, [id_col], _merge, n_buckets)
+
+
+# ---------------------------------------------------------------------------
 # sequence-packing manifest (training-prep: GPT-style concat-and-chunk
 # of documents into fixed-length token windows)
 # ---------------------------------------------------------------------------

@@ -4733,3 +4733,68 @@ class TestStandardizeEmbeddings:
             else:
                 want = round((m[i, d] - mean[d]) / std[d], 6)
                 assert abs(r["z"] - want) <= 1e-6
+
+
+class TestDupNgramCoverage:
+    """duplicate_ngram_coverage — Lee et al. 2022-style per-doc
+    duplicated-fraction signal (text.py); the driver oracle
+    `dup_ngram_coverage_docs` hash-checks the sf tables."""
+
+    def _run(self, texts, n=2, ids=None):
+        from peri_ray.stages.text import duplicate_ngram_coverage
+
+        ids = ids if ids is not None else list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        out = duplicate_ngram_coverage(
+            rd.from_arrow(t).repartition(2), n=n).take_all()
+        return {r["doc_id"]: (r["total_grams"], r["shared_grams"],
+                              r["dup_coverage"]) for r in out}
+
+    def test_hand_checked_bigrams(self):
+        # doc0: grams {a b, b c}; doc1: {a b, b d}; doc2: {x y}
+        got = self._run(["a b c", "a b d", "x y"], n=2)
+        assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (1, 0, 0.0)}
+
+    def test_null_and_short_docs_excluded(self):
+        # doc1 null, doc2 has 1 token (no bigram) — neither appears
+        got = self._run(["a b", None, "solo", "a b"], n=2)
+        assert got == {0: (1, 1, 1.0), 3: (1, 1, 1.0)}
+
+    def test_distinct_grams_within_doc(self):
+        # repeated gram inside ONE doc does not count as shared
+        got = self._run(["p q p q", "r s"], n=2)
+        # doc0 distinct bigrams: {p q, q p}; none shared with doc1
+        assert got == {0: (2, 0, 0.0), 1: (1, 0, 0.0)}
+
+    def test_matches_brute_force_on_real_docs(self):
+        import re as _re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.stages.text import duplicate_ngram_coverage
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = {r["doc_id"]: (r["total_grams"], r["shared_grams"],
+                             r["dup_coverage"])
+               for r in duplicate_ngram_coverage(ds, n=5).take_all()}
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        grams = {}
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            if txt is None:
+                continue
+            # Arrow RE2 \s is ASCII — spell the class out (CLAUDE.md)
+            ws = _re.split(r"[\t\n\f\r ]+", txt.strip())
+            gs = {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+            if gs:
+                grams[did] = gs
+        dfc = Counter(g for gs in grams.values() for g in gs)
+        want = {did: (len(gs), sum(1 for g in gs if dfc[g] >= 2),
+                      float(sum(1 for g in gs if dfc[g] >= 2))
+                      / float(len(gs)))
+                for did, gs in grams.items()}
+        assert got == want
