@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_counts": q.stratified_sample_counts,
         "term_doc_frequency": q.term_doc_frequency,
         "dup_ngram_coverage_docs": q.dup_ngram_coverage_docs,
+        "dedup_normalized_docs": q.dedup_normalized_docs,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -680,6 +681,20 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "dedup_normalized_docs": r"""
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(regexp_replace(nfc_normalize(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN chr(9) || ' ' ||
+                                 upper(replace(text, ' ', '  ')) ||
+                                 ' ' || chr(10)
+                            ELSE text END),
+                       '[\x00-\x1f\x7f]', ' ', 'g'),
+                       '[\t\n\f\r ]+', ' ', 'g'), ' ')) AS norm
+                FROM documents WHERE text IS NOT NULL
+            ) GROUP BY norm
+        """,
         "dup_ngram_coverage_docs": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

@@ -1116,6 +1116,42 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def dedup_normalized_docs(sf_dir: str):
+    """CCNet-style normalize-then-dedup: a deterministic subset of docs
+    (doc_id % 3 == 0) is re-rendered messily (tabs, doubled spaces,
+    uppercase, trailing newline — the same roughening as
+    normalized_documents), then every doc is normalized (NFC, control
+    strip, ws collapse, trim, lower) and exact dedup keeps the min id
+    per normalized text.  Duplicates are found ACROSS the messy/clean
+    renderings — the reason real pipelines hash normalized text."""
+    from peri_ray.stages.dedup import exact_dedup_keepers
+    from peri_ray.stages.text import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text").combine_chunks()))
+        txt = t.column("text").combine_chunks()
+        ids = t.column("doc_id").combine_chunks()
+        messy = pc.binary_join_element_wise(
+            "\t ", pc.utf8_upper(pc.replace_substring(txt, " ", "  ")),
+            " \n", "")
+        use_messy = pa.array(
+            ids.to_numpy(zero_copy_only=False) % 3 == 0)
+        mixed = pc.if_else(use_messy, messy, txt)
+        t2 = pa.table({"doc_id": ids, "mixed": mixed})
+        return normalize_text_batch(t2, "mixed", out_col="norm",
+                                    casefold=True).select(["doc_id", "norm"])
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    keepers = exact_dedup_keepers(prepped, "norm", "doc_id")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("keep_id")})
+
+    return keepers.map_batches(_sel, batch_format="pyarrow")
+
+
 def dup_ngram_coverage_docs(sf_dir: str):
     """Per-doc duplicate 5-gram coverage (Lee et al. 2022 / Gopher's
     "fraction of doc duplicated elsewhere" gate signal): distinct

@@ -4798,3 +4798,29 @@ class TestDupNgramCoverage:
                       / float(len(gs)))
                 for did, gs in grams.items()}
         assert got == want
+
+
+class TestNormalizedDedup:
+    """normalize-then-dedup composition (queries.dedup_normalized_docs
+    wires it over documents with a doc_id-derived messy rendering)."""
+
+    def test_messy_and_clean_renderings_merge(self):
+        from peri_ray.stages.dedup import exact_dedup_keepers
+        from peri_ray.stages.text import normalize_text_batch
+
+        # doc 0 and doc 1 are the SAME content in different renderings;
+        # doc 2 is distinct.  Raw exact dedup keeps all three.
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["hello   world", "\t Hello  WORLD \n", "other doc"],
+        })
+        norm = normalize_text_batch(t, "text", out_col="norm",
+                                    casefold=True)
+        kept = {r["keep_id"] for r in exact_dedup_keepers(
+            rd.from_arrow(norm.select(["doc_id", "norm"])),
+            "norm", "doc_id").take_all()}
+        assert kept == {0, 2}
+
+        raw_kept = {r["keep_id"] for r in exact_dedup_keepers(
+            rd.from_arrow(t), "text", "doc_id").take_all()}
+        assert raw_kept == {0, 1, 2}
