@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_frequency": q.term_doc_frequency,
         "dup_ngram_coverage_docs": q.dup_ngram_coverage_docs,
         "dedup_normalized_docs": q.dedup_normalized_docs,
+        "dup_span_removal_docs": q.dup_span_removal_docs,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -681,6 +682,39 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "dup_span_removal_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+              SELECT doc_id, unnest(ws) AS tok,
+                     unnest(range(1, len(ws) + 1)) AS p
+                FROM toks
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 3),
+                            i -> array_to_string(ws[i:i+4], ' '))) AS gram,
+                     unnest(range(1, len(ws) - 3)) AS s
+                FROM toks WHERE len(ws) >= 5
+            ),
+            dup AS (
+              SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d
+                                  FROM grams GROUP BY gram) WHERE d >= 2
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, unnest(range(s, s + 5)) AS p
+                FROM grams JOIN dup USING (gram)
+            )
+            SELECT t.doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY t.p)
+                            FILTER (WHERE c.p IS NULL), '') AS clean_text,
+                   CAST(count(c.p) AS BIGINT) AS n_removed
+              FROM pos t LEFT JOIN covered c
+                     ON t.doc_id = c.doc_id AND t.p = c.p
+             GROUP BY t.doc_id
+        """,
         "dedup_normalized_docs": r"""
             SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id,

@@ -1116,6 +1116,18 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def dup_span_removal_docs(sf_dir: str):
+    """Lee et al. 2022 ExactSubstr-shaped span removal at word-5-gram
+    granularity: every token covered by a 5-gram that occurs in ≥2
+    distinct docs is removed from ALL docs; survivors rejoin with
+    single spaces.  Two bucketed exchanges (gram-keyed span pass,
+    doc-keyed rebuild) — text crosses exactly one."""
+    from peri_ray.stages.dedup import remove_duplicate_ngram_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_ngram_spans(ds, n=5)
+
+
 def dedup_normalized_docs(sf_dir: str):
     """CCNet-style normalize-then-dedup: a deterministic subset of docs
     (doc_id % 3 == 0) is re-rendered messily (tabs, doubled spaces,

@@ -508,6 +508,171 @@ def remove_boilerplate_lines(ds, min_df: int, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# duplicate token-span removal (Lee et al. 2022 ExactSubstr shape at
+# the word-n-gram granularity: any n-token run that also occurs in
+# ANOTHER document is removed from every document)
+# ---------------------------------------------------------------------------
+
+
+def explode_ngram_occurrences(ds, n: int, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Explode docs to (gram, doc_id, s) rows for EVERY word n-gram
+    occurrence (s = 1-based token start; null-text docs contribute
+    nothing).  Tokenizer is trim + ``\\s+`` split, identical to
+    text._TermDFPartial so the SQL twin is regexp_split_to_array."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        valid = pc.is_valid(txt)
+        t2 = pa.table({text_col: txt, id_col: t.column(id_col)}).filter(valid)
+        txt2 = t2.column(text_col)
+        if isinstance(txt2, pa.ChunkedArray):
+            txt2 = txt2.combine_chunks()
+        if pa.types.is_large_string(txt2.type):
+            txt2 = txt2.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt2), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        ids = t2.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if total == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(lens)), counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                              counts)
+        starts = within + np.repeat(offs[:-1], counts)
+        gram = pc.binary_join_element_wise(
+            *[flat.take(pa.array(starts + k)) for k in range(n)], " ")
+        return pa.table({"gram": gram,
+                         id_col: pa.array(ids[doc_idx], pa.int64()),
+                         "s": pa.array(within + 1, pa.int64())})
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def duplicate_span_starts(ds, n: int, text_col: str = "text",
+                          id_col: str = "doc_id", n_buckets: int = 64):
+    """(doc_id, s) of every n-gram occurrence whose gram appears in
+    ≥2 DISTINCT documents.  One gram-keyed bucketed exchange; gram
+    strings are the exchange key (hash-first measured slower here,
+    CLAUDE.md), the doc text itself never moves."""
+    occ = explode_ngram_occurrences(ds, n, text_col, id_col)
+
+    def _spans(run: pa.Table) -> pa.Table:
+        d = run.column(id_col).to_numpy(zero_copy_only=False)
+        if len(d) and len(np.unique(d)) >= 2:
+            return run.select([id_col, "s"])
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64())})
+
+    # singleton runs can never reach df>=2 — min_run=2 skips them
+    return per_group_via_buckets(occ, ["gram"], _spans,
+                                 n_buckets=n_buckets, min_run=2)
+
+
+def remove_duplicate_ngram_spans(ds, n: int = 5, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 n_buckets: int = 64):
+    """Rewrite every document with all corpus-duplicated n-token spans
+    removed (a token survives iff NO duplicated n-gram covers it);
+    output (id, clean_text, n_removed) for every non-null-text doc,
+    remaining tokens rejoined with single spaces.  Removal is
+    symmetric — every copy loses the span — which keeps the operator
+    a pure function of the corpus (no occurrence ordering tiebreak).
+
+    Scale shape: the span pass ships (gram, id, s) rows keyed on the
+    gram; the rebuild co-buckets spans with the original docs on
+    doc_id, so the text crosses exactly ONE exchange (the same cost
+    class as line dedup's rebuild).  Per-bucket coverage is a
+    difference-array + cumsum — O(tokens) regardless of span count."""
+    spans = duplicate_span_starts(ds, n, text_col, id_col, n_buckets)
+
+    def _tag_spans(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col),
+                         "s": t.column("s"),
+                         text_col: pa.nulls(t.num_rows, pa.string())})
+
+    def _tag_docs(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t2 = pa.table({id_col: t.column(id_col), text_col: txt}).filter(
+            pc.is_valid(txt))
+        txt2 = t2.column(text_col)
+        if isinstance(txt2, pa.ChunkedArray):
+            txt2 = txt2.combine_chunks()
+        if pa.types.is_large_string(txt2.type):
+            txt2 = txt2.cast(pa.string())
+        return pa.table({id_col: t2.column(id_col),
+                         "s": pa.array(np.zeros(t2.num_rows, np.int64)),
+                         text_col: txt2})
+
+    union = (ds.map_batches(_tag_docs, batch_format="pyarrow")
+             .union(spans.map_batches(_tag_spans, batch_format="pyarrow")))
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group.column("s"), 0)
+        docs = group.filter(is_doc).sort_by([(id_col, "ascending")])
+        sp = group.filter(pc.invert(is_doc))
+        txt = docs.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        doc_ids = docs.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_docs = len(doc_ids)
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        total = int(offs[-1])
+        s_ids = sp.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s_s = sp.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        s_local = np.searchsorted(doc_ids, s_ids)
+        # coverage via difference array over the flattened token index;
+        # ends clip inside each doc, so the running sum returns to zero
+        # at every doc boundary and one cumsum serves the whole bucket
+        delta = np.zeros(total + 1, np.int64)
+        if len(s_s):
+            g_start = offs[s_local] + (s_s - 1)
+            g_end = offs[s_local] + np.minimum(s_s - 1 + n, counts[s_local])
+            np.add.at(delta, g_start, 1)
+            np.add.at(delta, g_end, -1)
+        covered = np.cumsum(delta[:total]) > 0 if total else np.zeros(0, bool)
+        keep = ~covered
+        local = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        new_counts = (np.bincount(local[keep], minlength=n_docs)
+                      if total else np.zeros(n_docs, np.int64))
+        removed = counts - new_counts
+        offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if total:
+            flat = flat.filter(pa.array(keep))
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+        return pa.table({id_col: pa.array(doc_ids, pa.int64()),
+                         "clean_text": pc.binary_join(la, " "),
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return map_groups_via_buckets(union, [id_col], _rebuild,
+                                  n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

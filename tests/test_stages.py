@@ -4824,3 +4824,76 @@ class TestNormalizedDedup:
         raw_kept = {r["keep_id"] for r in exact_dedup_keepers(
             rd.from_arrow(t), "text", "doc_id").take_all()}
         assert raw_kept == {0, 1, 2}
+
+
+class TestDupSpanRemoval:
+    """remove_duplicate_ngram_spans (dedup.py) — ExactSubstr-shaped
+    duplicated-token-span removal; driver oracle
+    `dup_span_removal_docs` hash-checks the sf tables."""
+
+    def _run(self, texts, n=3, ids=None):
+        from peri_ray.stages.dedup import remove_duplicate_ngram_spans
+
+        ids = ids if ids is not None else list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        out = remove_duplicate_ngram_spans(
+            rd.from_arrow(t).repartition(2), n=n).take_all()
+        return {r["doc_id"]: (r["clean_text"], r["n_removed"])
+                for r in out}
+
+    def test_shared_span_removed_from_both(self):
+        got = self._run(["x a b c y", "z a b c w", "p q r"], n=3)
+        assert got == {0: ("x y", 3), 1: ("z w", 3), 2: ("p q r", 0)}
+
+    def test_overlapping_spans_merge_coverage(self):
+        # "a b c d" shares both "a b c" and "b c d" with the others —
+        # coverage is the union, not double-removed
+        got = self._run(["a b c d", "a b c", "b c d"], n=3)
+        assert got == {0: ("", 4), 1: ("", 3), 2: ("", 3)}
+
+    def test_within_doc_repeat_not_duplicated(self):
+        # the gram repeats only INSIDE doc0 — df counts distinct docs
+        got = self._run(["a b c a b c", "x y z"], n=3)
+        assert got[0] == ("a b c a b c", 0)
+
+    def test_null_text_excluded_short_doc_kept(self):
+        got = self._run(["a b", None, "a b"], n=3)
+        # no 3-grams at all; null doc contributes no output row
+        assert got == {0: ("a b", 0), 2: ("a b", 0)}
+
+    def test_matches_brute_force_on_real_docs(self):
+        import re as _re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.stages.dedup import remove_duplicate_ngram_spans
+
+        N = 5
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in remove_duplicate_ngram_spans(ds, n=N).take_all()}
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        docs = {}
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            if txt is None:
+                continue
+            docs[did] = _re.split(r"[\t\n\f\r ]+", txt.strip())
+        dfc = Counter()
+        for ws in docs.values():
+            for g in {" ".join(ws[i:i + N]) for i in range(len(ws) - N + 1)}:
+                dfc[g] += 1
+        want = {}
+        for did, ws in docs.items():
+            cov = [False] * len(ws)
+            for i in range(len(ws) - N + 1):
+                if dfc[" ".join(ws[i:i + N])] >= 2:
+                    for k in range(i, i + N):
+                        cov[k] = True
+            want[did] = (" ".join(w for w, c in zip(ws, cov) if not c),
+                         sum(cov))
+        assert got == want
