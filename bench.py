@@ -191,6 +191,12 @@ def run_bench() -> dict:
     timed("pmi_bigrams", lambda: q.pmi_bigrams_documents(SF_DIR).to_pandas())
     timed("daily_distinct_users",
           lambda: q.daily_distinct_users(SF_DIR).to_pandas())
+    timed("dup_ngram_coverage",
+          lambda: q.dup_ngram_coverage_docs(SF_DIR).to_pandas())
+    timed("dup_span_removal",
+          lambda: q.dup_span_removal_docs(SF_DIR).to_pandas())
+    timed("dedup_normalized",
+          lambda: q.dedup_normalized_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

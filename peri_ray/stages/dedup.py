@@ -569,16 +569,24 @@ def duplicate_span_starts(ds, n: int, text_col: str = "text",
     CLAUDE.md), the doc text itself never moves."""
     occ = explode_ngram_occurrences(ds, n, text_col, id_col)
 
-    def _spans(run: pa.Table) -> pa.Table:
-        d = run.column(id_col).to_numpy(zero_copy_only=False)
-        if len(d) and len(np.unique(d)) >= 2:
-            return run.select([id_col, "s"])
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "s": pa.array([], pa.int64())})
+    def _spans(g: pa.Table) -> pa.Table:
+        # whole-bucket vectorized (per-run fn calls measured 2.5× the
+        # wall here — most grams recur, so min_run pruning buys little):
+        # df per gram via one two-level group_by, then is_in filter
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        uniq = (g.select(["gram", id_col])
+                .group_by(["gram", id_col]).aggregate([]))
+        df = uniq.group_by("gram").aggregate([(id_col, "count")])
+        dup = df.filter(
+            pc.greater_equal(df.column(f"{id_col}_count"), 2)).column("gram")
+        mask = pc.is_in(g.column("gram").combine_chunks(),
+                        value_set=dup.combine_chunks())
+        return g.filter(mask).select([id_col, "s"])
 
-    # singleton runs can never reach df>=2 — min_run=2 skips them
-    return per_group_via_buckets(occ, ["gram"], _spans,
-                                 n_buckets=n_buckets, min_run=2)
+    return map_groups_via_buckets(occ, ["gram"], _spans,
+                                  n_buckets=n_buckets)
 
 
 def remove_duplicate_ngram_spans(ds, n: int = 5, text_col: str = "text",
