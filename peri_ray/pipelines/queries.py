@@ -1116,6 +1116,17 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def bm25_top_docs(sf_dir: str):
+    """BM25 top-20 docs for a fixed bag-of-words query (targeted data
+    selection / curation-by-query).  Two streaming passes, zero
+    shuffles; the SQL twin mirrors the score expression term by term
+    in a fixed order so the doubles hash-match."""
+    from peri_ray.stages.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["spark", "window", "merge"], k=20)
+
+
 def dup_span_removal_docs(sf_dir: str):
     """Lee et al. 2022 ExactSubstr-shaped span removal at word-5-gram
     granularity: every token covered by a 5-gram that occurs in ≥2

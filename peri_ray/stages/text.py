@@ -723,6 +723,145 @@ def duplicate_ngram_coverage(ds, n: int = 5, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# BM25 top-k retrieval (query-relevance scoring over the corpus — the
+# ranking behind targeted data selection / curation-by-query)
+# ---------------------------------------------------------------------------
+
+
+class _BM25StatsPartial:
+    """Batch → ONE row of corpus-stat partials: (n_docs, sum_dl,
+    df_0..df_{T-1}) — doc count, total token count, and per-query-term
+    doc frequency.  Bounded: one row per block regardless of input
+    size (the flagship partials pattern)."""
+
+    def __init__(self, terms: tuple, text_col: str):
+        self.terms = terms
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        cols = {"n_docs": pa.array([len(lens)], pa.int64()),
+                "sum_dl": pa.array([int(lens.sum())], pa.int64())}
+        for i, term in enumerate(self.terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            hit = np.bincount(doc_idx[m], minlength=len(lens)) > 0 \
+                if m.any() else np.zeros(len(lens), bool)
+            cols[f"df_{i}"] = pa.array([int(hit.sum())], pa.int64())
+        return pa.table(cols)
+
+
+class _BM25ScorePartial:
+    """Batch → its local top-k (doc_id, score) rows.  The score
+    expression mirrors the SQL twin TERM BY TERM in a fixed left-to-
+    right order (float addition is not associative; an unordered SUM
+    would drift cross-engine):
+
+        idf_t * (tf * (k1+1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+
+    with idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1.0) (the
+    always-positive +1 variant)."""
+
+    def __init__(self, terms: tuple, idfs: tuple, avgdl: float, k: int,
+                 k1: float, b: float, text_col: str, id_col: str):
+        self.terms = terms
+        self.idfs = idfs
+        self.avgdl = avgdl
+        self.k = k
+        self.k1 = k1
+        self.b = b
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(self.text_col).combine_chunks()))
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        ids = t.column(self.id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        norm = self.k1 * (1.0 - self.b
+                          + self.b * (lens.astype(np.float64) / self.avgdl))
+        score = np.zeros(len(lens), np.float64)
+        for term, idf in zip(self.terms, self.idfs):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = (np.bincount(doc_idx[m], minlength=len(lens))
+                  if m.any() else np.zeros(len(lens))).astype(np.float64)
+            contrib = idf * (tf * (self.k1 + 1.0)) / (tf + norm)
+            contrib[tf == 0.0] = 0.0
+            score = score + contrib
+        keep = score > 0.0
+        ids, score = ids[keep], score[keep]
+        if len(ids) > self.k:
+            # local top-k: score DESC, id ASC tiebreak
+            order = np.lexsort((ids, -score))[:self.k]
+            ids, score = ids[order], score[order]
+        return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                         "score": pa.array(score, pa.float64())})
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id", batch_size: int | None = 8192):
+    """BM25 top-k docs for a bag-of-words query — TWO streaming passes,
+    ZERO shuffles: pass 1 reduces each block to one corpus-stat partial
+    row (driver merge bounded by blocks), pass 2 scores per batch with
+    the broadcast constants and keeps its local top-k (driver merge
+    bounded by blocks × k).  Output: (id, score, rank) with rank
+    1..k by (score DESC, id ASC).  At 10^12 docs both passes stream;
+    nothing ever materializes beyond blocks × (T + k) driver rows."""
+    terms = tuple(terms)
+    stats = ds.map_batches(_BM25StatsPartial(terms, text_col),
+                           batch_format="pyarrow",
+                           batch_size=batch_size).take_all()
+    n = sum(r["n_docs"] for r in stats)
+    sum_dl = sum(r["sum_dl"] for r in stats)
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    avgdl = float(sum_dl) / float(n)
+    import math
+    idfs = tuple(
+        math.log((float(n - sum(r[f"df_{i}"] for r in stats)) + 0.5)
+                 / (float(sum(r[f"df_{i}"] for r in stats)) + 0.5) + 1.0)
+        for i in range(len(terms)))
+    partials = ds.map_batches(
+        _BM25ScorePartial(terms, idfs, avgdl, k, k1, b, text_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size).take_all()
+    if not partials:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    ids = np.array([r[id_col] for r in partials], np.int64)
+    sc = np.array([r["score"] for r in partials], np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                     "score": pa.array(sc[order], pa.float64()),
+                     "rank": pa.array(np.arange(1, len(order) + 1),
+                                      pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # sequence-packing manifest (training-prep: GPT-style concat-and-chunk
 # of documents into fixed-length token windows)
 # ---------------------------------------------------------------------------

@@ -4897,3 +4897,73 @@ class TestDupSpanRemoval:
             want[did] = (" ".join(w for w, c in zip(ws, cov) if not c),
                          sum(cov))
         assert got == want
+
+
+class TestBM25TopK:
+    """bm25_topk (text.py) — two streaming passes, zero shuffles;
+    driver oracle `bm25_top_docs` hash-checks the score doubles."""
+
+    def test_ranking_semantics(self):
+        from peri_ray.stages.text import bm25_topk
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["cat cat cat", "cat dog", "dog dog", "fish"],
+        })
+        out = bm25_topk(rd.from_arrow(t), ["cat"], k=3)
+        ids = out.column("doc_id").to_pylist()
+        ranks = out.column("rank").to_pylist()
+        # doc1 (tf=3, same length class) outranks doc2 (tf=1);
+        # docs without the term don't appear
+        assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
+        assert ranks == list(range(1, len(ids) + 1))
+
+    def test_block_layout_invariance(self):
+        from peri_ray.stages.text import bm25_topk
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        a = bm25_topk(ds, ["spark", "window"], k=10).to_pylist()
+        b = bm25_topk(ds.repartition(7), ["spark", "window"],
+                      k=10).to_pylist()
+        assert a == b
+
+    def test_matches_brute_force(self):
+        import math
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.stages.text import bm25_topk
+
+        terms, k1, b = ["spark", "merge"], 1.2, 0.75
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(ds, terms, k=15).to_pylist()]
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        docs = {did: _re.split(r"[\t\n\f\r ]+", txt.strip())
+                for did, txt in zip(t.column("doc_id").to_pylist(),
+                                    t.column("text").to_pylist())
+                if txt is not None}
+        n = len(docs)
+        avgdl = float(sum(len(w) for w in docs.values())) / float(n)
+        dfs = {term: sum(1 for ws in docs.values() if term in ws)
+               for term in terms}
+        want = []
+        for did, ws in docs.items():
+            score = 0.0
+            for term in terms:
+                tf = float(ws.count(term))
+                if tf == 0.0:
+                    continue
+                idf = math.log((float(n - dfs[term]) + 0.5)
+                               / (float(dfs[term]) + 0.5) + 1.0)
+                norm = k1 * (1.0 - b + b * (float(len(ws)) / avgdl))
+                score = score + idf * (tf * (k1 + 1.0)) / (tf + norm)
+            if score > 0.0:
+                want.append((did, score))
+        want.sort(key=lambda r: (-r[1], r[0]))
+        assert got == want[:15]
