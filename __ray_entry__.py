@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_docs": q.dedup_normalized_docs,
         "dup_span_removal_docs": q.dup_span_removal_docs,
         "bm25_top_docs": q.bm25_top_docs,
+        "knn_pagerank_embeddings": q.knn_pagerank_embeddings,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,

@@ -1116,6 +1116,26 @@ def term_doc_frequency(sf_dir: str):
     return term_document_frequency(ds)
 
 
+def knn_pagerank_embeddings(sf_dir: str):
+    """Graph centrality for data selection: 5 synchronous PageRank
+    iterations over the exact kNN (k=5) cosine graph of the embedding
+    table.  Rows-only (iterative float sums have no order-stable SQL
+    twin — same class as kmeans_clusters); unit tests pin the values
+    against an independent numpy power iteration."""
+    from peri_ray.stages.similarity import knn_graph, pagerank
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = knn_graph(ds, k=5).map_batches(
+        lambda t: pa.table({"src": t.column("query_id"),
+                            "dst": t.column("neighbor_id")}),
+        batch_format="pyarrow")
+    pr = pagerank(edges, damping=0.85, iters=5)
+    return pr.map_batches(
+        lambda t: pa.table({"vec_id": t.column("node"),
+                            "pr": t.column("pr")}),
+        batch_format="pyarrow")
+
+
 def bm25_top_docs(sf_dir: str):
     """BM25 top-20 docs for a fixed bag-of-words query (targeted data
     selection / curation-by-query).  Two streaming passes, zero

@@ -938,3 +938,175 @@ def standardize_embeddings(ds, vec_col: str = "embedding",
         })
 
     return ds.map_batches(_z, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over an edge Dataset (graph centrality for data selection —
+# e.g. rank documents by their centrality in the kNN similarity graph)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 5,
+             src_col: str = "src", dst_col: str = "dst",
+             n_buckets: int = 64, driver_threshold: int = 2_000_000):
+    """Synchronous PageRank for a fixed iteration count over a
+    directed (src, dst) edge Dataset:
+
+        pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u) / outdeg(u)
+
+    N = number of distinct nodes appearing in any edge; pr_0 = 1/N.
+    No dangling-mass term — every node is assumed to have >=1
+    out-edge, which holds for the kNN graph (exactly k out-edges per
+    node); an edge list violating that raises.
+
+    Hybrid like connected_components: an edge list under
+    ``driver_threshold`` rows resolves with one driver numpy loop
+    (each distributed iteration costs two bucketed exchanges — a
+    terrible trade for small graphs).  Above it, per iteration the
+    exchange path ships only (node, pr) and (dst, msg) rows — bounded
+    by edge count, never corpus payloads.  Iterative float sums make
+    the result reproducible per path but not bit-identical across
+    paths (addition order differs); callers compare with tolerance.
+
+    Returns a Dataset of (node, pr)."""
+    import ray.data as rd
+
+    from peri_ray.stages.checks import bucket_of
+    from peri_ray.stages.dedup import (grouped_sum_via_buckets,
+                                       map_groups_via_buckets)
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "pr": pa.array([], pa.float64())}))
+
+    if n_edges <= driver_threshold:
+        rows = edges.take_all()
+        src = np.array([r[src_col] for r in rows], np.int64)
+        dst = np.array([r[dst_col] for r in rows], np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        src_l = np.searchsorted(nodes, src)
+        dst_l = np.searchsorted(nodes, dst)
+        outdeg = np.bincount(src_l, minlength=n)
+        if (outdeg == 0).any():
+            raise ValueError(
+                "pagerank: %d node(s) have no out-edges (dangling); "
+                "this operator assumes every node has >=1 out-edge"
+                % int((outdeg == 0).sum()))
+        w = 1.0 / outdeg[src_l].astype(np.float64)
+        pr = np.full(n, 1.0 / float(n), np.float64)
+        base = (1.0 - damping) / float(n)
+        for _ in range(iters):
+            s = np.zeros(n, np.float64)
+            np.add.at(s, dst_l, pr[src_l] * w)
+            pr = base + damping * s
+        return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
+                                       "pr": pa.array(pr, pa.float64())}))
+
+    # ---- distributed path: bucketed message passing ----
+    def _canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src_col).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst_col).combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    # node table: distinct src ∪ dst (one bucketed distinct)
+    def _both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks(),
+             t.column("dst").combine_chunks()])})
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        return g.select(["node"]).group_by("node").aggregate([])
+
+    nodes_ds = map_groups_via_buckets(
+        e.map_batches(_both, batch_format="pyarrow"), ["node"], _distinct,
+        n_buckets).materialize()
+    n = nodes_ds.count()
+    base = (1.0 - damping) / float(n)
+
+    # out-degree per src, then weighted edges (src, dst, w) — one
+    # union-tagged exchange; dangling check falls out of the join:
+    # every src has a degree row by construction
+    deg_partial = e.map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "c": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    deg = grouped_sum_via_buckets(deg_partial, ["src"], "c",
+                                  n_buckets).materialize()
+    if deg.count() != n:
+        raise ValueError(
+            "pagerank: %d node(s) have no out-edges (dangling); "
+            "this operator assumes every node has >=1 out-edge"
+            % (n - deg.count()))
+
+    def _tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"),
+                         "dst": pa.nulls(t.num_rows, pa.int64()),
+                         "c": t.column("c")})
+
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "c": pa.nulls(t.num_rows, pa.int64())})
+
+    def _attach_w(g: pa.Table) -> pa.Table:
+        dd = g.filter(pc.is_valid(g.column("c"))).select(["src", "c"])
+        ee = g.filter(pc.is_null(g.column("c"))).select(["src", "dst"])
+        j = ee.join(dd, keys="src", join_type="inner")
+        w = pc.divide(pa.scalar(1.0),
+                      j.column("c").cast(pa.float64()))
+        return pa.table({"src": j.column("src"), "dst": j.column("dst"),
+                         "w": w})
+
+    wedges = map_groups_via_buckets(
+        deg.map_batches(_tag_deg, batch_format="pyarrow")
+        .union(e.map_batches(_tag_edge, batch_format="pyarrow")),
+        ["src"], _attach_w, n_buckets).materialize()
+
+    # pr_0 = 1/N
+    pr0 = float(1.0 / float(n))
+    pr_ds = nodes_ds.map_batches(
+        lambda t, v=pr0: pa.table({
+            "node": t.column("node"),
+            "pr": pa.array(np.full(t.num_rows, v, np.float64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # join pr onto weighted edges by src (union-tagged exchange)
+        def _tag_pr(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t.column("node"),
+                             "dst": pa.nulls(t.num_rows, pa.int64()),
+                             "w": t.column("pr")})
+
+        def _msgs(g: pa.Table) -> pa.Table:
+            prt = g.filter(pc.is_null(g.column("dst"))).select(["src", "w"])
+            prt = prt.rename_columns(["src", "pr"])
+            ee = g.filter(pc.is_valid(g.column("dst")))
+            j = ee.join(prt, keys="src", join_type="inner")
+            m = pc.multiply(j.column("pr"), j.column("w"))
+            return pa.table({"dst": j.column("dst"), "m": m})
+
+        msgs = map_groups_via_buckets(
+            pr_ds.map_batches(_tag_pr, batch_format="pyarrow")
+            .union(wedges), ["src"], _msgs, n_buckets)
+
+        # sum messages per dst + zero base row per node, then update
+        def _zero(t: pa.Table) -> pa.Table:
+            return pa.table({"dst": t.column("node"),
+                             "m": pa.array(np.zeros(t.num_rows,
+                                                    np.float64))})
+
+        summed = grouped_sum_via_buckets(
+            msgs.union(nodes_ds.map_batches(_zero, batch_format="pyarrow")),
+            ["dst"], "m", n_buckets)
+        pr_ds = summed.map_batches(
+            lambda t, b=base, d=damping: pa.table({
+                "node": t.column("dst"),
+                "pr": pc.add(pa.scalar(b),
+                             pc.multiply(pa.scalar(d), t.column("m")))}),
+            batch_format="pyarrow").materialize()
+
+    return pr_ds

@@ -4967,3 +4967,85 @@ class TestBM25TopK:
                 want.append((did, score))
         want.sort(key=lambda r: (-r[1], r[0]))
         assert got == want[:15]
+
+
+class TestPageRank:
+    """pagerank (similarity.py) — hybrid driver/distributed synchronous
+    PageRank; `knn_pagerank_embeddings` wires it over the kNN graph."""
+
+    def _edges(self, pairs):
+        t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], pa.int64())})
+        return rd.from_arrow(t).repartition(2)
+
+    def test_cycle_is_uniform(self):
+        from peri_ray.stages.similarity import pagerank
+
+        out = {r["node"]: r["pr"] for r in pagerank(
+            self._edges([(0, 1), (1, 2), (2, 0)]), iters=7).take_all()}
+        assert set(out) == {0, 1, 2}
+        for v in out.values():
+            assert abs(v - 1.0 / 3.0) < 1e-12
+
+    def test_matches_power_iteration(self):
+        from peri_ray.stages.similarity import pagerank
+
+        rng = np.random.default_rng(7)
+        n, k = 40, 3
+        pairs = [(u, int(v)) for u in range(n)
+                 for v in rng.choice(
+                     [x for x in range(n) if x != u], k, replace=False)]
+        got = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), damping=0.85, iters=6).take_all()}
+
+        pr = np.full(n, 1.0 / n)
+        outdeg = np.zeros(n, np.int64)
+        for u, _ in pairs:
+            outdeg[u] += 1
+        for _ in range(6):
+            s = np.zeros(n)
+            for u, v in pairs:
+                s[v] += pr[u] / outdeg[u]
+            pr = (1 - 0.85) / n + 0.85 * s
+        for i in range(n):
+            assert abs(got[i] - pr[i]) < 1e-12
+
+    def test_distributed_path_matches_driver(self):
+        from peri_ray.stages.similarity import pagerank
+
+        rng = np.random.default_rng(11)
+        n, k = 30, 3
+        pairs = [(u, int(v)) for u in range(n)
+                 for v in rng.choice(
+                     [x for x in range(n) if x != u], k, replace=False)]
+        a = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=4).take_all()}
+        b = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=4,
+            driver_threshold=0).take_all()}
+        assert set(a) == set(b)
+        for node in a:
+            assert abs(a[node] - b[node]) < 1e-9
+
+    def test_dangling_node_raises(self):
+        from peri_ray.stages.similarity import pagerank
+
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(self._edges([(0, 1)]), iters=2).take_all()
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(self._edges([(0, 1)]), iters=2,
+                     driver_threshold=0).take_all()
+
+    def test_mass_conserved_on_knn_graph(self):
+        from peri_ray.stages.similarity import knn_graph, pagerank
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        edges = knn_graph(ds, k=4).map_batches(
+            lambda t: pa.table({"src": t.column("query_id"),
+                                "dst": t.column("neighbor_id")}),
+            batch_format="pyarrow")
+        out = pagerank(edges, iters=3).take_all()
+        total = sum(r["pr"] for r in out)
+        # every node has out-degree k — no dangling leakage
+        assert abs(total - 1.0) < 1e-9
