@@ -53,6 +53,21 @@ def compare(name, got, want) -> list[str]:
     return problems
 
 
+# Oracles whose DuckDB twin is a brute-force O(Σ df²) shingle/gram
+# self-join: feasible at the 500-doc gate SFs, NOT at sf0.1's 5 000
+# docs with the ~30-word vocabulary (CLAUDE.md — a full-sweep run
+# wedged >6 min inside DuckDB on training_prep_report).  The sweep
+# runs these rows-only at sf0.1; they stay fully oracle-checked at
+# sf0.001/sf0.01.
+QUADRATIC_ORACLES = {
+    "jaccard_join_pairs",
+    "minhash_near_dup_pairs",
+    "near_dedup_victims",
+    "near_dedup_victims_distributed",
+    "training_prep_report",
+}
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     import duckdb
     import ray
@@ -86,6 +101,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             continue
         if name not in sqls:
             print(f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}")
+            continue
+        if name in QUADRATIC_ORACLES and sf_dir.rstrip("/").endswith("sf0.1"):
+            print(f"rows-only {name}: {len(got)} rows "
+                  "(quadratic oracle skipped at sf0.1; checked at sf<=0.01)")
             continue
         want = con.execute(sqls[name]).df()
         probs = compare(name, got, want)
