@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal_docs": q.dup_span_removal_docs,
         "bm25_top_docs": q.bm25_top_docs,
         "knn_pagerank_embeddings": q.knn_pagerank_embeddings,
+        "knn_label_spread_embeddings": q.knn_label_spread_embeddings,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -684,6 +685,61 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "knn_label_spread_embeddings": r"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            p AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            knn AS (
+              SELECT query_id AS src, neighbor_id AS dst FROM (
+                SELECT p.*, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM p)
+               WHERE rn <= 5
+            ),
+            lab0 AS (
+              SELECT vec_id AS node, CAST(label AS BIGINT) AS lab
+                FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            v1 AS (
+              SELECT k.src AS node, l.lab, count(*) AS cnt
+                FROM knn k JOIN lab0 l ON k.dst = l.node
+               WHERE k.src NOT IN (SELECT node FROM lab0)
+               GROUP BY k.src, l.lab
+            ),
+            w1 AS (
+              SELECT node, lab FROM (
+                SELECT node, lab, row_number() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+                  FROM v1) WHERE rn = 1
+            ),
+            lab1 AS (
+              SELECT * FROM lab0 UNION ALL SELECT * FROM w1
+            ),
+            v2 AS (
+              SELECT k.src AS node, l.lab, count(*) AS cnt
+                FROM knn k JOIN lab1 l ON k.dst = l.node
+               WHERE k.src NOT IN (SELECT node FROM lab1)
+               GROUP BY k.src, l.lab
+            ),
+            w2 AS (
+              SELECT node, lab FROM (
+                SELECT node, lab, row_number() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+                  FROM v2) WHERE rn = 1
+            )
+            SELECT node AS vec_id, lab AS label
+              FROM (SELECT * FROM lab1 UNION ALL SELECT * FROM w2)
+        """,
         "bm25_top_docs": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

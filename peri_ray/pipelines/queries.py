@@ -1136,6 +1136,42 @@ def knn_pagerank_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def knn_label_spread_embeddings(sf_dir: str):
+    """Semi-supervised label spreading: seed 50% of a vector subset
+    (vec_id % 20 == 0 of the % 10 == 0 subset) with their real labels,
+    propagate 2 synchronous majority-vote rounds over the exact kNN
+    (k=5) graph.  All-int and deterministic, so the SQL twin unrolls
+    both rounds over the same kNN CTE `knn_graph_embeddings` uses."""
+    from peri_ray.stages.similarity import knn_graph, label_propagation
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def _sub(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks()
+        return t.filter(
+            pa.array(ids.to_numpy(zero_copy_only=False) % 10 == 0))
+
+    sub = ds.map_batches(_sub, batch_format="pyarrow").materialize()
+    edges = knn_graph(sub, k=5).map_batches(
+        lambda t: pa.table({"src": t.column("query_id"),
+                            "dst": t.column("neighbor_id")}),
+        batch_format="pyarrow")
+
+    def _seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks()
+        t = t.filter(pa.array(ids.to_numpy(zero_copy_only=False) % 20 == 0))
+        return pa.table({
+            "node": t.column("vec_id"),
+            "label": t.column("label").combine_chunks().cast(pa.int64())})
+
+    seeds = sub.map_batches(_seeds, batch_format="pyarrow")
+    out = label_propagation(edges, seeds, iters=2)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t.column("node"),
+                            "label": t.column("label")}),
+        batch_format="pyarrow")
+
+
 def bm25_top_docs(sf_dir: str):
     """BM25 top-20 docs for a fixed bag-of-words query (targeted data
     selection / curation-by-query).  Two streaming passes, zero

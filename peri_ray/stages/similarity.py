@@ -1110,3 +1110,166 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
             batch_format="pyarrow").materialize()
 
     return pr_ds
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation (semi-supervised label spreading: extend a
+# sparse labeled seed set over the similarity graph — the cheap
+# classifier used to scale curation labels)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(edges, seeds, iters: int = 2,
+                      src_col: str = "src", dst_col: str = "dst",
+                      node_col: str = "node", label_col: str = "label",
+                      n_buckets: int = 64,
+                      driver_threshold: int = 2_000_000):
+    """Iterative majority-vote label spreading over a directed edge
+    Dataset: per iteration, every UNLABELED node whose out-neighbors
+    include >=1 labeled node takes the majority label among them
+    (ties -> smallest label); seed labels never change; nodes with no
+    labeled out-neighbor stay unlabeled until one appears.  All-int
+    and deterministic, so a fixed ``iters`` unrolls into an exact SQL
+    twin (votes = join + group-by + row_number).
+
+    Hybrid like pagerank/connected_components: driver dict loop under
+    ``driver_threshold`` edges, bucketed vote exchanges above.
+    Returns (node, label) for every node labeled after ``iters``
+    rounds (seeds included)."""
+    import ray.data as rd
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        er = edges.take_all()
+        src = np.array([r[src_col] for r in er], np.int64)
+        dst = np.array([r[dst_col] for r in er], np.int64)
+        lab = {r[node_col]: int(r[label_col]) for r in seeds.take_all()}
+        seeded = set(lab)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], src[1:] != src[:-1], [True])))
+        for _ in range(iters):
+            new = {}
+            for i in range(len(bounds) - 1):
+                u = int(src[bounds[i]])
+                if u in lab:
+                    continue
+                votes = {}
+                for v in dst[bounds[i]:bounds[i + 1]]:
+                    lv = lab.get(int(v))
+                    if lv is not None:
+                        votes[lv] = votes.get(lv, 0) + 1
+                if votes:
+                    best = sorted(votes.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0][0]
+                    new[u] = best
+            lab.update(new)  # synchronous update
+        nodes = sorted(lab)
+        return rd.from_arrow(pa.table({
+            node_col: pa.array(nodes, pa.int64()),
+            label_col: pa.array([lab[x] for x in nodes], pa.int64())}))
+
+    # ---- distributed path: two bucketed exchanges per iteration ----
+    def _canon_e(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src_col).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst_col).combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(_canon_e, batch_format="pyarrow").materialize()
+
+    def _canon_s(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column(node_col).combine_chunks().cast(pa.int64()),
+            "lab": t.column(label_col).combine_chunks().cast(pa.int64()),
+            "seed": pa.array(np.ones(t.num_rows, np.int8))})
+
+    labels = seeds.map_batches(_canon_s, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # exchange 1 (key dst): attach labels to edge dst
+        def _tag_lab(t: pa.Table) -> pa.Table:
+            return pa.table({"dst": t.column("node"),
+                             "src": pa.nulls(t.num_rows, pa.int64()),
+                             "lab": t.column("lab")})
+
+        def _tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"dst": t.column("dst"),
+                             "src": t.column("src"),
+                             "lab": pa.nulls(t.num_rows, pa.int64())})
+
+        def _attach(g: pa.Table) -> pa.Table:
+            lt = (g.filter(pc.is_null(g.column("src")))
+                  .select(["dst", "lab"])
+                  .group_by("dst").aggregate([("lab", "min")])
+                  .rename_columns(["dst", "lab"]))
+            ee = g.filter(pc.is_valid(g.column("src"))).select(["src", "dst"])
+            j = ee.join(lt, keys="dst", join_type="inner")
+            return j.select(["src", "lab"])
+
+        msgs = map_groups_via_buckets(
+            labels.map_batches(_tag_lab, batch_format="pyarrow")
+            .union(e.map_batches(_tag_edge, batch_format="pyarrow")),
+            ["dst"], _attach, n_buckets)
+
+        # exchange 2 (key src): majority vote per src, skip already-
+        # labeled nodes (their row ships as a marker so the vote can
+        # be suppressed without a second labels lineage)
+        def _tag_known(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t.column("node"),
+                             "lab": t.column("lab"),
+                             "known": pa.array(np.ones(t.num_rows, np.int8)),
+                             "seed": t.column("seed")})
+
+        def _tag_msg(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t.column("src"),
+                             "lab": t.column("lab"),
+                             "known": pa.array(np.zeros(t.num_rows, np.int8)),
+                             "seed": pa.array(np.zeros(t.num_rows, np.int8))})
+
+        def _vote(g: pa.Table) -> pa.Table:
+            known = g.filter(pc.equal(g.column("known"), 1))
+            unk = g.filter(pc.equal(g.column("known"), 0))
+            if unk.num_rows:
+                unk = unk.join(known.select(["src", "known"])
+                               .rename_columns(["src", "k2"]),
+                               keys="src", join_type="left outer")
+                unk = unk.filter(pc.is_null(unk.column("k2")))
+                counts = (unk.select(["src", "lab"])
+                          .group_by(["src", "lab"])
+                          .aggregate([([], "count_all")])
+                          .rename_columns(["src", "lab", "cnt"]))
+                # majority with min-label tiebreak: sort and take the
+                # first row per src
+                counts = counts.sort_by([("src", "ascending"),
+                                         ("cnt", "descending"),
+                                         ("lab", "ascending")])
+                s = counts.column("src").to_numpy(zero_copy_only=False)
+                first = np.concatenate(([True], s[1:] != s[:-1])) \
+                    if len(s) else np.zeros(0, bool)
+                won = counts.filter(pa.array(first))
+                new = pa.table({
+                    "node": won.column("src"),
+                    "lab": won.column("lab"),
+                    "seed": pa.array(np.zeros(won.num_rows, np.int8))})
+            else:
+                new = pa.table({"node": pa.array([], pa.int64()),
+                                "lab": pa.array([], pa.int64()),
+                                "seed": pa.array([], pa.int8())})
+            old = pa.table({"node": known.column("src"),
+                            "lab": known.column("lab"),
+                            "seed": known.column("seed")})
+            return pa.concat_tables([old, new])
+
+        labels = map_groups_via_buckets(
+            labels.map_batches(_tag_known, batch_format="pyarrow")
+            .union(msgs.map_batches(_tag_msg, batch_format="pyarrow")),
+            ["src"], _vote, n_buckets).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({node_col: t.column("node"),
+                            label_col: t.column("lab")}),
+        batch_format="pyarrow")

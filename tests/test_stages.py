@@ -5049,3 +5049,51 @@ class TestPageRank:
         total = sum(r["pr"] for r in out)
         # every node has out-degree k — no dangling leakage
         assert abs(total - 1.0) < 1e-9
+
+
+class TestLabelPropagation:
+    """label_propagation (similarity.py) — synchronous majority-vote
+    label spreading; `knn_label_spread_embeddings` wires it over the
+    kNN graph with an unrolled SQL twin."""
+
+    def _run(self, edges, seeds, **kw):
+        from peri_ray.stages.similarity import label_propagation
+
+        e = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+        s = pa.table({"node": pa.array([n for n, _ in seeds], pa.int64()),
+                      "label": pa.array([l for _, l in seeds], pa.int64())})
+        out = label_propagation(rd.from_arrow(e).repartition(2),
+                                rd.from_arrow(s), **kw).take_all()
+        return {r["node"]: r["label"] for r in out}
+
+    def test_synchronous_rounds(self):
+        # path a->b->c (each node's out-neighbors): c is seeded;
+        # after 1 iter only b learns; after 2, a learns through b
+        edges = [(0, 1), (1, 2), (2, 1)]
+        assert self._run(edges, [(2, 7)], iters=1) == {1: 7, 2: 7}
+        assert self._run(edges, [(2, 7)], iters=2) == {0: 7, 1: 7, 2: 7}
+
+    def test_majority_and_tiebreak(self):
+        # node 0 sees labels {5, 5, 9} -> majority 5;
+        # node 10 sees {5, 9} -> tie, smallest label wins
+        edges = [(0, 1), (0, 2), (0, 3), (10, 1), (10, 3)]
+        got = self._run(edges, [(1, 5), (2, 5), (3, 9)], iters=1)
+        assert got[0] == 5 and got[10] == 5
+
+    def test_seeds_never_change(self):
+        # seed node 0 is surrounded by label-9 neighbors; stays 1
+        edges = [(0, 1), (0, 2)]
+        got = self._run(edges, [(0, 1), (1, 9), (2, 9)], iters=3)
+        assert got[0] == 1
+
+    def test_distributed_matches_driver(self):
+        rng = np.random.default_rng(13)
+        n, k = 40, 3
+        edges = [(u, int(v)) for u in range(n)
+                 for v in rng.choice(
+                     [x for x in range(n) if x != u], k, replace=False)]
+        seeds = [(int(i), int(i % 4)) for i in range(0, n, 5)]
+        a = self._run(edges, seeds, iters=3)
+        b = self._run(edges, seeds, iters=3, driver_threshold=0)
+        assert a == b
