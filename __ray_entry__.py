@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_docs": q.bm25_top_docs,
         "knn_pagerank_embeddings": q.knn_pagerank_embeddings,
         "knn_label_spread_embeddings": q.knn_label_spread_embeddings,
+        "chunked_documents": q.chunked_documents,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -685,6 +686,23 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "chunked_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            st AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, len(ws) + 1, 24)) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(ws[s:least(s + 31, len(ws))], ' ')
+                     AS chunk_text,
+                   CAST(least(32, len(ws) - s + 1) AS BIGINT) AS n_tokens
+              FROM st
+        """,
         "knn_label_spread_embeddings": r"""
             WITH e AS (
               SELECT vec_id,

@@ -1136,6 +1136,16 @@ def knn_pagerank_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def chunked_documents(sf_dir: str):
+    """Overlapping token-window chunking (RAG / training-prep): 32-token
+    windows, stride 24.  Pure per-batch map, zero shuffles; the SQL twin
+    slices the same token arrays."""
+    from peri_ray.stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, window=32, stride=24)
+
+
 def knn_label_spread_embeddings(sf_dir: str):
     """Semi-supervised label spreading: seed 50% of a vector subset
     (vec_id % 20 == 0 of the % 10 == 0 subset) with their real labels,

@@ -723,6 +723,71 @@ def duplicate_ngram_coverage(ds, n: int = 5, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# overlapping token-window chunking (RAG / training-prep windowing:
+# split each doc into fixed-size token windows with stride overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(ds, window: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    batch_size: int | None = 8192):
+    """Explode each document into overlapping token windows: starts at
+    1, 1+stride, … while start ≤ token count; the last window may be
+    shorter.  Output (id, chunk_idx, chunk_text, n_tokens); chunk_idx
+    = (start-1)/stride.  Tokenizer is trim + ``\\s+`` split (SQL:
+    regexp_split_to_array).  Pure per-batch map — ZERO shuffles at any
+    scale; the output is ~window/stride × the input tokens, which is
+    the inherent overlap cost, not an exchange."""
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        n_chunks = (lens - 1) // stride + 1  # lens >= 1 always (split)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        cidx = np.arange(total) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        starts0 = cidx * stride                       # 0-based
+        ntok = np.minimum(window, lens[doc_idx] - starts0)
+        # gather: token indices of every chunk, back-to-back
+        g_start = offs[doc_idx] + starts0
+        tok_of_chunk = np.repeat(np.arange(total), ntok)
+        within = np.arange(int(ntok.sum())) - np.repeat(
+            np.cumsum(ntok) - ntok, ntok)
+        gathered = flat.take(pa.array(g_start[tok_of_chunk] + within))
+        c_offs = np.concatenate(([0], np.cumsum(ntok))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(c_offs, pa.int64()),
+                                           gathered)
+        return pa.table({
+            id_col: pa.array(ids[doc_idx], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "chunk_text": pc.binary_join(la, " "),
+            "n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    return ds.map_batches(_chunks, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (query-relevance scoring over the corpus — the
 # ranking behind targeted data selection / curation-by-query)
 # ---------------------------------------------------------------------------

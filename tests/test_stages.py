@@ -5097,3 +5097,53 @@ class TestLabelPropagation:
         a = self._run(edges, seeds, iters=3)
         b = self._run(edges, seeds, iters=3, driver_threshold=0)
         assert a == b
+
+
+class TestChunkDocuments:
+    """chunk_documents (text.py) — overlapping token windows; driver
+    oracle `chunked_documents` hash-checks the sf tables."""
+
+    def _run(self, texts, window, stride, ids=None):
+        from peri_ray.stages.text import chunk_documents
+
+        ids = ids if ids is not None else list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        out = chunk_documents(rd.from_arrow(t).repartition(2),
+                              window=window, stride=stride).take_all()
+        return sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                       r["n_tokens"]) for r in out)
+
+    def test_hand_checked_windows(self):
+        got = self._run(["a b c d e"], window=3, stride=2)
+        assert got == [(0, 0, "a b c", 3), (0, 1, "c d e", 3),
+                       (0, 2, "e", 1)]
+
+    def test_short_and_null_docs(self):
+        got = self._run(["a b", None, "x"], window=3, stride=2)
+        assert got == [(0, 0, "a b", 2), (2, 0, "x", 1)]
+
+    def test_matches_brute_force_on_real_docs(self):
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.stages.text import chunk_documents
+
+        W, S = 32, 24
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                      r["n_tokens"]) for r in
+                     chunk_documents(ds, window=W, stride=S).take_all())
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        want = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            if txt is None:
+                continue
+            ws = _re.split(r"[\t\n\f\r ]+", txt.strip())
+            for ci, s in enumerate(range(0, len(ws), S)):
+                piece = ws[s:s + W]
+                want.append((did, ci, " ".join(piece), len(piece)))
+        assert got == sorted(want)
