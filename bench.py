@@ -197,6 +197,13 @@ def run_bench() -> dict:
           lambda: q.dup_span_removal_docs(SF_DIR).to_pandas())
     timed("dedup_normalized",
           lambda: q.dedup_normalized_docs(SF_DIR).to_pandas())
+    timed("bm25_topk", lambda: q.bm25_top_docs(SF_DIR))
+    timed("chunked_documents",
+          lambda: q.chunked_documents(SF_DIR).to_pandas())
+    timed("knn_pagerank",
+          lambda: q.knn_pagerank_embeddings(SF_DIR).to_pandas())
+    timed("knn_label_spread",
+          lambda: q.knn_label_spread_embeddings(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
