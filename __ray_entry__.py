@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pagerank_embeddings": q.knn_pagerank_embeddings,
         "knn_label_spread_embeddings": q.knn_label_spread_embeddings,
         "chunked_documents": q.chunked_documents,
+        "rag_chunk_retrieval": q.rag_chunk_retrieval,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -686,6 +687,85 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "rag_chunk_retrieval": r"""
+            WITH dtoks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS dws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            chunks AS (
+              SELECT doc_id * 128 + CAST((s - 1) / 24 AS BIGINT) AS cid,
+                     array_to_string(dws[s:least(s + 31, len(dws))], ' ')
+                       AS text
+                FROM (SELECT doc_id, dws,
+                             unnest(range(1, len(dws) + 1, 24)) AS s
+                        FROM dtoks)
+            ),
+            toks AS (
+              SELECT cid, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM chunks
+            ),
+            lens AS (SELECT cid, len(ws) AS dl FROM toks),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+                FROM lens
+            ),
+            tf AS (
+              SELECT cid, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT cid, unnest(ws) AS tok FROM toks)
+               WHERE tok IN ('spark', 'window', 'merge')
+               GROUP BY cid, tok
+            ),
+            df AS (
+              SELECT tok, CAST(count(DISTINCT cid) AS BIGINT) AS df
+                FROM tf GROUP BY tok
+            ),
+            idf AS (
+              SELECT tok,
+                     ln((CAST(s.n - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) AS idf
+                FROM df CROSS JOIN stats s
+            ),
+            piv AS (
+              SELECT l.cid, l.dl,
+                     max(CASE WHEN t.tok = 'spark' THEN t.tf END) AS tf0,
+                     max(CASE WHEN t.tok = 'window' THEN t.tf END) AS tf1,
+                     max(CASE WHEN t.tok = 'merge' THEN t.tf END) AS tf2
+                FROM lens l LEFT JOIN tf t ON t.cid = l.cid
+               GROUP BY l.cid, l.dl
+            ),
+            scored AS (
+              SELECT p.cid,
+                     (CASE WHEN p.tf0 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'spark')
+                          * (p.tf0 * (1.2 + 1.0))
+                          / (p.tf0 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END)
+                   + (CASE WHEN p.tf1 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'window')
+                          * (p.tf1 * (1.2 + 1.0))
+                          / (p.tf1 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END)
+                   + (CASE WHEN p.tf2 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'merge')
+                          * (p.tf2 * (1.2 + 1.0))
+                          / (p.tf2 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END) AS score
+                FROM piv p CROSS JOIN stats s
+            )
+            SELECT cid // 128 AS doc_id, cid % 128 AS chunk_idx,
+                   score, rank
+              FROM (
+              SELECT cid, score,
+                     CAST(row_number() OVER
+                          (ORDER BY score DESC, cid) AS BIGINT) AS rank
+                FROM scored WHERE score > 0.0
+            ) WHERE rank <= 15
+        """,
         "chunked_documents": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

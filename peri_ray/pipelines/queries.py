@@ -1146,6 +1146,41 @@ def chunked_documents(sf_dir: str):
     return chunk_documents(ds, window=32, stride=24)
 
 
+def rag_chunk_retrieval(sf_dir: str):
+    """Composed RAG ingestion + query: chunk every doc into 32-token
+    windows (stride 24), then BM25-rank the CHUNKS for a fixed query
+    and return the top 15 as (doc_id, chunk_idx, score, rank).  Chunk
+    ids pack as doc_id * 128 + chunk_idx (chunk_idx < 128 holds for
+    any doc under 128·24+32 tokens; the packing is asserted).  The SQL
+    twin chains the chunk CTE into the BM25 expression verbatim."""
+    from peri_ray.stages.text import bm25_topk, chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = chunk_documents(ds, window=32, stride=24)
+
+    def _pack(t: pa.Table) -> pa.Table:
+        ci = t.column("chunk_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(ci) and ci.max() >= 128:
+            raise ValueError("rag_chunk_retrieval: chunk_idx >= 128 "
+                             "breaks the packed id; widen the multiplier")
+        did = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did * 128 + ci, pa.int64()),
+            "text": t.column("chunk_text")})
+
+    packed = chunks.map_batches(_pack, batch_format="pyarrow")
+    top = bm25_topk(packed, ["spark", "window", "merge"], k=15)
+    cid = top.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(cid // 128, pa.int64()),
+        "chunk_idx": pa.array(cid % 128, pa.int64()),
+        "score": top.column("score"),
+        "rank": top.column("rank"),
+    })
+
+
 def knn_label_spread_embeddings(sf_dir: str):
     """Semi-supervised label spreading: seed 50% of a vector subset
     (vec_id % 20 == 0 of the % 10 == 0 subset) with their real labels,
