@@ -5147,3 +5147,60 @@ class TestChunkDocuments:
                 piece = ws[s:s + W]
                 want.append((did, ci, " ".join(piece), len(piece)))
         assert got == sorted(want)
+
+
+class TestDupNgramFuzz:
+    """Property fuzz: coverage and span removal must agree with the
+    brute-force reference on random tiny corpora (tiny vocab to force
+    collisions; empty strings, repeats, single tokens)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _corpus = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                 min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=14,
+    )
+
+    @staticmethod
+    def _brute(texts, n):
+        from collections import Counter
+
+        docs = {i: t.split(" ") if t else [""] for i, t in enumerate(texts)}
+        grams = {i: {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+                 for i, ws in docs.items()}
+        dfc = Counter(g for gs in grams.values() for g in gs)
+        cov, spans = {}, {}
+        for i, ws in docs.items():
+            gs = grams[i]
+            if gs:
+                sh = sum(1 for g in gs if dfc[g] >= 2)
+                cov[i] = (len(gs), sh, float(sh) / float(len(gs)))
+            covered = [False] * len(ws)
+            for j in range(len(ws) - n + 1):
+                if dfc[" ".join(ws[j:j + n])] >= 2:
+                    for k in range(j, j + n):
+                        covered[k] = True
+            spans[i] = (" ".join(w for w, c in zip(ws, covered) if not c),
+                        sum(covered))
+        return cov, spans
+
+    @given(texts=_corpus)
+    @settings(max_examples=15, deadline=None)
+    def test_coverage_and_span_removal_fuzz(self, texts):
+        from peri_ray.stages.dedup import remove_duplicate_ngram_spans
+        from peri_ray.stages.text import duplicate_ngram_coverage
+
+        n = 2
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": texts})
+        ds = rd.from_arrow(t).repartition(2)
+        want_cov, want_spans = self._brute(texts, n)
+        got_cov = {r["doc_id"]: (r["total_grams"], r["shared_grams"],
+                                 r["dup_coverage"])
+                   for r in duplicate_ngram_coverage(ds, n=n).take_all()}
+        assert got_cov == want_cov
+        got_spans = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+                     for r in
+                     remove_duplicate_ngram_spans(ds, n=n).take_all()}
+        assert got_spans == want_spans
