@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_spread_embeddings": q.knn_label_spread_embeddings,
         "chunked_documents": q.chunked_documents,
         "rag_chunk_retrieval": q.rag_chunk_retrieval,
+        "embedding_outliers": q.embedding_outliers,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -687,6 +688,28 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "embedding_outliers": r"""
+            WITH ex AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+               WHERE label IS NOT NULL AND len(embedding) = 64
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            cent AS (
+              SELECT label, dim, ROUND(avg(val), 6) AS c
+                FROM ex GROUP BY label, dim
+            ),
+            d AS (
+              SELECT vec_id, e.label,
+                     ROUND(sqrt(sum((val - c) * (val - c))), 6) AS d
+                FROM ex e JOIN cent USING (label, dim)
+               GROUP BY vec_id, e.label
+            ),
+            thr AS (SELECT quantile_disc(d, 0.95) AS t FROM d)
+            SELECT vec_id, label, d FROM d, thr WHERE d.d > thr.t
+        """,
         "rag_chunk_retrieval": r"""
             WITH dtoks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS dws

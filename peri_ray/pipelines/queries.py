@@ -1146,6 +1146,75 @@ def chunked_documents(sf_dir: str):
     return chunk_documents(ds, window=32, stride=24)
 
 
+def embedding_outliers(sf_dir: str):
+    """Embedding-space data-quality gate: distance of every vector to
+    its OWN label centroid (rounded-6 centroids, the same values the
+    centroid oracle publishes), outliers = vectors above the exact
+    p95 of the rounded distance multiset.  Composition: centroid
+    partials (no shuffle) → broadcast → per-batch distances → exact
+    percentile_disc → broadcast threshold filter.  The exact-quantile
+    driver map is O(distinct rounded distances) — the oracle-able
+    gate; at corpus scale swap in the KLL sketch threshold."""
+    import ray
+
+    from peri_ray.stages.similarity import _as_matrix, grouped_centroids
+    from peri_ray.stages.stats import exact_quantiles
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    cent_t = grouped_centroids(ds, dim=64)
+    cent_t = cent_t.filter(pc.is_valid(cent_t.column("label")))
+    cents = {int(l): np.round(np.asarray(c, np.float64), 6)
+             for l, c in zip(cent_t.column("label").to_pylist(),
+                             cent_t.column("centroid").to_pylist())}
+    cref = ray.put(cents)
+
+    class _Dist:
+        def __init__(self, cref):
+            self.cents = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lab = t.column("label").combine_chunks()
+            emb = t.column("embedding").combine_chunks()
+            ok = pc.and_(pc.is_valid(lab),
+                         pc.equal(pc.list_value_length(emb), 64))
+            t2 = t.filter(ok)
+            emb2 = t2.column("embedding").combine_chunks()
+            flat = pc.list_flatten(emb2)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            if flat.null_count:
+                good = np.ones(t2.num_rows, bool)
+                nl = pc.is_null(flat).to_numpy(zero_copy_only=False)
+                good &= np.add.reduceat(
+                    nl, np.arange(0, t2.num_rows * 64, 64)) == 0
+                t2 = t2.filter(pa.array(good))
+            if t2.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.float64())})
+            m = _as_matrix(t2.column("embedding"), np.float64)
+            labs = (t2.column("label").combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False))
+            c = np.stack([self.cents[int(x)] for x in labs])
+            d = np.round(np.sqrt(((m - c) ** 2).sum(axis=1)), 6)
+            return pa.table({
+                "vec_id": t2.column("vec_id").combine_chunks().cast(pa.int64()),
+                "label": pa.array(labs, pa.int64()),
+                "d": pa.array(d, pa.float64())})
+
+    def _dists():
+        return ds.map_batches(_Dist, fn_constructor_args=(cref,),
+                              batch_format="pyarrow", concurrency=(1, 8))
+
+    q = exact_quantiles(_dists(), ["d"], qs=(0.95,))
+    thr = float(q.column("value")[0].as_py())
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("d"), thr))
+
+    return _dists().map_batches(_f, batch_format="pyarrow")
+
+
 def rag_chunk_retrieval(sf_dir: str):
     """Composed RAG ingestion + query: chunk every doc into 32-token
     windows (stride 24), then BM25-rank the CHUNKS for a fixed query

@@ -5204,3 +5204,36 @@ class TestDupNgramFuzz:
                      for r in
                      remove_duplicate_ngram_spans(ds, n=n).take_all()}
         assert got_spans == want_spans
+
+
+class TestEmbeddingOutliers:
+    """embedding_outliers query composition — distance-to-own-centroid
+    with an exact p95 gate; oracled at every SF, brute-forced here."""
+
+    def test_matches_brute_force(self):
+        import pyarrow.parquet as pq
+
+        from peri_ray.pipelines.queries import embedding_outliers
+
+        got = {r["vec_id"]: (r["label"], r["d"]) for r in
+               embedding_outliers(SF).take_all()}
+
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+        rows = [(v, np.asarray(e, np.float64), l)
+                for v, e, l in zip(t.column("vec_id").to_pylist(),
+                                   t.column("embedding").to_pylist(),
+                                   t.column("label").to_pylist())
+                if l is not None and e is not None and len(e) == 64
+                and not any(x is None for x in e)]
+        cents = {}
+        for _, e, l in rows:
+            s, c = cents.get(l, (np.zeros(64), 0))
+            cents[l] = (s + e, c + 1)
+        cents = {l: np.round(s / c, 6) for l, (s, c) in cents.items()}
+        ds = sorted(
+            (float(np.round(np.sqrt(((e - cents[l]) ** 2).sum()), 6)), v, l)
+            for v, e, l in rows)
+        thr = ds[max(1, int(np.ceil(len(ds) * 0.95))) - 1][0]
+        want = {v: (l, d) for d, v, l in ds if d > thr}
+        assert got == want
