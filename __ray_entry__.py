@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunked_documents": q.chunked_documents,
         "rag_chunk_retrieval": q.rag_chunk_retrieval,
         "embedding_outliers": q.embedding_outliers,
+        "leakage_free_split": q.leakage_free_split,
         "repetition_signals": q.repetition_signals,
         "pii_scan_documents": q.pii_scan_documents,
         "normalized_documents": q.normalized_documents,
@@ -688,6 +689,52 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+')) AS word FROM documents WHERE text IS NOT NULL) "
             "GROUP BY word"
         ),
+        "leakage_free_split": r"""
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 5))) AS g
+                  FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN sz sa ON sa.doc_id = a.doc_id
+                JOIN sz sb ON sb.doc_id = b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+              HAVING CAST(count(*) AS DOUBLE) /
+                     CAST(min(sa.n) + min(sb.n) - count(*) AS DOUBLE) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+               WHERE e.b <> r.a
+            ),
+            labs AS (
+              SELECT a AS doc_id, least(a, min(b)) AS lab
+                FROM reach GROUP BY a
+            ),
+            sp AS (
+              SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS rep
+                FROM documents d LEFT JOIN labs l USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN hb < 80 THEN 'train'
+                        WHEN hb < 90 THEN 'val'
+                        ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ((rep % 1000003) * 2654435761 % 1000000) % 100
+                             AS hb FROM sp)
+        """,
         "embedding_outliers": r"""
             WITH ex AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,

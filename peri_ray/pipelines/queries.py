@@ -1146,6 +1146,55 @@ def chunked_documents(sf_dir: str):
     return chunk_documents(ds, window=32, stride=24)
 
 
+def leakage_free_split(sf_dir: str):
+    """Contamination-safe train/val/test split: near-duplicate docs
+    (exact Jaccard ≥ 0.8 on char-5-shingles via MinHash-LSH candidates
+    + verification + connected components) are forced into the SAME
+    split by hashing the cluster REPRESENTATIVE (min id; standalone
+    docs hash their own id) with the Knuth split hash
+    `hash_split_documents` uses.  One int-only exchange attaches the
+    cluster labels back to the doc stream.  SQL twin reuses the
+    near-dup reach CTE (quadratic — sf ≤ 0.01 in the harness)."""
+    from peri_ray.stages.dedup import (connected_components,
+                                       map_groups_via_buckets,
+                                       minhash_lsh_candidates,
+                                       verify_candidates)
+    from peri_ray.stages.stats import _HWS_MOD, _HWS_MULT, _HWS_PRIME
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, dedupe=False)
+    verified = verify_candidates(ds, cands, threshold=0.8, k=5)
+    labels = connected_components(verified)
+
+    docs = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "lab": pa.nulls(t.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    lab = labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "lab": t.column("label").combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def _split(g: pa.Table) -> pa.Table:
+        lt = (g.filter(pc.is_valid(g.column("lab")))
+              .select(["doc_id", "lab"]))
+        dt = g.filter(pc.is_null(g.column("lab"))).select(["doc_id"])
+        j = dt.join(lt, keys="doc_id", join_type="left outer")
+        ids = j.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        labv = j.column("lab").combine_chunks()
+        rep = np.where(pc.is_valid(labv).to_numpy(zero_copy_only=False),
+                       labv.fill_null(0).to_numpy(zero_copy_only=False),
+                       ids).astype(np.int64)
+        hb = (rep % _HWS_PRIME) * _HWS_MULT % _HWS_MOD % 100
+        split = np.where(hb < 80, "train", np.where(hb < 90, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return map_groups_via_buckets(docs.union(lab), ["doc_id"], _split)
+
+
 def embedding_outliers(sf_dir: str):
     """Embedding-space data-quality gate: distance of every vector to
     its OWN label centroid (rounded-6 centroids, the same values the

@@ -65,6 +65,7 @@ QUADRATIC_ORACLES = {
     "near_dedup_victims",
     "near_dedup_victims_distributed",
     "training_prep_report",
+    "leakage_free_split",
 }
 
 

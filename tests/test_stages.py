@@ -5237,3 +5237,32 @@ class TestEmbeddingOutliers:
         thr = ds[max(1, int(np.ceil(len(ds) * 0.95))) - 1][0]
         want = {v: (l, d) for d, v, l in ds if d > thr}
         assert got == want
+
+
+class TestLeakageFreeSplit:
+    """leakage_free_split — near-dup clusters must land in ONE split."""
+
+    def test_cluster_cosplit_on_real_docs(self):
+        from peri_ray.pipelines.queries import leakage_free_split
+        from peri_ray.stages.dedup import near_dedup_victims
+
+        split = {r["doc_id"]: r["split"]
+                 for r in leakage_free_split(SF).take_all()}
+        # every doc appears exactly once
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        assert set(split) == set(t.column("doc_id").to_pylist())
+
+        # victims (non-keeper cluster members) share their keeper's split
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        from peri_ray.stages.dedup import (connected_components,
+                                           minhash_lsh_candidates,
+                                           verify_candidates)
+        cands = minhash_lsh_candidates(ds, dedupe=False)
+        verified = verify_candidates(ds, cands, threshold=0.8, k=5)
+        labels = {r["doc_id"]: r["label"]
+                  for r in connected_components(verified).take_all()}
+        assert labels, "fixture should contain at least one near-dup pair"
+        for doc, lab in labels.items():
+            assert split[doc] == split[lab], (doc, lab)
