@@ -877,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
             lab0 AS (
               SELECT vec_id AS node, CAST(label AS BIGINT) AS lab
                 FROM embeddings WHERE vec_id % 20 = 0
+                 AND label IS NOT NULL
             ),
             v1 AS (
               SELECT k.src AS node, l.lab, count(*) AS cnt

@@ -1212,7 +1212,12 @@ def embedding_outliers(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     cent_t = grouped_centroids(ds, dim=64)
     cent_t = cent_t.filter(pc.is_valid(cent_t.column("label")))
-    cents = {int(l): np.round(np.asarray(c, np.float64), 6)
+    # ROUND parity: SQL ROUND is half-away — pc.round half_towards_
+    # infinity, never np.round (half-even), for hash-compared values
+    cents = {int(l): pc.round(pa.array(np.asarray(c, np.float64)),
+                              ndigits=6,
+                              round_mode="half_towards_infinity")
+             .to_numpy(zero_copy_only=False)
              for l, c in zip(cent_t.column("label").to_pylist(),
                              cent_t.column("centroid").to_pylist())}
     cref = ray.put(cents)
@@ -1245,23 +1250,28 @@ def embedding_outliers(sf_dir: str):
             labs = (t2.column("label").combine_chunks().cast(pa.int64())
                     .to_numpy(zero_copy_only=False))
             c = np.stack([self.cents[int(x)] for x in labs])
-            d = np.round(np.sqrt(((m - c) ** 2).sum(axis=1)), 6)
+            d = pc.round(pa.array(np.sqrt(((m - c) ** 2).sum(axis=1))),
+                         ndigits=6, round_mode="half_towards_infinity")
             return pa.table({
                 "vec_id": t2.column("vec_id").combine_chunks().cast(pa.int64()),
                 "label": pa.array(labs, pa.int64()),
-                "d": pa.array(d, pa.float64())})
+                "d": d})
 
-    def _dists():
-        return ds.map_batches(_Dist, fn_constructor_args=(cref,),
-                              batch_format="pyarrow", concurrency=(1, 8))
+    # (vec_id, label, d) is 3 narrow columns × n vectors — materialize
+    # once for the two consumers (quantile pass + threshold filter)
+    # instead of recomputing every distance (CLAUDE.md multi-consumer
+    # pitfall)
+    dists = ds.map_batches(_Dist, fn_constructor_args=(cref,),
+                           batch_format="pyarrow",
+                           concurrency=(1, 8)).materialize()
 
-    q = exact_quantiles(_dists(), ["d"], qs=(0.95,))
+    q = exact_quantiles(dists, ["d"], qs=(0.95,))
     thr = float(q.column("value")[0].as_py())
 
     def _f(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("d"), thr))
 
-    return _dists().map_batches(_f, batch_format="pyarrow")
+    return dists.map_batches(_f, batch_format="pyarrow")
 
 
 def rag_chunk_retrieval(sf_dir: str):
@@ -1288,7 +1298,11 @@ def rag_chunk_retrieval(sf_dir: str):
             "doc_id": pa.array(did * 128 + ci, pa.int64()),
             "text": t.column("chunk_text")})
 
-    packed = chunks.map_batches(_pack, batch_format="pyarrow")
+    # bm25_topk consumes its input twice (stats + score pass); pin the
+    # chunk table so the chunking map runs once.  At corpus scale a
+    # real pipeline writes the chunks to parquet first and ranks that
+    # table — the materialize is the single-job equivalent.
+    packed = chunks.map_batches(_pack, batch_format="pyarrow").materialize()
     top = bm25_topk(packed, ["spark", "window", "merge"], k=15)
     cid = top.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table({
@@ -1323,6 +1337,9 @@ def knn_label_spread_embeddings(sf_dir: str):
     def _seeds(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").combine_chunks()
         t = t.filter(pa.array(ids.to_numpy(zero_copy_only=False) % 20 == 0))
+        # a NULL seed label would crash the vote; mirror the twin's
+        # label IS NOT NULL
+        t = t.filter(pc.is_valid(t.column("label").combine_chunks()))
         return pa.table({
             "node": t.column("vec_id"),
             "label": t.column("label").combine_chunks().cast(pa.int64())})

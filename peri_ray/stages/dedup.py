@@ -522,38 +522,20 @@ def explode_ngram_occurrences(ds, n: int, text_col: str = "text",
     text._TermDFPartial so the SQL twin is regexp_split_to_array."""
 
     def _explode(t: pa.Table) -> pa.Table:
+        from peri_ray.stages.text import flat_tokens, word_ngrams
+
         txt = t.column(text_col)
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         valid = pc.is_valid(txt)
         t2 = pa.table({text_col: txt, id_col: t.column(id_col)}).filter(valid)
-        txt2 = t2.column(text_col)
-        if isinstance(txt2, pa.ChunkedArray):
-            txt2 = txt2.combine_chunks()
-        if pa.types.is_large_string(txt2.type):
-            txt2 = txt2.cast(pa.string())
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt2), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        counts = np.maximum(lens - n + 1, 0)
-        total = int(counts.sum())
-        ids = t2.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        if total == 0:
+        flat, lens = flat_tokens(t2.column(text_col))
+        gram, doc_idx, within = word_ngrams(flat, lens, n)
+        if len(gram) == 0:
             return pa.table({"gram": pa.array([], pa.string()),
                              id_col: pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64())})
-        doc_idx = np.repeat(np.arange(len(lens)), counts)
-        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
-                                              counts)
-        starts = within + np.repeat(offs[:-1], counts)
-        gram = pc.binary_join_element_wise(
-            *[flat.take(pa.array(starts + k)) for k in range(n)], " ")
+        ids = t2.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({"gram": gram,
                          id_col: pa.array(ids[doc_idx], pa.int64()),
                          "s": pa.array(within + 1, pa.int64())})
@@ -639,11 +621,9 @@ def remove_duplicate_ngram_spans(ds, n: int = 5, text_col: str = "text",
         doc_ids = docs.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
         n_docs = len(doc_ids)
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        counts = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        from peri_ray.stages.text import flat_tokens
+
+        flat, counts = flat_tokens(txt)
         offs = np.concatenate(([0], np.cumsum(counts)))
         total = int(offs[-1])
         s_ids = sp.column(id_col).combine_chunks().to_numpy(
@@ -666,9 +646,6 @@ def remove_duplicate_ngram_spans(ds, n: int = 5, text_col: str = "text",
                       if total else np.zeros(n_docs, np.int64))
         removed = counts - new_counts
         offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
         if total:
             flat = flat.filter(pa.array(keep))
         la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)

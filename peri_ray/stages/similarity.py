@@ -971,7 +971,6 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
     Returns a Dataset of (node, pr)."""
     import ray.data as rd
 
-    from peri_ray.stages.checks import bucket_of
     from peri_ray.stages.dedup import (grouped_sum_via_buckets,
                                        map_groups_via_buckets)
 
@@ -1147,7 +1146,11 @@ def label_propagation(edges, seeds, iters: int = 2,
         src = np.array([r[src_col] for r in er], np.int64)
         dst = np.array([r[dst_col] for r in er], np.int64)
         lab = {r[node_col]: int(r[label_col]) for r in seeds.take_all()}
-        seeded = set(lab)
+        if n_edges == 0:
+            nodes = sorted(lab)
+            return rd.from_arrow(pa.table({
+                node_col: pa.array(nodes, pa.int64()),
+                label_col: pa.array([lab[x] for x in nodes], pa.int64())}))
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
         bounds = np.flatnonzero(np.concatenate(
@@ -1184,8 +1187,7 @@ def label_propagation(edges, seeds, iters: int = 2,
     def _canon_s(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t.column(node_col).combine_chunks().cast(pa.int64()),
-            "lab": t.column(label_col).combine_chunks().cast(pa.int64()),
-            "seed": pa.array(np.ones(t.num_rows, np.int8))})
+            "lab": t.column(label_col).combine_chunks().cast(pa.int64())})
 
     labels = seeds.map_batches(_canon_s, batch_format="pyarrow").materialize()
 
@@ -1221,14 +1223,13 @@ def label_propagation(edges, seeds, iters: int = 2,
         def _tag_known(t: pa.Table) -> pa.Table:
             return pa.table({"src": t.column("node"),
                              "lab": t.column("lab"),
-                             "known": pa.array(np.ones(t.num_rows, np.int8)),
-                             "seed": t.column("seed")})
+                             "known": pa.array(np.ones(t.num_rows, np.int8))})
 
         def _tag_msg(t: pa.Table) -> pa.Table:
             return pa.table({"src": t.column("src"),
                              "lab": t.column("lab"),
-                             "known": pa.array(np.zeros(t.num_rows, np.int8)),
-                             "seed": pa.array(np.zeros(t.num_rows, np.int8))})
+                             "known": pa.array(np.zeros(t.num_rows,
+                                                        np.int8))})
 
         def _vote(g: pa.Table) -> pa.Table:
             known = g.filter(pc.equal(g.column("known"), 1))
@@ -1253,15 +1254,12 @@ def label_propagation(edges, seeds, iters: int = 2,
                 won = counts.filter(pa.array(first))
                 new = pa.table({
                     "node": won.column("src"),
-                    "lab": won.column("lab"),
-                    "seed": pa.array(np.zeros(won.num_rows, np.int8))})
+                    "lab": won.column("lab")})
             else:
                 new = pa.table({"node": pa.array([], pa.int64()),
-                                "lab": pa.array([], pa.int64()),
-                                "seed": pa.array([], pa.int8())})
+                                "lab": pa.array([], pa.int64())})
             old = pa.table({"node": known.column("src"),
-                            "lab": known.column("lab"),
-                            "seed": known.column("seed")})
+                            "lab": known.column("lab")})
             return pa.concat_tables([old, new])
 
         labels = map_groups_via_buckets(

@@ -616,12 +616,51 @@ def term_document_frequency(ds, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def flat_tokens(txt) -> tuple[pa.Array, np.ndarray]:
+    """THE tokenizer twin contract in one place: trim + ``\\s+`` split
+    (SQL: ``regexp_split_to_array(trim(text), '\\s+')``) of a non-null
+    string array → (flattened token Array, per-row token counts).
+    Every word-level operator (n-gram pairs/occurrences, BM25,
+    chunking) goes through here so a tokenizer fix lands once."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return flat, lens
+
+
+def word_ngrams(flat: pa.Array, lens: np.ndarray, n: int):
+    """Vectorized word n-grams over flattened tokens: one ``take`` per
+    gram position + one ``binary_join_element_wise``.  Returns
+    (gram StringArray, doc_idx, within) where ``within`` is the
+    0-based token start of each gram inside its doc."""
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    counts = np.maximum(lens - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (pa.array([], pa.string()), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    doc_idx = np.repeat(np.arange(len(lens)), counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                          counts)
+    starts = within + np.repeat(offs[:-1], counts)
+    gram = pc.binary_join_element_wise(
+        *[flat.take(pa.array(starts + k)) for k in range(n)], " ")
+    return gram, doc_idx, within
+
+
 class _NgramPairsPartial:
-    """Batch → DISTINCT (doc, gram) rows for word n-grams.  Tokenizer
-    is trim + ``\\s+`` split (identical to :class:`_TermDFPartial`, so
-    the SQL twin is ``regexp_split_to_array(trim(text), '\\s+')``);
-    gram construction is fully vectorized: one ``Array.take`` per gram
-    position + one ``binary_join_element_wise``."""
+    """Batch → DISTINCT (doc, gram) rows for word n-grams
+    (tokenizer/gram construction shared via :func:`flat_tokens` /
+    :func:`word_ngrams`)."""
 
     def __init__(self, n: int, text_col: str, id_col: str):
         self.n = n
@@ -630,31 +669,12 @@ class _NgramPairsPartial:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(self.text_col).combine_chunks()))
-        txt = t.column(self.text_col).combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
         ids = t.column(self.id_col).combine_chunks()
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n = self.n
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        counts = np.maximum(lens - n + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
+        flat, lens = flat_tokens(t.column(self.text_col))
+        gram, doc_idx, _ = word_ngrams(flat, lens, self.n)
+        if len(gram) == 0:
             return pa.table({self.id_col: pa.array([], ids.type),
                              "gram": pa.array([], pa.string())})
-        doc_idx = np.repeat(np.arange(len(lens)), counts)
-        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
-                                              counts)
-        starts = within + np.repeat(offs[:-1], counts)
-        gram = pc.binary_join_element_wise(
-            *[flat.take(pa.array(starts + k)) for k in range(n)], " ")
         pairs = pa.table({self.id_col: ids.take(pa.array(doc_idx)),
                           "gram": gram})
         # a doc lives in exactly one batch, so per-batch distinct is
@@ -741,19 +761,9 @@ def chunk_documents(ds, window: int = 64, stride: int = 48,
 
     def _chunks(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
-        txt = t.column(text_col).combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
         ids = t.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        flat, lens = flat_tokens(t.column(text_col))
         offs = np.concatenate(([0], np.cumsum(lens)))
         n_chunks = (lens - 1) // stride + 1  # lens >= 1 always (split)
         total = int(n_chunks.sum())
@@ -805,16 +815,7 @@ class _BM25StatsPartial:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         txt = t.column(self.text_col).combine_chunks().drop_null()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat, lens = flat_tokens(txt)
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         cols = {"n_docs": pa.array([len(lens)], pa.int64()),
                 "sum_dl": pa.array([int(lens.sum())], pa.int64())}
@@ -850,19 +851,9 @@ class _BM25ScorePartial:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(self.text_col).combine_chunks()))
-        txt = t.column(self.text_col).combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
         ids = t.column(self.id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat, lens = flat_tokens(t.column(self.text_col))
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         norm = self.k1 * (1.0 - self.b
                           + self.b * (lens.astype(np.float64) / self.avgdl))
