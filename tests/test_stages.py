@@ -5266,3 +5266,27 @@ class TestLeakageFreeSplit:
         assert labels, "fixture should contain at least one near-dup pair"
         for doc, lab in labels.items():
             assert split[doc] == split[lab], (doc, lab)
+
+
+class TestDupSpanHotKey:
+    """Skew guard: a gram present in EVERY doc (universal boilerplate)
+    routes all its occurrences into one gram bucket — the whole-bucket
+    vectorized span pass must stay correct and the rebuild must remove
+    it everywhere."""
+
+    def test_universal_boilerplate_gram(self):
+        from peri_ray.stages.dedup import remove_duplicate_ngram_spans
+
+        n_docs = 300
+        texts = [f"u{i} v{i} subscribe to our newsletter w{i}"
+                 for i in range(n_docs)]
+        t = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                      "text": texts})
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+               remove_duplicate_ngram_spans(
+                   rd.from_arrow(t).repartition(8), n=4).take_all()}
+        assert len(out) == n_docs
+        for i in range(n_docs):
+            # the shared 4-gram "subscribe to our newsletter" covers
+            # exactly those 4 tokens in every doc
+            assert out[i] == (f"u{i} v{i} w{i}", 4)
