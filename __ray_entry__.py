@@ -28,6 +28,61 @@ _DOC_VALID = (
     "AND (n_chars IS NULL OR n_chars >= 0))"
 )
 
+# Web-corpus twins: `raw` rebuilds the deterministic messy-URL fixture
+# (queries._attach_web_columns) from (doc_id, source); the rest
+# re-implements the canonicalization rules of stages/web.py
+# independently in SQL string/list functions.
+_WEB_TS_SQL = ("make_timestamp(1704067200000000 + ((doc_id*37) % 365)"
+               " * 86400000000 + (doc_id % 24) * 3600000000)")
+_WEB_CANON_CTE = """
+raw AS (SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
+     || CASE WHEN doc_id % 3 = 0
+             THEN upper('h' || ((doc_id // 4) % 50) || '.example.com')
+             WHEN doc_id % 3 = 1
+             THEN 'www.h' || ((doc_id // 4) % 50) || '.example.com'
+             ELSE 'h' || ((doc_id // 4) % 50) || '.example.com' END
+     || CASE WHEN doc_id % 5 = 0
+             THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+             ELSE '' END
+     || '/p/' || (doc_id // 4)
+     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 6 = 0
+             THEN '?utm_source=' || source || '&id=' || (doc_id % 7)
+             WHEN doc_id % 6 = 3 THEN '?b=' || (doc_id % 7) || '&a=1'
+             ELSE '' END
+     || CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS host0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path0,
+    regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS query0
+  FROM raw),
+norm AS (
+  SELECT doc_id, url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           ELSE host0 END, '^www\\.', '') AS host,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    list_sort(list_filter(string_split(query0, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_')))
+      AS params
+  FROM parts),
+canon AS (
+  SELECT doc_id, url,
+    scheme || '://' || host || path ||
+    CASE WHEN len(params) = 0 THEN ''
+         ELSE '?' || array_to_string(params, '&') END AS canonical_url,
+    host
+  FROM norm)
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -202,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicked_and_viewed": q.clicked_and_viewed,
         "quality_scores": q.quality_scores,
         "lang_id_guess": q.lang_id_guess,
+        # web-corpus operators (stages/web.py)
+        "canonical_urls_docs": q.canonical_urls_docs,
+        "latest_crawl_per_url": q.latest_crawl_per_url,
+        "domain_stats_docs": q.domain_stats_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2231,6 +2290,27 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events
              WHERE event_type = 'view' AND user_id IS NOT NULL
+        """,
+        "canonical_urls_docs": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT doc_id, url, canonical_url FROM canon
+        """,
+        "latest_crawl_per_url": f"""
+            WITH {_WEB_CANON_CTE},
+            cap AS (SELECT canonical_url, doc_id, {_WEB_TS_SQL} AS warc_ts
+                      FROM canon)
+            SELECT canonical_url, doc_id, warc_ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY canonical_url
+                         ORDER BY warc_ts DESC, doc_id ASC) AS rn FROM cap)
+            WHERE rn = 1
+        """,
+        "domain_stats_docs": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT c.host, count(*) AS n_pages,
+                   count(DISTINCT coalesce(d.lang, '')) AS n_langs,
+                   CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS sum_chars
+              FROM canon c JOIN documents d USING (doc_id)
+             GROUP BY c.host
         """,
     }
 

@@ -3085,3 +3085,95 @@ def value_outliers_events(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
     return zscore_outliers(ds, "value", "event_id", threshold=3.0)
+
+
+# ---------------------------------------------------------------------------
+# web-corpus operators (stages/web.py): URL canonicalization, recrawl
+# keep-latest, domain profile — over a deterministic messy-URL fixture
+# derived from (doc_id, source) so the DuckDB twin rebuilds the exact
+# same web_pages-shaped columns (BASELINE input_hint / FIXTURES F0).
+# ---------------------------------------------------------------------------
+
+_WEB_TS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def _attach_web_columns(t: pa.Table) -> pa.Table:
+    """FIXTURE, not an operator: deterministic messy ``url`` +
+    ``warc_ts`` from (doc_id, source).  Exercises every canonicalizer
+    rule: scheme case is fixed but hosts get mixed case (m3=0), a
+    www. prefix (m3=1), default ports (m5=0), trailing slashes (m4=0),
+    utm_ tracking params (m6=0), unsorted params (m6=3), fragments
+    (m9=0).  Ids 4g..4g+3 share host AND path, so the even pair
+    (4g, 4g+2) collides post-canonicalization when g % 3 == 2 and the
+    odd pair when g % 3 == 1 (same scheme, both query-free) — the
+    keep-latest dedup has real work (~1 victim per 6 rows)."""
+    ids = (t.column("doc_id").combine_chunks().cast(pa.int64())
+           .to_numpy(zero_copy_only=False))
+    src = t.column("source").combine_chunks().to_numpy(
+        zero_copy_only=False).astype(str)
+    hostcore = np.char.add(
+        np.char.add("h", ((ids // 4) % 50).astype(str)), ".example.com")
+    m2, m3 = ids % 2, ids % 3
+    scheme = np.where(m2 == 0, "http://", "https://")
+    host = np.where(m3 == 0, np.char.upper(hostcore),
+                    np.where(m3 == 1, np.char.add("www.", hostcore),
+                             hostcore))
+    port = np.where(ids % 5 == 0, np.where(m2 == 0, ":80", ":443"), "")
+    path = np.char.add(np.char.add("/p/", (ids // 4).astype(str)),
+                       np.where(ids % 4 == 0, "/", ""))
+    m6, m7 = ids % 6, (ids % 7).astype(str)
+    query = np.where(
+        m6 == 0,
+        np.char.add(np.char.add(np.char.add("?utm_source=", src), "&id="),
+                    m7),
+        np.where(m6 == 3,
+                 np.char.add(np.char.add("?b=", m7), "&a=1"), ""))
+    frag = np.where(ids % 9 == 0, "#sec", "")
+    url = np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+        scheme, host), port), path), query), frag)
+    ts = (_WEB_TS_EPOCH_US + ((ids * 37) % 365) * 86_400_000_000
+          + (ids % 24) * 3_600_000_000)
+    return (t.append_column("url", pa.array(url, pa.string()))
+            .append_column("warc_ts", pa.array(ts, pa.timestamp("us"))))
+
+
+def canonical_urls_docs(sf_dir: str):
+    """URL canonicalization (lowercase scheme/host, default ports,
+    www., fragments, utm_ params, param sort, trailing slash) — one
+    vectorized shuffle-free pass; the oracle re-implements the rules
+    independently in SQL string/list functions."""
+    from peri_ray.stages.web import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    return (canonicalize_urls(ds)
+            .map_batches(lambda t: t.select(["doc_id", "url",
+                                             "canonical_url"]),
+                         batch_format="pyarrow"))
+
+
+def latest_crawl_per_url(sf_dir: str):
+    """Recrawl dedup: newest capture per canonical URL (tie: smallest
+    doc_id) — canonicalize + top_k_per_group(k=1); only one candidate
+    row per (url, block) crosses the exchange."""
+    from peri_ray.stages.web import canonicalize_urls, keep_latest_capture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = canonicalize_urls(ds).map_batches(
+        lambda t: t.select(["canonical_url", "doc_id", "warc_ts"]),
+        batch_format="pyarrow")
+    return keep_latest_capture(ds)
+
+
+def domain_stats_docs(sf_dir: str):
+    """Per-domain corpus profile (pages, distinct langs, total chars)
+    over canonicalized hosts — per-batch Arrow group_by partials +
+    driver merge; no shuffle (host cardinality ≪ rows)."""
+    from peri_ray.stages.web import canonicalize_urls, domain_stats, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+    return domain_stats(ds, host_col="host", lang_col="lang",
+                        chars_col="n_chars")

@@ -1,0 +1,194 @@
+"""Web-corpus operators: URL canonicalization, host extraction, and
+domain-level aggregation (SURVEY §2.7 [NORTH] companions — the
+Common-Crawl-style steps that run before/alongside validation over the
+``(url, warc_ts, html, text, lang)`` table in BASELINE.json's
+input_hint).
+
+All stages are shuffle-free ``map_batches`` passes over zero-copy
+Arrow batches; the only exchange in the family is the keep-latest
+dedup, which reuses :func:`peri_ray.stages.stats.top_k_per_group`
+(per-block partials keep one candidate row per (url, block), so the
+``html``/``text`` payload of a dominated capture never leaves its
+block — at 100 TB only winners-per-block cross the wire).
+
+Reference anchor: peri validates single records and has no URL ops;
+these derive from the north rule's web-pages framing (SURVEY §1 note
+and FIXTURES F0) and standard crawl-dedup practice (keep the newest
+capture per canonical URL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# One RE2 pattern splits a URL into its four canonicalization-relevant
+# parts; anything after '#' lands in `rest` together with the query.
+_URL_PARTS_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?P<host>[^/?#]*)(?P<path>[^?#]*)(?P<rest>.*)$"
+)
+
+# Tracking parameters dropped during canonicalization (the common
+# "utm_*" family; extend via the drop_param_prefixes knob).
+DEFAULT_DROP_PARAM_PREFIXES = ("utm_",)
+
+
+def _canonicalize_table(t: pa.Table, url_col: str, out_col: str,
+                        drop_param_prefixes: tuple[str, ...]) -> pa.Table:
+    """Vectorized canonicalization of one Arrow batch.
+
+    Rules (each a standard crawl-normalization step):
+      1. lowercase scheme and host (path/query stay case-sensitive)
+      2. strip the fragment
+      3. strip the scheme's default port (:80 http, :443 https)
+      4. strip a leading ``www.`` host label
+      5. drop tracking query params (prefix match), sort the rest
+      6. collapse trailing slashes; empty path becomes ``/``
+
+    Null or non-URL-shaped values canonicalize to null (callers keep
+    the raw column, so nothing is lost).
+    """
+    urls = t.column(url_col).combine_chunks()
+    if pa.types.is_large_string(urls.type):
+        urls = urls.cast(pa.string())
+    parts = pc.extract_regex(urls, _URL_PARTS_RE)
+    matched = pc.is_valid(parts)
+
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    path = pc.struct_field(parts, "path")
+    rest = pc.struct_field(parts, "rest")
+
+    # default ports, per-scheme
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, r":80$", ""),
+        pc.if_else(pc.equal(scheme, "https"),
+                   pc.replace_substring_regex(host, r":443$", ""),
+                   host))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+
+    # trailing slashes; '' -> '/'
+    path = pc.replace_substring_regex(path, r"/+$", "")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
+
+    # query: strip fragment, strip leading '?', split, filter, sort.
+    query = pc.replace_substring_regex(rest, r"#.*$", "")
+    query = pc.replace_substring_regex(query, r"^\?", "")
+    plists = pc.split_pattern(pc.fill_null(query, ""), "&")
+    if isinstance(plists, pa.ChunkedArray):
+        plists = plists.combine_chunks()
+    flat = plists.flatten()
+    keep = pc.not_equal(flat, "")
+    for pref in drop_param_prefixes:
+        keep = pc.and_(keep, pc.invert(pc.starts_with(flat, pref)))
+    n = len(plists)
+    row_idx = np.repeat(
+        np.arange(n, dtype=np.int64),
+        np.diff(plists.offsets.to_numpy(zero_copy_only=False)))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept_rows = row_idx[keep_np]
+    kept_vals = flat.filter(keep)
+    # sort params within each row (Arrow C-sort, binary collation —
+    # matches SQL list_sort's default)
+    order = (pa.table({"r": kept_rows, "v": kept_vals})
+             .sort_by([("r", "ascending"), ("v", "ascending")]))
+    counts = np.bincount(kept_rows, minlength=n) if len(kept_rows) else \
+        np.zeros(n, np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    sorted_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()) if offsets[-1] < 2**31 - 1
+        else pa.array(offsets, pa.int64()),
+        order.column("v").combine_chunks())
+    qjoined = pc.binary_join(sorted_lists, "&")
+    qpart = pc.if_else(pc.equal(qjoined, ""), pa.scalar("", pa.string()),
+                       pc.binary_join_element_wise("?", qjoined, ""))
+
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, path, qpart, "")
+    canon = pc.if_else(matched, canon, pa.scalar(None, pa.string()))
+    return t.append_column(out_col, canon)
+
+
+def canonicalize_urls(ds, url_col: str = "url",
+                      out_col: str = "canonical_url",
+                      drop_param_prefixes: tuple[str, ...] =
+                      DEFAULT_DROP_PARAM_PREFIXES,
+                      batch_size: int | None = 65536):
+    """Append a canonical-URL column — one shuffle-free vectorized
+    pass (RE2 part extraction + Arrow string kernels + one C-level
+    sort for query params; no per-row Python)."""
+    return ds.map_batches(
+        lambda t: _canonicalize_table(t, url_col, out_col,
+                                      tuple(drop_param_prefixes)),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def keep_latest_capture(ds, url_col: str = "canonical_url",
+                        ts_col: str = "warc_ts", id_col: str = "doc_id"):
+    """Recrawl dedup: keep the NEWEST capture per canonical URL
+    (ties broken by smallest id) — ``top_k_per_group`` with k=1, so
+    only one candidate row per (url, block) crosses the exchange."""
+    from peri_ray.stages.stats import top_k_per_group
+
+    return top_k_per_group(ds, key=url_col, order_col=ts_col, k=1,
+                           descending=True, tiebreak=id_col)
+
+
+def host_of(ds, url_col: str = "canonical_url", out_col: str = "host",
+            batch_size: int | None = 65536):
+    """Append the URL's host (post-canonicalization: already
+    lowercased, de-ported, de-www'd)."""
+    def _h(t: pa.Table) -> pa.Table:
+        u = t.column(url_col).combine_chunks()
+        if pa.types.is_large_string(u.type):
+            u = u.cast(pa.string())
+        ex = pc.extract_regex(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
+        h = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "h"),
+                       pa.scalar(None, pa.string()))
+        return t.append_column(out_col, h)
+
+    return ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
+
+
+def domain_stats(ds, host_col: str = "host", lang_col: str = "lang",
+                 chars_col: str = "n_chars",
+                 batch_size: int | None = 65536) -> pa.Table:
+    """Per-domain corpus profile: page count, total chars, distinct
+    languages.  Domain cardinality is assumed driver-bounded (hosts on
+    the web are ~100 M — far below row count; at that extreme swap the
+    driver merge for ``grouped_sum_via_buckets``, same partial shape).
+
+    One streaming pass of per-batch ``(host, lang) -> (n, chars)``
+    Arrow group_by partials; the driver merge is bounded by
+    blocks × hosts × langs rows.  No shuffle, text never leaves the
+    read stage."""
+    def _part(t: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "host": t.column(host_col),
+            "lang": pc.fill_null(t.column(lang_col).combine_chunks()
+                                 .cast(pa.string()), ""),
+            "chars": pc.fill_null(t.column(chars_col).combine_chunks()
+                                  .cast(pa.int64()), 0),
+        }).filter(pc.is_valid(t.column(host_col).combine_chunks()))
+        g = (sub.group_by(["host", "lang"])
+             .aggregate([("chars", "sum"), ([], "count_all")]))
+        return g.rename_columns(["host", "lang", "chars", "n"])
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merged = pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([("host", pa.string()), ("lang", pa.string()),
+                          ("chars", pa.int64()), ("n", pa.int64())]))
+    per_hl = (merged.group_by(["host", "lang"])
+              .aggregate([("chars", "sum"), ("n", "sum")]))
+    out = (per_hl.group_by(["host"])
+           .aggregate([("chars_sum", "sum"), ("n_sum", "sum"),
+                       ("lang", "count_distinct")]))
+    out = out.rename_columns(["host", "sum_chars", "n_pages", "n_langs"])
+    return (out.select(["host", "n_pages", "n_langs", "sum_chars"])
+            .sort_by([("host", "ascending")]))
