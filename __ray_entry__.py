@@ -83,6 +83,33 @@ canon AS (
   FROM norm)
 """
 
+# DSIR twin: exact token features (tokenizer identical to the
+# token_counts twin), Laplace α=1 over the union vocabulary, and
+# integer micro-nat quantization — round(1e6·(ln p_T − ln p_R)) per
+# term — so the per-doc SUM is an order-free BIGINT in both engines.
+_DSIR_W_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT w, count(*) AS n_raw,
+               count(*) FILTER (WHERE coalesce(lang, '') = 'en') AS n_tgt
+          FROM toks GROUP BY w),
+c AS (SELECT count(*) AS v, sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt
+        FROM cnt),
+qd AS (SELECT w,
+         CAST(round((ln((CAST(n_tgt AS DOUBLE) + 1.0)
+                        / (CAST(t_tgt AS DOUBLE) + 1.0 * v))
+                   - ln((CAST(n_raw AS DOUBLE) + 1.0)
+                        / (CAST(t_raw AS DOUBLE) + 1.0 * v))) * 1000000)
+              AS BIGINT) AS qdiff
+        FROM cnt CROSS JOIN c),
+per AS (SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(qd.qdiff) AS BIGINT) AS weight_micro
+          FROM toks t JOIN qd USING (w) GROUP BY t.doc_id)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.weight_micro
+  FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -261,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls_docs": q.canonical_urls_docs,
         "latest_crawl_per_url": q.latest_crawl_per_url,
         "domain_stats_docs": q.domain_stats_docs,
+        # DSIR importance resampling (integer micro-nat weights)
+        "dsir_weights_documents": q.dsir_weights_documents,
+        "dsir_selected_docs": q.dsir_selected_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2311,6 +2341,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS sum_chars
               FROM canon c JOIN documents d USING (doc_id)
              GROUP BY c.host
+        """,
+        "dsir_weights_documents": f"WITH w AS ({_DSIR_W_SQL}) SELECT * FROM w",
+        "dsir_selected_docs": f"""
+            WITH w AS ({_DSIR_W_SQL})
+            SELECT doc_id, weight_micro,
+                   row_number() OVER (ORDER BY weight_micro DESC,
+                                      doc_id ASC) AS rank
+              FROM w WHERE weight_micro IS NOT NULL
+             ORDER BY weight_micro DESC, doc_id ASC LIMIT 50
         """,
     }
 

@@ -3177,3 +3177,38 @@ def domain_stats_docs(sf_dir: str):
     ds = host_of(canonicalize_urls(ds))
     return domain_stats(ds, host_col="host", lang_col="lang",
                         chars_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (stages/text.py dsir_weights): target =
+# in-corpus English subset, raw = whole corpus.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_en_mask(t: pa.Table):
+    """Target-model mask: documents with lang == 'en'."""
+    import pyarrow.compute as pc
+
+    return pc.equal(
+        pc.fill_null(t.column("lang").combine_chunks().cast(pa.string()), ""),
+        "en")
+
+
+def dsir_weights_documents(sf_dir: str):
+    """Per-doc DSIR importance weight (integer micro-nats) toward the
+    English subset — two streaming passes + one vocab exchange; text
+    never shuffles and the model broadcasts once."""
+    from peri_ray.stages.text import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_weights(ds, _dsir_en_mask)
+
+
+def dsir_selected_docs(sf_dir: str):
+    """DSIR selection: top-50 docs by importance weight (weight DESC,
+    id ASC) — per-block top-k partials + driver merge, no global
+    sort."""
+    from peri_ray.stages.text import dsir_top_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_top_docs(ds, _dsir_en_mask, k=50)

@@ -1525,3 +1525,190 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
                          "pmi": pa.array(np.round(pmi, round_to))})
 
     return bg.map_batches(_pmi, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): per-document bag-of-words
+# importance weight log p_target(doc) - log p_raw(doc) under two
+# Laplace-smoothed unigram models, the target model fit on an
+# in-corpus subset (a mask over the same Dataset — e.g. lang == 'en').
+# The paper hashes n-grams into a fixed feature space; here the exact
+# token-feature variant is the oracle-checked path and ``max_vocab``
+# is the bounded-broadcast production knob (tail terms carry zero
+# signal, matching the no-information prior).
+# ---------------------------------------------------------------------------
+
+
+class _DualTermCountPartial:
+    """Batch → (term, n_raw, n_tgt) partials: ONE tokenize pass; raw
+    counts over all non-null texts, target counts over the rows
+    ``mask_fn`` selects.  Tokenizer shared with token_count_batch so
+    the SQL twin is exact."""
+
+    def __init__(self, text_col: str, mask_fn):
+        self.text_col = text_col
+        self.mask_fn = mask_fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        valid = pc.is_valid(txt)
+        mask = pc.fill_null(self.mask_fn(t), False)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        parts = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(txt.filter(valid)), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        vc_raw = pc.value_counts(pc.list_flatten(parts))
+        terms = vc_raw.field("values")
+        n_raw = vc_raw.field("counts").cast(pa.int64())
+        n_tgt = np.zeros(len(terms), np.int64)
+        tgt_parts = parts.filter(mask.filter(valid))
+        if len(tgt_parts):
+            vc_tgt = pc.value_counts(pc.list_flatten(tgt_parts))
+            idx = pc.index_in(vc_tgt.field("values"), value_set=terms)
+            n_tgt[idx.to_numpy(zero_copy_only=False).astype(np.int64)] = \
+                vc_tgt.field("counts").to_numpy(zero_copy_only=False)
+        return pa.table({"term": terms, "n_raw": n_raw,
+                         "n_tgt": pa.array(n_tgt, pa.int64())})
+
+
+class _DsirScorer:
+    """Shuffle-free scoring pass: the (term → quantized log-ratio)
+    model is broadcast once per actor via ``ray.put``; per-doc weight
+    is one ``pc.index_in`` lookup + one ``np.bincount``.  Weights are
+    integer MICRO-NATS, so the per-doc sum is an exact BIGINT under
+    any summation order (CLAUDE.md: hash-compared sums must be
+    integer units end to end; the bincount double is exact ≤ 2^53)."""
+
+    def __init__(self, text_col: str, id_col: str, model_ref):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.terms, self.qdiff = ray.get(model_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = len(txt)
+        null_mask = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = (pc.list_value_length(parts)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        idx = pc.fill_null(
+            pc.index_in(parts.flatten(), value_set=self.terms), -1)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = idx_np < 0  # max_vocab tail: zero signal
+        w = np.where(oov, 0.0,
+                     self.qdiff[np.where(oov, 0, idx_np)].astype(np.float64))
+        s = np.bincount(parent, weights=w, minlength=n)
+        weight = pc.if_else(pa.array(null_mask),
+                            pa.nulls(n, pa.int64()),
+                            pa.array(s.astype(np.int64), pa.int64()))
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_tokens": pa.array(np.where(null_mask, 0, counts), pa.int64()),
+            "weight_micro": weight,
+        })
+
+
+def dsir_weights(ds, target_mask_fn, text_col: str = "text",
+                 id_col: str = "doc_id", alpha: float = 1.0,
+                 max_vocab: int | None = None, n_buckets: int = 64,
+                 batch_size: int | None = 8192):
+    """Per-document DSIR importance weight in integer micro-nats:
+    ``weight_micro = Σ_tokens round(1e6 · (ln p_T(term) − ln p_R(term)))``
+    with Laplace smoothing ``p_M(t) = (n_M(t) + α) / (T_M + α·V)`` over
+    the shared union vocabulary V.
+
+    Two passes, Ray-Data-first (the unigram_nll shape): (1) one
+    tokenize map emits (term, n_raw, n_tgt) partials — text never
+    shuffles — reduced by one bucketed exchange; the model is
+    quantized driver-side and broadcast ONCE with ``ray.put``;
+    (2) a shuffle-free scoring map.  ``max_vocab`` bounds the
+    broadcast at web scale: only the top-V terms (n_raw desc, term
+    asc) carry signal, tail terms contribute 0.
+
+    Output: (id, n_tokens, weight_micro) for every input row;
+    null-text rows score null.  Ranking by weight_micro is the DSIR
+    selection order (resampling = weighted choice over it)."""
+    import ray
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _sum2(g: pa.Table) -> pa.Table:
+        return (g.select(["term", "n_raw", "n_tgt"]).group_by(["term"])
+                .aggregate([("n_raw", "sum"), ("n_tgt", "sum")])
+                .rename_columns(["term", "n_raw", "n_tgt"]))
+
+    partials = ds.map_batches(_DualTermCountPartial(text_col, target_mask_fn),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = map_groups_via_buckets(partials, ["term"], _sum2,
+                                    n_buckets=n_buckets)
+    rows = totals.take_all()
+    terms = [r["term"] for r in rows]
+    n_raw = np.array([r["n_raw"] for r in rows], np.int64)
+    n_tgt = np.array([r["n_tgt"] for r in rows], np.int64)
+    v = len(terms)
+    # totals and V stay the UNION-vocabulary values: the model is the
+    # same distribution under max_vocab, only its broadcast support is
+    # truncated (tail terms carry ~zero signal and score 0)
+    t_raw, t_tgt = float(n_raw.sum()), float(n_tgt.sum())
+    if max_vocab is not None and v > max_vocab:
+        order = sorted(range(v), key=lambda i: (-n_raw[i], terms[i]))
+        keep = sorted(order[:max_vocab])
+        terms = [terms[i] for i in keep]
+        n_raw, n_tgt = n_raw[keep], n_tgt[keep]
+    # operand-by-operand float conversion mirrors the SQL twin exactly
+    # (CLAUDE.md: convert each operand with float() before dividing)
+    lp_t = np.log((n_tgt.astype(np.float64) + alpha)
+                  / (t_tgt + alpha * float(v)))
+    lp_r = np.log((n_raw.astype(np.float64) + alpha)
+                  / (t_raw + alpha * float(v)))
+    x = (lp_t - lp_r) * 1e6
+    # half-away-from-zero (SQL ROUND); ln ratios are transcendental so
+    # exact .5 ties cannot occur, but the mode is pinned anyway
+    qdiff = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    model_ref = ray.put((pa.array(terms, pa.string()), qdiff))
+    return ds.map_batches(_DsirScorer(text_col, id_col, model_ref),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+def dsir_top_docs(ds, target_mask_fn, k: int, text_col: str = "text",
+                  id_col: str = "doc_id", alpha: float = 1.0,
+                  max_vocab: int | None = None,
+                  batch_size: int | None = 8192) -> pa.Table:
+    """DSIR selection: global top-k documents by importance weight
+    (weight_micro DESC, id ASC) — per-block top-k partials + a driver
+    merge bounded by blocks × k (the bm25_topk shape; no global
+    sort)."""
+    scored = dsir_weights(ds, target_mask_fn, text_col, id_col, alpha,
+                          max_vocab, batch_size=batch_size)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("weight_micro")))
+        ids = (sub.column(id_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        w = (sub.column("weight_micro").combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.lexsort((ids, -w))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "weight_micro": pa.array(w[order], pa.int64())})
+
+    rows = scored.map_batches(_topk, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows], np.int64)
+    w = np.array([r["weight_micro"] for r in rows], np.int64)
+    order = np.lexsort((ids, -w))[:k]
+    return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                     "weight_micro": pa.array(w[order], pa.int64()),
+                     "rank": pa.array(np.arange(1, len(order) + 1),
+                                      pa.int64())})

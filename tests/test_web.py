@@ -154,3 +154,78 @@ class TestDomainStats:
             n, ls, s = want[r["host"]]
             assert (r["n_pages"], r["n_langs"], r["sum_chars"]) == \
                 (n, len(ls), s)
+
+
+class TestDsir:
+    def _mask(self, col):
+        import pyarrow.compute as pc
+
+        def f(t):
+            return pc.equal(pc.fill_null(
+                t.column(col).combine_chunks().cast(pa.string()), ""), "en")
+        return f
+
+    def _corpus(self):
+        # en docs say "cat dog", fr docs say "chat chien"; one mixed
+        return pa.table({
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": pa.array(["cat dog cat", "dog cat", "cat",
+                              "chat chien", "chien chat chat",
+                              "cat chat", None], pa.string()),
+            "lang": pa.array(["en", "en", "en", "fr", "fr", "fr", "en"],
+                             pa.string()),
+        })
+
+    def test_weights_match_brute_force(self):
+        import math
+
+        from peri_ray.stages.text import dsir_weights
+
+        t = self._corpus()
+        out = {r["doc_id"]: r for r in dsir_weights(
+            rd.from_arrow(t).repartition(3), self._mask("lang")).take_all()}
+        # brute force: union vocab over non-null texts
+        toks = {i: t.column("text")[i].as_py().split()
+                for i in range(6)}
+        vocab = sorted({w for ws in toks.values() for ws in [ws] for w in ws})
+        n_raw = {w: sum(ws.count(w) for ws in toks.values()) for w in vocab}
+        n_tgt = {w: sum(ws.count(w) for i, ws in toks.items()
+                        if t.column("lang")[i].as_py() == "en")
+                 for w in vocab}
+        v, t_raw, t_tgt = len(vocab), sum(n_raw.values()), sum(n_tgt.values())
+        qd = {w: round(1e6 * (math.log((n_tgt[w] + 1.0) / (t_tgt + v))
+                              - math.log((n_raw[w] + 1.0) / (t_raw + v))))
+              for w in vocab}
+        for i, ws in toks.items():
+            assert out[i]["weight_micro"] == sum(qd[w] for w in ws), i
+            assert out[i]["n_tokens"] == len(ws)
+        assert out[6]["weight_micro"] is None and out[6]["n_tokens"] == 0
+        # directionality: pure-en docs weigh more than pure-fr docs
+        assert min(out[i]["weight_micro"] for i in (0, 1, 2)) > \
+            max(out[i]["weight_micro"] for i in (3, 4))
+
+    def test_max_vocab_tail_is_neutral(self):
+        from peri_ray.stages.text import dsir_weights
+
+        t = self._corpus()
+        full = {r["doc_id"]: r["weight_micro"] for r in dsir_weights(
+            rd.from_arrow(t), self._mask("lang")).take_all()}
+        # cap to 2 terms: 'cat' (n_raw=5) and 'chat' (n_raw=4) survive
+        capped = {r["doc_id"]: r["weight_micro"] for r in dsir_weights(
+            rd.from_arrow(t), self._mask("lang"), max_vocab=2).take_all()}
+        assert capped != full
+        # doc 5 = "cat chat": both terms kept, so capped == full there
+        assert capped[5] == full[5]
+        # doc 2 = "cat": single kept term, unchanged
+        assert capped[2] == full[2]
+
+    def test_top_docs_rank(self):
+        from peri_ray.stages.text import dsir_top_docs
+
+        t = self._corpus()
+        top = dsir_top_docs(rd.from_arrow(t).repartition(4),
+                            self._mask("lang"), k=3)
+        assert top.column("rank").to_pylist() == [1, 2, 3]
+        w = top.column("weight_micro").to_pylist()
+        assert w == sorted(w, reverse=True)
+        assert set(top.column("doc_id").to_pylist()) <= {0, 1, 2}
