@@ -34,6 +34,23 @@ _DOC_VALID = (
 # independently in SQL string/list functions.
 _WEB_TS_SQL = ("make_timestamp(1704067200000000 + ((doc_id*37) % 365)"
                " * 86400000000 + (doc_id % 24) * 3600000000)")
+
+# Blocklist twin regexes: IDENTICAL strings to what
+# stages/web.blocklist_filter compiles from the fixture lists (both
+# sides are RE2), built with the same re.escape/join construction.
+def _blocklist_res() -> tuple:
+    import re as _re
+
+    from peri_ray.pipelines.queries import (BLOCKED_HOSTS_FIXTURE,
+                                            URL_PATTERNS_FIXTURE)
+
+    host_re = ("(^|\\.)(" +
+               "|".join(_re.escape(h) for h in BLOCKED_HOSTS_FIXTURE) + ")$")
+    url_re = "|".join(f"(?:{p})" for p in URL_PATTERNS_FIXTURE)
+    return host_re, url_re
+
+
+_BLOCK_HOST_RE, _BLOCK_URL_RE = _blocklist_res()
 _WEB_CANON_CTE = """
 raw AS (SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
@@ -291,6 +308,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance resampling (integer micro-nat weights)
         "dsir_weights_documents": q.dsir_weights_documents,
         "dsir_selected_docs": q.dsir_selected_docs,
+        # web filters: extraction invariant, domain quota, blocklist,
+        # perplexity buckets
+        "extraction_invariant_docs": q.extraction_invariant_docs,
+        "host_quota_docs": q.host_quota_docs,
+        "blocklist_report_docs": q.blocklist_report_docs,
+        "ppl_bucket_documents": q.ppl_bucket_documents,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2350,6 +2373,72 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC) AS rank
               FROM w WHERE weight_micro IS NOT NULL
              ORDER BY weight_micro DESC, doc_id ASC LIMIT 50
+        """,
+        "extraction_invariant_docs": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL THEN NULL ELSE
+                       '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+                       || '</title></head><body><p>' || text
+                       || CASE WHEN doc_id % 97 = 0 THEN 'X' ELSE '' END
+                       || '</p></body></html>' END AS html
+                FROM documents),
+            e AS (SELECT doc_id, text,
+                         CASE WHEN html IS NULL THEN NULL
+                              ELSE regexp_extract(html,
+                                   '(?s)<p>(.*?)</p>', 1) END AS got
+                    FROM h)
+            SELECT doc_id, length(text) AS n_text,
+                   length(got) AS n_extracted
+              FROM e WHERE got IS DISTINCT FROM text
+        """,
+        "host_quota_docs": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT host, doc_id, n_chars FROM (
+              SELECT c.host, c.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.host
+                         ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+                FROM canon c JOIN documents d USING (doc_id))
+            WHERE rn <= 3
+        """,
+        "blocklist_report_docs": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT doc_id, url,
+                   CASE WHEN regexp_matches(host, '{_BLOCK_HOST_RE}')
+                        THEN 'blocked_host' ELSE 'url_pattern' END AS rule
+              FROM canon
+             WHERE regexp_matches(host, '{_BLOCK_HOST_RE}')
+                OR regexp_matches(url, '{_BLOCK_URL_RE}')
+        """,
+        "ppl_bucket_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+                     '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL),
+            tc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS total FROM toks),
+            qn AS (SELECT w, CAST(round(-ln(n * 1.0 / total) * 1000000)
+                        AS BIGINT) AS qnll
+                     FROM tc CROSS JOIN tot),
+            per AS (SELECT t.doc_id, count(*) AS n_tokens,
+                           CAST(sum(qn.qnll) AS BIGINT) AS nll_micro
+                      FROM toks t JOIN qn USING (w) GROUP BY t.doc_id),
+            r AS (SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                         p.nll_micro,
+                         CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                              THEN CAST(p.nll_micro AS DOUBLE)
+                                   / CAST(p.n_tokens AS DOUBLE)
+                         END AS nll_tok
+                    FROM documents d LEFT JOIN per p USING (doc_id)),
+            c AS (SELECT quantile_disc(nll_tok, {(1 / 3)!r}) AS c1,
+                         quantile_disc(nll_tok, {(2 / 3)!r}) AS c2
+                    FROM r)
+            SELECT doc_id, n_tokens, nll_micro,
+                   CASE WHEN nll_tok IS NULL THEN NULL
+                        WHEN nll_tok <= c1 THEN 'head'
+                        WHEN nll_tok <= c2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+              FROM r CROSS JOIN c
         """,
     }
 

@@ -3212,3 +3212,86 @@ def dsir_selected_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return dsir_top_docs(ds, _dsir_en_mask, k=50)
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus filters (stages/web.py): extraction invariant, per-domain
+# quota, blocklist — over the same deterministic web fixture.
+# ---------------------------------------------------------------------------
+
+
+def _attach_html_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: html rebuilt from text in the generator's shape
+    (peri_ray/generate.py web_pages), with a deterministic corruption
+    for doc_id % 97 == 0 (an 'X' appended inside <p>…</p>) so the
+    extraction-invariant check has real violations.  Null text → null
+    html."""
+    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    tail = pa.array(np.where(ids_np % 97 == 0, "X", "").tolist(),
+                    pa.string())
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>d"), ids.cast(pa.string()),
+        pa.scalar("</title></head><body><p>"), txt, tail,
+        pa.scalar("</p></body></html>"), "",
+        null_handling="emit_null")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def extraction_invariant_docs(sf_dir: str):
+    """North-rule per-row invariant: re-extract text from html and
+    report every (doc_id, n_text, n_extracted) where the stored text
+    IS DISTINCT FROM the extraction — streaming, violation-bounded
+    output (the fixture corrupts doc_id % 97 == 0)."""
+    from peri_ray.stages.web import extraction_mismatches
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
+    return extraction_mismatches(ds)
+
+
+def host_quota_docs(sf_dir: str):
+    """Per-domain quota: keep ≤ 3 pages per host preferring largest
+    n_chars (tie: smallest doc_id) — top_k_per_group, ≤ k candidates
+    per (host, block) cross the exchange."""
+    from peri_ray.stages.web import canonicalize_urls, host_of, host_quota
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        lambda t: t.select(["host", "doc_id", "n_chars"]),
+        batch_format="pyarrow")
+    return host_quota(ds, host_col="host", order_col="n_chars", k=3,
+                      tiebreak="doc_id")
+
+
+BLOCKED_HOSTS_FIXTURE = ["h7.example.com", "h23.example.com",
+                         "h41.example.com"]
+URL_PATTERNS_FIXTURE = [r"[?&]utm_", r"#sec$"]
+
+
+def blocklist_report_docs(sf_dir: str):
+    """Domain/URL blocklist (UT1-style): report dropped pages with
+    rule attribution — 'blocked_host' (domain or any subdomain, one
+    suffix-anchored RE2 alternation) checked before 'url_pattern'."""
+    from peri_ray.stages.web import (blocklist_filter, canonicalize_urls,
+                                     host_of)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+    return blocklist_filter(ds, BLOCKED_HOSTS_FIXTURE,
+                            URL_PATTERNS_FIXTURE, report=True)
+
+
+def ppl_bucket_documents(sf_dir: str):
+    """CCNet-style perplexity bucketing: head/middle/tail by per-token
+    unigram NLL (integer micro-nats) against exact tercile cutoffs
+    from KLL-guided distributed selection."""
+    from peri_ray.stages.text import ppl_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ppl_buckets(ds)

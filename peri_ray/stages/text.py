@@ -1527,6 +1527,154 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
     return bg.map_batches(_pmi, batch_format="pyarrow")
 
 
+class _MicroNllScorer:
+    """Shuffle-free scoring pass for :func:`unigram_nll_micro`: the
+    (term → micro-nat NLL) int64 model broadcasts once per actor via
+    ``ray.put``; per-doc total is one ``pc.index_in`` + one
+    ``np.bincount`` whose float64 sum of int weights is exact ≤ 2^53
+    (CLAUDE.md: hash-compared sums must be integer units)."""
+
+    def __init__(self, text_col: str, id_col: str, model_ref,
+                 oov_qnll: int):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.terms, self.qnll = ray.get(model_ref)
+        self.oov_qnll = oov_qnll
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = len(txt)
+        null_mask = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = (pc.list_value_length(parts)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        idx = pc.fill_null(
+            pc.index_in(parts.flatten(), value_set=self.terms), -1)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        oov = idx_np < 0
+        w = np.where(oov, float(self.oov_qnll),
+                     self.qnll[np.where(oov, 0, idx_np)].astype(np.float64))
+        s = np.bincount(parent, weights=w, minlength=n)
+        nll = pc.if_else(pa.array(null_mask), pa.nulls(n, pa.int64()),
+                         pa.array(s.astype(np.int64), pa.int64()))
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_tokens": pa.array(np.where(null_mask, 0, counts), pa.int64()),
+            "nll_micro": nll,
+        })
+
+
+def unigram_nll_micro(ds, text_col: str = "text", id_col: str = "doc_id",
+                      batch_size: int | None = 8192,
+                      max_vocab: int | None = None, oov_count: int = 1):
+    """Integer micro-nat variant of :func:`unigram_nll_scores`:
+    ``nll_micro = Σ_tokens round(1e6 · −ln p(term))`` — an
+    order-independent BIGINT per doc, so downstream comparisons
+    (bucket cutoffs, hash-checked sums) are layout-stable where the
+    float mean-NLL is not.  Same two-pass shape: term totals via one
+    bucketed exchange, model quantized driver-side and broadcast once,
+    then a shuffle-free scoring map; ``max_vocab`` bounds the
+    broadcast (tail terms score as OOV with ``oov_count``
+    pseudo-occurrences)."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _q(x: np.ndarray) -> np.ndarray:
+        # half-away-from-zero (SQL ROUND); −ln p is transcendental so
+        # exact .5 ties cannot occur, but the mode is pinned anyway
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    partials = ds.map_batches(_TermCountPartial(text_col),
+                              batch_format="pyarrow", batch_size=batch_size)
+    totals = grouped_sum_via_buckets(partials, ["term"], "n")
+    rows = totals.take_all()
+    terms = [r["term"] for r in rows]
+    cnts = np.array([r["n"] for r in rows], np.float64)
+    total = float(cnts.sum())
+    if max_vocab is not None and len(terms) > max_vocab:
+        order = sorted(range(len(terms)), key=lambda i: (-cnts[i], terms[i]))
+        keep = order[:max_vocab]
+        terms = [terms[i] for i in keep]
+        cnts = cnts[keep]
+    qnll = _q(-np.log(cnts / total) * 1e6) if total > 0 else \
+        cnts.astype(np.int64)
+    oov_qnll = int(_q(np.array([-np.log(oov_count / total) * 1e6]))[0]) \
+        if total > 0 else 0
+    model_ref = ray.put((pa.array(terms, pa.string()), qnll))
+    return ds.map_batches(
+        _MicroNllScorer(text_col, id_col, model_ref, oov_qnll),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def ppl_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
+                qs: tuple = (1 / 3, 2 / 3),
+                labels: tuple = ("head", "middle", "tail"),
+                batch_size: int | None = 8192,
+                max_vocab: int | None = None):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): label
+    each document head/middle/tail by its per-token unigram NLL
+    against exact corpus-percentile cutoffs (head = most fluent).
+
+    Pipeline: (1) :func:`unigram_nll_micro` scores every doc in
+    integer micro-nats; the narrow (id, n_tokens, nll_micro) result is
+    materialized once because two consumers need it (at 10^12 rows,
+    checkpoint it to parquet instead — same lineage split);
+    (2) per-token ratio = float(nll_micro)/float(n_tokens) — each
+    operand converted separately so both engines land on the identical
+    double; (3) exact percentile_disc cutoffs via KLL-guided
+    distributed selection; (4) one broadcast-scalar bucket-assign
+    pass.  Docs that score null (null text) get a null bucket."""
+    from peri_ray.stages.stats import exact_quantile_continuous
+
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need len(qs)+1 labels")
+    scored = unigram_nll_micro(ds, text_col, id_col, batch_size,
+                               max_vocab).materialize()
+
+    def _valid_ratio(t: pa.Table):
+        nll_arr = t.column("nll_micro").combine_chunks()
+        nll = nll_arr.to_numpy(zero_copy_only=False)
+        ntok = (t.column("n_tokens").combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.float64))
+        valid = (pc.is_valid(nll_arr).to_numpy(zero_copy_only=False)
+                 & (ntok > 0))
+        # each operand converted with float() separately (CLAUDE.md:
+        # exact double parity with SQL's CAST-then-divide)
+        r = np.where(valid, nll.astype(np.float64)
+                     / np.where(ntok > 0, ntok, 1.0), np.nan)
+        return valid, r
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        valid, r = _valid_ratio(t)
+        return pa.table({"nll_tok": pa.array(r[valid], pa.float64())})
+
+    ratios = scored.map_batches(_ratio, batch_format="pyarrow")
+    qt = exact_quantile_continuous(ratios, "nll_tok", qs=qs)
+    cuts = qt.column("value").to_pylist()
+
+    def _assign(t: pa.Table) -> pa.Table:
+        valid, r = _valid_ratio(t)
+        lab = np.full(len(t), len(cuts), np.int64)
+        for i in range(len(cuts) - 1, -1, -1):
+            lab = np.where(r <= cuts[i], i, lab)
+        lab_arr = pc.take(pa.array(list(labels), pa.string()),
+                          pa.array(lab, pa.int64()))
+        bucket = pc.if_else(pa.array(valid), lab_arr,
+                            pa.nulls(len(t), pa.string()))
+        return t.append_column("ppl_bucket", bucket)
+
+    return scored.map_batches(_assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weights (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): per-document bag-of-words

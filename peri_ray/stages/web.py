@@ -154,6 +154,139 @@ def host_of(ds, url_col: str = "canonical_url", out_col: str = "host",
     return ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
 
 
+def extract_text_from_html(ds, html_col: str = "html",
+                           out_col: str = "extracted_text",
+                           batch_size: int | None = 8192):
+    """Append the text extracted from the ``html`` binary column — the
+    north rule's per-row invariant surface (byte-identical extracted
+    text per url).  One shuffle-free vectorized pass: binary → utf-8
+    string view + one RE2 ``extract_regex`` (first ``<p>…</p>``, the
+    same contract as :func:`peri_ray.generate.extract_text`); pages
+    with no match (or null html) extract to null.
+
+    The real-HTML production step would swap the regex for a proper
+    extractor inside the same ``map_batches`` signature; the plumbing
+    (binary in, string out, html never shuffles) is what's load-bearing
+    at 100 TB.  Smallish ``batch_size`` because each batch holds the
+    full html payload."""
+    def _x(t: pa.Table) -> pa.Table:
+        h = t.column(html_col).combine_chunks()
+        s = h.cast(pa.string())
+        ex = pc.extract_regex(s, r"(?s)<p>(?P<t>.*?)</p>")
+        got = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "t"),
+                         pa.scalar(None, pa.string()))
+        return t.append_column(out_col, got)
+
+    return ds.map_batches(_x, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extraction_mismatches(ds, html_col: str = "html",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          batch_size: int | None = 8192):
+    """Per-row extraction-invariant check: re-extract text from html
+    and emit one row per MISMATCH (id, n_text, n_extracted) — rows
+    where the stored text and the re-extracted text are distinct
+    (SQL ``IS DISTINCT FROM``: one-sided nulls mismatch, both-null
+    passes).  Streaming; only violations leave the stage, so the
+    output is violation-bounded like the validation sink."""
+    ds = extract_text_from_html(ds, html_col, "__got", batch_size)
+
+    def _cmp(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        got = t.column("__got").combine_chunks()
+        both_null = pc.and_(pc.is_null(txt), pc.is_null(got))
+        eq = pc.fill_null(pc.equal(txt, got), False)
+        bad = pc.and_(pc.invert(eq), pc.invert(both_null))
+        sub = t.filter(bad)
+        stxt = sub.column(text_col).combine_chunks()
+        if pa.types.is_large_string(stxt.type):
+            stxt = stxt.cast(pa.string())
+        return pa.table({
+            id_col: sub.column(id_col),
+            "n_text": pc.utf8_length(stxt).cast(pa.int64()),
+            "n_extracted": pc.utf8_length(
+                sub.column("__got").combine_chunks()).cast(pa.int64()),
+        })
+
+    return ds.map_batches(_cmp, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def host_quota(ds, host_col: str = "host", order_col: str = "n_chars",
+               k: int = 10, tiebreak: str = "doc_id"):
+    """Per-domain quota (FineWeb-style anti-domination): keep at most
+    ``k`` pages per host, preferring the largest ``order_col`` (ties:
+    smallest ``tiebreak``).  ``top_k_per_group``, so each block
+    contributes ≤ k candidate rows per host to the exchange — the
+    payload of a dominated page never crosses the wire."""
+    from peri_ray.stages.stats import top_k_per_group
+
+    return top_k_per_group(ds, key=host_col, order_col=order_col, k=k,
+                           descending=True, tiebreak=tiebreak)
+
+
+def blocklist_filter(ds, blocked_hosts: list[str],
+                     url_patterns: list[str] = (),
+                     url_col: str = "url", host_col: str = "host",
+                     id_col: str = "doc_id", report: bool = False,
+                     batch_size: int | None = 65536):
+    """URL/domain blocklist filter (the UT1-blocklist step of
+    RefinedWeb/FineWeb-class pipelines): drop pages whose host is a
+    blocked domain OR ANY SUBDOMAIN of one, or whose raw url matches
+    any of ``url_patterns``.
+
+    ``report=False`` returns the KEPT Dataset; ``report=True`` returns
+    the dropped-page report (id, url, rule) with rule = 'blocked_host'
+    (checked first) or 'url_pattern' — the violations-stream shape.
+
+    Vectorized as TWO RE2 matches per batch: the host list compiles to
+    one suffix-anchored alternation ``(^|\\.)(d1|d2|…)$`` (RE2 builds
+    a DFA over alternations, so even large lists stay linear-time) and
+    the patterns to one alternation.  The pattern STRINGS ship once in
+    the task closure — for multi-million-domain lists swap in a
+    ``ray.put`` exact-host set + ``pc.is_in`` over per-row host
+    suffixes instead."""
+    import re as _re
+
+    host_re = ("(^|\\.)(" +
+               "|".join(_re.escape(h) for h in blocked_hosts) + ")$") \
+        if blocked_hosts else None
+    url_re = "|".join(f"(?:{p})" for p in url_patterns) \
+        if url_patterns else None
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        host = t.column(host_col).combine_chunks()
+        if pa.types.is_large_string(host.type):
+            host = host.cast(pa.string())
+        bad_host = pc.fill_null(pc.match_substring_regex(host, host_re),
+                                False) if host_re else \
+            pa.array(np.zeros(n, bool))
+        urls = t.column(url_col).combine_chunks()
+        if pa.types.is_large_string(urls.type):
+            urls = urls.cast(pa.string())
+        bad_url = pc.fill_null(pc.match_substring_regex(urls, url_re),
+                               False) if url_re else \
+            pa.array(np.zeros(n, bool))
+        if not report:
+            return t.filter(pc.invert(pc.or_(bad_host, bad_url)))
+        dropped = pc.or_(bad_host, bad_url)
+        sub = t.filter(dropped)
+        rule = pc.if_else(bad_host.filter(dropped),
+                          pa.scalar("blocked_host", pa.string()),
+                          pa.scalar("url_pattern", pa.string()))
+        surls = sub.column(url_col).combine_chunks()
+        if pa.types.is_large_string(surls.type):
+            surls = surls.cast(pa.string())
+        return pa.table({id_col: sub.column(id_col), "url": surls,
+                         "rule": rule})
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def domain_stats(ds, host_col: str = "host", lang_col: str = "lang",
                  chars_col: str = "n_chars",
                  batch_size: int | None = 65536) -> pa.Table:

@@ -229,3 +229,154 @@ class TestDsir:
         w = top.column("weight_micro").to_pylist()
         assert w == sorted(w, reverse=True)
         assert set(top.column("doc_id").to_pylist()) <= {0, 1, 2}
+
+
+class TestExtractionInvariant:
+    def test_extract_and_mismatches(self):
+        from peri_ray.stages.web import (extract_text_from_html,
+                                         extraction_mismatches)
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["hello world", "a b", None, "x", "multi\nline"],
+                             pa.string()),
+            "html": pa.array(
+                [b"<html><head><title>d0</title></head><body><p>hello world</p></body></html>",
+                 b"<html><body><p>a bX</p></body></html>",   # corrupted
+                 None,                                        # both null -> ok
+                 b"<html><body>no paragraph</body></html>",   # no match -> null
+                 b"<p>multi\nline</p>"],                      # newline inside
+                pa.binary()),
+        })
+        ds = rd.from_arrow(t).repartition(2)
+        got = {r["doc_id"]: r["extracted_text"]
+               for r in extract_text_from_html(ds).take_all()}
+        assert got[0] == "hello world"
+        assert got[1] == "a bX"
+        assert got[2] is None
+        assert got[3] is None
+        assert got[4] == "multi\nline"  # (?s) covers newlines
+
+        bad = {r["doc_id"]: r
+               for r in extraction_mismatches(rd.from_arrow(t)).take_all()}
+        # 1: corrupted; 3: one-sided null (text set, no extraction)
+        assert set(bad) == {1, 3}
+        assert bad[1]["n_text"] == 3 and bad[1]["n_extracted"] == 4
+        assert bad[3]["n_text"] == 1 and bad[3]["n_extracted"] is None
+
+    def test_first_p_tag_wins(self):
+        from peri_ray.generate import extract_text
+        from peri_ray.stages.web import extract_text_from_html
+
+        html = b"<html><p>first</p><p>second</p></html>"
+        ds = rd.from_arrow(pa.table({"html": pa.array([html], pa.binary())}))
+        got = extract_text_from_html(ds).take_all()[0]["extracted_text"]
+        assert got == "first" == extract_text(html)
+
+
+class TestHostQuota:
+    def test_cap_and_ties(self):
+        from peri_ray.stages.web import host_quota
+
+        t = pa.table({
+            "host": pa.array(["a", "a", "a", "a", "b", "b"], pa.string()),
+            "doc_id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+            "n_chars": pa.array([5, 9, 9, 1, 3, 3], pa.int64()),
+        })
+        out = host_quota(rd.from_arrow(t).repartition(3), k=2).take_all()
+        kept = sorted(r["doc_id"] for r in out)
+        # host a: 11,12 (n=9,9 tie -> smaller ids), host b: both
+        assert kept == [11, 12, 20, 21]
+
+
+class TestBlocklist:
+    def _t(self):
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "host": pa.array(["bad.com", "sub.bad.com", "notbad.com",
+                              "ok.org", None], pa.string()),
+            "url": pa.array(["https://bad.com/", "https://sub.bad.com/",
+                             "https://notbad.com/?utm_source=x",
+                             "https://ok.org/", "https://x.y/"],
+                            pa.string()),
+        })
+
+    def test_keep_and_report(self):
+        from peri_ray.stages.web import blocklist_filter
+
+        ds = rd.from_arrow(self._t()).repartition(2)
+        kept = blocklist_filter(ds, ["bad.com"], [r"[?&]utm_"]).take_all()
+        assert sorted(r["doc_id"] for r in kept) == [3, 4]
+        rep = {r["doc_id"]: r["rule"]
+               for r in blocklist_filter(ds, ["bad.com"], [r"[?&]utm_"],
+                                         report=True).take_all()}
+        # exact host and subdomain both 'blocked_host'; notbad.com is
+        # NOT a subdomain of bad.com (suffix anchor includes the dot)
+        assert rep == {0: "blocked_host", 1: "blocked_host",
+                       2: "url_pattern"}
+
+    def test_empty_lists_keep_everything(self):
+        from peri_ray.stages.web import blocklist_filter
+
+        ds = rd.from_arrow(self._t())
+        assert len(blocklist_filter(ds, [], []).take_all()) == 5
+        assert blocklist_filter(ds, [], [], report=True).take_all() == []
+
+
+class TestPplBuckets:
+    def _corpus(self):
+        # doc 0-1: common words (low NLL); 2-3: mixed; 4-5 rare words
+        texts = ["the the the the", "the the the of",
+                 "the of rare1 the", "of of rare2 the",
+                 "rare3 rare4 rare5 rare6", "rare7 rare8 rare9 rare1",
+                 None]
+        return pa.table({
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_micro_scores_match_brute_force(self):
+        import math
+
+        from peri_ray.stages.text import unigram_nll_micro
+
+        t = self._corpus()
+        out = {r["doc_id"]: r for r in unigram_nll_micro(
+            rd.from_arrow(t).repartition(3)).take_all()}
+        toks = {i: t.column("text")[i].as_py().split() for i in range(6)}
+        allw = [w for ws in toks.values() for w in ws]
+        total = len(allw)
+        for i, ws in toks.items():
+            want = sum(round(-math.log(allw.count(w) / total) * 1e6)
+                       for w in ws)
+            assert out[i]["nll_micro"] == want, i
+            assert out[i]["n_tokens"] == len(ws)
+        assert out[6]["nll_micro"] is None and out[6]["n_tokens"] == 0
+
+    def test_buckets_thirds(self):
+        from peri_ray.stages.text import ppl_buckets
+
+        t = self._corpus()
+        out = {r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(
+            rd.from_arrow(t).repartition(4)).take_all()}
+        assert out[6] is None
+        # 6 scored docs -> ranks: 2 head, 2 middle, 2 tail by fluency
+        assert [out[i] for i in range(6)] == \
+            ["head", "head", "middle", "middle", "tail", "tail"]
+
+    def test_max_vocab_oov(self):
+        from peri_ray.stages.text import unigram_nll_micro
+
+        t = self._corpus()
+        full = {r["doc_id"]: r["nll_micro"] for r in unigram_nll_micro(
+            rd.from_arrow(t)).take_all()}
+        capped = {r["doc_id"]: r["nll_micro"] for r in unigram_nll_micro(
+            rd.from_arrow(t), max_vocab=2).take_all()}
+        # 'the' (8) and 'of' (5) survive; doc 0 is all-'the' -> unchanged
+        assert capped[0] == full[0]
+        # count-1 OOV words score IDENTICALLY under oov_count=1 (the
+        # pseudo-count equals their true count) ...
+        assert capped[4] == full[4]
+        # ... but 'rare1' (count 2, truncated) now scores as count-1
+        # OOV, so docs 2 and 5 shift
+        assert capped[2] != full[2] and capped[5] != full[5]
