@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota_docs": q.host_quota_docs,
         "blocklist_report_docs": q.blocklist_report_docs,
         "ppl_bucket_documents": q.ppl_bucket_documents,
+        # statistical drift + regression profiling
+        "regression_lineitem": q.regression_lineitem,
+        "js_drift_event_type": q.js_drift_event_type,
+        "numeric_psi_value_drift": q.numeric_psi_value_drift,
+        "ks_drift_events": q.ks_drift_events,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2439,6 +2444,93 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll_tok <= c2 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
               FROM r CROSS JOIN c
+        """,
+        # per-group OLS: the twin repeats the engine's closed form over
+        # HUGEINT sums with the identical CAST/divide order, so the
+        # doubles match exactly (no rounding needed)
+        "regression_lineitem": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS HUGEINT) AS sx,
+                     CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          AS HUGEINT) AS sy,
+                     CAST(sum(CAST(ROUND(l_quantity) AS BIGINT)
+                              * CAST(ROUND(l_quantity) AS BIGINT))
+                          AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(ROUND(l_quantity) AS BIGINT)
+                              * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          AS HUGEINT) AS sxy
+                FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+               GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE)
+                             * 1.0 / 100.0 END AS slope,
+                   CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - CAST(n*sxy - sx*sy AS DOUBLE)
+                                / CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE) / 100.0 END AS intercept
+              FROM s
+        """,
+        "js_drift_event_type": """
+            WITH obs AS (
+              SELECT event_type,
+                     count(*)::DOUBLE / (SELECT count(event_type) FROM events) AS p
+                FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+            )
+            SELECT ROUND(SUM(0.5 * p * ln(p / ((p + 0.2) / 2))
+                           + 0.5 * 0.2 * ln(0.2 / ((p + 0.2) / 2))), 6) AS js
+              FROM obs
+        """,
+        "numeric_psi_value_drift": """
+            WITH v AS (
+              SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS b,
+                     event_id % 2 = 0 AS l
+                FROM events WHERE value IS NOT NULL),
+            lhs AS (SELECT b, count(*)::DOUBLE
+                           / (SELECT count(*) FROM v WHERE l) AS p
+                      FROM v WHERE l GROUP BY b),
+            rhs AS (SELECT b, count(*)::DOUBLE
+                           / (SELECT count(*) FROM v WHERE NOT l) AS q
+                      FROM v WHERE NOT l GROUP BY b),
+            terms AS (
+              SELECT GREATEST(COALESCE(p, 0), 0.000001) AS p,
+                     GREATEST(COALESCE(q, 0), 0.000001) AS q
+                FROM lhs FULL OUTER JOIN rhs USING (b))
+            SELECT ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+                   (SELECT count(*) FROM v WHERE l) AS n_left,
+                   (SELECT count(*) FROM v WHERE NOT l) AS n_right
+              FROM terms
+        """,
+        "ks_drift_events": """
+            WITH v AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS vi,
+                     event_id % 2 = 0 AS l
+                FROM events WHERE value IS NOT NULL),
+            c AS (SELECT vi,
+                         CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                         CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                    FROM v GROUP BY vi),
+            cum AS (SELECT vi, sum(c1) OVER (ORDER BY vi) AS a,
+                           sum(c2) OVER (ORDER BY vi) AS b
+                      FROM c),
+            d AS (SELECT vi,
+                         ABS(CAST(a AS DOUBLE)
+                             / CAST((SELECT sum(c1) FROM c) AS DOUBLE)
+                           - CAST(b AS DOUBLE)
+                             / CAST((SELECT sum(c2) FROM c) AS DOUBLE)) AS d
+                    FROM cum)
+            SELECT d AS ks, CAST(vi AS DOUBLE) / 100.0 AS at_value,
+                   CAST((SELECT sum(c1) FROM c) AS BIGINT) AS n_left,
+                   CAST((SELECT sum(c2) FROM c) AS BIGINT) AS n_right
+              FROM d ORDER BY d DESC, vi ASC LIMIT 1
         """,
     }
 

@@ -3295,3 +3295,57 @@ def ppl_bucket_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ppl_buckets(ds)
+
+
+# ---------------------------------------------------------------------------
+# statistical-drift + regression profiling additions (stages/checks.py
+# js_divergence / binned_psi_drift / ks_two_sample, stages/stats.py
+# grouped_regression)
+# ---------------------------------------------------------------------------
+
+
+def regression_lineitem(sf_dir: str):
+    """Per-group OLS slope/intercept (extendedprice vs quantity by
+    returnflag) — exact integer-cents algebraic partials, python-int
+    driver merge; the SQL twin repeats the closed form over HUGEINT
+    sums so the doubles match bit-for-bit."""
+    from peri_ray.stages.stats import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_regression(ds, "l_returnflag", "l_quantity",
+                              "l_extendedprice", x_scale=1, y_scale=100)
+
+
+def js_drift_event_type(sf_dir: str):
+    """Jensen-Shannon drift of event_type vs a uniform reference —
+    symmetric/bounded alternative to PSI, same histogram partials."""
+    from peri_ray.stages.checks import js_divergence, histogram
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    obs = histogram(ds, "event_type")
+    ref = {k: 0.2 for k in ["click", "view", "signup", "purchase", "error"]}
+    score = js_divergence(obs, ref)
+    return pa.table({"js": pa.array([round(score, 6)], pa.float64())})
+
+
+def numeric_psi_value_drift(sf_dir: str):
+    """Binned numeric PSI between two deterministic halves of events
+    (event_id parity): floor(value/25) bins, one streaming (bin, side)
+    count pass — the numeric sibling of the categorical PSI check."""
+    from peri_ray.stages.checks import binned_psi_drift
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return binned_psi_drift(ds, "value", bin_width=25.0,
+                            split_col="event_id", split_mod=2)
+
+
+def ks_drift_events(sf_dir: str):
+    """Exact two-sample KS statistic between the event_id-parity
+    halves of events.value — integer-cents value counts (driver state
+    bounded by the value DOMAIN, not rows), window-cumsum SQL twin."""
+    from peri_ray.stages.checks import ks_two_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return ks_two_sample(ds, "value", split_col="event_id", split_mod=2,
+                         scale=100)

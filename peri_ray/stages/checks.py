@@ -305,6 +305,119 @@ def kl_divergence(observed: dict[str, float], reference: dict[str, float], eps: 
     return score
 
 
+def js_divergence(observed: dict[str, float], reference: dict[str, float],
+                  eps: float = 1e-6) -> float:
+    """Jensen-Shannon divergence (symmetric, bounded by ln 2) over
+    normalized histograms — the drift score to reach for when PSI's
+    asymmetry or its eps-blowup on vanishing categories is unwanted.
+    Same eps-clamp convention as :func:`psi`/:func:`kl_divergence`."""
+    cats = set(observed) | set(reference)
+    tot_o = sum(observed.values()) or 1.0
+    tot_r = sum(reference.values()) or 1.0
+    score = 0.0
+    for c in cats:
+        p = max(observed.get(c, 0) / tot_o, eps)
+        q = max(reference.get(c, 0) / tot_r, eps)
+        m = (p + q) / 2.0
+        score += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    return score
+
+
+def _two_sample_counts(ds, column: str, split_col: str, split_mod: int,
+                       to_int, batch_size: int | None) -> dict[int, list]:
+    """Shared partial pass for the two-sample drift checks: per-batch
+    (key, side) counts via one Arrow group_by, driver-merged dict
+    {int_key: [n_left, n_right]}.  The split is deterministic on an id
+    column (``split_col % split_mod == 0`` → left) so SQL twins can
+    rebuild it; null values in ``column`` are excluded on both sides."""
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        sid = (t.column(split_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        ok = pc.is_valid(v)
+        sub = pa.table({"k": to_int(v),
+                        "left": pa.array(sid % split_mod == 0)}).filter(ok)
+        g = sub.group_by(["k", "left"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "left", "n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict[int, list] = {}
+    for r in partials.iter_rows():
+        cur = acc.setdefault(int(r["k"]), [0, 0])
+        cur[0 if r["left"] else 1] += int(r["n"])
+    return acc
+
+
+def binned_psi_drift(ds, column: str, bin_width: float, split_col: str,
+                     split_mod: int = 2, eps: float = 1e-6,
+                     batch_size: int | None = 65536) -> pa.Table:
+    """Numeric-column drift between two deterministic subsets of the
+    SAME Dataset (``split_col % split_mod == 0`` vs the rest): values
+    bin to ``floor(v / bin_width)`` and the binned histograms score
+    with :func:`psi`.  One streaming pass of (bin, side) count
+    partials; driver state is bounded by bin count, not rows.  The
+    production shape for snapshot-vs-snapshot numeric drift — pass two
+    crawls unioned with a snapshot tag as ``split_col``."""
+    def _to_bin(v: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.floor(pc.divide(v, float(bin_width))).cast(pa.int64())
+
+    acc = _two_sample_counts(ds, column, split_col, split_mod, _to_bin,
+                             batch_size)
+    obs = {k: v[0] for k, v in acc.items() if v[0]}
+    ref = {k: v[1] for k, v in acc.items() if v[1]}
+    score = psi(obs, ref, eps)
+    return pa.table({
+        "psi": pa.array([round(score, 6)], pa.float64()),
+        "n_left": pa.array([sum(v[0] for v in acc.values())], pa.int64()),
+        "n_right": pa.array([sum(v[1] for v in acc.values())], pa.int64()),
+    })
+
+
+def ks_two_sample(ds, column: str, split_col: str, split_mod: int = 2,
+                  scale: int = 100, max_distinct: int = 2_000_000,
+                  batch_size: int | None = 65536) -> pa.Table:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two
+    deterministic subsets of one Dataset: D = max over observed values
+    of |F_left - F_right|, plus the smallest value attaining it.
+
+    Values quantize to ``round(v*scale)`` integer units (SQL-ROUND
+    half-away), so the driver merge is bounded by the VALUE DOMAIN
+    (distinct quantized values), not row count — exact for
+    fixed-precision columns (prices, scores); raises above
+    ``max_distinct`` rather than silently degrading (bin first via
+    :func:`binned_psi_drift` for genuinely continuous columns).  All
+    float ops are ``float(int)/float(int)`` divisions and one
+    subtraction in fixed order, so the SQL window-cumsum twin lands on
+    identical doubles."""
+    def _to_int(v: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.round(pc.multiply(v, float(scale)),
+                        round_mode="half_towards_infinity").cast(pa.int64())
+
+    acc = _two_sample_counts(ds, column, split_col, split_mod, _to_int,
+                             batch_size)
+    if len(acc) > max_distinct:
+        raise ValueError(
+            f"ks_two_sample: {len(acc)} distinct quantized values exceed "
+            f"max_distinct={max_distinct}; bin the column first")
+    n_l = sum(v[0] for v in acc.values())
+    n_r = sum(v[1] for v in acc.values())
+    best_d, best_k = -1.0, None
+    cum_l = cum_r = 0
+    for k in sorted(acc):
+        cum_l += acc[k][0]
+        cum_r += acc[k][1]
+        d = abs(float(cum_l) / float(n_l) - float(cum_r) / float(n_r))
+        if d > best_d:
+            best_d, best_k = d, k
+    return pa.table({
+        "ks": pa.array([best_d], pa.float64()),
+        "at_value": pa.array([float(best_k) / float(scale)], pa.float64()),
+        "n_left": pa.array([n_l], pa.int64()),
+        "n_right": pa.array([n_r], pa.int64()),
+    })
+
+
 def drift_check(ds, column: str, reference: dict[str, float],
                 method: str = "psi", threshold: float = 0.2) -> dict[str, Any]:
     """Distribution-drift rule: PSI (industry threshold ~0.2) or KL of

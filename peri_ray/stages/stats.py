@@ -668,6 +668,78 @@ def grouped_corr(ds, key: str, x: str, y: str,
     })
 
 
+def grouped_regression(ds, key: str, x: str, y: str,
+                       x_scale: int = 1, y_scale: int = 100,
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Per-group simple linear regression (OLS slope + intercept) via
+    EXACT integer-unit algebraic combiners — the hash-compare-safe
+    sibling of :func:`grouped_corr`.
+
+    Both columns quantize to integer units (``x*x_scale``,
+    ``y*y_scale``, SQL-ROUND half-away), per-batch partials carry
+    (n, Σx, Σy, Σxx, Σxy) as int64 per group, and the driver merge
+    accumulates PYTHON ints (arbitrary precision: ``n·Σxy`` overflows
+    int64 beyond ~1e19, which real corpus sizes reach).  The closed
+    form then converts each operand with ``float()`` exactly once —
+    the only float ops are the final division/multiply chain, so a
+    SQL twin using HUGEINT sums and the same CAST order lands on the
+    identical doubles (CLAUDE.md int-division pitfall).
+
+    Rows with a null in either column are excluded (SQL regr_* rule);
+    groups with zero x-variance yield null slope/intercept.  Output
+    units: slope in y-units per x-unit, intercept in y-units."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xv = t.column(x).combine_chunks().cast(pa.float64())
+        yv = t.column(y).combine_chunks().cast(pa.float64())
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        sub = pa.table({key: t.column(key), "x": xv, "y": yv}).filter(ok)
+        xi = pc.round(pc.multiply(sub.column("x"), float(x_scale)),
+                      round_mode="half_towards_infinity").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yi = pc.round(pc.multiply(sub.column("y"), float(y_scale)),
+                      round_mode="half_towards_infinity").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        aug = pa.table({
+            key: sub.column(key),
+            "n": pa.array(np.ones(len(xi), np.int64)),
+            "sx": pa.array(xi), "sy": pa.array(yi),
+            "sxx": pa.array(xi * xi), "sxy": pa.array(xi * yi),
+        })
+        g = aug.group_by(key).aggregate([(c, "sum") for c in
+                                         ("n", "sx", "sy", "sxx", "sxy")])
+        return g.rename_columns([key, "n", "sx", "sy", "sxx", "sxy"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict = {}
+    for r in partials.iter_rows():
+        cur = acc.setdefault(r[key], [0, 0, 0, 0, 0])
+        for i, c in enumerate(("n", "sx", "sy", "sxx", "sxy")):
+            cur[i] += int(r[c])  # python ints: exact at any scale
+    keys = sorted(acc, key=str)
+    slopes, intercepts = [], []
+    for k in keys:
+        n, sx, sy, sxx, sxy = acc[k]
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            slopes.append(None)
+            intercepts.append(None)
+            continue
+        # slope in integer-unit space, then rescale: each float() is
+        # one correctly-rounded conversion, mirrored by SQL CASTs
+        slope_u = float(n * sxy - sx * sy) / float(den)
+        slopes.append(slope_u * float(x_scale) / float(y_scale))
+        icept_u = (float(sy) - slope_u * float(sx)) / float(n)
+        intercepts.append(icept_u / float(y_scale))
+    return pa.table({
+        key: pa.array(keys),
+        "n": pa.array([int(acc[k][0]) for k in keys], pa.int64()),
+        "slope": pa.array(slopes, pa.float64()),
+        "intercept": pa.array(intercepts, pa.float64()),
+    })
+
+
 def grouped_kll_quantiles(ds, key: str, col: str,
                           qs: tuple[float, ...] = (0.5, 0.9),
                           k: int = 200, n_buckets: int = 64,

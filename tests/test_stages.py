@@ -5290,3 +5290,124 @@ class TestDupSpanHotKey:
             # the shared 4-gram "subscribe to our newsletter" covers
             # exactly those 4 tokens in every doc
             assert out[i] == (f"u{i} v{i} w{i}", 4)
+
+
+class TestGroupedRegression:
+    def test_matches_numpy_polyfit(self):
+        from peri_ray.stages.stats import grouped_regression
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        key = rng.integers(0, 3, n)
+        x = rng.integers(1, 50, n).astype(np.float64)
+        # y known linear in x + noise, values with 2 decimals
+        y = np.round(3.5 * x + 10.0 + rng.normal(0, 2, n), 2)
+        t = pa.table({"g": pa.array([f"k{int(k)}" for k in key]),
+                      "x": pa.array(x), "y": pa.array(y)})
+        out = grouped_regression(rd.from_arrow(t), "g", "x", "y",
+                                 x_scale=1, y_scale=100).to_pylist()
+        assert len(out) == 3
+        for row in out:
+            m = key == int(row["g"][1])
+            # polyfit over the quantized values the stage actually uses
+            yq = np.round(y[m] * 100) / 100
+            slope, icept = np.polyfit(x[m], yq, 1)
+            assert abs(row["slope"] - slope) < 1e-6
+            assert abs(row["intercept"] - icept) < 1e-6
+            assert row["n"] == int(m.sum())
+
+    def test_nulls_and_degenerate(self):
+        from peri_ray.stages.stats import grouped_regression
+
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "x": pa.array([1.0, 2.0, None, 5.0, 5.0, 1.0]),
+            "y": pa.array([2.0, 4.0, 9.0, 1.0, 3.0, None]),
+        })
+        out = {r["g"]: r for r in grouped_regression(
+            rd.from_arrow(t), "g", "x", "y").to_pylist()}
+        assert out["a"]["n"] == 2 and abs(out["a"]["slope"] - 2.0) < 1e-12
+        # zero x-variance -> null slope/intercept
+        assert out["b"]["slope"] is None
+        # group with all rows null-filtered disappears (SQL WHERE
+        # before GROUP BY)
+        assert "c" not in out
+
+    def test_block_layout_independent(self):
+        """Python-int merge: same answer at 1 block and 16 blocks."""
+        from peri_ray.stages.stats import grouped_regression
+
+        rng = np.random.default_rng(3)
+        t = pa.table({"g": pa.array(["z"] * 1000),
+                      "x": pa.array(rng.integers(0, 9, 1000).astype(float)),
+                      "y": pa.array(np.round(rng.normal(5, 2, 1000), 2))})
+        a = grouped_regression(rd.from_arrow(t), "g", "x", "y").to_pylist()
+        b = grouped_regression(rd.from_arrow(t).repartition(16),
+                               "g", "x", "y", batch_size=64).to_pylist()
+        assert a == b
+
+
+class TestDriftAdditions:
+    def test_js_divergence_properties(self):
+        from peri_ray.stages.checks import js_divergence
+        import math
+
+        same = {"a": 50, "b": 50}
+        assert js_divergence(same, {"a": 0.5, "b": 0.5}) < 1e-9
+        # symmetric
+        p, q = {"a": 90, "b": 10}, {"a": 30, "b": 70}
+        assert abs(js_divergence(p, q) - js_divergence(q, p)) < 1e-12
+        # bounded by ln 2 even for disjoint supports (eps floor)
+        dis = js_divergence({"a": 1}, {"b": 1})
+        assert 0 < dis <= math.log(2) + 1e-9
+
+    def test_binned_psi_detects_shift(self):
+        from peri_ray.stages.checks import binned_psi_drift
+
+        rng = np.random.default_rng(11)
+        ids = np.arange(2000, dtype=np.int64)
+        # even ids ~ N(50, 10), odd ids ~ N(80, 10): strong drift
+        v = np.where(ids % 2 == 0, rng.normal(50, 10, 2000),
+                     rng.normal(80, 10, 2000))
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        out = binned_psi_drift(rd.from_arrow(t), "v", bin_width=10.0,
+                               split_col="id").to_pylist()[0]
+        assert out["psi"] > 0.5
+        assert out["n_left"] == 1000 and out["n_right"] == 1000
+        # identical halves -> ~0
+        v2 = np.tile(rng.normal(50, 10, 1000), 2)
+        t2 = pa.table({"id": pa.array(ids), "v": pa.array(
+            v2[np.argsort(ids % 2, kind="stable")])})
+        flat = binned_psi_drift(rd.from_arrow(t2), "v", bin_width=10.0,
+                                split_col="id").to_pylist()[0]
+        assert flat["psi"] < 0.05
+
+    def test_ks_matches_bruteforce(self):
+        from peri_ray.stages.checks import ks_two_sample
+
+        rng = np.random.default_rng(5)
+        ids = np.arange(3000, dtype=np.int64)
+        v = np.round(np.where(ids % 2 == 0, rng.normal(5, 1, 3000),
+                              rng.normal(5.5, 1, 3000)), 2)
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        out = ks_two_sample(rd.from_arrow(t), "v", split_col="id",
+                            split_mod=2, scale=100).to_pylist()[0]
+        # brute force over quantized values
+        vi = np.round(v * 100).astype(np.int64)
+        left, right = np.sort(vi[ids % 2 == 0]), np.sort(vi[ids % 2 == 1])
+        grid = np.unique(vi)
+        f1 = np.searchsorted(left, grid, side="right") / len(left)
+        f2 = np.searchsorted(right, grid, side="right") / len(right)
+        d = np.abs(f1 - f2)
+        assert abs(out["ks"] - d.max()) < 1e-12
+        assert out["at_value"] == grid[int(d.argmax())] / 100.0
+        assert out["n_left"] == len(left) and out["n_right"] == len(right)
+
+    def test_ks_distinct_cap_raises(self):
+        from peri_ray.stages.checks import ks_two_sample
+
+        t = pa.table({"id": pa.array(np.arange(100, dtype=np.int64)),
+                      "v": pa.array(np.arange(100, dtype=np.float64))})
+        with pytest.raises(ValueError, match="max_distinct"):
+            ks_two_sample(rd.from_arrow(t), "v", split_col="id",
+                          max_distinct=10)
