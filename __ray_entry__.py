@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_drift_event_type": q.js_drift_event_type,
         "numeric_psi_value_drift": q.numeric_psi_value_drift,
         "ks_drift_events": q.ks_drift_events,
+        "embedding_covariance": q.embedding_covariance_q,
+        "pca_projected_embeddings": q.pca_projected_embeddings,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2531,6 +2533,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT sum(c1) FROM c) AS BIGINT) AS n_left,
                    CAST((SELECT sum(c2) FROM c) AS BIGINT) AS n_right
               FROM d ORDER BY d DESC, vi ASC LIMIT 1
+        """,
+        # exact covariance: HUGEINT sums of milli-quantized values,
+        # CAST/divide order mirrors the engine's closed form
+        "embedding_covariance": """
+            WITH x AS (
+              SELECT vec_id, i,
+                     CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS xi
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                        FROM embeddings WHERE len(embedding) = 64)
+            ),
+            pairs AS (
+              SELECT a.i AS i, b.i AS j,
+                     CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS sxy
+                FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
+               GROUP BY a.i, b.i
+            ),
+            sums AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sx,
+                            CAST(count(*) AS BIGINT) AS n
+                       FROM x GROUP BY i)
+            SELECT p.i - 1 AS i, p.j - 1 AS j, sa.n AS n,
+                   (CAST(p.sxy AS DOUBLE)
+                    - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE)
+                      / CAST(sa.n AS DOUBLE))
+                   / CAST(sa.n AS DOUBLE) / 1000000.0 AS cov
+              FROM pairs p JOIN sums sa ON sa.i = p.i
+                           JOIN sums sb ON sb.i = p.j
         """,
     }
 

@@ -3349,3 +3349,40 @@ def ks_drift_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "value"])
     return ks_two_sample(ds, "value", split_col="event_id", split_mod=2,
                          scale=100)
+
+
+def embedding_covariance_q(sf_dir: str):
+    """Exact population covariance (upper triangle) of the embedding
+    matrix — milli-quantized integer sums so the SQL unnest/self-join
+    twin lands on identical doubles; dim²-bounded driver state."""
+    from peri_ray.stages.similarity import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_covariance(ds, dim=64, scale=1000)
+
+
+def pca_projected_embeddings(sf_dir: str):
+    """Distributed PCA (streaming covariance → driver eigh → one
+    broadcast projection pass): top-4 components, deterministic sign
+    fix.  Rows-only (eigenvectors have no SQL twin); exactness vs
+    full-batch numpy PCA is unit-tested."""
+    from peri_ray.stages.similarity import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pca_project(ds, k=4, dim=64)
+
+    def _round(t: pa.Table) -> pa.Table:
+        # round for cross-run float stability of the rows-only check
+        pcs = t.column("pc").combine_chunks()
+        flat = pc.round(pcs.flatten(), ndigits=6)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(pcs).to_numpy(zero_copy_only=False)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "pc": pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat),
+        })
+
+    return out.map_batches(_round, batch_format="pyarrow")

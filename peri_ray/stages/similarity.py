@@ -940,6 +940,138 @@ def standardize_embeddings(ds, vec_col: str = "embedding",
     return ds.map_batches(_z, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _cov_partials(ds, vec_col: str, dim: int, quantize_scale: int | None,
+                  batch_size: int | None):
+    """Shared partial pass for covariance/PCA: per-batch (n, Σx, XᵀX)
+    reduced on the driver — dim²-bounded state, one streaming pass,
+    vectors never shuffle.  With ``quantize_scale`` the values
+    quantize to integer units first (SQL-ROUND half-away) and the
+    float64 BLAS matmul is still EXACT: every product ≤ ~1e6·scale²
+    and the running sums stay far below 2^53, so casting the result to
+    int64 reproduces pure integer arithmetic at BLAS speed.  Rows
+    whose vector is null or not ``dim``-long are skipped."""
+    def _part(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col).combine_chunks()
+        lens = pc.list_value_length(col)
+        ok = pc.fill_null(pc.equal(lens, dim), False)
+        m = _as_matrix(col.filter(ok), np.float64)
+        if quantize_scale is not None and m.size:
+            m = np.floor(np.abs(m) * quantize_scale + 0.5) * np.sign(m)
+        if m.size == 0:
+            m = np.zeros((0, dim), np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "xtx": pa.array([(m.T @ m).reshape(-1).tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    n_tot, s, xtx = 0, np.zeros(dim), np.zeros(dim * dim)
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        n_tot += r["n"]
+        s += np.asarray(r["s"], np.float64)
+        xtx += np.asarray(r["xtx"], np.float64)
+    return n_tot, s, xtx.reshape(dim, dim)
+
+
+def embedding_covariance(ds, vec_col: str = "embedding", dim: int = 64,
+                         scale: int = 1000,
+                         batch_size: int | None = 4096) -> pa.Table:
+    """EXACT population covariance matrix of an embedding column —
+    milli-quantized integer sums (associativity-free, so the result is
+    block-layout independent and a SQL twin over HUGEINT sums lands on
+    identical doubles).  Emits the upper triangle as (i, j, n, cov)
+    rows, 0-based, cov in original units; one streaming pass with
+    dim²-bounded driver state."""
+    n, s, xtx = _cov_partials(ds, vec_col, dim, scale, batch_size)
+    if n == 0:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    si = [int(round(v)) for v in s]            # exact integer sums
+    iu, ju = np.triu_indices(dim)
+    i_l, j_l, cov_l = [], [], []
+    fs2 = float(scale) * float(scale)
+    for i, j in zip(iu.tolist(), ju.tolist()):
+        sxy = int(round(xtx[i, j]))
+        # each float() is one correctly-rounded conversion; the op
+        # order mirrors the SQL twin exactly
+        cov = (float(sxy) - float(si[i]) * float(si[j]) / float(n)) \
+            / float(n) / fs2
+        i_l.append(i)
+        j_l.append(j)
+        cov_l.append(cov)
+    return pa.table({"i": pa.array(i_l, pa.int64()),
+                     "j": pa.array(j_l, pa.int64()),
+                     "n": pa.array([n] * len(i_l), pa.int64()),
+                     "cov": pa.array(cov_l, pa.float64())})
+
+
+def pca_project(ds, k: int = 8, vec_col: str = "embedding",
+                id_col: str = "vec_id", dim: int = 64,
+                batch_size: int | None = 4096):
+    """Distributed PCA: covariance via one streaming partial pass
+    (dim²-bounded driver state), eigendecomposition on the driver
+    (dim×dim — trivial), then ONE broadcast vectorized projection
+    pass.  Components order by descending eigenvalue with a
+    deterministic sign fix (largest-|loading| component positive,
+    ties → lowest index), so results are reproducible across block
+    layouts.  Returns the (id, pc list<float64>) projection Dataset;
+    the components/explained-variance ratios themselves come from
+    :func:`pca_components` (rows-only query: eigenvectors have no SQL
+    twin)."""
+    comps, _ = pca_components(ds, k, vec_col, dim, batch_size)
+    import ray
+
+    ref = ray.put(comps)  # broadcast once, read per task
+
+    def _proj(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(ref)
+        col = t.column(vec_col).combine_chunks()
+        lens = pc.list_value_length(col)
+        ok = pc.fill_null(pc.equal(lens, dim), False)
+        sub = t.filter(ok)
+        m = _as_matrix(sub.column(vec_col), np.float64)
+        if m.size == 0:
+            m = np.zeros((0, dim), np.float64)
+        p = m @ c.T
+        return pa.table({
+            id_col: sub.column(id_col),
+            "pc": pa.array([row.tolist() for row in p],
+                           pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def pca_components(ds, k: int, vec_col: str = "embedding", dim: int = 64,
+                   batch_size: int | None = 4096):
+    """Top-k principal components (k×dim) + explained-variance ratios
+    from the streaming covariance pass.  Driver work is O(dim³)."""
+    n, s, xtx = _cov_partials(ds, vec_col, dim, None, batch_size)
+    if n < 2:
+        raise ValueError("pca_components: need at least 2 valid vectors")
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                  # (k, dim)
+    # deterministic sign: the largest-|loading| entry is positive
+    # (ties broken by lowest index via argmax's first-hit rule)
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    total = float(np.maximum(vals, 0.0).sum()) or 1.0
+    ratios = [float(max(vals[o], 0.0)) / total for o in order]
+    return comps, ratios
+
+
 # ---------------------------------------------------------------------------
 # PageRank over an edge Dataset (graph centrality for data selection —
 # e.g. rank documents by their centrality in the kNN similarity graph)

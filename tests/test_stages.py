@@ -5411,3 +5411,86 @@ class TestDriftAdditions:
         with pytest.raises(ValueError, match="max_distinct"):
             ks_two_sample(rd.from_arrow(t), "v", split_col="id",
                           max_distinct=10)
+
+
+class TestCovariancePca:
+    def _ds(self, n=300, d=8, seed=9):
+        rng = np.random.default_rng(seed)
+        # correlated data so PCA has a meaningful top component
+        base = rng.normal(0, 1, (n, 2))
+        mix = rng.normal(0, 0.1, (2, d)) + np.array([[1.0] * d, [0.0] * d])
+        m = (base @ mix + rng.normal(0, 0.05, (n, d))).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  pa.list_(pa.float32())),
+        })
+        return t, m.astype(np.float64)
+
+    def test_covariance_matches_numpy(self):
+        from peri_ray.stages.similarity import embedding_covariance
+
+        t, m = self._ds()
+        out = embedding_covariance(rd.from_arrow(t), dim=8,
+                                   scale=1000).to_pylist()
+        q = np.floor(np.abs(m) * 1000 + 0.5) * np.sign(m)  # the stage's units
+        ref = np.cov(q, rowvar=False, bias=True) / 1e6
+        assert len(out) == 8 * 9 // 2
+        for r in out:
+            assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-9
+            assert r["n"] == len(m)
+
+    def test_covariance_layout_independent(self):
+        from peri_ray.stages.similarity import embedding_covariance
+
+        t, _ = self._ds()
+        a = embedding_covariance(rd.from_arrow(t), dim=8).to_pylist()
+        b = embedding_covariance(rd.from_arrow(t).repartition(16), dim=8,
+                                 batch_size=32).to_pylist()
+        ka = {(r["i"], r["j"]): r["cov"] for r in a}
+        kb = {(r["i"], r["j"]): r["cov"] for r in b}
+        assert ka == kb  # exact equality: integer sums
+
+    def test_malformed_vectors_skipped(self):
+        from peri_ray.stages.similarity import embedding_covariance
+
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], None, [3.0, 4.0, 5.0]],
+                                  pa.list_(pa.float32())),
+        })
+        out = embedding_covariance(rd.from_arrow(t), dim=2).to_pylist()
+        assert all(r["n"] == 1 for r in out)
+
+    def test_pca_matches_numpy(self):
+        from peri_ray.stages.similarity import pca_project, pca_components
+
+        t, m = self._ds()
+        comps, ratios = pca_components(rd.from_arrow(t), k=3, dim=8)
+        # numpy reference on float32-rounded data (what the stage reads)
+        x = m - m.mean(axis=0)
+        vals, vecs = np.linalg.eigh(np.cov(m, rowvar=False, bias=True))
+        order = np.argsort(vals)[::-1][:3]
+        ref = vecs[:, order].T
+        for r in range(3):
+            j = int(np.argmax(np.abs(ref[r])))
+            if ref[r, j] < 0:
+                ref[r] = -ref[r]
+        assert np.allclose(comps, ref, atol=1e-8)
+        assert ratios[0] > ratios[1] >= ratios[2] > 0
+        # projection: every row equals (v - mean) @ comps.T?  the stage
+        # projects RAW vectors (no centering) — verify against that
+        out = {r["vec_id"]: r["pc"] for r in
+               pca_project(rd.from_arrow(t), k=3, dim=8).take_all()}
+        proj = m @ comps.T
+        for i in range(len(m)):
+            assert np.allclose(out[i], proj[i], atol=1e-8)
+
+    def test_pca_sign_deterministic_across_layouts(self):
+        from peri_ray.stages.similarity import pca_components
+
+        t, _ = self._ds(seed=21)
+        c1, _ = pca_components(rd.from_arrow(t), k=2, dim=8)
+        c2, _ = pca_components(rd.from_arrow(t).repartition(8), k=2, dim=8,
+                               batch_size=16)
+        assert np.allclose(c1, c2, atol=1e-10)
