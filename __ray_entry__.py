@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_events": q.ks_drift_events,
         "embedding_covariance": q.embedding_covariance_q,
         "pca_projected_embeddings": q.pca_projected_embeddings,
+        # web link graph + crawl politeness
+        "outlink_graph_docs": q.outlink_graph_docs,
+        "host_crawl_gaps": q.host_crawl_gaps,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2560,6 +2563,34 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(sa.n AS DOUBLE) / 1000000.0 AS cov
               FROM pairs p JOIN sums sa ON sa.i = p.i
                            JOIN sums sb ON sb.i = p.j
+        """,
+        # the twin rebuilds the link fixture ARITHMETICALLY while the
+        # engine parses the anchors out of html bytes — a broken
+        # parser mismatches
+        "outlink_graph_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> 'h' || CAST((doc_id*7 + j + 1) % 50 AS VARCHAR)
+                             || '.example.com')) AS dst_host
+                FROM documents),
+            e AS (SELECT c.host AS src_host, tg.dst_host
+                    FROM tg JOIN canon c USING (doc_id))
+            SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+              FROM e GROUP BY src_host, dst_host
+        """,
+        "host_crawl_gaps": f"""
+            WITH {_WEB_CANON_CTE},
+            cap AS (SELECT c.host, {_WEB_TS_SQL} AS warc_ts FROM canon c),
+            g AS (
+              SELECT host, epoch_us(warc_ts) - lag(epoch_us(warc_ts)) OVER (
+                       PARTITION BY host ORDER BY warc_ts) AS d
+                FROM cap)
+            SELECT host, count(d) AS n_gaps,
+                   CAST(sum(d) AS BIGINT) AS sum_gap_us,
+                   CAST(max(d) AS BIGINT) AS max_gap_us
+              FROM g GROUP BY host HAVING count(d) > 0
         """,
     }
 

@@ -3386,3 +3386,69 @@ def pca_projected_embeddings(sf_dir: str):
         })
 
     return out.map_batches(_round, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# web link graph + crawl-politeness additions (stages/web.py
+# extract_outlinks / outlink_host_counts, temporal.interarrival_stats
+# keyed by host)
+# ---------------------------------------------------------------------------
+
+
+def _attach_linked_html_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: html with doc_id % 3 anchor tags, link j targeting
+    host h((doc_id*7 + j + 1) % 50).example.com path /p/(doc_id % 20)
+    — deterministic so the DuckDB twin rebuilds the same edge list
+    arithmetically while the ENGINE parses it out of the html bytes
+    (a broken parser shows up as an oracle mismatch)."""
+    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    nl = ids_np % 3
+
+    def _anchor(j: int) -> pa.Array:
+        tgt = (ids_np * 7 + j + 1) % 50
+        a = np.char.add(
+            np.char.add('<a href="http://h', tgt.astype(str)),
+            np.char.add(np.char.add(".example.com/p/",
+                                    (ids_np % 20).astype(str)),
+                        '">t</a>'))
+        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
+        pa.scalar("</body></html>"), "")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def outlink_graph_docs(sf_dir: str):
+    """Host-level link graph: src host from the CANONICALIZED page
+    url, dst hosts parsed out of the html anchors (vectorized split +
+    RE2) — (src_host, dst_host, n_links) with driver-bounded merge."""
+    from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
+                                     host_of, outlink_host_counts)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        _attach_linked_html_fixture, batch_format="pyarrow")
+    # the src host rides through the anchor extraction as the id
+    # column, so no join is needed to re-attach it to the edges
+    ds = ds.map_batches(lambda t: t.select(["host", "html"]),
+                        batch_format="pyarrow")
+    edges = extract_outlinks(ds, html_col="html", id_col="host")
+    return outlink_host_counts(edges, src_host_col="host")
+
+
+def host_crawl_gaps(sf_dir: str):
+    """Crawl politeness per host: count/sum/max of the microsecond
+    gaps between consecutive captures of the same canonical host —
+    interarrival_stats keyed by the string host (one groupby(host)
+    exchange of (host, ts) pairs; exact BIGINT µs)."""
+    from peri_ray.stages.temporal import interarrival_stats
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        lambda t: t.select(["host", "warc_ts"]), batch_format="pyarrow")
+    return interarrival_stats(ds, ts_col="warc_ts", user_col="host")

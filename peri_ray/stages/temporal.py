@@ -519,9 +519,10 @@ def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key_type = g.column(user_col).type
         users = g.column(user_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        schema = pa.schema([(user_col, pa.int64()),
+        schema = pa.schema([(user_col, key_type),
                             ("n_gaps", pa.int64()),
                             ("sum_gap_us", pa.int64()),
                             ("max_gap_us", pa.int64())])
@@ -537,11 +538,13 @@ def interarrival_stats(ds, ts_col: str = "ts", user_col: str = "user_id"):
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            out_u.append(int(users[s]))
+            # keep the key's native type (int user ids, string hosts)
+            out_u.append(users[s].item() if hasattr(users[s], "item")
+                         else users[s])
             out_n.append(int(e - s - 1))
             out_s.append(int(us[e - 1] - us[s]))  # telescoping: exact
             out_m.append(int(d[s:e - 1].max()))
-        return pa.table({user_col: pa.array(out_u, pa.int64()),
+        return pa.table({user_col: pa.array(out_u, type=key_type),
                          "n_gaps": pa.array(out_n, pa.int64()),
                          "sum_gap_us": pa.array(out_s, pa.int64()),
                          "max_gap_us": pa.array(out_m, pa.int64())})

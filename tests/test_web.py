@@ -380,3 +380,73 @@ class TestPplBuckets:
         # ... but 'rare1' (count 2, truncated) now scores as count-1
         # OOV, so docs 2 and 5 shift
         assert capped[2] != full[2] and capped[5] != full[5]
+
+
+class TestOutlinks:
+    def _extract(self, htmls, ids=None):
+        from peri_ray.stages.web import extract_outlinks
+
+        ids = ids or list(range(len(htmls)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "html": pa.array(
+                          [h.encode() if h is not None else None
+                           for h in htmls], pa.binary())})
+        rows = extract_outlinks(rd.from_arrow(t)).take_all()
+        out = {}
+        for r in rows:
+            out.setdefault(r["doc_id"], []).append(r["href"])
+        return out
+
+    def test_multi_anchor_order_and_edges(self):
+        out = self._extract([
+            '<p>no links</p>',
+            '<a href="http://a.com/x">1</a> mid <a href="https://b.com/">2</a>',
+            None,
+            '<a href="">empty</a>',
+            'text with "quotes" but no anchors',
+        ])
+        assert 0 not in out and 2 not in out and 4 not in out
+        assert sorted(out[1]) == ["http://a.com/x", "https://b.com/"]
+        assert out[3] == [""]
+
+    def test_unterminated_href_dropped(self):
+        # an anchor whose href has no closing quote must not emit
+        out = self._extract(['<a href="http://a.com/x>broken</a>'])
+        assert out == {}
+
+    def test_host_counts(self):
+        from peri_ray.stages.web import extract_outlinks, outlink_host_counts
+
+        t = pa.table({
+            "host": pa.array(["s1.com", "s1.com", "s2.com"]),
+            "html": pa.array([
+                b'<a href="http://D.com/a">x</a><a href="http://d.com/b">y</a>',
+                b'<a href="http://d.com/c">z</a>',
+                b'<a href="not-a-url">w</a>',
+            ], pa.binary()),
+        })
+        edges = extract_outlinks(rd.from_arrow(t), id_col="host")
+        out = outlink_host_counts(edges).to_pylist()
+        # unparsable href drops; host case is NOT normalized here
+        # (canonicalize the hrefs first when case-folding matters)
+        assert {(r["src_host"], r["dst_host"]): r["n_links"]
+                for r in out} == {("s1.com", "D.com"): 1,
+                                  ("s1.com", "d.com"): 2}
+
+
+class TestHostCrawlGaps:
+    def test_string_key_and_exact_gaps(self):
+        from peri_ray.stages.temporal import interarrival_stats
+
+        ts = pa.array([1_000_000, 4_000_000, 2_000_000, 7_000_000,
+                       5_000_000], pa.timestamp("us"))
+        t = pa.table({"host": pa.array(["a", "a", "a", "b", "b"]),
+                      "warc_ts": ts})
+        out = {r["host"]: r for r in interarrival_stats(
+            rd.from_arrow(t), ts_col="warc_ts",
+            user_col="host").take_all()}
+        assert out["a"]["n_gaps"] == 2
+        assert out["a"]["sum_gap_us"] == 3_000_000
+        assert out["a"]["max_gap_us"] == 2_000_000
+        assert out["b"]["n_gaps"] == 1
+        assert out["b"]["sum_gap_us"] == 2_000_000
