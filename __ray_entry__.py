@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web link graph + crawl politeness
         "outlink_graph_docs": q.outlink_graph_docs,
         "host_crawl_gaps": q.host_crawl_gaps,
+        "domain_boilerplate_docs": q.domain_boilerplate_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2591,6 +2592,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(d) AS BIGINT) AS sum_gap_us,
                    CAST(max(d) AS BIGINT) AS max_gap_us
               FROM g GROUP BY host HAVING count(d) > 0
+        """,
+        "domain_boilerplate_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            wt AS (
+              SELECT d.doc_id, c.host,
+                     d.text || CASE WHEN d.doc_id % 2 = 0
+                                    THEN chr(10) || 'footer ' || c.host
+                                    ELSE '' END AS text
+                FROM documents d JOIN canon c USING (doc_id)
+               WHERE d.text IS NOT NULL),
+            ln AS (
+              SELECT doc_id, host,
+                     unnest(string_split(text, chr(10))) AS ln,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS idx
+                FROM wt),
+            df AS (SELECT host, ln, count(DISTINCT doc_id) AS df
+                     FROM ln GROUP BY host, ln)
+            SELECT l.doc_id, l.idx
+              FROM ln l JOIN df USING (host, ln) WHERE df.df >= 4
         """,
     }
 

@@ -3452,3 +3452,38 @@ def host_crawl_gaps(sf_dir: str):
     ds = host_of(canonicalize_urls(ds)).map_batches(
         lambda t: t.select(["host", "warc_ts"]), batch_format="pyarrow")
     return interarrival_stats(ds, ts_col="warc_ts", user_col="host")
+
+
+def domain_boilerplate_docs(sf_dir: str):
+    """Per-domain boilerplate detection: line occurrences whose
+    document frequency within their own host reaches min_df=4 — the
+    fixture appends a per-host footer line to even doc_ids so each
+    host has a real site template.  One bucketed (host, line)
+    exchange."""
+    from peri_ray.stages.dedup import domain_boilerplate_victims
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+
+    def _footer(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+        host = t.column("host").combine_chunks()
+        txt = t.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        footer = pc.if_else(
+            even, pc.binary_join_element_wise(
+                pa.scalar("\nfooter "), host, ""),
+            pa.scalar("", pa.string()))
+        out = pc.binary_join_element_wise(txt, footer, "",
+                                          null_handling="emit_null")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "host": host, "text": out})
+
+    ds = ds.map_batches(_footer, batch_format="pyarrow")
+    victims = domain_boilerplate_victims(ds, min_df=4, group_col="host")
+    return _collect(victims, pa.schema([("doc_id", pa.int64()),
+                                        ("idx", pa.int64())]))

@@ -329,17 +329,22 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def explode_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
+def explode_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                  extra_cols: list[str] | None = None):
     """Explode documents to (ln, doc_id, idx) line-occurrence rows
     (idx 1-based within the doc; null-text docs contribute nothing).
-    Shared front end of line-level dedup and boilerplate removal."""
+    Shared front end of line-level dedup and boilerplate removal.
+    ``extra_cols`` ride along repeated per line (e.g. the host for
+    per-domain boilerplate)."""
+    extra_cols = list(extra_cols or [])
 
     def _explode(t: pa.Table) -> pa.Table:
         txt = t.column(text_col)
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         valid = pc.is_valid(txt)
-        t2 = pa.table({text_col: txt, id_col: t.column(id_col)}).filter(valid)
+        t2 = pa.table({text_col: txt, id_col: t.column(id_col),
+                       **{c: t.column(c) for c in extra_cols}}).filter(valid)
         txt2 = t2.column(text_col)
         if isinstance(txt2, pa.ChunkedArray):
             txt2 = txt2.combine_chunks()
@@ -353,9 +358,14 @@ def explode_lines(ds, text_col: str = "text", id_col: str = "doc_id"):
         total = int(counts.sum())
         starts = np.repeat(np.cumsum(counts) - counts, counts)
         idx = np.arange(total, dtype=np.int64) - starts + 1
-        return pa.table({"ln": parts.flatten(),
-                         id_col: pa.array(rep, pa.int64()),
-                         "idx": pa.array(idx, pa.int64())})
+        rep_idx = pa.array(np.repeat(np.arange(len(counts), dtype=np.int64),
+                                     counts))
+        cols = {"ln": parts.flatten(),
+                id_col: pa.array(rep, pa.int64()),
+                "idx": pa.array(idx, pa.int64())}
+        for c in extra_cols:
+            cols[c] = t2.column(c).combine_chunks().take(rep_idx)
+        return pa.table(cols)
 
     return ds.map_batches(_explode, batch_format="pyarrow")
 
@@ -495,6 +505,33 @@ def boilerplate_line_victims(ds, min_df: int, text_col: str = "text",
     # silently keep them); for min_df >= 2 singletons can never reach
     # the threshold and the skip is a pure win
     return per_group_via_buckets(lines, ["ln"], _victims, n_buckets=n_buckets,
+                                 min_run=1 if min_df <= 1 else 2)
+
+
+def domain_boilerplate_victims(ds, min_df: int, group_col: str = "host",
+                               text_col: str = "text",
+                               id_col: str = "doc_id", n_buckets: int = 64):
+    """Per-DOMAIN boilerplate: (doc_id, idx) of every occurrence of a
+    line whose document frequency WITHIN ITS OWN domain reaches
+    ``min_df`` — the site-template signal (a footer shared by one
+    site's pages is boilerplate there even if globally rare, and a
+    sentence popular across the whole web is NOT boilerplate for a
+    site that uses it once).  Same single bucketed exchange as the
+    global variant, keyed (group, line) so a hot line on one domain
+    never co-buckets with other domains' uses."""
+    lines = explode_lines(ds, text_col, id_col, extra_cols=[group_col])
+
+    def _victims(run: pa.Table) -> pa.Table:
+        d = run.column(id_col).to_numpy(zero_copy_only=False)
+        i = run.column("idx").to_numpy(zero_copy_only=False)
+        if len(np.unique(d)) >= min_df:
+            return pa.table({id_col: pa.array(d, pa.int64()),
+                             "idx": pa.array(i, pa.int64())})
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64())})
+
+    return per_group_via_buckets(lines, [group_col, "ln"], _victims,
+                                 n_buckets=n_buckets,
                                  min_run=1 if min_df <= 1 else 2)
 
 

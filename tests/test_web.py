@@ -450,3 +450,39 @@ class TestHostCrawlGaps:
         assert out["a"]["max_gap_us"] == 2_000_000
         assert out["b"]["n_gaps"] == 1
         assert out["b"]["sum_gap_us"] == 2_000_000
+
+
+class TestDomainBoilerplate:
+    def test_within_domain_df_only(self):
+        from peri_ray.stages.dedup import domain_boilerplate_victims
+
+        # 'shared' appears once per host across 4 hosts (global df 4)
+        # but never reaches min_df=2 WITHIN a host; 'tmpl-a' repeats
+        # inside host a only.
+        rows = []
+        for h in "abcd":
+            rows.append((ord(h), h, f"unique {h}\nshared"))
+        rows.append((100, "a", "x\ntmpl-a"))
+        rows.append((101, "a", "y\ntmpl-a"))
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "host": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        })
+        out = domain_boilerplate_victims(rd.from_arrow(t), min_df=2,
+                                         group_col="host").take_all()
+        got = sorted((r["doc_id"], r["idx"]) for r in out)
+        # only the tmpl-a occurrences (line 2 of docs 100/101)
+        assert got == [(100, 2), (101, 2)]
+
+    def test_null_text_and_min_df_one(self):
+        from peri_ray.stages.dedup import domain_boilerplate_victims
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "host": pa.array(["a", "a"]),
+            "text": pa.array(["only", None]),
+        })
+        out = domain_boilerplate_victims(rd.from_arrow(t), min_df=1,
+                                         group_col="host").take_all()
+        assert [(r["doc_id"], r["idx"]) for r in out] == [(1, 1)]
