@@ -204,6 +204,27 @@ def run_bench() -> dict:
           lambda: q.knn_pagerank_embeddings(SF_DIR).to_pandas())
     timed("knn_label_spread",
           lambda: q.knn_label_spread_embeddings(SF_DIR).to_pandas())
+    # web-corpus family (session 5-6): canonicalization, recrawl
+    # keep-latest, DSIR, blocklist, link graph, per-domain boilerplate
+    timed("canonical_urls", lambda: q.canonical_urls_docs(SF_DIR).to_pandas())
+    timed("latest_crawl_per_url",
+          lambda: q.latest_crawl_per_url(SF_DIR).to_pandas())
+    timed("dsir_weights", lambda: q.dsir_weights_documents(SF_DIR).to_pandas())
+    timed("extraction_invariant",
+          lambda: q.extraction_invariant_docs(SF_DIR).to_pandas())
+    timed("blocklist_report",
+          lambda: q.blocklist_report_docs(SF_DIR).to_pandas())
+    timed("ppl_buckets", lambda: q.ppl_bucket_documents(SF_DIR).to_pandas())
+    timed("outlink_graph", lambda: q.outlink_graph_docs(SF_DIR))
+    timed("host_crawl_gaps", lambda: q.host_crawl_gaps(SF_DIR).to_pandas())
+    timed("domain_boilerplate",
+          lambda: q.domain_boilerplate_docs(SF_DIR))
+    # statistical drift + profiling additions
+    timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
+    timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))
+    timed("embedding_covariance", lambda: q.embedding_covariance_q(SF_DIR))
+    timed("pca_projection",
+          lambda: q.pca_projected_embeddings(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
