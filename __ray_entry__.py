@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlink_graph_docs": q.outlink_graph_docs,
         "host_crawl_gaps": q.host_crawl_gaps,
         "domain_boilerplate_docs": q.domain_boilerplate_docs,
+        "w1_drift_events": q.w1_drift_events,
+        "fragment_anomaly_docs": q.fragment_anomaly_docs,
+        "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -2612,6 +2615,64 @@ def oracle_sql() -> dict[str, str]:
                      FROM ln GROUP BY host, ln)
             SELECT l.doc_id, l.idx
               FROM ln l JOIN df USING (host, ln) WHERE df.df >= 4
+        """,
+        # W1 numerator in HUGEINT (order-free), ONE division — W1 is
+        # rational so rounding can tie; exactness is the only safe
+        # compare
+        "w1_drift_events": """
+            WITH v AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS vi,
+                     event_id % 2 = 0 AS l
+                FROM events WHERE value IS NOT NULL),
+            c AS (SELECT vi,
+                         CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                         CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                    FROM v GROUP BY vi),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nl,
+                           CAST(sum(c2) AS BIGINT) AS nr FROM c),
+            cum AS (SELECT vi, sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+                           lead(vi) OVER w AS nxt
+                      FROM c WINDOW w AS (ORDER BY vi))
+            SELECT CAST(sum(CAST(abs(a * nr - b * nl) AS HUGEINT)
+                            * (nxt - vi)) AS DOUBLE)
+                   / CAST(nl * nr * 100 AS DOUBLE) AS w1,
+                   nl AS n_left, nr AS n_right
+              FROM cum CROSS JOIN tot
+             WHERE nxt IS NOT NULL
+             GROUP BY nl, nr
+        """,
+        "fragment_anomaly_docs": """
+            WITH v AS (
+              SELECT doc_id // 100 AS frag,
+                     CAST(n_chars + CASE WHEN doc_id // 100 = 1
+                                         THEN 40 ELSE 0 END AS BIGINT) AS x
+                FROM documents WHERE n_chars IS NOT NULL),
+            f AS (SELECT frag, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS s
+                    FROM v GROUP BY frag),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+                         CAST(sum(x) AS BIGINT) AS ts,
+                         CAST(sum(x * x) AS BIGINT) AS ts2 FROM v),
+            zed AS (
+              SELECT frag, n,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+                     ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                           / (sqrt((CAST(ts2 AS DOUBLE)
+                                    - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                                      / CAST(tn AS DOUBLE))
+                                   / CAST(tn AS DOUBLE))
+                              / sqrt(CAST(n AS DOUBLE))), 6) AS z
+                FROM f CROSS JOIN g)
+            SELECT frag, n, mean_v, z, abs(z) > 2.0 AS flagged FROM zed
+        """,
+        # title rebuilt arithmetically by the twin, parsed from html
+        # bytes by the engine
+        "page_titles_docs": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE 'd' || CAST(doc_id AS VARCHAR) END AS title
+              FROM documents
         """,
     }
 

@@ -3487,3 +3487,50 @@ def domain_boilerplate_docs(sf_dir: str):
     victims = domain_boilerplate_victims(ds, min_df=4, group_col="host")
     return _collect(victims, pa.schema([("doc_id", pa.int64()),
                                         ("idx", pa.int64())]))
+
+
+def w1_drift_events(sf_dir: str):
+    """Exact two-sample Wasserstein-1 distance between the
+    event_id-parity halves of events.value — pure-integer numerator
+    (order-free at any block layout), one exact division; HUGEINT
+    window-cumsum SQL twin."""
+    from peri_ray.stages.checks import wasserstein_two_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return wasserstein_two_sample(ds, "value", split_col="event_id",
+                                  split_mod=2, scale=100)
+
+
+def fragment_anomaly_docs(sf_dir: str):
+    """Per-partition stats anomaly verdict (north-rule shape):
+    fragments of 100 docs each, z-score of the fragment's mean
+    n_chars vs the global mean in standard errors — the fixture
+    inflates fragment 1 by +40 chars/doc so the check has a real
+    positive.  Exact integer moments; only z (which has a √) rounds."""
+    from peri_ray.stages.checks import fragment_anomaly_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _frag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        frag = pc.divide(ids, 100)
+        nc = t.column("n_chars").combine_chunks().cast(pa.int64())
+        bump = pc.if_else(pc.equal(frag, 1), pa.scalar(40, pa.int64()),
+                          pa.scalar(0, pa.int64()))
+        return pa.table({"frag": frag, "x": pc.add(nc, bump)})
+
+    ds = ds.map_batches(_frag, batch_format="pyarrow")
+    return fragment_anomaly_report(ds, frag_col="frag", value_col="x",
+                                   z_thresh=2.0)
+
+
+def page_titles_docs(sf_dir: str):
+    """Page-title extraction from the html binary column (vectorized
+    RE2; null html -> null title) — the title twin of the extraction
+    invariant, over the same deterministic html fixture."""
+    from peri_ray.stages.web import extract_title
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
+    return extract_title(ds).map_batches(
+        lambda t: t.select(["doc_id", "title"]), batch_format="pyarrow")

@@ -418,6 +418,127 @@ def ks_two_sample(ds, column: str, split_col: str, split_mod: int = 2,
     })
 
 
+def wasserstein_two_sample(ds, column: str, split_col: str,
+                           split_mod: int = 2, scale: int = 100,
+                           max_distinct: int = 2_000_000,
+                           batch_size: int | None = 65536) -> pa.Table:
+    """EXACT two-sample Wasserstein-1 (earth-mover) distance between
+    two deterministic subsets of one Dataset: ∫|F_left − F_right| dv
+    over the quantized value axis.
+
+    Same bounded-by-value-domain partial pass as :func:`ks_two_sample`.
+    The sum is computed in PURE INTEGER arithmetic —
+    Σ |cum_l·n_r − cum_r·n_l| · gap, python ints, order-free — and
+    divided by (n_l·n_r·scale) exactly once, so the result is one
+    correctly-rounded double on any block layout and the SQL twin's
+    HUGEINT sum lands on the identical value (W1 is RATIONAL: unlike
+    PSI/KL it can tie at a rounding digit, so no rounding is safe —
+    exactness is the only robust compare)."""
+    def _to_int(v: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.round(pc.multiply(v, float(scale)),
+                        round_mode="half_towards_infinity").cast(pa.int64())
+
+    acc = _two_sample_counts(ds, column, split_col, split_mod, _to_int,
+                             batch_size)
+    if len(acc) > max_distinct:
+        raise ValueError(
+            f"wasserstein_two_sample: {len(acc)} distinct quantized values "
+            f"exceed max_distinct={max_distinct}; bin the column first")
+    n_l = sum(v[0] for v in acc.values())
+    n_r = sum(v[1] for v in acc.values())
+    keys = sorted(acc)
+    num = 0
+    cum_l = cum_r = 0
+    for k, nxt in zip(keys, keys[1:]):
+        cum_l += acc[k][0]
+        cum_r += acc[k][1]
+        num += abs(cum_l * n_r - cum_r * n_l) * (nxt - k)
+    w1 = float(num) / float(n_l * n_r * scale)
+    return pa.table({
+        "w1": pa.array([w1], pa.float64()),
+        "n_left": pa.array([n_l], pa.int64()),
+        "n_right": pa.array([n_r], pa.int64()),
+    })
+
+
+def fragment_anomaly_report(ds, frag_col: str, value_col: str,
+                            z_thresh: float = 3.0,
+                            batch_size: int | None = 65536) -> pa.Table:
+    """Per-PARTITION stats anomaly check (the north rule's
+    per-partition verdict applied to a numeric column): flag fragments
+    whose mean deviates from the GLOBAL mean by more than ``z_thresh``
+    standard errors — z = (frag_mean − g_mean) / (g_std / √frag_n)
+    with population std.
+
+    One streaming pass of per-(fragment) integer-moment partials
+    (n, Σv, Σv²) merged as python ints on the driver (fragment-count
+    bounded).  All moments are exact integers, so means are one
+    CAST/divide each and only z (which contains a √) rounds — to 6
+    decimals, tie-free for irrational values.  ``value_col`` must be
+    integral-valued (ids, counts, byte/char lengths)."""
+    def _part(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).combine_chunks().cast(pa.float64())
+        sub = pa.table({frag_col: t.column(frag_col),
+                        "v": v}).filter(pc.is_valid(v))
+        x = sub.column("v").to_numpy(zero_copy_only=False)
+        if len(x) and not np.array_equal(x, np.floor(x)):
+            raise ValueError(
+                "fragment_anomaly_report: value_col must be "
+                "integral-valued (quantize fractional columns first)")
+        xi = x.astype(np.int64)
+        aug = pa.table({
+            frag_col: sub.column(frag_col),
+            "n": pa.array(np.ones(len(xi), np.int64)),
+            "s": pa.array(xi),
+            "s2": pa.array(xi * xi),
+        })
+        g = aug.group_by(frag_col).aggregate([(c, "sum")
+                                              for c in ("n", "s", "s2")])
+        return g.rename_columns([frag_col, "n", "s", "s2"])
+
+    partials = ds.map_batches(_part, batch_format="pyarrow",
+                              batch_size=batch_size)
+    acc: dict = {}
+    tot_n = tot_s = tot_s2 = 0
+    for r in partials.iter_rows():
+        cur = acc.setdefault(r[frag_col], [0, 0])
+        cur[0] += int(r["n"])
+        cur[1] += int(r["s"])
+        tot_n += int(r["n"])
+        tot_s += int(r["s"])
+        tot_s2 += int(r["s2"])
+    if tot_n == 0:
+        return pa.table({frag_col: pa.array([]),
+                         "n": pa.array([], pa.int64()),
+                         "mean_v": pa.array([], pa.float64()),
+                         "z": pa.array([], pa.float64()),
+                         "flagged": pa.array([], pa.bool_())})
+    g_mean = float(tot_s) / float(tot_n)
+    g_var = (float(tot_s2) - float(tot_s) * float(tot_s) / float(tot_n)) \
+        / float(tot_n)
+    g_std = math.sqrt(max(g_var, 0.0))
+    keys = sorted(acc, key=str)
+    means, zs, flags = [], [], []
+    for k in keys:
+        n, s = acc[k]
+        m = float(s) / float(n)
+        if g_std == 0.0:
+            z = 0.0
+        else:
+            z = (m - g_mean) / (g_std / math.sqrt(float(n)))
+        z = round(z, 6)
+        means.append(m)
+        zs.append(z)
+        flags.append(abs(z) > z_thresh)
+    return pa.table({
+        frag_col: pa.array(keys),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "mean_v": pa.array(means, pa.float64()),
+        "z": pa.array(zs, pa.float64()),
+        "flagged": pa.array(flags, pa.bool_()),
+    })
+
+
 def drift_check(ds, column: str, reference: dict[str, float],
                 method: str = "psi", threshold: float = 0.2) -> dict[str, Any]:
     """Distribution-drift rule: PSI (industry threshold ~0.2) or KL of

@@ -399,3 +399,22 @@ def outlink_host_counts(ds, src_host_col: str = "host",
            .aggregate([("n", "sum")]))
     return (out.rename_columns(["src_host", "dst_host", "n_links"])
             .sort_by([("src_host", "ascending"), ("dst_host", "ascending")]))
+
+
+def extract_title(ds, html_col: str = "html", out_col: str = "title",
+                  batch_size: int | None = 8192):
+    """Append the page title parsed from the html binary column — one
+    vectorized RE2 pass (first ``<title>…</title>``, non-greedy,
+    dotall); pages with no title (or null html) get null.  Same
+    binary-in/string-out plumbing contract as
+    :func:`extract_text_from_html`."""
+    def _t(t: pa.Table) -> pa.Table:
+        h = t.column(html_col).combine_chunks()
+        s = h.cast(pa.string())
+        ex = pc.extract_regex(s, r"(?s)<title>(?P<t>.*?)</title>")
+        got = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "t"),
+                         pa.scalar(None, pa.string()))
+        return t.append_column(out_col, got)
+
+    return ds.map_batches(_t, batch_format="pyarrow",
+                          batch_size=batch_size)

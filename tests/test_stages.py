@@ -5375,9 +5375,11 @@ class TestDriftAdditions:
         assert out["psi"] > 0.5
         assert out["n_left"] == 1000 and out["n_right"] == 1000
         # identical halves -> ~0
-        v2 = np.tile(rng.normal(50, 10, 1000), 2)
-        t2 = pa.table({"id": pa.array(ids), "v": pa.array(
-            v2[np.argsort(ids % 2, kind="stable")])})
+        base = rng.normal(50, 10, 1000)
+        v2 = np.empty(2000)
+        v2[ids % 2 == 0] = base
+        v2[ids % 2 == 1] = base
+        t2 = pa.table({"id": pa.array(ids), "v": pa.array(v2)})
         flat = binned_psi_drift(rd.from_arrow(t2), "v", bin_width=10.0,
                                 split_col="id").to_pylist()[0]
         assert flat["psi"] < 0.05
@@ -5494,3 +5496,70 @@ class TestCovariancePca:
         c2, _ = pca_components(rd.from_arrow(t).repartition(8), k=2, dim=8,
                                batch_size=16)
         assert np.allclose(c1, c2, atol=1e-10)
+
+
+class TestWassersteinFragments:
+    def test_w1_matches_bruteforce(self):
+        from peri_ray.stages.checks import wasserstein_two_sample
+
+        rng = np.random.default_rng(13)
+        ids = np.arange(2000, dtype=np.int64)
+        v = np.round(np.where(ids % 2 == 0, rng.normal(10, 2, 2000),
+                              rng.normal(11, 2, 2000)), 2)
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        out = wasserstein_two_sample(rd.from_arrow(t), "v",
+                                     split_col="id").to_pylist()[0]
+        # brute force: integrate |F1-F2| over the quantized axis
+        vi = np.round(v * 100).astype(np.int64)
+        a, b = np.sort(vi[ids % 2 == 0]), np.sort(vi[ids % 2 == 1])
+        grid = np.unique(vi)
+        f1 = np.searchsorted(a, grid, side="right") / len(a)
+        f2 = np.searchsorted(b, grid, side="right") / len(b)
+        ref = float(np.sum(np.abs(f1 - f2)[:-1] * np.diff(grid))) / 100
+        assert abs(out["w1"] - ref) < 1e-10
+        # identical samples -> 0
+        base = v[:1000]
+        w = np.empty(2000)
+        w[ids % 2 == 0] = base
+        w[ids % 2 == 1] = base
+        t2 = pa.table({"id": pa.array(ids), "v": pa.array(w)})
+        z = wasserstein_two_sample(rd.from_arrow(t2), "v",
+                                   split_col="id").to_pylist()[0]
+        assert z["w1"] == 0.0
+
+    def test_w1_layout_independent(self):
+        from peri_ray.stages.checks import wasserstein_two_sample
+
+        rng = np.random.default_rng(17)
+        ids = np.arange(1000, dtype=np.int64)
+        v = np.round(rng.normal(5, 1, 1000), 2)
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        a = wasserstein_two_sample(rd.from_arrow(t), "v",
+                                   split_col="id").to_pylist()
+        b = wasserstein_two_sample(rd.from_arrow(t).repartition(16), "v",
+                                   split_col="id",
+                                   batch_size=64).to_pylist()
+        assert a == b  # exact: integer numerator + one division
+
+    def test_fragment_anomaly_flags_planted_shift(self):
+        from peri_ray.stages.checks import fragment_anomaly_report
+
+        rng = np.random.default_rng(23)
+        frag = np.repeat(np.arange(10, dtype=np.int64), 200)
+        x = rng.integers(100, 200, 2000).astype(np.float64)
+        x[frag == 7] += 30  # planted mean shift
+        t = pa.table({"frag": pa.array(frag), "x": pa.array(x)})
+        out = {r["frag"]: r for r in fragment_anomaly_report(
+            rd.from_arrow(t), "frag", "x",
+            z_thresh=3.0).to_pylist()}
+        assert out[7]["flagged"] and out[7]["z"] > 3.0
+        assert sum(r["flagged"] for r in out.values()) <= 2
+        assert all(r["n"] == 200 for r in out.values())
+
+    def test_fragment_anomaly_rejects_fractional(self):
+        from peri_ray.stages.checks import fragment_anomaly_report
+
+        t = pa.table({"frag": pa.array([0, 0], pa.int64()),
+                      "x": pa.array([1.5, 2.0])})
+        with pytest.raises(Exception):
+            fragment_anomaly_report(rd.from_arrow(t), "frag", "x")

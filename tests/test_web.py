@@ -486,3 +486,18 @@ class TestDomainBoilerplate:
         out = domain_boilerplate_victims(rd.from_arrow(t), min_df=1,
                                          group_col="host").take_all()
         assert [(r["doc_id"], r["idx"]) for r in out] == [(1, 1)]
+
+
+class TestExtractTitle:
+    def test_title_edges(self):
+        from peri_ray.stages.web import extract_title
+
+        t = pa.table({"html": pa.array(
+            [b"<html><title>Hello</title></html>",
+             b"<title>a</title><title>b</title>",  # first wins
+             b"no title here",
+             None,
+             b"<title>multi\nline</title>"], pa.binary())})
+        out = [r["title"] for r in
+               extract_title(rd.from_arrow(t)).take_all()]
+        assert out == ["Hello", "a", None, None, "multi\nline"]
