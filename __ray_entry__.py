@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_gaps": q.host_crawl_gaps,
         "domain_boilerplate_docs": q.domain_boilerplate_docs,
         "w1_drift_events": q.w1_drift_events,
+        "web_prep_gates_docs": q.web_prep_gates_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2665,6 +2666,29 @@ def oracle_sql() -> dict[str, str]:
                               / sqrt(CAST(n AS DOUBLE))), 6) AS z
                 FROM f CROSS JOIN g)
             SELECT frag, n, mean_v, z, abs(z) > 2.0 AS flagged FROM zed
+        """,
+        # composed crawl-prep with first-failing-gate attribution
+        "web_prep_gates_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            cap AS (
+              SELECT c.doc_id, c.url, c.canonical_url, c.host,
+                     {_WEB_TS_SQL} AS warc_ts, d.n_chars
+                FROM canon c JOIN documents d USING (doc_id)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                         ORDER BY warc_ts DESC, doc_id ASC) AS rn
+                    FROM cap),
+            b AS (SELECT *, CASE
+                    WHEN rn > 1 THEN 'recrawl_dup'
+                    WHEN regexp_matches(host, '{_BLOCK_HOST_RE}')
+                      OR regexp_matches(url, '{_BLOCK_URL_RE}')
+                    THEN 'blocked' END AS gate0 FROM r),
+            e AS (SELECT doc_id, row_number() OVER (PARTITION BY host
+                         ORDER BY n_chars DESC, doc_id ASC) AS rq
+                    FROM b WHERE gate0 IS NULL)
+            SELECT b.doc_id,
+                   COALESCE(b.gate0, CASE WHEN e.rq <= 3 THEN 'kept'
+                                          ELSE 'quota' END) AS gate
+              FROM b LEFT JOIN e USING (doc_id)
         """,
         # title rebuilt arithmetically by the twin, parsed from html
         # bytes by the engine

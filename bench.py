@@ -219,6 +219,10 @@ def run_bench() -> dict:
     timed("host_crawl_gaps", lambda: q.host_crawl_gaps(SF_DIR).to_pandas())
     timed("domain_boilerplate",
           lambda: q.domain_boilerplate_docs(SF_DIR))
+    timed("web_prep_gates", lambda: q.web_prep_gates_docs(SF_DIR).to_pandas())
+    timed("page_titles", lambda: q.page_titles_docs(SF_DIR).to_pandas())
+    timed("w1_drift_events", lambda: q.w1_drift_events(SF_DIR))
+    timed("fragment_anomaly", lambda: q.fragment_anomaly_docs(SF_DIR))
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))

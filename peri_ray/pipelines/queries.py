@@ -3534,3 +3534,18 @@ def page_titles_docs(sf_dir: str):
     ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
     return extract_title(ds).map_batches(
         lambda t: t.select(["doc_id", "title"]), batch_format="pyarrow")
+
+
+def web_prep_gates_docs(sf_dir: str):
+    """Composed crawl-prep pipeline with per-page gate attribution:
+    recrawl_dup -> blocked -> quota -> kept, first-failing-gate —
+    two bucketed exchanges carrying only ids/urls/ints, fully
+    streaming (no materialize/union in the lineage)."""
+    from peri_ray.stages.web import (canonicalize_urls, host_of,
+                                     web_prep_gates)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+    return web_prep_gates(ds, BLOCKED_HOSTS_FIXTURE, URL_PATTERNS_FIXTURE,
+                          quota_k=3)

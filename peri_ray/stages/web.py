@@ -418,3 +418,122 @@ def extract_title(ds, html_col: str = "html", out_col: str = "title",
 
     return ds.map_batches(_t, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def web_prep_gates(ds, blocked_hosts: list[str],
+                   url_patterns: list[str] = (), quota_k: int = 10,
+                   url_col: str = "canonical_url", raw_url_col: str = "url",
+                   host_col: str = "host", ts_col: str = "warc_ts",
+                   order_col: str = "n_chars", id_col: str = "doc_id",
+                   n_buckets: int = 64):
+    """Composed web-prep pipeline with per-page gate attribution — the
+    crawl-side counterpart of the curation pipeline: every input page
+    gets exactly one verdict, the FIRST gate that drops it:
+
+      1. ``recrawl_dup``  — not the newest capture of its canonical
+         url (tie: smallest id wins)
+      2. ``blocked``      — host on the blocklist (or any subdomain),
+         or raw url matching a pattern
+      3. ``quota``        — beyond the per-host top-``quota_k`` by
+         ``order_col`` (tie: smallest id) among surviving pages
+      4. ``kept``
+
+    Shape: TWO bucketed exchanges (per-url recrawl ranking, per-host
+    quota ranking among survivors) carrying only
+    (id, urls, host, order) — never html/text; the blocklist check is
+    a vectorized map fused into the first exchange's output.  Returns
+    a Dataset of (id, gate) covering every input page."""
+    import re as _re
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    host_re = ("(^|\\.)(" +
+               "|".join(_re.escape(h) for h in blocked_hosts) + ")$") \
+        if blocked_hosts else None
+    url_re = "|".join(f"(?:{p})" for p in url_patterns) \
+        if url_patterns else None
+
+    slim = ds.map_batches(
+        lambda t: t.select([id_col, url_col, raw_url_col, host_col,
+                            ts_col, order_col]),
+        batch_format="pyarrow")
+
+    def _recrawl(bucket: pa.Table) -> pa.Table:
+        # whole-bucket pass (per-run fn calls at ~unique-url
+        # cardinality are the CLAUDE.md per-run-cost pitfall): one
+        # sort, one shifted-equality scan marks every non-first
+        # capture of each canonical url
+        g = bucket.sort_by([(url_col, "ascending"), (ts_col, "descending"),
+                            (id_col, "ascending")])
+        urls = g.column(url_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dup = np.zeros(len(urls), bool)
+        dup[1:] = urls[1:] == urls[:-1]
+        return pa.table({
+            id_col: g.column(id_col),
+            raw_url_col: g.column(raw_url_col),
+            host_col: g.column(host_col),
+            order_col: g.column(order_col),
+            "dup": pa.array(dup),
+        })
+
+    ranked = map_groups_via_buckets(slim, [url_col], _recrawl,
+                                    n_buckets=n_buckets)
+
+    def _gate1(t: pa.Table) -> pa.Table:
+        n = len(t)
+        host = t.column(host_col).combine_chunks()
+        if pa.types.is_large_string(host.type):
+            host = host.cast(pa.string())
+        urls = t.column(raw_url_col).combine_chunks()
+        if pa.types.is_large_string(urls.type):
+            urls = urls.cast(pa.string())
+        bad_host = pc.fill_null(pc.match_substring_regex(host, host_re),
+                                False) if host_re else \
+            pa.array(np.zeros(n, bool))
+        bad_url = pc.fill_null(pc.match_substring_regex(urls, url_re),
+                               False) if url_re else \
+            pa.array(np.zeros(n, bool))
+        dup = t.column("dup").combine_chunks()
+        gate = pc.if_else(
+            dup, pa.scalar("recrawl_dup", pa.string()),
+            pc.if_else(pc.or_(bad_host, bad_url),
+                       pa.scalar("blocked", pa.string()),
+                       pa.scalar(None, pa.string())))
+        return pa.table({id_col: t.column(id_col),
+                         host_col: t.column(host_col),
+                         order_col: t.column(order_col),
+                         "gate": gate})
+
+    gated = ranked.map_batches(_gate1, batch_format="pyarrow")
+
+    # ONE downstream exchange handles quota AND carries the earlier
+    # gates through (no split/materialize/union: the lineage stays
+    # streaming end to end; already-dropped rows ride the exchange as
+    # (id, gate) passengers — same byte class as the quota rows)
+    def _quota(bucket: pa.Table) -> pa.Table:
+        g = bucket.sort_by([(host_col, "ascending"),
+                            (order_col, "descending"),
+                            (id_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gate": pa.array([], pa.string())})
+        hosts = g.column(host_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        prior = g.column("gate").combine_chunks()
+        elig = pc.is_null(prior).to_numpy(zero_copy_only=False)
+        new_run = np.ones(n, bool)
+        new_run[1:] = hosts[1:] != hosts[:-1]
+        run_id = np.cumsum(new_run) - 1
+        prefix = np.cumsum(elig) - elig  # eligible rows BEFORE this one
+        base = prefix[new_run][run_id]   # ...at the run start
+        rank = prefix - base             # eligible-rank within the host
+        out = np.where(elig,
+                       np.where(rank < quota_k, "kept", "quota"),
+                       prior.to_numpy(zero_copy_only=False))
+        return pa.table({id_col: g.column(id_col),
+                         "gate": pa.array(out.tolist(), pa.string())})
+
+    return map_groups_via_buckets(gated, [host_col], _quota,
+                                  n_buckets=n_buckets)

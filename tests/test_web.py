@@ -501,3 +501,56 @@ class TestExtractTitle:
         out = [r["title"] for r in
                extract_title(rd.from_arrow(t)).take_all()]
         assert out == ["Hello", "a", None, None, "multi\nline"]
+
+
+class TestWebPrepGates:
+    def _run(self, rows, blocked=("bad.com",), patterns=(), k=2):
+        from peri_ray.stages.web import web_prep_gates
+
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "canonical_url": pa.array([r[1] for r in rows]),
+            "url": pa.array([r[1] for r in rows]),
+            "host": pa.array([r[2] for r in rows]),
+            "warc_ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        out = web_prep_gates(rd.from_arrow(t), list(blocked),
+                             list(patterns), quota_k=k).take_all()
+        return {r["doc_id"]: r["gate"] for r in out}
+
+    def test_gate_precedence_and_quota(self):
+        rows = [
+            # url u1 captured twice: id 2 newer wins, id 1 recrawl_dup
+            (1, "http://a.com/u1", "a.com", 1000, 50),
+            (2, "http://a.com/u1", "a.com", 2000, 40),
+            # blocked host (also a dup — recrawl wins precedence for
+            # the OLDER capture, blocked for the newest)
+            (3, "http://bad.com/x", "bad.com", 1000, 99),
+            (4, "http://bad.com/x", "bad.com", 2000, 98),
+            # quota k=2 on host a.com: 2 survives + these three
+            (5, "http://a.com/u2", "a.com", 1000, 90),
+            (6, "http://a.com/u3", "a.com", 1000, 80),
+            (7, "http://a.com/u4", "a.com", 1000, 10),
+        ]
+        g = self._run(rows)
+        assert g[1] == "recrawl_dup" and g[3] == "recrawl_dup"
+        assert g[4] == "blocked"
+        # eligible on a.com by n_chars desc: 5(90), 6(80), 2(40), 7(10)
+        assert g[5] == "kept" and g[6] == "kept"
+        assert g[2] == "quota" and g[7] == "quota"
+        assert len(g) == len(rows)  # every page gets exactly one verdict
+
+    def test_ts_tie_smallest_id_wins(self):
+        rows = [(10, "http://t.com/u", "t.com", 500, 1),
+                (11, "http://t.com/u", "t.com", 500, 1)]
+        g = self._run(rows, blocked=(), k=5)
+        assert g[10] == "kept" and g[11] == "recrawl_dup"
+
+    def test_hot_host_skew(self):
+        # one host floods the input: still exactly k kept, rest quota
+        rows = [(i, f"http://hot.com/p{i}", "hot.com", 100 + i, i % 7)
+                for i in range(500)]
+        g = self._run(rows, blocked=(), k=3)
+        vals = list(g.values())
+        assert vals.count("kept") == 3 and vals.count("quota") == 497
