@@ -732,6 +732,94 @@ def run_curation_resume() -> dict:
     }
 
 
+def run_web_soak(n_rows: int | None = None) -> dict:
+    if n_rows is None:
+        n_rows = int(os.environ.get("GRAFT_WEB_SOAK_ROWS", 1_600_000))
+    """Soak the composed web-prep pipeline (canonicalize → recrawl
+    dedup → blocklist → per-host quota, gate attribution) at 1.6 M
+    generated pages with the generator's Zipf host skew (host0 holds
+    ~13% of the corpus, so the quota gate does real work) and ~0.1%
+    duplicate urls (real recrawl victims).  Text is dropped right
+    after n_chars is computed — the exchanges carry ids/urls/ints
+    only."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from peri_ray.generate import web_pages_dataset
+    from peri_ray.stages.web import (canonicalize_urls, host_of,
+                                     web_prep_gates)
+
+    def job() -> dict:
+        # blocks pinned so the seeded input is IDENTICAL at any CPU
+        # count (generator batches seed off block-start ids)
+        ds = web_pages_dataset(n_rows, seed=7,
+                               columns=["url", "warc_ts", "text"],
+                               override_num_blocks=256)
+
+        # n_chars from text, then DROP text (exchanges carry
+        # ids/urls/ints only); ids are a hash of (url, ts) — the
+        # generator doesn't carry one, and collisions only affect
+        # tiebreaks, fine for a soak
+        def _prep(t: pa.Table) -> pa.Table:
+            from peri_ray.state.sketches import hash_strings
+
+            txt = t.column("text").combine_chunks()
+            key = pc.binary_join_element_wise(
+                t.column("url").combine_chunks().cast(pa.string()),
+                pc.fill_null(t.column("warc_ts").combine_chunks()
+                             .cast(pa.int64()).cast(pa.string()), "x"),
+                "\x1f")
+            h = hash_strings(key)  # uint64 ndarray
+            ids = (h & np.uint64((1 << 62) - 1)).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "n_chars": pc.fill_null(
+                    pc.utf8_length(txt).cast(pa.int64()), 0),
+            })
+
+        ds = ds.map_batches(_prep, batch_format="pyarrow")
+        ds = host_of(canonicalize_urls(ds))
+        gates = web_prep_gates(
+            ds, blocked_hosts=["host7.example.com", "host23.example.com"],
+            url_patterns=[], quota_k=200)
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            g = t.group_by("gate").aggregate([([], "count_all")])
+            return g.rename_columns(["gate", "n"])
+
+        counts: dict[str, int] = {}
+        for r in gates.map_batches(_cnt,
+                                   batch_format="pyarrow").take_all():
+            counts[r["gate"]] = counts.get(r["gate"], 0) + int(r["n"])
+        return counts
+
+    # warm the worker pool untimed (long-lived workers on a real
+    # cluster; cold process spin-up is startup cost, not engine cost)
+    warm_saved = n_rows
+    n_rows = 100_000
+    job()
+    n_rows = warm_saved
+    t0 = time.perf_counter()
+    counts = job()
+    wall = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {"metric": "web_prep_soak_sec", "value": wall, "unit": "sec",
+            "rows": n_rows, "rows_per_sec": round(n_rows / wall, 1),
+            "gates": counts, "num_cpus": NUM_CPUS}
+
+
 def _emit(payload: dict) -> None:
     """One JSON line on stdout (driver contract) PLUS a file copy —
     the driver's tail capture truncated the long per-query line in
@@ -759,5 +847,7 @@ if __name__ == "__main__":
         run_curation_worker()
     elif "--curation-resume" in sys.argv:
         _emit(run_curation_resume())
+    elif "--web-soak" in sys.argv:
+        _emit(run_web_soak())
     else:
         _emit(run_bench())

@@ -500,21 +500,61 @@ def web_prep_gates(ds, blocked_hosts: list[str],
             pc.if_else(pc.or_(bad_host, bad_url),
                        pa.scalar("blocked", pa.string()),
                        pa.scalar(None, pa.string())))
+
+        # map-side quota pre-labeling (skew kill): a row ranked >= k
+        # among its host's eligible rows WITHIN THIS BLOCK is beyond
+        # the quota globally too, so it can be finalized here — the
+        # exchange then carries at most k candidate rows per (host,
+        # block), and a Zipf-hot host can no longer flood one reduce
+        # group (measured: host0 holding 13% of a 6.4 M corpus turned
+        # the quota group into the pipeline straggler)
+        gate_np = gate.to_numpy(zero_copy_only=False)
+        elig0 = pc.is_null(gate).to_numpy(zero_copy_only=False)
+        sub = pa.table({
+            "h": host.filter(pa.array(elig0)),
+            "o": t.column(order_col).combine_chunks().filter(
+                pa.array(elig0)),
+            "i": t.column(id_col).combine_chunks().filter(pa.array(elig0)),
+            "pos": pa.array(np.flatnonzero(elig0)),
+        }).sort_by([("h", "ascending"), ("o", "descending"),
+                    ("i", "ascending")])
+        if sub.num_rows:
+            hs = sub.column("h").to_numpy(zero_copy_only=False)
+            m = len(hs)
+            new_run = np.ones(m, bool)
+            new_run[1:] = hs[1:] != hs[:-1]
+            run_id = np.cumsum(new_run) - 1
+            offs = np.arange(m, dtype=np.int64)
+            rank = offs - offs[new_run][run_id]
+            losers = sub.column("pos").to_numpy(
+                zero_copy_only=False)[rank >= quota_k]
+            if losers.size:
+                gate_np = gate_np.copy()
+                gate_np[losers] = "quota"
+        gate = pa.array(gate_np.tolist(), pa.string())
+
+        # finalized rows bucket uniformly by id (they only pass
+        # through); live candidates bucket by host so each host's
+        # survivors co-locate
+        from peri_ray.stages.checks import bucket_of
+
+        b_host = bucket_of(host, n_buckets)
+        b_id = bucket_of(t.column(id_col).combine_chunks(), n_buckets)
+        bucket = pc.if_else(pc.is_null(gate), b_host, b_id)
         return pa.table({id_col: t.column(id_col),
                          host_col: t.column(host_col),
                          order_col: t.column(order_col),
-                         "gate": gate})
+                         "gate": gate,
+                         "__bucket": bucket})
 
     gated = ranked.map_batches(_gate1, batch_format="pyarrow")
 
-    # ONE downstream exchange handles quota AND carries the earlier
-    # gates through (no split/materialize/union: the lineage stays
-    # streaming end to end; already-dropped rows ride the exchange as
-    # (id, gate) passengers — same byte class as the quota rows)
+    # ONE skew-balanced exchange finishes the quota AND carries every
+    # earlier verdict through — fully streaming, no materialize/union
     def _quota(bucket: pa.Table) -> pa.Table:
-        g = bucket.sort_by([(host_col, "ascending"),
-                            (order_col, "descending"),
-                            (id_col, "ascending")])
+        g = bucket.drop_columns(["__bucket"]).sort_by(
+            [(host_col, "ascending"), (order_col, "descending"),
+             (id_col, "ascending")])
         n = g.num_rows
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
@@ -535,5 +575,8 @@ def web_prep_gates(ds, blocked_hosts: list[str],
         return pa.table({id_col: g.column(id_col),
                          "gate": pa.array(out.tolist(), pa.string())})
 
-    return map_groups_via_buckets(gated, [host_col], _quota,
-                                  n_buckets=n_buckets)
+    from peri_ray.stages.dedup import EXCHANGE_COALESCE_ROWS
+
+    return (gated.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=EXCHANGE_COALESCE_ROWS)
+            .groupby("__bucket").map_groups(_quota, batch_format="pyarrow"))
