@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_boilerplate_docs": q.domain_boilerplate_docs,
         "w1_drift_events": q.w1_drift_events,
         "web_prep_gates_docs": q.web_prep_gates_docs,
+        "spec_drift_documents": q.spec_drift_documents,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2666,6 +2667,56 @@ def oracle_sql() -> dict[str, str]:
                               / sqrt(CAST(n AS DOUBLE))), 6) AS z
                 FROM f CROSS JOIN g)
             SELECT frag, n, mean_v, z, abs(z) > 2.0 AS flagged FROM zed
+        """,
+        # schema-evolution diff: presence/type rows are
+        # schema-determined by the fixture (hardcoded); required/enum
+        # rows are DATA-determined and derived from the snapshots with
+        # the same guards the engine applies
+        "spec_drift_documents": """
+            WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT doc_id,
+                         CASE WHEN doc_id % 31 = 1 THEN NULL
+                              ELSE lang END AS lang,
+                         'src' || CAST(doc_id % 40 AS VARCHAR) AS source,
+                         CAST(n_chars AS DOUBLE) AS n_chars,
+                         doc_id % 5 AS crawl_depth
+                    FROM documents WHERE doc_id % 2 = 1),
+            ea AS (SELECT array_to_string(list_sort(list(DISTINCT source)),
+                          ',') AS s, count(DISTINCT source) AS n FROM a),
+            eb AS (SELECT array_to_string(list_sort(list(DISTINCT source)),
+                          ',') AS s, count(DISTINCT source) AS n FROM b),
+            la AS (SELECT array_to_string(list_sort(list(DISTINCT lang)),
+                          ',') AS s, count(DISTINCT lang) AS n,
+                          count(*) = count(lang) AS req FROM a),
+            lb AS (SELECT array_to_string(list_sort(list(DISTINCT lang)),
+                          ',') AS s, count(DISTINCT lang) AS n,
+                          count(*) = count(lang) AS req FROM b)
+            SELECT 'crawl_depth' AS field, 'added' AS change,
+                   CAST(NULL AS VARCHAR) AS before,
+                   CAST('integer' AS VARCHAR) AS after
+            UNION ALL SELECT 'text', 'removed', 'string', NULL
+            UNION ALL SELECT 'n_chars', 'type_changed', 'integer', 'float'
+            UNION ALL
+            SELECT 'lang', 'required_changed',
+                   CASE WHEN la.req THEN 'true' ELSE 'false' END,
+                   CASE WHEN lb.req THEN 'true' ELSE 'false' END
+              FROM la, lb WHERE la.req <> lb.req
+            UNION ALL
+            SELECT 'lang', 'enum_changed',
+                   CASE WHEN la.n BETWEEN 1 AND 32 THEN la.s END,
+                   CASE WHEN lb.n BETWEEN 1 AND 32 THEN lb.s END
+              FROM la, lb
+             WHERE (CASE WHEN la.n BETWEEN 1 AND 32 THEN la.s END)
+                   IS DISTINCT FROM
+                   (CASE WHEN lb.n BETWEEN 1 AND 32 THEN lb.s END)
+            UNION ALL
+            SELECT 'source', 'enum_changed',
+                   CASE WHEN ea.n BETWEEN 1 AND 32 THEN ea.s END,
+                   CASE WHEN eb.n BETWEEN 1 AND 32 THEN eb.s END
+              FROM ea, eb
+             WHERE (CASE WHEN ea.n BETWEEN 1 AND 32 THEN ea.s END)
+                   IS DISTINCT FROM
+                   (CASE WHEN eb.n BETWEEN 1 AND 32 THEN eb.s END)
         """,
         # composed crawl-prep with first-failing-gate attribution
         "web_prep_gates_docs": f"""

@@ -225,3 +225,49 @@ def spec_as_table(spec: dict[str, Any], prefix: str = "") -> pa.Table:
         "required": pa.array([r[2] for r in rows], pa.bool_()),
         "enum_vals": pa.array([r[3] for r in rows], pa.string()),
     })
+
+
+def spec_diff_table(spec_a: dict[str, Any], spec_b: dict[str, Any],
+                    prefix: str = "") -> pa.Table:
+    """Schema-evolution diff of two inferred specs (snapshot A → B):
+    one row per detected change — ``added`` / ``removed`` (field
+    presence), ``type_changed``, ``required_changed``,
+    ``enum_changed`` — with the before/after rendering.  A field can
+    emit several rows (e.g. a type change AND a required flip).
+
+    Driver-side over the flattened :func:`spec_as_table` rows (specs
+    are schema-sized, not data-sized); the data-dependent inputs
+    (required flags, enum sets) come from the streaming inference
+    passes that built the specs."""
+    def _index(spec):
+        t = spec_as_table(spec, prefix)
+        return {t.column("field")[i].as_py():
+                (t.column("type")[i].as_py(),
+                 t.column("required")[i].as_py(),
+                 t.column("enum_vals")[i].as_py())
+                for i in range(t.num_rows)}
+
+    a, b = _index(spec_a), _index(spec_b)
+    rows = []
+    for f in sorted(set(a) | set(b)):
+        if f not in b:
+            rows.append((f, "removed", a[f][0], None))
+            continue
+        if f not in a:
+            rows.append((f, "added", None, b[f][0]))
+            continue
+        (ta, ra, ea), (tb, rb, eb) = a[f], b[f]
+        if ta != tb:
+            rows.append((f, "type_changed", ta, tb))
+        if ra != rb:
+            rows.append((f, "required_changed", str(ra).lower(),
+                         str(rb).lower()))
+        if ea != eb:
+            rows.append((f, "enum_changed", ea, eb))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "field": pa.array([r[0] for r in rows], pa.string()),
+        "change": pa.array([r[1] for r in rows], pa.string()),
+        "before": pa.array([r[2] for r in rows], pa.string()),
+        "after": pa.array([r[3] for r in rows], pa.string()),
+    })

@@ -3549,3 +3549,45 @@ def web_prep_gates_docs(sf_dir: str):
     ds = host_of(canonicalize_urls(ds))
     return web_prep_gates(ds, BLOCKED_HOSTS_FIXTURE, URL_PATTERNS_FIXTURE,
                           quota_k=3)
+
+
+def spec_drift_documents(sf_dir: str):
+    """Schema-evolution report between two crawl snapshots (even ids =
+    A, odd ids = B with a simulated schema change: text dropped,
+    crawl_depth added, n_chars int->float, lang gains nulls, source
+    enum blows past the threshold) — two streaming inference passes,
+    driver-side diff of the schema-sized specs."""
+    from peri_ray.infer import infer_spec, spec_diff_table
+
+    def _even(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+
+    def _odd_evolved(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        sub = t.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+        sids = sub.column("doc_id").combine_chunks().cast(pa.int64())
+        ids_np = sids.to_numpy(zero_copy_only=False)
+        lang = sub.column("lang").combine_chunks().cast(pa.string())
+        lang = pc.if_else(pa.array(ids_np % 31 == 1),
+                          pa.scalar(None, pa.string()), lang)
+        source = pc.binary_join_element_wise(
+            pa.scalar("src"),
+            pa.array((ids_np % 40).astype(str).tolist(), pa.string()), "")
+        return pa.table({
+            "doc_id": sids,
+            "lang": lang,
+            "source": source,
+            "n_chars": sub.column("n_chars").combine_chunks()
+            .cast(pa.float64()),
+            "crawl_depth": pa.array(ids_np % 5),
+        })
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds_a = _read(sf_dir, "documents", cols).map_batches(
+        _even, batch_format="pyarrow")
+    ds_b = _read(sf_dir, "documents", cols).map_batches(
+        _odd_evolved, batch_format="pyarrow")
+    spec_a = infer_spec(ds_a, enum_threshold=32)
+    spec_b = infer_spec(ds_b, enum_threshold=32)
+    return spec_diff_table(spec_a, spec_b)

@@ -99,3 +99,33 @@ class TestInferSpec:
         assert rows["id"] == ("integer", True, None)
         assert rows["s"] == ("map", True, None)
         assert rows["s.a"] == ("integer", True, None)
+
+
+class TestSpecDiff:
+    def test_all_change_kinds(self):
+        from peri_ray.infer import spec_diff_table
+
+        a = {"id": ("required", "integer"),
+             "name": ("required", "string"),
+             "status": ("required", ("enum", ["a", "b"])),
+             "score": "float",
+             "old": "string"}
+        b = {"id": ("required", "integer"),
+             "name": "string",                       # required flip
+             "status": ("required", ("enum", ["a", "b", "c"])),  # enum
+             "score": "integer",                     # type change
+             "fresh": "boolean"}                     # added (+ old removed)
+        out = {(r["field"], r["change"]): (r["before"], r["after"])
+               for r in spec_diff_table(a, b).to_pylist()}
+        assert out[("old", "removed")] == ("string", None)
+        assert out[("fresh", "added")] == (None, "boolean")
+        assert out[("score", "type_changed")] == ("float", "integer")
+        assert out[("name", "required_changed")] == ("true", "false")
+        assert out[("status", "enum_changed")] == ("a,b", "a,b,c")
+        assert ("id", "type_changed") not in out and len(out) == 5
+
+    def test_identical_specs_empty(self):
+        from peri_ray.infer import spec_diff_table
+
+        s = {"x": ("required", "integer"), "y": ("enum", ["p", "q"])}
+        assert spec_diff_table(s, s).num_rows == 0
