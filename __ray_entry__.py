@@ -2636,11 +2636,10 @@ def oracle_sql() -> dict[str, str]:
                            lead(vi) OVER w AS nxt
                       FROM c WINDOW w AS (ORDER BY vi))
             SELECT CAST(sum(CAST(abs(a * nr - b * nl) AS HUGEINT)
-                            * (nxt - vi)) AS DOUBLE)
+                            * COALESCE(nxt - vi, 0)) AS DOUBLE)
                    / CAST(nl * nr * 100 AS DOUBLE) AS w1,
                    nl AS n_left, nr AS n_right
               FROM cum CROSS JOIN tot
-             WHERE nxt IS NOT NULL
              GROUP BY nl, nr
         """,
         "fragment_anomaly_docs": """
@@ -2677,7 +2676,7 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT doc_id,
                          CASE WHEN doc_id % 31 = 1 THEN NULL
                               ELSE lang END AS lang,
-                         'src' || CAST(doc_id % 40 AS VARCHAR) AS source,
+                         'src' || CAST(doc_id % 80 AS VARCHAR) AS source,
                          CAST(n_chars AS DOUBLE) AS n_chars,
                          doc_id % 5 AS crawl_depth
                     FROM documents WHERE doc_id % 2 = 1),

@@ -734,8 +734,6 @@ def run_curation_resume() -> dict:
 
 
 def run_web_soak(n_rows: int | None = None) -> dict:
-    if n_rows is None:
-        n_rows = int(os.environ.get("GRAFT_WEB_SOAK_ROWS", 1_600_000))
     """Soak the composed web-prep pipeline (canonicalize → recrawl
     dedup → blocklist → per-host quota, gate attribution) at 1.6 M
     generated pages with the generator's Zipf host skew (host0 holds
@@ -743,6 +741,8 @@ def run_web_soak(n_rows: int | None = None) -> dict:
     duplicate urls (real recrawl victims).  Text is dropped right
     after n_chars is computed — the exchanges carry ids/urls/ints
     only."""
+    if n_rows is None:
+        n_rows = int(os.environ.get("GRAFT_WEB_SOAK_ROWS", 1_600_000))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 

@@ -239,15 +239,37 @@ def spec_diff_table(spec_a: dict[str, Any], spec_b: dict[str, Any],
     are schema-sized, not data-sized); the data-dependent inputs
     (required flags, enum sets) come from the streaming inference
     passes that built the specs."""
-    def _index(spec):
-        t = spec_as_table(spec, prefix)
-        return {t.column("field")[i].as_py():
-                (t.column("type")[i].as_py(),
-                 t.column("required")[i].as_py(),
-                 t.column("enum_vals")[i].as_py())
-                for i in range(t.num_rows)}
+    def _render(v) -> str:
+        # faithful type rendering: spec_as_table collapses ('list', X)
+        # to 'list', which would make a list element-type change
+        # invisible to the diff
+        if isinstance(v, tuple) and v and v[0] == "list" and len(v) > 1:
+            return f"list[{_render(v[1])}]"
+        if isinstance(v, tuple) and v:
+            return str(v[0])
+        if isinstance(v, dict):
+            return "map"
+        return str(v)
 
-    a, b = _index(spec_a), _index(spec_b)
+    def _index(spec, pref):
+        out = {}
+        for name, v in spec.items():
+            path = f"{pref}{name}"
+            required = False
+            if isinstance(v, tuple) and v and v[0] == "required":
+                required = True
+                v = v[1]
+            if isinstance(v, dict):
+                out[path] = ("map", required, None)
+                out.update(_index(v, path + "."))
+                continue
+            if isinstance(v, tuple) and v and v[0] == "enum":
+                out[path] = ("string", required, ",".join(v[1]))
+                continue
+            out[path] = (_render(v), required, None)
+        return out
+
+    a, b = _index(spec_a, prefix), _index(spec_b, prefix)
     rows = []
     for f in sorted(set(a) | set(b)):
         if f not in b:

@@ -3573,7 +3573,7 @@ def spec_drift_documents(sf_dir: str):
                           pa.scalar(None, pa.string()), lang)
         source = pc.binary_join_element_wise(
             pa.scalar("src"),
-            pa.array((ids_np % 40).astype(str).tolist(), pa.string()), "")
+            pa.array((ids_np % 80).astype(str).tolist(), pa.string()), "")
         return pa.table({
             "doc_id": sids,
             "lang": lang,

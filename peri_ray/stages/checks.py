@@ -349,6 +349,16 @@ def _two_sample_counts(ds, column: str, split_col: str, split_mod: int,
     return acc
 
 
+def _quantize_to_int(scale: int):
+    """Shared SQL-ROUND-half-away quantizer for the two-sample checks
+    — ONE implementation so the KS and W1 twins can never drift."""
+    def _to_int(v: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.round(pc.multiply(v, float(scale)),
+                        round_mode="half_towards_infinity").cast(pa.int64())
+
+    return _to_int
+
+
 def binned_psi_drift(ds, column: str, bin_width: float, split_col: str,
                      split_mod: int = 2, eps: float = 1e-6,
                      batch_size: int | None = 65536) -> pa.Table:
@@ -390,18 +400,20 @@ def ks_two_sample(ds, column: str, split_col: str, split_mod: int = 2,
     float ops are ``float(int)/float(int)`` divisions and one
     subtraction in fixed order, so the SQL window-cumsum twin lands on
     identical doubles."""
-    def _to_int(v: pa.ChunkedArray) -> pa.ChunkedArray:
-        return pc.round(pc.multiply(v, float(scale)),
-                        round_mode="half_towards_infinity").cast(pa.int64())
-
-    acc = _two_sample_counts(ds, column, split_col, split_mod, _to_int,
-                             batch_size)
+    acc = _two_sample_counts(ds, column, split_col, split_mod,
+                             _quantize_to_int(scale), batch_size)
     if len(acc) > max_distinct:
         raise ValueError(
             f"ks_two_sample: {len(acc)} distinct quantized values exceed "
             f"max_distinct={max_distinct}; bin the column first")
     n_l = sum(v[0] for v in acc.values())
     n_r = sum(v[1] for v in acc.values())
+    if n_l == 0 or n_r == 0:
+        # degenerate: one side empty — KS undefined, emit a null row
+        return pa.table({"ks": pa.array([None], pa.float64()),
+                         "at_value": pa.array([None], pa.float64()),
+                         "n_left": pa.array([n_l], pa.int64()),
+                         "n_right": pa.array([n_r], pa.int64())})
     best_d, best_k = -1.0, None
     cum_l = cum_r = 0
     for k in sorted(acc):
@@ -434,18 +446,20 @@ def wasserstein_two_sample(ds, column: str, split_col: str,
     HUGEINT sum lands on the identical value (W1 is RATIONAL: unlike
     PSI/KL it can tie at a rounding digit, so no rounding is safe —
     exactness is the only robust compare)."""
-    def _to_int(v: pa.ChunkedArray) -> pa.ChunkedArray:
-        return pc.round(pc.multiply(v, float(scale)),
-                        round_mode="half_towards_infinity").cast(pa.int64())
-
-    acc = _two_sample_counts(ds, column, split_col, split_mod, _to_int,
-                             batch_size)
+    acc = _two_sample_counts(ds, column, split_col, split_mod,
+                             _quantize_to_int(scale), batch_size)
     if len(acc) > max_distinct:
         raise ValueError(
             f"wasserstein_two_sample: {len(acc)} distinct quantized values "
             f"exceed max_distinct={max_distinct}; bin the column first")
     n_l = sum(v[0] for v in acc.values())
     n_r = sum(v[1] for v in acc.values())
+    if n_l == 0 or n_r == 0:
+        # degenerate: one side empty — W1 undefined, emit a null row
+        # (not a crash) so pipelines over sparse slices keep streaming
+        return pa.table({"w1": pa.array([None], pa.float64()),
+                         "n_left": pa.array([n_l], pa.int64()),
+                         "n_right": pa.array([n_r], pa.int64())})
     keys = sorted(acc)
     num = 0
     cum_l = cum_r = 0

@@ -358,13 +358,14 @@ def explode_lines(ds, text_col: str = "text", id_col: str = "doc_id",
         total = int(counts.sum())
         starts = np.repeat(np.cumsum(counts) - counts, counts)
         idx = np.arange(total, dtype=np.int64) - starts + 1
-        rep_idx = pa.array(np.repeat(np.arange(len(counts), dtype=np.int64),
-                                     counts))
         cols = {"ln": parts.flatten(),
                 id_col: pa.array(rep, pa.int64()),
                 "idx": pa.array(idx, pa.int64())}
-        for c in extra_cols:
-            cols[c] = t2.column(c).combine_chunks().take(rep_idx)
+        if extra_cols:
+            rep_idx = pa.array(np.repeat(
+                np.arange(len(counts), dtype=np.int64), counts))
+            for c in extra_cols:
+                cols[c] = t2.column(c).combine_chunks().take(rep_idx)
         return pa.table(cols)
 
     return ds.map_batches(_explode, batch_format="pyarrow")

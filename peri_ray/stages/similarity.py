@@ -950,28 +950,46 @@ def _cov_partials(ds, vec_col: str, dim: int, quantize_scale: int | None,
     and the running sums stay far below 2^53, so casting the result to
     int64 reproduces pure integer arithmetic at BLAS speed.  Rows
     whose vector is null or not ``dim``-long are skipped."""
+    quant = quantize_scale is not None
+
     def _part(t: pa.Table) -> pa.Table:
         col = t.column(vec_col).combine_chunks()
         lens = pc.list_value_length(col)
         ok = pc.fill_null(pc.equal(lens, dim), False)
         m = _as_matrix(col.filter(ok), np.float64)
-        if quantize_scale is not None and m.size:
+        if quant and m.size:
             m = np.floor(np.abs(m) * quantize_scale + 0.5) * np.sign(m)
         if m.size == 0:
             m = np.zeros((0, dim), np.float64)
+        s_row = m.sum(axis=0)
+        xtx_row = (m.T @ m).reshape(-1)
+        if quant:
+            # per-batch products are exact in float64 (bounded by
+            # batch_size × (max|v|·scale)² « 2^53); casting to int64
+            # here lets the driver accumulate PYTHON ints — exact and
+            # ORDER-FREE at any corpus size / take_all arrival order
+            s_row = s_row.astype(np.int64)
+            xtx_row = xtx_row.astype(np.int64)
         return pa.table({
             "n": pa.array([m.shape[0]], pa.int64()),
-            "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
-            "xtx": pa.array([(m.T @ m).reshape(-1).tolist()],
-                            pa.list_(pa.float64())),
+            "s": pa.array([s_row.tolist()],
+                          pa.list_(pa.int64() if quant else pa.float64())),
+            "xtx": pa.array([xtx_row.tolist()],
+                            pa.list_(pa.int64() if quant else pa.float64())),
         })
 
-    n_tot, s, xtx = 0, np.zeros(dim), np.zeros(dim * dim)
+    acc_t = object if quant else np.float64
+    n_tot = 0
+    s = np.zeros(dim, dtype=acc_t)
+    xtx = np.zeros(dim * dim, dtype=acc_t)
+    if quant:
+        s[:] = 0
+        xtx[:] = 0
     for r in ds.map_batches(_part, batch_format="pyarrow",
                             batch_size=batch_size).take_all():
         n_tot += r["n"]
-        s += np.asarray(r["s"], np.float64)
-        xtx += np.asarray(r["xtx"], np.float64)
+        s += np.asarray(r["s"], dtype=acc_t)
+        xtx += np.asarray(r["xtx"], dtype=acc_t)
     return n_tot, s, xtx.reshape(dim, dim)
 
 
@@ -1050,14 +1068,26 @@ def pca_project(ds, k: int = 8, vec_col: str = "embedding",
 
 
 def pca_components(ds, k: int, vec_col: str = "embedding", dim: int = 64,
-                   batch_size: int | None = 4096):
+                   batch_size: int | None = 4096,
+                   quantize_scale: int = 10_000):
     """Top-k principal components (k×dim) + explained-variance ratios
-    from the streaming covariance pass.  Driver work is O(dim³)."""
-    n, s, xtx = _cov_partials(ds, vec_col, dim, None, batch_size)
+    from the streaming covariance pass.  Driver work is O(dim³).
+
+    The partials quantize to 1/quantize_scale units and accumulate as
+    exact integers, so the covariance — and hence the components — is
+    IDENTICAL at any block layout or take_all() arrival order (float
+    partial sums are association-order dependent, and near-degenerate
+    eigenvalues would amplify last-ulp drift into visible rotations)."""
+    n, s, xtx = _cov_partials(ds, vec_col, dim, quantize_scale, batch_size)
     if n < 2:
         raise ValueError("pca_components: need at least 2 valid vectors")
-    mean = s / n
-    cov = xtx / n - np.outer(mean, mean)
+    # python-int / int division and the int→float conversions are
+    # correctly rounded — deterministic given exact integer sums
+    fs = float(quantize_scale)
+    mean = np.array([float(v) for v in s], np.float64) / n / fs
+    xtx_f = np.array([[float(v) for v in row] for row in xtx],
+                     np.float64) / n / (fs * fs)
+    cov = xtx_f - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T                  # (k, dim)

@@ -5469,9 +5469,10 @@ class TestCovariancePca:
 
         t, m = self._ds()
         comps, ratios = pca_components(rd.from_arrow(t), k=3, dim=8)
-        # numpy reference on float32-rounded data (what the stage reads)
-        x = m - m.mean(axis=0)
-        vals, vecs = np.linalg.eigh(np.cov(m, rowvar=False, bias=True))
+        # numpy reference over the stage's quantized units (the stage
+        # accumulates exact integer sums of round(v*1e4) values)
+        mq = np.floor(np.abs(m) * 10_000 + 0.5) * np.sign(m) / 10_000
+        vals, vecs = np.linalg.eigh(np.cov(mq, rowvar=False, bias=True))
         order = np.argsort(vals)[::-1][:3]
         ref = vecs[:, order].T
         for r in range(3):
@@ -5563,3 +5564,33 @@ class TestWassersteinFragments:
                       "x": pa.array([1.5, 2.0])})
         with pytest.raises(Exception):
             fragment_anomaly_report(rd.from_arrow(t), "frag", "x")
+
+
+class TestTwoSampleDegenerate:
+    def test_one_sided_and_empty_inputs_yield_null_rows(self):
+        """Review regression: one-sided splits crashed with
+        ZeroDivisionError; empty value columns with TypeError."""
+        from peri_ray.stages.checks import ks_two_sample, \
+            wasserstein_two_sample
+
+        all_even = pa.table({"id": pa.array([0, 2, 4], pa.int64()),
+                             "v": pa.array([1.0, 2.0, 3.0])})
+        for fn in (ks_two_sample, wasserstein_two_sample):
+            row = fn(rd.from_arrow(all_even), "v",
+                     split_col="id").to_pylist()[0]
+            assert row["n_left"] == 3 and row["n_right"] == 0
+            assert row.get("ks", row.get("w1")) is None
+        all_null = pa.table({"id": pa.array([0, 1], pa.int64()),
+                             "v": pa.array([None, None], pa.float64())})
+        row = ks_two_sample(rd.from_arrow(all_null), "v",
+                            split_col="id").to_pylist()[0]
+        assert row["ks"] is None and row["n_left"] == 0
+
+    def test_w1_single_distinct_value_is_zero(self):
+        from peri_ray.stages.checks import wasserstein_two_sample
+
+        t = pa.table({"id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "v": pa.array([5.0] * 4)})
+        row = wasserstein_two_sample(rd.from_arrow(t), "v",
+                                     split_col="id").to_pylist()[0]
+        assert row["w1"] == 0.0
