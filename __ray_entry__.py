@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
+        "cms_term_estimates": q.cms_term_estimates_docs,
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
         "simhash_fingerprints": q.simhash_fps,

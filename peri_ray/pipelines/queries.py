@@ -3591,3 +3591,14 @@ def spec_drift_documents(sf_dir: str):
     spec_a = infer_spec(ds_a, enum_threshold=32)
     spec_b = infer_spec(ds_b, enum_threshold=32)
     return spec_diff_table(spec_a, spec_b)
+
+
+def cms_term_estimates_docs(sf_dir: str):
+    """Count-Min frequency estimates self-evaluated against exact
+    heavy-hitter counts — rows-only (a probabilistic sketch has no SQL
+    twin) but self-checking: n_cms >= n_exact on every row by the CMS
+    one-sided guarantee."""
+    from peri_ray.stages.text import cms_term_estimates
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cms_term_estimates(ds, threshold=500)

@@ -1860,3 +1860,76 @@ def dsir_top_docs(ds, target_mask_fn, k: int, text_col: str = "text",
                      "weight_micro": pa.array(w[order], pa.int64()),
                      "rank": pa.array(np.arange(1, len(order) + 1),
                                       pa.int64())})
+
+
+class _CMSPartial:
+    """Batch → one serialized CountMin over whitespace tokens
+    (value-counted per batch first: one sketch update per DISTINCT
+    term)."""
+
+    def __init__(self, text_col: str, width: int, depth: int):
+        self.text_col = text_col
+        self.width = width
+        self.depth = depth
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pickle
+
+        from peri_ray.state.sketches import CountMin, hash_strings
+
+        txt = t.column(self.text_col).combine_chunks().drop_null()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        parts = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        vc = pc.value_counts(pc.list_flatten(parts))
+        cms = CountMin(self.width, self.depth)
+        vals = vc.field("values")
+        if len(vals):
+            cms.add_hashes(hash_strings(vals),
+                           vc.field("counts").to_numpy(
+                               zero_copy_only=False))
+        return pa.table({"cms": pa.array([pickle.dumps(cms)], pa.binary())})
+
+
+def cms_term_estimates(ds, text_col: str = "text", width: int = 1 << 14,
+                       depth: int = 4, threshold: int = 1000,
+                       mg_k: int = 4096,
+                       batch_size: int | None = 8192) -> pa.Table:
+    """Count-Min point-frequency estimates self-evaluated against the
+    EXACT heavy-hitter counts: two bounded-memory streaming passes
+    (per-block CountMin partials merged by elementwise add; the exact
+    top terms from :func:`heavy_hitter_terms`), then one driver-side
+    probe.  Output (term, n_exact, n_cms, overcount) sorted by
+    n_exact desc, term asc — ``n_cms >= n_exact`` ALWAYS (the CMS
+    one-sided guarantee; violated would mean a broken merge), with
+    overcount bounded by ~e/width × corpus_tokens w.h.p.
+
+    The production use is the broadcast side: ship the merged ~512 KB
+    table via ``ray.put`` and answer per-row frequency lookups inside
+    ``map_batches`` without a vocabulary-sized exchange."""
+    import pickle
+
+    from peri_ray.state.sketches import CountMin, hash_strings
+
+    rows = ds.map_batches(_CMSPartial(text_col, width, depth),
+                          batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    merged = CountMin(width, depth)
+    for r in rows:
+        merged.merge(pickle.loads(r["cms"]))
+    exact_rows = heavy_hitter_terms(ds, threshold, text_col, k=mg_k,
+                                    batch_size=batch_size).take_all()
+    exact = pa.Table.from_pylist(
+        exact_rows, schema=pa.schema([("term", pa.string()),
+                                      ("n", pa.int64())]))
+    terms = exact.column("term").combine_chunks()
+    n_exact = exact.column("n").to_numpy(zero_copy_only=False)
+    est = merged.estimate_hashes(hash_strings(terms)) if len(terms) else \
+        np.array([], np.int64)
+    out = pa.table({
+        "term": terms,
+        "n_exact": pa.array(n_exact, pa.int64()),
+        "n_cms": pa.array(est, pa.int64()),
+        "overcount": pa.array(est - n_exact, pa.int64()),
+    })
+    return out.sort_by([("n_exact", "descending"), ("term", "ascending")])

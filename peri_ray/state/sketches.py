@@ -324,3 +324,56 @@ class Bloom:
             raise ValueError("Bloom parameters must match to merge")
         np.bitwise_or(self.words, other.words, out=self.words)
         return self
+
+
+class CountMin:
+    """Count-Min sketch over pre-hashed uint64 keys — mergeable by
+    elementwise ADD (per-block partials → one driver add → broadcast
+    for estimate lookups).  The sketch the heavy-hitter family lacks:
+    Misra-Gries names candidates, CountMin answers point frequency
+    queries for ANY key with a one-sided guarantee.
+
+    Guarantees (Cormode & Muthukrishnan): estimates never undercount
+    — ``estimate(x) >= count(x)`` always — and overcount by at most
+    ``e/width × N`` with probability ``1 − (1/e)^depth`` (N = total
+    added).  Mergeability is exact: add-then-merge ≡ one sketch over
+    the concatenated stream.
+
+    Vectorized: the depth row-hashes come from splitmix64 re-seeding,
+    updates via ``np.add.at`` with pre-aggregated counts."""
+
+    __slots__ = ("width", "depth", "table", "total")
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), np.int64)
+        self.total = 0
+
+    def _positions(self, hashes: np.ndarray, i: int) -> np.ndarray:
+        seed = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 64) - 1))
+        return (splitmix64(hashes ^ seed) % np.uint64(self.width)).astype(
+            np.int64)
+
+    def add_hashes(self, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> None:
+        h = hashes.astype(np.uint64, copy=False)
+        c = (np.ones(len(h), np.int64) if counts is None
+             else counts.astype(np.int64, copy=False))
+        for i in range(self.depth):
+            np.add.at(self.table[i], self._positions(h, i), c)
+        self.total += int(c.sum())
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+        for i in range(self.depth):
+            np.minimum(est, self.table[i][self._positions(h, i)], out=est)
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("CountMin parameters must match to merge")
+        self.table += other.table
+        self.total += other.total
+        return self

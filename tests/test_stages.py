@@ -5594,3 +5594,47 @@ class TestTwoSampleDegenerate:
         row = wasserstein_two_sample(rd.from_arrow(t), "v",
                                      split_col="id").to_pylist()[0]
         assert row["w1"] == 0.0
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merge_exact(self):
+        from peri_ray.state.sketches import CountMin, hash_strings
+        import pyarrow as pa_
+
+        rng = np.random.default_rng(3)
+        # adversarially small width so collisions are guaranteed
+        keys = np.array([f"k{i}" for i in range(5000)])
+        counts = rng.integers(1, 50, 5000)
+        h = hash_strings(pa_.array(keys.tolist(), pa_.string()))
+        one = CountMin(width=256, depth=4)
+        one.add_hashes(h, counts)
+        # split-and-merge must equal the single-stream sketch exactly
+        a, b = CountMin(256, 4), CountMin(256, 4)
+        a.add_hashes(h[:2500], counts[:2500])
+        b.add_hashes(h[2500:], counts[2500:])
+        a.merge(b)
+        assert np.array_equal(a.table, one.table) and a.total == one.total
+        est = one.estimate_hashes(h)
+        assert (est >= counts).all()  # one-sided guarantee
+        # error bound: overcount <= e/width * N for most keys
+        over = est - counts
+        bound = np.e / 256 * counts.sum()
+        assert (over <= bound).mean() > 0.95
+
+    def test_param_mismatch_raises(self):
+        from peri_ray.state.sketches import CountMin
+
+        with pytest.raises(ValueError):
+            CountMin(256, 4).merge(CountMin(512, 4))
+
+    def test_stage_self_evaluation(self):
+        from peri_ray.stages.text import cms_term_estimates
+
+        t = pa.table({"text": pa.array(
+            ["apple banana apple", "banana apple", None, "cherry"] * 50)})
+        out = cms_term_estimates(rd.from_arrow(t), threshold=50,
+                                 width=1 << 12).to_pylist()
+        by = {r["term"]: r for r in out}
+        assert by["apple"]["n_exact"] == 150
+        assert by["banana"]["n_exact"] == 100
+        assert all(r["n_cms"] >= r["n_exact"] for r in out)
