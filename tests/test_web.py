@@ -554,3 +554,72 @@ class TestWebPrepGates:
         g = self._run(rows, blocked=(), k=3)
         vals = list(g.values())
         assert vals.count("kept") == 3 and vals.count("quota") == 497
+
+
+class TestCanonicalizeFuzz:
+    """Hypothesis fuzz of the vectorized canonicalizer against an
+    independent per-row Python reference implementing the same six
+    documented rules (structured URL generation over an ASCII
+    alphabet — regex-semantics edge cases like newlines are out of
+    the URL grammar by construction)."""
+
+    @staticmethod
+    def _ref(url):
+        import re
+
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$",
+                     url)
+        if not m:
+            return None
+        scheme, host, path, rest = m.groups()
+        scheme, host = scheme.lower(), host.lower()
+        if scheme == "http":
+            host = re.sub(r":80$", "", host)
+        elif scheme == "https":
+            host = re.sub(r":443$", "", host)
+        host = re.sub(r"^www\.", "", host)
+        path = re.sub(r"/+$", "", path) or "/"
+        query = re.sub(r"#.*$", "", rest)
+        query = re.sub(r"^\?", "", query)
+        params = sorted(p for p in query.split("&")
+                        if p and not p.startswith("utm_"))
+        q = ("?" + "&".join(params)) if params else ""
+        return f"{scheme}://{host}{path}{q}"
+
+    def test_fuzz_against_reference(self):
+        from hypothesis import given, settings, strategies as st
+
+        label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=6)
+        scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"])
+        host = st.builds(
+            lambda www, labs, port: www + ".".join(labs) + port,
+            st.sampled_from(["", "www.", "WWW."]),
+            st.lists(label, min_size=1, max_size=3),
+            st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = st.builds(
+            lambda segs, tail: ("/" + "/".join(segs) if segs else "") + tail,
+            st.lists(label, min_size=0, max_size=3),
+            st.sampled_from(["", "/", "//", "///"]))
+        param = st.one_of(
+            st.builds(lambda k, v: f"{k}={v}", label, label),
+            st.builds(lambda v: f"utm_{v}=x", label),
+            st.just(""))
+        query = st.builds(
+            lambda ps: "?" + "&".join(ps) if ps else "",
+            st.lists(param, min_size=0, max_size=4))
+        frag = st.sampled_from(["", "#sec", "#a#b"])
+        url = st.one_of(
+            st.builds(lambda s, h, p, q, f: f"{s}://{h}{p}{q}{f}",
+                      scheme, host, path, query, frag),
+            st.just("not a url"),
+            st.just(""),
+            label)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(url, min_size=1, max_size=40))
+        def run(urls):
+            got = _canon(urls)
+            want = [self._ref(u) for u in urls]
+            assert got == want
+
+        run()
