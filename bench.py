@@ -224,6 +224,8 @@ def run_bench() -> dict:
     timed("w1_drift_events", lambda: q.w1_drift_events(SF_DIR))
     timed("fragment_anomaly", lambda: q.fragment_anomaly_docs(SF_DIR))
     timed("spec_drift", lambda: q.spec_drift_documents(SF_DIR))
+    timed("cms_term_estimates",
+          lambda: q.cms_term_estimates_docs(SF_DIR))
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))
