@@ -328,10 +328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_drift_events": q.w1_drift_events,
         "web_prep_gates_docs": q.web_prep_gates_docs,
         "spec_drift_documents": q.spec_drift_documents,
+        "host_degree_docs": q.host_degree_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "cms_term_estimates": q.cms_term_estimates_docs,
+        "weighted_sample_documents": q.weighted_sample_docs,
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
         "simhash_fingerprints": q.simhash_fps,
@@ -2586,6 +2588,29 @@ def oracle_sql() -> dict[str, str]:
                     FROM tg JOIN canon c USING (doc_id))
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
               FROM e GROUP BY src_host, dst_host
+        """,
+        "host_degree_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> 'h' || CAST((doc_id*7 + j + 1) % 50 AS VARCHAR)
+                             || '.example.com')) AS dst
+                FROM documents),
+            e AS (SELECT c.host AS src, tg.dst
+                    FROM tg JOIN canon c USING (doc_id)),
+            o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_links,
+                         CAST(count(DISTINCT dst) AS BIGINT) AS out_hosts
+                    FROM e GROUP BY src),
+            i AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_links,
+                         CAST(count(DISTINCT src) AS BIGINT) AS in_hosts
+                    FROM e GROUP BY dst)
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(out_links, 0) AS out_links,
+                   COALESCE(out_hosts, 0) AS out_hosts,
+                   COALESCE(in_links, 0) AS in_links,
+                   COALESCE(in_hosts, 0) AS in_hosts
+              FROM o FULL OUTER JOIN i ON o.host = i.host
         """,
         "host_crawl_gaps": f"""
             WITH {_WEB_CANON_CTE},

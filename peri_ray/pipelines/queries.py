@@ -3602,3 +3602,44 @@ def cms_term_estimates_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return cms_term_estimates(ds, threshold=500)
+
+
+def host_degree_docs(sf_dir: str):
+    """Link-graph degree profile (out/in links + distinct peer hosts)
+    over the deterministic outlink fixture — host-bounded driver
+    merge; the twin rebuilds the edges arithmetically."""
+    from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
+                                     host_of)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        _attach_linked_html_fixture, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.select(["host", "html"]),
+                        batch_format="pyarrow")
+    edges = extract_outlinks(ds, html_col="html", id_col="host")
+
+    def _hosts(t: pa.Table) -> pa.Table:
+        href = t.column("href").combine_chunks()
+        if pa.types.is_large_string(href.type):
+            href = href.cast(pa.string())
+        ex = pc.extract_regex(
+            href, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
+        dst = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "h"),
+                         pa.scalar(None, pa.string()))
+        return pa.table({"src_host": t.column("host"), "dst_host": dst})
+
+    from peri_ray.stages.web import host_degree_stats as _hds
+
+    return _hds(edges.map_batches(_hosts, batch_format="pyarrow"))
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic A-ES weighted sample (k=40, weight=n_chars) —
+    rows-only (the seeded-hash keys have no SQL twin); exactness vs a
+    single-machine brute force over the same keys is unit-tested."""
+    from peri_ray.stages.stats import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, weight_col="n_chars", id_col="doc_id",
+                           k=40, seed=7)

@@ -1904,3 +1904,57 @@ def budget_subset_ids(ds, weight_col: str, id_col: str, budget: int,
     tie_ids = (selected.map_batches(_split(True), batch_format="pyarrow")
                .sort(id_col).limit(m_ties))
     return kept.union(tie_ids)
+
+
+def weighted_sample(ds, weight_col: str, id_col: str, k: int,
+                    seed: int = 1234,
+                    batch_size: int | None = 65536) -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u from a seeded hash of its id and
+    competes with key ln(u)/w — the k LARGEST keys win, giving
+    inclusion probability proportional to weight, exactly
+    reproducible at any block layout (no RNG state crosses tasks).
+
+    Distributed as per-block top-k partials (only k candidate rows
+    per block leave the map side) + a driver merge bounded by
+    k × blocks.  Rows with null/non-positive weight are excluded.
+    Ties (identical keys — only possible via id collisions) break by
+    smaller id."""
+    from peri_ray.state.sketches import hash_strings
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        w = t.column(weight_col).combine_chunks().cast(pa.float64())
+        ok = pc.and_(pc.is_valid(w), pc.greater(w, 0.0))
+        ok = pc.and_(ok, pc.is_valid(ids))
+        sub = pa.table({id_col: ids, "w": w}).filter(ok)
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "w": pa.array([], pa.float64()),
+                             "key": pa.array([], pa.float64())})
+        sid = sub.column(id_col).combine_chunks()
+        h = hash_strings(pc.binary_join_element_wise(
+            sid.cast(pa.string()), str(seed), "\x1f"))
+        # u in (0, 1]: (h + 1) / 2^64 — never exactly 0, so ln is finite
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        keys = np.log(u) / sub.column("w").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n > k:
+            idx = np.argpartition(-keys, k - 1)[:k]
+        else:
+            idx = np.arange(n)
+        take = pa.array(np.sort(idx))
+        return pa.table({id_col: sid.take(take),
+                         "w": sub.column("w").take(take),
+                         "key": pa.array(keys[np.sort(idx)])})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    rows = parts.take_all()
+    if not rows:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())})
+    merged = pa.Table.from_pylist(rows)
+    merged = merged.sort_by([("key", "descending"), (id_col, "ascending")])
+    out = merged.slice(0, k)
+    return out.drop_columns(["key"])

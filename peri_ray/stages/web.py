@@ -580,3 +580,41 @@ def web_prep_gates(ds, blocked_hosts: list[str],
     return (gated.map_batches(lambda t: t, batch_format="pyarrow",
                               batch_size=EXCHANGE_COALESCE_ROWS)
             .groupby("__bucket").map_groups(_quota, batch_format="pyarrow"))
+
+
+def host_degree_stats(edges, src_col: str = "src_host",
+                      dst_col: str = "dst_host",
+                      batch_size: int | None = 65536) -> pa.Table:
+    """Link-graph degree profile per host: outgoing/incoming link
+    counts AND distinct peer-host counts, from an (src_host, dst_host)
+    edge Dataset — one streaming pass of per-batch distinct-pair
+    partials + a host-bounded driver merge (the :func:`domain_stats`
+    contract; swap for bucketed exchanges past ~100 M hosts)."""
+    def _part(t: pa.Table) -> pa.Table:
+        sub = pa.table({"s": t.column(src_col), "d": t.column(dst_col)})
+        sub = sub.filter(pc.and_(pc.is_valid(sub.column("s")),
+                                 pc.is_valid(sub.column("d"))))
+        g = sub.group_by(["s", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["s", "d", "n"])
+
+    acc: dict[tuple, int] = {}
+    for r in edges.map_batches(_part, batch_format="pyarrow",
+                               batch_size=batch_size).take_all():
+        key = (r["s"], r["d"])
+        acc[key] = acc.get(key, 0) + int(r["n"])
+    hosts: dict[str, list] = {}
+    for (s, d), n in acc.items():
+        hs = hosts.setdefault(s, [0, set(), 0, set()])
+        hs[0] += n
+        hs[1].add(d)
+        hd = hosts.setdefault(d, [0, set(), 0, set()])
+        hd[2] += n
+        hd[3].add(s)
+    keys = sorted(hosts)
+    return pa.table({
+        "host": pa.array(keys, pa.string()),
+        "out_links": pa.array([hosts[h][0] for h in keys], pa.int64()),
+        "out_hosts": pa.array([len(hosts[h][1]) for h in keys], pa.int64()),
+        "in_links": pa.array([hosts[h][2] for h in keys], pa.int64()),
+        "in_hosts": pa.array([len(hosts[h][3]) for h in keys], pa.int64()),
+    })

@@ -5638,3 +5638,56 @@ class TestCountMin:
         assert by["apple"]["n_exact"] == 150
         assert by["banana"]["n_exact"] == 100
         assert all(r["n_cms"] >= r["n_exact"] for r in out)
+
+
+class TestWeightedSample:
+    def _brute(self, ids, w, k, seed):
+        import pyarrow as pa_
+        from peri_ray.state.sketches import hash_strings
+
+        h = hash_strings(pa_.array([f"{i}\x1f{seed}" for i in ids],
+                                   pa_.string()))
+        u = (h.astype(np.float64) + 1.0) / 2.0**64
+        keys = np.log(u) / w
+        order = np.lexsort((ids, -keys))
+        return [int(ids[i]) for i in order[:k]]
+
+    def test_matches_bruteforce_and_layouts(self):
+        from peri_ray.stages.stats import weighted_sample
+
+        rng = np.random.default_rng(2)
+        ids = np.arange(3000, dtype=np.int64)
+        w = rng.integers(1, 100, 3000).astype(np.float64)
+        t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+        got = [r["doc_id"] for r in weighted_sample(
+            rd.from_arrow(t), "w", "doc_id", k=25, seed=9).to_pylist()]
+        assert got == self._brute(ids, w, 25, 9)
+        got16 = [r["doc_id"] for r in weighted_sample(
+            rd.from_arrow(t).repartition(16), "w", "doc_id", k=25,
+            seed=9, batch_size=128).to_pylist()]
+        assert got16 == got
+
+    def test_inclusion_monotone_in_weight(self):
+        """Statistically: a weight-100 item should appear in far more
+        seeded samples than a weight-1 item."""
+        from peri_ray.stages.stats import weighted_sample
+
+        ids = np.arange(200, dtype=np.int64)
+        w = np.where(ids < 100, 1.0, 100.0)
+        t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+        heavy = light = 0
+        for seed in range(20):
+            picked = {r["doc_id"] for r in weighted_sample(
+                rd.from_arrow(t), "w", "doc_id", k=20,
+                seed=seed).to_pylist()}
+            heavy += sum(1 for p in picked if p >= 100)
+            light += sum(1 for p in picked if p < 100)
+        assert heavy > light * 5
+
+    def test_null_and_nonpositive_weights_excluded(self):
+        from peri_ray.stages.stats import weighted_sample
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "w": pa.array([1.0, None, 0.0, -2.0])})
+        out = weighted_sample(rd.from_arrow(t), "w", "doc_id", k=10)
+        assert [r["doc_id"] for r in out.to_pylist()] == [1]
