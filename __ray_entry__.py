@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_prep_gates_docs": q.web_prep_gates_docs,
         "spec_drift_documents": q.spec_drift_documents,
         "host_degree_docs": q.host_degree_docs,
+        "token_fertility_by_lang": q.token_fertility_by_lang,
+        "host_lang_entropy": q.host_lang_entropy,
+        "host_dup_rate": q.host_dup_rate,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2588,6 +2591,52 @@ def oracle_sql() -> dict[str, str]:
                     FROM tg JOIN canon c USING (doc_id))
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
               FROM e GROUP BY src_host, dst_host
+        """,
+        "token_fertility_by_lang": """
+            WITH agg AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(regexp_split_to_array(trim(text),
+                          '\\s+'))) AS BIGINT) AS sum_tokens,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_chars
+                FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL
+               GROUP BY lang)
+            SELECT lang, n_docs, sum_tokens, sum_chars,
+                   CASE WHEN sum_tokens > 0
+                        THEN CAST(sum_chars AS DOUBLE)
+                             / CAST(sum_tokens AS DOUBLE) END
+                     AS chars_per_token
+              FROM agg
+        """,
+        "host_lang_entropy": f"""
+            WITH {_WEB_CANON_CTE},
+            hl AS (SELECT c.host, d.lang, count(*) AS n
+                     FROM canon c JOIN documents d USING (doc_id)
+                    WHERE d.lang IS NOT NULL GROUP BY c.host, d.lang),
+            tot AS (SELECT host, sum(n) AS t FROM hl GROUP BY host)
+            SELECT hl.host, CAST(tot.t AS BIGINT) AS n_pages,
+                   ROUND(SUM(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                             * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))),
+                         6) AS lang_entropy
+              FROM hl JOIN tot USING (host) GROUP BY hl.host, tot.t
+        """,
+        "host_dup_rate": f"""
+            WITH {_WEB_CANON_CTE},
+            planted AS (SELECT doc_id,
+                               CASE WHEN doc_id % 11 = 3 THEN 'MIRROR'
+                                    ELSE text END AS text
+                          FROM documents),
+            keep AS (SELECT min(doc_id) AS kid FROM planted
+                      GROUP BY text),
+            hp AS (SELECT c.host,
+                          (d.doc_id NOT IN (SELECT kid FROM keep)) AS dup
+                     FROM canon c JOIN planted d USING (doc_id))
+            SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dups,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_rate
+              FROM hp GROUP BY host
         """,
         "host_degree_docs": f"""
             WITH {_WEB_CANON_CTE},

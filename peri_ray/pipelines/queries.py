@@ -3643,3 +3643,155 @@ def weighted_sample_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_sample(ds, weight_col="n_chars", id_col="doc_id",
                            k=40, seed=7)
+
+
+def token_fertility_by_lang(sf_dir: str):
+    """Tokenizer-fertility profile per language (chars per whitespace
+    token) — the signal that drives per-lang token budgeting.  One
+    streaming pass of per-batch (lang, docs, tokens, chars) Arrow
+    group_by partials merged as python ints; chars_per_token is ONE
+    exact int→double division per lang."""
+    from peri_ray.stages.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        lang = t.column("lang").combine_chunks().cast(pa.string())
+        ok = pc.and_(pc.is_valid(txt), pc.is_valid(lang))
+        sub = pa.table({"lang": lang, "text": txt}).filter(ok)
+        sub = token_count_batch(sub, "text")
+        stxt = sub.column("text").combine_chunks()
+        aug = pa.table({
+            "lang": sub.column("lang"),
+            "n_docs": pa.array(np.ones(sub.num_rows, np.int64)),
+            "tok": sub.column("n_tokens"),
+            "chars": pc.utf8_length(stxt).cast(pa.int64()),
+        })
+        g = aug.group_by("lang").aggregate(
+            [(c, "sum") for c in ("n_docs", "tok", "chars")])
+        return g.rename_columns(["lang", "n_docs", "tok", "chars"])
+
+    acc: dict[str, list] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow").iter_rows():
+        cur = acc.setdefault(r["lang"], [0, 0, 0])
+        cur[0] += int(r["n_docs"])
+        cur[1] += int(r["tok"])
+        cur[2] += int(r["chars"])
+    keys = sorted(acc)
+    return pa.table({
+        "lang": pa.array(keys, pa.string()),
+        "n_docs": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "sum_tokens": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "sum_chars": pa.array([acc[k][2] for k in keys], pa.int64()),
+        "chars_per_token": pa.array(
+            [float(acc[k][2]) / float(acc[k][1]) if acc[k][1] else None
+             for k in keys], pa.float64()),
+    })
+
+
+def host_lang_entropy(sf_dir: str):
+    """Per-domain language-coherence signal: Shannon entropy (nats) of
+    the host's lang histogram — a multilingual mirror/SEO-farm
+    detector.  (host, lang) count partials + host-bounded driver
+    merge; entropy rounds to 6 (transcendental, tie-free)."""
+    import math
+
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+
+    def _part(t: pa.Table) -> pa.Table:
+        sub = pa.table({"host": t.column("host"),
+                        "lang": t.column("lang")})
+        sub = sub.filter(pc.and_(pc.is_valid(sub.column("host")),
+                                 pc.is_valid(sub.column("lang"))))
+        g = sub.group_by(["host", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "lang", "n"])
+
+    acc: dict[str, dict] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow").iter_rows():
+        acc.setdefault(r["host"], {}).setdefault(r["lang"], 0)
+        acc[r["host"]][r["lang"]] += int(r["n"])
+    hosts = sorted(acc)
+    ents, totals = [], []
+    for h in hosts:
+        tot = sum(acc[h].values())
+        e = 0.0
+        for n in acc[h].values():
+            p = float(n) / float(tot)
+            e -= p * math.log(p)
+        ents.append(round(e, 6))
+        totals.append(tot)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_pages": pa.array(totals, pa.int64()),
+        "lang_entropy": pa.array(ents, pa.float64()),
+    })
+
+
+def host_dup_rate(sf_dir: str):
+    """Per-domain exact-duplicate rate (duplicate pages / pages) — the
+    domain-level mirror/copy-farm signal.  Texts hash inside the
+    exact-dedup exchange; only (host, is_dup) counts merge on the
+    driver.  dup_rate is ONE exact int→double division."""
+    from peri_ray.stages.dedup import exact_duplicate_ids
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds))
+
+    def _plant(t: pa.Table) -> pa.Table:
+        # FIXTURE: the corpus has no exact dups, so plant them —
+        # doc_id % 11 == 3 pages become mirror copies ('MIRROR' text,
+        # identical across hosts), giving every host a real dup rate
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        txt = t.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        txt = pc.if_else(pa.array(ids_np % 11 == 3),
+                         pa.scalar("MIRROR", pa.string()), txt)
+        return pa.table({"doc_id": ids, "host": t.column("host"),
+                         "text": txt})
+
+    base = ds.map_batches(_plant, batch_format="pyarrow")
+    victims = exact_duplicate_ids(
+        base.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"), "text", "doc_id")
+    import ray as _ray
+
+    vic_ids = set()
+    for r in victims.iter_rows():
+        vic_ids.add(int(r["doc_id"]))
+    vic_ref = _ray.put(np.array(sorted(vic_ids), np.int64))
+
+    def _part(t: pa.Table) -> pa.Table:
+        vids = _ray.get(vic_ref)
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        dup = pc.is_in(ids, value_set=pa.array(vids))
+        sub = pa.table({"host": t.column("host"),
+                        "dup": dup.cast(pa.int64()),
+                        "one": pa.array(np.ones(len(t), np.int64))})
+        g = sub.group_by("host").aggregate([("dup", "sum"), ("one", "sum")])
+        return g.rename_columns(["host", "dups", "n"])
+
+    acc: dict[str, list] = {}
+    for r in base.map_batches(_part, batch_format="pyarrow").iter_rows():
+        cur = acc.setdefault(r["host"], [0, 0])
+        cur[0] += int(r["dups"])
+        cur[1] += int(r["n"])
+    hosts = sorted(acc)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_pages": pa.array([acc[h][1] for h in hosts], pa.int64()),
+        "n_dups": pa.array([acc[h][0] for h in hosts], pa.int64()),
+        "dup_rate": pa.array(
+            [float(acc[h][0]) / float(acc[h][1]) for h in hosts],
+            pa.float64()),
+    })
