@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility_by_lang": q.token_fertility_by_lang,
         "host_lang_entropy": q.host_lang_entropy,
         "host_dup_rate": q.host_dup_rate,
+        "warc_roundtrip_docs": q.warc_roundtrip_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2591,6 +2592,18 @@ def oracle_sql() -> dict[str, str]:
                     FROM tg JOIN canon c USING (doc_id))
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
               FROM e GROUP BY src_host, dst_host
+        """,
+        # the twin rebuilds url + extracted-length arithmetically; the
+        # engine goes through WARC gzip framing + HTTP stripping + RE2
+        # html parsing to reproduce them
+        "warc_roundtrip_docs": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT doc_id, url,
+                   CAST(length(text)
+                        + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_extracted
+              FROM canon JOIN documents USING (doc_id)
+             WHERE text IS NOT NULL
         """,
         "token_fertility_by_lang": """
             WITH agg AS (

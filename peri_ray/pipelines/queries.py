@@ -3795,3 +3795,48 @@ def host_dup_rate(sf_dir: str):
             [float(acc[h][0]) / float(acc[h][1]) for h in hosts],
             pa.float64()),
     })
+
+
+def warc_roundtrip_docs(sf_dir: str):
+    """Common-Crawl front door, end to end: serialize the deterministic
+    web fixture as a member-gzipped WARC segment (test-scale writer),
+    read it back with the stdlib WARC parser, and extract title + text
+    from the html payloads — (doc_id, url, n_extracted) with doc_id
+    parsed OUT OF the page title, so framing, gzip, HTTP-header
+    stripping and html parsing are all on the oracle path."""
+    import os
+
+    from peri_ray.sources.warc import read_warc, write_warc
+    from peri_ray.stages.web import extract_text_from_html, extract_title
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
+    recs = []
+    for r in ds.iter_rows():
+        if r["html"] is None:
+            continue
+        ts = r["warc_ts"]
+        ts_us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
+            else int(ts)
+        recs.append((r["url"], ts_us, bytes(r["html"])))
+    recs.sort()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/peri_warc_{tag}.warc.gz"
+    write_warc(recs, path, gzip_members=True)
+
+    pages = read_warc(path)
+    pages = extract_title(pages)
+    pages = extract_text_from_html(pages)
+
+    def _final(t: pa.Table) -> pa.Table:
+        title = t.column("title").combine_chunks()
+        ids = pc.cast(pc.utf8_slice_codeunits(title, 1), pa.int64())
+        ext = t.column("extracted_text").combine_chunks()
+        return pa.table({
+            "doc_id": ids,
+            "url": t.column("url"),
+            "n_extracted": pc.utf8_length(ext).cast(pa.int64()),
+        })
+
+    return pages.map_batches(_final, batch_format="pyarrow")

@@ -623,3 +623,65 @@ class TestCanonicalizeFuzz:
             assert got == want
 
         run()
+
+
+class TestWarcSource:
+    def _records(self, n=20):
+        return [(f"https://h{i % 5}.example.com/p/{i}",
+                 1_700_000_000_000_000 + i * 1_000_000,
+                 f"<html><p>doc {i}</p></html>".encode())
+                for i in range(n)]
+
+    def _roundtrip(self, tmpdir, gz):
+        import os
+        from peri_ray.sources.warc import read_warc, write_warc
+
+        recs = self._records()
+        path = os.path.join(tmpdir, "seg.warc" + (".gz" if gz else ""))
+        write_warc(recs, path, gzip_members=gz)
+        rows = read_warc(path).take_all()
+        got = sorted((r["url"],
+                      int(r["warc_ts"].timestamp() * 1e6)
+                      if hasattr(r["warc_ts"], "timestamp")
+                      else int(r["warc_ts"]),
+                      bytes(r["html"])) for r in rows)
+        assert got == sorted(recs)
+
+    def test_roundtrip_plain(self, tmp_path):
+        self._roundtrip(str(tmp_path), gz=False)
+
+    def test_roundtrip_gzip_members(self, tmp_path):
+        self._roundtrip(str(tmp_path), gz=True)
+
+    def test_non_response_records_skipped_and_truncation(self):
+        from peri_ray.sources.warc import parse_warc_bytes, write_warc
+        import io, os, tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "x.warc")
+            write_warc([("http://a.com/1", 1_700_000_000_000_000,
+                         b"<p>x</p>")], p)
+            data = open(p, "rb").read()
+        req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: http://a.com/1\r\n"
+               b"Content-Length: 4\r\n\r\nGET \r\n\r\n")
+        # request record before, truncated garbage after
+        blob = req + data + b"WARC/1.0\r\nWARC-Type: response\r\ntrunc"
+        out = parse_warc_bytes(blob)
+        assert len(out) == 1 and out[0][0] == "http://a.com/1"
+        assert out[0][2] == b"<p>x</p>"
+
+    def test_multi_file_pipeline_into_engine(self, tmp_path):
+        """WARC segments -> read_warc -> canonicalize/host: the
+        Common-Crawl front door feeds the web operators directly."""
+        from peri_ray.sources.warc import write_warc, read_warc
+        from peri_ray.stages.web import canonicalize_urls, host_of
+
+        p1 = str(tmp_path / "a.warc")
+        p2 = str(tmp_path / "b.warc.gz")
+        write_warc(self._records(10), p1)
+        write_warc(self._records(10), p2, gzip_members=True)
+        ds = host_of(canonicalize_urls(read_warc([p1, p2])))
+        rows = ds.take_all()
+        assert len(rows) == 20
+        assert all(r["host"].startswith("h") for r in rows)
