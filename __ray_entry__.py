@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_lang_entropy": q.host_lang_entropy,
         "host_dup_rate": q.host_dup_rate,
         "warc_roundtrip_docs": q.warc_roundtrip_docs,
+        "incremental_stats_documents": q.incremental_stats_documents,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2604,6 +2605,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_extracted
               FROM canon JOIN documents USING (doc_id)
              WHERE text IS NOT NULL
+        """,
+        "incremental_stats_documents": """
+            SELECT 'n_chars' AS column, count(n_chars) AS cnt,
+                   count(*) - count(n_chars) AS null_count,
+                   CAST(min(n_chars) AS DOUBLE) AS min_v,
+                   CAST(max(n_chars) AS DOUBLE) AS max_v,
+                   CAST(sum(CAST(ROUND(n_chars * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+              FROM documents
         """,
         "token_fertility_by_lang": """
             WITH agg AS (

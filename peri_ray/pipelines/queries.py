@@ -3840,3 +3840,48 @@ def warc_roundtrip_docs(sf_dir: str):
         })
 
     return pages.map_batches(_final, batch_format="pyarrow")
+
+
+def incremental_stats_documents(sf_dir: str):
+    """Incremental-ingestion stats: compute exact column stats for two
+    snapshot halves INDEPENDENTLY (two separate jobs, as a daily crawl
+    would), merge the two result tables with the stats algebra
+    (counts add, min/min, max/max, integer-cent sums add), and the
+    oracle checks the merge against a from-scratch full-table pass —
+    mergeability is what makes checkpointed incremental stats exact."""
+    from peri_ray.stages.stats import exact_stats_table
+
+    def _half(parity: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    a = exact_stats_table(_half(0), ["n_chars"], cents_sums=True)
+    b = exact_stats_table(_half(1), ["n_chars"], cents_sums=True)
+
+    def g(t, col, i=0):
+        return t.column(col)[i].as_py()
+
+    def _m(fn, x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return fn(x, y)
+
+    return pa.table({
+        "column": pa.array(["n_chars"], pa.string()),
+        "cnt": pa.array([g(a, "cnt") + g(b, "cnt")], pa.int64()),
+        "null_count": pa.array([g(a, "null_count") + g(b, "null_count")],
+                               pa.int64()),
+        "min_v": pa.array([_m(min, g(a, "min_v"), g(b, "min_v"))],
+                          pa.float64()),
+        "max_v": pa.array([_m(max, g(a, "max_v"), g(b, "max_v"))],
+                          pa.float64()),
+        "sum_cents": pa.array([g(a, "sum_cents") + g(b, "sum_cents")],
+                              pa.int64()),
+    })
