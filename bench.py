@@ -226,6 +226,14 @@ def run_bench() -> dict:
     timed("spec_drift", lambda: q.spec_drift_documents(SF_DIR))
     timed("cms_term_estimates",
           lambda: q.cms_term_estimates_docs(SF_DIR))
+    timed("host_degree", lambda: q.host_degree_docs(SF_DIR))
+    timed("weighted_sample", lambda: q.weighted_sample_docs(SF_DIR))
+    timed("token_fertility", lambda: q.token_fertility_by_lang(SF_DIR))
+    timed("host_lang_entropy", lambda: q.host_lang_entropy(SF_DIR))
+    timed("host_dup_rate", lambda: q.host_dup_rate(SF_DIR))
+    timed("warc_roundtrip", lambda: q.warc_roundtrip_docs(SF_DIR).to_pandas())
+    timed("incremental_stats",
+          lambda: q.incremental_stats_documents(SF_DIR))
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))
