@@ -3619,19 +3619,14 @@ def host_degree_docs(sf_dir: str):
                         batch_format="pyarrow")
     edges = extract_outlinks(ds, html_col="html", id_col="host")
 
+    from peri_ray.stages.web import host_degree_stats, href_host
+
     def _hosts(t: pa.Table) -> pa.Table:
-        href = t.column("href").combine_chunks()
-        if pa.types.is_large_string(href.type):
-            href = href.cast(pa.string())
-        ex = pc.extract_regex(
-            href, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
-        dst = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "h"),
-                         pa.scalar(None, pa.string()))
-        return pa.table({"src_host": t.column("host"), "dst_host": dst})
+        return pa.table({"src_host": t.column("host"),
+                         "dst_host": href_host(t.column("href"))})
 
-    from peri_ray.stages.web import host_degree_stats as _hds
-
-    return _hds(edges.map_batches(_hosts, batch_format="pyarrow"))
+    return host_degree_stats(edges.map_batches(_hosts,
+                                               batch_format="pyarrow"))
 
 
 def weighted_sample_docs(sf_dir: str):
@@ -3736,11 +3731,16 @@ def host_lang_entropy(sf_dir: str):
 
 def host_dup_rate(sf_dir: str):
     """Per-domain exact-duplicate rate (duplicate pages / pages) — the
-    domain-level mirror/copy-farm signal.  Texts hash inside the
-    exact-dedup exchange; only (host, is_dup) counts merge on the
-    driver.  dup_rate is ONE exact int→double division."""
+    domain-level mirror/copy-farm signal.  Content hashes are computed
+    in the SAME map that attaches the host, and the pinned lineage is
+    the slim (doc_id, host, content_hash) table (no text, no double
+    execution of the fixture pipeline); the dedup exchange runs over
+    the precomputed hashes and the dup-bounded victim-id set is the
+    only other driver state.  dup_rate is ONE exact int→double
+    division."""
     from peri_ray.stages.dedup import exact_duplicate_ids
     from peri_ray.stages.web import canonicalize_urls, host_of
+    from peri_ray.state.sketches import hash_strings
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
@@ -3757,13 +3757,15 @@ def host_dup_rate(sf_dir: str):
             txt = txt.cast(pa.string())
         txt = pc.if_else(pa.array(ids_np % 11 == 3),
                          pa.scalar("MIRROR", pa.string()), txt)
+        h = hash_strings(txt, seed=1)  # the dedup exchange's hash
         return pa.table({"doc_id": ids, "host": t.column("host"),
-                         "text": txt})
+                         "content_hash": pa.array(h.astype(np.int64))})
 
-    base = ds.map_batches(_plant, batch_format="pyarrow")
-    victims = exact_duplicate_ids(
-        base.map_batches(lambda t: t.select(["doc_id", "text"]),
-                         batch_format="pyarrow"), "text", "doc_id")
+    # pin the slim 3-column table: TWO consumers below (victims +
+    # per-host counts) must not re-execute the fixture pipeline
+    slim = ds.map_batches(_plant, batch_format="pyarrow").materialize()
+    victims = exact_duplicate_ids(slim, "content_hash", "doc_id",
+                                  prehashed=True)
     import ray as _ray
 
     vic_ids = set()
@@ -3782,7 +3784,7 @@ def host_dup_rate(sf_dir: str):
         return g.rename_columns(["host", "dups", "n"])
 
     acc: dict[str, list] = {}
-    for r in base.map_batches(_part, batch_format="pyarrow").iter_rows():
+    for r in slim.map_batches(_part, batch_format="pyarrow").iter_rows():
         cur = acc.setdefault(r["host"], [0, 0])
         cur[0] += int(r["dups"])
         cur[1] += int(r["n"])
@@ -3799,12 +3801,15 @@ def host_dup_rate(sf_dir: str):
 
 def warc_roundtrip_docs(sf_dir: str):
     """Common-Crawl front door, end to end: serialize the deterministic
-    web fixture as a member-gzipped WARC segment (test-scale writer),
-    read it back with the stdlib WARC parser, and extract title + text
-    from the html payloads — (doc_id, url, n_extracted) with doc_id
-    parsed OUT OF the page title, so framing, gzip, HTTP-header
-    stripping and html parsing are all on the oracle path."""
+    web fixture as member-gzipped WARC segments — ONE SEGMENT PER
+    BLOCK, written inside ``map_batches`` (distributed writers, no
+    driver materialization of html) — read them back with the stdlib
+    WARC parser, and extract title + text from the payloads.
+    (doc_id, url, n_extracted) with doc_id parsed OUT OF the page
+    title, so framing, gzip, HTTP-header stripping and html parsing
+    are all on the oracle path."""
     import os
+    import shutil
 
     from peri_ray.sources.warc import read_warc, write_warc
     from peri_ray.stages.web import extract_text_from_html, extract_title
@@ -3812,20 +3817,33 @@ def warc_roundtrip_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
     ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
-    recs = []
-    for r in ds.iter_rows():
-        if r["html"] is None:
-            continue
-        ts = r["warc_ts"]
-        ts_us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
-            else int(ts)
-        recs.append((r["url"], ts_us, bytes(r["html"])))
-    recs.sort()
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/peri_warc_{tag}.warc.gz"
-    write_warc(recs, path, gzip_members=True)
 
-    pages = read_warc(path)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/peri_warc_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_seg(t: pa.Table) -> pa.Table:
+        recs = []
+        for r in t.to_pylist():
+            if r["html"] is None:
+                continue
+            ts = r["warc_ts"]
+            ts_us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
+                else int(ts)
+            recs.append((r["url"], ts_us, bytes(r["html"])))
+        if not recs:
+            return pa.table({"path": pa.array([], pa.string())})
+        # unique, deterministic segment name per block: min doc_id
+        seg = min(r["doc_id"] for r in t.to_pylist())
+        path = f"{out_dir}/seg_{seg}.warc.gz"
+        write_warc(recs, path, gzip_members=True)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = sorted(r["path"] for r in
+                   ds.map_batches(_write_seg,
+                                  batch_format="pyarrow").take_all())
+    pages = read_warc(paths)
     pages = extract_title(pages)
     pages = extract_text_from_html(pages)
 

@@ -293,7 +293,7 @@ class _HashIdPairs:
 
 
 def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
-                        n_buckets: int = 64):
+                        n_buckets: int = 64, prehashed: bool = False):
     """Ids that would be REMOVED by exact dedup (duplicates beyond the
     min-id keeper per content).
 
@@ -305,7 +305,19 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
     memory; at 10^12 docs that is the corpus cardinality)."""
     from peri_ray.stages.checks import _AddBucket
 
-    pairs = ds.map_batches(_HashIdPairs(text_col, id_col), batch_format="pyarrow")
+    if prehashed:
+        # text_col already holds int64 content hashes (computed by an
+        # upstream map so one pinned slim table serves several consumers)
+        def _pairs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "content_hash": t.column(text_col).combine_chunks()
+                .cast(pa.int64()),
+                id_col: t.column(id_col)})
+
+        pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    else:
+        pairs = ds.map_batches(_HashIdPairs(text_col, id_col),
+                               batch_format="pyarrow")
     bucketed = pairs.map_batches(_AddBucket("content_hash", n_buckets),
                                  batch_format="pyarrow")
     id_col_ = id_col

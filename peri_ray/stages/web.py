@@ -365,6 +365,44 @@ def extract_outlinks(ds, html_col: str = "html", id_col: str = "doc_id",
                           batch_size=batch_size)
 
 
+def href_host(href: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Host of each href (None when unparsable) — THE single
+    implementation shared by every link-graph consumer (a host-parsing
+    fix must land exactly once)."""
+    if isinstance(href, pa.ChunkedArray):
+        href = href.combine_chunks()
+    if pa.types.is_large_string(href.type):
+        href = href.cast(pa.string())
+    ex = pc.extract_regex(href,
+                          r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
+    return pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "h"),
+                      pa.scalar(None, pa.string()))
+
+
+def _pair_counts(ds, a_col: str, b_col: str,
+                 batch_size: int | None) -> pa.Table:
+    """(a, b, n) counts from per-batch Arrow group_by partials + a
+    pair-cardinality-bounded driver merge (domain_stats contract)."""
+    def _part(t: pa.Table) -> pa.Table:
+        sub = pa.table({"a": t.column(a_col), "b": t.column(b_col)})
+        sub = sub.filter(pc.and_(pc.is_valid(sub.column("a")),
+                                 pc.is_valid(sub.column("b"))))
+        g = sub.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "n"])
+
+    acc: dict[tuple, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        key = (r["a"], r["b"])
+        acc[key] = acc.get(key, 0) + int(r["n"])
+    ks = sorted(acc)
+    return pa.table({
+        "a": pa.array([k[0] for k in ks], pa.string()),
+        "b": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })
+
+
 def outlink_host_counts(ds, src_host_col: str = "host",
                         href_col: str = "href",
                         batch_size: int | None = 65536) -> pa.Table:
@@ -374,31 +412,14 @@ def outlink_host_counts(ds, src_host_col: str = "host",
     driver-bounded contract as :func:`domain_stats`; swap the merge
     for ``grouped_sum_via_buckets`` when the host-pair domain
     outgrows the driver).  hrefs whose host can't be parsed drop."""
-    def _part(t: pa.Table) -> pa.Table:
-        href = t.column(href_col).combine_chunks()
-        if pa.types.is_large_string(href.type):
-            href = href.cast(pa.string())
-        ex = pc.extract_regex(
-            href, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
-        dst = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, "h"),
-                         pa.scalar(None, pa.string()))
-        sub = pa.table({"src_host": t.column(src_host_col), "dst_host": dst})
-        sub = sub.filter(pc.and_(pc.is_valid(sub.column("src_host")),
-                                 pc.is_valid(sub.column("dst_host"))))
-        g = sub.group_by(["src_host", "dst_host"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["src_host", "dst_host", "n"])
+    def _dst(t: pa.Table) -> pa.Table:
+        return pa.table({"src_host": t.column(src_host_col),
+                         "dst_host": href_host(t.column(href_col))})
 
-    partials = ds.map_batches(_part, batch_format="pyarrow",
-                              batch_size=batch_size)
-    merged = pa.Table.from_pylist(
-        partials.take_all(),
-        schema=pa.schema([("src_host", pa.string()),
-                          ("dst_host", pa.string()), ("n", pa.int64())]))
-    out = (merged.group_by(["src_host", "dst_host"])
-           .aggregate([("n", "sum")]))
-    return (out.rename_columns(["src_host", "dst_host", "n_links"])
-            .sort_by([("src_host", "ascending"), ("dst_host", "ascending")]))
+    pairs = _pair_counts(ds.map_batches(_dst, batch_format="pyarrow",
+                                        batch_size=batch_size),
+                         "src_host", "dst_host", batch_size)
+    return pairs.rename_columns(["src_host", "dst_host", "n_links"])
 
 
 def extract_title(ds, html_col: str = "html", out_col: str = "title",
@@ -587,29 +608,21 @@ def host_degree_stats(edges, src_col: str = "src_host",
                       batch_size: int | None = 65536) -> pa.Table:
     """Link-graph degree profile per host: outgoing/incoming link
     counts AND distinct peer-host counts, from an (src_host, dst_host)
-    edge Dataset — one streaming pass of per-batch distinct-pair
-    partials + a host-bounded driver merge (the :func:`domain_stats`
-    contract; swap for bucketed exchanges past ~100 M hosts)."""
-    def _part(t: pa.Table) -> pa.Table:
-        sub = pa.table({"s": t.column(src_col), "d": t.column(dst_col)})
-        sub = sub.filter(pc.and_(pc.is_valid(sub.column("s")),
-                                 pc.is_valid(sub.column("d"))))
-        g = sub.group_by(["s", "d"]).aggregate([([], "count_all")])
-        return g.rename_columns(["s", "d", "n"])
-
-    acc: dict[tuple, int] = {}
-    for r in edges.map_batches(_part, batch_format="pyarrow",
-                               batch_size=batch_size).take_all():
-        key = (r["s"], r["d"])
-        acc[key] = acc.get(key, 0) + int(r["n"])
+    edge Dataset — the (src, dst, n) aggregation is the SAME
+    pair-count pass :func:`outlink_host_counts` uses; degrees then
+    derive from that host-pair-bounded table driver-side."""
+    pairs = _pair_counts(edges, src_col, dst_col, batch_size)
     hosts: dict[str, list] = {}
-    for (s, d), n in acc.items():
-        hs = hosts.setdefault(s, [0, set(), 0, set()])
-        hs[0] += n
-        hs[1].add(d)
-        hd = hosts.setdefault(d, [0, set(), 0, set()])
-        hd[2] += n
-        hd[3].add(s)
+    for i in range(pairs.num_rows):
+        s_, d_, n_ = (pairs.column("a")[i].as_py(),
+                      pairs.column("b")[i].as_py(),
+                      pairs.column("n")[i].as_py())
+        hs = hosts.setdefault(s_, [0, set(), 0, set()])
+        hs[0] += n_
+        hs[1].add(d_)
+        hd = hosts.setdefault(d_, [0, set(), 0, set()])
+        hd[2] += n_
+        hd[3].add(s_)
     keys = sorted(hosts)
     return pa.table({
         "host": pa.array(keys, pa.string()),

@@ -685,3 +685,25 @@ class TestWarcSource:
         rows = ds.take_all()
         assert len(rows) == 20
         assert all(r["host"].startswith("h") for r in rows)
+
+
+class TestWarcEdges:
+    def test_subsecond_timestamps_roundtrip(self, tmp_path):
+        from peri_ray.sources.warc import read_warc, write_warc
+
+        recs = [("http://a.com/x", 1_700_000_000_123_456, b"<p>y</p>")]
+        p = str(tmp_path / "sub.warc")
+        write_warc(recs, p)
+        r = read_warc(p).take_all()[0]
+        ts = r["warc_ts"]
+        got = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
+            else int(ts)
+        assert got == 1_700_000_000_123_456
+
+    def test_truncated_body_dropped(self):
+        from peri_ray.sources.warc import parse_warc_bytes
+
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://a.com/1\r\n"
+               b"Content-Length: 999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nshort")
+        assert parse_warc_bytes(rec) == []
