@@ -368,3 +368,105 @@ def read_key_range(out_dir: str, lo: float | None, hi: float | None,
         return t if mask is None else t.filter(pc_.fill_null(mask, False))
 
     return ds.map_batches(_exact, batch_format="pyarrow")
+
+
+def read_orc_table(path: str | list[str], columns: list[str] | None = None):
+    """ORC source: one read task per file (ORC stripes decode with
+    pyarrow's C++ reader; ``columns`` prunes at the read like the
+    parquet path).  Directories expand to their .orc files."""
+    import os
+
+    import pyarrow as pa_
+    import ray.data as rd
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".orc")))
+        else:
+            files.append(p)
+
+    def _read(t: pa_.Table) -> pa_.Table:
+        from pyarrow import orc
+
+        tabs = [orc.ORCFile(f).read(columns=columns)
+                for f in t.column("path").to_pylist()]
+        return pa_.concat_tables(tabs) if tabs else pa_.table({})
+
+    return (rd.from_items([{"path": f} for f in files])
+            .map_batches(_read, batch_format="pyarrow", batch_size=1))
+
+
+def write_orc(ds, out_dir: str):
+    """ORC sink, one shard per block (same resumable contract as the
+    other sinks)."""
+    import os
+    import uuid
+
+    import pyarrow as pa_
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: pa_.Table) -> pa_.Table:
+        from pyarrow import orc
+
+        if t.num_rows:
+            orc.write_table(t, os.path.join(
+                out_dir, f"part-{uuid.uuid4().hex}.orc"))
+        return pa_.table({"rows": pa_.array([t.num_rows], pa_.int64())})
+
+    ds.map_batches(_write, batch_format="pyarrow").materialize()
+    return out_dir
+
+
+def read_ipc_table(path: str | list[str], columns: list[str] | None = None):
+    """Arrow IPC / Feather-v2 source (zero-parse interchange with any
+    Arrow-native tool): one read task per file, column-pruned."""
+    import os
+
+    import pyarrow as pa_
+    import ray.data as rd
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith((".arrow", ".feather", ".ipc"))))
+        else:
+            files.append(p)
+
+    def _read(t: pa_.Table) -> pa_.Table:
+        from pyarrow import feather
+
+        tabs = [feather.read_table(f, columns=columns)
+                for f in t.column("path").to_pylist()]
+        return pa_.concat_tables(tabs) if tabs else pa_.table({})
+
+    return (rd.from_items([{"path": f} for f in files])
+            .map_batches(_read, batch_format="pyarrow", batch_size=1))
+
+
+def write_ipc(ds, out_dir: str):
+    """Arrow IPC (Feather v2) sink, one shard per block."""
+    import os
+    import uuid
+
+    import pyarrow as pa_
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: pa_.Table) -> pa_.Table:
+        from pyarrow import feather
+
+        if t.num_rows:
+            feather.write_feather(t, os.path.join(
+                out_dir, f"part-{uuid.uuid4().hex}.arrow"))
+        return pa_.table({"rows": pa_.array([t.num_rows], pa_.int64())})
+
+    ds.map_batches(_write, batch_format="pyarrow").materialize()
+    return out_dir

@@ -5691,3 +5691,38 @@ class TestWeightedSample:
                       "w": pa.array([1.0, None, 0.0, -2.0])})
         out = weighted_sample(rd.from_arrow(t), "w", "doc_id", k=10)
         assert [r["doc_id"] for r in out.to_pylist()] == [1]
+
+
+class TestOrcIpcRoundTrip:
+    def _tbl(self):
+        return pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i}" if i % 10 else None
+                              for i in range(100)]),
+            "score": pa.array([i / 7 for i in range(100)], pa.float64()),
+        })
+
+    def test_orc_roundtrip_pruned(self, tmp_path):
+        from peri_ray.sources import read_orc_table, write_orc
+
+        t = self._tbl()
+        out = str(tmp_path / "orc")
+        write_orc(rd.from_arrow(t).repartition(4), out)
+        back = read_orc_table(out)
+        rows = sorted(back.take_all(), key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows] == list(range(100))
+        assert rows[0]["text"] is None and rows[1]["text"] == "doc 1"
+        pruned = read_orc_table(out, columns=["doc_id"])
+        assert set(pruned.take_all()[0].keys()) == {"doc_id"}
+
+    def test_ipc_roundtrip_pruned(self, tmp_path):
+        from peri_ray.sources import read_ipc_table, write_ipc
+
+        t = self._tbl()
+        out = str(tmp_path / "ipc")
+        write_ipc(rd.from_arrow(t).repartition(4), out)
+        back = read_ipc_table(out, columns=["doc_id", "score"])
+        rows = sorted(back.take_all(), key=lambda r: r["doc_id"])
+        assert len(rows) == 100
+        assert abs(rows[7]["score"] - 1.0) < 1e-12
+        assert "text" not in rows[0]
