@@ -5726,3 +5726,20 @@ class TestOrcIpcRoundTrip:
         assert len(rows) == 100
         assert abs(rows[7]["score"] - 1.0) < 1e-12
         assert "text" not in rows[0]
+
+
+class TestParquetFilterPushdown:
+    def test_filter_pushes_to_scan(self):
+        import pyarrow.dataset as pads
+        from peri_ray.sources import read_table
+
+        flt = pads.field("n_chars") > 200
+        ds = read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "n_chars"], filter=flt)
+        rows = ds.take_all()
+        assert rows and all(r["n_chars"] > 200 for r in rows)
+        # same answer as post-hoc filtering
+        full = read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).take_all()
+        want = sorted(r["doc_id"] for r in full if r["n_chars"] > 200)
+        assert sorted(r["doc_id"] for r in rows) == want
