@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_dup_rate": q.host_dup_rate,
         "warc_roundtrip_docs": q.warc_roundtrip_docs,
         "incremental_stats_documents": q.incremental_stats_documents,
+        "interval_overlap_events": q.interval_overlap_events,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2605,6 +2606,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_extracted
               FROM canon JOIN documents USING (doc_id)
              WHERE text IS NOT NULL
+        """,
+        "interval_overlap_events": """
+            WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 600000000 AS e
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            l AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+            r AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+            SELECT l.user_id, l.event_id AS id_a, r.event_id AS id_b
+              FROM l JOIN r ON l.user_id = r.user_id
+                           AND l.s < r.e AND r.s < l.e
         """,
         "incremental_stats_documents": """
             SELECT 'n_chars' AS column, count(n_chars) AS cnt,

@@ -234,6 +234,8 @@ def run_bench() -> dict:
     timed("warc_roundtrip", lambda: q.warc_roundtrip_docs(SF_DIR).to_pandas())
     timed("incremental_stats",
           lambda: q.incremental_stats_documents(SF_DIR))
+    timed("interval_overlap",
+          lambda: q.interval_overlap_events(SF_DIR).to_pandas())
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))

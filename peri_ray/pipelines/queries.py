@@ -3903,3 +3903,35 @@ def incremental_stats_documents(sf_dir: str):
         "sum_cents": pa.array([g(a, "sum_cents") + g(b, "sum_cents")],
                               pa.int64()),
     })
+
+
+def interval_overlap_events(sf_dir: str):
+    """Interval-overlap join (the temporal-join family's third member
+    after as-of and range-containment): even-event 10-minute windows ×
+    odd-event windows per user; one key-bucketed exchange of
+    (key, id, 2×int64) rows, per-run searchsorted candidate windows +
+    vectorized end verification."""
+    from peri_ray.stages.temporal import interval_overlap_join
+
+    def _iv(parity: int):
+        ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("event_id").combine_chunks().cast(pa.int64())
+            ok = pc.equal(pc.bit_wise_and(ids, 1), parity)
+            sub = t.filter(ok)
+            ts = sub.column("ts").combine_chunks()
+            return pa.table({
+                "user_id": sub.column("user_id"),
+                "event_id": sub.column("event_id"),
+                "start": ts,
+                "end": pc.add(ts, pa.scalar(600_000_000,
+                                            pa.duration("us"))),
+            })
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return interval_overlap_join(
+        _iv(0), _iv(1), key="user_id",
+        l_start="start", l_end="end", r_start="start", r_end="end",
+        l_id="event_id", r_id="event_id")

@@ -976,3 +976,100 @@ def lag_column(ds, key_col: str, order_cols: list[str], col: str,
                             batch_format="pyarrow")
     return map_groups_via_buckets(pruned, [key_col], _shift,
                                   n_buckets=n_buckets)
+
+
+def interval_overlap_join(left, right, key: str,
+                          l_start: str = "start", l_end: str = "end",
+                          r_start: str = "start", r_end: str = "end",
+                          l_id: str = "id_a", r_id: str = "id_b",
+                          n_buckets: int = 64,
+                          max_pairs_per_key: int = 1_000_000):
+    """Interval-overlap join: emit (key, id_a, id_b) for every pair of
+    intervals on the same key that overlap (half-open semantics:
+    ``a.start < b.end AND b.start < a.end``) — the third member of the
+    temporal-join family (as-of = nearest event, range = containment
+    count, overlap = interval×interval).
+
+    Shape: both sides bucket on the key through ONE exchange (side
+    tag rides along; only key/id/two-int64 endpoints cross — payloads
+    never do).  Per key run, rights sort by start once and each left
+    takes one ``searchsorted`` for its candidate window — emitted
+    pairs are verified with a vectorized end-check, so per-key cost is
+    O((n_l + n_r) log n_r + pairs).  A key whose output would exceed
+    ``max_pairs_per_key`` raises (an everything-overlaps-everything
+    hot key is a data bug at web scale, not a bigger-cluster
+    problem)."""
+    import ray.data as rd  # noqa: F401
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _tag(ds, side: int, sc: str, ec: str, ic: str):
+        def _f(t: pa.Table) -> pa.Table:
+            ok = pc.and_(pc.is_valid(t.column(sc).combine_chunks()),
+                         pc.is_valid(t.column(ec).combine_chunks()))
+            ok = pc.and_(ok, pc.is_valid(t.column(key).combine_chunks()))
+            sub = t.filter(ok)
+            return pa.table({
+                key: sub.column(key),
+                "__s": pa.array(_epoch_us(sub.column(sc))),
+                "__e": pa.array(_epoch_us(sub.column(ec))),
+                "__id": sub.column(ic).combine_chunks().cast(pa.int64()),
+                "__side": pa.array(
+                    np.full(sub.num_rows, side, np.int8)),
+            })
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    both = _tag(left, 0, l_start, l_end, l_id).union(
+        _tag(right, 1, r_start, r_end, r_id))
+
+    def _join(bucket: pa.Table) -> pa.Table:
+        g = bucket.sort_by([(key, "ascending")])
+        keys_np = g.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        s = g.column("__s").to_numpy(zero_copy_only=False)
+        e = g.column("__e").to_numpy(zero_copy_only=False)
+        ids = g.column("__id").to_numpy(zero_copy_only=False)
+        n = len(keys_np)
+        out_k, out_a, out_b = [], [], []
+        if n:
+            new_run = np.ones(n, bool)
+            new_run[1:] = keys_np[1:] != keys_np[:-1]
+            starts = np.flatnonzero(new_run)
+            ends = np.append(starts[1:], n)
+            for lo, hi in zip(starts, ends):
+                ls = side[lo:hi] == 0
+                rs = ~ls
+                if not ls.any() or not rs.any():
+                    continue
+                l_s, l_e, l_i = s[lo:hi][ls], e[lo:hi][ls], ids[lo:hi][ls]
+                r_s, r_e, r_i = s[lo:hi][rs], e[lo:hi][rs], ids[lo:hi][rs]
+                order = np.argsort(r_s, kind="stable")
+                r_s, r_e, r_i = r_s[order], r_e[order], r_i[order]
+                # candidates: rights with start < left.end
+                cut = np.searchsorted(r_s, l_e, side="left")
+                if int(cut.sum()) > max_pairs_per_key:
+                    raise ValueError(
+                        f"interval_overlap_join: key {keys_np[lo]!r} "
+                        f"generates > {max_pairs_per_key} candidate "
+                        "pairs; split or pre-filter the hot key")
+                li = np.repeat(np.arange(len(l_s)), cut)
+                ri = np.concatenate([np.arange(c) for c in cut]) \
+                    if len(cut) else np.array([], np.int64)
+                keep = r_e[ri] > l_s[li]  # verify the other edge
+                out_k.append(np.full(int(keep.sum()), keys_np[lo]))
+                out_a.append(l_i[li[keep]])
+                out_b.append(r_i[ri[keep]])
+        if not out_k:
+            return pa.table({key: pa.array([], g.column(key).type),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({
+            key: pa.array(np.concatenate(out_k).tolist(),
+                          g.column(key).type),
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+        })
+
+    return map_groups_via_buckets(both, [key], _join, n_buckets=n_buckets)

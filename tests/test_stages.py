@@ -5743,3 +5743,49 @@ class TestParquetFilterPushdown:
                           columns=["doc_id", "n_chars"]).take_all()
         want = sorted(r["doc_id"] for r in full if r["n_chars"] > 200)
         assert sorted(r["doc_id"] for r in rows) == want
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, left_rows, right_rows, **kw):
+        from peri_ray.stages.temporal import interval_overlap_join
+
+        def tbl(rows):
+            return rd.from_arrow(pa.table({
+                "k": pa.array([r[0] for r in rows]),
+                "id": pa.array([r[1] for r in rows], pa.int64()),
+                "start": pa.array([r[2] for r in rows], pa.int64()),
+                "end": pa.array([r[3] for r in rows], pa.int64()),
+            }))
+
+        out = interval_overlap_join(tbl(left_rows), tbl(right_rows),
+                                    key="k", l_id="id", r_id="id", **kw)
+        return sorted((r["k"], r["id_a"], r["id_b"])
+                      for r in out.take_all())
+
+    def test_fuzz_vs_bruteforce(self):
+        rng = np.random.default_rng(31)
+        L, R = [], []
+        for i in range(400):
+            k = f"u{rng.integers(0, 12)}"
+            s = int(rng.integers(0, 1000))
+            e = s + int(rng.integers(1, 60))
+            (L if i % 2 == 0 else R).append((k, i, s, e))
+        want = sorted(
+            (lk, li, ri)
+            for (lk, li, ls, le) in L
+            for (rk, ri, rs, re) in R
+            if lk == rk and ls < re and rs < le)
+        assert self._run(L, R) == want
+
+    def test_half_open_touching_intervals_do_not_overlap(self):
+        # [0,10) and [10,20): share only the boundary -> no pair
+        out = self._run([("a", 1, 0, 10)], [("a", 2, 10, 20)])
+        assert out == []
+        out2 = self._run([("a", 1, 0, 11)], [("a", 2, 10, 20)])
+        assert out2 == [("a", 1, 2)]
+
+    def test_hot_key_pair_cap_raises(self):
+        L = [("hot", i, 0, 100) for i in range(0, 200, 2)]
+        R = [("hot", i, 0, 100) for i in range(1, 200, 2)]
+        with pytest.raises(Exception, match="candidate"):
+            self._run(L, R, max_pairs_per_key=50)
