@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_docs": q.warc_roundtrip_docs,
         "incremental_stats_documents": q.incremental_stats_documents,
         "interval_overlap_events": q.interval_overlap_events,
+        "embedding_drift_report": q.embedding_drift_report,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2606,6 +2607,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_extracted
               FROM canon JOIN documents USING (doc_id)
              WHERE text IS NOT NULL
+        """,
+        "embedding_drift_report": """
+            WITH x AS (
+              SELECT vec_id, i,
+                     CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS xi
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                        FROM embeddings WHERE len(embedding) = 64)),
+            a AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sa,
+                         CAST(count(*) AS HUGEINT) AS na
+                    FROM x WHERE vec_id % 2 = 0 GROUP BY i),
+            b AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sb,
+                         CAST(count(*) AS HUGEINT) AS nb
+                    FROM x WHERE vec_id % 2 = 1 GROUP BY i),
+            t AS (SELECT CAST(sum((sa*nb - sb*na) * (sa*nb - sb*na))
+                              AS HUGEINT) AS num,
+                         CAST(max(na) AS BIGINT) AS na,
+                         CAST(max(nb) AS BIGINT) AS nb
+                    FROM a JOIN b USING (i))
+            SELECT na AS n_a, nb AS n_b,
+                   sqrt(CAST(num AS DOUBLE))
+                   / CAST(na * nb * 1000 AS DOUBLE) AS mean_shift_l2
+              FROM t
         """,
         "interval_overlap_events": """
             WITH iv AS (

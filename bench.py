@@ -236,6 +236,7 @@ def run_bench() -> dict:
           lambda: q.incremental_stats_documents(SF_DIR))
     timed("interval_overlap",
           lambda: q.interval_overlap_events(SF_DIR).to_pandas())
+    timed("embedding_drift", lambda: q.embedding_drift_report(SF_DIR))
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))

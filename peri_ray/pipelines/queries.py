@@ -3935,3 +3935,21 @@ def interval_overlap_events(sf_dir: str):
         _iv(0), _iv(1), key="user_id",
         l_start="start", l_end="end", r_start="start", r_end="end",
         l_id="event_id", r_id="event_id")
+
+
+def embedding_drift_report(sf_dir: str):
+    """Embedding drift between vec_id-parity snapshot halves: exact
+    integer mean-shift L2 (one sqrt + one division at the end), so the
+    HUGEINT SQL twin matches bit-for-bit."""
+    from peri_ray.stages.similarity import embedding_drift
+
+    def _half(parity: int):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").combine_chunks().cast(pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return embedding_drift(_half(0), _half(1), dim=64, scale=1000)

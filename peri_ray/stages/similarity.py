@@ -1433,3 +1433,31 @@ def label_propagation(edges, seeds, iters: int = 2,
         lambda t: pa.table({node_col: t.column("node"),
                             label_col: t.column("lab")}),
         batch_format="pyarrow")
+
+
+def embedding_drift(ds_a, ds_b, vec_col: str = "embedding",
+                    dim: int = 64, scale: int = 1000,
+                    batch_size: int | None = 4096) -> pa.Table:
+    """Embedding-distribution drift between two snapshots (model
+    version bumps, crawl shifts): L2 distance between the snapshot
+    MEANS, computed entirely in exact integer arithmetic —
+    num = Σ_i (sa_i·n_b − sb_i·n_a)² over milli-quantized per-dim
+    sums as python ints, then ONE sqrt and ONE division — so a
+    HUGEINT SQL twin lands on the identical double at any block
+    layout.  One streaming pass per side, dim-bounded driver state."""
+    n_a, s_a, _ = _cov_partials(ds_a, vec_col, dim, scale, batch_size)
+    n_b, s_b, _ = _cov_partials(ds_b, vec_col, dim, scale, batch_size)
+    if n_a == 0 or n_b == 0:
+        return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64()),
+                         "mean_shift_l2": pa.array([None], pa.float64())})
+    num = 0
+    for i in range(dim):
+        d = int(s_a[i]) * n_b - int(s_b[i]) * n_a
+        num += d * d
+    import math
+
+    l2 = math.sqrt(float(num)) / float(n_a * n_b * scale)
+    return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64()),
+                     "mean_shift_l2": pa.array([l2], pa.float64())})

@@ -5789,3 +5789,40 @@ class TestIntervalOverlapJoin:
         R = [("hot", i, 0, 100) for i in range(1, 200, 2)]
         with pytest.raises(Exception, match="candidate"):
             self._run(L, R, max_pairs_per_key=50)
+
+
+class TestEmbeddingDrift:
+    def test_matches_numpy_and_layouts(self):
+        from peri_ray.stages.similarity import embedding_drift
+
+        rng = np.random.default_rng(41)
+        a = rng.normal(0, 1, (300, 8)).astype(np.float32)
+        b = (rng.normal(0, 1, (200, 8)) + 0.5).astype(np.float32)
+
+        def tbl(m):
+            return pa.table({"embedding": pa.array(
+                [r.tolist() for r in m], pa.list_(pa.float32()))})
+
+        out = embedding_drift(rd.from_arrow(tbl(a)), rd.from_arrow(tbl(b)),
+                              dim=8, scale=1000).to_pylist()[0]
+        qa = np.floor(np.abs(a.astype(np.float64)) * 1000 + 0.5) * np.sign(a)
+        qb = np.floor(np.abs(b.astype(np.float64)) * 1000 + 0.5) * np.sign(b)
+        ref = np.linalg.norm(qa.mean(axis=0) - qb.mean(axis=0)) / 1000
+        assert abs(out["mean_shift_l2"] - ref) < 1e-9
+        assert out["n_a"] == 300 and out["n_b"] == 200
+        # layout independence: exact equality
+        out2 = embedding_drift(
+            rd.from_arrow(tbl(a)).repartition(8),
+            rd.from_arrow(tbl(b)).repartition(8),
+            dim=8, scale=1000, batch_size=32).to_pylist()[0]
+        assert out2 == out
+
+    def test_empty_side_null(self):
+        from peri_ray.stages.similarity import embedding_drift
+
+        t = pa.table({"embedding": pa.array([[0.0] * 8],
+                                            pa.list_(pa.float32()))})
+        empty = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        out = embedding_drift(rd.from_arrow(t), rd.from_arrow(empty),
+                              dim=8).to_pylist()[0]
+        assert out["mean_shift_l2"] is None and out["n_b"] == 0
