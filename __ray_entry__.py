@@ -32,6 +32,8 @@ _DOC_VALID = (
 # (queries._attach_web_columns) from (doc_id, source); the rest
 # re-implements the canonicalization rules of stages/web.py
 # independently in SQL string/list functions.
+SEQ_PATTERN_SQL = "view,(view,)*click,(.*,)?purchase"
+
 _WEB_TS_SQL = ("make_timestamp(1704067200000000 + ((doc_id*37) % 365)"
                " * 86400000000 + (doc_id % 24) * 3600000000)")
 
@@ -336,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_stats_documents": q.incremental_stats_documents,
         "interval_overlap_events": q.interval_overlap_events,
         "embedding_drift_report": q.embedding_drift_report,
+        "host_triangles": q.host_triangles,
+        "pattern_match_users": q.pattern_match_users,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2607,6 +2611,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_extracted
               FROM canon JOIN documents USING (doc_id)
              WHERE text IS NOT NULL
+        """,
+        "host_triangles": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> 'h' || CAST((doc_id*7 + j + 1) % 50 AS VARCHAR)
+                             || '.example.com')) AS dst
+                FROM documents),
+            lnk AS (SELECT c.host AS a, tg.dst AS b
+                      FROM tg JOIN canon c USING (doc_id)),
+            e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+                    FROM lnk WHERE a <> b)
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*)
+                      FROM e e1
+                      JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                      JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+                     AS n_triangles
+        """,
+        "pattern_match_users": f"""
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS seq
+                FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL
+               GROUP BY user_id)
+            SELECT user_id, seq FROM s
+             WHERE regexp_matches(seq, '{SEQ_PATTERN_SQL}')
         """,
         "embedding_drift_report": """
             WITH x AS (

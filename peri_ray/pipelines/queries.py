@@ -3953,3 +3953,50 @@ def embedding_drift_report(sf_dir: str):
         return ds.map_batches(_f, batch_format="pyarrow")
 
     return embedding_drift(_half(0), _half(1), dim=64, scale=1000)
+
+
+def host_triangles(sf_dir: str):
+    """Distributed triangle count over the host link graph (community
+    density / link-farm signal): canonical undirected edges, wedge
+    enumeration + closing semi-join, both through bucketed hash
+    joins."""
+    from peri_ray.stages.similarity import triangle_count
+    from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
+                                     host_of, href_host)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        _attach_linked_html_fixture, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.select(["host", "html"]),
+                        batch_format="pyarrow")
+    edges = extract_outlinks(ds, html_col="html", id_col="host")
+
+    def _e(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("host"),
+                         "b": href_host(t.column("href"))})
+
+    return triangle_count(edges.map_batches(_e, batch_format="pyarrow"))
+
+
+SEQ_PATTERN = "view,(view,)*click,(.*,)?purchase"
+
+
+def pattern_match_users(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: users whose ORDERED event sequence matches
+    a regex over the event alphabet (here: a view-streak straight into
+    a click, with a purchase anywhere later) — ordered string_agg
+    assembly + one RE2 pass; both engines run the same pattern."""
+    from peri_ray.stages.stats import collect_sorted
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    seqs = collect_sorted(ds, "user_id", "event_type", "ts", "event_id")
+
+    def _f(t: pa.Table) -> pa.Table:
+        seq = t.column("seq").combine_chunks()
+        if pa.types.is_large_string(seq.type):
+            seq = seq.cast(pa.string())
+        return t.filter(pc.fill_null(
+            pc.match_substring_regex(seq, SEQ_PATTERN), False))
+
+    return seqs.map_batches(_f, batch_format="pyarrow")

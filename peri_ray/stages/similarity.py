@@ -1461,3 +1461,72 @@ def embedding_drift(ds_a, ds_b, vec_col: str = "embedding",
     return pa.table({"n_a": pa.array([n_a], pa.int64()),
                      "n_b": pa.array([n_b], pa.int64()),
                      "mean_shift_l2": pa.array([l2], pa.float64())})
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b",
+                   n_buckets: int = 64):
+    """Distributed triangle counting over an undirected edge Dataset —
+    the classic two-exchange composition: canonicalize edges to
+    a < b (dedup + drop self loops), JOIN edges with edges on the
+    shared low vertex to enumerate wedges (a, b, c) with b < c, then
+    SEMI-JOIN wedges against the edge set on the (b, c) closing pair.
+    Both joins are the engine's bucketed :func:`~peri_ray.stages.joins.
+    hash_join`, so only vertex-id pairs ever cross the wire; each
+    triangle (x < y < z) is produced exactly once (wedge at its lowest
+    vertex).  Returns one row: (n_edges, n_triangles)."""
+    import ray.data as rd  # noqa: F401
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+    from peri_ray.stages.joins import hash_join
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).combine_chunks().cast(pa.string())
+        b = t.column(b_col).combine_chunks().cast(pa.string())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        ok = pc.and_(ok, pc.invert(pc.equal(a, b)))  # drop self loops
+        lo = pc.if_else(pc.less(a, b), a, b)
+        hi = pc.if_else(pc.less(a, b), b, a)
+        return pa.table({"lo": lo, "hi": hi}).filter(ok)
+
+    canon = edges.map_batches(_canon, batch_format="pyarrow")
+
+    def _dedup(bucket: pa.Table) -> pa.Table:
+        return bucket.group_by(["lo", "hi"]).aggregate([]).select(
+            ["lo", "hi"])
+
+    e = map_groups_via_buckets(canon, ["lo", "hi"], _dedup,
+                               n_buckets=n_buckets)
+    # MUST pin: three consumers (wedge left, wedge right, closing
+    # semi-join) — edge sets are vertex-pair-sized, not corpus-sized
+    e = e.materialize()
+    n_edges = e.count()
+
+    # wedges: (lo, b=hi, c=hi2) with b < c, joining on the low vertex
+    # (right side renamed first — same-named non-key columns would
+    # collide in the per-bucket Arrow join)
+    e2 = e.map_batches(lambda t: t.rename_columns(["lo", "hi2"]),
+                       batch_format="pyarrow")
+    wedges = hash_join(e, e2, "lo", "lo", ["hi"], ["hi2"],
+                       how="inner", n_buckets=n_buckets)
+
+    def _order(t: pa.Table) -> pa.Table:
+        b = t.column("hi").combine_chunks()
+        c = t.column("hi2").combine_chunks()
+        sub = t.filter(pc.less(b, c))
+        return pa.table({"pair": pc.binary_join_element_wise(
+            sub.column("hi").combine_chunks(),
+            sub.column("hi2").combine_chunks(), "\x1f")})
+
+    wpairs = wedges.map_batches(_order, batch_format="pyarrow")
+
+    def _ekey(t: pa.Table) -> pa.Table:
+        return pa.table({"pair": pc.binary_join_element_wise(
+            t.column("lo").combine_chunks(),
+            t.column("hi").combine_chunks(), "\x1f")})
+
+    ekeys = e.map_batches(_ekey, batch_format="pyarrow")
+    closed = hash_join(wpairs, ekeys, "pair", "pair", [], [],
+                       how="semi", n_buckets=n_buckets)
+    n_tri = closed.count()
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})

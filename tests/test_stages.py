@@ -5826,3 +5826,32 @@ class TestEmbeddingDrift:
         out = embedding_drift(rd.from_arrow(t), rd.from_arrow(empty),
                               dim=8).to_pylist()[0]
         assert out["mean_shift_l2"] is None and out["n_b"] == 0
+
+
+class TestTriangleCount:
+    def test_k4_with_noise(self):
+        from peri_ray.stages.similarity import triangle_count
+
+        edges = [(f"v{i}", f"v{j}") for i in range(4) for j in range(4)
+                 if i != j]  # K4, both directions (dups)
+        edges += [("v0", "v9"), ("v5", "v5")]  # dangling + self loop
+        t = pa.table({"a": pa.array([e[0] for e in edges]),
+                      "b": pa.array([e[1] for e in edges])})
+        out = triangle_count(rd.from_arrow(t)).to_pylist()[0]
+        assert out == {"n_edges": 7, "n_triangles": 4}
+
+    def test_fuzz_vs_bruteforce(self):
+        from itertools import combinations
+        from peri_ray.stages.similarity import triangle_count
+
+        rng = np.random.default_rng(19)
+        verts = [f"n{i}" for i in range(12)]
+        eset = {tuple(sorted(rng.choice(verts, 2, replace=False)))
+                for _ in range(40)}
+        want = sum(1 for x, y, z in combinations(sorted(verts), 3)
+                   if (x, y) in eset and (x, z) in eset and (y, z) in eset)
+        t = pa.table({"a": pa.array([e[0] for e in eset]),
+                      "b": pa.array([e[1] for e in eset])})
+        out = triangle_count(rd.from_arrow(t).repartition(4)).to_pylist()[0]
+        assert out["n_triangles"] == want
+        assert out["n_edges"] == len(eset)
