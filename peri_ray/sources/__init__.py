@@ -258,7 +258,8 @@ def _epoch_numeric(arr):
 
 def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
                             kll_k: int = 800,
-                            batch_size: int | None = 65536) -> dict:
+                            batch_size: int | None = 65536,
+                            zone_cols: list[str] | None = None) -> dict:
     """Range-partitioned parquet sink: one directory per contiguous
     ``key`` range, ranges balanced to ±KLL-sketch error — the layout a
     100 TB output needs so downstream key-range scans (time slices, id
@@ -313,11 +314,121 @@ def write_range_partitioned(ds, key: str, out_dir: str, n_ranges: int = 16,
     (ds.map_batches(_assign, batch_format="pyarrow", batch_size=batch_size)
        .write_parquet(out_dir, partition_cols=["range_id"]))
     manifest = {"key": key, "splits": splits, "n_ranges": len(splits) + 1}
+    if zone_cols:
+        # zone maps: per-range min/max of EXTRA columns so readers can
+        # skip ranges on predicates over non-key columns too.  Computed
+        # from the WRITTEN layout (a pruned columnar read of the
+        # output) — no third pass over the input lineage.
+        manifest["zones"] = _collect_zone_maps(
+            out_dir, manifest["n_ranges"], list(zone_cols))
     # sibling path, NOT inside the layout: a stray non-parquet file in
     # the root breaks Ray's partition discovery on whole-dir reads
     with open(out_dir.rstrip("/") + ".ranges.json", "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def _collect_zone_maps(out_dir: str, n_ranges: int,
+                       zone_cols: list[str]) -> dict:
+    """{col: [[min, max] | None per range]} from the written layout —
+    one pruned read of (zone_cols) per range directory (parquet footer
+    statistics make this metadata-cheap on real storage)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    zones: dict = {c: [None] * n_ranges for c in zone_cols}
+    for i in range(n_ranges):
+        d = os.path.join(out_dir, f"range_id={i}")
+        if not os.path.isdir(d):
+            continue
+        mins: dict = {c: None for c in zone_cols}
+        maxs: dict = {c: None for c in zone_cols}
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, f), columns=zone_cols)
+            for c in zone_cols:
+                col = _epoch_numeric(t.column(c).combine_chunks()
+                                     .drop_null())
+                if len(col) == 0:
+                    continue
+                import pyarrow.compute as pc_
+
+                mm = pc_.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                mins[c] = lo if mins[c] is None else min(mins[c], lo)
+                maxs[c] = hi if maxs[c] is None else max(maxs[c], hi)
+        for c in zone_cols:
+            if mins[c] is not None:
+                zones[c][i] = [mins[c], maxs[c]]
+    return zones
+
+
+def read_zone_pruned(out_dir: str, predicates: dict,
+                     columns: list[str] | None = None, **kw):
+    """Zone-map-pruned read of a :func:`write_range_partitioned`
+    layout: ``predicates`` maps column → (lo, hi) (either side None =
+    unbounded); a range directory is opened only if EVERY predicate's
+    interval intersects that range's zone (key predicate uses the
+    split points; zone columns use the persisted min/max; a range
+    with no zone entry for a predicated column is conservatively
+    kept).  Exact per-batch filters run after the read, so pruning is
+    purely an I/O optimization — never a correctness dependence."""
+    import json
+    import os
+
+    import pyarrow.compute as pc_
+    import ray.data as rd_
+
+    with open(out_dir.rstrip("/") + ".ranges.json") as f:
+        manifest = json.load(f)
+    splits = manifest["splits"]
+    key = manifest["key"]
+    n = manifest["n_ranges"]
+    zones = manifest.get("zones", {})
+    dirs = []
+    for i in range(n):
+        keep = True
+        for col, (lo, hi) in predicates.items():
+            if col == key:
+                r_lo = None if i == 0 else splits[i - 1]
+                r_hi = None if i == n - 1 else splits[i]
+                if lo is not None and r_hi is not None and r_hi <= lo:
+                    keep = False
+                if hi is not None and r_lo is not None and r_lo > hi:
+                    keep = False
+            elif col in zones and zones[col][i] is not None:
+                z_lo, z_hi = zones[col][i]
+                if lo is not None and z_hi < lo:
+                    keep = False
+                if hi is not None and z_lo > hi:
+                    keep = False
+        if not keep:
+            continue
+        d = os.path.join(out_dir, f"range_id={i}")
+        if os.path.isdir(d):
+            dirs.append(d)
+    if not dirs:
+        import ray.data as rd2
+
+        return rd2.from_items([])  # every range pruned: empty result
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = rd_.read_parquet(files, columns=columns, **kw)
+
+    def _exact(t):
+        mask = None
+        for col, (lo, hi) in predicates.items():
+            c = _epoch_numeric(t.column(col).combine_chunks())
+            for bound, op in ((lo, pc_.greater_equal), (hi, pc_.less_equal)):
+                if bound is None:
+                    continue
+                m = op(c, bound)
+                mask = m if mask is None else pc_.and_(mask, m)
+        return t if mask is None else t.filter(pc_.fill_null(mask, False))
+
+    return ds.map_batches(_exact, batch_format="pyarrow")
 
 
 def read_key_range(out_dir: str, lo: float | None, hi: float | None,

@@ -5855,3 +5855,50 @@ class TestTriangleCount:
         out = triangle_count(rd.from_arrow(t).repartition(4)).to_pylist()[0]
         assert out["n_triangles"] == want
         assert out["n_edges"] == len(eset)
+
+
+class TestZoneMaps:
+    def test_zone_pruning_correct_and_effective(self, tmp_path):
+        from peri_ray.sources import read_zone_pruned, write_range_partitioned
+        import json
+
+        # value correlates with key, so zone pruning on `v` is effective
+        n = 4000
+        k = np.arange(n, dtype=np.float64)
+        v = k * 2 + (np.arange(n) % 7)  # roughly key-correlated
+        t = pa.table({"k": pa.array(k), "v": pa.array(v),
+                      "payload": pa.array([f"p{i}" for i in range(n)])})
+        out = str(tmp_path / "zoned")
+        man = write_range_partitioned(rd.from_arrow(t), "k", out,
+                                      n_ranges=8, zone_cols=["v"])
+        assert "zones" in man and len(man["zones"]["v"]) == man["n_ranges"]
+        # predicate on the NON-key column only
+        got = sorted(r["k"] for r in read_zone_pruned(
+            out, {"v": (1000.0, 1200.0)}).take_all())
+        want = sorted(float(x) for x, val in zip(k, v)
+                      if 1000.0 <= val <= 1200.0)
+        assert got == want
+        # pruning is real: most zones excluded for this narrow box
+        zones = man["zones"]["v"]
+        hit = sum(1 for z in zones
+                  if z is not None and not (z[1] < 1000.0 or z[0] > 1200.0))
+        assert hit <= 2
+        # manifest round-trips through json (sibling path, not in layout)
+        with open(out + ".ranges.json") as f:
+            assert json.load(f)["zones"]["v"] == zones
+
+    def test_combined_key_and_zone_predicates(self, tmp_path):
+        from peri_ray.sources import read_zone_pruned, write_range_partitioned
+
+        n = 1000
+        t = pa.table({"k": pa.array(np.arange(n, dtype=np.float64)),
+                      "v": pa.array(np.arange(n, dtype=np.float64) % 100)})
+        out = str(tmp_path / "zoned2")
+        write_range_partitioned(rd.from_arrow(t), "k", out, n_ranges=4,
+                                zone_cols=["v"])
+        got = sorted(r["k"] for r in read_zone_pruned(
+            out, {"k": (100.0, 400.0), "v": (0.0, 10.0)}).take_all())
+        want = sorted(float(i) for i in range(100, 401) if i % 100 <= 10)
+        assert got == want
+        # fully-pruned predicate returns an empty Dataset, not an error
+        assert read_zone_pruned(out, {"v": (1e9, 2e9)}).count() == 0
