@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_drift_report": q.embedding_drift_report,
         "host_triangles": q.host_triangles,
         "pattern_match_users": q.pattern_match_users,
+        "warc_validate_report": q.warc_validate_report,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -2611,6 +2612,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_extracted
               FROM canon JOIN documents USING (doc_id)
              WHERE text IS NOT NULL
+        """,
+        "warc_validate_report": """
+            WITH p AS (
+              SELECT length(text)
+                     + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS n
+                FROM documents WHERE text IS NOT NULL)
+            SELECT count(*) AS rows,
+                   CAST(sum(CASE WHEN n <= 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS valid_rows,
+                   CAST(sum(CASE WHEN n > 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS invalid_rows
+              FROM p
         """,
         "host_triangles": f"""
             WITH {_WEB_CANON_CTE},

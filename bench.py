@@ -239,6 +239,7 @@ def run_bench() -> dict:
     timed("embedding_drift", lambda: q.embedding_drift_report(SF_DIR))
     timed("host_triangles", lambda: q.host_triangles(SF_DIR))
     timed("pattern_match", lambda: q.pattern_match_users(SF_DIR).to_pandas())
+    timed("warc_validate", lambda: q.warc_validate_report(SF_DIR))
     # statistical drift + profiling additions
     timed("ks_drift_events", lambda: q.ks_drift_events(SF_DIR))
     timed("regression_lineitem", lambda: q.regression_lineitem(SF_DIR))

@@ -4000,3 +4000,69 @@ def pattern_match_users(sf_dir: str):
             pc.match_substring_regex(seq, SEQ_PATTERN), False))
 
     return seqs.map_batches(_f, batch_format="pyarrow")
+
+
+def warc_validate_report(sf_dir: str):
+    """The full north-rule path in one pipeline: WARC segments →
+    stdlib parse → html text extraction → compiled-spec validation →
+    verdict counts.  The spec bounds extracted text at 200 codepoints,
+    so the fixture's long docs (and the %97-corrupted extractions)
+    produce real violations; the oracle recomputes the verdict from
+    the source lengths."""
+    import os
+    import shutil
+
+    from peri_ray.sources.warc import read_warc, write_warc
+    from peri_ray.stages.web import extract_text_from_html
+    from peri_ray.validate import validate_dataset
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = ds.map_batches(_attach_html_fixture, batch_format="pyarrow")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/peri_warc_val_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_seg(t: pa.Table) -> pa.Table:
+        recs = []
+        ids = []
+        for r in t.to_pylist():
+            if r["html"] is None:
+                continue
+            ts = r["warc_ts"]
+            ts_us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
+                else int(ts)
+            recs.append((r["url"], ts_us, bytes(r["html"])))
+            ids.append(r["doc_id"])
+        if not recs:
+            return pa.table({"path": pa.array([], pa.string())})
+        path = f"{out_dir}/seg_{min(ids)}.warc.gz"
+        write_warc(recs, path, gzip_members=True)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = sorted(r["path"] for r in
+                   ds.map_batches(_write_seg,
+                                  batch_format="pyarrow").take_all())
+    pages = extract_text_from_html(read_warc(paths))
+    combined = validate_dataset(pages, {
+        "url": ("required", ("string", ("regex", "^https?://"))),
+        "extracted_text": ("required", ("string", ("max", 200))),
+    })
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        valid = t.column("valid").combine_chunks()
+        nv = int(pc.sum(pc.cast(pc.invert(valid), pa.int64())).as_py() or 0)
+        return pa.table({"rows": pa.array([len(t)], pa.int64()),
+                         "invalid": pa.array([nv], pa.int64())})
+
+    rows = invalid = 0
+    for r in combined.map_batches(_cnt, batch_format="pyarrow").iter_rows():
+        rows += int(r["rows"])
+        invalid += int(r["invalid"])
+    return pa.table({
+        "rows": pa.array([rows], pa.int64()),
+        "valid_rows": pa.array([rows - invalid], pa.int64()),
+        "invalid_rows": pa.array([invalid], pa.int64()),
+    })

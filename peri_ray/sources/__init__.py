@@ -585,3 +585,28 @@ def write_ipc(ds, out_dir: str):
 
     ds.map_batches(_write, batch_format="pyarrow").materialize()
     return out_dir
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_rows_per_file: int = 1_000_000,
+                    columns: list[str] | None = None) -> dict:
+    """Small-files compaction (the after-crawl hygiene op every layout
+    needs): read a parquet directory and rewrite it as
+    ``ceil(rows / target)`` right-sized shards.  Content-preserving —
+    no sort, no dedup — and streaming (the repartition is Ray's
+    all-to-all over blocks, payload crosses once).  Returns
+    {rows, files_in, files_out}."""
+    import math
+    import os
+
+    import ray.data as rd
+
+    files_in = sum(1 for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    ds = read_table(in_dir, columns=columns)
+    n = ds.count()
+    shards = max(1, math.ceil(n / target_rows_per_file))
+    ds = read_table(in_dir, columns=columns).repartition(shards)
+    ds.write_parquet(out_dir)
+    files_out = sum(1 for f in os.listdir(out_dir)
+                    if f.endswith(".parquet"))
+    return {"rows": n, "files_in": files_in, "files_out": files_out}

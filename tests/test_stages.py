@@ -5902,3 +5902,19 @@ class TestZoneMaps:
         assert got == want
         # fully-pruned predicate returns an empty Dataset, not an error
         assert read_zone_pruned(out, {"v": (1e9, 2e9)}).count() == 0
+
+
+class TestCompaction:
+    def test_compact_preserves_content(self, tmp_path):
+        from peri_ray.sources import compact_parquet, read_table
+
+        t = pa.table({"id": pa.array(range(5000), pa.int64()),
+                      "v": pa.array([i * 0.5 for i in range(5000)])})
+        src = str(tmp_path / "small")
+        rd.from_arrow(t).repartition(64).write_parquet(src)
+        out = str(tmp_path / "compact")
+        rep = compact_parquet(src, out, target_rows_per_file=2000)
+        assert rep["rows"] == 5000
+        assert rep["files_in"] >= 32 and rep["files_out"] <= 4
+        got = sorted(r["id"] for r in read_table(out).take_all())
+        assert got == list(range(5000))
