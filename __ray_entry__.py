@@ -2268,7 +2268,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100,
+                                  0) AS BIGINT)) AS revenue_cents
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey

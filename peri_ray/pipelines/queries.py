@@ -2644,20 +2644,26 @@ def revenue_by_nation(sf_dir: str):
                   ["l_extendedprice", "l_discount"], ["n_name"])
 
     def _part(t: pa.Table) -> pa.Table:
+        # integer cents end to end: per-row ROUND(rev*100) half-away is
+        # order-independent and the int64 sum is exact, so the result
+        # is identical at any partial-combine layout (the rounded-float
+        # sum this replaced was layout-sensitive near .005 boundaries)
         rev = pc.multiply(
             t.column("l_extendedprice").combine_chunks(),
             pc.subtract(pa.scalar(1.0), t.column("l_discount").combine_chunks()))
-        g = (pa.table({"n_name": t.column("n_name"), "rev": rev})
+        cents = pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"n_name": t.column("n_name"), "rev": cents})
              .group_by("n_name").aggregate([("rev", "sum")]))
         return g.rename_columns(["n_name", "rev"])
 
     merged = (pa.Table.from_pylist(
         j.map_batches(_part, batch_format="pyarrow").take_all(),
-        schema=pa.schema([("n_name", pa.string()), ("rev", pa.float64())]))
+        schema=pa.schema([("n_name", pa.string()), ("rev", pa.int64())]))
         .group_by("n_name").aggregate([("rev", "sum")]))
     return pa.table({
         "n_name": merged.column("n_name"),
-        "revenue": pc.round(merged.column("rev_sum"), ndigits=2),
+        "revenue_cents": merged.column("rev_sum"),
     })
 
 
