@@ -1193,7 +1193,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(l_quantity) AS null_count,
                    CAST(min(l_quantity) AS DOUBLE) AS min_v,
                    CAST(max(l_quantity) AS DOUBLE) AS max_v,
-                   ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_v
+                   sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_v
               FROM lineitem GROUP BY l_returnflag
             UNION ALL
             SELECT l_returnflag, 'l_extendedprice',
@@ -1201,7 +1201,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(l_extendedprice),
                    CAST(min(l_extendedprice) AS DOUBLE),
                    CAST(max(l_extendedprice) AS DOUBLE),
-                   ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2)
+                   sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
               FROM lineitem GROUP BY l_returnflag
         """,
         "top_sources_by_chars": (

@@ -3070,9 +3070,11 @@ def grouped_stats_lineitem(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_quantity", "l_extendedprice"])
-    t = grouped_stats(ds, "l_returnflag", ["l_quantity", "l_extendedprice"])
-    return t.set_column(
-        6, "sum_v", pc.round(t.column("sum_v"), ndigits=2))
+    # cents_sums: sum_v is an exact int64 SUM(ROUND(x*100)) — the
+    # rounded-float sum this replaced drifts with partial layout
+    return grouped_stats(ds, "l_returnflag",
+                         ["l_quantity", "l_extendedprice"],
+                         cents_sums=True)
 
 
 def value_histogram_events(sf_dir: str):

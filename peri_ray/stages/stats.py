@@ -940,16 +940,32 @@ class _GroupedStatsPartial:
     (group, column): ONE vectorized Arrow group_by per batch carrying
     all columns' aggregates, melted to long form over the tiny result."""
 
-    def __init__(self, key: str, columns: tuple[str, ...]):
+    def __init__(self, key: str, columns: tuple[str, ...],
+                 cents: bool = False):
         self.key = key
         self.columns = tuple(columns)
+        self.cents = cents
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.select([self.key, *self.columns])
         aggs = [("__one", "sum")]
         for c in self.columns:
-            aggs += [(c, "count"), (c, "min"), (c, "max"), (c, "sum")]
-        g = (t.select([self.key, *self.columns])
-             .append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+            aggs += [(c, "count"), (c, "min"), (c, "max")]
+            if self.cents:
+                # exact integer-cents sums: per-row ROUND(x*100)
+                # half-away then an int64 sum — identical at any
+                # partial layout (a float sum of ~1e9 magnitude
+                # drifts near .005 boundaries); min/max/count stay
+                # on the raw values
+                cents = pc.round(
+                    pc.multiply(t.column(c).cast(pa.float64()),
+                                pa.scalar(100.0)),
+                    round_mode="half_towards_infinity").cast(pa.int64())
+                t = t.append_column(f"__cents_{c}", cents)
+                aggs.append((f"__cents_{c}", "sum"))
+            else:
+                aggs.append((c, "sum"))
+        g = (t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
              .group_by(self.key).aggregate(aggs))
         keys = g.column(self.key).to_pylist()
         total = g.column("__one_sum").to_pylist()
@@ -959,7 +975,8 @@ class _GroupedStatsPartial:
             cnt = g.column(f"{c}_count").to_pylist()
             mn = g.column(f"{c}_min").to_pylist()
             mx = g.column(f"{c}_max").to_pylist()
-            sm = g.column(f"{c}_sum").to_pylist()
+            sm = g.column(f"__cents_{c}_sum" if self.cents
+                          else f"{c}_sum").to_pylist()
             out["key"] += keys
             out["column"] += [c] * len(keys)
             out["cnt"] += [int(x) for x in cnt]
@@ -979,15 +996,19 @@ class _GroupedStatsPartial:
 
 
 def grouped_stats(ds, key: str, columns: list[str],
-                  batch_size: int | None = 65536) -> pa.Table:
+                  batch_size: int | None = 65536,
+                  cents_sums: bool = False) -> pa.Table:
     """Per-group column statistics (count / nulls / min / max / sum) —
     GROUP BY with algebraic combiners.  Per-batch partials bounded by
     groups × columns per block, merged on the driver (the measured ~1 s
     fixed groupby-shuffle floor loses to a driver merge for
     small-cardinality keys; swap the merge for ``groupby(key, column)``
     when group cardinality approaches block counts).  Returns a long
-    pyarrow Table (key, column, cnt, null_count, min_v, max_v, sum_v)."""
-    partials = ds.map_batches(_GroupedStatsPartial(key, tuple(columns)),
+    pyarrow Table (key, column, cnt, null_count, min_v, max_v, sum_v).
+    ``cents_sums=True`` makes sum_v an exact int64 SUM(ROUND(x*100))
+    (order-independent — required for hash-compared money sums)."""
+    partials = ds.map_batches(_GroupedStatsPartial(key, tuple(columns),
+                                                   cents=cents_sums),
                               batch_format="pyarrow", batch_size=batch_size)
     acc: dict = {}
     for r in partials.iter_rows():
@@ -1005,6 +1026,12 @@ def grouped_stats(ds, key: str, columns: list[str],
             if r["sum_v"] is not None:
                 cur[4] = (cur[4] or 0.0) + r["sum_v"]
     ks = sorted(acc, key=lambda k: (str(k[0]), k[1]))
+    sum_vals = [acc[k][4] for k in ks]
+    if cents_sums:
+        sum_arr = pa.array([None if v is None else int(v)
+                            for v in sum_vals], pa.int64())
+    else:
+        sum_arr = pa.array(sum_vals, pa.float64())
     return pa.table({
         "key": pa.array([k[0] for k in ks]),
         "column": pa.array([k[1] for k in ks], pa.string()),
@@ -1012,7 +1039,7 @@ def grouped_stats(ds, key: str, columns: list[str],
         "null_count": pa.array([acc[k][1] for k in ks], pa.int64()),
         "min_v": pa.array([acc[k][2] for k in ks], pa.float64()),
         "max_v": pa.array([acc[k][3] for k in ks], pa.float64()),
-        "sum_v": pa.array([acc[k][4] for k in ks], pa.float64()),
+        "sum_v": sum_arr,
     })
 
 

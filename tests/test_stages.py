@@ -1983,6 +1983,24 @@ class TestGroupedStats:
         assert out[0]["cnt"] == 0 and out[0]["null_count"] == 2
         assert out[0]["min_v"] is None and out[0]["sum_v"] is None
 
+    def test_cents_sums_exact_int64(self):
+        from peri_ray.stages.stats import grouped_stats
+
+        # 0.125 is a dyadic .xx5 tie: half-away rounds to 13 cents
+        # (numpy/Arrow default half-even would give 12)
+        t = pa.table({
+            "g": ["a", "a", "b"],
+            "v": pa.array([0.125, 1.10, 2.00], pa.float64()),
+        })
+        out = grouped_stats(rd.from_arrow(t).repartition(2), "g", ["v"],
+                            cents_sums=True)
+        assert out.schema.field("sum_v").type == pa.int64()
+        rows = {r["key"]: r for r in out.to_pylist()}
+        assert rows["a"]["sum_v"] == 13 + 110
+        assert rows["b"]["sum_v"] == 200
+        # min/max stay on the raw (un-scaled) values
+        assert rows["a"]["min_v"] == 0.125 and rows["a"]["max_v"] == 1.10
+
 
 class TestNumericHistogram:
     def test_bins_merge_across_blocks(self):
