@@ -2351,7 +2351,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
                         ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
                    count(o_totalprice) AS cnt,
-                   CAST(ROUND(sum(o_totalprice) * 100, 0) AS BIGINT)
+                   sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                      AS sum_price_cents
               FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
                            o_totalprice FROM orders)
@@ -2363,7 +2363,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN GROUPING(yr) = 1 THEN 'ALL'
                         ELSE COALESCE(CAST(yr AS VARCHAR), 'NULL') END AS "year",
                    count(o_totalprice) AS cnt,
-                   CAST(ROUND(sum(o_totalprice) * 100, 0) AS BIGINT)
+                   sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                      AS sum_price_cents
               FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
                            o_totalprice FROM orders)

@@ -2495,21 +2495,25 @@ def rollup_orders(sf_dir: str):
                ["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def _yr(t: pa.Table) -> pa.Table:
+        # per-row integer cents: sums of exact integers < 2^53 are
+        # order-independent, unlike ROUND(float_sum * 100) which can
+        # land on a different cent per partial-combine layout
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice").combine_chunks(),
+                        pa.scalar(100.0)),
+            round_mode="half_towards_infinity")
         return pa.table({
             "o_orderstatus": t.column("o_orderstatus"),
             "yr": pc.year(t.column("o_orderdate").combine_chunks()),
-            "o_totalprice": t.column("o_totalprice"),
+            "o_totalprice": cents,
         })
 
     t = rollup_counts(ds.map_batches(_yr, batch_format="pyarrow"),
                       "o_orderstatus", "yr", "o_totalprice")
     t = t.rename_columns(["status", "year", "cnt", "sum_price_cents"])
-    # integer cents, not ROUND(x, 2): money sums sit ~1e-8 off integer
-    # cents, and Arrow's and DuckDB's 2-digit rounding land on
-    # DIFFERENT doubles there (seen at sf0.001) — int64 compares exact
+    # sums are already exact integer cents (see _yr); plain cast
     return t.set_column(3, "sum_price_cents",
-                        pc.round(pc.multiply(t.column("sum_price_cents"),
-                                             100.0)).cast(pa.int64()))
+                        t.column("sum_price_cents").cast(pa.int64()))
 
 
 def cube_orders(sf_dir: str):
@@ -2521,21 +2525,25 @@ def cube_orders(sf_dir: str):
                ["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def _yr(t: pa.Table) -> pa.Table:
+        # per-row integer cents: sums of exact integers < 2^53 are
+        # order-independent, unlike ROUND(float_sum * 100) which can
+        # land on a different cent per partial-combine layout
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice").combine_chunks(),
+                        pa.scalar(100.0)),
+            round_mode="half_towards_infinity")
         return pa.table({
             "o_orderstatus": t.column("o_orderstatus"),
             "yr": pc.year(t.column("o_orderdate").combine_chunks()),
-            "o_totalprice": t.column("o_totalprice"),
+            "o_totalprice": cents,
         })
 
     t = cube_counts(ds.map_batches(_yr, batch_format="pyarrow"),
                     "o_orderstatus", "yr", "o_totalprice")
     t = t.rename_columns(["status", "year", "cnt", "sum_price_cents"])
-    # integer cents, not ROUND(x, 2): money sums sit ~1e-8 off integer
-    # cents, and Arrow's and DuckDB's 2-digit rounding land on
-    # DIFFERENT doubles there (seen at sf0.001) — int64 compares exact
+    # sums are already exact integer cents (see _yr); plain cast
     return t.set_column(3, "sum_price_cents",
-                        pc.round(pc.multiply(t.column("sum_price_cents"),
-                                             100.0)).cast(pa.int64()))
+                        t.column("sum_price_cents").cast(pa.int64()))
 
 
 def clicked_and_viewed(sf_dir: str):
