@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.token_counts,
         "embedding_dims": q.embedding_dims,
         "jaccard_join_pairs": q.jaccard_join_pairs,
+        "decontamination_pairs": q.decontamination_pairs,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -1901,6 +1902,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
               FROM inter JOIN sz na ON inter.id_a = na.doc_id
                          JOIN sz nb ON inter.id_b = nb.doc_id
+             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        """,
+        # bipartite (R-S) exact similarity join — brute-force cross
+        # twin, quadratic: gate SFs only (harness skips it at sf0.1)
+        "decontamination_pairs": """
+            WITH tr AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            ev0 AS (
+              SELECT doc_id, text || ' eval suffix' AS text
+                FROM documents WHERE doc_id % 13 = 0 AND text IS NOT NULL
+            ),
+            ev AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM ev0
+            ),
+            sht AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM tr)
+            ),
+            she AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM ev)
+            ),
+            szt AS (SELECT doc_id, count(*) AS n FROM sht GROUP BY doc_id),
+            sze AS (SELECT doc_id, count(*) AS n FROM she GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                     count(*) AS c
+                FROM sht a JOIN she b ON a.s = b.s GROUP BY 1, 2
+            )
+            SELECT train_id, eval_id,
+                   ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+              FROM inter JOIN szt na ON inter.train_id = na.doc_id
+                         JOIN sze nb ON inter.eval_id = nb.doc_id
              WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         """,
         "embedding_dims": (

@@ -2451,6 +2451,51 @@ def corr_lineitem(sf_dir: str):
     return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def decontamination_pairs(sf_dir: str):
+    """Similarity-level train/eval decontamination: EXACT bipartite
+    word-bigram Jaccard join (threshold 0.8) between the training
+    corpus and a derived eval set — every (train_id, eval_id) pair an
+    eval doc is near-dup-contaminated by.  The eval side is documents
+    with doc_id % 13 == 0 plus a two-token suffix (mirrored in SQL),
+    so long docs qualify through their own source (J = n/(n+2)) and
+    short ones fall below the cut — recall of the prefix filter is
+    oracle-checked, not just precision.  Same-side near-dups (the
+    corpus's exact-dup families) must NOT appear: the R-S join forms
+    cross pairs only."""
+    from peri_ray.stages.dedup import jaccard_similarity_join_bipartite
+
+    train = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _eval_slice_batch, batch_format="pyarrow")
+    pairs = jaccard_similarity_join_bipartite(train, ev, threshold=0.8)
+    t = _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                   ("id_b", pa.int64()),
+                                   ("jaccard", pa.float64())]))
+    return pa.table({
+        "train_id": t.column("id_a"),
+        "eval_id": t.column("id_b"),
+        "jaccard": pc.round(t.column("jaccard"), ndigits=6,
+                            round_mode="half_towards_infinity"),
+    })
+
+
+def _eval_slice_batch(t: pa.Table) -> pa.Table:
+    """Deterministic 'eval set' for the decontamination oracle: docs
+    with doc_id % 13 == 0, non-null text, suffixed ' eval suffix'
+    (mirrored verbatim in the SQL twin)."""
+    ids = t.column("doc_id").combine_chunks()
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    idn = ids.to_numpy(zero_copy_only=False)
+    keep = pc.and_(pa.array(idn % 13 == 0), pc.is_valid(txt))
+    sub = pa.table({"doc_id": ids, "text": txt}).filter(keep)
+    new_txt = pc.binary_join_element_wise(
+        sub.column("text").combine_chunks(),
+        pa.array(["eval suffix"] * sub.num_rows), " ")
+    return pa.table({"doc_id": sub.column("doc_id"), "text": new_txt})
+
+
 def jaccard_join_pairs(sf_dir: str):
     """EXACT word-bigram Jaccard self-join at threshold 0.8 — the
     n-gram-Jaccard dedup family member with a completeness guarantee

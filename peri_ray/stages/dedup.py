@@ -1685,6 +1685,120 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
                              coalesce_rows=16384)
 
 
+#: right-side ids are shifted above every plausible left id so one
+#: union dataset carries both corpora through the shared prefix/verify
+#: machinery without key collisions (ids are int64; 2^40 leaves room
+#: for 10^12-row corpora on the left and offset+10^12 on the right)
+BIPARTITE_ID_OFFSET = 1 << 40
+
+
+def jaccard_similarity_join_bipartite(left_ds, right_ds,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      threshold: float = 0.6,
+                                      n_buckets: int = 64,
+                                      batch_size: int | None = 8192,
+                                      max_rank_terms: int | None = 1_000_000):
+    """EXACT R-S (bipartite) word-bigram Jaccard join: every
+    (left_id, right_id) pair with J >= ``threshold`` — the cross-corpus
+    form of :func:`jaccard_similarity_join` (Vernica et al., SIGMOD'10
+    set-similarity R-S join).  The canonical use is similarity-level
+    train/eval decontamination and new-crawl-vs-indexed-corpus
+    near-dedup, where the two sides are different tables and same-side
+    pairs must NOT be reported.
+
+    Same completeness argument as the self-join: both sides emit
+    prefixes under ONE global rank order (DF computed over the union),
+    so any qualifying cross pair shares an emitted token; the size and
+    PPJoin positional filters are side-agnostic; candidates are
+    exact-verified, never trusted.  Right ids ride the exchanges
+    shifted by :data:`BIPARTITE_ID_OFFSET` (left ids must stay below
+    it — raises otherwise) and are un-shifted in the result.
+
+    Scale shape is the self-join's: only (rank, id, size) ints cross
+    the candidate exchanges, text/reps cross verify's bounded-
+    replication exchange once, and per-rank work is
+    O(|left posting| x |right posting|) — strictly less than the
+    self-join's O((l+r) choose 2) on the same union."""
+    off = BIPARTITE_ID_OFFSET
+
+    def _side(shift: bool):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks().cast(pa.int64())
+            if pc.max(ids).as_py() is not None and \
+                    pc.max(ids).as_py() >= off:
+                raise ValueError(
+                    f"{id_col} >= BIPARTITE_ID_OFFSET ({off}); raise the "
+                    "offset for this id space")
+            if shift:
+                ids = pc.add(ids, pa.scalar(off, pa.int64()))
+            return pa.table({id_col: ids, text_col: t.column(text_col)})
+        return _m
+
+    union = (left_ds.map_batches(_side(False), batch_format="pyarrow")
+             .union(right_ds.map_batches(_side(True),
+                                         batch_format="pyarrow")))
+
+    import ray
+
+    df_partials = union.map_batches(_BigramDFPartial(text_col),
+                                    batch_format="pyarrow",
+                                    batch_size=batch_size)
+    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
+    if max_rank_terms is not None:
+        totals = totals.sort("df", descending=True).limit(max_rank_terms)
+    rows = totals.take_all()
+    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
+    base = _PrefixEmit.RANK_BASE
+    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
+    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
+    order = np.argsort(th)
+    rank_ref = ray.put((th[order], ranks[order]))
+
+    prefix = union.map_batches(
+        _PrefixEmit(text_col, id_col, threshold, rank_ref),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def _cands(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("size").to_numpy(zero_copy_only=False)
+        ps = group.column("pos").to_numpy(zero_copy_only=False)
+        out = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+        li = np.flatnonzero(ids < off)
+        ri = np.flatnonzero(ids >= off)
+        if len(li) == 0 or len(ri) == 0:
+            return out.empty_table()
+        # cross product left x right only — same-side pairs never form
+        iu = np.repeat(li, len(ri))
+        ju = np.tile(ri, len(li))
+        na, nb = sz[iu], sz[ju]
+        # identical slack rules to the self-join: bounds may only ADMIT
+        # extra candidates (exact verify absorbs them), never tighten
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-6
+        ub = 1 + np.minimum(na - 1 - ps[iu], nb - 1 - ps[ju])
+        need = np.ceil((threshold / (1.0 + threshold)) * (na + nb) - 1e-6)
+        keep &= ub >= need
+        return pa.table({"id_a": pa.array(ids[iu][keep]),
+                         "id_b": pa.array(ids[ju][keep])})
+
+    cands = dedupe_pairs(
+        per_group_via_buckets(prefix, ["term_rank"], _cands,
+                              n_buckets=n_buckets, coalesce_rows=1024),
+        n_buckets=n_buckets)
+    scored = verify_candidates(union, cands, text_col, id_col,
+                               threshold=threshold, n_buckets=n_buckets,
+                               metric=TokenBigramJaccard(),
+                               coalesce_rows=16384)
+
+    def _unshift(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("id_b"), "id_b",
+            pc.subtract(t.column("id_b").combine_chunks(),
+                        pa.scalar(off, pa.int64())))
+
+    return scored.map_batches(_unshift, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (word n-gram overlap vs a broadcast set)
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ def compare(name, got, want) -> list[str]:
 # sf0.001/sf0.01.
 QUADRATIC_ORACLES = {
     "jaccard_join_pairs",
+    "decontamination_pairs",
     "minhash_near_dup_pairs",
     "near_dedup_victims",
     "near_dedup_victims_distributed",

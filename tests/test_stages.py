@@ -2122,6 +2122,96 @@ class TestJaccardSimilarityJoin:
         assert self._run(docs, 0.9) == self._brute(docs, 0.9)
 
 
+class TestJaccardJoinBipartite:
+    """Cross-corpus (R-S) exact similarity join
+    (dedup.jaccard_similarity_join_bipartite): recall/precision vs a
+    brute-force cross join, and NO same-side pairs."""
+
+    @staticmethod
+    def _brute_cross(left, right, threshold):
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def s(x):
+            tk = ws.split(x.strip())
+            return {a + " " + b for a, b in zip(tk, tk[1:])}
+
+        out = []
+        for la, ta in left:
+            if ta is None or not s(ta):
+                continue
+            for rb, tb in right:
+                if tb is None or not s(tb):
+                    continue
+                j = len(s(ta) & s(tb)) / len(s(ta) | s(tb))
+                if j >= threshold:
+                    out.append((la, rb, round(j, 6)))
+        return sorted(out)
+
+    @staticmethod
+    def _run(left, right, threshold):
+        from peri_ray.stages.dedup import jaccard_similarity_join_bipartite
+
+        def mk(docs):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }))
+
+        got = jaccard_similarity_join_bipartite(mk(left), mk(right),
+                                                threshold=threshold)
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                      for r in got.take_all())
+
+    def test_cross_pairs_match_brute_force_no_same_side(self):
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(10)]
+        left = [(i, " ".join(rng.choice(vocab, int(rng.integers(5, 25)))))
+                for i in range(40)]
+        # same-side near-dups on the LEFT: must never be reported
+        left.append((90, left[0][1]))
+        left.append((91, left[0][1] + " w0"))
+        # right side: copies of some left docs (cross hits), fresh docs
+        right = [(200 + i, left[i][1]) for i in (2, 7, 11)]
+        right += [(300, right[0][1])]  # same-side dup on the RIGHT
+        right += [(400 + i,
+                   " ".join(rng.choice(vocab, int(rng.integers(5, 25)))))
+                  for i in range(20)]
+        got = self._run(left, right, 0.6)
+        want = self._brute_cross(left, right, 0.6)
+        assert got == want
+        # the planted cross copies are found…
+        assert all(any(g[0] == i and g[1] == 200 + i for g in got)
+                   for i in (2, 7, 11))
+        # …and ids in each output column come from the right side space
+        assert all(a < 200 and b >= 200 for a, b, _ in got)
+
+    def test_id_offset_guard_raises(self):
+        import pytest as _pt
+
+        from peri_ray.stages.dedup import (BIPARTITE_ID_OFFSET,
+                                           jaccard_similarity_join_bipartite)
+
+        big = rd.from_arrow(pa.table({
+            "doc_id": pa.array([BIPARTITE_ID_OFFSET + 1], pa.int64()),
+            "text": pa.array(["alpha beta gamma"], pa.string()),
+        }))
+        ok = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["alpha beta gamma"], pa.string()),
+        }))
+        with _pt.raises(Exception):
+            jaccard_similarity_join_bipartite(big, ok).take_all()
+
+    def test_degenerate_sides(self):
+        # empty/null/no-bigram docs on either side never pair
+        left = [(1, "alpha beta gamma delta epsilon"), (2, None), (3, "x")]
+        right = [(10, "alpha beta gamma delta epsilon"), (11, ""), (12, "   ")]
+        got = self._run(left, right, 0.8)
+        assert got == [(1, 10, 1.0)]
+
+
 class TestInterarrival:
     def test_gaps_vs_brute(self):
         from peri_ray.stages.temporal import interarrival_stats
