@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dims": q.embedding_dims,
         "jaccard_join_pairs": q.jaccard_join_pairs,
         "decontamination_pairs": q.decontamination_pairs,
+        "incremental_near_dedup_recrawl": q.incremental_near_dedup_recrawl,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -1903,6 +1904,63 @@ def oracle_sql() -> dict[str, str]:
               FROM inter JOIN sz na ON inter.id_a = na.doc_id
                          JOIN sz nb ON inter.id_b = nb.doc_id
              WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        """,
+        # bipartite join, aggregated per new page: incremental
+        # near-dedup of a recrawl vs the base corpus (quadratic twin,
+        # gate SFs only)
+        "incremental_near_dedup_recrawl": """
+            WITH nw0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page'
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            tr AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            nw AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM nw0 WHERE text IS NOT NULL
+            ),
+            sht AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM tr)
+            ),
+            shn AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM nw)
+            ),
+            szt AS (SELECT doc_id, count(*) AS n FROM sht GROUP BY doc_id),
+            szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS base_id, b.doc_id AS new_id,
+                     count(*) * 1.0 /
+                       (min(na.n) + min(nb.n) - count(*)) AS j
+                FROM sht a JOIN shn b ON a.s = b.s
+                JOIN szt na ON na.doc_id = a.doc_id
+                JOIN szn nb ON nb.doc_id = b.doc_id
+               GROUP BY 1, 2
+              HAVING count(*) * 1.0 /
+                     (min(na.n) + min(nb.n) - count(*)) >= 0.8
+            ),
+            sel AS (
+              SELECT new_id, base_id, j,
+                     max(j) OVER (PARTITION BY new_id) AS mx
+                FROM pairs
+            )
+            SELECT new_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   ROUND(max(j), 6) AS best_jaccard,
+                   min(base_id) FILTER (WHERE j = mx) AS dup_of
+              FROM sel GROUP BY new_id
         """,
         # bipartite (R-S) exact similarity join — brute-force cross
         # twin, quadratic: gate SFs only (harness skips it at sf0.1)

@@ -2479,6 +2479,47 @@ def decontamination_pairs(sf_dir: str):
     })
 
 
+def incremental_near_dedup_recrawl(sf_dir: str):
+    """Incremental NEAR-dedup of a new crawl against the indexed base
+    corpus (the production shape: dedupe the delta without
+    re-processing 100 TB): the bipartite exact similarity join flags
+    every recrawled page whose text is a word-bigram near-dup
+    (J >= 0.8) of SOME base page.  One row per flagged new page:
+    (doc_id, n_matches, best_jaccard, dup_of = min base id among the
+    best-jaccard matches — deterministic under ties).  Exact-dup
+    recrawls (unchanged pages) land at J = 1; 'updated' pages qualify
+    only when long enough — the same recall-is-oracle-checked property
+    as decontamination_pairs."""
+    from peri_ray.stages.dedup import jaccard_similarity_join_bipartite
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl_batch, batch_format="pyarrow")
+    pairs = jaccard_similarity_join_bipartite(base, new, threshold=0.8)
+    t = _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                   ("id_b", pa.int64()),
+                                   ("jaccard", pa.float64())]))
+    # per-new-doc verdict (tiny: bounded by flagged pairs)
+    g = (t.group_by("id_b")
+         .aggregate([("jaccard", "max"), ("id_a", "count")]))
+    best = {r["id_b"]: r["jaccard_max"] for r in g.to_pylist()}
+    nm = {r["id_b"]: r["id_a_count"] for r in g.to_pylist()}
+    dup_of: dict[int, int] = {}
+    for r in t.to_pylist():
+        if r["jaccard"] == best[r["id_b"]]:
+            cur = dup_of.get(r["id_b"])
+            dup_of[r["id_b"]] = r["id_a"] if cur is None else min(cur, r["id_a"])
+    ids = sorted(best)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_matches": pa.array([nm[i] for i in ids], pa.int64()),
+        "best_jaccard": pc.round(
+            pa.array([best[i] for i in ids], pa.float64()), ndigits=6,
+            round_mode="half_towards_infinity"),
+        "dup_of": pa.array([dup_of[i] for i in ids], pa.int64()),
+    })
+
+
 def _eval_slice_batch(t: pa.Table) -> pa.Table:
     """Deterministic 'eval set' for the decontamination oracle: docs
     with doc_id % 13 == 0, non-null text, suffixed ' eval suffix'

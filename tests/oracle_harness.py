@@ -62,6 +62,7 @@ def compare(name, got, want) -> list[str]:
 QUADRATIC_ORACLES = {
     "jaccard_join_pairs",
     "decontamination_pairs",
+    "incremental_near_dedup_recrawl",
     "minhash_near_dup_pairs",
     "near_dedup_victims",
     "near_dedup_victims_distributed",
