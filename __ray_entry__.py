@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_pairs": q.jaccard_join_pairs,
         "decontamination_pairs": q.decontamination_pairs,
         "incremental_near_dedup_recrawl": q.incremental_near_dedup_recrawl,
+        "quote_containment_pairs": q.quote_containment_pairs,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -1904,6 +1905,44 @@ def oracle_sql() -> dict[str, str]:
               FROM inter JOIN sz na ON inter.id_a = na.doc_id
                          JOIN sz nb ON inter.id_b = nb.doc_id
              WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        """,
+        # asymmetric containment join — brute cross twin (quadratic,
+        # gate SFs only)
+        "quote_containment_pairs": """
+            WITH fr0 AS (
+              SELECT doc_id,
+                     array_to_string(
+                       (regexp_split_to_array(trim(text), '\\s+'))[1:8],
+                       ' ') AS text
+                FROM documents WHERE doc_id % 19 = 0 AND text IS NOT NULL
+            ),
+            fr AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM fr0
+            ),
+            co AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            shf AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM fr)
+            ),
+            shc AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS s
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                        FROM co)
+            ),
+            szf AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id)
+            SELECT a.doc_id AS frag_id, b.doc_id AS doc_id,
+                   ROUND(count(*) * 1.0 / min(nf.n), 6) AS containment
+              FROM shf a JOIN shc b ON a.s = b.s
+              JOIN szf nf ON nf.doc_id = a.doc_id
+             GROUP BY 1, 2
+            HAVING count(*) * 1.0 / min(nf.n) >= 0.9
         """,
         # bipartite join, aggregated per new page: incremental
         # near-dedup of a recrawl vs the base corpus (quadratic twin,

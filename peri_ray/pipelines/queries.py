@@ -2520,6 +2520,50 @@ def incremental_near_dedup_recrawl(sf_dir: str):
     })
 
 
+def quote_containment_pairs(sf_dir: str):
+    """Quote / doc-in-doc detection: asymmetric containment join
+    between derived fragments (first 8 tokens of every 19th doc —
+    SQL-mirrored) and the full corpus at C >= 0.9.  A fragment's
+    bigrams are a subset of its source's, so every fragment is found
+    in its source at C = 1.0 (guaranteed positives); additional hits
+    are genuine cross-doc quotes under the small synthetic vocabulary.
+    Exact — the prefix filter's recall is oracle-checked."""
+    from peri_ray.stages.dedup import containment_join_bipartite
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    frags = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fragment_slice_batch, batch_format="pyarrow")
+    pairs = containment_join_bipartite(frags, corpus, threshold=0.9)
+    t = _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                   ("id_b", pa.int64()),
+                                   ("jaccard", pa.float64())]))
+    return pa.table({
+        "frag_id": t.column("id_a"),
+        "doc_id": t.column("id_b"),
+        "containment": pc.round(t.column("jaccard"), ndigits=6,
+                                round_mode="half_towards_infinity"),
+    })
+
+
+def _fragment_slice_batch(t: pa.Table) -> pa.Table:
+    """Deterministic fragments for the containment oracle: docs with
+    doc_id % 19 == 0, non-null text, first 8 whitespace tokens joined
+    by a single space (mirrored verbatim in the SQL twin)."""
+    ids = t.column("doc_id").combine_chunks()
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    idn = ids.to_numpy(zero_copy_only=False)
+    keep = pc.and_(pa.array(idn % 19 == 0), pc.is_valid(txt))
+    sub = pa.table({"doc_id": ids, "text": txt}).filter(keep)
+    # ASCII \s class spelled out (Arrow RE2 parity with SQL '\s+')
+    parts = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(sub.column("text").combine_chunks()),
+        r"[\t\n\f\r ]+")
+    frag = pc.binary_join(pc.list_slice(parts, 0, 8), " ")
+    return pa.table({"doc_id": sub.column("doc_id"), "text": frag})
+
+
 def _eval_slice_batch(t: pa.Table) -> pa.Table:
     """Deterministic 'eval set' for the decontamination oracle: docs
     with doc_id % 13 == 0, non-null text, suffixed ' eval suffix'

@@ -1799,6 +1799,137 @@ def jaccard_similarity_join_bipartite(left_ds, right_ds,
     return scored.map_batches(_unshift, batch_format="pyarrow")
 
 
+class TokenBigramContainment:
+    """Asymmetric containment C(A in B) = |A ∩ B| / |A| over distinct
+    word-bigram sets — the quote / doc-in-doc metric.  Argument order
+    matters: the FIRST side is the contained fragment.  Same
+    prepare/prepare_arrow protocol as :class:`TokenBigramJaccard`
+    (sorted distinct bigram hashes ship through the exchange once per
+    doc)."""
+
+    prepare = staticmethod(TokenBigramJaccard.prepare)
+    prepare_arrow = staticmethod(TokenBigramJaccard.prepare_arrow)
+
+    @staticmethod
+    def sim(sa: frozenset, sb: frozenset) -> float:
+        if not sa:
+            return 0.0
+        return len(sa & sb) / len(sa)
+
+    def __call__(self, a: str, b: str) -> float:
+        return self.sim(self.prepare(a), self.prepare(b))
+
+    @staticmethod
+    def sim_prepared(a: bytes | None, b: bytes | None) -> float:
+        xa = np.frombuffer(a or b"", np.uint64)
+        xb = np.frombuffer(b or b"", np.uint64)
+        if xa.size == 0:
+            return 0.0
+        inter = np.intersect1d(xa, xb, assume_unique=True).size
+        return inter / xa.size
+
+
+def containment_join_bipartite(frag_ds, corpus_ds,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               threshold: float = 0.9,
+                               n_buckets: int = 64,
+                               batch_size: int | None = 8192,
+                               max_rank_terms: int | None = 1_000_000):
+    """EXACT asymmetric containment join: every (frag_id, corpus_id)
+    pair with C(frag in corpus) = |bigrams(frag) ∩ bigrams(corpus)| /
+    |bigrams(frag)| >= ``threshold`` — quote detection, partial-scrape
+    attribution, doc-in-doc discovery.
+
+    Prefix filtering is one-sided (the indexed-probe formulation):
+    C >= t needs overlap >= ceil(t·|A|), so a fragment A missing every
+    token of its (|A| - ceil(t·|A|) + 1)-rarest prefix cannot qualify —
+    the corpus side has NO size upper bound and must post ALL its
+    tokens (``_PrefixEmit`` with threshold 0).  The only size filter is
+    |B| >= t·|A| (slack-padded; the exact verify absorbs extras).  The
+    corpus-side full posting is the inherent cost of containment —
+    rank-ordering still routes each fragment to its RAREST bigrams'
+    lists, so per-fragment candidates ~ df(rarest bigram), not corpus
+    size.  Ids/offsets/verify as in
+    :func:`jaccard_similarity_join_bipartite`."""
+    import ray
+
+    off = BIPARTITE_ID_OFFSET
+
+    def _side(shift: bool):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks().cast(pa.int64())
+            if pc.max(ids).as_py() is not None and \
+                    pc.max(ids).as_py() >= off:
+                raise ValueError(
+                    f"{id_col} >= BIPARTITE_ID_OFFSET ({off}); raise the "
+                    "offset for this id space")
+            if shift:
+                ids = pc.add(ids, pa.scalar(off, pa.int64()))
+            return pa.table({id_col: ids, text_col: t.column(text_col)})
+        return _m
+
+    frags = frag_ds.map_batches(_side(False), batch_format="pyarrow")
+    corpus = corpus_ds.map_batches(_side(True), batch_format="pyarrow")
+    union = frags.union(corpus)
+
+    df_partials = union.map_batches(_BigramDFPartial(text_col),
+                                    batch_format="pyarrow",
+                                    batch_size=batch_size)
+    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
+    if max_rank_terms is not None:
+        totals = totals.sort("df", descending=True).limit(max_rank_terms)
+    rows = totals.take_all()
+    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
+    base = _PrefixEmit.RANK_BASE
+    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
+    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
+    order = np.argsort(th)
+    rank_ref = ray.put((th[order], ranks[order]))
+
+    # one-sided pruning: fragments emit their containment prefix,
+    # the corpus posts every distinct bigram (threshold 0 ⇒ prefix = n)
+    prefix = (frags.map_batches(
+        _PrefixEmit(text_col, id_col, threshold, rank_ref),
+        batch_format="pyarrow", batch_size=batch_size)
+        .union(corpus.map_batches(
+            _PrefixEmit(text_col, id_col, 0.0, rank_ref),
+            batch_format="pyarrow", batch_size=batch_size)))
+
+    def _cands(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("size").to_numpy(zero_copy_only=False)
+        out = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+        li = np.flatnonzero(ids < off)
+        ri = np.flatnonzero(ids >= off)
+        if len(li) == 0 or len(ri) == 0:
+            return out.empty_table()
+        iu = np.repeat(li, len(ri))
+        ju = np.tile(ri, len(li))
+        na, nb = sz[iu], sz[ju]
+        # overlap >= ceil(t·na) forces |B| >= t·na; slack only ADMITS
+        keep = nb >= threshold * na - 1e-6
+        return pa.table({"id_a": pa.array(ids[iu][keep]),
+                         "id_b": pa.array(ids[ju][keep])})
+
+    cands = dedupe_pairs(
+        per_group_via_buckets(prefix, ["term_rank"], _cands,
+                              n_buckets=n_buckets, coalesce_rows=1024),
+        n_buckets=n_buckets)
+    scored = verify_candidates(union, cands, text_col, id_col,
+                               threshold=threshold, n_buckets=n_buckets,
+                               metric=TokenBigramContainment(),
+                               coalesce_rows=16384)
+
+    def _unshift(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("id_b"), "id_b",
+            pc.subtract(t.column("id_b").combine_chunks(),
+                        pa.scalar(off, pa.int64())))
+
+    return scored.map_batches(_unshift, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (word n-gram overlap vs a broadcast set)
 # ---------------------------------------------------------------------------

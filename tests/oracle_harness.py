@@ -63,6 +63,7 @@ QUADRATIC_ORACLES = {
     "jaccard_join_pairs",
     "decontamination_pairs",
     "incremental_near_dedup_recrawl",
+    "quote_containment_pairs",
     "minhash_near_dup_pairs",
     "near_dedup_victims",
     "near_dedup_victims_distributed",

@@ -2212,6 +2212,72 @@ class TestJaccardJoinBipartite:
         assert got == [(1, 10, 1.0)]
 
 
+class TestContainmentJoinBipartite:
+    """Asymmetric containment join (dedup.containment_join_bipartite):
+    C(frag in doc) = |∩| / |frag bigrams| vs brute force."""
+
+    @staticmethod
+    def _brute(frags, corpus, threshold):
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def s(x):
+            tk = ws.split(x.strip())
+            return {a + " " + b for a, b in zip(tk, tk[1:])}
+
+        out = []
+        for fa, ta in frags:
+            if ta is None or not s(ta):
+                continue
+            for cb, tb in corpus:
+                if tb is None or not s(tb):
+                    continue
+                c = len(s(ta) & s(tb)) / len(s(ta))
+                if c >= threshold:
+                    out.append((fa, cb, round(c, 6)))
+        return sorted(out)
+
+    @staticmethod
+    def _run(frags, corpus, threshold):
+        from peri_ray.stages.dedup import containment_join_bipartite
+
+        def mk(docs):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }))
+
+        got = containment_join_bipartite(mk(frags), mk(corpus),
+                                         threshold=threshold)
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                      for r in got.take_all())
+
+    def test_fragments_found_in_containers_vs_brute(self):
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(10)]
+        corpus = [(100 + i,
+                   " ".join(rng.choice(vocab, int(rng.integers(10, 40)))))
+                  for i in range(30)]
+        # fragments: leading slices of some docs (containment 1.0 in
+        # their source), plus random fragments
+        frags = [(i, " ".join(corpus[i][1].split()[:6])) for i in (0, 5, 9)]
+        frags += [(50, " ".join(rng.choice(vocab, 5))), (51, None), (52, "x")]
+        got = self._run(frags, corpus, 0.9)
+        want = self._brute(frags, corpus, 0.9)
+        assert got == want
+        # every sliced fragment is found in its own source at C = 1.0
+        assert all(any(g == (i, 100 + i, 1.0) for g in got) for i in (0, 5, 9))
+
+    def test_asymmetry(self):
+        # frag ⊂ doc gives 1.0; the REVERSE direction must not qualify
+        frags = [(1, "a b c")]
+        corpus = [(10, "a b c d e f g h i j k")]
+        assert self._run(frags, corpus, 0.9) == [(1, 10, 1.0)]
+        got_rev = self._run([(2, corpus[0][1])], [(20, frags[0][1])], 0.9)
+        assert got_rev == []
+
+
 class TestInterarrival:
     def test_gaps_vs_brute(self):
         from peri_ray.stages.temporal import interarrival_stats
