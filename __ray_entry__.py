@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_pairs": q.decontamination_pairs,
         "incremental_near_dedup_recrawl": q.incremental_near_dedup_recrawl,
         "quote_containment_pairs": q.quote_containment_pairs,
+        "semantic_decontamination_pairs": q.semantic_decontamination_pairs,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -1905,6 +1906,30 @@ def oracle_sql() -> dict[str, str]:
               FROM inter JOIN sz na ON inter.id_a = na.doc_id
                          JOIN sz nb ON inter.id_b = nb.doc_id
              WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        """,
+        # bipartite cosine join — brute cross twin (quadratic, gate
+        # SFs only)
+        "semantic_decontamination_pairs": """
+            WITH tr AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            ev AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) + 0.05) AS v
+                FROM embeddings
+               WHERE vec_id % 13 = 0 AND embedding IS NOT NULL
+            )
+            SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM tr a CROSS JOIN ev b
+             WHERE ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
         """,
         # asymmetric containment join — brute cross twin (quadratic,
         # gate SFs only)

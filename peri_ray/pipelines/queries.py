@@ -2545,6 +2545,44 @@ def quote_containment_pairs(sf_dir: str):
     })
 
 
+def semantic_decontamination_pairs(sf_dir: str):
+    """Embedding-space train/eval decontamination: exact bipartite
+    cosine join (threshold 0.8, rounded-6) between the corpus
+    embeddings and a derived eval set (vec_id % 13 == 0 with +0.05 on
+    every dimension — SQL-mirrored).  Measured on this table the
+    derived vectors sit at cos ≈ 0.92 against their sources while the
+    background cross-cosine tops out ≈ 0.45, so the pair set is exactly
+    the contamination and far from the round boundary."""
+    from peri_ray.stages.similarity import cosine_join_bipartite
+
+    train = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _ev(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        vec = t.column("embedding").combine_chunks()
+        keep = pc.and_(pa.array(idn % 13 == 0), pc.is_valid(vec))
+        sub = pa.table({"vec_id": ids, "embedding": vec}).filter(keep)
+        import numpy as np
+
+        from peri_ray.stages.similarity import _as_matrix
+
+        m = _as_matrix(sub.column("embedding"), np.float64) + 0.05
+        return pa.table({"vec_id": sub.column("vec_id"),
+                         "embedding": pa.array(list(m),
+                                               pa.list_(pa.float64()))})
+
+    ev = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _ev, batch_format="pyarrow")
+    pairs = cosine_join_bipartite(train, ev, threshold=0.8)
+    t = _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                   ("id_b", pa.int64()),
+                                   ("cos", pa.float64())]))
+    return pa.table({"train_id": t.column("id_a"),
+                     "eval_id": t.column("id_b"),
+                     "cos": t.column("cos")})
+
+
 def _fragment_slice_batch(t: pa.Table) -> pa.Table:
     """Deterministic fragments for the containment oracle: docs with
     doc_id % 19 == 0, non-null text, first 8 whitespace tokens joined

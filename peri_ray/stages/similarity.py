@@ -620,6 +620,104 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
     return out.materialize()
 
 
+class _BlockPairJoinBipartite:
+    """Cross-corpus variant of :class:`_BlockPairJoin`: block ``i``
+    comes from the LEFT ref list, ``j`` from the RIGHT — every (i, j)
+    cell of the grid, no triangle masking, (id_a=left, id_b=right)."""
+
+    def __init__(self, left_refs, right_refs, id_col: str,
+                 threshold: float, round_to: int):
+        self.refs = (left_refs, right_refs)
+        self.id_col = id_col
+        self.threshold = threshold
+        self.round_to = round_to
+        self._cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, side: int, i: int):
+        got = self._cache.get((side, i))
+        if got is None:
+            import ray
+
+            tbl = ray.get(self.refs[side][i])
+            got = (_as_matrix(tbl.column("row"), np.float64),
+                   tbl.column(self.id_col).to_numpy(
+                       zero_copy_only=False).astype(np.int64))
+            self._cache[(side, i)] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
+            xi, ida = self._block(0, i)
+            xj, idb = self._block(1, j)
+            s = np.round(xi @ xj.T, self.round_to)
+            r, c = np.nonzero(s >= self.threshold)
+            if len(r) == 0:
+                continue
+            out_a.append(ida[r])
+            out_b.append(idb[c])
+            out_c.append(s[r, c])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "cos": pa.array(np.concatenate(out_c), pa.float64())})
+
+
+def cosine_join_bipartite(left_ds, right_ds, threshold: float,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          max_block_rows: int = 65536, round_to: int = 6):
+    """EXACT cross-corpus cosine-threshold join: all (left_id,
+    right_id) with ``round(cos, round_to) >= threshold`` — the
+    semantic (embedding-space) counterpart of the bipartite bigram
+    join: train/eval decontamination, new-batch-vs-corpus near-dedup.
+
+    Same staging as :func:`cosine_similarity_join` (normalized float64
+    blocks in the object store, per-actor block cache, matrices never
+    broadcast whole or shuffled) over the full L×R block grid — work
+    is |L|·|R|·d flops; the LSH/IVF routes stay the sub-quadratic
+    approximations at corpus scale."""
+    import ray
+
+    def _prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
+        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+
+    def _stage(ds):
+        n = ds.count()
+        n_blocks = max(-(-n // max_block_rows),
+                       int(np.ceil(np.sqrt(2.0 * cpus))), 1)
+        prep = (ds.map_batches(_prep, batch_format="pyarrow")
+                .repartition(n_blocks).materialize())
+        refs = []
+        for bundle in prep.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows:
+                    refs.append(block_ref)
+        return refs
+
+    left_refs, right_refs = _stage(left_ds), _stage(right_ds)
+    grid = [{"i": i, "j": j} for i in range(len(left_refs))
+            for j in range(len(right_refs))]
+    if not grid:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
+    out = ray.data.from_items(grid).map_batches(
+        _BlockPairJoinBipartite,
+        fn_constructor_args=(left_refs, right_refs, id_col, threshold,
+                             round_to),
+        concurrency=(1, max(1, min(8, len(grid)))), batch_size=4,
+        batch_format="pyarrow", max_restarts=0)
+    return out.materialize()
+
+
 def quantize_embeddings(ds, vec_col: str = "embedding",
                         batch_size: int | None = 4096,
                         dtype=np.float32):

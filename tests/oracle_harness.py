@@ -64,6 +64,7 @@ QUADRATIC_ORACLES = {
     "decontamination_pairs",
     "incremental_near_dedup_recrawl",
     "quote_containment_pairs",
+    "semantic_decontamination_pairs",
     "minhash_near_dup_pairs",
     "near_dedup_victims",
     "near_dedup_victims_distributed",

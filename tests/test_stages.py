@@ -1357,6 +1357,44 @@ class TestCosineSimilarityJoin:
             assert got == want, (threshold, block_rows)
 
 
+class TestCosineJoinBipartite:
+    def test_vs_brute_force_cross_only(self, ray_session):
+        import ray.data as rd
+
+        from peri_ray.stages.similarity import cosine_join_bipartite
+
+        rng = np.random.default_rng(13)
+        nl, nr, d = 70, 40, 12
+        L = rng.normal(size=(nl, d))
+        R = rng.normal(size=(nr, d))
+        # planted cross hits AND a left-side duplicate pair that must
+        # NOT appear (cross pairs only)
+        R[5] = L[10] + rng.normal(scale=0.03, size=d)
+        R[20] = L[33]
+        L[11] = L[10]
+        lids = np.arange(nl)
+        rids = np.arange(500, 500 + nr)
+
+        def mk(ids, m):
+            return rd.from_arrow(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64()))}))
+
+        for threshold in (0.9, 0.5, 0.0):
+            got = {(r["id_a"], r["id_b"])
+                   for r in cosine_join_bipartite(
+                       mk(lids, L), mk(rids, R), threshold,
+                       max_block_rows=16).take_all()}
+            ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+            rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+            s = np.round(ln @ rn.T, 6)
+            want = {(int(lids[i]), int(rids[j]))
+                    for i in range(nl) for j in range(nr)
+                    if s[i, j] >= threshold}
+            assert got == want, threshold
+            assert all(a < 500 <= b for a, b in got)
+
+
 class TestKMeans:
     def test_vs_numpy_reference(self, ray_session):
         import ray.data as rd
