@@ -139,6 +139,7 @@ def run_bench() -> dict:
           lambda: q.quote_containment_pairs(SF_DIR))
     timed("semantic_decontamination",
           lambda: q.semantic_decontamination_pairs(SF_DIR))
+    timed("indexed_probe_recrawl", lambda: q.indexed_probe_recrawl(SF_DIR))
     timed("revenue_by_nation", lambda: q.revenue_by_nation(SF_DIR))
     timed("tfidf_top_docs", lambda: q.tfidf_top_docs(SF_DIR))
     timed("heavy_hitter_terms", lambda: q.heavy_hitter_terms_docs(SF_DIR).to_pandas())

@@ -2545,6 +2545,32 @@ def quote_containment_pairs(sf_dir: str):
     })
 
 
+def indexed_probe_recrawl(sf_dir: str):
+    """The production incremental-dedup shape: sign the base corpus
+    ONCE into a persisted parquet MinHash index, then probe the
+    recrawl delta against signatures alone — base text is never
+    re-read.  Returns (base_id, new_id, est_jaccard) at slot-agreement
+    >= 0.9.  Deterministic (seeded OPH) but signature-level, so
+    rows-only under the driver gate; the unit suite pins probe ==
+    direct two-sided computation."""
+    import os
+    import shutil
+
+    from peri_ray.stages.dedup import probe_minhash_index, write_minhash_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/peri_minhash_idx_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    write_minhash_index(base, idx_dir)
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl_batch, batch_format="pyarrow")
+    flagged = probe_minhash_index(new, idx_dir, bands=8, threshold=0.9)
+    return _collect(flagged, pa.schema([("id_a", pa.int64()),
+                                        ("id_b", pa.int64()),
+                                        ("est_jaccard", pa.float64())]))
+
+
 def semantic_decontamination_pairs(sf_dir: str):
     """Embedding-space train/eval decontamination: exact bipartite
     cosine join (threshold 0.8, rounded-6) between the corpus

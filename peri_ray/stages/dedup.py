@@ -1799,6 +1799,130 @@ def jaccard_similarity_join_bipartite(left_ds, right_ds,
     return scored.map_batches(_unshift, batch_format="pyarrow")
 
 
+class SignatureAgreement:
+    """Estimated Jaccard = fraction of agreeing OPH signature slots —
+    the signature-level verification metric for the persisted-index
+    probe path, where base TEXT is never re-read (an unbiased Jaccard
+    estimator; exact verification stays available by re-running the
+    text join on the flagged pairs)."""
+
+    @staticmethod
+    def prepare_arrow(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.array([], pa.binary())
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        return pa.array([row.tobytes() for row in mat], pa.binary())
+
+    @staticmethod
+    def sim_prepared(a: bytes | None, b: bytes | None) -> float:
+        xa = np.frombuffer(a or b"", np.int64)
+        xb = np.frombuffer(b or b"", np.int64)
+        if xa.size == 0 or xa.size != xb.size:
+            return 0.0
+        return float((xa == xb).mean())
+
+
+def write_minhash_index(ds, out_dir: str, *, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        k: int = 5, seed: int = 11) -> dict:
+    """Persist the corpus's MinHash signatures as a parquet index
+    (plus a sibling ``<dir>.index.json`` params manifest — sibling,
+    not in-dir, so partition discovery on the directory stays clean).
+    The production incremental-dedup shape: the 100 TB corpus is
+    signed ONCE; every later crawl delta probes the 8·num_perm-bytes-
+    per-doc index without touching base text again."""
+    import json
+    import os
+
+    sigs = ds.map_batches(MinHasher(num_perm=num_perm, k=k, seed=seed,
+                                    text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    sigs.write_parquet(out_dir)
+    manifest = {"num_perm": num_perm, "k": k, "seed": seed,
+                "id_col": id_col}
+    with open(out_dir.rstrip("/") + ".index.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def probe_minhash_index(new_ds, index_dir: str, *, bands: int = 8,
+                        threshold: float = 0.9, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 64):
+    """Probe a new crawl against a :func:`write_minhash_index` index:
+    new docs are signed with the INDEX's parameters (manifest-pinned —
+    signatures are only comparable under identical num_perm/k/seed),
+    candidates form where a new doc shares an LSH band bucket with an
+    indexed doc, and each candidate is scored by OPH slot agreement
+    (:class:`SignatureAgreement`).  Returns (id_a = indexed doc,
+    id_b = new doc, est_jaccard >= threshold).  Only signatures cross
+    every exchange — neither side's text is read past the signing map."""
+    import json
+
+    from peri_ray.sources import read_table
+
+    with open(index_dir.rstrip("/") + ".index.json") as f:
+        mf = json.load(f)
+    off = BIPARTITE_ID_OFFSET
+    base = read_table(index_dir)
+
+    new_sigs = new_ds.map_batches(
+        MinHasher(num_perm=mf["num_perm"], k=mf["k"], seed=mf["seed"],
+                  text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+
+    def _shift(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        if pc.max(ids).as_py() is not None and pc.max(ids).as_py() >= off:
+            raise ValueError(f"{id_col} >= BIPARTITE_ID_OFFSET ({off})")
+        return pa.table({id_col: pc.add(ids, pa.scalar(off, pa.int64())),
+                         "minhash": t.column("minhash")})
+
+    union = base.union(new_sigs.map_batches(_shift, batch_format="pyarrow"))
+    exploded = union.map_batches(
+        lambda t: _explode_bands(t, id_col, bands), batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(sorted(set(group.column(id_col).to_pylist())),
+                         np.int64)
+        li = ids[ids < off]
+        ri = ids[ids >= off]
+        if len(li) == 0 or len(ri) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        if len(li) > BUCKET_PAIR_CAP:
+            # mass-duplicated band bucket: each new doc still gets a
+            # candidate (vs the min-id indexed anchor) — O(new), logged
+            logger.warning(
+                "index-probe bucket with %d indexed members exceeds "
+                "pair cap %d; anchoring on min id", len(li),
+                BUCKET_PAIR_CAP)
+            li = li[:1]
+        return pa.table({"id_a": pa.array(np.repeat(li, len(ri))),
+                         "id_b": pa.array(np.tile(ri, len(li)))})
+
+    cands = dedupe_pairs(
+        per_group_via_buckets(exploded, ["band", "band_hash"], _pairs,
+                              n_buckets=n_buckets),
+        n_buckets=n_buckets)
+    scored = verify_candidates(union, cands, "minhash", id_col,
+                               threshold=threshold, n_buckets=n_buckets,
+                               metric=SignatureAgreement(),
+                               coalesce_rows=16384)
+
+    def _unshift(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("id_b"), "id_b",
+            pc.subtract(t.column("id_b").combine_chunks(),
+                        pa.scalar(off, pa.int64())))
+        return t.rename_columns(["id_a", "id_b", "est_jaccard"])
+
+    return scored.map_batches(_unshift, batch_format="pyarrow")
+
+
 class TokenBigramContainment:
     """Asymmetric containment C(A in B) = |A ∩ B| / |A| over distinct
     word-bigram sets — the quote / doc-in-doc metric.  Argument order

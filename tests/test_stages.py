@@ -2250,6 +2250,94 @@ class TestJaccardJoinBipartite:
         assert got == [(1, 10, 1.0)]
 
 
+class TestMinhashIndexProbe:
+    """Persisted signature index + probe (dedup.write_minhash_index /
+    probe_minhash_index): probe results must equal the direct
+    two-sided computation over the same signatures."""
+
+    @staticmethod
+    def _mk(docs):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }))
+
+    def _expected(self, base, new, bands, threshold):
+        """In-process twin built from the SAME library primitives."""
+        from peri_ray.stages.dedup import MinHasher, _explode_bands
+
+        mh = MinHasher()
+        sigs = {}
+        for side, docs in (("b", base), ("n", new)):
+            t = pa.table({"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                          "text": pa.array([x for _, x in docs], pa.string())})
+            out = mh(t)
+            mat = out.column("minhash").combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).reshape(len(docs), -1)
+            bt = _explode_bands(out, "doc_id", bands)
+            buckets = {}
+            for i, (bnd, bh) in enumerate(zip(bt.column("band").to_pylist(),
+                                              bt.column("band_hash").to_pylist())):
+                did = bt.column("doc_id").to_pylist()[i]
+                buckets.setdefault((bnd, bh), set()).add(did)
+            sigs[side] = ({i: mat[r] for r, (i, _) in enumerate(docs)}, buckets)
+        (bs, bb), (ns, nb) = sigs["b"], sigs["n"]
+        cands = set()
+        for key, bids in bb.items():
+            nids = nb.get(key)
+            if nids:
+                cands.update((a, c) for a in bids for c in nids)
+        out = []
+        for a, c in cands:
+            est = float((bs[a] == ns[c]).mean())
+            if est >= threshold:
+                out.append((a, c, est))
+        return sorted(out)
+
+    def test_probe_equals_direct(self, tmp_path):
+        from peri_ray.stages.dedup import (probe_minhash_index,
+                                           write_minhash_index)
+
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(12)]
+        base = [(i, " ".join(rng.choice(vocab, int(rng.integers(8, 30)))))
+                for i in range(40)]
+        # new crawl: exact recrawls of 3 base docs + fresh pages
+        new = [(500 + i, base[i][1]) for i in (1, 4, 9)]
+        new += [(600 + i, " ".join(rng.choice(vocab, int(rng.integers(8, 30)))))
+                for i in range(15)]
+        idx = str(tmp_path / "mh_idx")
+        write_minhash_index(self._mk(base), idx)
+        got = sorted(
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in probe_minhash_index(self._mk(new), idx, bands=8,
+                                         threshold=0.5).take_all())
+        want = self._expected(base, new, bands=8, threshold=0.5)
+        assert got == want
+        # exact recrawls agree on every slot and are all flagged
+        for i in (1, 4, 9):
+            assert (i, 500 + i, 1.0) in got
+
+    def test_probe_deterministic_across_runs(self, tmp_path):
+        from peri_ray.stages.dedup import (probe_minhash_index,
+                                           write_minhash_index)
+
+        base = [(i, f"alpha beta gamma delta epsilon {i % 3}")
+                for i in range(12)]
+        new = [(100 + i, f"alpha beta gamma delta epsilon {i % 3}")
+               for i in range(12)]
+        idx = str(tmp_path / "mh_idx2")
+        write_minhash_index(self._mk(base), idx)
+
+        def run():
+            return sorted((r["id_a"], r["id_b"], r["est_jaccard"])
+                          for r in probe_minhash_index(
+                              self._mk(new), idx, threshold=0.9).take_all())
+
+        a, b = run(), run()
+        assert a == b and len(a) > 0
+
+
 class TestContainmentJoinBipartite:
     """Asymmetric containment join (dedup.containment_join_bipartite):
     C(frag in doc) = |∩| / |frag bigrams| vs brute force."""
