@@ -843,15 +843,17 @@ def run_web_soak(n_rows: int | None = None) -> dict:
             "gates": counts, "num_cpus": NUM_CPUS}
 
 
-def _emit(payload: dict) -> None:
+def _emit(payload: dict, fname: str = "BENCH.json") -> None:
     """One JSON line on stdout (driver contract) PLUS a file copy —
     the driver's tail capture truncated the long per-query line in
-    round 2 (BENCH_r02 parsed: null); the file is the reliable copy."""
+    round 2 (BENCH_r02 parsed: null); the file is the reliable copy.
+    Side runs (--scaling etc.) write their own file so the battery's
+    BENCH.json — the one the driver parses — never gets clobbered."""
     line = json.dumps(payload)
     print(line)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH.json"), "w") as f:
+                               fname), "w") as f:
             f.write(line + "\n")
     except OSError:
         pass  # stdout already carried the result
@@ -861,16 +863,16 @@ if __name__ == "__main__":
     if "--scaling-job" in sys.argv:
         print(json.dumps(run_scaling_job()))
     elif "--scaling" in sys.argv:
-        _emit(run_scaling())
+        _emit(run_scaling(), "BENCH_SCALING.json")
     elif "--partitioned-worker" in sys.argv:
         run_partitioned_worker()
     elif "--partitioned" in sys.argv:
-        _emit(run_partitioned())
+        _emit(run_partitioned(), "BENCH_PARTITIONED.json")
     elif "--curation-worker" in sys.argv:
         run_curation_worker()
     elif "--curation-resume" in sys.argv:
-        _emit(run_curation_resume())
+        _emit(run_curation_resume(), "BENCH_CURATION.json")
     elif "--web-soak" in sys.argv:
-        _emit(run_web_soak())
+        _emit(run_web_soak(), "BENCH_WEBSOAK.json")
     else:
         _emit(run_bench())
