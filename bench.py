@@ -137,7 +137,7 @@ def run_bench() -> dict:
     timed("decontamination_pairs", lambda: q.decontamination_pairs(SF_DIR))
     timed("quote_containment_pairs",
           lambda: q.quote_containment_pairs(SF_DIR))
-    timed("semantic_decontamination",
+    timed("semantic_decontamination_pairs",
           lambda: q.semantic_decontamination_pairs(SF_DIR))
     timed("indexed_probe_recrawl", lambda: q.indexed_probe_recrawl(SF_DIR))
     timed("revenue_by_nation", lambda: q.revenue_by_nation(SF_DIR))

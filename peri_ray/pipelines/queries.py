@@ -2502,13 +2502,17 @@ def incremental_near_dedup_recrawl(sf_dir: str):
     # per-new-doc verdict (tiny: bounded by flagged pairs)
     g = (t.group_by("id_b")
          .aggregate([("jaccard", "max"), ("id_a", "count")]))
-    best = {r["id_b"]: r["jaccard_max"] for r in g.to_pylist()}
-    nm = {r["id_b"]: r["id_a_count"] for r in g.to_pylist()}
+    best, nm = {}, {}
+    for r in g.to_pylist():
+        best[r["id_b"]] = r["jaccard_max"]
+        nm[r["id_b"]] = r["id_a_count"]
     dup_of: dict[int, int] = {}
-    for r in t.to_pylist():
-        if r["jaccard"] == best[r["id_b"]]:
-            cur = dup_of.get(r["id_b"])
-            dup_of[r["id_b"]] = r["id_a"] if cur is None else min(cur, r["id_a"])
+    for b, a, j in zip(t.column("id_b").to_pylist(),
+                       t.column("id_a").to_pylist(),
+                       t.column("jaccard").to_pylist()):
+        if j == best[b]:
+            cur = dup_of.get(b)
+            dup_of[b] = a if cur is None else min(cur, a)
     ids = sorted(best)
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
@@ -2555,20 +2559,25 @@ def indexed_probe_recrawl(sf_dir: str):
     direct two-sided computation."""
     import os
     import shutil
+    import tempfile
 
     from peri_ray.stages.dedup import probe_minhash_index, write_minhash_index
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/peri_minhash_idx_{tag}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
-    write_minhash_index(base, idx_dir)
-    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _recrawl_batch, batch_format="pyarrow")
-    flagged = probe_minhash_index(new, idx_dir, bands=8, threshold=0.9)
-    return _collect(flagged, pa.schema([("id_a", pa.int64()),
-                                        ("id_b", pa.int64()),
-                                        ("est_jaccard", pa.float64())]))
+    # private scratch dir per invocation: a fixed path would race a
+    # concurrent run's rmtree against this one's probe reads
+    root = tempfile.mkdtemp(prefix="peri_minhash_idx_")
+    idx_dir = os.path.join(root, "index")
+    try:
+        base = _read(sf_dir, "documents", ["doc_id", "text"])
+        write_minhash_index(base, idx_dir)
+        new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _recrawl_batch, batch_format="pyarrow")
+        flagged = probe_minhash_index(new, idx_dir, bands=8, threshold=0.9)
+        return _collect(flagged, pa.schema([("id_a", pa.int64()),
+                                            ("id_b", pa.int64()),
+                                            ("est_jaccard", pa.float64())]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def semantic_decontamination_pairs(sf_dir: str):
@@ -2689,13 +2698,16 @@ def rollup_orders(sf_dir: str):
                ["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def _yr(t: pa.Table) -> pa.Table:
-        # per-row integer cents: sums of exact integers < 2^53 are
+        # per-row integer cents: sums of exact integers are
         # order-independent, unlike ROUND(float_sum * 100) which can
-        # land on a different cent per partial-combine layout
+        # land on a different cent per partial-combine layout.  The
+        # int64 cast here keeps the per-row values exact; the combine
+        # path's shared float64 sum stays exact up to 2^53 total cents
+        # (~$90T per group) — far beyond any money column here.
         cents = pc.round(
             pc.multiply(t.column("o_totalprice").combine_chunks(),
                         pa.scalar(100.0)),
-            round_mode="half_towards_infinity")
+            round_mode="half_towards_infinity").cast(pa.int64())
         return pa.table({
             "o_orderstatus": t.column("o_orderstatus"),
             "yr": pc.year(t.column("o_orderdate").combine_chunks()),
@@ -2719,13 +2731,16 @@ def cube_orders(sf_dir: str):
                ["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def _yr(t: pa.Table) -> pa.Table:
-        # per-row integer cents: sums of exact integers < 2^53 are
+        # per-row integer cents: sums of exact integers are
         # order-independent, unlike ROUND(float_sum * 100) which can
-        # land on a different cent per partial-combine layout
+        # land on a different cent per partial-combine layout.  The
+        # int64 cast here keeps the per-row values exact; the combine
+        # path's shared float64 sum stays exact up to 2^53 total cents
+        # (~$90T per group) — far beyond any money column here.
         cents = pc.round(
             pc.multiply(t.column("o_totalprice").combine_chunks(),
                         pa.scalar(100.0)),
-            round_mode="half_towards_infinity")
+            round_mode="half_towards_infinity").cast(pa.int64())
         return pa.table({
             "o_orderstatus": t.column("o_orderstatus"),
             "yr": pc.year(t.column("o_orderdate").combine_chunks()),

@@ -1576,6 +1576,67 @@ def token_bigram_jaccard(a: str, b: str) -> float:
     return TokenBigramJaccard()(a, b)
 
 
+def _stage_rank_table(ds, text_col: str, batch_size: int | None,
+                      max_rank_terms: int | None):
+    """Shared DF→rank staging for every prefix-filtered similarity
+    join: bigram document frequencies via vocab-bounded per-block
+    partials + ONE bucketed (term, df) sum (distinct-term cardinality
+    ~ vocabulary: a Ray per-group aggregate measured ~2 min on 5.9 M
+    groups, the bucketed shape seconds), rank-ordered rare-first and
+    broadcast once.  ``max_rank_terms`` keeps only the most COMMON
+    bigrams on the driver (the ordering signal that keeps hot terms
+    out of prefixes); the rare tail rank-orders by hash below them —
+    order quality affects candidate COUNT only, never the result.
+    Load-bearing constants (hash seed 7, RANK_BASE, the (df, term)
+    tie-break) live ONLY here and in ``_PrefixEmit``."""
+    import ray
+
+    df_partials = ds.map_batches(_BigramDFPartial(text_col),
+                                 batch_format="pyarrow",
+                                 batch_size=batch_size)
+    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
+    if max_rank_terms is not None:
+        totals = totals.sort("df", descending=True).limit(max_rank_terms)
+    rows = totals.take_all()
+    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
+    base = _PrefixEmit.RANK_BASE
+    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
+    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
+    order = np.argsort(th)
+    return ray.put((th[order], ranks[order]))
+
+
+def _side_map(id_col: str, text_col: str, shift: bool):
+    """Per-batch side normalizer for the bipartite joins: projects to
+    (id, text), guards the id space (non-negative and below
+    :data:`BIPARTITE_ID_OFFSET` — a negative right id would shift to a
+    value still below the offset and silently land on the LEFT side),
+    and shifts right-side ids above the offset."""
+    off = BIPARTITE_ID_OFFSET
+
+    def _m(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        mx = pc.max(ids).as_py()
+        mn = pc.min(ids).as_py()
+        if mx is not None and (mx >= off or mn < 0):
+            raise ValueError(
+                f"{id_col} outside [0, BIPARTITE_ID_OFFSET={off}); "
+                "remap ids for the bipartite join")
+        if shift:
+            ids = pc.add(ids, pa.scalar(off, pa.int64()))
+        return pa.table({id_col: ids, text_col: t.column(text_col)})
+
+    return _m
+
+
+def _unshift_id_b(t: pa.Table) -> pa.Table:
+    """Undo the right-side id shift on a scored-pairs table."""
+    return t.set_column(
+        t.schema.get_field_index("id_b"), "id_b",
+        pc.subtract(t.column("id_b").combine_chunks(),
+                    pa.scalar(BIPARTITE_ID_OFFSET, pa.int64())))
+
+
 def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.6, n_buckets: int = 64,
                             batch_size: int | None = 8192,
@@ -1608,27 +1669,7 @@ def jaccard_similarity_join(ds, text_col: str = "text", id_col: str = "doc_id",
     threshold and the in-list size filter are the remaining bounds, and
     posting-list sizes are observable via ``ds.stats()`` on stage 3.
     """
-    import ray
-
-    df_partials = ds.map_batches(_BigramDFPartial(text_col),
-                                 batch_format="pyarrow", batch_size=batch_size)
-    # distinct-term cardinality ~ corpus vocabulary: the (term, df) sum
-    # must NOT run as a Ray per-group aggregate (5.9 M groups measured
-    # ~2 min; the shared bucketed shape is seconds)
-    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
-    if max_rank_terms is not None:
-        # scale fallback: keep only the most COMMON bigrams on the
-        # driver (they are the ordering signal that keeps hot terms out
-        # of prefixes); the rare tail rank-orders by hash below them.
-        # Order quality affects candidate COUNT only, never the result.
-        totals = totals.sort("df", descending=True).limit(max_rank_terms)
-    rows = totals.take_all()
-    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
-    base = _PrefixEmit.RANK_BASE
-    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
-    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
-    order = np.argsort(th)
-    rank_ref = ray.put((th[order], ranks[order]))
+    rank_ref = _stage_rank_table(ds, text_col, batch_size, max_rank_terms)
 
     prefix = ds.map_batches(
         _PrefixEmit(text_col, id_col, threshold, rank_ref),
@@ -1721,40 +1762,13 @@ def jaccard_similarity_join_bipartite(left_ds, right_ds,
     O(|left posting| x |right posting|) — strictly less than the
     self-join's O((l+r) choose 2) on the same union."""
     off = BIPARTITE_ID_OFFSET
-
-    def _side(shift: bool):
-        def _m(t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).combine_chunks().cast(pa.int64())
-            if pc.max(ids).as_py() is not None and \
-                    pc.max(ids).as_py() >= off:
-                raise ValueError(
-                    f"{id_col} >= BIPARTITE_ID_OFFSET ({off}); raise the "
-                    "offset for this id space")
-            if shift:
-                ids = pc.add(ids, pa.scalar(off, pa.int64()))
-            return pa.table({id_col: ids, text_col: t.column(text_col)})
-        return _m
-
-    union = (left_ds.map_batches(_side(False), batch_format="pyarrow")
-             .union(right_ds.map_batches(_side(True),
+    union = (left_ds.map_batches(_side_map(id_col, text_col, False),
+                                 batch_format="pyarrow")
+             .union(right_ds.map_batches(_side_map(id_col, text_col, True),
                                          batch_format="pyarrow")))
 
-    import ray
-
-    df_partials = union.map_batches(_BigramDFPartial(text_col),
-                                    batch_format="pyarrow",
-                                    batch_size=batch_size)
-    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
-    if max_rank_terms is not None:
-        totals = totals.sort("df", descending=True).limit(max_rank_terms)
-    rows = totals.take_all()
-    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
-    base = _PrefixEmit.RANK_BASE
-    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
-    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
-    order = np.argsort(th)
-    rank_ref = ray.put((th[order], ranks[order]))
-
+    rank_ref = _stage_rank_table(union, text_col, batch_size,
+                                 max_rank_terms)
     prefix = union.map_batches(
         _PrefixEmit(text_col, id_col, threshold, rank_ref),
         batch_format="pyarrow", batch_size=batch_size)
@@ -1789,14 +1803,7 @@ def jaccard_similarity_join_bipartite(left_ds, right_ds,
                                threshold=threshold, n_buckets=n_buckets,
                                metric=TokenBigramJaccard(),
                                coalesce_rows=16384)
-
-    def _unshift(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("id_b"), "id_b",
-            pc.subtract(t.column("id_b").combine_chunks(),
-                        pa.scalar(off, pa.int64())))
-
-    return scored.map_batches(_unshift, batch_format="pyarrow")
+    return scored.map_batches(_unshift_id_b, batch_format="pyarrow")
 
 
 class SignatureAgreement:
@@ -1825,6 +1832,19 @@ class SignatureAgreement:
         return float((xa == xb).mean())
 
 
+def _drop_unsignable(text_col: str):
+    """Batch filter dropping null and empty texts before MinHash
+    signing (both degenerate to the same single empty shingle, so the
+    unverified signature path would score any two of them est=1.0)."""
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        ok = pc.and_(pc.is_valid(txt),
+                     pc.greater(pc.utf8_length(pc.fill_null(txt, "")), 0))
+        return t.filter(ok)
+
+    return _f
+
+
 def write_minhash_index(ds, out_dir: str, *, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 64,
                         k: int = 5, seed: int = 11) -> dict:
@@ -1833,13 +1853,20 @@ def write_minhash_index(ds, out_dir: str, *, text_col: str = "text",
     not in-dir, so partition discovery on the directory stays clean).
     The production incremental-dedup shape: the 100 TB corpus is
     signed ONCE; every later crawl delta probes the 8·num_perm-bytes-
-    per-doc index without touching base text again."""
+    per-doc index without touching base text again.
+
+    Null/empty texts are NOT signed: they carry no dedup signal, and
+    signing them would conflate null with '' (both degenerate to one
+    empty shingle) into spurious est=1.0 pairs — the signature path
+    has no downstream exact-text verify to drop them."""
     import json
     import os
 
-    sigs = ds.map_batches(MinHasher(num_perm=num_perm, k=k, seed=seed,
-                                    text_col=text_col, id_col=id_col),
-                          batch_format="pyarrow")
+    sigs = ds.map_batches(_drop_unsignable(text_col),
+                          batch_format="pyarrow") \
+        .map_batches(MinHasher(num_perm=num_perm, k=k, seed=seed,
+                               text_col=text_col, id_col=id_col),
+                     batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
     sigs.write_parquet(out_dir)
     manifest = {"num_perm": num_perm, "k": k, "seed": seed,
@@ -1859,29 +1886,28 @@ def probe_minhash_index(new_ds, index_dir: str, *, bands: int = 8,
     indexed doc, and each candidate is scored by OPH slot agreement
     (:class:`SignatureAgreement`).  Returns (id_a = indexed doc,
     id_b = new doc, est_jaccard >= threshold).  Only signatures cross
-    every exchange — neither side's text is read past the signing map."""
+    every exchange — neither side's text is read past the signing map.
+    Null/empty new-crawl texts are skipped (see
+    :func:`write_minhash_index`)."""
     import json
 
     from peri_ray.sources import read_table
 
     with open(index_dir.rstrip("/") + ".index.json") as f:
         mf = json.load(f)
-    off = BIPARTITE_ID_OFFSET
     base = read_table(index_dir)
 
-    new_sigs = new_ds.map_batches(
+    new_sigs = new_ds.map_batches(_drop_unsignable(text_col),
+                                  batch_format="pyarrow") \
+        .map_batches(
         MinHasher(num_perm=mf["num_perm"], k=mf["k"], seed=mf["seed"],
                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow")
+        batch_format="pyarrow") \
+        .map_batches(_side_map(id_col, "minhash", True),
+                     batch_format="pyarrow")
 
-    def _shift(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).combine_chunks().cast(pa.int64())
-        if pc.max(ids).as_py() is not None and pc.max(ids).as_py() >= off:
-            raise ValueError(f"{id_col} >= BIPARTITE_ID_OFFSET ({off})")
-        return pa.table({id_col: pc.add(ids, pa.scalar(off, pa.int64())),
-                         "minhash": t.column("minhash")})
-
-    union = base.union(new_sigs.map_batches(_shift, batch_format="pyarrow"))
+    union = base.union(new_sigs)
+    off = BIPARTITE_ID_OFFSET
     exploded = union.map_batches(
         lambda t: _explode_bands(t, id_col, bands), batch_format="pyarrow")
 
@@ -1912,15 +1938,10 @@ def probe_minhash_index(new_ds, index_dir: str, *, bands: int = 8,
                                threshold=threshold, n_buckets=n_buckets,
                                metric=SignatureAgreement(),
                                coalesce_rows=16384)
-
-    def _unshift(t: pa.Table) -> pa.Table:
-        t = t.set_column(
-            t.schema.get_field_index("id_b"), "id_b",
-            pc.subtract(t.column("id_b").combine_chunks(),
-                        pa.scalar(off, pa.int64())))
-        return t.rename_columns(["id_a", "id_b", "est_jaccard"])
-
-    return scored.map_batches(_unshift, batch_format="pyarrow")
+    return scored.map_batches(
+        lambda t: _unshift_id_b(t).rename_columns(
+            ["id_a", "id_b", "est_jaccard"]),
+        batch_format="pyarrow")
 
 
 class TokenBigramContainment:
@@ -1976,40 +1997,15 @@ def containment_join_bipartite(frag_ds, corpus_ds,
     lists, so per-fragment candidates ~ df(rarest bigram), not corpus
     size.  Ids/offsets/verify as in
     :func:`jaccard_similarity_join_bipartite`."""
-    import ray
-
     off = BIPARTITE_ID_OFFSET
-
-    def _side(shift: bool):
-        def _m(t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).combine_chunks().cast(pa.int64())
-            if pc.max(ids).as_py() is not None and \
-                    pc.max(ids).as_py() >= off:
-                raise ValueError(
-                    f"{id_col} >= BIPARTITE_ID_OFFSET ({off}); raise the "
-                    "offset for this id space")
-            if shift:
-                ids = pc.add(ids, pa.scalar(off, pa.int64()))
-            return pa.table({id_col: ids, text_col: t.column(text_col)})
-        return _m
-
-    frags = frag_ds.map_batches(_side(False), batch_format="pyarrow")
-    corpus = corpus_ds.map_batches(_side(True), batch_format="pyarrow")
+    frags = frag_ds.map_batches(_side_map(id_col, text_col, False),
+                                batch_format="pyarrow")
+    corpus = corpus_ds.map_batches(_side_map(id_col, text_col, True),
+                                   batch_format="pyarrow")
     union = frags.union(corpus)
 
-    df_partials = union.map_batches(_BigramDFPartial(text_col),
-                                    batch_format="pyarrow",
-                                    batch_size=batch_size)
-    totals = grouped_sum_via_buckets(df_partials, ["term"], "df")
-    if max_rank_terms is not None:
-        totals = totals.sort("df", descending=True).limit(max_rank_terms)
-    rows = totals.take_all()
-    ordered = sorted(rows, key=lambda r: (r["df"], r["term"]))
-    base = _PrefixEmit.RANK_BASE
-    th = hash_strings(pa.array([r["term"] for r in ordered]), seed=7)
-    ranks = np.arange(base, base + len(ordered), dtype=np.int64)
-    order = np.argsort(th)
-    rank_ref = ray.put((th[order], ranks[order]))
+    rank_ref = _stage_rank_table(union, text_col, batch_size,
+                                 max_rank_terms)
 
     # one-sided pruning: fragments emit their containment prefix,
     # the corpus posts every distinct bigram (threshold 0 ⇒ prefix = n)
@@ -2044,14 +2040,7 @@ def containment_join_bipartite(frag_ds, corpus_ds,
                                threshold=threshold, n_buckets=n_buckets,
                                metric=TokenBigramContainment(),
                                coalesce_rows=16384)
-
-    def _unshift(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("id_b"), "id_b",
-            pc.subtract(t.column("id_b").combine_chunks(),
-                        pa.scalar(off, pa.int64())))
-
-    return scored.map_batches(_unshift, batch_format="pyarrow")
+    return scored.map_batches(_unshift_id_b, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -498,6 +498,23 @@ def kmeans_fit(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
     return assigned, cents, inertia
 
 
+def _prep_unit_rows(vec_col: str, id_col: str):
+    """Shared staging map for the block-matmul joins: drop null
+    vectors (a null list would desync _as_matrix's reshape from the id
+    column — and SQL's NULL-comparison semantics drop those rows too),
+    then emit (id, unit-normalized float64 row)."""
+    import pyarrow.compute as _pc
+
+    def _prep(t: pa.Table) -> pa.Table:
+        vec = t.column(vec_col).combine_chunks()
+        t = t.filter(_pc.is_valid(vec))
+        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
+        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+
+    return _prep
+
+
 class _BlockPairJoin:
     """Actor-pool stage over (i, j) block-index pairs: fetches the two
     normalized blocks from the object store (cached per actor — each
@@ -576,10 +593,7 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
     ties cannot occur)."""
     import ray
 
-    def _prep(t: pa.Table) -> pa.Table:
-        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
-        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
-                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+    _prep = _prep_unit_rows(vec_col, id_col)
 
     n = ds.count()
     if block_rows is None:
@@ -682,10 +696,7 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
     approximations at corpus scale."""
     import ray
 
-    def _prep(t: pa.Table) -> pa.Table:
-        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
-        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
-                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+    _prep = _prep_unit_rows(vec_col, id_col)
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
 
@@ -939,10 +950,7 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
 
     from peri_ray.stages.stats import top_k_per_group
 
-    def _prep(t: pa.Table) -> pa.Table:
-        m = _normalize(_as_matrix(t.column(vec_col), np.float64))
-        return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
-                         "row": pa.array(list(m), pa.list_(pa.float64()))})
+    _prep = _prep_unit_rows(vec_col, id_col)
 
     n = ds.count()
     if block_rows is None:

@@ -1010,13 +1010,19 @@ def grouped_stats(ds, key: str, columns: list[str],
     partials = ds.map_batches(_GroupedStatsPartial(key, tuple(columns),
                                                    cents=cents_sums),
                               batch_format="pyarrow", batch_size=batch_size)
+    # cents partials ride the shared float64 sum_v column (exact: one
+    # batch's cents sum is far below 2^53), but the DRIVER accumulates
+    # them as Python ints so the grand total stays exact past 2^53
+    # where float addition would re-introduce layout sensitivity
+    conv = (lambda v: int(v)) if cents_sums else (lambda v: v)
+    zero = 0 if cents_sums else 0.0
     acc: dict = {}
     for r in partials.iter_rows():
         k = (r["key"], r["column"])
         cur = acc.get(k)
         if cur is None:
             acc[k] = [r["cnt"], r["null_count"], r["min_v"], r["max_v"],
-                      r["sum_v"]]
+                      None if r["sum_v"] is None else conv(r["sum_v"])]
         else:
             cur[0] += r["cnt"]
             cur[1] += r["null_count"]
@@ -1024,7 +1030,8 @@ def grouped_stats(ds, key: str, columns: list[str],
                 if v is not None:
                     cur[2 + i] = v if cur[2 + i] is None else f(cur[2 + i], v)
             if r["sum_v"] is not None:
-                cur[4] = (cur[4] or 0.0) + r["sum_v"]
+                cur[4] = (cur[4] if cur[4] is not None else zero) \
+                    + conv(r["sum_v"])
     ks = sorted(acc, key=lambda k: (str(k[0]), k[1]))
     sum_vals = [acc[k][4] for k in ks]
     if cents_sums:

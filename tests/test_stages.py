@@ -1358,6 +1358,28 @@ class TestCosineSimilarityJoin:
 
 
 class TestCosineJoinBipartite:
+    def test_null_embedding_rows_dropped(self, ray_session):
+        # review regression: a null list desynced _as_matrix's reshape
+        # from the id column; SQL NULL-comparison semantics drop the
+        # row, so the engine must too
+        import ray.data as rd
+
+        from peri_ray.stages.similarity import cosine_join_bipartite
+
+        left = pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], None, [0.0, 1.0]],
+                                  pa.list_(pa.float64()))})
+        right = pa.table({
+            "vec_id": pa.array([10, 11], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], None],
+                                  pa.list_(pa.float64()))})
+        got = sorted((r["id_a"], r["id_b"])
+                     for r in cosine_join_bipartite(
+                         rd.from_arrow(left), rd.from_arrow(right),
+                         0.9).take_all())
+        assert got == [(1, 10)]
+
     def test_vs_brute_force_cross_only(self, ray_session):
         import ray.data as rd
 
@@ -2317,6 +2339,37 @@ class TestMinhashIndexProbe:
         # exact recrawls agree on every slot and are all flagged
         for i in (1, 4, 9):
             assert (i, 500 + i, 1.0) in got
+
+    def test_empty_and_null_texts_never_flag(self, tmp_path):
+        # review regression: null and '' degenerate to the same single
+        # empty shingle; unverified signature agreement scored any two
+        # of them est=1.0 until the signing maps dropped them
+        from peri_ray.stages.dedup import (probe_minhash_index,
+                                           write_minhash_index)
+
+        base = [(1, None), (2, ""), (3, "alpha beta gamma delta epsi")]
+        new = [(100, ""), (101, None), (102, "zeta eta theta iota kappa")]
+        idx = str(tmp_path / "mh_idx3")
+        write_minhash_index(self._mk(base), idx)
+        got = probe_minhash_index(self._mk(new), idx,
+                                  threshold=0.5).take_all()
+        assert got == []
+
+    def test_negative_new_ids_raise(self, tmp_path):
+        # review regression: a negative right id shifts to a value
+        # still below the offset and would silently land on the LEFT
+        # side — the guard must raise instead
+        import pytest as _pt
+
+        from peri_ray.stages.dedup import (probe_minhash_index,
+                                           write_minhash_index)
+
+        base = [(1, "alpha beta gamma delta epsilon")]
+        new = [(-2, "alpha beta gamma delta epsilon")]
+        idx = str(tmp_path / "mh_idx4")
+        write_minhash_index(self._mk(base), idx)
+        with _pt.raises(Exception):
+            probe_minhash_index(self._mk(new), idx).take_all()
 
     def test_probe_deterministic_across_runs(self, tmp_path):
         from peri_ray.stages.dedup import (probe_minhash_index,
