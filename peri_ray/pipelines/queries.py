@@ -2668,7 +2668,12 @@ def jaccard_join_pairs(sf_dir: str):
     t = _collect(pairs, pa.schema([("id_a", pa.int64()),
                                    ("id_b", pa.int64()),
                                    ("jaccard", pa.float64())]))
-    return t.set_column(2, "jaccard", pc.round(t.column("jaccard"), ndigits=6))
+    # half-away, matching SQL ROUND: J = c/d IS dyadic (d = 128 or 640
+    # distinct bigrams gives exact 7th-decimal-5 ties where half-even
+    # and half-away disagree)
+    return t.set_column(2, "jaccard",
+                        pc.round(t.column("jaccard"), ndigits=6,
+                                 round_mode="half_towards_infinity"))
 
 
 def event_interarrival(sf_dir: str):

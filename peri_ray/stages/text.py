@@ -112,8 +112,15 @@ def repetition_signal_batch(table: pa.Table, text_col: str = "text",
     with np.errstate(divide="ignore", invalid="ignore"):
         dup_w = np.where(counts > 0, 1.0 - distinct_w / counts, 0.0)
         dup_b = np.where(total_b > 0, 1.0 - distinct_b / total_b, 0.0)
-    dup_w = np.round(dup_w, round_to)
-    dup_b = np.round(dup_b, round_to)
+    # half-away, matching the SQL twin's ROUND: these are dyadic int
+    # ratios (1 - d/c with c a 2^k·5^m word count ties at the 7th
+    # decimal, where numpy's half-even disagrees)
+    dup_w = pc.round(pa.array(dup_w, pa.float64()), ndigits=round_to,
+                     round_mode="half_towards_infinity") \
+        .to_numpy(zero_copy_only=False)
+    dup_b = pc.round(pa.array(dup_b, pa.float64()), ndigits=round_to,
+                     round_mode="half_towards_infinity") \
+        .to_numpy(zero_copy_only=False)
     out = table.append_column("n_words", pa.array(
         np.where(valid, counts, 0), pa.int64()))
     out = out.append_column("dup_word_ratio", pa.array(
