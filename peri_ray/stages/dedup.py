@@ -1331,15 +1331,26 @@ def simhash_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                       bands: int = 4):
     """Near-dup candidates at Hamming distance ≤ bands-1 via the block
-    trick: split the 64-bit fingerprint into ``bands`` blocks; any pair
-    within distance bands-1 shares at least one exact block.  Groupby on
-    (block_idx, block_value) finds the buckets."""
+    trick over text SimHash fingerprints (see
+    :func:`hamming_near_dups_on_hashes` for the shared machinery)."""
     fps = simhash_fingerprints(ds, text_col, id_col)
+    return hamming_near_dups_on_hashes(fps, "simhash", id_col, bands)
+
+
+def hamming_near_dups_on_hashes(fps, hash_col: str, id_col: str,
+                                bands: int = 4):
+    """All (id_a < id_b) pairs whose 64-bit fingerprints are within
+    Hamming distance bands-1, via the block trick: split the word into
+    ``bands`` blocks; any pair within distance bands-1 shares at least
+    one exact block.  Groupby on (block_idx, block_value) finds the
+    buckets; in-bucket verify is one vectorized XOR+popcount.  Works
+    over ANY int64 fingerprint column (text SimHash, image perceptual
+    hashes, audio fingerprints)."""
     width = 64 // bands
 
     def _explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        fp = t.column("simhash").combine_chunks().to_numpy(
+        fp = t.column(hash_col).combine_chunks().to_numpy(
             zero_copy_only=False).view(np.uint64)
         n = len(ids)
         shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))[:, None]
@@ -1349,7 +1360,7 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
             id_col: pa.array(np.tile(ids, bands)),
             "block": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
             "block_val": pa.array(blocks.reshape(-1)),
-            "simhash": pa.array(np.tile(fp.view(np.int64), bands)),
+            "__fp": pa.array(np.tile(fp.view(np.int64), bands)),
         })
 
     exploded = fps.map_batches(_explode, batch_format="pyarrow")
@@ -1357,10 +1368,10 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
     def _pairs(group: pa.Table) -> pa.Table:
         # distinct (id, fp) members, id-sorted (fp is deterministic per
         # doc, so ids are unique after the group_by)
-        t = (group.select([id_col, "simhash"])
-                  .group_by([id_col, "simhash"]).aggregate([]))
+        t = (group.select([id_col, "__fp"])
+                  .group_by([id_col, "__fp"]).aggregate([]))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        fps = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        fps = t.column("__fp").to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, fps = ids[order], fps[order]
         n = len(ids)
@@ -1370,7 +1381,7 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
             # oversized block bucket (mass-duplicated fingerprint region):
             # compare against the min-id anchor only — O(n) — and log
             logger.warning(
-                "simhash bucket with %d members exceeds pair cap %d; "
+                "hamming bucket with %d members exceeds pair cap %d; "
                 "comparing to min-id anchor only", n, BUCKET_PAIR_CAP,
             )
             ia = np.zeros(n - 1, np.intp)

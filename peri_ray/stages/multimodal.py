@@ -93,13 +93,57 @@ class ImageDecoder:
 
 
 def decode_images(ds, decoder: str = "fake", concurrency: int = 4,
-                  batch_size: int = 256):
+                  batch_size: int = 256, feature_dim: int = 16):
     """Small batches (payload-heavy rows), actor pool (decoder state once
     per actor)."""
     return ds.map_batches(
-        ImageDecoder, fn_constructor_kwargs=dict(decoder=decoder),
+        ImageDecoder,
+        fn_constructor_kwargs=dict(decoder=decoder, feature_dim=feature_dim),
         concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+def perceptual_hash_images(ds, decoder: str = "fake", concurrency: int = 4,
+                           batch_size: int = 256):
+    """64-bit aHash-style perceptual fingerprint per image: decode
+    (actor pool) → 64-bin intensity histogram → bit i set iff bin i
+    exceeds the per-image median bin.  Near-identical payloads move a
+    couple of bins slightly and flip few bits, so
+    :func:`peri_ray.stages.dedup.hamming_near_dups_on_hashes` over the
+    output finds near-duplicate imagery with no pixel library (with
+    ``decoder="real"`` the same bit-packing runs on true pixel
+    histograms).  Null/empty payloads are dropped — their all-zero
+    histogram would hash every blank to the same word and flood the
+    banded exchange with spurious identical pairs.  Output:
+    (media_id, phash int64)."""
+    import pyarrow.compute as pc
+
+    def _signable(t: pa.Table) -> pa.Table:
+        p = t.column("payload").combine_chunks()
+        ok = pc.and_(pc.is_valid(p),
+                     pc.greater(pc.binary_length(pc.fill_null(p, b"")), 0))
+        return t.filter(ok)
+
+    decoded = decode_images(ds.map_batches(_signable, batch_format="pyarrow"),
+                            decoder=decoder, concurrency=concurrency,
+                            batch_size=batch_size, feature_dim=64)
+
+    def _pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "phash": pa.array([], pa.int64())})
+        f = t.column("features").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(n, 64)
+        med = np.median(f, axis=1, keepdims=True)
+        bits = (f > med).astype(np.uint8)
+        ph = np.packbits(bits, axis=1, bitorder="little") \
+            .view(np.uint64).reshape(-1)
+        return pa.table({"media_id": t.column("media_id"),
+                         "phash": pa.array(ph.view(np.int64))})
+
+    return decoded.map_batches(_pack, batch_format="pyarrow",
+                               batch_size=batch_size)
 
 
 class FrameSampler:

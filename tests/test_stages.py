@@ -521,6 +521,38 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             dec(t)
 
+    def test_phash_near_dups_finds_byte_level_twins(self):
+        from peri_ray.stages.dedup import hamming_near_dups_on_hashes
+        from peri_ray.stages.multimodal import (media_table_from_binary,
+                                                perceptual_hash_images)
+
+        rng = np.random.default_rng(31)
+        payloads = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+                    for _ in range(10)]
+        # planted: exact copy of #0, near-copy of #1 with 4 flipped
+        # bytes, plus null/empty rows that must be dropped, not hashed
+        near = bytearray(payloads[1])
+        for i in (7, 99, 512, 2000):
+            near[i] ^= 0xFF
+        ids = list(range(10)) + [100, 101, 102, 103]
+        pls = payloads + [payloads[0], bytes(near), None, b""]
+        ds = rd.from_arrow(media_table_from_binary(ids, pls))
+        hashes = perceptual_hash_images(ds, decoder="fake")
+        rows = {r["media_id"]: r["phash"] for r in hashes.take_all()}
+        assert 102 not in rows and 103 not in rows  # null/empty dropped
+        assert rows[100] == rows[0]                 # exact copy: same hash
+        pairs = sorted((r["id_a"], r["id_b"]) for r in
+                       hamming_near_dups_on_hashes(
+                           rd.from_arrow(pa.table({
+                               "media_id": pa.array(list(rows), pa.int64()),
+                               "phash": pa.array(list(rows.values()),
+                                                 pa.int64()),
+                           })), "phash", "media_id", bands=4).take_all())
+        assert (0, 100) in pairs   # identical payloads
+        assert (1, 101) in pairs   # 4 flipped bytes of 4096
+        # unrelated random payloads don't pair
+        assert all({a, b} in ({0, 100}, {1, 101}) for a, b in pairs)
+
     def test_frame_sampler(self):
         from peri_ray.stages.multimodal import FrameSampler, media_table_from_binary
 
