@@ -844,6 +844,47 @@ def run_web_soak(n_rows: int | None = None) -> dict:
             "gates": counts, "num_cpus": NUM_CPUS}
 
 
+def run_stats() -> dict:
+    """``--stats``: run the flagship once and dump the fused pass's
+    per-stage ``ds.stats()`` breakdown to STATS.md — the evidence that
+    wall time is dominated by useful compute (the iterate-on-stats
+    loop the scale contract asks for)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from peri_ray.generate import web_pages_dataset
+    from peri_ray.pipelines.flagship import run_flagship
+
+    n_blocks = max(NUM_CPUS * 2, 16)
+    sink: list = []
+    t0 = time.perf_counter()
+    verdict = run_flagship(
+        web_pages_dataset(WEB_PAGES_N, seed=42, override_num_blocks=n_blocks),
+        id_source=web_pages_dataset(WEB_PAGES_N, seed=42,
+                                    override_num_blocks=n_blocks,
+                                    columns=["url"]),
+        stats_sink=sink,
+    )
+    wall = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "STATS.md")
+    with open(path, "w") as f:
+        f.write("# Flagship fused-pass `ds.stats()` (%d rows, %d CPUs, "
+                "%.3f s wall)\n\n```\n" % (WEB_PAGES_N, NUM_CPUS, wall))
+        for s in sink:
+            f.write(s + "\n")
+        f.write("```\n")
+    return {"metric": "flagship_stats_dump", "value": wall, "unit": "sec",
+            "rows": verdict["rows"], "stats_chars": sum(len(s) for s in sink),
+            "path": path}
+
+
 def _emit(payload: dict, fname: str = "BENCH.json") -> None:
     """One JSON line on stdout (driver contract) PLUS a file copy —
     the driver's tail capture truncated the long per-query line in
@@ -875,5 +916,7 @@ if __name__ == "__main__":
         _emit(run_curation_resume(), "BENCH_CURATION.json")
     elif "--web-soak" in sys.argv:
         _emit(run_web_soak(), "BENCH_WEBSOAK.json")
+    elif "--stats" in sys.argv:
+        _emit(run_stats(), "BENCH_STATS.json")
     else:
         _emit(run_bench())

@@ -132,14 +132,17 @@ def run_flagship(
     write_outputs: bool = False,
     drift_threshold: float = 0.25,
     id_source=None,
+    stats_sink: list | None = None,
 ) -> dict[str, Any]:
     """Full validation + table checks over a web_pages-shaped Dataset.
 
     Returns a verdict dict: per-rule outcomes, violation counts by rule,
     column stats, and overall pass/fail.  With ``write_outputs`` the
     combined validated table and the violations table land under
-    ``checkpoint_dir`` as partitioned parquet.
-    """
+    ``checkpoint_dir`` as partitioned parquet.  ``stats_sink`` (a list)
+    receives the executed fused-pass Dataset's ``.stats()`` text —
+    the per-stage wall/CPU breakdown used to keep the pipeline
+    compute-bound (``bench.py --stats``)."""
     spec = spec or WEB_PAGES_SPEC
     lang_reference = lang_reference or LANG_REFERENCE_HIST
 
@@ -190,13 +193,14 @@ def run_flagship(
             id_ds = id_source
         else:
             id_ds = ds.select_columns([id_column])
+        part_ds = ds.map_batches(stage, batch_format="pyarrow")
         with ThreadPoolExecutor(2) as ex:
-            f_parts = ex.submit(
-                lambda: ds.map_batches(stage, batch_format="pyarrow").take_all()
-            )
+            f_parts = ex.submit(part_ds.take_all)
             f_uniq = ex.submit(uniqueness_check, id_ds, id_column)
             partials = f_parts.result()
             uniq = f_uniq.result()
+        if stats_sink is not None:
+            stats_sink.append(part_ds.stats())
 
     # --- driver merge of the tiny partials -------------------------------
     n_total = n_ok = ref_bad = 0
