@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontamination_pairs": q.semantic_decontamination_pairs,
         "indexed_probe_recrawl": q.indexed_probe_recrawl,
         "image_phash_near_dups": q.image_phash_near_dups,
+        "audio_phash_near_dups": q.audio_phash_near_dups,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,

@@ -2613,6 +2613,32 @@ def image_phash_near_dups(sf_dir: str):
                                       ("id_b", pa.int64())]))
 
 
+def audio_phash_near_dups(sf_dir: str):
+    """Audio-modality near-dedup, mirroring image_phash_near_dups:
+    text bytes as opaque track payloads, 64-window frame-energy
+    fingerprint (actor pool), banded Hamming ≤ 3.  Rows-only."""
+    from peri_ray.stages.dedup import hamming_near_dups_on_hashes
+    from peri_ray.stages.multimodal import perceptual_hash_audio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _media(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        return pa.table({
+            "media_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+            "payload": txt.cast(pa.binary()),
+        })
+
+    media = docs.map_batches(_media, batch_format="pyarrow")
+    hashes = perceptual_hash_audio(media, featurizer="fake")
+    pairs = hamming_near_dups_on_hashes(hashes, "phash", "media_id",
+                                        bands=4)
+    return _collect(pairs, pa.schema([("id_a", pa.int64()),
+                                      ("id_b", pa.int64())]))
+
+
 def semantic_decontamination_pairs(sf_dir: str):
     """Embedding-space train/eval decontamination: exact bipartite
     cosine join (threshold 0.8, rounded-6) between the corpus

@@ -128,12 +128,21 @@ def perceptual_hash_images(ds, decoder: str = "fake", concurrency: int = 4,
                             decoder=decoder, concurrency=concurrency,
                             batch_size=batch_size, feature_dim=64)
 
+    return decoded.map_batches(_pack_feature_hash("features"),
+                               batch_format="pyarrow",
+                               batch_size=batch_size)
+
+
+def _pack_feature_hash(feature_col: str):
+    """(n × 64) float feature column → 64-bit fingerprint per row:
+    bit i set iff feature[i] exceeds the per-row median — the shared
+    binarization behind the image and audio perceptual hashes."""
     def _pack(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return pa.table({"media_id": pa.array([], pa.int64()),
                              "phash": pa.array([], pa.int64())})
-        f = t.column("features").combine_chunks().flatten() \
+        f = t.column(feature_col).combine_chunks().flatten() \
             .to_numpy(zero_copy_only=False).reshape(n, 64)
         med = np.median(f, axis=1, keepdims=True)
         bits = (f > med).astype(np.uint8)
@@ -142,8 +151,33 @@ def perceptual_hash_images(ds, decoder: str = "fake", concurrency: int = 4,
         return pa.table({"media_id": t.column("media_id"),
                          "phash": pa.array(ph.view(np.int64))})
 
-    return decoded.map_batches(_pack, batch_format="pyarrow",
-                               batch_size=batch_size)
+    return _pack
+
+
+def perceptual_hash_audio(ds, featurizer: str = "fake",
+                          concurrency: int = 4, batch_size: int = 256):
+    """64-bit audio fingerprint per track: frame-energy features over
+    64 windows (actor pool; the librosa seam with
+    ``featurizer="real"``) → per-track median-binarized bits — the
+    audio member of the perceptual-hash family; near-identical tracks
+    flip few bits, so the shared banded-Hamming exchange finds them.
+    Null/empty payloads are dropped (same blank-collision argument as
+    :func:`perceptual_hash_images`)."""
+    import pyarrow.compute as pc
+
+    def _signable(t: pa.Table) -> pa.Table:
+        p = t.column("payload").combine_chunks()
+        ok = pc.and_(pc.is_valid(p),
+                     pc.greater(pc.binary_length(pc.fill_null(p, b"")), 0))
+        return t.filter(ok)
+
+    feats = extract_audio_features(
+        ds.map_batches(_signable, batch_format="pyarrow"),
+        n_frames=64, concurrency=concurrency, batch_size=batch_size,
+        featurizer=featurizer)
+    return feats.map_batches(_pack_feature_hash("audio_features"),
+                             batch_format="pyarrow",
+                             batch_size=batch_size)
 
 
 class FrameSampler:
@@ -252,8 +286,9 @@ class AudioFeaturizer:
 
 
 def extract_audio_features(ds, n_frames: int = 8, concurrency: int = 4,
-                           batch_size: int = 256):
+                           batch_size: int = 256, featurizer: str = "fake"):
     return ds.map_batches(
-        AudioFeaturizer, fn_constructor_kwargs=dict(n_frames=n_frames),
+        AudioFeaturizer,
+        fn_constructor_kwargs=dict(n_frames=n_frames, featurizer=featurizer),
         concurrency=concurrency, batch_format="pyarrow", batch_size=batch_size,
     )

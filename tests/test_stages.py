@@ -521,6 +521,26 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             dec(t)
 
+    def test_audio_phash_family(self):
+        from peri_ray.stages.multimodal import (media_table_from_binary,
+                                                perceptual_hash_audio)
+
+        rng = np.random.default_rng(37)
+        payloads = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+                    for _ in range(6)]
+        near = bytearray(payloads[2])
+        near[100] ^= 0xFF
+        ids = list(range(6)) + [50, 51, 52]
+        pls = payloads + [bytes(near), None, b""]
+        ds = rd.from_arrow(media_table_from_binary(ids, pls, kind="audio"))
+        rows = {r["media_id"]: r["phash"]
+                for r in perceptual_hash_audio(ds).take_all()}
+        assert 51 not in rows and 52 not in rows
+        # one flipped byte of 4096: at most one 64-window energy moves
+        x = np.uint64(rows[2]) ^ np.uint64(rows[50])
+        ham = bin(int(x)).count("1")
+        assert ham <= 2
+
     def test_phash_near_dups_finds_byte_level_twins(self):
         from peri_ray.stages.dedup import hamming_near_dups_on_hashes
         from peri_ray.stages.multimodal import (media_table_from_binary,
