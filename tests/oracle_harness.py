@@ -94,6 +94,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:  # a typo'd filter must not report a vacuous green
+            print(f"unknown query names in filter: {unknown}")
+            return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -127,8 +132,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--only"]  # flag form tolerated
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1].split(",") if len(args) > 1 else None
     rc = main(sf, only)
     import ray
 
