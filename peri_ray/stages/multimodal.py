@@ -264,20 +264,37 @@ class AudioFeaturizer:
 
     def __call__(self, table: pa.Table) -> pa.Table:
         n = table.num_rows
-        feats = np.zeros((n, self.n_frames), np.float32)
+        F = self.n_frames
+        feats = np.zeros((n, F), np.float32)
         dur = np.full(n, -1, np.int32)
-        for i, p in enumerate(table.column("payload").to_pylist()):
-            if p is None:
-                continue
-            if self.featurizer == "real":
-                self._features_real(p)
-            buf = np.frombuffer(p, np.uint8).astype(np.float32)
-            if not len(buf):
-                continue
-            frames = np.array_split(buf, self.n_frames)
-            feats[i] = [float(np.sqrt(np.mean(f ** 2))) if len(f) else 0.0
-                        for f in frames]
-            dur[i] = len(buf)  # fake: 1 byte ≈ 1 ms
+        payloads = table.column("payload").combine_chunks().to_pylist()
+        if self.featurizer == "real":
+            for p in payloads:
+                if p is not None:
+                    self._features_real(p)
+        # fake path: frame RMS for the WHOLE batch in one vectorized
+        # pass — cumulative sum of squares + per-frame boundary diffs
+        # (array_split boundaries reproduced exactly: the first
+        # len % F frames get one extra byte; empty frames stay 0)
+        bufs = [None if p is None else np.frombuffer(p, np.uint8)
+                for p in payloads]
+        idx = [i for i, b in enumerate(bufs) if b is not None and len(b)]
+        if idx:
+            lens = np.array([len(bufs[i]) for i in idx], np.int64)
+            big = np.concatenate([bufs[i] for i in idx]).astype(np.float64)
+            csq = np.concatenate([[0.0], np.cumsum(big * big)])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            base, rem = lens // F, lens % F
+            sizes = base[:, None] + (np.arange(F)[None, :] < rem[:, None])
+            ends_rel = np.cumsum(sizes, axis=1)
+            fr_end = starts[:, None] + ends_rel
+            fr_start = fr_end - sizes
+            sums = csq[fr_end] - csq[fr_start]
+            with np.errstate(invalid="ignore"):
+                rms = np.sqrt(np.where(sizes > 0, sums / np.maximum(sizes, 1),
+                                       0.0))
+            feats[idx] = rms.astype(np.float32)
+            dur[idx] = lens.astype(np.int32)  # fake: 1 byte ≈ 1 ms
         out = table.append_column(
             "audio_features",
             pa.array(list(feats), pa.list_(pa.float32(), self.n_frames)),
