@@ -166,7 +166,10 @@ def run_flagship(
             columns=[c for c in combined.schema().names if c != "html"],
         )
         stage = _ValidateAndPartials(None, "lang", frozenset(lang_reference), stat_cols)
-        partials = light.map_batches(stage, batch_format="pyarrow").take_all()
+        part_ds = light.map_batches(stage, batch_format="pyarrow")
+        partials = part_ds.take_all()
+        if stats_sink is not None:
+            stats_sink.append(part_ds.stats())
     else:
         stage = _ValidateAndPartials(
             plan, "lang", frozenset(lang_reference), stat_cols

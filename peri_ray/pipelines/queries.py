@@ -2580,32 +2580,31 @@ def indexed_probe_recrawl(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _text_as_media_batch(t: pa.Table) -> pa.Table:
+    """Documents' text bytes as opaque media payloads (the shared
+    synthetic-codec staging for the image/audio phash queries)."""
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    return pa.table({
+        "media_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+        "payload": txt.cast(pa.binary()),
+    })
+
+
 def image_phash_near_dups(sf_dir: str):
     """Image-modality near-dedup: every document's text bytes stand in
     as an opaque image payload (the synthetic-codec contract), each
-    payload gets a 64-bit perceptual hash (actor-pool decode → 64-bin
-    histogram → median-binarized bits), and banded Hamming (distance
-    ≤ 3) finds near-duplicate imagery.  The corpus's exact-dup text
-    families give guaranteed identical payloads, so the pair set is
-    non-trivial.  Rows-only (the codec has no SQL twin); the unit
-    suite pins planted byte-level near-dups."""
-    import ray.data as rd
-
+    payload gets a 64-bit positional aHash (actor pool; window means
+    standing in for the 8×8 pixel grid — a HISTOGRAM hash collapsed
+    this small-alphabet corpus onto 2 values), and banded Hamming
+    (distance ≤ 3) finds near-duplicate imagery.  Rows-only (the codec
+    has no SQL twin); the unit suite pins planted byte-level twins."""
     from peri_ray.stages.dedup import hamming_near_dups_on_hashes
     from peri_ray.stages.multimodal import perceptual_hash_images
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _media(t: pa.Table) -> pa.Table:
-        txt = t.column("text").combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        return pa.table({
-            "media_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
-            "payload": txt.cast(pa.binary()),
-        })
-
-    media = docs.map_batches(_media, batch_format="pyarrow")
+    media = docs.map_batches(_text_as_media_batch, batch_format="pyarrow")
     hashes = perceptual_hash_images(media, decoder="fake")
     pairs = hamming_near_dups_on_hashes(hashes, "phash", "media_id",
                                         bands=4)
@@ -2621,17 +2620,7 @@ def audio_phash_near_dups(sf_dir: str):
     from peri_ray.stages.multimodal import perceptual_hash_audio
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _media(t: pa.Table) -> pa.Table:
-        txt = t.column("text").combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        return pa.table({
-            "media_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
-            "payload": txt.cast(pa.binary()),
-        })
-
-    media = docs.map_batches(_media, batch_format="pyarrow")
+    media = docs.map_batches(_text_as_media_batch, batch_format="pyarrow")
     hashes = perceptual_hash_audio(media, featurizer="fake")
     pairs = hamming_near_dups_on_hashes(hashes, "phash", "media_id",
                                         bands=4)

@@ -1629,10 +1629,13 @@ def _side_map(id_col: str, text_col: str, shift: bool):
         ids = t.column(id_col).combine_chunks().cast(pa.int64())
         mx = pc.max(ids).as_py()
         mn = pc.min(ids).as_py()
-        if mx is not None and (mx >= off or mn < 0):
+        # negatives are rejected only on the SHIFTED side (they would
+        # land below the offset and silently classify as left); an
+        # unshifted negative id stays < offset and classifies correctly
+        if mx is not None and (mx >= off or (shift and mn < 0)):
             raise ValueError(
-                f"{id_col} outside [0, BIPARTITE_ID_OFFSET={off}); "
-                "remap ids for the bipartite join")
+                f"{id_col} outside [0, BIPARTITE_ID_OFFSET={off}) on the "
+                "shifted side; remap ids for the bipartite join")
         if shift:
             ids = pc.add(ids, pa.scalar(off, pa.int64()))
         return pa.table({id_col: ids, text_col: t.column(text_col)})

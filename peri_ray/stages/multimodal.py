@@ -103,40 +103,100 @@ def decode_images(ds, decoder: str = "fake", concurrency: int = 4,
     )
 
 
-def perceptual_hash_images(ds, decoder: str = "fake", concurrency: int = 4,
-                           batch_size: int = 256):
-    """64-bit aHash-style perceptual fingerprint per image: decode
-    (actor pool) → 64-bin intensity histogram → bit i set iff bin i
-    exceeds the per-image median bin.  Near-identical payloads move a
-    couple of bins slightly and flip few bits, so
-    :func:`peri_ray.stages.dedup.hamming_near_dups_on_hashes` over the
-    output finds near-duplicate imagery with no pixel library (with
-    ``decoder="real"`` the same bit-packing runs on true pixel
-    histograms).  Null/empty payloads are dropped — their all-zero
-    histogram would hash every blank to the same word and flood the
-    banded exchange with spurious identical pairs.  Output:
-    (media_id, phash int64)."""
+def _drop_blank_payloads(t: pa.Table) -> pa.Table:
+    """Shared null/empty-payload filter for the perceptual-hash
+    family: blanks carry no dedup signal and would all collide into
+    one hash, flooding the banded exchange with spurious pairs."""
     import pyarrow.compute as pc
 
-    def _signable(t: pa.Table) -> pa.Table:
-        p = t.column("payload").combine_chunks()
-        ok = pc.and_(pc.is_valid(p),
-                     pc.greater(pc.binary_length(pc.fill_null(p, b"")), 0))
-        return t.filter(ok)
+    p = t.column("payload").combine_chunks()
+    ok = pc.and_(pc.is_valid(p),
+                 pc.greater(pc.binary_length(pc.fill_null(p, b"")), 0))
+    return t.filter(ok)
 
-    decoded = decode_images(ds.map_batches(_signable, batch_format="pyarrow"),
-                            decoder=decoder, concurrency=concurrency,
-                            batch_size=batch_size, feature_dim=64)
 
-    return decoded.map_batches(_pack_feature_hash("features"),
-                               batch_format="pyarrow",
-                               batch_size=batch_size)
+class ImageAHasher:
+    """Actor-pool stage: payload → 64-bit aHash.  Real aHash is the
+    MEAN OVER AN 8×8 PIXEL GRID binarized at the image median — a
+    positional statistic, NOT a global histogram (a histogram of a
+    small-alphabet payload collapses the whole corpus onto ~2 hashes:
+    measured on the synthetic docs, 500 texts → 2 histogram-hashes at
+    Hamming 1).  ``decoder="fake"`` therefore takes 64 positional
+    byte-window means over the payload as the stand-in for the
+    downscaled pixel grid; ``decoder="real"`` raises at the PIL seam
+    (downscale to 8×8 grayscale, then the same binarization)."""
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.decoder = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "real aHash requires PIL (not in this container); wire "
+                "PIL.Image.open(...).convert('L').resize((8, 8)) here")
+        payloads = t.column("payload").combine_chunks().to_pylist()
+        bufs = [np.frombuffer(p, np.uint8) for p in payloads]
+        lens = np.array([len(b) for b in bufs], np.int64)
+        feats = np.zeros((len(bufs), 64), np.float64)
+        if len(bufs):
+            big = np.concatenate(bufs).astype(np.float64) if lens.sum() \
+                else np.zeros(0, np.float64)
+            cs = np.concatenate([[0.0], np.cumsum(big)])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            base, rem = lens // 64, lens % 64
+            sizes = base[:, None] + (np.arange(64)[None, :] < rem[:, None])
+            fr_end = starts[:, None] + np.cumsum(sizes, axis=1)
+            fr_start = fr_end - sizes
+            sums = cs[fr_end] - cs[fr_start]
+            feats = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0)
+        return _pack_feature_rows(t.column("media_id"), feats)
+
+
+def perceptual_hash_images(ds, decoder: str = "fake", concurrency: int = 4,
+                           batch_size: int = 256):
+    """64-bit aHash per image through an actor pool (see
+    :class:`ImageAHasher` for why the fingerprint is positional window
+    means, not a histogram).  Null/empty payloads and constant-valued
+    payloads are dropped — neither carries dedup signal, and both
+    classes would collide whole groups onto one hash.  Output:
+    (media_id, phash int64) for
+    :func:`peri_ray.stages.dedup.hamming_near_dups_on_hashes`."""
+    return ds.map_batches(_drop_blank_payloads, batch_format="pyarrow") \
+        .map_batches(ImageAHasher, fn_constructor_kwargs=dict(decoder=decoder),
+                     concurrency=concurrency, batch_format="pyarrow",
+                     batch_size=batch_size)
+
+
+def _pack_feature_rows(media_id, feats: np.ndarray) -> pa.Table:
+    """(n × 64) feature matrix → 64-bit fingerprint per row: bit i set
+    iff feature[i] exceeds the per-row median — the shared binarization
+    behind the image and audio perceptual hashes.  Constant-feature
+    rows (all 64 values equal — uniform payloads: all-zero bytes, one
+    repeated byte) binarize to all-zero bits regardless of the value,
+    so DIFFERENT uniform payloads would collide at Hamming 0; they are
+    dropped here, the same no-signal argument as blanks."""
+    n = len(feats)
+    if n == 0:
+        return pa.table({"media_id": pa.array([], pa.int64()),
+                         "phash": pa.array([], pa.int64())})
+    f = np.asarray(feats, np.float64).reshape(n, 64)
+    keep = f.max(axis=1) > f.min(axis=1)
+    f = f[keep]
+    ids = pa.array(np.asarray(media_id.to_numpy(zero_copy_only=False),
+                              np.int64)[keep], pa.int64())
+    med = np.median(f, axis=1, keepdims=True)
+    bits = (f > med).astype(np.uint8)
+    ph = np.packbits(bits, axis=1, bitorder="little") \
+        .view(np.uint64).reshape(-1)
+    return pa.table({"media_id": ids,
+                     "phash": pa.array(ph.view(np.int64))})
 
 
 def _pack_feature_hash(feature_col: str):
-    """(n × 64) float feature column → 64-bit fingerprint per row:
-    bit i set iff feature[i] exceeds the per-row median — the shared
-    binarization behind the image and audio perceptual hashes."""
+    """Feature-column form of :func:`_pack_feature_rows` (the audio
+    path, where the 64 features already exist as a column)."""
     def _pack(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
@@ -144,12 +204,7 @@ def _pack_feature_hash(feature_col: str):
                              "phash": pa.array([], pa.int64())})
         f = t.column(feature_col).combine_chunks().flatten() \
             .to_numpy(zero_copy_only=False).reshape(n, 64)
-        med = np.median(f, axis=1, keepdims=True)
-        bits = (f > med).astype(np.uint8)
-        ph = np.packbits(bits, axis=1, bitorder="little") \
-            .view(np.uint64).reshape(-1)
-        return pa.table({"media_id": t.column("media_id"),
-                         "phash": pa.array(ph.view(np.int64))})
+        return _pack_feature_rows(t.column("media_id"), f)
 
     return _pack
 
@@ -161,18 +216,10 @@ def perceptual_hash_audio(ds, featurizer: str = "fake",
     ``featurizer="real"``) → per-track median-binarized bits — the
     audio member of the perceptual-hash family; near-identical tracks
     flip few bits, so the shared banded-Hamming exchange finds them.
-    Null/empty payloads are dropped (same blank-collision argument as
-    :func:`perceptual_hash_images`)."""
-    import pyarrow.compute as pc
-
-    def _signable(t: pa.Table) -> pa.Table:
-        p = t.column("payload").combine_chunks()
-        ok = pc.and_(pc.is_valid(p),
-                     pc.greater(pc.binary_length(pc.fill_null(p, b"")), 0))
-        return t.filter(ok)
-
+    Null/empty and constant-valued payloads are dropped (same
+    no-signal collision argument as :func:`perceptual_hash_images`)."""
     feats = extract_audio_features(
-        ds.map_batches(_signable, batch_format="pyarrow"),
+        ds.map_batches(_drop_blank_payloads, batch_format="pyarrow"),
         n_frames=64, concurrency=concurrency, batch_size=batch_size,
         featurizer=featurizer)
     return feats.map_batches(_pack_feature_hash("audio_features"),

@@ -508,6 +508,9 @@ def _prep_unit_rows(vec_col: str, id_col: str):
     def _prep(t: pa.Table) -> pa.Table:
         vec = t.column(vec_col).combine_chunks()
         t = t.filter(_pc.is_valid(vec))
+        if t.num_rows == 0:  # an all-null batch must not hit reshape
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "row": pa.array([], pa.list_(pa.float64()))})
         m = _normalize(_as_matrix(t.column(vec_col), np.float64))
         return pa.table({id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
                          "row": pa.array(list(m), pa.list_(pa.float64()))})

@@ -521,6 +521,22 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             dec(t)
 
+    def test_uniform_payloads_never_hash(self):
+        # review regression: constant-feature payloads (all-zero vs
+        # all-0xFF bytes) binarize to all-zero bits and collided at
+        # Hamming 0; no-signal rows are dropped instead
+        from peri_ray.stages.multimodal import (media_table_from_binary,
+                                                perceptual_hash_audio,
+                                                perceptual_hash_images)
+
+        ds = rd.from_arrow(media_table_from_binary(
+            [1, 2, 3], [b"\x00" * 512, b"\xff" * 512, b"ab" * 256 + b"zz"]))
+        img = {r["media_id"] for r in perceptual_hash_images(ds).take_all()}
+        aud = {r["media_id"] for r in perceptual_hash_audio(ds).take_all()}
+        assert 1 not in img and 2 not in img
+        assert 1 not in aud and 2 not in aud
+        assert 3 in img and 3 in aud  # non-uniform payload still hashes
+
     def test_audio_phash_family(self):
         from peri_ray.stages.multimodal import (media_table_from_binary,
                                                 perceptual_hash_audio)
