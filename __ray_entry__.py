@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_probe_recrawl": q.indexed_probe_recrawl,
         "image_phash_near_dups": q.image_phash_near_dups,
         "audio_phash_near_dups": q.audio_phash_near_dups,
+        "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "event_interarrival": q.event_interarrival,
         "tfidf_top_docs": q.tfidf_top_docs,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -2158,6 +2159,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id FROM reach GROUP BY a
              HAVING min(b) < a
+        """,
+        # cluster-size histogram over the same recursive closure as
+        # near_dedup_victims (quadratic twin: gate SFs only)
+        "dup_cluster_size_histogram": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 5))) AS g
+                  FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a
+                JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN sz sa ON sa.doc_id = a.doc_id
+                JOIN sz sb ON sb.doc_id = b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+              HAVING CAST(count(*) AS DOUBLE) /
+                     CAST(min(sa.n) + min(sb.n) - count(*) AS DOUBLE) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+               WHERE e.b <> r.a
+            ),
+            lab AS (
+              SELECT a AS doc_id, least(a, min(b)) AS label
+                FROM reach GROUP BY a
+            ),
+            sizes AS (SELECT label, count(*) AS cluster_size
+                        FROM lab GROUP BY label)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+              FROM sizes GROUP BY cluster_size
         """,
         # brute-force cosine cross join, PAIR IDS only (engine scores
         # float32, SQL float64 — comparing the cosine value itself

@@ -142,6 +142,8 @@ def run_bench() -> dict:
     timed("indexed_probe_recrawl", lambda: q.indexed_probe_recrawl(SF_DIR))
     timed("image_phash_near_dups", lambda: q.image_phash_near_dups(SF_DIR))
     timed("audio_phash_near_dups", lambda: q.audio_phash_near_dups(SF_DIR))
+    timed("dup_cluster_size_histogram",
+          lambda: q.dup_cluster_size_histogram(SF_DIR))
     timed("revenue_by_nation", lambda: q.revenue_by_nation(SF_DIR))
     timed("tfidf_top_docs", lambda: q.tfidf_top_docs(SF_DIR))
     timed("heavy_hitter_terms", lambda: q.heavy_hitter_terms_docs(SF_DIR).to_pandas())

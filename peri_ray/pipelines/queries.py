@@ -488,6 +488,34 @@ def near_dedup_victims_distributed(sf_dir: str):
     return _collect(victims, pa.schema([("doc_id", pa.int64())]))
 
 
+def dup_cluster_size_histogram(sf_dir: str):
+    """Near-dup cluster-size distribution — the curation-policy metric
+    (how much of the corpus sits in 2-doc twins vs mass-duplication
+    families): MinHash-LSH candidates → exact Jaccard verify →
+    connected components → (cluster_size, n_clusters).  Size ≥ 2 only
+    (singletons never enter the pair graph).  Oracle: the victims
+    query's recursive closure, labeled by min reachable id and grouped
+    by component size."""
+    from peri_ray.stages.dedup import (connected_components,
+                                       minhash_lsh_candidates,
+                                       verify_candidates)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, bands=8, num_perm=64, dedupe=False)
+    verified = verify_candidates(ds, cands, threshold=0.8)
+    labels = connected_components(verified)
+    t = _collect(labels, pa.schema([("doc_id", pa.int64()),
+                                    ("label", pa.int64())]))
+    sizes = (t.group_by("label").aggregate([("doc_id", "count")])
+             .rename_columns(["label", "cluster_size"]))
+    hist = (sizes.group_by("cluster_size").aggregate([("label", "count")])
+            .rename_columns(["cluster_size", "n_clusters"]))
+    return pa.table({
+        "cluster_size": hist.column("cluster_size").cast(pa.int64()),
+        "n_clusters": hist.column("n_clusters").cast(pa.int64()),
+    })
+
+
 def ann_topk(sf_dir: str):
     from peri_ray.stages.similarity import brute_force_topk
 

@@ -67,6 +67,7 @@ QUADRATIC_ORACLES = {
     "semantic_decontamination_pairs",
     "minhash_near_dup_pairs",
     "near_dedup_victims",
+    "dup_cluster_size_histogram",
     "near_dedup_victims_distributed",
     "training_prep_report",
     "leakage_free_split",
