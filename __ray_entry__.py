@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": q.host_triangles,
         "pattern_match_users": q.pattern_match_users,
         "warc_validate_report": q.warc_validate_report,
+        "global_rank_documents": q.global_rank_documents,
+        "global_rank_events_desc": q.global_rank_events_desc,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3140,6 +3142,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN NULL
                         ELSE 'd' || CAST(doc_id AS VARCHAR) END AS title
               FROM documents
+        """,
+        "global_rank_documents": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (
+                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC)
+                        AS BIGINT) AS rank
+              FROM documents
+        """,
+        "global_rank_events_desc": """
+            SELECT event_id, value,
+                   CAST(row_number() OVER (
+                        ORDER BY value DESC NULLS LAST, event_id ASC)
+                        AS BIGINT) AS rank
+              FROM events
         """,
     }
 

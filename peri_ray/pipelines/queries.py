@@ -4372,3 +4372,27 @@ def warc_validate_report(sf_dir: str):
         "valid_rows": pa.array([rows - invalid], pa.int64()),
         "invalid_rows": pa.array([invalid], pa.int64()),
     })
+
+
+def global_rank_documents(sf_dir: str):
+    """Exact distributed ORDER BY: global row_number() over
+    (n_chars ASC NULLS FIRST, doc_id) — KLL-split range exchange with
+    driver-merged prefix offsets (stats.global_rank; TeraSort shape).
+    The reference gets a total order for free by streaming one record
+    at a time (lib/peri.ex validate walk); at 100 TB it is a
+    range-partitioned exchange."""
+    from peri_ray.stages.stats import global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id", n_ranges=16)
+
+
+def global_rank_events_desc(sf_dir: str):
+    """Descending global rank over a float key with heavy ties
+    (events.value): highest value = rank 1, ties broken by event_id,
+    null keys last — the DESC path of stats.global_rank."""
+    from peri_ray.stages.stats import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return global_rank(ds, "value", "event_id", n_ranges=16,
+                       descending=True)

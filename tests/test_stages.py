@@ -6339,3 +6339,65 @@ class TestCompaction:
         assert rep["files_in"] >= 32 and rep["files_out"] <= 4
         got = sorted(r["id"] for r in read_table(out).take_all())
         assert got == list(range(5000))
+
+
+class TestGlobalRank:
+    """stats.global_rank — exact distributed ORDER BY (TeraSort shape)."""
+
+    def _brute(self, rows, desc):
+        # python reference: nulls first asc / last desc, ties by id
+        def k(r):
+            if r["v"] is None:
+                return (0 if not desc else 1, 0, r["i"])
+            return (1 if not desc else 0,
+                    -r["v"] if desc else r["v"], r["i"])
+        return {r["i"]: n + 1 for n, r in enumerate(sorted(rows, key=k))}
+
+    def _run(self, rows, desc, **kw):
+        from peri_ray.stages.stats import global_rank
+
+        ds = rd.from_items(rows, override_num_blocks=4)
+        out = global_rank(ds, "v", "i", descending=desc, **kw).take_all()
+        assert len(out) == len(rows)
+        got = {r["i"]: r["rank"] for r in out}
+        assert got == self._brute(rows, desc)
+
+    def test_asc_with_nulls_and_ties(self):
+        rng = np.random.default_rng(7)
+        rows = [{"i": i,
+                 "v": None if i % 11 == 0 else int(rng.integers(0, 20))}
+                for i in range(300)]
+        self._run(rows, desc=False, n_ranges=8)
+
+    def test_desc_with_nulls_and_ties(self):
+        rng = np.random.default_rng(8)
+        rows = [{"i": i,
+                 "v": None if i % 13 == 0 else float(rng.integers(0, 15))}
+                for i in range(250)]
+        self._run(rows, desc=True, n_ranges=8)
+
+    def test_constant_key_degenerates_to_one_range(self):
+        rows = [{"i": i, "v": 5} for i in range(50)]
+        self._run(rows, desc=False, n_ranges=8)
+
+    def test_layout_independence(self):
+        from peri_ray.stages.stats import global_rank
+
+        rows = [{"i": i, "v": (i * 37) % 10} for i in range(200)]
+        ranks = []
+        for blocks in (1, 7):
+            ds = rd.from_items(rows, override_num_blocks=blocks)
+            out = global_rank(ds, "v", "i", n_ranges=4).take_all()
+            ranks.append(sorted((r["i"], r["rank"]) for r in out))
+        assert ranks[0] == ranks[1]
+
+    def test_temporal_key(self):
+        from peri_ray.stages.stats import global_rank
+
+        ts = pa.array([3, 1, 2, None, 1], pa.timestamp("us"))
+        t = pa.table({"i": pa.array([0, 1, 2, 3, 4]), "v": ts})
+        out = global_rank(rd.from_arrow(t), "v", "i",
+                          n_ranges=4).take_all()
+        got = {r["i"]: r["rank"] for r in out}
+        # nulls first, then epoch order, ties by id
+        assert got == {3: 1, 1: 2, 4: 3, 2: 4, 0: 5}
