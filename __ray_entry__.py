@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_validate_report": q.warc_validate_report,
         "global_rank_documents": q.global_rank_documents,
         "global_rank_events_desc": q.global_rank_events_desc,
+        "junk_page_report_docs": q.junk_page_report_docs,
+        "encoding_quality_docs": q.encoding_quality_docs,
+        "script_mix_docs": q.script_mix_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3156,6 +3159,93 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY value DESC NULLS LAST, event_id ASC)
                         AS BIGINT) AS rank
               FROM events
+        """,
+        "junk_page_report_docs": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 31 = 0
+                           THEN 'Error 404 page not found. ' ELSE '' END) ||
+                     (CASE WHEN doc_id % 37 = 0
+                           THEN 'Please enable JavaScript to continue. '
+                           ELSE '' END) ||
+                     (CASE WHEN doc_id % 41 = 0
+                           THEN 'Sign in to continue reading. '
+                           ELSE '' END) ||
+                     (CASE WHEN doc_id % 43 = 0
+                           THEN 'This domain is for sale. ' ELSE '' END) ||
+                     text AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(t,
+                          '(?i)\b(404|page not found|not found)\b')
+                        THEN 'soft404'
+                        WHEN regexp_matches(t,
+                          '(?i)\b(sign in|log in) to (view|continue)')
+                        THEN 'login_wall'
+                        WHEN regexp_matches(t, '(?i)enable javascript')
+                        THEN 'js_required'
+                        WHEN regexp_matches(t, '(?i)domain (is )?for sale')
+                        THEN 'parked'
+                        ELSE NULL END AS junk_rule
+              FROM f
+        """,
+        "encoding_quality_docs": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     text ||
+                     (CASE WHEN doc_id % 29 = 0
+                           THEN ' caf' || chr(195) || chr(169)
+                           ELSE '' END) ||
+                     (CASE WHEN doc_id % 53 = 0
+                           THEN ' ' || chr(65533) ELSE '' END) ||
+                     (CASE WHEN doc_id % 59 = 0
+                           THEN ' ' || chr(7) || 'bel' ELSE '' END) ||
+                     (CASE WHEN doc_id % 61 = 0
+                           THEN ' пример' ELSE '' END) AS t
+                FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(length(t) - length(replace(t, chr(65533), ''))
+                          AS BIGINT) AS n_repl,
+                     CAST(len(regexp_extract_all(t,
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
+                          AS n_ctrl,
+                     CAST(len(regexp_extract_all(t,
+                          'Ã[\x80-\xbf]')) AS BIGINT) AS n_double
+                FROM f
+            )
+            SELECT doc_id, n_repl, n_ctrl, n_double,
+                   (n_repl + n_ctrl + n_double) > 0 AS mojibake
+              FROM c
+        """,
+        "script_mix_docs": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     text ||
+                     (CASE WHEN doc_id % 29 = 0
+                           THEN ' caf' || chr(195) || chr(169)
+                           ELSE '' END) ||
+                     (CASE WHEN doc_id % 53 = 0
+                           THEN ' ' || chr(65533) ELSE '' END) ||
+                     (CASE WHEN doc_id % 59 = 0
+                           THEN ' ' || chr(7) || 'bel' ELSE '' END) ||
+                     (CASE WHEN doc_id % 61 = 0
+                           THEN ' пример' ELSE '' END) AS t
+                FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\p{Latin}'))
+                          AS BIGINT) AS n_latin,
+                     CAST(len(regexp_extract_all(t, '\p{Cyrillic}'))
+                          AS BIGINT) AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '\p{Greek}'))
+                          AS BIGINT) AS n_greek
+                FROM f
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_greek,
+                   n_latin > 0 AND n_cyrillic > 0 AS mixed
+              FROM c
         """,
     }
 

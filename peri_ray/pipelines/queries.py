@@ -4396,3 +4396,88 @@ def global_rank_events_desc(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "value"])
     return global_rank(ds, "value", "event_id", n_ranges=16,
                        descending=True)
+
+
+def _attach_junk_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: plant junk-page phrases deterministically by doc_id —
+    soft-404 (``%31``), JS-shell (``%37``), login-wall (``%41``),
+    parked-domain (``%43``) prefixes concatenated in that fixed order
+    (composite ids exercise first-match attribution).  Null text stays
+    null."""
+    ids = (t.column("doc_id").combine_chunks().cast(pa.int64())
+           .to_numpy(zero_copy_only=False))
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+
+    def _pre(mod: int, s: str) -> pa.Array:
+        return pa.array(np.where(ids % mod == 0, s, "").tolist(),
+                        pa.string())
+
+    planted = pc.binary_join_element_wise(
+        _pre(31, "Error 404 page not found. "),
+        _pre(37, "Please enable JavaScript to continue. "),
+        _pre(41, "Sign in to continue reading. "),
+        _pre(43, "This domain is for sale. "),
+        txt, "", null_handling="emit_null")
+    return t.set_column(t.schema.get_field_index("text"), "text", planted)
+
+
+def junk_page_report_docs(sf_dir: str):
+    """Non-content-page detector (soft-404 / login-wall / JS-shell /
+    parked-domain) with first-matching-rule attribution — the crawl
+    gate that runs before quality scoring (web.junk_page_flags); RE2
+    on both sides, shuffle-free."""
+    from peri_ray.stages.web import junk_page_flags
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_attach_junk_fixture, batch_format="pyarrow")
+    return junk_page_flags(ds)
+
+
+def _attach_encoding_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: plant encoding damage deterministically by doc_id —
+    double-encoded 'café' (``%29``), a U+FFFD replacement char
+    (``%53``), a BEL control byte (``%59``), and a Cyrillic word
+    (``%61``, for the script-mix report) appended in that fixed
+    order.  Null text stays null."""
+    ids = (t.column("doc_id").combine_chunks().cast(pa.int64())
+           .to_numpy(zero_copy_only=False))
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+
+    def _suf(mod: int, s: str) -> pa.Array:
+        return pa.array(np.where(ids % mod == 0, s, "").tolist(),
+                        pa.string())
+
+    planted = pc.binary_join_element_wise(
+        txt,
+        _suf(29, " cafÃ©"),
+        _suf(53, " �"),
+        _suf(59, " \x07bel"),
+        _suf(61, " пример"),
+        "", null_handling="emit_null")
+    return t.set_column(t.schema.get_field_index("text"), "text", planted)
+
+
+def encoding_quality_docs(sf_dir: str):
+    """Mojibake / encoding-damage signals (replacement chars, stray C0
+    controls, UTF-8-as-Latin-1 digraphs) — web.encoding_quality_report
+    over the deterministic damage fixture; RE2 both sides."""
+    from peri_ray.stages.web import encoding_quality_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_attach_encoding_fixture, batch_format="pyarrow")
+    return encoding_quality_report(ds)
+
+
+def script_mix_docs(sf_dir: str):
+    """Unicode-script composition + mixed-script flag (SEO-spam
+    signal) — web.script_mix_report over the same damage fixture
+    (the planted Cyrillic word makes `mixed` true on %61 ids)."""
+    from peri_ray.stages.web import script_mix_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_attach_encoding_fixture, batch_format="pyarrow")
+    return script_mix_report(ds)

@@ -631,3 +631,112 @@ def host_degree_stats(edges, src_col: str = "src_host",
         "in_links": pa.array([hosts[h][2] for h in keys], pa.int64()),
         "in_hosts": pa.array([len(hosts[h][3]) for h in keys], pa.int64()),
     })
+
+# Junk-page detection: the boilerplate "is this even a content page"
+# gate of crawl curation (soft-404s, login walls, JS-required shells,
+# parked domains).  First matching rule wins — the same attribution
+# contract as blocklist_filter / web_prep_gates.
+JUNK_PAGE_RULES: tuple[tuple[str, str], ...] = (
+    ("soft404", r"(?i)\b(404|page not found|not found)\b"),
+    ("login_wall", r"(?i)\b(sign in|log in) to (view|continue)"),
+    ("js_required", r"(?i)enable javascript"),
+    ("parked", r"(?i)domain (is )?for sale"),
+)
+
+
+def junk_page_flags(ds, text_col: str = "text", id_col: str = "doc_id",
+                    rules: tuple = JUNK_PAGE_RULES,
+                    batch_size: int | None = 65536):
+    """Per-page junk verdict: ``junk_rule`` = name of the FIRST rule
+    whose RE2 pattern matches the extracted text, else null (clean).
+    Soft-404 bodies, login walls, JS-required shells and parked-domain
+    lander text are the classic non-content pages a crawl corpus must
+    drop before any quality scoring spends compute on them.
+
+    Shuffle-free: one vectorized ``match_substring_regex`` pass per
+    rule per batch (len(rules) regex sweeps total); patterns are RE2 on
+    both the engine and the DuckDB twin, so parity is by construction.
+    Null text stays null — no text, no verdict."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = len(txt)
+        verdict = np.full(n, None, dtype=object)
+        unset = pc.is_valid(txt).to_numpy(zero_copy_only=False).copy()
+        for name, pat in rules:
+            m = pc.fill_null(pc.match_substring_regex(txt, pat),
+                             False).to_numpy(zero_copy_only=False)
+            verdict[unset & m] = name
+            unset &= ~m
+        return pa.table({id_col: t.column(id_col),
+                         "junk_rule": pa.array(verdict.tolist(),
+                                               pa.string())})
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def encoding_quality_report(ds, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            batch_size: int | None = 65536):
+    """Per-page encoding-damage signals — the mojibake gate of crawl
+    curation (broken charset detection upstream is THE classic
+    Common-Crawl text defect):
+
+    - ``n_repl``: U+FFFD replacement characters (decoder already gave
+      up);
+    - ``n_ctrl``: C0 control characters other than tab/newline/CR
+      (binary junk that survived extraction);
+    - ``n_double``: UTF-8-read-as-Latin-1 digraphs (``Ã`` followed by
+      a U+0080–U+00BF continuation-range code point — 'Ã©' for 'é');
+    - ``mojibake``: any of the above present.
+
+    Three vectorized substring/RE2 sweeps per batch, shuffle-free;
+    null text yields null signals.  Patterns are RE2 on both the
+    engine and the DuckDB twin."""
+    _CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+    _DOUBLE = "Ã[\\x80-\\xbf]"
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n_repl = pc.count_substring(txt, "�").cast(pa.int64())
+        n_ctrl = pc.count_substring_regex(txt, _CTRL).cast(pa.int64())
+        n_double = pc.count_substring_regex(txt, _DOUBLE).cast(pa.int64())
+        total = pc.add(pc.add(n_repl, n_ctrl), n_double)
+        return pa.table({id_col: t.column(id_col),
+                         "n_repl": n_repl, "n_ctrl": n_ctrl,
+                         "n_double": n_double,
+                         "mojibake": pc.greater(total, 0)})
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def script_mix_report(ds, text_col: str = "text", id_col: str = "doc_id",
+                      batch_size: int | None = 65536):
+    """Per-page Unicode-script composition — mixed-script pages are the
+    SEO-spam / wrong-charset signal language-ID alone misses (a page
+    that is 95% Latin with planted Cyrillic keywords still IDs as its
+    majority language).  Counts letters per script via one RE2 class
+    sweep each (``\\p{Latin}`` / ``\\p{Cyrillic}`` / ``\\p{Greek}``,
+    identical in DuckDB's RE2), plus ``mixed`` = Latin AND Cyrillic
+    both present.  Shuffle-free; null text yields null signals."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        lat = pc.count_substring_regex(txt, r"\p{Latin}").cast(pa.int64())
+        cyr = pc.count_substring_regex(txt, r"\p{Cyrillic}").cast(pa.int64())
+        grk = pc.count_substring_regex(txt, r"\p{Greek}").cast(pa.int64())
+        mixed = pc.and_(pc.greater(lat, 0), pc.greater(cyr, 0))
+        return pa.table({id_col: t.column(id_col),
+                         "n_latin": lat, "n_cyrillic": cyr,
+                         "n_greek": grk, "mixed": mixed})
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)

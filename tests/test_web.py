@@ -707,3 +707,72 @@ class TestWarcEdges:
                b"WARC-Target-URI: http://a.com/1\r\n"
                b"Content-Length: 999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nshort")
         assert parse_warc_bytes(rec) == []
+
+
+class TestJunkPages:
+    def _flags(self, texts):
+        from peri_ray.stages.web import junk_page_flags
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = junk_page_flags(rd.from_arrow(t)).take_all()
+        return [r["junk_rule"] for r in
+                sorted(out, key=lambda r: r["doc_id"])]
+
+    def test_rules_and_precedence(self):
+        got = self._flags([
+            "a perfectly fine content page",
+            "Error 404 Page Not Found",
+            "please Sign In to continue reading",
+            "You must enable JavaScript to view this site",
+            "this DOMAIN IS FOR SALE — enquire within",
+            # matches soft404 AND js_required: first rule wins
+            "404 not found. Enable JavaScript.",
+            None,
+        ])
+        assert got == [None, "soft404", "login_wall", "js_required",
+                       "parked", "soft404", None]
+
+
+class TestEncodingQuality:
+    def test_signals(self):
+        from peri_ray.stages.web import encoding_quality_report
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "clean ascii text",
+                "cafÃ© double-encoded twice cafÃ©",
+                "bad byte \x07 and �� here",
+                None,
+                "tabs\tand\nnewlines are fine",
+            ], pa.string()),
+        })
+        out = {r["doc_id"]: r for r in
+               encoding_quality_report(rd.from_arrow(t)).take_all()}
+        assert (out[0]["n_repl"], out[0]["n_ctrl"], out[0]["n_double"],
+                out[0]["mojibake"]) == (0, 0, 0, False)
+        assert out[1]["n_double"] == 2 and out[1]["mojibake"]
+        assert (out[2]["n_repl"], out[2]["n_ctrl"]) == (2, 1)
+        assert out[3]["mojibake"] is None
+        assert (out[4]["n_ctrl"], out[4]["mojibake"]) == (0, False)
+
+    def test_script_mix(self):
+        from peri_ray.stages.web import script_mix_report
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "latin only words",
+                "latin плюс кириллица",
+                "µόνο ελληνικά",
+                None,
+            ], pa.string()),
+        })
+        out = {r["doc_id"]: r for r in
+               script_mix_report(rd.from_arrow(t)).take_all()}
+        assert out[0]["n_latin"] > 0 and out[0]["n_cyrillic"] == 0
+        assert not out[0]["mixed"]
+        assert out[1]["mixed"] and out[1]["n_cyrillic"] == 13
+        assert out[2]["n_greek"] > 0 and not out[2]["mixed"]
+        assert out[3]["mixed"] is None
