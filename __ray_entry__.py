@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "junk_page_report_docs": q.junk_page_report_docs,
         "encoding_quality_docs": q.encoding_quality_docs,
         "script_mix_docs": q.script_mix_docs,
+        "windowed_recapture_docs": q.windowed_recapture_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3246,6 +3247,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_latin, n_cyrillic, n_greek,
                    n_latin > 0 AND n_cyrillic > 0 AS mixed
               FROM c
+        """,
+        "windowed_recapture_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            cap AS (SELECT canonical_url, doc_id, {_WEB_TS_SQL} AS warc_ts
+                      FROM canon),
+            l AS (SELECT doc_id, canonical_url,
+                         date_diff('microseconds',
+                                   lag(warc_ts) OVER (
+                                     PARTITION BY canonical_url
+                                     ORDER BY warc_ts ASC, doc_id ASC),
+                                   warc_ts) AS gap_us
+                    FROM cap)
+            SELECT doc_id, canonical_url,
+                   coalesce(gap_us <= 90 * 86400000000, FALSE)
+                       AS dup_recapture
+              FROM l
         """,
     }
 

@@ -4481,3 +4481,20 @@ def script_mix_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(_attach_encoding_fixture, batch_format="pyarrow")
     return script_mix_report(ds)
+
+
+def windowed_recapture_docs(sf_dir: str):
+    """Time-windowed recapture dedup over the messy-URL fixture:
+    a capture is redundant only if the same canonical url was fetched
+    within the last 90 days (web.windowed_recapture_flags) — the
+    recrawl policy between 'keep everything' and 'keep latest'."""
+    from peri_ray.stages.web import (canonicalize_urls,
+                                     windowed_recapture_flags)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = canonicalize_urls(ds.map_batches(_attach_web_columns,
+                                          batch_format="pyarrow"))
+    ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "canonical_url", "warc_ts"]),
+        batch_format="pyarrow")
+    return windowed_recapture_flags(ds, window_us=90 * 86_400_000_000)

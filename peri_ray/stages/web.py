@@ -740,3 +740,43 @@ def script_mix_report(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_f, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def windowed_recapture_flags(ds, window_us: int,
+                             key_col: str = "canonical_url",
+                             ts_col: str = "warc_ts",
+                             id_col: str = "doc_id",
+                             n_buckets: int = 64):
+    """Time-windowed recapture dedup: flag a capture as
+    ``dup_recapture`` when the SAME key (canonical url / content hash)
+    was previously captured within ``window_us`` — recrawls inside the
+    window are redundant fetches, while a capture beyond it is a
+    legitimate refresh that keep-latest dedup would wrongly collapse.
+
+    One bucketed exchange on the key (only ``(key, ts, id)`` ship);
+    each bucket lexsorts ``(key, ts, id)`` and takes vectorized
+    prev-same-key µs diffs — the lag() window shape.  Requires
+    non-null ``ts`` (crawl capture timestamps always exist)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _flag(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.select([id_col, key_col, ts_col]).take(idx)
+        keys = g.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = (g.column(ts_col).combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        n = len(g)
+        same = np.zeros(n, bool)
+        dup = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = keys[1:] == keys[:-1]
+            dup[1:] = same[1:] & ((ts[1:] - ts[:-1]) <= window_us)
+        return pa.table({id_col: g.column(id_col),
+                         key_col: g.column(key_col),
+                         "dup_recapture": pa.array(dup)})
+
+    return map_groups_via_buckets(ds, [key_col], _flag,
+                                  n_buckets=n_buckets)

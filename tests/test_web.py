@@ -776,3 +776,34 @@ class TestEncodingQuality:
         assert out[1]["mixed"] and out[1]["n_cyrillic"] == 13
         assert out[2]["n_greek"] > 0 and not out[2]["mixed"]
         assert out[3]["mixed"] is None
+
+
+class TestWindowedRecapture:
+    def test_window_boundary_and_keys(self):
+        from peri_ray.stages.web import windowed_recapture_flags
+
+        day = 86_400_000_000
+        rows = [
+            # url A: captures at day 0, 5, 100 — second within the
+            # 10-day window of the first, third beyond the second
+            {"doc_id": 1, "u": "a", "ts": 0},
+            {"doc_id": 2, "u": "a", "ts": 5 * day},
+            {"doc_id": 3, "u": "a", "ts": 100 * day},
+            # url B: exactly AT the window (<=) and a same-ts tie
+            {"doc_id": 4, "u": "b", "ts": 0},
+            {"doc_id": 5, "u": "b", "ts": 10 * day},
+            {"doc_id": 6, "u": "b", "ts": 10 * day},
+            # url C: single capture
+            {"doc_id": 7, "u": "c", "ts": 3 * day},
+        ]
+        t = pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "canonical_url": pa.array([r["u"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["ts"] for r in rows],
+                                pa.timestamp("us")),
+        })
+        out = {r["doc_id"]: r["dup_recapture"]
+               for r in windowed_recapture_flags(
+                   rd.from_arrow(t), window_us=10 * day).take_all()}
+        assert out == {1: False, 2: True, 3: False,
+                       4: False, 5: True, 6: True, 7: False}
