@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_quality_docs": q.encoding_quality_docs,
         "script_mix_docs": q.script_mix_docs,
         "windowed_recapture_docs": q.windowed_recapture_docs,
+        "bloom_probe_recrawl": q.bloom_probe_recrawl,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3280,4 +3281,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811 — wraps the literal dict
     # the resumable partitioned curation must produce exactly the
     # streaming pipeline's report — same gate-attribution oracle
     d["curation_report_partitioned"] = d["curation_report"]
+    # the persisted-Bloom probe must produce exactly the mutable-index
+    # path's exact-dup verdict — same recrawl IN-base oracle
+    d["bloom_probe_recrawl"] = d["incremental_dedup_recrawl"]
     return d

@@ -4498,3 +4498,32 @@ def windowed_recapture_docs(sf_dir: str):
         lambda t: t.select(["doc_id", "canonical_url", "warc_ts"]),
         batch_format="pyarrow")
     return windowed_recapture_flags(ds, window_us=90 * 86_400_000_000)
+
+
+def bloom_probe_recrawl(sf_dir: str):
+    """Incremental exact dedup through the PERSISTED Bloom index:
+    build the fixed-size bitmap from the base corpus once, probe the
+    recrawl delta, verify only Bloom hits against base content hashes
+    (dedup.bloom_probe_exact_dups) — same verdict as the mutable-index
+    path (`incremental_dedup_recrawl`), same oracle, a fraction of the
+    index bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from peri_ray.stages.dedup import (bloom_probe_exact_dups,
+                                       write_bloom_index)
+
+    root = tempfile.mkdtemp(prefix="peri_bloom_idx_")
+    stem = os.path.join(root, "base")
+    try:
+        write_bloom_index(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          stem)
+        new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _recrawl_batch, batch_format="pyarrow")
+        out = bloom_probe_exact_dups(
+            new, stem, _read(sf_dir, "documents", ["doc_id", "text"]))
+        return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                        ("duplicate", pa.bool_())]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2291,3 +2291,152 @@ def edit_distance_join(ds, col: str, id_col: str, max_dist: int = 1,
     pairs = per_group_via_buckets(variants, ["variant"], _pairs,
                                   n_buckets=n_buckets)
     return dedupe_pairs(pairs, n_buckets=n_buckets)
+
+
+def write_bloom_index(ds, stem: str, *, text_col: str = "text",
+                      m_bits: int = 1 << 22, k_hashes: int = 4) -> dict:
+    """Persist the base corpus's exact-dedup probe structure as ONE
+    fixed-size Bloom bitmap (``<stem>.bloom.npy`` + a ``.bloom.json``
+    params manifest).  The cheapest persisted dedup index there is:
+    ``m_bits/8`` bytes REGARDLESS of corpus size (1 GiB at 10^12 docs
+    with m/n≈8, fp≈2.5%) vs 8·num_perm B/doc for the MinHash index —
+    the right tool when later crawl deltas only need an EXACT-dup
+    verdict, not similarity.
+
+    Build is one streaming pass: per-block partial Blooms (each a
+    fixed-size bitmap — coarse batch_size so tiny blocks don't
+    multiply the blobs the driver fetches) OR-merge on the driver
+    (associative; tree-reducible via another map_batches level if
+    fan-in ever mattered).  Null texts are not added."""
+    import json
+
+    import pickle
+
+    from peri_ray.stages.joins import _BloomPartial
+    from peri_ray.state.sketches import Bloom
+
+    rows = ds.map_batches(_BloomPartial(text_col, m_bits, k_hashes),
+                          batch_format="pyarrow",
+                          batch_size=262144).take_all()
+    merged = Bloom(m_bits, k_hashes)
+    for r in rows:
+        merged.merge(pickle.loads(r["bloom"]))
+    np.save(stem + ".bloom.npy", merged.words)
+    manifest = {"m_bits": m_bits, "k_hashes": k_hashes,
+                "text_col": text_col}
+    with open(stem + ".bloom.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class _BloomIndexProbe:
+    """New-crawl batch -> (id, content hash, bloom hit).  Null text
+    never hits (it is never indexed)."""
+
+    def __init__(self, text_col: str, id_col: str, bloom_ref):
+        import ray
+
+        self.text_col, self.id_col = text_col, id_col
+        self.bloom = ray.get(bloom_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from peri_ray.state.sketches import hash_strings
+
+        txt = t.column(self.text_col).combine_chunks().cast(pa.string())
+        valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        h = np.zeros(len(txt), np.uint64)
+        hit = np.zeros(len(txt), bool)
+        if valid.any():
+            hv = hash_strings(txt.fill_null(""))
+            hit = self.bloom.contains_hashes(hv) & valid
+            h = hv
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "__h": pa.array(h),
+                         "__hit": pa.array(hit)})
+
+
+def bloom_probe_exact_dups(new_ds, stem: str, base_ds, *,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int = 64):
+    """Exact incremental dedup of a crawl delta against a
+    :func:`write_bloom_index` bitmap: Bloom-ABSENT rows are PROVEN new
+    (a Bloom has no false negatives) and never enter any exchange;
+    only the hit set (true dups + the small fp fraction) verifies
+    against the base corpus through one hash-bucketed exchange
+    shipping ``(content_hash, id)`` — base text is re-read but never
+    shuffled, and the verdict is exact at ANY fp rate.  Content
+    identity is the shared 64-bit hash_strings key (the
+    state.index.TextHashIndex convention; widen to 128 bits before
+    birthday collisions matter at 10^12 docs).
+
+    Returns one ``(id, duplicate)`` row per new-crawl row."""
+    import json
+
+    import ray
+
+    from peri_ray.state.sketches import Bloom, hash_strings
+    from peri_ray.stages.checks import bucket_of
+
+    with open(stem + ".bloom.json") as f:
+        meta = json.load(f)
+    bloom = Bloom(meta["m_bits"], meta["k_hashes"])
+    bloom.words = np.load(stem + ".bloom.npy")
+    bloom_ref = ray.put(bloom)
+
+    # two consumers (clean split + survivor verify): pin the tiny
+    # (id, hash, hit) probe table; at 10^12 rows persist it to a
+    # parquet sink instead and read both splits from there
+    probed = new_ds.map_batches(
+        _BloomIndexProbe(text_col, id_col, bloom_ref),
+        batch_format="pyarrow").materialize()
+
+    def _clean(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.invert(t.column("__hit")))
+        return pa.table({id_col: sub.column(id_col),
+                         "duplicate": pa.array(
+                             np.zeros(sub.num_rows, bool))})
+
+    clean = probed.map_batches(_clean, batch_format="pyarrow")
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        sub = t.filter(t.column("__hit"))
+        return pa.table({id_col: sub.column(id_col),
+                         "__h": sub.column("__h"),
+                         "__side": pa.array(
+                             np.ones(sub.num_rows, np.int8))})
+
+    side_new = probed.map_batches(_survivors, batch_format="pyarrow")
+
+    def _base_h(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks().cast(pa.string())
+        sub = txt.drop_null()
+        return pa.table({id_col: pa.array(
+                             np.full(len(sub), -1, np.int64)),
+                         "__h": pa.array(hash_strings(sub)),
+                         "__side": pa.array(
+                             np.zeros(len(sub), np.int8))})
+
+    side_base = base_ds.map_batches(_base_h, batch_format="pyarrow")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        key = t.column("__h").combine_chunks().cast(pa.string())
+        return t.append_column("__bucket", bucket_of(key, n_buckets))
+
+    def _verify(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = group.column("__h").combine_chunks()
+        base_h = h.filter(pa.array(side == 0))
+        new_rows = group.filter(pa.array(side == 1))
+        dup = pc.is_in(new_rows.column("__h").combine_chunks(),
+                       value_set=base_h.unique())
+        return pa.table({id_col: new_rows.column(id_col),
+                         "duplicate": dup})
+
+    both = side_new.union(side_base)
+    verified = (both.map_batches(_bucket, batch_format="pyarrow",
+                                 batch_size=EXCHANGE_COALESCE_ROWS)
+                .groupby("__bucket")
+                .map_groups(_verify, batch_format="pyarrow"))
+    return clean.union(verified)

@@ -6401,3 +6401,51 @@ class TestGlobalRank:
         got = {r["i"]: r["rank"] for r in out}
         # nulls first, then epoch order, ties by id
         assert got == {3: 1, 1: 2, 4: 3, 2: 4, 0: 5}
+
+
+class TestBloomIndex:
+    def test_probe_exact_at_any_fp_rate(self, tmp_path):
+        from peri_ray.stages.dedup import (bloom_probe_exact_dups,
+                                           write_bloom_index)
+
+        base_rows = [{"doc_id": i, "text": f"base doc {i}"}
+                     for i in range(200)]
+        base = rd.from_items(base_rows, override_num_blocks=3)
+        stem = str(tmp_path / "idx")
+        # 64-bit bitmap for 200 keys: saturated, fp rate near 1 —
+        # the exact verify must still refute every false positive
+        write_bloom_index(base, stem, m_bits=64, k_hashes=2)
+
+        new_rows = ([{"doc_id": 1000 + i, "text": f"base doc {i}"}
+                     for i in range(0, 50)] +          # true dups
+                    [{"doc_id": 2000 + i, "text": f"fresh doc {i}"}
+                     for i in range(80)] +             # new content
+                    [{"doc_id": 3000, "text": None}])  # null text
+        new = rd.from_items(new_rows, override_num_blocks=2)
+        base2 = rd.from_items(base_rows, override_num_blocks=3)
+        out = {r["doc_id"]: r["duplicate"]
+               for r in bloom_probe_exact_dups(new, stem, base2).take_all()}
+        assert len(out) == len(new_rows)
+        for i in range(50):
+            assert out[1000 + i] is True
+        for i in range(80):
+            assert out[2000 + i] is False
+        assert out[3000] is False
+
+    def test_absent_rows_skip_exchange(self, tmp_path):
+        # generous bitmap: disjoint new content should all be clean
+        # (proving no false negatives AND that fp pruning works)
+        from peri_ray.stages.dedup import (bloom_probe_exact_dups,
+                                           write_bloom_index)
+
+        base = rd.from_items([{"doc_id": i, "text": f"b{i}"}
+                              for i in range(100)])
+        stem = str(tmp_path / "idx2")
+        write_bloom_index(base, stem, m_bits=1 << 16, k_hashes=4)
+        new = rd.from_items([{"doc_id": 500 + i, "text": f"n{i}"}
+                             for i in range(100)])
+        base2 = rd.from_items([{"doc_id": i, "text": f"b{i}"}
+                               for i in range(100)])
+        out = bloom_probe_exact_dups(new, stem, base2).take_all()
+        assert all(r["duplicate"] is False for r in out)
+        assert len(out) == 100
