@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": q.multimodal_resize,
         "audio_features": q.audio_features,
         "ivf_ann_topk": q.ivf_ann_topk,
+        "semdedup_victims_embeddings": q.semdedup_victims_embeddings,
+        "semdedup_recall_report": q.semdedup_recall_report,
     }
 
 

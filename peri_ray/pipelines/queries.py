@@ -4527,3 +4527,44 @@ def bloom_probe_recrawl(sf_dir: str):
                                         ("duplicate", pa.bool_())]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def semdedup_victims_embeddings(sf_dir: str):
+    """SemDeDup: k-means-cluster the embedding space, exact cosine
+    dedup within clusters, keep min id per component
+    (similarity.semdedup_victims).  Rows-only — k-means has no SQL
+    twin; the recall report below quantifies within-cluster coverage
+    against the exact global join."""
+    from peri_ray.stages.similarity import semdedup_victims
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _collect(semdedup_victims(ds, threshold=0.4, k_clusters=8),
+                    pa.schema([("vec_id", pa.int64())]))
+
+
+def semdedup_recall_report(sf_dir: str):
+    """Self-evaluation of the SemDeDup approximation: within-cluster
+    pairs are a SUBSET of the exact global cosine join (same vectors,
+    same rounding, same threshold), so recall = n_sem / n_exact — the
+    fraction of true near-dup pairs the cluster partition keeps
+    co-located.  The honest number to check before trusting SemDeDup's
+    O(Σ m_c²) shortcut on a new corpus."""
+    from peri_ray.stages.similarity import (cosine_similarity_join,
+                                            semdedup_pairs)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_exact = cosine_similarity_join(ds, threshold=0.4).count()
+    ks, sems, recs = [], [], []
+    for k in (4, 8):
+        ds2 = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        n_sem = semdedup_pairs(ds2, threshold=0.4, k_clusters=k).count()
+        ks.append(k)
+        sems.append(n_sem)
+        recs.append(round(float(n_sem) / float(n_exact), 6)
+                    if n_exact else 1.0)
+    return pa.table({
+        "k_clusters": pa.array(ks, pa.int64()),
+        "n_exact": pa.array([n_exact] * len(ks), pa.int64()),
+        "n_sem": pa.array(sems, pa.int64()),
+        "recall": pa.array(recs, pa.float64()),
+    })

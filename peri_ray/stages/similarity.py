@@ -1639,3 +1639,92 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
     n_tri = closed.count()
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "n_triangles": pa.array([n_tri], pa.int64())})
+
+
+def semdedup_pairs(ds, threshold: float = 0.9, k_clusters: int = 8,
+                   iters: int = 5, vec_col: str = "embedding",
+                   id_col: str = "vec_id", round_to: int = 6,
+                   max_cluster: int = 200_000):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means partition
+    the embedding space, then EXACT cosine pairs WITHIN clusters only —
+    O(Σ m_c²) instead of the all-pairs O(n²), the trade that makes
+    semantic dedup feasible at corpus scale.  Cross-cluster pairs are
+    deliberately out of scope; quantify the miss with the recall
+    report query before trusting a threshold.
+
+    Pick ``k_clusters ≈ n / target_cluster_size`` so one cluster's
+    matmul fits a task; a cluster above ``max_cluster`` raises rather
+    than silently OOMing (k was mis-sized).  Pairs emit as
+    (id_a < id_b, cos rounded to ``round_to``, cluster)."""
+    import ray
+
+    _, cents, _ = kmeans_fit(ds, k=k_clusters, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+    cref = ray.put(np.asarray(cents, np.float64))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        vec = t.column(vec_col).combine_chunks()
+        t2 = t.filter(pc.is_valid(vec))
+        if t2.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "row": pa.array([], pa.list_(pa.float64()))})
+        X = _as_matrix(t2.column(vec_col), np.float64)
+        C = ray.get(cref)
+        d = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+             + (C * C).sum(1)[None, :])
+        cl = d.argmin(1).astype(np.int64)
+        U = _normalize(X)
+        return pa.table({
+            id_col: t2.column(id_col).combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(cl),
+            "row": pa.array(list(U), pa.list_(pa.float64()))})
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        if n > max_cluster:
+            raise ValueError(
+                f"semdedup_pairs: cluster of {n} rows exceeds "
+                f"max_cluster={max_cluster}; raise k_clusters")
+        ids = (group.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        M = _as_matrix(group.column("row"), np.float64)
+        sim = np.round(M @ M.T, round_to)
+        iu, ju = np.triu_indices(n, 1)
+        keep = sim[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pa.table({"id_a": pa.array(np.minimum(a, b)),
+                         "id_b": pa.array(np.maximum(a, b)),
+                         "cos": pa.array(sim[iu[keep], ju[keep]])})
+
+    return assigned.groupby("cluster").map_groups(_pairs,
+                                                  batch_format="pyarrow")
+
+
+def semdedup_victims(ds, threshold: float = 0.9, k_clusters: int = 8,
+                     iters: int = 5, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """SemDeDup end to end: within-cluster cosine pairs → connected
+    components → every cluster member except the min-id keeper (the
+    same decision step as text near-dedup)."""
+    from peri_ray.stages.dedup import connected_components
+
+    pairs = semdedup_pairs(ds, threshold=threshold, k_clusters=k_clusters,
+                           iters=iters, vec_col=vec_col, id_col=id_col)
+    labels = connected_components(pairs)
+
+    def _victims(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("doc_id"), t.column("label"))
+        return pa.table({id_col: t.filter(keep).column("doc_id")})
+
+    return labels.map_batches(_victims, batch_format="pyarrow")

@@ -6449,3 +6449,59 @@ class TestBloomIndex:
         out = bloom_probe_exact_dups(new, stem, base2).take_all()
         assert all(r["duplicate"] is False for r in out)
         assert len(out) == 100
+
+
+class TestSemDeDup:
+    def _vecs(self):
+        rng = np.random.default_rng(3)
+        rows = []
+        # two far-apart centers, each with a tight near-dup clump of 4
+        # plus 20 scattered singletons around it
+        for c, center in enumerate([np.array([10.0, 0, 0, 0]),
+                                    np.array([0, 10.0, 0, 0])]):
+            base = 100 * c
+            clump = center + rng.normal(0, 0.01, (4, 4))
+            for i, v in enumerate(clump):
+                rows.append({"vec_id": base + i,
+                             "embedding": v.astype(np.float32).tolist()})
+            for i in range(20):
+                v = center + rng.normal(0, 3.0, 4)
+                rows.append({"vec_id": base + 10 + i,
+                             "embedding": v.astype(np.float32).tolist()})
+        return rows
+
+    def test_pairs_subset_of_exact_and_victims(self):
+        from peri_ray.stages.similarity import (cosine_similarity_join,
+                                                semdedup_pairs,
+                                                semdedup_victims)
+
+        rows = self._vecs()
+        thr = 0.999
+        ds = rd.from_items(rows, override_num_blocks=3)
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 cosine_similarity_join(ds, threshold=thr).take_all()}
+        ds2 = rd.from_items(rows, override_num_blocks=3)
+        sem = {(r["id_a"], r["id_b"]) for r in
+               semdedup_pairs(ds2, threshold=thr, k_clusters=2,
+                              iters=8).take_all()}
+        assert sem <= exact
+        # both clumps' pairs are within-cluster: full recall here
+        for base in (0, 100):
+            clump = {(a, b) for a in range(base, base + 4)
+                     for b in range(a + 1, base + 4)}
+            assert clump <= sem
+        ds3 = rd.from_items(rows, override_num_blocks=3)
+        victims = sorted(r["vec_id"] for r in semdedup_victims(
+            ds3, threshold=thr, k_clusters=2, iters=8).take_all())
+        # min id of each clump is kept; the other three are victims
+        assert set(victims) >= {1, 2, 3, 101, 102, 103}
+        assert 0 not in victims and 100 not in victims
+
+    def test_oversized_cluster_raises(self):
+        from peri_ray.stages.similarity import semdedup_pairs
+
+        rows = [{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(40)]
+        ds = rd.from_items(rows)
+        with pytest.raises(Exception, match="max_cluster"):
+            semdedup_pairs(ds, threshold=0.5, k_clusters=1,
+                           max_cluster=10).take_all()
