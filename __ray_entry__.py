@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix_docs": q.script_mix_docs,
         "windowed_recapture_docs": q.windowed_recapture_docs,
         "bloom_probe_recrawl": q.bloom_probe_recrawl,
+        "temperature_mixed_docs": q.temperature_mixed_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3266,6 +3267,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(gap_us <= 90 * 86400000000, FALSE)
                        AS dup_recapture
               FROM l
+        """,
+        # python's c**0.5 and SQL sqrt are both correctly rounded, so
+        # the per-lang rates agree bit-for-bit as long as pow_sum folds
+        # in the same (lang) order — hence the ORDERed list_sum
+        "temperature_mixed_docs": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            s AS (
+              SELECT list_sum(list(sqrt(CAST(cnt AS DOUBLE))
+                                   ORDER BY lang)) AS pow_sum FROM c
+            ),
+            r AS (
+              SELECT lang,
+                     CAST(floor(least(1.0,
+                          (sqrt(CAST(cnt AS DOUBLE))
+                           / (SELECT pow_sum FROM s))
+                          * 500.0 / CAST(cnt AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS thr
+                FROM c
+            )
+            SELECT d.doc_id, d.lang
+              FROM documents d JOIN r USING (lang)
+             WHERE (d.doc_id % 1000003) * 2654435761 % 1000000 < r.thr
         """,
     }
 

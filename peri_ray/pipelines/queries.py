@@ -4568,3 +4568,25 @@ def semdedup_recall_report(sf_dir: str):
         "n_sem": pa.array(sems, pa.int64()),
         "recall": pa.array(recs, pa.float64()),
     })
+
+
+def temperature_mixed_docs(sf_dir: str):
+    """Temperature-smoothed corpus remixing (Pile/ROOTS style,
+    alpha = 0.5 downweights the dominant lang): per-lang counts via the
+    two-phase histogram, driver-side stats.temperature_rates, then ONE
+    streaming hash_weighted_sample pass — no shuffle, reproducible at
+    any block layout.  The twin recomputes the rates with SQL sqrt in
+    lang order (pow_sum folds over a lang-ORDERED list on both sides);
+    membership compares integer-floored thresholds, and a floored
+    IRRATIONAL rate (sums of square roots of non-square counts) cannot
+    sit on a micro-unit boundary."""
+    from peri_ray.stages.checks import histogram
+    from peri_ray.stages.stats import hash_weighted_sample, temperature_rates
+
+    counts = histogram(_read(sf_dir, "documents", ["doc_id", "lang"]),
+                       "lang")
+    rates = temperature_rates(dict(sorted(counts.items())), alpha=0.5,
+                              target_total=500)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_weighted_sample(ds, rates, key_col="lang",
+                                id_col="doc_id")
