@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_recapture_docs": q.windowed_recapture_docs,
         "bloom_probe_recrawl": q.bloom_probe_recrawl,
         "temperature_mixed_docs": q.temperature_mixed_docs,
+        "anchor_text_profile_docs": q.anchor_text_profile_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3292,6 +3293,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang
               FROM documents d JOIN r USING (lang)
              WHERE (d.doc_id % 1000003) * 2654435761 % 1000000 < r.thr
+        """,
+        "anchor_text_profile_docs": """
+            WITH e AS (
+              SELECT unnest(list_transform(range(doc_id % 3),
+                        j -> struct_pack(
+                          dst_host := 'h' ||
+                            CAST((doc_id*7 + j + 1) % 50 AS VARCHAR)
+                            || '.example.com',
+                          anchor := 'w' ||
+                            CAST((doc_id*11 + j) % 7 AS VARCHAR))
+                     ), recursive := true) FROM documents)
+            SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY dst_host, anchor
         """,
     }
 

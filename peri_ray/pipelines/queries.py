@@ -4590,3 +4590,43 @@ def temperature_mixed_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return hash_weighted_sample(ds, rates, key_col="lang",
                                 id_col="doc_id")
+
+
+def _attach_anchored_html_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: the linked-html fixture with VARYING anchor text —
+    link j of doc i reads 'w((i*11 + j) % 7)' — so anchor-text
+    aggregation has real distribution; targets match
+    _attach_linked_html_fixture's arithmetic."""
+    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    nl = ids_np % 3
+
+    def _anchor(j: int) -> pa.Array:
+        tgt = (ids_np * 7 + j + 1) % 50
+        txt = (ids_np * 11 + j) % 7
+        a = np.char.add(
+            np.char.add(
+                np.char.add('<a href="http://h', tgt.astype(str)),
+                np.char.add(".example.com/p/",
+                            (ids_np % 20).astype(str))),
+            np.char.add(np.char.add('">w', txt.astype(str)), "</a>"))
+        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
+        pa.scalar("</body></html>"), "")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def anchor_text_profile_docs(sf_dir: str):
+    """Anchor-text profile per TARGET host (what the web calls each
+    host — the off-page signal): vectorized <a href>text</a> parse
+    (web.extract_anchors), href → host, (dst_host, anchor, n) counts.
+    The twin rebuilds the edge list arithmetically, so a broken parser
+    mismatches."""
+    from peri_ray.stages.web import anchor_text_profile, extract_anchors
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(_attach_anchored_html_fixture,
+                        batch_format="pyarrow")
+    return anchor_text_profile(extract_anchors(ds))

@@ -780,3 +780,60 @@ def windowed_recapture_flags(ds, window_us: int,
 
     return map_groups_via_buckets(ds, [key_col], _flag,
                                   n_buckets=n_buckets)
+
+
+def extract_anchors(ds, html_col: str = "html", id_col: str = "doc_id",
+                    batch_size: int | None = 8192):
+    """Like :func:`extract_outlinks` but also captures the ANCHOR TEXT
+    — one (id, href, anchor) row per ``<a href="...">text</a>`` in
+    document order.  Anchor text is the off-page description signal
+    (link-based quality/topic classifiers, site-level spam detection)
+    that pure href extraction throws away.  Same vectorized shape: ONE
+    split on the anchor prefix, offsets → row ids, one RE2 extract for
+    url + text; anchors whose text spans nested tags are skipped (the
+    text capture is ``[^<]*``, the same simplification as the title
+    extractor)."""
+    def _x(t: pa.Table) -> pa.Table:
+        h = t.column(html_col).combine_chunks()
+        s = h.cast(pa.string())
+        ids = t.column(id_col).combine_chunks()
+        pieces = pc.split_pattern(pc.fill_null(s, ""), '<a href="')
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pieces.flatten()
+        n = len(pieces)
+        counts = np.diff(pieces.offsets.to_numpy(zero_copy_only=False))
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        first = np.zeros(len(flat), bool)
+        offs = pieces.offsets.to_numpy(zero_copy_only=False)
+        first[offs[:-1][counts > 0]] = True
+        cand = pc.extract_regex(flat,
+                                '^(?P<u>[^"]*)">(?P<t>[^<]*)</a>')
+        got = pc.and_(pc.is_valid(cand), pa.array(~first))
+        sub = cand.filter(got)
+        take_rows = row_idx[got.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            id_col: ids.take(pa.array(take_rows)),
+            "href": pc.struct_field(sub, "u"),
+            "anchor": pc.struct_field(sub, "t"),
+        })
+
+    return ds.map_batches(_x, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def anchor_text_profile(ds, href_col: str = "href",
+                        anchor_col: str = "anchor",
+                        batch_size: int | None = 65536) -> pa.Table:
+    """(dst_host, anchor, n) profile of what the web CALLS each host —
+    per-batch Arrow group_by partials + the driver-bounded merge
+    (domain_stats contract; route through ``grouped_sum_via_buckets``
+    when the (host, anchor) domain outgrows the driver)."""
+    def _dst(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_host": href_host(t.column(href_col)),
+                         "anchor": t.column(anchor_col)})
+
+    pairs = _pair_counts(ds.map_batches(_dst, batch_format="pyarrow",
+                                        batch_size=batch_size),
+                         "dst_host", "anchor", batch_size)
+    return pairs.rename_columns(["dst_host", "anchor", "n"])

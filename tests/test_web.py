@@ -807,3 +807,34 @@ class TestWindowedRecapture:
                    rd.from_arrow(t), window_us=10 * day).take_all()}
         assert out == {1: False, 2: True, 3: False,
                        4: False, 5: True, 6: True, 7: False}
+
+
+class TestExtractAnchors:
+    def test_anchor_text_and_edge_cases(self):
+        from peri_ray.stages.web import anchor_text_profile, extract_anchors
+
+        html = [
+            '<p>pre</p><a href="http://x.com/a">first link</a> mid '
+            '<a href="https://y.org/b?q=1">second</a> post',
+            '<a href="http://x.com/c"><b>nested skipped</b></a>'
+            '<a href="http://x.com/d">kept</a>',
+            "no anchors at all",
+            None,
+        ]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "html": pa.array(
+                          [h.encode() if h else None for h in html],
+                          pa.binary())})
+        rows = extract_anchors(rd.from_arrow(t)).take_all()
+        got = sorted((r["doc_id"], r["href"], r["anchor"]) for r in rows)
+        assert got == [
+            (0, "http://x.com/a", "first link"),
+            (0, "https://y.org/b?q=1", "second"),
+            (1, "http://x.com/d", "kept"),
+        ]
+        prof = anchor_text_profile(extract_anchors(rd.from_arrow(t)))
+        assert sorted(zip(prof.column("dst_host").to_pylist(),
+                          prof.column("anchor").to_pylist(),
+                          prof.column("n").to_pylist())) == [
+            ("x.com", "first link", 1), ("x.com", "kept", 1),
+            ("y.org", "second", 1)]
