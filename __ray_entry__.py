@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe_recrawl": q.bloom_probe_recrawl,
         "temperature_mixed_docs": q.temperature_mixed_docs,
         "anchor_text_profile_docs": q.anchor_text_profile_docs,
+        "ip_block_lookup_docs": q.ip_block_lookup_docs,
+        "url_features_docs": q.url_features_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3306,6 +3308,40 @@ def oracle_sql() -> dict[str, str]:
                      ), recursive := true) FROM documents)
             SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
               FROM e GROUP BY dst_host, anchor
+        """,
+        "ip_block_lookup_docs": """
+            WITH r AS (
+              SELECT b * 16777216 AS lo, (b + 1) * 16777216 - 1 AS hi,
+                     10000 + b AS asn
+                FROM (SELECT unnest(range(256)) AS b) WHERE b % 3 <> 0
+            ),
+            d AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 4294967296 AS ip
+                FROM documents
+            )
+            SELECT d.doc_id, d.ip, r.asn
+              FROM d LEFT JOIN r ON d.ip BETWEEN r.lo AND r.hi
+        """,
+        "url_features_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            p AS (
+              SELECT doc_id, canonical_url AS cu,
+                     regexp_extract(canonical_url,
+                                    '://[^/?#]*([^?#]*)', 1) AS path,
+                     nullif(regexp_extract(canonical_url,
+                                           '\\?([^#]*)', 1), '') AS q
+                FROM canon)
+            SELECT doc_id,
+                   CAST(length(path) - length(replace(path, '/', ''))
+                        AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN q IS NULL THEN 0
+                        ELSE length(q) - length(replace(q, '&', '')) + 1
+                        END AS BIGINT) AS n_params,
+                   nullif(regexp_extract(
+                       regexp_extract(cu, '://([^/?#:]*)', 1),
+                       '\\.([a-z0-9-]+)$', 1), '') AS tld
+              FROM p
         """,
     }
 

@@ -4630,3 +4630,43 @@ def anchor_text_profile_docs(sf_dir: str):
     ds = ds.map_batches(_attach_anchored_html_fixture,
                         batch_format="pyarrow")
     return anchor_text_profile(extract_anchors(ds))
+
+
+def ip_block_lookup_docs(sf_dir: str):
+    """Broadcast range lookup (the IP → ASN tagging shape): a synthetic
+    32-bit 'ip' per doc resolves against 256 non-overlapping /8-sized
+    blocks (every third block missing, so gap rows exercise the null
+    path) via one searchsorted per batch — shuffle-free
+    (joins.broadcast_range_lookup); twin is the literal BETWEEN join."""
+    from peri_ray.stages.joins import broadcast_range_lookup
+
+    blocks = [b for b in range(256) if b % 3 != 0]
+    ranges = pa.table({
+        "lo": pa.array([b << 24 for b in blocks], pa.int64()),
+        "hi": pa.array([((b + 1) << 24) - 1 for b in blocks], pa.int64()),
+        "asn": pa.array([10000 + b for b in blocks], pa.int64()),
+    })
+
+    def _ip(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        ip = (ids * 2654435761) % (1 << 32)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "ip": pa.array(ip.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _ip, batch_format="pyarrow")
+    return broadcast_range_lookup(ds, ranges, "ip")
+
+
+def url_features_docs(sf_dir: str):
+    """Structural URL features (path depth, param count, tld) over the
+    canonicalized messy-URL fixture — the FineWeb-style URL-filter
+    inputs (web.url_features); twin applies identical RE2/string ops
+    to the same canonical urls."""
+    from peri_ray.stages.web import canonicalize_urls, url_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = canonicalize_urls(ds.map_batches(_attach_web_columns,
+                                          batch_format="pyarrow"))
+    return url_features(ds)

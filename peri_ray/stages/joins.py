@@ -581,3 +581,65 @@ def bloom_semi_join(fact, dim, fact_key: str, dim_key: str,
                               batch_format="pyarrow")
     return hash_join(pruned, dim, fact_key, dim_key, fact_cols, [],
                      how="semi", n_buckets=n_buckets)
+
+
+def broadcast_range_lookup(ds, ranges: pa.Table, key_col: str,
+                           lo_col: str = "lo", hi_col: str = "hi",
+                           value_cols: list[str] | None = None,
+                           batch_size: int | None = 65536):
+    """Attach static-range attributes to every row — the IP→ASN/geo
+    tagging shape of crawl enrichment: the lookup side is a SMALL
+    table of NON-OVERLAPPING [lo, hi] intervals (IP blocks, id shards,
+    date eras) that broadcasts once via ``ray.put``, and each batch
+    resolves its keys with ONE ``searchsorted`` against the sorted lo
+    bounds + an upper-bound check — shuffle-free, O(log R) per row,
+    unlike the general interval-overlap join (which exchanges both
+    sides and allows overlap).
+
+    Keys outside every range (gaps) get null attributes — LEFT JOIN
+    semantics.  Overlapping ranges raise at build time: silent
+    first-match would hide a corrupt lookup table."""
+    import ray
+
+    value_cols = list(value_cols or
+                      [c for c in ranges.column_names
+                       if c not in (lo_col, hi_col)])
+    r = ranges.sort_by([(lo_col, "ascending")])
+    lo = r.column(lo_col).combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    hi = r.column(hi_col).combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    if (hi < lo).any():
+        raise ValueError("broadcast_range_lookup: hi < lo range")
+    if len(lo) > 1 and (lo[1:] <= hi[:-1]).any():
+        raise ValueError("broadcast_range_lookup: overlapping ranges")
+    vals = {c: r.column(c).combine_chunks() for c in value_cols}
+    side_ref = ray.put((lo, hi, vals))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        slo, shi, svals = ray.get(side_ref)
+        keys = t.column(key_col).combine_chunks().cast(pa.int64())
+        null = pc.is_null(keys).to_numpy(zero_copy_only=False)
+        k = keys.fill_null(0).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(slo, k, side="right") - 1
+        ok = (idx >= 0) & ~null
+        idx = np.clip(idx, 0, max(len(slo) - 1, 0))
+        if len(slo):
+            ok &= k <= shi[idx]
+        else:
+            ok[:] = False
+        # gather with a safe index, then null out the out-of-range rows
+        gather = pa.array(np.where(ok, idx, 0), pa.int64())
+        oka = pa.array(ok)
+        out = t
+        for c, arr in svals.items():
+            if len(arr):
+                col = pc.if_else(oka, arr.take(gather),
+                                 pa.scalar(None, arr.type))
+            else:
+                col = pa.nulls(len(t), arr.type)
+            out = out.append_column(c, col)
+        return out
+
+    return ds.map_batches(_tag, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -837,3 +837,38 @@ def anchor_text_profile(ds, href_col: str = "href",
                                         batch_size=batch_size),
                          "dst_host", "anchor", batch_size)
     return pairs.rename_columns(["dst_host", "anchor", "n"])
+
+
+def url_features(ds, url_col: str = "canonical_url",
+                 id_col: str = "doc_id",
+                 batch_size: int | None = 65536):
+    """Structural URL features for quality/spam classifiers (FineWeb-
+    class URL filtering): path depth (slash count), query-param count,
+    and the host's final label (tld) — one vectorized RE2+Arrow pass
+    over the canonical url, shuffle-free.  Null url yields null
+    features; a match-less extract yields null (mirrors the twin's
+    ``nullif(regexp_extract(...), '')``)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        u = t.column(url_col).combine_chunks()
+        if pa.types.is_large_string(u.type):
+            u = u.cast(pa.string())
+        path = pc.struct_field(
+            pc.extract_regex(u, "://[^/?#]*(?P<p>[^?#]*)"), "p")
+        depth = pc.count_substring(path, "/").cast(pa.int64())
+        q = pc.struct_field(pc.extract_regex(u, r"\?(?P<q>[^#]*)"), "q")
+        n_params = pc.if_else(
+            pc.is_valid(q),
+            pc.add(pc.count_substring(q, "&"), 1).cast(pa.int64()),
+            pc.if_else(pc.is_valid(u), pa.scalar(0, pa.int64()),
+                       pa.scalar(None, pa.int64())))
+        host = pc.struct_field(
+            pc.extract_regex(u, "://(?P<h>[^/?#:]*)"), "h")
+        tld = pc.struct_field(
+            pc.extract_regex(host, r"\.(?P<t>[a-z0-9-]+)$"), "t")
+        return pa.table({id_col: t.column(id_col),
+                         "path_depth": depth, "n_params": n_params,
+                         "tld": tld})
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -838,3 +838,49 @@ class TestExtractAnchors:
                           prof.column("n").to_pylist())) == [
             ("x.com", "first link", 1), ("x.com", "kept", 1),
             ("y.org", "second", 1)]
+
+
+class TestUrlFeatures:
+    def test_features(self):
+        from peri_ray.stages.web import url_features
+
+        urls = [
+            "https://a.example.com/x/y/z?p=1&q=2",
+            "http://b.io/",
+            "http://c.net",          # no path at all
+            "https://d.co/idx?single=1",
+            None,
+        ]
+        t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "canonical_url": pa.array(urls, pa.string())})
+        out = {r["doc_id"]: r for r in
+               url_features(rd.from_arrow(t)).take_all()}
+        assert (out[0]["path_depth"], out[0]["n_params"],
+                out[0]["tld"]) == (3, 2, "com")
+        assert (out[1]["path_depth"], out[1]["n_params"],
+                out[1]["tld"]) == (1, 0, "io")
+        assert (out[2]["path_depth"], out[2]["n_params"],
+                out[2]["tld"]) == (0, 0, "net")
+        assert out[3]["n_params"] == 1
+        assert out[4]["path_depth"] is None and out[4]["tld"] is None
+
+
+class TestRangeLookup:
+    def test_gaps_overlap_and_nulls(self):
+        from peri_ray.stages.joins import broadcast_range_lookup
+
+        ranges = pa.table({"lo": pa.array([0, 100], pa.int64()),
+                           "hi": pa.array([9, 199], pa.int64()),
+                           "tag": pa.array(["a", "b"], pa.string())})
+        t = pa.table({"k": pa.array([5, 9, 10, 100, 199, 200, None],
+                                    pa.int64())})
+        out = [r["tag"] for r in sorted(
+            broadcast_range_lookup(rd.from_arrow(t), ranges, "k")
+            .take_all(), key=lambda r: (r["k"] is None, r["k"]))]
+        assert out == ["a", "a", None, "b", "b", None, None]
+
+        bad = pa.table({"lo": pa.array([0, 5], pa.int64()),
+                        "hi": pa.array([9, 19], pa.int64()),
+                        "tag": pa.array(["a", "b"], pa.string())})
+        with pytest.raises(ValueError, match="overlapping"):
+            broadcast_range_lookup(rd.from_arrow(t), bad, "k")
