@@ -256,6 +256,30 @@ def run_bench() -> dict:
     timed("embedding_covariance", lambda: q.embedding_covariance_q(SF_DIR))
     timed("pca_projection",
           lambda: q.pca_projected_embeddings(SF_DIR).to_pandas())
+    # session-8 additions: global sort, crawl hygiene, persisted Bloom
+    # probe, temperature remix, SemDeDup, anchors, range lookup
+    timed("global_rank_documents",
+          lambda: q.global_rank_documents(SF_DIR).to_pandas())
+    timed("global_rank_events_desc",
+          lambda: q.global_rank_events_desc(SF_DIR).to_pandas())
+    timed("junk_page_report",
+          lambda: q.junk_page_report_docs(SF_DIR).to_pandas())
+    timed("encoding_quality",
+          lambda: q.encoding_quality_docs(SF_DIR).to_pandas())
+    timed("script_mix", lambda: q.script_mix_docs(SF_DIR).to_pandas())
+    timed("windowed_recapture",
+          lambda: q.windowed_recapture_docs(SF_DIR).to_pandas())
+    timed("bloom_probe_recrawl",
+          lambda: q.bloom_probe_recrawl(SF_DIR))
+    timed("temperature_mixed",
+          lambda: q.temperature_mixed_docs(SF_DIR).to_pandas())
+    timed("semdedup_victims",
+          lambda: q.semdedup_victims_embeddings(SF_DIR))
+    timed("anchor_text_profile",
+          lambda: q.anchor_text_profile_docs(SF_DIR))
+    timed("ip_block_lookup",
+          lambda: q.ip_block_lookup_docs(SF_DIR).to_pandas())
+    timed("url_features", lambda: q.url_features_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
