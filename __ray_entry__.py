@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": q.ivf_ann_topk,
         "semdedup_victims_embeddings": q.semdedup_victims_embeddings,
         "semdedup_recall_report": q.semdedup_recall_report,
+        "quality_classifier_report": q.quality_classifier_report,
     }
 
 

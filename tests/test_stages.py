@@ -6505,3 +6505,53 @@ class TestSemDeDup:
         with pytest.raises(Exception, match="max_cluster"):
             semdedup_pairs(ds, threshold=0.5, k_clusters=1,
                            max_cluster=10).take_all()
+
+
+class TestLogReg:
+    def _data(self, n=400, seed=5):
+        rng = np.random.default_rng(seed)
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 1, n)
+        # true boundary 2*x1 - x2 + 0.5, with a little noise
+        y = (2 * x1 - x2 + 0.5 + rng.normal(0, 0.3, n)) > 0
+        return [{"i": i, "x1": float(x1[i]), "x2": float(x2[i]),
+                 "y": int(y[i])} for i in range(n)]
+
+    def test_fit_matches_single_process_reference(self):
+        from peri_ray.stages.learn import logreg_fit
+
+        rows = self._data()
+        ds = rd.from_items(rows, override_num_blocks=4)
+        w, losses = logreg_fit(ds, ["x1", "x2"], "y", iters=40, lr=1.0)
+
+        X = np.column_stack([[r["x1"] for r in rows],
+                             [r["x2"] for r in rows],
+                             np.ones(len(rows))])
+        yv = np.array([r["y"] for r in rows], float)
+        wr = np.zeros(3)
+        for _ in range(40):
+            p = 1 / (1 + np.exp(-(X @ wr)))
+            wr -= 1.0 * (X.T @ (p - yv)) / len(yv)
+        # identical math; only float association order differs
+        assert np.allclose(w, wr, rtol=1e-8, atol=1e-10)
+        assert losses[-1] < losses[0]
+
+    def test_score_and_accuracy(self):
+        from peri_ray.stages.learn import logreg_fit, logreg_score
+
+        rows = self._data(seed=9)
+        ds = rd.from_items(rows, override_num_blocks=3)
+        w, _ = logreg_fit(ds, ["x1", "x2"], "y", iters=80, lr=1.5)
+        scored = {r["i"]: r["score"] for r in logreg_score(
+            rd.from_items(rows), w, ["x1", "x2"], "i").take_all()}
+        hits = sum((scored[r["i"]] > 0.5) == bool(r["y"]) for r in rows)
+        assert hits / len(rows) > 0.9
+        assert all(0.0 <= s <= 1.0 for s in scored.values())
+
+    def test_empty_raises(self):
+        from peri_ray.stages.learn import logreg_fit
+
+        t = pa.table({"x1": pa.array([], pa.float64()),
+                      "y": pa.array([], pa.int8())})
+        with pytest.raises(ValueError, match="empty"):
+            logreg_fit(rd.from_arrow(t), ["x1"], "y", iters=1)
