@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_profile_docs": q.anchor_text_profile_docs,
         "ip_block_lookup_docs": q.ip_block_lookup_docs,
         "url_features_docs": q.url_features_docs,
+        "robots_blocked_docs": q.robots_blocked_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3343,6 +3344,27 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(cu, '://([^/?#:]*)', 1),
                        '\\.([a-z0-9-]+)$', 1), '') AS tld
               FROM p
+        """,
+        "robots_blocked_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            p AS (
+              SELECT doc_id,
+                     regexp_extract(canonical_url,
+                                    '://([^/?#:]*)', 1) AS host,
+                     regexp_extract(canonical_url,
+                                    '://[^/?#]*([^?#]*)', 1) AS path
+                FROM canon),
+            k AS (
+              SELECT doc_id, path,
+                     CAST(regexp_extract(host,
+                          '^h(\\d+)\\.example\\.com$', 1) AS BIGINT) AS hk
+                FROM p)
+            SELECT doc_id,
+                   coalesce(starts_with(path, '/admin')
+                            OR (hk % 4 = 0 AND starts_with(path,
+                                '/p/' || CAST(hk % 20 AS VARCHAR))),
+                            FALSE) AS blocked
+              FROM k
         """,
     }
 

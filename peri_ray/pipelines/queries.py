@@ -4739,3 +4739,38 @@ def quality_classifier_report(sf_dir: str):
         "accuracy": pa.array([round(hit / n, 4)], pa.float64()),
         "final_loss": pa.array([round(losses[-1], 4)], pa.float64()),
     })
+
+
+def robots_blocked_docs(sf_dir: str):
+    """Crawl-compliance verdict: parse deterministic per-host
+    robots.txt payloads (wildcard-agent groups, decoy agent group,
+    comments, Allow noise), compile every Disallow into one anchored
+    RE2 alternation, and flag each page whose canonical path starts
+    with a disallowed prefix for its host (web.parse_robots +
+    web.apply_robots).  The twin rebuilds the rule arithmetic
+    directly, so a broken parser or prefix matcher mismatches."""
+    import ray.data as rd
+
+    from peri_ray.stages.web import (apply_robots, canonicalize_urls,
+                                     parse_robots)
+
+    robots = pa.table({
+        "host": pa.array([f"h{k}.example.com" for k in range(50)],
+                         pa.string()),
+        "robots_txt": pa.array([
+            "# crawl policy\n"
+            "User-agent: evilbot\nDisallow: /\n\n"
+            "User-agent: *\n"
+            "Allow: /public\n"
+            "Disallow: /admin\n"
+            + (f"Disallow: /p/{k % 20}\n" if k % 4 == 0 else "")
+            for k in range(50)], pa.string()),
+    })
+    rules = _collect(parse_robots(rd.from_arrow(robots)),
+                     pa.schema([("host", pa.string()),
+                                ("path_prefix", pa.string())]))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    pages = canonicalize_urls(ds.map_batches(_attach_web_columns,
+                                             batch_format="pyarrow"))
+    return apply_robots(pages, rules)

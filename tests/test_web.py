@@ -884,3 +884,55 @@ class TestRangeLookup:
                         "tag": pa.array(["a", "b"], pa.string())})
         with pytest.raises(ValueError, match="overlapping"):
             broadcast_range_lookup(rd.from_arrow(t), bad, "k")
+
+
+class TestRobots:
+    def test_parse_groups_and_apply(self):
+        from peri_ray.stages.web import apply_robots, parse_robots
+
+        robots = pa.table({
+            "host": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+            "robots_txt": pa.array([
+                # multi-agent group including *, comments, Allow noise,
+                # empty Disallow (allow-all marker), trailing group
+                "User-agent: googlebot\nUser-agent: *\n"
+                "Allow: /open\nDisallow: /private  # secret\n"
+                "Disallow:\n\n"
+                "User-agent: evil\nDisallow: /\n",
+                # *-group appears after a non-* group
+                "User-agent: evil\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /x\n",
+                None,
+            ], pa.string()),
+        })
+        rules = parse_robots(rd.from_arrow(robots)).take_all()
+        got = sorted((r["host"], r["path_prefix"]) for r in rules)
+        assert got == [("a.com", "/private"), ("b.com", "/x")]
+
+        rt = pa.table({"host": pa.array([h for h, _ in got], pa.string()),
+                       "path_prefix": pa.array([p for _, p in got],
+                                               pa.string())})
+        pages = pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "canonical_url": pa.array([
+                "http://a.com/private/page",   # blocked (prefix)
+                "http://a.com/public",         # clean
+                "http://b.com/x",              # blocked (exact)
+                "http://b.com/private",        # clean (rule is a.com's)
+                "http://c.com/x",              # clean (no rules)
+            ], pa.string()),
+        })
+        out = {r["doc_id"]: r["blocked"] for r in
+               apply_robots(rd.from_arrow(pages), rt).take_all()}
+        assert out == {0: True, 1: False, 2: True, 3: False, 4: False}
+
+    def test_apply_with_no_rules(self):
+        from peri_ray.stages.web import apply_robots
+
+        rt = pa.table({"host": pa.array([], pa.string()),
+                       "path_prefix": pa.array([], pa.string())})
+        pages = pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "canonical_url": pa.array(
+                              ["http://a.com/x"], pa.string())})
+        out = apply_robots(rd.from_arrow(pages), rt).take_all()
+        assert out[0]["blocked"] is False
