@@ -280,6 +280,10 @@ def run_bench() -> dict:
     timed("ip_block_lookup",
           lambda: q.ip_block_lookup_docs(SF_DIR).to_pandas())
     timed("url_features", lambda: q.url_features_docs(SF_DIR).to_pandas())
+    timed("robots_blocked",
+          lambda: q.robots_blocked_docs(SF_DIR).to_pandas())
+    timed("quality_classifier",
+          lambda: q.quality_classifier_report(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
