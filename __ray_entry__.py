@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_block_lookup_docs": q.ip_block_lookup_docs,
         "url_features_docs": q.url_features_docs,
         "robots_blocked_docs": q.robots_blocked_docs,
+        "redirect_resolution_docs": q.redirect_resolution_docs,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3365,6 +3366,36 @@ def oracle_sql() -> dict[str, str]:
                                 '/p/' || CAST(hk % 20 AS VARCHAR))),
                             FALSE) AS blocked
               FROM k
+        """,
+        "redirect_resolution_docs": """
+            WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+            edges AS (
+              SELECT 'https://h' || CAST(id % 50 AS VARCHAR)
+                       || '.example.com/p/' || CAST(id AS VARCHAR) AS src,
+                     CASE WHEN id % 10 <> 9
+                          THEN 'https://h' || CAST((id + 1) % 50 AS VARCHAR)
+                               || '.example.com/p/'
+                               || CAST(id + 1 AS VARCHAR)
+                          ELSE 'https://h' || CAST((id - 9) % 50 AS VARCHAR)
+                               || '.example.com/p/'
+                               || CAST(id - 9 AS VARCHAR) END AS dst
+                FROM ids
+               WHERE id % 10 <> 9 OR (id // 10) % 25 = 0),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+                FROM walk w JOIN edges e ON w.cur = e.src
+               WHERE w.hops < 64),
+            term AS (
+              SELECT w.src, w.cur AS final_url, w.hops
+                FROM walk w
+               WHERE w.cur NOT IN (SELECT src FROM edges))
+            SELECT e.src,
+                   t.final_url,
+                   CAST(t.hops AS BIGINT) AS hops,
+                   t.src IS NULL AS is_cycle
+              FROM edges e LEFT JOIN term t USING (src)
         """,
     }
 

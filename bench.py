@@ -284,6 +284,8 @@ def run_bench() -> dict:
           lambda: q.robots_blocked_docs(SF_DIR).to_pandas())
     timed("quality_classifier",
           lambda: q.quality_classifier_report(SF_DIR))
+    timed("redirect_resolution",
+          lambda: q.redirect_resolution_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

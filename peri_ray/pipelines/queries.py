@@ -4774,3 +4774,33 @@ def robots_blocked_docs(sf_dir: str):
     pages = canonicalize_urls(ds.map_batches(_attach_web_columns,
                                              batch_format="pyarrow"))
     return apply_robots(pages, rules)
+
+
+def redirect_resolution_docs(sf_dir: str):
+    """Redirect-chain resolution (pointer doubling, web.resolve_redirects):
+    a deterministic redirect map over the documents table — doc i
+    redirects to doc i+1 within groups of 10, every 25th group closes
+    into a 10-cycle — resolved to terminal urls in log2(depth)
+    bucketed exchanges.  Oracle: DuckDB recursive CTE walking the same
+    edges single-step, terminal = a target that is never a source."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _url(ids: np.ndarray) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pa.array(["https://h"] * len(ids), pa.string()),
+            pa.array((ids % 50).astype("U"), pa.string()),
+            pa.array([".example.com/p/"] * len(ids), pa.string()),
+            pa.array(ids.astype("U"), pa.string()), "")
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        keep = (ids % 10 != 9) | ((ids // 10) % 25 == 0)
+        ids = ids[keep]
+        nxt = np.where(ids % 10 != 9, ids + 1, ids - 9)
+        return pa.table({"src": _url(ids), "dst": _url(nxt)})
+
+    from peri_ray.stages.web import resolve_redirects
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    return resolve_redirects(edges, max_hops=64)

@@ -955,3 +955,126 @@ def apply_robots(ds, rules: pa.Table, url_col: str = "canonical_url",
 
     return ds.map_batches(_f, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
+                      max_hops: int = 64, n_buckets: int = 64):
+    """Resolve every source URL of a redirect map to its terminal
+    target by distributed pointer doubling: each round left-joins the
+    active pointer table against the full known mapping (active rows
+    plus already-finished rows, which act as multi-hop shortcuts), so
+    ``cur`` advances by the length of the target's own resolved path
+    and a chain of depth d settles in ~ceil(log2 d) bucketed exchanges
+    instead of d single steps.
+
+    ``edges`` must be a functional graph — one outgoing edge per
+    ``src`` (crawl practice: run keep_latest_capture upstream so a
+    re-crawled redirect keeps only its newest target); duplicate
+    sources would multiply join rows.  A ``src`` whose walk loops or
+    exceeds ``max_hops`` (the crawler redirect-limit convention) is
+    flagged, not resolved.
+
+    Scale shape: each round is one hash-bucket exchange shipping
+    (url, url, int64) rows only; finished rows leave the ACTIVE (left)
+    side immediately and ride the right side only as join shortcuts,
+    so the left side shrinks to just the unsettled chains.  The
+    pointer table is materialized per round (the BSP iteration
+    pattern, same as the distributed PageRank path); nothing larger
+    materializes.
+
+    Returns a Dataset ``(src, final_url, hops, is_cycle)`` — one row
+    per input edge source; ``final_url``/``hops`` are null when
+    ``is_cycle`` (loop or chain deeper than ``max_hops``).
+    """
+    import math
+
+    from peri_ray.stages.joins import hash_join
+
+    def _init(t: pa.Table) -> pa.Table:
+        src = t.column(src_col).combine_chunks()
+        if pa.types.is_large_string(src.type):
+            src = src.cast(pa.string())
+        dst = t.column(dst_col).combine_chunks()
+        if pa.types.is_large_string(dst.type):
+            dst = dst.cast(pa.string())
+        return pa.table({"src": src, "cur": dst,
+                         "hops": pa.array(np.ones(t.num_rows, np.int64))})
+
+    active = edges.map_batches(_init, batch_format="pyarrow").materialize()
+    finished: list = []
+
+    def _right_of_active(t: pa.Table) -> pa.Table:
+        return pa.table({"jsrc": t.column("src"), "jcur": t.column("cur"),
+                         "jhops": t.column("hops")})
+
+    def _right_of_finished(t: pa.Table) -> pa.Table:
+        return pa.table({"jsrc": t.column("src"),
+                         "jcur": t.column("final_url"),
+                         "jhops": t.column("hops")})
+
+    def _done_rows(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.is_null(t.column("jcur").combine_chunks()))
+        return pa.table({"src": d.column("src"),
+                         "final_url": d.column("cur"),
+                         "hops": d.column("hops"),
+                         "is_cycle": pa.array(np.zeros(d.num_rows, bool))})
+
+    def _advance_rows(t: pa.Table) -> pa.Table:
+        a = t.filter(pc.is_valid(t.column("jcur").combine_chunks()))
+        return pa.table({"src": a.column("src"),
+                         "cur": a.column("jcur"),
+                         "hops": pc.add(a.column("hops"),
+                                        a.column("jhops"))})
+
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))) + 1)
+    for _ in range(rounds):
+        right = active.map_batches(_right_of_active, batch_format="pyarrow")
+        for f in finished:
+            right = right.union(
+                f.map_batches(_right_of_finished, batch_format="pyarrow"))
+        joined = hash_join(
+            active, right, "cur", "jsrc", ["src", "hops"],
+            ["jcur", "jhops"], how="left", n_buckets=n_buckets).materialize()
+        done = joined.map_batches(_done_rows,
+                                  batch_format="pyarrow").materialize()
+        if done.count():
+            finished.append(done)
+        active = joined.map_batches(_advance_rows,
+                                    batch_format="pyarrow").materialize()
+        if active.count() == 0:
+            break
+
+    def _flag_cycles(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"),
+                         "final_url": pa.nulls(t.num_rows, pa.string()),
+                         "hops": pa.nulls(t.num_rows, pa.int64()),
+                         "is_cycle": pa.array(np.ones(t.num_rows, bool))})
+
+    def _cap(t: pa.Table) -> pa.Table:
+        # a resolved chain deeper than max_hops is flagged, not
+        # resolved — pointer doubling can overshoot the cap (2^rounds
+        # >= max_hops), and the flag must match the stated contract
+        ok = pc.less_equal(t.column("hops").combine_chunks(),
+                           pa.scalar(max_hops, pa.int64()))
+        return pa.table({
+            "src": t.column("src"),
+            "final_url": pc.if_else(ok, t.column("final_url").combine_chunks(),
+                                    pa.scalar(None, pa.string())),
+            "hops": pc.if_else(ok, t.column("hops").combine_chunks(),
+                               pa.scalar(None, pa.int64())),
+            "is_cycle": pc.invert(ok)})
+
+    parts = [f.map_batches(_cap, batch_format="pyarrow") for f in finished]
+    if active.count():
+        parts.append(active.map_batches(_flag_cycles,
+                                        batch_format="pyarrow"))
+    if not parts:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("src", pa.string()), ("final_url", pa.string()),
+             ("hops", pa.int64()), ("is_cycle", pa.bool_())]).empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

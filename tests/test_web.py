@@ -936,3 +936,53 @@ class TestRobots:
                               ["http://a.com/x"], pa.string())})
         out = apply_robots(rd.from_arrow(pages), rt).take_all()
         assert out[0]["blocked"] is False
+
+
+class TestResolveRedirects:
+    """Pointer-doubling redirect resolution: chains, convergence,
+    loops, self-loops, and the max_hops flagging contract."""
+
+    EDGES = {
+        "src": ["a", "b", "c", "x", "p", "q", "s"]
+               + [f"e{i}" for i in range(20)],
+        "dst": ["b", "c", "d", "b", "q", "p", "s"]
+               + [f"e{i + 1}" for i in range(20)],
+    }
+
+    def _resolve(self, max_hops):
+        from peri_ray.stages.web import resolve_redirects
+
+        ds = rd.from_arrow(pa.table(
+            {k: pa.array(v, pa.string()) for k, v in self.EDGES.items()}))
+        return {r["src"]: (r["final_url"], r["hops"], r["is_cycle"])
+                for r in resolve_redirects(ds, max_hops=max_hops).take_all()}
+
+    def test_chains_converge_and_loops_flag(self):
+        out = self._resolve(64)
+        assert len(out) == 27  # one verdict per source
+        assert out["a"] == ("d", 3, False)
+        assert out["b"] == ("d", 2, False)
+        assert out["c"] == ("d", 1, False)
+        assert out["x"] == ("d", 3, False)  # converging branch
+        for loop in ("p", "q", "s"):  # 2-cycle + self-loop
+            assert out[loop] == (None, None, True)
+        assert out["e0"] == ("e20", 20, False)
+        assert out["e19"] == ("e20", 1, False)
+
+    def test_max_hops_flags_deep_chains(self):
+        out = self._resolve(8)
+        # depth > 8 is flagged even though doubling reached the end
+        assert out["e0"] == (None, None, True)
+        assert out["e11"] == (None, None, True)  # hops would be 9
+        assert out["e12"] == ("e20", 8, False)   # exactly at the cap
+        assert out["a"] == ("d", 3, False)
+
+    def test_all_terminal_map(self):
+        from peri_ray.stages.web import resolve_redirects
+
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(["u", "v"], pa.string()),
+            "dst": pa.array(["t1", "t2"], pa.string())}))
+        out = {r["src"]: (r["final_url"], r["hops"], r["is_cycle"])
+               for r in resolve_redirects(ds).take_all()}
+        assert out == {"u": ("t1", 1, False), "v": ("t2", 1, False)}
