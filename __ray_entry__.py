@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features_docs": q.url_features_docs,
         "robots_blocked_docs": q.robots_blocked_docs,
         "redirect_resolution_docs": q.redirect_resolution_docs,
+        "schema_drift_docs": q.schema_drift_docs,
+        "unique_keys_documents": q.unique_keys_documents,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3396,6 +3398,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.hops AS BIGINT) AS hops,
                    t.src IS NULL AS is_cycle
               FROM edges e LEFT JOIN term t USING (src)
+        """,
+        "schema_drift_docs": """
+            WITH newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 100 = 0 THEN 'it'
+                          ELSE lang END AS lang
+                FROM documents),
+            base_lang AS (SELECT DISTINCT lang FROM documents
+                           WHERE lang IS NOT NULL),
+            new_lang AS (SELECT DISTINCT lang FROM newt
+                          WHERE lang IS NOT NULL),
+            added AS (SELECT lang FROM new_lang
+                      EXCEPT SELECT lang FROM base_lang),
+            removed AS (SELECT lang FROM base_lang
+                        EXCEPT SELECT lang FROM new_lang),
+            rate AS (
+              SELECT CAST(count(*) FILTER (text IS NULL) AS DOUBLE)
+                       / count(*) AS b,
+                     (SELECT CAST(count(*) FILTER (text IS NULL)
+                             AS DOUBLE) / count(*) FROM newt) AS n
+                FROM documents)
+            SELECT 'n_chars' AS "column", 'column_removed' AS change,
+                   'int64' AS base_value,
+                   CAST(NULL AS VARCHAR) AS new_value
+            UNION ALL
+            SELECT 'quality', 'column_added', NULL, 'double'
+            UNION ALL
+            SELECT 'text', 'null_rate', printf('%.6f', b),
+                   printf('%.6f', n)
+              FROM rate WHERE abs(n - b) > 0.005
+            UNION ALL
+            SELECT 'lang', 'domain_added_values', NULL,
+                   (SELECT string_agg(lang, ',' ORDER BY lang)
+                      FROM added)
+             WHERE (SELECT count(*) FROM added) > 0
+            UNION ALL
+            SELECT 'lang', 'domain_removed_values',
+                   (SELECT string_agg(lang, ',' ORDER BY lang)
+                      FROM removed), NULL
+             WHERE (SELECT count(*) FROM removed) > 0
+        """,
+        "unique_keys_documents": """
+            SELECT 'doc_id' AS combo,
+                   (SELECT count(*) FROM (SELECT DISTINCT doc_id
+                      FROM documents)) = count(*) AS is_unique
+              FROM documents
+            UNION ALL
+            SELECT 'lang', (SELECT count(*) FROM (SELECT DISTINCT lang
+                      FROM documents)) = count(*) FROM documents
+            UNION ALL
+            SELECT 'source', (SELECT count(*) FROM (SELECT DISTINCT
+                      source FROM documents)) = count(*) FROM documents
+            UNION ALL
+            SELECT 'n_chars', (SELECT count(*) FROM (SELECT DISTINCT
+                      n_chars FROM documents)) = count(*) FROM documents
+            UNION ALL
+            SELECT 'lang,source', (SELECT count(*) FROM (SELECT DISTINCT
+                      lang, source FROM documents)) = count(*)
+              FROM documents
+            UNION ALL
+            SELECT 'doc_id,lang', (SELECT count(*) FROM (SELECT DISTINCT
+                      doc_id, lang FROM documents)) = count(*)
+              FROM documents
+            UNION ALL
+            SELECT 'source,n_chars', (SELECT count(*) FROM (SELECT
+                      DISTINCT source, n_chars FROM documents))
+                   = count(*) FROM documents
         """,
     }
 

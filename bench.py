@@ -286,6 +286,8 @@ def run_bench() -> dict:
           lambda: q.quality_classifier_report(SF_DIR))
     timed("redirect_resolution",
           lambda: q.redirect_resolution_docs(SF_DIR).to_pandas())
+    timed("schema_drift", lambda: q.schema_drift_docs(SF_DIR))
+    timed("unique_keys", lambda: q.unique_keys_documents(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

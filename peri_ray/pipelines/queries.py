@@ -4804,3 +4804,52 @@ def redirect_resolution_docs(sf_dir: str):
 
     edges = ds.map_batches(_edges, batch_format="pyarrow")
     return resolve_redirects(edges, max_hops=64)
+
+
+def schema_drift_docs(sf_dir: str):
+    """Snapshot schema drift (profile.schema_profile + schema_drift):
+    the documents table vs a deterministically modified recrawl
+    (n_chars dropped, float quality added, text nulled on doc_id%5,
+    lang overwritten to 'it' on doc_id%100).  The twin recomputes each
+    change row — column add/remove literals, %.6f null rates, sorted
+    domain diffs — from the same modified snapshot in SQL, emitting a
+    row only when the engine's thresholds would."""
+    from peri_ray.stages.profile import schema_drift, schema_profile
+
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    base = _read(sf_dir, "documents", cols)
+
+    def _recrawl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": ids,
+            "text": pc.if_else(pa.array(idn % 5 == 0),
+                               pa.scalar(None, pa.string()),
+                               t.column("text").combine_chunks()),
+            "lang": pc.if_else(pa.array(idn % 100 == 0),
+                               pa.scalar("it", pa.string()),
+                               t.column("lang").combine_chunks()),
+            "quality": pa.array((idn % 32) / 32.0, pa.float64()),
+        })
+
+    new = _read(sf_dir, "documents", cols).map_batches(
+        _recrawl, batch_format="pyarrow")
+    return schema_drift(schema_profile(base, columns=cols),
+                        schema_profile(new))
+
+
+def unique_keys_documents(sf_dir: str):
+    """Candidate-key discovery (profile.discover_unique_keys): exact
+    uniqueness verdict per candidate column combination over documents
+    — single input scan for all combos, within-batch duplicates ship
+    a one-row existence marker instead of their keys.  Oracle: one
+    SELECT DISTINCT count comparison per combo."""
+    from peri_ray.stages.profile import discover_unique_keys
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "source", "n_chars"])
+    return discover_unique_keys(ds, [
+        ["doc_id"], ["lang"], ["source"], ["n_chars"],
+        ["lang", "source"], ["doc_id", "lang"],
+        ["source", "n_chars"]])

@@ -1,0 +1,117 @@
+"""Tests for the data-profiling operators (stages/profile.py):
+schema profiles, snapshot drift rows, and candidate-key discovery."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _base_table() -> pa.Table:
+    return pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(100)],
+                         pa.string()),
+        "txt": pa.array([f"t{i}" for i in range(100)], pa.string()),
+        "val": pa.array([float(i % 7) for i in range(100)], pa.float64()),
+    })
+
+
+class TestSchemaProfile:
+    def test_profile_rows(self):
+        from peri_ray.stages.profile import schema_profile
+
+        prof = schema_profile(rd.from_arrow(_base_table()).repartition(6))
+        row = {r["column"]: r for r in prof.to_pylist()}
+        assert set(row) == {"id", "lang", "txt", "val"}
+        assert row["id"]["dtype"] == "int64"
+        assert row["val"]["dtype"] == "double"
+        assert row["lang"]["domain"] == "de,en,fr"  # closed, sorted
+        assert row["txt"]["domain"] is None  # 100 distinct > max_domain
+        assert row["id"]["n_rows"] == 100 and row["id"]["n_nulls"] == 0
+
+    def test_null_counting_and_domain_cap(self):
+        from peri_ray.stages.profile import schema_profile
+
+        t = pa.table({"s": pa.array(["a", None, "b", None], pa.string())})
+        prof = schema_profile(rd.from_arrow(t), max_domain=1)
+        r = prof.to_pylist()[0]
+        assert r["n_nulls"] == 2
+        assert r["domain"] is None  # 2 distinct > cap of 1
+
+
+class TestSchemaDrift:
+    def test_change_rows(self):
+        from peri_ray.stages.profile import schema_drift, schema_profile
+
+        base = schema_profile(rd.from_arrow(_base_table()).repartition(6))
+        t2 = pa.table({
+            "id": pa.array([str(i) for i in range(100)], pa.string()),
+            "lang": pa.array([("en", "de", "it")[i % 3]
+                              for i in range(100)], pa.string()),
+            "txt": pa.array([f"t{i}" if i % 5 else None
+                             for i in range(100)], pa.string()),
+            "extra": pa.array(range(100), pa.int64()),
+        })
+        new = schema_profile(rd.from_arrow(t2).repartition(4))
+        got = [(r["column"], r["change"], r["base_value"], r["new_value"])
+               for r in schema_drift(base, new).to_pylist()]
+        assert got == [
+            ("extra", "column_added", None, "int64"),
+            ("id", "dtype_changed", "int64", "string"),
+            ("lang", "domain_added_values", None, "it"),
+            ("lang", "domain_removed_values", "fr", None),
+            ("txt", "null_rate", "0.000000", "0.200000"),
+            ("val", "column_removed", "double", None),
+        ]
+
+    def test_identical_profiles_no_rows(self):
+        from peri_ray.stages.profile import schema_drift, schema_profile
+
+        p = schema_profile(rd.from_arrow(_base_table()))
+        assert schema_drift(p, p).num_rows == 0
+
+    def test_null_rate_tolerance(self):
+        from peri_ray.stages.profile import schema_drift, schema_profile
+
+        a = pa.table({"s": pa.array(["x"] * 999 + [None], pa.string())})
+        b = pa.table({"s": pa.array(["x"] * 998 + [None] * 2, pa.string())})
+        pa_, pb = (schema_profile(rd.from_arrow(a)),
+                   schema_profile(rd.from_arrow(b)))
+        # 0.001 -> 0.002 is inside the default 0.005 tolerance
+        assert schema_drift(pa_, pb).num_rows == 0
+
+
+class TestDiscoverUniqueKeys:
+    def test_single_and_composite(self):
+        from peri_ray.stages.profile import discover_unique_keys
+
+        ds = rd.from_arrow(_base_table()).repartition(6)
+        got = {r["combo"]: r["is_unique"]
+               for r in discover_unique_keys(
+                   ds, [["id"], ["lang"], ["lang", "val"],
+                        ["id", "lang"]]).to_pylist()}
+        assert got == {"id": True, "lang": False,
+                       "lang,val": False, "id,lang": True}
+
+    def test_nulls_compare_equal(self):
+        from peri_ray.stages.profile import discover_unique_keys
+
+        t = pa.table({"a": pa.array([None, None, "x"], pa.string())})
+        got = discover_unique_keys(rd.from_arrow(t), [["a"]]).to_pylist()
+        assert got == [{"combo": "a", "is_unique": False}]
+
+    def test_cross_batch_duplicate(self):
+        from peri_ray.stages.profile import discover_unique_keys
+
+        # each block is internally unique; the duplicate spans blocks,
+        # so the verdict must come from the exchange, not the marker
+        t = pa.table({"k": pa.array(list(range(50)) + [0], pa.int64())})
+        ds = rd.from_arrow(t).repartition(2)
+        got = discover_unique_keys(ds, [["k"]]).to_pylist()
+        assert got == [{"combo": "k", "is_unique": False}]
