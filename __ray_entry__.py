@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_victims_embeddings": q.semdedup_victims_embeddings,
         "semdedup_recall_report": q.semdedup_recall_report,
         "quality_classifier_report": q.quality_classifier_report,
+        "host_pagerank_outlinks": q.host_pagerank_outlinks,
     }
 
 

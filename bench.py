@@ -288,6 +288,8 @@ def run_bench() -> dict:
           lambda: q.redirect_resolution_docs(SF_DIR).to_pandas())
     timed("schema_drift", lambda: q.schema_drift_docs(SF_DIR))
     timed("unique_keys", lambda: q.unique_keys_documents(SF_DIR))
+    timed("host_pagerank",
+          lambda: q.host_pagerank_outlinks(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

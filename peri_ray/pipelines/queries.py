@@ -4853,3 +4853,53 @@ def unique_keys_documents(sf_dir: str):
         ["doc_id"], ["lang"], ["source"], ["n_chars"],
         ["lang", "source"], ["doc_id", "lang"],
         ["source", "n_chars"]])
+
+
+def host_pagerank_outlinks(sf_dir: str):
+    """Host-graph PageRank with dangling-mass redistribution (the
+    web-graph convention; similarity.pagerank(dangling="redistribute")):
+    directed host->host edges parsed from the linked-html fixture,
+    out-edges of every k%7==0 host dropped so real dangling hosts
+    exist, self-loops removed, edges deduplicated through the bucketed
+    pair exchange.  Rows-only (iterative float ranks have no SQL
+    twin); the numpy reference twin lives in tests/test_stages.py."""
+    from peri_ray.stages.dedup import dedupe_pairs
+    from peri_ray.stages.similarity import pagerank
+    from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
+                                     host_of, href_host)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        _attach_linked_html_fixture, batch_format="pyarrow")
+    links = extract_outlinks(
+        ds.map_batches(lambda t: t.select(["host", "html"]),
+                       batch_format="pyarrow"),
+        html_col="html", id_col="host")
+
+    def _edge_ids(t: pa.Table) -> pa.Table:
+        sk = pc.cast(pc.struct_field(pc.extract_regex(
+            t.column("host").combine_chunks().cast(pa.string()),
+            r"^h(?P<k>\d+)\."), "k"), pa.int64())
+        dk = pc.cast(pc.struct_field(pc.extract_regex(
+            href_host(t.column("href")).cast(pa.string()),
+            r"^h(?P<k>\d+)\."), "k"), pa.int64())
+        sk_np = sk.to_numpy(zero_copy_only=False).astype(np.int64)
+        dk_np = dk.to_numpy(zero_copy_only=False).astype(np.int64)
+        # no self-loops; k%7==0 hosts keep no out-edges (they dangle)
+        m = (sk_np != dk_np) & (sk_np % 7 != 0)
+        return pa.table({"id_a": pa.array(sk_np[m]),
+                         "id_b": pa.array(dk_np[m])})
+
+    edges = dedupe_pairs(links.map_batches(_edge_ids,
+                                           batch_format="pyarrow"))
+    pr = pagerank(edges, damping=0.85, iters=5, src_col="id_a",
+                  dst_col="id_b", dangling="redistribute")
+
+    def _host(t: pa.Table) -> pa.Table:
+        k = t.column("node").combine_chunks().cast(pa.string())
+        host = pc.binary_join_element_wise(
+            pa.scalar("h"), k, pa.scalar(".example.com"), "")
+        return pa.table({"host": host, "pr": t.column("pr")})
+
+    return pr.map_batches(_host, batch_format="pyarrow")

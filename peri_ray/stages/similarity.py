@@ -1219,16 +1219,24 @@ def pca_components(ds, k: int, vec_col: str = "embedding", dim: int = 64,
 
 def pagerank(edges, damping: float = 0.85, iters: int = 5,
              src_col: str = "src", dst_col: str = "dst",
-             n_buckets: int = 64, driver_threshold: int = 2_000_000):
+             n_buckets: int = 64, driver_threshold: int = 2_000_000,
+             dangling: str = "raise"):
     """Synchronous PageRank for a fixed iteration count over a
     directed (src, dst) edge Dataset:
 
-        pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u) / outdeg(u)
+        pr_{t+1}(v) = (1-d)/N + d * (sum_{u->v} pr_t(u) / outdeg(u)
+                                     [+ dangling_mass_t / N])
 
     N = number of distinct nodes appearing in any edge; pr_0 = 1/N.
-    No dangling-mass term — every node is assumed to have >=1
-    out-edge, which holds for the kNN graph (exactly k out-edges per
-    node); an edge list violating that raises.
+    ``dangling="raise"`` (default) assumes every node has >=1
+    out-edge — true for the kNN graph (exactly k per node) — and
+    raises otherwise.  ``dangling="redistribute"`` is the web-graph
+    convention (hosts with no out-links are common): each dangling
+    node's mass spreads uniformly over all nodes.  The per-iteration
+    dangling mass needs NO join against the dangling set: with
+    redistribution the total PR mass stays exactly 1, so
+    dangling_mass = 1 - sum(messages) — one scalar from per-block
+    partial sums.
 
     Hybrid like connected_components: an edge list under
     ``driver_threshold`` rows resolves with one driver numpy loop
@@ -1245,6 +1253,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
     from peri_ray.stages.dedup import (grouped_sum_via_buckets,
                                        map_groups_via_buckets)
 
+    if dangling not in ("raise", "redistribute"):
+        raise ValueError("dangling must be 'raise' or 'redistribute'")
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -1260,17 +1270,20 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         src_l = np.searchsorted(nodes, src)
         dst_l = np.searchsorted(nodes, dst)
         outdeg = np.bincount(src_l, minlength=n)
-        if (outdeg == 0).any():
+        dang = outdeg == 0
+        if dang.any() and dangling == "raise":
             raise ValueError(
                 "pagerank: %d node(s) have no out-edges (dangling); "
-                "this operator assumes every node has >=1 out-edge"
-                % int((outdeg == 0).sum()))
+                "pass dangling='redistribute' or fix the edge list"
+                % int(dang.sum()))
         w = 1.0 / outdeg[src_l].astype(np.float64)
         pr = np.full(n, 1.0 / float(n), np.float64)
         base = (1.0 - damping) / float(n)
         for _ in range(iters):
             s = np.zeros(n, np.float64)
             np.add.at(s, dst_l, pr[src_l] * w)
+            if dang.any():
+                s += pr[dang].sum() / float(n)
             pr = base + damping * s
         return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
                                        "pr": pa.array(pr, pa.float64())}))
@@ -1307,10 +1320,11 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         batch_format="pyarrow")
     deg = grouped_sum_via_buckets(deg_partial, ["src"], "c",
                                   n_buckets).materialize()
-    if deg.count() != n:
+    has_dangling = deg.count() != n
+    if has_dangling and dangling == "raise":
         raise ValueError(
             "pagerank: %d node(s) have no out-edges (dangling); "
-            "this operator assumes every node has >=1 out-edge"
+            "pass dangling='redistribute' or fix the edge list"
             % (n - deg.count()))
 
     def _tag_deg(t: pa.Table) -> pa.Table:
@@ -1363,6 +1377,23 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
             pr_ds.map_batches(_tag_pr, batch_format="pyarrow")
             .union(wedges), ["src"], _msgs, n_buckets)
 
+        # dangling mass without touching the dangling set: total PR
+        # mass is exactly 1 under redistribution, so the mass that did
+        # NOT flow through an edge this round is 1 - sum(messages) —
+        # one scalar from per-block partial sums over the (pinned)
+        # message table, no extra exchange
+        extra = base
+        if has_dangling:
+            msgs = msgs.materialize()
+            msum = 0.0
+            for r in msgs.map_batches(
+                    lambda t: pa.table({"s": pa.array(
+                        [float(pc.sum(t.column("m")).as_py() or 0.0)],
+                        pa.float64())}),
+                    batch_format="pyarrow").iter_rows():
+                msum += r["s"]
+            extra = base + damping * (1.0 - msum) / float(n)
+
         # sum messages per dst + zero base row per node, then update
         def _zero(t: pa.Table) -> pa.Table:
             return pa.table({"dst": t.column("node"),
@@ -1373,7 +1404,7 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
             msgs.union(nodes_ds.map_batches(_zero, batch_format="pyarrow")),
             ["dst"], "m", n_buckets)
         pr_ds = summed.map_batches(
-            lambda t, b=base, d=damping: pa.table({
+            lambda t, b=extra, d=damping: pa.table({
                 "node": t.column("dst"),
                 "pr": pc.add(pa.scalar(b),
                              pc.multiply(pa.scalar(d), t.column("m")))}),

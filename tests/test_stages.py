@@ -5457,6 +5457,48 @@ class TestPageRank:
             pagerank(self._edges([(0, 1)]), iters=2,
                      driver_threshold=0).take_all()
 
+    def test_dangling_redistribute_matches_reference(self):
+        from peri_ray.stages.similarity import pagerank
+
+        # 2 is dangling: its mass must spread uniformly each round
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        d, n, iters = 0.85, 3, 5
+        pr = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            s = np.zeros(n)
+            s[1] += pr[0] / 2
+            s[2] += pr[0] / 2 + pr[1]
+            s += pr[2] / n
+            pr = (1 - d) / n + d * s
+        drv = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=iters,
+            dangling="redistribute").take_all()}
+        dist = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=iters, dangling="redistribute",
+            driver_threshold=0).take_all()}
+        for i in range(n):
+            assert abs(drv[i] - pr[i]) < 1e-12
+            assert abs(dist[i] - pr[i]) < 1e-9
+        assert abs(sum(drv.values()) - 1.0) < 1e-12
+        assert abs(sum(dist.values()) - 1.0) < 1e-9
+
+    def test_redistribute_is_noop_without_dangling(self):
+        from peri_ray.stages.similarity import pagerank
+
+        pairs = [(0, 1), (1, 2), (2, 0)]
+        a = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=3).take_all()}
+        b = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=3,
+            dangling="redistribute").take_all()}
+        assert a == b
+
+    def test_bad_dangling_mode_raises(self):
+        from peri_ray.stages.similarity import pagerank
+
+        with pytest.raises(ValueError, match="redistribute"):
+            pagerank(self._edges([(0, 1)]), dangling="drop")
+
     def test_mass_conserved_on_knn_graph(self):
         from peri_ray.stages.similarity import knn_graph, pagerank
 
