@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolution_docs": q.redirect_resolution_docs,
         "schema_drift_docs": q.schema_drift_docs,
         "unique_keys_documents": q.unique_keys_documents,
+        "inferred_spec_violations": q.inferred_spec_violations,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -3468,6 +3469,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source,n_chars', (SELECT count(*) FROM (SELECT
                       DISTINCT source, n_chars FROM documents))
                    = count(*) FROM documents
+        """,
+        "inferred_spec_violations": """
+            WITH newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 100 = 0 THEN 'it'
+                          ELSE lang END AS lang
+                FROM documents)
+            SELECT CAST(doc_id AS VARCHAR) AS record_id,
+                   'required' AS rule_id, 'text' AS path
+              FROM newt WHERE text IS NULL
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'enum', 'lang'
+              FROM newt
+             WHERE lang IS NOT NULL
+               AND lang NOT IN (SELECT DISTINCT lang FROM documents
+                                 WHERE lang IS NOT NULL)
         """,
     }
 

@@ -290,6 +290,8 @@ def run_bench() -> dict:
     timed("unique_keys", lambda: q.unique_keys_documents(SF_DIR))
     timed("host_pagerank",
           lambda: q.host_pagerank_outlinks(SF_DIR).to_pandas())
+    timed("inferred_spec",
+          lambda: q.inferred_spec_violations(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

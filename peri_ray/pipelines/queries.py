@@ -4903,3 +4903,38 @@ def host_pagerank_outlinks(sf_dir: str):
         return pa.table({"host": host, "pr": t.column("pr")})
 
     return pr.map_batches(_host, batch_format="pyarrow")
+
+
+def inferred_spec_violations(sf_dir: str):
+    """Spec inference closing the loop to validation: profile the base
+    documents snapshot, synthesize a spec from it
+    (profile.infer_spec — zero-null columns become required, the
+    closed lang domain becomes an enum), then validate the MODIFIED
+    recrawl (text nulled on doc_id%5, lang overwritten to 'it' on
+    doc_id%100) against that inferred spec through the standard
+    engine.  Violations = exactly the injected drift.  Oracle rebuilds
+    the inferred rules in SQL (required text, lang IN base domain)."""
+    from peri_ray.stages.profile import infer_spec, schema_profile
+
+    cols = ["doc_id", "text", "lang"]
+    base = _read(sf_dir, "documents", cols)
+    spec = infer_spec(schema_profile(base, columns=cols))
+
+    def _recrawl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": ids,
+            "text": pc.if_else(pa.array(idn % 5 == 0),
+                               pa.scalar(None, pa.string()),
+                               t.column("text").combine_chunks()),
+            "lang": pc.if_else(pa.array(idn % 100 == 0),
+                               pa.scalar("it", pa.string()),
+                               t.column("lang").combine_chunks()),
+        })
+
+    new = _read(sf_dir, "documents", cols).map_batches(
+        _recrawl, batch_format="pyarrow")
+    combined = validate_dataset(new, spec, id_column="doc_id")
+    return violations_dataset(combined).select_columns(
+        ["record_id", "rule_id", "path"])

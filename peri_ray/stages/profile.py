@@ -244,3 +244,44 @@ def discover_unique_keys(ds, candidates: list[list[str]],
         "is_unique": pa.array([i not in dup_ids for i in order],
                               pa.bool_()),
     })
+
+
+# profile dtype -> spec type (the reference's type atoms; anything
+# unmapped validates as :any, which accepts every value)
+_SPEC_TYPES = {
+    "int8": "integer", "int16": "integer", "int32": "integer",
+    "int64": "integer", "uint8": "integer", "uint16": "integer",
+    "uint32": "integer", "uint64": "integer",
+    "float": "float", "double": "float",
+    "string": "string", "bool": "boolean",
+    "date32[day]": "date", "date64[ms]": "date",
+}
+
+
+def infer_spec(profile: pa.Table, enum_max: int = 16) -> dict:
+    """Synthesize a validation spec FROM a :func:`schema_profile` —
+    the discovery inverse of the reference's declared ``defschema``
+    (lib/peri.ex:121): a column with zero observed nulls becomes
+    ``required``, a closed string domain of at most ``enum_max``
+    values becomes an ``enum``, and the Arrow dtype maps to the
+    matching type atom (timestamps -> naive_datetime; unmapped types
+    -> ``any``).  By construction the inferred spec validates the
+    profiled snapshot itself with zero violations; run it against the
+    NEXT snapshot and every violation is a drift incident with the
+    full error machinery (rule_id, path, reference-exact message)
+    behind it.  Pure driver arithmetic over the profile table."""
+    spec: dict = {}
+    for r in profile.to_pylist():
+        dtype = r["dtype"]
+        if dtype.startswith("timestamp"):
+            node = "naive_datetime"
+        else:
+            node = _SPEC_TYPES.get(dtype, "any")
+        if node == "string" and r["domain"] is not None:
+            values = [v for v in r["domain"].split(",") if v]
+            if 0 < len(values) <= enum_max:
+                node = ("enum", values)
+        if r["n_rows"] > 0 and r["n_nulls"] == 0:
+            node = ("required", node)
+        spec[r["column"]] = node
+    return spec

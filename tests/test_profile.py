@@ -115,3 +115,55 @@ class TestDiscoverUniqueKeys:
         ds = rd.from_arrow(t).repartition(2)
         got = discover_unique_keys(ds, [["k"]]).to_pylist()
         assert got == [{"combo": "k", "is_unique": False}]
+
+
+class TestInferSpec:
+    def test_inferred_spec_is_legal_and_self_consistent(self):
+        from peri_ray.spec import validate_spec
+        from peri_ray.stages.profile import infer_spec, schema_profile
+        from peri_ray.validate import validate_dataset, violations_dataset
+
+        ds = rd.from_arrow(_base_table()).repartition(4)
+        spec = infer_spec(schema_profile(ds))
+        validate_spec(spec)  # must be a legal spec
+        assert spec["id"] == ("required", "integer")
+        assert spec["val"] == ("required", "float")
+        assert spec["lang"] == ("required", ("enum", ["de", "en", "fr"]))
+        assert spec["txt"] == ("required", "string")  # open domain
+        # by construction: zero violations on the profiled data itself
+        combined = validate_dataset(ds, spec, id_column="id")
+        assert violations_dataset(combined).count() == 0
+
+    def test_nullable_column_not_required(self):
+        from peri_ray.stages.profile import infer_spec, schema_profile
+
+        t = pa.table({"s": pa.array(["a", None], pa.string()),
+                      "k": pa.array([1, 2], pa.int64())})
+        spec = infer_spec(schema_profile(rd.from_arrow(t)))
+        assert spec["s"] == ("enum", ["a"])
+        assert spec["k"] == ("required", "integer")
+
+    def test_enum_max_falls_back_to_string(self):
+        from peri_ray.stages.profile import infer_spec, schema_profile
+
+        t = pa.table({"s": pa.array([f"v{i}" for i in range(10)],
+                                    pa.string())})
+        spec = infer_spec(schema_profile(rd.from_arrow(t)), enum_max=5)
+        assert spec["s"] == ("required", "string")
+
+    def test_unmapped_dtype_becomes_any(self):
+        from peri_ray.stages.profile import infer_spec, schema_profile
+
+        t = pa.table({"b": pa.array([b"x", b"y"], pa.binary())})
+        spec = infer_spec(schema_profile(rd.from_arrow(t)))
+        assert spec["b"] == ("required", "any")
+
+    def test_timestamp_maps_to_naive_datetime(self):
+        import datetime as dt
+
+        from peri_ray.stages.profile import infer_spec, schema_profile
+
+        t = pa.table({"ts": pa.array([dt.datetime(2024, 1, 1)],
+                                     pa.timestamp("us"))})
+        spec = infer_spec(schema_profile(rd.from_arrow(t)))
+        assert spec["ts"] == ("required", "naive_datetime")
