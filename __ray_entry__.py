@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_recall_report": q.semdedup_recall_report,
         "quality_classifier_report": q.quality_classifier_report,
         "host_pagerank_outlinks": q.host_pagerank_outlinks,
+        "seed_pagerank_hosts": q.seed_pagerank_hosts,
     }
 
 

@@ -292,6 +292,8 @@ def run_bench() -> dict:
           lambda: q.host_pagerank_outlinks(SF_DIR).to_pandas())
     timed("inferred_spec",
           lambda: q.inferred_spec_violations(SF_DIR).to_pandas())
+    timed("seed_pagerank",
+          lambda: q.seed_pagerank_hosts(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -4855,16 +4855,12 @@ def unique_keys_documents(sf_dir: str):
         ["source", "n_chars"]])
 
 
-def host_pagerank_outlinks(sf_dir: str):
-    """Host-graph PageRank with dangling-mass redistribution (the
-    web-graph convention; similarity.pagerank(dangling="redistribute")):
-    directed host->host edges parsed from the linked-html fixture,
-    out-edges of every k%7==0 host dropped so real dangling hosts
-    exist, self-loops removed, edges deduplicated through the bucketed
-    pair exchange.  Rows-only (iterative float ranks have no SQL
-    twin); the numpy reference twin lives in tests/test_stages.py."""
+def _host_graph_edges(sf_dir: str):
+    """Shared staging for the host-graph centrality queries: directed
+    host->host int edges parsed from the linked-html fixture, k%7==0
+    hosts stripped of out-edges (real dangling nodes), self-loops
+    dropped, deduplicated through the bucketed pair exchange."""
     from peri_ray.stages.dedup import dedupe_pairs
-    from peri_ray.stages.similarity import pagerank
     from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
                                      host_of, href_host)
 
@@ -4891,10 +4887,12 @@ def host_pagerank_outlinks(sf_dir: str):
         return pa.table({"id_a": pa.array(sk_np[m]),
                          "id_b": pa.array(dk_np[m])})
 
-    edges = dedupe_pairs(links.map_batches(_edge_ids,
-                                           batch_format="pyarrow"))
-    pr = pagerank(edges, damping=0.85, iters=5, src_col="id_a",
-                  dst_col="id_b", dangling="redistribute")
+    return dedupe_pairs(links.map_batches(_edge_ids,
+                                          batch_format="pyarrow"))
+
+
+def _pr_nodes_to_hosts(pr):
+    """(node, pr) int ranks back to hK.example.com host strings."""
 
     def _host(t: pa.Table) -> pa.Table:
         k = t.column("node").combine_chunks().cast(pa.string())
@@ -4903,6 +4901,20 @@ def host_pagerank_outlinks(sf_dir: str):
         return pa.table({"host": host, "pr": t.column("pr")})
 
     return pr.map_batches(_host, batch_format="pyarrow")
+
+
+def host_pagerank_outlinks(sf_dir: str):
+    """Host-graph PageRank with dangling-mass redistribution (the
+    web-graph convention; similarity.pagerank(dangling="redistribute"))
+    over the fixture outlink graph.  Rows-only (iterative float ranks
+    have no SQL twin); the numpy reference twin lives in
+    tests/test_stages.py::TestPageRank."""
+    from peri_ray.stages.similarity import pagerank
+
+    pr = pagerank(_host_graph_edges(sf_dir), damping=0.85, iters=5,
+                  src_col="id_a", dst_col="id_b",
+                  dangling="redistribute")
+    return _pr_nodes_to_hosts(pr)
 
 
 def inferred_spec_violations(sf_dir: str):
@@ -4938,3 +4950,19 @@ def inferred_spec_violations(sf_dir: str):
     combined = validate_dataset(new, spec, id_column="doc_id")
     return violations_dataset(combined).select_columns(
         ["record_id", "rule_id", "path"])
+
+
+
+
+def seed_pagerank_hosts(sf_dir: str):
+    """Personalized PageRank from a trusted-host seed set over the
+    same outlink graph as host_pagerank_outlinks — the curation
+    expansion primitive (rank every host by proximity to the seeds;
+    the restart and all dangling mass return to the seeds).
+    Rows-only; the numpy reference twin lives in TestPageRank."""
+    from peri_ray.stages.similarity import pagerank
+
+    pr = pagerank(_host_graph_edges(sf_dir), damping=0.85, iters=5,
+                  src_col="id_a", dst_col="id_b",
+                  dangling="redistribute", seeds=[1, 8, 22])
+    return _pr_nodes_to_hosts(pr)

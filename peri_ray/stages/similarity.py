@@ -1220,7 +1220,7 @@ def pca_components(ds, k: int, vec_col: str = "embedding", dim: int = 64,
 def pagerank(edges, damping: float = 0.85, iters: int = 5,
              src_col: str = "src", dst_col: str = "dst",
              n_buckets: int = 64, driver_threshold: int = 2_000_000,
-             dangling: str = "raise"):
+             dangling: str = "raise", seeds=None):
     """Synchronous PageRank for a fixed iteration count over a
     directed (src, dst) edge Dataset:
 
@@ -1237,6 +1237,16 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
     redistribution the total PR mass stays exactly 1, so
     dangling_mass = 1 - sum(messages) — one scalar from per-block
     partial sums.
+
+    ``seeds`` switches to PERSONALIZED PageRank (the curation
+    primitive: rank everything by proximity to a trusted seed set):
+    the teleport vector concentrates uniformly on the seed nodes —
+    pr_0 = 1/|S| on seeds, and the (1-d) restart plus any dangling
+    mass return to the seeds instead of spreading over all N.  Seeds
+    are side-input scale (shipped in task closures; a corpus-scale
+    seed set would need a join-based teleport instead) and must all
+    appear in the graph — a typo'd seed raises rather than silently
+    ranking from a phantom node.
 
     Hybrid like connected_components: an edge list under
     ``driver_threshold`` rows resolves with one driver numpy loop
@@ -1255,6 +1265,11 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
 
     if dangling not in ("raise", "redistribute"):
         raise ValueError("dangling must be 'raise' or 'redistribute'")
+    seed_list = None
+    if seeds is not None:
+        seed_list = sorted({int(x) for x in seeds})
+        if not seed_list:
+            raise ValueError("pagerank: seeds must be non-empty")
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -1277,14 +1292,31 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
                 "pass dangling='redistribute' or fix the edge list"
                 % int(dang.sum()))
         w = 1.0 / outdeg[src_l].astype(np.float64)
-        pr = np.full(n, 1.0 / float(n), np.float64)
-        base = (1.0 - damping) / float(n)
-        for _ in range(iters):
-            s = np.zeros(n, np.float64)
-            np.add.at(s, dst_l, pr[src_l] * w)
-            if dang.any():
-                s += pr[dang].sum() / float(n)
-            pr = base + damping * s
+        if seed_list is None:
+            pr = np.full(n, 1.0 / float(n), np.float64)
+            base = (1.0 - damping) / float(n)
+            for _ in range(iters):
+                s = np.zeros(n, np.float64)
+                np.add.at(s, dst_l, pr[src_l] * w)
+                if dang.any():
+                    s += pr[dang].sum() / float(n)
+                pr = base + damping * s
+        else:
+            sarr = np.asarray(seed_list, np.int64)
+            pos = np.searchsorted(nodes, sarr)
+            if ((pos >= n).any()
+                    or (nodes[np.minimum(pos, n - 1)] != sarr).any()):
+                raise ValueError(
+                    "pagerank: seed node(s) not present in the edge list")
+            tele = np.zeros(n, np.float64)
+            tele[pos] = 1.0 / float(len(sarr))
+            pr = tele.copy()
+            for _ in range(iters):
+                s = np.zeros(n, np.float64)
+                np.add.at(s, dst_l, pr[src_l] * w)
+                if dang.any():
+                    s = s + pr[dang].sum() * tele
+                pr = (1.0 - damping) * tele + damping * s
         return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
                                        "pr": pa.array(pr, pa.float64())}))
 
@@ -1310,6 +1342,22 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         n_buckets).materialize()
     n = nodes_ds.count()
     base = (1.0 - damping) / float(n)
+
+    seed_arr = None
+    if seed_list is not None:
+        seed_arr = pa.array(seed_list, pa.int64())
+        found = 0
+        for r in nodes_ds.map_batches(
+                lambda t, sa=seed_arr: pa.table({"c": pa.array(
+                    [int(pc.sum(pc.is_in(
+                        t.column("node").combine_chunks(),
+                        value_set=sa).cast(pa.int64())).as_py() or 0)],
+                    pa.int64())}),
+                batch_format="pyarrow").iter_rows():
+            found += r["c"]
+        if found != len(seed_list):
+            raise ValueError(
+                "pagerank: seed node(s) not present in the edge list")
 
     # out-degree per src, then weighted edges (src, dst, w) — one
     # union-tagged exchange; dangling check falls out of the join:
@@ -1350,13 +1398,25 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         .union(e.map_batches(_tag_edge, batch_format="pyarrow")),
         ["src"], _attach_w, n_buckets).materialize()
 
-    # pr_0 = 1/N
-    pr0 = float(1.0 / float(n))
-    pr_ds = nodes_ds.map_batches(
-        lambda t, v=pr0: pa.table({
-            "node": t.column("node"),
-            "pr": pa.array(np.full(t.num_rows, v, np.float64))}),
-        batch_format="pyarrow").materialize()
+    # pr_0 = 1/N (uniform) or 1/|S| on the seeds (personalized)
+    if seed_arr is None:
+        pr0 = float(1.0 / float(n))
+        pr_ds = nodes_ds.map_batches(
+            lambda t, v=pr0: pa.table({
+                "node": t.column("node"),
+                "pr": pa.array(np.full(t.num_rows, v, np.float64))}),
+            batch_format="pyarrow").materialize()
+    else:
+        pr0s = 1.0 / float(len(seed_list))
+        pr_ds = nodes_ds.map_batches(
+            lambda t, v=pr0s, sa=seed_arr: pa.table({
+                "node": t.column("node"),
+                "pr": pc.if_else(
+                    pc.is_in(t.column("node").combine_chunks(),
+                             value_set=sa),
+                    pa.scalar(v, pa.float64()),
+                    pa.scalar(0.0, pa.float64()))}),
+            batch_format="pyarrow").materialize()
 
     for _ in range(iters):
         # join pr onto weighted edges by src (union-tagged exchange)
@@ -1382,7 +1442,7 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         # NOT flow through an edge this round is 1 - sum(messages) —
         # one scalar from per-block partial sums over the (pinned)
         # message table, no extra exchange
-        extra = base
+        dm = 0.0
         if has_dangling:
             msgs = msgs.materialize()
             msum = 0.0
@@ -1392,7 +1452,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
                         pa.float64())}),
                     batch_format="pyarrow").iter_rows():
                 msum += r["s"]
-            extra = base + damping * (1.0 - msum) / float(n)
+            dm = 1.0 - msum
+        extra = base + damping * dm / float(n) if has_dangling else base
 
         # sum messages per dst + zero base row per node, then update
         def _zero(t: pa.Table) -> pa.Table:
@@ -1403,12 +1464,29 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
         summed = grouped_sum_via_buckets(
             msgs.union(nodes_ds.map_batches(_zero, batch_format="pyarrow")),
             ["dst"], "m", n_buckets)
-        pr_ds = summed.map_batches(
-            lambda t, b=extra, d=damping: pa.table({
-                "node": t.column("dst"),
-                "pr": pc.add(pa.scalar(b),
-                             pc.multiply(pa.scalar(d), t.column("m")))}),
-            batch_format="pyarrow").materialize()
+        if seed_arr is None:
+            pr_ds = summed.map_batches(
+                lambda t, b=extra, d=damping: pa.table({
+                    "node": t.column("dst"),
+                    "pr": pc.add(pa.scalar(b),
+                                 pc.multiply(pa.scalar(d),
+                                             t.column("m")))}),
+                batch_format="pyarrow").materialize()
+        else:
+            # restart + dangling mass return to the seeds only
+            se = (((1.0 - damping) + damping * dm)
+                  * (1.0 / float(len(seed_list))))
+            pr_ds = summed.map_batches(
+                lambda t, s_=se, d=damping, sa=seed_arr: pa.table({
+                    "node": t.column("dst"),
+                    "pr": pc.add(
+                        pc.if_else(
+                            pc.is_in(t.column("dst").combine_chunks(),
+                                     value_set=sa),
+                            pa.scalar(s_, pa.float64()),
+                            pa.scalar(0.0, pa.float64())),
+                        pc.multiply(pa.scalar(d), t.column("m")))}),
+                batch_format="pyarrow").materialize()
 
     return pr_ds
 

@@ -5499,6 +5499,43 @@ class TestPageRank:
         with pytest.raises(ValueError, match="redistribute"):
             pagerank(self._edges([(0, 1)]), dangling="drop")
 
+    def test_personalized_matches_reference(self):
+        from peri_ray.stages.similarity import pagerank
+
+        # node 3 dangles; restart AND dangling mass return to seeds
+        pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 0)]
+        n, d, iters = 5, 0.85, 5
+        tele = np.zeros(n)
+        tele[[0, 4]] = 0.5
+        outdeg = np.zeros(n)
+        for u, _ in pairs:
+            outdeg[u] += 1
+        pr = tele.copy()
+        for _ in range(iters):
+            s = np.zeros(n)
+            for u, v in pairs:
+                s[v] += pr[u] / outdeg[u]
+            s = s + pr[3] * tele
+            pr = (1 - d) * tele + d * s
+        drv = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=iters, seeds=[0, 4],
+            dangling="redistribute").take_all()}
+        dist = {r["node"]: r["pr"] for r in pagerank(
+            self._edges(pairs), iters=iters, seeds=[0, 4],
+            dangling="redistribute", driver_threshold=0).take_all()}
+        for i in range(n):
+            assert abs(drv[i] - pr[i]) < 1e-12
+            assert abs(dist[i] - pr[i]) < 1e-9
+        assert abs(sum(dist.values()) - 1.0) < 1e-9
+
+    def test_personalized_phantom_seed_raises(self):
+        from peri_ray.stages.similarity import pagerank
+
+        for kw in ({}, {"driver_threshold": 0}):
+            with pytest.raises(ValueError, match="seed node"):
+                pagerank(self._edges([(0, 1), (1, 0)]), iters=1,
+                         seeds=[99], **kw).take_all()
+
     def test_mass_conserved_on_knn_graph(self):
         from peri_ray.stages.similarity import knn_graph, pagerank
 
