@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_drift_docs": q.schema_drift_docs,
         "unique_keys_documents": q.unique_keys_documents,
         "inferred_spec_violations": q.inferred_spec_violations,
+        "fk_discovery_report": q.fk_discovery_report,
         "fragment_anomaly_docs": q.fragment_anomaly_docs,
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
@@ -417,6 +418,36 @@ def oracle_sql() -> dict[str, str]:
         "WHEN " + " AND ".join(f"s_{l} >= s_{m}" for m in _langs[i + 1:])
         + f" THEN '{l}'"
         for i, l in enumerate(_langs[:-1]))
+    _fk_pairs = [
+        ("events.user_id in customer.c_custkey",
+         "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey in orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer.c_nationkey in nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey in region.r_regionkey",
+         "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey in customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("part.p_partkey in lineitem.l_partkey",
+         "part", "p_partkey", "lineitem", "l_partkey"),
+    ]
+    _fk_sql = "\nUNION ALL\n".join(f"""
+        SELECT '{lbl}' AS pair, d AS n_distinct, m AS n_missing,
+               CASE WHEN d = 0 THEN NULL
+                    ELSE CAST(d - m AS DOUBLE) / CAST(d AS DOUBLE)
+               END AS containment,
+               (m = 0 AND d > 0) AS is_inclusion
+          FROM (SELECT
+            (SELECT count(DISTINCT {fc}) FROM {ft}
+              WHERE {fc} IS NOT NULL) AS d,
+            (SELECT count(*) FROM
+               (SELECT DISTINCT {fc} AS v FROM {ft}
+                 WHERE {fc} IS NOT NULL)
+              WHERE v NOT IN (SELECT {dc} FROM {dt}
+                               WHERE {dc} IS NOT NULL)) AS m)
+    """ for lbl, ft, fc, dt, dc in _fk_pairs)
+
     _doc_viols_sql = f"""
             SELECT CAST(doc_id AS VARCHAR) AS record_id, 'enum' AS rule_id, 'lang' AS path
               FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}
@@ -3489,6 +3520,7 @@ def oracle_sql() -> dict[str, str]:
                AND lang NOT IN (SELECT DISTINCT lang FROM documents
                                  WHERE lang IS NOT NULL)
         """,
+        "fk_discovery_report": _fk_sql,
     }
 
 

@@ -294,6 +294,7 @@ def run_bench() -> dict:
           lambda: q.inferred_spec_violations(SF_DIR).to_pandas())
     timed("seed_pagerank",
           lambda: q.seed_pagerank_hosts(SF_DIR).to_pandas())
+    timed("fk_discovery", lambda: q.fk_discovery_report(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

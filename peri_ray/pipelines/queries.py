@@ -4966,3 +4966,34 @@ def seed_pagerank_hosts(sf_dir: str):
                   src_col="id_a", dst_col="id_b",
                   dangling="redistribute", seeds=[1, 8, 22])
     return _pr_nodes_to_hosts(pr)
+
+
+def fk_discovery_report(sf_dir: str):
+    """Inclusion-dependency discovery (checks.inclusion_report): exact
+    containment coefficients for six candidate FK pairs across the
+    TPC-H-ish tables, all sharing one tagged distinct-value exchange.
+    Oracle: per-pair DISTINCT counts + anti-membership counts with the
+    identical int->double containment division."""
+    from peri_ray.stages.checks import inclusion_report
+
+    pairs = [
+        ("events.user_id in customer.c_custkey",
+         _read(sf_dir, "events", ["user_id"]), "user_id",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("lineitem.l_orderkey in orders.o_orderkey",
+         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+        ("customer.c_nationkey in nation.n_nationkey",
+         _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey",
+         _read(sf_dir, "nation", ["n_nationkey"]), "n_nationkey"),
+        ("nation.n_regionkey in region.r_regionkey",
+         _read(sf_dir, "nation", ["n_regionkey"]), "n_regionkey",
+         _read(sf_dir, "region", ["r_regionkey"]), "r_regionkey"),
+        ("orders.o_custkey in customer.c_custkey",
+         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("part.p_partkey in lineitem.l_partkey",
+         _read(sf_dir, "part", ["p_partkey"]), "p_partkey",
+         _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey"),
+    ]
+    return inclusion_report(pairs)

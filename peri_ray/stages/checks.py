@@ -734,3 +734,91 @@ def benford_check(ds, column: str, batch_size: int | None = 65536) -> pa.Table:
         "cnt": pa.array(obs.astype(np.int64)),
         "chi2": pa.array([round(chi2, 6)] * 9, pa.float64()),
     })
+
+
+def inclusion_report(pairs, n_buckets: int = 64,
+                     batch_size: int | None = 65536) -> pa.Table:
+    """Inclusion-dependency (FK) discovery: for each candidate
+    ``(label, fact_ds, fact_col, dim_ds, dim_col)`` pair, the exact
+    containment coefficient — what fraction of the fact side's
+    DISTINCT non-null values appear in the dim side — plus the binary
+    inclusion verdict.  The profiling complement of
+    :func:`referential_check`, which verifies one DECLARED key; this
+    scores a candidate lattice (the Metanome/SPIDER problem).
+
+    All pairs share ONE hash-bucket exchange: each input ships its
+    per-batch distinct values (string-cast so mixed key types
+    coexist), tagged (pair_id, side); per bucket a vectorized group_by
+    computes per-value fact/dim membership, and per-pair counts merge
+    on the driver (pairs-sized).  Null keys are vacuous on both sides
+    (the referential convention).
+
+    Returns (pair, n_distinct, n_missing, containment, is_inclusion)
+    sorted by pair label; containment = float(present)/float(distinct)
+    — the int->double conversions keep a SQL twin bit-exact."""
+
+    def _mk(col: str, side: int, pid: int):
+        def _p(t: pa.Table) -> pa.Table:
+            v = pc.unique(t.column(col).combine_chunks()
+                          .drop_null().cast(pa.string()))
+            return pa.table({
+                "pid": pa.array(np.full(len(v), pid, np.int64)),
+                "side": pa.array(np.full(len(v), side, np.int8)),
+                "value": v,
+            })
+        return _p
+
+    streams = []
+    for pid, (label, fact, fcol, dim, dcol) in enumerate(pairs):
+        streams.append(fact.map_batches(_mk(fcol, 0, pid),
+                                        batch_format="pyarrow",
+                                        batch_size=batch_size))
+        streams.append(dim.map_batches(_mk(dcol, 1, pid),
+                                       batch_format="pyarrow",
+                                       batch_size=batch_size))
+    allv = streams[0]
+    for s in streams[1:]:
+        allv = allv.union(s)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("pid").combine_chunks().cast(pa.string()),
+            t.column("value").combine_chunks(), ":")
+        return t.append_column("bucket", bucket_of(k, n_buckets))
+
+    def _counts(group: pa.Table) -> pa.Table:
+        g = (group.select(["pid", "value", "side"])
+             .group_by(["pid", "value"])
+             .aggregate([("side", "min"), ("side", "max")]))
+        in_fact = pc.equal(g.column("side_min"), 0)
+        only_fact = pc.and_(in_fact, pc.equal(g.column("side_max"), 0))
+        gg = pa.table({
+            "pid": g.column("pid"),
+            "d": in_fact.cast(pa.int64()),
+            "miss": only_fact.cast(pa.int64()),
+        }).group_by(["pid"]).aggregate([("d", "sum"), ("miss", "sum")])
+        return gg.rename_columns(["pid", "d", "miss"])
+
+    merged: dict[int, list] = {}
+    for r in (allv.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(_counts,
+                                            batch_format="pyarrow")
+              .iter_rows()):
+        s = merged.setdefault(r["pid"], [0, 0])
+        s[0] += r["d"]
+        s[1] += r["miss"]
+
+    labels = [p[0] for p in pairs]
+    order = sorted(range(len(labels)), key=labels.__getitem__)
+    nd = [merged.get(i, [0, 0])[0] for i in order]
+    nm = [merged.get(i, [0, 0])[1] for i in order]
+    return pa.table({
+        "pair": pa.array([labels[i] for i in order], pa.string()),
+        "n_distinct": pa.array(nd, pa.int64()),
+        "n_missing": pa.array(nm, pa.int64()),
+        "containment": pa.array(
+            [float(d - m) / float(d) if d else None
+             for d, m in zip(nd, nm)], pa.float64()),
+        "is_inclusion": pa.array([m == 0 and d > 0
+                                  for d, m in zip(nd, nm)], pa.bool_()),
+    })

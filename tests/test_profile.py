@@ -167,3 +167,59 @@ class TestInferSpec:
                                      pa.timestamp("us"))})
         spec = infer_spec(schema_profile(rd.from_arrow(t)))
         assert spec["ts"] == ("required", "naive_datetime")
+
+
+class TestInclusionReport:
+    """inclusion_report (checks.py) — FK/inclusion-dependency
+    discovery with exact containment coefficients."""
+
+    def _ds(self, vals, typ=pa.int64()):
+        return rd.from_arrow(pa.table({"k": pa.array(vals, typ)}))
+
+    def test_full_partial_and_empty(self):
+        from peri_ray.stages.checks import inclusion_report
+
+        out = inclusion_report([
+            ("a_full", self._ds([1, 2, 2, 3]), "k",
+             self._ds([1, 2, 3, 4]), "k"),
+            ("b_partial", self._ds([1, 2, 3, 9]), "k",
+             self._ds([1, 2, 3]), "k"),
+            ("c_empty", self._ds([None, None]), "k",
+             self._ds([1]), "k"),
+        ]).to_pylist()
+        by = {r["pair"]: r for r in out}
+        assert [r["pair"] for r in out] == ["a_full", "b_partial",
+                                            "c_empty"]
+        assert by["a_full"]["n_distinct"] == 3
+        assert by["a_full"]["n_missing"] == 0
+        assert by["a_full"]["containment"] == 1.0
+        assert by["a_full"]["is_inclusion"] is True
+        assert by["b_partial"]["n_distinct"] == 4
+        assert by["b_partial"]["n_missing"] == 1
+        assert by["b_partial"]["containment"] == 3.0 / 4.0
+        assert by["b_partial"]["is_inclusion"] is False
+        # all-null fact side: vacuous, no division by zero
+        assert by["c_empty"]["n_distinct"] == 0
+        assert by["c_empty"]["containment"] is None
+        assert by["c_empty"]["is_inclusion"] is False
+
+    def test_null_fk_is_vacuous(self):
+        from peri_ray.stages.checks import inclusion_report
+
+        out = inclusion_report([
+            ("p", self._ds([1, None, 2]), "k", self._ds([1, 2]), "k"),
+        ]).to_pylist()
+        assert out[0]["n_distinct"] == 2
+        assert out[0]["is_inclusion"] is True
+
+    def test_mixed_key_types_share_one_exchange(self):
+        from peri_ray.stages.checks import inclusion_report
+
+        out = inclusion_report([
+            ("ints", self._ds([1, 2]), "k", self._ds([1, 2, 3]), "k"),
+            ("strs", self._ds(["x", "y"], pa.string()), "k",
+             self._ds(["x"], pa.string()), "k"),
+        ]).to_pylist()
+        by = {r["pair"]: r for r in out}
+        assert by["ints"]["is_inclusion"] is True
+        assert by["strs"]["n_missing"] == 1
