@@ -290,7 +290,7 @@ def run_bench() -> dict:
     timed("unique_keys", lambda: q.unique_keys_documents(SF_DIR))
     timed("host_pagerank",
           lambda: q.host_pagerank_outlinks(SF_DIR).to_pandas())
-    timed("inferred_spec",
+    timed("inferred_spec_drift",
           lambda: q.inferred_spec_violations(SF_DIR).to_pandas())
     timed("seed_pagerank",
           lambda: q.seed_pagerank_hosts(SF_DIR).to_pandas())

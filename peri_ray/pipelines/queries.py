@@ -4918,19 +4918,18 @@ def host_pagerank_outlinks(sf_dir: str):
 
 
 def inferred_spec_violations(sf_dir: str):
-    """Spec inference closing the loop to validation: profile the base
-    documents snapshot, synthesize a spec from it
-    (profile.infer_spec — zero-null columns become required, the
-    closed lang domain becomes an enum), then validate the MODIFIED
-    recrawl (text nulled on doc_id%5, lang overwritten to 'it' on
-    doc_id%100) against that inferred spec through the standard
-    engine.  Violations = exactly the injected drift.  Oracle rebuilds
-    the inferred rules in SQL (required text, lang IN base domain)."""
-    from peri_ray.stages.profile import infer_spec, schema_profile
+    """Spec inference closing the loop to validation: infer a spec
+    from the base documents snapshot (peri_ray.infer.infer_spec —
+    zero-null columns become required, the closed lang domain becomes
+    an enum), then validate the MODIFIED recrawl (text nulled on
+    doc_id%5, lang overwritten to 'it' on doc_id%100) against that
+    inferred spec through the standard engine.  Violations = exactly
+    the injected drift.  Oracle rebuilds the inferred rules in SQL
+    (required text, lang IN base domain)."""
+    from peri_ray.infer import infer_spec
 
     cols = ["doc_id", "text", "lang"]
-    base = _read(sf_dir, "documents", cols)
-    spec = infer_spec(schema_profile(base, columns=cols))
+    spec = infer_spec(_read(sf_dir, "documents", cols))
 
     def _recrawl(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").combine_chunks()

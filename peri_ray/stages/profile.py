@@ -43,63 +43,31 @@ def schema_profile(ds, columns: list[str] | None = None,
     value set of a string column when it stays within ``max_domain``
     values (enum-like), else null (open domain).
 
-    One streaming pass; each batch emits one partial row per column
-    (counts + the batch's clipped distinct set), merged on the driver
-    — bounded by columns × blocks, never by rows.  A batch whose
-    distinct set alone exceeds ``max_domain`` ships a null marker, not
-    the values, so a high-cardinality column never inflates the
-    partials.
-    """
+    A table rendering of :func:`peri_ray.infer.profile_columns` (the
+    spec-inference profiler — one streaming pass, per-batch partials
+    bounded by columns × (max_domain + 1) rows, driver merge): same
+    pass, but keyed to snapshot DIFFING (:func:`schema_drift`) rather
+    than spec synthesis, so it adds the normalized dtype label and
+    keeps exact null counts."""
+    from peri_ray.infer import profile_columns
+
     names = columns or [n for n in ds.schema().names]
     types = dict(zip(ds.schema().names, ds.schema().types))
-
-    def _partial(t: pa.Table) -> pa.Table:
-        rows = {"column": [], "n_rows": [], "n_nulls": [], "domain": []}
-        for name in names:
-            col = t.column(name).combine_chunks()
-            rows["column"].append(name)
-            rows["n_rows"].append(len(col))
-            rows["n_nulls"].append(col.null_count)
-            dom = None
-            if (pa.types.is_string(col.type)
-                    or pa.types.is_large_string(col.type)):
-                vals = pc.unique(pc.drop_null(col))
-                if len(vals) <= max_domain:
-                    dom = "\x1f".join(sorted(vals.to_pylist()))
-            rows["domain"].append(dom)
-        return pa.table({
-            "column": pa.array(rows["column"], pa.string()),
-            "n_rows": pa.array(rows["n_rows"], pa.int64()),
-            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
-            "domain": pa.array(rows["domain"], pa.string()),
-        })
-
-    merged: dict[str, list] = {}  # column -> [n, nulls, set|None, overflowed]
-    for r in (ds.map_batches(_partial, batch_format="pyarrow",
-                             batch_size=batch_size).iter_rows()):
-        s = merged.setdefault(r["column"], [0, 0, set(), False])
-        s[0] += r["n_rows"]
-        s[1] += r["n_nulls"]
-        is_str = _dtype_name(types[r["column"]]) == "string"
-        if is_str and not s[3]:
-            if r["domain"] is None and r["n_rows"] > 0:
-                s[3] = True
-            else:
-                s[2].update(v for v in (r["domain"] or "").split("\x1f") if v)
-                if len(s[2]) > max_domain:
-                    s[3] = True
+    prof = profile_columns(ds, enum_threshold=max_domain,
+                           batch_size=batch_size)
 
     out = {"column": [], "dtype": [], "n_rows": [], "n_nulls": [],
            "domain": []}
     for name in names:
-        s = merged.get(name, [0, 0, set(), False])
+        p = prof.get(name, {"n": 0, "nulls": 0, "distinct": None})
         out["column"].append(name)
         out["dtype"].append(_dtype_name(types[name]))
-        out["n_rows"].append(s[0])
-        out["n_nulls"].append(s[1])
+        out["n_rows"].append(p["n"])
+        out["n_nulls"].append(p["nulls"])
         dom = None
-        if _dtype_name(types[name]) == "string" and not s[3]:
-            dom = ",".join(sorted(s[2]))
+        if (_dtype_name(types[name]) == "string"
+                and p.get("distinct") is not None):
+            dom = ",".join(p["distinct"])
         out["domain"].append(dom)
     return pa.table({
         "column": pa.array(out["column"], pa.string()),
@@ -244,44 +212,3 @@ def discover_unique_keys(ds, candidates: list[list[str]],
         "is_unique": pa.array([i not in dup_ids for i in order],
                               pa.bool_()),
     })
-
-
-# profile dtype -> spec type (the reference's type atoms; anything
-# unmapped validates as :any, which accepts every value)
-_SPEC_TYPES = {
-    "int8": "integer", "int16": "integer", "int32": "integer",
-    "int64": "integer", "uint8": "integer", "uint16": "integer",
-    "uint32": "integer", "uint64": "integer",
-    "float": "float", "double": "float",
-    "string": "string", "bool": "boolean",
-    "date32[day]": "date", "date64[ms]": "date",
-}
-
-
-def infer_spec(profile: pa.Table, enum_max: int = 16) -> dict:
-    """Synthesize a validation spec FROM a :func:`schema_profile` —
-    the discovery inverse of the reference's declared ``defschema``
-    (lib/peri.ex:121): a column with zero observed nulls becomes
-    ``required``, a closed string domain of at most ``enum_max``
-    values becomes an ``enum``, and the Arrow dtype maps to the
-    matching type atom (timestamps -> naive_datetime; unmapped types
-    -> ``any``).  By construction the inferred spec validates the
-    profiled snapshot itself with zero violations; run it against the
-    NEXT snapshot and every violation is a drift incident with the
-    full error machinery (rule_id, path, reference-exact message)
-    behind it.  Pure driver arithmetic over the profile table."""
-    spec: dict = {}
-    for r in profile.to_pylist():
-        dtype = r["dtype"]
-        if dtype.startswith("timestamp"):
-            node = "naive_datetime"
-        else:
-            node = _SPEC_TYPES.get(dtype, "any")
-        if node == "string" and r["domain"] is not None:
-            values = [v for v in r["domain"].split(",") if v]
-            if 0 < len(values) <= enum_max:
-                node = ("enum", values)
-        if r["n_rows"] > 0 and r["n_nulls"] == 0:
-            node = ("required", node)
-        spec[r["column"]] = node
-    return spec

@@ -117,14 +117,18 @@ class TestDiscoverUniqueKeys:
         assert got == [{"combo": "k", "is_unique": False}]
 
 
-class TestInferSpec:
+class TestInferSpecRoundTrip:
+    """peri_ray.infer.infer_spec is the single spec-inference surface
+    (stages/profile.py only renders profiles/diffs); these pin the
+    round-trip the `inferred_spec_violations` query depends on."""
+
     def test_inferred_spec_is_legal_and_self_consistent(self):
+        from peri_ray.infer import infer_spec
         from peri_ray.spec import validate_spec
-        from peri_ray.stages.profile import infer_spec, schema_profile
         from peri_ray.validate import validate_dataset, violations_dataset
 
         ds = rd.from_arrow(_base_table()).repartition(4)
-        spec = infer_spec(schema_profile(ds))
+        spec = infer_spec(ds)
         validate_spec(spec)  # must be a legal spec
         assert spec["id"] == ("required", "integer")
         assert spec["val"] == ("required", "float")
@@ -134,39 +138,25 @@ class TestInferSpec:
         combined = validate_dataset(ds, spec, id_column="id")
         assert violations_dataset(combined).count() == 0
 
-    def test_nullable_column_not_required(self):
-        from peri_ray.stages.profile import infer_spec, schema_profile
+    def test_drifted_snapshot_flags_exactly_the_drift(self):
+        from peri_ray.infer import infer_spec
+        from peri_ray.validate import validate_dataset, violations_dataset
 
-        t = pa.table({"s": pa.array(["a", None], pa.string()),
-                      "k": pa.array([1, 2], pa.int64())})
-        spec = infer_spec(schema_profile(rd.from_arrow(t)))
-        assert spec["s"] == ("enum", ["a"])
-        assert spec["k"] == ("required", "integer")
-
-    def test_enum_max_falls_back_to_string(self):
-        from peri_ray.stages.profile import infer_spec, schema_profile
-
-        t = pa.table({"s": pa.array([f"v{i}" for i in range(10)],
-                                    pa.string())})
-        spec = infer_spec(schema_profile(rd.from_arrow(t)), enum_max=5)
-        assert spec["s"] == ("required", "string")
-
-    def test_unmapped_dtype_becomes_any(self):
-        from peri_ray.stages.profile import infer_spec, schema_profile
-
-        t = pa.table({"b": pa.array([b"x", b"y"], pa.binary())})
-        spec = infer_spec(schema_profile(rd.from_arrow(t)))
-        assert spec["b"] == ("required", "any")
-
-    def test_timestamp_maps_to_naive_datetime(self):
-        import datetime as dt
-
-        from peri_ray.stages.profile import infer_spec, schema_profile
-
-        t = pa.table({"ts": pa.array([dt.datetime(2024, 1, 1)],
-                                     pa.timestamp("us"))})
-        spec = infer_spec(schema_profile(rd.from_arrow(t)))
-        assert spec["ts"] == ("required", "naive_datetime")
+        spec = infer_spec(rd.from_arrow(_base_table()))
+        drifted = pa.table({
+            "id": pa.array(range(100), pa.int64()),
+            "lang": pa.array(["it" if i == 7 else ("en", "de", "fr")[i % 3]
+                              for i in range(100)], pa.string()),
+            "txt": pa.array([None if i == 3 else f"t{i}"
+                             for i in range(100)], pa.string()),
+            "val": pa.array([float(i % 7) for i in range(100)],
+                            pa.float64()),
+        })
+        combined = validate_dataset(rd.from_arrow(drifted), spec,
+                                    id_column="id")
+        got = {(r["record_id"], r["rule_id"], r["path"])
+               for r in violations_dataset(combined).take_all()}
+        assert got == {("7", "enum", "lang"), ("3", "required", "txt")}
 
 
 class TestInclusionReport:
