@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_report": q.quality_classifier_report,
         "host_pagerank_outlinks": q.host_pagerank_outlinks,
         "seed_pagerank_hosts": q.seed_pagerank_hosts,
+        "host_graph_shape": q.host_graph_shape,
     }
 
 
@@ -3521,6 +3522,47 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE lang IS NOT NULL)
         """,
         "fk_discovery_report": _fk_sql,
+        "host_graph_shape": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> (doc_id*7 + j + 1) % 50)) AS d
+                FROM documents),
+            e0 AS (SELECT CAST(regexp_extract(c.host, '^h(\\d+)\\.', 1)
+                               AS BIGINT) AS s,
+                          tg.d AS d
+                     FROM tg JOIN canon c USING (doc_id)),
+            e AS (SELECT DISTINCT s, d FROM e0
+                   WHERE s <> d AND s % 7 <> 0),
+            od AS (SELECT s AS k, CAST(count(*) AS BIGINT) AS x
+                     FROM e GROUP BY s),
+            idg AS (SELECT d AS k, CAST(count(*) AS BIGINT) AS y
+                      FROM e GROUP BY d),
+            j AS (SELECT od.x AS x, idg.y AS y
+                    FROM e JOIN od ON e.s = od.k
+                           JOIN idg ON e.d = idg.k),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x*y) AS BIGINT) AS sxy,
+                          CAST(sum(x*x) AS BIGINT) AS sxx,
+                          CAST(sum(y*y) AS BIGINT) AS syy
+                     FROM j),
+            rc AS (SELECT CAST(count(*) AS BIGINT) AS n_rec
+                     FROM e a JOIN e b ON a.s = b.d AND a.d = b.s)
+            SELECT m AS n_edges, n_rec AS n_reciprocal,
+                   CAST(n_rec AS DOUBLE) / CAST(m AS DOUBLE)
+                     AS reciprocity,
+                   (CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * sqrt(CAST(m AS DOUBLE)*CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     AS assortativity
+              FROM mm, rc
+        """,
     }
 
 

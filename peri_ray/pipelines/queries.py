@@ -4996,3 +4996,18 @@ def fk_discovery_report(sf_dir: str):
          _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey"),
     ]
     return inclusion_report(pairs)
+
+
+def host_graph_shape(sf_dir: str):
+    """Directed-graph shape metrics over the fixture host link graph:
+    reciprocity (fraction of links whose reverse link also exists —
+    the link-exchange / mutual-citation crawl signal) and out-in
+    degree assortativity (do hub hosts link to hub hosts?).  Runs
+    similarity.graph_degree_stats over the shared _host_graph_edges
+    staging; every distributed piece ships int rows only and the
+    Pearson floats are computed with the exact cast-each-operand-
+    to-DOUBLE expression the oracle SQL writes."""
+    from peri_ray.stages.similarity import graph_degree_stats
+
+    return graph_degree_stats(_host_graph_edges(sf_dir),
+                              src_col="id_a", dst_col="id_b")

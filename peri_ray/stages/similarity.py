@@ -1837,3 +1837,119 @@ def semdedup_victims(ds, threshold: float = 0.9, k_clusters: int = 8,
         return pa.table({id_col: t.filter(keep).column("doc_id")})
 
     return labels.map_batches(_victims, batch_format="pyarrow")
+
+
+def graph_degree_stats(edges, src_col: str = "src", dst_col: str = "dst",
+                       n_buckets: int = 64,
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Directed-graph shape metrics over a DISTINCT edge Dataset —
+    reciprocity (fraction of edges whose reverse also exists; the
+    link-exchange / mutual-citation signal) and out-in degree
+    assortativity (Pearson r between outdeg(src) and indeg(dst) across
+    edges; do hubs link to hubs?).
+
+    THREE bucketed exchanges total, all shipping (string-cast key,
+    string, int) rows only.  Bucketing on src co-locates every edge of
+    a given source, so the out-degree is counted AND attached inside
+    that one exchange (dictionary-encode + bincount per bucket — no
+    degree table, no join); the second exchange keyed on dst attaches
+    the in-degree the same way and emits one int64 moment-partial row
+    (m, Σx, Σy, Σxy, Σx², Σy²) per bucket; the third, keyed on the
+    unordered pair, counts edges whose reverse exists.  Partials merge
+    on the driver as exact Python ints.  The final floats are computed
+    as the EXACT double expression a SQL twin writes — each integer
+    converted with float() first (int/int division past 2^53 diverges
+    from SQL, see CLAUDE.md), then m·Σxy − Σx·Σy over √-scaled
+    denominators — so the result hash-matches DuckDB.  int64 partials
+    bound the safe scale at m·maxdeg² < 2⁶³ per bucket.
+
+    Callers pass DISTINCT edges (run dedupe_pairs upstream);
+    duplicates would double-count degrees and moments.  Self-loops are
+    dropped.  Returns one row: (n_edges, n_reciprocal, reciprocity,
+    assortativity) — assortativity null when either degree sequence is
+    constant."""
+    import math
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).combine_chunks().cast(pa.string())
+        d = t.column(dst_col).combine_chunks().cast(pa.string())
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)),
+                     pc.invert(pc.equal(s, d)))
+        return pa.table({"s": s, "d": d}).filter(ok)
+
+    e = edges.map_batches(_canon, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+
+    def _deg_of(col: pa.ChunkedArray) -> np.ndarray:
+        enc = pc.dictionary_encode(col.combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.bincount(idx)[idx]
+
+    def _attach_od(bucket: pa.Table) -> pa.Table:
+        od = _deg_of(bucket.column("s"))
+        return pa.table({"s": bucket.column("s"), "d": bucket.column("d"),
+                         "od": pa.array(od, pa.int64())})
+
+    def _moments(bucket: pa.Table) -> pa.Table:
+        x = bucket.column("od").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = _deg_of(bucket.column("d")).astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    withod = map_groups_via_buckets(e, ["s"], _attach_od, n_buckets,
+                                    coalesce_rows=batch_size)
+    partials = map_groups_via_buckets(withod, ["d"], _moments, n_buckets,
+                                      coalesce_rows=batch_size)
+
+    m = sx = sy = sxy = sxx = syy = 0
+    for r in partials.iter_rows():
+        m += r["m"]; sx += r["sx"]; sy += r["sy"]
+        sxy += r["sxy"]; sxx += r["sxx"]; syy += r["syy"]
+
+    # reciprocal edges: key the exchange on the UNORDERED pair so both
+    # directions co-locate; an unordered pair seen in both directions
+    # contributes 2 reciprocal edges (edges are distinct per contract)
+    def _pairkey(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks()
+        d = t.column("d").combine_chunks()
+        lt = pc.less(s, d)
+        return pa.table({"lo": pc.if_else(lt, s, d),
+                         "hi": pc.if_else(lt, d, s)})
+
+    def _rec_partial(bucket: pa.Table) -> pa.Table:
+        g = bucket.group_by(["lo", "hi"]).aggregate([("lo", "count")])
+        c = g.column("lo_count").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(2 * int((c == 2).sum()))],
+                                       pa.int64())})
+
+    n_rec = 0
+    for r in map_groups_via_buckets(
+            e.map_batches(_pairkey, batch_format="pyarrow",
+                          batch_size=batch_size),
+            ["lo", "hi"], _rec_partial, n_buckets,
+            coalesce_rows=batch_size).iter_rows():
+        n_rec += r["n"]
+
+    reciprocity = float(n_rec) / float(m) if m else None
+    assort = None
+    if m:
+        num = float(m) * float(sxy) - float(sx) * float(sy)
+        dx = float(m) * float(sxx) - float(sx) * float(sx)
+        dy = float(m) * float(syy) - float(sy) * float(sy)
+        if dx > 0 and dy > 0:
+            assort = num / (math.sqrt(dx) * math.sqrt(dy))
+    return pa.table({
+        "n_edges": pa.array([m], pa.int64()),
+        "n_reciprocal": pa.array([n_rec], pa.int64()),
+        "reciprocity": pa.array([reciprocity], pa.float64()),
+        "assortativity": pa.array([assort], pa.float64()),
+    })

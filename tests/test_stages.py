@@ -6634,3 +6634,62 @@ class TestLogReg:
                       "y": pa.array([], pa.int8())})
         with pytest.raises(ValueError, match="empty"):
             logreg_fit(rd.from_arrow(t), ["x1"], "y", iters=1)
+
+
+class TestGraphDegreeStats:
+    def test_known_graph(self):
+        from peri_ray.stages.similarity import graph_degree_stats
+
+        # a->b, b->a (reciprocal pair), a->c, c->d; self loop + null
+        # dropped at ingest
+        t = pa.table({
+            "src": pa.array(["a", "b", "a", "c", "x", None]),
+            "dst": pa.array(["b", "a", "c", "d", "x", "q"]),
+        })
+        out = graph_degree_stats(rd.from_arrow(t), n_buckets=4).to_pylist()[0]
+        assert out["n_edges"] == 4
+        assert out["n_reciprocal"] == 2
+        assert out["reciprocity"] == 0.5
+        # edge list (outdeg(src), indeg(dst)): a->b (2,1), b->a (1,1),
+        # a->c (2,1), c->d (1,1): x = [2,1,2,1], y = [1,1,1,1] -> y
+        # constant -> assortativity undefined
+        assert out["assortativity"] is None
+
+    def test_fuzz_vs_numpy(self):
+        from peri_ray.stages.similarity import graph_degree_stats
+
+        rng = np.random.default_rng(23)
+        eset = {(f"n{a}", f"n{b}")
+                for a, b in rng.integers(0, 15, size=(120, 2)) if a != b}
+        t = pa.table({"src": pa.array([e[0] for e in eset]),
+                      "dst": pa.array([e[1] for e in eset])})
+        out = graph_degree_stats(
+            rd.from_arrow(t).repartition(5), n_buckets=8).to_pylist()[0]
+
+        od, idg = {}, {}
+        for s, d in eset:
+            od[s] = od.get(s, 0) + 1
+            idg[d] = idg.get(d, 0) + 1
+        x = np.array([od[s] for s, d in sorted(eset)], np.float64)
+        y = np.array([idg[d] for s, d in sorted(eset)], np.float64)
+        n_rec = sum(1 for s, d in eset if (d, s) in eset)
+        assert out["n_edges"] == len(eset)
+        assert out["n_reciprocal"] == n_rec
+        assert out["reciprocity"] == pytest.approx(n_rec / len(eset))
+        want = np.corrcoef(x, y)[0, 1]
+        assert out["assortativity"] == pytest.approx(want, rel=1e-9)
+
+    def test_duplicate_edges_rejected_upstream_contract(self):
+        # the docstring contract says callers pass DISTINCT edges;
+        # verify the two metrics stay consistent when they do (dedupe
+        # first) vs a raw duplicated list (which double-counts)
+        from peri_ray.stages.dedup import dedupe_pairs
+        from peri_ray.stages.similarity import graph_degree_stats
+
+        t = pa.table({"id_a": pa.array([1, 1, 2], pa.int64()),
+                      "id_b": pa.array([2, 2, 1], pa.int64())})
+        ded = dedupe_pairs(rd.from_arrow(t))
+        out = graph_degree_stats(ded, src_col="id_a",
+                                 dst_col="id_b", n_buckets=4).to_pylist()[0]
+        assert out["n_edges"] == 2 and out["n_reciprocal"] == 2
+        assert out["reciprocity"] == 1.0
