@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_outlinks": q.host_pagerank_outlinks,
         "seed_pagerank_hosts": q.seed_pagerank_hosts,
         "host_graph_shape": q.host_graph_shape,
+        "host_hits_outlinks": q.host_hits_outlinks,
     }
 
 

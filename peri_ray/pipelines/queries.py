@@ -5011,3 +5011,24 @@ def host_graph_shape(sf_dir: str):
 
     return graph_degree_stats(_host_graph_edges(sf_dir),
                               src_col="id_a", dst_col="id_b")
+
+
+def host_hits_outlinks(sf_dir: str):
+    """HITS hubs & authorities over the fixture host outlink graph —
+    the classic PageRank complement (hub hosts = link out to good
+    authorities; authority hosts = linked from good hubs).  Rows-only
+    (iterative L2-normalized floats have no SQL twin); the numpy
+    reference twin lives in tests/test_stages.py::TestHITS."""
+    from peri_ray.stages.similarity import hits_scores
+
+    scores = hits_scores(_host_graph_edges(sf_dir), iters=5,
+                         src_col="id_a", dst_col="id_b")
+
+    def _host(t: pa.Table) -> pa.Table:
+        k = t.column("node").combine_chunks().cast(pa.string())
+        host = pc.binary_join_element_wise(
+            pa.scalar("h"), k, pa.scalar(".example.com"), "")
+        return pa.table({"host": host, "hub": t.column("hub"),
+                         "auth": t.column("auth")})
+
+    return scores.map_batches(_host, batch_format="pyarrow")

@@ -1953,3 +1953,183 @@ def graph_degree_stats(edges, src_col: str = "src", dst_col: str = "dst",
         "reciprocity": pa.array([reciprocity], pa.float64()),
         "assortativity": pa.array([assort], pa.float64()),
     })
+
+
+def hits_scores(edges, iters: int = 5, src_col: str = "src",
+                dst_col: str = "dst", n_buckets: int = 64,
+                driver_threshold: int = 2_000_000):
+    """HITS hubs & authorities (Kleinberg) for a fixed iteration count
+    over a DISTINCT directed (src, dst) edge Dataset:
+
+        a_{t+1} = Aᵀ h_t / ‖Aᵀ h_t‖₂ ;  h_{t+1} = A a_{t+1} / ‖A a_{t+1}‖₂
+
+    with h_0 = 1 (the initial scale cancels at the first
+    normalization).  The classic complement to PageRank on a web
+    graph: hubs = pages whose OUT-links point at good authorities,
+    authorities = pages good hubs point AT.
+
+    Hybrid like pagerank: an edge list under ``driver_threshold``
+    resolves in one driver numpy loop.  Above it, each half-step is
+    ONE bucketed exchange that both sums the incoming messages per
+    key AND attaches the new score to the co-located edges to emit
+    the next half's messages (sum+attach fused, so a full iteration
+    is 2 exchanges, same as pagerank); rows shipped are (int, int,
+    float) only, bounded by edge count.  The L2 norm is one scalar
+    from per-block partial sums between exchanges.  Iterative float
+    sums make the result reproducible per path but not bit-identical
+    across paths; callers compare with tolerance.
+
+    Nodes with no out-edges get hub 0, no in-edges authority 0.
+    Duplicate edges would double-count (run dedupe_pairs upstream).
+    Returns a Dataset of (node, hub, auth)."""
+    import math
+
+    import ray.data as rd
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    if iters < 1:
+        raise ValueError("hits_scores: iters must be >= 1")
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64())}))
+
+    if n_edges <= driver_threshold:
+        rows = edges.take_all()
+        src = np.array([r[src_col] for r in rows], np.int64)
+        dst = np.array([r[dst_col] for r in rows], np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        src_l = np.searchsorted(nodes, src)
+        dst_l = np.searchsorted(nodes, dst)
+        h = np.ones(n, np.float64)
+        a = np.zeros(n, np.float64)
+        for _ in range(iters):
+            a = np.zeros(n, np.float64)
+            np.add.at(a, dst_l, h[src_l])
+            a /= math.sqrt(float((a * a).sum()))
+            h = np.zeros(n, np.float64)
+            np.add.at(h, src_l, a[dst_l])
+            h /= math.sqrt(float((h * h).sum()))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "hub": pa.array(h, pa.float64()),
+            "auth": pa.array(a, pa.float64())}))
+
+    # ---- distributed path ----
+    def _canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src_col).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst_col).combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    def _e_rows(kcol: str, ocol: str):
+        # edge rows for a half-step exchange: key + the other endpoint;
+        # v null marks them apart from message rows
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"k": t.column(kcol), "o": t.column(ocol),
+                             "v": pa.nulls(t.num_rows, pa.float64()),
+                             "st": pa.nulls(t.num_rows, pa.bool_())})
+        return _f
+
+    e_dst = e.map_batches(_e_rows("dst", "src"),
+                          batch_format="pyarrow").materialize()
+    e_src = e.map_batches(_e_rows("src", "dst"),
+                          batch_format="pyarrow").materialize()
+
+    def _half(msgs_in, e_next, norm_prev: float):
+        inv = 1.0 / norm_prev
+
+        def _fn(bucket: pa.Table) -> pa.Table:
+            isv = pc.is_valid(bucket.column("v").combine_chunks())
+            mb = bucket.filter(isv)
+            eb = bucket.filter(pc.invert(isv))
+            s = (mb.select(["k", "v"]).group_by("k")
+                 .aggregate([("v", "sum")]))
+            vun = pc.multiply(s.column("v_sum"),
+                              pa.scalar(inv, pa.float64()))
+            stt = pa.table({"k": s.column("k"),
+                            "o": pa.nulls(s.num_rows, pa.int64()),
+                            "v": vun,
+                            "st": pa.array(np.ones(s.num_rows, bool))})
+            sv = pa.table({"k": s.column("k"), "vv": vun})
+            j = eb.select(["k", "o"]).join(sv, keys="k",
+                                           join_type="inner")
+            nxt = pa.table({"k": j.column("o"),
+                            "o": pa.nulls(j.num_rows, pa.int64()),
+                            "v": j.column("vv"),
+                            "st": pa.array(np.zeros(j.num_rows, bool))})
+            return pa.concat_tables([stt, nxt])
+
+        return map_groups_via_buckets(msgs_in.union(e_next), ["k"], _fn,
+                                      n_buckets).materialize()
+
+    def _norm(out) -> float:
+        def _p(t: pa.Table) -> pa.Table:
+            v = (t.filter(t.column("st").combine_chunks())
+                 .column("v").combine_chunks()
+                 .to_numpy(zero_copy_only=False))
+            return pa.table({"s": pa.array([float((v * v).sum())],
+                                           pa.float64())})
+
+        ssq = 0.0
+        for r in out.map_batches(_p, batch_format="pyarrow").iter_rows():
+            ssq += r["s"]
+        return math.sqrt(ssq)
+
+    def _msgs_of(out):
+        return out.map_batches(
+            lambda t: t.filter(pc.invert(t.column("st").combine_chunks())),
+            batch_format="pyarrow")
+
+    def _state_rows(out, inv: float, col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            st = t.filter(t.column("st").combine_chunks())
+            v = pc.multiply(st.column("v").combine_chunks(),
+                            pa.scalar(inv, pa.float64()))
+            hub = v if col == "hub" else pa.nulls(st.num_rows, pa.float64())
+            auth = v if col == "auth" else pa.nulls(st.num_rows,
+                                                    pa.float64())
+            return pa.table({"k": st.column("k"), "hub": hub,
+                             "auth": auth})
+        return out.map_batches(_f, batch_format="pyarrow")
+
+    # h_0 = 1 at every edge source: the first a-half's messages need
+    # no join at all
+    msgs = e.map_batches(
+        lambda t: pa.table({
+            "k": t.column("dst"),
+            "o": pa.nulls(t.num_rows, pa.int64()),
+            "v": pa.array(np.ones(t.num_rows, np.float64)),
+            "st": pa.nulls(t.num_rows, pa.bool_())}),
+        batch_format="pyarrow")
+    norm_h = 1.0
+    out_a = out_h = None
+    for _ in range(iters):
+        out_a = _half(msgs, e_dst, norm_h)
+        norm_a = _norm(out_a)
+        out_h = _half(_msgs_of(out_a), e_src, norm_a)
+        norm_h = _norm(out_h)
+        msgs = _msgs_of(out_h)
+
+    # every node is a src or a dst, so the union of the two state
+    # tables covers all nodes; max-of-one-non-null + fill 0 assembles
+    def _final(bucket: pa.Table) -> pa.Table:
+        g = bucket.group_by("k").aggregate([("hub", "max"),
+                                            ("auth", "max")])
+        return pa.table({
+            "node": g.column("k"),
+            "hub": pc.fill_null(g.column("hub_max"),
+                                pa.scalar(0.0, pa.float64())),
+            "auth": pc.fill_null(g.column("auth_max"),
+                                 pa.scalar(0.0, pa.float64()))})
+
+    return map_groups_via_buckets(
+        _state_rows(out_h, 1.0 / norm_h, "hub")
+        .union(_state_rows(out_a, 1.0 / norm_a, "auth")),
+        ["k"], _final, n_buckets)

@@ -6693,3 +6693,83 @@ class TestGraphDegreeStats:
                                  dst_col="id_b", n_buckets=4).to_pylist()[0]
         assert out["n_edges"] == 2 and out["n_reciprocal"] == 2
         assert out["reciprocity"] == 1.0
+
+
+class TestHITS:
+    """hits_scores (similarity.py) — hybrid driver/distributed hubs &
+    authorities; `host_hits_outlinks` wires it over the host graph."""
+
+    def _edges(self, pairs):
+        t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], pa.int64())})
+        return rd.from_arrow(t).repartition(2)
+
+    def _reference(self, pairs, n, iters):
+        h = np.ones(n, np.float64)
+        a = np.zeros(n, np.float64)
+        for _ in range(iters):
+            a = np.zeros(n, np.float64)
+            for u, v in pairs:
+                a[v] += h[u]
+            a /= np.linalg.norm(a)
+            h = np.zeros(n, np.float64)
+            for u, v in pairs:
+                h[u] += a[v]
+            h /= np.linalg.norm(h)
+        return h, a
+
+    def test_star_graph(self):
+        from peri_ray.stages.similarity import hits_scores
+
+        # 0,1,2 all point at 3: 3 is the sole authority, 0/1/2 equal hubs
+        out = {r["node"]: r for r in hits_scores(
+            self._edges([(0, 3), (1, 3), (2, 3)]), iters=4).take_all()}
+        assert out[3]["auth"] == pytest.approx(1.0)
+        assert out[3]["hub"] == 0.0
+        for i in range(3):
+            assert out[i]["hub"] == pytest.approx(1 / np.sqrt(3))
+            assert out[i]["auth"] == 0.0
+
+    def test_matches_reference_iteration(self):
+        from peri_ray.stages.similarity import hits_scores
+
+        rng = np.random.default_rng(31)
+        n = 25
+        pairs = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, n, size=(120, 2))
+                        if a != b})
+        h, a = self._reference(pairs, n, 5)
+        got = {r["node"]: r for r in hits_scores(
+            self._edges(pairs), iters=5).take_all()}
+        for i in range(n):
+            if i not in got:  # isolated node (no edges at all)
+                assert h[i] == 0.0 and a[i] == 0.0
+                continue
+            assert got[i]["hub"] == pytest.approx(h[i], abs=1e-12)
+            assert got[i]["auth"] == pytest.approx(a[i], abs=1e-12)
+
+    def test_distributed_path_matches_driver(self):
+        from peri_ray.stages.similarity import hits_scores
+
+        rng = np.random.default_rng(37)
+        pairs = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, 20, size=(90, 2))
+                        if a != b})
+        a = {r["node"]: r for r in hits_scores(
+            self._edges(pairs), iters=3).take_all()}
+        b = {r["node"]: r for r in hits_scores(
+            self._edges(pairs), iters=3, n_buckets=8,
+            driver_threshold=0).take_all()}
+        assert set(a) == set(b)
+        for node in a:
+            assert a[node]["hub"] == pytest.approx(b[node]["hub"], abs=1e-9)
+            assert a[node]["auth"] == pytest.approx(b[node]["auth"], abs=1e-9)
+
+    def test_empty_and_bad_iters(self):
+        from peri_ray.stages.similarity import hits_scores
+
+        t = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+        assert hits_scores(rd.from_arrow(t)).count() == 0
+        with pytest.raises(ValueError, match="iters"):
+            hits_scores(self._edges([(0, 1)]), iters=0)
