@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_pagerank_hosts": q.seed_pagerank_hosts,
         "host_graph_shape": q.host_graph_shape,
         "host_hits_outlinks": q.host_hits_outlinks,
+        "fd_discovery_report": q.fd_discovery_report,
     }
 
 
@@ -3563,6 +3564,42 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
                      AS assortativity
               FROM mm, rc
+        """,
+        "fd_discovery_report": """
+            WITH f AS (
+              SELECT 'customer.c_nationkey->c_mktsegment' AS pair,
+                     CAST(c_nationkey AS VARCHAR) AS l,
+                     CAST(c_mktsegment AS VARCHAR) AS r FROM customer
+              UNION ALL
+              SELECT 'nation.n_nationkey->n_name',
+                     CAST(n_nationkey AS VARCHAR),
+                     CAST(n_name AS VARCHAR) FROM nation
+              UNION ALL
+              SELECT 'orders.o_custkey->o_orderstatus',
+                     CAST(o_custkey AS VARCHAR),
+                     CAST(o_orderstatus AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'documents.lang->source',
+                     CAST(lang AS VARCHAR),
+                     CAST(source AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'events.user_id->event_type',
+                     CAST(user_id AS VARCHAR),
+                     CAST(event_type AS VARCHAR) FROM events
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->l_linestatus',
+                     CAST(l_orderkey AS VARCHAR),
+                     CAST(l_linestatus AS VARCHAR) FROM lineitem),
+            g AS (SELECT pair, l, count(DISTINCT r) AS d
+                    FROM f WHERE l IS NOT NULL AND r IS NOT NULL
+                   GROUP BY pair, l)
+            SELECT pair,
+                   CAST(count(*) AS BIGINT) AS lhs_distinct,
+                   CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violating_lhs,
+                   sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+                     AS fd_holds
+              FROM g GROUP BY pair ORDER BY pair
         """,
     }
 

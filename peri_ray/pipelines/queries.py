@@ -5032,3 +5032,35 @@ def host_hits_outlinks(sf_dir: str):
                          "auth": t.column("auth")})
 
     return scores.map_batches(_host, batch_format="pyarrow")
+
+
+def fd_discovery_report(sf_dir: str):
+    """Functional-dependency discovery (checks.fd_report): exact
+    does-LHS-determine-RHS verdicts for six candidate column pairs
+    across the tables, all sharing one tagged distinct-pair exchange.
+    Completes the profiling trio (UCC `unique_keys_documents`, IND
+    `fk_discovery_report`).  Oracle: per-pair COUNT(DISTINCT rhs) per
+    lhs group with the identical null conventions."""
+    from peri_ray.stages.checks import fd_report
+
+    cands = [
+        ("customer.c_nationkey->c_mktsegment",
+         _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]),
+         "c_nationkey", "c_mktsegment"),
+        ("nation.n_nationkey->n_name",
+         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+         "n_nationkey", "n_name"),
+        ("orders.o_custkey->o_orderstatus",
+         _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
+         "o_custkey", "o_orderstatus"),
+        ("documents.lang->source",
+         _read(sf_dir, "documents", ["lang", "source"]),
+         "lang", "source"),
+        ("events.user_id->event_type",
+         _read(sf_dir, "events", ["user_id", "event_type"]),
+         "user_id", "event_type"),
+        ("lineitem.l_orderkey->l_linestatus",
+         _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"]),
+         "l_orderkey", "l_linestatus"),
+    ]
+    return fd_report(cands)

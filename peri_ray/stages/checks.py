@@ -822,3 +822,89 @@ def inclusion_report(pairs, n_buckets: int = 64,
         "is_inclusion": pa.array([m == 0 and d > 0
                                   for d, m in zip(nd, nm)], pa.bool_()),
     })
+
+
+def fd_report(candidates, n_buckets: int = 64,
+              batch_size: int | None = 65536) -> pa.Table:
+    """Functional-dependency discovery: for each candidate
+    ``(label, ds, lhs_col, rhs_col)``, does LHS determine RHS —
+    exactly how many distinct LHS values map to MORE than one distinct
+    RHS value?  With :func:`unique_columns_report` (candidate keys /
+    UCCs) and :func:`inclusion_report` (INDs / FKs) this completes the
+    classic data-profiling trio (the TANE/Metanome problem), feeding
+    spec inference: a holding FD becomes a dependent-field rule.
+
+    All candidates share ONE hash-bucket exchange: each input ships
+    its per-batch DISTINCT (cid, lhs, rhs) value pairs string-cast —
+    never raw rows — keyed on (cid, lhs) so every RHS of a given LHS
+    value co-locates; per bucket a vectorized double group_by counts
+    distinct RHS per LHS, and per-candidate (n_lhs, n_violating)
+    partials merge on the driver (candidates-sized).  Rows with a
+    null LHS or RHS are vacuous (the SQL GROUP BY convention this
+    twins against).
+
+    Returns (pair, lhs_distinct, violating_lhs, fd_holds) sorted by
+    label; fd_holds = violating_lhs == 0 AND lhs_distinct > 0."""
+
+    def _mk(lcol: str, rcol: str, cid: int):
+        def _p(t: pa.Table) -> pa.Table:
+            lv = t.column(lcol).combine_chunks().cast(pa.string())
+            rv = t.column(rcol).combine_chunks().cast(pa.string())
+            ok = pc.and_(pc.is_valid(lv), pc.is_valid(rv))
+            d = (pa.table({"l": lv, "r": rv}).filter(ok)
+                 .group_by(["l", "r"]).aggregate([]))
+            return pa.table({
+                "cid": pa.array(np.full(d.num_rows, cid, np.int64)),
+                "l": d.column("l"),
+                "r": d.column("r"),
+            })
+        return _p
+
+    streams = []
+    for cid, (label, ds, lcol, rcol) in enumerate(candidates):
+        streams.append(ds.map_batches(_mk(lcol, rcol, cid),
+                                      batch_format="pyarrow",
+                                      batch_size=batch_size))
+    allv = streams[0]
+    for s in streams[1:]:
+        allv = allv.union(s)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("cid").combine_chunks().cast(pa.string()),
+            t.column("l").combine_chunks(), ":")
+        return t.append_column("bucket", bucket_of(k, n_buckets))
+
+    def _counts(group: pa.Table) -> pa.Table:
+        d = (group.select(["cid", "l", "r"])
+             .group_by(["cid", "l", "r"]).aggregate([]))
+        per_l = (d.group_by(["cid", "l"])
+                 .aggregate([("r", "count")]))
+        viol = pc.greater(per_l.column("r_count"), pa.scalar(1))
+        gg = pa.table({
+            "cid": per_l.column("cid"),
+            "nl": pa.array(np.ones(per_l.num_rows, np.int64)),
+            "nv": viol.cast(pa.int64()),
+        }).group_by(["cid"]).aggregate([("nl", "sum"), ("nv", "sum")])
+        return gg.rename_columns(["cid", "nl", "nv"])
+
+    merged: dict[int, list] = {}
+    for r in (allv.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(_counts,
+                                            batch_format="pyarrow")
+              .iter_rows()):
+        s = merged.setdefault(r["cid"], [0, 0])
+        s[0] += r["nl"]
+        s[1] += r["nv"]
+
+    labels = [c[0] for c in candidates]
+    order = sorted(range(len(labels)), key=labels.__getitem__)
+    nl = [merged.get(i, [0, 0])[0] for i in order]
+    nv = [merged.get(i, [0, 0])[1] for i in order]
+    return pa.table({
+        "pair": pa.array([labels[i] for i in order], pa.string()),
+        "lhs_distinct": pa.array(nl, pa.int64()),
+        "violating_lhs": pa.array(nv, pa.int64()),
+        "fd_holds": pa.array([v == 0 and d > 0
+                              for d, v in zip(nl, nv)], pa.bool_()),
+    })

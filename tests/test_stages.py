@@ -6773,3 +6773,44 @@ class TestHITS:
         assert hits_scores(rd.from_arrow(t)).count() == 0
         with pytest.raises(ValueError, match="iters"):
             hits_scores(self._edges([(0, 1)]), iters=0)
+
+
+class TestFDReport:
+    def test_holds_and_violations(self):
+        from peri_ray.stages.checks import fd_report
+
+        t = pa.table({
+            "a": pa.array([1, 1, 2, 2, 3, None, 4], pa.int64()),
+            "b": pa.array(["x", "x", "y", "z", "w", "q", None]),
+        })
+        ds = rd.from_arrow(t).repartition(3)
+        out = fd_report([
+            ("t.a->b", ds, "a", "b"),   # a=2 maps to {y,z}: violated
+            ("t.b->a", ds, "b", "a"),   # x->1, y->2, z->2, w->3: holds
+        ], n_buckets=4).to_pylist()
+        by = {r["pair"]: r for r in out}
+        # null lhs (None,q) and null rhs (4,None) rows are vacuous
+        assert by["t.a->b"]["lhs_distinct"] == 3
+        assert by["t.a->b"]["violating_lhs"] == 1
+        assert by["t.a->b"]["fd_holds"] is False
+        assert by["t.b->a"]["lhs_distinct"] == 4
+        assert by["t.b->a"]["violating_lhs"] == 0
+        assert by["t.b->a"]["fd_holds"] is True
+
+    def test_cross_batch_lhs_not_double_counted(self):
+        from peri_ray.stages.checks import fd_report
+
+        # the same (l, r) pair repeated across many blocks must count
+        # once, and an l whose two r values live in DIFFERENT blocks
+        # must still be seen as violating (the bucket co-locates them)
+        n = 500
+        t = pa.table({
+            "a": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "b": pa.array(["r0" if (i % 7) or (i % 2 == 0) else "r1"
+                           for i in range(n)]),
+        })
+        out = fd_report([("p", rd.from_arrow(t).repartition(8),
+                          "a", "b")], n_buckets=4).to_pylist()[0]
+        assert out["lhs_distinct"] == 7
+        assert out["violating_lhs"] == 1   # only a=0 maps to {r0, r1}
+        assert out["fd_holds"] is False
