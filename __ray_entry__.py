@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph_shape": q.host_graph_shape,
         "host_hits_outlinks": q.host_hits_outlinks,
         "fd_discovery_report": q.fd_discovery_report,
+        "host_kcore_members": q.host_kcore_members,
     }
 
 

@@ -5064,3 +5064,22 @@ def fd_discovery_report(sf_dir: str):
          "l_orderkey", "l_linestatus"),
     ]
     return fd_report(cands)
+
+
+def host_kcore_members(sf_dir: str):
+    """3-core of the undirected host link graph — the link-farm /
+    mutual-promotion detector (dense subgraphs survive peeling,
+    organic link tails do not).  Rows-only (iterative deletion has no
+    monotone recursive-CTE twin); the brute-force peeling twin lives
+    in tests/test_stages.py::TestKCore."""
+    from peri_ray.stages.similarity import kcore_members
+
+    core = kcore_members(_host_graph_edges(sf_dir), k=3,
+                         src_col="id_a", dst_col="id_b")
+
+    def _host(t: pa.Table) -> pa.Table:
+        kk = t.column("node").combine_chunks().cast(pa.string())
+        return pa.table({"host": pc.binary_join_element_wise(
+            pa.scalar("h"), kk, pa.scalar(".example.com"), "")})
+
+    return core.map_batches(_host, batch_format="pyarrow")

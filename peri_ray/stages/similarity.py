@@ -2133,3 +2133,121 @@ def hits_scores(edges, iters: int = 5, src_col: str = "src",
         _state_rows(out_h, 1.0 / norm_h, "hub")
         .union(_state_rows(out_a, 1.0 / norm_a, "auth")),
         ["k"], _final, n_buckets)
+
+
+def kcore_members(edges, k: int = 3, src_col: str = "src",
+                  dst_col: str = "dst", n_buckets: int = 64,
+                  driver_threshold: int = 2_000_000,
+                  max_rounds: int = 64):
+    """k-core of the UNDIRECTED graph induced by a DISTINCT directed
+    edge Dataset: the maximal subgraph in which every node has degree
+    >= k (Seidman).  The dense-subgraph primitive for link-farm /
+    mutual-promotion detection on a web crawl: spam rings survive
+    high-k peeling, organic link tails do not.
+
+    Peeling: repeatedly delete nodes of degree < k until a fixpoint.
+    Hybrid like pagerank: an edge list under ``driver_threshold``
+    peels in one driver numpy loop.  Above it, each round is one
+    bucketed degree count over the surviving edge set plus two
+    semi-join exchanges that drop edges touching a deleted node —
+    every exchange ships int pairs only, and the edge set only
+    shrinks.  Rounds = peeling depth; a chain graph peels one layer
+    per round, so the distributed path raises past ``max_rounds``
+    (shapes that deep want the driver path or a higher bound) rather
+    than looping silently.
+
+    Directionality is ignored (degree = in + out over the deduped
+    undirected pair set); parallel directed pairs (u->v plus v->u)
+    collapse to ONE undirected edge first, so callers need not
+    pre-canonicalize.  Returns a Dataset of (node,) in the k-core
+    (possibly empty)."""
+    import ray.data as rd
+
+    from peri_ray.stages.dedup import (dedupe_pairs,
+                                       grouped_sum_via_buckets)
+    from peri_ray.stages.joins import hash_join
+
+    if k < 1:
+        raise ValueError("kcore_members: k must be >= 1")
+
+    # undirected canonical pair set: (lo, hi) deduped
+    def _undir(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).combine_chunks().cast(pa.int64())
+        d = t.column(dst_col).combine_chunks().cast(pa.int64())
+        ok = pc.invert(pc.equal(s, d))
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)), ok)
+        tt = pa.table({"s": s, "d": d}).filter(ok)
+        lt = pc.less(tt.column("s"), tt.column("d"))
+        return pa.table({
+            "id_a": pc.if_else(lt, tt.column("s"), tt.column("d")),
+            "id_b": pc.if_else(lt, tt.column("d"), tt.column("s"))})
+
+    e = dedupe_pairs(edges.map_batches(_undir,
+                                       batch_format="pyarrow"))
+    e = e.materialize()
+    n_edges = e.count()
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= driver_threshold:
+        rows = e.take_all()
+        a = np.array([r["id_a"] for r in rows], np.int64)
+        b = np.array([r["id_b"] for r in rows], np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        al = np.searchsorted(nodes, a)
+        bl = np.searchsorted(nodes, b)
+        alive_e = np.ones(len(al), bool)
+        while True:
+            deg = np.bincount(al[alive_e], minlength=len(nodes))
+            deg += np.bincount(bl[alive_e], minlength=len(nodes))
+            weak = (deg < k) & (deg > 0)
+            if not weak.any():
+                keep = deg >= k
+                return rd.from_arrow(pa.table({
+                    "node": pa.array(nodes[keep], pa.int64())}))
+            alive_e &= ~(weak[al] | weak[bl])
+
+    # ---- distributed peeling ----
+    for _ in range(max_rounds):
+        def _deg_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pa.concat_arrays(
+                    [t.column("id_a").combine_chunks(),
+                     t.column("id_b").combine_chunks()]),
+                "c": pa.array(np.ones(2 * t.num_rows, np.int64))})
+
+        deg = grouped_sum_via_buckets(
+            e.map_batches(_deg_rows, batch_format="pyarrow"),
+            ["node"], "c", n_buckets).materialize()
+
+        n_weak = deg.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.less(t.column("c"),
+                                    pa.scalar(k)).cast(pa.int64()))
+                     .as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("n")
+        if not n_weak:
+            return deg.map_batches(
+                lambda t: pa.table({"node": t.column("node")}),
+                batch_format="pyarrow")
+
+        strong = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("c").combine_chunks(),
+                pa.scalar(k))).select(["node"]),
+            batch_format="pyarrow").materialize()
+        if strong.count() == 0:
+            return rd.from_arrow(empty)
+        e = hash_join(
+            hash_join(e, strong, "id_a", "node", ["id_b"], [],
+                      how="semi", n_buckets=n_buckets),
+            strong, "id_b", "node", ["id_a"], [],
+            how="semi", n_buckets=n_buckets).materialize()
+        if e.count() == 0:
+            return rd.from_arrow(empty)
+
+    raise ValueError(
+        f"kcore_members: no fixpoint after {max_rounds} rounds "
+        f"(peeling depth exceeds max_rounds; raise it or use the "
+        f"driver path)")

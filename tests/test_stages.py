@@ -6814,3 +6814,81 @@ class TestFDReport:
         assert out["lhs_distinct"] == 7
         assert out["violating_lhs"] == 1   # only a=0 maps to {r0, r1}
         assert out["fd_holds"] is False
+
+
+class TestKCore:
+    """kcore_members (similarity.py) — hybrid peeling of the
+    undirected k-core; `host_kcore_members` wires it over hosts."""
+
+    def _edges(self, pairs):
+        t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], pa.int64())})
+        return rd.from_arrow(t).repartition(2)
+
+    @staticmethod
+    def _brute(pairs, k):
+        eset = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        while True:
+            deg = {}
+            for a, b in eset:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                return set(deg)
+            eset = {e for e in eset
+                    if e[0] not in weak and e[1] not in weak}
+
+    def test_clique_with_tail(self):
+        from peri_ray.stages.similarity import kcore_members
+
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (3, 4), (4, 5)]
+        got = {r["node"] for r in kcore_members(
+            self._edges(pairs), k=3).take_all()}
+        assert got == {0, 1, 2, 3}
+        # k=1 keeps everything; k=4 empties (max clique is 4 = deg 3)
+        assert {r["node"] for r in kcore_members(
+            self._edges(pairs), k=1).take_all()} == set(range(6))
+        assert kcore_members(self._edges(pairs), k=4).count() == 0
+
+    def test_reverse_duplicates_collapse(self):
+        from peri_ray.stages.similarity import kcore_members
+
+        # u->v and v->u are ONE undirected edge: a reciprocal pair has
+        # degree 1 each, so k=2 must be empty
+        out = kcore_members(self._edges([(7, 8), (8, 7)]), k=2)
+        assert out.count() == 0
+
+    def test_fuzz_vs_bruteforce(self):
+        from peri_ray.stages.similarity import kcore_members
+
+        rng = np.random.default_rng(41)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.integers(0, 18, size=(70, 2)) if a != b]
+        for k in (2, 3, 4):
+            got = {r["node"] for r in kcore_members(
+                self._edges(pairs), k=k).take_all()}
+            assert got == self._brute(pairs, k)
+
+    def test_distributed_path_matches_driver(self):
+        from peri_ray.stages.similarity import kcore_members
+
+        rng = np.random.default_rng(43)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.integers(0, 16, size=(60, 2)) if a != b]
+        a = {r["node"] for r in kcore_members(
+            self._edges(pairs), k=3).take_all()}
+        b = {r["node"] for r in kcore_members(
+            self._edges(pairs), k=3, n_buckets=8,
+            driver_threshold=0).take_all()}
+        assert a == b == self._brute(pairs, 3)
+
+    def test_max_rounds_raises(self):
+        from peri_ray.stages.similarity import kcore_members
+
+        # a path graph peels one layer per round from each end
+        pairs = [(i, i + 1) for i in range(12)]
+        with pytest.raises(ValueError, match="max_rounds"):
+            kcore_members(self._edges(pairs), k=2,
+                          driver_threshold=0, max_rounds=2)
