@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits_outlinks": q.host_hits_outlinks,
         "fd_discovery_report": q.fd_discovery_report,
         "host_kcore_members": q.host_kcore_members,
+        "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
     }
 
 
@@ -3601,6 +3602,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
                      AS fd_holds
               FROM g GROUP BY pair ORDER BY pair
+        """,
+        "reconcile_orders_lineitem": """
+            WITH d AS (SELECT l_orderkey AS k,
+                         CAST(sum(CAST(ROUND(l_extendedprice * 100)
+                                       AS BIGINT)) AS BIGINT) AS computed
+                       FROM lineitem GROUP BY 1)
+            SELECT o_orderkey AS okey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     AS declared_cents,
+                   COALESCE(computed, 0) AS computed_cents,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     - COALESCE(computed, 0) AS diff_cents
+              FROM orders LEFT JOIN d ON o_orderkey = d.k
+             WHERE abs(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       - COALESCE(computed, 0)) > 0
         """,
     }
 

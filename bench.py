@@ -299,6 +299,8 @@ def run_bench() -> dict:
     timed("host_hits", lambda: q.host_hits_outlinks(SF_DIR).to_pandas())
     timed("fd_discovery", lambda: q.fd_discovery_report(SF_DIR))
     timed("host_kcore", lambda: q.host_kcore_members(SF_DIR).to_pandas())
+    timed("reconcile_orders",
+          lambda: q.reconcile_orders_lineitem(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

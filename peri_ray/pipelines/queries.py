@@ -5083,3 +5083,46 @@ def host_kcore_members(sf_dir: str):
             pa.scalar("h"), kk, pa.scalar(".example.com"), "")})
 
     return core.map_batches(_host, batch_format="pyarrow")
+
+
+def reconcile_orders_lineitem(sf_dir: str):
+    """Aggregate reconciliation: per order, does SUM(lineitem
+    extendedprice) match the declared o_totalprice (exact integer
+    cents, tolerance 0)?  The invoice-vs-line-items audit; in this
+    synthetic data the totals are independent draws, so the check
+    fires on (essentially) every order — including orders with no
+    line items at all, whose computed total is 0 by the LEFT JOIN
+    convention."""
+    from peri_ray.stages.checks import reconciliation_check
+
+    def _cents(col: str, out: str):
+        def _f(t: pa.Table) -> pa.Table:
+            c = pc.round(
+                pc.multiply(t.column(col).combine_chunks(),
+                            pa.scalar(100.0)),
+                round_mode="half_towards_infinity").cast(pa.int64())
+            k = t.column(t.column_names[0])
+            return pa.table({t.column_names[0]: k, out: c})
+        return _f
+
+    detail = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice"]).map_batches(
+        _cents("l_extendedprice", "cents"), batch_format="pyarrow")
+    master = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice"]).map_batches(
+        _cents("o_totalprice", "declared"), batch_format="pyarrow")
+
+    def _dkey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["okey", "cents"])
+
+    def _mkey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["okey", "declared"])
+
+    out = reconciliation_check(
+        detail.map_batches(_dkey, batch_format="pyarrow"),
+        master.map_batches(_mkey, batch_format="pyarrow"),
+        "okey", "cents", "declared", tol_cents=0)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["okey", "declared_cents", "computed_cents", "diff_cents"]),
+        batch_format="pyarrow")

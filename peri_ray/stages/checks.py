@@ -908,3 +908,74 @@ def fd_report(candidates, n_buckets: int = 64,
         "fd_holds": pa.array([v == 0 and d > 0
                               for d, v in zip(nl, nv)], pa.bool_()),
     })
+
+
+def reconciliation_check(detail, master, key_col: str,
+                         detail_cents_col: str, master_cents_col: str,
+                         tol_cents: int = 0,
+                         n_buckets: int = 64,
+                         batch_size: int | None = 65536) -> "Any":
+    """Cross-table aggregate reconciliation: for every master row,
+    does the sum of its detail rows' amount equal the declared total
+    (within ``tol_cents``)?  The invoice-vs-line-items audit — the
+    aggregate complement of :func:`referential_check` (which verifies
+    the keys exist; this verifies the MONEY adds up).
+
+    Both sides arrive as (key, integer-cents) — callers convert money
+    with the half-away cents recipe so sums are order-independent and
+    hash-exact.  The detail side pre-aggregates per batch map-side
+    (one partial row per key per block), then ONE tagged hash-bucket
+    exchange co-locates partials with their master row; per bucket a
+    vectorized group_by + left join computes each master key's total
+    (0 when no detail rows exist — LEFT JOIN COALESCE semantics) and
+    only rows breaching the tolerance leave the bucket.  Master keys
+    must be unique (the PK side); duplicate master keys would each be
+    reported against the same detail total.
+
+    Returns a violations Dataset (key, declared_cents, computed_cents,
+    diff_cents), diff = declared - computed."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _det(t: pa.Table) -> pa.Table:
+        d = (t.select([key_col, detail_cents_col])
+             .group_by(key_col).aggregate([(detail_cents_col, "sum")]))
+        return pa.table({
+            "k": d.column(key_col).combine_chunks().cast(pa.int64()),
+            "cents": d.column(f"{detail_cents_col}_sum").cast(pa.int64()),
+            "declared": pa.nulls(d.num_rows, pa.int64()),
+        })
+
+    def _mas(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(key_col).combine_chunks().cast(pa.int64()),
+            "cents": pa.nulls(t.num_rows, pa.int64()),
+            "declared": t.column(master_cents_col).combine_chunks()
+                        .cast(pa.int64()),
+        })
+
+    tagged = (detail.map_batches(_det, batch_format="pyarrow",
+                                 batch_size=batch_size)
+              .union(master.map_batches(_mas, batch_format="pyarrow",
+                                        batch_size=batch_size)))
+
+    def _judge(bucket: pa.Table) -> pa.Table:
+        isd = pc.is_valid(bucket.column("declared").combine_chunks())
+        mas = bucket.filter(isd).select(["k", "declared"])
+        det = (bucket.filter(pc.invert(isd)).select(["k", "cents"])
+               .group_by("k").aggregate([("cents", "sum")]))
+        j = mas.join(det, keys="k", join_type="left outer")
+        computed = pc.fill_null(j.column("cents_sum"),
+                                pa.scalar(0, pa.int64()))
+        diff = pc.subtract(j.column("declared"), computed)
+        bad = pc.greater(pc.abs(diff),
+                         pa.scalar(int(tol_cents), pa.int64()))
+        out = pa.table({
+            "key": j.column("k"),
+            "declared_cents": j.column("declared"),
+            "computed_cents": computed,
+            "diff_cents": diff,
+        }).filter(bad)
+        return out
+
+    return map_groups_via_buckets(tagged, ["k"], _judge, n_buckets,
+                                  coalesce_rows=batch_size)

@@ -6892,3 +6892,46 @@ class TestKCore:
         with pytest.raises(ValueError, match="max_rounds"):
             kcore_members(self._edges(pairs), k=2,
                           driver_threshold=0, max_rounds=2)
+
+
+class TestReconciliationCheck:
+    def _run(self, det, mas, tol=0):
+        from peri_ray.stages.checks import reconciliation_check
+
+        d = rd.from_arrow(pa.table({
+            "k": pa.array([x[0] for x in det], pa.int64()),
+            "cents": pa.array([x[1] for x in det], pa.int64())}))
+        m = rd.from_arrow(pa.table({
+            "k": pa.array([x[0] for x in mas], pa.int64()),
+            "declared": pa.array([x[1] for x in mas], pa.int64())}))
+        return {r["key"]: r for r in reconciliation_check(
+            d.repartition(3), m, "k", "cents", "declared",
+            tol_cents=tol, n_buckets=4).take_all()}
+
+    def test_matching_orders_pass(self):
+        # order 1 sums exactly; order 2 off by 5; order 3 has NO
+        # detail rows (computed 0); detail 4 has no master (ignored)
+        out = self._run(
+            det=[(1, 100), (1, 250), (2, 40), (4, 7)],
+            mas=[(1, 350), (2, 45), (3, 10)])
+        assert set(out) == {2, 3}
+        assert out[2]["computed_cents"] == 40
+        assert out[2]["diff_cents"] == 5
+        assert out[3]["declared_cents"] == 10
+        assert out[3]["computed_cents"] == 0
+        assert out[3]["diff_cents"] == 10
+
+    def test_tolerance_absorbs_small_diffs(self):
+        out = self._run(det=[(1, 95), (2, 80)],
+                        mas=[(1, 100), (2, 95)], tol=5)
+        assert set(out) == {2}
+        assert out[2]["diff_cents"] == 15
+
+    def test_cross_block_detail_sums(self):
+        # the same key's detail rows spread over many blocks must sum
+        # once through the bucket exchange, not per block
+        det = [(7, 1)] * 200
+        out = self._run(det=det, mas=[(7, 200)])
+        assert out == {}
+        out = self._run(det=det, mas=[(7, 199)])
+        assert out[7]["diff_cents"] == -1
