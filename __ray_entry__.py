@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery_report": q.fd_discovery_report,
         "host_kcore_members": q.host_kcore_members,
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
+        "contingency_lang_source": q.contingency_lang_source,
     }
 
 
@@ -3617,6 +3618,25 @@ def oracle_sql() -> dict[str, str]:
               FROM orders LEFT JOIN d ON o_orderkey = d.k
              WHERE abs(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                        - COALESCE(computed, 0)) > 0
+        """,
+        "contingency_lang_source": """
+            WITH f AS (SELECT CAST(lang AS VARCHAR) AS a,
+                              CAST(source AS VARCHAR) AS b
+                         FROM documents
+                        WHERE lang IS NOT NULL AND source IS NOT NULL),
+            o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+                    FROM f GROUP BY a, b),
+            ra AS (SELECT a, CAST(count(*) AS BIGINT) AS rt
+                     FROM f GROUP BY a),
+            cb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+                     FROM f GROUP BY b),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+            SELECT ra.a AS val_a, cb.b AS val_b,
+                   COALESCE(o.c, 0) AS observed,
+                   ra.rt * cb.ct AS expected_num,
+                   nn.n AS n_total
+              FROM ra CROSS JOIN cb CROSS JOIN nn
+              LEFT JOIN o ON o.a = ra.a AND o.b = cb.b
         """,
     }
 

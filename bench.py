@@ -301,6 +301,8 @@ def run_bench() -> dict:
     timed("host_kcore", lambda: q.host_kcore_members(SF_DIR).to_pandas())
     timed("reconcile_orders",
           lambda: q.reconcile_orders_lineitem(SF_DIR).to_pandas())
+    timed("contingency_lang_source",
+          lambda: q.contingency_lang_source(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5126,3 +5126,15 @@ def reconcile_orders_lineitem(sf_dir: str):
         lambda t: t.rename_columns(
             ["okey", "declared_cents", "computed_cents", "diff_cents"]),
         batch_format="pyarrow")
+
+
+def contingency_lang_source(sf_dir: str):
+    """Exact lang × source contingency table with integer chi-square
+    ingredients (stats.contingency_profile) — is document language
+    associated with crawl source?  The full marginal cross product
+    rides the result (observed-0 cells carry test signal); floats
+    never enter the hashed table."""
+    from peri_ray.stages.stats import contingency_profile
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return contingency_profile(ds, "lang", "source")

@@ -2085,3 +2085,101 @@ def global_rank(ds, key: str, id_col: str, n_ranges: int = 64,
     return (ds.map_batches(_tag, batch_format="pyarrow",
                            batch_size=batch_size)
             .groupby("__range").map_groups(_rank, batch_format="pyarrow"))
+
+
+def contingency_profile(ds, col_a: str, col_b: str,
+                        max_cells: int = 10_000,
+                        batch_size: int | None = 65536) -> pa.Table:
+    """Exact contingency table between two categorical columns with
+    the integer ingredients of the chi-square independence test — the
+    are-these-columns-associated profiling audit (lang × source,
+    event_type × segment).  Emits the FULL marginal cross product
+    (observed 0 where a combination never co-occurs — those cells
+    carry signal for the test), each cell as exact integers:
+    ``expected_num = row_total * col_total`` so expected =
+    expected_num / n without any floats in the hashed result; a SQL
+    twin is bit-exact by construction.  Rows with a null in either
+    column are vacuous (the SQL WHERE convention).
+
+    Shape: per-batch (a, b, count) partials — bounded by the block's
+    observed cell count — merge on the driver into a domain-bounded
+    dict; raises past ``max_cells`` output cells (profiling columns
+    are enum-like; row-count-cardinality keys belong in
+    grouped_distinct_count / dedupe_pairs, not here).
+
+    Use :func:`chi_square_stat` on the result for the scalar verdict.
+    Returns (val_a, val_b, observed, expected_num, n_total) sorted by
+    (val_a, val_b)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).combine_chunks().cast(pa.string())
+        b = t.column(col_b).combine_chunks().cast(pa.string())
+        tt = (pa.table({"a": a, "b": b})
+              .filter(pc.and_(pc.is_valid(a), pc.is_valid(b))))
+        g = tt.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "c"])
+
+    cells: dict[tuple, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        k = (r["a"], r["b"])
+        cells[k] = cells.get(k, 0) + r["c"]
+
+    a_vals = sorted({k[0] for k in cells})
+    b_vals = sorted({k[1] for k in cells})
+    if len(a_vals) * len(b_vals) > max_cells:
+        raise ValueError(
+            f"contingency_profile: {len(a_vals)}x{len(b_vals)} cells "
+            f"exceed max_cells={max_cells}; these columns are not "
+            f"enum-like")
+    rt = {a: 0 for a in a_vals}
+    ct = {b: 0 for b in b_vals}
+    n = 0
+    for (a, b), c in cells.items():
+        rt[a] += c
+        ct[b] += c
+        n += c
+    rows = {"val_a": [], "val_b": [], "observed": [],
+            "expected_num": [], "n_total": []}
+    for a in a_vals:
+        for b in b_vals:
+            rows["val_a"].append(a)
+            rows["val_b"].append(b)
+            rows["observed"].append(cells.get((a, b), 0))
+            rows["expected_num"].append(rt[a] * ct[b])
+            rows["n_total"].append(n)
+    return pa.table({
+        "val_a": pa.array(rows["val_a"], pa.string()),
+        "val_b": pa.array(rows["val_b"], pa.string()),
+        "observed": pa.array(rows["observed"], pa.int64()),
+        "expected_num": pa.array(rows["expected_num"], pa.int64()),
+        "n_total": pa.array(rows["n_total"], pa.int64()),
+    })
+
+
+def chi_square_stat(cells: pa.Table) -> dict:
+    """Chi-square statistic + Cramér's V from a
+    :func:`contingency_profile` table (driver-side scalar fold; the
+    hashed integers live in the table, the transcendental-free floats
+    here are for the verdict).  chi2 = Σ (o - e)² / e with
+    e = expected_num / n, summed in the table's (val_a, val_b) sort
+    order so the value is reproducible."""
+    import math
+
+    o = cells.column("observed").to_numpy(zero_copy_only=False)
+    en = cells.column("expected_num").to_numpy(zero_copy_only=False)
+    if cells.num_rows == 0:
+        return {"chi2": None, "cramers_v": None, "dof": 0, "n": 0}
+    n = int(cells.column("n_total")[0].as_py())
+    chi2 = 0.0
+    for oi, eni in zip(o.tolist(), en.tolist()):
+        e = float(eni) / float(n)
+        d = float(oi) - e
+        chi2 += d * d / e
+    ka = len(set(cells.column("val_a").to_pylist()))
+    kb = len(set(cells.column("val_b").to_pylist()))
+    dof = (ka - 1) * (kb - 1)
+    v = None
+    if n > 0 and min(ka, kb) > 1:
+        v = math.sqrt(chi2 / (float(n) * float(min(ka, kb) - 1)))
+    return {"chi2": chi2, "cramers_v": v, "dof": dof, "n": n}

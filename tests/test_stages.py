@@ -6935,3 +6935,54 @@ class TestReconciliationCheck:
         assert out == {}
         out = self._run(det=det, mas=[(7, 199)])
         assert out[7]["diff_cents"] == -1
+
+
+class TestContingency:
+    def test_counts_and_expected(self):
+        from peri_ray.stages.stats import (chi_square_stat,
+                                           contingency_profile)
+
+        t = pa.table({
+            "x": pa.array(["a", "a", "a", "b", "b", None, "a"]),
+            "y": pa.array(["u", "u", "v", "u", "v", "u", None]),
+        })
+        out = contingency_profile(rd.from_arrow(t).repartition(3),
+                                  "x", "y")
+        cells = {(r["val_a"], r["val_b"]): r for r in out.to_pylist()}
+        # valid rows: (a,u)x2 (a,v) (b,u) (b,v) -> n=5
+        assert len(cells) == 4
+        assert cells[("a", "u")]["observed"] == 2
+        assert cells[("a", "v")]["observed"] == 1
+        assert cells[("b", "u")]["observed"] == 1
+        assert cells[("b", "v")]["observed"] == 1
+        # marginals: rt(a)=3 rt(b)=2 ct(u)=3 ct(v)=2
+        assert cells[("a", "u")]["expected_num"] == 9
+        assert cells[("b", "v")]["expected_num"] == 4
+        assert all(r["n_total"] == 5 for r in cells.values())
+
+        st = chi_square_stat(out)
+        # chi2 vs hand computation: e = [1.8, 1.2, 1.2, 0.8]
+        want = ((2 - 1.8) ** 2 / 1.8 + (1 - 1.2) ** 2 / 1.2
+                + (1 - 1.2) ** 2 / 1.2 + (1 - 0.8) ** 2 / 0.8)
+        assert st["chi2"] == pytest.approx(want)
+        assert st["dof"] == 1
+        assert st["n"] == 5
+
+    def test_zero_cell_in_cross_product(self):
+        from peri_ray.stages.stats import contingency_profile
+
+        t = pa.table({"x": pa.array(["a", "b"]),
+                      "y": pa.array(["u", "v"])})
+        out = contingency_profile(rd.from_arrow(t), "x", "y").to_pylist()
+        assert len(out) == 4  # (a,v) and (b,u) present with observed 0
+        zeros = [r for r in out if r["observed"] == 0]
+        assert {(r["val_a"], r["val_b"]) for r in zeros} == {("a", "v"),
+                                                             ("b", "u")}
+
+    def test_max_cells_guard(self):
+        from peri_ray.stages.stats import contingency_profile
+
+        t = pa.table({"x": pa.array([str(i) for i in range(40)]),
+                      "y": pa.array([str(i) for i in range(40)])})
+        with pytest.raises(ValueError, match="max_cells"):
+            contingency_profile(rd.from_arrow(t), "x", "y", max_cells=100)
