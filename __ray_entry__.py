@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore_members": q.host_kcore_members,
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
         "contingency_lang_source": q.contingency_lang_source,
+        "corr_matrix_lineitem": q.corr_matrix_lineitem,
     }
 
 
@@ -3637,6 +3638,110 @@ def oracle_sql() -> dict[str, str]:
                    nn.n AS n_total
               FROM ra CROSS JOIN cb CROSS JOIN nn
               LEFT JOIN o ON o.a = ra.a AND o.b = cb.b
+        """,
+        "corr_matrix_lineitem": """
+            WITH f AS (
+              SELECT CAST(ROUND(l_quantity * 1) AS BIGINT) AS x0,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x1,
+                     CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+                     CAST(ROUND(l_tax * 100) AS BIGINT) AS x3
+                FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x0) AS BIGINT) AS s0,
+                         CAST(sum(x1) AS BIGINT) AS s1,
+                         CAST(sum(x2) AS BIGINT) AS s2,
+                         CAST(sum(x3) AS BIGINT) AS s3,
+                         CAST(sum(x0*x0) AS HUGEINT) AS p00,
+                         CAST(sum(x0*x1) AS HUGEINT) AS p01,
+                         CAST(sum(x0*x2) AS HUGEINT) AS p02,
+                         CAST(sum(x0*x3) AS HUGEINT) AS p03,
+                         CAST(sum(x1*x1) AS HUGEINT) AS p11,
+                         CAST(sum(x1*x2) AS HUGEINT) AS p12,
+                         CAST(sum(x1*x3) AS HUGEINT) AS p13,
+                         CAST(sum(x2*x2) AS HUGEINT) AS p22,
+                         CAST(sum(x2*x3) AS HUGEINT) AS p23,
+                         CAST(sum(x3*x3) AS HUGEINT) AS p33
+                    FROM f)
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p01 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                             - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
+            UNION ALL
+            SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p02 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE)*CAST(s2 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                             - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
+            UNION ALL
+            SELECT 'l_quantity' AS col_x, 'l_tax' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                     - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p03 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE)*CAST(s3 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE)
+                             - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                               - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p12 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_x, 'l_tax' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                     - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p13 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                               - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
+            UNION ALL
+            SELECT 'l_discount' AS col_x, 'l_tax' AS col_y, n, CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                     - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE)*CAST(p23 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE)*CAST(s3 AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE)
+                             - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
+                               - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)))
+                ELSE NULL END AS corr FROM m
         """,
     }
 

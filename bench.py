@@ -303,6 +303,8 @@ def run_bench() -> dict:
           lambda: q.reconcile_orders_lineitem(SF_DIR).to_pandas())
     timed("contingency_lang_source",
           lambda: q.contingency_lang_source(SF_DIR))
+    timed("corr_matrix_lineitem",
+          lambda: q.corr_matrix_lineitem(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

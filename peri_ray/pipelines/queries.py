@@ -5138,3 +5138,16 @@ def contingency_lang_source(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
     return contingency_profile(ds, "lang", "source")
+
+
+def corr_matrix_lineitem(sf_dir: str):
+    """Pairwise Pearson correlations across four lineitem measures
+    (quantity in units, price in cents, discount/tax in basis-ish
+    hundredths) via stats.corr_matrix — exact integer moments, so the
+    doubles hash-match the SQL twin with no rounding fudge."""
+    from peri_ray.stages.stats import corr_matrix
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return corr_matrix(ds, [("l_quantity", 1), ("l_extendedprice", 100),
+                            ("l_discount", 100), ("l_tax", 100)])

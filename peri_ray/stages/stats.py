@@ -2183,3 +2183,87 @@ def chi_square_stat(cells: pa.Table) -> dict:
     if n > 0 and min(ka, kb) > 1:
         v = math.sqrt(chi2 / (float(n) * float(min(ka, kb) - 1)))
     return {"chi2": chi2, "cramers_v": v, "dof": dof, "n": n}
+
+
+def corr_matrix(ds, cols_scales, batch_size: int | None = 16384) -> pa.Table:
+    """Exact-integer Pearson correlation matrix over numeric columns —
+    the multicollinearity / redundant-feature profiling audit.  Each
+    column converts to integer units per row (ROUND(x*scale)
+    half-away, the money-cents recipe), so every moment (n, Σxᵢ,
+    Σxᵢxⱼ) is an exact integer regardless of partial-combine layout,
+    and the final Pearson is computed with the cast-each-operand-
+    to-DOUBLE expression a SQL twin writes — hash-exact with NO
+    rounding fudge (grouped_corr's round_to exists precisely because
+    its float partials are layout-sensitive; integer moments aren't).
+
+    Rows with a null in ANY selected column are excluded (listwise
+    deletion — document the difference from SQL corr's pairwise
+    convention in the twin's WHERE).  One streaming pass, no shuffle:
+    per-batch int64 moment partials (p sums + p(p+1)/2 products)
+    merge on the driver as Python ints.  int64 partials bound the
+    safe scale at batch_size * max|xᵢxⱼ| < 2⁶³ — size ``batch_size``
+    to the column magnitudes.
+
+    ``cols_scales``: list of (column, scale) pairs.  Returns
+    (col_x, col_y, n, corr) for each i<j pair; corr null when either
+    side has zero variance."""
+    import math
+
+    names = [c for c, _ in cols_scales]
+    p = len(names)
+    if p < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    prods = [(i, j) for i in range(p) for j in range(i, p)]
+
+    def _part(t: pa.Table) -> pa.Table:
+        cols = [t.column(c).combine_chunks().cast(pa.float64())
+                for c, _ in cols_scales]
+        ok = pc.is_valid(cols[0])
+        for c in cols[1:]:
+            ok = pc.and_(ok, pc.is_valid(c))
+        tt = pa.table({str(i): c for i, c in enumerate(cols)}).filter(ok)
+        ints = []
+        for i, (_, s) in enumerate(cols_scales):
+            x = pc.round(pc.multiply(tt.column(str(i)),
+                                     pa.scalar(float(s))),
+                         round_mode="half_towards_infinity") \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ints.append(x.astype(np.int64))
+        out = {"n": pa.array([tt.num_rows], pa.int64())}
+        for i in range(p):
+            out[f"s{i}"] = pa.array([int(ints[i].sum())], pa.int64())
+        for i, j in prods:
+            out[f"p{i}_{j}"] = pa.array(
+                [int((ints[i] * ints[j]).sum())], pa.int64())
+        return pa.table(out)
+
+    n = 0
+    s = [0] * p
+    pr = {ij: 0 for ij in prods}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        n += r["n"]
+        for i in range(p):
+            s[i] += r[f"s{i}"]
+        for i, j in prods:
+            pr[(i, j)] += r[f"p{i}_{j}"]
+
+    rows = {"col_x": [], "col_y": [], "n": [], "corr": []}
+    for i in range(p):
+        for j in range(i + 1, p):
+            num = float(n) * float(pr[(i, j)]) - float(s[i]) * float(s[j])
+            dx = float(n) * float(pr[(i, i)]) - float(s[i]) * float(s[i])
+            dy = float(n) * float(pr[(j, j)]) - float(s[j]) * float(s[j])
+            c = None
+            if n >= 2 and dx > 0 and dy > 0:
+                c = num / (math.sqrt(dx) * math.sqrt(dy))
+            rows["col_x"].append(names[i])
+            rows["col_y"].append(names[j])
+            rows["n"].append(n)
+            rows["corr"].append(c)
+    return pa.table({
+        "col_x": pa.array(rows["col_x"], pa.string()),
+        "col_y": pa.array(rows["col_y"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "corr": pa.array(rows["corr"], pa.float64()),
+    })

@@ -6986,3 +6986,57 @@ class TestContingency:
                       "y": pa.array([str(i) for i in range(40)])})
         with pytest.raises(ValueError, match="max_cells"):
             contingency_profile(rd.from_arrow(t), "x", "y", max_cells=100)
+
+
+class TestCorrMatrix:
+    def test_matches_numpy(self):
+        from peri_ray.stages.stats import corr_matrix
+
+        rng = np.random.default_rng(47)
+        n = 3000
+        x = rng.normal(10, 2, n).round(2)
+        y = (2 * x + rng.normal(0, 1, n)).round(2)
+        z = rng.normal(0, 1, n).round(2)
+        t = pa.table({"x": pa.array(x), "y": pa.array(y),
+                      "z": pa.array(z)})
+        out = {(r["col_x"], r["col_y"]): r for r in corr_matrix(
+            rd.from_arrow(t).repartition(6),
+            [("x", 100), ("y", 100), ("z", 100)]).to_pylist()}
+        xi = np.round(x * 100)
+        yi = np.round(y * 100)
+        zi = np.round(z * 100)
+        assert out[("x", "y")]["corr"] == pytest.approx(
+            np.corrcoef(xi, yi)[0, 1], abs=1e-12)
+        assert out[("x", "z")]["corr"] == pytest.approx(
+            np.corrcoef(xi, zi)[0, 1], abs=1e-12)
+        assert out[("x", "y")]["corr"] > 0.9
+        assert abs(out[("x", "z")]["corr"]) < 0.1
+        assert all(r["n"] == n for r in out.values())
+
+    def test_layout_independent_exact(self):
+        from peri_ray.stages.stats import corr_matrix
+
+        rng = np.random.default_rng(53)
+        x = rng.normal(0, 3, 999).round(3)
+        y = rng.normal(0, 3, 999).round(3)
+        t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+        a = corr_matrix(rd.from_arrow(t).repartition(1),
+                        [("x", 1000), ("y", 1000)]).to_pylist()[0]
+        b = corr_matrix(rd.from_arrow(t).repartition(13),
+                        [("x", 1000), ("y", 1000)],
+                        batch_size=37).to_pylist()[0]
+        # integer moments: bit-identical across any block layout
+        assert a["corr"] == b["corr"]
+
+    def test_nulls_listwise_and_degenerate(self):
+        from peri_ray.stages.stats import corr_matrix
+
+        t = pa.table({
+            "x": pa.array([1.0, 2.0, None, 4.0]),
+            "y": pa.array([1.0, 1.0, 1.0, 1.0]),  # zero variance
+        })
+        out = corr_matrix(rd.from_arrow(t), [("x", 1), ("y", 1)]).to_pylist()[0]
+        assert out["n"] == 3
+        assert out["corr"] is None
+        with pytest.raises(ValueError, match="two columns"):
+            corr_matrix(rd.from_arrow(t), [("x", 1)])
