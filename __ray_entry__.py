@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
         "contingency_lang_source": q.contingency_lang_source,
         "corr_matrix_lineitem": q.corr_matrix_lineitem,
+        "url_pattern_profile": q.url_pattern_profile,
     }
 
 
@@ -3742,6 +3743,17 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE)
                                - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)))
                 ELSE NULL END AS corr FROM m
+        """,
+        "url_pattern_profile": f"""
+            WITH {_WEB_CANON_CTE}
+            SELECT 'url' AS column,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     url, '[A-Z]+', 'A', 'g'),
+                     '[a-z]+', 'a', 'g'),
+                     '[0-9]+', '9', 'g') AS pattern,
+                   CAST(count(*) AS BIGINT) AS cnt
+              FROM raw WHERE url IS NOT NULL
+             GROUP BY 2
         """,
     }
 

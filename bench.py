@@ -305,6 +305,8 @@ def run_bench() -> dict:
           lambda: q.contingency_lang_source(SF_DIR))
     timed("corr_matrix_lineitem",
           lambda: q.corr_matrix_lineitem(SF_DIR))
+    timed("url_pattern_profile",
+          lambda: q.url_pattern_profile(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

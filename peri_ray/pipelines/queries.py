@@ -5151,3 +5151,16 @@ def corr_matrix_lineitem(sf_dir: str):
                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     return corr_matrix(ds, [("l_quantity", 1), ("l_extendedprice", 100),
                             ("l_discount", 100), ("l_tax", 100)])
+
+
+def url_pattern_profile(sf_dir: str):
+    """Format-pattern discovery over the raw (pre-canonicalization)
+    url column — the page-format census: scheme/host-case/port/query/
+    fragment variants each collapse to a distinct signature with an
+    exact count.  Oracle rebuilds the urls arithmetically and applies
+    the identical RE2 class-run replacements."""
+    from peri_ray.stages.checks import pattern_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    return pattern_profile(ds, "url")

@@ -979,3 +979,52 @@ def reconciliation_check(detail, master, key_col: str,
 
     return map_groups_via_buckets(tagged, ["k"], _judge, n_buckets,
                                   coalesce_rows=batch_size)
+
+
+def pattern_profile(ds, column: str, max_patterns: int = 10_000,
+                    batch_size: int | None = 65536) -> pa.Table:
+    """Format-pattern discovery for a string column (the Potter's
+    Wheel structure-extraction audit): each value collapses to a
+    pattern signature — uppercase runs → ``A``, lowercase runs →
+    ``a``, digit runs → ``9``, everything else (punctuation,
+    separators) kept verbatim — and the profile is the exact count
+    per signature.  ``http://www.h7.example.com:80/p/1?b=3&a=1``
+    becomes ``a://a.a9.a.a:9/a/9?a=9&a=9``; a column whose values
+    split over many signatures has a format problem, and a NEW
+    signature between snapshots is a drift incident.
+
+    The three replacements are anchored RE2 class runs applied in a
+    fixed order on both sides (Arrow replace_substring_regex and SQL
+    regexp_replace 'g' agree on them), so a DuckDB twin is exact.
+    Nulls are skipped (profile the null rate with column_stats).
+
+    Shape: per-batch (pattern, count) partials merge on the driver —
+    bounded by the signature domain, which is format-small by
+    construction; raises past ``max_patterns`` (a column where every
+    value has a unique SIGNATURE is free text, not a formatted
+    field)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.string()).drop_null()
+        sig = pc.replace_substring_regex(v, "[A-Z]+", "A")
+        sig = pc.replace_substring_regex(sig, "[a-z]+", "a")
+        sig = pc.replace_substring_regex(sig, "[0-9]+", "9")
+        g = (pa.table({"pattern": sig}).group_by("pattern")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["pattern", "cnt"])
+
+    merged: dict[str, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        merged[r["pattern"]] = merged.get(r["pattern"], 0) + r["cnt"]
+        if len(merged) > max_patterns:
+            raise ValueError(
+                f"pattern_profile: over {max_patterns} distinct "
+                f"signatures in {column!r}; this is free text, not a "
+                f"formatted field")
+    pats = sorted(merged)
+    return pa.table({
+        "column": pa.array([column] * len(pats), pa.string()),
+        "pattern": pa.array(pats, pa.string()),
+        "cnt": pa.array([merged[p] for p in pats], pa.int64()),
+    })

@@ -7040,3 +7040,26 @@ class TestCorrMatrix:
         assert out["corr"] is None
         with pytest.raises(ValueError, match="two columns"):
             corr_matrix(rd.from_arrow(t), [("x", 1)])
+
+
+class TestPatternProfile:
+    def test_signatures(self):
+        from peri_ray.stages.checks import pattern_profile
+
+        t = pa.table({"v": pa.array([
+            "Customer#000000001", "Customer#000000002", "ACME-42",
+            "acme-42", None, "a1B2", "  x",
+        ])})
+        out = pattern_profile(rd.from_arrow(t).repartition(3), "v")
+        got = {r["pattern"]: r["cnt"] for r in out.to_pylist()}
+        assert got == {"Aa#9": 2, "A-9": 1, "a-9": 1, "a9A9": 1,
+                       "  a": 1}
+        assert all(r["column"] == "v" for r in out.to_pylist())
+
+    def test_max_patterns_guard(self):
+        from peri_ray.stages.checks import pattern_profile
+
+        # unique punctuation layouts -> unique signatures
+        t = pa.table({"v": pa.array(["#" * i for i in range(1, 60)])})
+        with pytest.raises(ValueError, match="free text"):
+            pattern_profile(rd.from_arrow(t), "v", max_patterns=10)
