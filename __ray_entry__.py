@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contingency_lang_source": q.contingency_lang_source,
         "corr_matrix_lineitem": q.corr_matrix_lineitem,
         "url_pattern_profile": q.url_pattern_profile,
+        "seed_link_distance_hosts": q.seed_link_distance_hosts,
     }
 
 
@@ -3754,6 +3755,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt
               FROM raw WHERE url IS NOT NULL
              GROUP BY 2
+        """,
+        "seed_link_distance_hosts": f"""
+            WITH RECURSIVE {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> (doc_id*7 + j + 1) % 50)) AS d
+                FROM documents),
+            e0 AS (SELECT CAST(regexp_extract(c.host, '^h(\\d+)\\.', 1)
+                               AS BIGINT) AS s,
+                          tg.d AS d
+                     FROM tg JOIN canon c USING (doc_id)),
+            e AS (SELECT DISTINCT s, d FROM e0
+                   WHERE s <> d AND s % 7 <> 0),
+            reach(node, hops) AS (
+                SELECT CAST(x AS BIGINT), CAST(0 AS BIGINT)
+                  FROM (VALUES (1), (8), (22)) t(x)
+              UNION
+                SELECT e.d, r.hops + 1
+                  FROM reach r JOIN e ON e.s = r.node
+                 WHERE r.hops < 6)
+            SELECT 'h' || CAST(node AS VARCHAR) || '.example.com'
+                     AS host,
+                   CAST(min(hops) AS BIGINT) AS hops
+              FROM reach GROUP BY node
         """,
     }
 

@@ -307,6 +307,8 @@ def run_bench() -> dict:
           lambda: q.corr_matrix_lineitem(SF_DIR))
     timed("url_pattern_profile",
           lambda: q.url_pattern_profile(SF_DIR))
+    timed("seed_link_distance",
+          lambda: q.seed_link_distance_hosts(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

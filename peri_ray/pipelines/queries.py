@@ -5164,3 +5164,24 @@ def url_pattern_profile(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
     return pattern_profile(ds, "url")
+
+
+def seed_link_distance_hosts(sf_dir: str):
+    """Minimum link distance from the trusted seed hosts (the same
+    seeds as seed_pagerank_hosts) over the fixture outlink graph —
+    the discrete TrustRank-style curation signal.  Oracle: recursive
+    CTE BFS (UNION-deduped, hop-bounded) over the arithmetically
+    rebuilt edge set."""
+    from peri_ray.stages.similarity import seed_link_distance
+
+    dist = seed_link_distance(_host_graph_edges(sf_dir),
+                              seeds=[1, 8, 22], max_hops=6,
+                              src_col="id_a", dst_col="id_b")
+
+    def _host(t: pa.Table) -> pa.Table:
+        k = t.column("node").combine_chunks().cast(pa.string())
+        return pa.table({"host": pc.binary_join_element_wise(
+            pa.scalar("h"), k, pa.scalar(".example.com"), ""),
+            "hops": t.column("hops")})
+
+    return dist.map_batches(_host, batch_format="pyarrow")

@@ -2251,3 +2251,144 @@ def kcore_members(edges, k: int = 3, src_col: str = "src",
         f"kcore_members: no fixpoint after {max_rounds} rounds "
         f"(peeling depth exceeds max_rounds; raise it or use the "
         f"driver path)")
+
+
+def seed_link_distance(edges, seeds, max_hops: int = 8,
+                       src_col: str = "src", dst_col: str = "dst",
+                       n_buckets: int = 64,
+                       driver_threshold: int = 2_000_000):
+    """Multi-source BFS link distance: for every node reachable from a
+    trusted seed set within ``max_hops`` directed hops, the MINIMUM
+    hop count.  The TrustRank-adjacent curation signal — pages far
+    from every trusted seed are crawl-frontier noise — and the
+    discrete complement of seeded PageRank (hops, not mass).
+
+    Hybrid like pagerank: edge lists under ``driver_threshold``
+    resolve in a driver numpy BFS.  Above it, round r is ONE bucketed
+    exchange keyed src: the hop-(r-1) frontier rows co-locate with
+    each source's out-edges, emitting candidate (node, r) rows; a
+    second exchange keyed node keeps the minimum label and drops
+    nodes already settled (label < r), so each round ships
+    frontier-adjacent int rows only and settled nodes never travel
+    again.  Rounds = min(eccentricity, max_hops) — web graphs are
+    shallow from good seeds; unreached nodes within the bound simply
+    don't appear (callers treat absence as "beyond max_hops").
+
+    Seeds are side-input scale and must appear in the graph (a typo'd
+    seed raises).  Returns a Dataset of (node, hops), seeds at 0."""
+    import ray.data as rd
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    seed_list = sorted({int(x) for x in seeds})
+    if not seed_list:
+        raise ValueError("seed_link_distance: seeds must be non-empty")
+    if max_hops < 0:
+        raise ValueError("seed_link_distance: max_hops must be >= 0")
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).combine_chunks().cast(pa.int64())
+        d = t.column(dst_col).combine_chunks().cast(pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        return pa.table({"s": s, "d": d}).filter(ok)
+
+    e = edges.map_batches(_canon, batch_format="pyarrow").materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("seed_link_distance: empty edge list")
+
+    if n_edges <= driver_threshold:
+        rows = e.take_all()
+        src = np.array([r["s"] for r in rows], np.int64)
+        dst = np.array([r["d"] for r in rows], np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        sarr = np.asarray(seed_list, np.int64)
+        pos = np.searchsorted(nodes, sarr)
+        if ((pos >= n).any()
+                or (nodes[np.minimum(pos, n - 1)] != sarr).any()):
+            raise ValueError(
+                "seed_link_distance: seed node(s) not in the edge list")
+        sl = np.searchsorted(nodes, src)
+        dl = np.searchsorted(nodes, dst)
+        dist = np.full(n, -1, np.int64)
+        dist[pos] = 0
+        frontier = pos
+        for hop in range(1, max_hops + 1):
+            m = np.isin(sl, frontier)
+            cand = np.unique(dl[m])
+            cand = cand[dist[cand] < 0]
+            if len(cand) == 0:
+                break
+            dist[cand] = hop
+            frontier = cand
+        keep = dist >= 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[keep], pa.int64()),
+            "hops": pa.array(dist[keep], pa.int64())}))
+
+    # ---- distributed BFS ----
+    seed_arr = pa.array(seed_list, pa.int64())
+
+    def _seed_hits(t: pa.Table, sa=seed_arr) -> pa.Table:
+        both = pa.concat_arrays([t.column("s").combine_chunks(),
+                                 t.column("d").combine_chunks()])
+        return pa.table({"v": pc.unique(both.filter(
+            pc.is_in(both, value_set=sa)))})
+
+    seen: set = set()
+    for r in e.map_batches(_seed_hits,
+                           batch_format="pyarrow").iter_rows():
+        seen.add(r["v"])
+    if len(seen) != len(seed_list):
+        raise ValueError(
+            "seed_link_distance: seed node(s) not in the edge list")
+
+    # settled labels so far (node, hops); frontier = nodes settled at
+    # the previous hop
+    settled = rd.from_arrow(pa.table({
+        "node": seed_arr, "hops": pa.array([0] * len(seed_list),
+                                           pa.int64())}))
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        # exchange 1 keyed s: frontier rows meet out-edges, emit
+        # candidate (node=dst, hop)
+        def _tag_f(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("node"),
+                             "d": pa.nulls(t.num_rows, pa.int64())})
+
+        def _expand(g: pa.Table, h=hop) -> pa.Table:
+            isf = pc.is_null(g.column("d").combine_chunks())
+            fs = g.filter(isf).select(["s"])
+            if fs.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "hops": pa.array([], pa.int64())})
+            ee = g.filter(pc.invert(isf))
+            hit = ee.filter(pc.is_in(
+                ee.column("s").combine_chunks(),
+                value_set=pc.unique(fs.column("s").combine_chunks())))
+            cand = pc.unique(hit.column("d").combine_chunks())
+            return pa.table({
+                "node": cand,
+                "hops": pa.array(np.full(len(cand), h, np.int64))})
+
+        cands = map_groups_via_buckets(
+            frontier.map_batches(_tag_f, batch_format="pyarrow")
+            .union(e), ["s"], _expand, n_buckets)
+
+        # exchange 2 keyed node: drop candidates already settled, keep
+        # min label
+        def _settle(g: pa.Table, h=hop) -> pa.Table:
+            m = (g.group_by("node").aggregate([("hops", "min")])
+                 .rename_columns(["node", "hops"]))
+            return m.filter(pc.equal(m.column("hops"),
+                                     pa.scalar(h, pa.int64())))
+
+        new_frontier = map_groups_via_buckets(
+            cands.union(settled), ["node"], _settle,
+            n_buckets).materialize()
+        if new_frontier.count() == 0:
+            break
+        settled = settled.union(new_frontier).materialize()
+        frontier = new_frontier
+    return settled

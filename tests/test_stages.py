@@ -7063,3 +7063,73 @@ class TestPatternProfile:
         t = pa.table({"v": pa.array(["#" * i for i in range(1, 60)])})
         with pytest.raises(ValueError, match="free text"):
             pattern_profile(rd.from_arrow(t), "v", max_patterns=10)
+
+
+class TestSeedLinkDistance:
+    """seed_link_distance (similarity.py) — hybrid multi-source BFS;
+    `seed_link_distance_hosts` wires it with a recursive-CTE oracle."""
+
+    def _edges(self, pairs):
+        t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], pa.int64())})
+        return rd.from_arrow(t).repartition(2)
+
+    @staticmethod
+    def _brute(pairs, seeds, max_hops):
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, max_hops + 1):
+            nxt = {d for s, d in pairs if s in frontier} - set(dist)
+            if not nxt:
+                break
+            for v in nxt:
+                dist[v] = h
+            frontier = nxt
+        return dist
+
+    def test_chain_and_unreachable(self):
+        from peri_ray.stages.similarity import seed_link_distance
+
+        pairs = [(0, 1), (1, 2), (2, 3), (5, 6)]  # 5,6 unreachable
+        got = {r["node"]: r["hops"] for r in seed_link_distance(
+            self._edges(pairs), seeds=[0], max_hops=8).take_all()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+        # max_hops truncation
+        got = {r["node"]: r["hops"] for r in seed_link_distance(
+            self._edges(pairs), seeds=[0], max_hops=2).take_all()}
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_multi_seed_min_and_cycle(self):
+        from peri_ray.stages.similarity import seed_link_distance
+
+        pairs = [(0, 1), (1, 2), (2, 0), (3, 2)]  # cycle + side seed
+        got = {r["node"]: r["hops"] for r in seed_link_distance(
+            self._edges(pairs), seeds=[0, 3], max_hops=8).take_all()}
+        assert got == {0: 0, 3: 0, 1: 1, 2: 1}
+
+    def test_fuzz_and_distributed_parity(self):
+        from peri_ray.stages.similarity import seed_link_distance
+
+        rng = np.random.default_rng(59)
+        pairs = sorted({(int(a), int(b))
+                        for a, b in rng.integers(0, 30, size=(80, 2))
+                        if a != b})
+        seeds = [pairs[0][0], pairs[-1][0]]
+        want = self._brute(pairs, seeds, 5)
+        a = {r["node"]: r["hops"] for r in seed_link_distance(
+            self._edges(pairs), seeds=seeds, max_hops=5).take_all()}
+        b = {r["node"]: r["hops"] for r in seed_link_distance(
+            self._edges(pairs), seeds=seeds, max_hops=5,
+            n_buckets=8, driver_threshold=0).take_all()}
+        assert a == want
+        assert b == want
+
+    def test_bad_seed_raises(self):
+        from peri_ray.stages.similarity import seed_link_distance
+
+        with pytest.raises(ValueError, match="seed"):
+            seed_link_distance(self._edges([(0, 1)]), seeds=[99],
+                               max_hops=3).take_all()
+        with pytest.raises(ValueError, match="seed"):
+            seed_link_distance(self._edges([(0, 1)]), seeds=[99],
+                               max_hops=3, driver_threshold=0).take_all()
