@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": q.corr_matrix_lineitem,
         "url_pattern_profile": q.url_pattern_profile,
         "seed_link_distance_hosts": q.seed_link_distance_hosts,
+        "repair_revalidate_events": q.repair_revalidate_events,
     }
 
 
@@ -3780,6 +3781,22 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    CAST(min(hops) AS BIGINT) AS hops
               FROM reach GROUP BY node
+        """,
+        "repair_revalidate_events": f"""
+            SELECT * FROM (
+              SELECT 'enum' AS rule_id, 'event_type' AS path,
+                     (SELECT CAST(count(*) AS BIGINT) FROM events
+                       WHERE event_type IS NOT NULL
+                         AND event_type NOT IN {_EVENTS_SQL})
+                       AS before_cnt,
+                     CAST(0 AS BIGINT) AS after_cnt
+              UNION ALL
+              SELECT 'float.range', 'value',
+                     (SELECT CAST(count(*) AS BIGINT) FROM events
+                       WHERE value IS NOT NULL
+                         AND NOT (value >= 0.0 AND value <= 100.0)),
+                     CAST(0 AS BIGINT))
+             WHERE before_cnt > 0
         """,
     }
 

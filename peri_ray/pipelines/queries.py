@@ -5185,3 +5185,41 @@ def seed_link_distance_hosts(sf_dir: str):
             "hops": t.column("hops")})
 
     return dist.map_batches(_host, batch_format="pyarrow")
+
+
+def repair_revalidate_events(sf_dir: str):
+    """Closed-loop validation: validate events, REPAIR the violating
+    columns (enum mode-fill for event_type, range clamp for value),
+    revalidate with the same spec, and report per-rule violation
+    counts before and after.  The after column is MEASURED by a real
+    second validation pass — the oracle hard-codes 0, so a broken
+    repairer (boundary off-by-one, null mangling) shows up as a
+    mismatch, not a silent success."""
+    from peri_ray.stages.checks import clamp_repair, repair_enum
+    from peri_ray.validate import violation_rule_counts
+
+    spec = {"event_id": ("required", "integer"),
+            "event_type": ("enum", EVENT_TYPES),
+            "value": ("float", ("range", (0.0, 100.0)))}
+    cols = ["event_id", "event_type", "value"]
+
+    ds = _read(sf_dir, "events", cols)
+    before = violation_rule_counts(
+        validate_dataset(ds, spec, id_column="event_id"))
+
+    repaired = clamp_repair(
+        repair_enum(_read(sf_dir, "events", cols), "event_type",
+                    EVENT_TYPES),
+        "value", 0.0, 100.0)
+    after = violation_rule_counts(
+        validate_dataset(repaired, spec, id_column="event_id"))
+
+    b = {(r["rule_id"], r["path"]): r["cnt"] for r in before.to_pylist()}
+    a = {(r["rule_id"], r["path"]): r["cnt"] for r in after.to_pylist()}
+    keys = sorted(set(b) | set(a))
+    return pa.table({
+        "rule_id": pa.array([k[0] for k in keys], pa.string()),
+        "path": pa.array([k[1] for k in keys], pa.string()),
+        "before_cnt": pa.array([b.get(k, 0) for k in keys], pa.int64()),
+        "after_cnt": pa.array([a.get(k, 0) for k in keys], pa.int64()),
+    })

@@ -1028,3 +1028,28 @@ def pattern_profile(ds, column: str, max_patterns: int = 10_000,
         "pattern": pa.array(pats, pa.string()),
         "cnt": pa.array([merged[p] for p in pats], pa.int64()),
     })
+
+
+def clamp_repair(ds, column: str, lo: float, hi: float,
+                 batch_size: int | None = 65536):
+    """Constraint-driven numeric repair: clamp every non-null value of
+    ``column`` into [lo, hi] (the winsorize-to-spec fix for range
+    violations; :func:`repair_enum` is the categorical sibling).
+    Nulls pass through — required/default handling is the spec's job.
+    One vectorized min/max per batch, zero shuffle; NaN compares
+    false on both sides and passes through unrepaired (a NaN is a
+    type problem, not a range problem — validation still flags it)."""
+    if not lo <= hi:
+        raise ValueError("clamp_repair: lo must be <= hi")
+
+    def _fix(t: pa.Table) -> pa.Table:
+        c = t.column(column).combine_chunks()
+        fixed = pc.if_else(pc.less(c, pa.scalar(lo, c.type)),
+                           pa.scalar(lo, c.type), c)
+        fixed = pc.if_else(pc.greater(fixed, pa.scalar(hi, c.type)),
+                           pa.scalar(hi, c.type), fixed)
+        i = t.schema.get_field_index(column)
+        return t.set_column(i, column, fixed)
+
+    return ds.map_batches(_fix, batch_format="pyarrow",
+                          batch_size=batch_size)

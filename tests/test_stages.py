@@ -7133,3 +7133,28 @@ class TestSeedLinkDistance:
         with pytest.raises(ValueError, match="seed"):
             seed_link_distance(self._edges([(0, 1)]), seeds=[99],
                                max_hops=3, driver_threshold=0).take_all()
+
+
+class TestClampRepair:
+    def test_clamp_bounds_and_nulls(self):
+        from peri_ray.stages.checks import clamp_repair
+
+        t = pa.table({"v": pa.array([-5.0, 0.0, 50.0, 100.0, 150.0,
+                                     None])})
+        out = clamp_repair(rd.from_arrow(t).repartition(2),
+                           "v", 0.0, 100.0)
+        got = [r["v"] for r in out.take_all()]
+        assert sorted([x for x in got if x is not None]) == \
+            [0.0, 0.0, 50.0, 100.0, 100.0]
+        assert got.count(None) == 1
+        with pytest.raises(ValueError, match="lo"):
+            clamp_repair(rd.from_arrow(t), "v", 5.0, 1.0)
+
+    def test_nan_passes_through(self):
+        from peri_ray.stages.checks import clamp_repair
+
+        t = pa.table({"v": pa.array([float("nan"), -1.0])})
+        got = [r["v"] for r in clamp_repair(
+            rd.from_arrow(t), "v", 0.0, 10.0).take_all()]
+        assert sorted(x for x in got if x == x) == [0.0]
+        assert sum(1 for x in got if x != x) == 1
