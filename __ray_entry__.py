@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pattern_profile": q.url_pattern_profile,
         "seed_link_distance_hosts": q.seed_link_distance_hosts,
         "repair_revalidate_events": q.repair_revalidate_events,
+        "cusum_daily_events": q.cusum_daily_events,
     }
 
 
@@ -3797,6 +3798,27 @@ def oracle_sql() -> dict[str, str]:
                          AND NOT (value >= 0.0 AND value <= 100.0)),
                      CAST(0 AS BIGINT))
              WHERE before_cnt > 0
+        """,
+        "cusum_daily_events": """
+            WITH RECURSIVE
+            daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                             CAST(count(*) AS BIGINT) AS x
+                        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            tot AS (SELECT CAST(sum(x) AS BIGINT) AS t,
+                           CAST(count(*) AS BIGINT) AS m FROM daily),
+            ord AS (SELECT d, x,
+                           row_number() OVER (ORDER BY d) AS rn
+                      FROM daily),
+            rec(rn, d, x, s) AS (
+                SELECT o.rn, o.d, o.x,
+                       GREATEST(CAST(0 AS BIGINT), o.x * tot.m - tot.t)
+                  FROM ord o, tot WHERE o.rn = 1
+              UNION ALL
+                SELECT o.rn, o.d, o.x,
+                       GREATEST(CAST(0 AS BIGINT),
+                                r.s + o.x * tot.m - tot.t)
+                  FROM rec r JOIN ord o ON o.rn = r.rn + 1, tot)
+            SELECT d AS day, x, s AS cusum_num FROM rec
         """,
     }
 

@@ -311,6 +311,8 @@ def run_bench() -> dict:
           lambda: q.seed_link_distance_hosts(SF_DIR).to_pandas())
     timed("repair_revalidate",
           lambda: q.repair_revalidate_events(SF_DIR))
+    timed("cusum_daily_events",
+          lambda: q.cusum_daily_events(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

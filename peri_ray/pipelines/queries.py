@@ -5223,3 +5223,13 @@ def repair_revalidate_events(sf_dir: str):
         "before_cnt": pa.array([b.get(k, 0) for k in keys], pa.int64()),
         "after_cnt": pa.array([a.get(k, 0) for k in keys], pa.int64()),
     })
+
+
+def cusum_daily_events(sf_dir: str):
+    """Exact-integer positive CUSUM of daily event volumes against
+    the period mean (temporal.cusum_daily_counts) — the volume
+    changepoint monitor.  Oracle: recursive CTE threading the
+    identical max(0, s + x·m − T) recurrence over the ordered days."""
+    from peri_ray.stages.temporal import cusum_daily_counts
+
+    return cusum_daily_counts(_read(sf_dir, "events", ["ts"]))

@@ -1073,3 +1073,50 @@ def interval_overlap_join(left, right, key: str,
         })
 
     return map_groups_via_buckets(both, [key], _join, n_buckets=n_buckets)
+
+
+def cusum_daily_counts(ds, ts_col: str = "ts",
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Volume changepoint signal: positive CUSUM of daily row counts
+    against the all-period mean, kept EXACT by scaling through the
+    day count instead of dividing —
+
+        S_0 = 0;  S_t = max(0, S_{t-1} + (x_t·m − T))
+
+    with x_t the day-t count, m the number of days, T the total, so
+    S_t is m times the classic float CUSUM and stays an integer
+    (hash-exact; a SQL twin is a recursive CTE over the ordered
+    days).  The day where S peaks is the most likely upward
+    level-shift point; a flat series keeps S pinned near 0.
+
+    Shape: per-batch (day, count) partials merge on the driver
+    (days-bounded — the calendar is small even at 10^12 rows); the
+    recurrence is a driver loop over the sorted days.  Null
+    timestamps are vacuous.  Returns (day, x, cusum_num) sorted by
+    day."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).combine_chunks()
+        ts = ts.drop_null()
+        day = pc.strftime(ts, format="%Y-%m-%d")
+        g = (pa.table({"day": day}).group_by("day")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "c"])
+
+    daily: dict[str, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        daily[r["day"]] = daily.get(r["day"], 0) + r["c"]
+    days = sorted(daily)
+    m = len(days)
+    total = sum(daily.values())
+    s = 0
+    out_s = []
+    for d in days:
+        s = max(0, s + daily[d] * m - total)
+        out_s.append(s)
+    return pa.table({
+        "day": pa.array(days, pa.string()),
+        "x": pa.array([daily[d] for d in days], pa.int64()),
+        "cusum_num": pa.array(out_s, pa.int64()),
+    })

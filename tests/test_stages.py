@@ -7158,3 +7158,38 @@ class TestClampRepair:
             rd.from_arrow(t), "v", 0.0, 10.0).take_all()]
         assert sorted(x for x in got if x == x) == [0.0]
         assert sum(1 for x in got if x != x) == 1
+
+
+class TestCusumDaily:
+    def _ds(self, day_counts):
+        import datetime
+        days, tss = [], []
+        for d, c in day_counts.items():
+            base = datetime.datetime.fromisoformat(d + "T06:00:00")
+            tss.extend(base + datetime.timedelta(minutes=i)
+                       for i in range(c))
+        return rd.from_arrow(pa.table({
+            "ts": pa.array(tss, pa.timestamp("us"))})).repartition(3)
+
+    def test_level_shift_peaks_at_shift(self):
+        from peri_ray.stages.temporal import cusum_daily_counts
+
+        # 5 quiet days of 10, then 5 loud days of 30: mean 20, the
+        # CUSUM must peak on the last day after rising from day 6
+        dc = {f"2024-01-0{i}": 10 for i in range(1, 6)}
+        dc.update({f"2024-01-1{i}": 30 for i in range(5)})
+        out = cusum_daily_counts(self._ds(dc)).to_pylist()
+        assert [r["day"] for r in out] == sorted(dc)
+        assert all(r["x"] == dc[r["day"]] for r in out)
+        s = [r["cusum_num"] for r in out]
+        # quiet days: 10*10-200 = -100 each -> pinned at 0
+        assert s[:5] == [0, 0, 0, 0, 0]
+        # loud days: +100 each, cumulative
+        assert s[5:] == [100, 200, 300, 400, 500]
+
+    def test_flat_series_stays_zero(self):
+        from peri_ray.stages.temporal import cusum_daily_counts
+
+        dc = {f"2024-02-0{i}": 7 for i in range(1, 7)}
+        out = cusum_daily_counts(self._ds(dc)).to_pylist()
+        assert all(r["cusum_num"] == 0 for r in out)
