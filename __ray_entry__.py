@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_link_distance_hosts": q.seed_link_distance_hosts,
         "repair_revalidate_events": q.repair_revalidate_events,
         "cusum_daily_events": q.cusum_daily_events,
+        "conditional_null_rates_recrawl": q.conditional_null_rates_recrawl,
     }
 
 
@@ -3819,6 +3820,28 @@ def oracle_sql() -> dict[str, str]:
                                 r.s + o.x * tot.m - tot.t)
                   FROM rec r JOIN ord o ON o.rn = r.rn + 1, tot)
             SELECT d AS day, x, s AS cusum_num FROM rec
+        """,
+        "conditional_null_rates_recrawl": """
+            WITH newt AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE text END AS text,
+                     lang
+                FROM documents)
+            SELECT CAST(source AS VARCHAR) AS cond_value, col AS column,
+                   n, nulls,
+                   CAST(nulls AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS null_rate
+              FROM (
+                SELECT source, 'lang' AS col,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) - count(lang) AS BIGINT) AS nulls
+                  FROM newt GROUP BY source
+                UNION ALL
+                SELECT source, 'text',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(text) AS BIGINT)
+                  FROM newt GROUP BY source)
         """,
     }
 

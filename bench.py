@@ -313,6 +313,8 @@ def run_bench() -> dict:
           lambda: q.repair_revalidate_events(SF_DIR))
     timed("cusum_daily_events",
           lambda: q.cusum_daily_events(SF_DIR))
+    timed("conditional_null_rates",
+          lambda: q.conditional_null_rates_recrawl(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5233,3 +5233,28 @@ def cusum_daily_events(sf_dir: str):
     from peri_ray.stages.temporal import cusum_daily_counts
 
     return cusum_daily_counts(_read(sf_dir, "events", ["ts"]))
+
+
+def conditional_null_rates_recrawl(sf_dir: str):
+    """Missingness-by-producer audit over the modified recrawl fixture
+    (text nulled on doc_id % 5, as in inferred_spec_violations):
+    exact per-source null counts/rates for text and lang via
+    stats.conditional_null_rates — the per-class view a global null
+    rate averages away."""
+    from peri_ray.stages.stats import conditional_null_rates
+
+    def _recrawl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t.column("source"),
+            "text": pc.if_else(pa.array(idn % 5 == 0),
+                               pa.scalar(None, pa.string()),
+                               t.column("text").combine_chunks()),
+            "lang": t.column("lang"),
+        })
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source"]).map_batches(
+        _recrawl, batch_format="pyarrow")
+    return conditional_null_rates(ds, "source", ["text", "lang"])

@@ -2267,3 +2267,67 @@ def corr_matrix(ds, cols_scales, batch_size: int | None = 16384) -> pa.Table:
         "n": pa.array(rows["n"], pa.int64()),
         "corr": pa.array(rows["corr"], pa.float64()),
     })
+
+
+def conditional_null_rates(ds, cond_col: str, target_cols: list[str],
+                           max_groups: int = 10_000,
+                           batch_size: int | None = 65536) -> pa.Table:
+    """Missingness dependence: per value of ``cond_col``, the exact
+    null count and rate of each target column — the "source X never
+    fills lang" audit that a GLOBAL null rate averages away.  A
+    conditioning value whose null rate diverges from the column's
+    overall rate marks a broken upstream producer.
+
+    Shape: per-batch (cond, n, nulls…) count partials (one row per
+    cond value per block) merge on the driver behind a ``max_groups``
+    guard (the conditioning column is enum-like by contract).  Null
+    conditioning values group under the real NULL (reported as a
+    row with cond_value null — they're often the worst producer).
+    Rates are float(nulls)/float(n), the int→double recipe a SQL twin
+    writes.  Returns (cond_value, column, n, nulls, null_rate) sorted
+    by (cond_value, column)."""
+    tcols = list(target_cols)
+
+    def _part(t: pa.Table) -> pa.Table:
+        cond = t.column(cond_col).combine_chunks().cast(pa.string())
+        base = {"cond": cond,
+                "n": pa.array(np.ones(t.num_rows, np.int64))}
+        for c in tcols:
+            base[f"nu_{c}"] = pc.is_null(
+                t.column(c).combine_chunks()).cast(pa.int64())
+        g = (pa.table(base).group_by("cond")
+             .aggregate([("n", "sum")]
+                        + [(f"nu_{c}", "sum") for c in tcols]))
+        return g.rename_columns(["cond", "n"] + [f"nu_{c}" for c in tcols])
+
+    merged: dict = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        cur = merged.setdefault(r["cond"], [0] + [0] * len(tcols))
+        cur[0] += r["n"]
+        for i, c in enumerate(tcols):
+            cur[1 + i] += r[f"nu_{c}"]
+        if len(merged) > max_groups:
+            raise ValueError(
+                f"conditional_null_rates: over {max_groups} distinct "
+                f"values in {cond_col!r}; condition on an enum-like "
+                f"column")
+    keys = sorted(merged, key=lambda k: (k is None, k))
+    rows = {"cond_value": [], "column": [], "n": [], "nulls": [],
+            "null_rate": []}
+    for k in keys:
+        n = merged[k][0]
+        for i, c in enumerate(sorted(tcols)):
+            nu = merged[k][1 + tcols.index(c)]
+            rows["cond_value"].append(k)
+            rows["column"].append(c)
+            rows["n"].append(n)
+            rows["nulls"].append(nu)
+            rows["null_rate"].append(float(nu) / float(n) if n else None)
+    return pa.table({
+        "cond_value": pa.array(rows["cond_value"], pa.string()),
+        "column": pa.array(rows["column"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "nulls": pa.array(rows["nulls"], pa.int64()),
+        "null_rate": pa.array(rows["null_rate"], pa.float64()),
+    })

@@ -7193,3 +7193,33 @@ class TestCusumDaily:
         dc = {f"2024-02-0{i}": 7 for i in range(1, 7)}
         out = cusum_daily_counts(self._ds(dc)).to_pylist()
         assert all(r["cusum_num"] == 0 for r in out)
+
+
+class TestConditionalNullRates:
+    def test_rates_per_class(self):
+        from peri_ray.stages.stats import conditional_null_rates
+
+        t = pa.table({
+            "src": pa.array(["a", "a", "a", "b", "b", None]),
+            "x": pa.array([1.0, None, None, 1.0, 1.0, None]),
+            "y": pa.array(["u", "v", "w", None, "z", "q"]),
+        })
+        out = conditional_null_rates(
+            rd.from_arrow(t).repartition(2), "src", ["x", "y"])
+        got = {(r["cond_value"], r["column"]): r for r in out.to_pylist()}
+        assert got[("a", "x")]["nulls"] == 2
+        assert got[("a", "x")]["null_rate"] == pytest.approx(2 / 3)
+        assert got[("a", "y")]["nulls"] == 0
+        assert got[("b", "y")]["null_rate"] == pytest.approx(0.5)
+        # null conditioning value groups under real NULL
+        assert got[(None, "x")]["n"] == 1
+        assert got[(None, "x")]["nulls"] == 1
+
+    def test_max_groups_guard(self):
+        from peri_ray.stages.stats import conditional_null_rates
+
+        t = pa.table({"src": pa.array([str(i) for i in range(50)]),
+                      "x": pa.array([1.0] * 50)})
+        with pytest.raises(ValueError, match="enum-like"):
+            conditional_null_rates(rd.from_arrow(t), "src", ["x"],
+                                   max_groups=10)
