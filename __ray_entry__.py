@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repair_revalidate_events": q.repair_revalidate_events,
         "cusum_daily_events": q.cusum_daily_events,
         "conditional_null_rates_recrawl": q.conditional_null_rates_recrawl,
+        "readability_documents": q.readability_documents,
     }
 
 
@@ -3842,6 +3843,27 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT),
                        CAST(count(*) - count(text) AS BIGINT)
                   FROM newt GROUP BY source)
+        """,
+        "readability_documents": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          AS BIGINT) AS words,
+                     GREATEST(CAST(len(regexp_extract_all(text,
+                          '[.!?]+')) AS BIGINT),
+                          CAST(1 AS BIGINT)) AS sentences,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS BIGINT) AS syllables
+                FROM documents)
+            SELECT doc_id, words, sentences, syllables,
+                   CASE WHEN words > 0 THEN
+                     206.835
+                     - 1.015 * (CAST(words AS DOUBLE)
+                                / CAST(sentences AS DOUBLE))
+                     - 84.6 * (CAST(syllables AS DOUBLE)
+                               / CAST(words AS DOUBLE))
+                   ELSE NULL END AS flesch
+              FROM c
         """,
     }
 

@@ -315,6 +315,8 @@ def run_bench() -> dict:
           lambda: q.cusum_daily_events(SF_DIR))
     timed("conditional_null_rates",
           lambda: q.conditional_null_rates_recrawl(SF_DIR))
+    timed("readability_documents",
+          lambda: q.readability_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

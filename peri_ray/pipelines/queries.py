@@ -5258,3 +5258,13 @@ def conditional_null_rates_recrawl(sf_dir: str):
                ["doc_id", "text", "lang", "source"]).map_batches(
         _recrawl, batch_format="pyarrow")
     return conditional_null_rates(ds, "source", ["text", "lang"])
+
+
+def readability_documents(sf_dir: str):
+    """Flesch reading-ease per document (text.readability_scores) —
+    the readable-band quality prior.  Oracle: regexp_extract_all run
+    lengths + the identical IEEE expression over int→double casts."""
+    from peri_ray.stages.text import readability_scores
+
+    return readability_scores(_read(sf_dir, "documents",
+                                    ["doc_id", "text"]))

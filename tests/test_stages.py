@@ -7223,3 +7223,29 @@ class TestConditionalNullRates:
         with pytest.raises(ValueError, match="enum-like"):
             conditional_null_rates(rd.from_arrow(t), "src", ["x"],
                                    max_groups=10)
+
+
+class TestReadability:
+    def test_known_values(self):
+        from peri_ray.stages.text import readability_scores
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "The cat sat. The dog ran!",  # 6 words, 2 sentences
+                "no terminators here",        # 3 words, floor 1 sent
+                "!!! ...",                    # 0 words -> null
+            ]),
+        })
+        out = {r["doc_id"]: r for r in readability_scores(
+            rd.from_arrow(t)).take_all()}
+        r1 = out[1]
+        assert (r1["words"], r1["sentences"]) == (6, 2)
+        # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+        assert r1["syllables"] == 6
+        assert r1["flesch"] == pytest.approx(
+            206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+        r2 = out[2]
+        assert (r2["words"], r2["sentences"]) == (3, 1)
+        assert out[3]["words"] == 0
+        assert out[3]["flesch"] is None
