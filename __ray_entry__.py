@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": q.cusum_daily_events,
         "conditional_null_rates_recrawl": q.conditional_null_rates_recrawl,
         "readability_documents": q.readability_documents,
+        "mirror_hosts_documents": q.mirror_hosts_documents,
     }
 
 

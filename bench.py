@@ -317,6 +317,8 @@ def run_bench() -> dict:
           lambda: q.conditional_null_rates_recrawl(SF_DIR))
     timed("readability_documents",
           lambda: q.readability_documents(SF_DIR).to_pandas())
+    timed("mirror_hosts",
+          lambda: q.mirror_hosts_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

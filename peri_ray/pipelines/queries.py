@@ -5268,3 +5268,36 @@ def readability_documents(sf_dir: str):
 
     return readability_scores(_read(sf_dir, "documents",
                                     ["doc_id", "text"]))
+
+
+def mirror_hosts_documents(sf_dir: str):
+    """Mirror-SITE detection over the host fixture: hosts 10 and 20
+    get deterministically identical page content (same (round,
+    position) pages), every other host keeps its organic text —
+    dedup.mirror_site_pairs must flag exactly the planted pair.
+    Rows-only (minhash sketches have no SQL twin); the merge-equals-
+    union identity and the planted-pair recall are pinned in
+    tests/test_stages.py::TestMirrorSites."""
+    from peri_ray.stages.dedup import mirror_site_pairs
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        host = (ids // 4) % 50
+        is_m = (host == 10) | (host == 20)
+        rnd = (ids // 200).astype(str)
+        pos = (ids % 4).astype(str)
+        planted = np.char.add(
+            np.char.add("mirror canonical page ", rnd),
+            np.char.add("-", np.char.add(
+                pos, " syndicated body text replicated verbatim "
+                     "across the ring for detection")))
+        orig = np.asarray(t.column("text").combine_chunks()
+                          .to_pylist(), dtype=object)
+        text = np.where(is_m, planted.astype(object), orig)
+        return pa.table({"host_key": pa.array(host, pa.int64()),
+                         "text": pa.array(text.tolist(), pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fixture, batch_format="pyarrow")
+    return mirror_site_pairs(ds, threshold=0.9)

@@ -743,6 +743,21 @@ def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
     return out
 
 
+def densify_rotation(sigs: np.ndarray) -> np.ndarray:
+    """Rotation densification (Shrivastava/Li): empty OPH slots take
+    the value of the next filled slot to their right (cyclically);
+    doubling passes.  Factored out so merged raw-slot signatures
+    (mirror-site detection) densify identically to per-doc ones."""
+    SENTINEL = np.iinfo(np.uint64).max
+    P = sigs.shape[1]
+    step = 1
+    while step < P and (sigs == SENTINEL).any():
+        rolled = np.roll(sigs, -step, axis=1)
+        sigs = np.where(sigs == SENTINEL, rolled, sigs)
+        step *= 2
+    return sigs
+
+
 class MinHasher:
     """Actor-pool stage: builds num_perm minhash signature slots per doc
     via ONE-PERMUTATION HASHING with rotation densification (Li/Owen/
@@ -759,9 +774,17 @@ class MinHasher:
     ``num_perm`` must be a power of two."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 11,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 densify: bool = True):
+        # densify=False emits the RAW slot minima (sentinel-filled):
+        # the mergeable form — slot minima of a shingle-set UNION are
+        # the elementwise min of the parts' raw slots, which is false
+        # of densified signatures (a borrowed value can win a slot it
+        # never saw).  merge_minhash_by_key merges raw slots and
+        # densifies once per merged key.
         if num_perm & (num_perm - 1):
             raise ValueError("num_perm must be a power of two")
+        self.densify = densify
         self.num_perm = num_perm
         self.slot_bits = num_perm.bit_length() - 1
         # per-actor mixing constant so different seeds re-bucket shingles
@@ -791,13 +814,8 @@ class MinHasher:
             # scatter-min into the (docs × slots) matrix: O(shingles)
             flat = sigs.reshape(-1)
             np.minimum.at(flat, doc * P + slot, x)
-        # rotation densification: empty slots take the value of the next
-        # filled slot to their right (cyclically); doubling passes
-        step = 1
-        while step < P and (sigs == SENTINEL).any():
-            rolled = np.roll(sigs, -step, axis=1)
-            sigs = np.where(sigs == SENTINEL, rolled, sigs)
-            step *= 2
+        if self.densify:
+            sigs = densify_rotation(sigs)
         return sigs
 
     def __call__(self, table: pa.Table) -> pa.Table:
@@ -2440,3 +2458,127 @@ def bloom_probe_exact_dups(new_ds, stem: str, base_ds, *,
                 .groupby("__bucket")
                 .map_groups(_verify, batch_format="pyarrow"))
     return clean.union(verified)
+
+
+def merge_minhash_by_key(sigs, key_col: str, n_buckets: int = 64,
+                         batch_size: int | None = EXCHANGE_COALESCE_ROWS):
+    """Merge RAW (undensified) OPH signatures per key: slot minima of
+    a shingle-set union are the elementwise min of the parts' raw
+    slots, so a per-key signature — a whole HOST's content sketch —
+    costs one bucketed exchange of (key, num_perm×8 B) rows, never
+    the text.  Densifies once per merged key, yielding exactly the
+    signature :class:`MinHasher` would emit for the concatenated
+    shingle set (tested bit-identical).  Input: (key, minhash) from
+    ``MinHasher(densify=False)``; output: (key, minhash) densified."""
+
+    def _merge(bucket: pa.Table) -> pa.Table:
+        keys = bucket.column(key_col).combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        col = bucket.column("minhash").combine_chunks()
+        n = len(col)
+        sigs_m = (col.flatten().to_numpy(zero_copy_only=False)
+                  .reshape(n, -1).view(np.uint64))
+        P = sigs_m.shape[1]
+        out = np.full((len(uniq), P), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(out, idx, sigs_m)
+        out = densify_rotation(out)
+        return pa.table({key_col: uniq,
+                         "minhash": pa.array(list(out.view(np.int64)))})
+
+    return map_groups_via_buckets(sigs, [key_col], _merge, n_buckets,
+                                  coalesce_rows=batch_size)
+
+
+def mirror_site_pairs(ds, text_col: str = "text", key_col: str = "host_key",
+                      num_perm: int = 64,
+                      bands: int = 16, k: int = 5,
+                      threshold: float = 0.7, n_buckets: int = 64):
+    """Mirror-SITE detection: near-duplicate pairs of KEYS (hosts)
+    whose aggregate content matches, not just single pages — the
+    mirror-domain / mass-syndication crawl signal.  Per-doc raw OPH
+    slots → one grouped elementwise-min exchange per key
+    (:func:`merge_minhash_by_key`) → band explosion and the standard
+    capped-bucket pair generation on the KEY-level signatures →
+    signature-estimated Jaccard (matching-slot fraction, the unbiased
+    OPH estimator) filters at ``threshold``.
+
+    Everything distributed ships signatures/ints; text never leaves
+    its block.  The estimate-not-exact verify is deliberate: exact
+    host-level Jaccard would require co-locating whole hosts' shingle
+    sets; at ``num_perm=64`` the estimator's σ ≈ 0.06 near t=0.7,
+    and callers needing certainty re-verify the (tiny) flagged pair
+    list offline.  Keys must be int64.  Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b."""
+    from peri_ray.stages.joins import hash_join
+
+    sigs = ds.map_batches(
+        MinHasher(num_perm=num_perm, k=k, text_col=text_col,
+                  id_col=key_col, densify=False),
+        batch_format="pyarrow")
+    merged = merge_minhash_by_key(sigs, key_col,
+                                  n_buckets=n_buckets).materialize()
+
+    exploded = merged.map_batches(
+        lambda t: _explode_bands(t, key_col, bands),
+        batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(key_col).to_pylist()))
+        a, b = bucket_pairs(ids, context="mirror-site-lsh")
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    pairs = dedupe_pairs(per_group_via_buckets(
+        exploded, ["band", "band_hash"], _pairs, n_buckets))
+
+    # Arrow's per-bucket join rejects list payload columns: ship the
+    # signature as fixed-size binary (num_perm x 8 B) instead
+    def _as_bin(name):
+        def _f(t: pa.Table) -> pa.Table:
+            col = t.column("minhash").combine_chunks()
+            n = len(col)
+            m = (col.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(n, -1))
+            width = m.shape[1] * 8 if n else num_perm * 8
+            data = pa.py_buffer(np.ascontiguousarray(m).tobytes())
+            arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), n, [None, data])
+            return pa.table({"k": t.column(key_col), name: arr})
+        return _f
+
+    sa = merged.map_batches(_as_bin("sig_a"), batch_format="pyarrow")
+    sb = merged.map_batches(_as_bin("sig_b"), batch_format="pyarrow")
+    j = hash_join(hash_join(pairs, sa, "id_a", "k", ["id_b"], ["sig_a"],
+                            how="inner", n_buckets=n_buckets),
+                  sb, "id_b", "k", ["id_a", "sig_a"], ["sig_b"],
+                  how="inner", n_buckets=n_buckets)
+
+    def _est(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        a = np.frombuffer(
+            b"".join(t.column("sig_a").combine_chunks().to_pylist()),
+            np.uint64).reshape(n, -1)
+        b = np.frombuffer(
+            b"".join(t.column("sig_b").combine_chunks().to_pylist()),
+            np.uint64).reshape(n, -1)
+        est = (a == b).mean(axis=1)
+        lo = np.minimum(t.column("id_a").combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        t.column("id_b").combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        hi = np.maximum(t.column("id_a").combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        t.column("id_b").combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        keep = est >= threshold
+        return pa.table({"id_a": pa.array(lo[keep], pa.int64()),
+                         "id_b": pa.array(hi[keep], pa.int64()),
+                         "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    return j.map_batches(_est, batch_format="pyarrow")

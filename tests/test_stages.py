@@ -7249,3 +7249,45 @@ class TestReadability:
         assert (r2["words"], r2["sentences"]) == (3, 1)
         assert out[3]["words"] == 0
         assert out[3]["flesch"] is None
+
+
+class TestMirrorSites:
+    def test_merged_raw_slots_equal_union_signature(self):
+        from peri_ray.stages.dedup import (MinHasher, _shingle_hashes,
+                                           densify_rotation)
+
+        mh = MinHasher(num_perm=32, k=4, densify=False)
+        ta, tb = "the quick brown fox jumps", "over the lazy dog again"
+        sa, sb = _shingle_hashes([ta, tb], 4)
+        raw = mh._signatures([sa, sb])
+        merged = densify_rotation(np.minimum(raw[0:1], raw[1:2]))
+        union = densify_rotation(
+            mh._signatures([np.concatenate([sa, sb])]))
+        assert (merged == union).all()
+
+    def test_planted_mirror_hosts(self):
+        from peri_ray.stages.dedup import mirror_site_pairs
+
+        rng = np.random.default_rng(61)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox",
+                 "golf", "hotel", "india", "julia", "kilo", "lima"]
+
+        def page(n=30):
+            return " ".join(rng.choice(vocab, n))
+
+        rows_key, rows_text = [], []
+        shared = [page() for _ in range(6)]
+        for key in (1, 2):  # mirrors: same pages, different split
+            for p in shared:
+                rows_key.append(key)
+                rows_text.append(p)
+        for key in (3, 4, 5, 6):
+            for _ in range(6):
+                rows_key.append(key)
+                rows_text.append(page())
+        t = pa.table({"host_key": pa.array(rows_key, pa.int64()),
+                      "text": pa.array(rows_text)})
+        out = mirror_site_pairs(rd.from_arrow(t).repartition(4),
+                                threshold=0.9, n_buckets=8).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+        assert out[0]["est_jaccard"] == 1.0
