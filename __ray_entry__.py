@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_null_rates_recrawl": q.conditional_null_rates_recrawl,
         "readability_documents": q.readability_documents,
         "mirror_hosts_documents": q.mirror_hosts_documents,
+        "url_overlap_recrawl": q.url_overlap_recrawl,
     }
 
 

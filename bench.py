@@ -319,6 +319,8 @@ def run_bench() -> dict:
           lambda: q.readability_documents(SF_DIR).to_pandas())
     timed("mirror_hosts",
           lambda: q.mirror_hosts_documents(SF_DIR).to_pandas())
+    timed("url_overlap_recrawl",
+          lambda: q.url_overlap_recrawl(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

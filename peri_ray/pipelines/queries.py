@@ -5301,3 +5301,28 @@ def mirror_hosts_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _fixture, batch_format="pyarrow")
     return mirror_site_pairs(ds, threshold=0.9)
+
+
+def url_overlap_recrawl(sf_dir: str):
+    """Zero-exchange sketch triage of recrawl overlap: HLL-estimated
+    URL intersection between the even-doc snapshot and the
+    every-third-doc snapshot (true overlap = ids divisible by 6).
+    Rows-only (sketch estimates); accuracy is pinned vs the exact
+    answer in tests/test_stages.py::TestHLLOverlap, and the exact
+    paths (bucketed semi join, Bloom probe) are separate queries."""
+    from peri_ray.stages.checks import hll_overlap_estimate
+    from peri_ray.stages.web import canonicalize_urls
+
+    def _half(mod: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+        def _f(t: pa.Table, m=mod) -> pa.Table:
+            ids = (t.column("doc_id").combine_chunks()
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+            return t.filter(pa.array(ids % m == 0))
+
+        return canonicalize_urls(
+            ds.map_batches(_f, batch_format="pyarrow").map_batches(
+                _attach_web_columns, batch_format="pyarrow"))
+
+    return hll_overlap_estimate(_half(2), _half(3), "url", "url")

@@ -7291,3 +7291,33 @@ class TestMirrorSites:
                                 threshold=0.9, n_buckets=8).take_all()
         assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
         assert out[0]["est_jaccard"] == 1.0
+
+
+class TestHLLOverlap:
+    def test_estimate_accuracy(self):
+        from peri_ray.stages.checks import hll_overlap_estimate
+
+        n_a, n_b, n_common = 30_000, 20_000, 8_000
+        a = [f"common{i}" for i in range(n_common)] + \
+            [f"a{i}" for i in range(n_a - n_common)]
+        b = [f"common{i}" for i in range(n_common)] + \
+            [f"b{i}" for i in range(n_b - n_common)]
+        da = rd.from_arrow(pa.table({"u": pa.array(a)})).repartition(4)
+        db = rd.from_arrow(pa.table({"u": pa.array(b)})).repartition(3)
+        out = hll_overlap_estimate(da, db, "u", "u").to_pylist()[0]
+        assert out["ndv_a"] == pytest.approx(n_a, rel=0.03)
+        assert out["ndv_b"] == pytest.approx(n_b, rel=0.03)
+        assert out["est_overlap"] == pytest.approx(n_common, rel=0.15)
+        assert out["est_containment_a"] == pytest.approx(
+            n_common / n_a, rel=0.15)
+
+    def test_disjoint_sets_near_zero(self):
+        from peri_ray.stages.checks import hll_overlap_estimate
+
+        da = rd.from_arrow(pa.table(
+            {"u": pa.array([f"x{i}" for i in range(5000)])}))
+        db = rd.from_arrow(pa.table(
+            {"u": pa.array([f"y{i}" for i in range(5000)])}))
+        out = hll_overlap_estimate(da, db, "u", "u").to_pylist()[0]
+        # sketch noise only: well under 2% of either side
+        assert out["est_overlap"] < 200
