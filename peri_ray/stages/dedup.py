@@ -2539,12 +2539,15 @@ def mirror_site_pairs(ds, text_col: str = "text", key_col: str = "host_key",
         def _f(t: pa.Table) -> pa.Table:
             col = t.column("minhash").combine_chunks()
             n = len(col)
+            if n == 0:  # reshape(0, -1) cannot infer the row width
+                return pa.table({
+                    "k": pa.array([], pa.int64()),
+                    name: pa.array([], pa.binary(num_perm * 8))})
             m = (col.flatten().to_numpy(zero_copy_only=False)
                  .reshape(n, -1))
-            width = m.shape[1] * 8 if n else num_perm * 8
             data = pa.py_buffer(np.ascontiguousarray(m).tobytes())
             arr = pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(width), n, [None, data])
+                pa.binary(m.shape[1] * 8), n, [None, data])
             return pa.table({"k": t.column(key_col), name: arr})
         return _f
 
