@@ -7321,3 +7321,95 @@ class TestHLLOverlap:
         out = hll_overlap_estimate(da, db, "u", "u").to_pylist()[0]
         # sketch noise only: well under 2% of either side
         assert out["est_overlap"] < 200
+
+
+class TestProfilingFuzz:
+    """Randomized DuckDB twins for the session-9 profiling operators —
+    nulls, duplicates and degenerate shapes beyond the fixed cases."""
+
+    def test_fd_report_random_frames(self):
+        import duckdb
+        from peri_ray.stages.checks import fd_report
+
+        rng = np.random.default_rng(67)
+        for trial in range(5):
+            n = int(rng.integers(20, 300))
+            lhs = rng.integers(0, 8, n).astype(object)
+            rhs = rng.choice(["p", "q", "r", None], n)
+            lhs[rng.random(n) < 0.1] = None
+            t = pa.table({"a": pa.array(list(lhs), pa.int64()),
+                          "b": pa.array(list(rhs), pa.string())})
+            got = fd_report(
+                [("x", rd.from_arrow(t).repartition(4), "a", "b")],
+                n_buckets=4).to_pylist()[0]
+            want = duckdb.arrow(t).query("t", """
+                SELECT CAST(count(*) AS BIGINT) AS nl,
+                       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nv
+                  FROM (SELECT a, count(DISTINCT b) AS d FROM t
+                         WHERE a IS NOT NULL AND b IS NOT NULL
+                         GROUP BY a)""").fetchall()[0]
+            assert (got["lhs_distinct"], got["violating_lhs"]) == want, \
+                f"trial {trial}"
+
+    def test_contingency_random_frames(self):
+        import duckdb
+        from peri_ray.stages.stats import contingency_profile
+
+        rng = np.random.default_rng(71)
+        for trial in range(4):
+            n = int(rng.integers(30, 400))
+            a = rng.choice(["u", "v", "w", None], n)
+            b = rng.choice(["x", "y", None], n)
+            t = pa.table({"a": pa.array(list(a), pa.string()),
+                          "b": pa.array(list(b), pa.string())})
+            got = contingency_profile(
+                rd.from_arrow(t).repartition(3), "a", "b").to_pylist()
+            want = duckdb.arrow(t).query("t", """
+                WITH f AS (SELECT a, b FROM t
+                            WHERE a IS NOT NULL AND b IS NOT NULL),
+                o AS (SELECT a, b, count(*) AS c FROM f GROUP BY a, b),
+                ra AS (SELECT a, count(*) AS rt FROM f GROUP BY a),
+                cb AS (SELECT b, count(*) AS ct FROM f GROUP BY b),
+                nn AS (SELECT count(*) AS n FROM f)
+                SELECT ra.a, cb.b, COALESCE(o.c, 0), ra.rt * cb.ct, nn.n
+                  FROM ra CROSS JOIN cb CROSS JOIN nn
+                  LEFT JOIN o ON o.a = ra.a AND o.b = cb.b
+                 ORDER BY 1, 2""").fetchall()
+            got_rows = [(r["val_a"], r["val_b"], r["observed"],
+                         r["expected_num"], r["n_total"]) for r in got]
+            assert got_rows == want, f"trial {trial}"
+
+    def test_reconciliation_random_frames(self):
+        import duckdb
+        from peri_ray.stages.checks import reconciliation_check
+
+        rng = np.random.default_rng(73)
+        for trial in range(4):
+            nd, nm = int(rng.integers(10, 200)), int(rng.integers(5, 40))
+            det = pa.table({
+                "k": pa.array(rng.integers(0, nm + 5, nd), pa.int64()),
+                "cents": pa.array(rng.integers(-50, 200, nd), pa.int64())})
+            mas = pa.table({
+                "k": pa.array(np.arange(nm), pa.int64()),
+                "declared": pa.array(rng.integers(-20, 400, nm),
+                                     pa.int64())})
+            tol = int(rng.integers(0, 30))
+            got = sorted(
+                (r["key"], r["declared_cents"], r["computed_cents"])
+                for r in reconciliation_check(
+                    rd.from_arrow(det).repartition(3),
+                    rd.from_arrow(mas), "k", "cents", "declared",
+                    tol_cents=tol, n_buckets=4).take_all())
+            con = duckdb.connect()
+            con.register("det", det)
+            con.register("mas", mas)
+            want = sorted(con.execute(f"""
+                SELECT m.k, m.declared,
+                       COALESCE(s.c, 0)
+                  FROM mas m LEFT JOIN (SELECT k, sum(cents) AS c
+                                          FROM det GROUP BY k) s
+                    ON m.k = s.k
+                 WHERE abs(m.declared - COALESCE(s.c, 0)) > {tol}
+            """).fetchall())
+            assert got == want, f"trial {trial}"
