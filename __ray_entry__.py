@@ -1487,6 +1487,37 @@ def oracle_sql() -> dict[str, str]:
                    count(doc_id) - count(DISTINCT doc_id),
                    count(doc_id) = count(DISTINCT doc_id)
               FROM documents
+            UNION ALL
+            SELECT 'regex_match_fraction_at_least:lang',
+                   count(*) FILTER (lang IS NOT NULL
+                       AND regexp_matches(lang, '^[a-z]{2}$')),
+                   count(*) FILTER (lang IS NOT NULL
+                       AND regexp_matches(lang, '^[a-z]{2}$'))
+                     * 1000000
+                     >= CAST(floor(0.9 * 1000000) AS BIGINT) * count(*)
+              FROM documents
+            UNION ALL
+            SELECT 'int_sum_between:n_chars',
+                   CAST(sum(n_chars) AS BIGINT),
+                   sum(n_chars) BETWEEN 1 AND 1000000000000000
+              FROM documents
+            UNION ALL
+            SELECT 'distinct_count_between:lang',
+                   count(DISTINCT lang),
+                   count(DISTINCT lang) BETWEEN 2 AND 50
+              FROM documents
+            UNION ALL
+            SELECT 'fd_holds:doc_id->lang',
+                   (SELECT CAST(count(*) AS BIGINT) FROM (
+                      SELECT doc_id FROM documents
+                       WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY doc_id
+                      HAVING count(DISTINCT lang) > 1)),
+                   (SELECT count(*) FROM (
+                      SELECT doc_id FROM documents
+                       WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY doc_id
+                      HAVING count(DISTINCT lang) > 1)) = 0
         """,
         "minmax_normalized_events": """
             SELECT event_id,

@@ -2455,6 +2455,10 @@ def expectations_documents(sf_dir: str):
         ("values_between", "n_chars", 1, 50_000),
         ("values_in_set", "lang", LANGS),
         ("unique", "doc_id"),
+        ("regex_match_fraction_at_least", "lang", "^[a-z]{2}$", 0.9),
+        ("int_sum_between", "n_chars", 1, 10**15),
+        ("distinct_count_between", "lang", 2, 50),
+        ("fd_holds", "doc_id", "lang"),
     ])
 
 

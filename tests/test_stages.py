@@ -7413,3 +7413,45 @@ class TestProfilingFuzz:
                  WHERE abs(m.declared - COALESCE(s.c, 0)) > {tol}
             """).fetchall())
             assert got == want, f"trial {trial}"
+
+
+class TestExpectationSuiteExtensions:
+    def test_new_forms(self):
+        from peri_ray.stages.expect import expectation_suite
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "code": pa.array(["ab", "cd", "XY", "ef", None, "gh"]),
+            "amt": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+            "grp": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "tag": pa.array(["x", "x", "y", "y", "z", "w"]),
+        })
+        ds = rd.from_arrow(t).repartition(3)
+        out = {r["check_id"]: r for r in expectation_suite(ds, [
+            ("regex_match_fraction_at_least", "code", "^[a-z]{2}$", 0.6),
+            ("regex_match_fraction_at_least", "code", "^[a-z]{2}$", 0.7),
+            ("int_sum_between", "amt", 200, 220),
+            ("int_sum_between", "amt", 1, 100),
+            ("distinct_count_between", "code", 5, 10),
+            ("distinct_count_between", "grp", 3, 3),
+            ("fd_holds", "grp", "tag"),
+            ("fd_holds", "id", "tag"),
+        ], n_buckets=4).to_pylist()}
+        # 4 of 6 rows match the regex: 0.666… >= 0.6 but < 0.7
+        r = out["regex_match_fraction_at_least:code"]
+        assert r["observed"] == 4
+        # duplicate check_id: the second overwrote in the dict — both
+        # rows exist in the table; re-pull per position instead
+        tbl = expectation_suite(ds, [
+            ("regex_match_fraction_at_least", "code", "^[a-z]{2}$", 0.6),
+            ("regex_match_fraction_at_least", "code", "^[a-z]{2}$", 0.7),
+        ], n_buckets=4).to_pylist()
+        assert tbl[0]["passed"] is True
+        assert tbl[1]["passed"] is False
+        assert out["int_sum_between:amt"]["observed"] == 210
+        assert out["distinct_count_between:code"]["observed"] == 5
+        assert out["distinct_count_between:grp"]["passed"] is True
+        # grp 3 maps to {z, w}: violated; id is a key: holds
+        assert out["fd_holds:grp->tag"]["observed"] == 1
+        assert out["fd_holds:grp->tag"]["passed"] is False
+        assert out["fd_holds:id->tag"]["passed"] is True
