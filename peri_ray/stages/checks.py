@@ -943,14 +943,20 @@ def reconciliation_check(detail, master, key_col: str,
             "k": d.column(key_col).combine_chunks().cast(pa.int64()),
             "cents": d.column(f"{detail_cents_col}_sum").cast(pa.int64()),
             "declared": pa.nulls(d.num_rows, pa.int64()),
+            "side": pa.array(np.zeros(d.num_rows, np.int8)),
         })
 
     def _mas(t: pa.Table) -> pa.Table:
+        # an explicit side tag, NOT is_valid(declared): a master row
+        # with a NULL declared total must stay a master and be
+        # REPORTED (it cannot reconcile), not silently re-routed to
+        # the detail side
         return pa.table({
             "k": t.column(key_col).combine_chunks().cast(pa.int64()),
             "cents": pa.nulls(t.num_rows, pa.int64()),
             "declared": t.column(master_cents_col).combine_chunks()
                         .cast(pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
         })
 
     tagged = (detail.map_batches(_det, batch_format="pyarrow",
@@ -959,16 +965,21 @@ def reconciliation_check(detail, master, key_col: str,
                                         batch_size=batch_size)))
 
     def _judge(bucket: pa.Table) -> pa.Table:
-        isd = pc.is_valid(bucket.column("declared").combine_chunks())
-        mas = bucket.filter(isd).select(["k", "declared"])
-        det = (bucket.filter(pc.invert(isd)).select(["k", "cents"])
+        ism = pc.equal(bucket.column("side").combine_chunks(),
+                       pa.scalar(1, pa.int8()))
+        mas = bucket.filter(ism).select(["k", "declared"])
+        det = (bucket.filter(pc.invert(ism)).select(["k", "cents"])
                .group_by("k").aggregate([("cents", "sum")]))
         j = mas.join(det, keys="k", join_type="left outer")
         computed = pc.fill_null(j.column("cents_sum"),
                                 pa.scalar(0, pa.int64()))
         diff = pc.subtract(j.column("declared"), computed)
-        bad = pc.greater(pc.abs(diff),
-                         pa.scalar(int(tol_cents), pa.int64()))
+        # a NULL declared total can never reconcile: report it (diff
+        # rides as null)
+        bad = pc.or_kleene(
+            pc.greater(pc.abs(diff),
+                       pa.scalar(int(tol_cents), pa.int64())),
+            pc.is_null(j.column("declared")))
         out = pa.table({
             "key": j.column("k"),
             "declared_cents": j.column("declared"),

@@ -2471,6 +2471,14 @@ def merge_minhash_by_key(sigs, key_col: str, n_buckets: int = 64,
     shingle set (tested bit-identical).  Input: (key, minhash) from
     ``MinHasher(densify=False)``; output: (key, minhash) densified."""
 
+    def _drop_null_keys(t: pa.Table) -> pa.Table:
+        # a null key (unparseable host) would NaN its dictionary index
+        # and crash the scatter-min with an opaque IndexError; null
+        # keys have no site identity, so they are vacuous here
+        return t.filter(pc.is_valid(t.column(key_col).combine_chunks()))
+
+    sigs = sigs.map_batches(_drop_null_keys, batch_format="pyarrow")
+
     def _merge(bucket: pa.Table) -> pa.Table:
         keys = bucket.column(key_col).combine_chunks()
         enc = pc.dictionary_encode(keys)

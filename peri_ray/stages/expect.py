@@ -156,36 +156,54 @@ def expectation_suite(ds, expectations: list[tuple],
         results[pos] = (extra, extra == 0)
 
     if ndvs:
+        # ALL NDV expectations share one tagged exchange (the
+        # inclusion_report pattern): per-batch distinct values per
+        # column, keyed (cid, value)
         from peri_ray.stages.dedup import map_groups_via_buckets
 
-        for pos, exp in ndvs:
-            col = exp[1]
+        cols = [e[1] for _, e in ndvs]
 
-            def _uniq(t: pa.Table, c=col) -> pa.Table:
+        def _uniq(t: pa.Table, cs=tuple(cols)) -> pa.Table:
+            cids, vals = [], []
+            for ci, c in enumerate(cs):
                 v = pc.unique(t.column(c).combine_chunks()
                               .cast(pa.string()).drop_null())
-                return pa.table({"v": v})
+                cids.append(np.full(len(v), ci, np.int64))
+                vals.append(v)
+            return pa.table({
+                "cid": pa.array(np.concatenate(cids) if cids
+                                else np.array([], np.int64)),
+                "v": pa.concat_arrays(vals) if vals
+                else pa.array([], pa.string())})
 
-            def _cnt(g: pa.Table) -> pa.Table:
-                return pa.table({"n": pa.array(
-                    [len(pc.unique(g.column("v").combine_chunks()))],
-                    pa.int64())})
+        def _cnt(g: pa.Table) -> pa.Table:
+            d = g.group_by(["cid", "v"]).aggregate([])
+            gg = pa.table({
+                "cid": d.column("cid"),
+                "n": pa.array(np.ones(d.num_rows, np.int64)),
+            }).group_by("cid").aggregate([("n", "sum")])
+            return gg.rename_columns(["cid", "n"])
 
-            ndv = 0
-            for r in map_groups_via_buckets(
-                    ds.map_batches(_uniq, batch_format="pyarrow",
-                                   batch_size=batch_size),
-                    ["v"], _cnt, n_buckets).iter_rows():
-                ndv += r["n"]
-            results[pos] = (ndv, exp[2] <= ndv <= exp[3])
+        ndv_acc = [0] * len(ndvs)
+        for r in map_groups_via_buckets(
+                ds.map_batches(_uniq, batch_format="pyarrow",
+                               batch_size=batch_size),
+                ["cid", "v"], _cnt, n_buckets).iter_rows():
+            ndv_acc[r["cid"]] += r["n"]
+        for ci, (pos, exp) in enumerate(ndvs):
+            results[pos] = (ndv_acc[ci],
+                            exp[2] <= ndv_acc[ci] <= exp[3])
 
     if fds:
+        # ALL FD expectations share fd_report's single exchange
         from peri_ray.stages.checks import fd_report
 
-        for pos, exp in fds:
-            rep = fd_report([("x", ds, exp[1], exp[2])],
-                            n_buckets=n_buckets).to_pylist()[0]
-            obs = rep["violating_lhs"]
+        rep = fd_report([(str(i), ds, exp[1], exp[2])
+                         for i, (_, exp) in enumerate(fds)],
+                        n_buckets=n_buckets).to_pylist()
+        by_label = {r["pair"]: r for r in rep}
+        for i, (pos, exp) in enumerate(fds):
+            obs = by_label[str(i)]["violating_lhs"]
             results[pos] = (obs, obs == 0)
 
     return pa.table({

@@ -2267,10 +2267,15 @@ def seed_link_distance(edges, seeds, max_hops: int = 8,
     resolve in a driver numpy BFS.  Above it, round r is ONE bucketed
     exchange keyed src: the hop-(r-1) frontier rows co-locate with
     each source's out-edges, emitting candidate (node, r) rows; a
-    second exchange keyed node keeps the minimum label and drops
-    nodes already settled (label < r), so each round ships
-    frontier-adjacent int rows only and settled nodes never travel
-    again.  Rounds = min(eccentricity, max_hops) — web graphs are
+    second exchange keyed node unions the candidates with the settled
+    labels and keeps the per-node minimum, so only nodes first
+    reached at hop r survive as the next frontier.  Per-round
+    exchange volume is the edge set (exchange 1, like every BSP
+    round here — pagerank ships its wedges each iteration too) plus
+    candidates + settled labels (exchange 2; the settled set must
+    travel because a node settled at hop 1 can be a candidate again
+    at hop 3, and dropping it requires comparing against the full
+    label table).  Rounds = min(eccentricity, max_hops) — web graphs are
     shallow from good seeds; unreached nodes within the bound simply
     don't appear (callers treat absence as "beyond max_hops").
 

@@ -2124,6 +2124,10 @@ def contingency_profile(ds, col_a: str, col_b: str,
                             batch_size=batch_size).iter_rows():
         k = (r["a"], r["b"])
         cells[k] = cells.get(k, 0) + r["c"]
+        if len(cells) > max_cells:  # guard DURING the merge, before
+            raise ValueError(       # the driver dict can blow up
+                f"contingency_profile: over {max_cells} observed "
+                f"cells; these columns are not enum-like")
 
     a_vals = sorted({k[0] for k in cells})
     b_vals = sorted({k[1] for k in cells})
@@ -2229,6 +2233,18 @@ def corr_matrix(ds, cols_scales, batch_size: int | None = 16384) -> pa.Table:
                          round_mode="half_towards_infinity") \
                 .cast(pa.int64()).to_numpy(zero_copy_only=False)
             ints.append(x.astype(np.int64))
+        # loud overflow guard: numpy int64 products WRAP silently
+        # (CLAUDE.md pitfall); verify the batch bound with Python ints
+        if tt.num_rows:
+            mx = [int(np.abs(v).max()) if len(v) else 0 for v in ints]
+            for i, j in prods:
+                if mx[i] * mx[j] * tt.num_rows > 2**63 - 1:
+                    raise ValueError(
+                        f"corr_matrix: moment partial for "
+                        f"({names[i]}, {names[j]}) would overflow "
+                        f"int64 (max|x|={mx[i]}, max|y|={mx[j]}, "
+                        f"batch={tt.num_rows}); lower batch_size or "
+                        f"the scales")
         out = {"n": pa.array([tt.num_rows], pa.int64())}
         for i in range(p):
             out[f"s{i}"] = pa.array([int(ints[i].sum())], pa.int64())

@@ -7455,3 +7455,22 @@ class TestExpectationSuiteExtensions:
         assert out["fd_holds:grp->tag"]["observed"] == 1
         assert out["fd_holds:grp->tag"]["passed"] is False
         assert out["fd_holds:id->tag"]["passed"] is True
+
+
+class TestReconciliationNullDeclared:
+    def test_null_declared_master_is_reported(self):
+        from peri_ray.stages.checks import reconciliation_check
+
+        d = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "cents": pa.array([10, 10], pa.int64())}))
+        m = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "declared": pa.array([10, None], pa.int64())}))
+        out = {r["key"]: r for r in reconciliation_check(
+            d, m, "k", "cents", "declared", n_buckets=4).take_all()}
+        # key 1 reconciles; key 2's NULL declared can never reconcile
+        assert set(out) == {2}
+        assert out[2]["declared_cents"] is None
+        assert out[2]["computed_cents"] == 10
+        assert out[2]["diff_cents"] is None
