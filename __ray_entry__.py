@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": q.readability_documents,
         "mirror_hosts_documents": q.mirror_hosts_documents,
         "url_overlap_recrawl": q.url_overlap_recrawl,
+        "term_index_probe": q.term_index_probe,
     }
 
 
@@ -3897,6 +3898,14 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(words AS DOUBLE))
                    ELSE NULL END AS flesch
               FROM c
+        """,
+        "term_index_probe": """
+            SELECT doc_id FROM documents
+             WHERE text IS NOT NULL
+               AND list_contains(regexp_split_to_array(trim(text),
+                                                       '\\s+'), 'merge')
+               AND list_contains(regexp_split_to_array(trim(text),
+                                                       '\\s+'), 'window')
         """,
     }
 

@@ -5330,3 +5330,22 @@ def url_overlap_recrawl(sf_dir: str):
                 _attach_web_columns, batch_format="pyarrow"))
 
     return hll_overlap_estimate(_half(2), _half(3), "url", "url")
+
+
+def term_index_probe(sf_dir: str):
+    """Persisted inverted-index retrieval: build the hash-sharded term
+    index under /tmp, then answer a two-term AND query reading only
+    the shards the terms hash to (text.write_term_index /
+    probe_term_index — the third persisted-artifact index after
+    minhash and Bloom).  Oracle: list_contains over the tokenizer
+    twin's regexp_split_to_array."""
+    import tempfile
+
+    from peri_ray.stages.text import probe_term_index, write_term_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="term_index_")
+    write_term_index(ds, out)
+    docs = probe_term_index(out, ["merge", "window"], mode="and")
+    return docs.map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")

@@ -1982,3 +1982,125 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_f, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def write_term_index(ds, out_dir: str, *, text_col: str = "text",
+                     id_col: str = "doc_id", n_shards: int = 64,
+                     batch_size: int | None = 8192) -> dict:
+    """Persist an inverted term index: distinct (term, doc) postings
+    hash-sharded by term into one parquet file per shard, plus a
+    sibling ``<dir>.index.json`` manifest (sibling, not in-dir — the
+    partition-discovery convention shared with the minhash and Bloom
+    indexes).  The production retrieval shape: the corpus is
+    tokenized ONCE; every later boolean probe reads ONLY the shards
+    its query terms hash to (file-level pruning), never the text.
+
+    Tokens come from :func:`flat_tokens` (THE tokenizer twin), so a
+    SQL twin of any probe is ``list_contains(regexp_split_to_array(
+    trim(text), '\\s+'), term)``.  Per-batch distinct (term, doc)
+    pairs ride one bucketed exchange keyed shard; each shard group
+    dedupes cross-batch pairs and writes its own file (resumable:
+    a re-run overwrites shard files idempotently)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from peri_ray.stages.checks import bucket_of
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _post(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        ok = pc.is_valid(txt)
+        tt = t.filter(ok)
+        if tt.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int32())})
+        flat, lens = flat_tokens(tt.column(text_col))
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        ids = (tt.column(id_col).combine_chunks().cast(pa.int64())
+               .take(pa.array(doc_idx)))
+        base = pa.table({"term": flat, "doc": ids})
+        base = base.filter(pc.greater(pc.utf8_length(
+            base.column("term").combine_chunks()), 0))
+        d = base.group_by(["term", "doc"]).aggregate([])
+        shard = bucket_of(d.column("term").combine_chunks(), n_shards)
+        return d.append_column("shard", shard.cast(pa.int32()))
+
+    def _write(g: pa.Table) -> pa.Table:
+        s = g.column("shard")[0].as_py()
+        d = (g.drop_columns(["shard"])
+             .group_by(["term", "doc"]).aggregate([]))
+        pq.write_table(d.sort_by([("term", "ascending"),
+                                  ("doc", "ascending")]),
+                       os.path.join(out_dir, f"shard_{s:05d}.parquet"))
+        return pa.table({"shard": pa.array([s], pa.int32()),
+                         "postings": pa.array([d.num_rows], pa.int64())})
+
+    written = (ds.map_batches(_post, batch_format="pyarrow",
+                              batch_size=batch_size)
+               .groupby("shard").map_groups(_write,
+                                            batch_format="pyarrow"))
+    total = int(written.sum("postings") or 0)
+    manifest = {"n_shards": n_shards, "id_col": id_col,
+                "postings": total}
+    with open(out_dir.rstrip("/") + ".index.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def probe_term_index(index_dir: str, terms: list[str],
+                     mode: str = "and"):
+    """Boolean retrieval against a :func:`write_term_index` artifact:
+    read ONLY the shard files the query terms hash to (file-level
+    pruning — at 64 shards a 3-term query touches <=3/64 of the
+    index), filter to the query terms, and keep docs carrying ALL
+    terms (``and``) or ANY term (``or``).  Distinct-term counting
+    per doc is one bucketed exchange over (doc, 1) int rows.
+    Returns a Dataset of (doc,)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from peri_ray.stages.checks import bucket_of
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    if mode not in ("and", "or"):
+        raise ValueError("probe_term_index: mode must be 'and' or 'or'")
+    qterms = sorted(set(terms))
+    if not qterms:
+        raise ValueError("probe_term_index: terms must be non-empty")
+    with open(index_dir.rstrip("/") + ".index.json") as f:
+        manifest = json.load(f)
+    shards = set(bucket_of(pa.array(qterms, pa.string()),
+                           manifest["n_shards"]).to_pylist())
+    files = [os.path.join(index_dir, f"shard_{s:05d}.parquet")
+             for s in sorted(shards)]
+    files = [p for p in files if os.path.exists(p)]
+    empty = rd.from_arrow(pa.table({"doc": pa.array([], pa.int64())}))
+    if not files:
+        return empty
+
+    qarr = pa.array(qterms, pa.string())
+
+    def _hits(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("term").combine_chunks(),
+                              value_set=qarr))
+        return pa.table({"doc": m.column("doc"),
+                         "c": pa.array(np.ones(m.num_rows, np.int64))})
+
+    hits = rd.read_parquet(files).map_batches(_hits,
+                                              batch_format="pyarrow")
+    counts = grouped_sum_via_buckets(hits, ["doc"], "c")
+    need = len(qterms) if mode == "and" else 1
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.greater_equal(
+            t.column("c").combine_chunks(),
+            pa.scalar(need, pa.int64())))
+            .select(["doc"]))
+
+    return counts.map_batches(_keep, batch_format="pyarrow")

@@ -7474,3 +7474,42 @@ class TestReconciliationNullDeclared:
         assert out[2]["declared_cents"] is None
         assert out[2]["computed_cents"] == 10
         assert out[2]["diff_cents"] is None
+
+
+class TestTermIndex:
+    def test_write_probe_and_or(self, tmp_path):
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["apple banana", "banana cherry",
+                              "apple cherry banana", None, "  "]),
+        })
+        out = str(tmp_path / "tix")
+        man = write_term_index(rd.from_arrow(t).repartition(3), out,
+                               n_shards=8)
+        # distinct postings: doc1{apple,banana} doc2{banana,cherry}
+        # doc3{apple,cherry,banana} = 7; null/blank docs contribute 0
+        assert man["postings"] == 7
+        got = {r["doc"] for r in probe_term_index(
+            out, ["apple", "banana"], mode="and").take_all()}
+        assert got == {1, 3}
+        got = {r["doc"] for r in probe_term_index(
+            out, ["apple", "cherry"], mode="or").take_all()}
+        assert got == {1, 2, 3}
+        # absent term: AND empties, OR unaffected
+        assert probe_term_index(out, ["apple", "zzz"],
+                                mode="and").count() == 0
+        with pytest.raises(ValueError, match="mode"):
+            probe_term_index(out, ["apple"], mode="xor")
+
+    def test_duplicate_tokens_one_posting(self, tmp_path):
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        t = pa.table({"doc_id": pa.array([9], pa.int64()),
+                      "text": pa.array(["dup dup dup dup"])})
+        out = str(tmp_path / "tix2")
+        man = write_term_index(rd.from_arrow(t), out, n_shards=4)
+        assert man["postings"] == 1
+        assert {r["doc"] for r in probe_term_index(
+            out, ["dup"]).take_all()} == {9}
