@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts_documents": q.mirror_hosts_documents,
         "url_overlap_recrawl": q.url_overlap_recrawl,
         "term_index_probe": q.term_index_probe,
+        "takedown_purge_documents": q.takedown_purge_documents,
     }
 
 
@@ -3906,6 +3907,23 @@ def oracle_sql() -> dict[str, str]:
                                                        '\\s+'), 'merge')
                AND list_contains(regexp_split_to_array(trim(text),
                                                        '\\s+'), 'window')
+        """,
+        "takedown_purge_documents": """
+            WITH fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3
+                          THEN 'copied syndicated article body'
+                          ELSE text END AS text
+                FROM documents),
+            dead AS (SELECT doc_id FROM fix
+                      WHERE doc_id % 30 = 13 OR doc_id = 1),
+            dtx AS (SELECT DISTINCT text FROM fix
+                     WHERE doc_id IN (SELECT doc_id FROM dead)
+                       AND text IS NOT NULL)
+            SELECT doc_id FROM fix
+             WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+               AND (text IS NULL
+                    OR text NOT IN (SELECT text FROM dtx))
         """,
     }
 

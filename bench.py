@@ -323,6 +323,8 @@ def run_bench() -> dict:
           lambda: q.url_overlap_recrawl(SF_DIR))
     timed("term_index_probe",
           lambda: q.term_index_probe(SF_DIR).to_pandas())
+    timed("takedown_purge",
+          lambda: q.takedown_purge_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

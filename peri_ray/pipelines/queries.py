@@ -5349,3 +5349,35 @@ def term_index_probe(sf_dir: str):
     docs = probe_term_index(out, ["merge", "window"], mode="and")
     return docs.map_batches(
         lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+
+
+def takedown_purge_documents(sf_dir: str):
+    """Deletion-compliance purge over a fixture with planted verbatim
+    copies: docs with doc_id % 10 == 3 share one syndicated body; the
+    takedown list is (doc_id % 30 == 13) plus doc 1 (organic text).
+    checks.takedown_purge must drop the listed ids AND every verbatim
+    copy of their content — surviving doc_ids are oracle-compared."""
+    from peri_ray.stages.checks import takedown_purge
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        text = pc.if_else(pa.array(ids % 10 == 3),
+                          pa.scalar("copied syndicated article body",
+                                    pa.string()),
+                          t.column("text").combine_chunks())
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fixture, batch_format="pyarrow").materialize()
+
+    def _dead(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"doc_id": pa.array(
+            ids[(ids % 30 == 13) | (ids == 1)], pa.int64())})
+
+    tomb = ds.map_batches(_dead, batch_format="pyarrow")
+    out = takedown_purge(ds, tomb)
+    return out.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow")

@@ -1119,3 +1119,54 @@ def hll_overlap_estimate(ds_a, ds_b, col_a: str, col_b: str,
         "est_containment_a": pa.array(
             [ov / na if na > 0 else None], pa.float64()),
     })
+
+
+def takedown_purge(ds, tombstones, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   batch_size: int | None = 65536):
+    """Deletion-compliance purge (GDPR erasure / DMCA takedown over a
+    web corpus): drop every tombstoned document AND every verbatim
+    copy of its content elsewhere in the corpus — removing only the
+    listed ids leaves the content alive under other urls, which fails
+    the compliance requirement.
+
+    ``tombstones`` is a Dataset of (id) — side-input scale (a legal
+    takedown list).  Two broadcast passes, zero shuffle: pass 1
+    collects the tombstoned docs' texts (bounded by the takedown
+    list); the id set and text set then broadcast in task closures
+    and pass 2 filters survivors.  At a takedown list too large to
+    broadcast, swap pass 2's membership test for the bucketed semi
+    join (:func:`peri_ray.stages.joins.hash_join` anti) — documented
+    seam, same semantics.  Returns the surviving rows (all input
+    columns)."""
+    dead_ids = set()
+    for r in tombstones.iter_rows():
+        dead_ids.add(int(r[id_col]))
+    if not dead_ids:
+        return ds
+    dead_arr = pa.array(sorted(dead_ids), pa.int64())
+
+    def _texts(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(
+            t.column(id_col).combine_chunks().cast(pa.int64()),
+            value_set=dead_arr))
+        return pa.table({"v": pc.unique(
+            m.column(text_col).combine_chunks().cast(pa.string())
+            .drop_null())})
+
+    dead_texts = set()
+    for r in ds.map_batches(_texts, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        dead_texts.add(r["v"])
+    text_arr = pa.array(sorted(dead_texts), pa.string())
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        txt = t.column(text_col).combine_chunks().cast(pa.string())
+        dead = pc.or_kleene(
+            pc.is_in(ids, value_set=dead_arr),
+            pc.fill_null(pc.is_in(txt, value_set=text_arr), False))
+        return t.filter(pc.invert(dead))
+
+    return ds.map_batches(_survivors, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -7513,3 +7513,30 @@ class TestTermIndex:
         assert man["postings"] == 1
         assert {r["doc"] for r in probe_term_index(
             out, ["dup"]).take_all()} == {9}
+
+
+class TestTakedownPurge:
+    def test_copies_purged_with_originals(self):
+        from peri_ray.stages.checks import takedown_purge
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(["secret", "other", "secret", "third",
+                              None, "fourth"]),
+        })
+        tomb = rd.from_arrow(pa.table({"doc_id": pa.array([1],
+                                                          pa.int64())}))
+        out = {r["doc_id"] for r in takedown_purge(
+            rd.from_arrow(t).repartition(3), tomb).take_all()}
+        # doc 1 tombstoned; doc 3 is a verbatim copy of its text;
+        # null-text doc 5 survives (null never equals a dead text)
+        assert out == {2, 4, 5, 6}
+
+    def test_empty_tombstones_noop(self):
+        from peri_ray.stages.checks import takedown_purge
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a", "b"])})
+        tomb = rd.from_arrow(pa.table({"doc_id": pa.array([],
+                                                          pa.int64())}))
+        assert takedown_purge(rd.from_arrow(t), tomb).count() == 2
