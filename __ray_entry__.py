@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_overlap_recrawl": q.url_overlap_recrawl,
         "term_index_probe": q.term_index_probe,
         "takedown_purge_documents": q.takedown_purge_documents,
+        "url_content_conflicts": q.url_content_conflicts,
     }
 
 
@@ -3924,6 +3925,20 @@ def oracle_sql() -> dict[str, str]:
              WHERE doc_id NOT IN (SELECT doc_id FROM dead)
                AND (text IS NULL
                     OR text NOT IN (SELECT text FROM dtx))
+        """,
+        "url_content_conflicts": f"""
+            WITH {_WEB_CANON_CTE},
+            g AS (SELECT c.url AS u, count(DISTINCT d.text) AS dd
+                    FROM canon c JOIN documents d USING (doc_id)
+                   WHERE c.url IS NOT NULL AND d.text IS NOT NULL
+                   GROUP BY c.url)
+            SELECT 'url->text' AS pair,
+                   CAST(count(*) AS BIGINT) AS lhs_distinct,
+                   CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violating_lhs,
+                   sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) = 0
+                     AS fd_holds
+              FROM g
         """,
     }
 

@@ -5381,3 +5381,18 @@ def takedown_purge_documents(sf_dir: str):
     out = takedown_purge(ds, tomb)
     return out.map_batches(lambda t: t.select(["doc_id"]),
                            batch_format="pyarrow")
+
+
+def url_content_conflicts(sf_dir: str):
+    """Crawl-consistency audit: does each CANONICAL url serve one
+    text?  The fixture maps 4 consecutive doc_ids onto one canonical
+    url (distinct organic texts), so the FD url -> text is heavily
+    violated — exactly what checks.fd_report counts (lhs values with
+    >1 distinct rhs).  A clean crawl keeps violating_lhs at 0."""
+    from peri_ray.stages.checks import fd_report
+    from peri_ray.stages.web import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = canonicalize_urls(
+        ds.map_batches(_attach_web_columns, batch_format="pyarrow"))
+    return fd_report([("url->text", ds, "url", "text")])
