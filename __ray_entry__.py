@@ -3928,10 +3928,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_content_conflicts": f"""
             WITH {_WEB_CANON_CTE},
-            g AS (SELECT c.url AS u, count(DISTINCT d.text) AS dd
+            g AS (SELECT c.canonical_url AS u,
+                         count(DISTINCT d.text) AS dd
                     FROM canon c JOIN documents d USING (doc_id)
-                   WHERE c.url IS NOT NULL AND d.text IS NOT NULL
-                   GROUP BY c.url)
+                   WHERE c.canonical_url IS NOT NULL
+                     AND d.text IS NOT NULL
+                   GROUP BY c.canonical_url)
             SELECT 'url->text' AS pair,
                    CAST(count(*) AS BIGINT) AS lhs_distinct,
                    CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END)

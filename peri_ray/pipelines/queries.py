@@ -5344,9 +5344,19 @@ def term_index_probe(sf_dir: str):
     from peri_ray.stages.text import probe_term_index, write_term_index
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    import os
+    import shutil
+
     out = tempfile.mkdtemp(prefix="term_index_")
-    write_term_index(ds, out)
-    docs = probe_term_index(out, ["merge", "window"], mode="and")
+    try:
+        write_term_index(ds, out)
+        docs = probe_term_index(out, ["merge", "window"],
+                                mode="and").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        mpath = out.rstrip("/") + ".index.json"
+        if os.path.exists(mpath):
+            os.remove(mpath)
     return docs.map_batches(
         lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
 
@@ -5388,11 +5398,13 @@ def url_content_conflicts(sf_dir: str):
     text?  The fixture maps 4 consecutive doc_ids onto one canonical
     url (distinct organic texts), so the FD url -> text is heavily
     violated — exactly what checks.fd_report counts (lhs values with
-    >1 distinct rhs).  A clean crawl keeps violating_lhs at 0."""
+    >1 distinct rhs).  A clean crawl keeps violating_lhs at 0.  The
+    audit keys on CANONICAL urls (raw urls are unique per capture by
+    construction, which would make the check vacuous)."""
     from peri_ray.stages.checks import fd_report
     from peri_ray.stages.web import canonicalize_urls
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     ds = canonicalize_urls(
         ds.map_batches(_attach_web_columns, batch_format="pyarrow"))
-    return fd_report([("url->text", ds, "url", "text")])
+    return fd_report([("url->text", ds, "canonical_url", "text")])

@@ -2043,9 +2043,24 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
                               batch_size=batch_size)
                .groupby("shard").map_groups(_write,
                                             batch_format="pyarrow"))
-    total = int(written.sum("postings") or 0)
+    rows = written.take_all()
+    total = sum(r["postings"] for r in rows)
+    shard_ids = sorted(int(r["shard"]) for r in rows)
+    # prune stale shard files from a previous build of the same dir
+    # (a shard that became empty would otherwise keep serving deleted
+    # postings), and pin a hash probe so a probe session whose string
+    # hash differs (polars version drift — its hash is documented
+    # unstable) fails LOUDLY instead of reading the wrong shards
+    keep = {f"shard_{s:05d}.parquet" for s in shard_ids}
+    for name in os.listdir(out_dir):
+        if name.startswith("shard_") and name not in keep:
+            os.remove(os.path.join(out_dir, name))
+    probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
+                                       pa.string()),
+                              n_shards).to_pylist()[0])
     manifest = {"n_shards": n_shards, "id_col": id_col,
-                "postings": total}
+                "postings": total, "shards": shard_ids,
+                "hash_probe": probe_val}
     with open(out_dir.rstrip("/") + ".index.json", "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -2075,11 +2090,27 @@ def probe_term_index(index_dir: str, terms: list[str],
         raise ValueError("probe_term_index: terms must be non-empty")
     with open(index_dir.rstrip("/") + ".index.json") as f:
         manifest = json.load(f)
+    probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
+                                       pa.string()),
+                              manifest["n_shards"]).to_pylist()[0])
+    if probe_val != manifest.get("hash_probe"):
+        raise ValueError(
+            "probe_term_index: this session's string hash disagrees "
+            "with the one the index was built with (polars version "
+            "drift?); rebuild the index or pin the environment")
+    written = set(manifest.get("shards", []))
     shards = set(bucket_of(pa.array(qterms, pa.string()),
                            manifest["n_shards"]).to_pylist())
-    files = [os.path.join(index_dir, f"shard_{s:05d}.parquet")
-             for s in sorted(shards)]
-    files = [p for p in files if os.path.exists(p)]
+    files = []
+    for s in sorted(shards):
+        if s not in written:
+            continue  # genuinely empty shard, recorded at build
+        p = os.path.join(index_dir, f"shard_{s:05d}.parquet")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"probe_term_index: shard {s} is in the manifest but "
+                f"{p} is missing — the index is corrupt")
+        files.append(p)
     empty = rd.from_arrow(pa.table({"doc": pa.array([], pa.int64())}))
     if not files:
         return empty

@@ -7540,3 +7540,43 @@ class TestTakedownPurge:
         tomb = rd.from_arrow(pa.table({"doc_id": pa.array([],
                                                           pa.int64())}))
         assert takedown_purge(rd.from_arrow(t), tomb).count() == 2
+
+
+class TestTermIndexManifest:
+    def test_rebuild_prunes_stale_shards(self, tmp_path):
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        out = str(tmp_path / "tix3")
+        full = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": pa.array(["alpha beta", "gamma"])})
+        write_term_index(rd.from_arrow(full), out, n_shards=4)
+        # rebuild with gamma's doc deleted: its shard may now be
+        # empty; the probe must NOT resurrect the stale posting
+        small = pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "text": pa.array(["alpha beta"])})
+        man = write_term_index(rd.from_arrow(small), out, n_shards=4)
+        assert man["postings"] == 2
+        assert probe_term_index(out, ["gamma"]).count() == 0
+        assert {r["doc"] for r in probe_term_index(
+            out, ["alpha"]).take_all()} == {1}
+
+    def test_manifest_missing_file_raises(self, tmp_path):
+        import json
+        import os
+
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        out = str(tmp_path / "tix4")
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["lonely"])})
+        man = write_term_index(rd.from_arrow(t), out, n_shards=4)
+        (s,) = man["shards"]
+        os.remove(os.path.join(out, f"shard_{s:05d}.parquet"))
+        with pytest.raises(FileNotFoundError, match="corrupt"):
+            probe_term_index(out, ["lonely"]).take_all()
+        # hash-probe drift detection
+        j = json.load(open(out + ".index.json"))
+        j["hash_probe"] = j["hash_probe"] + 1
+        json.dump(j, open(out + ".index.json", "w"))
+        with pytest.raises(ValueError, match="hash"):
+            probe_term_index(out, ["lonely"])
