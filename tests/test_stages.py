@@ -7580,3 +7580,34 @@ class TestTermIndexManifest:
         json.dump(j, open(out + ".index.json", "w"))
         with pytest.raises(ValueError, match="hash"):
             probe_term_index(out, ["lonely"])
+
+
+class TestTermIndexFuzz:
+    def test_random_corpora_vs_duckdb(self, tmp_path):
+        import duckdb
+
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        rng = np.random.default_rng(79)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        for trial in range(3):
+            n = int(rng.integers(10, 80))
+            texts = [" ".join(rng.choice(vocab,
+                                         int(rng.integers(1, 8))))
+                     if rng.random() > 0.1 else None for _ in range(n)]
+            t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+            out = str(tmp_path / f"fz{trial}")
+            write_term_index(rd.from_arrow(t).repartition(3), out,
+                             n_shards=8)
+            q = [str(x) for x in rng.choice(vocab, 2, replace=False)]
+            for mode, op in (("and", " AND "), ("or", " OR ")):
+                got = {r["doc"] for r in probe_term_index(
+                    out, q, mode=mode).take_all()}
+                cond = op.join(
+                    "list_contains(regexp_split_to_array(trim(text),"
+                    f" '\\s+'), '{term}')" for term in q)
+                want = {r[0] for r in duckdb.arrow(t).query(
+                    "t", f"SELECT doc_id FROM t WHERE text IS NOT "
+                         f"NULL AND ({cond})").fetchall()}
+                assert got == want, (trial, mode)
