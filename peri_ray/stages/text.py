@@ -2066,14 +2066,21 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
     return manifest
 
 
-def probe_term_index(index_dir: str, terms: list[str],
+def probe_term_index(index_dir, terms: list[str],
                      mode: str = "and"):
-    """Boolean retrieval against a :func:`write_term_index` artifact:
-    read ONLY the shard files the query terms hash to (file-level
-    pruning — at 64 shards a 3-term query touches <=3/64 of the
-    index), filter to the query terms, and keep docs carrying ALL
-    terms (``and``) or ANY term (``or``).  Distinct-term counting
+    """Boolean retrieval against one or more :func:`write_term_index`
+    artifacts: read ONLY the shard files the query terms hash to
+    (file-level pruning — at 64 shards a 3-term query touches <=3/64
+    of each index), filter to the query terms, and keep docs carrying
+    ALL terms (``and``) or ANY term (``or``).  Distinct-term counting
     per doc is one bucketed exchange over (doc, 1) int rows.
+
+    ``index_dir`` may be a LIST of index directories — the
+    incremental-corpus shape: the base crawl is indexed once, each
+    delta gets its own small index, and probes union them without any
+    rebuild.  Doc-id spaces must be disjoint across indexes (each doc
+    lives in exactly one index; a doc UPDATED in a delta needs the
+    base tombstoned, which is the compaction story, not the probe's).
     Returns a Dataset of (doc,)."""
     import json
     import os
@@ -2088,29 +2095,32 @@ def probe_term_index(index_dir: str, terms: list[str],
     qterms = sorted(set(terms))
     if not qterms:
         raise ValueError("probe_term_index: terms must be non-empty")
-    with open(index_dir.rstrip("/") + ".index.json") as f:
-        manifest = json.load(f)
-    probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
-                                       pa.string()),
-                              manifest["n_shards"]).to_pylist()[0])
-    if probe_val != manifest.get("hash_probe"):
-        raise ValueError(
-            "probe_term_index: this session's string hash disagrees "
-            "with the one the index was built with (polars version "
-            "drift?); rebuild the index or pin the environment")
-    written = set(manifest.get("shards", []))
-    shards = set(bucket_of(pa.array(qterms, pa.string()),
-                           manifest["n_shards"]).to_pylist())
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
     files = []
-    for s in sorted(shards):
-        if s not in written:
-            continue  # genuinely empty shard, recorded at build
-        p = os.path.join(index_dir, f"shard_{s:05d}.parquet")
-        if not os.path.exists(p):
-            raise FileNotFoundError(
-                f"probe_term_index: shard {s} is in the manifest but "
-                f"{p} is missing — the index is corrupt")
-        files.append(p)
+    for d in dirs:
+        with open(d.rstrip("/") + ".index.json") as f:
+            manifest = json.load(f)
+        probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
+                                           pa.string()),
+                                  manifest["n_shards"]).to_pylist()[0])
+        if probe_val != manifest.get("hash_probe"):
+            raise ValueError(
+                "probe_term_index: this session's string hash "
+                "disagrees with the one the index was built with "
+                "(polars version drift?); rebuild the index or pin "
+                "the environment")
+        written = set(manifest.get("shards", []))
+        shards = set(bucket_of(pa.array(qterms, pa.string()),
+                               manifest["n_shards"]).to_pylist())
+        for s in sorted(shards):
+            if s not in written:
+                continue  # genuinely empty shard, recorded at build
+            p = os.path.join(d, f"shard_{s:05d}.parquet")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"probe_term_index: shard {s} is in the manifest "
+                    f"but {p} is missing — the index is corrupt")
+            files.append(p)
     empty = rd.from_arrow(pa.table({"doc": pa.array([], pa.int64())}))
     if not files:
         return empty

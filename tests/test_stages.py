@@ -7611,3 +7611,25 @@ class TestTermIndexFuzz:
                     "t", f"SELECT doc_id FROM t WHERE text IS NOT "
                          f"NULL AND ({cond})").fetchall()}
                 assert got == want, (trial, mode)
+
+
+class TestTermIndexIncremental:
+    def test_base_plus_delta_union(self, tmp_path):
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        base = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": pa.array(["alpha beta", "beta gamma"])})
+        delta = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                          "text": pa.array(["alpha gamma", "delta"])})
+        b, d = str(tmp_path / "base"), str(tmp_path / "delta")
+        write_term_index(rd.from_arrow(base), b, n_shards=8)
+        write_term_index(rd.from_arrow(delta), d, n_shards=4)
+        got = {r["doc"] for r in probe_term_index(
+            [b, d], ["alpha"], mode="and").take_all()}
+        assert got == {1, 10}
+        got = {r["doc"] for r in probe_term_index(
+            [b, d], ["beta", "gamma"], mode="and").take_all()}
+        assert got == {2}
+        got = {r["doc"] for r in probe_term_index(
+            [b, d], ["delta", "alpha"], mode="or").take_all()}
+        assert got == {1, 10, 11}
