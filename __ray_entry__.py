@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_index_probe": q.term_index_probe,
         "takedown_purge_documents": q.takedown_purge_documents,
         "url_content_conflicts": q.url_content_conflicts,
+        "bm25_index_top_docs": q.bm25_index_top_docs,
     }
 
 
@@ -3941,6 +3942,71 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) = 0
                      AS fd_holds
               FROM g
+        """,
+        "bm25_index_top_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            lens AS (SELECT doc_id, len(ws) AS dl FROM toks),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+                FROM lens
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+               WHERE tok IN ('spark', 'window', 'merge')
+               GROUP BY doc_id, tok
+            ),
+            df AS (
+              SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY tok
+            ),
+            idf AS (
+              SELECT tok,
+                     ln((CAST(s.n - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) AS idf
+                FROM df CROSS JOIN stats s
+            ),
+            piv AS (
+              SELECT l.doc_id, l.dl,
+                     max(CASE WHEN t.tok = 'spark' THEN t.tf END) AS tf0,
+                     max(CASE WHEN t.tok = 'window' THEN t.tf END) AS tf1,
+                     max(CASE WHEN t.tok = 'merge' THEN t.tf END) AS tf2
+                FROM lens l LEFT JOIN tf t ON t.doc_id = l.doc_id
+               GROUP BY l.doc_id, l.dl
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     (CASE WHEN p.tf0 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'spark')
+                          * (p.tf0 * (1.2 + 1.0))
+                          / (p.tf0 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END)
+                   + (CASE WHEN p.tf1 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'window')
+                          * (p.tf1 * (1.2 + 1.0))
+                          / (p.tf1 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END)
+                   + (CASE WHEN p.tf2 IS NOT NULL THEN
+                        (SELECT idf FROM idf WHERE tok = 'merge')
+                          * (p.tf2 * (1.2 + 1.0))
+                          / (p.tf2 + 1.2 * (1 - 0.75 + 0.75 *
+                               (CAST(p.dl AS DOUBLE) / s.avgdl)))
+                      ELSE 0.0 END) AS score
+                FROM piv p CROSS JOIN stats s
+            )
+            SELECT doc_id, score, rank FROM (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER
+                          (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM scored WHERE score > 0.0
+            ) WHERE rank <= 20
         """,
     }
 

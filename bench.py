@@ -327,6 +327,8 @@ def run_bench() -> dict:
           lambda: q.takedown_purge_documents(SF_DIR).to_pandas())
     timed("url_content_conflicts",
           lambda: q.url_content_conflicts(SF_DIR))
+    timed("bm25_index_top_docs",
+          lambda: q.bm25_index_top_docs(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5408,3 +5408,28 @@ def url_content_conflicts(sf_dir: str):
     ds = canonicalize_urls(
         ds.map_batches(_attach_web_columns, batch_format="pyarrow"))
     return fd_report([("url->text", ds, "canonical_url", "text")])
+
+
+def bm25_index_top_docs(sf_dir: str):
+    """BM25 top-20 through the PERSISTED index (text.bm25_probe_index)
+    — identical query and score expression to bm25_top_docs, but the
+    corpus text is read only at index build; the probe touches the
+    query terms' shards plus the doclen sidecar.  Shares
+    bm25_top_docs' oracle shape bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from peri_ray.stages.text import bm25_probe_index, write_term_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        write_term_index(ds, out)
+        top = bm25_probe_index(out, ["spark", "window", "merge"], k=20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        mpath = out.rstrip("/") + ".index.json"
+        if os.path.exists(mpath):
+            os.remove(mpath)
+    return top.rename_columns(["doc_id", "score", "rank"])

@@ -2025,14 +2025,18 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
         base = pa.table({"term": flat, "doc": ids})
         base = base.filter(pc.greater(pc.utf8_length(
             base.column("term").combine_chunks()), 0))
-        d = base.group_by(["term", "doc"]).aggregate([])
+        d = (base.group_by(["term", "doc"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["term", "doc", "tf"]))
+        d = d.set_column(2, "tf", d.column("tf").cast(pa.int64()))
         shard = bucket_of(d.column("term").combine_chunks(), n_shards)
         return d.append_column("shard", shard.cast(pa.int32()))
 
     def _write(g: pa.Table) -> pa.Table:
         s = g.column("shard")[0].as_py()
         d = (g.drop_columns(["shard"])
-             .group_by(["term", "doc"]).aggregate([]))
+             .group_by(["term", "doc"]).aggregate([("tf", "sum")])
+             .rename_columns(["term", "doc", "tf"]))
         pq.write_table(d.sort_by([("term", "ascending"),
                                   ("doc", "ascending")]),
                        os.path.join(out_dir, f"shard_{s:05d}.parquet"))
@@ -2046,21 +2050,62 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
     rows = written.take_all()
     total = sum(r["postings"] for r in rows)
     shard_ids = sorted(int(r["shard"]) for r in rows)
+
+    # doclen sidecar (doc, dl) hash-sharded by doc + exact corpus
+    # stats: BM25 needs per-doc length and avgdl; dl uses the SAME
+    # flat_tokens length as bm25_topk (whitespace tokens, so an
+    # all-blank text counts its one empty token)
+    def _dl(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        tt = t.filter(pc.is_valid(txt))
+        if tt.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "dshard": pa.array([], pa.int32())})
+        _, lens = flat_tokens(tt.column(text_col))
+        docs = tt.column(id_col).combine_chunks().cast(pa.int64())
+        dsh = bucket_of(docs.cast(pa.string()), n_shards)
+        return pa.table({"doc": docs,
+                         "dl": pa.array(lens, pa.int64()),
+                         "dshard": dsh.cast(pa.int32())})
+
+    def _dl_write(g: pa.Table) -> pa.Table:
+        s = g.column("dshard")[0].as_py()
+        d = g.drop_columns(["dshard"]).sort_by([("doc", "ascending")])
+        pq.write_table(d, os.path.join(out_dir,
+                                       f"doclen_{s:05d}.parquet"))
+        return pa.table({"dshard": pa.array([s], pa.int32()),
+                         "n": pa.array([d.num_rows], pa.int64()),
+                         "sdl": pa.array(
+                             [int(pc.sum(d.column("dl")).as_py() or 0)],
+                             pa.int64())})
+
+    dl_rows = (ds.map_batches(_dl, batch_format="pyarrow",
+                              batch_size=batch_size)
+               .groupby("dshard").map_groups(_dl_write,
+                                             batch_format="pyarrow")
+               .take_all())
+    n_docs = sum(r["n"] for r in dl_rows)
+    sum_dl = sum(r["sdl"] for r in dl_rows)
+    dl_shard_ids = sorted(int(r["dshard"]) for r in dl_rows)
     # prune stale shard files from a previous build of the same dir
     # (a shard that became empty would otherwise keep serving deleted
     # postings), and pin a hash probe so a probe session whose string
     # hash differs (polars version drift — its hash is documented
     # unstable) fails LOUDLY instead of reading the wrong shards
-    keep = {f"shard_{s:05d}.parquet" for s in shard_ids}
+    keep = {f"shard_{s:05d}.parquet" for s in shard_ids} | \
+        {f"doclen_{s:05d}.parquet" for s in dl_shard_ids}
     for name in os.listdir(out_dir):
-        if name.startswith("shard_") and name not in keep:
+        if ((name.startswith("shard_") or name.startswith("doclen_"))
+                and name not in keep):
             os.remove(os.path.join(out_dir, name))
     probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
                                        pa.string()),
                               n_shards).to_pylist()[0])
     manifest = {"n_shards": n_shards, "id_col": id_col,
                 "postings": total, "shards": shard_ids,
-                "hash_probe": probe_val}
+                "doclen_shards": dl_shard_ids, "n_docs": n_docs,
+                "sum_dl": sum_dl, "hash_probe": probe_val}
     with open(out_dir.rstrip("/") + ".index.json", "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -2145,3 +2190,160 @@ def probe_term_index(index_dir, terms: list[str],
             .select(["doc"]))
 
     return counts.map_batches(_keep, batch_format="pyarrow")
+
+
+def bm25_probe_index(index_dir: str, terms: list[str], k: int = 20,
+                     k1: float = 1.2, b: float = 0.75,
+                     n_buckets: int = 64):
+    """Ranked BM25 retrieval FROM the persisted term index — the
+    corpus text is never read: term postings (with tf) come from the
+    query terms' shards only, per-doc lengths from the doclen
+    sidecar, N/avgdl from the manifest, and df per term is the
+    posting-list length (each shard holds its terms' WHOLE lists).
+
+    Scoring mirrors :class:`_BM25ScorePartial` expression-for-
+    expression in the same fixed term order, so the result matches
+    the two-pass :func:`bm25_topk` and its SQL twin bit-for-bit.
+    ONE bucketed exchange keyed doc co-locates a doc's hit postings
+    with its doclen row; each bucket pivots tf per term, scores, and
+    keeps a local top-k — driver merge is buckets × k.  The doclen
+    side ships corpus-bounded (doc, int) rows; a Bloom-pruned doclen
+    read is the documented next step for needle queries.  Returns
+    (doc, score, rank), rank 1..k by (score DESC, doc ASC)."""
+    import json
+    import math
+    import os
+
+    import ray.data as rd
+
+    from peri_ray.stages.checks import bucket_of
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    qterms = tuple(dict.fromkeys(terms))  # fixed order, deduped
+    if not qterms:
+        raise ValueError("bm25_probe_index: terms must be non-empty")
+    with open(index_dir.rstrip("/") + ".index.json") as f:
+        manifest = json.load(f)
+    probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
+                                       pa.string()),
+                              manifest["n_shards"]).to_pylist()[0])
+    if probe_val != manifest.get("hash_probe"):
+        raise ValueError(
+            "bm25_probe_index: string-hash drift vs the build session; "
+            "rebuild the index or pin the environment")
+    n = manifest["n_docs"]
+    empty = pa.table({"doc": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    avgdl = float(manifest["sum_dl"]) / float(n)
+
+    written = set(manifest.get("shards", []))
+    shards = set(bucket_of(pa.array(list(qterms), pa.string()),
+                           manifest["n_shards"]).to_pylist())
+    files = []
+    for s in sorted(shards):
+        if s not in written:
+            continue
+        p = os.path.join(index_dir, f"shard_{s:05d}.parquet")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"bm25_probe_index: shard {s} in manifest but missing")
+        files.append(p)
+    if not files:
+        return empty
+    qarr = pa.array(list(qterms), pa.string())
+
+    def _hits(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("term").combine_chunks(),
+                              value_set=qarr))
+        return pa.table({"doc": m.column("doc"),
+                         "term": m.column("term"),
+                         "tf": m.column("tf"),
+                         "dl": pa.nulls(m.num_rows, pa.int64())})
+
+    hits = rd.read_parquet(files).map_batches(
+        _hits, batch_format="pyarrow").materialize()
+
+    # df per term = posting rows per term (shards hold whole lists)
+    df = {t: 0 for t in qterms}
+    for r in hits.map_batches(
+            lambda t: (t.select(["term"]).group_by("term")
+                       .aggregate([([], "count_all")])
+                       .rename_columns(["term", "c"])),
+            batch_format="pyarrow").iter_rows():
+        df[r["term"]] = df.get(r["term"], 0) + r["c"]
+    idfs = tuple(
+        math.log((float(n - df[t]) + 0.5) / (float(df[t]) + 0.5) + 1.0)
+        for t in qterms)
+
+    dl_files = [os.path.join(index_dir, f"doclen_{s:05d}.parquet")
+                for s in manifest.get("doclen_shards", [])]
+    for p in dl_files:
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"bm25_probe_index: doclen file missing: {p}")
+    doclen = rd.read_parquet(dl_files).map_batches(
+        lambda t: pa.table({
+            "doc": t.column("doc"),
+            "term": pa.nulls(t.num_rows, pa.string()),
+            "tf": pa.nulls(t.num_rows, pa.int64()),
+            "dl": t.column("dl")}),
+        batch_format="pyarrow")
+
+    def _score(bucket: pa.Table, qt=qterms, idf=idfs) -> pa.Table:
+        isdl = pc.is_valid(bucket.column("dl").combine_chunks())
+        dlt = bucket.filter(isdl).select(["doc", "dl"])
+        ht = bucket.filter(pc.invert(isdl))
+        if ht.num_rows == 0 or dlt.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        dlt = dlt.sort_by([("doc", "ascending")])
+        docs = dlt.column("doc").combine_chunks()
+        docs_np = docs.to_numpy(zero_copy_only=False)
+        nd = dlt.num_rows
+        dl = (dlt.column("dl").combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.float64))
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        hd = ht.column("doc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hterm = ht.column("term").combine_chunks()
+        htf = ht.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hpos = np.searchsorted(docs_np, hd)
+        if len(hd) and ((hpos >= nd).any()
+                        or (docs_np[np.minimum(hpos, nd - 1)]
+                            != hd).any()):
+            raise ValueError(
+                "bm25_probe_index: posting references a doc with no "
+                "doclen row — the index is corrupt")
+        score = np.zeros(nd, np.float64)
+        for ti, (term, tidf) in enumerate(zip(qt, idf)):
+            m = pc.equal(hterm, term).to_numpy(zero_copy_only=False)
+            tf = np.zeros(nd, np.float64)
+            if m.any():
+                tf[hpos[m]] = htf[m]
+            contrib = tidf * (tf * (k1 + 1.0)) / (tf + norm)
+            contrib[tf == 0.0] = 0.0
+            score = score + contrib
+        keep = score > 0.0
+        out_docs = docs_np[keep]
+        out_sc = score[keep]
+        if len(out_docs) > k:
+            order = np.lexsort((out_docs, -out_sc))[:k]
+            out_docs, out_sc = out_docs[order], out_sc[order]
+        return pa.table({"doc": pa.array(out_docs, pa.int64()),
+                         "score": pa.array(out_sc, pa.float64())})
+
+    partials = map_groups_via_buckets(hits.union(doclen), ["doc"],
+                                      _score, n_buckets).take_all()
+    if not partials:
+        return empty
+    ids = np.array([r["doc"] for r in partials], np.int64)
+    sc = np.array([r["score"] for r in partials], np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({"doc": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(sc[order], pa.float64()),
+                     "rank": pa.array(np.arange(1, len(order) + 1),
+                                      pa.int64())})

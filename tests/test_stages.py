@@ -7633,3 +7633,47 @@ class TestTermIndexIncremental:
         got = {r["doc"] for r in probe_term_index(
             [b, d], ["delta", "alpha"], mode="or").take_all()}
         assert got == {1, 10, 11}
+
+
+class TestBM25ProbeIndex:
+    def test_matches_two_pass_bm25(self, tmp_path):
+        from peri_ray.stages.text import (bm25_probe_index, bm25_topk,
+                                          write_term_index)
+
+        rng = np.random.default_rng(83)
+        vocab = ["spark", "window", "merge", "row", "col", "agg"]
+        n = 300
+        texts = [" ".join(rng.choice(vocab, int(rng.integers(3, 25))))
+                 for _ in range(n)]
+        texts[5] = None
+        t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ds = rd.from_arrow(t).repartition(5)
+        out = str(tmp_path / "bmix")
+        write_term_index(ds, out, n_shards=8)
+
+        terms = ["spark", "merge"]
+        want = bm25_topk(ds, terms, k=15).to_pylist()
+        got = bm25_probe_index(out, terms, k=15,
+                               n_buckets=8).to_pylist()
+        assert len(got) == len(want) == 15
+        for g, w in zip(got, want):
+            assert g["doc"] == w["doc_id"]
+            assert g["rank"] == w["rank"]
+            assert g["score"] == w["score"]  # bit-identical expression
+
+    def test_rare_and_absent_terms(self, tmp_path):
+        from peri_ray.stages.text import bm25_probe_index, write_term_index
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["needle in hay", "hay hay hay",
+                              "just hay"]),
+        })
+        out = str(tmp_path / "bmix2")
+        write_term_index(rd.from_arrow(t), out, n_shards=4)
+        got = bm25_probe_index(out, ["needle"], k=5,
+                               n_buckets=4).to_pylist()
+        assert [r["doc"] for r in got] == [1]
+        assert bm25_probe_index(out, ["absent"], k=5,
+                                n_buckets=4).num_rows == 0
