@@ -2347,3 +2347,100 @@ def bm25_probe_index(index_dir: str, terms: list[str], k: int = 20,
                      "score": pa.array(sc[order], pa.float64()),
                      "rank": pa.array(np.arange(1, len(order) + 1),
                                       pa.int64())})
+
+
+def compact_term_indexes(index_dirs: list, out_dir: str) -> dict:
+    """Merge several :func:`write_term_index` artifacts (a base crawl
+    plus accumulated deltas) into one index — the maintenance step
+    that keeps probe fan-out bounded as deltas pile up.  Postings
+    re-shard through the same bucketed exchange as a fresh build and
+    tf sums per (term, doc); doclen sidecars concatenate; manifest
+    stats add.  Doc-id spaces must be disjoint across inputs (the
+    probe contract; a recaptured doc needs the base row tombstoned
+    before compaction, or its tf/doclen would double-count).  The
+    merged index hashes shards with THIS session's string hash, so
+    inputs built under a different hash are safe to compact — the
+    output manifest pins the new probe value."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from peri_ray.stages.checks import bucket_of
+
+    if not index_dirs:
+        raise ValueError("compact_term_indexes: need at least one input")
+    n_docs = 0
+    sum_dl = 0
+    post_files, dl_files = [], []
+    n_shards = None
+    for d in index_dirs:
+        with open(d.rstrip("/") + ".index.json") as f:
+            man = json.load(f)
+        if n_shards is None:
+            n_shards = man["n_shards"]
+        n_docs += man["n_docs"]
+        sum_dl += man["sum_dl"]
+        post_files += [os.path.join(d, f"shard_{s:05d}.parquet")
+                       for s in man.get("shards", [])]
+        dl_files += [os.path.join(d, f"doclen_{s:05d}.parquet")
+                     for s in man.get("doclen_shards", [])]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _reshard(t: pa.Table) -> pa.Table:
+        sh = bucket_of(t.column("term").combine_chunks(), n_shards)
+        return t.append_column("shard", sh.cast(pa.int32()))
+
+    def _write(g: pa.Table) -> pa.Table:
+        s = g.column("shard")[0].as_py()
+        d = (g.drop_columns(["shard"])
+             .group_by(["term", "doc"]).aggregate([("tf", "sum")])
+             .rename_columns(["term", "doc", "tf"]))
+        pq.write_table(d.sort_by([("term", "ascending"),
+                                  ("doc", "ascending")]),
+                       os.path.join(out_dir, f"shard_{s:05d}.parquet"))
+        return pa.table({"shard": pa.array([s], pa.int32()),
+                         "postings": pa.array([d.num_rows], pa.int64())})
+
+    rows = (rd.read_parquet(post_files).map_batches(
+        _reshard, batch_format="pyarrow")
+        .groupby("shard").map_groups(_write, batch_format="pyarrow")
+        .take_all())
+    shard_ids = sorted(int(r["shard"]) for r in rows)
+    total = sum(r["postings"] for r in rows)
+
+    def _dl_reshard(t: pa.Table) -> pa.Table:
+        dsh = bucket_of(t.column("doc").combine_chunks()
+                        .cast(pa.string()), n_shards)
+        return t.append_column("dshard", dsh.cast(pa.int32()))
+
+    def _dl_write(g: pa.Table) -> pa.Table:
+        s = g.column("dshard")[0].as_py()
+        d = g.drop_columns(["dshard"]).sort_by([("doc", "ascending")])
+        pq.write_table(d, os.path.join(out_dir,
+                                       f"doclen_{s:05d}.parquet"))
+        return pa.table({"dshard": pa.array([s], pa.int32())})
+
+    dl_rows = (rd.read_parquet(dl_files).map_batches(
+        _dl_reshard, batch_format="pyarrow")
+        .groupby("dshard").map_groups(_dl_write,
+                                      batch_format="pyarrow")
+        .take_all())
+    dl_shard_ids = sorted(int(r["dshard"]) for r in dl_rows)
+    keep = {f"shard_{s:05d}.parquet" for s in shard_ids} | \
+        {f"doclen_{s:05d}.parquet" for s in dl_shard_ids}
+    for name in os.listdir(out_dir):
+        if ((name.startswith("shard_") or name.startswith("doclen_"))
+                and name not in keep):
+            os.remove(os.path.join(out_dir, name))
+    probe_val = int(bucket_of(pa.array(["__peri_hash_probe__"],
+                                       pa.string()),
+                              n_shards).to_pylist()[0])
+    manifest = {"n_shards": n_shards, "id_col": "doc_id",
+                "postings": total, "shards": shard_ids,
+                "doclen_shards": dl_shard_ids, "n_docs": n_docs,
+                "sum_dl": sum_dl, "hash_probe": probe_val}
+    with open(out_dir.rstrip("/") + ".index.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest

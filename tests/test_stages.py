@@ -7677,3 +7677,36 @@ class TestBM25ProbeIndex:
         assert [r["doc"] for r in got] == [1]
         assert bm25_probe_index(out, ["absent"], k=5,
                                 n_buckets=4).num_rows == 0
+
+
+class TestCompactTermIndexes:
+    def test_compacted_equals_fresh_build(self, tmp_path):
+        from peri_ray.stages.text import (bm25_probe_index,
+                                          compact_term_indexes,
+                                          probe_term_index,
+                                          write_term_index)
+
+        rng = np.random.default_rng(89)
+        vocab = ["spark", "window", "merge", "row", "col"]
+        texts = [" ".join(rng.choice(vocab, int(rng.integers(2, 15))))
+                 for _ in range(120)]
+        full = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                         "text": pa.array(texts)})
+        base_t, delta_t = full.slice(0, 80), full.slice(80)
+        b, d, m, f = (str(tmp_path / x) for x in
+                      ("base", "delta", "merged", "fresh"))
+        write_term_index(rd.from_arrow(base_t), b, n_shards=8)
+        write_term_index(rd.from_arrow(delta_t), d, n_shards=8)
+        man_m = compact_term_indexes([b, d], m)
+        man_f = write_term_index(rd.from_arrow(full), f, n_shards=8)
+        assert man_m["postings"] == man_f["postings"]
+        assert man_m["n_docs"] == man_f["n_docs"]
+        assert man_m["sum_dl"] == man_f["sum_dl"]
+        # boolean + ranked probes identical to the fresh build
+        for q in (["spark"], ["merge", "window"]):
+            gm = {r["doc"] for r in probe_term_index(m, q).take_all()}
+            gf = {r["doc"] for r in probe_term_index(f, q).take_all()}
+            assert gm == gf
+        rm = bm25_probe_index(m, ["spark", "merge"], k=10).to_pylist()
+        rf = bm25_probe_index(f, ["spark", "merge"], k=10).to_pylist()
+        assert rm == rf
