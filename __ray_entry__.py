@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "takedown_purge_documents": q.takedown_purge_documents,
         "url_content_conflicts": q.url_content_conflicts,
         "bm25_index_top_docs": q.bm25_index_top_docs,
+        "phrase_probe_documents": q.phrase_probe_documents,
     }
 
 
@@ -4007,6 +4008,17 @@ def oracle_sql() -> dict[str, str]:
                           (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
                 FROM scored WHERE score > 0.0
             ) WHERE rank <= 20
+        """,
+        "phrase_probe_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(len(ws) - 1),
+                            i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+                    FROM toks WHERE len(ws) >= 2)
+            SELECT DISTINCT doc_id FROM g WHERE bg = 'merge window'
         """,
     }
 

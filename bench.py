@@ -329,6 +329,8 @@ def run_bench() -> dict:
           lambda: q.url_content_conflicts(SF_DIR))
     timed("bm25_index_top_docs",
           lambda: q.bm25_index_top_docs(SF_DIR))
+    timed("phrase_probe",
+          lambda: q.phrase_probe_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

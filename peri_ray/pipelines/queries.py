@@ -5433,3 +5433,29 @@ def bm25_index_top_docs(sf_dir: str):
         if os.path.exists(mpath):
             os.remove(mpath)
     return top.rename_columns(["doc_id", "score", "rank"])
+
+
+def phrase_probe_documents(sf_dir: str):
+    """Exact 2-word phrase retrieval through a bigram index
+    (write_term_index(ngram=2) + probe_term_index): docs containing
+    the adjacent pair "merge window".  A phrase is ONE posting lookup
+    — exact by construction at n=2.  Oracle rebuilds bigrams with the
+    documented unnest(list_transform(range(...))) pattern."""
+    import os
+    import shutil
+    import tempfile
+
+    from peri_ray.stages.text import probe_term_index, write_term_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="bigram_index_")
+    try:
+        write_term_index(ds, out, ngram=2)
+        docs = probe_term_index(out, ["merge window"]).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        mpath = out.rstrip("/") + ".index.json"
+        if os.path.exists(mpath):
+            os.remove(mpath)
+    return docs.map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")

@@ -1986,6 +1986,7 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def write_term_index(ds, out_dir: str, *, text_col: str = "text",
                      id_col: str = "doc_id", n_shards: int = 64,
+                     ngram: int = 1,
                      batch_size: int | None = 8192) -> dict:
     """Persist an inverted term index: distinct (term, doc) postings
     hash-sharded by term into one parquet file per shard, plus a
@@ -2000,7 +2001,15 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
     trim(text), '\\s+'), term)``.  Per-batch distinct (term, doc)
     pairs ride one bucketed exchange keyed shard; each shard group
     dedupes cross-batch pairs and writes its own file (resumable:
-    a re-run overwrites shard files idempotently)."""
+    a re-run overwrites shard files idempotently).
+
+    ``ngram > 1`` indexes word n-grams (space-joined) instead of
+    single tokens — the PHRASE-retrieval index: a 2-word phrase is
+    one bigram lookup, exact by construction; longer phrases AND
+    their constituent bigrams (the standard sound-but-not-complete
+    filter, candidates verifiable against text downstream).  doclen
+    then counts n-gram positions per doc (lens − n + 1, floored at
+    0), keeping BM25 probes self-consistent within the index."""
     import json
     import os
 
@@ -2019,7 +2028,11 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
                              "doc": pa.array([], pa.int64()),
                              "shard": pa.array([], pa.int32())})
         flat, lens = flat_tokens(tt.column(text_col))
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        if ngram > 1:
+            grams, doc_idx, _ = word_ngrams(flat, lens, ngram)
+            flat = grams
+        else:
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
         ids = (tt.column(id_col).combine_chunks().cast(pa.int64())
                .take(pa.array(doc_idx)))
         base = pa.table({"term": flat, "doc": ids})
@@ -2063,6 +2076,8 @@ def write_term_index(ds, out_dir: str, *, text_col: str = "text",
                              "dl": pa.array([], pa.int64()),
                              "dshard": pa.array([], pa.int32())})
         _, lens = flat_tokens(tt.column(text_col))
+        if ngram > 1:
+            lens = np.maximum(lens - ngram + 1, 0)
         docs = tt.column(id_col).combine_chunks().cast(pa.int64())
         dsh = bucket_of(docs.cast(pa.string()), n_shards)
         return pa.table({"doc": docs,

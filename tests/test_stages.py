@@ -7710,3 +7710,26 @@ class TestCompactTermIndexes:
         rm = bm25_probe_index(m, ["spark", "merge"], k=10).to_pylist()
         rf = bm25_probe_index(f, ["spark", "merge"], k=10).to_pylist()
         assert rm == rf
+
+
+class TestPhraseIndex:
+    def test_bigram_index_exact_phrase(self, tmp_path):
+        from peri_ray.stages.text import probe_term_index, write_term_index
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["big data pipeline", "data big pipeline",
+                              "big   data", "pipeline"]),
+        })
+        out = str(tmp_path / "bg")
+        man = write_term_index(rd.from_arrow(t), out, ngram=2,
+                               n_shards=4)
+        # bigrams: doc1 {big data, data pipeline}, doc2 {data big,
+        # big pipeline}, doc3 {big data} (multi-space collapses),
+        # doc4 none
+        assert man["postings"] == 5
+        got = {r["doc"] for r in probe_term_index(
+            out, ["big data"]).take_all()}
+        assert got == {1, 3}  # word order matters: doc2 excluded
+        # doclen = bigram positions: doc4 has 1 token -> 0 positions
+        assert man["sum_dl"] == 2 + 2 + 1 + 0
