@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_content_conflicts": q.url_content_conflicts,
         "bm25_index_top_docs": q.bm25_index_top_docs,
         "phrase_probe_documents": q.phrase_probe_documents,
+        "ivf_index_ann_topk": q.ivf_index_ann_topk,
     }
 
 

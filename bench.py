@@ -331,6 +331,8 @@ def run_bench() -> dict:
           lambda: q.bm25_index_top_docs(SF_DIR))
     timed("phrase_probe",
           lambda: q.phrase_probe_documents(SF_DIR).to_pandas())
+    timed("ivf_index_ann",
+          lambda: q.ivf_index_ann_topk(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

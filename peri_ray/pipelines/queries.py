@@ -5459,3 +5459,40 @@ def phrase_probe_documents(sf_dir: str):
             os.remove(mpath)
     return docs.map_batches(
         lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+
+
+def ivf_index_ann_topk(sf_dir: str):
+    """ANN top-k through the PERSISTED IVF index: vectors land in
+    per-cell parquet files at build; the probe reads only the
+    queries' nprobe nearest cells' FILES (real I/O pruning, where
+    ivf_ann_topk scans every block and filters post-read).  Rows-only
+    (ANN); exactness at nprobe=n_cells and pruned-probe recall are
+    pinned in tests/test_stages.py::TestIVFIndex."""
+    import os
+    import shutil
+    import tempfile
+
+    from peri_ray.stages.similarity import probe_ivf_index, write_ivf_index
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], np.float32)
+                        for r in q_rows])
+    out = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        write_ivf_index(ds, out, n_cells=8)
+        results = probe_ivf_index(out, queries, k=10, nprobe=3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        mpath = out.rstrip("/") + ".index.json"
+        if os.path.exists(mpath):
+            os.remove(mpath)
+    qi, vid, rank = [], [], []
+    for i, res in enumerate(results):
+        for j, (v, s) in enumerate(res):
+            qi.append(q_rows[i]["vec_id"])
+            vid.append(v)
+            rank.append(j)
+    return pa.table({"query_id": pa.array(qi, pa.int64()),
+                     "vec_id": pa.array(vid, pa.int64()),
+                     "rank": pa.array(rank, pa.int64())})

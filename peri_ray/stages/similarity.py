@@ -2397,3 +2397,101 @@ def seed_link_distance(edges, seeds, max_hops: int = 8,
         settled = settled.union(new_frontier).materialize()
         frontier = new_frontier
     return settled
+
+
+def write_ivf_index(ds, out_dir: str, *, n_cells: int = 16,
+                    train_sample: int = 4096, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+    """Persist an IVF-Flat vector index: a coarse quantizer trained on
+    a sample, every vector written to its nearest-centroid CELL FILE
+    (one parquet per cell), centroids + cell row counts in a sibling
+    ``<dir>.index.json`` manifest.  The vector-search sibling of the
+    term index: at probe time only ``nprobe`` of ``n_cells`` FILES are
+    read — real I/O pruning, where the in-memory :func:`ivf_topk`
+    still scans every block and filters after the read.  Raw vectors
+    are stored; normalization happens at probe (same semantics as
+    ivf_topk / brute_force_topk)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    sample = ds.take(train_sample)
+    X = _normalize(np.stack([np.asarray(r[vec_col], np.float32)
+                             for r in sample]))
+    cent = _kmeans(X, n_cells, seed=seed)
+    cent_ref = ray.put(cent)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # concurrency 2, not 4: the downstream groupby's shuffle tasks
+    # need CPU slots too, and an actor pool as wide as the session
+    # deadlocks a small (4-cpu test) cluster
+    assigned = ds.map_batches(
+        _IVFAssign, fn_constructor_kwargs=dict(
+            centroids_ref=cent_ref, id_col=id_col, vec_col=vec_col),
+        concurrency=2, batch_format="pyarrow")
+
+    def _write(g: pa.Table) -> pa.Table:
+        c = g.column("cell")[0].as_py()
+        d = g.drop_columns(["cell"]).sort_by([(id_col, "ascending")])
+        pq.write_table(d, os.path.join(out_dir,
+                                       f"cell_{c:05d}.parquet"))
+        return pa.table({"cell": pa.array([c], pa.int32()),
+                         "n": pa.array([d.num_rows], pa.int64())})
+
+    rows = (assigned.groupby("cell")
+            .map_groups(_write, batch_format="pyarrow").take_all())
+    cells = sorted(int(r["cell"]) for r in rows)
+    counts = {int(r["cell"]): int(r["n"]) for r in rows}
+    keep = {f"cell_{c:05d}.parquet" for c in cells}
+    for name in os.listdir(out_dir):
+        if name.startswith("cell_") and name not in keep:
+            os.remove(os.path.join(out_dir, name))
+    manifest = {"n_cells": n_cells, "id_col": id_col,
+                "vec_col": vec_col, "seed": seed,
+                "cells": cells,
+                "cell_counts": {str(c): counts[c] for c in cells},
+                "centroids": [[float(x) for x in row] for row in cent]}
+    with open(out_dir.rstrip("/") + ".index.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def probe_ivf_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4):
+    """ANN top-k against a :func:`write_ivf_index` artifact: rank the
+    manifest centroids per query, read ONLY the union of the queries'
+    ``nprobe`` nearest cell files, and brute-force the candidates
+    (IVF-Flat).  Scanned bytes ≈ nprobe/n_cells of the index;
+    ``nprobe = n_cells`` degrades gracefully to exact search (tested
+    equal to the full brute force).  Returns
+    :func:`brute_force_topk`'s per-query result lists."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(index_dir.rstrip("/") + ".index.json") as f:
+        manifest = json.load(f)
+    cent = np.asarray(manifest["centroids"], np.float32)
+    q = _normalize(np.asarray(queries, np.float32))
+    nprobe = min(nprobe, len(cent))
+    probe_cells = sorted(set(
+        np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].ravel().tolist()))
+    have = set(manifest["cells"])
+    files = []
+    for c in probe_cells:
+        if c not in have:
+            continue  # empty cell, recorded at build
+        p = os.path.join(index_dir, f"cell_{c:05d}.parquet")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"probe_ivf_index: cell {c} in manifest but {p} "
+                f"missing — the index is corrupt")
+        files.append(p)
+    if not files:
+        return [[] for _ in range(len(q))]
+    cand = rd.read_parquet(files)
+    return brute_force_topk(cand, q, k, manifest["id_col"],
+                            manifest["vec_col"])

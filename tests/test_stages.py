@@ -7733,3 +7733,55 @@ class TestPhraseIndex:
         assert got == {1, 3}  # word order matters: doc2 excluded
         # doclen = bigram positions: doc4 has 1 token -> 0 positions
         assert man["sum_dl"] == 2 + 2 + 1 + 0
+
+
+class TestIVFIndex:
+    def _vectors(self, rng, n=400, d=16, clusters=5):
+        cents = rng.normal(0, 5, (clusters, d))
+        X = cents[rng.integers(0, clusters, n)] + rng.normal(0, 0.3,
+                                                             (n, d))
+        return pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in
+                                   X.astype(np.float32)]),
+        })
+
+    def test_full_probe_equals_brute_force(self, tmp_path):
+        from peri_ray.stages.similarity import (brute_force_topk,
+                                                probe_ivf_index,
+                                                write_ivf_index)
+
+        rng = np.random.default_rng(97)
+        t = self._vectors(rng)
+        ds = rd.from_arrow(t).repartition(4)
+        out = str(tmp_path / "ivf")
+        man = write_ivf_index(ds, out, n_cells=8, train_sample=200)
+        assert sum(man["cell_counts"].values()) == 400
+        q = np.stack([np.asarray(t.column("embedding")[i].as_py(),
+                                 np.float32) for i in (0, 7)])
+        exact = brute_force_topk(ds, q, 5)
+        got = probe_ivf_index(out, q, k=5, nprobe=8)  # all cells
+        for e, g in zip(exact, got):
+            assert [x[0] for x in e] == [x[0] for x in g]
+
+    def test_pruned_probe_recall(self, tmp_path):
+        from peri_ray.stages.similarity import (brute_force_topk,
+                                                probe_ivf_index,
+                                                write_ivf_index)
+
+        rng = np.random.default_rng(101)
+        t = self._vectors(rng)
+        ds = rd.from_arrow(t).repartition(4)
+        out = str(tmp_path / "ivf2")
+        write_ivf_index(ds, out, n_cells=8, train_sample=200)
+        q = np.stack([np.asarray(t.column("embedding")[i].as_py(),
+                                 np.float32) for i in (3, 11, 42)])
+        exact = brute_force_topk(ds, q, 10)
+        got = probe_ivf_index(out, q, k=10, nprobe=3)
+        hits = total = 0
+        for e, g in zip(exact, got):
+            es, gs = {x[0] for x in e}, {x[0] for x in g}
+            hits += len(es & gs)
+            total += len(es)
+        # well-separated clusters: pruned probe keeps high recall
+        assert hits / total >= 0.9
