@@ -2495,3 +2495,54 @@ def probe_ivf_index(index_dir: str, queries: np.ndarray, k: int = 10,
     cand = rd.read_parquet(files)
     return brute_force_topk(cand, q, k, manifest["id_col"],
                             manifest["vec_col"])
+
+
+def append_ivf_index(index_dir: str, delta_ds) -> dict:
+    """Append a delta corpus to a persisted IVF index WITHOUT
+    retraining: the manifest's centroids stay the frozen quantizer
+    (the standard incremental-IVF contract — recall drifts only as
+    the data distribution drifts, and a periodic rebuild re-trains),
+    delta vectors assign to their nearest existing cell, and each
+    touched cell file is read, concatenated, and rewritten.  Cell
+    counts and the manifest update; untouched cells are not read.
+    Doc-id spaces must be disjoint (the probe contract)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    with open(index_dir.rstrip("/") + ".index.json") as f:
+        manifest = json.load(f)
+    cent = np.asarray(manifest["centroids"], np.float32)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    cent_ref = ray.put(cent)
+
+    assigned = delta_ds.map_batches(
+        _IVFAssign, fn_constructor_kwargs=dict(
+            centroids_ref=cent_ref, id_col=id_col, vec_col=vec_col),
+        concurrency=2, batch_format="pyarrow")
+
+    def _append(g: pa.Table) -> pa.Table:
+        c = g.column("cell")[0].as_py()
+        new = g.drop_columns(["cell"])
+        path = os.path.join(index_dir, f"cell_{c:05d}.parquet")
+        if os.path.exists(path):
+            new = pa.concat_tables([pq.read_table(path), new])
+        pq.write_table(new.sort_by([(id_col, "ascending")]), path)
+        return pa.table({"cell": pa.array([c], pa.int32()),
+                         "n": pa.array([new.num_rows], pa.int64())})
+
+    rows = (assigned.groupby("cell")
+            .map_groups(_append, batch_format="pyarrow").take_all())
+    counts = dict(manifest["cell_counts"])
+    cells = set(manifest["cells"])
+    for r in rows:
+        counts[str(int(r["cell"]))] = int(r["n"])
+        cells.add(int(r["cell"]))
+    manifest["cells"] = sorted(cells)
+    manifest["cell_counts"] = {str(c): counts[str(c)]
+                               for c in sorted(cells)}
+    with open(index_dir.rstrip("/") + ".index.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -7785,3 +7785,32 @@ class TestIVFIndex:
             total += len(es)
         # well-separated clusters: pruned probe keeps high recall
         assert hits / total >= 0.9
+
+
+class TestIVFAppend:
+    def test_append_equals_combined_probe(self, tmp_path):
+        from peri_ray.stages.similarity import (append_ivf_index,
+                                                brute_force_topk,
+                                                probe_ivf_index,
+                                                write_ivf_index)
+
+        rng = np.random.default_rng(103)
+        cents = rng.normal(0, 5, (4, 12))
+        X = cents[rng.integers(0, 4, 300)] + rng.normal(0, 0.3, (300, 12))
+        full = pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in
+                                   X.astype(np.float32)])})
+        base_t, delta_t = full.slice(0, 200), full.slice(200)
+        out = str(tmp_path / "ivfapp")
+        man0 = write_ivf_index(rd.from_arrow(base_t), out, n_cells=6,
+                               train_sample=150)
+        man1 = append_ivf_index(out, rd.from_arrow(delta_t))
+        assert sum(man1["cell_counts"].values()) == 300
+        assert man1["centroids"] == man0["centroids"]  # frozen
+        q = np.stack([X[5].astype(np.float32),
+                      X[250].astype(np.float32)])
+        exact = brute_force_topk(rd.from_arrow(full), q, 5)
+        got = probe_ivf_index(out, q, k=5, nprobe=6)  # all cells
+        for e, g in zip(exact, got):
+            assert [x[0] for x in e] == [x[0] for x in g]
