@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index_top_docs": q.bm25_index_top_docs,
         "phrase_probe_documents": q.phrase_probe_documents,
         "ivf_index_ann_topk": q.ivf_index_ann_topk,
+        "k_anonymity_events": q.k_anonymity_events,
     }
 
 
@@ -4020,6 +4021,19 @@ def oracle_sql() -> dict[str, str]:
                             i -> ws[i+1] || ' ' || ws[i+2])) AS bg
                     FROM toks WHERE len(ws) >= 2)
             SELECT DISTINCT doc_id FROM g WHERE bg = 'merge window'
+        """,
+        "k_anonymity_events": """
+            WITH quasi AS (
+              SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                     event_type
+                FROM events WHERE ts IS NOT NULL)
+            SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                     AS n_sensitive,
+                   count(*) < 5 AS k_violation,
+                   count(DISTINCT event_type) < 2 AS l_violation
+              FROM quasi GROUP BY user_id, day
+            HAVING count(*) < 5 OR count(DISTINCT event_type) < 2
         """,
     }
 

@@ -333,6 +333,8 @@ def run_bench() -> dict:
           lambda: q.phrase_probe_documents(SF_DIR).to_pandas())
     timed("ivf_index_ann",
           lambda: q.ivf_index_ann_topk(SF_DIR))
+    timed("k_anonymity",
+          lambda: q.k_anonymity_events(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

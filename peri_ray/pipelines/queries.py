@@ -5496,3 +5496,26 @@ def ivf_index_ann_topk(sf_dir: str):
     return pa.table({"query_id": pa.array(qi, pa.int64()),
                      "vec_id": pa.array(vid, pa.int64()),
                      "rank": pa.array(rank, pa.int64())})
+
+
+def k_anonymity_events(sf_dir: str):
+    """k-anonymity / l-diversity audit (pii.k_anonymity_report) with
+    (user_id, activity day) as the quasi-identifier — the classic
+    released-log re-identification surface — and event_type as the
+    sensitive column (k=5, l=2).  Quasi-combination cardinality scales
+    with the row count (~40 K groups at sf0.1), which is exactly the
+    bucketed-exchange case.  Oracle: GROUP BY HAVING count(*) < 5 OR
+    count(DISTINCT event_type) < 2 with the identical day derivation."""
+    from peri_ray.stages.pii import k_anonymity_report
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts").combine_chunks()))
+        day = pc.strftime(t.column("ts").combine_chunks(),
+                          format="%Y-%m-%d")
+        return pa.table({"user_id": t.column("user_id"), "day": day,
+                         "event_type": t.column("event_type")})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"]
+               ).map_batches(_fixture, batch_format="pyarrow")
+    return k_anonymity_report(ds, ["user_id", "day"], "event_type",
+                              k=5, l=2)

@@ -78,3 +78,44 @@ def add_pii_columns(ds, text_col: str = "text", redact: bool = True,
         return t
 
     return ds.map_batches(_b, batch_format="pyarrow", batch_size=batch_size)
+
+
+def k_anonymity_report(ds, quasi_cols: list[str], sensitive_col: str,
+                       k: int = 5, l: int = 2, n_buckets: int = 64):
+    """k-anonymity / l-diversity audit: the re-identification risk
+    check a corpus with user-derived columns needs before release.
+    A quasi-identifier combination (zip, age band, ...) violates
+    k-anonymity when fewer than ``k`` rows share it, and violates
+    l-diversity when its rows expose fewer than ``l`` DISTINCT values
+    of the sensitive column (everyone in the group shares the secret).
+
+    Returns only the violating groups:
+    ``(quasi..., n, n_sensitive, k_violation, l_violation)``.
+
+    Scale shape: quasi-combination cardinality is of row-count order
+    (that is the point of the audit), so this routes through ONE
+    hash-bucketed exchange keyed on the quasi columns and runs a
+    single vectorized Arrow ``group_by`` per bucket — never Ray's
+    per-group aggregation (the measured per-group-overhead pathology).
+    Null quasi values form their own group (the GROUP BY convention);
+    null sensitive values are ignored by the distinct count (the SQL
+    COUNT(DISTINCT) convention)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _audit(group: pa.Table) -> pa.Table:
+        g = (group.select(list(quasi_cols) + [sensitive_col])
+             .group_by(list(quasi_cols))
+             .aggregate([([], "count_all"),
+                         (sensitive_col, "count_distinct")]))
+        n = g.column("count_all").combine_chunks().cast(pa.int64())
+        d = (g.column(f"{sensitive_col}_count_distinct")
+             .combine_chunks().cast(pa.int64()))
+        k_bad = pc.less(n, k)
+        l_bad = pc.less(d, l)
+        out = pa.table({c: g.column(c) for c in quasi_cols}
+                       | {"n": n, "n_sensitive": d,
+                          "k_violation": k_bad, "l_violation": l_bad})
+        return out.filter(pc.or_(k_bad, l_bad))
+
+    return map_groups_via_buckets(ds, list(quasi_cols), _audit,
+                                  n_buckets=n_buckets)

@@ -7814,3 +7814,41 @@ class TestIVFAppend:
         got = probe_ivf_index(out, q, k=5, nprobe=6)  # all cells
         for e, g in zip(exact, got):
             assert [x[0] for x in e] == [x[0] for x in g]
+
+
+class TestKAnonymity:
+    def test_violations_and_counts(self):
+        # group (1, d1): 5 rows, 2 sensitive values -> clean (absent)
+        # group (2, d1): 2 rows -> k-violation
+        # group (3, d1): 5 rows all same sensitive -> l-violation only
+        rows = []
+        for s in ["a", "a", "a", "b", "b"]:
+            rows.append({"uid": 1, "day": "d1", "s": s})
+        rows += [{"uid": 2, "day": "d1", "s": "a"},
+                 {"uid": 2, "day": "d1", "s": "b"}]
+        for _ in range(5):
+            rows.append({"uid": 3, "day": "d1", "s": "a"})
+        from peri_ray.stages.pii import k_anonymity_report
+
+        out = {(r["uid"], r["day"]): r for r in k_anonymity_report(
+            rd.from_items(rows, parallelism=3), ["uid", "day"], "s",
+            k=5, l=2).take_all()}
+        assert set(out) == {(2, "d1"), (3, "d1")}
+        assert out[(2, "d1")]["n"] == 2
+        assert out[(2, "d1")]["k_violation"] is True
+        assert out[(2, "d1")]["l_violation"] is False
+        assert out[(3, "d1")]["n"] == 5
+        assert out[(3, "d1")]["n_sensitive"] == 1
+        assert out[(3, "d1")]["k_violation"] is False
+        assert out[(3, "d1")]["l_violation"] is True
+
+    def test_null_conventions(self):
+        # null quasi forms its own group; null sensitive not counted
+        rows = [{"uid": None, "day": "d", "s": "a"},
+                {"uid": None, "day": "d", "s": None}]
+        from peri_ray.stages.pii import k_anonymity_report
+
+        out = k_anonymity_report(rd.from_items(rows), ["uid", "day"],
+                                 "s", k=5, l=2).take_all()
+        assert len(out) == 1
+        assert out[0]["n"] == 2 and out[0]["n_sensitive"] == 1
