@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_probe_documents": q.phrase_probe_documents,
         "ivf_index_ann_topk": q.ivf_index_ann_topk,
         "k_anonymity_events": q.k_anonymity_events,
+        "scd2_user_history": q.scd2_user_history,
     }
 
 
@@ -4034,6 +4035,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) < 2 AS l_violation
               FROM quasi GROUP BY user_id, day
             HAVING count(*) < 5 OR count(DISTINCT event_type) < 2
+        """,
+        "scd2_user_history": """
+            SELECT event_id, user_id, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   lag(event_type) OVER w IS DISTINCT FROM event_type
+                     AS changed
+              FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     }
 

@@ -335,6 +335,8 @@ def run_bench() -> dict:
           lambda: q.ivf_index_ann_topk(SF_DIR))
     timed("k_anonymity",
           lambda: q.k_anonymity_events(SF_DIR).to_pandas())
+    timed("scd2_history",
+          lambda: q.scd2_user_history(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

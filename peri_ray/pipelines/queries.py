@@ -5519,3 +5519,16 @@ def k_anonymity_events(sf_dir: str):
                ).map_batches(_fixture, batch_format="pyarrow")
     return k_anonymity_report(ds, ["user_id", "day"], "event_type",
                               k=5, l=2)
+
+
+def scd2_user_history(sf_dir: str):
+    """SCD2 capture-history build (temporal.scd2_history) over events:
+    per user in (ts, event_id) order, validity intervals with version
+    numbers and changed-vs-previous flags on event_type.  Oracle:
+    lead/lag/row_number window functions over the identical ordering."""
+    from peri_ray.stages.temporal import scd2_history
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    return scd2_history(ds, key_col="user_id", ts_col="ts",
+                        attr_col="event_type", id_col="event_id")

@@ -978,6 +978,81 @@ def lag_column(ds, key_col: str, order_cols: list[str], col: str,
                                   n_buckets=n_buckets)
 
 
+def scd2_history(ds, key_col: str, ts_col: str, attr_col: str,
+                 id_col: str, n_buckets: int = 64):
+    """Slowly-changing-dimension (SCD type 2) history build: turn a
+    stream of captures (key, capture ts, attribute) into versioned
+    validity intervals — the recrawl-history table a web corpus keeps
+    per url.  Per key in (ts, id) order each capture becomes a row
+    with ``valid_from`` = its ts, ``valid_to`` = the NEXT capture's ts
+    (null ⇒ ``is_current``), a 1-based ``version``, and ``changed`` =
+    whether the attribute differs from the previous capture (SQL
+    ``lag(attr) OVER w IS DISTINCT FROM attr`` — a first capture with
+    a non-null attribute counts as changed).
+
+    One bucketed exchange keyed on ``key_col`` (key cardinality is of
+    row-count order for urls), then a single vectorized lexsort +
+    run-fenced shift per bucket — the :func:`lag_column` shape, with
+    lead/lag/rank all derived from one fence array."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _hist(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key_col, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        n = g.num_rows
+        ts = g.column(ts_col).combine_chunks()
+        attr = g.column(attr_col).combine_chunks()
+        if n == 0:
+            return pa.table({
+                id_col: g.column(id_col), key_col: g.column(key_col),
+                "valid_from": ts, "valid_to": ts,
+                "is_current": pa.array([], pa.bool_()),
+                "version": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.bool_())})
+        keys = g.column(key_col).combine_chunks()
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(keys).to_numpy(zero_copy_only=False)
+            same[1:] |= nulls[1:] & nulls[:-1]
+        run_start = np.flatnonzero(~same)
+        lens = np.diff(np.append(run_start, n))
+        start_of = np.repeat(run_start, lens)
+        end_of = np.repeat(run_start + lens, lens)
+        pos = np.arange(n, dtype=np.int64)
+
+        nxt = pos + 1
+        has_next = nxt < end_of
+        valid_to = pc.if_else(
+            pa.array(has_next),
+            ts.take(pa.array(np.where(has_next, nxt, 0))),
+            pa.nulls(n, ts.type))
+
+        prv = pos - 1
+        has_prev = prv >= start_of
+        prev_attr = pc.if_else(
+            pa.array(has_prev),
+            attr.take(pa.array(np.where(has_prev, prv, 0))),
+            pa.nulls(n, attr.type))
+        # IS DISTINCT FROM: equal is null when either side is null
+        both_null = pc.and_(pc.is_null(attr), pc.is_null(prev_attr))
+        same_val = pc.or_(pc.fill_null(pc.equal(attr, prev_attr), False),
+                          both_null)
+        return pa.table({
+            id_col: g.column(id_col), key_col: keys,
+            "valid_from": ts, "valid_to": valid_to,
+            "is_current": pa.array(~has_next),
+            "version": pa.array(pos - start_of + 1, pa.int64()),
+            "changed": pc.invert(same_val)})
+
+    need = list(dict.fromkeys([key_col, ts_col, attr_col, id_col]))
+    pruned = ds.map_batches(lambda t: t.select(need),
+                            batch_format="pyarrow")
+    return map_groups_via_buckets(pruned, [key_col], _hist,
+                                  n_buckets=n_buckets)
+
+
 def interval_overlap_join(left, right, key: str,
                           l_start: str = "start", l_end: str = "end",
                           r_start: str = "start", r_end: str = "end",

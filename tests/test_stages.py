@@ -7852,3 +7852,38 @@ class TestKAnonymity:
                                  "s", k=5, l=2).take_all()
         assert len(out) == 1
         assert out[0]["n"] == 2 and out[0]["n_sensitive"] == 1
+
+
+class TestSCD2History:
+    def test_intervals_versions_changes(self):
+        from peri_ray.stages.temporal import scd2_history
+
+        rows = [
+            {"id": 1, "k": "u", "ts": 10, "a": "x"},
+            {"id": 2, "k": "u", "ts": 20, "a": "x"},   # unchanged
+            {"id": 3, "k": "u", "ts": 30, "a": "y"},   # changed
+            {"id": 4, "k": "v", "ts": 5, "a": None},   # first+null: not changed
+            {"id": 5, "k": "v", "ts": 7, "a": None},   # null==null: not changed
+            {"id": 6, "k": "w", "ts": 1, "a": "z"},    # singleton
+        ]
+        out = {r["id"]: r for r in scd2_history(
+            rd.from_items(rows, parallelism=3), "k", "ts", "a", "id"
+        ).take_all()}
+        assert out[1]["valid_to"] == 20 and out[1]["version"] == 1
+        assert out[1]["changed"] is True        # NULL IS DISTINCT FROM 'x'
+        assert out[2]["changed"] is False and out[2]["version"] == 2
+        assert out[3]["changed"] is True and out[3]["is_current"] is True
+        assert out[3]["valid_to"] is None
+        assert out[4]["changed"] is False       # NULL vs missing-prev NULL
+        assert out[5]["changed"] is False
+        assert out[6]["version"] == 1 and out[6]["is_current"] is True
+
+    def test_tie_break_on_id(self):
+        from peri_ray.stages.temporal import scd2_history
+
+        rows = [{"id": 2, "k": 1, "ts": 10, "a": "b"},
+                {"id": 1, "k": 1, "ts": 10, "a": "a"}]
+        out = {r["id"]: r for r in scd2_history(
+            rd.from_items(rows), "k", "ts", "a", "id").take_all()}
+        assert out[1]["version"] == 1 and out[2]["version"] == 2
+        assert out[1]["valid_to"] == 10 and out[2]["valid_to"] is None
