@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_ann_topk": q.ivf_index_ann_topk,
         "k_anonymity_events": q.k_anonymity_events,
         "scd2_user_history": q.scd2_user_history,
+        "dedup_weights_documents": q.dedup_weights_documents,
     }
 
 
@@ -4045,6 +4046,21 @@ def oracle_sql() -> dict[str, str]:
                      AS changed
               FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "dedup_weights_documents": """
+            WITH fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3
+                          THEN 'copied syndicated article body'
+                          ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+                     AS cluster_size,
+                   CAST(1 AS DOUBLE)
+                     / CAST(count(*) OVER (PARTITION BY text) AS DOUBLE)
+                     AS weight
+              FROM fix
         """,
     }
 

@@ -337,6 +337,8 @@ def run_bench() -> dict:
           lambda: q.k_anonymity_events(SF_DIR).to_pandas())
     timed("scd2_history",
           lambda: q.scd2_user_history(SF_DIR).to_pandas())
+    timed("dedup_weights",
+          lambda: q.dedup_weights_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5532,3 +5532,25 @@ def scd2_user_history(sf_dir: str):
                ["event_id", "user_id", "ts", "event_type"])
     return scd2_history(ds, key_col="user_id", ts_col="ts",
                         attr_col="event_type", id_col="event_id")
+
+
+def dedup_weights_documents(sf_dir: str):
+    """Duplication-aware example weights (dedup.dedup_example_weights):
+    every 10th doc gets an identical planted body (one hot cluster —
+    the skew case), the rest stay organic; each row keeps weight
+    1/cluster_size.  Oracle: COUNT(*) OVER (PARTITION BY text) with
+    the identical planted fixture and int->double division."""
+    from peri_ray.stages.dedup import dedup_example_weights
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        planted = pa.array(idn % 10 == 3)
+        text = pc.if_else(planted,
+                          pa.scalar("copied syndicated article body"),
+                          t.column("text").combine_chunks())
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fixture, batch_format="pyarrow")
+    return dedup_example_weights(ds)

@@ -292,6 +292,43 @@ class _HashIdPairs:
         )
 
 
+def dedup_example_weights(ds, text_col: str = "text",
+                          id_col: str = "doc_id", n_buckets: int = 64):
+    """Duplication-aware example weighting: instead of DROPPING
+    duplicates, keep every row and weight it ``1 / cluster_size`` so
+    each distinct content contributes equally to a training epoch (the
+    soft alternative to exact dedup; preserves natural upsampling
+    decisions downstream).  Returns ``(id, cluster_size, weight)``.
+
+    Scale shape: the exact-dedup exchange — (content_hash, id) pairs
+    only, never text — with one vectorized count + join-back per
+    bucket.  Null texts form one cluster (the SQL PARTITION BY
+    convention); the weight is float(1)/float(n) so a SQL twin's
+    int→double division is bit-identical."""
+    from peri_ray.stages.checks import _AddBucket
+
+    pairs = ds.map_batches(_HashIdPairs(text_col, id_col),
+                           batch_format="pyarrow")
+    bucketed = pairs.map_batches(_AddBucket("content_hash", n_buckets),
+                                 batch_format="pyarrow",
+                                 batch_size=EXCHANGE_COALESCE_ROWS)
+    id_col_ = id_col
+
+    def _weights(group: pa.Table) -> pa.Table:
+        g = group.select(["content_hash", id_col_])
+        counts = (g.group_by("content_hash")
+                  .aggregate([([], "count_all")])
+                  .rename_columns(["content_hash", "cluster_size"]))
+        joined = g.join(counts, keys="content_hash", join_type="inner")
+        n = joined.column("cluster_size").combine_chunks().cast(pa.int64())
+        w = pc.divide(pa.scalar(1.0, pa.float64()), n.cast(pa.float64()))
+        return pa.table({id_col_: joined.column(id_col_),
+                         "cluster_size": n, "weight": w})
+
+    return bucketed.groupby("bucket").map_groups(_weights,
+                                                 batch_format="pyarrow")
+
+
 def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
                         n_buckets: int = 64, prehashed: bool = False):
     """Ids that would be REMOVED by exact dedup (duplicates beyond the

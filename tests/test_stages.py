@@ -7887,3 +7887,19 @@ class TestSCD2History:
             rd.from_items(rows), "k", "ts", "a", "id").take_all()}
         assert out[1]["version"] == 1 and out[2]["version"] == 2
         assert out[1]["valid_to"] == 10 and out[2]["valid_to"] is None
+
+
+class TestDedupExampleWeights:
+    def test_weights_and_null_cluster(self):
+        from peri_ray.stages.dedup import dedup_example_weights
+
+        rows = [{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "a"},
+                {"doc_id": 3, "text": "b"}, {"doc_id": 4, "text": None},
+                {"doc_id": 5, "text": None}, {"doc_id": 6, "text": None}]
+        out = {r["doc_id"]: r for r in dedup_example_weights(
+            rd.from_items(rows, parallelism=3)).take_all()}
+        assert len(out) == 6
+        assert out[1]["cluster_size"] == 2 and out[1]["weight"] == 0.5
+        assert out[3]["cluster_size"] == 1 and out[3]["weight"] == 1.0
+        assert out[4]["cluster_size"] == 3
+        assert out[5]["weight"] == 1.0 / 3.0
