@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_events": q.k_anonymity_events,
         "scd2_user_history": q.scd2_user_history,
         "dedup_weights_documents": q.dedup_weights_documents,
+        "url_prefix_rollup": q.url_prefix_rollup,
     }
 
 
@@ -4061,6 +4062,29 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) OVER (PARTITION BY text) AS DOUBLE)
                      AS weight
               FROM fix
+        """,
+        "url_prefix_rollup": f"""
+            WITH {_WEB_CANON_CTE},
+            p AS (
+              SELECT regexp_extract(canonical_url,
+                                    '://([^/?#:]*)', 1) AS host,
+                     regexp_extract(canonical_url,
+                                    '://[^/?#]*([^?#]*)', 1) AS path
+                FROM canon),
+            x AS (
+              SELECT host, regexp_extract(path,
+                     '^((?:/[^/]+){{1}})', 1) AS prefix, 1 AS depth
+                FROM p
+              UNION ALL
+              SELECT host, regexp_extract(path,
+                     '^((?:/[^/]+){{2}})', 1), 2 FROM p
+              UNION ALL
+              SELECT host, regexp_extract(path,
+                     '^((?:/[^/]+){{3}})', 1), 3 FROM p)
+            SELECT host, prefix, CAST(depth AS BIGINT) AS depth,
+                   CAST(count(*) AS BIGINT) AS n_pages
+              FROM x WHERE prefix <> ''
+             GROUP BY host, prefix, depth
         """,
     }
 

@@ -339,6 +339,8 @@ def run_bench() -> dict:
           lambda: q.scd2_user_history(SF_DIR).to_pandas())
     timed("dedup_weights",
           lambda: q.dedup_weights_documents(SF_DIR).to_pandas())
+    timed("url_prefix_rollup",
+          lambda: q.url_prefix_rollup(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5554,3 +5554,17 @@ def dedup_weights_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _fixture, batch_format="pyarrow")
     return dedup_example_weights(ds)
+
+
+def url_prefix_rollup(sf_dir: str):
+    """URL path-prefix rollup (web.url_prefix_counts): pages per
+    (host, path prefix) at depths 1..3 over the canonicalized
+    messy-URL fixture — the crawl-frontier / sitemap concentration
+    audit.  Oracle: the identical per-depth RE2 prefix extraction
+    UNION ALL'd then grouped."""
+    from peri_ray.stages.web import canonicalize_urls, url_prefix_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = canonicalize_urls(ds.map_batches(_attach_web_columns,
+                                          batch_format="pyarrow"))
+    return url_prefix_counts(ds, max_depth=3)

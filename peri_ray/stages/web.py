@@ -154,6 +154,59 @@ def host_of(ds, url_col: str = "canonical_url", out_col: str = "host",
     return ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
 
 
+def url_prefix_counts(ds, url_col: str = "canonical_url",
+                      max_depth: int = 3, n_buckets: int = 64,
+                      batch_size: int | None = 65536):
+    """Pages per (host, path-prefix) for prefix depths 1..max_depth —
+    the URL-hierarchy rollup a crawl frontier / sitemap audit needs
+    (which sections of a site dominate the corpus).  A url
+    ``h/a/b/c`` contributes to ``/a`` (depth 1), ``/a/b`` (depth 2),
+    ``/a/b/c`` (depth 3); paths shallower than a depth simply don't
+    emit that row.  Prefix extraction is one RE2 kernel per depth
+    (``^((?:/[^/]+){d})``) so a SQL twin can run the identical
+    pattern.
+
+    Scale shape: per-batch pre-aggregation (an in-block Arrow
+    group_by — the combiner) then ONE bucketed exchange keyed on
+    (host, prefix, depth); prefix cardinality is of corpus order, so
+    never Ray's per-group aggregation.  Output:
+    ``(host, prefix, depth, n_pages)``."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _part(t: pa.Table) -> pa.Table:
+        u = t.column(url_col).combine_chunks()
+        if pa.types.is_large_string(u.type):
+            u = u.cast(pa.string())
+        hx = pc.extract_regex(u, r"://(?P<h>[^/?#:]*)")
+        host = pc.if_else(pc.is_valid(hx), pc.struct_field(hx, "h"),
+                          pa.scalar(None, pa.string()))
+        px = pc.extract_regex(u, r"://[^/?#]*(?P<p>[^?#]*)")
+        path = pc.if_else(pc.is_valid(px), pc.struct_field(px, "p"),
+                          pa.scalar(None, pa.string()))
+        hs, ps, ds_ = [], [], []
+        for d in range(1, max_depth + 1):
+            ex = pc.extract_regex(path, r"^(?P<p>(?:/[^/]+){%d})" % d)
+            ok = pc.and_(pc.is_valid(ex), pc.is_valid(host))
+            hs.append(host.filter(ok))
+            ps.append(pc.struct_field(ex.filter(ok), "p"))
+            ds_.append(pa.array(np.full(len(hs[-1]), d, np.int64)))
+        flat = pa.table({
+            "host": pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in hs]),
+            "prefix": pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in ps]),
+            "depth": pa.concat_arrays(ds_),
+        })
+        g = (flat.group_by(["host", "prefix", "depth"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "prefix", "depth", "n_pages"])
+
+    parts = ds.map_batches(_part, batch_format="pyarrow",
+                           batch_size=batch_size)
+    return grouped_sum_via_buckets(parts, ["host", "prefix", "depth"],
+                                   "n_pages", n_buckets=n_buckets)
+
+
 def extract_text_from_html(ds, html_col: str = "html",
                            out_col: str = "extracted_text",
                            batch_size: int | None = 8192):

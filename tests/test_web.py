@@ -986,3 +986,29 @@ class TestResolveRedirects:
         out = {r["src"]: (r["final_url"], r["hops"], r["is_cycle"])
                for r in resolve_redirects(ds).take_all()}
         assert out == {"u": ("t1", 1, False), "v": ("t2", 1, False)}
+
+
+class TestUrlPrefixCounts:
+    def test_prefix_rollup(self):
+        import ray.data as rd
+
+        from peri_ray.stages.web import url_prefix_counts
+
+        rows = [
+            {"canonical_url": "https://a.com/x/y/z"},
+            {"canonical_url": "https://a.com/x/q"},
+            {"canonical_url": "https://a.com/x"},
+            {"canonical_url": "https://b.com/"},      # no non-empty segment
+            {"canonical_url": "https://b.com"},       # no path at all
+        ]
+        out = {(r["host"], r["prefix"], r["depth"]): r["n_pages"]
+               for r in url_prefix_counts(
+                   rd.from_items(rows, parallelism=2), max_depth=3
+               ).take_all()}
+        assert out[("a.com", "/x", 1)] == 3
+        assert out[("a.com", "/x/y", 2)] == 1
+        assert out[("a.com", "/x/q", 2)] == 1
+        assert out[("a.com", "/x/y/z", 3)] == 1
+        # trailing-slash-only and pathless urls emit nothing
+        assert not any(h == "b.com" for h, _, _ in out)
+        assert len(out) == 4
