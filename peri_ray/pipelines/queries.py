@@ -4979,25 +4979,28 @@ def fk_discovery_report(sf_dir: str):
     identical int->double containment division."""
     from peri_ray.stages.checks import inclusion_report
 
+    # one Dataset per TABLE (inclusion_report merges roles by Dataset
+    # identity, so each table is scanned once for all its pair-sides)
+    events = _read(sf_dir, "events", ["user_id"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey"])
+    part = _read(sf_dir, "part", ["p_partkey"])
     pairs = [
         ("events.user_id in customer.c_custkey",
-         _read(sf_dir, "events", ["user_id"]), "user_id",
-         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+         events, "user_id", customer, "c_custkey"),
         ("lineitem.l_orderkey in orders.o_orderkey",
-         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
-         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+         lineitem, "l_orderkey", orders, "o_orderkey"),
         ("customer.c_nationkey in nation.n_nationkey",
-         _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey",
-         _read(sf_dir, "nation", ["n_nationkey"]), "n_nationkey"),
+         customer, "c_nationkey", nation, "n_nationkey"),
         ("nation.n_regionkey in region.r_regionkey",
-         _read(sf_dir, "nation", ["n_regionkey"]), "n_regionkey",
-         _read(sf_dir, "region", ["r_regionkey"]), "r_regionkey"),
+         nation, "n_regionkey", region, "r_regionkey"),
         ("orders.o_custkey in customer.c_custkey",
-         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
-         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+         orders, "o_custkey", customer, "c_custkey"),
         ("part.p_partkey in lineitem.l_partkey",
-         _read(sf_dir, "part", ["p_partkey"]), "p_partkey",
-         _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey"),
+         part, "p_partkey", lineitem, "l_partkey"),
     ]
     return inclusion_report(pairs)
 
