@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_history": q.scd2_user_history,
         "dedup_weights_documents": q.dedup_weights_documents,
         "url_prefix_rollup": q.url_prefix_rollup,
+        "bpe_merges_documents": q.bpe_merges_documents,
+        "bpe_trained_token_counts": q.bpe_trained_token_counts,
     }
 
 

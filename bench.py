@@ -341,6 +341,10 @@ def run_bench() -> dict:
           lambda: q.dedup_weights_documents(SF_DIR).to_pandas())
     timed("url_prefix_rollup",
           lambda: q.url_prefix_rollup(SF_DIR).to_pandas())
+    timed("bpe_merges",
+          lambda: q.bpe_merges_documents(SF_DIR))
+    timed("bpe_trained_counts",
+          lambda: q.bpe_trained_token_counts(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

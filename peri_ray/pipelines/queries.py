@@ -5571,3 +5571,26 @@ def url_prefix_rollup(sf_dir: str):
     ds = canonicalize_urls(ds.map_batches(_attach_web_columns,
                                           batch_format="pyarrow"))
     return url_prefix_counts(ds, max_depth=3)
+
+
+def bpe_merges_documents(sf_dir: str):
+    """BPE tokenizer training over the corpus (text.bpe_train): one
+    distributed word-count pass, then vocab-bounded merge iterations —
+    returns the learned merge list (rank, left, right, pair_count).
+    Rows-only: iterative merge learning has no SQL twin; the engine is
+    pinned against an independent Sennrich-style reference in
+    tests/test_stages.py::TestBPETrain."""
+    from peri_ray.stages.text import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=40)
+
+
+def bpe_trained_token_counts(sf_dir: str):
+    """Per-doc token counts under the corpus-trained BPE merges
+    (text.bpe_encode_counts) — the packing/budget input a real
+    tokenizer feeds.  Rows-only (encode has no SQL twin; unit-pinned)."""
+    from peri_ray.stages.text import bpe_encode_counts, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=40)
+    return bpe_encode_counts(ds, merges)

@@ -2459,3 +2459,171 @@ def compact_term_indexes(index_dirs: list, out_dir: str) -> dict:
     with open(out_dir.rstrip("/") + ".index.json", "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer prep over the corpus)
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_counts(ds, text_col: str = "text", n_buckets: int = 64,
+                    batch_size: int | None = 8192,
+                    max_word_vocab: int = 1_000_000) -> pa.Table:
+    """Distributed word-frequency table — the ONLY corpus-scale pass
+    BPE training needs (the GPT-2 recipe: merges are learned over word
+    counts, not over the raw stream).  Per-batch ``value_counts``
+    partials through one bucketed exchange sum, then each bucket emits
+    only its top ``max_word_vocab`` rows, so the driver holds at most
+    ``n_buckets x max_word_vocab`` rows and the EXACT global top-N is
+    always contained in that union (any global top-N word is in its
+    own bucket's top-N).  Tokenizer = :func:`flat_tokens` (the twin
+    contract).  Returns (word, n) trimmed to the global top-N with
+    deterministic (count desc, word asc) tie order."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets, \
+        map_groups_via_buckets
+
+    def _part(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks().drop_null()
+        flat, _ = flat_tokens(txt)
+        vc = pc.value_counts(flat)
+        w = vc.field("values")
+        ok = pc.greater(pc.utf8_length(w), 0)
+        return pa.table({"word": w.filter(ok),
+                         "n": vc.field("counts").cast(pa.int64())
+                         .filter(ok)})
+
+    sums = grouped_sum_via_buckets(
+        ds.map_batches(_part, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["word"], "n", n_buckets=n_buckets)
+
+    def _top(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows <= max_word_vocab:
+            return bucket.select(["word", "n"])
+        return (bucket.select(["word", "n"])
+                .sort_by([("n", "descending"), ("word", "ascending")])
+                .slice(0, max_word_vocab))
+
+    rows = map_groups_via_buckets(sums, ["word"], _top,
+                                  n_buckets=n_buckets).take_all()
+    rows.sort(key=lambda r: (-r["n"], r["word"]))
+    rows = rows[:max_word_vocab]
+    return pa.table({"word": pa.array([r["word"] for r in rows],
+                                      pa.string()),
+                     "n": pa.array([r["n"] for r in rows], pa.int64())})
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
+              max_word_vocab: int = 1_000_000, n_buckets: int = 64,
+              batch_size: int | None = 8192) -> pa.Table:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL'16):
+    learn ``n_merges`` symbol merges from the corpus.  Phase 1 is the
+    distributed word-count pass (:func:`bpe_word_counts`); phase 2 is
+    the classic merge loop over the count-weighted word vocabulary —
+    vocab-BOUNDED driver work (``max_word_vocab`` rows), never
+    corpus-scale, exactly how production tokenizer training
+    partitions the problem.  Words end with the ``</w>`` marker; ties
+    break deterministically (max count, then lexicographically
+    smallest pair).  Returns (rank, left, right, pair_count)."""
+    wc = bpe_word_counts(ds, text_col=text_col, n_buckets=n_buckets,
+                         batch_size=batch_size,
+                         max_word_vocab=max_word_vocab)
+    vocab: dict[tuple, int] = {}
+    for w, n in zip(wc.column("word").to_pylist(),
+                    wc.column("n").to_pylist()):
+        syms = tuple(w) + ("</w>",)
+        vocab[syms] = vocab.get(syms, 0) + n
+    ranks, lefts, rights, counts = [], [], [], []
+    for r in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        ranks.append(r)
+        lefts.append(a)
+        rights.append(b)
+        counts.append(cnt)
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + c
+        vocab = new_vocab
+    return pa.table({"rank": pa.array(ranks, pa.int64()),
+                     "left": pa.array(lefts, pa.string()),
+                     "right": pa.array(rights, pa.string()),
+                     "pair_count": pa.array(counts, pa.int64())})
+
+
+class _BPEEncodeCounts:
+    """Per-batch BPE token counting under a learned merge list: each
+    DISTINCT word in the batch is encoded once (word-level cache — the
+    standard trick that makes encode cost vocab-bounded, not
+    token-bounded), then per-doc counts are a vectorized gather+sum."""
+
+    def __init__(self, merges: tuple, text_col: str, id_col: str):
+        self.rank = {m: i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        got = self.cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + ["</w>"]
+        rank = self.rank
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        n = len(syms)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column(self.text_col).combine_chunks()
+        flat, lens = flat_tokens(pc.fill_null(txt, ""))
+        uniq = pc.unique(flat)
+        lut = {w: self._encode_len(w) for w in uniq.to_pylist() if w}
+        per_tok = np.fromiter(
+            (lut.get(w, 0) for w in flat.to_pylist()), np.int64,
+            count=len(flat))
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_doc = np.bincount(doc_idx, weights=per_tok,
+                            minlength=len(lens)).astype(np.int64)
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "n_bpe_tokens": pa.array(n_doc)})
+
+
+def bpe_encode_counts(ds, merges_table: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      batch_size: int | None = 8192):
+    """Per-doc token counts under a trained merge list (the budget /
+    packing input a real tokenizer would feed).  The merge list is
+    tiny and ships once per task; encode cost per batch is bounded by
+    its DISTINCT word count via the in-task cache."""
+    merges = tuple(zip(merges_table.column("left").to_pylist(),
+                       merges_table.column("right").to_pylist()))
+    return ds.map_batches(_BPEEncodeCounts(merges, text_col, id_col),
+                          batch_format="pyarrow", batch_size=batch_size)

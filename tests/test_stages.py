@@ -7903,3 +7903,71 @@ class TestDedupExampleWeights:
         assert out[3]["cluster_size"] == 1 and out[3]["weight"] == 1.0
         assert out[4]["cluster_size"] == 3
         assert out[5]["weight"] == 1.0 / 3.0
+
+
+class TestBPETrain:
+    @staticmethod
+    def _ref_bpe(word_counts, n_merges):
+        # independent Sennrich-style reference: space-joined symbol
+        # strings + anchored regex replacement (different mechanics
+        # from the engine's tuple-walk implementation)
+        import re
+
+        vocab = {" ".join(list(w)) + " </w>": c
+                 for w, c in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for word, c in vocab.items():
+                syms = word.split()
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, cnt))
+            pat = re.compile(r"(?<!\S)" + re.escape(a + " " + b)
+                             + r"(?!\S)")
+            vocab = {pat.sub(a + b, w): c for w, c in vocab.items()}
+        return merges
+
+    def test_matches_reference(self):
+        from peri_ray.stages.text import bpe_train
+
+        corpus = ["low low low low low",
+                  "lower lower widest widest widest",
+                  "newest newest newest newest newest newest"]
+        wc = {}
+        for line in corpus:
+            for w in line.split():
+                wc[w] = wc.get(w, 0) + 1
+        ref = self._ref_bpe(wc, 8)
+        got = bpe_train(rd.from_items([{"text": c} for c in corpus],
+                                      parallelism=2), n_merges=8)
+        eng = list(zip(got.column("left").to_pylist(),
+                       got.column("right").to_pylist(),
+                       got.column("pair_count").to_pylist()))
+        assert eng == ref
+        assert got.column("rank").to_pylist() == list(range(len(ref)))
+
+    def test_encode_counts(self):
+        from peri_ray.stages.text import bpe_encode_counts, bpe_train
+
+        corpus = ["ab ab ab ab", "ab cd"]
+        ds = rd.from_items([{"doc_id": i, "text": c}
+                            for i, c in enumerate(corpus)])
+        merges = bpe_train(ds, n_merges=2)
+        # merges: ('a','b') then ('ab','</w>') -> "ab" is ONE token
+        out = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_encode_counts(ds, merges).take_all()}
+        assert out[0] == 4          # four fully-merged "ab" tokens
+        assert out[1] == 1 + 3      # "ab" + c,d,</w> unmerged
+
+    def test_vocab_cap_keeps_top(self):
+        from peri_ray.stages.text import bpe_word_counts
+
+        rows = [{"text": "x x x y y z"}]
+        t = bpe_word_counts(rd.from_items(rows), max_word_vocab=2)
+        assert t.column("word").to_pylist() == ["x", "y"]
+        assert t.column("n").to_pylist() == [3, 2]
