@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_prefix_rollup": q.url_prefix_rollup,
         "bpe_merges_documents": q.bpe_merges_documents,
         "bpe_trained_token_counts": q.bpe_trained_token_counts,
+        "threshold_sweep_documents": q.threshold_sweep_documents,
     }
 
 
@@ -4087,6 +4088,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages
               FROM x WHERE prefix <> ''
              GROUP BY host, prefix, depth
+        """,
+        "threshold_sweep_documents": """
+            WITH d AS (
+              SELECT CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000
+                       AS s,
+                     n_chars >= 300 AS y
+                FROM documents WHERE n_chars IS NOT NULL),
+            t AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold
+                    FROM (SELECT unnest(range(10)) AS i)),
+            c AS (
+              SELECT threshold,
+                     CAST(count(*) FILTER (WHERE s >= threshold AND y)
+                          AS BIGINT) AS tp,
+                     CAST(count(*) FILTER (WHERE s >= threshold
+                          AND NOT y) AS BIGINT) AS fp,
+                     CAST(count(*) FILTER (WHERE s < threshold AND y)
+                          AS BIGINT) AS fn,
+                     CAST(count(*) FILTER (WHERE s < threshold
+                          AND NOT y) AS BIGINT) AS tn
+                FROM d CROSS JOIN t GROUP BY threshold)
+            SELECT threshold, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   END AS "precision",
+                   CASE WHEN tp + fn > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   END AS recall
+              FROM c
         """,
     }
 

@@ -5594,3 +5594,26 @@ def bpe_trained_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     merges = bpe_train(ds, n_merges=40)
     return bpe_encode_counts(ds, merges)
+
+
+def threshold_sweep_documents(sf_dir: str):
+    """Quality-filter threshold sweep (learn.threshold_sweep): exact
+    confusion counts + precision/recall at 10 candidate cutoffs over a
+    deterministic score (hash-derived, so every SF has both classes on
+    both sides of every cutoff) against the n_chars >= 300 gold gate.
+    Oracle: per-threshold FILTER aggregates over the identical integer
+    derivations, int->double divisions."""
+    from peri_ray.stages.learn import threshold_sweep
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        s = ((ids * 2654435761) % 1000).astype(np.float64) / 1000.0
+        y = pc.greater_equal(
+            t.column("n_chars").combine_chunks().cast(pa.int64()), 300)
+        return pa.table({"score": pa.array(s), "label": y})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _fixture, batch_format="pyarrow")
+    return threshold_sweep(ds, "score", "label",
+                           [i / 10.0 for i in range(10)])

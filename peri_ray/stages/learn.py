@@ -116,3 +116,62 @@ def logreg_score(ds, w: np.ndarray, feature_cols: list[str],
 
     return ds.map_batches(_s, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def threshold_sweep(ds, score_col: str, label_col: str,
+                    thresholds, batch_size: int | None = 65536) -> pa.Table:
+    """Classifier operating-curve report: exact TP/FP/FN/TN plus
+    precision/recall at each candidate threshold — how a quality-filter
+    cutoff is actually chosen before gating a corpus.  One streaming
+    pass: each batch emits a (T x 4) int partial (T = #thresholds),
+    the driver merges T rows — zero shuffle at any corpus size.  Rows
+    with a null score or label are excluded (the SQL WHERE ... IS NOT
+    NULL convention); precision/recall are float(int)/float(int) so a
+    SQL twin's int->double divisions are bit-identical, null when the
+    denominator is zero."""
+    th = np.asarray(sorted(thresholds), np.float64)
+
+    def _part(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).combine_chunks()
+        y = t.column(label_col).combine_chunks()
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        s_ = s.filter(ok).to_numpy(zero_copy_only=False).astype(np.float64)
+        y_ = y.filter(ok).to_numpy(zero_copy_only=False).astype(bool)
+        tp = np.empty(len(th), np.int64)
+        fp = np.empty(len(th), np.int64)
+        fn = np.empty(len(th), np.int64)
+        tn = np.empty(len(th), np.int64)
+        for i, tt in enumerate(th):
+            pred = s_ >= tt
+            tp[i] = int((pred & y_).sum())
+            fp[i] = int((pred & ~y_).sum())
+            fn[i] = int((~pred & y_).sum())
+            tn[i] = int((~pred & ~y_).sum())
+        return pa.table({"threshold": pa.array(th),
+                         "tp": pa.array(tp), "fp": pa.array(fp),
+                         "fn": pa.array(fn), "tn": pa.array(tn)})
+
+    sums = {float(t): [0, 0, 0, 0] for t in th}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        s = sums[r["threshold"]]
+        s[0] += r["tp"]
+        s[1] += r["fp"]
+        s[2] += r["fn"]
+        s[3] += r["tn"]
+    tps, fps, fns, tns, precs, recs = [], [], [], [], [], []
+    for t in th:
+        tp, fp, fn, tn = sums[float(t)]
+        tps.append(tp)
+        fps.append(fp)
+        fns.append(fn)
+        tns.append(tn)
+        precs.append(float(tp) / float(tp + fp) if tp + fp else None)
+        recs.append(float(tp) / float(tp + fn) if tp + fn else None)
+    return pa.table({
+        "threshold": pa.array(th),
+        "tp": pa.array(tps, pa.int64()), "fp": pa.array(fps, pa.int64()),
+        "fn": pa.array(fns, pa.int64()), "tn": pa.array(tns, pa.int64()),
+        "precision": pa.array(precs, pa.float64()),
+        "recall": pa.array(recs, pa.float64()),
+    })

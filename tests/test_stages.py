@@ -7971,3 +7971,26 @@ class TestBPETrain:
         t = bpe_word_counts(rd.from_items(rows), max_word_vocab=2)
         assert t.column("word").to_pylist() == ["x", "y"]
         assert t.column("n").to_pylist() == [3, 2]
+
+
+class TestThresholdSweep:
+    def test_exact_confusion_counts(self):
+        from peri_ray.stages.learn import threshold_sweep
+
+        rows = [{"s": 0.9, "y": True}, {"s": 0.8, "y": False},
+                {"s": 0.2, "y": True}, {"s": 0.1, "y": False},
+                {"s": None, "y": True}, {"s": 0.5, "y": None}]
+        t = threshold_sweep(rd.from_items(rows, parallelism=2),
+                            "s", "y", [0.5])
+        r = t.to_pylist()[0]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+        assert r["precision"] == 0.5 and r["recall"] == 0.5
+
+    def test_zero_denominator_is_null(self):
+        from peri_ray.stages.learn import threshold_sweep
+
+        rows = [{"s": 0.1, "y": False}]
+        r = threshold_sweep(rd.from_items(rows), "s", "y",
+                            [0.5]).to_pylist()[0]
+        assert r["precision"] is None and r["recall"] is None
+        assert r["tn"] == 1
