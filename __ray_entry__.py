@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": q.bpe_merges_documents,
         "bpe_trained_token_counts": q.bpe_trained_token_counts,
         "threshold_sweep_documents": q.threshold_sweep_documents,
+        "weekly_active_users": q.weekly_active_users,
     }
 
 
@@ -4116,6 +4117,17 @@ def oracle_sql() -> dict[str, str]:
                      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
                    END AS recall
               FROM c
+        """,
+        "weekly_active_users": """
+            WITH p AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            days AS (SELECT DISTINCT d FROM p)
+            SELECT strftime(w.d, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_keys
+              FROM days w JOIN p ON p.d BETWEEN w.d - 6 AND w.d
+             GROUP BY w.d
         """,
     }
 

@@ -347,6 +347,8 @@ def run_bench() -> dict:
           lambda: q.bpe_trained_token_counts(SF_DIR).to_pandas())
     timed("threshold_sweep",
           lambda: q.threshold_sweep_documents(SF_DIR))
+    timed("weekly_active_users",
+          lambda: q.weekly_active_users(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

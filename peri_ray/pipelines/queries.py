@@ -5617,3 +5617,17 @@ def threshold_sweep_documents(sf_dir: str):
         _fixture, batch_format="pyarrow")
     return threshold_sweep(ds, "score", "label",
                            [i / 10.0 for i in range(10)])
+
+
+def weekly_active_users(sf_dir: str):
+    """Exact 7-day rolling COUNT(DISTINCT user) per observed day
+    (temporal.rolling_distinct_counts) — the WAU monitor, computed via
+    per-key first-active-day range-adds into a day diff array (ONE
+    exchange; no 7x window explosion).  Oracle: self-join of distinct
+    (user, day) pairs against observed days over the same 7-day
+    window."""
+    from peri_ray.stages.temporal import rolling_distinct_counts
+
+    return rolling_distinct_counts(
+        _read(sf_dir, "events", ["ts", "user_id"]),
+        ts_col="ts", key_col="user_id", window_days=7)

@@ -1195,3 +1195,94 @@ def cusum_daily_counts(ds, ts_col: str = "ts",
         "x": pa.array([daily[d] for d in days], pa.int64()),
         "cusum_num": pa.array(out_s, pa.int64()),
     })
+
+
+def rolling_distinct_counts(ds, ts_col: str = "ts",
+                            key_col: str = "user_id",
+                            window_days: int = 7,
+                            n_buckets: int = 64):
+    """EXACT rolling-window COUNT(DISTINCT key) per day — the WAU/MAU
+    monitor: for every observed activity day ``w``, how many distinct
+    keys were active in ``[w - window_days + 1, w]``.
+
+    Naive shapes either explode every (key, day) pair into all
+    ``window_days`` windows it covers and re-deduplicate (a second
+    full exchange at x``window_days`` volume) or re-scan per window.
+    This runs ONE key-bucketed exchange: per key in sorted day order,
+    an active day ``d`` with previous active day ``p`` is the FIRST
+    active day exactly for windows ``[max(d, p + window_days), d +
+    window_days - 1]``, so each pair contributes a ±1 to a per-day
+    difference array; the driver merges day-sized diff partials and
+    prefix-sums — O(calendar days) driver work regardless of key
+    cardinality.  Null keys / timestamps are excluded (the SQL
+    COUNT(DISTINCT) convention).  Returns (day 'YYYY-MM-DD', n_keys)
+    for observed days only."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    w = int(window_days)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, ts_col)
+        t = t.filter(pc.is_valid(t.column(key_col).combine_chunks()))
+        ts = t.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+        day = (_epoch_us(ts) // 86_400_000_000).astype(np.int64)
+        return (pa.table({key_col: t.column(key_col),
+                          "day": pa.array(day)})
+                .group_by([key_col, "day"]).aggregate([]))
+
+    NEG = np.int64(-(1 << 40))
+
+    def _diffs(bucket: pa.Table) -> pa.Table:
+        g = (bucket.select([key_col, "day"])
+             .group_by([key_col, "day"]).aggregate([])
+             .sort_by([(key_col, "ascending"), ("day", "ascending")]))
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8())})
+        keys = g.column(key_col).combine_chunks()
+        d = g.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+        prev = np.full(n, NEG)
+        prev[same] = d[np.flatnonzero(same) - 1]
+        lo = np.maximum(d, prev + w)
+        hi = d + w - 1
+        lo_u, lo_c = np.unique(lo, return_counts=True)
+        hi_u, hi_c = np.unique(hi + 1, return_counts=True)
+        obs = np.unique(d)
+        return pa.table({
+            "day": pa.array(np.concatenate([lo_u, hi_u, obs])),
+            "delta": pa.array(np.concatenate(
+                [lo_c.astype(np.int64), -hi_c.astype(np.int64),
+                 np.zeros(len(obs), np.int64)])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(lo_u) + len(hi_u), np.int8),
+                 np.ones(len(obs), np.int8)])),
+        })
+
+    deltas: dict[int, int] = {}
+    observed: set[int] = set()
+    for r in map_groups_via_buckets(ds.map_batches(
+            _pairs, batch_format="pyarrow", batch_size=65536),
+            [key_col], _diffs, n_buckets=n_buckets).take_all():
+        if r["kind"] == 1:
+            observed.add(r["day"])
+        else:
+            deltas[r["day"]] = deltas.get(r["day"], 0) + r["delta"]
+    if not observed:
+        return pa.table({"day": pa.array([], pa.string()),
+                         "n_keys": pa.array([], pa.int64())})
+    days, counts = [], []
+    run = 0
+    for dd in range(min(deltas), max(observed) + 1):
+        run += deltas.get(dd, 0)
+        if dd in observed:
+            days.append(dd)
+            counts.append(run)
+    iso = [str(np.datetime64(int(dd), "D")) for dd in days]
+    return pa.table({"day": pa.array(iso, pa.string()),
+                     "n_keys": pa.array(counts, pa.int64())})

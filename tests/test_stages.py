@@ -7994,3 +7994,43 @@ class TestThresholdSweep:
                             [0.5]).to_pylist()[0]
         assert r["precision"] is None and r["recall"] is None
         assert r["tn"] == 1
+
+
+class TestRollingDistinct:
+    @staticmethod
+    def _brute(pairs, w):
+        days = sorted({d for _, d in pairs})
+        out = {}
+        for wd in days:
+            out[wd] = len({u for u, d in pairs if wd - w + 1 <= d <= wd})
+        return out
+
+    def _run(self, pairs, w):
+        import numpy as np
+
+        from peri_ray.stages.temporal import rolling_distinct_counts
+
+        rows = [{"user_id": u,
+                 "ts": np.datetime64(int(d), "D").astype(
+                     "datetime64[us]").item()}
+                for u, d in pairs]
+        got = rolling_distinct_counts(
+            rd.from_items(rows, parallelism=3), window_days=w)
+        import numpy as _np
+
+        return {(_np.datetime64(r["day"]) - _np.datetime64("1970-01-01"))
+                .astype(int): r["n_keys"] for r in got.to_pylist()}
+
+    def test_hand_case(self):
+        pairs = [(1, 0), (1, 3), (2, 3), (1, 20)]
+        got = self._run(pairs, 7)
+        assert got == self._brute(pairs, 7)
+        assert got[0] == 1 and got[3] == 2 and got[20] == 1
+
+    def test_fuzz_vs_brute(self):
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(8), rng.randrange(25)) for _ in range(200)]
+        for w in (1, 3, 7):
+            assert self._run(pairs, w) == self._brute(pairs, w)
