@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_trained_token_counts": q.bpe_trained_token_counts,
         "threshold_sweep_documents": q.threshold_sweep_documents,
         "weekly_active_users": q.weekly_active_users,
+        "host_components": q.host_components,
     }
 
 
@@ -4128,6 +4129,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_keys
               FROM days w JOIN p ON p.d BETWEEN w.d - 6 AND w.d
              GROUP BY w.d
+        """,
+        "host_components": f"""
+            WITH RECURSIVE {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> (doc_id*7 + j + 1) % 50)) AS d
+                FROM documents),
+            e0 AS (SELECT CAST(regexp_extract(c.host, '^h(\\d+)\\.', 1)
+                               AS BIGINT) AS s,
+                          tg.d AS d
+                     FROM tg JOIN canon c USING (doc_id)),
+            e AS (SELECT DISTINCT s, d FROM e0
+                   WHERE s <> d AND s % 7 <> 0),
+            u AS (SELECT s AS a, d AS b FROM e
+                  UNION SELECT d, s FROM e),
+            n AS (SELECT DISTINCT a AS node FROM u),
+            r AS (SELECT node, node AS reach FROM n
+                  UNION
+                  SELECT r.node, u.b FROM r JOIN u ON u.a = r.reach)
+            SELECT node, CAST(min(reach) AS BIGINT) AS label
+              FROM r GROUP BY node
         """,
     }
 

@@ -349,6 +349,8 @@ def run_bench() -> dict:
           lambda: q.threshold_sweep_documents(SF_DIR))
     timed("weekly_active_users",
           lambda: q.weekly_active_users(SF_DIR))
+    timed("host_components",
+          lambda: q.host_components(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

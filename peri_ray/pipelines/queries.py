@@ -5631,3 +5631,20 @@ def weekly_active_users(sf_dir: str):
     return rolling_distinct_counts(
         _read(sf_dir, "events", ["ts", "user_id"]),
         ts_col="ts", key_col="user_id", window_days=7)
+
+
+def host_components(sf_dir: str):
+    """Undirected connected components over the fixture host link
+    graph (dedup.connected_components — the same hybrid min-label
+    machinery the near-dup keeper uses, here as the site-cluster /
+    link-neighborhood profiling query).  Oracle: recursive-CTE
+    reachability closure with min-id labels over the arithmetically
+    rebuilt edge set."""
+    from peri_ray.stages.dedup import connected_components
+
+    comp = connected_components(_host_graph_edges(sf_dir))
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "label"])
+
+    return comp.map_batches(_rename, batch_format="pyarrow")
