@@ -610,3 +610,89 @@ def compact_parquet(in_dir: str, out_dir: str,
     files_out = sum(1 for f in os.listdir(out_dir)
                     if f.endswith(".parquet"))
     return {"rows": n, "files_in": files_in, "files_out": files_out}
+
+
+def write_zorder_partitioned(ds, keys: list[str], out_dir: str,
+                             n_ranges: int = 16, bits: int = 8,
+                             kll_k: int = 800,
+                             batch_size: int | None = 65536) -> dict:
+    """Z-order (Morton) clustered parquet sink: rows are laid out along
+    an interleaved-bit curve over ``keys`` (2+ numeric/temporal
+    columns), so the per-range zone maps become tight rectangles in
+    EVERY key dimension and :func:`read_zone_pruned` box predicates
+    skip most of the layout — the multi-column answer to
+    :func:`write_range_partitioned`'s single-key clustering (a
+    time-range scan AND an id-slice scan both prune on one layout).
+
+    Pass 1 sketches each key with a KLL and bucketizes it to
+    ``2**bits`` equi-depth levels (per-dimension uniformization — raw
+    value interleaving would let one wide-range key dominate the
+    curve); the z-value is the vectorized bit-interleave of the level
+    codes (``len(keys) * bits`` bits, must fit int64).  The write
+    itself composes: the z column feeds :func:`write_range_partitioned`
+    (KLL-balanced z ranges + zone maps over the original keys), so
+    manifests, resumable layout and pruned reads are shared machinery.
+    Three input scans total (key sketch, z sketch, write) — at corpus
+    scale substitute a sampled sketch pass if two sketch scans matter.
+
+    Returns the manifest dict (adds ``zorder: {keys, bits}``)."""
+    import json
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+
+    from peri_ray.state.sketches import KLL
+
+    if len(keys) < 2:
+        raise ValueError("write_zorder_partitioned needs >= 2 keys "
+                         "(use write_range_partitioned for one)")
+    if len(keys) * bits > 62:
+        raise ValueError(f"z-value would need {len(keys) * bits} bits; "
+                         "reduce bits or keys (int64 limit)")
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        out = {}
+        for k in keys:
+            v = (_epoch_numeric(t.column(k).combine_chunks().drop_null())
+                 .to_numpy(zero_copy_only=False))
+            s = KLL(kll_k)
+            s.update_many(v)
+            out[k] = pa.array([pickle.dumps(s)], pa.binary())
+        return pa.table(out)
+
+    merged = {k: KLL(kll_k) for k in keys}
+    for r in ds.map_batches(_sketch, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        for k in keys:
+            merged[k].merge(pickle.loads(r[k]))
+    levels = 1 << bits
+    splits = {}
+    for k in keys:
+        if merged[k].n == 0:
+            raise ValueError(f"write_zorder_partitioned: column {k!r} "
+                             "has no non-null values")
+        splits[k] = np.asarray(sorted({
+            float(merged[k].quantile(i / levels))
+            for i in range(1, levels)}), np.float64)
+
+    def _add_z(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        for ki, k in enumerate(keys):
+            v = (_epoch_numeric(t.column(k).combine_chunks())
+                 .fill_null(float("-inf")).to_numpy(zero_copy_only=False))
+            lv = np.searchsorted(splits[k], v, side="right").astype(
+                np.int64)
+            for b in range(bits):
+                z |= ((lv >> b) & 1) << (b * len(keys) + ki)
+        return t.append_column("__z", pa.array(z))
+
+    manifest = write_range_partitioned(
+        ds.map_batches(_add_z, batch_format="pyarrow",
+                       batch_size=batch_size),
+        "__z", out_dir, n_ranges=n_ranges, kll_k=kll_k,
+        batch_size=batch_size, zone_cols=list(keys))
+    manifest["zorder"] = {"keys": list(keys), "bits": bits}
+    with open(out_dir.rstrip("/") + ".ranges.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -8034,3 +8034,58 @@ class TestRollingDistinct:
         pairs = [(rng.randrange(8), rng.randrange(25)) for _ in range(200)]
         for w in (1, 3, 7):
             assert self._run(pairs, w) == self._brute(pairs, w)
+
+
+class TestZOrderSink:
+    def test_roundtrip_and_box_pruning(self, tmp_path):
+        import numpy as np
+
+        from peri_ray.sources import read_zone_pruned, \
+            write_zorder_partitioned
+
+        rng = np.random.RandomState(3)
+        n = 4000
+        t = pa.table({"x": pa.array(rng.permutation(n).astype("int64")),
+                      "y": pa.array(rng.permutation(n).astype("int64")),
+                      "v": pa.array(np.arange(n, dtype="int64"))})
+        out = str(tmp_path / "zo")
+        man = write_zorder_partitioned(rd.from_arrow(t).repartition(8),
+                                       ["x", "y"], out, n_ranges=16)
+        assert man["zorder"]["keys"] == ["x", "y"]
+
+        # exact box read == brute filter
+        box = {"x": (100, 400), "y": (1000, 1400)}
+        got = sorted(r["v"] for r in read_zone_pruned(
+            out, box, columns=["x", "y", "v"]).take_all())
+        want = sorted(int(v) for x, y, v in zip(
+            t.column("x").to_pylist(), t.column("y").to_pylist(),
+            t.column("v").to_pylist())
+            if 100 <= x <= 400 and 1000 <= y <= 1400)
+        assert got == want and len(want) > 0
+
+        # the zone maps must actually prune: with independent uniform
+        # keys a ~7.5% x 10% box must skip most of the 16 z-ranges
+        zones = man["zones"]
+        survivors = 0
+        for i in range(man["n_ranges"]):
+            keep = True
+            for col, (lo, hi) in box.items():
+                if zones[col][i] is not None:
+                    zlo, zhi = zones[col][i]
+                    if zhi < lo or zlo > hi:
+                        keep = False
+            survivors += keep
+        assert survivors <= man["n_ranges"] // 2
+
+    def test_rejects_bad_args(self, tmp_path):
+        import pytest as _pt
+
+        from peri_ray.sources import write_zorder_partitioned
+
+        t = pa.table({"x": pa.array([1, 2]), "y": pa.array([3, 4])})
+        with _pt.raises(ValueError):
+            write_zorder_partitioned(rd.from_arrow(t), ["x"],
+                                     str(tmp_path / "a"))
+        with _pt.raises(ValueError):
+            write_zorder_partitioned(rd.from_arrow(t), ["x", "y"],
+                                     str(tmp_path / "b"), bits=32)
