@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_sweep_documents": q.threshold_sweep_documents,
         "weekly_active_users": q.weekly_active_users,
         "host_components": q.host_components,
+        "contrastive_negatives": q.contrastive_negatives,
     }
 
 
@@ -4151,6 +4152,27 @@ def oracle_sql() -> dict[str, str]:
                   SELECT r.node, u.b FROM r JOIN u ON u.a = r.reach)
             SELECT node, CAST(min(reach) AS BIGINT) AS label
               FROM r GROUP BY node
+        """,
+        "contrastive_negatives": """
+            WITH fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3
+                          THEN 'copied syndicated article body'
+                          ELSE text END AS text
+                FROM documents),
+            n AS (SELECT count(*) AS n_ids FROM fix),
+            c AS (
+              SELECT f.doc_id AS anchor_id,
+                     (f.doc_id * 48271 + j.j * 1003 + 7) % n.n_ids
+                       AS cand
+                FROM fix f, n,
+                     (SELECT unnest(range(2)) AS j) j)
+            SELECT c.anchor_id, c.cand AS negative_id
+              FROM c
+              JOIN fix a ON a.doc_id = c.anchor_id
+              JOIN fix b ON b.doc_id = c.cand
+             WHERE c.cand <> c.anchor_id
+               AND a.text IS DISTINCT FROM b.text
         """,
     }
 

@@ -351,6 +351,8 @@ def run_bench() -> dict:
           lambda: q.weekly_active_users(SF_DIR))
     timed("host_components",
           lambda: q.host_components(SF_DIR).to_pandas())
+    timed("contrastive_negatives",
+          lambda: q.contrastive_negatives(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

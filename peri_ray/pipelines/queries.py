@@ -5648,3 +5648,30 @@ def host_components(sf_dir: str):
         return t.rename_columns(["node", "label"])
 
     return comp.map_batches(_rename, batch_format="pyarrow")
+
+
+def contrastive_negatives(sf_dir: str):
+    """Contrastive negative sampling (dedup.negative_samples) over the
+    planted-duplicate fixture (every 10th doc shares one body, so the
+    content-collision exclusion actually fires): 2 deterministic
+    negatives per anchor, same-content candidates dropped.  Oracle:
+    identical modular candidate arithmetic + IS DISTINCT FROM text
+    exclusion through a self join."""
+    from peri_ray.stages.dedup import negative_samples
+
+    def _fixture(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        planted = pa.array(idn % 10 == 3)
+        text = pc.if_else(planted,
+                          pa.scalar("copied syndicated article body"),
+                          t.column("text").combine_chunks())
+        return pa.table({"doc_id": ids, "text": text})
+
+    # step=1003: j=1 candidates of planted anchors are planted too
+    # ((3*48271 + 1003 + 7) % 10 == 3), so ~5% of candidate rows are
+    # true content collisions — the exclusion path is NON-vacuous at
+    # every SF (row count < 2x docs proves the filter fired)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fixture, batch_format="pyarrow")
+    return negative_samples(ds, k=2, step=1003)

@@ -329,6 +329,68 @@ def dedup_example_weights(ds, text_col: str = "text",
                                                  batch_format="pyarrow")
 
 
+def negative_samples(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 2, n_ids: int | None = None,
+                     mult: int = 48271, step: int = 1009, seed: int = 7,
+                     n_buckets: int = 64,
+                     batch_size: int | None = 65536):
+    """Contrastive-training negative sampling: for every anchor doc,
+    ``k`` deterministic pseudo-random partner ids
+    (``(anchor*mult + j*step + seed) % n_ids``) with CONTENT-COLLISION
+    exclusion — a sampled "negative" that is byte-identical to its
+    anchor would be a false negative pair, so candidates whose content
+    hash equals the anchor's are dropped (extend the same join against
+    a near-dup pair table for semantic exclusion).  Assumes a dense
+    0..n_ids-1 id space (``n_ids`` defaults to ``ds.count()``);
+    candidates equal to their anchor are skipped.
+
+    Scale shape: candidate generation is pure per-batch arithmetic;
+    the candidate's content hash is fetched via ONE hash-partitioned
+    join on the candidate id (the id→hash side is corpus-sized — never
+    a broadcast); only (ids, 8-byte hashes) cross the exchange.
+    Returns (anchor_id, negative_id)."""
+    from peri_ray.stages.joins import hash_join
+
+    if n_ids is None:
+        n_ids = ds.count()
+
+    side = ds.map_batches(_HashIdPairs(text_col, id_col),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+    def _cands(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        h = hash_strings(t.column(text_col).combine_chunks(),
+                         seed=1).astype(np.int64)
+        anc, ah, cand = [], [], []
+        for j in range(k):
+            c = (ids * mult + j * step + seed) % n_ids
+            keep = c != ids
+            anc.append(ids[keep])
+            ah.append(h[keep])
+            cand.append(c[keep])
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate(anc)),
+            "__ahash": pa.array(np.concatenate(ah)),
+            "cand": pa.array(np.concatenate(cand)),
+        })
+
+    cands = ds.map_batches(_cands, batch_format="pyarrow",
+                           batch_size=batch_size)
+    joined = hash_join(cands, side, "cand", id_col,
+                       ["anchor_id", "__ahash"], ["content_hash"],
+                       how="inner", n_buckets=n_buckets)
+
+    def _final(t: pa.Table) -> pa.Table:
+        ok = pc.not_equal(t.column("__ahash").combine_chunks(),
+                          t.column("content_hash").combine_chunks())
+        t = t.filter(ok)
+        return pa.table({"anchor_id": t.column("anchor_id"),
+                         "negative_id": t.column("cand")})
+
+    return joined.map_batches(_final, batch_format="pyarrow")
+
+
 def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
                         n_buckets: int = 64, prehashed: bool = False):
     """Ids that would be REMOVED by exact dedup (duplicates beyond the

@@ -8089,3 +8089,22 @@ class TestZOrderSink:
         with _pt.raises(ValueError):
             write_zorder_partitioned(rd.from_arrow(t), ["x", "y"],
                                      str(tmp_path / "b"), bits=32)
+
+
+class TestNegativeSamples:
+    def test_collision_and_self_exclusion(self):
+        from peri_ray.stages.dedup import negative_samples
+
+        # ids 0..3; texts: 0 and 2 share content
+        rows = [{"doc_id": 0, "text": "same"},
+                {"doc_id": 1, "text": "b"},
+                {"doc_id": 2, "text": "same"},
+                {"doc_id": 3, "text": "d"}]
+        # mult=1, step=2, seed=0, n_ids=4: anchor a -> cands a (self,
+        # dropped) and (a+2)%4 (the content twin for anchors 0 and 2)
+        out = {(r["anchor_id"], r["negative_id"])
+               for r in negative_samples(
+                   rd.from_items(rows, parallelism=2), k=2, n_ids=4,
+                   mult=1, step=2, seed=0).take_all()}
+        # 0->2 and 2->0 are content collisions; 1->3 and 3->1 survive
+        assert out == {(1, 3), (3, 1)}
