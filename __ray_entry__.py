@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": q.weekly_active_users,
         "host_components": q.host_components,
         "contrastive_negatives": q.contrastive_negatives,
+        "markov_transitions_events": q.markov_transitions_events,
     }
 
 
@@ -4173,6 +4174,21 @@ def oracle_sql() -> dict[str, str]:
               JOIN fix b ON b.doc_id = c.cand
              WHERE c.cand <> c.anchor_id
                AND a.text IS DISTINCT FROM b.text
+        """,
+        "markov_transitions_events": """
+            WITH s AS (
+              SELECT CAST(event_type AS VARCHAR) AS prev,
+                     lead(CAST(event_type AS VARCHAR)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next
+                FROM events),
+            c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+                    FROM s WHERE next IS NOT NULL GROUP BY prev, next)
+            SELECT prev, next, n,
+                   CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)
+                     AS p
+              FROM c
         """,
     }
 

@@ -5675,3 +5675,16 @@ def contrastive_negatives(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _fixture, batch_format="pyarrow")
     return negative_samples(ds, k=2, step=1003)
+
+
+def markov_transitions_events(sf_dir: str):
+    """Per-user event-type transition matrix
+    (temporal.markov_transitions): exact consecutive-step counts in
+    (ts, event_id) order plus row-normalized probabilities.  Oracle:
+    lead() window over the identical ordering, grouped, with
+    int->double division."""
+    from peri_ray.stages.temporal import markov_transitions
+
+    return markov_transitions(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type"]))

@@ -1286,3 +1286,71 @@ def rolling_distinct_counts(ds, ts_col: str = "ts",
     iso = [str(np.datetime64(int(dd), "D")) for dd in days]
     return pa.table({"day": pa.array(iso, pa.string()),
                      "n_keys": pa.array(counts, pa.int64())})
+
+
+def markov_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       state_col: str = "event_type",
+                       id_col: str = "event_id", n_buckets: int = 64,
+                       max_states: int = 10_000):
+    """First-order Markov transition matrix over per-key event
+    sequences: exact counts of consecutive (state -> next state) steps
+    in (ts, id) order within each key, plus the row-normalized
+    transition probability — the behavioral-drift / bot-detection
+    model a clickstream audit fits.
+
+    One key-bucketed exchange; per bucket the run-fenced shift pairs
+    each event with its successor and a vectorized group_by emits
+    (prev, next, n) partials.  The driver merges a states²-bounded
+    dict (raises past ``max_states²`` — state columns are enum-like by
+    contract).  Transitions INTO a null state are dropped (under the
+    SQL twin's lead()+WHERE they are indistinguishable from sequence
+    end); null PREV states keep their rows.  Probabilities are
+    float(n)/float(row total)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key_col, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        n = g.num_rows
+        if n < 2:
+            return pa.table({"prev": pa.array([], pa.string()),
+                             "next": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        keys = g.column(key_col).combine_chunks()
+        same = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .fill_null(False).to_numpy(zero_copy_only=False)
+        st = g.column(state_col).combine_chunks().cast(pa.string())
+        idx = np.flatnonzero(same)
+        t = pa.table({"prev": st.take(pa.array(idx)),
+                      "next": st.take(pa.array(idx + 1))})
+        # SQL-twin convention: a transition INTO a null state is
+        # indistinguishable from sequence end under lead()+WHERE next
+        # IS NOT NULL, so it is dropped; null PREV states keep their
+        # row (the twin's GROUP BY keeps the NULL group)
+        t = t.filter(pc.is_valid(t.column("next").combine_chunks()))
+        cnt = t.group_by(["prev", "next"]).aggregate([([], "count_all")])
+        return cnt.rename_columns(["prev", "next", "n"])
+
+    need = list(dict.fromkeys([key_col, ts_col, state_col, id_col]))
+    pruned = ds.map_batches(lambda t: t.select(need),
+                            batch_format="pyarrow")
+    sums: dict[tuple, int] = {}
+    for r in map_groups_via_buckets(pruned, [key_col], _pairs,
+                                    n_buckets=n_buckets).take_all():
+        k = (r["prev"], r["next"])
+        sums[k] = sums.get(k, 0) + r["n"]
+        if len(sums) > max_states * max_states:
+            raise ValueError("markov_transitions: state domain exceeds "
+                             f"max_states={max_states} — not an "
+                             "enum-like column")
+    totals: dict[str, int] = {}
+    for (p, _), c in sums.items():
+        totals[p] = totals.get(p, 0) + c
+    keys_sorted = sorted(sums)
+    return pa.table({
+        "prev": pa.array([k[0] for k in keys_sorted], pa.string()),
+        "next": pa.array([k[1] for k in keys_sorted], pa.string()),
+        "n": pa.array([sums[k] for k in keys_sorted], pa.int64()),
+        "p": pa.array([float(sums[k]) / float(totals[k[0]])
+                       for k in keys_sorted], pa.float64()),
+    })
