@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": q.host_components,
         "contrastive_negatives": q.contrastive_negatives,
         "markov_transitions_events": q.markov_transitions_events,
+        "time_window_sums_events": q.time_window_sums_events,
+        "scd2_point_in_time": q.scd2_point_in_time,
     }
 
 
@@ -4189,6 +4191,40 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)
                      AS p
               FROM c
+        """,
+        "time_window_sums_events": """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 1000000) AS BIGINT) AS micro
+                FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL
+                 AND user_id IS NOT NULL)
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n,
+                   CAST(sum(micro) OVER w AS BIGINT) AS win_sum_micro
+              FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "scd2_point_in_time": """
+            WITH h AS (
+              SELECT user_id, ts AS vf, lead(ts) OVER w AS vt,
+                     CAST(row_number() OVER w AS BIGINT) AS version,
+                     lag(event_type) OVER w IS DISTINCT FROM event_type
+                       AS changed
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            p AS (
+              SELECT event_id, user_id, ts + INTERVAL 17 MINUTE AS pts
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+            SELECT p.event_id, p.user_id,
+                   h.version AS version_at, h.changed AS changed_at
+              FROM p LEFT JOIN h
+                ON h.user_id = p.user_id
+               AND p.pts >= h.vf AND (h.vt IS NULL OR p.pts < h.vt)
         """,
     }
 

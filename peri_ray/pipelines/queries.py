@@ -5688,3 +5688,53 @@ def markov_transitions_events(sf_dir: str):
     return markov_transitions(
         _read(sf_dir, "events",
               ["event_id", "user_id", "ts", "event_type"]))
+
+
+def time_window_sums_events(sf_dir: str):
+    """Trailing 1-hour RANGE-frame window aggregate per user
+    (temporal.time_window_sums): for every event, the count and the
+    exact BIGINT-micro sum of that user's events with ts in
+    [ts - 1h, ts].  Oracle: SUM/COUNT OVER (PARTITION BY user ORDER BY
+    ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)."""
+    from peri_ray.stages.temporal import time_window_sums
+
+    return time_window_sums(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window_s=3600)
+
+
+def scd2_point_in_time(sf_dir: str):
+    """Point-in-time lookup against the SCD2 capture history
+    (temporal.point_in_time_join): probe = every event shifted
+    +17 minutes; result = the version (number + changed flag) of that
+    user's history whose validity interval contains the probe instant;
+    probes before a user's first capture keep a null payload.
+    Oracle: LEFT JOIN h ON user AND pts >= valid_from AND
+    (valid_to IS NULL OR pts < valid_to) over the lead/row_number
+    history rebuild."""
+    from peri_ray.stages.temporal import point_in_time_join, scd2_history
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    hist = scd2_history(ds, key_col="user_id", ts_col="ts",
+                        attr_col="event_type", id_col="event_id")
+
+    def _probe(t):
+        ok = pc.and_(pc.is_valid(t.column("ts").combine_chunks()),
+                     pc.is_valid(t.column("user_id").combine_chunks()))
+        sub = t.filter(ok)
+        pts = pc.add(sub.column("ts").combine_chunks().cast(pa.int64()),
+                     pa.scalar(17 * 60 * 1_000_000, pa.int64()))
+        return pa.table({"event_id": sub.column("event_id"),
+                         "user_id": sub.column("user_id"),
+                         "pts": pts.cast(pa.timestamp("us"))})
+
+    probe = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(_probe, batch_format="pyarrow")
+    out = point_in_time_join(probe, hist, key_col="user_id",
+                             probe_ts="pts", probe_id="event_id",
+                             right_cols=["version", "changed"])
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["event_id", "user_id", "version_at", "changed_at"]),
+        batch_format="pyarrow")

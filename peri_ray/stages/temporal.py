@@ -1354,3 +1354,215 @@ def markov_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
         "p": pa.array([float(sums[k]) / float(totals[k[0]])
                        for k in keys_sorted], pa.float64()),
     })
+
+
+def time_window_sums(ds, window_s: int = 3600, user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value", n_buckets: int = 64):
+    """Per-key TRAILING-INTERVAL window aggregate in event time — the
+    RANGE-frame member of the window family (SQL ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW``), complementing
+    :func:`running_totals` (unbounded frame) and
+    :func:`moving_window_sums` (ROWS frame).  One row per input row:
+    (id, user, win_n, win_sum_micro) over the rows of the same key
+    whose ts lies in ``[ts - window, ts]`` (inclusive both ends; equal
+    timestamps are frame peers exactly as SQL RANGE treats them, so
+    the frame never depends on a tiebreak).
+
+    Exactness contract shared with the siblings: values fix-point to
+    BIGINT micro-units (half-away rounding) BEFORE accumulation; rows
+    with null user/ts/value are excluded on both sides.
+
+    Shape: one key-bucketed exchange; per bucket ONE lexsort + ONE
+    cumsum, then both frame bounds come from two whole-bucket
+    ``searchsorted`` calls over a banded composite axis (each key run
+    is shifted into its own non-overlapping integer band, so a single
+    global binary search resolves every per-run bound — no per-run
+    Python loop).  When runs x band width would overflow int64 (huge
+    per-key spans x millions of keys per bucket) it falls back to a
+    per-run slice loop — correctness first, with the documented cost.
+    O(n log n) per bucket regardless of window size."""
+    win_us = int(window_s) * 1_000_000
+
+    def _win(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.and_(
+            pc.and_(pc.is_valid(group.column(value_col)),
+                    pc.is_valid(group.column(ts_col))),
+            pc.is_valid(group.column(user_col))))
+        u = g.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = g.column(value_col).combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                            ("win_n", pa.int64()),
+                            ("win_sum_micro", pa.int64())])
+        n = len(u)
+        if n == 0:
+            return schema.empty_table()
+        s = v * 1e6
+        micro = np.where(s >= 0, np.floor(s + 0.5),
+                         np.ceil(s - 0.5)).astype(np.int64)
+        order = np.lexsort((ids, ts, u))
+        u, ts, ids, micro = u[order], ts[order], ids[order], micro[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg_lens = np.diff(np.append(starts, n))
+        rel = ts - np.repeat(ts[starts], seg_lens)  # >= 0 within a run
+        off = int(rel.max()) + win_us + 2
+        if len(starts) * off < 2 ** 62:
+            run_id = np.repeat(
+                np.arange(len(starts), dtype=np.int64), seg_lens)
+            comp = run_id * off + rel
+            # target may dip below the band start (rel < window) but
+            # stays above the previous band's max (off > span + win),
+            # so the global search never crosses a key boundary
+            left = np.searchsorted(comp, comp - win_us, side="left")
+            right = np.searchsorted(comp, comp, side="right")
+        else:
+            left = np.empty(n, np.int64)
+            right = np.empty(n, np.int64)
+            ends = np.append(starts[1:], n)
+            for a, b in zip(starts, ends):
+                seg = ts[a:b]
+                left[a:b] = a + np.searchsorted(seg, seg - win_us, "left")
+                right[a:b] = a + np.searchsorted(seg, seg, "right")
+        cum = np.concatenate(([0], np.cumsum(micro)))
+        return pa.table({id_col: pa.array(ids), user_col: pa.array(u),
+                         "win_n": pa.array(right - left),
+                         "win_sum_micro": pa.array(cum[right] - cum[left])})
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col, id_col, value_col]),
+        [user_col], _win, n_buckets=n_buckets)
+
+
+def point_in_time_join(probe, history, key_col: str, probe_ts: str,
+                       probe_id: str, valid_from: str = "valid_from",
+                       valid_to: str = "valid_to",
+                       right_cols: list[str] | None = None,
+                       n_buckets: int = 64):
+    """Point-in-time (AS OF state) join: enrich each probe row with
+    the HISTORY VERSION whose validity interval contains the probe
+    timestamp (``valid_from <= ts < valid_to``, open current version =
+    null ``valid_to``) — the lookup an SCD2 capture history exists to
+    serve ("what did we believe about this url/user AT this moment").
+    LEFT semantics: probes before the first version keep their row
+    with null payload.  At most one version can match (SCD2 intervals
+    never overlap), so the row count is exactly the probe count.
+
+    Shape: both sides hash-bucket on the key through ONE exchange
+    (key, int64 ts bounds, probe id and the requested payload columns
+    only).  Per key run the versions sort once by (valid_from, …) and
+    every probe resolves with one vectorized ``searchsorted`` floor —
+    the :func:`asof_join` backward probe — plus a ``valid_to`` check
+    that rejects zero-width versions (equal-timestamp capture peers)
+    and gap intervals.  Probes with null key/ts are excluded on both
+    sides (documented convention, matching the SQL twin's WHERE)."""
+    right_cols = right_cols or []
+    if probe_id in right_cols or key_col in right_cols:
+        raise ValueError("right_cols must not shadow probe_id/key_col")
+
+    def _tag_probe(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, probe_ts)
+        t = t.filter(pc.is_valid(t.column(key_col).combine_chunks()))
+        cols = {"__key": t.column(key_col).combine_chunks().cast(pa.int64()),
+                "__ts": pa.array(_epoch_us(t.column(probe_ts)), pa.int64()),
+                "__vt": pa.nulls(t.num_rows, pa.int64()),
+                "__id": t.column(probe_id).combine_chunks().cast(pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8))}
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, right_types[c])
+        out = pa.table(cols)
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
+
+    right_types = {c: history.schema().types[history.schema().names.index(c)]
+                   for c in right_cols}
+
+    def _tag_hist(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(t, valid_from)
+        t = t.filter(pc.is_valid(t.column(key_col).combine_chunks()))
+        vt = t.column(valid_to).combine_chunks()
+        vt_us = pc.if_else(pc.is_valid(vt),
+                           vt.cast(pa.int64()),
+                           pa.scalar(np.iinfo(np.int64).max, pa.int64()))
+        cols = {"__key": t.column(key_col).combine_chunks().cast(pa.int64()),
+                "__ts": pa.array(_epoch_us(t.column(valid_from)), pa.int64()),
+                "__vt": vt_us,
+                "__id": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, np.int8))}
+        for c in right_cols:
+            cols[c] = t.column(c)
+        out = pa.table(cols)
+        return out.append_column("__bucket",
+                                 bucket_of(out.column("__key"), n_buckets))
+
+    both = (probe.map_batches(_tag_probe, batch_format="pyarrow",
+                              batch_size=EXCHANGE_COALESCE_ROWS)
+            .union(history.map_batches(_tag_hist, batch_format="pyarrow",
+                                       batch_size=EXCHANGE_COALESCE_ROWS)))
+
+    def _pit(group: pa.Table) -> pa.Table:
+        side = group.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = group.column("__key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group.column("__ts").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vt = group.column("__vt").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_r = side == 1
+        ri = np.flatnonzero(is_r)
+        # sort versions by (key, valid_from, valid_to): equal-ts
+        # capture peers order zero-width-first, so the floor candidate
+        # (the LAST peer) is the one whose interval can contain ts
+        r_order = ri[np.lexsort((vt[ri], ts[ri], keys[ri]))]
+        rk, rts, rvt = keys[r_order], ts[r_order], vt[r_order]
+        li = np.flatnonzero(~is_r)
+        lk, lts = keys[li], ts[li]
+        cand = np.full(len(li), -1, np.int64)
+        if len(rk) and len(li):
+            lo = np.searchsorted(rk, lk, side="left")
+            hi = np.searchsorted(rk, lk, side="right")
+            order = np.argsort(lk, kind="stable")
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], lk[order][1:] != lk[order][:-1])))
+            seg_ends = np.append(seg_starts[1:], len(order))
+            for s, e in zip(seg_starts, seg_ends):
+                rows = order[s:e]
+                a, b = lo[rows[0]], hi[rows[0]]
+                if a == b:
+                    continue
+                pos = np.searchsorted(rts[a:b], lts[rows], side="right")
+                hit = pos > 0
+                c = a + pos[hit] - 1
+                # interval containment: ts < valid_to rejects
+                # zero-width peers and any gap between versions
+                ok = lts[rows[hit]] < rvt[c]
+                cand[rows[hit]] = np.where(ok, c, -1)
+        matched = cand >= 0
+        take_idx = pa.array(np.where(matched, cand, 0), pa.int64())
+        out_cols = {
+            probe_id: group.column("__id").combine_chunks().take(
+                pa.array(li, pa.int64())),
+            key_col: pa.array(lk),
+        }
+        src_rows = pa.array(r_order, pa.int64())
+        m_arr = pa.array(matched)
+        for c in right_cols:
+            if len(r_order) == 0:
+                out_cols[c] = pa.nulls(len(lk), right_types[c])
+                continue
+            payload = group.column(c).combine_chunks().take(
+                src_rows).take(take_idx)
+            out_cols[c] = pc.if_else(
+                m_arr, payload, pa.nulls(len(lk), right_types[c]))
+        return pa.table(out_cols)
+
+    return both.groupby("__bucket").map_groups(_pit,
+                                               batch_format="pyarrow")

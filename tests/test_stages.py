@@ -8108,3 +8108,102 @@ class TestNegativeSamples:
                    mult=1, step=2, seed=0).take_all()}
         # 0->2 and 2->0 are content collisions; 1->3 and 3->1 survive
         assert out == {(1, 3), (3, 1)}
+
+
+class TestTimeWindowSums:
+    def test_matches_bruteforce(self):
+        from peri_ray.stages.temporal import time_window_sums
+
+        # ts values are "epoch microseconds"; window_s=5 -> 5e6 units
+        rng = __import__("random").Random(7)
+        rows = [{"event_id": i, "user_id": rng.randrange(4),
+                 "ts": rng.randrange(0, 40) * 1_000_000,
+                 "value": rng.choice([1.0, 2.5, -3.25])}
+                for i in range(120)]
+        out = {r["event_id"]: r for r in time_window_sums(
+            rd.from_items(rows, parallelism=5), window_s=5,
+            id_col="event_id").take_all()}
+        assert len(out) == 120
+        for r in rows:
+            frame = [x for x in rows if x["user_id"] == r["user_id"]
+                     and r["ts"] - 5_000_000 <= x["ts"] <= r["ts"]]
+            assert out[r["event_id"]]["win_n"] == len(frame)
+            assert out[r["event_id"]]["win_sum_micro"] == sum(
+                round(x["value"] * 1e6) for x in frame)
+
+    def test_equal_ts_peers_share_frame(self):
+        from peri_ray.stages.temporal import time_window_sums
+
+        rows = [{"event_id": 1, "user_id": 9, "ts": 10_000_000,
+                 "value": 1.0},
+                {"event_id": 2, "user_id": 9, "ts": 10_000_000,
+                 "value": 2.0},
+                {"event_id": 3, "user_id": 9, "ts": 16_000_000,
+                 "value": 4.0}]
+        out = {r["event_id"]: r for r in time_window_sums(
+            rd.from_items(rows), window_s=5).take_all()}
+        # RANGE peers: both ts=10 rows see BOTH peers
+        assert out[1]["win_n"] == 2 and out[2]["win_n"] == 2
+        assert out[1]["win_sum_micro"] == 3_000_000
+        # ts=16 window [11,16]: peers at 10 fall out
+        assert out[3]["win_n"] == 1
+        assert out[3]["win_sum_micro"] == 4_000_000
+
+    def test_null_rows_excluded(self):
+        from peri_ray.stages.temporal import time_window_sums
+
+        rows = [{"event_id": 1, "user_id": 1, "ts": 1_000_000,
+                 "value": 1.0},
+                {"event_id": 2, "user_id": 1, "ts": None, "value": 1.0},
+                {"event_id": 3, "user_id": 1, "ts": 2_000_000,
+                 "value": None},
+                {"event_id": 4, "user_id": None, "ts": 2_000_000,
+                 "value": 1.0}]
+        out = time_window_sums(rd.from_items(rows), window_s=60).take_all()
+        assert sorted(r["event_id"] for r in out) == [1]
+
+
+class TestPointInTimeJoin:
+    def _hist(self):
+        # user 1: zero-width peer at ts=5 (v1), then [5,9) (v2),
+        # GAP [9,12), then open [12,None) (v3)
+        return [
+            {"k": 1, "vf": 5, "vt": 5, "version": 1},
+            {"k": 1, "vf": 5, "vt": 9, "version": 2},
+            {"k": 1, "vf": 12, "vt": None, "version": 3},
+            {"k": 2, "vf": 100, "vt": None, "version": 1},
+        ]
+
+    def test_containment_gap_and_open(self):
+        from peri_ray.stages.temporal import point_in_time_join
+
+        probes = [
+            {"pid": 10, "k": 1, "pts": 1},    # before first -> null
+            {"pid": 11, "k": 1, "pts": 5},    # zero-width peer -> v2
+            {"pid": 12, "k": 1, "pts": 8},    # inside [5,9) -> v2
+            {"pid": 13, "k": 1, "pts": 10},   # gap -> null
+            {"pid": 14, "k": 1, "pts": 500},  # open current -> v3
+            {"pid": 15, "k": 3, "pts": 5},    # unknown key -> null
+        ]
+        out = {r["pid"]: r for r in point_in_time_join(
+            rd.from_items(probes, parallelism=3),
+            rd.from_items(self._hist(), parallelism=2),
+            key_col="k", probe_ts="pts", probe_id="pid",
+            valid_from="vf", valid_to="vt",
+            right_cols=["version"]).take_all()}
+        assert len(out) == 6
+        assert out[10]["version"] is None
+        assert out[11]["version"] == 2
+        assert out[12]["version"] == 2
+        assert out[13]["version"] is None
+        assert out[14]["version"] == 3
+        assert out[15]["version"] is None
+
+    def test_shadowed_payload_rejected(self):
+        import pytest
+
+        from peri_ray.stages.temporal import point_in_time_join
+
+        with pytest.raises(ValueError):
+            point_in_time_join(None, None, key_col="k", probe_ts="pts",
+                               probe_id="pid", right_cols=["pid"])
