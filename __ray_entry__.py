@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions_events": q.markov_transitions_events,
         "time_window_sums_events": q.time_window_sums_events,
         "scd2_point_in_time": q.scd2_point_in_time,
+        "ngram_novelty_recrawl": q.ngram_novelty_recrawl,
+        "lexical_diversity_documents": q.lexical_diversity_documents,
     }
 
 
@@ -4225,6 +4227,54 @@ def oracle_sql() -> dict[str, str]:
               FROM p LEFT JOIN h
                 ON h.user_id = p.user_id
                AND p.pts >= h.vf AND (h.vt IS NULL OR p.pts < h.vt)
+        """,
+        "ngram_novelty_recrawl": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page'
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            btoks AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL),
+            bgrams AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, len(ws)),
+                       i -> array_to_string(ws[i:i+1], ' '))) AS gram
+                  FROM btoks WHERE len(ws) >= 2)),
+            dtoks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM b WHERE text IS NOT NULL),
+            dgrams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                       i -> array_to_string(ws[i:i+1], ' '))) AS gram
+                  FROM dtoks WHERE len(ws) >= 2))
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS total_grams,
+                   CAST(sum(CASE WHEN bg.gram IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS novel_grams,
+                   CAST(sum(CASE WHEN bg.gram IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+              FROM dgrams d LEFT JOIN bgrams bg USING (gram)
+             GROUP BY d.doc_id
+        """,
+        "lexical_diversity_documents": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS tok
+                FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+                   CAST(count(DISTINCT tok) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS ttr
+              FROM tok GROUP BY doc_id
         """,
     }
 

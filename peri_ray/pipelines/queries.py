@@ -5738,3 +5738,29 @@ def scd2_point_in_time(sf_dir: str):
         lambda t: t.rename_columns(
             ["event_id", "user_id", "version_at", "changed_at"]),
         batch_format="pyarrow")
+
+
+def ngram_novelty_recrawl(sf_dir: str):
+    """Per-new-page n-gram novelty vs the indexed base corpus
+    (text.ngram_novelty, word bigrams): base = documents, delta = the
+    deterministic recrawl fixture; for each delta doc the fraction of
+    its DISTINCT bigrams the base corpus has never seen.  Oracle:
+    unnest-rebuilt bigrams on both sides + LEFT JOIN IS NULL
+    counting."""
+    from peri_ray.stages.text import ngram_novelty
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    delta = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl_batch, batch_format="pyarrow")
+    return ngram_novelty(base, delta, n=2)
+
+
+def lexical_diversity_documents(sf_dir: str):
+    """Per-doc type-token ratio (text.lexical_diversity): tokens,
+    distinct tokens and their ratio — the low-diversity quality tail.
+    Oracle: COUNT / COUNT(DISTINCT) over the unnested tokenizer
+    twin."""
+    from peri_ray.stages.text import lexical_diversity
+
+    return lexical_diversity(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))

@@ -2627,3 +2627,145 @@ def bpe_encode_counts(ds, merges_table: pa.Table, text_col: str = "text",
                        merges_table.column("right").to_pylist()))
     return ds.map_batches(_BPEEncodeCounts(merges, text_col, id_col),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs a base corpus (memorization / freshness signal: how
+# much of a new crawl's text is word sequences the training corpus has
+# never seen — the per-doc complement of benchmark contamination)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(base, delta, n: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id", n_buckets: int = 64,
+                  batch_size: int | None = 8192):
+    """Per-delta-document n-gram novelty: the fraction of each delta
+    doc's DISTINCT word ``n``-grams that occur NOWHERE in the base
+    corpus.  Output: (doc_id, total_grams, novel_grams, novelty) for
+    every delta doc with >= 1 gram.
+
+    Shape (the :func:`duplicate_ngram_coverage` exchange, two-sided):
+    base batches collapse to per-batch DISTINCT gram rows, delta
+    batches to DISTINCT (doc, gram) pairs; both meet in ONE gram-keyed
+    bucketed exchange where a vectorized ``is_in`` against the
+    bucket's base-gram set flags novelty and an Arrow group_by emits
+    per-doc partials; ONE doc-keyed exchange sums them.  Gram strings
+    cross the exchange (the exact-twin contract — hashing would make
+    the oracle inexact on collision); text itself never shuffles."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    empty_tagged = pa.schema([(id_col, pa.int64()), ("gram", pa.string()),
+                              ("__side", pa.int8())])
+
+    def _base_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        # an all-null block arrives null-TYPED — no string kernels
+        if t.num_rows == 0:
+            return empty_tagged.empty_table()
+        flat, lens = flat_tokens(t.column(text_col))
+        gram, _, _ = word_ngrams(flat, lens, n)
+        g = pa.table({"gram": gram}).group_by("gram").aggregate([])
+        return pa.table({
+            id_col: pa.nulls(g.num_rows, pa.int64()),
+            "gram": g.column("gram"),
+            "__side": pa.array(np.ones(g.num_rows, np.int8)),
+        })
+
+    pairs_fn = _NgramPairsPartial(n, text_col, id_col)
+
+    def _delta_pairs(t: pa.Table) -> pa.Table:
+        if t.filter(pc.is_valid(
+                t.column(text_col).combine_chunks())).num_rows == 0:
+            return empty_tagged.empty_table()
+        p = pairs_fn(t)
+        return pa.table({
+            id_col: p.column(id_col).combine_chunks().cast(pa.int64()),
+            "gram": p.column("gram"),
+            "__side": pa.array(np.zeros(p.num_rows, np.int8)),
+        })
+
+    both = (base.map_batches(_base_grams, batch_format="pyarrow",
+                             batch_size=batch_size)
+            .union(delta.map_batches(_delta_pairs, batch_format="pyarrow",
+                                     batch_size=batch_size)))
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("total_grams", pa.int64()),
+                            ("novel_grams", pa.int64())])
+
+    def _flag(g: pa.Table) -> pa.Table:
+        side = g.column("__side").combine_chunks()
+        seen = g.filter(pc.equal(side, 1)).column("gram").combine_chunks()
+        d = g.filter(pc.equal(side, 0))
+        if d.num_rows == 0:
+            return out_schema.empty_table()
+        novel = pc.invert(pc.is_in(d.column("gram").combine_chunks(),
+                                   value_set=seen)).cast(pa.int64())
+        per_doc = (pa.table({id_col: d.column(id_col), "novel": novel})
+                   .group_by(id_col)
+                   .aggregate([("novel", "sum"), ([], "count_all")]))
+        return pa.table({
+            id_col: per_doc.column(id_col).cast(pa.int64()),
+            "total_grams": per_doc.column("count_all").cast(pa.int64()),
+            "novel_grams": per_doc.column("novel_sum").cast(pa.int64()),
+        })
+
+    partials = map_groups_via_buckets(both, ["gram"], _flag, n_buckets)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        m = g.group_by(id_col).aggregate(
+            [("total_grams", "sum"), ("novel_grams", "sum")])
+        tot = m.column("total_grams_sum").cast(pa.int64())
+        nov = m.column("novel_grams_sum").cast(pa.int64())
+        return pa.table({
+            id_col: m.column(id_col), "total_grams": tot,
+            "novel_grams": nov,
+            "novelty": pc.divide(nov.cast(pa.float64()),
+                                 tot.cast(pa.float64()))})
+
+    return map_groups_via_buckets(partials, [id_col], _merge, n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity (type-token ratio — the low-diversity complement of
+# the repetition signals: SEO keyword stuffing and template pages sit
+# at the low-TTR tail)
+# ---------------------------------------------------------------------------
+
+
+def lexical_diversity(ds, text_col: str = "text", id_col: str = "doc_id",
+                      batch_size: int | None = 8192):
+    """Per-document type-token ratio: (doc_id, n_tokens, n_types, ttr)
+    with ttr = distinct tokens / tokens (int→double casts on both
+    twin sides).  Tokenizer is the :func:`flat_tokens` contract.
+
+    Pure per-batch map — ZERO shuffles at any corpus size: a doc's
+    tokens live in its own row, so the distinct count is an in-batch
+    Arrow group_by, never an exchange."""
+
+    def _ttr(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        ids = t.column(id_col).combine_chunks()
+        flat, lens = flat_tokens(t.column(text_col))
+        if len(lens) == 0:
+            return pa.schema([(id_col, pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("n_types", pa.int64()),
+                              ("ttr", pa.float64())]).empty_table()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        dist = (pa.table({"d": pa.array(doc_idx), "tok": flat})
+                .group_by(["d", "tok"]).aggregate([]))
+        types = dist.group_by("d").aggregate([([], "count_all")])
+        tvec = np.zeros(len(lens), np.int64)
+        tvec[types.column("d").to_numpy(zero_copy_only=False)] = \
+            types.column("count_all").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids.cast(pa.int64()),
+            "n_tokens": pa.array(lens),
+            "n_types": pa.array(tvec),
+            "ttr": pa.array(tvec.astype(np.float64)
+                            / lens.astype(np.float64)),
+        })
+
+    return ds.map_batches(_ttr, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -8207,3 +8207,52 @@ class TestPointInTimeJoin:
         with pytest.raises(ValueError):
             point_in_time_join(None, None, key_col="k", probe_ts="pts",
                                probe_id="pid", right_cols=["pid"])
+
+
+class TestNgramNovelty:
+    def test_novel_fractions(self):
+        from peri_ray.stages.text import ngram_novelty
+
+        base = [{"doc_id": 1, "text": "a b c d"},
+                {"doc_id": 2, "text": "c d e"}]
+        # base bigrams: {a b, b c, c d, d e}
+        delta = [{"doc_id": 10, "text": "a b c"},     # a b, b c -> 0 novel
+                 {"doc_id": 11, "text": "e f g"},     # e f, f g -> 2 novel
+                 {"doc_id": 12, "text": "c d x"},     # c d old, d x novel
+                 {"doc_id": 13, "text": "solo"},      # no bigram -> absent
+                 {"doc_id": 14, "text": "a b a b"}]   # distinct: a b, b a
+        out = {r["doc_id"]: r for r in ngram_novelty(
+            rd.from_items(base, parallelism=2),
+            rd.from_items(delta, parallelism=3), n=2).take_all()}
+        assert set(out) == {10, 11, 12, 14}
+        assert out[10]["novel_grams"] == 0 and out[10]["total_grams"] == 2
+        assert out[11]["novel_grams"] == 2 and out[11]["novelty"] == 1.0
+        assert out[12]["novel_grams"] == 1 and out[12]["total_grams"] == 2
+        # "a b a b": distinct grams {a b, b a}; "b a" is novel
+        assert out[14]["total_grams"] == 2 and out[14]["novel_grams"] == 1
+
+    def test_empty_base_is_all_novel(self):
+        from peri_ray.stages.text import ngram_novelty
+
+        base = [{"doc_id": 1, "text": None}]
+        delta = [{"doc_id": 2, "text": "x y z"}]
+        out = ngram_novelty(rd.from_items(base), rd.from_items(delta),
+                            n=2).take_all()
+        assert len(out) == 1 and out[0]["novelty"] == 1.0
+
+
+class TestLexicalDiversity:
+    def test_ttr(self):
+        from peri_ray.stages.text import lexical_diversity
+
+        rows = [{"doc_id": 1, "text": "a b a b a"},
+                {"doc_id": 2, "text": "  x  "},
+                {"doc_id": 3, "text": None},
+                {"doc_id": 4, "text": "p q r"}]
+        out = {r["doc_id"]: r for r in lexical_diversity(
+            rd.from_items(rows, parallelism=2)).take_all()}
+        assert set(out) == {1, 2, 4}
+        assert out[1]["n_tokens"] == 5 and out[1]["n_types"] == 2
+        assert out[1]["ttr"] == 2.0 / 5.0
+        assert out[2]["n_tokens"] == 1 and out[2]["n_types"] == 1
+        assert out[4]["ttr"] == 1.0
