@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_point_in_time": q.scd2_point_in_time,
         "ngram_novelty_recrawl": q.ngram_novelty_recrawl,
         "lexical_diversity_documents": q.lexical_diversity_documents,
+        "mutual_information_lang_source": q.mutual_information_lang_source,
+        "zipf_slope_documents": q.zipf_slope_documents,
     }
 
 
@@ -4275,6 +4277,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT tok) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) AS ttr
               FROM tok GROUP BY doc_id
+        """,
+        "mutual_information_lang_source": """
+            WITH d AS (
+              SELECT lang AS a, source AS b FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+            cells AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                FROM d GROUP BY a, b),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt
+                     FROM cells GROUP BY a),
+            rb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct
+                     FROM cells GROUP BY b),
+            mi AS (
+              SELECT sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                              / (CAST(rt AS DOUBLE)
+                                 * CAST(ct AS DOUBLE)))) AS v
+                FROM cells JOIN ra USING (a) JOIN rb USING (b)
+                CROSS JOIN tot),
+            ha AS (
+              SELECT -sum((CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS v
+                FROM ra CROSS JOIN tot),
+            hb AS (
+              SELECT -sum((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS v
+                FROM rb CROSS JOIN tot)
+            SELECT (SELECT n FROM tot) AS n,
+                   ROUND(mi.v, 6) AS mi,
+                   ROUND(ha.v, 6) AS h_a,
+                   ROUND(hb.v, 6) AS h_b,
+                   ROUND(mi.v / ha.v, 6) AS theil_u
+              FROM mi, ha, hb
+        """,
+        "zipf_slope_documents": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term
+                FROM documents WHERE text IS NOT NULL),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                     FROM tok GROUP BY term),
+            top AS (
+              SELECT term, c,
+                     CAST(row_number() OVER (ORDER BY c DESC, term)
+                          AS BIGINT) AS r
+                FROM tc ORDER BY c DESC, term LIMIT 100),
+            pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+                           ln(CAST(c AS DOUBLE)) AS y
+                      FROM top),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS kk,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM pts)
+            SELECT CAST(kk AS BIGINT) AS k,
+                   ROUND((kk * sxy - sx * sy)
+                         / (kk * sxx - sx * sx), 6) AS slope
+              FROM s
         """,
     }
 

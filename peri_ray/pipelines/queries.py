@@ -5764,3 +5764,28 @@ def lexical_diversity_documents(sf_dir: str):
 
     return lexical_diversity(_read(sf_dir, "documents",
                                    ["doc_id", "text"]))
+
+
+def mutual_information_lang_source(sf_dir: str):
+    """Mutual information / Theil's U between lang and source
+    (stats.contingency_profile -> mutual_information_stat): the
+    information-theoretic companion to the chi-square verdict.
+    Oracle: identical exact-integer cells + per-term ln expression,
+    ROUND 6 on every float (transcendental-sum convention)."""
+    from peri_ray.stages.stats import (contingency_profile,
+                                       mutual_information_stat)
+
+    cells = contingency_profile(
+        _read(sf_dir, "documents", ["lang", "source"]), "lang", "source")
+    return mutual_information_stat(cells)
+
+
+def zipf_slope_documents(sf_dir: str):
+    """Zipf slope of the corpus term-frequency distribution
+    (text.zipf_slope, top 100 terms by occurrences): log-log
+    least-squares slope, the generated-text / template-corpus health
+    probe.  Oracle: row_number-ranked counts + the closed-form
+    regression expression, ROUND 6."""
+    from peri_ray.stages.text import zipf_slope
+
+    return zipf_slope(_read(sf_dir, "documents", ["text"]), k=100)

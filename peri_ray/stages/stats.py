@@ -2347,3 +2347,53 @@ def conditional_null_rates(ds, cond_col: str, target_cols: list[str],
         "nulls": pa.array(rows["nulls"], pa.int64()),
         "null_rate": pa.array(rows["null_rate"], pa.float64()),
     })
+
+
+def mutual_information_stat(cells: pa.Table) -> pa.Table:
+    """Mutual information + normalized dependence (Theil's uncertainty
+    coefficient) from a :func:`contingency_profile` table — the
+    information-theoretic strength of the chi-square verdict ("HOW
+    predictable is column A from column B", 0 = independent,
+    h_a = deterministic).  Driver-side fold over the domain-bounded
+    cell table: mi = Σ (o/n)·ln(o·n / (rowtot·coltot)) over observed
+    cells, h_a/h_b the marginal entropies, theil_u = mi / h_a.
+    All operands come from exact integers (each term is bit-identical
+    on both twin sides); the SUMS are association-order sensitive in
+    the last ulps, so every emitted float is ROUND(x, 6) — the
+    transcendental-value rounding convention (ties cannot occur)."""
+    import math
+
+    if cells.num_rows == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "mi": pa.array([None], pa.float64()),
+                         "h_a": pa.array([None], pa.float64()),
+                         "h_b": pa.array([None], pa.float64()),
+                         "theil_u": pa.array([None], pa.float64())})
+    av = cells.column("val_a").to_pylist()
+    bv = cells.column("val_b").to_pylist()
+    o = cells.column("observed").to_pylist()
+    n = int(cells.column("n_total")[0].as_py())
+    nf = float(n)
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for a, b, c in zip(av, bv, o):
+        rt[a] = rt.get(a, 0) + c
+        ct[b] = ct.get(b, 0) + c
+    mi = 0.0
+    for a, b, c in zip(av, bv, o):
+        if c > 0:
+            mi += (float(c) / nf) * math.log(
+                float(c) * nf / (float(rt[a]) * float(ct[b])))
+    h_a = -sum((float(v) / nf) * math.log(float(v) / nf)
+               for v in rt.values() if v > 0)
+    h_b = -sum((float(v) / nf) * math.log(float(v) / nf)
+               for v in ct.values() if v > 0)
+    u = mi / h_a if h_a > 0 else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mi": pa.array([round(mi, 6)], pa.float64()),
+        "h_a": pa.array([round(h_a, 6)], pa.float64()),
+        "h_b": pa.array([round(h_b, 6)], pa.float64()),
+        "theil_u": pa.array([None if u is None else round(u, 6)],
+                            pa.float64()),
+    })

@@ -2769,3 +2769,67 @@ def lexical_diversity(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_ttr, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope (corpus-health signal: natural text has a term-frequency
+# log-log slope near -1; template/generated corpora flatten or steepen)
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope(ds, k: int = 100, text_col: str = "text",
+               n_buckets: int = 64, batch_size: int | None = 8192):
+    """Least-squares slope of ln(count) on ln(rank) over the top-``k``
+    terms by total occurrences (ties broken by term asc, the SQL
+    row_number convention).  Returns one row (k, slope) with slope
+    ROUND(x, 6) — the transcendental-sum rounding convention.
+
+    Shape: per-batch (term, count) partials → ONE term-keyed bucketed
+    exchange sums exactly → per-bucket top-k candidates (each bucket
+    owns its terms completely, so the global top-k is contained in
+    the ≤ buckets×k candidate rows) → driver merge + closed-form
+    regression over k points.  Term strings cross the exchange once;
+    text never does."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        flat, _ = flat_tokens(t.column(text_col))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    sums = grouped_sum_via_buckets(
+        ds.map_batches(_part, batch_format="pyarrow",
+                       batch_size=batch_size), ["term"], "c", n_buckets)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        # one block == one bucket's complete totals: its top-k rows
+        # are the only possible global-top-k members from this bucket
+        idx = pc.sort_indices(t, sort_keys=[("c", "descending"),
+                                            ("term", "ascending")])
+        return t.take(idx.slice(0, min(k, t.num_rows)))
+
+    cand = sums.map_batches(_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["c"], r["term"]))
+    top = cand[:k]
+    kk = float(len(top))
+    if len(top) < 2:
+        return pa.table({"k": pa.array([len(top)], pa.int64()),
+                         "slope": pa.array([None], pa.float64())})
+    import math
+
+    sx = sy = sxy = sxx = 0.0
+    for r, row in enumerate(top, start=1):
+        x = math.log(float(r))
+        y = math.log(float(row["c"]))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    return pa.table({"k": pa.array([len(top)], pa.int64()),
+                     "slope": pa.array([round(slope, 6)], pa.float64())})

@@ -8256,3 +8256,64 @@ class TestLexicalDiversity:
         assert out[1]["ttr"] == 2.0 / 5.0
         assert out[2]["n_tokens"] == 1 and out[2]["n_types"] == 1
         assert out[4]["ttr"] == 1.0
+
+
+class TestMutualInformation:
+    def test_independent_and_deterministic(self):
+        import math
+
+        from peri_ray.stages.stats import (contingency_profile,
+                                           mutual_information_stat)
+
+        # independent 2x2: MI == 0
+        rows = [{"a": x, "b": y} for x in ("p", "q") for y in ("u", "v")
+                for _ in range(10)]
+        out = mutual_information_stat(contingency_profile(
+            rd.from_items(rows, parallelism=3), "a", "b")).to_pylist()[0]
+        assert out["mi"] == 0.0 and out["theil_u"] == 0.0
+        # deterministic mapping: MI == H(a), U == 1
+        rows = ([{"a": "p", "b": "u"}] * 30) + ([{"a": "q", "b": "v"}] * 10)
+        out = mutual_information_stat(contingency_profile(
+            rd.from_items(rows, parallelism=3), "a", "b")).to_pylist()[0]
+        h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert out["mi"] == round(h, 6) and out["theil_u"] == 1.0
+
+    def test_empty(self):
+        from peri_ray.stages.stats import mutual_information_stat
+
+        import pyarrow as _pa
+        empty = _pa.table({"val_a": _pa.array([], _pa.string()),
+                           "val_b": _pa.array([], _pa.string()),
+                           "observed": _pa.array([], _pa.int64()),
+                           "expected_num": _pa.array([], _pa.int64()),
+                           "n_total": _pa.array([], _pa.int64())})
+        out = mutual_information_stat(empty).to_pylist()[0]
+        assert out["n"] == 0 and out["mi"] is None
+
+
+class TestZipfSlope:
+    def test_matches_numpy_reference(self):
+        import math
+
+        from peri_ray.stages.text import zipf_slope
+
+        # counts 16,8,4,2 over terms a<b<c<d -> ranks 1..4
+        rows = [{"doc_id": 1, "text": " ".join(["a"] * 16 + ["b"] * 8)},
+                {"doc_id": 2, "text": " ".join(["c"] * 4 + ["d"] * 2)}]
+        out = zipf_slope(rd.from_items(rows, parallelism=2),
+                         k=10).to_pylist()[0]
+        xs = [math.log(r) for r in (1, 2, 3, 4)]
+        ys = [math.log(c) for c in (16, 8, 4, 2)]
+        n = 4.0
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert out["k"] == 4 and out["slope"] == round(ref, 6)
+
+    def test_degenerate_single_term(self):
+        from peri_ray.stages.text import zipf_slope
+
+        out = zipf_slope(rd.from_items([{"doc_id": 1, "text": "a a a"}]),
+                         k=5).to_pylist()[0]
+        assert out["k"] == 1 and out["slope"] is None
