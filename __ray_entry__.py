@@ -433,7 +433,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_documents": q.lexical_diversity_documents,
         "mutual_information_lang_source": q.mutual_information_lang_source,
         "zipf_slope_documents": q.zipf_slope_documents,
+        "rrf_retrieval_docs": q.rrf_retrieval_docs,
     }
+
+
+def _bm25_ranked_cte(p: str, terms: tuple, k_each: int) -> str:
+    """CTE block computing BM25 (doc_id, rank) for one term set —
+    prefixed so several query formulations compose in ONE WITH (the
+    rrf twin).  Mirrors the engine's text.bm25_topk expression term by
+    term (k1=1.2, b=0.75, idf = ln((n-df+0.5)/(df+0.5)+1))."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    piv_cols = ",\n                     ".join(
+        f"max(CASE WHEN t.tok = '{t}' THEN t.tf END) AS tf{i}"
+        for i, t in enumerate(terms))
+    arms = "\n                   + ".join(
+        f"(CASE WHEN x.tf{i} IS NOT NULL THEN "
+        f"(SELECT idf FROM {p}idf WHERE tok = '{t}')"
+        f" * (x.tf{i} * (1.2 + 1.0))"
+        f" / (x.tf{i} + 1.2 * (1 - 0.75 + 0.75 *"
+        f" (CAST(x.dl AS DOUBLE) / s.avgdl))) ELSE 0.0 END)"
+        for i, t in enumerate(terms))
+    return f"""
+            {p}toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE text IS NOT NULL),
+            {p}lens AS (SELECT doc_id, len(ws) AS dl FROM {p}toks),
+            {p}stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+                FROM {p}lens),
+            {p}tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS tok FROM {p}toks)
+               WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+            {p}df AS (
+              SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM {p}tf GROUP BY tok),
+            {p}idf AS (
+              SELECT tok,
+                     ln((CAST(s.n - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) AS idf
+                FROM {p}df df CROSS JOIN {p}stats s),
+            {p}piv AS (
+              SELECT l.doc_id, l.dl,
+                     {piv_cols}
+                FROM {p}lens l LEFT JOIN {p}tf t ON t.doc_id = l.doc_id
+               GROUP BY l.doc_id, l.dl),
+            {p}scored AS (
+              SELECT x.doc_id,
+                   {arms} AS score
+                FROM {p}piv x CROSS JOIN {p}stats s),
+            {p}ranked AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER
+                          (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM {p}scored WHERE score > 0.0
+               ORDER BY score DESC, doc_id LIMIT {k_each})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4337,6 +4393,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((kk * sxy - sx * sy)
                          / (kk * sxx - sx * sx), 6) AS slope
               FROM s
+        """,
+        "rrf_retrieval_docs": "WITH "
+            + _bm25_ranked_cte("qa_", ("spark", "window", "merge"), 50)
+            + ","
+            + _bm25_ranked_cte("qb_", ("stream", "batch", "sort"), 50)
+            + """
+            SELECT doc_id, rrf, rank FROM (
+              SELECT doc_id, rrf,
+                     CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                          AS BIGINT) AS rank
+                FROM (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                             COALESCE(1.0 / (60 + a.rank), 0.0)
+                               + COALESCE(1.0 / (60 + b.rank), 0.0)
+                               AS rrf
+                        FROM qa_ranked a
+                        FULL OUTER JOIN qb_ranked b
+                          ON a.doc_id = b.doc_id))
+             WHERE rank <= 20
         """,
     }
 

@@ -5789,3 +5789,18 @@ def zipf_slope_documents(sf_dir: str):
     from peri_ray.stages.text import zipf_slope
 
     return zipf_slope(_read(sf_dir, "documents", ["text"]), k=100)
+
+
+def rrf_retrieval_docs(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 query formulations
+    (text.multi_query_rrf): the RAG query-expansion ensemble, fused in
+    rank space (1/(60+rank) per list), top-20 by (rrf DESC, doc_id).
+    Oracle: two templated BM25 ranked CTEs + the identical fixed-order
+    fusion expression — the doubles are single divisions/adds from
+    exact ints, bit-identical with no rounding."""
+    from peri_ray.stages.text import multi_query_rrf
+
+    return multi_query_rrf(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        [["spark", "window", "merge"], ["stream", "batch", "sort"]],
+        k_each=50, k=20)

@@ -2833,3 +2833,48 @@ def zipf_slope(ds, k: int = 100, text_col: str = "text",
     slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
     return pa.table({"k": pa.array([len(top)], pa.int64()),
                      "slope": pa.array([round(slope, 6)], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (multi-query retrieval: fuse the rankings of
+# several query formulations — the standard RAG query-expansion
+# ensemble; rank-space fusion needs no score calibration between lists)
+# ---------------------------------------------------------------------------
+
+
+def multi_query_rrf(ds, term_sets: list[list[str]], k_each: int = 50,
+                    k: int = 20, c: int = 60, text_col: str = "text",
+                    id_col: str = "doc_id", batch_size: int | None = 8192):
+    """Reciprocal-rank fusion over one BM25 run per query formulation:
+    fused(doc) = Σ_lists 1/(c + rank_in_list), top-``k`` by
+    (fused DESC, id ASC).  Missing-from-a-list contributes nothing.
+    Each 1/(c+rank) term is one IEEE division from exact ints and the
+    per-doc sum adds the lists in their given order, so the doubles
+    are bit-identical to a SQL twin that writes the same expression —
+    no rounding needed.
+
+    Shape: ``len(term_sets)`` BM25 runs (each two streaming passes,
+    zero shuffles, driver state bounded by blocks × (terms + k_each));
+    the fusion itself is driver-side over ≤ lists × k_each rows by
+    construction."""
+    rank_maps = []
+    for terms in term_sets:
+        t = bm25_topk(ds, terms, k=k_each, text_col=text_col,
+                      id_col=id_col, batch_size=batch_size)
+        rank_maps.append({i: r for i, r in zip(
+            t.column(id_col).to_pylist(), t.column("rank").to_pylist())})
+    ids = sorted(set().union(*rank_maps)) if rank_maps else []
+    scored = []
+    for i in ids:
+        s = 0.0
+        for rm in rank_maps:
+            if i in rm:
+                s += 1.0 / float(c + rm[i])
+        scored.append((i, s))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    top = scored[:k]
+    return pa.table({
+        id_col: pa.array([t[0] for t in top], pa.int64()),
+        "rrf": pa.array([t[1] for t in top], pa.float64()),
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+    })

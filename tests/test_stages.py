@@ -8317,3 +8317,35 @@ class TestZipfSlope:
         out = zipf_slope(rd.from_items([{"doc_id": 1, "text": "a a a"}]),
                          k=5).to_pylist()[0]
         assert out["k"] == 1 and out["slope"] is None
+
+
+class TestMultiQueryRRF:
+    def test_fusion_math(self):
+        from peri_ray.stages.text import multi_query_rrf
+
+        # doc 1 matches ONLY query A's terms, doc 2 only B's, doc 3 both
+        rows = [{"doc_id": 1, "text": "apple apple apple"},
+                {"doc_id": 2, "text": "pear pear pear"},
+                {"doc_id": 3, "text": "apple pear"},
+                {"doc_id": 4, "text": "nothing here"}]
+        out = multi_query_rrf(rd.from_items(rows, parallelism=2),
+                              [["apple"], ["pear"]], k_each=10,
+                              k=10, c=60).to_pylist()
+        got = {r["doc_id"]: r for r in out}
+        assert set(got) == {1, 2, 3}
+        # doc 3 ranks 2nd in both lists (tf 1 vs 3): 2/(60+2)
+        assert got[3]["rrf"] == 1.0 / 62.0 + 1.0 / 62.0
+        # docs 1 and 2 rank 1st in exactly one list each: tie on rrf,
+        # broken by doc_id — 1 before 2
+        assert got[1]["rrf"] == got[2]["rrf"] == 1.0 / 61.0
+        assert got[1]["rank"] < got[2]["rank"]
+        # the both-lists doc wins overall
+        assert got[3]["rank"] == 1
+
+    def test_k_truncation(self):
+        from peri_ray.stages.text import multi_query_rrf
+
+        rows = [{"doc_id": i, "text": "w " * (i + 1)} for i in range(6)]
+        out = multi_query_rrf(rd.from_items(rows), [["w"]], k_each=10,
+                              k=3).to_pylist()
+        assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
