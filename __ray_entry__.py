@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_information_lang_source": q.mutual_information_lang_source,
         "zipf_slope_documents": q.zipf_slope_documents,
         "rrf_retrieval_docs": q.rrf_retrieval_docs,
+        "main_content_docs": q.main_content_docs,
     }
 
 
@@ -4411,6 +4412,16 @@ def oracle_sql() -> dict[str, str]:
                         FULL OUTER JOIN qb_ranked b
                           ON a.doc_id = b.doc_id))
              WHERE rank <= 20
+        """,
+        "main_content_docs": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) >= 20 THEN trim(text)
+                        ELSE '' END AS main_text,
+                   CAST(CASE WHEN length(trim(text)) >= 20 THEN 1
+                             ELSE 0 END AS BIGINT) AS n_kept,
+                   CAST(3 + CASE WHEN length(trim(text)) > 0 THEN 1
+                                 ELSE 0 END AS BIGINT) AS n_blocks
+              FROM documents WHERE text IS NOT NULL
         """,
     }
 

@@ -5804,3 +5804,35 @@ def rrf_retrieval_docs(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]),
         [["spark", "window", "merge"], ["stream", "batch", "sort"]],
         k_each=50, k=20)
+
+
+def _attach_content_html_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: html with four block segments — a nav bar (anchors), the
+    doc text in <p>…</p> (link-free), a "read more" teaser with an
+    inline anchor, and a footer (anchors) — so main-content extraction
+    must keep EXACTLY the text block (iff >= 20 visible chars) while
+    the ENGINE parses real bytes and the twin re-derives the verdict
+    arithmetically from text alone.  Null text -> null html."""
+    txt = t.column("text").combine_chunks()
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    html = pc.binary_join_element_wise(
+        pa.scalar('<html><body><div><a href="/n">Home</a> '
+                  '<a href="/a">About</a></div><p>'), txt,
+        pa.scalar('</p><p>see <a href="/x">more</a> here</p>'
+                  '<div><a href="/t">Terms</a></div></body></html>'),
+        "", null_handling="emit_null")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def main_content_docs(sf_dir: str):
+    """Main-content extraction (web.extract_main_content): jusText-lite
+    block classifier over the four-block html fixture — keeps exactly
+    the link-free text block when it has >= 20 visible chars.  Oracle:
+    re-derives main_text/n_kept/n_blocks from text arithmetically, so
+    a broken splitter, tag-stripper or anchor counter mismatches."""
+    from peri_ray.stages.web import extract_main_content
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _attach_content_html_fixture, batch_format="pyarrow")
+    return extract_main_content(ds, min_chars=20)

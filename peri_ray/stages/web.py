@@ -1131,3 +1131,73 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (jusText/trafilatura-lite: boilerplate blocks
+# are short or link-dense; content blocks are long and link-free)
+# ---------------------------------------------------------------------------
+
+
+def extract_main_content(ds, html_col: str = "html",
+                         id_col: str = "doc_id", min_chars: int = 20,
+                         batch_size: int | None = 8192):
+    """Rule-based main-content extraction from the html binary column:
+    split the page into block-level segments (at ``</p>`` / ``</div>``
+    close tags), strip tags per segment, and KEEP the segments that
+    are link-FREE and at least ``min_chars`` of visible text — the
+    jusText-lite block classifier (nav bars, footers and "read more"
+    teasers are short or anchor-dense; body prose is neither).
+    Output: (id, main_text = kept blocks joined by newline, n_kept,
+    n_blocks) per page with non-null html; ``main_text`` is '' when
+    nothing qualifies.  Known limitation (documented): a content block
+    containing ANY inline anchor is dropped — the link-density
+    refinement needs per-anchor text lengths, which stays a rules
+    knob, not an architecture change.
+
+    Pure per-batch map, ZERO shuffles at any corpus size: three RE2
+    sweeps (split, tag strip, anchor count) + one bincount/gather per
+    batch; html never leaves its block."""
+
+    def _main(t: pa.Table) -> pa.Table:
+        h = t.column(html_col).combine_chunks()
+        sub = t.filter(pc.is_valid(h))
+        schema = pa.schema([(id_col, pa.int64()),
+                            ("main_text", pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("n_blocks", pa.int64())])
+        if sub.num_rows == 0:
+            return schema.empty_table()
+        s = sub.column(html_col).combine_chunks().cast(pa.string())
+        segs = pc.split_pattern_regex(s, r"</(?:p|div)>")
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(segs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_links = pc.count_substring_regex(flat, r"<a\b").to_numpy(
+            zero_copy_only=False)
+        visible = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(flat, r"<[^>]*>", ""))
+        vlen = pc.utf8_length(visible).to_numpy(zero_copy_only=False)
+        is_block = vlen > 0
+        keep = is_block & (n_links == 0) & (vlen >= min_chars)
+        n = sub.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        n_blocks = np.bincount(doc_idx[is_block], minlength=n)
+        n_kept = np.bincount(doc_idx[keep], minlength=n)
+        kept_vis = visible.filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int64)
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      kept_vis)
+        return pa.table({
+            id_col: sub.column(id_col).combine_chunks().cast(pa.int64()),
+            "main_text": pc.binary_join(la, "\n"),
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "n_blocks": pa.array(n_blocks.astype(np.int64)),
+        })
+
+    return ds.map_batches(_main, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1012,3 +1012,35 @@ class TestUrlPrefixCounts:
         # trailing-slash-only and pathless urls emit nothing
         assert not any(h == "b.com" for h, _, _ in out)
         assert len(out) == 4
+
+
+class TestExtractMainContent:
+    def test_block_classification(self):
+        import ray.data as rd
+
+        from peri_ray.stages.web import extract_main_content
+
+        long = "this sentence is clearly long enough to keep here"
+        pages = [
+            {"doc_id": 1, "html": (
+                b'<html><body><div><a href="/n">Home</a></div>'
+                b"<p>" + long.encode() + b"</p>"
+                b'<p>read <a href="/m">more</a></p>'
+                b'<div><a href="/t">Terms</a></div></body></html>')},
+            {"doc_id": 2, "html": b"<p>short</p>"},
+            {"doc_id": 3, "html": None},
+            {"doc_id": 4, "html": (
+                b"<p>" + long.encode() + b"</p><p>" + long.upper().encode()
+                + b"</p>")},
+        ]
+        out = {r["doc_id"]: r for r in extract_main_content(
+            rd.from_items(pages, parallelism=2),
+            min_chars=20).take_all()}
+        assert set(out) == {1, 2, 4}
+        assert out[1]["main_text"] == long
+        assert out[1]["n_kept"] == 1 and out[1]["n_blocks"] == 4
+        assert out[2]["main_text"] == "" and out[2]["n_kept"] == 0
+        assert out[2]["n_blocks"] == 1
+        # two qualifying blocks join with newline, in page order
+        assert out[4]["main_text"] == long + "\n" + long.upper()
+        assert out[4]["n_kept"] == 2
