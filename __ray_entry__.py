@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_documents": q.zipf_slope_documents,
         "rrf_retrieval_docs": q.rrf_retrieval_docs,
         "main_content_docs": q.main_content_docs,
+        "peak_hourly_rate_users": q.peak_hourly_rate_users,
     }
 
 
@@ -4422,6 +4423,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + CASE WHEN length(trim(text)) > 0 THEN 1
                                  ELSE 0 END AS BIGINT) AS n_blocks
               FROM documents WHERE text IS NOT NULL
+        """,
+        "peak_hourly_rate_users": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS c
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+            SELECT user_id, max(c) AS peak,
+                   CAST(count(*) AS BIGINT) AS n_events
+              FROM w GROUP BY user_id
         """,
     }
 

@@ -5836,3 +5836,15 @@ def main_content_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _attach_content_html_fixture, batch_format="pyarrow")
     return extract_main_content(ds, min_chars=20)
+
+
+def peak_hourly_rate_users(sf_dir: str):
+    """Burst detection (temporal.peak_window_rate): each user's peak
+    number of events inside any trailing 1-hour window, plus their
+    event total — the rate-limit / bot-cadence audit.  Oracle: max
+    over the COUNT(*) RANGE-frame window per user."""
+    from peri_ray.stages.temporal import peak_window_rate
+
+    return peak_window_rate(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        window_s=3600)

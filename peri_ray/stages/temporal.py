@@ -1372,6 +1372,9 @@ def time_window_sums(ds, window_s: int = 3600, user_col: str = "user_id",
     Exactness contract shared with the siblings: values fix-point to
     BIGINT micro-units (half-away rounding) BEFORE accumulation; rows
     with null user/ts/value are excluded on both sides.
+    ``value_col=None`` turns off the sum (and its null-value filter):
+    output is (id, user, win_n) only — the pure event-RATE window
+    (burst / rate-limit detection needs no value column).
 
     Shape: one key-bucketed exchange; per bucket ONE lexsort + ONE
     cumsum, then both frame bounds come from two whole-bucket
@@ -1385,27 +1388,33 @@ def time_window_sums(ds, window_s: int = 3600, user_col: str = "user_id",
     win_us = int(window_s) * 1_000_000
 
     def _win(group: pa.Table) -> pa.Table:
-        g = group.filter(pc.and_(
-            pc.and_(pc.is_valid(group.column(value_col)),
-                    pc.is_valid(group.column(ts_col))),
-            pc.is_valid(group.column(user_col))))
+        ok = pc.and_(pc.is_valid(group.column(ts_col)),
+                     pc.is_valid(group.column(user_col)))
+        if value_col is not None:
+            ok = pc.and_(ok, pc.is_valid(group.column(value_col)))
+        g = group.filter(ok)
         u = g.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        v = g.column(value_col).combine_chunks().cast(pa.float64()).to_numpy(
-            zero_copy_only=False)
-        schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
-                            ("win_n", pa.int64()),
-                            ("win_sum_micro", pa.int64())])
+        fields = [(id_col, pa.int64()), (user_col, pa.int64()),
+                  ("win_n", pa.int64())]
+        if value_col is not None:
+            fields.append(("win_sum_micro", pa.int64()))
+            v = g.column(value_col).combine_chunks().cast(
+                pa.float64()).to_numpy(zero_copy_only=False)
+        schema = pa.schema(fields)
         n = len(u)
         if n == 0:
             return schema.empty_table()
-        s = v * 1e6
-        micro = np.where(s >= 0, np.floor(s + 0.5),
-                         np.ceil(s - 0.5)).astype(np.int64)
+        if value_col is not None:
+            s = v * 1e6
+            micro = np.where(s >= 0, np.floor(s + 0.5),
+                             np.ceil(s - 0.5)).astype(np.int64)
+        else:
+            micro = np.zeros(n, np.int64)
         order = np.lexsort((ids, ts, u))
         u, ts, ids, micro = u[order], ts[order], ids[order], micro[order]
         starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
@@ -1429,16 +1438,20 @@ def time_window_sums(ds, window_s: int = 3600, user_col: str = "user_id",
                 seg = ts[a:b]
                 left[a:b] = a + np.searchsorted(seg, seg - win_us, "left")
                 right[a:b] = a + np.searchsorted(seg, seg, "right")
-        cum = np.concatenate(([0], np.cumsum(micro)))
-        return pa.table({id_col: pa.array(ids), user_col: pa.array(u),
-                         "win_n": pa.array(right - left),
-                         "win_sum_micro": pa.array(cum[right] - cum[left])})
+        cols = {id_col: pa.array(ids), user_col: pa.array(u),
+                "win_n": pa.array(right - left)}
+        if value_col is not None:
+            cum = np.concatenate(([0], np.cumsum(micro)))
+            cols["win_sum_micro"] = pa.array(cum[right] - cum[left])
+        return pa.table(cols)
 
     from peri_ray.stages.dedup import map_groups_via_buckets
 
-    return map_groups_via_buckets(
-        ds.select_columns([user_col, ts_col, id_col, value_col]),
-        [user_col], _win, n_buckets=n_buckets)
+    need = [user_col, ts_col, id_col]
+    if value_col is not None:
+        need.append(value_col)
+    return map_groups_via_buckets(ds.select_columns(need),
+                                  [user_col], _win, n_buckets=n_buckets)
 
 
 def point_in_time_join(probe, history, key_col: str, probe_ts: str,
@@ -1566,3 +1579,34 @@ def point_in_time_join(probe, history, key_col: str, probe_ts: str,
 
     return both.groupby("__bucket").map_groups(_pit,
                                                batch_format="pyarrow")
+
+
+def peak_window_rate(ds, window_s: int = 3600, user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     n_buckets: int = 64):
+    """Per-key PEAK trailing-window event rate: the maximum number of
+    the key's events inside any ``[t - window, t]`` interval anchored
+    at one of its events — the burst / rate-limit / bot-cadence
+    signal.  (The max over anchored windows equals the max over ALL
+    windows: a window's count only grows as its right edge slides onto
+    the next event.)  Output: (user, peak, n_events).
+
+    Shape: the :func:`time_window_sums` count-only exchange computes
+    per-event window counts; a second tiny key-bucketed exchange
+    reduces each key to one row (max + count)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    win = time_window_sums(ds, window_s=window_s, user_col=user_col,
+                           ts_col=ts_col, id_col=id_col, value_col=None,
+                           n_buckets=n_buckets)
+
+    def _peak(g: pa.Table) -> pa.Table:
+        m = (g.select([user_col, "win_n"]).group_by(user_col)
+             .aggregate([("win_n", "max"), ([], "count_all")]))
+        return pa.table({
+            user_col: m.column(user_col).cast(pa.int64()),
+            "peak": m.column("win_n_max").cast(pa.int64()),
+            "n_events": m.column("count_all").cast(pa.int64())})
+
+    return map_groups_via_buckets(win, [user_col], _peak,
+                                  n_buckets=n_buckets)

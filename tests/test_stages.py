@@ -8349,3 +8349,34 @@ class TestMultiQueryRRF:
         out = multi_query_rrf(rd.from_items(rows), [["w"]], k_each=10,
                               k=3).to_pylist()
         assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
+
+
+class TestPeakWindowRate:
+    def test_peak_and_count(self):
+        from peri_ray.stages.temporal import peak_window_rate
+
+        # user 1: burst of 3 within 5s, then isolated; user 2: steady
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": 0},
+            {"event_id": 2, "user_id": 1, "ts": 2_000_000},
+            {"event_id": 3, "user_id": 1, "ts": 4_000_000},
+            {"event_id": 4, "user_id": 1, "ts": 60_000_000},
+            {"event_id": 5, "user_id": 2, "ts": 0},
+            {"event_id": 6, "user_id": 2, "ts": 30_000_000},
+        ]
+        out = {r["user_id"]: r for r in peak_window_rate(
+            rd.from_items(rows, parallelism=3), window_s=5).take_all()}
+        assert out[1]["peak"] == 3 and out[1]["n_events"] == 4
+        assert out[2]["peak"] == 1 and out[2]["n_events"] == 2
+
+    def test_count_only_mode_skips_value_filter(self):
+        from peri_ray.stages.temporal import time_window_sums
+
+        rows = [{"event_id": 1, "user_id": 1, "ts": 0, "value": None}]
+        out = time_window_sums(
+            rd.from_items(rows).map_batches(
+                lambda t: t.select(["event_id", "user_id", "ts"]),
+                batch_format="pyarrow"),
+            window_s=5, value_col=None).take_all()
+        assert len(out) == 1 and out[0]["win_n"] == 1
+        assert "win_sum_micro" not in out[0]
