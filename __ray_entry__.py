@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_retrieval_docs": q.rrf_retrieval_docs,
         "main_content_docs": q.main_content_docs,
         "peak_hourly_rate_users": q.peak_hourly_rate_users,
+        "welch_t_drift_events": q.welch_t_drift_events,
     }
 
 
@@ -4436,6 +4437,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(c) AS peak,
                    CAST(count(*) AS BIGINT) AS n_events
               FROM w GROUP BY user_id
+        """,
+        "welch_t_drift_events": """
+            WITH s AS (
+              SELECT event_id % 2 AS side,
+                     CAST(round(value * 100) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT side, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS s2
+                FROM s GROUP BY side),
+            stats AS (
+              SELECT a.n AS n_a, b.n AS n_b,
+                     CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a,
+                     CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b,
+                     CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                       / CAST(a.n * (a.n - 1) AS DOUBLE) AS var_a,
+                     CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                       / CAST(b.n * (b.n - 1) AS DOUBLE) AS var_b
+                FROM (SELECT * FROM m WHERE side = 0) a
+                CROSS JOIN (SELECT * FROM m WHERE side = 1) b),
+            parts AS (
+              SELECT *, var_a / CAST(n_a AS DOUBLE) AS va_n,
+                        var_b / CAST(n_b AS DOUBLE) AS vb_n
+                FROM stats)
+            SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+                   (mean_a - mean_b) / sqrt(va_n + vb_n) AS t_stat,
+                   ((va_n + vb_n) * (va_n + vb_n))
+                     / ((va_n * va_n) / CAST(n_a - 1 AS DOUBLE)
+                        + (vb_n * vb_n) / CAST(n_b - 1 AS DOUBLE)) AS df
+              FROM parts
         """,
     }
 

@@ -5848,3 +5848,16 @@ def peak_hourly_rate_users(sf_dir: str):
     return peak_window_rate(
         _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
         window_s=3600)
+
+
+def welch_t_drift_events(sf_dir: str):
+    """Welch unequal-variance t verdict between the event_id-parity
+    halves of events.value (checks.welch_t_two_sample): exact integer
+    cents moments, every double one fixed-order expression — the
+    parametric mean-shift member of the drift family.  Oracle: HUGEINT
+    moment CTE + the identical t / Welch-Satterthwaite expressions."""
+    from peri_ray.stages.checks import welch_t_two_sample
+
+    return welch_t_two_sample(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        "value", split_col="event_id", split_mod=2, scale=100)

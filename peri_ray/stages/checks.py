@@ -1192,3 +1192,92 @@ def takedown_purge(ds, tombstones, text_col: str = "text",
 
     return ds.map_batches(_survivors, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def welch_t_two_sample(ds, column: str, split_col: str,
+                       split_mod: int = 2, scale: int = 100,
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Welch's unequal-variance t statistic between two deterministic
+    subsets of one Dataset — the parametric mean-shift member of the
+    drift family (KS = shape, W1 = mass transport, this = "did the
+    MEAN move, scaled by the noise").  side = split_col % split_mod
+    (0 vs 1); values quantize to round(v*scale) integer units, so the
+    moment partials (n, Σc, Σc²) are exact integers merged as Python
+    ints (overflow-free at any row count), and every emitted double is
+    one fixed-order expression over those exact ints — bit-identical
+    to the HUGEINT SQL twin with NO rounding fudge.
+
+    Output one row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df) in the quantized unit; t/df null when either side has < 2
+    rows.  Shape: per-batch 2×3-int partials + driver merge — zero
+    shuffles at any scale."""
+    q = _quantize_to_int(scale)
+
+    def _part(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks()
+        ok = pc.is_valid(col)
+        sub = t.filter(ok)
+        if sub.num_rows == 0:
+            return pa.table({"side": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64())})
+        c = q(sub.column(column).combine_chunks())
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        sv = (sub.column(split_col).combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False) % split_mod)
+        cn = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"side": pa.array(sv, pa.int64()),
+                      "c": pa.array(cn),
+                      "cc": pa.array(cn * cn)}) \
+            .group_by("side").aggregate([("c", "sum"), ("cc", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"side": g.column("side"),
+                         "n": g.column("count_all").cast(pa.int64()),
+                         "s1": g.column("c_sum").cast(pa.int64()),
+                         "s2": g.column("cc_sum").cast(pa.int64())})
+
+    mom = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        m = mom.setdefault(int(r["side"]), [0, 0, 0])
+        m[0] += int(r["n"])
+        m[1] += int(r["s1"])
+        m[2] += int(r["s2"])
+
+    import math
+
+    def _stats(m):
+        n, s1, s2 = m
+        if n == 0:
+            return None, None
+        mean = float(s1) / float(n)
+        if n < 2:
+            return mean, None
+        var = float(n * s2 - s1 * s1) / float(n * (n - 1))
+        return mean, var
+
+    (na, _, _), (nb, _, _) = mom[0], mom[1]
+    mean_a, var_a = _stats(mom[0])
+    mean_b, var_b = _stats(mom[1])
+    t_stat = dfv = None
+    if var_a is not None and var_b is not None:
+        va_n = var_a / float(na)
+        vb_n = var_b / float(nb)
+        se = math.sqrt(va_n + vb_n)
+        if se > 0:
+            t_stat = (mean_a - mean_b) / se
+            dfv = ((va_n + vb_n) * (va_n + vb_n)) / (
+                (va_n * va_n) / float(na - 1)
+                + (vb_n * vb_n) / float(nb - 1))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([mean_a], pa.float64()),
+        "mean_b": pa.array([mean_b], pa.float64()),
+        "var_a": pa.array([var_a], pa.float64()),
+        "var_b": pa.array([var_b], pa.float64()),
+        "t_stat": pa.array([t_stat], pa.float64()),
+        "df": pa.array([dfv], pa.float64()),
+    })

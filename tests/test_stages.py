@@ -8380,3 +8380,45 @@ class TestPeakWindowRate:
             window_s=5, value_col=None).take_all()
         assert len(out) == 1 and out[0]["win_n"] == 1
         assert "win_sum_micro" not in out[0]
+
+
+class TestWelchTTwoSample:
+    def test_matches_scipy_style_reference(self):
+        import math
+
+        from peri_ray.stages.checks import welch_t_two_sample
+
+        rng = __import__("random").Random(3)
+        rows = [{"event_id": i,
+                 "value": (10.0 if i % 2 == 0 else 12.0)
+                 + rng.randrange(-100, 101) / 100.0}
+                for i in range(400)]
+        out = welch_t_two_sample(
+            rd.from_items(rows, parallelism=4), "value",
+            split_col="event_id", split_mod=2, scale=100).to_pylist()[0]
+        # independent reference from the raw cents
+        a = [round(r["value"] * 100) for r in rows if r["event_id"] % 2 == 0]
+        b = [round(r["value"] * 100) for r in rows if r["event_id"] % 2 == 1]
+        def mv(x):
+            n = len(x)
+            m = sum(x) / n
+            v = sum((xi - m) ** 2 for xi in x) / (n - 1)
+            return n, m, v
+        na, ma, va = mv(a)
+        nb, mb, vb = mv(b)
+        se = math.sqrt(va / na + vb / nb)
+        assert out["n_a"] == na and out["n_b"] == nb
+        assert abs(out["t_stat"] - (ma - mb) / se) < 1e-9 * abs(out["t_stat"])
+        assert out["t_stat"] < -10  # the planted 2.0 shift dominates
+
+    def test_degenerate_small_side(self):
+        from peri_ray.stages.checks import welch_t_two_sample
+
+        rows = [{"event_id": 0, "value": 1.0},
+                {"event_id": 2, "value": 2.0},
+                {"event_id": 1, "value": 5.0}]
+        out = welch_t_two_sample(rd.from_items(rows), "value",
+                                 split_col="event_id",
+                                 split_mod=2).to_pylist()[0]
+        assert out["n_b"] == 1 and out["t_stat"] is None
+        assert out["var_b"] is None and out["mean_b"] == 500.0
