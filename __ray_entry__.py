@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content_docs": q.main_content_docs,
         "peak_hourly_rate_users": q.peak_hourly_rate_users,
         "welch_t_drift_events": q.welch_t_drift_events,
+        "dow_anomaly_events": q.dow_anomaly_events,
+        "hill_tail_hosts": q.hill_tail_hosts,
+        "systematic_sample_documents": q.systematic_sample_documents,
     }
 
 
@@ -4469,6 +4472,65 @@ def oracle_sql() -> dict[str, str]:
                      / ((va_n * va_n) / CAST(n_a - 1 AS DOUBLE)
                         + (vb_n * vb_n) / CAST(n_b - 1 AS DOUBLE)) AS df
               FROM parts
+        """,
+        "dow_anomaly_events": """
+            WITH dc AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS x
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            dw AS (
+              SELECT day, x,
+                     CAST(date_part('dow', CAST(day AS DATE)) AS BIGINT)
+                       AS dow
+                FROM dc),
+            m AS (
+              SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS s1,
+                     CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                          AS HUGEINT) AS s2
+                FROM dw GROUP BY dow)
+            SELECT w.day, w.dow, w.x,
+                   CASE WHEN m.n >= 2 AND (m.n * m.s2 - m.s1 * m.s1) > 0
+                        THEN (CAST(w.x AS DOUBLE)
+                              - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                             / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1
+                                         AS DOUBLE)
+                                    / CAST(m.n * (m.n - 1) AS DOUBLE))
+                        ELSE NULL END AS z
+              FROM dw w JOIN m USING (dow)
+        """,
+        "hill_tail_hosts": """
+            WITH tg AS (
+              SELECT unnest(list_transform(range(doc_id % 3),
+                     j -> 'h' || CAST((doc_id*7 + j + 1) % 50 AS VARCHAR)
+                          || '.example.com')) AS dst
+                FROM documents),
+            deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d
+                      FROM tg GROUP BY dst),
+            top AS (SELECT d FROM deg
+                     ORDER BY d DESC, dst LIMIT 20),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(min(d) AS BIGINT) AS dk
+                    FROM top),
+            -- the k-th term is ln(1) = 0, so summing ALL top rows
+            -- equals the engine's i < k sum exactly
+            h AS (SELECT sum(ln(CAST(t.d AS DOUBLE)
+                               / CAST(s.dk AS DOUBLE))) AS sl
+                    FROM top t CROSS JOIN s)
+            SELECT s.k, s.dk AS d_k,
+                   CASE WHEN s.k < 2 OR h.sl = 0 THEN NULL
+                        ELSE ROUND(CAST(s.k - 1 AS DOUBLE) / h.sl, 6)
+                        END AS alpha
+              FROM s CROSS JOIN h
+        """,
+        "systematic_sample_documents": """
+            SELECT doc_id, n_chars, rank FROM (
+              SELECT doc_id, n_chars,
+                     CAST(row_number() OVER (
+                          ORDER BY n_chars ASC NULLS FIRST, doc_id ASC)
+                          AS BIGINT) AS rank
+                FROM documents)
+             WHERE rank % 50 = 0
         """,
     }
 

@@ -353,6 +353,34 @@ def run_bench() -> dict:
           lambda: q.host_components(SF_DIR).to_pandas())
     timed("contrastive_negatives",
           lambda: q.contrastive_negatives(SF_DIR).to_pandas())
+    timed("markov_transitions",
+          lambda: q.markov_transitions_events(SF_DIR))
+    timed("time_window_sums",
+          lambda: q.time_window_sums_events(SF_DIR).to_pandas())
+    timed("scd2_point_in_time",
+          lambda: q.scd2_point_in_time(SF_DIR).to_pandas())
+    timed("ngram_novelty",
+          lambda: q.ngram_novelty_recrawl(SF_DIR).to_pandas())
+    timed("lexical_diversity",
+          lambda: q.lexical_diversity_documents(SF_DIR).to_pandas())
+    timed("mutual_information",
+          lambda: q.mutual_information_lang_source(SF_DIR))
+    timed("zipf_slope",
+          lambda: q.zipf_slope_documents(SF_DIR))
+    timed("rrf_retrieval",
+          lambda: q.rrf_retrieval_docs(SF_DIR))
+    timed("main_content",
+          lambda: q.main_content_docs(SF_DIR).to_pandas())
+    timed("peak_hourly_rate",
+          lambda: q.peak_hourly_rate_users(SF_DIR).to_pandas())
+    timed("welch_t_drift",
+          lambda: q.welch_t_drift_events(SF_DIR))
+    timed("dow_anomalies",
+          lambda: q.dow_anomaly_events(SF_DIR))
+    timed("hill_tail",
+          lambda: q.hill_tail_hosts(SF_DIR))
+    timed("systematic_sample",
+          lambda: q.systematic_sample_documents(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5861,3 +5861,64 @@ def welch_t_drift_events(sf_dir: str):
     return welch_t_two_sample(
         _read(sf_dir, "events", ["event_id", "value"]),
         "value", split_col="event_id", split_mod=2, scale=100)
+
+
+def dow_anomaly_events(sf_dir: str):
+    """Day-of-week seasonal anomaly report (temporal.dow_anomalies):
+    each day's event count z-scored against its weekday's mean/stddev
+    — the ingestion monitor that respects weekly seasonality.  Oracle:
+    identical exact-int moments per dow + the same fixed-order z
+    expression."""
+    from peri_ray.stages.temporal import dow_anomalies
+
+    return dow_anomalies(_read(sf_dir, "events", ["ts"]))
+
+
+def hill_tail_hosts(sf_dir: str):
+    """Hill power-law tail index over host in-link degrees
+    (web.hill_tail_estimator, top-20 order statistics) — the
+    link-farm / unnatural-graph probe.  Engine parses the anchors out
+    of html bytes; the twin rebuilds the in-degrees arithmetically
+    from the fixture."""
+    from peri_ray.stages.web import (extract_outlinks,
+                                     hill_tail_estimator, href_host)
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _attach_linked_html_fixture, batch_format="pyarrow")
+    edges = extract_outlinks(ds, html_col="html", id_col="doc_id")
+
+    def _dst_counts(t: pa.Table) -> pa.Table:
+        h = href_host(t.column("href"))
+        g = (pa.table({"host": h}).filter(pc.is_valid(h))
+             .group_by("host").aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "in_links"])
+
+    per_host: dict[str, int] = {}
+    for r in edges.map_batches(_dst_counts,
+                               batch_format="pyarrow").iter_rows():
+        per_host[r["host"]] = per_host.get(r["host"], 0) + r["in_links"]
+    deg = pa.table({"host": pa.array(sorted(per_host), pa.string()),
+                    "in_links": pa.array(
+                        [per_host[h] for h in sorted(per_host)],
+                        pa.int64())})
+    return hill_tail_estimator(deg, "in_links", k=20)
+
+
+def systematic_sample_documents(sf_dir: str):
+    """Systematic (every-50th) sampling in global key order: the exact
+    distributed ORDER BY (stats.global_rank) composed with a
+    rank-modulo filter — position-stratified sampling with zero
+    clustering bias, reproducible at any block layout.  Oracle:
+    row_number window + modulo."""
+    from peri_ray.stages.stats import global_rank
+
+    ranked = global_rank(_read(sf_dir, "documents",
+                               ["doc_id", "n_chars"]),
+                         "n_chars", "doc_id", n_ranges=16)
+
+    def _every_50(t: pa.Table) -> pa.Table:
+        r = t.column("rank").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(r % 50 == 0))
+
+    return ranked.map_batches(_every_50, batch_format="pyarrow")

@@ -1610,3 +1610,64 @@ def peak_window_rate(ds, window_s: int = 3600, user_col: str = "user_id",
 
     return map_groups_via_buckets(win, [user_col], _peak,
                                   n_buckets=n_buckets)
+
+
+def dow_anomalies(ds, ts_col: str = "ts",
+                  batch_size: int | None = 65536) -> pa.Table:
+    """Seasonal volume-anomaly report: each day's row count z-scored
+    against the mean/stddev of ITS WEEKDAY — the ingestion monitor
+    that a flat threshold gets wrong (weekend dips would page it; a
+    quiet Tuesday would not).  Output (day, dow, x, z) sorted by day;
+    dow uses the SQL convention (Sunday = 0); z is null when the
+    weekday has < 2 observations or zero variance.
+
+    All moments are exact Python ints merged from per-batch (day,
+    count) partials (calendar-bounded driver state — the
+    :func:`cusum_daily_counts` contract); each z is one fixed-order
+    float expression over exact ints, bit-identical to the SQL twin
+    with no rounding."""
+    import datetime as _dt
+    import math
+
+    def _part(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).combine_chunks().drop_null()
+        day = pc.strftime(ts, format="%Y-%m-%d")
+        g = (pa.table({"day": day}).group_by("day")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "x"])
+
+    per_day: dict[str, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        per_day[r["day"]] = per_day.get(r["day"], 0) + int(r["x"])
+
+    def _dow(day: str) -> int:
+        # SQL dayofweek: Sunday = 0; Python weekday(): Monday = 0
+        return (_dt.date.fromisoformat(day).weekday() + 1) % 7
+
+    mom: dict[int, list[int]] = {}
+    for day, x in per_day.items():
+        m = mom.setdefault(_dow(day), [0, 0, 0])
+        m[0] += 1
+        m[1] += x
+        m[2] += x * x
+    days = sorted(per_day)
+    zs, dows = [], []
+    for day in days:
+        x = per_day[day]
+        dw = _dow(day)
+        n, s1, s2 = mom[dw]
+        dows.append(dw)
+        num = n * s2 - s1 * s1
+        if n < 2 or num <= 0:
+            zs.append(None)
+            continue
+        mu = float(s1) / float(n)
+        sd = math.sqrt(float(num) / float(n * (n - 1)))
+        zs.append((float(x) - mu) / sd)
+    return pa.table({
+        "day": pa.array(days, pa.string()),
+        "dow": pa.array(dows, pa.int64()),
+        "x": pa.array([per_day[d] for d in days], pa.int64()),
+        "z": pa.array(zs, pa.float64()),
+    })

@@ -1201,3 +1201,30 @@ def extract_main_content(ds, html_col: str = "html",
 
     return ds.map_batches(_main, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def hill_tail_estimator(degrees: pa.Table, value_col: str = "in_links",
+                        k: int = 20) -> pa.Table:
+    """Hill estimator of the power-law tail index over a degree table
+    — the web-graph health probe (natural link graphs have alpha near
+    2-3; link farms flatten the tail).  Uses the top-``k`` order
+    statistics d_1 >= … >= d_k: alpha = (k-1) / Σ_{i<k} ln(d_i / d_k),
+    ROUND 6 (transcendental-sum convention); null when the top-k are
+    all equal (no tail information).  Driver-side fold — the degree
+    table is host-bounded by contract (the profiling-operator class)."""
+    import math
+
+    vals = sorted(degrees.column(value_col).to_pylist(), reverse=True)
+    vals = [v for v in vals if v is not None][:k]
+    kk = len(vals)
+    if kk < 2:
+        return pa.table({"k": pa.array([kk], pa.int64()),
+                         "d_k": pa.array([vals[0] if vals else None],
+                                         pa.int64()),
+                         "alpha": pa.array([None], pa.float64())})
+    dk = vals[-1]
+    sl = sum(math.log(float(v) / float(dk)) for v in vals[:-1])
+    alpha = None if sl == 0 else round(float(kk - 1) / sl, 6)
+    return pa.table({"k": pa.array([kk], pa.int64()),
+                     "d_k": pa.array([dk], pa.int64()),
+                     "alpha": pa.array([alpha], pa.float64())})

@@ -8422,3 +8422,52 @@ class TestWelchTTwoSample:
                                  split_mod=2).to_pylist()[0]
         assert out["n_b"] == 1 and out["t_stat"] is None
         assert out["var_b"] is None and out["mean_b"] == 500.0
+
+
+class TestDowAnomalies:
+    def test_z_against_reference(self):
+        import math
+
+        from peri_ray.stages.temporal import dow_anomalies
+
+        # two Mondays (counts 2, 4) + one Sunday (count 3)
+        rows = []
+        for day, n in [("2026-01-05", 2), ("2026-01-12", 4),
+                       ("2026-01-04", 3)]:
+            for i in range(n):
+                rows.append({"ts": __import__("datetime").datetime
+                             .fromisoformat(f"{day}T0{i}:00:00")})
+        out = {r["day"]: r for r in dow_anomalies(
+            rd.from_items(rows, parallelism=2)).to_pylist()}
+        assert out["2026-01-04"]["dow"] == 0   # Sunday (SQL convention)
+        assert out["2026-01-05"]["dow"] == 1
+        assert out["2026-01-04"]["z"] is None  # single observation
+        # Mondays: mean 3, sample sd sqrt(2)
+        assert abs(out["2026-01-05"]["z"] + 1 / math.sqrt(2)) < 1e-12
+        assert abs(out["2026-01-12"]["z"] - 1 / math.sqrt(2)) < 1e-12
+
+
+class TestHillTail:
+    def test_pareto_alpha(self):
+        import math
+
+        from peri_ray.stages.web import hill_tail_estimator
+
+        import pyarrow as _pa
+        # exact geometric degrees: d_i = 2^(10-i) -> ln(d_i/d_k) linear
+        vals = [2 ** (10 - i) for i in range(10)]
+        t = _pa.table({"host": [f"h{i}" for i in range(10)],
+                       "in_links": _pa.array(vals, _pa.int64())})
+        out = hill_tail_estimator(t, k=10).to_pylist()[0]
+        sl = sum(math.log(v / vals[-1]) for v in vals[:-1])
+        assert out["k"] == 10 and out["d_k"] == vals[-1]
+        assert out["alpha"] == round(9 / sl, 6)
+
+    def test_degenerate_flat(self):
+        from peri_ray.stages.web import hill_tail_estimator
+
+        import pyarrow as _pa
+        t = _pa.table({"host": ["a", "b", "c"],
+                       "in_links": _pa.array([5, 5, 5], _pa.int64())})
+        out = hill_tail_estimator(t, k=3).to_pylist()[0]
+        assert out["alpha"] is None and out["d_k"] == 5
