@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_anomaly_events": q.dow_anomaly_events,
         "hill_tail_hosts": q.hill_tail_hosts,
         "systematic_sample_documents": q.systematic_sample_documents,
+        "merged_recrawl_documents": q.merged_recrawl_documents,
+        "interpolated_values_events": q.interpolated_values_events,
     }
 
 
@@ -4531,6 +4533,55 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS rank
                 FROM documents)
              WHERE rank % 50 = 0
+        """,
+        "merged_recrawl_documents": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new page'
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id, text FROM b
+            UNION ALL
+            SELECT doc_id, text FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM b)
+        """,
+        "interpolated_values_events": """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 9 = 0 THEN NULL
+                          ELSE value END AS v
+                FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            w AS (
+              SELECT event_id, user_id, ts, v,
+                     last_value(v IGNORE NULLS) OVER wp AS vp,
+                     last_value(CASE WHEN v IS NOT NULL THEN ts END
+                                IGNORE NULLS) OVER wp AS tsp,
+                     first_value(v IGNORE NULLS) OVER wn AS vn,
+                     first_value(CASE WHEN v IS NOT NULL THEN ts END
+                                 IGNORE NULLS) OVER wn AS tsn
+                FROM s
+              WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING),
+                     wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING
+                                  AND UNBOUNDED FOLLOWING))
+            SELECT event_id, user_id,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN vp IS NULL OR vn IS NULL THEN NULL
+                        WHEN epoch_us(tsn) = epoch_us(tsp) THEN vp
+                        ELSE vp + (vn - vp)
+                             * (CAST(epoch_us(ts) - epoch_us(tsp)
+                                     AS DOUBLE)
+                                / CAST(epoch_us(tsn) - epoch_us(tsp)
+                                       AS DOUBLE))
+                        END AS v_filled
+              FROM w
         """,
     }
 

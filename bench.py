@@ -381,6 +381,10 @@ def run_bench() -> dict:
           lambda: q.hill_tail_hosts(SF_DIR))
     timed("systematic_sample",
           lambda: q.systematic_sample_documents(SF_DIR).to_pandas())
+    timed("merged_recrawl",
+          lambda: q.merged_recrawl_documents(SF_DIR).to_pandas())
+    timed("interpolated_values",
+          lambda: q.interpolated_values_events(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -5922,3 +5922,45 @@ def systematic_sample_documents(sf_dir: str):
         return t.filter(pa.array(r % 50 == 0))
 
     return ranked.map_batches(_every_50, batch_format="pyarrow")
+
+
+def merged_recrawl_documents(sf_dir: str):
+    """Upsert / MERGE-INTO snapshot application: the recrawl fixture's
+    rows win for every key they carry (updates + inserts); base rows
+    whose key the recrawl lacks persist — the keyed-table refresh a
+    crawl store runs per snapshot (deletes need explicit tombstones;
+    see takedown_purge_documents).  Engine: one hash-partitioned anti
+    join (base minus recrawl keys) + union — no broadcast, both sides
+    corpus-sized.  Oracle: anti-join UNION ALL."""
+    from peri_ray.stages.joins import hash_join
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    recrawl = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _recrawl_batch, batch_format="pyarrow")
+    keep_base = hash_join(base, recrawl, "doc_id", "doc_id",
+                          ["text"], [], how="anti")
+    return keep_base.union(recrawl)
+
+
+def interpolated_values_events(sf_dir: str):
+    """Per-user linear interpolation of planted value gaps
+    (temporal.linear_interpolate): event_id % 9 values are nulled,
+    then each gap takes the time-weighted blend of its observed
+    neighbors; edge gaps stay null.  Oracle: IGNORE-NULLS window
+    neighbors + the identical blend expression."""
+    from peri_ray.stages.temporal import linear_interpolate
+
+    def _gap(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        v = pc.if_else(pa.array(idn % 9 == 0),
+                       pa.nulls(t.num_rows, pa.float64()),
+                       t.column("value").combine_chunks()
+                        .cast(pa.float64()))
+        return pa.table({"event_id": ids, "user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "v": v})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        _gap, batch_format="pyarrow")
+    return linear_interpolate(ds)

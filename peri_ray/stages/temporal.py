@@ -1671,3 +1671,77 @@ def dow_anomalies(ds, ts_col: str = "ts",
         "x": pa.array([per_day[d] for d in days], pa.int64()),
         "z": pa.array(zs, pa.float64()),
     })
+
+
+def linear_interpolate(ds, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "v", n_buckets: int = 64):
+    """Per-key LINEAR interpolation of missing values in event-time
+    order — the fill strategy between LOCF (step) and dropping: a null
+    between two observed neighbors takes the time-weighted blend
+    ``vp + (vn - vp) * (ts - tsp) / (tsn - tsp)``; nulls before the
+    first / after the last observation of their key stay null; equal
+    neighbor timestamps degenerate to the previous value (no 0/0).
+    One row per input row: (id, user, v_filled) with observed values
+    passed through untouched.
+
+    Every filled double is ONE fixed-order IEEE expression over exact
+    int64 microsecond gaps and the two neighbor doubles — bit-exact
+    against the IGNORE-NULLS-window SQL twin.  Rows with null user/ts
+    are excluded on both sides.
+
+    Shape: one key-bucketed exchange; per bucket one lexsort, then
+    prev/next observed positions come from two accumulate passes (no
+    per-run loop); run fences mask cross-key bleed."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _interp(group: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(group.column(ts_col)),
+                     pc.is_valid(group.column(user_col)))
+        g = group.filter(ok)
+        u = g.column(user_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vcol = g.column(value_col).combine_chunks().cast(pa.float64())
+        v = vcol.to_numpy(zero_copy_only=False)
+        observed = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        schema = pa.schema([(id_col, pa.int64()), (user_col, pa.int64()),
+                            ("v_filled", pa.float64())])
+        n = len(u)
+        if n == 0:
+            return schema.empty_table()
+        order = np.lexsort((ids, ts, u))
+        u, ts, ids, v, observed = (u[order], ts[order], ids[order],
+                                   v[order], observed[order])
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg_lens = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, seg_lens)
+        seg_end = np.repeat(starts + seg_lens, seg_lens)
+        idx = np.arange(n, dtype=np.int64)
+        # last observed position at or before i / first at or after i
+        prev = np.maximum.accumulate(np.where(observed, idx, -1))
+        nxt = np.minimum.accumulate(
+            np.where(observed, idx, n)[::-1])[::-1]
+        fill = (~observed) & (prev >= seg_start) & (nxt < seg_end)
+        out = v.copy()
+        p, q_ = prev[fill], nxt[fill]
+        gap = (ts[fill] - ts[p]).astype(np.float64)
+        span = (ts[q_] - ts[p]).astype(np.float64)
+        vp, vn = v[p], v[q_]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            blend = vp + (vn - vp) * (gap / span)
+        out[fill] = np.where(span == 0.0, vp, blend)
+        filled = pa.array(out, pa.float64())
+        keep_null = (~observed) & ~fill
+        if keep_null.any():
+            filled = pc.if_else(pa.array(~keep_null), filled,
+                                pa.nulls(n, pa.float64()))
+        return pa.table({id_col: pa.array(ids), user_col: pa.array(u),
+                         "v_filled": filled})
+
+    return map_groups_via_buckets(
+        ds.select_columns([user_col, ts_col, id_col, value_col]),
+        [user_col], _interp, n_buckets=n_buckets)

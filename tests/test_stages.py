@@ -8471,3 +8471,38 @@ class TestHillTail:
                        "in_links": _pa.array([5, 5, 5], _pa.int64())})
         out = hill_tail_estimator(t, k=3).to_pylist()[0]
         assert out["alpha"] is None and out["d_k"] == 5
+
+
+class TestLinearInterpolate:
+    def test_blend_edges_and_ties(self):
+        from peri_ray.stages.temporal import linear_interpolate
+
+        rows = [
+            # user 1: null at ts=4 between (0, 10.0) and (10, 20.0)
+            {"event_id": 1, "user_id": 1, "ts": 0, "v": 10.0},
+            {"event_id": 2, "user_id": 1, "ts": 4_000_000, "v": None},
+            {"event_id": 3, "user_id": 1, "ts": 10_000_000, "v": 20.0},
+            # leading/trailing nulls stay null
+            {"event_id": 4, "user_id": 2, "ts": 0, "v": None},
+            {"event_id": 5, "user_id": 2, "ts": 1_000_000, "v": 7.0},
+            {"event_id": 6, "user_id": 2, "ts": 2_000_000, "v": None},
+            # equal neighbor timestamps degenerate to prev
+            {"event_id": 7, "user_id": 3, "ts": 5, "v": 1.0},
+            {"event_id": 8, "user_id": 3, "ts": 5, "v": None},
+            {"event_id": 9, "user_id": 3, "ts": 5, "v": 3.0},
+        ]
+        out = {r["event_id"]: r["v_filled"] for r in linear_interpolate(
+            rd.from_items(rows, parallelism=3)).take_all()}
+        assert out[2] == 10.0 + (20.0 - 10.0) * (4.0 / 10.0)
+        assert out[4] is None and out[6] is None and out[5] == 7.0
+        assert out[8] == 1.0
+
+    def test_cross_user_no_bleed(self):
+        from peri_ray.stages.temporal import linear_interpolate
+
+        rows = [{"event_id": 1, "user_id": 1, "ts": 0, "v": 5.0},
+                {"event_id": 2, "user_id": 2, "ts": 1, "v": None},
+                {"event_id": 3, "user_id": 3, "ts": 2, "v": 9.0}]
+        out = {r["event_id"]: r["v_filled"] for r in linear_interpolate(
+            rd.from_items(rows)).take_all()}
+        assert out[2] is None
