@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample_documents": q.systematic_sample_documents,
         "merged_recrawl_documents": q.merged_recrawl_documents,
         "interpolated_values_events": q.interpolated_values_events,
+        "bucketed_join_lineitem_orders": q.bucketed_join_lineitem_orders,
     }
 
 
@@ -4583,6 +4584,10 @@ def oracle_sql() -> dict[str, str]:
                         END AS v_filled
               FROM w
         """,
+        "bucketed_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey"
+        ),
     }
 
 

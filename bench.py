@@ -385,6 +385,8 @@ def run_bench() -> dict:
           lambda: q.merged_recrawl_documents(SF_DIR).to_pandas())
     timed("interpolated_values",
           lambda: q.interpolated_values_events(SF_DIR).to_pandas())
+    timed("bucketed_disk_join",
+          lambda: q.bucketed_join_lineitem_orders(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

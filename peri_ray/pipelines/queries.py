@@ -5964,3 +5964,26 @@ def interpolated_values_events(sf_dir: str):
                ["event_id", "user_id", "ts", "value"]).map_batches(
         _gap, batch_format="pyarrow")
     return linear_interpolate(ds)
+
+
+def bucketed_join_lineitem_orders(sf_dir: str):
+    """Write-once-join-free layout end to end: lineitem and orders are
+    persisted hash-bucketed on their order keys
+    (sources.write_bucketed), then joined with ZERO exchange — one
+    independent Arrow join per co-located bucket pair
+    (joins.bucketed_disk_join).  Same result set as the exchange join
+    query; the oracle is the plain SQL join."""
+    import tempfile
+
+    from peri_ray.sources import write_bucketed
+    from peri_ray.stages.joins import bucketed_disk_join
+
+    root = tempfile.mkdtemp(prefix="peri_bucketed_")
+    dl = write_bucketed(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]),
+        f"{root}/lineitem", "l_orderkey", n_buckets=16)
+    do = write_bucketed(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        f"{root}/orders", "o_orderkey", n_buckets=16)
+    return bucketed_disk_join(dl, do, left_cols=["l_linenumber"],
+                              right_cols=["o_orderstatus"])

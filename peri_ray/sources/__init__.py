@@ -696,3 +696,33 @@ def write_zorder_partitioned(ds, keys: list[str], out_dir: str,
     with open(out_dir.rstrip("/") + ".ranges.json", "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def write_bucketed(ds, out_dir: str, key_col: str, n_buckets: int = 32):
+    """Hash-bucketed co-located parquet sink: rows land in
+    ``bucket=K/`` partitions by ``bucket_of(key) % n_buckets`` — the
+    write-once-join-many layout.  Two tables bucketed here with the
+    SAME key hash and bucket count join later with ZERO exchange
+    (:func:`peri_ray.stages.joins.bucketed_disk_join` reads matching
+    bucket pairs task-wise), which is the "pick ONE partitioning key
+    and reuse it across stages" rule made durable on disk.  A sibling
+    ``<dir>.bucketed.json`` manifest pins (key, n_buckets, hash
+    scheme) so a mismatched join fails loudly instead of silently
+    co-locating nothing.  The write itself streams (no shuffle: the
+    bucket column is a map-side stamp; parquet partitioning splits
+    files per block per bucket)."""
+    import json
+    import os
+
+    from peri_ray.stages.checks import bucket_of
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", bucket_of(t.column(key_col), n_buckets))
+
+    ds.map_batches(_stamp, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    with open(out_dir + ".bucketed.json", "w") as f:
+        json.dump({"key_col": key_col, "n_buckets": int(n_buckets),
+                   "hash": "bucket_of-v1"}, f)
+    return out_dir

@@ -643,3 +643,69 @@ def broadcast_range_lookup(ds, ranges: pa.Table, key_col: str,
 
     return ds.map_batches(_tag, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def bucketed_disk_join(dir_a: str, dir_b: str,
+                       left_cols: list[str] | None = None,
+                       right_cols: list[str] | None = None,
+                       how: str = "inner"):
+    """EXCHANGE-FREE join of two tables persisted by
+    ``sources.write_bucketed`` with the same bucket count and hash
+    scheme: bucket K of A can only match bucket K of B, so the join is
+    one independent task per bucket pair — each reads two pruned
+    bucket directories and runs ONE vectorized Arrow join.  No row
+    moves between tasks; the exchange was paid once at write time and
+    every subsequent join on that key rides it for free (the durable
+    form of "pick ONE partitioning key and reuse it across stages").
+
+    The sibling manifests must agree on (n_buckets, hash) — a
+    mismatched pair fails loudly (silently co-locating nothing is the
+    failure mode bucketed layouts are notorious for).  Join keys keep
+    their per-table names from the manifests.  Only ``how="inner"``
+    (the enrich/fact-dim shape) is supported; outer shapes belong to
+    the exchange joins."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    if how != "inner":
+        raise ValueError("bucketed_disk_join supports how='inner' only")
+    with open(dir_a + ".bucketed.json") as f:
+        ma = json.load(f)
+    with open(dir_b + ".bucketed.json") as f:
+        mb = json.load(f)
+    if (ma["n_buckets"], ma["hash"]) != (mb["n_buckets"], mb["hash"]):
+        raise ValueError(
+            f"bucket layouts disagree: {ma} vs {mb} — rewrite one side")
+    ka, kb = ma["key_col"], mb["key_col"]
+    n = int(ma["n_buckets"])
+    lc = list(left_cols or [])
+    rc = list(right_cols or [])
+
+    def _join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pds
+        import pyarrow.parquet as pq
+
+        outs = []
+        for b in t.column("bucket").to_pylist():
+            da = os.path.join(dir_a, f"bucket={b}")
+            db = os.path.join(dir_b, f"bucket={b}")
+            if not (os.path.isdir(da) and os.path.isdir(db)):
+                continue
+            ta = pq.read_table(da, columns=[ka] + lc)
+            tb = pq.read_table(db, columns=[kb] + rc)
+            outs.append(ta.join(tb, keys=ka, right_keys=kb,
+                                join_type="inner"))
+        if not outs:
+            sa = pds.dataset(dir_a, partitioning="hive").schema
+            sb = pds.dataset(dir_b, partitioning="hive").schema
+            fields = [(ka, sa.field(ka).type)]
+            fields += [(c, sa.field(c).type) for c in lc]
+            fields += [(c, sb.field(c).type) for c in rc]
+            return pa.schema(fields).empty_table()
+        return pa.concat_tables(outs)
+
+    buckets = rd.from_items([{"bucket": b} for b in range(n)],
+                            override_num_blocks=n)
+    return buckets.map_batches(_join_bucket, batch_format="pyarrow")

@@ -8506,3 +8506,38 @@ class TestLinearInterpolate:
         out = {r["event_id"]: r["v_filled"] for r in linear_interpolate(
             rd.from_items(rows)).take_all()}
         assert out[2] is None
+
+
+class TestBucketedDiskJoin:
+    def test_roundtrip_and_mismatch_guard(self, tmp_path):
+        import pytest
+
+        from peri_ray.sources import write_bucketed
+        from peri_ray.stages.joins import bucketed_disk_join
+
+        a = rd.from_items([{"k": i, "x": i * 10} for i in range(40)],
+                          parallelism=4)
+        b = rd.from_items([{"k": i, "y": f"v{i}"} for i in range(0, 40, 2)],
+                          parallelism=3)
+        da = write_bucketed(a, str(tmp_path / "a"), "k", n_buckets=8)
+        db = write_bucketed(b, str(tmp_path / "b"), "k", n_buckets=8)
+        out = {r["k"]: r for r in bucketed_disk_join(
+            da, db, left_cols=["x"], right_cols=["y"]).take_all()}
+        assert len(out) == 20
+        assert out[6]["x"] == 60 and out[6]["y"] == "v6"
+        # mismatched bucket count fails loudly
+        dc = write_bucketed(b, str(tmp_path / "c"), "k", n_buckets=4)
+        with pytest.raises(ValueError):
+            bucketed_disk_join(da, dc)
+
+    def test_empty_intersection(self, tmp_path):
+        from peri_ray.sources import write_bucketed
+        from peri_ray.stages.joins import bucketed_disk_join
+
+        a = rd.from_items([{"k": 1, "x": 1}])
+        b = rd.from_items([{"k": 2, "y": 2}])
+        da = write_bucketed(a, str(tmp_path / "a"), "k", n_buckets=8)
+        db = write_bucketed(b, str(tmp_path / "b"), "k", n_buckets=8)
+        out = bucketed_disk_join(da, db, left_cols=["x"],
+                                 right_cols=["y"]).take_all()
+        assert out == []
