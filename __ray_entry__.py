@@ -443,6 +443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_recrawl_documents": q.merged_recrawl_documents,
         "interpolated_values_events": q.interpolated_values_events,
         "bucketed_join_lineitem_orders": q.bucketed_join_lineitem_orders,
+        "lang_mismatch_docs": q.lang_mismatch_docs,
+        "mean_imputed_values_events": q.mean_imputed_values_events,
+        "bucketed_agg_lineitem": q.bucketed_agg_lineitem,
     }
 
 
@@ -4588,6 +4591,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey"
         ),
+        "lang_mismatch_docs": f"""
+            WITH s AS (SELECT doc_id, text, lang, {_score_cols}
+                         FROM documents),
+            g AS (SELECT doc_id, lang,
+                         CASE WHEN text IS NULL THEN 'und'
+                              WHEN {_grt} <= 0 THEN 'und'
+                              {_case}
+                              ELSE '{_langs[-1]}' END AS lang_guess
+                    FROM s)
+            SELECT doc_id, lang, lang_guess FROM g
+             WHERE lang IS NOT NULL AND lang_guess <> lang
+        """,
+        "mean_imputed_values_events": """
+            WITH s AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 9 = 0 THEN NULL
+                          ELSE value END AS v
+                FROM events),
+            m AS (
+              SELECT event_type AS g, CAST(count(v) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(v * 100) AS BIGINT))
+                          AS BIGINT) AS sc
+                FROM s WHERE v IS NOT NULL GROUP BY event_type)
+            SELECT event_id, s.event_type,
+                   CASE WHEN s.v IS NOT NULL THEN s.v
+                        ELSE (CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+                             / 100.0 END AS v_filled
+              FROM s LEFT JOIN m
+                ON s.event_type IS NOT DISTINCT FROM m.g
+        """,
+        "bucketed_agg_lineitem": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+              FROM lineitem GROUP BY l_orderkey
+        """,
     }
 
 

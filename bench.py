@@ -387,6 +387,12 @@ def run_bench() -> dict:
           lambda: q.interpolated_values_events(SF_DIR).to_pandas())
     timed("bucketed_disk_join",
           lambda: q.bucketed_join_lineitem_orders(SF_DIR).to_pandas())
+    timed("lang_mismatch",
+          lambda: q.lang_mismatch_docs(SF_DIR).to_pandas())
+    timed("mean_imputation",
+          lambda: q.mean_imputed_values_events(SF_DIR).to_pandas())
+    timed("bucketed_disk_agg",
+          lambda: q.bucketed_agg_lineitem(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

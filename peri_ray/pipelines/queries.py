@@ -5987,3 +5987,146 @@ def bucketed_join_lineitem_orders(sf_dir: str):
         f"{root}/orders", "o_orderkey", n_buckets=16)
     return bucketed_disk_join(dl, do, left_cols=["l_linenumber"],
                               right_cols=["o_orderstatus"])
+
+
+def lang_mismatch_docs(sf_dir: str):
+    """Metadata-vs-content validation: docs whose DECLARED lang
+    disagrees with the trigram language-ID guess (text.add_lang_id,
+    actor pool) — the lying-metadata audit a crawl store runs before
+    trusting lang for routing/mixing.  Emits only the disagreeing
+    rows (declared non-null, guess != declared).  Oracle: the
+    generated profile-scoring CASE chain compared to lang."""
+    from peri_ray.stages.text import add_lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    guessed = add_lang_id(ds, concurrency=2)
+
+    def _mism(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").combine_chunks().cast(pa.string())
+        g = t.column("lang_guess").combine_chunks().cast(pa.string())
+        bad = pc.and_(pc.is_valid(lang), pc.invert(
+            pc.fill_null(pc.equal(lang, g), False)))
+        sub = t.filter(bad)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "lang": sub.column("lang").combine_chunks().cast(pa.string()),
+            "lang_guess": sub.column("lang_guess").combine_chunks()
+                             .cast(pa.string())})
+
+    return guessed.map_batches(_mism, batch_format="pyarrow")
+
+
+def mean_imputed_values_events(sf_dir: str):
+    """Group-mean imputation: event_id % 9 values are nulled, then
+    each gap takes ITS EVENT TYPE's mean of the observed values —
+    the categorical-conditioned numeric fill (two streaming passes:
+    exact integer cents moments per enum-bounded group, then a
+    broadcast fill; zero shuffles).  Oracle: AVG of cents per type +
+    the identical fixed-order fill expression."""
+    def _gap(t: pa.Table) -> pa.Table:
+        idn = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = pc.if_else(pa.array(idn % 9 == 0),
+                       pa.nulls(t.num_rows, pa.float64()),
+                       t.column("value").combine_chunks()
+                        .cast(pa.float64()))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "v": v})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        _gap, batch_format="pyarrow")
+
+    # pass 1: exact integer-cents moments per group (enum-bounded)
+    def _mom(t: pa.Table) -> pa.Table:
+        v = t.column("v").combine_chunks()
+        sub = t.filter(pc.is_valid(v))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        cents = pc.round(pc.multiply(sub.column("v").combine_chunks(),
+                                     100.0),
+                         round_mode="half_towards_infinity") \
+            .cast(pa.int64())
+        g = (pa.table({"g": sub.column("event_type").combine_chunks()
+                            .cast(pa.string()), "c": cents})
+             .group_by("g").aggregate([("c", "sum"), ([], "count_all")]))
+        return pa.table({"g": g.column("g"),
+                         "n": g.column("count_all").cast(pa.int64()),
+                         "s": g.column("c_sum").cast(pa.int64())})
+
+    mom: dict[str, list[int]] = {}
+    for r in ds.map_batches(_mom, batch_format="pyarrow").iter_rows():
+        m = mom.setdefault(r["g"], [0, 0])
+        m[0] += int(r["n"])
+        m[1] += int(r["s"])
+    # mean in ORIGINAL units: (sum_cents / n) / 100, each step float
+    means = {g: (float(s) / float(n)) / 100.0
+             for g, (n, s) in mom.items() if n > 0}
+
+    def _fill(t: pa.Table) -> pa.Table:
+        v = t.column("v").combine_chunks()
+        gt = t.column("event_type").combine_chunks().cast(pa.string())
+        fillv = pa.array([means.get(x) for x in gt.to_pylist()],
+                         pa.float64())
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": gt,
+            "v_filled": pc.if_else(pc.is_valid(v), v, fillv)})
+
+    return ds.map_batches(_fill, batch_format="pyarrow")
+
+
+def bucketed_agg_lineitem(sf_dir: str):
+    """Second consumer of the SAME bucketed layout the join query
+    writes: exact per-order quantity cents aggregated with ZERO
+    exchange — each bucket directory owns its keys completely, so one
+    Arrow group_by per bucket is globally exact.  The point is
+    amortization: one write-time exchange serves joins AND
+    aggregations forever after."""
+    import json
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from peri_ray.sources import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="peri_bucketed_agg_")
+    dl = write_bucketed(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        f"{root}/lineitem", "l_orderkey", n_buckets=16)
+    with open(dl + ".bucketed.json") as f:
+        n = json.load(f)["n_buckets"]
+
+    def _agg(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for b in t.column("bucket").to_pylist():
+            d = os.path.join(dl, f"bucket={b}")
+            if not os.path.isdir(d):
+                continue
+            tb = pq.read_table(d, columns=["l_orderkey", "l_quantity"])
+            cents = pc.round(pc.multiply(
+                tb.column("l_quantity").combine_chunks(), 100.0),
+                round_mode="half_towards_infinity").cast(pa.int64())
+            g = (pa.table({"l_orderkey": tb.column("l_orderkey"),
+                           "c": cents})
+                 .group_by("l_orderkey").aggregate([("c", "sum"),
+                                                    ([], "count_all")]))
+            outs.append(pa.table({
+                "l_orderkey": g.column("l_orderkey"),
+                "sum_qty_cents": g.column("c_sum").cast(pa.int64()),
+                "n_lines": g.column("count_all").cast(pa.int64())}))
+        if not outs:
+            return pa.schema([("l_orderkey", pa.int64()),
+                              ("sum_qty_cents", pa.int64()),
+                              ("n_lines", pa.int64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    buckets = rd.from_items([{"bucket": b} for b in range(n)],
+                            override_num_blocks=n)
+    return buckets.map_batches(_agg, batch_format="pyarrow")

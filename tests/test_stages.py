@@ -8541,3 +8541,28 @@ class TestBucketedDiskJoin:
         out = bucketed_disk_join(da, db, left_cols=["x"],
                                  right_cols=["y"]).take_all()
         assert out == []
+
+
+class TestMeanImputationNullGroup:
+    def test_all_null_group_stays_null(self):
+        # via the query-level composition: group with no observed
+        # values has no mean -> stays null (LEFT JOIN semantics)
+        import pyarrow as _pa
+
+        from peri_ray.pipelines.queries import mean_imputed_values_events
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        td = tempfile.mkdtemp()
+        t = _pa.table({
+            "event_id": _pa.array([9, 18, 1, 2], _pa.int64()),
+            "event_type": _pa.array(["x", "x", "y", "y"]),
+            "value": _pa.array([1.0, 2.0, 3.0, 5.0]),
+        })
+        pq.write_table(t, os.path.join(td, "events.parquet"))
+        out = {r["event_id"]: r for r in
+               mean_imputed_values_events(td).take_all()}
+        # ids 9 and 18 are nulled (both %9==0) and group x has NO
+        # observed values -> stay null; group y untouched
+        assert out[9]["v_filled"] is None and out[18]["v_filled"] is None
+        assert out[1]["v_filled"] == 3.0 and out[2]["v_filled"] == 5.0
