@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mismatch_docs": q.lang_mismatch_docs,
         "mean_imputed_values_events": q.mean_imputed_values_events,
         "bucketed_agg_lineitem": q.bucketed_agg_lineitem,
+        "trending_terms_monthly": q.trending_terms_monthly,
     }
 
 
@@ -4627,6 +4628,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_qty_cents,
                    CAST(count(*) AS BIGINT) AS n_lines
               FROM lineitem GROUP BY l_orderkey
+        """,
+        "trending_terms_monthly": rf"""
+            WITH cap AS (
+              SELECT doc_id, {_WEB_TS_SQL} AS warc_ts, text
+                FROM documents WHERE text IS NOT NULL),
+            tok AS (
+              SELECT strftime(warc_ts, '%Y-%m') AS month,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term
+                FROM cap),
+            c AS (SELECT month, term, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY month, term),
+            r AS (SELECT month, term, c,
+                         row_number() OVER (PARTITION BY month
+                             ORDER BY c DESC, term) AS rn
+                    FROM c)
+            SELECT month, term, c FROM r WHERE rn <= 5
         """,
     }
 

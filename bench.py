@@ -393,6 +393,8 @@ def run_bench() -> dict:
           lambda: q.mean_imputed_values_events(SF_DIR).to_pandas())
     timed("bucketed_disk_agg",
           lambda: q.bucketed_agg_lineitem(SF_DIR).to_pandas())
+    timed("trending_terms",
+          lambda: q.trending_terms_monthly(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

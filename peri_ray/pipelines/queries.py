@@ -6130,3 +6130,40 @@ def bucketed_agg_lineitem(sf_dir: str):
     buckets = rd.from_items([{"bucket": b} for b in range(n)],
                             override_num_blocks=n)
     return buckets.map_batches(_agg, batch_format="pyarrow")
+
+
+def trending_terms_monthly(sf_dir: str):
+    """Trending terms per capture month: top-5 terms by occurrence
+    within each month of the deterministic warc_ts fixture — the
+    time-resolved vocabulary monitor (a term spiking into a month's
+    top-k is a crawl-mix change).  Shape: per-batch (month, term)
+    count partials → ONE bucketed sum exchange → the two-phase
+    distributed top-k per group.  Oracle: unnest + row_number over
+    (count DESC, term)."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+    from peri_ray.stages.stats import top_k_per_group
+    from peri_ray.stages.text import flat_tokens
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "text"]).map_batches(
+        _attach_web_columns, batch_format="pyarrow")
+
+    def _month_terms(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("text").combine_chunks()))
+        if sub.num_rows == 0:
+            return pa.table({"month": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        month = pc.strftime(sub.column("warc_ts").combine_chunks(),
+                            format="%Y-%m")
+        flat, lens = flat_tokens(sub.column("text"))
+        idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        g = (pa.table({"month": month.take(pa.array(idx)), "term": flat})
+             .group_by(["month", "term"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["month", "term", "c"])
+
+    counts = grouped_sum_via_buckets(
+        ds.map_batches(_month_terms, batch_format="pyarrow"),
+        ["month", "term"], "c")
+    return top_k_per_group(counts, "month", "c", k=5,
+                           descending=True, tiebreak="term")
