@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_imputed_values_events": q.mean_imputed_values_events,
         "bucketed_agg_lineitem": q.bucketed_agg_lineitem,
         "trending_terms_monthly": q.trending_terms_monthly,
+        "uncrawled_frontier_hosts": q.uncrawled_frontier_hosts,
+        "recrawl_priority_urls": q.recrawl_priority_urls,
+        "ewma_daily_events": q.ewma_daily_events,
     }
 
 
@@ -4645,6 +4648,62 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY c DESC, term) AS rn
                     FROM c)
             SELECT month, term, c FROM r WHERE rn <= 5
+        """,
+        "uncrawled_frontier_hosts": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> 'h' || CAST((doc_id*7 + j + 1) % 97 AS VARCHAR)
+                             || '.example.com')) AS dst_host
+                FROM documents),
+            agg AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links
+                      FROM tg GROUP BY dst_host),
+            crawled AS (SELECT DISTINCT host FROM canon)
+            SELECT a.dst_host, a.n_links
+              FROM agg a LEFT JOIN crawled c ON a.dst_host = c.host
+             WHERE c.host IS NULL
+        """,
+        "recrawl_priority_urls": f"""
+            WITH {_WEB_CANON_CTE},
+            cap AS (SELECT c.canonical_url AS u, {_WEB_TS_SQL} AS ts,
+                           d.doc_id, COALESCE(d.text, '') AS txt
+                      FROM canon c JOIN documents d USING (doc_id)),
+            mx AS (SELECT max(ts) AS gmax FROM cap),
+            lagged AS (SELECT u, ts, txt,
+                              lag(txt) OVER (PARTITION BY u
+                                  ORDER BY ts, doc_id) AS prev
+                         FROM cap),
+            per AS (SELECT u AS canonical_url,
+                           CAST(count(*) AS BIGINT) AS n_captures,
+                           CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                                AND prev <> txt) AS BIGINT) AS n_changes,
+                           CAST(epoch_us((SELECT gmax FROM mx))
+                                - epoch_us(max(ts)) AS BIGINT) AS age_us
+                      FROM lagged GROUP BY u)
+            SELECT canonical_url, n_captures, n_changes, age_us,
+                   n_changes * age_us AS priority_num
+              FROM per
+        """,
+        "ewma_daily_events": """
+            WITH RECURSIVE
+            daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                             CAST(count(*) AS BIGINT) AS x
+                        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            ord AS (SELECT d, x,
+                           row_number() OVER (ORDER BY d) AS rn
+                      FROM daily),
+            rec(rn, d, x, ewma, dev, flag) AS (
+                SELECT o.rn, o.d, o.x, CAST(o.x AS DOUBLE),
+                       CAST(0 AS DOUBLE), FALSE
+                  FROM ord o WHERE o.rn = 1
+              UNION ALL
+                SELECT o.rn, o.d, o.x,
+                       (CAST(o.x AS DOUBLE) + 7.0 * r.ewma) / 8.0,
+                       CAST(o.x AS DOUBLE) - r.ewma,
+                       5.0 * abs(CAST(o.x AS DOUBLE) - r.ewma) > r.ewma
+                  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+            SELECT d AS day, x, ewma, dev, flag FROM rec
         """,
     }
 

@@ -6167,3 +6167,88 @@ def trending_terms_monthly(sf_dir: str):
         ["month", "term"], "c")
     return top_k_per_group(counts, "month", "c", k=5,
                            descending=True, tiebreak="term")
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier discovery, recrawl scheduling, EWMA volume monitor
+# ---------------------------------------------------------------------------
+
+
+def _attach_frontier_html_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: like :func:`_attach_linked_html_fixture` but anchor
+    targets span h0..h96 (% 97) while only h0..h49 ever appear as
+    crawled hosts — the uncrawled tail h50..h96 is the planted
+    frontier the engine must recover from the html bytes."""
+    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    nl = ids_np % 3
+
+    def _anchor(j: int) -> pa.Array:
+        tgt = (ids_np * 7 + j + 1) % 97
+        a = np.char.add(
+            np.char.add('<a href="http://h', tgt.astype(str)),
+            np.char.add(np.char.add(".example.com/p/",
+                                    (ids_np % 20).astype(str)),
+                        '">t</a>'))
+        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
+        pa.scalar("</body></html>"), "")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def uncrawled_frontier_hosts(sf_dir: str):
+    """Crawl-frontier discovery (web.crawl_frontier): link-target
+    hosts never seen as a crawled host, with aggregate link counts —
+    one bucketed (dst_host, n_links) sum + the hash-bucketed
+    anti-join; html never leaves the anchor-extract stage."""
+    from peri_ray.stages.web import (canonicalize_urls, crawl_frontier,
+                                     host_of)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    ds = host_of(canonicalize_urls(ds)).map_batches(
+        _attach_frontier_html_fixture, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.select(["host", "html"]),
+                        batch_format="pyarrow")
+    return crawl_frontier(ds)
+
+
+def recrawl_priority_urls(sf_dir: str):
+    """Recrawl scheduling (web.recrawl_priority): per canonical URL,
+    historical content-change count × capture staleness as an exact
+    BIGINT priority — content ships as 64-bit hashes only; the 'now'
+    anchor is the corpus max capture time (one pruned ts pass)."""
+    from peri_ray.stages.web import (canonicalize_urls, max_timestamp_us,
+                                     recrawl_priority)
+    from peri_ray.state.sketches import hash_strings
+
+    base = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ds = canonicalize_urls(base.map_batches(_attach_web_columns,
+                                            batch_format="pyarrow"))
+
+    def _prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text").combine_chunks()
+                           .cast(pa.string()), "")
+        h = hash_strings(txt).view(np.int64)
+        return pa.table({"canonical_url": t.column("canonical_url"),
+                         "warc_ts": t.column("warc_ts"),
+                         "content_hash": pa.array(h),
+                         "doc_id": t.column("doc_id")})
+
+    mx = max_timestamp_us(
+        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            _attach_web_columns, batch_format="pyarrow"))
+    return recrawl_priority(ds.map_batches(_prep, batch_format="pyarrow"),
+                            mx)
+
+
+def ewma_daily_events(sf_dir: str):
+    """EWMA control chart of daily event volumes
+    (temporal.ewma_daily_counts, α = 1/8) — the smoothed-level volume
+    monitor beside the CUSUM changepoint.  Oracle: recursive CTE
+    threading the identical IEEE recurrence over the ordered days."""
+    from peri_ray.stages.temporal import ewma_daily_counts
+
+    return ewma_daily_counts(_read(sf_dir, "events", ["ts"]))

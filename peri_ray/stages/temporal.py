@@ -1745,3 +1745,66 @@ def linear_interpolate(ds, user_col: str = "user_id",
     return map_groups_via_buckets(
         ds.select_columns([user_col, ts_col, id_col, value_col]),
         [user_col], _interp, n_buckets=n_buckets)
+
+
+def ewma_daily_counts(ds, ts_col: str = "ts", alpha_den: int = 8,
+                      rel_num: int = 5,
+                      batch_size: int | None = 65536) -> pa.Table:
+    """EWMA control chart over daily row counts — the
+    exponentially-weighted volume monitor beside the CUSUM
+    changepoint (:func:`cusum_daily_counts`):
+
+        s_1 = x_1;   s_t = (x_t + (alpha_den-1)·s_{t-1}) / alpha_den
+
+    i.e. smoothing factor α = 1/alpha_den, and the day-t deviation is
+    ``dev = x_t − s_{t-1}`` with ``flag = rel_num·|dev| > s_{t-1}``
+    (a >1/rel_num relative level shift against the smoothed level).
+
+    Exactness contract: every float op is written in the literal
+    order above and evaluated SEQUENTIALLY on the driver over the
+    sorted days, so a DuckDB recursive CTE threading the identical
+    expressions is bit-identical (IEEE doubles, no re-association —
+    the same convention as the CUSUM twin).  Day counts are exact
+    int64 (< 2^53, so the int→double casts are lossless).
+
+    Shape: per-batch (day, count) partials merged on the driver
+    (calendar-bounded at any corpus size); the recurrence is a driver
+    loop over the sorted days.  Null timestamps are vacuous.
+    Returns (day, x, ewma, dev, flag) sorted by day."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).combine_chunks().drop_null()
+        day = pc.strftime(ts, format="%Y-%m-%d")
+        g = (pa.table({"day": day}).group_by("day")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "c"])
+
+    daily: dict[str, int] = {}
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        daily[r["day"]] = daily.get(r["day"], 0) + r["c"]
+    days = sorted(daily)
+    xs, es, dvs, fls = [], [], [], []
+    s = None
+    w = float(alpha_den - 1)
+    for d in days:
+        x = float(daily[d])
+        if s is None:
+            es.append(x)
+            dvs.append(0.0)
+            fls.append(False)
+            s = x
+        else:
+            dev = x - s
+            dvs.append(dev)
+            fls.append(float(rel_num) * abs(dev) > s)
+            s = (x + w * s) / float(alpha_den)
+            es.append(s)
+        xs.append(daily[d])
+    return pa.table({
+        "day": pa.array(days, pa.string()),
+        "x": pa.array(xs, pa.int64()),
+        "ewma": pa.array(es, pa.float64()),
+        "dev": pa.array(dvs, pa.float64()),
+        "flag": pa.array(fls, pa.bool_()),
+    })

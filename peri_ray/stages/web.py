@@ -1228,3 +1228,125 @@ def hill_tail_estimator(degrees: pa.Table, value_col: str = "in_links",
     return pa.table({"k": pa.array([kk], pa.int64()),
                      "d_k": pa.array([dk], pa.int64()),
                      "alpha": pa.array([alpha], pa.float64())})
+
+
+def crawl_frontier(ds, html_col: str = "html", host_col: str = "host",
+                   n_buckets: int = 64, batch_size: int | None = 8192):
+    """Frontier discovery: ``(dst_host, n_links)`` for link-target
+    hosts that never appear as a CRAWLED host — the seed list for the
+    next crawl round (reference peri has no crawl ops; this derives
+    from the north rule's Common-Crawl framing, where the outlink set
+    minus the crawled set is the canonical next-fetch queue).
+
+    Shape: anchors → dst hosts as per-batch count partials (the html
+    payload never leaves the extract stage); ONE bucketed
+    ``(dst_host, cnt)`` sum (target-host cardinality is of the order
+    of the crawled-host count at web scale — a driver merge would not
+    be bounded); the crawled host set then meets the aggregated
+    targets in the hash-bucketed anti-join
+    (:func:`peri_ray.stages.checks.referential_violations_shuffled`)
+    — no broadcast side, only (host, side) strings cross either
+    exchange."""
+    from peri_ray.stages.checks import referential_violations_shuffled
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    edges = extract_outlinks(
+        ds.map_batches(lambda t: t.select([host_col, html_col]),
+                       batch_format="pyarrow"),
+        html_col=html_col, id_col=host_col, batch_size=batch_size)
+
+    def _dst_partial(t: pa.Table) -> pa.Table:
+        dst = href_host(t.column("href"))
+        tt = pa.table({"dst_host": dst}).filter(pc.is_valid(dst))
+        g = tt.group_by("dst_host").aggregate([([], "count_all")])
+        return g.rename_columns(["dst_host", "n_links"])
+
+    totals = grouped_sum_via_buckets(
+        edges.map_batches(_dst_partial, batch_format="pyarrow",
+                          batch_size=batch_size),
+        ["dst_host"], "n_links", n_buckets=n_buckets)
+
+    def _crawled_partial(t: pa.Table) -> pa.Table:
+        # per-batch distinct cuts the dim-side exchange volume; the
+        # anti-join re-dedupes per bucket, so duplicates are harmless
+        h = t.column(host_col).combine_chunks().unique()
+        return pa.table({host_col: h.filter(pc.is_valid(h))})
+
+    crawled = ds.map_batches(_crawled_partial, batch_format="pyarrow",
+                             batch_size=batch_size)
+    return referential_violations_shuffled(
+        totals, "dst_host", crawled, n_buckets=n_buckets,
+        columns=["dst_host", "n_links"])
+
+
+def max_timestamp_us(ds, ts_col: str = "warc_ts") -> int:
+    """Corpus max timestamp in epoch µs — one pruned column pass of
+    8-byte per-block partials + a driver max (the deterministic 'now'
+    anchor for staleness math; wall-clock time would make results
+    non-reproducible)."""
+    def _m(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).combine_chunks().cast(pa.int64())
+        mx = pc.max(ts).as_py()
+        return pa.table({"mx": pa.array([mx], pa.int64())})
+
+    vals = [r["mx"] for r in
+            ds.map_batches(_m, batch_format="pyarrow").take_all()
+            if r["mx"] is not None]
+    if not vals:
+        raise ValueError(f"max_timestamp_us: no non-null {ts_col!r}")
+    return max(vals)
+
+
+def recrawl_priority(ds, max_ts_us: int, key_col: str = "canonical_url",
+                     ts_col: str = "warc_ts", hash_col: str = "content_hash",
+                     id_col: str = "doc_id", n_buckets: int = 64):
+    """Recrawl scheduling: per canonical URL, how often its content
+    CHANGED across past captures and how stale the newest capture is —
+    ``priority_num = n_changes · age_us`` (exact BIGINT µs; rate × 
+    staleness is the classic change-frequency crawl-ordering signal,
+    kept integer so the hash-compared result is layout-independent).
+
+    One bucketed exchange on the url key shipping only
+    ``(key, ts, content_hash, id)`` — content itself never crosses
+    (hash upstream with ``hash_strings``); each bucket lexsorts
+    ``(key, ts, id)`` and reduces runs vectorized (bincount over run
+    ids — no per-group Python).  ``max_ts_us`` is the deterministic
+    'now' anchor from :func:`max_timestamp_us` (a separate pruned
+    ts-only pass; at corpus scale fuse it into the upstream read if
+    the double scan matters).  Changes compare consecutive capture
+    hashes; a 64-bit collision would undercount by one (~2^-64/pair).
+    Returns (key, n_captures, n_changes, age_us, priority_num)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _prio(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.select([key_col, ts_col, hash_col, id_col]).take(idx)
+        keys = g.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = (g.column(ts_col).combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        h = g.column(hash_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(g)
+        starts = np.ones(n, bool)
+        starts[1:] = keys[1:] != keys[:-1]
+        rid = np.cumsum(starts) - 1
+        nruns = int(rid[-1]) + 1 if n else 0
+        n_caps = np.bincount(rid, minlength=nruns)
+        chg = (~starts[1:]) & (h[1:] != h[:-1])
+        n_chg = np.bincount(rid[1:][chg], minlength=nruns)
+        ends = np.flatnonzero(np.r_[starts[1:], True])
+        age = np.int64(max_ts_us) - ts[ends]
+        return pa.table({
+            key_col: pa.array(keys[starts]),
+            "n_captures": pa.array(n_caps, pa.int64()),
+            "n_changes": pa.array(n_chg, pa.int64()),
+            "age_us": pa.array(age, pa.int64()),
+            "priority_num": pa.array(n_chg.astype(np.int64) * age,
+                                     pa.int64()),
+        })
+
+    return map_groups_via_buckets(ds, [key_col], _prio,
+                                  n_buckets=n_buckets)

@@ -7195,6 +7195,41 @@ class TestCusumDaily:
         assert all(r["cusum_num"] == 0 for r in out)
 
 
+class TestEwmaDaily:
+    _ds = TestCusumDaily._ds
+
+    def test_recurrence_and_flags(self):
+        from peri_ray.stages.temporal import ewma_daily_counts
+
+        # 8, 8, 8, then a 3x burst day, then back
+        dc = {"2024-03-01": 8, "2024-03-02": 8, "2024-03-03": 8,
+              "2024-03-04": 24, "2024-03-05": 8}
+        out = ewma_daily_counts(self._ds(dc)).to_pylist()
+        assert [r["day"] for r in out] == sorted(dc)
+        # hand-threaded recurrence: s1=8; s stays 8 until the burst
+        s = 8.0
+        exp = [8.0]
+        for x in (8, 8, 24, 8):
+            exp.append((x + 7.0 * s) / 8.0)
+            s = exp[-1]
+        assert [r["ewma"] for r in out] == exp
+        # dev vs the PREVIOUS smoothed level
+        assert out[3]["dev"] == 24 - 8.0
+        # burst day: 5*|16| > 8 -> flagged.  Return day: s4 = 10,
+        # dev = -2, 5*2 = 10 > 10 is False -> NOT flagged (strict >)
+        assert [r["flag"] for r in out] == [False, False, False,
+                                            True, False]
+
+    def test_flat_series_never_flags(self):
+        from peri_ray.stages.temporal import ewma_daily_counts
+
+        dc = {f"2024-02-0{i}": 7 for i in range(1, 7)}
+        out = ewma_daily_counts(self._ds(dc)).to_pylist()
+        assert all(not r["flag"] for r in out)
+        assert all(r["ewma"] == 7.0 for r in out)
+        assert all(r["dev"] == 0.0 for r in out)
+
+
 class TestConditionalNullRates:
     def test_rates_per_class(self):
         from peri_ray.stages.stats import conditional_null_rates

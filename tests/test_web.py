@@ -1044,3 +1044,96 @@ class TestExtractMainContent:
         # two qualifying blocks join with newline, in page order
         assert out[4]["main_text"] == long + "\n" + long.upper()
         assert out[4]["n_kept"] == 2
+
+
+class TestCrawlFrontier:
+    def test_uncrawled_targets_with_counts(self):
+        from peri_ray.stages.web import crawl_frontier
+
+        # crawled hosts: a, b.  Links: a->b (crawled), a->c twice,
+        # b->c once, b->d once, one unparsable href, one no-anchor page
+        pages = [
+            {"host": "a.com", "html":
+                b'<a href="http://b.com/x">l</a>'
+                b'<a href="http://c.com/1">l</a>'
+                b'<a href="http://c.com/2">l</a>'},
+            {"host": "b.com", "html":
+                b'<a href="http://c.com/3">l</a>'
+                b'<a href="http://d.com/">l</a>'
+                b'<a href="not-a-url">l</a>'},
+            {"host": "a.com", "html": b"<p>no links</p>"},
+        ]
+        out = {r["dst_host"]: r["n_links"] for r in crawl_frontier(
+            rd.from_items(pages, parallelism=2), n_buckets=4).take_all()}
+        assert out == {"c.com": 3, "d.com": 1}
+
+    def test_all_targets_crawled_empty(self):
+        from peri_ray.stages.web import crawl_frontier
+
+        pages = [{"host": "a.com",
+                  "html": b'<a href="http://a.com/self">l</a>'}]
+        assert crawl_frontier(rd.from_items(pages),
+                              n_buckets=2).count() == 0
+
+
+class TestRecrawlPriority:
+    def test_changes_ages_and_priority(self):
+        from peri_ray.stages.web import max_timestamp_us, recrawl_priority
+
+        us = 1_000_000
+        rows = [
+            # u1: 3 captures, content changes at t=20 (A->B), stays B
+            {"canonical_url": "u1", "warc_ts": 10 * us, "content_hash": 1,
+             "doc_id": 1},
+            {"canonical_url": "u1", "warc_ts": 20 * us, "content_hash": 2,
+             "doc_id": 2},
+            {"canonical_url": "u1", "warc_ts": 30 * us, "content_hash": 2,
+             "doc_id": 3},
+            # u2: 1 capture — no change possible
+            {"canonical_url": "u2", "warc_ts": 40 * us, "content_hash": 9,
+             "doc_id": 4},
+            # u3: 2 captures, both changes? no — one consecutive diff
+            {"canonical_url": "u3", "warc_ts": 5 * us, "content_hash": 7,
+             "doc_id": 5},
+            {"canonical_url": "u3", "warc_ts": 15 * us, "content_hash": 8,
+             "doc_id": 6},
+        ]
+        t = pa.table({
+            "canonical_url": pa.array([r["canonical_url"] for r in rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "content_hash": pa.array([r["content_hash"] for r in rows],
+                                     pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        })
+        ds = rd.from_arrow(t).repartition(3)
+        mx = max_timestamp_us(ds, "warc_ts")
+        assert mx == 40 * us
+        out = {r["canonical_url"]: r for r in
+               recrawl_priority(ds, mx, n_buckets=4).take_all()}
+        assert out["u1"]["n_captures"] == 3
+        assert out["u1"]["n_changes"] == 1
+        assert out["u1"]["age_us"] == 10 * us
+        assert out["u1"]["priority_num"] == 10 * us
+        assert out["u2"]["n_captures"] == 1
+        assert out["u2"]["n_changes"] == 0
+        assert out["u2"]["age_us"] == 0
+        assert out["u2"]["priority_num"] == 0
+        assert out["u3"]["n_changes"] == 1
+        assert out["u3"]["age_us"] == 25 * us
+        assert out["u3"]["priority_num"] == 25 * us
+
+    def test_ties_break_by_doc_id(self):
+        from peri_ray.stages.web import recrawl_priority
+
+        # same timestamp: order by doc_id, so hash sequence is 1,2 — one
+        # change; reversed doc order in the input must not matter
+        t = pa.table({
+            "canonical_url": pa.array(["u", "u"]),
+            "warc_ts": pa.array([100, 100], pa.timestamp("us")),
+            "content_hash": pa.array([2, 1], pa.int64()),
+            "doc_id": pa.array([2, 1], pa.int64()),
+        })
+        out = recrawl_priority(rd.from_arrow(t), 100, n_buckets=2
+                               ).take_all()
+        assert out[0]["n_changes"] == 1 and out[0]["n_captures"] == 2
