@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncrawled_frontier_hosts": q.uncrawled_frontier_hosts,
         "recrawl_priority_urls": q.recrawl_priority_urls,
         "ewma_daily_events": q.ewma_daily_events,
+        "weighted_sample_md5_docs": q.weighted_sample_md5_docs,
     }
 
 
@@ -4704,6 +4705,22 @@ def oracle_sql() -> dict[str, str]:
                        5.0 * abs(CAST(o.x AS DOUBLE) - r.ewma) > r.ewma
                   FROM rec r JOIN ord o ON o.rn = r.rn + 1)
             SELECT d AS day, x, ewma, dev, flag FROM rec
+        """,
+        "weighted_sample_md5_docs": """
+            WITH h AS (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                     CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR) || '#1234'),
+                                 1, 16)) AS UBIGINT) AS hv
+                FROM documents
+               WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                 AND n_chars > 0),
+            keyed AS (
+              SELECT doc_id, w,
+                     ln((CAST(hv AS DOUBLE) + 0.5)
+                        / 18446744073709551616.0) / w AS key
+                FROM h)
+            SELECT doc_id, w FROM keyed ORDER BY key DESC, doc_id LIMIT 40
         """,
     }
 

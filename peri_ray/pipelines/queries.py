@@ -6252,3 +6252,14 @@ def ewma_daily_events(sf_dir: str):
     from peri_ray.stages.temporal import ewma_daily_counts
 
     return ewma_daily_counts(_read(sf_dir, "events", ["ts"]))
+
+
+def weighted_sample_md5_docs(sf_dir: str):
+    """A-ES weighted sampling with the md5-derived draw
+    (stats.weighted_sample_md5) — the oracle-checkable member of the
+    sampling family: DuckDB rebuilds the identical ln(u)/w keys from
+    md5 hex and must select the same 40 docs."""
+    from peri_ray.stages.stats import weighted_sample_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample_md5(ds, "n_chars", "doc_id", k=40)

@@ -1994,6 +1994,68 @@ def weighted_sample(ds, weight_col: str, id_col: str, k: int,
     return out.drop_columns(["key"])
 
 
+def weighted_sample_md5(ds, weight_col: str, id_col: str, k: int,
+                        seed: int = 1234,
+                        batch_size: int | None = 65536) -> pa.Table:
+    """:func:`weighted_sample` (A-ES without replacement) with an
+    md5-derived uniform draw, so the whole selection has a LITERAL SQL
+    twin — the oracle-checkable member of the sampling family:
+
+        u   = (uint64(md5(id || '#' || seed)[:16 hex]) + 0.5) / 2^64
+        key = ln(u) / w        (k largest keys win)
+
+    DuckDB computes the identical key via
+    ``ln((CAST(CAST('0x'||substr(md5(id||'#seed'),1,16) AS UBIGINT)
+    AS DOUBLE)+0.5)/2^64)/w`` — verified bit-equal (libm 1-ulp
+    divergence cannot reorder keys: adjacent A-ES keys differ by
+    ~1/n² relative, 11 orders above ulp noise at any plausible k).
+
+    Same distributed shape as :func:`weighted_sample` (per-block top-k
+    partials, driver merge bounded by k × blocks).  The md5-per-row
+    Python loop is the price of the SQL twin — use the vectorized
+    ``hash_strings`` variant when oracle parity isn't needed.  Rows
+    with null/non-positive weight are excluded."""
+    import hashlib
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        w = t.column(weight_col).combine_chunks().cast(pa.float64())
+        ok = pc.and_(pc.is_valid(w), pc.greater(w, 0.0))
+        ok = pc.and_(ok, pc.is_valid(ids))
+        sub = pa.table({id_col: ids, "w": w}).filter(ok)
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "w": pa.array([], pa.float64()),
+                             "key": pa.array([], pa.float64())})
+        sid = sub.column(id_col).combine_chunks()
+        tag = f"#{seed}".encode()
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode() + tag).hexdigest()[:16], 16)
+             for s in sid.cast(pa.string()).to_pylist()),
+            dtype=np.uint64, count=sub.num_rows)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        keys = np.log(u) / sub.column("w").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n > k:
+            idx = np.argpartition(-keys, k - 1)[:k]
+        else:
+            idx = np.arange(n)
+        take = pa.array(np.sort(idx))
+        return pa.table({id_col: sid.take(take),
+                         "w": sub.column("w").take(take),
+                         "key": pa.array(keys[np.sort(idx)])})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    rows = parts.take_all()
+    if not rows:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())})
+    merged = pa.Table.from_pylist(rows)
+    merged = merged.sort_by([("key", "descending"), (id_col, "ascending")])
+    return merged.slice(0, k).drop_columns(["key"])
+
+
 def global_rank(ds, key: str, id_col: str, n_ranges: int = 64,
                 descending: bool = False, kll_k: int = 800,
                 batch_size: int | None = 65536):

@@ -6192,6 +6192,28 @@ class TestWeightedSample:
         out = weighted_sample(rd.from_arrow(t), "w", "doc_id", k=10)
         assert [r["doc_id"] for r in out.to_pylist()] == [1]
 
+    def test_md5_variant_matches_bruteforce_and_layouts(self):
+        import hashlib
+
+        from peri_ray.stages.stats import weighted_sample_md5
+
+        rng = np.random.default_rng(3)
+        ids = np.arange(2000, dtype=np.int64)
+        w = rng.integers(1, 100, 2000).astype(np.float64)
+        t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+        h = np.array([int(hashlib.md5(f"{i}#9".encode()).hexdigest()[:16],
+                          16) for i in ids], np.uint64)
+        keys = np.log((h.astype(np.float64) + 0.5) / 2.0**64) / w
+        order = np.lexsort((ids, -keys))
+        want = [int(ids[i]) for i in order[:25]]
+        got = [r["doc_id"] for r in weighted_sample_md5(
+            rd.from_arrow(t), "w", "doc_id", k=25, seed=9).to_pylist()]
+        assert got == want
+        got16 = [r["doc_id"] for r in weighted_sample_md5(
+            rd.from_arrow(t).repartition(16), "w", "doc_id", k=25,
+            seed=9, batch_size=128).to_pylist()]
+        assert got16 == want
+
 
 class TestOrcIpcRoundTrip:
     def _tbl(self):
