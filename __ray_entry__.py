@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority_urls": q.recrawl_priority_urls,
         "ewma_daily_events": q.ewma_daily_events,
         "weighted_sample_md5_docs": q.weighted_sample_md5_docs,
+        "jaro_winkler_pairs": q.jaro_winkler_pairs,
     }
 
 
@@ -4721,6 +4722,14 @@ def oracle_sql() -> dict[str, str]:
                         / 18446744073709551616.0) / w AS key
                 FROM h)
             SELECT doc_id, w FROM keyed ORDER BY key DESC, doc_id LIMIT 40
+        """,
+        "jaro_winkler_pairs": """
+            WITH s AS (SELECT p_partkey, p_name FROM part
+                        WHERE p_partkey % 20 = 0)
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+              FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, b.p_name)
+                   >= 0.871234567
         """,
     }
 

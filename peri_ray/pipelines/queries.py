@@ -6263,3 +6263,23 @@ def weighted_sample_md5_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_sample_md5(ds, "n_chars", "doc_id", k=40)
+
+
+def jaro_winkler_pairs(sf_dir: str):
+    """Jaro-Winkler fuzzy self-join on part names (dedup
+    .jaro_winkler_join, threshold 0.871234567) — record linkage via a
+    normalized similarity, completing the fuzzy-key family beside the
+    edit-distance join.  The oracle is the literal all-pairs
+    jaro_winkler_similarity SQL over the same deterministic sample, so
+    candidate COMPLETENESS is hash-checked."""
+    from peri_ray.stages.dedup import jaro_winkler_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("p_partkey").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 20 == 0))
+
+    sampled = ds.map_batches(_sample, batch_format="pyarrow")
+    return jaro_winkler_join(sampled, "p_name", "p_partkey")

@@ -2692,3 +2692,210 @@ def mirror_site_pairs(ds, text_col: str = "text", key_col: str = "host_key",
                          "est_jaccard": pa.array(est[keep], pa.float64())})
 
     return j.map_batches(_est, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity self-join (entity resolution on short keys)
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity matching DuckDB's
+    ``jaro_winkler_similarity`` (probed against 3000 random pairs plus
+    the jaro==0.7 boundary): either side empty → 0.0; match window
+    ``max(l1,l2)//2 - 1``; transpositions halved; Winkler boost p=0.1
+    over the common prefix (≤ 4 chars) applied when jaro >= 0.7
+    (DuckDB boosts AT exactly 0.7).  Pure Python per pair — it only
+    runs inside verify buckets on filter-bounded candidate sets of
+    short keys, never over documents."""
+    l1, l2 = len(a), len(b)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(a):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not m2[j] and b[j] == ch:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3
+    if j >= 0.7:
+        pl = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            pl += 1
+        j = j + pl * 0.1 * (1 - j)
+    return j
+
+
+def _char_ms_tokens(s: str) -> list[str]:
+    """Char-occurrence multiset tokens: 'aba' → ['a1', 'b1', 'a2'] —
+    the standard multiset→set encoding, so token-set overlap equals
+    char-BAG overlap (which upper-bounds Jaro's matched-char count m
+    regardless of position)."""
+    seen: dict[str, int] = {}
+    out = []
+    for ch in s:
+        n = seen.get(ch, 0) + 1
+        seen[ch] = n
+        out.append(f"{ch}\x1f{n}")
+    return out
+
+
+class _JWPrefixEmit:
+    """Per key string: its char-occurrence tokens ranked rare-first by
+    the broadcast DF table; emit the ``l - ceil(c·l) + 1`` rarest as
+    (term, doc_id, len) rows.  Python loop over SHORT KEYS by design
+    (names/skus, not documents) — the same budget class as FastSS
+    deletion neighborhoods in :func:`edit_distance_join`."""
+
+    def __init__(self, col: str, id_col: str, c: float, df_ref):
+        import ray
+
+        self.col, self.id_col, self.c = col, id_col, c
+        self.df = ray.get(df_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).cast(pa.int64()).to_pylist()
+        vals = t.column(self.col).to_pylist()
+        o_term: list[str] = []
+        o_id: list[int] = []
+        o_len: list[int] = []
+        df = self.df
+        c = self.c
+        for i, s in zip(ids, vals):
+            if not s or i is None:
+                continue
+            toks = _char_ms_tokens(s)
+            n = len(toks)
+            # slack NEVER tightens the prune (CLAUDE.md float rule)
+            kp = n - int(np.ceil(c * n - 1e-6)) + 1
+            if kp < 1:
+                kp = 1
+            toks.sort(key=lambda tk: (df.get(tk, 0), tk))
+            for tk in toks[:kp]:
+                o_term.append(tk)
+                o_id.append(i)
+                o_len.append(n)
+        return pa.table({"term": pa.array(o_term, pa.string()),
+                         "doc_id": pa.array(o_id, pa.int64()),
+                         "len": pa.array(o_len, pa.int64())})
+
+
+def jaro_winkler_join(ds, col: str, id_col: str,
+                      threshold: float = 0.871234567,
+                      n_buckets: int = 64,
+                      batch_size: int | None = 8192):
+    """EXACT all-pairs self-join on Jaro-Winkler >= ``threshold`` over
+    a short string KEY column — record linkage on names/titles/skus,
+    the normalized-similarity sibling of :func:`edit_distance_join`
+    (reference peri validates single records; this is the [NORTH]
+    table-level fuzzy-uniqueness companion).
+
+    Completeness chain (every bound may only ADMIT candidates):
+    jw >= t ⟹ jaro >= jmin = (t − 0.4)/0.6 (worst-case Winkler boost
+    ℓ=4, p=0.1) ⟹ matched chars m >= c·max(l1,l2) with
+    c = 3·jmin − 2 (each of jaro's three terms is ≤ 1) ⟹ the pair's
+    char-BAG overlap >= c·lmax (m never exceeds it), so (a) the
+    length filter lmin >= c·lmax holds and (b) the pair shares one of
+    the (l − ceil(c·l) + 1) globally-rarest char-occurrence tokens
+    each side emits (AllPairs overlap prefix filter, Bayardo WWW'07).
+    Candidates are never trusted — :func:`verify_candidates` scores
+    each with the exact :func:`jaro_winkler` kernel.
+
+    ``threshold`` must exceed 0.82 (= the max jw a jaro-0.7 pair can
+    boost to; below that jmin < 0.7 invalidates the boost inversion)
+    and should avoid low-denominator rationals: jw values are ratios
+    with denominator 30·l1·l2·m, so a threshold off that grid (the
+    default's 1e-9 grid never coincides for key lengths < ~10³) makes
+    boundary pair membership immune to engine-vs-SQL float rounding.
+
+    Returns (id_a, id_b) with id_a < id_b (the similarity value is
+    deliberately NOT returned: DuckDB's internal expression order is
+    unspecified, so twin floats could differ in the last ulp).
+
+    Scale shape: DF table is vocabulary-bounded (alphabet × max char
+    multiplicity — tiny) and broadcast once; only (term, id, len)
+    ints/short strings cross the candidate exchanges; keys cross
+    verify's bounded-replication exchange once.  Skew note: a
+    low-entropy key space (shared prefixes, tiny alphabet) degrades
+    pruning toward all-pairs — same inherent bound as the Jaccard
+    join, observable via posting-list sizes in ``ds.stats()``."""
+    import ray
+
+    if threshold <= 0.82:
+        raise ValueError(
+            f"jaro_winkler_join: threshold {threshold} must exceed 0.82 "
+            "(worst-case Winkler boost inverts only above it)")
+    jmin = (threshold - 0.4) / 0.6
+    c = 3.0 * jmin - 2.0
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for s in t.column(col).to_pylist():
+            if s:
+                cnt.update(_char_ms_tokens(s))
+        ks = sorted(cnt)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([cnt[k] for k in ks], pa.int64())})
+
+    df: dict[str, int] = {}
+    for r in ds.map_batches(_df_partial, batch_format="pyarrow",
+                            batch_size=batch_size).iter_rows():
+        df[r["term"]] = df.get(r["term"], 0) + r["df"]
+    df_ref = ray.put(df)
+
+    prefix = ds.map_batches(
+        _JWPrefixEmit(col, id_col, c, df_ref),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def _cands(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = group.column("len").to_numpy(zero_copy_only=False)
+        out = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+        if len(ids) < 2:
+            return out.empty_table()
+        order = np.argsort(ids)
+        ids, ln = ids[order], ln[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        na, nb = ln[iu], ln[ju]
+        keep = np.minimum(na, nb) >= c * np.maximum(na, nb) - 1e-6
+        return pa.table({"id_a": pa.array(ids[iu][keep]),
+                         "id_b": pa.array(ids[ju][keep])})
+
+    cands = dedupe_pairs(
+        per_group_via_buckets(prefix, ["term"], _cands,
+                              n_buckets=n_buckets, coalesce_rows=1024),
+        n_buckets=n_buckets)
+    verified = verify_candidates(ds, cands, text_col=col, id_col=id_col,
+                                 threshold=threshold, n_buckets=n_buckets,
+                                 metric=jaro_winkler,
+                                 coalesce_rows=4096)
+    return verified.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")

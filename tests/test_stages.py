@@ -8623,3 +8623,61 @@ class TestMeanImputationNullGroup:
         # observed values -> stay null; group y untouched
         assert out[9]["v_filled"] is None and out[18]["v_filled"] is None
         assert out[1]["v_filled"] == 3.0 and out[2]["v_filled"] == 5.0
+
+
+class TestJaroWinklerJoin:
+    def test_kernel_matches_duckdb_randomized(self):
+        import random
+
+        import duckdb
+
+        from peri_ray.stages.dedup import jaro_winkler
+
+        con = duckdb.connect()
+        rng = random.Random(11)
+        for _ in range(800):
+            n1, n2 = rng.randint(0, 14), rng.randint(0, 14)
+            a = "".join(rng.choice("abcde ") for _ in range(n1))
+            b = "".join(rng.choice("abcde ") for _ in range(n2))
+            d = con.execute("select jaro_winkler_similarity(?, ?)",
+                            [a, b]).fetchone()[0]
+            assert jaro_winkler(a, b) == pytest.approx(d, abs=1e-12), \
+                (a, b)
+
+    def test_join_finds_planted_typos_exactly(self):
+        from peri_ray.stages.dedup import jaro_winkler, jaro_winkler_join
+
+        names = ["jonathan archer", "jonathon archer",   # 1-char swap
+                 "kathryn janeway", "kathryn janewai",   # tail typo
+                 "benjamin sisko", "xqz vw"]             # unrelated
+        ids = list(range(len(names)))
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "name": pa.array(names, pa.string())})
+        thr = 0.871234567
+        want = {(i, j) for i in ids for j in ids if i < j
+                and jaro_winkler(names[i], names[j]) >= thr}
+        got = {(r["id_a"], r["id_b"]) for r in jaro_winkler_join(
+            rd.from_arrow(t).repartition(3), "name", "id",
+            threshold=thr, n_buckets=4).take_all()}
+        assert got == want
+        assert (0, 1) in got and (2, 3) in got
+        assert not any(5 in p for p in got)
+
+    def test_threshold_guard(self):
+        from peri_ray.stages.dedup import jaro_winkler_join
+
+        t = pa.table({"id": pa.array([1], pa.int64()),
+                      "name": pa.array(["x"], pa.string())})
+        with pytest.raises(ValueError, match="0.82"):
+            jaro_winkler_join(rd.from_arrow(t), "name", "id",
+                              threshold=0.8)
+
+    def test_nulls_and_empties_excluded(self):
+        from peri_ray.stages.dedup import jaro_winkler_join
+
+        t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "name": pa.array(["same name", "same name",
+                                        None, ""], pa.string())})
+        got = {(r["id_a"], r["id_b"]) for r in jaro_winkler_join(
+            rd.from_arrow(t), "name", "id", n_buckets=2).take_all()}
+        assert got == {(1, 2)}
