@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_events": q.ewma_daily_events,
         "weighted_sample_md5_docs": q.weighted_sample_md5_docs,
         "jaro_winkler_pairs": q.jaro_winkler_pairs,
+        "pareto_events": q.pareto_events,
     }
 
 
@@ -4730,6 +4731,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s a JOIN s b ON a.p_partkey < b.p_partkey
              WHERE jaro_winkler_similarity(a.p_name, b.p_name)
                    >= 0.871234567
+        """,
+        "pareto_events": """
+            WITH s AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                FROM events
+               WHERE event_id % 8 = 0 AND value IS NOT NULL
+                 AND ts IS NOT NULL)
+            SELECT r.event_id, r.user_id, r.ts_us, r.value
+              FROM s r
+             WHERE NOT EXISTS (
+                     SELECT 1 FROM s o
+                      WHERE o.value >= r.value AND o.ts_us >= r.ts_us
+                        AND (o.value > r.value OR o.ts_us > r.ts_us))
         """,
     }
 

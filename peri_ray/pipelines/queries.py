@@ -6283,3 +6283,31 @@ def jaro_winkler_pairs(sf_dir: str):
 
     sampled = ds.map_batches(_sample, batch_format="pyarrow")
     return jaro_winkler_join(sampled, "p_name", "p_partkey")
+
+
+def pareto_events(sf_dir: str):
+    """Skyline / Pareto-frontier query (stats.skyline): the
+    non-dominated (value max, ts max) events of a deterministic
+    1-in-8 sample — the multi-objective selection primitive ("no
+    other event is both newer and larger").  Each block ships only
+    its local frontier (the skyline is distributive), the driver
+    merge is bounded by frontier-size x blocks, and the oracle is the
+    literal NOT EXISTS dominance SQL, so frontier COMPLETENESS is
+    hash-checked."""
+    from peri_ray.stages.stats import skyline
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ids = (t.column("event_id").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        sub = t.filter(pa.array(ids % 8 == 0))
+        ts_us = sub.column("ts").combine_chunks().cast(pa.int64())
+        return pa.table({"event_id": sub.column("event_id"),
+                         "user_id": sub.column("user_id"),
+                         "ts_us": ts_us,
+                         "value": sub.column("value")})
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return skyline(prepped, {"value": "max", "ts_us": "max"},
+                   ["event_id", "user_id"])

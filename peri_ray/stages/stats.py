@@ -2459,3 +2459,106 @@ def mutual_information_stat(cells: pa.Table) -> pa.Table:
         "theil_u": pa.array([None if u is None else round(u, 6)],
                             pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+def skyline_indices(m: np.ndarray, max_skyline: int = 100_000) -> np.ndarray:
+    """Row indices of the Pareto frontier of an ``(n, d)`` float64
+    matrix where every column is MAXIMIZED (callers negate minimized
+    columns).  A row is on the frontier iff no other row is >= on all
+    columns and > on at least one; rows equal on every column do not
+    dominate each other, so exact duplicates all survive (SQL
+    ``NOT EXISTS`` parity).
+
+    Iterative lexicographic peeling, fully vectorized: the
+    lexicographically largest alive row is provably non-dominated (any
+    dominator would sort strictly earlier and would already have
+    removed it), so each round appends one frontier row and removes
+    everything it dominates in ONE O(alive x d) numpy pass — O(s·n·d)
+    total for frontier size s, no per-row Python.  Degenerate
+    anti-correlated inputs where s explodes raise at ``max_skyline``
+    rather than silently burning O(n^2)."""
+    n = m.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    # np.lexsort: LAST key is primary -> feed columns reversed; the
+    # full [::-1] flip turns ascending-lex into descending-lex exactly
+    order = np.lexsort(m[:, ::-1].T)[::-1]
+    ms = m[order]
+    alive = np.ones(n, bool)
+    keep: list[int] = []
+    pos = 0
+    while True:
+        nxt = np.flatnonzero(alive[pos:])
+        if nxt.size == 0:
+            break
+        pos += int(nxt[0])
+        p = ms[pos]
+        keep.append(pos)
+        if len(keep) > max_skyline:
+            raise ValueError(
+                f"skyline exceeds max_skyline={max_skyline} rows; "
+                "the criteria are too anti-correlated for a frontier "
+                "query — raise max_skyline explicitly if intended")
+        alive[pos] = False
+        sub = np.flatnonzero(alive)
+        if sub.size:
+            rows = ms[sub]
+            dom = np.all(rows <= p, axis=1) & np.any(rows < p, axis=1)
+            alive[sub[dom]] = False
+    return order[np.asarray(keep, np.int64)]
+
+
+def skyline(ds, criteria: dict[str, str], payload_cols: list[str],
+            batch_size: int | None = 65536, max_skyline: int = 100_000):
+    """Distributed skyline (Pareto-frontier) query: the rows not
+    dominated on the ``criteria`` columns (``col -> 'max' | 'min'``) —
+    the multi-objective selection primitive (e.g. the quality-vs-length
+    frontier of a corpus, the newest-and-largest capture frontier).
+
+    The skyline is distributive: the global frontier is a subset of
+    every block's local frontier, so each block ships ONLY its local
+    skyline (typically O(log^{d-1} n) rows) and one driver-side pass
+    over the concatenated candidates — bounded by s x blocks and
+    guarded by ``max_skyline`` — finishes exactly.  Rows with a null in
+    any criterion are excluded (SQL twin: ``WHERE c IS NOT NULL``).
+
+    Returns a pyarrow Table with ``payload_cols + criteria`` columns."""
+    import ray
+
+    cols = list(dict.fromkeys(payload_cols + list(criteria)))
+    signs = np.array([1.0 if d == "max" else -1.0
+                      for d in criteria.values()])
+    crit = list(criteria)
+
+    def _matrix(t: pa.Table) -> np.ndarray:
+        return np.column_stack([
+            t.column(c).combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False) for c in crit]) * signs
+
+    def _local(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        mask = None
+        for c in crit:
+            v = pc.is_valid(t.column(c).combine_chunks())
+            mask = v if mask is None else pc.and_(mask, v)
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return t
+        idx = skyline_indices(_matrix(t), max_skyline)
+        return t.take(pa.array(np.sort(idx)))
+
+    parts = ds.map_batches(_local, batch_format="pyarrow",
+                           batch_size=batch_size)
+    tabs = [ray.get(r) for r in parts.to_arrow_refs()]
+    if not any(t.num_rows for t in tabs):
+        return tabs[0].select(cols) if tabs else pa.table(
+            {c: pa.array([], pa.float64()) for c in cols})
+    cand = pa.concat_tables([t for t in tabs if t.num_rows],
+                            promote_options="default").combine_chunks()
+    idx = skyline_indices(_matrix(cand), max_skyline)
+    return cand.take(pa.array(np.sort(idx)))

@@ -8681,3 +8681,72 @@ class TestJaroWinklerJoin:
         got = {(r["id_a"], r["id_b"]) for r in jaro_winkler_join(
             rd.from_arrow(t), "name", "id", n_buckets=2).take_all()}
         assert got == {(1, 2)}
+
+
+class TestSkyline:
+    def _brute(self, m):
+        import numpy as np
+
+        n = len(m)
+        keep = set()
+        for i in range(n):
+            if not any(j != i and np.all(m[j] >= m[i])
+                       and np.any(m[j] > m[i]) for j in range(n)):
+                keep.add(i)
+        return keep
+
+    def test_kernel_matches_brute_force(self):
+        import numpy as np
+
+        from peri_ray.stages.stats import skyline_indices
+
+        rng = np.random.default_rng(13)
+        for _ in range(60):
+            n = int(rng.integers(1, 50))
+            d = int(rng.integers(1, 4))
+            m = rng.integers(0, 5, size=(n, d)).astype(float)
+            got = set(skyline_indices(m).tolist())
+            assert got == self._brute(m)
+
+    def test_max_skyline_guard(self):
+        import numpy as np
+        import pytest
+
+        from peri_ray.stages.stats import skyline_indices
+
+        # perfectly anti-correlated: every point is on the frontier
+        n = 50
+        m = np.column_stack([np.arange(n), -np.arange(n)]).astype(float)
+        with pytest.raises(ValueError, match="max_skyline"):
+            skyline_indices(m, max_skyline=10)
+
+    def test_distributed_matches_brute_incl_min_and_nulls(self):
+        import numpy as np
+
+        from peri_ray.stages.stats import skyline
+
+        rng = np.random.default_rng(29)
+        n = 400
+        a = rng.integers(0, 40, n).astype(float)
+        b = rng.integers(0, 40, n).astype(float)
+        a[::37] = np.nan  # -> null criterion rows excluded
+        t = pa.table({"id": pa.array(range(n), pa.int64()),
+                      "a": pa.array(a, pa.float64(), from_pandas=True),
+                      "b": pa.array(b, pa.float64(), from_pandas=True)})
+        got = skyline(rd.from_arrow(t).repartition(7),
+                      {"a": "max", "b": "min"}, ["id"])
+        valid = [i for i in range(n) if not np.isnan(a[i])]
+        m = {i: np.array([a[i], -b[i]]) for i in valid}
+        want = {i for i in valid
+                if not any(j != i and np.all(m[j] >= m[i])
+                           and np.any(m[j] > m[i]) for j in valid)}
+        assert set(got.column("id").to_pylist()) == want
+        assert sorted(got.column_names) == ["a", "b", "id"]
+
+    def test_equal_rows_all_survive(self):
+        from peri_ray.stages.stats import skyline
+
+        t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                      "x": pa.array([5.0, 5.0, 1.0], pa.float64())})
+        got = skyline(rd.from_arrow(t).repartition(2), {"x": "max"}, ["id"])
+        assert sorted(got.column("id").to_pylist()) == [1, 2]
