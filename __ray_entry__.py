@@ -130,6 +130,45 @@ SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.weight_micro
 """
 
 
+def _greedy_cov_sql(k: int) -> str:
+    """Unrolled greedy maximum-coverage twin: round i picks the doc
+    with the most distinct word bigrams not covered by rounds < i
+    (ties -> min doc_id), exactly text.greedy_coverage_select."""
+    ctes = ["""toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(ws) - 1),
+                      i -> ws[i+1] || ' ' || ws[i+2])) AS g
+              FROM toks WHERE len(ws) >= 2)),
+        w1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+                 FROM grams GROUP BY doc_id
+                ORDER BY gain DESC, doc_id LIMIT 1),
+        sel1 AS (SELECT doc_id FROM w1),
+        c1 AS (SELECT DISTINCT g FROM grams JOIN w1 USING (doc_id))"""]
+    for i in range(2, k + 1):
+        ctes.append(f"""g{i} AS (
+          SELECT gr.doc_id,
+                 CAST(count(*) FILTER (WHERE c.g IS NULL) AS BIGINT)
+                   AS gain
+            FROM grams gr LEFT JOIN c{i-1} c ON gr.g = c.g
+           WHERE gr.doc_id NOT IN (SELECT doc_id FROM sel{i-1})
+           GROUP BY gr.doc_id),
+        w{i} AS (SELECT doc_id, gain FROM g{i}
+                ORDER BY gain DESC, doc_id LIMIT 1),
+        sel{i} AS (SELECT doc_id FROM sel{i-1}
+                   UNION ALL SELECT doc_id FROM w{i}),
+        c{i} AS (SELECT g FROM c{i-1}
+                 UNION SELECT gr.g FROM grams gr JOIN w{i} USING (doc_id))""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, doc_id, gain FROM w{i}"
+        for i in range(1, k + 1))
+    return ("WITH " + ",\n        ".join(ctes) + "\n            " + finals)
+
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     from peri_ray.pipelines.queries import flagship_documents
@@ -453,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_md5_docs": q.weighted_sample_md5_docs,
         "jaro_winkler_pairs": q.jaro_winkler_pairs,
         "pareto_events": q.pareto_events,
+        "coverage_selected_docs": q.coverage_selected_docs,
     }
 
 
@@ -4745,6 +4785,7 @@ def oracle_sql() -> dict[str, str]:
                       WHERE o.value >= r.value AND o.ts_us >= r.ts_us
                         AND (o.value > r.value OR o.ts_us > r.ts_us))
         """,
+        "coverage_selected_docs": _greedy_cov_sql(4),
     }
 
 

@@ -6311,3 +6311,23 @@ def pareto_events(sf_dir: str):
     prepped = ds.map_batches(_prep, batch_format="pyarrow")
     return skyline(prepped, {"value": "max", "ts_us": "max"},
                    ["event_id", "user_id"])
+
+
+def coverage_selected_docs(sf_dir: str):
+    """Greedy maximum-coverage subset selection
+    (text.greedy_coverage_select, k=4 rounds over word bigrams of a
+    deterministic 1-in-4 sample) — submodular diverse-subset curation.
+    The oracle unrolls the identical greedy recurrence as chained
+    CTEs, so both the picked ids AND the per-round marginal gains are
+    hash-checked."""
+    from peri_ray.stages.text import greedy_coverage_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(ids % 4 == 0))
+
+    sampled = ds.map_batches(_sample, batch_format="pyarrow")
+    return greedy_coverage_select(sampled, k=4, n=2)

@@ -2878,3 +2878,99 @@ def multi_query_rrf(ds, term_sets: list[list[str]], k_each: int = 50,
         "rrf": pa.array([t[1] for t in top], pa.float64()),
         "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
     })
+
+
+def greedy_coverage_select(ds, k: int, n: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           batch_size: int | None = 8192) -> pa.Table:
+    """Greedy maximum-coverage subset selection (submodular /
+    facility-location data selection): pick ``k`` documents one round
+    at a time, each round taking the document whose DISTINCT word
+    n-grams add the most not-yet-covered grams (ties -> min id) — the
+    classic (1 - 1/e)-approximate diverse-subset rule (Nemhauser et
+    al. 1978) used to seed coverage-maximizing training subsets.
+
+    Scale shape: k streaming passes, zero shuffles.  Each pass
+    broadcasts the covered gram-hash set and the chosen ids (ray.put
+    once per round, read per task), computes per-doc marginal gains
+    fully vectorized (sorted np.isin over uint64 gram hashes +
+    reduceat), and ships ONE candidate row per block — (best id, gain,
+    that doc's new gram hashes as raw bytes) — so the driver argmax
+    sees blocks rows, never docs.  Gram identity is the 64-bit string
+    hash (collision odds ~m^2/2^65 for m distinct grams).
+
+    Parity contract with the SQL twin: docs with no n-gram (null or
+    <n-token text) have no gram rows and are never selected; a doc
+    whose grams are all covered stays eligible with gain 0.  Per-doc
+    gram sets must not straddle blocks (each input row lives in
+    exactly one batch, as everywhere in this engine).
+
+    Returns a (step, id, gain) pyarrow Table of min(k, eligible)
+    rows."""
+    import ray
+
+    from peri_ray.state.sketches import hash_strings
+
+    pairs_fn = _NgramPairsPartial(n, text_col, id_col)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "gain": pa.array([], pa.int64()),
+                      "new_grams": pa.array([], pa.binary())})
+    covered = np.empty(0, np.uint64)
+    chosen = np.empty(0, np.int64)
+    steps: list[int] = []
+    ids_out: list[int] = []
+    gains_out: list[int] = []
+
+    for step in range(1, k + 1):
+        cov_ref = ray.put(covered)          # kept sorted (np.union1d)
+        ch_ref = ray.put(chosen)
+
+        def _best(t: pa.Table, _cov=cov_ref, _ch=ch_ref) -> pa.Table:
+            pairs = pairs_fn(t)
+            if pairs.num_rows == 0:
+                return empty
+            cov = ray.get(_cov)
+            ch = ray.get(_ch)
+            ids = (pairs.column(id_col).combine_chunks().cast(pa.int64())
+                   .to_numpy(zero_copy_only=False))
+            elig = ~np.isin(ids, ch)
+            if not elig.any():
+                return empty
+            gh = hash_strings(pairs.column("gram").combine_chunks())[elig]
+            ids = ids[elig]
+            new = ~np.isin(gh, cov)
+            order = np.argsort(ids, kind="stable")
+            ids_s, gh_s, new_s = ids[order], gh[order], new[order]
+            bounds = np.flatnonzero(
+                np.r_[True, ids_s[1:] != ids_s[:-1]])
+            gains = np.add.reduceat(new_s.astype(np.int64), bounds)
+            b = int(np.argmax(gains))   # first max = smallest id (sorted)
+            lo = int(bounds[b])
+            hi = int(bounds[b + 1]) if b + 1 < len(bounds) else len(ids_s)
+            seg_new = gh_s[lo:hi][new_s[lo:hi]]
+            return pa.table({
+                id_col: pa.array([int(ids_s[lo])], pa.int64()),
+                "gain": pa.array([int(gains[b])], pa.int64()),
+                "new_grams": pa.array([seg_new.tobytes()], pa.binary())})
+
+        cands = ds.map_batches(_best, batch_format="pyarrow",
+                               batch_size=batch_size)
+        tabs = [ray.get(r) for r in cands.to_arrow_refs()]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            break
+        cand = pa.concat_tables(tabs).combine_chunks()
+        g = cand.column("gain").to_numpy(zero_copy_only=False)
+        i = cand.column(id_col).to_numpy(zero_copy_only=False)
+        best = int(np.lexsort((i, -g))[0])   # gain desc, id asc
+        steps.append(step)
+        ids_out.append(int(i[best]))
+        gains_out.append(int(g[best]))
+        new_h = np.frombuffer(
+            cand.column("new_grams")[best].as_py(), np.uint64)
+        covered = np.union1d(covered, new_h)
+        chosen = np.append(chosen, np.int64(i[best]))
+
+    return pa.table({"step": pa.array(steps, pa.int64()),
+                     id_col: pa.array(ids_out, pa.int64()),
+                     "gain": pa.array(gains_out, pa.int64())})

@@ -8750,3 +8750,74 @@ class TestSkyline:
                       "x": pa.array([5.0, 5.0, 1.0], pa.float64())})
         got = skyline(rd.from_arrow(t).repartition(2), {"x": "max"}, ["id"])
         assert sorted(got.column("id").to_pylist()) == [1, 2]
+
+
+class TestGreedyCoverage:
+    def _brute(self, texts, k):
+        """Reference greedy over exact gram STRING sets."""
+        grams = {}
+        for i, s in enumerate(texts):
+            if s is None:
+                continue
+            ws = s.strip().split()
+            gs = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+            if gs:
+                grams[i] = gs
+        covered: set = set()
+        chosen: list = []
+        for step in range(1, k + 1):
+            cand = [(len(g - covered), -i) for i, g in grams.items()
+                    if i not in {c[1] for c in chosen}]
+            if not cand:
+                break
+            gain, negi = max(cand)
+            chosen.append((step, -negi, gain))
+            covered |= grams[-negi]
+        return chosen
+
+    def test_matches_reference_greedy(self):
+        import numpy as np
+
+        from peri_ray.stages.text import greedy_coverage_select
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 9)))
+                 or None for _ in range(80)]
+        texts[5] = None           # null text never eligible
+        texts[6] = "solo"         # 1 token -> no bigram, never eligible
+        t = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = greedy_coverage_select(
+            rd.from_arrow(t).repartition(5), k=6, n=2)
+        rows = list(zip(got.column("step").to_pylist(),
+                        got.column("doc_id").to_pylist(),
+                        got.column("gain").to_pylist()))
+        assert rows == self._brute(texts, 6)
+        assert all(r[1] not in (5, 6) for r in rows)
+
+    def test_layout_invariant(self):
+        import numpy as np
+
+        from peri_ray.stages.text import greedy_coverage_select
+
+        rng = np.random.default_rng(3)
+        vocab = [f"t{i}" for i in range(8)]
+        texts = [" ".join(rng.choice(vocab, size=6)) for _ in range(50)]
+        t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        a = greedy_coverage_select(rd.from_arrow(t), k=3, n=2)
+        b = greedy_coverage_select(rd.from_arrow(t).repartition(9),
+                                   k=3, n=2)
+        assert a.to_pylist() == b.to_pylist()
+
+    def test_fewer_eligible_than_k_stops(self):
+        from peri_ray.stages.text import greedy_coverage_select
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a b c", "a b"], pa.string())})
+        got = greedy_coverage_select(rd.from_arrow(t), k=5, n=2)
+        assert got.num_rows == 2
+        assert got.column("step").to_pylist() == [1, 2]
+        # second pick's grams are fully covered -> gain 0, still chosen
+        assert got.column("gain").to_pylist() == [2, 0]
