@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaro_winkler_pairs": q.jaro_winkler_pairs,
         "pareto_events": q.pareto_events,
         "coverage_selected_docs": q.coverage_selected_docs,
+        "join_size_probe": q.join_size_probe,
     }
 
 
@@ -4786,6 +4787,25 @@ def oracle_sql() -> dict[str, str]:
                         AND (o.value > r.value OR o.ts_us > r.ts_us))
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
+        "join_size_probe": """
+            WITH l AS (SELECT l_orderkey AS k,
+                              CAST(count(*) AS BIGINT) AS n
+                         FROM lineitem WHERE l_orderkey IS NOT NULL
+                        GROUP BY 1),
+                 r AS (SELECT o_orderkey AS k,
+                              CAST(count(*) AS BIGINT) AS n
+                         FROM orders WHERE o_orderkey IS NOT NULL
+                        GROUP BY 1),
+                 j AS (SELECT l.n * r.n AS prod FROM l JOIN r USING (k))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS left_keys,
+                   (SELECT CAST(count(*) AS BIGINT) FROM r) AS right_keys,
+                   (SELECT CAST(count(*) AS BIGINT) FROM j)
+                     AS common_keys,
+                   CAST(COALESCE((SELECT sum(prod) FROM j), 0) AS BIGINT)
+                     AS join_rows,
+                   CAST(COALESCE((SELECT max(prod) FROM j), 0) AS BIGINT)
+                     AS max_key_rows
+        """,
     }
 
 

@@ -6331,3 +6331,16 @@ def coverage_selected_docs(sf_dir: str):
 
     sampled = ds.map_batches(_sample, batch_format="pyarrow")
     return greedy_coverage_select(sampled, k=4, n=2)
+
+
+def join_size_probe(sf_dir: str):
+    """Exact join-cardinality + skew probe (joins.join_cardinality):
+    |lineitem ⋈ orders| and the hottest key's contribution computed
+    from (key, count) partials only — the planner check that decides
+    hash_join vs salted_hash_join before any payload moves."""
+    from peri_ray.stages.joins import join_cardinality
+
+    return join_cardinality(
+        _read(sf_dir, "lineitem", ["l_orderkey"]),
+        _read(sf_dir, "orders", ["o_orderkey"]),
+        "l_orderkey", "o_orderkey")

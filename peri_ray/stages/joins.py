@@ -709,3 +709,83 @@ def bucketed_disk_join(dir_a: str, dir_b: str,
     buckets = rd.from_items([{"bucket": b} for b in range(n)],
                             override_num_blocks=n)
     return buckets.map_batches(_join_bucket, batch_format="pyarrow")
+
+
+def join_cardinality(left, right, left_key: str, right_key: str,
+                     n_buckets: int = 64,
+                     batch_size: int | None = 65536) -> pa.Table:
+    """Exact equi-join size + skew probe WITHOUT running the join —
+    the planner-side answer to "can we afford this join, and is it
+    hot-key-skewed?".  |A ⋈ B| = Σ_k n_A(k)·n_B(k), which needs only
+    the per-key COUNT tables: each side ships (key, count) partials
+    (never payload), one hash-bucketed exchange co-locates equal keys,
+    and per-bucket partials reduce to ONE driver row.
+
+    Returns a 1-row Table: left_keys / right_keys / common_keys
+    (distinct key counts, null keys excluded — they never join),
+    join_rows (exact output size), and max_key_rows (the largest
+    single key's contribution — the skew signal that decides between
+    hash_join and salted_hash_join).  All counts BIGINT-exact."""
+    import ray
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _counts(key: str, side: int):
+        def _c(t: pa.Table) -> pa.Table:
+            col = t.column(key).combine_chunks()
+            sub = pa.table({"k": col.cast(pa.string())}).filter(
+                pc.is_valid(col))
+            g = sub.group_by("k").aggregate([([], "count_all")])
+            g = g.rename_columns(["k", "n"])
+            return g.append_column(
+                "side", pa.array(np.full(g.num_rows, side, np.int8)))
+        return _c
+
+    parts = left.map_batches(_counts(left_key, 0),
+                             batch_format="pyarrow",
+                             batch_size=batch_size).union(
+        right.map_batches(_counts(right_key, 1),
+                          batch_format="pyarrow", batch_size=batch_size))
+
+    def _bucket_stats(group: pa.Table) -> pa.Table:
+        g = (group.select(["k", "side", "n"])
+             .group_by(["k", "side"]).aggregate([("n", "sum")]))
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, side, n = k[order], side[order], n[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nl = np.zeros(len(bounds), np.int64)
+        nr = np.zeros(len(bounds), np.int64)
+        seg = np.repeat(np.arange(len(bounds)),
+                        np.diff(np.append(bounds, len(k))))
+        np.add.at(nl, seg[side == 0], n[side == 0])
+        np.add.at(nr, seg[side == 1], n[side == 1])
+        prod = nl * nr
+        return pa.table({
+            "left_keys": pa.array([int((nl > 0).sum())], pa.int64()),
+            "right_keys": pa.array([int((nr > 0).sum())], pa.int64()),
+            "common_keys": pa.array([int(((nl > 0) & (nr > 0)).sum())],
+                                    pa.int64()),
+            "join_rows": pa.array([int(prod.sum())], pa.int64()),
+            "max_key_rows": pa.array([int(prod.max()) if len(prod)
+                                      else 0], pa.int64())})
+
+    stats = map_groups_via_buckets(parts, ["k"], _bucket_stats,
+                                   n_buckets=n_buckets)
+    tabs = [ray.get(r) for r in stats.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({c: pa.array([0], pa.int64())
+                         for c in ("left_keys", "right_keys",
+                                   "common_keys", "join_rows",
+                                   "max_key_rows")})
+    m = pa.concat_tables(tabs)
+    agg = {c: int(pc.sum(m.column(c)).as_py() or 0)
+           for c in ("left_keys", "right_keys", "common_keys",
+                     "join_rows")}
+    agg["max_key_rows"] = int(pc.max(m.column("max_key_rows")).as_py()
+                              or 0)
+    return pa.table({c: pa.array([v], pa.int64())
+                     for c, v in agg.items()})

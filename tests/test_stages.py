@@ -8821,3 +8821,47 @@ class TestGreedyCoverage:
         assert got.column("step").to_pylist() == [1, 2]
         # second pick's grams are fully covered -> gain 0, still chosen
         assert got.column("gain").to_pylist() == [2, 0]
+
+
+class TestJoinCardinality:
+    def test_matches_brute_force_incl_skew_and_nulls(self):
+        import numpy as np
+
+        from peri_ray.stages.joins import join_cardinality
+
+        rng = np.random.default_rng(17)
+        lk = rng.integers(0, 12, 300).astype(object)
+        rk = rng.integers(5, 20, 200).astype(object)
+        lk[::23] = None      # null keys never join, never counted
+        rk[::17] = None
+        lk[:60] = 7          # planted hot key
+        lt = pa.table({"a": pa.array(list(lk), pa.int64())})
+        rt = pa.table({"b": pa.array(list(rk), pa.int64())})
+        got = join_cardinality(rd.from_arrow(lt).repartition(5),
+                               rd.from_arrow(rt).repartition(3),
+                               "a", "b", n_buckets=8).to_pylist()[0]
+        from collections import Counter
+        cl = Counter(k for k in lk if k is not None)
+        cr = Counter(k for k in rk if k is not None)
+        prods = {k: cl[k] * cr[k] for k in cl if k in cr}
+        assert got["left_keys"] == len(cl)
+        assert got["right_keys"] == len(cr)
+        assert got["common_keys"] == len(prods)
+        assert got["join_rows"] == sum(prods.values())
+        assert got["max_key_rows"] == max(prods.values())
+        # the probe must predict the real join size exactly
+        from peri_ray.stages.joins import hash_join
+        joined = hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                           "a", "b", [], [], how="inner")
+        assert joined.count() == got["join_rows"]
+
+    def test_disjoint_sides(self):
+        from peri_ray.stages.joins import join_cardinality
+
+        lt = pa.table({"a": pa.array([1, 2], pa.int64())})
+        rt = pa.table({"b": pa.array([3, 4, 4], pa.int64())})
+        got = join_cardinality(rd.from_arrow(lt), rd.from_arrow(rt),
+                               "a", "b").to_pylist()[0]
+        assert got == {"left_keys": 2, "right_keys": 2,
+                       "common_keys": 0, "join_rows": 0,
+                       "max_key_rows": 0}
