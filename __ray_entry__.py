@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_events": q.pareto_events,
         "coverage_selected_docs": q.coverage_selected_docs,
         "join_size_probe": q.join_size_probe,
+        "cooccurrence_pairs_docs": q.cooccurrence_pairs_docs,
     }
 
 
@@ -4805,6 +4806,22 @@ def oracle_sql() -> dict[str, str]:
                      AS join_rows,
                    CAST(COALESCE((SELECT max(prod) FROM j), 0) AS BIGINT)
                      AS max_key_rows
+        """,
+        "cooccurrence_pairs_docs": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS w
+                  FROM documents WHERE text IS NOT NULL)),
+            n AS (SELECT count(DISTINCT doc_id) AS total FROM toks)
+            SELECT a.w AS term_a, b.w AS term_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.w < b.w
+             GROUP BY 1, 2
+            HAVING count(*) >= (SELECT CAST(floor(0.375 *
+                   CAST(total AS DOUBLE)) AS BIGINT) FROM n)
         """,
     }
 

@@ -6344,3 +6344,14 @@ def join_size_probe(sf_dir: str):
         _read(sf_dir, "lineitem", ["l_orderkey"]),
         _read(sf_dir, "orders", ["o_orderkey"]),
         "l_orderkey", "o_orderkey")
+
+
+def cooccurrence_pairs_docs(sf_dir: str):
+    """Frequent co-occurring term pairs (text.term_cooccurrence,
+    support ≥ 3/8 of docs) — the 2-itemset basket miner over
+    documents.  Oracle: distinct doc-term self-join with HAVING over
+    the identical floor'd support."""
+    from peri_ray.stages.text import term_cooccurrence
+
+    return term_cooccurrence(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))

@@ -2974,3 +2974,69 @@ def greedy_coverage_select(ds, k: int, n: int = 2, text_col: str = "text",
     return pa.table({"step": pa.array(steps, pa.int64()),
                      id_col: pa.array(ids_out, pa.int64()),
                      "gain": pa.array(gains_out, pa.int64())})
+
+
+def term_cooccurrence(ds, min_frac: float = 0.375, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 64,
+                      batch_size: int | None = 8192):
+    """Frequent co-occurring term PAIRS (the 2-itemset of market-basket
+    mining, over documents as baskets): unordered distinct-term pairs
+    (a < b) appearing together in at least ``min_frac`` of the docs —
+    the vocabulary-association monitor beside adjacent-word PMI
+    (:func:`pmi_collocations` counts neighbors; this counts any
+    co-presence).
+
+    Shape: one pruned count pass fixes the doc total; the main pass
+    turns each doc's sorted distinct terms into all C(m,2) pairs with
+    a repeat/cumsum index construction (no per-doc Python), pre-counts
+    pairs per block, and ONE bucketed (a,b) sum exchange + threshold
+    finishes.  Pair rows are bounded by docs x C(vocab-per-doc, 2);
+    the text never shuffles.  ``min_frac`` should be dyadic (0.375)
+    so the floor'd absolute support is bit-identical in SQL."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    total = ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.is_valid(t.column(text_col)).cast(pa.int64()))
+                 .as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", batch_size=batch_size).sum("n")
+    support = int(np.floor(min_frac * float(total or 0)))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        empty = pa.table({"term_a": pa.array([], pa.string()),
+                          "term_b": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        flat, lens = flat_tokens(t.column(text_col))
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # per-doc DISTINCT terms, sorted (doc asc, term asc)
+        dt = (pa.table({"d": pa.array(doc), "w": flat})
+              .group_by(["d", "w"]).aggregate([])
+              .sort_by([("d", "ascending"), ("w", "ascending")]))
+        d = dt.column("d").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return empty
+        seg_start = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        m = np.diff(np.append(seg_start, len(d)))
+        pos = np.arange(len(d)) - np.repeat(seg_start, m)
+        rep = np.repeat(m, m) - 1 - pos          # pairs led by each elem
+        first = np.repeat(np.arange(len(d)), rep)
+        j = np.arange(rep.sum()) - np.repeat(np.cumsum(rep) - rep, rep)
+        second = first + 1 + j
+        w = dt.column("w").combine_chunks()
+        pairs = pa.table({"term_a": w.take(pa.array(first)),
+                          "term_b": w.take(pa.array(second))})
+        g = pairs.group_by(["term_a", "term_b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["term_a", "term_b", "n_docs"])
+
+    counts = grouped_sum_via_buckets(
+        ds.map_batches(_pairs, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["term_a", "term_b"], "n_docs", n_buckets=n_buckets)
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("n_docs").combine_chunks(), support)),
+        batch_format="pyarrow")

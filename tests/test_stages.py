@@ -8865,3 +8865,42 @@ class TestJoinCardinality:
         assert got == {"left_keys": 2, "right_keys": 2,
                        "common_keys": 0, "join_rows": 0,
                        "max_key_rows": 0}
+
+
+class TestTermCooccurrence:
+    def test_matches_brute_force(self):
+        from collections import Counter
+        from itertools import combinations
+
+        from peri_ray.stages.text import term_cooccurrence
+
+        texts = ["a b c", "b c d", "a  b", "c", None, "", "d d d b"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        want = Counter()
+        total = sum(s is not None for s in texts)
+        for s in texts:
+            if s is None:
+                continue
+            terms = sorted(set(s.strip().split()) or {""})
+            # the tokenizer twin yields [''] for empty text
+            if not s.strip():
+                terms = [""]
+            for a, b in combinations(terms, 2):
+                want[(a, b)] += 1
+        support = int(0.375 * total)
+        want = {k: v for k, v in want.items() if v >= support}
+        got = {(r["term_a"], r["term_b"]): r["n_docs"]
+               for r in term_cooccurrence(
+                   rd.from_arrow(t).repartition(3),
+                   min_frac=0.375).take_all()}
+        assert got == want
+
+    def test_pair_construction_no_self_pairs(self):
+        from peri_ray.stages.text import term_cooccurrence
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x x x y"], pa.string())})
+        got = term_cooccurrence(rd.from_arrow(t),
+                                min_frac=0.0).take_all()
+        assert got == [{"term_a": "x", "term_b": "y", "n_docs": 1}]
