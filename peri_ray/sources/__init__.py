@@ -726,3 +726,105 @@ def write_bucketed(ds, out_dir: str, key_col: str, n_buckets: int = 32):
         json.dump({"key_col": key_col, "n_buckets": int(n_buckets),
                    "hash": "bucket_of-v1"}, f)
     return out_dir
+
+
+def plan_compaction(sizes: dict[str, int],
+                    target_bytes: int) -> list[list[str]]:
+    """Deterministic first-fit-decreasing file binning for
+    :func:`compact_parquet_binned`: files sorted (size desc, name asc)
+    drop into the first bin with room; a file already >= target gets a
+    bin of its own that nothing else joins.  Pure metadata — no file
+    is opened.  Returns name-sorted bins (the order files are
+    concatenated in, so reruns are byte-stable)."""
+    bins: list[list[str]] = []
+    totals: list[int] = []
+    for name, sz in sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0])):
+        for i, tot in enumerate(totals):
+            if tot + sz <= target_bytes:
+                bins[i].append(name)
+                totals[i] += sz
+                break
+        else:
+            bins.append([name])
+            totals.append(sz)
+    return [sorted(b) for b in bins]
+
+
+def compact_parquet_binned(in_dir: str, out_dir: str,
+                           target_bytes: int = 512 << 20,
+                           batch_rows: int = 65536) -> dict:
+    """ZERO-SHUFFLE small-file compaction: bin whole files to a byte
+    target from directory metadata alone (:func:`plan_compaction`),
+    then one Ray task per bin streams its files row-group-wise into
+    ONE output shard — every byte is read once and written once, with
+    no repartition exchange (contrast :func:`compact_parquet`, whose
+    all-to-all moves the payload through the object store; at 100 TB
+    the binned form is the only affordable one, and bins are the unit
+    of parallelism across the cluster).
+
+    Resumable: a SIBLING manifest (``<out_dir>.compaction.json`` —
+    never inside the directory, a non-parquet file in the root breaks
+    partition discovery) records each bin's sources; a rerun skips
+    bins whose output shard already exists under the same plan, and
+    shards appear atomically (tmp + rename).  Pandas schema metadata
+    is stripped on the way through (the unhashable-metadata pitfall).
+
+    Returns {files_in, files_out, rows, skipped}."""
+    import json
+    import os
+
+    import ray
+
+    sizes = {f: os.path.getsize(os.path.join(in_dir, f))
+             for f in sorted(os.listdir(in_dir)) if f.endswith(".parquet")}
+    bins = plan_compaction(sizes, target_bytes)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = out_dir.rstrip(os.sep) + ".compaction.json"
+    prior = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            prior = json.load(fh).get("bins", {})
+
+    @ray.remote
+    def _compact_bin(i: int, names: list[str]) -> int:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        out = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        tmp = out + ".tmp"
+        writer = None
+        rows = 0
+        for name in names:
+            pf = _pq.ParquetFile(os.path.join(in_dir, name))
+            schema = pf.schema_arrow.remove_metadata()
+            if writer is None:
+                writer = _pq.ParquetWriter(tmp, schema)
+            for rb in pf.iter_batches(batch_size=batch_rows):
+                t = _pa.Table.from_batches([rb]).replace_schema_metadata(None)
+                writer.write_table(t.cast(schema))
+                rows += t.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, out)
+        return rows
+
+    skipped = 0
+    pending: list[tuple[int, Any]] = []
+    out_bins: dict[str, Any] = {}
+    for i, names in enumerate(bins):
+        out = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        key = str(i)
+        if (prior.get(key, {}).get("sources") == names
+                and os.path.exists(out)):
+            skipped += 1
+            out_bins[key] = prior[key]
+            continue
+        pending.append((i, _compact_bin.remote(i, names)))
+    for i, ref in pending:
+        out_bins[str(i)] = {"sources": bins[i], "rows": int(ray.get(ref))}
+    with open(manifest_path + ".tmp", "w") as fh:
+        json.dump({"target_bytes": target_bytes, "bins": out_bins}, fh)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    return {"files_in": len(sizes), "files_out": len(bins),
+            "rows": int(sum(b["rows"] for b in out_bins.values())),
+            "skipped": skipped}

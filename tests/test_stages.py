@@ -8904,3 +8904,68 @@ class TestTermCooccurrence:
         got = term_cooccurrence(rd.from_arrow(t),
                                 min_frac=0.0).take_all()
         assert got == [{"term_a": "x", "term_b": "y", "n_docs": 1}]
+
+
+class TestBinnedCompaction:
+    def test_plan_first_fit_decreasing(self):
+        from peri_ray.sources import plan_compaction
+
+        sizes = {"a": 60, "b": 40, "c": 35, "d": 30, "e": 150, "f": 5}
+        bins = plan_compaction(sizes, target_bytes=100)
+        # oversize file isolated; everything else packs under target
+        assert ["e"] in bins
+        tot = lambda b: sum(sizes[n] for n in b)  # noqa: E731
+        assert all(tot(b) <= 100 for b in bins if b != ["e"])
+        assert sorted(n for b in bins for n in b) == sorted(sizes)
+        assert bins == plan_compaction(dict(reversed(sizes.items())), 100)
+
+    def test_compact_roundtrip_and_resume(self, tmp_path):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.sources import compact_parquet_binned
+
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        src.mkdir()
+        rows = []
+        for i in range(6):
+            n = 50 * (i + 1)
+            t = pa.table({"id": pa.array(range(i * 1000, i * 1000 + n),
+                                         pa.int64()),
+                          "v": pa.array([f"s{j}" for j in range(n)],
+                                        pa.string())})
+            pq.write_table(t, src / f"f{i}.parquet")
+            rows += t.column("id").to_pylist()
+        rep = compact_parquet_binned(str(src), str(out),
+                                     target_bytes=6000)
+        assert rep["files_in"] == 6
+        assert rep["rows"] == len(rows)
+        outs = sorted(os.listdir(out))
+        assert len(outs) == rep["files_out"] < 6
+        got = []
+        for f in outs:
+            got += pq.read_table(out / f).column("id").to_pylist()
+        assert sorted(got) == sorted(rows)
+        man = json.load(open(str(out) + ".compaction.json"))
+        assert sum(len(b["sources"]) for b in man["bins"].values()) == 6
+
+        # rerun: identical plan -> every bin skipped, outputs untouched
+        mtimes = {f: os.path.getmtime(out / f) for f in outs}
+        rep2 = compact_parquet_binned(str(src), str(out),
+                                      target_bytes=6000)
+        assert rep2["skipped"] == rep2["files_out"] == rep["files_out"]
+        assert rep2["rows"] == rep["rows"]
+        assert {f: os.path.getmtime(out / f) for f in outs} == mtimes
+
+        # delete one shard -> only that bin is rebuilt
+        os.remove(out / outs[0])
+        rep3 = compact_parquet_binned(str(src), str(out),
+                                      target_bytes=6000)
+        assert rep3["skipped"] == rep["files_out"] - 1
+        got3 = []
+        for f in sorted(os.listdir(out)):
+            got3 += pq.read_table(out / f).column("id").to_pylist()
+        assert sorted(got3) == sorted(rows)
