@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_selected_docs": q.coverage_selected_docs,
         "join_size_probe": q.join_size_probe,
         "cooccurrence_pairs_docs": q.cooccurrence_pairs_docs,
+        "lof_outliers_embeddings": q.lof_outliers_embeddings,
     }
 
 
@@ -4822,6 +4823,39 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2
             HAVING count(*) >= (SELECT CAST(floor(0.375 *
                    CAST(total AS DOUBLE)) AS BIGINT) FROM n)
+        """,
+        "lof_outliers_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id % 10 = 0),
+            p AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cos
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            knn AS (
+              SELECT query_id, neighbor_id, cos FROM (
+                SELECT p.*, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM p)
+               WHERE rn <= 5),
+            kd AS (SELECT query_id AS id, 1.0 - min(cos) AS kdist
+                     FROM knn GROUP BY 1),
+            reach AS (
+              SELECT k.query_id, greatest(kd.kdist, 1.0 - k.cos) AS r
+                FROM knn k JOIN kd ON kd.id = k.neighbor_id),
+            lrd AS (SELECT query_id AS id, 5.0 / sum(r) AS lrd
+                      FROM reach GROUP BY 1),
+            nbr AS (SELECT k.query_id AS id, sum(l.lrd) AS nbr_lrd
+                      FROM knn k JOIN lrd l ON l.id = k.neighbor_id
+                     GROUP BY 1)
+            SELECT n.id AS vec_id, ROUND(n.nbr_lrd / (5.0 * l.lrd), 6)
+                     AS lof
+              FROM nbr n JOIN lrd l ON l.id = n.id
         """,
     }
 

@@ -6355,3 +6355,22 @@ def cooccurrence_pairs_docs(sf_dir: str):
 
     return term_cooccurrence(_read(sf_dir, "documents",
                                    ["doc_id", "text"]))
+
+
+def lof_outliers_embeddings(sf_dir: str):
+    """Local Outlier Factor (similarity.lof_scores, k=5) over the
+    same deterministic embedding sample as the kNN graph — the
+    density-ratio outlier score for multi-cluster corpora.  The
+    oracle chains kdist → reachability → lrd → LOF from the literal
+    all-pairs cosine CTE, so every score is checked end to end."""
+    from peri_ray.stages.similarity import lof_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _sample(t: pa.Table) -> pa.Table:
+        k = (t.column("vec_id").combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(k % 10 == 0))
+
+    return lof_scores(ds.map_batches(_sample, batch_format="pyarrow"),
+                      k=5)

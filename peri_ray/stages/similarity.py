@@ -2546,3 +2546,91 @@ def append_ivf_index(index_dir: str, delta_ds) -> dict:
     with open(index_dir.rstrip("/") + ".index.json", "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def lof_scores(ds, k: int = 5, vec_col: str = "embedding",
+               id_col: str = "vec_id", round_to: int = 6,
+               n_buckets: int = 64):
+    """Local Outlier Factor over the exact cosine kNN graph — the
+    density-RATIO outlier detector (Breunig et al. 2000): LOF(q) ≈ 1
+    in uniform regions, >> 1 where q is sparser than its neighbors;
+    it finds outliers the distance-to-centroid gate
+    (embedding_outliers) misses in multi-cluster corpora.
+
+    Composition over the already-oracled :func:`knn_graph` edges with
+    distance d = 1 - cos (cos pre-rounded to ``round_to``, so both
+    engines rank and compute from identical values):
+
+    - k-distance per node: one bucketed min over its edges;
+    - reachability r(q,o) = max(kdist(o), d(q,o)): one hash join of
+      edges against kdist on the NEIGHBOR id;
+    - lrd(q) = k / Σ r(q,o): one bucketed sum;
+    - LOF(q) = Σ lrd(o) / (k · lrd(q)): one more neighbor join + sum.
+
+    Every exchange ships (id, float) pairs — vectors stay in the kNN
+    stage.  Σ over the k reach/lrd terms is a 5-double sum whose
+    association order may differ across engines by an ulp; the final
+    ROUND(6, half-away) absorbs it (cosine-derived values cannot tie
+    at the rounding boundary).  Duplicate vectors (kdist 0) make
+    lrd infinite per IEEE — the standard LOF degeneracy, unchanged.
+
+    Returns a Dataset of (id, lof)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+    from peri_ray.stages.joins import hash_join
+
+    edges = knn_graph(ds, k, vec_col=vec_col, id_col=id_col,
+                      round_to=round_to).materialize()  # 3 consumers
+
+    def _min_cos(group: pa.Table) -> pa.Table:
+        g = (group.select(["query_id", "cos"]).group_by("query_id")
+             .aggregate([("cos", "min")]))
+        kd = pc.subtract(pa.scalar(1.0), g.column("cos_min"))
+        return pa.table({"id": g.column("query_id"), "kdist": kd})
+
+    kd = map_groups_via_buckets(edges, ["query_id"], _min_cos,
+                                n_buckets=n_buckets)
+
+    e2 = hash_join(edges, kd, "neighbor_id", "id",
+                   ["query_id", "cos"], ["kdist"], how="inner",
+                   n_buckets=n_buckets)
+
+    def _reach(t: pa.Table) -> pa.Table:
+        d = pc.subtract(pa.scalar(1.0),
+                        t.column("cos").combine_chunks())
+        r = pc.max_element_wise(t.column("kdist").combine_chunks(), d)
+        return pa.table({"query_id": t.column("query_id"), "r": r})
+
+    def _lrd(group: pa.Table) -> pa.Table:
+        g = (group.select(["query_id", "r"]).group_by("query_id")
+             .aggregate([("r", "sum")]))
+        lrd = pc.divide(pa.scalar(float(k)), g.column("r_sum"))
+        return pa.table({"id": g.column("query_id"), "lrd": lrd})
+
+    lrd = map_groups_via_buckets(
+        e2.map_batches(_reach, batch_format="pyarrow"),
+        ["query_id"], _lrd, n_buckets=n_buckets).materialize()  # 2 uses
+
+    e3 = hash_join(edges, lrd, "neighbor_id", "id",
+                   ["query_id"], ["lrd"], how="inner",
+                   n_buckets=n_buckets)
+
+    def _sum_nbr(group: pa.Table) -> pa.Table:
+        g = (group.select(["query_id", "lrd"]).group_by("query_id")
+             .aggregate([("lrd", "sum")]))
+        return g.rename_columns(["id", "nbr_lrd"])
+
+    nbr = map_groups_via_buckets(e3, ["query_id"], _sum_nbr,
+                                 n_buckets=n_buckets)
+    out = hash_join(nbr, lrd, "id", "id", ["nbr_lrd"], ["lrd"],
+                    how="inner", n_buckets=n_buckets)
+
+    def _lof(t: pa.Table) -> pa.Table:
+        lof = pc.divide(t.column("nbr_lrd").combine_chunks(),
+                        pc.multiply(pa.scalar(float(k)),
+                                    t.column("lrd").combine_chunks()))
+        return pa.table({id_col: t.column("id"),
+                         "lof": pc.round(
+                             lof, round_to,
+                             round_mode="half_towards_infinity")})
+
+    return out.map_batches(_lof, batch_format="pyarrow")

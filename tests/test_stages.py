@@ -8969,3 +8969,49 @@ class TestBinnedCompaction:
         for f in sorted(os.listdir(out)):
             got3 += pq.read_table(out / f).column("id").to_pylist()
         assert sorted(got3) == sorted(rows)
+
+
+class TestLOF:
+    def _ref_lof(self, vecs, ids, k):
+        """Reference LOF over rounded cosine distances (same chain)."""
+        import numpy as np
+
+        u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = np.round(u @ u.T, 6)
+        n = len(ids)
+        nbrs = {}
+        for i in range(n):
+            order = sorted((j for j in range(n) if j != i),
+                           key=lambda j: (-cos[i, j], ids[j]))[:k]
+            nbrs[i] = order
+        kdist = {i: 1.0 - min(cos[i, j] for j in nbrs[i]) for i in nbrs}
+        lrd = {i: k / sum(max(kdist[j], 1.0 - cos[i, j])
+                          for j in nbrs[i]) for i in nbrs}
+        return {ids[i]: round(sum(lrd[j] for j in nbrs[i]) / (k * lrd[i]),
+                              6) for i in nbrs}
+
+    def test_matches_reference_and_flags_planted_outlier(self):
+        import numpy as np
+
+        from peri_ray.stages.similarity import lof_scores
+
+        rng = np.random.default_rng(41)
+        base = rng.normal(0, 1, 8)
+        cluster = base + rng.normal(0, 0.05, size=(30, 8))
+        outlier = -base.reshape(1, 8)      # opposite direction
+        vecs = np.vstack([cluster, outlier])
+        ids = list(range(31))
+        t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array(
+                          [list(map(float, v)) for v in vecs],
+                          pa.list_(pa.float64()))})
+        got = {r["vec_id"]: r["lof"] for r in lof_scores(
+            rd.from_arrow(t).repartition(4), k=5).take_all()}
+        want = self._ref_lof(vecs, ids, 5)
+        assert set(got) == set(want)
+        for i in got:
+            assert abs(got[i] - want[i]) <= 2e-6, (i, got[i], want[i])
+        # the planted opposite-direction point is the clear max
+        assert max(got, key=got.get) == 30
+        assert got[30] > 2.0
+        assert np.median([v for i, v in got.items() if i != 30]) < 1.5
