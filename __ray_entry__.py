@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_probe": q.join_size_probe,
         "cooccurrence_pairs_docs": q.cooccurrence_pairs_docs,
         "lof_outliers_embeddings": q.lof_outliers_embeddings,
+        "hapax_rate_documents": q.hapax_rate_documents,
     }
 
 
@@ -4856,6 +4857,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id AS vec_id, ROUND(n.nbr_lrd / (5.0 * l.lrd), 6)
                      AS lof
               FROM nbr n JOIN lrd l ON l.id = n.id
+        """,
+        "hapax_rate_documents": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT unnest(list_transform(range(len(ws) - 2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                              ws[i+3])) AS t
+                    FROM toks WHERE len(ws) >= 3),
+            c AS (SELECT t, count(*) AS n FROM g GROUP BY t)
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT)
+                     AS n_hapax,
+                   CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS hapax_rate
+              FROM c
         """,
     }
 

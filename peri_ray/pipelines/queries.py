@@ -6374,3 +6374,12 @@ def lof_outliers_embeddings(sf_dir: str):
 
     return lof_scores(ds.map_batches(_sample, batch_format="pyarrow"),
                       k=5)
+
+
+def hapax_rate_documents(sf_dir: str):
+    """Trigram hapax-legomena rate (text.hapax_rate, n=3) — the
+    vocabulary-tail probe beside zipf_slope_documents; exact type and
+    hapax counts with a single-division double."""
+    from peri_ray.stages.text import hapax_rate
+
+    return hapax_rate(_read(sf_dir, "documents", ["text"]), n=3)

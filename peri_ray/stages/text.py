@@ -3040,3 +3040,56 @@ def term_cooccurrence(ds, min_frac: float = 0.375, text_col: str = "text",
         lambda t: t.filter(pc.greater_equal(
             t.column("n_docs").combine_chunks(), support)),
         batch_format="pyarrow")
+
+
+def hapax_rate(ds, n: int = 3, text_col: str = "text",
+               n_buckets: int = 64,
+               batch_size: int | None = 8192) -> pa.Table:
+    """Vocabulary-tail health probe: the fraction of word n-gram TYPES
+    occurring exactly once in the corpus (hapax legomena).  A healthy
+    natural corpus keeps a fat hapax tail (Zipf); template/spam-heavy
+    or deduplication-damaged corpora collapse it, so the rate is the
+    cheap companion to the Zipf-slope probe.
+
+    Shape: per-batch (gram, count) partials → ONE bucketed sum
+    exchange → per-bucket 2-int partials (types, hapax) → driver sum.
+    The single emitted double is float(hapax)/float(types) — one IEEE
+    division over exact ints, bit-identical in SQL with no rounding."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        flat, lens = flat_tokens(t.column(text_col))
+        gram, _, _ = word_ngrams(flat, lens, n)
+        g = (pa.table({"g": gram}).group_by("g")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["g", "c"])
+
+    counts = grouped_sum_via_buckets(
+        ds.map_batches(_grams, batch_format="pyarrow",
+                       batch_size=batch_size), ["g"], "c",
+        n_buckets=n_buckets)
+
+    def _tail(t: pa.Table) -> pa.Table:
+        c = t.column("c").combine_chunks()
+        return pa.table({
+            "n_types": pa.array([t.num_rows], pa.int64()),
+            "n_hapax": pa.array([int(pc.sum(
+                pc.equal(c, 1).cast(pa.int64())).as_py() or 0)],
+                pa.int64())})
+
+    tabs = [ray.get(r) for r in counts.map_batches(
+        _tail, batch_format="pyarrow").to_arrow_refs()]
+    types = sum(int(pc.sum(t.column("n_types")).as_py() or 0)
+                for t in tabs if t.num_rows)
+    hap = sum(int(pc.sum(t.column("n_hapax")).as_py() or 0)
+              for t in tabs if t.num_rows)
+    rate = float(hap) / float(types) if types else None
+    return pa.table({"n_types": pa.array([types], pa.int64()),
+                     "n_hapax": pa.array([hap], pa.int64()),
+                     "hapax_rate": pa.array([rate], pa.float64())})

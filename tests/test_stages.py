@@ -9015,3 +9015,25 @@ class TestLOF:
         assert max(got, key=got.get) == 30
         assert got[30] > 2.0
         assert np.median([v for i, v in got.items() if i != 30]) < 1.5
+
+
+class TestHapaxRate:
+    def test_counts_and_single_division(self):
+        from peri_ray.stages.text import hapax_rate
+
+        texts = ["a b c a b c", "a b c d e", None, "x"]
+        # trigrams: "a b c"x2(doc0) +1(doc1)=3, "b c a", "c a b",
+        # "b c d", "c d e"; doc3 too short
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        got = hapax_rate(rd.from_arrow(t).repartition(2),
+                         n=3).to_pylist()[0]
+        assert got["n_types"] == 5
+        assert got["n_hapax"] == 4
+        assert got["hapax_rate"] == 4.0 / 5.0
+
+    def test_empty_corpus(self):
+        from peri_ray.stages.text import hapax_rate
+
+        t = pa.table({"text": pa.array([None, "one two"], pa.string())})
+        got = hapax_rate(rd.from_arrow(t), n=3).to_pylist()[0]
+        assert got == {"n_types": 0, "n_hapax": 0, "hapax_rate": None}
