@@ -169,6 +169,67 @@ def _greedy_cov_sql(k: int) -> str:
 
 
 
+def _mmr_sql(k_sel: int) -> str:
+    """Unrolled MMR twin over the bit-exact BM25 CTE: candidates =
+    top-10 by (score desc, id), pairwise word-bigram Jaccard, then
+    k_sel greedy rounds of 0.5*score - 0.5*max-sim-to-selected."""
+    rounds = []
+    for i in range(2, k_sel + 1):
+        rounds.append(f"""g{i} AS MATERIALIZED (
+              SELECT c.doc_id, c.score,
+                     0.5 * c.score - 0.5 * max(j.j) AS obj
+                FROM cand c JOIN jac j ON j.ia = c.doc_id
+                     AND j.ib IN (SELECT doc_id FROM sel{i-1})
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i-1})
+               GROUP BY c.doc_id, c.score),
+            w{i} AS MATERIALIZED (SELECT doc_id, obj FROM g{i}
+                    ORDER BY obj DESC, doc_id LIMIT 1),
+            sel{i} AS MATERIALIZED (SELECT doc_id FROM sel{i-1}
+                       UNION ALL SELECT doc_id FROM w{i})""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, doc_id,"
+        f" ROUND(obj, 6) AS obj FROM w{i}" for i in range(1, k_sel + 1))
+    return ("WITH " + _bm25_ranked_cte("m", ("spark", "window", "merge"),
+                                       10) + r""",
+            cand AS MATERIALIZED (SELECT r.doc_id, s.score
+                       FROM mranked r JOIN mscored s USING (doc_id)),
+            ctoks AS (
+              SELECT d.doc_id,
+                     regexp_split_to_array(trim(d.text), '\s+') AS ws
+                FROM documents d JOIN cand USING (doc_id)
+               WHERE d.text IS NOT NULL),
+            cgrams AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(ws) - 1),
+                          i -> ws[i+1] || ' ' || ws[i+2])) AS g
+                  FROM ctoks WHERE len(ws) >= 2)),
+            sizes AS (SELECT c.doc_id, COALESCE(g.m, 0) AS m
+                        FROM cand c LEFT JOIN (
+                          SELECT doc_id, count(*) AS m
+                            FROM cgrams GROUP BY 1) g USING (doc_id)),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                             count(*) AS i
+                        FROM cgrams a JOIN cgrams b
+                          ON a.g = b.g AND a.doc_id <> b.doc_id
+                       GROUP BY 1, 2),
+            jac AS MATERIALIZED (SELECT c1.doc_id AS ia, c2.doc_id AS ib,
+                           COALESCE(CAST(i.i AS DOUBLE)
+                             / CAST(s1.m + s2.m - i.i AS DOUBLE), 0.0)
+                             AS j
+                      FROM cand c1 JOIN cand c2
+                        ON c1.doc_id <> c2.doc_id
+                      JOIN sizes s1 ON s1.doc_id = c1.doc_id
+                      JOIN sizes s2 ON s2.doc_id = c2.doc_id
+                      LEFT JOIN inter i ON i.ia = c1.doc_id
+                           AND i.ib = c2.doc_id),
+            w1 AS MATERIALIZED (SELECT doc_id, 0.5 * score AS obj FROM cand
+                   ORDER BY score DESC, doc_id LIMIT 1),
+            sel1 AS MATERIALIZED (SELECT doc_id FROM w1),
+            """ + ",\n            ".join(rounds)
+            + "\n            " + finals)
+
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     from peri_ray.pipelines.queries import flagship_documents
@@ -497,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pairs_docs": q.cooccurrence_pairs_docs,
         "lof_outliers_embeddings": q.lof_outliers_embeddings,
         "hapax_rate_documents": q.hapax_rate_documents,
+        "mmr_reranked_docs": q.mmr_reranked_docs,
     }
 
 
@@ -4790,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
                         AND (o.value > r.value OR o.ts_us > r.ts_us))
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
+        "mmr_reranked_docs": _mmr_sql(5),
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,
                               CAST(count(*) AS BIGINT) AS n

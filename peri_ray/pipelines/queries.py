@@ -6383,3 +6383,17 @@ def hapax_rate_documents(sf_dir: str):
     from peri_ray.stages.text import hapax_rate
 
     return hapax_rate(_read(sf_dir, "documents", ["text"]), n=3)
+
+
+def mmr_reranked_docs(sf_dir: str):
+    """MMR diversity re-ranking (text.mmr_rerank, λ=0.5): BM25
+    top-10 candidates for a fixed query, greedily re-ranked to 5 by
+    relevance minus max word-bigram Jaccard to the already-selected —
+    the RAG diversification step.  The oracle unrolls the identical
+    greedy over the same bit-exact BM25 scores and the literal
+    candidate-pair Jaccard matrix."""
+    from peri_ray.stages.text import mmr_rerank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return mmr_rerank(ds, ["spark", "window", "merge"],
+                      k_candidates=10, k_select=5, lam=0.5)

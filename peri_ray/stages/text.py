@@ -3093,3 +3093,92 @@ def hapax_rate(ds, n: int = 3, text_col: str = "text",
     return pa.table({"n_types": pa.array([types], pa.int64()),
                      "n_hapax": pa.array([hap], pa.int64()),
                      "hapax_rate": pa.array([rate], pa.float64())})
+
+
+def mmr_rerank(ds, terms: list[str], k_candidates: int = 10,
+               k_select: int = 5, lam: float = 0.5,
+               text_col: str = "text", id_col: str = "doc_id",
+               round_to: int = 6) -> pa.Table:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): fetch the BM25 top-``k_candidates`` for a bag-of-words
+    query, then greedily select ``k_select`` of them maximizing
+    ``lam·relevance − (1−lam)·max-similarity-to-already-selected`` —
+    the diversity-aware retrieval step RAG stacks put between recall
+    and the context window.
+
+    Shape: the candidate fetch is the streaming two-pass
+    :func:`bm25_topk` (zero shuffles); ONE broadcast-filter pass pulls
+    the k candidate texts to the driver (bounded by k, never the
+    corpus); the greedy loop runs driver-side over the k×k word-bigram
+    Jaccard matrix (k ≤ tens — this is a post-retrieval re-ranker, not
+    a corpus operator).  Gram sets use the engine's own
+    :func:`flat_tokens`/:func:`word_ngrams` kernels, so the SQL twin's
+    tokenizer is byte-identical; ``lam`` should be dyadic (0.5) and
+    the emitted objective is one fixed-order float expression per row,
+    rounded half-away.
+
+    Returns (step, id, obj); step 1's obj is ``lam·score`` (no
+    diversity term yet, the standard convention)."""
+    cand = bm25_topk(ds, terms, k=k_candidates, text_col=text_col,
+                     id_col=id_col)
+    empty = pa.table({"step": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "obj": pa.array([], pa.float64())})
+    if cand.num_rows == 0:
+        return empty
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    scores = cand.column("score").to_numpy(zero_copy_only=False)
+    idset = pa.array([int(i) for i in ids], pa.int64())
+
+    def _pick(t: pa.Table) -> pa.Table:
+        col = t.column(id_col).combine_chunks().cast(pa.int64())
+        return t.filter(pc.is_in(col, value_set=idset)).select(
+            [id_col, text_col])
+
+    rows = ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    texts = {int(r[id_col]): r[text_col] for r in rows}
+
+    # per-candidate DISTINCT bigram sets through the engine's own
+    # tokenizer kernels (no python re — the \s-class parity pitfall)
+    gram_sets: dict[int, frozenset] = {}
+    tarr = pa.array([texts.get(int(i)) for i in ids], pa.string())
+    flat, lens = flat_tokens(pc.fill_null(tarr, ""))
+    gram, doc_idx, _ = word_ngrams(flat, lens, 2)
+    gl = gram.to_pylist()
+    for i in range(len(ids)):
+        gram_sets[int(ids[i])] = frozenset(
+            g for g, d in zip(gl, doc_idx) if d == i)
+
+    def _jac(a: int, b: int) -> float:
+        sa, sb = gram_sets[a], gram_sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return float(inter) / float(union) if union else 0.0
+
+    order = np.lexsort((ids, -scores))
+    ids, scores = ids[order], scores[order]
+    sel: list[int] = []
+    out_steps, out_ids, out_obj = [], [], []
+    for step in range(1, min(k_select, len(ids)) + 1):
+        best_id, best_obj = None, None
+        for i in range(len(ids)):
+            did = int(ids[i])
+            if did in sel:
+                continue
+            if step == 1:
+                obj = lam * float(scores[i])
+            else:
+                mj = max(_jac(did, s) for s in sel)
+                obj = lam * float(scores[i]) - (1.0 - lam) * mj
+            if best_obj is None or obj > best_obj or (
+                    obj == best_obj and did < best_id):
+                best_id, best_obj = did, obj
+        sel.append(best_id)
+        out_steps.append(step)
+        out_ids.append(best_id)
+        out_obj.append(best_obj)
+    obj_arr = pc.round(pa.array(out_obj, pa.float64()), round_to,
+                       round_mode="half_towards_infinity")
+    return pa.table({"step": pa.array(out_steps, pa.int64()),
+                     id_col: pa.array(out_ids, pa.int64()),
+                     "obj": obj_arr})

@@ -9037,3 +9037,43 @@ class TestHapaxRate:
         t = pa.table({"text": pa.array([None, "one two"], pa.string())})
         got = hapax_rate(rd.from_arrow(t), n=3).to_pylist()[0]
         assert got == {"n_types": 0, "n_hapax": 0, "hapax_rate": None}
+
+
+class TestMMRRerank:
+    def test_diversity_displaces_redundant_candidate(self):
+        from peri_ray.stages.text import mmr_rerank
+
+        # docs 1/2 exact duplicates (jaccard 1.0), both top-relevant;
+        # at lam=0.2 the diversity penalty displaces the duplicate, so
+        # step 2 must take the diverse doc 3 instead of doc 2
+        texts = {
+            1: "spark window merge spark window merge",
+            2: "spark window merge spark window merge",
+            3: "spark alpha beta gamma delta",
+            4: "unrelated words entirely here",
+        }
+        t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                      "text": pa.array(list(texts.values()),
+                                       pa.string())})
+        got = mmr_rerank(rd.from_arrow(t).repartition(2),
+                         ["spark", "window", "merge"],
+                         k_candidates=4, k_select=3, lam=0.2)
+        ids = got.column("doc_id").to_pylist()
+        assert got.column("step").to_pylist() == [1, 2, 3]
+        assert ids[0] == 1               # most relevant, tie -> min id
+        assert ids[1] == 3               # diversity beats the duplicate
+        # at lam=1.0 (pure relevance) the duplicate wins step 2 instead
+        pure = mmr_rerank(rd.from_arrow(t), ["spark", "window", "merge"],
+                          k_candidates=4, k_select=2, lam=1.0)
+        assert pure.column("doc_id").to_pylist()[1] == 2
+
+    def test_fewer_candidates_than_k_select(self):
+        from peri_ray.stages.text import mmr_rerank
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["spark a", "nothing"],
+                                       pa.string())})
+        got = mmr_rerank(rd.from_arrow(t), ["spark"],
+                         k_candidates=5, k_select=4)
+        assert got.num_rows == 1          # only one scoring candidate
+        assert got.column("doc_id").to_pylist() == [1]
