@@ -828,3 +828,54 @@ def compact_parquet_binned(in_dir: str, out_dir: str,
     return {"files_in": len(sizes), "files_out": len(bins),
             "rows": int(sum(b["rows"] for b in out_bins.values())),
             "skipped": skipped}
+
+
+def read_table_evolved(paths: list[str],
+                       target_schema: pa.Schema | None = None,
+                       columns: list[str] | None = None):
+    """Union-by-name read across parquet files whose schemas EVOLVED
+    between crawl snapshots: missing columns null-fill, new columns
+    appear, and compatible dtypes promote (int32 -> int64,
+    float32 -> double) — the reader a multi-year 100 TB crawl needs,
+    since Ray's plain ``read_parquet`` refuses mixed footers.
+
+    The target schema comes from the file FOOTERS only
+    (``pa.unify_schemas(..., promote_options='permissive')`` — a
+    metadata pass, no data read), or pass one explicitly to pin the
+    contract.  Each file reads pruned to the requested columns it
+    actually has, then one vectorized conform pass pads + casts per
+    batch; files stream independently and union lazily (no barrier).
+
+    Incompatible same-name dtypes (string vs int) raise at plan time —
+    loudly, not as a mid-read task failure."""
+    import functools
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if target_schema is None:
+        footers = [pq.read_schema(p).remove_metadata() for p in paths]
+        target_schema = pa.unify_schemas(footers,
+                                         promote_options="permissive")
+    if columns is not None:
+        target_schema = pa.schema(
+            [target_schema.field(c) for c in columns])
+    names = target_schema.names
+
+    def _conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target_schema:
+            if f.name in t.column_names:
+                cols.append(t.column(f.name).combine_chunks()
+                            .cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(names, cols)))
+
+    parts = []
+    for p in paths:
+        have = [c for c in names if c in set(pq.read_schema(p).names)]
+        parts.append(
+            read_table(p, columns=have or None).map_batches(
+                _conform, batch_format="pyarrow"))
+    return functools.reduce(lambda a, b: a.union(b), parts)

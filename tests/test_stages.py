@@ -9077,3 +9077,63 @@ class TestMMRRerank:
                          k_candidates=5, k_select=4)
         assert got.num_rows == 1          # only one scoring candidate
         assert got.column("doc_id").to_pylist() == [1]
+
+
+class TestEvolvedReader:
+    def test_union_by_name_pad_and_promote(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from peri_ray.sources import read_table_evolved
+
+        a = tmp_path / "a.parquet"
+        b = tmp_path / "b.parquet"
+        c = tmp_path / "c.parquet"
+        pq.write_table(pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+            "v": pa.array([1.5, 2.5], pa.float32())}), a)
+        pq.write_table(pa.table({
+            "id": pa.array([3], pa.int64()),
+            "w": pa.array(["x"], pa.string())}), b)
+        pq.write_table(pa.table({
+            "id": pa.array([4], pa.int64()),
+            "v": pa.array([4.0], pa.float64()),
+            "w": pa.array(["y"], pa.string())}), c)
+        ds = read_table_evolved([str(a), str(b), str(c)])
+        t = pa.Table.from_pylist(ds.take_all())
+        rows = sorted(t.to_pylist(), key=lambda r: r["id"])
+        assert rows == [
+            {"id": 1, "v": 1.5, "w": None},
+            {"id": 2, "v": 2.5, "w": None},
+            {"id": 3, "v": None, "w": "x"},
+            {"id": 4, "v": 4.0, "w": "y"},
+        ]
+        sch = {f.name: f.type for f in read_table_evolved(
+            [str(a), str(b), str(c)]).schema().base_schema}
+        assert sch["id"] == pa.int64() and sch["v"] == pa.float64()
+
+    def test_column_pruning_and_explicit_target(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from peri_ray.sources import read_table_evolved
+
+        a = tmp_path / "a.parquet"
+        pq.write_table(pa.table({"id": pa.array([1], pa.int32()),
+                                 "v": pa.array([2], pa.int64())}), a)
+        ds = read_table_evolved([str(a)], columns=["id"])
+        assert ds.take_all() == [{"id": 1}]
+        tgt = pa.schema([("id", pa.int64()), ("z", pa.string())])
+        ds2 = read_table_evolved([str(a)], target_schema=tgt)
+        assert ds2.take_all() == [{"id": 1, "z": None}]
+
+    def test_incompatible_dtypes_raise_at_plan_time(self, tmp_path):
+        import pyarrow.parquet as pq
+        import pytest
+
+        from peri_ray.sources import read_table_evolved
+
+        a = tmp_path / "a.parquet"
+        b = tmp_path / "b.parquet"
+        pq.write_table(pa.table({"v": pa.array([1], pa.int64())}), a)
+        pq.write_table(pa.table({"v": pa.array(["s"], pa.string())}), b)
+        with pytest.raises(Exception):
+            read_table_evolved([str(a), str(b)])
