@@ -395,6 +395,20 @@ def run_bench() -> dict:
           lambda: q.bucketed_agg_lineitem(SF_DIR).to_pandas())
     timed("trending_terms",
           lambda: q.trending_terms_monthly(SF_DIR).to_pandas())
+    timed("pareto_skyline",
+          lambda: q.pareto_events(SF_DIR).to_pandas())
+    timed("greedy_coverage",
+          lambda: q.coverage_selected_docs(SF_DIR).to_pandas())
+    timed("join_size_probe",
+          lambda: q.join_size_probe(SF_DIR).to_pandas())
+    timed("term_cooccurrence",
+          lambda: q.cooccurrence_pairs_docs(SF_DIR).to_pandas())
+    timed("lof_outliers",
+          lambda: q.lof_outliers_embeddings(SF_DIR).to_pandas())
+    timed("hapax_rate",
+          lambda: q.hapax_rate_documents(SF_DIR).to_pandas())
+    timed("mmr_rerank",
+          lambda: q.mmr_reranked_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
