@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lof_outliers_embeddings": q.lof_outliers_embeddings,
         "hapax_rate_documents": q.hapax_rate_documents,
         "mmr_reranked_docs": q.mmr_reranked_docs,
+        "weighted_len_quantiles_docs": q.weighted_len_quantiles_docs,
     }
 
 
@@ -4853,6 +4854,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
         "mmr_reranked_docs": _mmr_sql(5),
+        "weighted_len_quantiles_docs": """
+            WITH t AS (
+              SELECT n_chars AS v,
+                     CAST(len(regexp_split_to_array(trim(text),
+                              '\\s+')) AS BIGINT) AS w
+                FROM documents
+               WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t),
+            c AS (SELECT CAST(v AS BIGINT) AS v,
+                         CAST(sum(w) AS BIGINT) AS w
+                    FROM t GROUP BY 1),
+            cum AS (SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT)
+                             AS cw FROM c)
+            SELECT CAST(n AS DOUBLE) / 8.0 AS q,
+                   (SELECT min(v) FROM cum CROSS JOIN tot
+                     WHERE 8 * cw >= n * tw) AS n_chars
+              FROM (VALUES (2), (4), (7)) AS qs(n)
+        """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,
                               CAST(count(*) AS BIGINT) AS n

@@ -6397,3 +6397,31 @@ def mmr_reranked_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return mmr_rerank(ds, ["spark", "window", "merge"],
                       k_candidates=10, k_select=5, lam=0.5)
+
+
+def weighted_len_quantiles_docs(sf_dir: str):
+    """Token-weighted doc-length percentiles
+    (stats.weighted_quantiles, q ∈ {1/4, 1/2, 7/8}): the n_chars
+    below which that fraction of the corpus's TOKENS lives — the
+    packing-mix view of length (the unweighted median doc
+    misrepresents token mass).  Pure-integer selection rule
+    (8·cumw ≥ n·totw) on both engines."""
+    from peri_ray.stages.stats import weighted_quantiles
+    from peri_ray.stages.text import flat_tokens
+
+    def _wf(t: pa.Table):
+        import numpy as np
+
+        txt = t.column("text").combine_chunks()
+        _, lens = flat_tokens(pc.fill_null(txt, ""))
+        valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        return np.where(valid, lens, 0)
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def _drop_nulltext(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("text").combine_chunks()))
+
+    return weighted_quantiles(
+        ds.map_batches(_drop_nulltext, batch_format="pyarrow"),
+        "n_chars", None, qs_eighths=(2, 4, 7), weight_fn=_wf)

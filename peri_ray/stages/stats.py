@@ -2562,3 +2562,69 @@ def skyline(ds, criteria: dict[str, str], payload_cols: list[str],
                             promote_options="default").combine_chunks()
     idx = skyline_indices(_matrix(cand), max_skyline)
     return cand.take(pa.array(np.sort(idx)))
+
+
+def weighted_quantiles(ds, value_col: str, weight_col: str | None,
+                       qs_eighths=(2, 4, 7), weight_fn=None,
+                       batch_size: int | None = 65536,
+                       max_distinct: int = 100_000) -> pa.Table:
+    """EXACT weighted percentile_disc: for each q, the smallest value
+    v whose cumulative WEIGHT reaches q of the total — e.g. the doc
+    length below which half the corpus's TOKENS live (the
+    packing-relevant length percentile, where the unweighted median
+    doc badly misrepresents the token mass).
+
+    Quantiles are given in EIGHTHS (q = n/8) so the selection rule is
+    pure integer arithmetic on both engines: pick min v with
+    ``8·cumw ≥ n·totw`` — no float threshold can drift a boundary row.
+    Weights must be non-negative integers (token counts, bytes).
+
+    Shape: per-batch (value, weight-sum) partials → ONE bucketed sum
+    exchange → driver selection over DISTINCT values only (raises
+    past ``max_distinct``, mirroring :func:`exact_quantiles`).  Rows
+    with a null value are excluded; ``weight_fn(table) -> int array``
+    lets the weight be derived (e.g. a token count) instead of read."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _part(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).combine_chunks()
+        if weight_fn is not None:
+            w = pa.array(np.asarray(weight_fn(t), np.int64))
+        else:
+            w = t.column(weight_col).combine_chunks().cast(pa.int64())
+        sub = pa.table({"v": v.cast(pa.int64()), "w": w}).filter(
+            pc.and_(pc.is_valid(v), pc.is_valid(w)))
+        g = sub.group_by("v").aggregate([("w", "sum")])
+        return g.rename_columns(["v", "w"])
+
+    counts = grouped_sum_via_buckets(
+        ds.map_batches(_part, batch_format="pyarrow",
+                       batch_size=batch_size), ["v"], "w")
+    tabs = [ray.get(r) for r in counts.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    empty = pa.table({"q": pa.array([], pa.float64()),
+                      value_col: pa.array([], pa.int64())})
+    if not tabs:
+        return empty
+    m = pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("v", "ascending")])
+    if m.num_rows > max_distinct:
+        raise ValueError(
+            f"weighted_quantiles: {m.num_rows} distinct values exceeds "
+            f"max_distinct={max_distinct}; use a KLL sketch for "
+            "continuous domains")
+    v = m.column("v").to_numpy(zero_copy_only=False)
+    w = m.column("w").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(w)
+    tot = int(cum[-1]) if len(cum) else 0
+    if tot <= 0:
+        return empty
+    out_q, out_v = [], []
+    for n in qs_eighths:
+        idx = int(np.searchsorted(8 * cum, n * tot, side="left"))
+        out_q.append(float(n) / 8.0)
+        out_v.append(int(v[min(idx, len(v) - 1)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     value_col: pa.array(out_v, pa.int64())})

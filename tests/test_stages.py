@@ -9137,3 +9137,49 @@ class TestEvolvedReader:
         pq.write_table(pa.table({"v": pa.array(["s"], pa.string())}), b)
         with pytest.raises(Exception):
             read_table_evolved([str(a), str(b)])
+
+
+class TestWeightedQuantiles:
+    def test_matches_brute_force_weighted_disc(self):
+        import numpy as np
+
+        from peri_ray.stages.stats import weighted_quantiles
+
+        rng = np.random.default_rng(23)
+        v = rng.integers(0, 50, 500)
+        w = rng.integers(0, 9, 500)
+        t = pa.table({"v": pa.array(v, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        got = weighted_quantiles(rd.from_arrow(t).repartition(6),
+                                 "v", "w", qs_eighths=(1, 4, 6))
+        order = np.argsort(v, kind="stable")
+        sv, sw = v[order], w[order]
+        cum = np.cumsum(sw)
+        tot = cum[-1]
+        for q, val in zip(got.column("q").to_pylist(),
+                          got.column("v").to_pylist()):
+            n = int(round(q * 8))
+            idx = int(np.searchsorted(8 * cum, n * tot, side="left"))
+            assert val == sv[idx]
+
+    def test_weight_concentration_moves_the_median(self):
+        from peri_ray.stages.stats import weighted_quantiles
+
+        # 9 rows of value 1 with weight 1; 1 row of value 100 with
+        # weight 91 -> weighted median is 100, unweighted would be 1
+        t = pa.table({"v": pa.array([1] * 9 + [100], pa.int64()),
+                      "w": pa.array([1] * 9 + [91], pa.int64())})
+        got = weighted_quantiles(rd.from_arrow(t), "v", "w",
+                                 qs_eighths=(4,))
+        assert got.to_pylist() == [{"q": 0.5, "v": 100}]
+
+    def test_distinct_cap_raises(self):
+        import pytest
+
+        from peri_ray.stages.stats import weighted_quantiles
+
+        t = pa.table({"v": pa.array(range(100), pa.int64()),
+                      "w": pa.array([1] * 100, pa.int64())})
+        with pytest.raises(ValueError, match="max_distinct"):
+            weighted_quantiles(rd.from_arrow(t), "v", "w",
+                               max_distinct=10)
