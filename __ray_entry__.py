@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate_documents": q.hapax_rate_documents,
         "mmr_reranked_docs": q.mmr_reranked_docs,
         "weighted_len_quantiles_docs": q.weighted_len_quantiles_docs,
+        "source_ablation_report": q.source_ablation_report,
     }
 
 
@@ -4871,6 +4872,40 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT min(v) FROM cum CROSS JOIN tot
                      WHERE 8 * cw >= n * tw) AS n_chars
               FROM (VALUES (2), (4), (7)) AS qs(n)
+        """,
+        "source_ablation_report": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+                FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+            cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                      FROM toks GROUP BY w),
+            scnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+                       FROM toks GROUP BY 1, 2),
+            tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS t
+                      FROM toks WHERE doc_id % 17 = 0 GROUP BY w),
+            gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                          CAST(sum(c) AS BIGINT) AS tot,
+                          (SELECT CAST(COALESCE(sum(t), 0) AS BIGINT)
+                             FROM tgt) AS ntgt
+                     FROM cnt),
+            st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+                     FROM scnt GROUP BY 1),
+            q AS (SELECT s.source, tg.w, tg.t, g.ntgt,
+                         CAST(round(1e6 * ln(
+                           CAST(c.c - COALESCE(sc.cs, 0) + 1 AS DOUBLE)
+                           / CAST(g.tot - s.ts + g.v AS DOUBLE)))
+                           AS BIGINT) AS qv
+                    FROM st s CROSS JOIN gl g
+                    JOIN tgt tg ON TRUE
+                    JOIN cnt c ON c.w = tg.w
+                    LEFT JOIN scnt sc
+                      ON sc.source = s.source AND sc.w = tg.w)
+            SELECT source, ntgt AS n_target_tokens,
+                   CAST(-sum(t * qv) AS BIGINT) AS nll_micro
+              FROM q GROUP BY 1, 2
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

@@ -6425,3 +6425,16 @@ def weighted_len_quantiles_docs(sf_dir: str):
     return weighted_quantiles(
         ds.map_batches(_drop_nulltext, batch_format="pyarrow"),
         "n_chars", None, qs_eighths=(2, 4, 7), weight_fn=_wf)
+
+
+def source_ablation_report(sf_dir: str):
+    """Leave-one-source-out unigram ablation
+    (text.source_ablation_nll): per-source NLL of the fixed target
+    slice under the model trained without that source — the cheap
+    influence/data-valuation signal for corpus mixing.  Integer
+    micro-nat NLLs (per-term quantization before the weighted sum),
+    so the oracle hash-matches exactly."""
+    from peri_ray.stages.text import source_ablation_nll
+
+    return source_ablation_nll(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]))

@@ -3182,3 +3182,106 @@ def mmr_rerank(ds, terms: list[str], k_candidates: int = 10,
     return pa.table({"step": pa.array(out_steps, pa.int64()),
                      id_col: pa.array(out_ids, pa.int64()),
                      "obj": obj_arr})
+
+
+def source_ablation_nll(ds, text_col: str = "text",
+                        source_col: str = "source",
+                        id_col: str = "doc_id", target_mod: int = 17,
+                        n_buckets: int = 64,
+                        max_model_cells: int = 2_000_000,
+                        batch_size: int | None = 8192) -> pa.Table:
+    """Leave-one-source-out data valuation: for every source s, the
+    unigram-LM negative log likelihood of a fixed target slice
+    (``id % target_mod == 0``) under the model trained WITHOUT s —
+    sources whose removal RAISES target NLL are the ones the target
+    distribution depends on (the cheap ablation form of influence /
+    DSIR-style source weighting).
+
+    Laplace α=1 over the FIXED full-corpus vocabulary V for every
+    ablation (so only counts move, not the smoothing denominator's
+    support): p_{-s}(w) = (c(w) − c_s(w) + 1) / (T − T_s + V).  Every
+    per-(source, word) log term quantizes to integer micro-nats
+    BEFORE the target-weighted sum, so the emitted NLL is an
+    order-free BIGINT (the _DSIR twin convention).
+
+    Shape: ONE (source, word) bucketed count exchange (global and
+    target counts derive from it on the driver); the driver model is
+    bounded by sources × vocab and raises past ``max_model_cells``.
+    Returns (source, n_target_tokens, nll_micro)."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _counts(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        sub = t.filter(pc.and_(pc.is_valid(txt),
+                               pc.is_valid(t.column(source_col)
+                                           .combine_chunks())))
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "w": pa.array([], pa.string()),
+                          "is_tgt": pa.array([], pa.int8()),
+                          "c": pa.array([], pa.int64())})
+        if sub.num_rows == 0:
+            return empty
+        flat, lens = flat_tokens(sub.column(text_col))
+        idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        ids = (sub.column(id_col).combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        tgt = (ids % target_mod == 0).astype(np.int8)
+        g = (pa.table({
+            "source": sub.column(source_col).combine_chunks()
+                         .take(pa.array(idx)),
+            "w": flat,
+            "is_tgt": pa.array(tgt[idx])})
+            .group_by(["source", "w", "is_tgt"])
+            .aggregate([([], "count_all")]))
+        return g.rename_columns(["source", "w", "is_tgt", "c"])
+
+    cells = grouped_sum_via_buckets(
+        ds.map_batches(_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["source", "w", "is_tgt"], "c", n_buckets=n_buckets)
+    tabs = [ray.get(r) for r in cells.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_target_tokens": pa.array([], pa.int64()),
+                         "nll_micro": pa.array([], pa.int64())})
+    m = pa.concat_tables(tabs).combine_chunks()
+    if m.num_rows > max_model_cells:
+        raise ValueError(
+            f"source_ablation_nll: {m.num_rows} (source, word) cells "
+            f"exceed max_model_cells={max_model_cells}")
+    src = m.column("source").to_pylist()
+    wl = m.column("w").to_pylist()
+    cl = m.column("c").to_numpy(zero_copy_only=False)
+    # global word counts, per-source word counts, target word counts
+    cnt: dict[str, int] = {}
+    scnt: dict[tuple, int] = {}
+    tcnt: dict[str, int] = {}
+    ts: dict[str, int] = {}
+    for s, w, c, it in zip(src, wl, cl,
+                           m.column("is_tgt").to_pylist()):
+        c = int(c)
+        cnt[w] = cnt.get(w, 0) + c
+        scnt[(s, w)] = scnt.get((s, w), 0) + c
+        ts[s] = ts.get(s, 0) + c
+        if it:
+            tcnt[w] = tcnt.get(w, 0) + c
+    v = len(cnt)
+    tot = sum(cnt.values())
+    n_tgt = sum(tcnt.values())
+    import math
+    out_s, out_nll = [], []
+    for s in sorted(ts):
+        nll = 0
+        denom = float(tot - ts[s] + v)
+        for w, t in tcnt.items():
+            num = float(cnt[w] - scnt.get((s, w), 0) + 1)
+            nll -= t * int(round(1e6 * math.log(num / denom)))
+        out_s.append(s)
+        out_nll.append(nll)
+    return pa.table({
+        "source": pa.array(out_s, pa.string()),
+        "n_target_tokens": pa.array([n_tgt] * len(out_s), pa.int64()),
+        "nll_micro": pa.array(out_nll, pa.int64())})

@@ -9183,3 +9183,61 @@ class TestWeightedQuantiles:
         with pytest.raises(ValueError, match="max_distinct"):
             weighted_quantiles(rd.from_arrow(t), "v", "w",
                                max_distinct=10)
+
+
+class TestSourceAblation:
+    def test_dependent_source_raises_target_nll(self):
+        from peri_ray.stages.text import source_ablation_nll
+
+        # target docs (id % 17 == 0 -> ids 0, 17) speak "rare" words
+        # that only srcA provides elsewhere; ablating srcA must yield
+        # the max NLL
+        rows = [
+            (0, "srcA", "rare words rare words"),    # target
+            (17, "srcB", "rare words common stuff"),  # target
+            (1, "srcA", "rare words rare rare"),
+            (2, "srcB", "common stuff common stuff"),
+            (3, "srcC", "common stuff things"),
+        ]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string())})
+        got = {r["source"]: r["nll_micro"]
+               for r in source_ablation_nll(
+                   rd.from_arrow(t).repartition(2)).to_pylist()}
+        assert set(got) == {"srcA", "srcB", "srcC"}
+        assert got["srcA"] == max(got.values())
+
+    def test_matches_reference_formula(self):
+        import math
+        from collections import Counter
+
+        from peri_ray.stages.text import source_ablation_nll
+
+        import numpy as np
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(9)]
+        rows = [(i, f"s{i % 3}",
+                 " ".join(rng.choice(vocab, size=6))) for i in range(40)]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string())})
+        got = {r["source"]: r["nll_micro"]
+               for r in source_ablation_nll(
+                   rd.from_arrow(t).repartition(3)).to_pylist()}
+        cnt, scnt, tcnt = Counter(), Counter(), Counter()
+        for i, s, txt in rows:
+            for w in txt.split():
+                cnt[w] += 1
+                scnt[(s, w)] += 1
+                if i % 17 == 0:
+                    tcnt[w] += 1
+        v, tot = len(cnt), sum(cnt.values())
+        for s in {r[1] for r in rows}:
+            ts = sum(c for (s2, _), c in scnt.items() if s2 == s)
+            want = -sum(c * int(round(1e6 * math.log(
+                float(cnt[w] - scnt.get((s, w), 0) + 1)
+                / float(tot - ts + v)))) for w, c in tcnt.items())
+            assert got[s] == want
