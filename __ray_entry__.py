@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_reranked_docs": q.mmr_reranked_docs,
         "weighted_len_quantiles_docs": q.weighted_len_quantiles_docs,
         "source_ablation_report": q.source_ablation_report,
+        "monotonic_violations_events": q.monotonic_violations_events,
     }
 
 
@@ -4906,6 +4907,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, ntgt AS n_target_tokens,
                    CAST(-sum(t * qv) AS BIGINT) AS nll_micro
               FROM q GROUP BY 1, 2
+        """,
+        "monotonic_violations_events": """
+            WITH o AS (
+              SELECT user_id, value,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pv
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE value IS NOT NULL
+                        AND pv IS NOT NULL) AS BIGINT) AS n_steps,
+                   CAST(count(*) FILTER (WHERE value < pv) AS BIGINT)
+                     AS n_decreases
+              FROM o GROUP BY 1
+            HAVING count(*) FILTER (WHERE value < pv) > 0
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

@@ -6438,3 +6438,16 @@ def source_ablation_report(sf_dir: str):
 
     return source_ablation_nll(
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
+def monotonic_violations_events(sf_dir: str):
+    """Per-key monotonicity constraint (temporal.monotonic_violations):
+    users whose event values ever DECREASE along (ts, event_id) order,
+    with exact comparable-step and decrease counts — the
+    sequence-shaped validation rule.  Oracle: lag() window with
+    matching null semantics."""
+    from peri_ray.stages.temporal import monotonic_violations
+
+    return monotonic_violations(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        "user_id", ["ts", "event_id"], "value")

@@ -1808,3 +1808,67 @@ def ewma_daily_counts(ds, ts_col: str = "ts", alpha_den: int = 8,
         "dev": pa.array(dvs, pa.float64()),
         "flag": pa.array(fls, pa.bool_()),
     })
+
+
+def monotonic_violations(ds, key_col: str, order_cols: list[str],
+                         col: str, strict: bool = False,
+                         n_buckets: int = 64):
+    """Per-key monotonicity CONSTRAINT check: for each key, how many
+    adjacent steps (in ``order_cols`` order) DECREASE ``col`` — the
+    sequence-shaped validation rule (version counters, cumulative
+    byte counts, capture sizes) that per-record predicates cannot
+    express.  ``strict=True`` also counts equal steps as violations
+    (strictly-increasing contract).
+
+    One key-bucketed exchange (the lag_column shape), per-bucket
+    lexsort + run-fenced previous-value compare, then a per-key
+    vectorized aggregate inside the same bucket — output is one row
+    per key WITH violations: (key, n_steps, n_decreases).  Steps
+    where either side is null are not comparable and count toward
+    neither; keys with no violation emit nothing (the violations-
+    Dataset convention)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _check(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(key_col, "ascending")]
+                          + [(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        empty = pa.table({key_col: pa.array([], g.column(key_col).type),
+                          "n_steps": pa.array([], pa.int64()),
+                          "n_decreases": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        keys = g.column(key_col).combine_chunks()
+        v = g.column(col).combine_chunks()
+        same = np.zeros(n, bool)
+        same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .fill_null(False).to_numpy(zero_copy_only=False)
+        nulls = pc.is_null(keys).to_numpy(zero_copy_only=False)
+        same[1:] |= nulls[1:] & nulls[:-1]
+        cur, prev = v.slice(1), v.slice(0, n - 1)
+        cmp = pc.less(cur, prev) if not strict else \
+            pc.less_equal(cur, prev)
+        both = pc.and_(pc.is_valid(cur), pc.is_valid(prev)) \
+            .to_numpy(zero_copy_only=False)
+        step = same[1:] & both
+        dec = step & pc.fill_null(cmp, False).to_numpy(
+            zero_copy_only=False)
+        run_start = np.flatnonzero(~same)
+        seg = np.repeat(np.arange(len(run_start)),
+                        np.diff(np.append(run_start, n)))
+        n_keys = len(run_start)
+        steps = np.zeros(n_keys, np.int64)
+        decs = np.zeros(n_keys, np.int64)
+        np.add.at(steps, seg[1:][step], 1)
+        np.add.at(decs, seg[1:][dec], 1)
+        m = decs > 0
+        return pa.table({
+            key_col: keys.take(pa.array(run_start[m])),
+            "n_steps": pa.array(steps[m]),
+            "n_decreases": pa.array(decs[m])})
+
+    need = list(dict.fromkeys([key_col, *order_cols, col]))
+    pruned = ds.map_batches(lambda t: t.select(need),
+                            batch_format="pyarrow")
+    return map_groups_via_buckets(pruned, [key_col], _check,
+                                  n_buckets=n_buckets)

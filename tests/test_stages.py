@@ -9241,3 +9241,58 @@ class TestSourceAblation:
                 float(cnt[w] - scnt.get((s, w), 0) + 1)
                 / float(tot - ts + v)))) for w, c in tcnt.items())
             assert got[s] == want
+
+
+class TestMonotonicViolations:
+    def _mk(self, rows):
+        return pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "o": pa.array([r[1] for r in rows], pa.int64()),
+            "id": pa.array(range(len(rows)), pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64())})
+
+    def test_counts_and_null_steps(self):
+        from peri_ray.stages.temporal import monotonic_violations
+
+        rows = [
+            (1, 0, 1.0), (1, 1, 2.0), (1, 2, 1.5),   # one decrease
+            (2, 0, 1.0), (2, 1, None), (2, 2, 0.5),  # null not comparable
+            (3, 0, 5.0), (3, 1, 5.0), (3, 2, 6.0),   # clean (non-strict)
+        ]
+        got = {r["k"]: (r["n_steps"], r["n_decreases"])
+               for r in monotonic_violations(
+                   rd.from_arrow(self._mk(rows)).repartition(3),
+                   "k", ["o", "id"], "v").take_all()}
+        assert got == {1: (2, 1)}   # key 2: no comparable decrease;
+        # key 3: equal step allowed when strict=False
+
+    def test_strict_counts_equal_steps(self):
+        from peri_ray.stages.temporal import monotonic_violations
+
+        rows = [(3, 0, 5.0), (3, 1, 5.0), (3, 2, 6.0)]
+        got = monotonic_violations(rd.from_arrow(self._mk(rows)),
+                                   "k", ["o", "id"], "v",
+                                   strict=True).take_all()
+        assert got == [{"k": 3, "n_steps": 2, "n_decreases": 1}]
+
+    def test_order_independence_of_input_layout(self):
+        import numpy as np
+
+        from peri_ray.stages.temporal import monotonic_violations
+
+        rng = np.random.default_rng(9)
+        rows = [(int(rng.integers(0, 12)), int(rng.integers(0, 50)),
+                 float(rng.integers(0, 100))) for _ in range(300)]
+        a = monotonic_violations(rd.from_arrow(self._mk(rows)),
+                                 "k", ["o", "id"], "v").take_all()
+        shuf = [rows[i] for i in rng.permutation(len(rows))]
+        # ids must travel with their rows for identical (o, id) order
+        t = pa.table({
+            "k": pa.array([r[0] for r in shuf], pa.int64()),
+            "o": pa.array([r[1] for r in shuf], pa.int64()),
+            "id": pa.array([rows.index(r) for r in shuf], pa.int64()),
+            "v": pa.array([r[2] for r in shuf], pa.float64())})
+        b = monotonic_violations(rd.from_arrow(t).repartition(7),
+                                 "k", ["o", "id"], "v").take_all()
+        key = lambda r: r["k"]  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
