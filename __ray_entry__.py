@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_len_quantiles_docs": q.weighted_len_quantiles_docs,
         "source_ablation_report": q.source_ablation_report,
         "monotonic_violations_events": q.monotonic_violations_events,
+        "dedup_mutation_robustness": q.dedup_mutation_robustness,
     }
 
 

@@ -6451,3 +6451,75 @@ def monotonic_violations_events(sf_dir: str):
     return monotonic_violations(
         _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
         "user_id", ["ts", "event_id"], "value")
+
+
+def dedup_mutation_robustness(sf_dir: str):
+    """Self-evaluation of the MinHash near-dup pipeline against
+    PLANTED mutations at controlled damage rates: every 5th doc gets
+    a copy with r% of its WORDS deleted at deterministic stride
+    positions (r ∈ {0, 4, 10, 20} — the crawl-noise model:
+    boilerplate shifts and truncations drop tokens, they don't edit
+    inside words), the standard LSH+verify route runs over
+    originals+mutants, and the report gives recall of the planted
+    (orig, mutant) pairs per rate — the measurement that picks
+    shingle size / threshold for a given expected noise level.
+    Rows-only (the approximate route has no SQL twin); structure
+    pinned by TestMutationRobustness."""
+    import numpy as np
+
+    from peri_ray.stages.dedup import (minhash_lsh_candidates,
+                                       verify_candidates)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rates = (0, 4, 10, 20)
+
+    def _with_mutants(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        texts = t.column("text").combine_chunks().to_pylist()
+        out_id, out_tx = list(ids), list(texts)
+        for i, (d, s) in enumerate(zip(ids, texts)):
+            if s is None or d % 5 != 0 or len(s) < 40:
+                continue
+            rate = rates[(d // 5) % len(rates)]
+            ws = s.split(" ")
+            n_del = (len(ws) * rate) // 100
+            if n_del:
+                # deterministic word-deletion positions: stride the doc
+                step = max(1, len(ws) // n_del)
+                drop = set(range(0, len(ws), step)[:n_del])
+                s2 = " ".join(w for j, w in enumerate(ws)
+                              if j not in drop)
+            else:
+                s2 = s
+            out_id.append(int(d) + 10_000_000)
+            out_tx.append(s2)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    corpus = ds.map_batches(_with_mutants, batch_format="pyarrow")
+    cands = minhash_lsh_candidates(corpus, bands=8, num_perm=64,
+                                   dedupe=False)
+    found = {(r["id_a"], r["id_b"]) for r in verify_candidates(
+        corpus, cands, threshold=0.6).take_all()}
+
+    planted: dict[int, set] = {r: set() for r in rates}
+    for row in ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]),
+            batch_format="pyarrow").take_all():
+        d, s = row["doc_id"], row["text"]
+        if s is None or d % 5 != 0 or len(s) < 40:
+            continue
+        planted[rates[(d // 5) % len(rates)]].add(
+            (d, d + 10_000_000))
+    rows = []
+    for r in rates:
+        p = planted[r]
+        f = len(p & found)
+        rows.append((r, len(p), f,
+                     round(f / len(p), 4) if p else None))
+    return pa.table({
+        "rate_pct": pa.array([r[0] for r in rows], pa.int64()),
+        "planted": pa.array([r[1] for r in rows], pa.int64()),
+        "found": pa.array([r[2] for r in rows], pa.int64()),
+        "recall": pa.array([r[3] for r in rows], pa.float64())})

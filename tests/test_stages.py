@@ -9296,3 +9296,20 @@ class TestMonotonicViolations:
                                  "k", ["o", "id"], "v").take_all()
         key = lambda r: r["k"]  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key)
+
+
+class TestMutationRobustness:
+    def test_report_structure_and_monotone_decline(self):
+        from peri_ray.pipelines.queries import dedup_mutation_robustness
+
+        got = dedup_mutation_robustness(
+            "/root/testdata/sf0.001").to_pylist()
+        assert [r["rate_pct"] for r in got] == [0, 4, 10, 20]
+        assert all(r["planted"] > 0 for r in got)
+        by_rate = {r["rate_pct"]: r for r in got}
+        # undamaged copies are exact duplicates -> perfect recall
+        assert by_rate[0]["recall"] == 1.0
+        # recall never recovers as damage grows
+        rec = [r["recall"] for r in got]
+        assert all(a >= b for a, b in zip(rec, rec[1:]))
+        assert all(r["found"] <= r["planted"] for r in got)
