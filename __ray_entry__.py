@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ablation_report": q.source_ablation_report,
         "monotonic_violations_events": q.monotonic_violations_events,
         "dedup_mutation_robustness": q.dedup_mutation_robustness,
+        "orphan_hosts_docs": q.orphan_hosts_docs,
     }
 
 
@@ -4922,6 +4923,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_decreases
               FROM o GROUP BY 1
             HAVING count(*) FILTER (WHERE value < pv) > 0
+        """,
+        "orphan_hosts_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(doc_id % 3),
+                        j -> 'h' || CAST((doc_id*7 + j + 1) % 25
+                             AS VARCHAR) || '.example.com')) AS dst_host
+                FROM documents),
+            e AS (SELECT c.host AS src_host, tg.dst_host
+                    FROM tg JOIN canon c USING (doc_id)),
+            inbound AS (SELECT DISTINCT dst_host FROM e
+                         WHERE src_host <> dst_host),
+            pages AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+                        FROM canon GROUP BY 1)
+            SELECT p.host, p.n_pages
+              FROM pages p LEFT JOIN inbound i ON i.dst_host = p.host
+             WHERE i.dst_host IS NULL
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

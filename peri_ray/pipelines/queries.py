@@ -6523,3 +6523,72 @@ def dedup_mutation_robustness(sf_dir: str):
         "planted": pa.array([r[1] for r in rows], pa.int64()),
         "found": pa.array([r[2] for r in rows], pa.int64()),
         "recall": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def _attach_clustered_link_fixture(t: pa.Table) -> pa.Table:
+    """FIXTURE: like _attach_linked_html_fixture but anchor targets
+    stay inside h0..h24 ((doc_id*7 + j + 1) % 25) — hosts h25..h49 are
+    crawled yet never linked, the planted orphan half the audit must
+    recover from the html bytes."""
+    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    nl = ids_np % 3
+
+    def _anchor(j: int) -> pa.Array:
+        tgt = (ids_np * 7 + j + 1) % 25
+        a = np.char.add(
+            np.char.add('<a href="http://h', tgt.astype(str)),
+            np.char.add(np.char.add(".example.com/p/",
+                                    (ids_np % 20).astype(str)),
+                        '">t</a>'))
+        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
+        pa.scalar("</body></html>"), "")
+    return t.append_column("html", html.cast(pa.binary()))
+
+
+def orphan_hosts_docs(sf_dir: str):
+    """Orphan-host audit: crawled hosts with ZERO inbound links from
+    any OTHER host (the un-navigable corner of the link graph — a
+    crawl-policy / spam-isolation signal).  Outlinks parse out of the
+    html bytes (a broken parser mismatches), inbound-host distinct
+    ships hosts only, and the verdict is one hash-bucketed anti join;
+    under the clustered fixture the odd 25 hosts are planted
+    orphans."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+    from peri_ray.stages.joins import hash_join
+    from peri_ray.stages.web import (canonicalize_urls, extract_outlinks,
+                                     host_of)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
+    hosts = host_of(canonicalize_urls(ds))
+    linked = hosts.map_batches(_attach_clustered_link_fixture,
+                               batch_format="pyarrow").map_batches(
+        lambda t: t.select(["host", "html"]), batch_format="pyarrow")
+    edges = extract_outlinks(linked, html_col="html", id_col="host")
+
+    def _inbound(t: pa.Table) -> pa.Table:
+        from peri_ray.stages.web import href_host
+
+        src = t.column("host").combine_chunks()
+        dst = href_host(t.column("href"))
+        keep = pc.and_(pc.is_valid(dst), pc.not_equal(src, dst))
+        sub = pa.table({"dst_host": dst}).filter(
+            pc.fill_null(keep, False))
+        return sub.group_by("dst_host").aggregate([])
+
+    inbound = edges.map_batches(_inbound, batch_format="pyarrow")
+
+    def _page_counts(t: pa.Table) -> pa.Table:
+        g = (t.select(["host"]).group_by("host")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "n_pages"])
+
+    pages = grouped_sum_via_buckets(
+        hosts.map_batches(_page_counts, batch_format="pyarrow"),
+        ["host"], "n_pages")
+    return hash_join(pages, inbound, "host", "dst_host",
+                     ["n_pages"], [], how="anti")

@@ -9313,3 +9313,15 @@ class TestMutationRobustness:
         rec = [r["recall"] for r in got]
         assert all(a >= b for a, b in zip(rec, rec[1:]))
         assert all(r["found"] <= r["planted"] for r in got)
+
+
+class TestOrphanHosts:
+    def test_planted_orphan_half_recovered(self):
+        from peri_ray.pipelines.queries import orphan_hosts_docs
+
+        got = orphan_hosts_docs("/root/testdata/sf0.001").take_all()
+        hosts = {r["host"] for r in got}
+        # clustered fixture links only into h0..h24 — the odd half
+        # h25..h49 is exactly the orphan set
+        assert hosts == {f"h{i}.example.com" for i in range(25, 50)}
+        assert all(r["n_pages"] > 0 for r in got)
