@@ -3705,18 +3705,23 @@ def pca_projected_embeddings(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _attach_linked_html_fixture(t: pa.Table) -> pa.Table:
+def _attach_linked_html_fixture(t: pa.Table,
+                                host_mod: int = 50) -> pa.Table:
     """FIXTURE: html with doc_id % 3 anchor tags, link j targeting
-    host h((doc_id*7 + j + 1) % 50).example.com path /p/(doc_id % 20)
-    — deterministic so the DuckDB twin rebuilds the same edge list
-    arithmetically while the ENGINE parses it out of the html bytes
-    (a broken parser shows up as an oracle mismatch)."""
+    host h((doc_id*7 + j + 1) % host_mod).example.com path
+    /p/(doc_id % 20) — deterministic so the DuckDB twin rebuilds the
+    same edge list arithmetically while the ENGINE parses it out of
+    the html bytes (a broken parser shows up as an oracle mismatch).
+    ``host_mod`` is THE single knob the link-fixture family varies:
+    50 = the dense graph (every crawled host linked), 97 = the
+    frontier variant (uncrawled tail h50..h96), 25 = the clustered
+    variant (h25..h49 planted orphans)."""
     ids = t.column("doc_id").combine_chunks().cast(pa.int64())
     ids_np = ids.to_numpy(zero_copy_only=False)
     nl = ids_np % 3
 
     def _anchor(j: int) -> pa.Array:
-        tgt = (ids_np * 7 + j + 1) % 50
+        tgt = (ids_np * 7 + j + 1) % host_mod
         a = np.char.add(
             np.char.add('<a href="http://h', tgt.astype(str)),
             np.char.add(np.char.add(".example.com/p/",
@@ -6175,27 +6180,11 @@ def trending_terms_monthly(sf_dir: str):
 
 
 def _attach_frontier_html_fixture(t: pa.Table) -> pa.Table:
-    """FIXTURE: like :func:`_attach_linked_html_fixture` but anchor
-    targets span h0..h96 (% 97) while only h0..h49 ever appear as
-    crawled hosts — the uncrawled tail h50..h96 is the planted
-    frontier the engine must recover from the html bytes."""
-    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
-    ids_np = ids.to_numpy(zero_copy_only=False)
-    nl = ids_np % 3
-
-    def _anchor(j: int) -> pa.Array:
-        tgt = (ids_np * 7 + j + 1) % 97
-        a = np.char.add(
-            np.char.add('<a href="http://h', tgt.astype(str)),
-            np.char.add(np.char.add(".example.com/p/",
-                                    (ids_np % 20).astype(str)),
-                        '">t</a>'))
-        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
-
-    html = pc.binary_join_element_wise(
-        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
-        pa.scalar("</body></html>"), "")
-    return t.append_column("html", html.cast(pa.binary()))
+    """FIXTURE: :func:`_attach_linked_html_fixture` with host_mod=97 —
+    targets span h0..h96 while only h0..h49 are ever crawled; the
+    uncrawled tail h50..h96 is the planted frontier the engine must
+    recover from the html bytes."""
+    return _attach_linked_html_fixture(t, host_mod=97)
 
 
 def uncrawled_frontier_hosts(sf_dir: str):
@@ -6497,19 +6486,32 @@ def dedup_mutation_robustness(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "text": pa.array(out_tx, pa.string())})
 
-    corpus = ds.map_batches(_with_mutants, batch_format="pyarrow")
+    # two consumers (candidates + verify) -> pin the mutant corpus
+    # (CLAUDE.md multi-consumer rule); the per-doc mutation loop and
+    # the read beneath it run exactly once
+    corpus = ds.map_batches(_with_mutants,
+                            batch_format="pyarrow").materialize()
     cands = minhash_lsh_candidates(corpus, bands=8, num_perm=64,
                                    dedupe=False)
     found = {(r["id_a"], r["id_b"]) for r in verify_candidates(
         corpus, cands, threshold=0.6).take_all()}
 
+    def _eligible_ids(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        txt = t.column("text").combine_chunks()
+        ok = (pc.fill_null(pc.and_kleene(
+                  pc.is_valid(txt),
+                  pc.greater_equal(pc.utf8_length(txt), 40)), False)
+              .to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(
+            ids[ok & (ids % 5 == 0)], pa.int64())})
+
     planted: dict[int, set] = {r: set() for r in rates}
-    for row in ds.map_batches(
-            lambda t: t.select(["doc_id", "text"]),
-            batch_format="pyarrow").take_all():
-        d, s = row["doc_id"], row["text"]
-        if s is None or d % 5 != 0 or len(s) < 40:
-            continue
+    # ids-only partials cross to the driver — never the text
+    for row in ds.map_batches(_eligible_ids,
+                              batch_format="pyarrow").take_all():
+        d = row["doc_id"]
         planted[rates[(d // 5) % len(rates)]].add(
             (d, d + 10_000_000))
     rows = []
@@ -6526,27 +6528,10 @@ def dedup_mutation_robustness(sf_dir: str):
 
 
 def _attach_clustered_link_fixture(t: pa.Table) -> pa.Table:
-    """FIXTURE: like _attach_linked_html_fixture but anchor targets
-    stay inside h0..h24 ((doc_id*7 + j + 1) % 25) — hosts h25..h49 are
-    crawled yet never linked, the planted orphan half the audit must
-    recover from the html bytes."""
-    ids = t.column("doc_id").combine_chunks().cast(pa.int64())
-    ids_np = ids.to_numpy(zero_copy_only=False)
-    nl = ids_np % 3
-
-    def _anchor(j: int) -> pa.Array:
-        tgt = (ids_np * 7 + j + 1) % 25
-        a = np.char.add(
-            np.char.add('<a href="http://h', tgt.astype(str)),
-            np.char.add(np.char.add(".example.com/p/",
-                                    (ids_np % 20).astype(str)),
-                        '">t</a>'))
-        return pa.array(np.where(nl > j, a, "").tolist(), pa.string())
-
-    html = pc.binary_join_element_wise(
-        pa.scalar("<html><body><p>x</p>"), _anchor(0), _anchor(1),
-        pa.scalar("</body></html>"), "")
-    return t.append_column("html", html.cast(pa.binary()))
+    """FIXTURE: :func:`_attach_linked_html_fixture` with host_mod=25 —
+    targets stay inside h0..h24, so crawled hosts h25..h49 are the
+    planted orphan half the audit must recover from the html bytes."""
+    return _attach_linked_html_fixture(t, host_mod=25)
 
 
 def orphan_hosts_docs(sf_dir: str):
@@ -6564,7 +6549,12 @@ def orphan_hosts_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     ds = ds.map_batches(_attach_web_columns, batch_format="pyarrow")
-    hosts = host_of(canonicalize_urls(ds))
+    # two consumers (edges + page counts) -> pin the PRUNED
+    # (doc_id, host) projection, never the url-wide table
+    # (CLAUDE.md multi-consumer rule)
+    hosts = host_of(canonicalize_urls(ds)).map_batches(
+        lambda t: t.select(["doc_id", "host"]),
+        batch_format="pyarrow").materialize()
     linked = hosts.map_batches(_attach_clustered_link_fixture,
                                batch_format="pyarrow").map_batches(
         lambda t: t.select(["host", "html"]), batch_format="pyarrow")

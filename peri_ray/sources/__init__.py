@@ -766,8 +766,13 @@ def compact_parquet_binned(in_dir: str, out_dir: str,
     never inside the directory, a non-parquet file in the root breaks
     partition discovery) records each bin's sources; a rerun skips
     bins whose output shard already exists under the same plan, and
-    shards appear atomically (tmp + rename).  Pandas schema metadata
-    is stripped on the way through (the unhashable-metadata pitfall).
+    shards appear atomically (tmp + rename).  Startup hygiene keeps
+    ``out_dir`` whole-dir readable: stray ``*.tmp`` from a crashed
+    task are removed (the partition-discovery pitfall) and shards
+    beyond the current plan's bin count are deleted, so a re-plan
+    with a larger target can never leave orphaned shards that
+    duplicate rows on a directory read.  Pandas schema metadata is
+    stripped on the way through (the unhashable-metadata pitfall).
 
     Returns {files_in, files_out, rows, skipped}."""
     import json
@@ -779,6 +784,17 @@ def compact_parquet_binned(in_dir: str, out_dir: str,
              for f in sorted(os.listdir(in_dir)) if f.endswith(".parquet")}
     bins = plan_compaction(sizes, target_bytes)
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        path = os.path.join(out_dir, f)
+        if f.endswith(".tmp"):
+            os.remove(path)                 # crashed-task leftover
+        elif f.startswith("part-") and f.endswith(".parquet"):
+            try:
+                idx = int(f[len("part-"):-len(".parquet")])
+            except ValueError:
+                continue
+            if idx >= len(bins):            # orphan from an old plan
+                os.remove(path)
     manifest_path = out_dir.rstrip(os.sep) + ".compaction.json"
     prior = {}
     if os.path.exists(manifest_path):
@@ -848,13 +864,13 @@ def read_table_evolved(paths: list[str],
 
     Incompatible same-name dtypes (string vs int) raise at plan time —
     loudly, not as a mid-read task failure."""
-    import functools
-
     import pyarrow.parquet as pq
-    import ray.data as rd
 
+    # ONE footer fetch per file — reused for both schema inference and
+    # per-file column pruning (metadata round-trips dominate on real
+    # remote storage)
+    footers = [pq.read_schema(p).remove_metadata() for p in paths]
     if target_schema is None:
-        footers = [pq.read_schema(p).remove_metadata() for p in paths]
         target_schema = pa.unify_schemas(footers,
                                          promote_options="permissive")
     if columns is not None:
@@ -873,9 +889,9 @@ def read_table_evolved(paths: list[str],
         return pa.table(dict(zip(names, cols)))
 
     parts = []
-    for p in paths:
-        have = [c for c in names if c in set(pq.read_schema(p).names)]
+    for p, footer in zip(paths, footers):
+        have = [c for c in names if c in set(footer.names)]
         parts.append(
             read_table(p, columns=have or None).map_batches(
                 _conform, batch_format="pyarrow"))
-    return functools.reduce(lambda a, b: a.union(b), parts)
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

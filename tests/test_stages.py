@@ -9325,3 +9325,35 @@ class TestOrphanHosts:
         # h25..h49 is exactly the orphan set
         assert hosts == {f"h{i}.example.com" for i in range(25, 50)}
         assert all(r["n_pages"] > 0 for r in got)
+
+
+class TestBinnedCompactionReplan:
+    def test_replan_removes_orphan_shards_and_tmps(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from peri_ray.sources import compact_parquet_binned
+
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        src.mkdir()
+        rows = []
+        for i in range(5):
+            t = pa.table({"id": pa.array(
+                range(i * 100, i * 100 + 80), pa.int64())})
+            pq.write_table(t, src / f"f{i}.parquet")
+            rows += t.column("id").to_pylist()
+        rep1 = compact_parquet_binned(str(src), str(out),
+                                      target_bytes=1500)
+        assert rep1["files_out"] > 1
+        # simulate a crashed task leftover
+        (out / "part-99999.parquet.tmp").write_bytes(b"junk")
+        # re-plan with a huge target -> 1 bin; orphans must vanish
+        rep2 = compact_parquet_binned(str(src), str(out),
+                                      target_bytes=1 << 30)
+        assert rep2["files_out"] == 1
+        files = sorted(os.listdir(out))
+        assert files == ["part-00000.parquet"]
+        got = pq.read_table(out / files[0]).column("id").to_pylist()
+        assert sorted(got) == sorted(rows)   # no duplicated rows
