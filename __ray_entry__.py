@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monotonic_violations_events": q.monotonic_violations_events,
         "dedup_mutation_robustness": q.dedup_mutation_robustness,
         "orphan_hosts_docs": q.orphan_hosts_docs,
+        "tv_drift_event_type": q.tv_drift_event_type,
     }
 
 
@@ -4941,6 +4942,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.host, p.n_pages
               FROM pages p LEFT JOIN inbound i ON i.dst_host = p.host
              WHERE i.dst_host IS NULL
+        """,
+        "tv_drift_event_type": """
+            WITH a AS (SELECT event_type AS k,
+                              CAST(count(*) AS BIGINT) AS c
+                         FROM events
+                        WHERE event_id % 2 = 0
+                          AND event_type IS NOT NULL GROUP BY 1),
+            b AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c
+                    FROM events
+                   WHERE event_id % 2 = 1
+                     AND event_type IS NOT NULL GROUP BY 1),
+            u AS (SELECT COALESCE(a.k, b.k) AS k,
+                         COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+                    FROM a FULL OUTER JOIN b ON a.k = b.k),
+            n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb FROM u)
+            SELECT CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE)
+                     / CAST(2 * na * nb AS DOUBLE) AS tv,
+                   ROUND(sqrt(greatest(0.0, 1.0 - sum(
+                     sqrt((CAST(ca AS DOUBLE) / na)
+                          * (CAST(cb AS DOUBLE) / nb))))), 6)
+                     AS hellinger
+              FROM u CROSS JOIN n GROUP BY na, nb
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

@@ -6582,3 +6582,15 @@ def orphan_hosts_docs(sf_dir: str):
         ["host"], "n_pages")
     return hash_join(pages, inbound, "host", "dst_host",
                      ["n_pages"], [], how="anti")
+
+
+def tv_drift_event_type(sf_dir: str):
+    """Total-variation + Hellinger drift between the event_id-parity
+    halves of event_type (checks.tv_hellinger_drift) — the
+    bounded-metric corner of the drift family; TV's integer identity
+    makes it hash-bit-exact."""
+    from peri_ray.stages.checks import tv_hellinger_drift
+
+    return tv_hellinger_drift(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        "event_type", "event_id")

@@ -1281,3 +1281,61 @@ def welch_t_two_sample(ds, column: str, split_col: str,
         "t_stat": pa.array([t_stat], pa.float64()),
         "df": pa.array([dfv], pa.float64()),
     })
+
+
+def tv_hellinger_drift(ds, key_col: str, split_col: str,
+                       split_mod: int = 2,
+                       batch_size: int | None = 65536) -> pa.Table:
+    """Total-variation + Hellinger distance between the categorical
+    distributions of two deterministic row halves (``split_col %
+    split_mod`` parity) — the bounded-metric corner of the drift
+    family (TV is the max-event probability gap; Hellinger the
+    bounded geometric one; PSI/KL are their unbounded cousins).
+
+    One streaming (side, key) count pass, driver merge bounded by the
+    category domain.  TV is computed from the INTEGER identity
+    ``Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b)`` — exact integer numerator,
+    one IEEE division, hash-bit-exact.  Hellinger sums irrational
+    square roots, so it rounds to 6 half-away (cannot tie).  Null
+    categories are excluded (SQL join parity)."""
+    def _part(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks()
+        s = t.column(split_col).combine_chunks()
+        sub = pa.table({"k": k, "s": s}).filter(
+            pc.and_(pc.is_valid(k), pc.is_valid(s)))
+        side = (sub.column("s").combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False) % split_mod)
+        sub = pa.table({"k": sub.column("k"),
+                        "side": pa.array(side.astype(np.int64))})
+        g = sub.group_by(["k", "side"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "side", "c"])
+
+    import math
+
+    import ray
+
+    parts = ds.map_batches(_part, batch_format="pyarrow",
+                           batch_size=batch_size)
+    ca: dict = {}
+    cb: dict = {}
+    for t in (ray.get(r) for r in parts.to_arrow_refs()):
+        for k, side, c in zip(t.column("k").to_pylist(),
+                              t.column("side").to_pylist(),
+                              t.column("c").to_pylist()):
+            d = ca if side == 0 else cb
+            d[k] = d.get(k, 0) + int(c)
+    na, nb = sum(ca.values()), sum(cb.values())
+    if na == 0 or nb == 0:
+        return pa.table({"tv": pa.array([None], pa.float64()),
+                         "hellinger": pa.array([None], pa.float64())})
+    keys = sorted(set(ca) | set(cb))
+    num = sum(abs(ca.get(k, 0) * nb - cb.get(k, 0) * na) for k in keys)
+    tv = float(num) / float(2 * na * nb)
+    bc = sum(math.sqrt((float(ca.get(k, 0)) / float(na))
+                       * (float(cb.get(k, 0)) / float(nb)))
+             for k in keys)
+    h = math.sqrt(max(0.0, 1.0 - bc))
+    # half-away like SQL ROUND (irrational — cannot tie)
+    hr = math.floor(h * 1e6 + 0.5) / 1e6
+    return pa.table({"tv": pa.array([tv], pa.float64()),
+                     "hellinger": pa.array([hr], pa.float64())})

@@ -9357,3 +9357,33 @@ class TestBinnedCompactionReplan:
         assert files == ["part-00000.parquet"]
         got = pq.read_table(out / files[0]).column("id").to_pylist()
         assert sorted(got) == sorted(rows)   # no duplicated rows
+
+
+class TestTVHellinger:
+    def test_matches_closed_form(self):
+        from peri_ray.stages.checks import tv_hellinger_drift
+
+        # side 0 (even ids): a,a,b ; side 1 (odd ids): a,b,b,c
+        t = pa.table({
+            "id": pa.array([0, 2, 4, 1, 3, 5, 7], pa.int64()),
+            "k": pa.array(["a", "a", "b", "a", "b", "b", "c"],
+                          pa.string())})
+        got = tv_hellinger_drift(rd.from_arrow(t).repartition(3),
+                                 "k", "id").to_pylist()[0]
+        import math
+        pa_, pb_ = {"a": 2 / 3, "b": 1 / 3, "c": 0.0}, \
+            {"a": 1 / 4, "b": 2 / 4, "c": 1 / 4}
+        tv = 0.5 * sum(abs(pa_[k] - pb_[k]) for k in "abc")
+        bc = sum(math.sqrt(pa_[k] * pb_[k]) for k in "abc")
+        assert abs(got["tv"] - tv) < 1e-12
+        assert abs(got["hellinger"]
+                   - round(math.sqrt(1 - bc), 6)) <= 1e-6
+
+    def test_identical_distributions_zero(self):
+        from peri_ray.stages.checks import tv_hellinger_drift
+
+        t = pa.table({"id": pa.array(range(8), pa.int64()),
+                      "k": pa.array(list("aabb" * 2), pa.string())})
+        got = tv_hellinger_drift(rd.from_arrow(t), "k",
+                                 "id").to_pylist()[0]
+        assert got["tv"] == 0.0 and got["hellinger"] == 0.0
