@@ -730,10 +730,24 @@ def join_cardinality(left, right, left_key: str, right_key: str,
 
     from peri_ray.stages.dedup import map_groups_via_buckets
 
+    # keep integer keys NATIVE through the exchange (measured 5.8 s ->
+    # 5.3 s at 12.8 M rows with per-batch-distinct keys; the exchange
+    # also ships 8-byte ints instead of strings); fall back to string
+    # only for mixed or non-integer key types
+    def _ktype(ds_, key):
+        f = ds_.schema().base_schema.field(key).type
+        return f
+
+    lt, rt = _ktype(left, left_key), _ktype(right, right_key)
+    if pa.types.is_integer(lt) and pa.types.is_integer(rt):
+        ktype = pa.int64()
+    else:
+        ktype = pa.string()
+
     def _counts(key: str, side: int):
         def _c(t: pa.Table) -> pa.Table:
             col = t.column(key).combine_chunks()
-            sub = pa.table({"k": col.cast(pa.string())}).filter(
+            sub = pa.table({"k": col.cast(ktype)}).filter(
                 pc.is_valid(col))
             g = sub.group_by("k").aggregate([([], "count_all")])
             g = g.rename_columns(["k", "n"])
