@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_mutation_robustness": q.dedup_mutation_robustness,
         "orphan_hosts_docs": q.orphan_hosts_docs,
         "tv_drift_event_type": q.tv_drift_event_type,
+        "budget_allocation_docs": q.budget_allocation_docs,
     }
 
 
@@ -4965,6 +4966,40 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(cb AS DOUBLE) / nb))))), 6)
                      AS hellinger
               FROM u CROSS JOIN n GROUP BY na, nb
+        """,
+        "budget_allocation_docs": """
+            WITH src AS (
+              SELECT source,
+                     CAST(sum(len(regexp_split_to_array(trim(text),
+                              '\\s+'))) AS BIGINT) AS n
+                FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL
+               GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                           CAST(count(*) AS BIGINT) AS k FROM src),
+            bud AS (SELECT t * 1 // 2 AS b, t, k FROM tot),
+            ord AS (SELECT source, n,
+                      CAST(row_number() OVER (ORDER BY n, source)
+                           AS BIGINT) AS i,
+                      CAST(COALESCE(sum(n) OVER (
+                           ORDER BY n, source ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                        AS pre
+                      FROM src),
+            cand AS (SELECT i, n, pre FROM ord CROSS JOIN bud
+                      WHERE pre + (bud.k - i + 1) * n >= bud.b
+                      ORDER BY i LIMIT 1),
+            cap AS (SELECT CASE
+                      WHEN (SELECT t FROM tot) <= (SELECT b FROM bud)
+                      THEN NULL
+                      ELSE (SELECT ((SELECT b FROM bud) - pre)
+                                   // ((SELECT k FROM tot) - i + 1)
+                              FROM cand) END AS c)
+            SELECT s.source, s.n AS n_tokens,
+                   CAST(CASE WHEN (SELECT c FROM cap) IS NULL THEN s.n
+                        ELSE least(s.n, (SELECT c FROM cap)) END
+                        AS BIGINT) AS alloc
+              FROM src s
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

@@ -6594,3 +6594,15 @@ def tv_drift_event_type(sf_dir: str):
     return tv_hellinger_drift(
         _read(sf_dir, "events", ["event_id", "event_type"]),
         "event_type", "event_id")
+
+
+def budget_allocation_docs(sf_dir: str):
+    """Max-min-fair token-budget allocation across sources
+    (stats.budget_allocation, budget = half the corpus tokens): the
+    water-filling planner that precedes corpus-mixing rates.  Every
+    output column is BIGINT-exact; the oracle replays the identical
+    integer cap search with window prefix sums."""
+    from peri_ray.stages.stats import budget_allocation
+
+    return budget_allocation(
+        _read(sf_dir, "documents", ["source", "text"]), 1, 2)

@@ -2628,3 +2628,72 @@ def weighted_quantiles(ds, value_col: str, weight_col: str | None,
         out_v.append(int(v[min(idx, len(v) - 1)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      value_col: pa.array(out_v, pa.int64())})
+
+
+def waterfill_allocation(counts: dict, budget: int) -> dict:
+    """Integer water-filling: the maximal common cap C such that
+    Σ min(n_s, C) ≤ budget, allocation = min(n_s, C) — the classic
+    max-min-fair split of a token budget across sources (small
+    sources keep everything, big ones are capped at one shared
+    level).  Pure integer arithmetic; deterministic for any dict
+    order.  Returns {source: alloc}."""
+    items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    total = sum(n for _, n in items)
+    k = len(items)
+    if total <= budget or k == 0:
+        return dict(items)
+    pre = 0
+    for i, (_, n) in enumerate(items, start=1):
+        # all later sources are >= n; capping them AT n needs
+        # pre + (k - i)·n more than the prefix already spent
+        if pre + n + (k - i) * n >= budget:
+            cap = (budget - pre) // (k - i + 1)
+            return {s: min(v, cap) for s, v in counts.items()}
+        pre += n
+    return dict(items)   # unreachable when total > budget
+
+
+def budget_allocation(ds, budget_num: int, budget_den: int,
+                      text_col: str = "text", source_col: str = "source",
+                      batch_size: int | None = 8192) -> pa.Table:
+    """Per-source token-budget allocation: count tokens per source in
+    one streaming pass (partials bounded by sources × blocks), set
+    the budget to ``num/den`` of the corpus total (a dyadic-free pure
+    integer: budget = total·num // den), and water-fill
+    (:func:`waterfill_allocation`) — the planning step before
+    hash_weighted_sample rates are derived for corpus mixing.
+    Returns (source, n_tokens, alloc), every column BIGINT-exact."""
+    import ray
+
+    from peri_ray.stages.text import flat_tokens
+
+    def _part(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        sub = t.filter(pc.and_(pc.is_valid(txt),
+                               pc.is_valid(t.column(source_col)
+                                           .combine_chunks())))
+        if sub.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        _, lens = flat_tokens(sub.column(text_col))
+        g = (pa.table({"source": sub.column(source_col),
+                       "n": pa.array(lens)})
+             .group_by("source").aggregate([("n", "sum")]))
+        return g.rename_columns(["source", "n"])
+
+    tabs = [ray.get(r) for r in ds.map_batches(
+        _part, batch_format="pyarrow",
+        batch_size=batch_size).to_arrow_refs()]
+    counts: dict = {}
+    for t in tabs:
+        for s, n in zip(t.column("source").to_pylist(),
+                        t.column("n").to_pylist()):
+            counts[s] = counts.get(s, 0) + int(n)
+    total = sum(counts.values())
+    budget = total * budget_num // budget_den
+    alloc = waterfill_allocation(counts, budget)
+    srcs = sorted(counts)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array([counts[s] for s in srcs], pa.int64()),
+        "alloc": pa.array([alloc[s] for s in srcs], pa.int64())})

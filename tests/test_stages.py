@@ -9387,3 +9387,51 @@ class TestTVHellinger:
         got = tv_hellinger_drift(rd.from_arrow(t), "k",
                                  "id").to_pylist()[0]
         assert got["tv"] == 0.0 and got["hellinger"] == 0.0
+
+
+class TestWaterfill:
+    def test_closed_cases_and_invariants(self):
+        import numpy as np
+
+        from peri_ray.stages.stats import waterfill_allocation
+
+        assert waterfill_allocation({"a": 2, "b": 100}, 10) == \
+            {"a": 2, "b": 8}
+        assert waterfill_allocation({"a": 5, "b": 7, "c": 100}, 18) == \
+            {"a": 5, "b": 6, "c": 6}
+        # under-budget: everyone keeps everything
+        assert waterfill_allocation({"a": 3, "b": 4}, 100) == \
+            {"a": 3, "b": 4}
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            k = int(rng.integers(1, 10))
+            counts = {f"s{i}": int(rng.integers(0, 200))
+                      for i in range(k)}
+            b = int(rng.integers(0, 600))
+            alloc = waterfill_allocation(counts, b)
+            assert set(alloc) == set(counts)
+            assert all(0 <= alloc[s] <= counts[s] for s in counts)
+            used = sum(alloc.values())
+            assert used <= max(b, 0) or sum(counts.values()) <= b
+            # maximality: no uncapped source could take one more token
+            if sum(counts.values()) > b:
+                cap = max(alloc.values(), default=0)
+                assert sum(min(n, cap + 1)
+                           for n in counts.values()) > b or \
+                    all(alloc[s] == counts[s] for s in counts)
+
+    def test_distributed_allocation_matches_driver(self):
+        from peri_ray.stages.stats import (budget_allocation,
+                                           waterfill_allocation)
+
+        texts = {"sA": "one two three four", "sB": "a b",
+                 "sC": "x " * 20}
+        rows = [(s, texts[s]) for s in texts for _ in range(3)]
+        t = pa.table({"source": pa.array([r[0] for r in rows]),
+                      "text": pa.array([r[1] for r in rows])})
+        got = budget_allocation(rd.from_arrow(t).repartition(3), 1, 2)
+        counts = {r["source"]: r["n_tokens"] for r in got.to_pylist()}
+        want = waterfill_allocation(counts,
+                                    sum(counts.values()) * 1 // 2)
+        assert {r["source"]: r["alloc"]
+                for r in got.to_pylist()} == want
