@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_hosts_docs": q.orphan_hosts_docs,
         "tv_drift_event_type": q.tv_drift_event_type,
         "budget_allocation_docs": q.budget_allocation_docs,
+        "typosquat_hosts_docs": q.typosquat_hosts_docs,
     }
 
 
@@ -5000,6 +5001,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE least(s.n, (SELECT c FROM cap)) END
                         AS BIGINT) AS alloc
               FROM src s
+        """,
+        "typosquat_hosts_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            hosts AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+                        FROM canon GROUP BY 1),
+            refs(ref) AS (VALUES ('h7.example.com'),
+                                 ('h23.example.com'))
+            SELECT h.host, r.ref,
+                   CAST(levenshtein(h.host, r.ref) AS BIGINT) AS dist,
+                   h.n_pages
+              FROM hosts h JOIN refs r
+                ON levenshtein(h.host, r.ref) <= 1
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

@@ -6606,3 +6606,20 @@ def budget_allocation_docs(sf_dir: str):
 
     return budget_allocation(
         _read(sf_dir, "documents", ["source", "text"]), 1, 2)
+
+
+def typosquat_hosts_docs(sf_dir: str):
+    """Typosquat audit (dedup.reference_edit_matches): crawled hosts
+    within Levenshtein distance 1 of a protected reference name, with
+    exact distances and page counts — the bipartite, broadcast-side
+    member of the fuzzy-key family.  Oracle: DISTINCT canonical hosts
+    cross the VALUES reference list with levenshtein()."""
+    from peri_ray.stages.dedup import reference_edit_matches
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    hosts = host_of(canonicalize_urls(ds.map_batches(
+        _attach_web_columns, batch_format="pyarrow"))).map_batches(
+        lambda t: t.select(["host"]), batch_format="pyarrow")
+    return reference_edit_matches(
+        hosts, "host", ["h7.example.com", "h23.example.com"])

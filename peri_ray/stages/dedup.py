@@ -2899,3 +2899,57 @@ def jaro_winkler_join(ds, col: str, id_col: str,
                                  coalesce_rows=4096)
     return verified.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def reference_edit_matches(ds, col: str, refs: list[str],
+                           max_dist: int = 1,
+                           count_col: str = "n_pages",
+                           batch_size: int | None = 65536):
+    """Bipartite bounded edit-distance match against a SMALL broadcast
+    reference list — the typosquat / brand-protection shape ("which
+    crawled hosts are one edit away from a protected name?").  Emits
+    one row per (value, reference) pair within ``max_dist`` with the
+    exact distance and the row count behind that value.
+
+    Shape: zero shuffles for the match itself — each batch dedupes its
+    values (hosts repeat heavily), runs the banded DP only on
+    distinct × refs after a length-difference prefilter, and emits
+    (value, ref, dist, count) partials; ONE bucketed sum collapses the
+    counts.  The reference list rides the closure (serialized once per
+    task), the right trade while it stays list-sized — a corpus-scale
+    reference side wants :func:`edit_distance_join` instead."""
+    refs = sorted(set(refs))
+
+    def _dist(a: str, b: str) -> int | None:
+        for k in range(max_dist + 1):
+            if _lev_le(a, b, k):
+                return k
+        return None
+
+    def _match(t: pa.Table) -> pa.Table:
+        s = t.column(col).combine_chunks()
+        if pa.types.is_large_string(s.type):
+            s = s.cast(pa.string())
+        vc = pc.value_counts(s.drop_null())
+        vals = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_pylist()
+        out_v, out_r, out_d, out_c = [], [], [], []
+        for v, c in zip(vals, counts):
+            for r in refs:
+                if abs(len(v) - len(r)) > max_dist:
+                    continue
+                d = _dist(v, r)
+                if d is not None:
+                    out_v.append(v)
+                    out_r.append(r)
+                    out_d.append(d)
+                    out_c.append(int(c))
+        return pa.table({col: pa.array(out_v, pa.string()),
+                         "ref": pa.array(out_r, pa.string()),
+                         "dist": pa.array(out_d, pa.int64()),
+                         count_col: pa.array(out_c, pa.int64())})
+
+    partials = ds.map_batches(_match, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return grouped_sum_via_buckets(partials, [col, "ref", "dist"],
+                                   count_col)

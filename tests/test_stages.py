@@ -9435,3 +9435,32 @@ class TestWaterfill:
                                     sum(counts.values()) * 1 // 2)
         assert {r["source"]: r["alloc"]
                 for r in got.to_pylist()} == want
+
+
+class TestReferenceEditMatches:
+    def test_matches_and_counts(self):
+        from peri_ray.stages.dedup import reference_edit_matches
+
+        vals = ["brand.com", "brand.com", "brandx.com", "brnd.com",
+                "other.org", None, "grand.com"]
+        t = pa.table({"host": pa.array(vals, pa.string())})
+        got = {(r["host"], r["ref"]): (r["dist"], r["n_pages"])
+               for r in reference_edit_matches(
+                   rd.from_arrow(t).repartition(3), "host",
+                   ["brand.com"]).take_all()}
+        assert got == {
+            ("brand.com", "brand.com"): (0, 2),
+            ("brandx.com", "brand.com"): (1, 1),   # one insertion
+            ("brnd.com", "brand.com"): (1, 1),     # one deletion
+            ("grand.com", "brand.com"): (1, 1),    # one substitution
+        }
+
+    def test_max_dist_two_reports_minimal_distance(self):
+        from peri_ray.stages.dedup import reference_edit_matches
+
+        t = pa.table({"host": pa.array(["brzzd.com"], pa.string())})
+        got = reference_edit_matches(rd.from_arrow(t), "host",
+                                     ["brand.com"],
+                                     max_dist=2).take_all()
+        assert got == [{"host": "brzzd.com", "ref": "brand.com",
+                        "dist": 2, "n_pages": 1}]
