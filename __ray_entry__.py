@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tv_drift_event_type": q.tv_drift_event_type,
         "budget_allocation_docs": q.budget_allocation_docs,
         "typosquat_hosts_docs": q.typosquat_hosts_docs,
+        "pareto_events_by_type": q.pareto_events_by_type,
     }
 
 
@@ -5013,6 +5014,22 @@ def oracle_sql() -> dict[str, str]:
                    h.n_pages
               FROM hosts h JOIN refs r
                 ON levenshtein(h.host, r.ref) <= 1
+        """,
+        "pareto_events_by_type": """
+            WITH s AS (
+              SELECT event_type, event_id, user_id,
+                     epoch_us(ts) AS ts_us, value
+                FROM events
+               WHERE event_id % 8 = 0 AND value IS NOT NULL
+                 AND ts IS NOT NULL AND event_type IS NOT NULL)
+            SELECT r.event_type, r.event_id, r.user_id, r.ts_us,
+                   r.value
+              FROM s r
+             WHERE NOT EXISTS (
+                     SELECT 1 FROM s o
+                      WHERE o.event_type = r.event_type
+                        AND o.value >= r.value AND o.ts_us >= r.ts_us
+                        AND (o.value > r.value OR o.ts_us > r.ts_us))
         """,
         "join_size_probe": """
             WITH l AS (SELECT l_orderkey AS k,

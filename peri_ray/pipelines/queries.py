@@ -6623,3 +6623,29 @@ def typosquat_hosts_docs(sf_dir: str):
         lambda t: t.select(["host"]), batch_format="pyarrow")
     return reference_edit_matches(
         hosts, "host", ["h7.example.com", "h23.example.com"])
+
+
+def pareto_events_by_type(sf_dir: str):
+    """Per-group skyline (stats.grouped_skyline): the (value max,
+    ts max) Pareto frontier WITHIN each event type over the same
+    1-in-8 sample as the global frontier — 'no later event of the
+    same type was larger'.  Oracle: per-group NOT EXISTS dominance."""
+    from peri_ray.stages.stats import grouped_skyline
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ids = (t.column("event_id").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        sub = t.filter(pa.array(ids % 8 == 0))
+        return pa.table({
+            "event_type": sub.column("event_type"),
+            "event_id": sub.column("event_id"),
+            "user_id": sub.column("user_id"),
+            "ts_us": sub.column("ts").combine_chunks().cast(pa.int64()),
+            "value": sub.column("value")})
+
+    return grouped_skyline(
+        ds.map_batches(_prep, batch_format="pyarrow"), "event_type",
+        {"value": "max", "ts_us": "max"}, ["event_id", "user_id"])

@@ -2697,3 +2697,55 @@ def budget_allocation(ds, budget_num: int, budget_den: int,
         "source": pa.array(srcs, pa.string()),
         "n_tokens": pa.array([counts[s] for s in srcs], pa.int64()),
         "alloc": pa.array([alloc[s] for s in srcs], pa.int64())})
+
+
+def grouped_skyline(ds, key_col: str, criteria: dict[str, str],
+                    payload_cols: list[str], n_buckets: int = 64,
+                    batch_size: int | None = 65536,
+                    max_skyline: int = 100_000):
+    """Per-group Pareto frontier: :func:`skyline` within every value
+    of ``key_col`` (the per-language / per-host frontier).  Two-phase
+    like the global form — each block keeps only its LOCAL per-group
+    frontier (the distributive property holds within a group), then
+    one hash-bucketed exchange co-locates groups and the identical
+    kernel runs once per group inside the bucket.  Exchange rows are
+    bounded by Σ_g (local frontier sizes × blocks)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    cols = list(dict.fromkeys([key_col] + payload_cols
+                              + list(criteria)))
+    signs = np.array([1.0 if d == "max" else -1.0
+                      for d in criteria.values()])
+    crit = list(criteria)
+
+    def _per_group(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        mask = pc.is_valid(t.column(key_col).combine_chunks())
+        for c in crit:
+            mask = pc.and_(mask,
+                           pc.is_valid(t.column(c).combine_chunks()))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by([(key_col, "ascending")])
+        keys = t.column(key_col).combine_chunks()
+        n = t.num_rows
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], n)
+        m = np.column_stack([
+            t.column(c).combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False) for c in crit]) * signs
+        keep: list[np.ndarray] = []
+        for lo, hi in zip(starts, ends):
+            keep.append(lo + skyline_indices(m[lo:hi], max_skyline))
+        idx = np.sort(np.concatenate(keep))
+        return t.take(pa.array(idx))
+
+    partials = ds.map_batches(_per_group, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return map_groups_via_buckets(partials, [key_col], _per_group,
+                                  n_buckets=n_buckets)

@@ -9464,3 +9464,31 @@ class TestReferenceEditMatches:
                                      max_dist=2).take_all()
         assert got == [{"host": "brzzd.com", "ref": "brand.com",
                         "dist": 2, "n_pages": 1}]
+
+
+class TestGroupedSkyline:
+    def test_matches_per_group_brute_force(self):
+        import numpy as np
+
+        from peri_ray.stages.stats import grouped_skyline
+
+        rng = np.random.default_rng(31)
+        n = 300
+        g = rng.integers(0, 4, n)
+        a = rng.integers(0, 25, n).astype(float)
+        b = rng.integers(0, 25, n).astype(float)
+        t = pa.table({"g": pa.array(g, pa.int64()),
+                      "id": pa.array(range(n), pa.int64()),
+                      "a": pa.array(a, pa.float64()),
+                      "b": pa.array(b, pa.float64())})
+        got = {(r["g"], r["id"]) for r in grouped_skyline(
+            rd.from_arrow(t).repartition(6), "g",
+            {"a": "max", "b": "max"}, ["id"]).take_all()}
+        want = set()
+        for i in range(n):
+            dom = any(g[j] == g[i] and a[j] >= a[i] and b[j] >= b[i]
+                      and (a[j] > a[i] or b[j] > b[i])
+                      for j in range(n) if j != i)
+            if not dom:
+                want.add((int(g[i]), i))
+        assert got == want
