@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_allocation_docs": q.budget_allocation_docs,
         "typosquat_hosts_docs": q.typosquat_hosts_docs,
         "pareto_events_by_type": q.pareto_events_by_type,
+        "vocab_growth_monthly": q.vocab_growth_monthly,
     }
 
 
@@ -4859,6 +4860,24 @@ def oracle_sql() -> dict[str, str]:
                      SELECT 1 FROM s o
                       WHERE o.value >= r.value AND o.ts_us >= r.ts_us
                         AND (o.value > r.value OR o.ts_us > r.ts_us))
+        """,
+        "vocab_growth_monthly": rf"""
+            WITH cap AS (
+              SELECT doc_id, {_WEB_TS_SQL} AS warc_ts, text
+                FROM documents WHERE text IS NOT NULL),
+            tok AS (
+              SELECT DISTINCT strftime(warc_ts, '%Y-%m') AS month,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term
+                FROM cap),
+            fm AS (SELECT term, min(month) AS m0 FROM tok GROUP BY 1)
+            SELECT t.month, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(count(*) FILTER (WHERE f.m0 = t.month)
+                        AS BIGINT) AS n_new,
+                   CAST(count(*) FILTER (WHERE f.m0 = t.month)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS new_frac
+              FROM tok t JOIN fm f USING (term) GROUP BY 1
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
         "mmr_reranked_docs": _mmr_sql(5),

@@ -6649,3 +6649,16 @@ def pareto_events_by_type(sf_dir: str):
     return grouped_skyline(
         ds.map_batches(_prep, batch_format="pyarrow"), "event_type",
         {"value": "max", "ts_us": "max"}, ["event_id", "user_id"])
+
+
+def vocab_growth_monthly(sf_dir: str):
+    """Monthly vocabulary growth (text.vocab_growth) over the
+    deterministic warc_ts fixture: distinct active terms per month
+    and the first-seen fraction — the Heaps-law-in-time crawl-health
+    probe beside trending terms."""
+    from peri_ray.stages.text import vocab_growth
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "text"]).map_batches(
+        _attach_web_columns, batch_format="pyarrow")
+    return vocab_growth(ds)

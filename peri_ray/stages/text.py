@@ -3285,3 +3285,73 @@ def source_ablation_nll(ds, text_col: str = "text",
         "source": pa.array(out_s, pa.string()),
         "n_target_tokens": pa.array([n_tgt] * len(out_s), pa.int64()),
         "nll_micro": pa.array(out_nll, pa.int64())})
+
+
+def vocab_growth(ds, ts_col: str = "warc_ts", text_col: str = "text",
+                 n_buckets: int = 64,
+                 batch_size: int | None = 8192) -> pa.Table:
+    """Vocabulary growth over capture time: per month, how many
+    distinct terms were active and what fraction appeared for the
+    FIRST time — the Heaps-law-in-time corpus monitor (a collapsing
+    new-term fraction means the crawl stopped finding new language; a
+    spike means a domain/lang mix shift).
+
+    Shape: per-batch DISTINCT (month, term) partials → ONE
+    term-bucketed exchange (a term's first month needs all its months
+    co-located) → per-bucket vectorized min-month + join + per-month
+    2-int partials → driver merge bounded by months × buckets.
+    ``new_frac`` is one float(int)/float(int) division."""
+    import ray
+
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column(text_col).combine_chunks()))
+        if sub.num_rows == 0:
+            return pa.table({"month": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string())})
+        month = pc.strftime(sub.column(ts_col).combine_chunks(),
+                            format="%Y-%m")
+        flat, lens = flat_tokens(sub.column(text_col))
+        idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return (pa.table({"month": month.take(pa.array(idx)),
+                          "term": flat})
+                .group_by(["month", "term"]).aggregate([]))
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        g = (group.select(["month", "term"])
+             .group_by(["month", "term"]).aggregate([]))
+        m0 = (g.group_by("term").aggregate([("month", "min")])
+              .rename_columns(["term", "m0"]))
+        j = g.join(m0, keys="term", join_type="inner")
+        is_new = pc.equal(j.column("month"), j.column("m0")) \
+            .cast(pa.int64())
+        out = (pa.table({"month": j.column("month"),
+                         "n_terms": pa.array(
+                             np.ones(j.num_rows, np.int64)),
+                         "n_new": is_new})
+               .group_by("month").aggregate([("n_terms", "sum"),
+                                             ("n_new", "sum")]))
+        return out.rename_columns(["month", "n_terms", "n_new"])
+
+    parts = map_groups_via_buckets(pairs, ["term"], _bucket,
+                                   n_buckets=n_buckets)
+    agg: dict[str, list[int]] = {}
+    for t in (ray.get(r) for r in parts.to_arrow_refs()):
+        for m, nt, nn in zip(t.column("month").to_pylist(),
+                             t.column("n_terms").to_pylist(),
+                             t.column("n_new").to_pylist()):
+            cur = agg.setdefault(m, [0, 0])
+            cur[0] += int(nt)
+            cur[1] += int(nn)
+    months = sorted(agg)
+    return pa.table({
+        "month": pa.array(months, pa.string()),
+        "n_terms": pa.array([agg[m][0] for m in months], pa.int64()),
+        "n_new": pa.array([agg[m][1] for m in months], pa.int64()),
+        "new_frac": pa.array(
+            [float(agg[m][1]) / float(agg[m][0]) for m in months],
+            pa.float64())})

@@ -9492,3 +9492,30 @@ class TestGroupedSkyline:
             if not dom:
                 want.add((int(g[i]), i))
         assert got == want
+
+
+class TestVocabGrowth:
+    def test_first_seen_fractions(self):
+        import datetime as dt
+
+        from peri_ray.stages.text import vocab_growth
+
+        rows = [
+            ("2024-01-05", "a b"),
+            ("2024-01-20", "b c"),
+            ("2024-02-10", "b d"),    # b old, d new
+            ("2024-03-01", "a e f"),  # a old, e f new
+        ]
+        t = pa.table({
+            "warc_ts": pa.array(
+                [dt.datetime.fromisoformat(r[0]) for r in rows],
+                pa.timestamp("us")),
+            "text": pa.array([r[1] for r in rows], pa.string())})
+        got = {r["month"]: r for r in vocab_growth(
+            rd.from_arrow(t).repartition(2)).to_pylist()}
+        assert got["2024-01"] == {"month": "2024-01", "n_terms": 3,
+                                  "n_new": 3, "new_frac": 1.0}
+        assert got["2024-02"] == {"month": "2024-02", "n_terms": 2,
+                                  "n_new": 1, "new_frac": 0.5}
+        assert got["2024-03"]["n_new"] == 2
+        assert got["2024-03"]["n_terms"] == 3
