@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typosquat_hosts_docs": q.typosquat_hosts_docs,
         "pareto_events_by_type": q.pareto_events_by_type,
         "vocab_growth_monthly": q.vocab_growth_monthly,
+        "spec_impact_documents": q.spec_impact_documents,
     }
 
 
@@ -4878,6 +4879,45 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "spec_impact_documents": f"""
+            WITH o AS (
+              SELECT 'lang' AS path, 'enum' AS rule_id, count(*) AS n
+                FROM documents
+               WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}
+              UNION ALL SELECT 'text', 'required', count(*)
+                FROM documents WHERE text IS NULL
+              UNION ALL SELECT 'text', 'string.min', count(*)
+                FROM documents
+               WHERE text IS NOT NULL AND length(text) < 1
+              UNION ALL SELECT 'n_chars', 'integer.gte', count(*)
+                FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars < 0),
+            nn AS (
+              SELECT 'lang' AS path, 'required' AS rule_id,
+                     count(*) AS n
+                FROM documents WHERE lang IS NULL
+              UNION ALL SELECT 'lang', 'enum', count(*)
+                FROM documents
+               WHERE lang IS NOT NULL AND lang NOT IN {_LANGS_SQL}
+              UNION ALL SELECT 'text', 'required', count(*)
+                FROM documents WHERE text IS NULL
+              UNION ALL SELECT 'text', 'string.min', count(*)
+                FROM documents
+               WHERE text IS NOT NULL AND length(text) < 20
+              UNION ALL SELECT 'n_chars', 'integer.range', count(*)
+                FROM documents
+               WHERE n_chars IS NOT NULL
+                 AND NOT (n_chars >= 0 AND n_chars <= 900))
+            SELECT COALESCE(o.path, nn.path) AS path,
+                   COALESCE(o.rule_id, nn.rule_id) AS rule_id,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS n_old,
+                   CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(nn.n, 0) - COALESCE(o.n, 0)
+                        AS BIGINT) AS delta
+              FROM o FULL OUTER JOIN nn
+                ON o.path = nn.path AND o.rule_id = nn.rule_id
+             WHERE COALESCE(o.n, 0) > 0 OR COALESCE(nn.n, 0) > 0
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
         "mmr_reranked_docs": _mmr_sql(5),

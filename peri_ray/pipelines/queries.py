@@ -6662,3 +6662,27 @@ def vocab_growth_monthly(sf_dir: str):
                ["doc_id", "source", "text"]).map_batches(
         _attach_web_columns, batch_format="pyarrow")
     return vocab_growth(ds)
+
+
+#: proposed tightened spec for the spec-impact query (text min 20,
+#: lang becomes required, n_chars gains an upper bound)
+DOCS_SPEC_V2 = {
+    "doc_id": ("required", "integer"),
+    "text": ("required", ("string", ("min", 20))),
+    "lang": ("required", ("enum", LANGS)),
+    "n_chars": ("integer", ("range", (0, 900))),
+}
+
+
+def spec_impact_documents(sf_dir: str):
+    """Spec-evolution impact (validate.spec_impact): exact per-rule
+    violation counts under the CURRENT docs spec and a tightened
+    proposal, with deltas, in ONE fused pass — the pre-rollout
+    contract-change report.  Oracle: per-rule predicate counts for
+    both versions FULL OUTER joined."""
+    from peri_ray.validate import spec_impact
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "n_chars"])
+    return spec_impact(ds, DOCS_SPEC, DOCS_SPEC_V2,
+                       id_column="doc_id")

@@ -1086,3 +1086,45 @@ class TestOptInPropagation:
         ).run_batch(t)
         assert out.column("valid").to_pylist() == [False]
         assert viols.column("path").to_pylist() == ["xs.1"]
+
+
+class TestSpecImpact:
+    def test_fused_counts_match_two_separate_runs(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from peri_ray.validate import (spec_impact, validate_dataset,
+                                       violations_dataset)
+
+        t = pa.table({
+            "id": pa.array(range(40), pa.int64()),
+            "v": pa.array([None if i % 7 == 0 else i % 15
+                           for i in range(40)], pa.int64()),
+        })
+        old = {"id": ("required", "integer"),
+               "v": ("integer", ("gte", 0))}
+        new = {"id": ("required", "integer"),
+               "v": ("required", ("integer", ("lte", 9)))}
+        got = {(r["path"], r["rule_id"]): (r["n_old"], r["n_new"],
+                                           r["delta"])
+               for r in spec_impact(rd.from_arrow(t).repartition(4),
+                                    old, new,
+                                    id_column="id").to_pylist()}
+
+        def counts(spec):
+            from collections import Counter
+
+            vio = violations_dataset(validate_dataset(
+                rd.from_arrow(t), spec, id_column="id"))
+            return Counter((r["path"], r["rule_id"])
+                           for r in vio.take_all())
+
+        co, cn = counts(old), counts(new)
+        want = {}
+        for k in set(co) | set(cn):
+            want[k] = (co.get(k, 0), cn.get(k, 0),
+                       cn.get(k, 0) - co.get(k, 0))
+        assert got == want
+        # the tightened spec must show the planted regressions
+        assert got[("v", "required")][1] == 6      # ids 0,7,...,35
+        assert got[("v", "integer.lte")][1] > 0
