@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_events_by_type": q.pareto_events_by_type,
         "vocab_growth_monthly": q.vocab_growth_monthly,
         "spec_impact_documents": q.spec_impact_documents,
+        "distinctive_terms_by_source": q.distinctive_terms_by_source,
     }
 
 
@@ -4918,6 +4919,41 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN nn
                 ON o.path = nn.path AND o.rule_id = nn.rule_id
              WHERE COALESCE(o.n, 0) > 0 OR COALESCE(nn.n, 0) > 0
+        """,
+        "distinctive_terms_by_source": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+                FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+            sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS csw
+                     FROM toks GROUP BY 1, 2),
+            cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                     FROM toks GROUP BY 1),
+            nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS nsv
+                       FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+            grid AS (SELECT s.source, c.w, COALESCE(x.csw, 0) AS csw,
+                            c.c, s.nsv, t.n
+                       FROM nsrc s CROSS JOIN cw c CROSS JOIN tot t
+                       LEFT JOIN sc x
+                         ON x.source = s.source AND x.w = c.w),
+            scored AS (SELECT source, w,
+                 CAST(round(1e6 * (
+                   ln(CAST(csw + 1 AS DOUBLE)
+                      / CAST(nsv - csw + 1 AS DOUBLE))
+                   - ln(CAST(c - csw + 1 AS DOUBLE)
+                        / CAST(n - nsv - (c - csw) + 1 AS DOUBLE))))
+                   AS BIGINT) AS score_micro
+                 FROM grid),
+            r AS (SELECT source, w AS term, score_micro,
+                         CAST(row_number() OVER (PARTITION BY source
+                              ORDER BY score_micro DESC, w) AS BIGINT)
+                           AS rank
+                    FROM scored)
+            SELECT source, term, score_micro, rank
+              FROM r WHERE rank <= 3
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
         "mmr_reranked_docs": _mmr_sql(5),

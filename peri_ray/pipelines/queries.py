@@ -6686,3 +6686,14 @@ def spec_impact_documents(sf_dir: str):
                ["doc_id", "text", "lang", "n_chars"])
     return spec_impact(ds, DOCS_SPEC, DOCS_SPEC_V2,
                        id_column="doc_id")
+
+
+def distinctive_terms_by_source(sf_dir: str):
+    """Contrastive keyword report (text.distinctive_terms, k=3):
+    per-source top terms by smoothed log-odds vs the rest of the
+    corpus, in integer micro-nats — 'what does this slice talk about
+    that the others don't'."""
+    from peri_ray.stages.text import distinctive_terms
+
+    return distinctive_terms(
+        _read(sf_dir, "documents", ["source", "text"]), k=3)

@@ -3355,3 +3355,88 @@ def vocab_growth(ds, ts_col: str = "warc_ts", text_col: str = "text",
         "new_frac": pa.array(
             [float(agg[m][1]) / float(agg[m][0]) for m in months],
             pa.float64())})
+
+
+def distinctive_terms(ds, k: int = 3, text_col: str = "text",
+                      source_col: str = "source", n_buckets: int = 64,
+                      max_model_cells: int = 2_000_000,
+                      batch_size: int | None = 8192) -> pa.Table:
+    """Characteristic vocabulary per source: the k terms with the
+    highest smoothed log-odds ratio of appearing in source s vs the
+    REST of the corpus — "what does this crawl slice talk about that
+    the others don't" (the Monroe-style contrastive keyword report
+    with add-one smoothing).
+
+    score(s, w) = ln((c_sw+1)/(n_s−c_sw+1)) − ln((c_w−c_sw+1)/
+    (n−n_s−(c_w−c_sw)+1)), quantized to integer micro-nats so ranking
+    and hashing are order-free; ties break on the term.  ONE
+    (source, term) bucketed count exchange; the driver model is
+    bounded by sources × vocab (raises past ``max_model_cells``).
+    Returns (source, term, score_micro, rank), rank 1..k."""
+    import math
+
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+
+    def _counts(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        sub = t.filter(pc.and_(pc.is_valid(txt),
+                               pc.is_valid(t.column(source_col)
+                                           .combine_chunks())))
+        if sub.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        flat, lens = flat_tokens(sub.column(text_col))
+        idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        g = (pa.table({"source": sub.column(source_col).combine_chunks()
+                       .take(pa.array(idx)), "w": flat})
+             .group_by(["source", "w"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["source", "w", "c"])
+
+    cells = grouped_sum_via_buckets(
+        ds.map_batches(_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["source", "w"], "c", n_buckets=n_buckets)
+    tabs = [ray.get(r) for r in cells.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "score_micro": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    m = pa.concat_tables(tabs)
+    if m.num_rows > max_model_cells:
+        raise ValueError(
+            f"distinctive_terms: {m.num_rows} (source, term) cells "
+            f"exceed max_model_cells={max_model_cells}")
+    scnt: dict[tuple, int] = {}
+    cnt: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for s, w, c in zip(m.column("source").to_pylist(),
+                       m.column("w").to_pylist(),
+                       m.column("c").to_pylist()):
+        c = int(c)
+        scnt[(s, w)] = scnt.get((s, w), 0) + c
+        cnt[w] = cnt.get(w, 0) + c
+        ns[s] = ns.get(s, 0) + c
+    n = sum(cnt.values())
+    out = []
+    for s in sorted(ns):
+        scored = []
+        for w, cw in cnt.items():
+            csw = scnt.get((s, w), 0)
+            crw = cw - csw
+            score = (math.log(float(csw + 1) / float(ns[s] - csw + 1))
+                     - math.log(float(crw + 1)
+                                / float(n - ns[s] - crw + 1)))
+            scored.append((-int(round(1e6 * score)), w))
+        scored.sort()
+        for rank, (neg, w) in enumerate(scored[:k], start=1):
+            out.append((s, w, -neg, rank))
+    return pa.table({
+        "source": pa.array([o[0] for o in out], pa.string()),
+        "term": pa.array([o[1] for o in out], pa.string()),
+        "score_micro": pa.array([o[2] for o in out], pa.int64()),
+        "rank": pa.array([o[3] for o in out], pa.int64())})

@@ -9519,3 +9519,23 @@ class TestVocabGrowth:
                                   "n_new": 1, "new_frac": 0.5}
         assert got["2024-03"]["n_new"] == 2
         assert got["2024-03"]["n_terms"] == 3
+
+
+class TestDistinctiveTerms:
+    def test_planted_slice_vocabulary_surfaces(self):
+        from peri_ray.stages.text import distinctive_terms
+
+        rows = (
+            [("sA", "quantum flux quantum widget")] * 5
+            + [("sB", "common words common widget")] * 5
+            + [("sC", "common words common stuff")] * 5)
+        t = pa.table({"source": pa.array([r[0] for r in rows]),
+                      "text": pa.array([r[1] for r in rows])})
+        got = distinctive_terms(rd.from_arrow(t).repartition(3),
+                                k=2).to_pylist()
+        top = {r["source"]: r["term"] for r in got if r["rank"] == 1}
+        # 'quantum' is exclusive to sA and twice as frequent there
+        assert top["sA"] == "quantum"
+        assert all(r["score_micro"] == int(r["score_micro"])
+                   for r in got)
+        assert {r["rank"] for r in got} == {1, 2}
