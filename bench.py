@@ -409,6 +409,30 @@ def run_bench() -> dict:
           lambda: q.hapax_rate_documents(SF_DIR).to_pandas())
     timed("mmr_rerank",
           lambda: q.mmr_reranked_docs(SF_DIR).to_pandas())
+    timed("weighted_quantiles",
+          lambda: q.weighted_len_quantiles_docs(SF_DIR).to_pandas())
+    timed("source_ablation",
+          lambda: q.source_ablation_report(SF_DIR).to_pandas())
+    timed("monotonic_violations",
+          lambda: q.monotonic_violations_events(SF_DIR).to_pandas())
+    timed("mutation_robustness",
+          lambda: q.dedup_mutation_robustness(SF_DIR).to_pandas())
+    timed("orphan_hosts",
+          lambda: q.orphan_hosts_docs(SF_DIR).to_pandas())
+    timed("tv_hellinger_drift",
+          lambda: q.tv_drift_event_type(SF_DIR).to_pandas())
+    timed("budget_allocation",
+          lambda: q.budget_allocation_docs(SF_DIR).to_pandas())
+    timed("typosquat_hosts",
+          lambda: q.typosquat_hosts_docs(SF_DIR).to_pandas())
+    timed("grouped_skyline",
+          lambda: q.pareto_events_by_type(SF_DIR).to_pandas())
+    timed("vocab_growth",
+          lambda: q.vocab_growth_monthly(SF_DIR).to_pandas())
+    timed("spec_impact",
+          lambda: q.spec_impact_documents(SF_DIR).to_pandas())
+    timed("distinctive_terms",
+          lambda: q.distinctive_terms_by_source(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
