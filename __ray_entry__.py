@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_monthly": q.vocab_growth_monthly,
         "spec_impact_documents": q.spec_impact_documents,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
+        "syndication_matrix_docs": q.syndication_matrix_docs,
     }
 
 
@@ -4954,6 +4955,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT source, term, score_micro, rank
               FROM r WHERE rank <= 3
+        """,
+        "syndication_matrix_docs": """
+            WITH d AS (
+              SELECT DISTINCT source,
+                     array_to_string(list_slice(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       1, 5), ' ') AS k
+                FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL
+                 AND len(regexp_split_to_array(trim(text), '\\s+'))
+                     >= 5)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+              FROM d a JOIN d b
+                ON a.k = b.k AND a.source < b.source
+             GROUP BY 1, 2
         """,
         "coverage_selected_docs": _greedy_cov_sql(4),
         "mmr_reranked_docs": _mmr_sql(5),

@@ -6697,3 +6697,14 @@ def distinctive_terms_by_source(sf_dir: str):
 
     return distinctive_terms(
         _read(sf_dir, "documents", ["source", "text"]), k=3)
+
+
+def syndication_matrix_docs(sf_dir: str):
+    """Cross-source syndication matrix (text.syndication_matrix,
+    5-token openings): source pairs sharing distinct ledes — the
+    wire-copy propagation monitor.  Oracle: distinct
+    (opening, source) self-join."""
+    from peri_ray.stages.text import syndication_matrix
+
+    return syndication_matrix(
+        _read(sf_dir, "documents", ["source", "text"]), n=5)

@@ -3440,3 +3440,81 @@ def distinctive_terms(ds, k: int = 3, text_col: str = "text",
         "term": pa.array([o[1] for o in out], pa.string()),
         "score_micro": pa.array([o[2] for o in out], pa.int64()),
         "rank": pa.array([o[3] for o in out], pa.int64())})
+
+
+def syndication_matrix(ds, n: int = 5, text_col: str = "text",
+                       source_col: str = "source",
+                       n_buckets: int = 64, max_run: int = 1024,
+                       batch_size: int | None = 8192):
+    """Cross-source syndication matrix: for every source pair, how
+    many distinct n-token OPENINGS they share — the wire-copy /
+    boilerplate-propagation monitor ("which feeds republish the same
+    ledes?").  Docs shorter than n tokens are excluded.
+
+    Shape: per-batch DISTINCT (opening, source) partials → ONE
+    opening-bucketed exchange → per bucket the sorted distinct sources
+    of each opening expand to C(m,2) pairs with the repeat/cumsum
+    construction (no per-key Python) → one (src_a, src_b) sum.  A key
+    shared by more than ``max_run`` sources raises (degenerate
+    boilerplate — dedupe first) rather than emitting O(m²)
+    silently."""
+    from peri_ray.stages.dedup import (grouped_sum_via_buckets,
+                                       map_groups_via_buckets)
+
+    def _openings(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        sub = t.filter(pc.and_(pc.is_valid(txt),
+                               pc.is_valid(t.column(source_col)
+                                           .combine_chunks())))
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        if sub.num_rows == 0:
+            return empty
+        flat, lens = flat_tokens(sub.column(text_col))
+        keep = lens >= n
+        if not keep.any():
+            return empty
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1][keep]
+        key = pc.binary_join_element_wise(
+            *[flat.take(pa.array(offs + j)) for j in range(n)], " ")
+        src = (sub.column(source_col).combine_chunks()
+               .filter(pa.array(keep)))
+        return (pa.table({"k": key, "source": src})
+                .group_by(["k", "source"]).aggregate([]))
+
+    pairs_in = ds.map_batches(_openings, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        g = (group.select(["k", "source"])
+             .group_by(["k", "source"]).aggregate([])
+             .sort_by([("k", "ascending"), ("source", "ascending")]))
+        kcol = g.column("k").to_numpy(zero_copy_only=False)
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "n_shared": pa.array([], pa.int64())})
+        if len(kcol) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, kcol[1:] != kcol[:-1]])
+        m = np.diff(np.append(starts, len(kcol)))
+        if int(m.max()) > max_run:
+            raise ValueError(
+                f"syndication_matrix: an opening is shared by "
+                f"{int(m.max())} sources (> max_run={max_run}); "
+                "dedupe boilerplate first")
+        pos = np.arange(len(kcol)) - np.repeat(starts, m)
+        rep = np.repeat(m, m) - 1 - pos
+        first = np.repeat(np.arange(len(kcol)), rep)
+        j = np.arange(rep.sum()) - np.repeat(np.cumsum(rep) - rep, rep)
+        second = first + 1 + j
+        s = g.column("source").combine_chunks()
+        out = pa.table({"src_a": s.take(pa.array(first)),
+                        "src_b": s.take(pa.array(second))})
+        c = out.group_by(["src_a", "src_b"]).aggregate(
+            [([], "count_all")])
+        return c.rename_columns(["src_a", "src_b", "n_shared"])
+
+    per_bucket = map_groups_via_buckets(pairs_in, ["k"], _pairs,
+                                        n_buckets=n_buckets)
+    return grouped_sum_via_buckets(per_bucket, ["src_a", "src_b"],
+                                   "n_shared")

@@ -9539,3 +9539,38 @@ class TestDistinctiveTerms:
         assert all(r["score_micro"] == int(r["score_micro"])
                    for r in got)
         assert {r["rank"] for r in got} == {1, 2}
+
+
+class TestSyndicationMatrix:
+    def test_shared_openings_counted_distinct(self):
+        from peri_ray.stages.text import syndication_matrix
+
+        rows = [
+            ("sA", "the quick brown fox jumps high"),
+            ("sA", "the quick brown fox jumps again"),   # same opening
+            ("sB", "the quick brown fox jumps far"),
+            ("sC", "the quick brown fox jumps too"),
+            ("sB", "something else entirely here now"),
+            ("sC", "short doc"),                         # < 5 tokens
+        ]
+        t = pa.table({"source": pa.array([r[0] for r in rows]),
+                      "text": pa.array([r[1] for r in rows])})
+        got = {(r["src_a"], r["src_b"]): r["n_shared"]
+               for r in syndication_matrix(
+                   rd.from_arrow(t).repartition(3), n=5).take_all()}
+        # one distinct shared opening across each source pair
+        assert got == {("sA", "sB"): 1, ("sA", "sC"): 1,
+                       ("sB", "sC"): 1}
+
+    def test_degenerate_boilerplate_raises(self):
+        import pytest
+
+        from peri_ray.stages.text import syndication_matrix
+
+        rows = [(f"s{i}", "common opening words here now")
+                for i in range(10)]
+        t = pa.table({"source": pa.array([r[0] for r in rows]),
+                      "text": pa.array([r[1] for r in rows])})
+        with pytest.raises(Exception, match="max_run"):
+            syndication_matrix(rd.from_arrow(t), n=5,
+                               max_run=4).take_all()
