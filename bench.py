@@ -433,6 +433,8 @@ def run_bench() -> dict:
           lambda: q.spec_impact_documents(SF_DIR).to_pandas())
     timed("distinctive_terms",
           lambda: q.distinctive_terms_by_source(SF_DIR).to_pandas())
+    timed("syndication_matrix",
+          lambda: q.syndication_matrix_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
