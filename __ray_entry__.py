@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_impact_documents": q.spec_impact_documents,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
+        "host_concentration_docs": q.host_concentration_docs,
     }
 
 
@@ -5226,6 +5227,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) AS hapax_rate
               FROM c
+        """,
+        "host_concentration_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+                     FROM canon GROUP BY 1),
+            o AS (SELECT host, n,
+                         CAST(sum(n) OVER (ORDER BY n DESC, host)
+                              AS BIGINT) AS cum,
+                         CAST(row_number() OVER (ORDER BY n DESC, host)
+                              AS BIGINT) AS i
+                    FROM hc),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS nh FROM hc)
+            SELECT (SELECT min(i) FROM o CROSS JOIN t
+                     WHERE 2 * cum >= t.total) AS k_hosts_50,
+                   t.nh AS total_hosts, t.total AS total_pages
+              FROM t
         """,
     }
 

@@ -6708,3 +6708,47 @@ def syndication_matrix_docs(sf_dir: str):
 
     return syndication_matrix(
         _read(sf_dir, "documents", ["source", "text"]), n=5)
+
+
+def host_concentration_docs(sf_dir: str):
+    """Crawl-volume concentration: the smallest number of hosts whose
+    pages cover at least HALF the corpus (Pareto-k, the complement of
+    the Gini monitor: "how few hosts dominate?").  Integer rule
+    2·cum ≥ total over (count desc, host asc) order — no float can
+    drift the cut.  One bounded host-count pass; driver work is
+    host-domain-sized."""
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    hosts = host_of(canonicalize_urls(ds.map_batches(
+        _attach_web_columns, batch_format="pyarrow")))
+
+    def _counts(t: pa.Table) -> pa.Table:
+        g = (t.select(["host"]).group_by("host")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "n"])
+
+    counts = grouped_sum_via_buckets(
+        hosts.map_batches(_counts, batch_format="pyarrow"),
+        ["host"], "n")
+    agg: dict[str, int] = {}
+    for t in (ray.get(r) for r in counts.to_arrow_refs()):
+        for h, n in zip(t.column("host").to_pylist(),
+                        t.column("n").to_pylist()):
+            agg[h] = agg.get(h, 0) + int(n)
+    total = sum(agg.values())
+    order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    k50 = 0
+    for i, (_, n) in enumerate(order, start=1):
+        cum += n
+        if 2 * cum >= total:
+            k50 = i
+            break
+    return pa.table({
+        "k_hosts_50": pa.array([k50], pa.int64()),
+        "total_hosts": pa.array([len(agg)], pa.int64()),
+        "total_pages": pa.array([total], pa.int64())})

@@ -9574,3 +9574,26 @@ class TestSyndicationMatrix:
         with pytest.raises(Exception, match="max_run"):
             syndication_matrix(rd.from_arrow(t), n=5,
                                max_run=4).take_all()
+
+
+class TestHostConcentration:
+    def test_pareto_k_on_driver_gate_data(self):
+        from peri_ray.pipelines.queries import host_concentration_docs
+
+        got = host_concentration_docs(
+            "/root/testdata/sf0.001").to_pylist()[0]
+        # 50 hosts, near-uniform volume -> half needs about half of them
+        assert got["total_hosts"] == 50
+        assert 1 <= got["k_hosts_50"] <= 50
+        assert got["total_pages"] > 0
+        # exact integer rule: top-k cumulative doubles past the total
+        import duckdb
+
+        from __ray_entry__ import oracle_sql
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        want = con.execute(
+            oracle_sql()["host_concentration_docs"]).fetchone()
+        assert (got["k_hosts_50"], got["total_hosts"],
+                got["total_pages"]) == want
