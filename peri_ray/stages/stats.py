@@ -2524,8 +2524,11 @@ def skyline(ds, criteria: dict[str, str], payload_cols: list[str],
     every block's local frontier, so each block ships ONLY its local
     skyline (typically O(log^{d-1} n) rows) and one driver-side pass
     over the concatenated candidates — bounded by s x blocks and
-    guarded by ``max_skyline`` — finishes exactly.  Rows with a null in
-    any criterion are excluded (SQL twin: ``WHERE c IS NOT NULL``).
+    guarded by ``max_skyline`` — finishes exactly.  Rows with a null or
+    NaN in any criterion are excluded (SQL twin: ``WHERE c IS NOT
+    NULL``; NaN would be neither dominated nor dominating under numpy
+    comparisons while DuckDB sorts it above every value, so it is
+    dropped like null rather than silently diverging).
 
     Returns a pyarrow Table with ``payload_cols + criteria`` columns."""
     import ray
@@ -2544,7 +2547,13 @@ def skyline(ds, criteria: dict[str, str], payload_cols: list[str],
         t = t.select(cols)
         mask = None
         for c in crit:
-            v = pc.is_valid(t.column(c).combine_chunks())
+            col = t.column(c).combine_chunks()
+            v = pc.is_valid(col)
+            # NaN is neither dominated nor dominating under numpy
+            # comparisons, while the NOT EXISTS twin sorts NaN above
+            # every value — exclude it like null (ADVICE r3)
+            f = col.cast(pa.float64())
+            v = pc.and_(v, pc.invert(pc.is_nan(f)))
             mask = v if mask is None else pc.and_(mask, v)
         t = t.filter(mask)
         if t.num_rows == 0:

@@ -6,9 +6,21 @@ actor-pool ``map_batches`` stages; nothing materializes the dataset.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _micro_half_away(x: float) -> int:
+    """Half-away-from-zero rounding to the nearest integer — DuckDB's
+    ``round()`` convention.  Python ``round()`` is half-to-even; the
+    transcendental micro-nat terms cannot land exactly on .5, but the
+    repo's convention is to match the SQL rounding MECHANICALLY rather
+    than probabilistically (ADVICE r3)."""
+    return (int(math.floor(x + 0.5)) if x >= 0
+            else -int(math.floor(-x + 0.5)))
 
 # ---------------------------------------------------------------------------
 # token counting (vectorized Arrow kernels; oracle-checkable in SQL via
@@ -3271,14 +3283,20 @@ def source_ablation_nll(ds, text_col: str = "text",
     v = len(cnt)
     tot = sum(cnt.values())
     n_tgt = sum(tcnt.values())
-    import math
+    if n_tgt == 0:
+        # no target tokens: the SQL twin (JOIN tgt ON TRUE over an
+        # empty tgt) returns zero rows — mirror it instead of emitting
+        # a vacuous nll=0 row per source (ADVICE r3)
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_target_tokens": pa.array([], pa.int64()),
+                         "nll_micro": pa.array([], pa.int64())})
     out_s, out_nll = [], []
     for s in sorted(ts):
         nll = 0
         denom = float(tot - ts[s] + v)
         for w, t in tcnt.items():
             num = float(cnt[w] - scnt.get((s, w), 0) + 1)
-            nll -= t * int(round(1e6 * math.log(num / denom)))
+            nll -= t * _micro_half_away(1e6 * math.log(num / denom))
         out_s.append(s)
         out_nll.append(nll)
     return pa.table({
@@ -3431,7 +3449,7 @@ def distinctive_terms(ds, k: int = 3, text_col: str = "text",
             score = (math.log(float(csw + 1) / float(ns[s] - csw + 1))
                      - math.log(float(crw + 1)
                                 / float(n - ns[s] - crw + 1)))
-            scored.append((-int(round(1e6 * score)), w))
+            scored.append((-_micro_half_away(1e6 * score), w))
         scored.sort()
         for rank, (neg, w) in enumerate(scored[:k], start=1):
             out.append((s, w, -neg, rank))

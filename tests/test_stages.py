@@ -9597,3 +9597,158 @@ class TestHostConcentration:
             oracle_sql()["host_concentration_docs"]).fetchone()
         assert (got["k_hosts_50"], got["total_hosts"],
                 got["total_pages"]) == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE closures
+# ---------------------------------------------------------------------------
+
+
+class TestAdviceR3Closures:
+    def test_skyline_real_nan_excluded_like_null(self):
+        """A literal NaN (not a pandas-converted null) in a criterion
+        must be dropped: numpy dominance would keep it forever while
+        the NOT EXISTS twin sorts NaN above everything (ADVICE r3)."""
+        from peri_ray.stages.stats import skyline
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "a": pa.array([1.0, float("nan"), 3.0, 2.0], pa.float64()),
+            "b": pa.array([5.0, 9.0, 1.0, 2.0], pa.float64())})
+        got = skyline(rd.from_arrow(t).repartition(2),
+                      {"a": "max", "b": "max"}, ["id"])
+        # row 2 (NaN) excluded; among 1/3/4: 3 dominates nothing over
+        # 1? (3,1) vs (1,5): neither dominates; (2,2) vs (3,1)/(1,5):
+        # not dominated -> frontier {1,3,4}
+        assert sorted(got.column("id").to_pylist()) == [1, 3, 4]
+
+    def test_evolved_reader_skips_file_with_no_requested_columns(
+            self, tmp_path, monkeypatch):
+        """A file holding none of the requested columns must not be
+        read at all — its all-null part comes from the footer row
+        count (ADVICE r3: columns=None fallback read EVERYTHING)."""
+        import pyarrow.parquet as pq
+
+        import peri_ray.sources as src
+
+        a = tmp_path / "a.parquet"
+        b = tmp_path / "b.parquet"
+        pq.write_table(pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "html": pa.array([b"x", b"y"], pa.binary())}), a)
+        pq.write_table(pa.table({
+            "html": pa.array([b"p", b"q", b"r"], pa.binary())}), b)
+
+        opened = []
+        real = src.read_table
+
+        def _spy(path, columns=None, **kw):
+            opened.append((os.path.basename(path), tuple(columns or ())))
+            return real(path, columns=columns, **kw)
+
+        monkeypatch.setattr(src, "read_table", _spy)
+        ds = src.read_table_evolved([str(a), str(b)], columns=["id"])
+        rows = ds.take_all()
+        assert sorted((r["id"] is None, r.get("id")) for r in rows) == [
+            (False, 1), (False, 2), (True, None), (True, None),
+            (True, None)]
+        # only file a was opened, pruned to id; b never touched
+        assert opened == [("a.parquet", ("id",))]
+
+    def test_source_ablation_empty_target_returns_zero_rows(self):
+        from peri_ray.stages.text import source_ablation_nll
+
+        # no doc_id % 17 == 0 -> empty target slice -> empty result,
+        # matching the twin's JOIN over an empty tgt (ADVICE r3)
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["s1", "s2", "s1"], pa.string()),
+            "text": pa.array(["a b", "c d", "e f"], pa.string())})
+        got = source_ablation_nll(rd.from_arrow(t))
+        assert got.num_rows == 0
+        assert got.column_names == ["source", "n_target_tokens",
+                                    "nll_micro"]
+
+    def test_micro_half_away_rounding(self):
+        from peri_ray.stages.text import _micro_half_away
+
+        assert _micro_half_away(2.5) == 3
+        assert _micro_half_away(-2.5) == -3
+        assert _micro_half_away(2.4) == 2
+        assert _micro_half_away(-2.4) == -2
+        assert _micro_half_away(0.5) == 1
+        assert _micro_half_away(-0.5) == -1
+        assert _micro_half_away(0.0) == 0
+
+    def test_tv_drift_negative_ids_dropped_from_both_halves(self):
+        """SQL `id % 2 = 0/1` drops negative odd keys entirely
+        (-3 % 2 = -1 in DuckDB); floor modulo would route them to
+        side 1 (ADVICE r3)."""
+        from peri_ray.stages.checks import tv_hellinger_drift
+
+        # even ids (incl. -4): side 0 = a,a ; odd positive: side 1 = b
+        # negative odd (-3 -> c) must vanish, not pollute side 1
+        t = pa.table({
+            "id": pa.array([0, -4, 1, -3], pa.int64()),
+            "k": pa.array(["a", "a", "b", "c"], pa.string())})
+        got = tv_hellinger_drift(rd.from_arrow(t).repartition(2),
+                                 "k", "id").to_pylist()[0]
+        # side a: {a:2}, side b: {b:1} -> TV = 1.0 exactly; if c leaked
+        # into side 1, TV would be 1.0 still but hellinger differs:
+        # with c: sqrt(1 - 0) over 3 cats vs 2 -> check hellinger too
+        assert got["tv"] == 1.0
+        import math
+        assert abs(got["hellinger"] - round(math.sqrt(1.0), 6)) <= 1e-9
+
+
+class TestStagedBlockRefsFallback:
+    def test_public_api_path_matches_private(self):
+        """VERDICT r3 item 3: a Ray upgrade that drops the private
+        iter_internal_ref_bundles must degrade to to_arrow_refs with
+        identical join results."""
+        import peri_ray.stages.similarity as sim
+
+        rng = np.random.default_rng(11)
+        m = rng.normal(size=(60, 8))
+        # plant near-duplicate pairs
+        m[10] = m[3] + 0.001
+        m[40] = m[22] + 0.001
+        t = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float64()))})
+        ds = rd.from_arrow(t).repartition(5)
+
+        def _run():
+            out = sim.cosine_similarity_join(ds, threshold=0.98)
+            return sorted((r["id_a"], r["id_b"], r["cos"])
+                          for r in out.take_all())
+
+        want = _run()
+        assert len(want) >= 2
+        sim._USE_PRIVATE_BUNDLES = False
+        try:
+            got = _run()
+        finally:
+            sim._USE_PRIVATE_BUNDLES = True
+        assert got == want
+
+    def test_knn_graph_under_public_path(self):
+        import peri_ray.stages.similarity as sim
+
+        rng = np.random.default_rng(7)
+        m = rng.normal(size=(40, 6))
+        t = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float64()))})
+        ds = rd.from_arrow(t).repartition(4)
+        want = sorted((r["query_id"], r["neighbor_id"])
+                      for r in sim.knn_graph(ds, k=3).take_all())
+        sim._USE_PRIVATE_BUNDLES = False
+        try:
+            got = sorted((r["query_id"], r["neighbor_id"])
+                         for r in sim.knn_graph(ds, k=3).take_all())
+        finally:
+            sim._USE_PRIVATE_BUNDLES = True
+        assert got == want
