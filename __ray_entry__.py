@@ -5245,6 +5245,36 @@ def oracle_sql() -> dict[str, str]:
                    t.nh AS total_hosts, t.total AS total_pages
               FROM t
         """,
+        # --- sketch-audit twins (round 4): exact values + TRUE; the
+        # engine computes the sketch AND the exact side, emitting a
+        # boolean that flips (and fails the hash) if the estimate
+        # leaves its error envelope ---
+        "approx_distinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS ndv_exact, TRUE AS hll_ok FROM events GROUP BY event_type"
+        ),
+        "grouped_kll_chars": (
+            "SELECT source, CAST(count(n_chars) AS BIGINT) AS n, "
+            "TRUE AS q50_ok, TRUE AS q90_ok FROM documents GROUP BY source"
+        ),
+        "cms_term_estimates": """
+            SELECT word AS term, count(*) AS n_exact, TRUE AS cms_ok
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS word
+                      FROM documents WHERE text IS NOT NULL)
+             GROUP BY word HAVING count(*) >= 500
+        """,
+        "url_overlap_recrawl": """
+            SELECT CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT)
+                     AS n_a,
+                   CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+                     AS n_b,
+                   CAST(count(*) FILTER (WHERE doc_id % 6 = 0) AS BIGINT)
+                     AS n_overlap,
+                   TRUE AS hll_a_ok, TRUE AS hll_b_ok,
+                   TRUE AS hll_overlap_ok
+              FROM documents
+        """,
     }
 
 

@@ -44,6 +44,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rows(res) -> list[dict]:
+    """Rows of a small result that may be a pa.Table or a Dataset —
+    the audit queries join tiny per-group outputs on the driver."""
+    if isinstance(res, pa.Table):
+        return res.to_pylist()
+    return res.take_all()
+
+
 def _collect(ds, schema: pa.Schema) -> pa.Table:
     """Materialize a small/empty-prone result with an explicit schema
     (an empty Dataset otherwise surfaces as a schema-less DataFrame)."""
@@ -1576,13 +1584,78 @@ def column_profile_events(sf_dir: str):
 
 def grouped_kll_chars(sf_dir: str):
     """Approximate per-source n_chars quantiles via per-group KLL
-    sketches through the bucket exchange — the high-cardinality-group
-    scale path (rows-only: sketch estimates have no SQL twin; accuracy
-    unit-tested against numpy)."""
+    sketches through the bucket exchange, AUDITED: a second streaming
+    pass counts each group's values strictly-below / at-or-below the
+    sketch's estimate, and the emitted ``q50_ok``/``q90_ok`` assert
+    the estimate's rank window intersects [q−ε, q+ε]·n with ε=0.15
+    (KLL k=200 guarantees ~1.65/√k ≈ 0.117 w.h.p.) — the sketch's
+    rank error is the oracle-checked contract (twin: exact per-group
+    counts + TRUE).  The scale path ships only ~k-float sketches; the
+    exact rank pass exists for the audit."""
+    from collections import defaultdict
+
     from peri_ray.stages.stats import grouped_kll_quantiles
 
-    ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    return grouped_kll_quantiles(ds, "source", "n_chars", qs=(0.5, 0.9))
+    kll_rows = _rows(grouped_kll_quantiles(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        "source", "n_chars", qs=(0.5, 0.9)))
+    ests = {r["source"]: (r["q_0_5"], r["q_0_9"]) for r in kll_rows}
+
+    def _ranks(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").combine_chunks().cast(pa.float64())
+        sub = pa.table({"source": t.column("source"), "x": x}).filter(
+            pc.is_valid(x))
+        enc = sub.column("source").combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        raw = enc.indices.to_numpy(zero_copy_only=False)
+        idx = (np.where(np.isnan(raw), -1, raw).astype(np.int64)
+               if raw.dtype.kind == "f" else raw.astype(np.int64))
+        xv = sub.column("x").to_numpy(zero_copy_only=False)
+        out: dict = {}
+        for di in np.unique(idx):
+            s = None if di < 0 else enc.dictionary[int(di)].as_py()
+            vals = xv[idx == di]
+            e50, e90 = ests.get(s, (None, None))
+            out[s] = [
+                int((vals < e50).sum()) if e50 is not None else 0,
+                int((vals <= e50).sum()) if e50 is not None else 0,
+                int((vals < e90).sum()) if e90 is not None else 0,
+                int((vals <= e90).sum()) if e90 is not None else 0,
+                int(len(vals))]
+        ks = sorted(out, key=lambda s: (s is None, s))
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "lo50": pa.array([out[k][0] for k in ks], pa.int64()),
+            "hi50": pa.array([out[k][1] for k in ks], pa.int64()),
+            "lo90": pa.array([out[k][2] for k in ks], pa.int64()),
+            "hi90": pa.array([out[k][3] for k in ks], pa.int64()),
+            "n": pa.array([out[k][4] for k in ks], pa.int64())})
+
+    merged: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in _read(sf_dir, "documents", ["source", "n_chars"]).map_batches(
+            _ranks, batch_format="pyarrow").take_all():
+        a = merged[r["source"]]
+        for i, f in enumerate(("lo50", "hi50", "lo90", "hi90", "n")):
+            a[i] += r[f]
+
+    eps = 0.15
+
+    def _ok(lo, hi, n, q):
+        # estimate occupies ranks (lo, hi]; ok iff that window meets
+        # [q−ε, q+ε]·n (slack is ON the accept side — CLAUDE.md rule)
+        return hi >= (q - eps) * n and lo < (q + eps) * n
+
+    ks = sorted(merged, key=lambda s: (s is None, s))
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n": pa.array([merged[k][4] for k in ks], pa.int64()),
+        "q50_ok": pa.array([_ok(merged[k][0], merged[k][1],
+                                merged[k][4], 0.5) for k in ks],
+                           pa.bool_()),
+        "q90_ok": pa.array([_ok(merged[k][2], merged[k][3],
+                                merged[k][4], 0.9) for k in ks],
+                           pa.bool_())})
 
 
 def entropy_events(sf_dir: str):
@@ -2370,14 +2443,34 @@ def changeset_orders_violations(sf_dir: str):
 
 
 def approx_distinct_users_by_type(sf_dir: str):
-    """Per-group approximate NDV via HLL partials (rows-only: an
-    estimate; the exact twin is `distinct_users_by_type`) — the
-    bounded-memory path when a hot group's distinct count is itself
-    corpus-scale."""
-    from peri_ray.stages.stats import grouped_hll_ndv
+    """Per-group approximate NDV via HLL partials, AUDITED: the exact
+    NDV rides along from the one-exchange distinct-pair path and the
+    emitted ``hll_ok`` asserts the p=12 estimate sits inside a ±5%
+    (≈3σ) envelope — the sketch's accuracy is itself the
+    oracle-checked contract (the twin computes exact NDV and TRUE; a
+    drifting estimate flips the boolean and fails the hash).  The
+    production path at corpus scale is the HLL side alone; the exact
+    pass exists for the audit."""
+    from peri_ray.stages.stats import grouped_distinct_count, grouped_hll_ndv
 
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return grouped_hll_ndv(ds, key="event_type", col="user_id")
+    est_rows = _rows(grouped_hll_ndv(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        key="event_type", col="user_id"))
+    exact_rows = _rows(grouped_distinct_count(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id"))
+    est = {r["event_type"]: r["ndv"] for r in est_rows}
+    keys, exact, ok = [], [], []
+    for r in sorted(exact_rows, key=lambda r: (r["event_type"] is None,
+                                               r["event_type"])):
+        k, nd = r["event_type"], r["ndv"]
+        keys.append(k)
+        exact.append(nd)
+        e = est.get(k)
+        ok.append(e is not None and abs(e - nd) <= max(2.0, 0.05 * nd))
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "ndv_exact": pa.array(exact, pa.int64()),
+                     "hll_ok": pa.array(ok, pa.bool_())})
 
 
 def salted_join_events_customer(sf_dir: str):
@@ -3909,14 +4002,17 @@ def spec_drift_documents(sf_dir: str):
 
 
 def cms_term_estimates_docs(sf_dir: str):
-    """Count-Min frequency estimates self-evaluated against exact
-    heavy-hitter counts — rows-only (a probabilistic sketch has no SQL
-    twin) but self-checking: n_cms >= n_exact on every row by the CMS
-    one-sided guarantee."""
+    """Count-Min frequency estimates AUDITED against exact
+    heavy-hitter counts: the emitted ``cms_ok`` asserts the one-sided
+    guarantee (never undercount) AND the e/width·N overcount bound per
+    term, so the sketch's guarantee is the oracle-checked contract
+    (twin: exact over-threshold counts + TRUE).  The raw estimates
+    (n_cms, overcount) stay engine-side — they have no SQL twin."""
     from peri_ray.stages.text import cms_term_estimates
 
     ds = _read(sf_dir, "documents", ["text"])
-    return cms_term_estimates(ds, threshold=500)
+    return cms_term_estimates(ds, threshold=500).select(
+        ["term", "n_exact", "cms_ok"])
 
 
 def host_degree_docs(sf_dir: str):
@@ -5316,12 +5412,16 @@ def mirror_hosts_documents(sf_dir: str):
 
 
 def url_overlap_recrawl(sf_dir: str):
-    """Zero-exchange sketch triage of recrawl overlap: HLL-estimated
-    URL intersection between the even-doc snapshot and the
-    every-third-doc snapshot (true overlap = ids divisible by 6).
-    Rows-only (sketch estimates); accuracy is pinned vs the exact
-    answer in tests/test_stages.py::TestHLLOverlap, and the exact
-    paths (bucketed semi join, Bloom probe) are separate queries."""
+    """Zero-exchange sketch triage of recrawl overlap, AUDITED:
+    HLL-estimated URL intersection between the even-doc snapshot and
+    the every-third-doc snapshot (the raw-url fixture is injective in
+    doc_id, so true overlap = ids divisible by 6).  The emitted
+    ``hll_*_ok`` booleans assert each p=14 estimate sits inside its
+    error envelope (±3% per set ≈ 3.7σ; the inclusion-exclusion
+    intersection inside ±4% of the exact UNION size) — the sketch's
+    accuracy is the oracle-checked contract (twin: exact id-arithmetic
+    counts + TRUE).  The production path stays zero-exchange; the
+    exact counts ride one cheap doc_id-only pass."""
     from peri_ray.stages.checks import hll_overlap_estimate
     from peri_ray.stages.web import canonicalize_urls
 
@@ -5337,7 +5437,33 @@ def url_overlap_recrawl(sf_dir: str):
             ds.map_batches(_f, batch_format="pyarrow").map_batches(
                 _attach_web_columns, batch_format="pyarrow"))
 
-    return hll_overlap_estimate(_half(2), _half(3), "url", "url")
+    est = hll_overlap_estimate(_half(2), _half(3), "url", "url")
+    r = _rows(est)[0]
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        ids = (t.column("doc_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"a": pa.array([int((ids % 2 == 0).sum())], pa.int64()),
+                         "b": pa.array([int((ids % 3 == 0).sum())], pa.int64()),
+                         "o": pa.array([int((ids % 6 == 0).sum())], pa.int64())})
+
+    n_a = n_b = n_o = 0
+    for row in _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            _cnt, batch_format="pyarrow").take_all():
+        n_a += row["a"]
+        n_b += row["b"]
+        n_o += row["o"]
+    n_union = n_a + n_b - n_o
+    ok_a = abs(r["ndv_a"] - n_a) <= max(3.0, 0.03 * n_a)
+    ok_b = abs(r["ndv_b"] - n_b) <= max(3.0, 0.03 * n_b)
+    ok_o = abs(r["est_overlap"] - n_o) <= max(5.0, 0.04 * n_union)
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_overlap": pa.array([n_o], pa.int64()),
+        "hll_a_ok": pa.array([ok_a], pa.bool_()),
+        "hll_b_ok": pa.array([ok_b], pa.bool_()),
+        "hll_overlap_ok": pa.array([ok_o], pa.bool_())})
 
 
 def term_index_probe(sf_dir: str):

@@ -1918,10 +1918,12 @@ def cms_term_estimates(ds, text_col: str = "text", width: int = 1 << 14,
     EXACT heavy-hitter counts: two bounded-memory streaming passes
     (per-block CountMin partials merged by elementwise add; the exact
     top terms from :func:`heavy_hitter_terms`), then one driver-side
-    probe.  Output (term, n_exact, n_cms, overcount) sorted by
+    probe.  Output (term, n_exact, n_cms, overcount, cms_ok) sorted by
     n_exact desc, term asc — ``n_cms >= n_exact`` ALWAYS (the CMS
     one-sided guarantee; violated would mean a broken merge), with
-    overcount bounded by ~e/width × corpus_tokens w.h.p.
+    overcount bounded by ~e/width × corpus_tokens w.h.p.; ``cms_ok``
+    checks BOTH properties row-wise so the sketch's guarantee is
+    oracle-checkable (twin: exact counts + TRUE).
 
     The production use is the broadcast side: ship the merged ~512 KB
     table via ``ray.put`` and answer per-row frequency lookups inside
@@ -1945,11 +1947,16 @@ def cms_term_estimates(ds, text_col: str = "text", width: int = 1 << 14,
     n_exact = exact.column("n").to_numpy(zero_copy_only=False)
     est = merged.estimate_hashes(hash_strings(terms)) if len(terms) else \
         np.array([], np.int64)
+    # CMS theory bound: overcount <= e/width × N w.p. 1−(1/e)^depth,
+    # N exact from the merged sketch's own total (integer adds)
+    bound = int(np.ceil(np.e / width * merged.total))
+    ok = (est >= n_exact) & (est - n_exact <= bound)
     out = pa.table({
         "term": terms,
         "n_exact": pa.array(n_exact, pa.int64()),
         "n_cms": pa.array(est, pa.int64()),
         "overcount": pa.array(est - n_exact, pa.int64()),
+        "cms_ok": pa.array(ok, pa.bool_()),
     })
     return out.sort_by([("n_exact", "descending"), ("term", "ascending")])
 
