@@ -122,40 +122,49 @@ def expectation_suite(ds, expectations: list[tuple],
     fds = [(pos, e) for pos, e in enumerate(expectations)
            if e[0] == "fd_holds"]
 
-    acc = np.zeros(len(counting) + 1, np.int64)
-    if counting:
+    results: dict[int, tuple[int, bool]] = {}
+
+    def _run_counting():
+        acc = np.zeros(len(counting) + 1, np.int64)
         partials = ds.map_batches(
             _CountPartial(tuple(e for _, e in counting)),
             batch_format="pyarrow", batch_size=batch_size)
         for r in partials.iter_rows():
             acc[r["i"]] += r["c"]
+        out: dict[int, tuple[int, bool]] = {}
+        n_rows = int(acc[0])
+        for i, (pos, exp) in enumerate(counting):
+            obs = int(acc[i + 1])
+            kind = exp[0]
+            if kind == "row_count_between":
+                ok = exp[1] <= obs <= exp[2]
+            elif kind == "null_fraction_at_most":
+                ok = (obs * _FRAC_DEN
+                      <= int(np.floor(exp[2] * _FRAC_DEN)) * n_rows)
+            elif kind == "regex_match_fraction_at_least":
+                ok = (obs * _FRAC_DEN
+                      >= int(np.floor(exp[3] * _FRAC_DEN)) * n_rows)
+            elif kind == "int_sum_between":
+                ok = exp[2] <= obs <= exp[3]
+            else:
+                ok = obs == 0
+            out[pos] = (obs, ok)
+        return out
 
-    results: dict[int, tuple[int, bool]] = {}
-    n_rows = int(acc[0])
-    for i, (pos, exp) in enumerate(counting):
-        obs = int(acc[i + 1])
-        kind = exp[0]
-        if kind == "row_count_between":
-            ok = exp[1] <= obs <= exp[2]
-        elif kind == "null_fraction_at_most":
-            ok = obs * _FRAC_DEN <= int(np.floor(exp[2] * _FRAC_DEN)) * n_rows
-        elif kind == "regex_match_fraction_at_least":
-            ok = obs * _FRAC_DEN >= int(np.floor(exp[3] * _FRAC_DEN)) * n_rows
-        elif kind == "int_sum_between":
-            ok = exp[2] <= obs <= exp[3]
-        else:
-            ok = obs == 0
-        results[pos] = (obs, ok)
+    def _run_uniques():
+        from peri_ray.stages.checks import duplicate_keys
 
-    from peri_ray.stages.checks import duplicate_keys
+        out: dict[int, tuple[int, bool]] = {}
+        for pos, exp in uniques:
+            dups = duplicate_keys(ds, exp[1],
+                                  n_buckets=n_buckets).materialize()
+            n_dup_keys = dups.count()
+            extra = int((dups.sum("cnt") - n_dup_keys)
+                        if n_dup_keys else 0)
+            out[pos] = (extra, extra == 0)
+        return out
 
-    for pos, exp in uniques:
-        dups = duplicate_keys(ds, exp[1], n_buckets=n_buckets).materialize()
-        n_dup_keys = dups.count()
-        extra = int((dups.sum("cnt") - n_dup_keys) if n_dup_keys else 0)
-        results[pos] = (extra, extra == 0)
-
-    if ndvs:
+    def _run_ndvs():
         # ALL NDV expectations share one tagged exchange (the
         # inclusion_report pattern): per-batch distinct values per
         # column, keyed (cid, value)
@@ -190,11 +199,10 @@ def expectation_suite(ds, expectations: list[tuple],
                                batch_size=batch_size),
                 ["cid", "v"], _cnt, n_buckets).iter_rows():
             ndv_acc[r["cid"]] += r["n"]
-        for ci, (pos, exp) in enumerate(ndvs):
-            results[pos] = (ndv_acc[ci],
-                            exp[2] <= ndv_acc[ci] <= exp[3])
+        return {pos: (ndv_acc[ci], exp[2] <= ndv_acc[ci] <= exp[3])
+                for ci, (pos, exp) in enumerate(ndvs)}
 
-    if fds:
+    def _run_fds():
         # ALL FD expectations share fd_report's single exchange
         from peri_ray.stages.checks import fd_report
 
@@ -202,9 +210,33 @@ def expectation_suite(ds, expectations: list[tuple],
                          for i, (_, exp) in enumerate(fds)],
                         n_buckets=n_buckets).to_pylist()
         by_label = {r["pair"]: r for r in rep}
-        for i, (pos, exp) in enumerate(fds):
-            obs = by_label[str(i)]["violating_lhs"]
-            results[pos] = (obs, obs == 0)
+        return {pos: (by_label[str(i)]["violating_lhs"],
+                      by_label[str(i)]["violating_lhs"] == 0)
+                for i, (pos, exp) in enumerate(fds)}
+
+    # the four phases are INDEPENDENT pipelines over the same input;
+    # run them concurrently so the suite's wall time is the slowest
+    # phase, not the sum (r3 grew the suite from two phases to four
+    # and the serial form doubled — VERDICT r3 item 7 root cause).
+    # Ray Data executes each consumed dataset on its own; the threads
+    # only overlap driver-side waits.
+    from concurrent.futures import ThreadPoolExecutor
+
+    phases = []
+    if counting:
+        phases.append(_run_counting)
+    if uniques:
+        phases.append(_run_uniques)
+    if ndvs:
+        phases.append(_run_ndvs)
+    if fds:
+        phases.append(_run_fds)
+    if len(phases) == 1:
+        results.update(phases[0]())
+    elif phases:
+        with ThreadPoolExecutor(max_workers=len(phases)) as pool:
+            for part in pool.map(lambda f: f(), phases):
+                results.update(part)
 
     return pa.table({
         "check_id": pa.array([_check_id(e) for e in expectations],
