@@ -5245,6 +5245,43 @@ def oracle_sql() -> dict[str, str]:
                    t.nh AS total_hosts, t.total AS total_pages
               FROM t
         """,
+        # --- flagship verdict twin (round 4): the whole pass policy
+        # (validity, uniqueness, lang referential, PSI drift vs the
+        # 0.25 threshold) re-derived in SQL with the engine's exact
+        # eps-clamped PSI convention ---
+        "flagship_documents": f"""
+            WITH v AS (SELECT count(*) AS n,
+                              count(*) FILTER (WHERE {_DOC_VALID}) AS ok
+                         FROM documents),
+            dup AS (SELECT count(*) AS c FROM (
+                      SELECT doc_id FROM documents
+                       GROUP BY doc_id HAVING count(*) > 1)),
+            refbad AS (SELECT count(*) AS c FROM documents
+                        WHERE lang IS NOT NULL AND lang NOT IN
+                              ('en','de','fr','es','zh')),
+            ref(lang, q) AS (VALUES ('en', 0.45), ('de', 0.14),
+                             ('fr', 0.14), ('es', 0.14), ('zh', 0.13)),
+            obs AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                      FROM documents WHERE lang IS NOT NULL
+                     GROUP BY lang),
+            tot AS (SELECT sum(n) AS t FROM obs),
+            cats AS (SELECT GREATEST(COALESCE(o.n, 0) / t.t, 1e-6) AS p,
+                            GREATEST(COALESCE(r.q, 0), 1e-6) AS q
+                       FROM obs o FULL OUTER JOIN ref r
+                            ON o.lang = r.lang CROSS JOIN tot t),
+            psi AS (SELECT sum((p - q) * ln(p / q)) AS s FROM cats)
+            SELECT v.n AS rows, v.ok AS valid_rows,
+                   v.n - v.ok AS invalid_rows,
+                   (v.ok = v.n AND dup.c = 0 AND refbad.c = 0
+                    AND psi.s <= 0.25) AS passed,
+                   CAST(3 AS BIGINT) AS n_checks
+              FROM v, dup, refbad, psi
+        """,
+        "doc_fingerprints": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS ndv_text, "
+            "TRUE AS fp_ok FROM documents"
+        ),
         # --- sketch-audit twins (round 4): exact values + TRUE; the
         # engine computes the sketch AND the exact side, emitting a
         # boolean that flips (and fails the hash) if the estimate

@@ -860,11 +860,40 @@ def simhash_near_dup_pairs(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """64-bit content fingerprint per document (exact-dedup key)."""
-    from peri_ray.stages.text import add_fingerprints
+    """64-bit content-fingerprint audit (the exact-dedup key),
+    oracle-checked: one tagged distinct-pair exchange counts the
+    distinct fingerprints (seed 1 — the production key) AND the
+    distinct values of an independent-seed 64-bit hash; ``ndv_text``
+    (the independent hash's count) must equal the twin's exact
+    count(DISTINCT text), and ``fp_ok`` asserts the fingerprint
+    column agrees — a collision or broken hash on either side flips
+    the boolean or diverges the count.  Per-doc fingerprint VALUES
+    stay engine-side (no SQL twin); their exactness is unit-pinned."""
+    from peri_ray.stages.stats import grouped_distinct_count
+    from peri_ray.state.sketches import hash_strings
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_fingerprints(ds).select_columns(["doc_id", "fingerprint"])
+
+    def _tag(t: pa.Table) -> pa.Table:
+        nn = t.column("text").combine_chunks().drop_null()
+        fp = hash_strings(nn, seed=1).astype(np.int64)
+        ch = hash_strings(nn, seed=9).astype(np.int64)
+        n = len(nn)
+        return pa.table({
+            "cid": pa.array(np.concatenate([np.zeros(n, np.int64),
+                                            np.ones(n, np.int64)])),
+            "v": pa.array(np.concatenate([fp, ch]))})
+
+    ndv_rows = _rows(grouped_distinct_count(
+        ds.map_batches(_tag, batch_format="pyarrow"), "cid", "v"))
+    # the distinct-pair exchange string-casts its key column
+    ndv = {str(r["cid"]): r["ndv"] for r in ndv_rows}
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "ndv_text": pa.array([ndv.get("1", 0)], pa.int64()),
+        "fp_ok": pa.array([ndv.get("0", 0) == ndv.get("1", 0)],
+                          pa.bool_())})
 
 
 def bpe_token_counts(sf_dir: str):
