@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_titles_docs": q.page_titles_docs,
         # rows-only (non-SQL-expressible: sketches, heuristics, LSH, ANN)
         "cms_term_estimates": q.cms_term_estimates_docs,
+        "char_entropy_documents": q.char_entropy_documents,
+        "host_capture_gaps": q.host_capture_gaps_docs,
         "weighted_sample_documents": q.weighted_sample_docs,
         "kmeans_clusters": q.kmeans_clusters,
         "grouped_kll_chars": q.grouped_kll_chars,
@@ -5276,6 +5278,52 @@ def oracle_sql() -> dict[str, str]:
                     AND psi.s <= 0.25) AS passed,
                    CAST(3 AS BIGINT) AS n_checks
               FROM v, dup, refbad, psi
+        """,
+        "host_capture_gaps": f"""
+            WITH {_WEB_CANON_CTE},
+            w AS (SELECT c.host,
+                         (1704067200000000
+                          + ((doc_id*37) % 365) * 86400000000
+                          + (doc_id % 24) * 3600000000) AS ts_us,
+                         doc_id
+                    FROM canon c),
+            g AS (SELECT host,
+                         ts_us - lag(ts_us) OVER (
+                           PARTITION BY host ORDER BY ts_us, doc_id)
+                           AS gap
+                    FROM w)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_captures,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+              FROM g GROUP BY host
+        """,
+        "char_entropy_documents": """
+            WITH chars AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+                FROM documents
+               WHERE text IS NOT NULL AND length(text) > 0),
+            cnt AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+                      FROM chars GROUP BY doc_id, ch),
+            tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CAST(t.n AS BIGINT) AS n_chars_counted,
+                   ROUND(ln(t.n) - sum(c.c * ln(c.c)) / t.n, 6)
+                     AS char_entropy
+              FROM cnt c JOIN tot t USING (doc_id)
+             GROUP BY c.doc_id, t.n
+        """,
+        "column_sketches_lineitem": """
+            SELECT 'l_quantity' AS "column",
+                   CAST(count(l_quantity) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_exact,
+                   TRUE AS ndv_ok, TRUE AS q50_ok, TRUE AS q90_ok
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   CAST(count(l_extendedprice) AS BIGINT),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   TRUE, TRUE, TRUE
+              FROM lineitem
         """,
         "doc_fingerprints": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "

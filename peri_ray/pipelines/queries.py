@@ -581,20 +581,85 @@ def embedding_near_dup_pairs(sf_dir: str):
 
 
 def column_sketches_lineitem(sf_dir: str):
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-    stats = column_stats(ds, ["l_quantity", "l_extendedprice"])
-    rows = []
-    for col, s in stats.items():
-        rows.append({
-            "column": col, "cnt": s["count"], "ndv": round(s.get("ndv", 0.0), 1),
-            "q50": round(s["quantiles"]["0.5"], 3), "q90": round(s["quantiles"]["0.9"], 3),
-        })
+    """Column-sketch audit (the single-pass profile's approximate
+    fields, oracle-checked): exact count rides along; ``ndv_ok``
+    asserts the HLL estimate within ±5% of the exact NDV (computed
+    via the one-exchange distinct-pair path for the audit) and
+    ``q50_ok``/``q90_ok`` assert the KLL estimates' rank windows
+    within ±0.15·n (the k=200 bound is ~0.117 w.h.p.) via a second
+    counting pass.  Twin: exact per-column counts + TRUE."""
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = _read(sf_dir, "lineitem", cols)
+    stats = column_stats(ds, cols)
+
+    from peri_ray.stages.stats import grouped_distinct_count
+
+    def _tag(t: pa.Table) -> pa.Table:
+        parts = []
+        for ci, c in enumerate(cols):
+            v = (t.column(c).combine_chunks().cast(pa.float64())
+                 .drop_null())
+            parts.append(pa.table({
+                "cid": pa.array(np.full(len(v), ci, np.int64)),
+                "v": v}))
+        return pa.concat_tables(parts)
+
+    ndv_exact = {str(r["cid"]): r["ndv"] for r in _rows(
+        grouped_distinct_count(
+            _read(sf_dir, "lineitem", cols).map_batches(
+                _tag, batch_format="pyarrow"), "cid", "v"))}
+
+    ests = {c: (stats[c]["quantiles"]["0.5"], stats[c]["quantiles"]["0.9"])
+            for c in cols}
+
+    def _ranks(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = (t.column(c).combine_chunks().cast(pa.float64())
+                 .drop_null().to_numpy(zero_copy_only=False))
+            e50, e90 = ests[c]
+            rows.append((c, int((v < e50).sum()), int((v <= e50).sum()),
+                         int((v < e90).sum()), int((v <= e90).sum()),
+                         len(v)))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "lo50": pa.array([r[1] for r in rows], pa.int64()),
+            "hi50": pa.array([r[2] for r in rows], pa.int64()),
+            "lo90": pa.array([r[3] for r in rows], pa.int64()),
+            "hi90": pa.array([r[4] for r in rows], pa.int64()),
+            "n": pa.array([r[5] for r in rows], pa.int64())})
+
+    from collections import defaultdict
+    merged: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in _read(sf_dir, "lineitem", cols).map_batches(
+            _ranks, batch_format="pyarrow").take_all():
+        a = merged[r["column"]]
+        for i, f in enumerate(("lo50", "hi50", "lo90", "hi90", "n")):
+            a[i] += r[f]
+
+    eps = 0.15
+
+    def _qok(lo, hi, n, q):
+        return hi >= (q - eps) * n and lo < (q + eps) * n
+
+    out = []
+    for ci, c in enumerate(cols):
+        nd_exact = ndv_exact.get(str(ci), 0)
+        nd_est = stats[c].get("ndv", 0.0)
+        lo50, hi50, lo90, hi90, n = merged[c]
+        out.append({
+            "column": c, "cnt": stats[c]["count"],
+            "ndv_exact": nd_exact,
+            "ndv_ok": abs(nd_est - nd_exact) <= max(2.0, 0.05 * nd_exact),
+            "q50_ok": _qok(lo50, hi50, n, 0.5),
+            "q90_ok": _qok(lo90, hi90, n, 0.9)})
     return pa.table({
-        "column": pa.array([r["column"] for r in rows], pa.string()),
-        "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
-        "ndv": pa.array([r["ndv"] for r in rows], pa.float64()),
-        "q50": pa.array([r["q50"] for r in rows], pa.float64()),
-        "q90": pa.array([r["q90"] for r in rows], pa.float64()),
+        "column": pa.array([r["column"] for r in out], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
+        "ndv_exact": pa.array([r["ndv_exact"] for r in out], pa.int64()),
+        "ndv_ok": pa.array([r["ndv_ok"] for r in out], pa.bool_()),
+        "q50_ok": pa.array([r["q50_ok"] for r in out], pa.bool_()),
+        "q90_ok": pa.array([r["q90_ok"] for r in out], pa.bool_()),
     })
 
 
@@ -6907,3 +6972,31 @@ def host_concentration_docs(sf_dir: str):
         "k_hosts_50": pa.array([k50], pa.int64()),
         "total_hosts": pa.array([len(agg)], pa.int64()),
         "total_pages": pa.array([total], pa.int64())})
+
+
+def char_entropy_documents(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (text.char_entropy_scores) —
+    the low-information quality gate beside the zlib ratio, exact and
+    oracle-checked (the twin evaluates the identical
+    ln(n) − Σ c·ln c / n identity over regexp-exploded chars)."""
+    from peri_ray.stages.text import char_entropy_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_entropy_scores(ds)
+
+
+def host_capture_gaps_docs(sf_dir: str):
+    """Per-host inter-capture gap profile (web.host_capture_gaps) —
+    crawl-politeness / scheduling audit over the deterministic ts
+    fixture; exact integer-µs gaps, window-lag SQL twin."""
+    from peri_ray.stages.web import (canonicalize_urls, host_capture_gaps,
+                                     host_of)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = host_of(canonicalize_urls(ds.map_batches(
+        _attach_web_columns, batch_format="pyarrow")))
+    ds = ds.map_batches(lambda t: t.select(["doc_id", "host", "warc_ts"]),
+                        batch_format="pyarrow")
+    return _collect(host_capture_gaps(ds), pa.schema([
+        ("host", pa.string()), ("n_captures", pa.int64()),
+        ("min_gap_us", pa.int64()), ("max_gap_us", pa.int64())]))

@@ -1350,3 +1350,63 @@ def recrawl_priority(ds, max_ts_us: int, key_col: str = "canonical_url",
 
     return map_groups_via_buckets(ds, [key_col], _prio,
                                   n_buckets=n_buckets)
+
+
+def host_capture_gaps(ds, host_col: str = "host",
+                      ts_col: str = "warc_ts", id_col: str = "doc_id",
+                      n_buckets: int = 64):
+    """Per-host inter-capture gap profile — the crawl-politeness /
+    scheduling signal: for each host, the count of captures and the
+    exact min/max gap (µs) between CONSECUTIVE captures ordered by
+    (ts, id).  Hosts with a single capture report null gaps (SQL lag
+    parity).  Rows with a null host or ts are excluded.
+
+    ONE host-bucketed exchange of (host, ts_us, id) ints; per bucket a
+    whole-bucket lexsort + run-fenced diff — no per-host loop.
+    Returns (host, n_captures, min_gap_us, max_gap_us)."""
+    from peri_ray.stages.dedup import map_groups_via_buckets
+
+    def _prep(t: pa.Table) -> pa.Table:
+        h = t.column(host_col).combine_chunks()
+        ts = t.column(ts_col).combine_chunks().cast(pa.int64())
+        sub = pa.table({
+            "host": h, "ts_us": ts,
+            "id": t.column(id_col).combine_chunks().cast(pa.int64()),
+        }).filter(pc.and_(pc.is_valid(h), pc.is_valid(ts)))
+        return sub
+
+    def _gaps(g: pa.Table) -> pa.Table:
+        h = g.column("host").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, h))
+        h, ts = h[order], ts[order]
+        same = np.concatenate([[False], h[1:] == h[:-1]])
+        d = np.diff(ts, prepend=ts[:1])  # junk where run starts
+        starts = np.flatnonzero(~same)
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        hosts = h[starts]
+        # gaps-only array in run order; per-run segments are contiguous,
+        # so one reduceat per stat covers every multi-capture host
+        g = d[same]
+        gcounts = counts - 1
+        gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+        multi = gcounts > 0
+        mins = np.full(len(starts), -1, np.int64)
+        maxs = np.full(len(starts), -1, np.int64)
+        if multi.any():
+            rs = gstarts[multi].astype(np.int64)
+            mins[multi] = np.minimum.reduceat(g, rs)
+            maxs[multi] = np.maximum.reduceat(g, rs)
+        return pa.table({
+            "host": pa.array(hosts.astype(str), pa.string()),
+            "n_captures": pa.array(counts.astype(np.int64)),
+            "min_gap_us": pa.array(
+                [None if m < 0 else int(m) for m in mins], pa.int64()),
+            "max_gap_us": pa.array(
+                [None if m < 0 else int(m) for m in maxs], pa.int64()),
+        })
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return map_groups_via_buckets(prepped, ["host"], _gaps,
+                                  n_buckets=n_buckets)

@@ -9798,3 +9798,64 @@ class TestScaleInventory:
         assert not stale, (
             f"SCALE.md inventory rows with no matching site (update the "
             f"table): {sorted(stale)}")
+
+
+class TestCharEntropy:
+    def test_matches_brute_force_and_edge_cases(self):
+        import math
+        from collections import Counter
+
+        from peri_ray.stages.text import char_entropy_scores
+
+        texts = ["aaaa", "abab", "ab\ncd ü€", None, "", "x",
+                 "the quick brown fox", "ü" * 7]
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = {r["doc_id"]: (r["n_chars_counted"], r["char_entropy"])
+               for r in char_entropy_scores(
+                   rd.from_arrow(t).repartition(3)).take_all()}
+        # null + empty excluded
+        assert set(got) == {0, 1, 2, 5, 6, 7}
+        for i in got:
+            cnt = Counter(texts[i])
+            n = float(len(texts[i]))
+            h = math.log(n) - sum(c * math.log(c)
+                                  for c in cnt.values()) / n
+            assert got[i][0] == len(texts[i])
+            assert abs(got[i][1] - round(h, 6)) <= 1.1e-6
+        # degenerate single-char runs score exactly 0
+        assert got[0][1] == 0.0
+        assert got[5][1] == 0.0
+        assert got[7][1] == 0.0
+        # uniform 2-symbol doc = ln 2
+        assert abs(got[1][1] - round(math.log(2), 6)) <= 1e-9
+
+
+class TestHostCaptureGaps:
+    def test_gaps_singletons_and_ties(self):
+        import datetime
+
+        from peri_ray.stages.web import host_capture_gaps
+
+        us = lambda s: datetime.datetime(2024, 1, 1) + \
+            datetime.timedelta(seconds=s)
+        rows = [
+            ("a", us(0), 1), ("a", us(10), 2), ("a", us(40), 3),
+            ("b", us(5), 4),                       # singleton
+            ("c", us(7), 5), ("c", us(7), 6),      # tie -> gap 0
+        ]
+        t = pa.table({
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64())})
+        got = {r["host"]: r for r in host_capture_gaps(
+            rd.from_arrow(t).repartition(3)).take_all()}
+        assert got["a"]["n_captures"] == 3
+        assert got["a"]["min_gap_us"] == 10_000_000
+        assert got["a"]["max_gap_us"] == 30_000_000
+        assert got["b"]["n_captures"] == 1
+        assert got["b"]["min_gap_us"] is None
+        assert got["c"]["min_gap_us"] == 0
+        assert got["c"]["max_gap_us"] == 0
