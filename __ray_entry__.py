@@ -5279,6 +5279,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_checks
               FROM v, dup, refbad, psi
         """,
+        "pca_projected_embeddings": (
+            "SELECT CAST(count(embedding) AS BIGINT) AS n_rows, "
+            "CAST(4 AS BIGINT) AS k, TRUE AS orthonormal_ok, "
+            "TRUE AS variance_order_ok, TRUE AS projection_finite_ok "
+            "FROM embeddings"
+        ),
         "host_capture_gaps": f"""
             WITH {_WEB_CANON_CTE},
             w AS (SELECT c.host,

