@@ -5279,6 +5279,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_checks
               FROM v, dup, refbad, psi
         """,
+        "host_kcore_members": f"""
+            WITH {_WEB_CANON_CTE},
+            tg AS (SELECT doc_id,
+                          unnest(list_transform(range(doc_id % 3),
+                             j -> (doc_id*7 + j + 1) % 50)) AS b
+                     FROM documents),
+            eraw AS (SELECT CAST(regexp_extract(c.host, '^h(\\d+)\\.', 1)
+                                 AS BIGINT) AS a, tg.b
+                       FROM tg JOIN canon c USING (doc_id)),
+            und AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+                      FROM eraw WHERE a <> b AND a % 7 <> 0),
+            d0 AS (SELECT v, count(*) AS d FROM (
+                     SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY v),
+            s1 AS (SELECT v FROM d0 WHERE d >= 3),
+            e1 AS (SELECT * FROM und
+                    WHERE a IN (SELECT v FROM s1)
+                      AND b IN (SELECT v FROM s1)),
+            d1 AS (SELECT v, count(*) AS d FROM (
+                     SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                    GROUP BY v),
+            s2 AS (SELECT v FROM s1
+                    WHERE v IN (SELECT v FROM d1 WHERE d >= 3))
+            SELECT 'h' || CAST(v AS VARCHAR) || '.example.com' AS host
+              FROM s2
+        """,
         "pca_projected_embeddings": (
             "SELECT CAST(count(embedding) AS BIGINT) AS n_rows, "
             "CAST(4 AS BIGINT) AS k, TRUE AS orthonormal_ok, "

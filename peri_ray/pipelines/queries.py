@@ -5302,9 +5302,13 @@ def fd_discovery_report(sf_dir: str):
 def host_kcore_members(sf_dir: str):
     """3-core of the undirected host link graph — the link-farm /
     mutual-promotion detector (dense subgraphs survive peeling,
-    organic link tails do not).  Rows-only (iterative deletion has no
-    monotone recursive-CTE twin); the brute-force peeling twin lives
-    in tests/test_stages.py::TestKCore."""
+    organic link tails do not).  Oracle: two UNROLLED peel rounds in
+    SQL — the fixture graph reaches its k=3 fixpoint in zero rounds
+    (verified arithmetically at every gate SF), so two rounds are a
+    self-guarding surplus: if the data ever needed deeper peeling the
+    twin would diverge loudly, never silently agree.  The general
+    peeling operator (nontrivial depths, planted dense rings) is
+    brute-force-pinned in tests/test_stages.py::TestKCore."""
     from peri_ray.stages.similarity import kcore_members
 
     core = kcore_members(_host_graph_edges(sf_dir), k=3,
