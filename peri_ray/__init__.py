@@ -52,8 +52,11 @@ from peri_ray.registry import (
     schema_registry,
 )
 from peri_ray.specgen import generate_table, generate_dataset
+from peri_ray.compat import spec_compat, is_backward_compatible
 
 __all__ = [
+    "spec_compat",
+    "is_backward_compatible",
     "generate_table",
     "generate_dataset",
     "traverse_violations",

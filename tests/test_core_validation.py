@@ -1128,3 +1128,131 @@ class TestSpecImpact:
         # the tightened spec must show the planted regressions
         assert got[("v", "required")][1] == 6      # ids 0,7,...,35
         assert got[("v", "integer.lte")][1] > 0
+
+
+class TestSpecCompat:
+    """Spec-evolution compatibility analysis (peri_ray/compat.py) —
+    the schema-registry-style pre-ship check."""
+
+    def _sev(self, old, new, path, **kw):
+        from peri_ray.compat import spec_compat
+
+        return {f["path"]: (f["change"], f["severity"])
+                for f in spec_compat(old, new, **kw)}.get(path)
+
+    def test_identical_specs_no_findings(self):
+        from peri_ray.compat import is_backward_compatible, spec_compat
+
+        s = {"a": ("required", "integer"),
+             "b": ("string", ("min", 1))}
+        assert spec_compat(s, s) == []
+        assert is_backward_compatible(s, s)
+
+    def test_required_added_and_removed(self):
+        old = {"a": "integer"}
+        assert self._sev(old, {"a": ("required", "integer")}, "a") == (
+            "required_added", "breaking")
+        assert self._sev({"a": ("required", "integer")}, old, "a") == (
+            "required_removed", "compatible")
+
+    def test_field_added_variants(self):
+        old = {"a": "integer"}
+        assert self._sev(old, {**old, "b": ("required", "string")},
+                         "b") == ("field_added_required", "breaking")
+        assert self._sev(old, {**old, "b": "any"}, "b") == (
+            "field_added", "compatible")
+        assert self._sev(old, {**old, "b": ("integer", ("gte", 0))},
+                         "b") == ("field_added", "warning")
+        # required-with-default fills, so absent rows still pass
+        assert self._sev(
+            old, {**old, "b": ("required", ("integer", ("default", 0)))},
+            "b") == ("field_added", "warning")
+
+    def test_field_removed_mode_dependent(self):
+        old = {"a": "integer", "b": "string"}
+        new = {"a": "integer"}
+        assert self._sev(old, new, "b") == ("field_removed", "compatible")
+        assert self._sev(old, new, "b", mode="strict") == (
+            "field_removed", "breaking")
+
+    def test_type_change_breaking_and_any_widening(self):
+        assert self._sev({"a": "integer"}, {"a": "string"}, "a") == (
+            "type_changed", "breaking")
+        assert self._sev({"a": "integer"}, {"a": "any"}, "a") == (
+            "type_widened_to_any", "compatible")
+
+    def test_monotone_constraints(self):
+        old = {"a": ("integer", ("gte", 5))}
+        assert self._sev(old, {"a": ("integer", ("gte", 3))}, "a") == (
+            "constraint_loosened:gte", "compatible")
+        assert self._sev(old, {"a": ("integer", ("gte", 7))}, "a") == (
+            "constraint_tightened:gte", "breaking")
+        old = {"s": ("string", ("max", 10))}
+        assert self._sev(old, {"s": ("string", ("max", 20))}, "s") == (
+            "constraint_loosened:max", "compatible")
+        assert self._sev(old, {"s": ("string", ("max", 5))}, "s") == (
+            "constraint_tightened:max", "breaking")
+
+    def test_constraint_added_removed(self):
+        assert self._sev({"a": "integer"},
+                         {"a": ("integer", ("lt", 9))}, "a") == (
+            "constraint_added:lt", "breaking")
+        assert self._sev({"a": ("integer", ("lt", 9))},
+                         {"a": "integer"}, "a") == (
+            "constraint_removed:lt", "compatible")
+
+    def test_multiple_of_divisor_loosens(self):
+        old = {"a": ("integer", ("multiple_of", 10))}
+        assert self._sev(old, {"a": ("integer", ("multiple_of", 5))},
+                         "a") == ("constraint_loosened:multiple_of",
+                                  "compatible")
+        assert self._sev(old, {"a": ("integer", ("multiple_of", 3))},
+                         "a") == ("constraint_changed:multiple_of",
+                                  "breaking")
+
+    def test_enum_widen_narrow(self):
+        old = {"l": ("enum", ["en", "de"])}
+        assert self._sev(old, {"l": ("enum", ["en", "de", "fr"])},
+                         "l") == ("enum_widened", "compatible")
+        assert self._sev(old, {"l": ("enum", ["en"])}, "l") == (
+            "enum_narrowed", "breaking")
+
+    def test_default_and_transform_informational(self):
+        assert self._sev({"a": "integer"},
+                         {"a": ("integer", ("default", 0))}, "a") == (
+            "default_changed", "informational")
+        assert self._sev(
+            {"s": "string"},
+            {"s": ("string", ("transform", str.upper))}, "s") == (
+            "transform_changed", "informational")
+
+    def test_nested_schema_recursion(self):
+        old = {"m": {"x": ("integer", ("gte", 0))}}
+        new = {"m": {"x": ("integer", ("gte", 5))}}
+        assert self._sev(old, new, "m.x") == (
+            "constraint_tightened:gte", "breaking")
+        old = {"m": ("schema", {"x": "integer"})}
+        new = {"m": ("schema", {"x": "string"})}
+        assert self._sev(old, new, "m.x") == ("type_changed", "breaking")
+
+    def test_list_element_recursion(self):
+        old = {"xs": ("list", ("integer", ("gte", 0)))}
+        new = {"xs": ("list", ("integer", ("gte", 1)))}
+        assert self._sev(old, new, "xs[]") == (
+            "constraint_tightened:gte", "breaking")
+
+    def test_unclassified_is_conservative(self):
+        from peri_ray.compat import is_backward_compatible
+
+        old = {"a": ("either", ("integer", "string"))}
+        new = {"a": ("oneof", ["integer", "string", "float"])}
+        sev = self._sev(old, new, "a")
+        assert sev is not None and sev[1] == "breaking"
+        assert not is_backward_compatible(old, new)
+
+    def test_error_override_ignored(self):
+        old = {"a": ("integer", [("gte", 0), ("error", "bad value")])}
+        new = {"a": ("integer", [("gte", 0), ("error", "worse value")])}
+        from peri_ray.compat import spec_compat
+
+        assert spec_compat(old, new) == []
