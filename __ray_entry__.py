@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_events_by_type": q.pareto_events_by_type,
         "vocab_growth_monthly": q.vocab_growth_monthly,
         "spec_impact_documents": q.spec_impact_documents,
+        "spec_compat_report": q.spec_compat_report_docs,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4884,6 +4885,24 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "spec_compat_report": f"""
+            WITH v AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE {_DOC_VALID}) AS old_ok,
+                     count(*) FILTER (WHERE {_DOC_VALID} AND NOT (
+                       doc_id IS NOT NULL AND text IS NOT NULL
+                       AND length(text) >= 20 AND lang IS NOT NULL
+                       AND lang IN {_LANGS_SQL}
+                       AND (n_chars IS NULL
+                            OR (n_chars >= 0 AND n_chars <= 900))
+                     )) AS regressed
+                FROM documents)
+            SELECT n AS n_rows, old_ok AS n_old_valid,
+                   regressed AS n_regressed,
+                   FALSE AS predicted_compatible,
+                   TRUE AS prediction_ok
+              FROM v
         """,
         "spec_impact_documents": f"""
             WITH o AS (

@@ -7035,3 +7035,49 @@ def host_capture_gaps_docs(sf_dir: str):
     return _collect(host_capture_gaps(ds), pa.schema([
         ("host", pa.string()), ("n_captures", pa.int64()),
         ("min_gap_us", pa.int64()), ("max_gap_us", pa.int64())]))
+
+
+def spec_compat_report_docs(sf_dir: str):
+    """Static spec-compat prediction checked against measured data
+    impact: ``spec_compat`` classifies DOCS_SPEC → DOCS_SPEC_V2
+    (static, schema-only), then ONE fused two-plan pass counts the
+    rows the change actually regresses (valid under V1, invalid under
+    V2).  ``prediction_ok`` asserts the analyzer's soundness
+    contract: a change predicted backward-compatible must regress
+    ZERO rows (a breaking prediction makes no data claim).  Twin:
+    exact predicate counts + the literal pair's known classification."""
+    from peri_ray.compat import is_backward_compatible
+    from peri_ray.compile import compile_spec
+
+    predicted_compatible = is_backward_compatible(DOCS_SPEC, DOCS_SPEC_V2)
+    plans = [compile_spec(DOCS_SPEC, id_column="doc_id"),
+             compile_spec(DOCS_SPEC_V2, id_column="doc_id")]
+
+    def _part(t: pa.Table) -> pa.Table:
+        v = []
+        for plan in plans:
+            out, _ = plan.run_batch(t)
+            v.append(out.column("valid").combine_chunks()
+                     .to_numpy(zero_copy_only=False))
+        old_valid = int(v[0].sum())
+        regressed = int((v[0] & ~v[1]).sum())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "old_valid": pa.array([old_valid], pa.int64()),
+            "regressed": pa.array([regressed], pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    n = old_valid = regressed = 0
+    for r in ds.map_batches(_part, batch_format="pyarrow",
+                            batch_size=8192).take_all():
+        n += r["n"]
+        old_valid += r["old_valid"]
+        regressed += r["regressed"]
+    prediction_ok = predicted_compatible is False or regressed == 0
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_old_valid": pa.array([old_valid], pa.int64()),
+        "n_regressed": pa.array([regressed], pa.int64()),
+        "predicted_compatible": pa.array([predicted_compatible],
+                                         pa.bool_()),
+        "prediction_ok": pa.array([prediction_ok], pa.bool_())})
