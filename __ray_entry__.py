@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_monthly": q.vocab_growth_monthly,
         "spec_impact_documents": q.spec_impact_documents,
         "spec_compat_report": q.spec_compat_report_docs,
+        "stratified_sample_docs": q.stratified_sample_docs,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4885,6 +4886,16 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '#99'), 1, 16), doc_id) AS rn
+                FROM documents
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+             WHERE rn <= 5
         """,
         "spec_compat_report": f"""
             WITH v AS (

@@ -7081,3 +7081,40 @@ def spec_compat_report_docs(sf_dir: str):
         "predicted_compatible": pa.array([predicted_compatible],
                                          pa.bool_()),
         "prediction_ok": pa.array([prediction_ok], pa.bool_())})
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Per-language uniform k-sample WITHOUT replacement via md5-hex
+    order (k=5, seed 99) — the stratified evaluation-set builder:
+    every stratum contributes exactly min(k, stratum size) docs, and
+    the selection has a literal SQL twin (ROW_NUMBER over the same
+    md5 order), so the sample itself is hash-checked, not just its
+    size.  Same distributed shape as top_k_per_group: ≤k rows per
+    (lang, block) cross the exchange; the md5-per-row loop is the
+    documented price of the SQL twin (weighted_sample_md5
+    convention)."""
+    import hashlib
+
+    from peri_ray.stages.stats import top_k_per_group
+
+    seed = 99
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        lang = t.column("lang").combine_chunks()
+        sub = pa.table({"doc_id": ids, "lang": lang}).filter(
+            pc.and_(pc.is_valid(ids), pc.is_valid(lang)))
+        tag = f"#{seed}".encode()
+        keys = [hashlib.md5(str(i).encode() + tag).hexdigest()[:16]
+                for i in sub.column("doc_id").to_pylist()]
+        return sub.append_column("md5k", pa.array(keys, pa.string()))
+
+    out = top_k_per_group(ds.map_batches(_key, batch_format="pyarrow"),
+                          key="lang", order_col="md5k", k=5,
+                          descending=False, tiebreak="doc_id")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return t.select(["lang", "doc_id"])
+
+    return out.map_batches(_sel, batch_format="pyarrow")
