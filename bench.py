@@ -435,6 +435,14 @@ def run_bench() -> dict:
           lambda: q.distinctive_terms_by_source(SF_DIR).to_pandas())
     timed("syndication_matrix",
           lambda: q.syndication_matrix_docs(SF_DIR).to_pandas())
+    timed("char_entropy",
+          lambda: q.char_entropy_documents(SF_DIR).to_pandas())
+    timed("host_capture_gaps",
+          lambda: q.host_capture_gaps_docs(SF_DIR))
+    timed("spec_compat_report",
+          lambda: q.spec_compat_report_docs(SF_DIR))
+    timed("stratified_sample",
+          lambda: q.stratified_sample_docs(SF_DIR).to_pandas())
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
