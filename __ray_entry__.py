@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_impact_documents": q.spec_impact_documents,
         "spec_compat_report": q.spec_compat_report_docs,
         "stratified_sample_docs": q.stratified_sample_docs,
+        "violation_exemplars": q.violation_exemplars_docs,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4886,6 +4887,16 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "violation_exemplars": f"""
+            WITH v AS ({_doc_viols_sql}),
+            g AS (SELECT rule_id, CAST(record_id AS BIGINT) AS rid
+                    FROM v)
+            SELECT rule_id, CAST(count(*) AS BIGINT) AS n_violations,
+                   CAST(list(rid ORDER BY rid)[1] AS BIGINT) AS ex1,
+                   CAST(list(rid ORDER BY rid)[2] AS BIGINT) AS ex2,
+                   CAST(list(rid ORDER BY rid)[3] AS BIGINT) AS ex3
+              FROM g GROUP BY rule_id
         """,
         "stratified_sample_docs": """
             SELECT lang, doc_id FROM (

@@ -7118,3 +7118,57 @@ def stratified_sample_docs(sf_dir: str):
         return t.select(["lang", "doc_id"])
 
     return out.map_batches(_sel, batch_format="pyarrow")
+
+
+def violation_exemplars_docs(sf_dir: str):
+    """Violation triage report: per rule_id, the exact violation count
+    plus the three smallest offending record ids as exemplars — the
+    "show me a concrete failing row per rule" report an operator
+    reads before a quarantine decision.  Per-batch partials keep ≤3
+    candidate ids per rule (rules-bounded driver merge, no shuffle);
+    the twin re-derives rows from the negated-rule UNION and picks
+    exemplars with an ordered list."""
+    from collections import defaultdict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    combined = validate_dataset(ds, DOCS_SPEC, id_column="doc_id")
+    viols = violations_dataset(combined)
+
+    def _part(t: pa.Table) -> pa.Table:
+        rid = pc.cast(t.column("record_id").combine_chunks(), pa.int64())
+        rule = t.column("rule_id").combine_chunks()
+        g = pa.table({"rule_id": rule, "rid": rid})
+        rules, ns, c1, c2, c3 = [], [], [], [], []
+        for r in pc.unique(rule).to_pylist():
+            ids = (g.filter(pc.equal(g.column("rule_id"), r))
+                   .column("rid").to_numpy(zero_copy_only=False))
+            ids = np.sort(ids)
+            rules.append(r)
+            ns.append(len(ids))
+            tops = [int(x) for x in ids[:3]] + [None] * 3
+            c1.append(tops[0])
+            c2.append(tops[1])
+            c3.append(tops[2])
+        return pa.table({
+            "rule_id": pa.array(rules, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "c1": pa.array(c1, pa.int64()),
+            "c2": pa.array(c2, pa.int64()),
+            "c3": pa.array(c3, pa.int64())})
+
+    merged: dict = defaultdict(lambda: [0, []])
+    for r in viols.map_batches(_part, batch_format="pyarrow").take_all():
+        a = merged[r["rule_id"]]
+        a[0] += r["n"]
+        a[1].extend(x for x in (r["c1"], r["c2"], r["c3"])
+                    if x is not None)
+        a[1] = sorted(a[1])[:3]
+    rules = sorted(merged)
+    ex = {k: (merged[k][1] + [None] * 3)[:3] for k in rules}
+    return pa.table({
+        "rule_id": pa.array(rules, pa.string()),
+        "n_violations": pa.array([merged[k][0] for k in rules],
+                                 pa.int64()),
+        "ex1": pa.array([ex[k][0] for k in rules], pa.int64()),
+        "ex2": pa.array([ex[k][1] for k in rules], pa.int64()),
+        "ex3": pa.array([ex[k][2] for k in rules], pa.int64())})
