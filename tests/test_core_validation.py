@@ -1256,3 +1256,75 @@ class TestSpecCompat:
         from peri_ray.compat import spec_compat
 
         assert spec_compat(old, new) == []
+
+
+class TestSpecCompatSoundness:
+    """Property: any change spec_compat classifies compatible (plus
+    informationals) must regress ZERO generated old-valid rows — the
+    static analyzer's soundness contract, checked against the
+    generator + compiled validator end to end."""
+
+    BASE = {
+        "a": ("required", "integer"),
+        "b": ("string", ("min", 2)),
+        "l": ("enum", ["x", "y"]),
+        "n": ("integer", [("gte", 0), ("lte", 100)]),
+    }
+
+    LOOSENINGS = [
+        ("drop_required", {"a": "integer"}),
+        ("loosen_min", {"b": ("string", ("min", 1))}),
+        ("drop_constraint", {"b": "string"}),
+        ("widen_enum", {"l": ("enum", ["x", "y", "z"])}),
+        ("raise_lte", {"n": ("integer", [("gte", 0), ("lte", 200)])}),
+        ("widen_to_any", {"n": "any"}),
+        ("remove_field", None),  # drop "n"
+        ("add_optional_any", {"extra": "any"}),
+    ]
+
+    TIGHTENINGS = [
+        ("add_required", {"b": ("required", ("string", ("min", 2)))}),
+        ("raise_min", {"b": ("string", ("min", 5))}),
+        ("narrow_enum", {"l": ("enum", ["x"])}),
+        ("lower_lte", {"n": ("integer", [("gte", 0), ("lte", 10)])}),
+        ("type_change", {"b": "integer"}),
+        ("add_required_field", {"zz": ("required", "string")}),
+    ]
+
+    def _apply(self, edit):
+        new = dict(self.BASE)
+        name, patch = edit
+        if patch is None:
+            del new["n"]
+        else:
+            new.update(patch)
+        return new
+
+    def test_compatible_edits_never_regress_generated_data(self):
+        import numpy as np
+
+        from peri_ray.compat import is_backward_compatible
+        from peri_ray.compile import compile_spec
+        from peri_ray.specgen import generate_table
+
+        t = generate_table(self.BASE, 300, seed=3)
+        old_plan = compile_spec(self.BASE)
+        out_old, _ = old_plan.run_batch(t)
+        v_old = out_old.column("valid").to_numpy(zero_copy_only=False)
+        assert v_old.all()  # generator round-trip
+        for edit in self.LOOSENINGS:
+            new = self._apply(edit)
+            assert is_backward_compatible(self.BASE, new), edit[0]
+            out_new, _ = compile_spec(new).run_batch(t)
+            v_new = out_new.column("valid").to_numpy(
+                zero_copy_only=False)
+            assert bool(np.all(v_new)), (
+                f"compatible edit {edit[0]} regressed "
+                f"{int((~v_new).sum())} generated rows")
+
+    def test_tightenings_are_flagged(self):
+        from peri_ray.compat import is_backward_compatible
+
+        for edit in self.TIGHTENINGS:
+            assert not is_backward_compatible(
+                self.BASE, self._apply(edit)), edit[0]
