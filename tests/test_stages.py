@@ -117,10 +117,14 @@ class TestChecks:
         from peri_ray.generate import web_pages_dataset, LANG_REFERENCE_HIST
         from peri_ray.stages.checks import drift_check
 
+        # threshold 0.15 sits well between the generators' scores
+        # (ok ~0.062, drifted ~0.252): at 0.25 the drifted margin was
+        # 0.0023 and the per-(seed, first-index) RNG flipped it when
+        # Ray's dynamic block splitting regrouped batches under load
         ok = web_pages_dataset(5000, seed=3).select_columns(["lang"])
-        assert drift_check(ok, "lang", LANG_REFERENCE_HIST, threshold=0.25)["passed"]
+        assert drift_check(ok, "lang", LANG_REFERENCE_HIST, threshold=0.15)["passed"]
         drifted = web_pages_dataset(5000, seed=3, drifted=True).select_columns(["lang"])
-        assert not drift_check(drifted, "lang", LANG_REFERENCE_HIST, threshold=0.25)["passed"]
+        assert not drift_check(drifted, "lang", LANG_REFERENCE_HIST, threshold=0.15)["passed"]
 
 
 # ---------------------------------------------------------------------------
