@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_compat_report": q.spec_compat_report_docs,
         "stratified_sample_docs": q.stratified_sample_docs,
         "violation_exemplars": q.violation_exemplars_docs,
+        "suggest_constraints": q.suggest_constraints_docs,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4887,6 +4888,30 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "suggest_constraints": """
+            WITH d AS (SELECT CAST(quantile_disc(n_chars, 0.001) AS DOUBLE)
+                                AS lo,
+                              CAST(quantile_disc(n_chars, 0.999) AS DOUBLE)
+                                AS hi,
+                              CAST(count(n_chars) AS BIGINT) AS n
+                         FROM documents),
+            l AS (SELECT CAST(quantile_disc(l_quantity, 0.001) AS DOUBLE)
+                           AS lo,
+                         CAST(quantile_disc(l_quantity, 0.999) AS DOUBLE)
+                           AS hi,
+                         CAST(count(l_quantity) AS BIGINT) AS n
+                    FROM lineitem)
+            SELECT 'documents' AS tbl, 'n_chars' AS col, d.lo, d.hi, d.n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents, d
+                     WHERE n_chars >= d.lo AND n_chars <= d.hi)
+                     AS n_within
+              FROM d
+            UNION ALL
+            SELECT 'lineitem', 'l_quantity', l.lo, l.hi, l.n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem, l
+                     WHERE l_quantity >= l.lo AND l_quantity <= l.hi)
+              FROM l
         """,
         "violation_exemplars": f"""
             WITH v AS ({_doc_viols_sql}),

@@ -7172,3 +7172,46 @@ def violation_exemplars_docs(sf_dir: str):
         "ex1": pa.array([ex[k][0] for k in rules], pa.int64()),
         "ex2": pa.array([ex[k][1] for k in rules], pa.int64()),
         "ex3": pa.array([ex[k][2] for k in rules], pa.int64())})
+
+
+def suggest_constraints_docs(sf_dir: str):
+    """Constraint suggestion — the profile→propose step that closes
+    the loop with spec_compat/spec_impact: for each numeric column,
+    propose a ('range', (lo, hi)) from the EXACT 0.1%/99.9% order
+    statistics and report its measured support (rows inside the
+    proposed range).  A schema owner reads this, tightens the spec,
+    and spec_compat/spec_impact predict+measure the rollout.  Exact
+    percentile_disc via the value-count merge (low-cardinality
+    numerics); one extra counting pass for support."""
+    from peri_ray.stages.stats import exact_quantiles
+
+    plan = [("documents", "n_chars"), ("lineitem", "l_quantity")]
+    rows = []
+    for tbl, col in plan:
+        qt = exact_quantiles(_read(sf_dir, tbl, [col]), [col],
+                             qs=(0.001, 0.999))
+        by_q = {r["q"]: r["value"] for r in qt.to_pylist()}
+        lo, hi = by_q[0.001], by_q[0.999]
+
+        def _cnt(t: pa.Table, c=col, lo=lo, hi=hi) -> pa.Table:
+            v = t.column(c).combine_chunks().cast(pa.float64())
+            nn = v.drop_null()
+            within = pc.sum(pc.and_(
+                pc.greater_equal(nn, lo),
+                pc.less_equal(nn, hi))).as_py() or 0
+            return pa.table({"n": pa.array([len(nn)], pa.int64()),
+                             "w": pa.array([int(within)], pa.int64())})
+
+        n = w = 0
+        for r in _read(sf_dir, tbl, [col]).map_batches(
+                _cnt, batch_format="pyarrow").take_all():
+            n += r["n"]
+            w += r["w"]
+        rows.append((tbl, col, lo, hi, n, w))
+    return pa.table({
+        "tbl": pa.array([r[0] for r in rows], pa.string()),
+        "col": pa.array([r[1] for r in rows], pa.string()),
+        "lo": pa.array([r[2] for r in rows], pa.float64()),
+        "hi": pa.array([r[3] for r in rows], pa.float64()),
+        "n": pa.array([r[4] for r in rows], pa.int64()),
+        "n_within": pa.array([r[5] for r in rows], pa.int64())})
