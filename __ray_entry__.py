@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q.stratified_sample_docs,
         "violation_exemplars": q.violation_exemplars_docs,
         "suggest_constraints": q.suggest_constraints_docs,
+        "violation_rate_daily": q.violation_rate_daily,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4888,6 +4889,13 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "violation_rate_daily": f"""
+            SELECT strftime({_WEB_TS_SQL}, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE NOT {_DOC_VALID})
+                        AS BIGINT) AS n_invalid
+              FROM documents GROUP BY day
         """,
         "suggest_constraints": """
             WITH d AS (SELECT CAST(quantile_disc(n_chars, 0.001) AS DOUBLE)

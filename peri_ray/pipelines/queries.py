@@ -7215,3 +7215,43 @@ def suggest_constraints_docs(sf_dir: str):
         "hi": pa.array([r[3] for r in rows], pa.float64()),
         "n": pa.array([r[4] for r in rows], pa.int64()),
         "n_within": pa.array([r[5] for r in rows], pa.int64())})
+
+
+def violation_rate_daily(sf_dir: str):
+    """Validation-health time series: per capture day (warc_ts
+    fixture), the exact crawled-row and invalid-row counts under
+    DOCS_SPEC — the corpus-monitoring view that feeds the CUSUM/EWMA
+    detectors; a failing extractor or a schema rollout shows up as a
+    step in this series.  ONE fused pass (plan.run_batch + day
+    rollup per batch), day-bounded driver merge, zero shuffle."""
+    from collections import defaultdict
+
+    from peri_ray.compile import compile_spec
+
+    plan = compile_spec(DOCS_SPEC, id_column="doc_id")
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "text", "lang", "n_chars"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        t = _attach_web_columns(t)
+        out, _ = plan.run_batch(
+            t.select(["doc_id", "text", "lang", "n_chars"]))
+        valid = out.column("valid").combine_chunks()
+        day = pc.strftime(t.column("warc_ts").combine_chunks(),
+                          format="%Y-%m-%d")
+        g = (pa.table({"day": day,
+                       "bad": pc.invert(valid).cast(pa.int64())})
+             .group_by("day")
+             .aggregate([("bad", "sum"), ([], "count_all")]))
+        return g.rename_columns(["day", "n_invalid", "n"])
+
+    merged: dict = defaultdict(lambda: [0, 0])
+    for r in ds.map_batches(_part, batch_format="pyarrow").take_all():
+        merged[r["day"]][0] += r["n"]
+        merged[r["day"]][1] += r["n_invalid"]
+    days = sorted(merged)
+    return pa.table({
+        "day": pa.array(days, pa.string()),
+        "n": pa.array([merged[d][0] for d in days], pa.int64()),
+        "n_invalid": pa.array([merged[d][1] for d in days],
+                              pa.int64())})
