@@ -443,6 +443,12 @@ def run_bench() -> dict:
           lambda: q.spec_compat_report_docs(SF_DIR))
     timed("stratified_sample",
           lambda: q.stratified_sample_docs(SF_DIR).to_pandas())
+    timed("violation_exemplars",
+          lambda: q.violation_exemplars_docs(SF_DIR))
+    timed("suggest_constraints",
+          lambda: q.suggest_constraints_docs(SF_DIR))
+    timed("violation_rate_daily",
+          lambda: q.violation_rate_daily(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses
