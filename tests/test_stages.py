@@ -9863,3 +9863,28 @@ class TestHostCaptureGaps:
         assert got["b"]["min_gap_us"] is None
         assert got["c"]["min_gap_us"] == 0
         assert got["c"]["max_gap_us"] == 0
+
+
+class TestStatsLayoutIndependence:
+    def test_exact_stats_cents_identical_at_any_block_layout(self):
+        """VERDICT r3 item 1 'done' criterion: the hash-compared
+        integer-cents sums must be bit-identical at different block
+        layouts (float sum_num is association-order sensitive; the
+        cents path must not be)."""
+        from peri_ray.stages.stats import exact_stats_table
+
+        rng = np.random.default_rng(17)
+        t = pa.table({
+            "a": pa.array(rng.normal(1e6, 1e5, 10_000).round(2),
+                          pa.float64()),
+            "b": pa.array(rng.uniform(-5, 5, 10_000).round(4),
+                          pa.float64())})
+        outs = []
+        for parts in (1, 3, 17):
+            out = exact_stats_table(rd.from_arrow(t).repartition(parts),
+                                    ["a", "b"], cents_sums=True)
+            rows = sorted(out.to_pylist(), key=lambda r: r["column"])
+            outs.append([(r["column"], r["cnt"], r["null_count"],
+                          r["min_v"], r["max_v"], r["sum_cents"])
+                         for r in rows])
+        assert outs[0] == outs[1] == outs[2]
