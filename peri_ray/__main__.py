@@ -78,6 +78,23 @@ def cmd_flagship(args) -> int:
     return 0 if verdict["passed"] or args.allow_fail else 1
 
 
+def cmd_compat(args) -> int:
+    """Schema-level only — no data, no Ray: classify old→new spec
+    changes and exit 0 iff backward compatible (CI gate shape)."""
+    from peri_ray.compat import spec_compat
+    from peri_ray.jsonschema import from_json_schema
+
+    with open(args.old) as f:
+        old = from_json_schema(json.load(f))
+    with open(args.new) as f:
+        new = from_json_schema(json.load(f))
+    findings = spec_compat(old, new, mode=args.mode)
+    ok = all(x["severity"] in ("compatible", "informational")
+             for x in findings)
+    print(json.dumps({"backward_compatible": ok, "findings": findings}))
+    return 0 if ok or args.allow_breaking else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="peri_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -98,6 +115,17 @@ def main(argv=None) -> int:
     f.add_argument("--id-column", default="url")
     f.add_argument("--allow-fail", action="store_true")
     f.set_defaults(fn=cmd_flagship)
+
+    c = sub.add_parser("compat",
+                       help="classify old->new JSON Schema changes by "
+                            "validation compatibility (exit 1 on "
+                            "breaking)")
+    c.add_argument("--old", required=True)
+    c.add_argument("--new", required=True)
+    c.add_argument("--mode", default="permissive",
+                   choices=["strict", "permissive"])
+    c.add_argument("--allow-breaking", action="store_true")
+    c.set_defaults(fn=cmd_compat)
 
     args = p.parse_args(argv)
     return args.fn(args)

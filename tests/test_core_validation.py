@@ -1328,3 +1328,33 @@ class TestSpecCompatSoundness:
         for edit in self.TIGHTENINGS:
             assert not is_backward_compatible(
                 self.BASE, self._apply(edit)), edit[0]
+
+
+class TestCompatCLI:
+    def test_compat_subcommand_json_schema_round_trip(self, tmp_path):
+        import json
+
+        from peri_ray.__main__ import main
+
+        old = tmp_path / "old.json"
+        new = tmp_path / "new.json"
+        old.write_text(json.dumps({
+            "type": "object",
+            "properties": {"a": {"type": "integer"},
+                           "b": {"type": "string", "minLength": 2}},
+            "required": ["a"]}))
+        new.write_text(json.dumps({
+            "type": "object",
+            "properties": {"a": {"type": "integer"},
+                           "b": {"type": "string", "minLength": 5}},
+            "required": ["a"]}))
+        assert main(["compat", "--old", str(old), "--new", str(new)]) == 1
+        assert main(["compat", "--old", str(old), "--new", str(new),
+                     "--allow-breaking"]) == 0
+        # loosening is compatible -> exit 0
+        new.write_text(json.dumps({
+            "type": "object",
+            "properties": {"a": {"type": "integer"},
+                           "b": {"type": "string", "minLength": 1}},
+            "required": ["a"]}))
+        assert main(["compat", "--old", str(old), "--new", str(new)]) == 0
