@@ -7183,11 +7183,14 @@ def suggest_constraints_docs(sf_dir: str):
     and spec_compat/spec_impact predict+measure the rollout.  Exact
     percentile_disc via the value-count merge (low-cardinality
     numerics); one extra counting pass for support."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from peri_ray.stages.stats import exact_quantiles
 
     plan = [("documents", "n_chars"), ("lineitem", "l_quantity")]
-    rows = []
-    for tbl, col in plan:
+
+    def _one(tbl_col):
+        tbl, col = tbl_col
         qt = exact_quantiles(_read(sf_dir, tbl, [col]), [col],
                              qs=(0.001, 0.999))
         by_q = {r["q"]: r["value"] for r in qt.to_pylist()}
@@ -7207,7 +7210,12 @@ def suggest_constraints_docs(sf_dir: str):
                 _cnt, batch_format="pyarrow").take_all():
             n += r["n"]
             w += r["w"]
-        rows.append((tbl, col, lo, hi, n, w))
+        return (tbl, col, lo, hi, n, w)
+
+    # the two tables' pipelines are independent — overlap them (the
+    # expectation-suite pattern)
+    with ThreadPoolExecutor(max_workers=len(plan)) as pool:
+        rows = list(pool.map(_one, plan))
     return pa.table({
         "tbl": pa.array([r[0] for r in rows], pa.string()),
         "col": pa.array([r[1] for r in rows], pa.string()),
