@@ -1376,6 +1376,13 @@ def host_capture_gaps(ds, host_col: str = "host",
         return sub
 
     def _gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # np.concatenate([[False], []]) would
+            # fabricate a length-1 mask over zero rows
+            return pa.table({
+                "host": pa.array([], pa.string()),
+                "n_captures": pa.array([], pa.int64()),
+                "min_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64())})
         h = g.column("host").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
