@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violation_exemplars": q.violation_exemplars_docs,
         "suggest_constraints": q.suggest_constraints_docs,
         "violation_rate_daily": q.violation_rate_daily,
+        "host_gini_docs": q.host_gini_docs,
         "distinctive_terms_by_source": q.distinctive_terms_by_source,
         "syndication_matrix_docs": q.syndication_matrix_docs,
         "host_concentration_docs": q.host_concentration_docs,
@@ -4889,6 +4890,20 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS new_frac
               FROM tok t JOIN fm f USING (term) GROUP BY 1
+        """,
+        "host_gini_docs": f"""
+            WITH {_WEB_CANON_CTE},
+            hc AS (SELECT host, CAST(count(*) AS BIGINT) AS x
+                     FROM canon GROUP BY host),
+            o AS (SELECT x, row_number() OVER (ORDER BY x, host) AS i
+                    FROM hc),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS tot FROM hc)
+            SELECT t.n AS n_hosts, t.tot AS total_pages,
+                   CAST(2 * (SELECT sum(i * x) FROM o)
+                        - (t.n + 1) * t.tot AS BIGINT) AS gini_num,
+                   CAST(t.n * t.tot AS BIGINT) AS gini_den
+              FROM t
         """,
         "violation_rate_daily": f"""
             SELECT strftime({_WEB_TS_SQL}, '%Y-%m-%d') AS day,

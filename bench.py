@@ -449,6 +449,7 @@ def run_bench() -> dict:
           lambda: q.suggest_constraints_docs(SF_DIR))
     timed("violation_rate_daily",
           lambda: q.violation_rate_daily(SF_DIR))
+    timed("host_gini", lambda: q.host_gini_docs(SF_DIR))
 
     # second headline: the corpus-curation pipeline over the same 400 K
     # synthetic web_pages corpus the validation flagship uses

@@ -7263,3 +7263,50 @@ def violation_rate_daily(sf_dir: str):
         "n": pa.array([merged[d][0] for d in days], pa.int64()),
         "n_invalid": pa.array([merged[d][1] for d in days],
                               pa.int64())})
+
+
+def host_gini_docs(sf_dir: str):
+    """Gini coefficient of crawl volume across hosts — the
+    balance-of-coverage monitor beside the Pareto-k concentration
+    probe, kept EXACT as an integer fraction:
+
+        gini_num = 2·Σ i·x_i − (n+1)·Σ x     (x ascending, i 1-based)
+        gini_den = n·Σ x
+
+    so the hash-compared values are BIGINTs (the float G = num/den is
+    association-free but the repo's convention keeps hash-compared
+    ratios integral).  One bounded host-count pass; driver work is
+    host-domain-sized."""
+    import ray
+
+    from peri_ray.stages.dedup import grouped_sum_via_buckets
+    from peri_ray.stages.web import canonicalize_urls, host_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    hosts = host_of(canonicalize_urls(ds.map_batches(
+        _attach_web_columns, batch_format="pyarrow")))
+
+    def _counts(t: pa.Table) -> pa.Table:
+        g = (t.select(["host"]).group_by("host")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "n"])
+
+    counts = grouped_sum_via_buckets(
+        hosts.map_batches(_counts, batch_format="pyarrow"),
+        ["host"], "n")
+    agg: dict[str, int] = {}
+    for t in (ray.get(r) for r in counts.to_arrow_refs()):
+        for h, n in zip(t.column("host").to_pylist(),
+                        t.column("n").to_pylist()):
+            agg[h] = agg.get(h, 0) + int(n)
+    xs = sorted(agg.values())
+    n = len(xs)
+    total = sum(xs)
+    num = 2 * sum(i * x for i, x in enumerate(xs, start=1)) \
+        - (n + 1) * total
+    den = n * total
+    return pa.table({
+        "n_hosts": pa.array([n], pa.int64()),
+        "total_pages": pa.array([total], pa.int64()),
+        "gini_num": pa.array([num], pa.int64()),
+        "gini_den": pa.array([den], pa.int64())})
