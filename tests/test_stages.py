@@ -9888,3 +9888,34 @@ class TestStatsLayoutIndependence:
                           r["min_v"], r["max_v"], r["sum_cents"])
                          for r in rows])
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestCharEntropyFastPath:
+    def test_ascii_fast_path_equals_utf32_fallback(self):
+        """The zero-copy ASCII path (int32 doc<<8|byte composites)
+        must produce bit-identical entropies to the UTF-32 fallback:
+        force the fallback by appending one non-ASCII doc to the same
+        ASCII rows and compare the shared rows."""
+        import numpy as np
+
+        from peri_ray.stages.text import char_entropy_scores
+
+        rng = np.random.default_rng(23)
+        ascii_texts = ["".join(rng.choice(list("abcdef gh"), 40))
+                       for _ in range(50)]
+        t_fast = pa.table({
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array(ascii_texts, pa.string())})
+        # one ü forces every batch containing it onto the fallback;
+        # single block => the whole table takes the UTF-32 path
+        t_slow = pa.table({
+            "doc_id": pa.array(list(range(50)) + [99], pa.int64()),
+            "text": pa.array(ascii_texts + ["ü" * 7], pa.string())})
+        fast = {r["doc_id"]: r["char_entropy"]
+                for r in char_entropy_scores(
+                    rd.from_arrow(t_fast).repartition(1)).take_all()}
+        slow = {r["doc_id"]: r["char_entropy"]
+                for r in char_entropy_scores(
+                    rd.from_arrow(t_slow).repartition(1)).take_all()}
+        for i in range(50):
+            assert fast[i] == slow[i]
