@@ -237,7 +237,82 @@ def entry() -> Any:
     return flagship_documents("/root/testdata/sf0.001")
 
 
+# Driver-gate prefix (round 5): the correctness driver samples the FIRST
+# 50 entries of queries().  Rounds 2-4 shipped 279 queries that the gate
+# never saw because the prefix was frozen; this list keeps 10 core
+# validation anchors and fills the remaining 40 slots with
+# never-driver-sampled oracled queries spanning every later family
+# (near-dup joins, web graph, text quality, training prep, the round-4
+# compat/monitoring ops).  All 50 have DuckDB twins in oracle_sql().
+_DRIVER_PREFIX = [
+    # core validation anchors (already driver-green in r2-r4)
+    "validate_documents_violations",
+    "conforms_documents",
+    "multi_dispatch_events",
+    "cond_purchase_value",
+    "exact_stats_lineitem",
+    "events_enum_violations",
+    "referential_orders_customer_shuffled",
+    "duplicate_user_ids",
+    "dedup_exact_docs",
+    "psi_event_type",
+    # never-sampled: validation/changeset/stats/join families
+    "changeset_orders_violations",
+    "expectations_documents",
+    "exact_quantiles_lineitem",
+    "grouped_stats_lineitem",
+    "salted_join_events_customer",
+    "hash_split_documents",
+    "leakage_free_split",
+    "contamination_report",
+    # never-sampled: text-quality / LLM-prep family
+    "pii_scan_documents",
+    "normalized_documents",
+    "boilerplate_removed_documents",
+    "dup_ngram_coverage_docs",
+    "dup_span_removal_docs",
+    "bm25_top_docs",
+    "chunked_documents",
+    "token_counts",
+    "quality_scores",
+    "lang_id_guess",
+    # never-sampled: cross-corpus dedup/decontamination joins
+    "jaccard_join_pairs",
+    "decontamination_pairs",
+    "quote_containment_pairs",
+    "incremental_near_dedup_recrawl",
+    "dup_cluster_size_histogram",
+    # never-sampled: web-corpus / host-graph family
+    "canonical_urls_docs",
+    "latest_crawl_per_url",
+    "domain_stats_docs",
+    "host_quota_docs",
+    "blocklist_report_docs",
+    "outlink_graph_docs",
+    "host_components",
+    "redirect_resolution_docs",
+    "host_triangles",
+    "typosquat_hosts_docs",
+    "host_gini_docs",
+    # never-sampled: training prep + round-4 compat/monitoring
+    "training_prep_report",
+    "dsir_weights_documents",
+    "spec_compat_report",
+    "violation_exemplars",
+    "suggest_constraints",
+    "violation_rate_daily",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    everything = _all_queries()
+    ordered = {k: everything[k] for k in _DRIVER_PREFIX}
+    ordered.update(
+        {k: v for k, v in everything.items() if k not in ordered})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     from peri_ray.pipelines import queries as q
 
     return {

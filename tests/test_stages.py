@@ -9919,3 +9919,55 @@ class TestCharEntropyFastPath:
                     rd.from_arrow(t_slow).repartition(1)).take_all()}
         for i in range(50):
             assert fast[i] == slow[i]
+
+
+# ---------------------------------------------------------------------------
+# round-5: driver-gate prefix contract
+# ---------------------------------------------------------------------------
+
+
+class TestDriverPrefix:
+    def test_prefix_is_first_50_all_oracled_and_rotated(self):
+        """The correctness driver samples list(queries())[:50].  Round 5
+        rotates the prefix so the gate finally sees the round-2/3/4
+        families: all 50 prefix entries must carry DuckDB oracles, and
+        at least 35 must be families the r2-r4 gate never checked
+        (VERDICT r4 'Next round' item 1)."""
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        assert len(qs) == 329
+        prefix = list(qs)[:50]
+        assert prefix == e._DRIVER_PREFIX
+        osql = e.oracle_sql()
+        assert all(k in osql for k in prefix)
+        # the r2-r4 driver sample (frozen since round 2)
+        old_sample = {
+            "validate_documents_violations", "conforms_documents",
+            "filter_valid_documents", "strict_projection_documents",
+            "transform_upcase_lang", "default_fill_quality",
+            "events_enum_violations", "events_value_range_violations",
+            "lineitem_constraint_counts", "dependent_flag_mismatch_count",
+            "multi_dispatch_events", "cond_purchase_value",
+            "referential_lineitem_orders", "nation_region_fk",
+            "customer_name_regex_violations", "part_size_conformity",
+            "orders_status_enum_histogram", "seeded_sample_documents",
+            "orders_key_multiple_of", "orders_date_violations",
+            "supplier_acctbal_violations", "supplier_nation_fk",
+            "events_value_either_bounds", "embedding_len_conformity",
+            "doc_text_min_violations", "props_k_range_violations",
+            "referential_docs_lang", "referential_orders_customer",
+            "referential_orders_customer_shuffled", "duplicate_user_ids",
+            "duplicate_doc_ids", "lang_histogram", "event_type_histogram",
+            "exact_stats_lineitem", "psi_event_type", "dedup_exact_docs",
+            "exact_dedup_victims", "windowed_event_counts",
+            "session_stats", "asof_event_orders",
+            "windowed_drift_event_type", "range_count_event_orders",
+            "ann_topk_exact", "bpe_token_counts",
+            "quantized_embedding_norms", "drift_lang_documents",
+            "enrich_orders_customer", "enrich_events_customer",
+            "join_lineitem_orders", "customers_with_orders"}
+        fresh = [k for k in prefix if k not in old_sample]
+        assert len(fresh) >= 35
+        # every key appears exactly once and nothing was dropped
+        assert len(set(qs)) == 329
