@@ -4244,10 +4244,13 @@ def host_lang_entropy(sf_dir: str):
         g = sub.group_by(["host", "lang"]).aggregate([([], "count_all")])
         return g.rename_columns(["host", "lang", "n"])
 
+    from peri_ray.stages.dedup import guard_driver_groups
+
     acc: dict[str, dict] = {}
     for r in ds.map_batches(_part, batch_format="pyarrow").iter_rows():
         acc.setdefault(r["host"], {}).setdefault(r["lang"], 0)
         acc[r["host"]][r["lang"]] += int(r["n"])
+        guard_driver_groups(len(acc), "host_lang_entropy")
     hosts = sorted(acc)
     ents, totals = [], []
     for h in hosts:
@@ -4319,11 +4322,14 @@ def host_dup_rate(sf_dir: str):
         g = sub.group_by("host").aggregate([("dup", "sum"), ("one", "sum")])
         return g.rename_columns(["host", "dups", "n"])
 
+    from peri_ray.stages.dedup import guard_driver_groups
+
     acc: dict[str, list] = {}
     for r in slim.map_batches(_part, batch_format="pyarrow").iter_rows():
         cur = acc.setdefault(r["host"], [0, 0])
         cur[0] += int(r["dups"])
         cur[1] += int(r["n"])
+        guard_driver_groups(len(acc), "host_dup_rate")
     hosts = sorted(acc)
     return pa.table({
         "host": pa.array(hosts, pa.string()),
@@ -6153,10 +6159,13 @@ def hill_tail_hosts(sf_dir: str):
              .group_by("host").aggregate([([], "count_all")]))
         return g.rename_columns(["host", "in_links"])
 
+    from peri_ray.stages.dedup import guard_driver_groups
+
     per_host: dict[str, int] = {}
     for r in edges.map_batches(_dst_counts,
                                batch_format="pyarrow").iter_rows():
         per_host[r["host"]] = per_host.get(r["host"], 0) + r["in_links"]
+        guard_driver_groups(len(per_host), "hill_tail_hosts")
     deg = pa.table({"host": pa.array(sorted(per_host), pa.string()),
                     "in_links": pa.array(
                         [per_host[h] for h in sorted(per_host)],
@@ -6989,11 +6998,14 @@ def host_concentration_docs(sf_dir: str):
     counts = grouped_sum_via_buckets(
         hosts.map_batches(_counts, batch_format="pyarrow"),
         ["host"], "n")
+    from peri_ray.stages.dedup import guard_driver_groups
+
     agg: dict[str, int] = {}
     for t in (ray.get(r) for r in counts.to_arrow_refs()):
         for h, n in zip(t.column("host").to_pylist(),
                         t.column("n").to_pylist()):
             agg[h] = agg.get(h, 0) + int(n)
+        guard_driver_groups(len(agg), "host_concentration_docs")
     total = sum(agg.values())
     order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
     cum = 0
@@ -7294,11 +7306,14 @@ def host_gini_docs(sf_dir: str):
     counts = grouped_sum_via_buckets(
         hosts.map_batches(_counts, batch_format="pyarrow"),
         ["host"], "n")
+    from peri_ray.stages.dedup import guard_driver_groups
+
     agg: dict[str, int] = {}
     for t in (ray.get(r) for r in counts.to_arrow_refs()):
         for h, n in zip(t.column("host").to_pylist(),
                         t.column("n").to_pylist()):
             agg[h] = agg.get(h, 0) + int(n)
+        guard_driver_groups(len(agg), "host_gini_docs")
     xs = sorted(agg.values())
     n = len(xs)
     total = sum(xs)

@@ -90,6 +90,38 @@ def bucket_pairs(ids: list, cap: int = BUCKET_PAIR_CAP,
 #: reduce-side parallelism is unaffected where it matters.
 EXCHANGE_COALESCE_ROWS = 8192
 
+#: Hard ceiling on DISTINCT KEYS a driver-side dict merge may
+#: accumulate (the partials-beat-shuffle pattern: per-bucket partial
+#: tables merged into one dict on the driver).  At sandbox scale these
+#: merges hold ~50 hosts / ~12 months; web-wide a host-keyed merge
+#: could see ~100 M keys and OOM the driver silently.  Mirrors
+#: stats.exact_quantiles' ``max_distinct`` contract: raise LOUDLY and
+#: tell the caller to finish the rollup inside the bucketed exchange
+#: instead.
+MAX_DRIVER_GROUPS = 1_000_000
+
+
+def guard_driver_groups(n_groups: int, site: str,
+                        max_driver_groups: int | None = None) -> None:
+    """Raise if a driver-side partial merge has accumulated more
+    distinct groups than ``max_driver_groups`` (default: the module's
+    ``MAX_DRIVER_GROUPS``, resolved at call time so tests and callers
+    can lower it).
+
+    Call inside the merge loop (after each partial table), not after
+    it — the point is to fail before the dict exhausts driver memory.
+    """
+    if max_driver_groups is None:
+        max_driver_groups = MAX_DRIVER_GROUPS
+    if n_groups > max_driver_groups:
+        raise ValueError(
+            f"{site}: driver-side merge exceeded max_driver_groups="
+            f"{max_driver_groups} distinct keys ({n_groups} and "
+            "counting); the key domain is too large to roll up on the "
+            "driver — finish the aggregation inside the bucketed "
+            "exchange (grouped_sum_via_buckets / map_groups_via_buckets "
+            "sink) or raise max_driver_groups knowingly")
+
 
 def dedupe_pairs(pairs, n_buckets: int = 64, with_counts: bool = False,
                  coalesce_rows: int | None = EXCHANGE_COALESCE_ROWS):

@@ -3362,6 +3362,8 @@ def vocab_growth(ds, ts_col: str = "warc_ts", text_col: str = "text",
                                              ("n_new", "sum")]))
         return out.rename_columns(["month", "n_terms", "n_new"])
 
+    from peri_ray.stages.dedup import guard_driver_groups
+
     parts = map_groups_via_buckets(pairs, ["term"], _bucket,
                                    n_buckets=n_buckets)
     agg: dict[str, list[int]] = {}
@@ -3372,6 +3374,7 @@ def vocab_growth(ds, ts_col: str = "warc_ts", text_col: str = "text",
             cur = agg.setdefault(m, [0, 0])
             cur[0] += int(nt)
             cur[1] += int(nn)
+        guard_driver_groups(len(agg), "vocab_growth")
     months = sorted(agg)
     return pa.table({
         "month": pa.array(months, pa.string()),
