@@ -5475,6 +5475,45 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS variance_order_ok, TRUE AS projection_finite_ok "
             "FROM embeddings"
         ),
+        # round-5 rows-only -> invariant-audit conversions
+        "kmeans_clusters": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(8 AS BIGINT) AS k, TRUE AS labels_in_range_ok, "
+            "TRUE AS inertia_monotone_ok, "
+            "TRUE AS reassign_non_increasing_ok FROM embeddings"
+        ),
+        "semdedup_victims_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6)
+                     >= 0.4),
+            m AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                     AS n_embeddings,
+                   (SELECT CAST(count(*) AS BIGINT) FROM m)
+                     AS n_pair_members,
+                   TRUE AS victims_subset_ok,
+                   TRUE AS victims_strictly_fewer_ok
+        """,
+        "compression_ratio_documents": (
+            "SELECT CAST(count(*) FILTER (WHERE text IS NOT NULL "
+            "AND text <> '') AS BIGINT) AS n_docs, "
+            "TRUE AS ratios_positive_ok, TRUE AS long_docs_bounded_ok, "
+            "TRUE AS doubling_ok FROM documents"
+        ),
+        "weighted_sample_documents": (
+            "SELECT CAST(LEAST(40, count(*) FILTER (WHERE doc_id IS "
+            "NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)) "
+            "AS BIGINT) AS k_returned, TRUE AS sample_is_subset_ok, "
+            "TRUE AS weights_match_ok FROM documents"
+        ),
         "host_capture_gaps": f"""
             WITH {_WEB_CANON_CTE},
             w AS (SELECT c.host,

@@ -1978,13 +1978,69 @@ def inferred_spec_documents(sf_dir: str):
 def kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (iterative:
     driver-held k×d state re-broadcast per round, one streaming pass
-    per iteration).  Rows-only driver check — the fixpoint is not
-    SQL-expressible; exactness vs a numpy reference is unit-tested."""
+    per iteration), ORACLE-CHECKED as an invariant audit (round-5
+    conversion, same pattern as pca_projected_embeddings): exact
+    assigned-row count rides along; the booleans assert what a correct
+    Lloyd run must satisfy — every label in [0, k), the per-iteration
+    SSE sequence non-increasing, and the final re-assignment SSE
+    (recomputed against the FINAL centroids in an independent audit
+    pass) no larger than the last Lloyd SSE.  Twin: exact embedding
+    count + TRUE.  Per-row assignments stay engine-side (the fixpoint
+    has no SQL twin); exactness vs full-batch numpy Lloyd is
+    unit-tested."""
+    import ray
+
     from peri_ray.stages.similarity import kmeans_fit
 
+    k = 8
+    hist: list[float] = []
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    assigned, _cents, _inertia = kmeans_fit(ds, k=8, iters=5)
-    return assigned
+    assigned, cents, _inertia = kmeans_fit(ds, k=k, iters=5,
+                                           history_out=hist)
+    mono_ok = all(hist[i + 1] <= hist[i] * (1.0 + 1e-12) + 1e-9
+                  for i in range(len(hist) - 1))
+    cref = ray.put(np.asarray(cents, np.float64))
+
+    def _label_check(t: pa.Table) -> pa.Table:
+        cl = t.column("cluster").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = bool(((cl >= 0) & (cl < k)).all()) if len(cl) else True
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "ok": pa.array([ok], pa.bool_())})
+
+    n_rows, labels_ok = 0, True
+    for r in assigned.map_batches(_label_check,
+                                  batch_format="pyarrow").take_all():
+        n_rows += int(r["n"])
+        labels_ok = labels_ok and bool(r["ok"])
+
+    def _sse_part(t: pa.Table) -> pa.Table:
+        vec = t.column("embedding").combine_chunks()
+        t2 = t.filter(pc.is_valid(vec))
+        if t2.num_rows == 0:
+            return pa.table({"sse": pa.array([0.0], pa.float64())})
+        from peri_ray.stages.similarity import _as_matrix
+
+        X = _as_matrix(t2.column("embedding"), np.float64)
+        C = ray.get(cref)
+        d = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+             + (C * C).sum(1)[None, :])
+        return pa.table({"sse": pa.array([float(d.min(1).sum())],
+                                         pa.float64())})
+
+    sse_final = sum(
+        float(r["sse"]) for r in
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(_sse_part, batch_format="pyarrow").take_all())
+    reassign_ok = bool(hist) and \
+        sse_final <= hist[-1] * (1.0 + 1e-12) + 1e-9
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "labels_in_range_ok": pa.array([labels_ok], pa.bool_()),
+        "inertia_monotone_ok": pa.array([mono_ok], pa.bool_()),
+        "reassign_non_increasing_ok": pa.array([reassign_ok],
+                                               pa.bool_())})
 
 
 def cosine_join_pairs(sf_dir: str):
@@ -2343,12 +2399,60 @@ def asof_forward_event_orders(sf_dir: str):
 
 
 def compression_ratio_documents(sf_dir: str):
-    """zlib-ratio low-information signal per doc (rows-only: no
-    deflate in SQL)."""
-    from peri_ray.stages.text import add_compression_ratio
+    """zlib-ratio low-information signal per doc, ORACLE-CHECKED as a
+    bound audit (round-5 conversion — SQL has no deflate, but the
+    ratios obey checkable invariants): exact scored-row count rides
+    along; the booleans assert every ratio is finite and positive,
+    every ≥50-char doc compresses to ≤1.1× raw (the ~30-word-vocab
+    fixture compresses FAR below that; 1.1 absorbs zlib overhead), and
+    the self-concatenation property ratio(text‖text) ≤ ratio(text)+ε
+    holds per doc (the second copy becomes one window match — a broken
+    ratio computation fails this).  Per-doc VALUES stay engine-side
+    (add_compression_ratio), exercised by the audit pass itself."""
+    import zlib
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_compression_ratio(ds).select_columns(["doc_id", "zlib_ratio"])
+    from peri_ray.stages.text import compression_ratio_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _audit(t: pa.Table) -> pa.Table:
+        scored = compression_ratio_batch(t, "text")
+        ratio = scored.column("zlib_ratio").combine_chunks()
+        ok_rows = scored.filter(pc.is_valid(ratio))
+        n = ok_rows.num_rows
+        r = ok_rows.column("zlib_ratio").to_numpy(zero_copy_only=False)
+        pos = bool(np.isfinite(r).all() and (r > 0.0).all()) \
+            if n else True
+        nch = (ok_rows.column("n_chars")
+               .to_numpy(zero_copy_only=False).astype(np.float64))
+        long_mask = np.nan_to_num(nch, nan=0.0) >= 50
+        bounded = bool((r[long_mask] <= 1.1).all()) if n else True
+        dbl = True
+        for v, rv in zip(ok_rows.column("text").to_pylist(),
+                         r.tolist()):
+            raw = v.encode("utf-8", "ignore")
+            r2 = len(zlib.compress(raw + raw, 6)) / (2 * len(raw))
+            if r2 > rv + 1e-9:
+                dbl = False
+                break
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "pos": pa.array([pos], pa.bool_()),
+            "bnd": pa.array([bounded], pa.bool_()),
+            "dbl": pa.array([dbl], pa.bool_())})
+
+    n_docs, pos_ok, bounded_ok, doubling_ok = 0, True, True, True
+    for row in ds.map_batches(_audit,
+                              batch_format="pyarrow").take_all():
+        n_docs += int(row["n"])
+        pos_ok = pos_ok and bool(row["pos"])
+        bounded_ok = bounded_ok and bool(row["bnd"])
+        doubling_ok = doubling_ok and bool(row["dbl"])
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "ratios_positive_ok": pa.array([pos_ok], pa.bool_()),
+        "long_docs_bounded_ok": pa.array([bounded_ok], pa.bool_()),
+        "doubling_ok": pa.array([doubling_ok], pa.bool_())})
 
 
 def ann_recall_report(sf_dir: str):
@@ -4166,14 +4270,63 @@ def host_degree_docs(sf_dir: str):
 
 
 def weighted_sample_docs(sf_dir: str):
-    """Deterministic A-ES weighted sample (k=40, weight=n_chars) —
-    rows-only (the seeded-hash keys have no SQL twin); exactness vs a
-    single-machine brute force over the same keys is unit-tested."""
+    """Deterministic A-ES weighted sample (k=40, weight=n_chars),
+    ORACLE-CHECKED as a membership audit (round-5 conversion — the
+    seeded splitmix keys themselves have no SQL twin; the md5-keyed
+    A-ES member `weighted_sample_md5_docs` is the key-exact oracle):
+    ``k_returned`` = min(k, eligible rows) rides hash-checked, and the
+    booleans assert the sample is a true subset — every returned id is
+    distinct, exists in documents, has a positive weight, and carries
+    EXACTLY the table's n_chars for that id (checked by a broadcast
+    id→weight probe pass).  Key-level exactness vs a single-machine
+    brute force over the same keys stays unit-tested."""
+    import ray
+
     from peri_ray.stages.stats import weighted_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return weighted_sample(ds, weight_col="n_chars", id_col="doc_id",
-                           k=40, seed=7)
+    sample = weighted_sample(ds, weight_col="n_chars", id_col="doc_id",
+                             k=40, seed=7)
+    ids = sample.column("doc_id").to_pylist()
+    ws = sample.column("w").to_pylist()
+    distinct_ok = len(set(ids)) == len(ids)
+    want = {int(i): float(w) for i, w in zip(ids, ws)}
+    want_ref = ray.put(want)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        lookup = ray.get(want_ref)
+        did = t.column("doc_id").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        hit = ok = 0
+        for i, w in zip(did.tolist(), nch.tolist()):
+            if i in lookup:
+                hit += 1
+                if w == lookup[i] and w > 0:
+                    ok += 1
+        # eligible rows for the k_returned twin: valid positive weight
+        elig = int((np.nan_to_num(nch, nan=0.0) > 0).sum())
+        return pa.table({"hit": pa.array([hit], pa.int64()),
+                         "ok": pa.array([ok], pa.int64()),
+                         "elig": pa.array([elig], pa.int64())})
+
+    hits = oks = elig = 0
+    for r in ds.map_batches(_probe, batch_format="pyarrow").take_all():
+        hits += int(r["hit"])
+        oks += int(r["ok"])
+        elig += int(r["elig"])
+    # k_returned is the ENGINE's sample size — the twin independently
+    # computes LEAST(40, eligible), so a short or padded sample
+    # hash-mismatches rather than being masked (elig stays engine-side
+    # as the sanity denominator)
+    assert sample.num_rows <= min(40, elig)
+    return pa.table({
+        "k_returned": pa.array([sample.num_rows], pa.int64()),
+        "sample_is_subset_ok": pa.array(
+            [distinct_ok and hits == len(ids) == sample.num_rows],
+            pa.bool_()),
+        "weights_match_ok": pa.array([oks == hits], pa.bool_())})
 
 
 def token_fertility_by_lang(sf_dir: str):
@@ -4768,14 +4921,40 @@ def bloom_probe_recrawl(sf_dir: str):
 def semdedup_victims_embeddings(sf_dir: str):
     """SemDeDup: k-means-cluster the embedding space, exact cosine
     dedup within clusters, keep min id per component
-    (similarity.semdedup_victims).  Rows-only — k-means has no SQL
-    twin; the recall report below quantifies within-cluster coverage
-    against the exact global join."""
-    from peri_ray.stages.similarity import semdedup_victims
+    (similarity.semdedup_victims) — ORACLE-CHECKED as a containment
+    audit (round-5 conversion): within-cluster pairs are a SUBSET of
+    the exact global cosine join at the same threshold/rounding, so
+    every victim must appear among the exact join's pair members, and
+    (when any pair exists) strictly fewer victims than members (each
+    component keeps its min-id keeper).  ``n_pair_members`` is the
+    hash-checked number — DuckDB recomputes it from the literal
+    all-pairs cosine SQL; the booleans ride as constants.  The victim
+    ID LIST stays engine-side (k-means has no SQL twin); subset/keeper
+    semantics are also unit-tested."""
+    from peri_ray.stages.similarity import (cosine_similarity_join,
+                                            semdedup_victims)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return _collect(semdedup_victims(ds, threshold=0.4, k_clusters=8),
-                    pa.schema([("vec_id", pa.int64())]))
+    victims = {int(r["vec_id"])
+               for r in semdedup_victims(ds, threshold=0.4,
+                                         k_clusters=8).take_all()}
+    exact = cosine_similarity_join(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4)
+    members: set[int] = set()
+    for r in exact.take_all():  # pair-bounded driver state
+        members.add(int(r["id_a"]))
+        members.add(int(r["id_b"]))
+    n_emb = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    subset_ok = victims <= members
+    strict_ok = (len(victims) < len(members)) if members \
+        else not victims
+    return pa.table({
+        "n_embeddings": pa.array([n_emb], pa.int64()),
+        "n_pair_members": pa.array([len(members)], pa.int64()),
+        "victims_subset_ok": pa.array([subset_ok], pa.bool_()),
+        "victims_strictly_fewer_ok": pa.array([strict_ok],
+                                              pa.bool_())})
 
 
 def semdedup_recall_report(sf_dir: str):

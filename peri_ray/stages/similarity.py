@@ -452,7 +452,8 @@ class _MinIdSeeds:
 
 
 def kmeans_fit(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
-               id_col: str = "vec_id", batch_size: int | None = 4096):
+               id_col: str = "vec_id", batch_size: int | None = 4096,
+               history_out: list | None = None):
     """Distributed Lloyd k-means over an embedding column — the
     iterative-algorithm shape on Ray Data: centroid state (k × d)
     lives on the driver between iterations and is re-broadcast with
@@ -492,6 +493,11 @@ def kmeans_fit(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
         cents = np.where(nonempty[:, None], sums / np.maximum(cnts, 1)[:, None],
                          cents)
         inertia = sse
+        if history_out is not None:
+            # SSE of the assignment step vs the PRE-update centroids —
+            # Lloyd guarantees this sequence is non-increasing, the
+            # invariant the oracle audit asserts
+            history_out.append(sse)
     cref = ray.put(cents)
     assigned = ds.map_batches(_KMeansAssign(vec_col, id_col, cref),
                               batch_format="pyarrow", batch_size=batch_size)

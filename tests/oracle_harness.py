@@ -71,6 +71,8 @@ QUADRATIC_ORACLES = {
     "near_dedup_victims_distributed",
     "training_prep_report",
     "leakage_free_split",
+    # quadratic all-pairs cosine twin over 5 000 vectors at sf0.1
+    "semdedup_victims_embeddings",
 }
 
 

@@ -10032,3 +10032,23 @@ class TestDriverGroupGuard:
         t = host_gini_docs("/root/testdata/sf0.001")
         assert t.num_rows == 1
         assert t.column("n_hosts").to_pylist()[0] == 50
+
+
+class TestKMeansHistory:
+    def test_history_out_collects_non_increasing_sse(self):
+        from peri_ray.stages.similarity import kmeans_fit
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(200, 8)).astype(np.float64)
+        t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                      "embedding": pa.array([list(r) for r in X],
+                                            pa.list_(pa.float64()))})
+        hist = []
+        assigned, cents, inertia = kmeans_fit(
+            rd.from_arrow(t).repartition(3), k=4, iters=6,
+            history_out=hist)
+        assert len(hist) == 6
+        assert hist[-1] == inertia
+        for a, b in zip(hist, hist[1:]):
+            assert b <= a * (1 + 1e-12) + 1e-9
+        assert assigned.count() == 200
