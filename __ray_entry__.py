@@ -537,6 +537,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "url_features_docs": q.url_features_docs,
         "robots_blocked_docs": q.robots_blocked_docs,
         "redirect_resolution_docs": q.redirect_resolution_docs,
+        "redirect_resolution_distributed":
+            q.redirect_resolution_distributed,
         "schema_drift_docs": q.schema_drift_docs,
         "unique_keys_documents": q.unique_keys_documents,
         "inferred_spec_violations": q.inferred_spec_violations,
@@ -5614,4 +5616,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811 — wraps the literal dict
     # the persisted-Bloom probe must produce exactly the mutable-index
     # path's exact-dup verdict — same recrawl IN-base oracle
     d["bloom_probe_recrawl"] = d["incremental_dedup_recrawl"]
+    # the forced all-distributed pointer-doubling path must produce
+    # exactly the hybrid driver-finish answer — same recursive-CTE
+    # walk oracle
+    d["redirect_resolution_distributed"] = d["redirect_resolution_docs"]
     return d

@@ -5191,7 +5191,8 @@ def robots_blocked_docs(sf_dir: str):
     return apply_robots(pages, rules)
 
 
-def redirect_resolution_docs(sf_dir: str):
+def redirect_resolution_docs(sf_dir: str,
+                             driver_threshold: int = 2_000_000):
     """Redirect-chain resolution (pointer doubling, web.resolve_redirects):
     a deterministic redirect map over the documents table — doc i
     redirects to doc i+1 within groups of 10, every 25th group closes
@@ -5218,7 +5219,17 @@ def redirect_resolution_docs(sf_dir: str):
     from peri_ray.stages.web import resolve_redirects
 
     edges = ds.map_batches(_edges, batch_format="pyarrow")
-    return resolve_redirects(edges, max_hops=64)
+    return resolve_redirects(edges, max_hops=64,
+                             driver_threshold=driver_threshold)
+
+
+def redirect_resolution_distributed(sf_dir: str):
+    """Forced-threshold twin of redirect_resolution_docs: pins the
+    ALL-DISTRIBUTED pointer-doubling BSP path (driver_threshold=0)
+    against the same recursive-CTE oracle, so the production-scale
+    route stays driver-checked now that the default takes the hybrid
+    driver finish below 2 M active rows."""
+    return redirect_resolution_docs(sf_dir, driver_threshold=0)
 
 
 def schema_drift_docs(sf_dir: str):

@@ -1011,7 +1011,8 @@ def apply_robots(ds, rules: pa.Table, url_col: str = "canonical_url",
 
 
 def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
-                      max_hops: int = 64, n_buckets: int = 64):
+                      max_hops: int = 64, n_buckets: int = 64,
+                      driver_threshold: int = 2_000_000):
     """Resolve every source URL of a redirect map to its terminal
     target by distributed pointer doubling: each round left-joins the
     active pointer table against the full known mapping (active rows
@@ -1038,6 +1039,17 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
     Returns a Dataset ``(src, final_url, hops, is_cycle)`` — one row
     per input edge source; ``final_url``/``hops`` are null when
     ``is_cycle`` (loop or chain deeper than ``max_hops``).
+
+    Hybrid finish (round 5, same trade as
+    ``dedup.connected_components``): whenever the ACTIVE pointer set
+    is at most ``driver_threshold`` rows (≤ ~32 MB of (url, url,
+    int64)), the remaining chains resolve on the driver with one
+    memoized O(active) walk instead of paying further ~1 s-floor
+    exchange rounds — the walk stays inside the pulled pointer dict
+    and needs at most |active| lookups into the already-finished
+    shortcut rows (fetched by ONE broadcast-filter pass).  Set
+    ``driver_threshold=0`` to force the all-distributed BSP path (the
+    forced-threshold driver query does exactly that).
     """
     import math
 
@@ -1079,8 +1091,87 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
                          "hops": pc.add(a.column("hops"),
                                         a.column("jhops"))})
 
+    def _finish_on_driver(act, fin_list) -> pa.Table:
+        """Memoized O(active) resolution of the remaining chains on
+        the driver: walks stay inside the pulled (src → cur, hops)
+        dict; the ≤|active| exit pointers that land on already-
+        finished srcs are fetched with ONE broadcast-filter pass."""
+        import ray
+
+        ptr: dict = {}
+        for r in act.take_all():
+            ptr[r["src"]] = (r["cur"], int(r["hops"]))
+        needed = {cur for cur, _ in ptr.values() if cur not in ptr}
+        ext: dict = {}
+        if needed and fin_list:
+            key_ref = ray.put(pa.array(sorted(needed), pa.string()))
+
+            def _probe(t: pa.Table) -> pa.Table:
+                keys = ray.get(key_ref)
+                src = t.column("src").combine_chunks()
+                if pa.types.is_large_string(src.type):
+                    src = src.cast(pa.string())
+                sub = t.filter(pc.is_in(src, value_set=keys))
+                return sub.select(["src", "final_url", "hops"])
+
+            for f in fin_list:
+                for r in f.map_batches(
+                        _probe, batch_format="pyarrow").take_all():
+                    ext[r["src"]] = (r["final_url"], int(r["hops"]))
+        memo: dict = {}  # src -> (final|None, hops|None, is_cycle)
+        for s in ptr:
+            if s in memo:
+                continue
+            path: list = []
+            onpath: dict = {}
+            cur = s
+            while True:
+                if cur in memo:
+                    final, suffix, cyc = memo[cur]
+                    break
+                if cur not in ptr:
+                    if cur in ext:
+                        final, suffix = ext[cur]
+                    else:
+                        final, suffix = cur, 0
+                    cyc = False
+                    break
+                if cur in onpath:  # loop — the whole path feeds it
+                    final, suffix, cyc = None, None, True
+                    break
+                onpath[cur] = True
+                path.append(cur)
+                cur = ptr[cur][0]
+            for node in reversed(path):
+                if cyc:
+                    memo[node] = (None, None, True)
+                else:
+                    suffix = ptr[node][1] + suffix
+                    memo[node] = (final, suffix, False)
+        srcs = list(ptr)
+        finals, hopsv, cycv = [], [], []
+        for s in srcs:
+            f, h, c = memo[s]
+            if not c and h > max_hops:  # same cap as _cap below
+                f, h, c = None, None, True
+            finals.append(f)
+            hopsv.append(h)
+            cycv.append(c)
+        return pa.table({
+            "src": pa.array(srcs, pa.string()),
+            "final_url": pa.array(finals, pa.string()),
+            "hops": pa.array(hopsv, pa.int64()),
+            "is_cycle": pa.array(cycv, pa.bool_())})
+
+    driver_rows: pa.Table | None = None
     rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))) + 1)
+    n_active = active.count()
     for _ in range(rounds):
+        if n_active == 0:
+            break
+        if n_active <= driver_threshold:
+            driver_rows = _finish_on_driver(active, finished)
+            break
         right = active.map_batches(_right_of_active, batch_format="pyarrow")
         for f in finished:
             right = right.union(
@@ -1094,8 +1185,7 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
             finished.append(done)
         active = joined.map_batches(_advance_rows,
                                     batch_format="pyarrow").materialize()
-        if active.count() == 0:
-            break
+        n_active = active.count()
 
     def _flag_cycles(t: pa.Table) -> pa.Table:
         return pa.table({"src": t.column("src"),
@@ -1118,7 +1208,12 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
             "is_cycle": pc.invert(ok)})
 
     parts = [f.map_batches(_cap, batch_format="pyarrow") for f in finished]
-    if active.count():
+    if driver_rows is not None:
+        if driver_rows.num_rows:
+            import ray.data as rd
+
+            parts.append(rd.from_arrow(driver_rows))
+    elif active.count():
         parts.append(active.map_batches(_flag_cycles,
                                         batch_format="pyarrow"))
     if not parts:

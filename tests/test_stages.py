@@ -9936,7 +9936,7 @@ class TestDriverPrefix:
         import __ray_entry__ as e
 
         qs = e.queries()
-        assert len(qs) == 329
+        assert len(qs) == 330
         prefix = list(qs)[:50]
         assert prefix == e._DRIVER_PREFIX
         osql = e.oracle_sql()
@@ -9970,7 +9970,7 @@ class TestDriverPrefix:
         fresh = [k for k in prefix if k not in old_sample]
         assert len(fresh) >= 35
         # every key appears exactly once and nothing was dropped
-        assert len(set(qs)) == 329
+        assert len(set(qs)) == 330
 
 
 # ---------------------------------------------------------------------------

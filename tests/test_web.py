@@ -949,33 +949,42 @@ class TestResolveRedirects:
                + [f"e{i + 1}" for i in range(20)],
     }
 
-    def _resolve(self, max_hops):
+    def _resolve(self, max_hops, driver_threshold=2_000_000):
         from peri_ray.stages.web import resolve_redirects
 
         ds = rd.from_arrow(pa.table(
             {k: pa.array(v, pa.string()) for k, v in self.EDGES.items()}))
         return {r["src"]: (r["final_url"], r["hops"], r["is_cycle"])
-                for r in resolve_redirects(ds, max_hops=max_hops).take_all()}
+                for r in resolve_redirects(
+                    ds, max_hops=max_hops,
+                    driver_threshold=driver_threshold).take_all()}
 
+    # driver_threshold=0 forces the all-distributed BSP path;
+    # threshold=3 exercises the MID-RUN handoff (distributed rounds
+    # until the active set shrinks below 3, then the driver finisher
+    # with ext-shortcut lookups); the default takes the pure driver
+    # fast path — all three must agree exactly
     def test_chains_converge_and_loops_flag(self):
-        out = self._resolve(64)
-        assert len(out) == 27  # one verdict per source
-        assert out["a"] == ("d", 3, False)
-        assert out["b"] == ("d", 2, False)
-        assert out["c"] == ("d", 1, False)
-        assert out["x"] == ("d", 3, False)  # converging branch
-        for loop in ("p", "q", "s"):  # 2-cycle + self-loop
-            assert out[loop] == (None, None, True)
-        assert out["e0"] == ("e20", 20, False)
-        assert out["e19"] == ("e20", 1, False)
+        for thr in (2_000_000, 3, 0):
+            out = self._resolve(64, driver_threshold=thr)
+            assert len(out) == 27  # one verdict per source
+            assert out["a"] == ("d", 3, False)
+            assert out["b"] == ("d", 2, False)
+            assert out["c"] == ("d", 1, False)
+            assert out["x"] == ("d", 3, False)  # converging branch
+            for loop in ("p", "q", "s"):  # 2-cycle + self-loop
+                assert out[loop] == (None, None, True)
+            assert out["e0"] == ("e20", 20, False)
+            assert out["e19"] == ("e20", 1, False)
 
     def test_max_hops_flags_deep_chains(self):
-        out = self._resolve(8)
-        # depth > 8 is flagged even though doubling reached the end
-        assert out["e0"] == (None, None, True)
-        assert out["e11"] == (None, None, True)  # hops would be 9
-        assert out["e12"] == ("e20", 8, False)   # exactly at the cap
-        assert out["a"] == ("d", 3, False)
+        for thr in (2_000_000, 3, 0):
+            out = self._resolve(8, driver_threshold=thr)
+            # depth > 8 is flagged even though doubling reached the end
+            assert out["e0"] == (None, None, True)
+            assert out["e11"] == (None, None, True)  # hops would be 9
+            assert out["e12"] == ("e20", 8, False)   # exactly at the cap
+            assert out["a"] == ("d", 3, False)
 
     def test_all_terminal_map(self):
         from peri_ray.stages.web import resolve_redirects
