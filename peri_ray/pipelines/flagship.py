@@ -293,6 +293,7 @@ def partitioned_flagship(
     id_column: str = "url",
     drop_output_columns: tuple[str, ...] = ("html",),
     max_concurrent: int = 1,
+    accept_compatible_plans: bool = False,
 ) -> list[dict[str, Any]]:
     """Checkpoint/resume form: one fragment per input file; completed
     fragments (manifest matches plan hash) are skipped on rerun
@@ -310,12 +311,22 @@ def partitioned_flagship(
     independent Dataset execution with its own atomic tmp-dir + manifest,
     so checkpoint semantics are unchanged); raise it when fragments are
     small relative to the cluster — per-fragment scheduling latency
-    otherwise leaves slots idle between fragments."""
+    otherwise leaves slots idle between fragments.
+
+    ``accept_compatible_plans`` (opt-in, round 5): also skip fragments
+    whose manifest was computed under a DIFFERENT spec when the
+    checkpoint's spec snapshot proves the current spec is backward
+    compatible (``compat.is_backward_compatible``) AND the fragment was
+    fully clean (rows == valid_rows) — a loosened constraint cannot
+    change a clean fragment's outputs, but fragments with any recorded
+    violation re-run (loosening may flip their rows valid).  Reused
+    manifests keep their original plan_hash (honest lineage)."""
     import ray.data as rd
 
     spec = spec or WEB_PAGES_SPEC
     ckpt = CheckpointDir(checkpoint_dir)
     phash = plan_hash(spec)
+    ckpt.save_spec(phash, spec)
 
     def _one(path: str) -> None:
         # the FULL path is the fragment identity (CheckpointDir
@@ -323,7 +334,9 @@ def partitioned_flagship(
         # date-partitioned layouts like 2024-01/part.parquet vs
         # 2024-02/part.parquet and silently skip the second file
         frag = os.path.normpath(path).lstrip(os.sep)
-        if ckpt.completed(frag, phash):
+        if (ckpt.completed_compat(frag, phash, spec)
+                if accept_compatible_plans
+                else ckpt.completed(frag, phash)):
             return
 
         from peri_ray.sources import read_table

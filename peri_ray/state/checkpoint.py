@@ -39,6 +39,39 @@ def plan_hash(spec: Any) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _enc_spec(x: Any) -> dict:
+    """Structure-preserving JSON encoding of a spec (tuples tagged so
+    decode restores them — ``plan_hash.norm`` flattens tuples to lists
+    and can't be compared by ``compat.spec_compat``).  Callables encode
+    to their qualname marker (same identity rule as ``plan_hash``);
+    other non-JSON scalars (dates) to ``str``."""
+    if callable(x):
+        return {"#": "f", "v": f"<fn:{getattr(x, '__module__', '?')}."
+                              f"{getattr(x, '__qualname__', repr(x))}>"}
+    if isinstance(x, dict):
+        return {"#": "d", "v": [[str(k), _enc_spec(v)]
+                                for k, v in sorted(
+                                    x.items(), key=lambda kv: str(kv[0]))]}
+    if isinstance(x, tuple):
+        return {"#": "t", "v": [_enc_spec(v) for v in x]}
+    if isinstance(x, list):
+        return {"#": "l", "v": [_enc_spec(v) for v in x]}
+    if x is None or isinstance(x, (str, int, float, bool)):
+        return {"#": "s", "v": x}
+    return {"#": "o", "v": str(x)}
+
+
+def _dec_spec(e: dict) -> Any:
+    tag, v = e["#"], e["v"]
+    if tag == "d":
+        return {k: _dec_spec(sub) for k, sub in v}
+    if tag == "t":
+        return tuple(_dec_spec(sub) for sub in v)
+    if tag == "l":
+        return [_dec_spec(sub) for sub in v]
+    return v  # "s" scalar, "f" marker string, "o" repr string
+
+
 class CheckpointDir:
     def __init__(self, root: str):
         self.root = root
@@ -69,6 +102,68 @@ class CheckpointDir:
             return m.get("plan_hash") == phash and m.get("status") == "done"
         except (json.JSONDecodeError, OSError):
             return False
+
+    # -- spec snapshots (compat-aware resume) -----------------------------
+    def save_spec(self, phash: str, spec: Any) -> None:
+        """Snapshot the spec behind a plan hash (once), so a later
+        resume under a DIFFERENT spec can run ``compat.spec_compat``
+        against what each manifest was actually computed with."""
+        d = os.path.join(self.root, "specs")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{phash}.json")
+        if os.path.exists(p):
+            return
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump(_enc_spec(spec), f)
+        os.replace(tmp, p)
+
+    def load_spec(self, phash: str) -> Any | None:
+        p = os.path.join(self.root, "specs", f"{phash}.json")
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return _dec_spec(json.load(f))
+        except (json.JSONDecodeError, OSError, KeyError, TypeError):
+            return None
+
+    def completed_compat(self, fragment_id: str, phash: str, spec: Any,
+                         mode: str = "permissive") -> bool:
+        """Opt-in widening of :meth:`completed`: also accept a 'done'
+        manifest computed under a DIFFERENT plan when (a) that plan's
+        spec snapshot exists, (b) ``compat.is_backward_compatible(old,
+        new)`` — the new spec can only widen validity — and (c) the
+        manifest records a fully CLEAN fragment (``rows ==
+        valid_rows``).  (c) is what makes reuse sound: a loosened spec
+        can flip old-INVALID rows to valid, so a fragment with any
+        recorded violation must re-run; a clean fragment's rows all
+        stay valid by (b), so its outputs and verdict are already
+        exactly what the new plan would produce."""
+        p = self._manifest_path(fragment_id)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        if m.get("status") != "done":
+            return False
+        if m.get("plan_hash") == phash:
+            return True
+        old_spec = self.load_spec(m.get("plan_hash", ""))
+        if old_spec is None:
+            return False
+        rows, ok = m.get("rows"), m.get("valid_rows")
+        if rows is None or ok is None or rows != ok:
+            return False
+        from peri_ray.compat import is_backward_compatible
+
+        # normalize the NEW spec through the same encoding so unchanged
+        # callables compare equal by qualname marker
+        new_cmp = _dec_spec(_enc_spec(spec))
+        return is_backward_compatible(old_spec, new_cmp, mode)
 
     def write_manifest(self, fragment_id: str, phash: str, payload: dict[str, Any]) -> None:
         """Atomic: write temp file then rename (a crashed run never leaves

@@ -10052,3 +10052,114 @@ class TestKMeansHistory:
         for a, b in zip(hist, hist[1:]):
             assert b <= a * (1 + 1e-12) + 1e-9
         assert assigned.count() == 200
+
+
+class TestCompatResume:
+    """Round-5: spec_compat wired into checkpoint resume —
+    accept_compatible_plans reuses CLEAN fragments computed under a
+    compatible (loosened) plan instead of re-running them."""
+
+    def _shards(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        a = str(tmp_path / "a.parquet")  # clean under min 5
+        b = str(tmp_path / "b.parquet")  # one violation under min 5
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "abcdef", "12345"],
+                             pa.string())}), a)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(["ok long enough", "abc"], pa.string())}), b)
+        return a, b
+
+    OLD = {"doc_id": ("required", "integer"),
+           "text": ("required", ("string", ("min", 5)))}
+    NEW = {"doc_id": ("required", "integer"),
+           "text": ("required", ("string", ("min", 1)))}  # loosened
+
+    def test_loosened_spec_reuses_clean_fragment_only(self, tmp_path):
+        import json as _json
+        import os as _os
+
+        from peri_ray.pipelines.flagship import (merge_partition_verdict,
+                                                 partitioned_flagship)
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash
+
+        a, b = self._shards(tmp_path)
+        ck = str(tmp_path / "ck")
+        # "killed" first run under OLD spec: only fragment A completed
+        m1 = partitioned_flagship([a], ck, spec=self.OLD,
+                                  id_column="doc_id")
+        assert len(m1) == 1 and m1[0]["valid_rows"] == 3
+        old_hash = m1[0]["plan_hash"]
+        ckpt = CheckpointDir(ck)
+        frag_a = _os.path.normpath(a).lstrip(_os.sep)
+        mtime_a = _os.path.getmtime(ckpt._manifest_path(frag_a))
+
+        # resume BOTH shards under the LOOSENED spec with opt-in
+        m2 = partitioned_flagship([a, b], ck, spec=self.NEW,
+                                  id_column="doc_id",
+                                  accept_compatible_plans=True)
+        assert len(m2) == 2
+        by_frag = {m["fragment"]: m for m in m2}
+        # A reused: manifest untouched, original plan lineage kept
+        assert _os.path.getmtime(ckpt._manifest_path(frag_a)) == mtime_a
+        assert by_frag[frag_a]["plan_hash"] == old_hash
+        # B ran fresh under the new plan — its short row is now valid
+        frag_b = _os.path.normpath(b).lstrip(_os.sep)
+        assert by_frag[frag_b]["plan_hash"] == plan_hash(self.NEW)
+        assert by_frag[frag_b]["rows"] == 2
+        assert by_frag[frag_b]["valid_rows"] == 2
+        # merged verdict identical to a from-scratch clean run
+        clean = partitioned_flagship([a, b], str(tmp_path / "ck2"),
+                                     spec=self.NEW, id_column="doc_id")
+        want = merge_partition_verdict(clean)
+        got = merge_partition_verdict(m2)
+        assert got == want and got["passed"]
+        # spec snapshots exist for both plans
+        assert ckpt.load_spec(old_hash) is not None
+        raw = _json.load(open(_os.path.join(ck, "specs",
+                                            f"{old_hash}.json")))
+        assert raw["#"] == "d"
+
+    def test_violating_fragment_reruns_even_if_compatible(self, tmp_path):
+        import os as _os
+
+        from peri_ray.pipelines.flagship import partitioned_flagship
+        from peri_ray.state.checkpoint import CheckpointDir, plan_hash
+
+        a, b = self._shards(tmp_path)
+        ck = str(tmp_path / "ck")
+        m1 = partitioned_flagship([b], ck, spec=self.OLD,
+                                  id_column="doc_id")
+        assert m1[0]["valid_rows"] == 1  # "abc" fails min 5
+        # loosened resume MUST re-run b: its stale verdict over-reports
+        m2 = partitioned_flagship([b], ck, spec=self.NEW,
+                                  id_column="doc_id",
+                                  accept_compatible_plans=True)
+        assert m2[0]["plan_hash"] == plan_hash(self.NEW)
+        assert m2[0]["valid_rows"] == 2
+        _ = CheckpointDir, _os
+
+    def test_tightened_or_optout_reruns_clean_fragment(self, tmp_path):
+        from peri_ray.pipelines.flagship import partitioned_flagship
+        from peri_ray.state.checkpoint import plan_hash
+
+        a, _b = self._shards(tmp_path)
+        tight = {"doc_id": ("required", "integer"),
+                 "text": ("required", ("string", ("min", 6)))}
+        ck = str(tmp_path / "ck")
+        partitioned_flagship([a], ck, spec=self.OLD, id_column="doc_id")
+        # tightened spec: NOT compatible -> re-run despite the flag
+        m = partitioned_flagship([a], ck, spec=tight, id_column="doc_id",
+                                 accept_compatible_plans=True)
+        assert m[0]["plan_hash"] == plan_hash(tight)
+        assert m[0]["valid_rows"] == 2  # "12345" fails min 6
+        # and without the flag, a loosened spec also re-runs (default
+        # exact-hash behavior unchanged)
+        ck2 = str(tmp_path / "ck2")
+        partitioned_flagship([a], ck2, spec=self.OLD, id_column="doc_id")
+        m2 = partitioned_flagship([a], ck2, spec=self.NEW,
+                                  id_column="doc_id")
+        assert m2[0]["plan_hash"] == plan_hash(self.NEW)
