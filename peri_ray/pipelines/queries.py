@@ -1403,9 +1403,11 @@ def embedding_outliers(sf_dir: str):
     # once for the two consumers (quantile pass + threshold filter)
     # instead of recomputing every distance (CLAUDE.md multi-consumer
     # pitfall)
+    from peri_ray.stages.similarity import _pool_cpus
+
     dists = ds.map_batches(_Dist, fn_constructor_args=(cref,),
                            batch_format="pyarrow",
-                           concurrency=(1, 8)).materialize()
+                           concurrency=(1, _pool_cpus())).materialize()
 
     q = exact_quantiles(dists, ["d"], qs=(0.95,))
     thr = float(q.column("value")[0].as_py())

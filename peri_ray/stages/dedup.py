@@ -2294,8 +2294,11 @@ def contamination_counts(ds, bench_ds, n: int = 5, text_col: str = "text",
                 "contaminated": pa.array(cnt > 0),
             })
 
+    from peri_ray.stages.similarity import _pool_cpus
+
     return ds.map_batches(_Probe, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(1, 8))
+                          batch_size=batch_size,
+                          concurrency=(1, _pool_cpus()))
 
 
 # ---------------------------------------------------------------------------

@@ -530,6 +530,37 @@ def _prep_unit_rows(vec_col: str, id_col: str):
 _USE_PRIVATE_BUNDLES = True
 
 
+def _pool_cpus() -> int:
+    """Actor-pool ceiling for the block-grid matmul stages: the
+    cluster's CPU count (min 8 to keep small-host behavior).  Round 5:
+    a hard min(8, ...) cap here made the 1M-doc semantic-
+    decontamination soak scale 8->32 CPUs at only 0.54 efficiency —
+    24 cores sat idle behind an 8-actor pool."""
+    import ray
+
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _grid_compute(n_cells: int, batch_size: int = 4):
+    """Fixed actor pool for a block-grid matmul fan-out, with
+    ``max_tasks_in_flight_per_actor=1``.  The in-flight default (4)
+    EAGERLY binds queued tasks 4-deep to the first ready actors, so a
+    32-task grid saturated at ~8 effective workers no matter the pool
+    size (measured in the round-5 soak: 986 s of task time in 129 s of
+    wall = 7.6x on 32 CPUs; a 32-task sleep toy went 20.6 s -> 6.3 s
+    with in-flight 1).  Grid tasks are uniform multi-second matmuls —
+    pipelining buys nothing, spreading buys everything."""
+    from ray.data import ActorPoolStrategy
+
+    n_tasks = max(1, -(-n_cells // batch_size))
+    return ActorPoolStrategy(size=max(1, min(_pool_cpus(), n_tasks)),
+                             max_tasks_in_flight_per_actor=1)
+
+
+
 def _staged_block_refs(prep):
     """Object refs of a materialized dataset's non-empty Arrow blocks
     — the staging step every block-grid matmul join shares.
@@ -596,20 +627,15 @@ class _BlockPairJoin:
         for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
             xi, ida = self._block(i)
             xj, idb = self._block(j)
-            s = np.round(xi @ xj.T, self.round_to)
-            if i == j:
-                # upper triangle only: each unordered pair once.  Mask
-                # with -inf, not np.triu's zero-fill — a threshold <= 0
-                # would otherwise emit self-pairs and fabricated
-                # zero-cos duplicates
-                s[np.tril_indices(s.shape[0], k=0, m=s.shape[1])] = -np.inf
-            r, c = np.nonzero(s >= self.threshold)
+            r, c, vals = _chunked_threshold_pairs(
+                xi, xj, self.threshold, self.round_to,
+                upper_only=(i == j))
             if len(r) == 0:
                 continue
             a, b = ida[r], idb[c]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
-            out_c.append(s[r, c])
+            out_c.append(vals)
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -617,6 +643,51 @@ class _BlockPairJoin:
         return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
                          "id_b": pa.array(np.concatenate(out_b), pa.int64()),
                          "cos": pa.array(np.concatenate(out_c), pa.float64())})
+
+
+def _chunked_threshold_pairs(xi: np.ndarray, xj: np.ndarray,
+                             threshold: float, round_to: int,
+                             upper_only: bool = False):
+    """All (row, col, rounded-cos) of ``xi @ xj.T`` with
+    ``round(cos, round_to) >= threshold`` — computed in ROW CHUNKS so
+    the transient similarity matrix stays ~256 MB instead of the full
+    |L|·|R| doubles (the round-5 soak measured the unchunked kernel at
+    ~14 GB per task, which throttled a 32-CPU actor pool to ~8
+    effective tasks via memory pressure).
+
+    Candidate-first rounding: the dense compare runs on the UNROUNDED
+    matmul with slack 10^-round_to on the prune side (CLAUDE.md —
+    never tighten a float prune), and only the surviving candidates
+    are rounded — saving the full-matrix ``np.round`` copy (~35% of
+    kernel time) while keeping membership identical:
+    round(x, k) >= t  implies  x >= t - 0.5·10^-k > t - 10^-k.
+
+    ``upper_only`` keeps strictly-upper-triangle (row < col) matches —
+    index-based, so any threshold (even <= 0) stays correct without
+    -inf masking."""
+    target_doubles = 1 << 25  # ~256 MB transient per chunk
+    step = max(256, target_doubles // max(1, xj.shape[0]))
+    slack = 10.0 ** (-round_to)
+    rs: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+    vs: list[np.ndarray] = []
+    for a in range(0, xi.shape[0], step):
+        sub = xi[a:a + step] @ xj.T
+        r, c = np.nonzero(sub >= threshold - slack)
+        if r.size:
+            vals = np.round(sub[r, c], round_to)
+            keep = vals >= threshold
+            if upper_only:
+                keep &= (a + r) < c
+            r, c, vals = r[keep], c[keep], vals[keep]
+        if r.size:
+            rs.append(a + r)
+            cs.append(c)
+            vs.append(vals)
+    if not rs:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    return (np.concatenate(rs), np.concatenate(cs), np.concatenate(vs))
 
 
 def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
@@ -643,7 +714,11 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
 
     _prep = _prep_unit_rows(vec_col, id_col)
 
-    n = ds.count()
+    # materialize-then-count: count() on the materialized prep reads
+    # block metadata; the old count-first order executed the upstream
+    # pipeline twice (round-5 staging fix, same as the bipartite join)
+    prep0 = ds.map_batches(_prep, batch_format="pyarrow").materialize()
+    n = prep0.count()
     if block_rows is None:
         # B(B+1)/2 pair tasks ≈ 2× cluster CPUs keeps the actor pool
         # busy without drowning in per-task overhead (measured: 40
@@ -654,8 +729,7 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
                        int(np.ceil(np.sqrt(2.0 * cpus))), 2)
     else:
         n_blocks = max(1, -(-n // block_rows))
-    prep = (ds.map_batches(_prep, batch_format="pyarrow")
-            .repartition(n_blocks).materialize())
+    prep = prep0.repartition(n_blocks).materialize()
     block_refs = _staged_block_refs(prep)
     pairs = [{"i": i, "j": j} for i in range(len(block_refs))
              for j in range(i, len(block_refs))]
@@ -667,7 +741,11 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
     out = pairs_ds.map_batches(
         _BlockPairJoin,
         fn_constructor_args=(block_refs, id_col, threshold, round_to),
-        concurrency=(1, max(1, min(8, len(pairs)))), batch_size=4,
+        # CPU-wide fixed pool, one task in flight per actor — see
+        # _grid_compute for the round-5 soak measurements behind both
+        # choices; per-actor state is the bounded block cache
+        compute=_grid_compute(len(pairs)),
+        batch_size=4,
         batch_format="pyarrow",
         # ctor args hold block ObjectRefs; restarts could not resolve
         # them if the staged blocks were lost, so pin restarts off
@@ -708,13 +786,13 @@ class _BlockPairJoinBipartite:
         for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
             xi, ida = self._block(0, i)
             xj, idb = self._block(1, j)
-            s = np.round(xi @ xj.T, self.round_to)
-            r, c = np.nonzero(s >= self.threshold)
+            r, c, vals = _chunked_threshold_pairs(
+                xi, xj, self.threshold, self.round_to)
             if len(r) == 0:
                 continue
             out_a.append(ida[r])
             out_b.append(idb[c])
-            out_c.append(s[r, c])
+            out_c.append(vals)
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -745,14 +823,25 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
     cpus = int(ray.cluster_resources().get("CPU", 8))
 
     def _stage(ds):
-        n = ds.count()
+        # materialize the prepped rows FIRST so count() reads block
+        # metadata instead of executing the upstream pipeline a second
+        # time (round 5: the count-then-materialize order ran every
+        # input pipeline twice, a fixed staging cost that capped the
+        # 1M-doc soak's 8->32 efficiency)
+        prep0 = ds.map_batches(_prep, batch_format="pyarrow").materialize()
+        n = prep0.count()
         n_blocks = max(-(-n // max_block_rows),
                        int(np.ceil(np.sqrt(2.0 * cpus))), 1)
-        prep = (ds.map_batches(_prep, batch_format="pyarrow")
-                .repartition(n_blocks).materialize())
+        prep = prep0.repartition(n_blocks).materialize()
         return _staged_block_refs(prep)
 
-    left_refs, right_refs = _stage(left_ds), _stage(right_ds)
+    # the two sides' staging pipelines are independent — overlap them
+    # (wall = slower side, not the sum; CLAUDE.md thread pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _fl, _fr = _ex.submit(_stage, left_ds), _ex.submit(_stage, right_ds)
+        left_refs, right_refs = _fl.result(), _fr.result()
     grid = [{"i": i, "j": j} for i in range(len(left_refs))
             for j in range(len(right_refs))]
     if not grid:
@@ -763,7 +852,8 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
         _BlockPairJoinBipartite,
         fn_constructor_args=(left_refs, right_refs, id_col, threshold,
                              round_to),
-        concurrency=(1, max(1, min(8, len(grid)))), batch_size=4,
+        compute=_grid_compute(len(grid)),
+        batch_size=4,
         batch_format="pyarrow", max_restarts=0)
     return out.materialize()
 
@@ -991,15 +1081,15 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
 
     _prep = _prep_unit_rows(vec_col, id_col)
 
-    n = ds.count()
+    prep0 = ds.map_batches(_prep, batch_format="pyarrow").materialize()
+    n = prep0.count()
     if block_rows is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(-(-n // max_block_rows),
                        int(np.ceil(np.sqrt(2.0 * cpus))), 2)
     else:
         n_blocks = max(1, -(-n // block_rows))
-    prep = (ds.map_batches(_prep, batch_format="pyarrow")
-            .repartition(n_blocks).materialize())
+    prep = prep0.repartition(n_blocks).materialize()
     block_refs = _staged_block_refs(prep)
     pairs = [{"i": i, "j": j} for i in range(len(block_refs))
              for j in range(i, len(block_refs))]
@@ -1011,7 +1101,8 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
     cands = ray.data.from_items(pairs).map_batches(
         _BlockPairTopK,
         fn_constructor_args=(block_refs, id_col, k, round_to),
-        concurrency=(1, max(1, min(8, len(pairs)))), batch_size=4,
+        compute=_grid_compute(len(pairs)),
+        batch_size=4,
         batch_format="pyarrow", max_restarts=0).materialize()
     return top_k_per_group(cands, key="query_id", order_col="cos", k=k,
                            descending=True, tiebreak="neighbor_id")
