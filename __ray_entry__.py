@@ -5478,6 +5478,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings"
         ),
         # round-5 rows-only -> invariant-audit conversions
+        "column_sketches_lineitem": """
+            SELECT 'l_quantity' AS "column",
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT)
+                     AS ndv_exact,
+                   TRUE AS ndv_ok, TRUE AS q50_ok, TRUE AS q90_ok
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   TRUE, TRUE, TRUE
+              FROM lineitem
+        """,
+        "grouped_kll_chars": """
+            SELECT source, CAST(count(n_chars) AS BIGINT) AS n,
+                   TRUE AS q50_ok, TRUE AS q90_ok
+              FROM documents GROUP BY source
+        """,
+        "cms_term_estimates": """
+            SELECT w AS term, CAST(count(*) AS BIGINT) AS n_exact,
+                   TRUE AS cms_ok
+              FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS w
+                      FROM documents WHERE text IS NOT NULL)
+             GROUP BY w HAVING count(*) >= 500
+        """,
         "kmeans_clusters": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(8 AS BIGINT) AS k, TRUE AS labels_in_range_ok, "
