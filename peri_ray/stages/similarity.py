@@ -594,6 +594,18 @@ def _staged_block_refs(prep):
     return [r for r, c in zip(refs, counts) if c]
 
 
+#: Doubles per transient matmul chunk in the block-pair kernels
+#: (~256 MB) and the minimum chunk rows (matmul efficiency floor).
+#: Tests lower both to force many chunks and pin chunked == unchunked
+#: results.
+_CHUNK_TARGET_DOUBLES = 1 << 25
+_CHUNK_MIN_STEP = 256
+
+
+def _chunk_step(n_cols: int) -> int:
+    return max(_CHUNK_MIN_STEP, _CHUNK_TARGET_DOUBLES // max(1, n_cols))
+
+
 class _BlockPairJoin:
     """Actor-pool stage over (i, j) block-index pairs: fetches the two
     normalized blocks from the object store (cached per actor — each
@@ -665,8 +677,7 @@ def _chunked_threshold_pairs(xi: np.ndarray, xj: np.ndarray,
     ``upper_only`` keeps strictly-upper-triangle (row < col) matches —
     index-based, so any threshold (even <= 0) stays correct without
     -inf masking."""
-    target_doubles = 1 << 25  # ~256 MB transient per chunk
-    step = max(256, target_doubles // max(1, xj.shape[0]))
+    step = _chunk_step(xj.shape[0])
     slack = 10.0 ** (-round_to)
     rs: list[np.ndarray] = []
     cs: list[np.ndarray] = []
@@ -1042,13 +1053,49 @@ class _BlockPairTopK:
         for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
             xi, ida = self._block(i)
             xj, idb = self._block(j)
-            s = np.round(xi @ xj.T, self.round_to)
-            if i == j:
-                np.fill_diagonal(s, -np.inf)  # a vector is not its own
-                self._side(ida, s, idb, outs)
-            else:
-                self._side(ida, s, idb, outs)
-                self._side(idb, s.T.copy(), ida, outs)
+            # row-chunked matmul (same transient bound as
+            # _chunked_threshold_pairs — the unchunked 65536² block
+            # pair held a ~34 GB similarity matrix plus its s.T copy):
+            # the LEFT side's top-k is exact per chunk; the RIGHT
+            # side keeps a RUNNING (cos DESC, id ASC) top-k across
+            # chunks, merged vectorized — identical to the one-shot
+            # result because top-k is an associative fold
+            step = _chunk_step(xj.shape[0])
+            rb_vals = rb_ids = None
+            for a in range(0, xi.shape[0], step):
+                s = np.round(xi[a:a + step] @ xj.T, self.round_to)
+                rows = np.arange(a, a + s.shape[0])
+                if i == j:
+                    s[rows - a, rows] = -np.inf  # not your own neighbor
+                self._side(ida[a:a + step], s, idb, outs)
+                if i != j:
+                    st = np.ascontiguousarray(s.T)
+                    kc = min(self.k, st.shape[1])
+                    if kc == 0 or st.shape[0] == 0:
+                        continue
+                    top = np.argsort(-st, axis=1, kind="stable")[:, :kc]
+                    vals = np.take_along_axis(st, top, axis=1)
+                    ids = ida[a:a + step][top]
+                    if rb_vals is None:
+                        rb_vals, rb_ids = vals, ids
+                    else:
+                        cv = np.concatenate([rb_vals, vals], axis=1)
+                        ci = np.concatenate([rb_ids, ids], axis=1)
+                        # (cos DESC, id ASC): stable sort by id, then
+                        # stable sort by -cos preserves id order in ties
+                        o1 = np.argsort(ci, axis=1, kind="stable")
+                        cv = np.take_along_axis(cv, o1, axis=1)
+                        ci = np.take_along_axis(ci, o1, axis=1)
+                        o2 = np.argsort(-cv, axis=1, kind="stable")
+                        kk = min(self.k, cv.shape[1])
+                        rb_vals = np.take_along_axis(cv, o2, axis=1)[:, :kk]
+                        rb_ids = np.take_along_axis(ci, o2, axis=1)[:, :kk]
+            if i != j and rb_vals is not None:
+                sims = rb_vals.reshape(-1)
+                keep = np.isfinite(sims)
+                qid = np.repeat(idb, rb_vals.shape[1])
+                outs.append((qid[keep], rb_ids.reshape(-1)[keep],
+                             sims[keep]))
         if not outs:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),

@@ -10163,3 +10163,58 @@ class TestCompatResume:
         m2 = partitioned_flagship([a], ck2, spec=self.NEW,
                                   id_column="doc_id")
         assert m2[0]["plan_hash"] == plan_hash(self.NEW)
+
+
+class TestChunkedBlockKernels:
+    """Round-5: the block-pair kernels chunk the matmul (bounded
+    transients); forcing tiny chunks must give bit-identical results
+    to the unchunked path for both the threshold join and the
+    running-top-k kNN merge."""
+
+    def _vectors(self, n=150, d=16, seed=23):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, d))
+        return m, pa.table({
+            "vec_id": pa.array(np.arange(n) * 7, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float64()))})
+
+    def test_knn_graph_chunked_equals_brute_force(self, monkeypatch):
+        from peri_ray.stages import similarity as sim
+
+        monkeypatch.setattr(sim, "_CHUNK_TARGET_DOUBLES", 64)
+        monkeypatch.setattr(sim, "_CHUNK_MIN_STEP", 7)
+        n, k = 150, 5
+        m, t = self._vectors(n)
+        out = sim.knn_graph(rd.from_arrow(t).repartition(4), k=k,
+                            block_rows=60).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["cos"], r["neighbor_id"]))
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(norm @ norm.T, 6)
+        np.fill_diagonal(s, -np.inf)
+        ids = np.arange(n) * 7
+        for qi in range(n):
+            order = sorted(range(n), key=lambda j: (-s[qi, j], ids[j]))[:k]
+            want = [(s[qi, j], ids[j]) for j in order]
+            have = sorted(got[ids[qi]], key=lambda x: (-x[0], x[1]))
+            assert have == want
+        assert all(len(v) == k for v in got.values())
+
+    def test_cosine_join_chunked_equals_unchunked(self, monkeypatch):
+        from peri_ray.stages import similarity as sim
+
+        m, t = self._vectors(120)
+        ds = rd.from_arrow(t).repartition(3)
+        base = {(r["id_a"], r["id_b"], r["cos"]) for r in
+                sim.cosine_similarity_join(ds, threshold=0.3,
+                                           block_rows=50).take_all()}
+        monkeypatch.setattr(sim, "_CHUNK_TARGET_DOUBLES", 64)
+        monkeypatch.setattr(sim, "_CHUNK_MIN_STEP", 7)
+        ds2 = rd.from_arrow(t).repartition(3)
+        tiny = {(r["id_a"], r["id_b"], r["cos"]) for r in
+                sim.cosine_similarity_join(ds2, threshold=0.3,
+                                           block_rows=50).take_all()}
+        assert tiny == base and len(base) > 0
