@@ -560,6 +560,15 @@ def _grid_compute(n_cells: int, batch_size: int = 4):
                              max_tasks_in_flight_per_actor=1)
 
 
+def _grid_batch(n_cells: int) -> int:
+    """Cells per grid task: pack up to 4 cells only when that still
+    leaves >= 4 task waves per actor — fewer waves quantize badly
+    (a 36-cell kNN grid at batch 4 made 9 tasks for 32 CPUs: 23 idle
+    cores; even batch 1 at 36 cells left a 2-wave straggler tail,
+    which is why the stagers now also cut more, smaller blocks)."""
+    return max(1, min(4, n_cells // max(1, 4 * _pool_cpus())))
+
+
 
 def _staged_block_refs(prep):
     """Object refs of a materialized dataset's non-empty Arrow blocks
@@ -604,6 +613,65 @@ _CHUNK_MIN_STEP = 256
 
 def _chunk_step(n_cols: int) -> int:
     return max(_CHUNK_MIN_STEP, _CHUNK_TARGET_DOUBLES // max(1, n_cols))
+
+
+#: Sample width for the thresholded top-k fast path (and the minimum
+#: row width that activates it).
+_TOPK_SAMPLE = 2048
+
+
+def _row_topk(s: np.ndarray, k: int):
+    """EXACT per-row top-k of ``s`` ordered (value DESC, column index
+    ASC), returned as aligned (cols, vals) ``(rows, k)`` matrices
+    (rows with fewer than k finite entries pad with -inf, which
+    callers filter).  Column index ASC == neighbor id ASC because
+    block columns are id-sorted (see _block).
+
+    Wide rows use a SAMPLED-THRESHOLD candidate prune: the kth-best
+    of any >=k-element sample of a row is a safe inclusive threshold
+    (at most k-1 full-row values exceed a true top-k member, so at
+    most k-1 SAMPLED values exceed it, so the sample's kth-best can't
+    exceed it) — one vectorized compare pass + exact selection over
+    ~k·n/m candidates instead of a full-row introselect, which the
+    300 K kNN soak measured dominating the matmul ~3:1 at 37 K-column
+    chunks.  Exactness does not depend on the sample's distribution;
+    the deterministic linspace sample keeps runs reproducible."""
+    rows, n = s.shape
+    kk = min(k, n)
+    if rows == 0 or kk == 0:
+        return (np.zeros((rows, 0), np.int64),
+                np.zeros((rows, 0), np.float64))
+    if n <= max(_TOPK_SAMPLE, 4 * kk):
+        # narrow rows: argpartition + k-wide (val DESC, col ASC) sort
+        if kk >= n:
+            cand = np.tile(np.arange(n), (rows, 1))
+        else:
+            cand = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        vals = np.take_along_axis(s, cand, axis=1)
+        o1 = np.argsort(cand, axis=1, kind="stable")
+        vals = np.take_along_axis(vals, o1, axis=1)
+        cand = np.take_along_axis(cand, o1, axis=1)
+        o2 = np.argsort(-vals, axis=1, kind="stable")
+        return (np.take_along_axis(cand, o2, axis=1),
+                np.take_along_axis(vals, o2, axis=1))
+    m = min(_TOPK_SAMPLE, n)
+    samp = s[:, np.linspace(0, n - 1, m).astype(np.int64)]
+    thr = -np.partition(-samp, kk - 1, axis=1)[:, kk - 1]
+    r, c = np.nonzero(s >= thr[:, None])
+    v = s[r, c]
+    # rank candidates per row by (val DESC, col ASC), keep first k
+    order = np.lexsort((c, -v, r))
+    r, c, v = r[order], c[order], v[order]
+    first = np.r_[True, r[1:] != r[:-1]] if len(r) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, len(r)])
+    rank = np.arange(len(r)) - np.repeat(starts, lens)
+    keep = rank < kk
+    out_cols = np.zeros((rows, kk), np.int64)
+    out_vals = np.full((rows, kk), -np.inf, np.float64)
+    out_cols[r[keep], rank[keep]] = c[keep]
+    out_vals[r[keep], rank[keep]] = v[keep]
+    return out_cols, out_vals
 
 
 class _BlockPairJoin:
@@ -731,13 +799,15 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
     prep0 = ds.map_batches(_prep, batch_format="pyarrow").materialize()
     n = prep0.count()
     if block_rows is None:
-        # B(B+1)/2 pair tasks ≈ 2× cluster CPUs keeps the actor pool
-        # busy without drowning in per-task overhead (measured: 40
-        # blocks of 128 rows ran 3× slower than 10 of 512 at sf0.1);
-        # max_block_rows caps per-task memory at corpus scale
+        # B(B+1)/2 pair cells ≈ 4× cluster CPUs: enough waves that
+        # the straggler tail is a small fraction (round-5 soak: a
+        # 36-cell grid on 32 actors ran 2 quantized waves, ~30% idle),
+        # while blocks stay large enough that per-task overhead is
+        # noise (measured: 40 blocks of 128 rows ran 3× slower than
+        # 10 of 512 at sf0.1); max_block_rows caps per-task memory
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(-(-n // max_block_rows),
-                       int(np.ceil(np.sqrt(2.0 * cpus))), 2)
+                       int(np.ceil(np.sqrt(8.0 * cpus))), 2)
     else:
         n_blocks = max(1, -(-n // block_rows))
     prep = prep0.repartition(n_blocks).materialize()
@@ -755,8 +825,8 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
         # CPU-wide fixed pool, one task in flight per actor — see
         # _grid_compute for the round-5 soak measurements behind both
         # choices; per-actor state is the bounded block cache
-        compute=_grid_compute(len(pairs)),
-        batch_size=4,
+        compute=_grid_compute(len(pairs), _grid_batch(len(pairs))),
+        batch_size=_grid_batch(len(pairs)),
         batch_format="pyarrow",
         # ctor args hold block ObjectRefs; restarts could not resolve
         # them if the staged blocks were lost, so pin restarts off
@@ -842,7 +912,7 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
         prep0 = ds.map_batches(_prep, batch_format="pyarrow").materialize()
         n = prep0.count()
         n_blocks = max(-(-n // max_block_rows),
-                       int(np.ceil(np.sqrt(2.0 * cpus))), 1)
+                       int(np.ceil(np.sqrt(8.0 * cpus))), 1)
         prep = prep0.repartition(n_blocks).materialize()
         return _staged_block_refs(prep)
 
@@ -863,8 +933,8 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
         _BlockPairJoinBipartite,
         fn_constructor_args=(left_refs, right_refs, id_col, threshold,
                              round_to),
-        compute=_grid_compute(len(grid)),
-        batch_size=4,
+        compute=_grid_compute(len(grid), _grid_batch(len(grid))),
+        batch_size=_grid_batch(len(grid)),
         batch_format="pyarrow", max_restarts=0)
     return out.materialize()
 
@@ -1041,10 +1111,10 @@ class _BlockPairTopK:
         k = min(self.k, s.shape[1])
         if k == 0 or s.shape[0] == 0:
             return
-        top = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        top, sims2 = _row_topk(s, k)
         rows = np.repeat(qid, k)
         cols = nid[top.reshape(-1)]
-        sims = np.take_along_axis(s, top, axis=1).reshape(-1)
+        sims = sims2.reshape(-1)
         keep = np.isfinite(sims)
         outs.append((rows[keep], cols[keep], sims[keep]))
 
@@ -1057,45 +1127,55 @@ class _BlockPairTopK:
             # _chunked_threshold_pairs — the unchunked 65536² block
             # pair held a ~34 GB similarity matrix plus its s.T copy):
             # the LEFT side's top-k is exact per chunk; the RIGHT
-            # side keeps a RUNNING (cos DESC, id ASC) top-k across
-            # chunks, merged vectorized — identical to the one-shot
-            # result because top-k is an associative fold
+            # side takes one exact top-k on chunk 1, then later chunks
+            # only CONTRIBUTE candidates strictly beating chunk 1's
+            # per-column kth (exact: a tie with the incumbent kth
+            # loses on id ASC anyway, since incumbent ids are from
+            # earlier — smaller — rows), merged once at the end
             step = _chunk_step(xj.shape[0])
-            rb_vals = rb_ids = None
+            thr = None
+            cand_c: list = []
+            cand_v: list = []
+            cand_i: list = []
+            kr = min(self.k, xi.shape[0])
             for a in range(0, xi.shape[0], step):
                 s = np.round(xi[a:a + step] @ xj.T, self.round_to)
                 rows = np.arange(a, a + s.shape[0])
                 if i == j:
                     s[rows - a, rows] = -np.inf  # not your own neighbor
                 self._side(ida[a:a + step], s, idb, outs)
-                if i != j:
-                    st = np.ascontiguousarray(s.T)
-                    kc = min(self.k, st.shape[1])
-                    if kc == 0 or st.shape[0] == 0:
-                        continue
-                    top = np.argsort(-st, axis=1, kind="stable")[:, :kc]
-                    vals = np.take_along_axis(st, top, axis=1)
-                    ids = ida[a:a + step][top]
-                    if rb_vals is None:
-                        rb_vals, rb_ids = vals, ids
+                if i != j and s.shape[0] and kr:
+                    if thr is None:
+                        st = np.ascontiguousarray(s.T)
+                        kc = min(self.k, st.shape[1])
+                        top, vals = _row_topk(st, kc)
+                        ids = ida[a:a + step][top]
+                        nrt = st.shape[0]
+                        cand_c.append(np.repeat(np.arange(nrt), kc))
+                        cand_v.append(vals.reshape(-1))
+                        cand_i.append(ids.reshape(-1))
+                        # kth best per column; shorter columns -> -inf
+                        thr = (vals[:, kr - 1] if vals.shape[1] >= kr
+                               else np.full(nrt, -np.inf))
                     else:
-                        cv = np.concatenate([rb_vals, vals], axis=1)
-                        ci = np.concatenate([rb_ids, ids], axis=1)
-                        # (cos DESC, id ASC): stable sort by id, then
-                        # stable sort by -cos preserves id order in ties
-                        o1 = np.argsort(ci, axis=1, kind="stable")
-                        cv = np.take_along_axis(cv, o1, axis=1)
-                        ci = np.take_along_axis(ci, o1, axis=1)
-                        o2 = np.argsort(-cv, axis=1, kind="stable")
-                        kk = min(self.k, cv.shape[1])
-                        rb_vals = np.take_along_axis(cv, o2, axis=1)[:, :kk]
-                        rb_ids = np.take_along_axis(ci, o2, axis=1)[:, :kk]
-            if i != j and rb_vals is not None:
-                sims = rb_vals.reshape(-1)
-                keep = np.isfinite(sims)
-                qid = np.repeat(idb, rb_vals.shape[1])
-                outs.append((qid[keep], rb_ids.reshape(-1)[keep],
-                             sims[keep]))
+                        rr, cc = np.nonzero(s > thr[None, :])
+                        if rr.size:
+                            cand_c.append(cc)
+                            cand_v.append(s[rr, cc])
+                            cand_i.append(ida[a:a + step][rr])
+            if i != j and cand_c:
+                cc = np.concatenate(cand_c)
+                vv = np.concatenate(cand_v)
+                ii = np.concatenate(cand_i)
+                order = np.lexsort((ii, -vv, cc))
+                cc, vv, ii = cc[order], vv[order], ii[order]
+                first = np.r_[True, cc[1:] != cc[:-1]] if len(cc) else \
+                    np.zeros(0, bool)
+                starts = np.flatnonzero(first)
+                lens = np.diff(np.r_[starts, len(cc)])
+                rank = np.arange(len(cc)) - np.repeat(starts, lens)
+                keep = (rank < kr) & np.isfinite(vv)
+                outs.append((idb[cc[keep]], ii[keep], vv[keep]))
         if not outs:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -1133,7 +1213,7 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
     if block_rows is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(-(-n // max_block_rows),
-                       int(np.ceil(np.sqrt(2.0 * cpus))), 2)
+                       int(np.ceil(np.sqrt(8.0 * cpus))), 2)
     else:
         n_blocks = max(1, -(-n // block_rows))
     prep = prep0.repartition(n_blocks).materialize()
@@ -1148,8 +1228,8 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
     cands = ray.data.from_items(pairs).map_batches(
         _BlockPairTopK,
         fn_constructor_args=(block_refs, id_col, k, round_to),
-        compute=_grid_compute(len(pairs)),
-        batch_size=4,
+        compute=_grid_compute(len(pairs), _grid_batch(len(pairs))),
+        batch_size=_grid_batch(len(pairs)),
         batch_format="pyarrow", max_restarts=0).materialize()
     return top_k_per_group(cands, key="query_id", order_col="cos", k=k,
                            descending=True, tiebreak="neighbor_id")

@@ -10218,3 +10218,39 @@ class TestChunkedBlockKernels:
                 sim.cosine_similarity_join(ds2, threshold=0.3,
                                            block_rows=50).take_all()}
         assert tiny == base and len(base) > 0
+
+
+class TestRowTopK:
+    """The sampled-threshold top-k must be exact for any data,
+    including heavy value ties (threshold == many candidates) and
+    wide rows that trigger the prune path."""
+
+    def _brute(self, s, k):
+        rows, n = s.shape
+        out = []
+        for i in range(rows):
+            order = sorted(range(n), key=lambda j: (-s[i, j], j))[:k]
+            out.append([(s[i, j], j) for j in order])
+        return out
+
+    def test_wide_ties_and_narrow_agree_with_brute_force(self, monkeypatch):
+        from peri_ray.stages import similarity as sim
+
+        rng = np.random.default_rng(7)
+        # force the prune path at modest width
+        monkeypatch.setattr(sim, "_TOPK_SAMPLE", 32)
+        for rows, n, k, discrete in ((40, 500, 5, True),
+                                     (17, 4097, 7, False),
+                                     (3, 9, 5, True),
+                                     (5, 3, 4, False)):
+            vals = (rng.integers(0, 4, size=(rows, n)).astype(np.float64)
+                    if discrete else rng.normal(size=(rows, n)))
+            vals[0, : min(n, 3)] = -np.inf  # padding path
+            cols, topv = sim._row_topk(vals, k)
+            want = self._brute(vals, k)
+            for i in range(rows):
+                got = [(topv[i, j], int(cols[i, j]))
+                       for j in range(cols.shape[1])
+                       if np.isfinite(topv[i, j])]
+                expect = [(v, c) for v, c in want[i] if np.isfinite(v)]
+                assert got == expect, (i, got[:3], expect[:3])
