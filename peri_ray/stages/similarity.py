@@ -808,6 +808,10 @@ def cosine_similarity_join(ds, threshold: float, vec_col: str = "embedding",
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(-(-n // max_block_rows),
                        int(np.ceil(np.sqrt(8.0 * cpus))), 2)
+        # never cut blocks under ~4096 rows: a 5000-vector input split
+        # 16 ways made 136 sub-millisecond cells behind a 32-actor
+        # spawn (battery cosine join 1.5 s -> 6 s, round-5 regression)
+        n_blocks = max(2, min(n_blocks, -(-n // 4096)))
     else:
         n_blocks = max(1, -(-n // block_rows))
     prep = prep0.repartition(n_blocks).materialize()
@@ -913,6 +917,7 @@ def cosine_join_bipartite(left_ds, right_ds, threshold: float,
         n = prep0.count()
         n_blocks = max(-(-n // max_block_rows),
                        int(np.ceil(np.sqrt(8.0 * cpus))), 1)
+        n_blocks = max(1, min(n_blocks, -(-n // 4096)))
         prep = prep0.repartition(n_blocks).materialize()
         return _staged_block_refs(prep)
 
@@ -1214,6 +1219,10 @@ def knn_graph(ds, k: int, vec_col: str = "embedding",
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(-(-n // max_block_rows),
                        int(np.ceil(np.sqrt(8.0 * cpus))), 2)
+        # never cut blocks under ~4096 rows: a 5000-vector input split
+        # 16 ways made 136 sub-millisecond cells behind a 32-actor
+        # spawn (battery cosine join 1.5 s -> 6 s, round-5 regression)
+        n_blocks = max(2, min(n_blocks, -(-n // 4096)))
     else:
         n_blocks = max(1, -(-n // block_rows))
     prep = prep0.repartition(n_blocks).materialize()
